@@ -1,13 +1,314 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Joins, Relational => R}
+import graft.functions.Scalars
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` has a matching DuckDB oracle in `oracleSql`
+  * computing the same result with the same column names. Monetary/value
+  * aggregates are computed in `decimal(18,2)` on BOTH sides so sums are exact
+  * and engine-independent (double summation order would otherwise diverge).
+  */
 object SparkEntry {
+  private val D = "decimal(18,2)"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregation core (SURVEY §2.4) ----
+    "q01_pricing_summary" -> ((s, dir) => {
+      // A1/A5 analog at TPC-H Q1 shape: single shuffle, map-side partials.
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(D)).as("sum_qty"),
+          sum(col("l_extendedprice").cast(D)).as("sum_base_price"),
+          sum(col("l_extendedprice").cast(D) * (lit(1) - col("l_discount").cast(D))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+    "q07_rollup_status" -> ((s, dir) =>
+      R.rollupCount(Tables.events(s, dir), "event_type")),
+    "q08_time_buckets" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(D)).as("sum_value"))),
+    "q15_bbox_agg" -> ((s, dir) => {
+      // A3 bbox per group over derived integer coordinates (exact arithmetic).
+      val li = Tables.lineitem(s, dir)
+        .withColumn("lon", (col("l_partkey") * 7 % 360 - 180).cast("long"))
+        .withColumn("lat", (col("l_suppkey") * 13 % 180 - 90).cast("long"))
+      R.bboxAgg(li, Seq("l_returnflag"), col("lon"), col("lat"))
+    }),
+    "q28_validation_split" -> ((s, dir) =>
+      // P13 CHECK-constraint predicate as a validation rollup.
+      Tables.events(s, dir)
+        .groupBy(col("value").between(0, 100).as("valid"))
+        .agg(count(lit(1)).as("n"))),
+
+    // ---- filters / lookups / projections (SURVEY §2.2) ----
+    "q02_point_lookup" -> ((s, dir) =>
+      R.pointLookup(Tables.customer(s, dir), "c_custkey", 42L)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")),
+    "q03_or_lookup" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING" || col("c_acctbal") < 100)
+        .select("c_custkey", "c_name", "c_mktsegment")),
+    "q04_multi_filter" -> ((s, dir) =>
+      R.multiFilter(Tables.lineitem(s, dir), Seq(
+        col("l_shipdate").between(lit("1996-01-01"), lit("1997-12-31")),
+        col("l_quantity").between(10, 20),
+        R.memberOf(col("l_returnflag"), Seq("A", "R"))))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")),
+    "q05_regex_filter" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .filter(col("p_name").rlike("^(blue|large) .*t$"))
+        .select("p_partkey", "p_name", "p_brand")),
+    "q06_projection_scalar" -> ((s, dir) =>
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        lower(col("c_name")).as("name_lower"),
+        length(col("c_name")).as("name_len"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        concat(col("c_mktsegment"), lit(":"), col("c_name")).as("tagged"))),
+
+    // ---- sort / limit / pagination (SURVEY §2.5) ----
+    "q09_topk" -> ((s, dir) =>
+      R.topK(Tables.orders(s, dir), 10, col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+    "q10_page" -> ((s, dir) =>
+      R.page(Tables.customer(s, dir), page = 3, size = 20, col("c_custkey").asc)),
+    "q11_pagination_meta" -> ((s, dir) =>
+      R.paginationMeta(Tables.customer(s, dir), size = 100)),
+
+    // ---- windows (SURVEY §2.7) ----
+    "q12_latest_per_key" -> ((s, dir) =>
+      R.latestPerKey(Tables.events(s, dir), "user_id", col("ts"), col("event_id"))
+        .select("user_id", "event_id", "event_type", "value")),
+    "q13_window_lag" -> ((s, dir) =>
+      R.withLag(Tables.events(s, dir), "user_id", "value", col("ts"), col("event_id"))
+        .select("user_id", "event_id", "value", "prev_value", "delta_value")),
+    "q14_running_sum" -> ((s, dir) =>
+      R.runningSum(Tables.orders(s, dir), "o_custkey",
+        col("o_totalprice").cast(D), "run_total",
+        col("o_orderdate"), col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "run_total")),
+
+    // ---- joins (SURVEY §2.3) ----
+    "q16_dim_join" -> ((s, dir) => {
+      // J1-J3 shape: fact ⋈ two broadcast dims, then rollup.
+      val c = Tables.customer(s, dir).withColumnRenamed("c_nationkey", "n_nationkey")
+      val n = Tables.nation(s, dir).withColumnRenamed("n_regionkey", "r_regionkey")
+      Joins.dimJoin(Joins.dimJoin(c, n, Seq("n_nationkey")), Tables.region(s, dir), Seq("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+    "q17_join_topk_revenue" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val ord  = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1999-01-01"))
+      val li   = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1997-01-01"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("o_date"))
+        .agg(sum(col("l_extendedprice").cast(D) * (lit(1) - col("l_discount").cast(D))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+    "q18_semi_join" -> ((s, dir) =>
+      Joins.semiJoin(Tables.customer(s, dir),
+        Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")), Seq("c_custkey"))
+        .select("c_custkey", "c_name")),
+    "q19_anti_join" -> ((s, dir) =>
+      Joins.antiJoin(Tables.customer(s, dir),
+        Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")), Seq("c_custkey"))
+        .select("c_custkey", "c_name")),
+    "q20_left_join" -> ((s, dir) => {
+      val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir).select(col("c_nationkey").as("n_nationkey"), col("c_custkey"))
+      Joins.leftJoin(n, c, Seq("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(col("c_custkey")).as("n_customers"))
+    }),
+    "q21_explode_join" -> ((s, dir) => {
+      // J6/J7 lineage shape: per-order array of part keys, exploded, joined.
+      val lineage = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(collect_list(col("l_partkey")).as("part_ids"))
+      Joins.explodeJoin(lineage, "part_ids", broadcast(Tables.part(s, dir)), "p_partkey")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- set ops (SURVEY §2.6) ----
+    "q22_union_distinct" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_totalprice") > 180000).select("o_orderkey", "o_custkey")
+        .union(o.filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey", "o_custkey"))
+        .distinct()
+    }),
+    "q23_except" -> ((s, dir) => {
+      val building = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val withF = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F").select(col("o_custkey").as("c_custkey"))
+      building.except(withF)
+    }),
+
+    // ---- scalar functions (SURVEY §2.8) ----
+    "q24_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(Scalars.jsonField(col("props"), "$.k").cast("int").as("k"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(D)).as("sum_value"))),
+    "q25_date_math" -> ((s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        date_add(to_date(col("o_orderdate")), 30).as("due"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01")).as("days_since"))),
+    "q26_sha256" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Scalars.sha256Hex(col("text")).as("text_sha"))),
+
+    // ---- dedup / audit (SURVEY §2.12 + §2.4 uniqueness) ----
+    "q27_exact_dedup" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .select(md5(col("text")).as("fp"), col("keep_id"), col("n_dups"))),
+    "q29_dup_audit" -> ((s, dir) =>
+      R.duplicateKeys(Tables.documents(s, dir), "text")
+        .select(md5(col("text")).as("fp"), col("n_dups"))),
+  )
+
+  /** DuckDB-equivalent SQL per query (same parquet tables, same column names). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(cast(l_quantity as decimal(18,2))) AS sum_qty,
+         sum(cast(l_extendedprice as decimal(18,2))) AS sum_base_price,
+         sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) AS sum_disc_price,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_point_lookup" ->
+      "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer WHERE c_custkey = 42",
+    "q03_or_lookup" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE c_mktsegment = 'BUILDING' OR c_acctbal < 100""",
+    "q04_multi_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+         FROM lineitem
+         WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+           AND l_quantity BETWEEN 10 AND 20
+           AND l_returnflag IN ('A','R')""",
+    "q05_regex_filter" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+         WHERE regexp_matches(p_name, '^(blue|large) .*t$')""",
+    "q06_projection_scalar" ->
+      """SELECT c_custkey, lower(c_name) AS name_lower,
+         cast(length(c_name) as int) AS name_len,
+         substr(c_name, 1, 8) AS name_prefix,
+         c_mktsegment || ':' || c_name AS tagged FROM customer""",
+    "q07_rollup_status" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    "q08_time_buckets" ->
+      """SELECT cast(date_trunc('day', ts) as date) AS day, event_type,
+         count(*) AS n, sum(cast(value as decimal(18,2))) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q09_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q10_page" ->
+      "SELECT * FROM customer ORDER BY c_custkey LIMIT 20 OFFSET 40",
+    "q11_pagination_meta" ->
+      """SELECT count(*) AS total,
+         cast(ceil(count(*) / 100.0) as bigint) AS pages FROM customer""",
+    "q12_latest_per_key" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) t WHERE rn = 1""",
+    "q13_window_lag" ->
+      """SELECT user_id, event_id, value,
+         lag(value) OVER w AS prev_value,
+         value - lag(value) OVER w AS delta_value
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "q14_running_sum" ->
+      """SELECT o_orderkey, o_custkey,
+         sum(cast(o_totalprice as decimal(18,2))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_total
+         FROM orders""",
+    "q15_bbox_agg" ->
+      """SELECT l_returnflag,
+         min(lon) AS min_lon, max(lon) AS max_lon,
+         min(lat) AS min_lat, max(lat) AS max_lat
+         FROM (SELECT l_returnflag,
+                 cast(l_partkey * 7 % 360 - 180 as bigint) AS lon,
+                 cast(l_suppkey * 13 % 180 - 90 as bigint) AS lat
+               FROM lineitem) t GROUP BY l_returnflag""",
+    "q16_dim_join" ->
+      """SELECT r_name, n_name, count(*) AS n_customers
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+    "q17_join_topk_revenue" ->
+      """SELECT o_orderkey, cast(o_orderdate as date) AS o_date,
+         sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1999-01-01'
+           AND l_shipdate > TIMESTAMP '1997-01-01'
+         GROUP BY o_orderkey, cast(o_orderdate as date)
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "q18_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders)""",
+    "q19_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+    "q20_left_join" ->
+      """SELECT n_name, count(c_custkey) AS n_customers
+         FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+    "q21_explode_join" ->
+      """SELECT p_brand, count(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand""",
+    "q22_union_distinct" ->
+      """SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 180000
+         UNION
+         SELECT o_orderkey, o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""",
+    "q23_except" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         EXCEPT
+         SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'""",
+    "q24_json_extract" ->
+      """SELECT cast(json_extract_string(props, '$.k') as int) AS k,
+         count(*) AS n, sum(cast(value as decimal(18,2))) AS sum_value
+         FROM events GROUP BY 1""",
+    "q25_date_math" ->
+      """SELECT o_orderkey,
+         cast(year(o_orderdate) as int) AS y,
+         cast(month(o_orderdate) as int) AS m,
+         cast(o_orderdate as date) + 30 AS due,
+         cast(cast(o_orderdate as date) - DATE '1995-01-01' as int) AS days_since
+         FROM orders""",
+    "q26_sha256" ->
+      "SELECT doc_id, sha256(text) AS text_sha FROM documents",
+    "q27_exact_dedup" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY text""",
+    "q29_dup_audit" ->
+      """SELECT md5(text) AS fp, count(*) AS n_dups
+         FROM documents GROUP BY text HAVING count(*) > 1""",
+  )
 }

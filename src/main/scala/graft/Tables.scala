@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog over the driver fixture tables (TESTDATA.md).
+  *
+  * The reference bootstraps its schema from DDL mounted at container start
+  * (reference: docker-compose.yml:14, database/schemas/init.sql:1-219 — 11 tables,
+  * 3 enums, 24 indexes). Here the analog is a parquet-backed catalog: one
+  * DataFrame per table, loaded lazily per scale-factor directory, registered
+  * as temp views so both the DataFrame API and `spark.sql` can reach them.
+  *
+  * Scale notes (100 TB design): loaders take a directory, not a pre-read
+  * DataFrame, so partition discovery / predicate pushdown stay with the
+  * parquet source (Catalyst `PushDownPredicates`, `PruneFileSourcePartitions`
+  * replace the reference's 22 B-tree indexes, init.sql:166-204).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Dimension tables small enough to broadcast at any scale factor. */
+  val dims: Set[String] = Set("region", "nation", "supplier", "part")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * TimestampType (micros) refuses to read directly. Read nanos as longs
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to micros with
+    * integer arithmetic — a double round-trip would lose precision at ~1e18 ns. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register every fixture table as a temp view (the analog of the
+    * reference's schema bootstrap, init.sql:1-219). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

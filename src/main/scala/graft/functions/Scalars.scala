@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.8 — scalar function surface of the reference, expressed with
+  * codegen'd `org.apache.spark.sql.functions` (no UDFs on hot paths).
+  */
+object Scalars {
+
+  /** F1 — SHA-256 content checksum (reference: chunked file hashing,
+    * shared/utils/__init__.py:61-69; used at services/file-service/main.py:125).
+    * Works on both binary and string columns; lowercase hex like the
+    * reference's hexdigest. */
+  def sha256Hex(c: Column): Column = sha2(c, 256)
+
+  /** F2/F3 — unique filename: fresh UUID + preserved original extension
+    * (reference: shared/utils/__init__.py:72-76). */
+  def uniqueFilename(original: Column): Column =
+    concat(expr("uuid()"), regexp_extract(original, "(\\.[^.]+)$", 1))
+
+  /** F6 — timestamp + interval (token expiry,
+    * reference: shared/utils/__init__.py:37-42). */
+  def plusMinutes(ts: Column, minutes: Int): Column =
+    ts + expr(s"INTERVAL $minutes MINUTES")
+
+  /** F7 — ceil division for page counts
+    * (reference: `(total+size-1)//size`, shared/utils/__init__.py:163). */
+  def ceilDiv(total: Column, size: Column): Column =
+    ceil(total.cast("double") / size).cast("long")
+
+  /** F9 — JSON-serialize a struct of columns (structured log records,
+    * reference: shared/utils/__init__.py:114-129). */
+  def asJson(cols: Column*): Column = to_json(struct(cols: _*))
+
+  /** F10 — JSONB field access (reference: metadata/parameters/results columns,
+    * init.sql:49,63,104-105,119-120). */
+  def jsonField(c: Column, path: String): Column = get_json_object(c, path)
+
+  /** F12 — config-style string normalization: trim + lower + CSV split
+    * (reference: shared/config/__init__.py:64-78). */
+  def normalizeCsv(c: Column): Column = split(trim(lower(c)), "\\s*,\\s*")
+
+  /** F4 — MIME sniff from magic bytes. The reference delegates to libmagic
+    * (services/file-service/main.py:103); here a magic-number prefix table
+    * over the first bytes of a binary column — pure `Column` expression, so it
+    * stays inside whole-stage codegen. */
+  def sniffMime(content: Column): Column = {
+    val head = hex(substring(content, 1, 8)) // hex uppercase
+    when(head.startsWith("FFD8FF"), "image/jpeg")
+      .when(head.startsWith("89504E47"), "image/png")
+      .when(head.startsWith("49492A00") || head.startsWith("4D4D002A"), "image/tiff")
+      .when(head.startsWith("504B0304"), "application/zip")
+      .when(head.startsWith("25504446"), "application/pdf")
+      .when(head.startsWith("1F8B"), "application/gzip")
+      .otherwise("application/octet-stream")
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.3 — the join shapes fixed by the reference's FK graph
+  * (reference: database/schemas/init.sql FK declarations, e.g. :29,:47-48,:59-62).
+  *
+  * Scale policy: dimension joins broadcast (no shuffle of the fact side);
+  * fact-fact joins shuffle on the join key and rely on AQE for skew; lineage
+  * joins explode the UUID-array first so the join itself is a plain equi-join.
+  */
+object Joins {
+
+  /** J1-J4 — fact ⋈ dimension equi-join with an explicit broadcast hint: the
+    * dim side (projects/users/nation/region…) is orders of magnitude smaller
+    * than the fact side, so a broadcast hash join avoids shuffling the fact
+    * table entirely (reference: files.project_id → projects.id, init.sql:47). */
+  def dimJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String], how: String = "inner"): DataFrame =
+    fact.join(broadcast(dim), keys, how)
+
+  /** J6/J7 — lineage array join: `input_files UUID[]` exploded, then
+    * equi-joined against the files table
+    * (reference: processing_tasks.input_files init.sql:61-62;
+    * analyses.input_files init.sql:118). Explode-then-join keeps the probe
+    * side a plain shuffled equi-join instead of an O(n·m) array-contains
+    * nested loop. */
+  def explodeJoin(tasks: DataFrame, arrayCol: String, files: DataFrame,
+                  fileKey: String, how: String = "inner"): DataFrame =
+    tasks
+      .withColumn("__file_id", explode(col(arrayCol)))
+      .join(files, col("__file_id") === col(fileKey), how)
+      .drop("__file_id")
+
+  /** J10 — access-control semi-join: keep fact rows whose key appears in the
+    * permitted set; no columns from the right side leak into the output
+    * (reference: owner checks, services/file-service/main.py:185,210,243). */
+  def semiJoin(df: DataFrame, keys: DataFrame, on: Seq[String]): DataFrame =
+    df.join(keys, on, "left_semi")
+
+  /** J11 — cascade delete as an anti-join rewrite: children of deleted parents
+    * are filtered out, parquet snapshots are rewritten rather than mutated
+    * (reference: ON DELETE CASCADE on every FK, init.sql:29,47-48,59-60…). */
+  def antiJoin(df: DataFrame, deleted: DataFrame, on: Seq[String]): DataFrame =
+    df.join(deleted, on, "left_anti")
+
+  /** J8/J9 — left outer join preserving unmatched rows (nullable FKs:
+    * visualization_layers.file_id init.sql:132; audit_logs.user_id
+    * ON DELETE SET NULL init.sql:155). */
+  def leftJoin(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.join(right, keys, "left_outer")
+
+  /** S6 analog — copy-on-write row update: merge updated rows over the base
+    * snapshot by key (reference: field-wise update + updated_at stamp,
+    * services/auth-service/crud.py:52-68). Implemented as anti-join of the
+    * base against updated keys, then union — both sides shuffle once on the
+    * key. */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    base.join(updates.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(updates)
+}

@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.2 / §2.4 / §2.5 / §2.7 — projections, filters, aggregations,
+  * sort/limit/pagination, and window analytics as composable
+  * `DataFrame => DataFrame` combinators.
+  *
+  * Each combinator is declarative: it only adds nodes to the logical plan, so
+  * Catalyst predicate pushdown / column pruning reach the parquet scan — the
+  * engine-side replacement for the reference's B-tree indexes
+  * (reference: database/schemas/init.sql:166-204).
+  */
+object Relational {
+
+  // ---- filters / lookups (§2.2) ------------------------------------------
+
+  /** P1 — point lookup by primary key
+    * (reference: services/auth-service/crud.py:17-19). Equality predicate is
+    * pushed to the source: parquet row-group min/max skipping stands in for
+    * the B-tree index. */
+  def pointLookup(df: DataFrame, keyCol: String, key: Any): DataFrame =
+    df.filter(col(keyCol) === lit(key))
+
+  /** P3 — fallback OR-lookup: login accepts username OR email with the same
+    * input (reference: services/auth-service/main.py:118-120). */
+  def orLookup(df: DataFrame, value: Any, cols: String*): DataFrame =
+    df.filter(cols.map(c => col(c) === lit(value)).reduce(_ || _))
+
+  /** P4 — optional equality filter: apply only when the caller passed a value
+    * (reference: services/auth-service/crud.py:98-99). */
+  def optionalFilter(df: DataFrame, c: String, v: Option[Any]): DataFrame =
+    v.fold(df)(x => df.filter(col(c) === lit(x)))
+
+  /** P5 — conjunctive multi-filter listing: all predicates optional, ANDed
+    * (reference: services/file-service/main.py:281-288). */
+  def multiFilter(df: DataFrame, preds: Seq[Column]): DataFrame =
+    if (preds.isEmpty) df else df.filter(preds.reduce(_ && _))
+
+  /** P6 — row-level security: non-admin sees only rows it owns
+    * (reference: services/file-service/main.py:185,279,319). */
+  def forUser(df: DataFrame, ownerCol: String, uid: String, role: String): DataFrame =
+    if (role == "admin") df else df.filter(col(ownerCol) === lit(uid))
+
+  /** P8 — set-membership predicate (MIME / enum allowlists)
+    * (reference: shared/utils/__init__.py:89-91; services/file-service/main.py:92). */
+  def memberOf(c: Column, allowed: Seq[Any]): Column = c.isin(allowed: _*)
+
+  /** P9 — regex predicate, e.g. the email validator
+    * (reference: shared/utils/__init__.py:153-157). */
+  val EmailRe = "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"
+  /** P12 — UUID-format validation (reference: shared/utils/__init__.py:144-150). */
+  val UuidRe = "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+
+  /** P10 — coordinate range validation
+    * (reference: shared/utils/__init__.py:176-178). */
+  def validCoords(lon: Column, lat: Column): Column =
+    lat.between(-90, 90) && lon.between(-180, 180)
+
+  /** P13 — CHECK-constraint predicates become write-path validation; rows are
+    * split into (valid, quarantined) instead of aborting the batch
+    * (reference: init.sql:66,136; the per-file try/except at
+    * services/file-service/main.py:158-167). */
+  def quarantine(df: DataFrame, valid: Column): (DataFrame, DataFrame) =
+    (df.filter(valid), df.filter(!coalesce(valid, lit(false))))
+
+  // ---- aggregations (§2.4) -----------------------------------------------
+
+  /** A1/A2 — filtered COUNT (reference: services/auth-service/crud.py:103-109). */
+  def countWhere(df: DataFrame, pred: Column): Long = df.filter(pred).count()
+
+  /** A3 — min/max bounding box over coordinate columns, per group
+    * (reference: shared/utils/__init__.py:181-194). Single-pass partial
+    * aggregation: map-side combine makes this shuffle only one row per
+    * (group × partition) at any scale. */
+  def bboxAgg(df: DataFrame, groupCols: Seq[String], lon: Column, lat: Column): DataFrame =
+    df.groupBy(groupCols.map(col): _*).agg(
+      min(lon).as("min_lon"), max(lon).as("max_lon"),
+      min(lat).as("min_lat"), max(lat).as("max_lat"))
+
+  /** A5 — group-by rollups over status/type columns
+    * (reference: init.sql:176-183 — the indexes these queries were designed for). */
+  def rollupCount(df: DataFrame, groupCols: String*): DataFrame =
+    df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n"))
+
+  /** A6 — progress aggregation per project (reference: init.sql:65). */
+  def progressRollup(df: DataFrame, key: String, progress: String): DataFrame =
+    df.groupBy(col(key)).agg(
+      avg(col(progress)).as("avg_progress"),
+      min(col(progress)).as("min_progress"),
+      max(col(progress)).as("max_progress"))
+
+  // ---- sort / limit / pagination (§2.5) ----------------------------------
+
+  /** L4 — priority-ordered top-k ("next k pending tasks")
+    * (reference: init.sql:66,183). Catalyst plans this as
+    * TakeOrderedAndProject: per-partition heap + driver merge of k rows only —
+    * no global sort, safe at any scale. Callers must include a unique
+    * tie-break column for determinism. */
+  def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** L1/W2 — offset/limit pagination with a deterministic total order
+    * (reference: services/auth-service/crud.py:88-101;
+    * skip=(page-1)*size: shared/utils/__init__.py:161-172).
+    *
+    * Scale note: the single-partition `row_number` window is fine for the
+    * reference's API-layer page sizes (≤100, shared/models/__init__.py:40)
+    * but is a deliberate non-goal at 100 TB — deep pagination there should be
+    * keyset-based (`WHERE key > last_seen ORDER BY key LIMIT size`), which
+    * `keysetPage` implements. */
+  def page(df: DataFrame, page: Int, size: Int, order: Column*): DataFrame = {
+    val w = Window.orderBy(order: _*)
+    val skip = (page.max(1) - 1) * size
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > skip && col("__rn") <= skip + size)
+      .drop("__rn")
+  }
+
+  /** Keyset pagination — the scale-safe variant of L1: pushdown-friendly range
+    * predicate + top-k, no global window. */
+  def keysetPage(df: DataFrame, keyCol: String, lastSeen: Option[Any], size: Int): DataFrame = {
+    val after = lastSeen.fold(df)(k => df.filter(col(keyCol) > lit(k)))
+    after.orderBy(col(keyCol)).limit(size)
+  }
+
+  /** L2/F7 — pagination metadata: total count + ceil-division page count
+    * (reference: shared/utils/__init__.py:161-172). */
+  def paginationMeta(df: DataFrame, size: Int): DataFrame =
+    df.agg(count(lit(1)).as("total"))
+      .select(col("total"),
+        ceil(col("total") / lit(size)).cast("long").as("pages"))
+
+  // ---- windows (§2.7) -----------------------------------------------------
+
+  /** W1 — latest row per key: the "current status" view over an append-only
+    * event/status log (reference: status transitions init.sql:7,64-65;
+    * last_login overwrite services/auth-service/crud.py:70-75).
+    * Partitioned window — parallel by key, no global sort. */
+  def latestPerKey(df: DataFrame, key: String, order: Column*): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(order.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** W3 — lag/lead sequence analysis over a per-user audit trail
+    * (reference: audit_logs + created_at index, init.sql:153-163,204). */
+  def withLag(df: DataFrame, key: String, valueCol: String, order: Column*): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(order: _*)
+    df.withColumn("prev_" + valueCol, lag(col(valueCol), 1).over(w))
+      .withColumn("delta_" + valueCol, col(valueCol) - lag(col(valueCol), 1).over(w))
+  }
+
+  /** W4 — running total per key (frame: unbounded preceding → current). */
+  def runningSum(df: DataFrame, key: String, valueCol: Column, as: String, order: Column*): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(as, sum(valueCol).over(w))
+  }
+
+  /** T3 (batch view) — time-bucketed metrics: tumbling windows over an event
+    * log (reference: MetricsMiddleware running count/mean,
+    * services/api-gateway/middleware.py:68-94). */
+  def timeBuckets(df: DataFrame, ts: String, bucket: String, groupCols: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.groupBy((date_trunc(bucket, col(ts)).as("bucket_ts") +: groupCols.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Uniqueness audit — parquet has no unique constraints
+    * (reference: unique indexes init.sql:13-14); report violating keys. */
+  def duplicateKeys(df: DataFrame, keyCols: String*): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_dups"))
+      .filter(col("n_dups") > 1)
+}
