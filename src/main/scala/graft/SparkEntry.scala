@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Joins, Relational => R}
+import graft.operators.{Dedup, Joins, Similarity, TextOps, Relational => R}
 import graft.functions.Scalars
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -184,6 +184,70 @@ object SparkEntry {
     "q29_dup_audit" -> ((s, dir) =>
       R.duplicateKeys(Tables.documents(s, dir), "text")
         .select(md5(col("text")).as("fp"), col("n_dups"))),
+
+    // ---- EXT: text analysis (SURVEY §2.12) ----
+    "q30_token_counts" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(50)),
+    "q31_token_stats" -> ((s, dir) => {
+      val t = TextOps.tokens(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(t).as("n_tokens"),
+        size(array_distinct(t)).as("n_distinct"),
+        ((length(col("text")) - size(t) + 1).cast("double") /
+          greatest(size(t), lit(1))).as("mean_token_len"))
+    }),
+    "q32_lang_profile" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("pred", TextOps.langId(TextOps.tokens(col("text"))))
+        .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))),
+    "q33_quality_score" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val cols = TextOps.qualityColumns(col("text"), TextOps.tokens(col("text")))
+      d.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+    }),
+    "q34_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+    "q35_bag_dedup" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(TextOps.bagFingerprint(TextOps.tokens(col("text"))).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))),
+
+    // ---- EXT: near-dup dedup (SURVEY §2.12) ----
+    "q36_neardup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.5)),
+    "q37_minhash_candidates" -> ((s, dir) =>
+      Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text")),
+    "q38_simhash" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        Dedup.simhash32(TextOps.tokens(col("text"))).as("simhash"))),
+
+    // ---- EXT: similarity search (SURVEY §2.12) ----
+    "q39_knn_brute" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteKnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .withColumn("sim", round(col("sim"), 6))
+    }),
+    "q40_embedding_stats" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .withColumn("nrm", Similarity.norm(Similarity.asDouble(col("embedding"))))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("nrm").cast("decimal(18,6)")).as("sum_norm"))),
+    "q41_knn_lsh" -> ((s, dir) => {
+      // rows-only gate (no SQL oracle): LSH-bucketed ANN; recall vs the brute
+      // baseline is asserted in KnnSpec.
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshKnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        dim = 64, nPlanes = 6, k = 5)
+    }),
   )
 
   /** DuckDB-equivalent SQL per query (same parquet tables, same column names). */
@@ -310,5 +374,106 @@ object SparkEntry {
     "q29_dup_audit" ->
       """SELECT md5(text) AS fp, count(*) AS n_dups
          FROM documents GROUP BY text HAVING count(*) > 1""",
+    "q30_token_counts" ->
+      """SELECT token, count(*) AS n FROM
+         (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+         GROUP BY token ORDER BY n DESC, token LIMIT 50""",
+    "q31_token_stats" ->
+      """SELECT doc_id,
+         cast(len(string_split(text,' ')) as int) AS n_tokens,
+         cast(len(list_distinct(string_split(text,' '))) as int) AS n_distinct,
+         cast(length(text) - len(string_split(text,' ')) + 1 as double)
+           / greatest(len(string_split(text,' ')), 1) AS mean_token_len
+         FROM documents""",
+    "q32_lang_profile" ->
+      """WITH sc AS (SELECT lang,
+           len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) AS en,
+           len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist'))) AS de,
+           len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et','est'))) AS fr,
+           len(list_filter(string_split(text,' '), x -> x IN ('el','los','las','y','es'))) AS es
+           FROM documents)
+         SELECT lang,
+           CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+                WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+                WHEN fr >= es AND fr > 0 THEN 'fr'
+                WHEN es > 0 THEN 'es' ELSE 'und' END AS pred,
+           count(*) AS n
+         FROM sc GROUP BY 1, 2""",
+    "q33_quality_score" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text,' ') AS t FROM documents)
+         SELECT doc_id,
+           cast(len(t) as int) AS n_tokens,
+           cast(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) as double)
+             / greatest(length(text), 1) AS punct_ratio,
+           cast(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) as double)
+             / greatest(len(t), 1) AS stopword_ratio,
+           cast(length(text) - len(t) + 1 as double) / greatest(len(t), 1) AS mean_token_len
+         FROM d""",
+    "q34_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents""",
+    "q35_bag_dedup" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fp,
+         min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY 1""",
+    "q36_neardup_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' ')))) AS s
+                FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           cast(c as double) / (sa.n + sb.n - c) AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE cast(c as double) / (sa.n + sb.n - c) >= 0.5""",
+    "q37_minhash_candidates" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         toks AS (SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))) AS t
+                  FROM t0),
+         hs AS (SELECT doc_id, list_transform(t,
+                  tok -> ('0x' || substr(md5(tok), 1, 15))::bigint % 1000000007) AS h
+                FROM toks),
+         sig AS (SELECT doc_id, list_transform(generate_series(0, 31),
+                   i -> list_min(list_transform(h, x -> (x*(i*2+3) + (i*5+7)) % 1000000007))) AS s
+                 FROM hs),
+         bands AS (SELECT doc_id, b AS band_id,
+                     md5(array_to_string(s[b*4+1 : b*4+4], ',')) AS band_hash
+                   FROM sig, unnest(generate_series(0, 7)) AS u(b))
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a
+         JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                     AND a.doc_id < b.doc_id""",
+    "q38_simhash" ->
+      """WITH hs AS (SELECT doc_id, list_transform(string_split(text,' '),
+                  tok -> ('0x' || substr(md5(tok), 1, 8))::bigint) AS h
+                FROM documents)
+         SELECT doc_id, cast(list_sum(list_transform(generate_series(0, 31), j ->
+           CASE WHEN list_sum(list_transform(h, x ->
+             CASE WHEN (x // cast(2**j as bigint)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+           THEN cast(2**j as bigint) ELSE 0 END)) as bigint) AS simhash
+         FROM hs""",
+    "q39_knn_brute" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         s AS (SELECT qid AS query_id, e.vec_id AS neighbor_id,
+                 list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * v[i]))
+                 / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+                    * sqrt(list_sum(list_transform(v, x -> x*x)))) AS sim0
+               FROM e CROSS JOIN q WHERE e.vec_id != qid),
+         r AS (SELECT query_id, neighbor_id, sim0,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim0 DESC, neighbor_id) AS rank
+               FROM s)
+         SELECT query_id, neighbor_id, cast(rank as int) AS rank, round(sim0, 6) AS sim
+         FROM r WHERE rank <= 5""",
+    "q40_embedding_stats" ->
+      """SELECT label, count(*) AS n,
+         sum(cast(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) as decimal(18,6))) AS sum_norm
+         FROM embeddings GROUP BY label""",
   )
 }

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.12 (EXT) — deduplication operators: exact, normalized,
+  * shingle-Jaccard (exact near-dup), MinHash + banded LSH (approximate
+  * near-dup at scale), SimHash.
+  *
+  * Scale design: every pipeline here is a sequence of per-row expressions,
+  * one explode, and key-partitioned joins/aggregations — no cross join ever.
+  * The shingle join shuffles on the shingle string; high-document-frequency
+  * shingles (stop-shingles) are dropped by `maxDf` so no single key explodes
+  * quadratically at 100 TB (the classic skew guard in MinHash literature).
+  */
+object Dedup {
+  /** Modulus for the MinHash permutation family: < 2^30 so `a*h+b` stays well
+    * inside 63 bits (DuckDB-checkable — no wrapping multiply). */
+  val P: Long = 1000000007L
+  val NumHashes = 32
+  val Bands = 8
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** Exact dedup: keep the lowest id per identical key
+    * (the analog of the reference's unique indexes, init.sql:13-14). */
+  def exactDedup(df: DataFrame, idCol: String, keyCol: Column): DataFrame =
+    df.groupBy(keyCol.as("key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** (doc_id, shingle) pairs, distinct per doc, with stop-shingles removed. */
+  def docShingles(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int, maxDf: Long): DataFrame = {
+    val sh = docs
+      .select(col(idCol), explode(
+        TextOps.distinctShingles(TextOps.tokens(col(textCol)), n)).as("shingle"))
+    if (maxDf <= 0) sh
+    else {
+      // document-frequency filter: broadcast the (small) hot-shingle list out,
+      // or shuffle-join when it isn't small. df computed in one pass.
+      val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select("shingle")
+      sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    }
+  }
+
+  /** Exact shingle-Jaccard near-dup pairs: candidate pairs share ≥1 shingle
+    * (shuffle-join on shingle), then J(A,B) = |A∩B| / (|A|+|B|-|A∩B|).
+    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.5,
+                   maxDf: Long = 0): DataFrame = {
+    val sh = docShingles(docs, idCol, textCol, n, maxDf).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"), col("a.shingle") === col("b.shingle"))
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash signature as a per-row expression: sig[i] = min over distinct
+    * tokens of ((aᵢ·h + bᵢ) mod P), h = 60-bit md5-derived token hash.
+    * No shuffle — O(k·|tokens|) per row, embarrassingly parallel. */
+  def minhashSignature(toks: Column): Column = {
+    val hashes = transform(array_distinct(toks), t => TextOps.tokenHash(t) % P)
+    transform(sequence(lit(0), lit(NumHashes - 1)), i =>
+      array_min(transform(hashes, h => (h * (i * 2 + 3) + (i * 5 + 7)) % P)))
+  }
+
+  /** Banded LSH: hash each band of the signature; docs colliding in any band
+    * are near-dup candidates. bands=8 × rows=4 targets J ≈ 0.6+. */
+  def bandHashes(sig: Column): Column =
+    transform(sequence(lit(0), lit(Bands - 1)), b =>
+      md5(array_join(
+        transform(slice(sig, b * RowsPerBand + 1, lit(RowsPerBand)), x => x.cast("string")),
+        ",")))
+
+  /** (doc_id, band_id, band_hash) — the LSH index table. MinHash runs over
+    * 3-gram shingles, not tokens: token sets of same-domain documents overlap
+    * heavily (background Jaccard ≈ 0.5+ on a shared vocabulary), which would
+    * make every band collide; shingle sets keep background similarity low. */
+  def minhashBandTable(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3): DataFrame =
+    docs.select(col(idCol),
+        posexplode(bandHashes(minhashSignature(
+          TextOps.distinctShingles(TextOps.tokens(col(textCol)), shingleN))))
+          .as(Seq("band_id", "band_hash")))
+
+  /** Candidate near-dup pairs from band collisions (doc_a < doc_b, distinct).
+    * The join shuffles on (band_id, band_hash) — collision groups are small
+    * by construction, so no quadratic key at scale. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bt = minhashBandTable(docs, idCol, textCol)
+    bt.as("a").join(bt.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash from md5-derived token bits: bit_j(doc) = sign of
+    * Σ_tokens (bit_j(token) ? +1 : -1). Near-identical docs land on
+    * near-identical simhashes (small Hamming distance). */
+  def simhash32(toks: Column): Column = {
+    // bit j of h extracted as floor(h / 2^j) % 2 — shift functions take only
+    // literal shift amounts, and this form is reproducible in external SQL.
+    val hashes = transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    val bitSums = transform(sequence(lit(0), lit(31)), j =>
+      aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(floor(h / pow(lit(2.0), j)).cast("long") % 2 === 1, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(31)),
+        (s, j) => when(s > 0, pow(lit(2.0), j).cast("long")).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Hamming distance between two simhash values (bit_count of XOR). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

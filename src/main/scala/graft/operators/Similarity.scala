@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.12 (EXT) — similarity search over an embedding column
+  * (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k against a *small broadcast query set*
+  * (never an unbounded cross join). Scale path: LSH bucketing — random
+  * hyperplane signs (cosine LSH) computed as per-row expressions, so the
+  * candidate join shuffles on the bucket key only.
+  */
+object Similarity {
+
+  /** Dot product of two double arrays, summed left-to-right (deterministic,
+    * reproducible by external oracles). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cast an `array<float>` column to `array<double>` so arithmetic matches
+    * a double-based oracle exactly. */
+  def asDouble(a: Column): Column = a.cast("array<double>")
+
+  /** Brute-force k-NN: for each query vector (small set, broadcast), the
+    * top-k most cosine-similar rows. The fact side streams once — the plan is
+    * scan → broadcast nested loop (|queries| multiplier) → per-query top-k
+    * via window. At 1000 executors this is a single pass over the corpus. */
+  def bruteKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec")))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("nvec"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qvec"), col("nvec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** Cosine-LSH bucket signature: sign bits against `nPlanes` deterministic
+    * pseudo-random hyperplanes (md5-seeded, so fully reproducible). A vector's
+    * bucket = concatenated sign bits of its first `nPlanes` projections. */
+  def lshBucket(vec: Column, dim: Int, nPlanes: Int): Column = {
+    val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
+      (0 until dim).map { i =>
+        // deterministic pseudo-random weights in [-1, 1)
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"plane:$p:$i".getBytes("UTF-8"))
+        (((h(0) & 0xffL) << 8 | (h(1) & 0xffL)).toDouble / 32768.0) - 1.0
+      }
+    }
+    val bits = planes.map { w =>
+      val proj = aggregate(
+        zip_with(vec, array(w.map(lit): _*), (x, c) => x * c),
+        lit(0.0d), (acc, v) => acc + v)
+      when(proj >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** LSH-bucketed ANN: join query and corpus on bucket, rank within bucket.
+    * Misses across bucket boundaries are the recall tradeoff; multi-probe =
+    * union over Hamming-1 neighbor buckets (left to the caller). */
+  def lshKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, dim: Int, nPlanes: Int, k: Int): DataFrame = {
+    val withBucket = (df: DataFrame, id: String, vec: String) =>
+      df.select(col(idCol).as(id), asDouble(col(vecCol)).as(vec),
+        lshBucket(asDouble(col(vecCol)), dim, nPlanes).as("bucket"))
+    val c = withBucket(corpus, "neighbor_id", "nvec")
+    val q = broadcast(withBucket(queries, "query_id", "qvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.join(q, "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qvec"), col("nvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.12 (EXT) — text-analysis operators for a large-scale
+  * training-data pipeline: tokenization, token statistics, language ID,
+  * quality scoring, fingerprinting.
+  *
+  * All operators are per-row `Column` expressions (higher-order functions,
+  * no UDFs, no shuffle) unless they aggregate across documents — the per-row
+  * parts scale embarrassingly with the scan.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (matches the oracle's `string_split(text,' ')`). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish regex tokenization: letter runs, digit runs, and single
+    * punctuation marks each count as a token — a cheap stand-in for subword
+    * token counting when no tokenizer model is shipped. */
+  def bpeishTokens(text: Column): Column =
+    filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), t => trim(t) =!= "")
+
+  /** 60-bit token hash derived from md5 so an external oracle can reproduce
+    * it exactly (Spark's murmur `hash()` is engine-private). */
+  def tokenHash(token: Column): Column =
+    conv(substring(md5(token), 1, 15), 16, 10).cast("long")
+
+  /** Distinct word n-gram shingles over a token array: the unit of near-dup
+    * detection. Guarded for docs shorter than n tokens. */
+  def distinctShingles(toks: Column, n: Int): Column = {
+    val grams = transform(
+      when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1))).otherwise(array()),
+      i => array_join(slice(toks, i, lit(n)), " "))
+    array_distinct(grams)
+  }
+
+  /** Language-ID heuristic: stopword-profile hit counts with a deterministic
+    * argmax (en > de > fr > es on ties; 'und' when nothing matched). A real
+    * deployment would use character n-gram profiles; the operator shape
+    * (per-row score vector → argmax) is identical. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  def langScores(toks: Column): Seq[(String, Column)] =
+    langProfiles.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words: _*)))
+    }
+
+  def langId(toks: Column): Column = {
+    val s = langScores(toks).toMap
+    when(s("en") >= s("de") && s("en") >= s("fr") && s("en") >= s("es") && s("en") > 0, "en")
+      .when(s("de") >= s("fr") && s("de") >= s("es") && s("de") > 0, "de")
+      .when(s("fr") >= s("es") && s("fr") > 0, "fr")
+      .when(s("es") > 0, "es")
+      .otherwise("und")
+  }
+
+  /** Quality-score components: length, punctuation ratio, stopword ratio,
+    * mean token length — the standard cheap filters in front of a training
+    * corpus. Deterministic arithmetic (int counts, one double division). */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+  def qualityColumns(text: Column, toks: Column): Seq[(String, Column)] = {
+    val nTok = size(toks)
+    val punct = length(regexp_replace(text, "[^.,;:!?]", ""))
+    val stop = size(filter(toks, t => t.isin(stopwords: _*)))
+    Seq(
+      "n_tokens" -> nTok,
+      "punct_ratio" -> punct.cast("double") / greatest(length(text), lit(1)),
+      "stopword_ratio" -> stop.cast("double") / greatest(nTok, lit(1)),
+      "mean_token_len" ->
+        (length(text) - nTok + 1).cast("double") / greatest(nTok, lit(1)))
+  }
+
+  /** Document fingerprint: md5 over whitespace-normalized lowercase text —
+    * the exact-dedup key that survives formatting noise. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Order-insensitive fingerprint: md5 over the sorted distinct token set —
+    * catches shuffled/reordered near-duplicates exactly. */
+  def bagFingerprint(toks: Column): Column =
+    md5(array_join(array_sort(array_distinct(toks)), " "))
+}
