@@ -241,6 +241,38 @@ object SparkEntry {
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n"),
           sum(col("nrm").cast("decimal(18,6)")).as("sum_norm"))),
+    // ---- spatial (SURVEY §2.9) ----
+    "q42_bbox_join" -> ((s, dir) => {
+      // J12: point-in-bbox spatial join, broadcast dim side; integer-derived
+      // coordinates so the oracle is exact.
+      val boxes = Tables.nation(s, dir).select(col("n_name"), struct(
+        (col("n_nationkey") * 29 % 300 - 170).cast("double").as("min_lon"),
+        (col("n_nationkey") * 17 % 140 - 80).cast("double").as("min_lat"),
+        (col("n_nationkey") * 29 % 300 - 170 + 40).cast("double").as("max_lon"),
+        (col("n_nationkey") * 17 % 140 - 80 + 30).cast("double").as("max_lat")).as("bbox"))
+      val pts = Tables.customer(s, dir).select(col("c_custkey"),
+        (col("c_custkey") * 7 % 360 - 180).cast("double").as("lon"),
+        (col("c_custkey") * 13 % 180 - 90).cast("double").as("lat"))
+      pts.join(broadcast(boxes),
+          graft.operators.Spatial.pointInBbox(col("lon"), col("lat"), col("bbox")))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n_points"))
+    }),
+    "q43_point_in_polygon" -> ((s, dir) => {
+      // Exact ray-casting via the custom Catalyst expression over a fixed
+      // pentagon; the oracle unrolls the same 5 edge terms.
+      val ring = array(
+        array(lit(0.0), lit(0.0)), array(lit(120.0), lit(10.0)),
+        array(lit(140.0), lit(80.0)), array(lit(-30.0), lit(70.0)),
+        array(lit(-100.0), lit(20.0)))
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        (col("c_custkey") * 7 % 360 - 180).cast("double").as("lon"),
+        (col("c_custkey") * 13 % 180 - 90).cast("double").as("lat"))
+        .withColumn("inside",
+          graft.operators.Spatial.pointInPolygon(col("lon"), col("lat"), ring))
+        .select("c_custkey", "inside")
+    }),
+
     "q41_knn_lsh" -> ((s, dir) => {
       // rows-only gate (no SQL oracle): LSH-bucketed ANN; recall vs the brute
       // baseline is asserted in KnnSpec.
@@ -471,6 +503,34 @@ object SparkEntry {
                FROM s)
          SELECT query_id, neighbor_id, cast(rank as int) AS rank, round(sim0, 6) AS sim
          FROM r WHERE rank <= 5""",
+    "q42_bbox_join" ->
+      """WITH boxes AS (SELECT n_name,
+             cast(n_nationkey * 29 % 300 - 170 as double) AS min_lon,
+             cast(n_nationkey * 17 % 140 - 80 as double) AS min_lat,
+             cast(n_nationkey * 29 % 300 - 170 + 40 as double) AS max_lon,
+             cast(n_nationkey * 17 % 140 - 80 + 30 as double) AS max_lat
+           FROM nation),
+         pts AS (SELECT c_custkey,
+             cast(c_custkey * 7 % 360 - 180 as double) AS lon,
+             cast(c_custkey * 13 % 180 - 90 as double) AS lat
+           FROM customer)
+         SELECT n_name, count(*) AS n_points
+         FROM pts JOIN boxes
+           ON lon BETWEEN min_lon AND max_lon AND lat BETWEEN min_lat AND max_lat
+         GROUP BY n_name""",
+    "q43_point_in_polygon" ->
+      """WITH pts AS (SELECT c_custkey,
+             cast(c_custkey * 7 % 360 - 180 as double) AS lon,
+             cast(c_custkey * 13 % 180 - 90 as double) AS lat
+           FROM customer)
+         SELECT c_custkey,
+           ((CASE WHEN ((0.0 > lat) != (20.0 > lat)) AND lon < (-100.0 - 0.0) * (lat - 0.0) / (20.0 - 0.0) + 0.0 THEN 1 ELSE 0 END)
+          + (CASE WHEN ((10.0 > lat) != (0.0 > lat)) AND lon < (0.0 - 120.0) * (lat - 10.0) / (0.0 - 10.0) + 120.0 THEN 1 ELSE 0 END)
+          + (CASE WHEN ((80.0 > lat) != (10.0 > lat)) AND lon < (120.0 - 140.0) * (lat - 80.0) / (10.0 - 80.0) + 140.0 THEN 1 ELSE 0 END)
+          + (CASE WHEN ((70.0 > lat) != (80.0 > lat)) AND lon < (140.0 - (-30.0)) * (lat - 70.0) / (80.0 - 70.0) + (-30.0) THEN 1 ELSE 0 END)
+          + (CASE WHEN ((20.0 > lat) != (70.0 > lat)) AND lon < ((-30.0) - (-100.0)) * (lat - 20.0) / (70.0 - 20.0) + (-100.0) THEN 1 ELSE 0 END)
+           ) % 2 = 1 AS inside
+         FROM pts""",
     "q40_embedding_stats" ->
       """SELECT label, count(*) AS n,
          sum(cast(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) as decimal(18,6))) AS sum_norm

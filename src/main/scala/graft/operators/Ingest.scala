@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Scalars
+
+/** SURVEY.md §3.3 — the reference's richest dataflow, the file-upload
+  * ingestion pipeline (reference: services/file-service/main.py:75-169),
+  * re-expressed as a batch job over a binary-file source:
+  *
+  *   binaryFile scan → validation columns (size cap, MIME sniff+allowlist,
+  *   extension/type) → sha-256 checksum → unique storage name → metadata
+  *   extraction → split into (valid, quarantined) → write parquet
+  *   partitioned by project.
+  *
+  * The reference's per-file try/except + compensating unlink (main.py:158-167)
+  * becomes per-row validity columns and a quarantine DataFrame — failures
+  * never abort the batch.
+  */
+object Ingest {
+
+  /** MIME allowlist (reference: shared/config/__init__.py:36-39). */
+  val AllowedMime: Seq[String] = Seq(
+    "image/jpeg", "image/png", "image/tiff", "application/zip")
+
+  /** Size cap (reference: MAX_FILE_SIZE, .env.example:27). */
+  val MaxFileSize: Long = 1073741824L
+
+  /** Read a directory of raw files as (path, modificationTime, length,
+    * content) — the multipart-upload analog (reference: main.py:100). */
+  def readBinaryDir(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile").load(dir)
+
+  /** STUB — multimodal metadata extraction. The reference delegates to a
+    * missing `MetadataExtractor` module backed by pyexiv2/rasterio/GDAL
+    * (reference: services/file-service/main.py:128; requirements.txt:10-14);
+    * no image/EXIF library ships in this environment, so the decode step is a
+    * deterministic fake derived from the content bytes. The Spark-side
+    * plumbing — schema, columns, partitioning — is real and tested; swap the
+    * struct fields for a real decoder (mapPartitions over content bytes) to
+    * productionize. */
+  def extractMetadataStub(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = crc32(content)
+    struct(
+      (h % 4096 + 1).cast("int").as("width"),
+      (h % 2160 + 1).cast("int").as("height"),
+      (h % 4 + 1).cast("int").as("bands"),
+      lit("EPSG:4326").as("crs"))
+  }
+
+  /** The §3.3 pipeline: returns (valid, quarantined). Validation mirrors
+    * main.py:86-107 step-for-step; checksum is F1 (sha2 over content). */
+  def pipeline(files: DataFrame, projectId: String): (DataFrame, DataFrame) = {
+    val staged = files
+      .withColumn("project_id", lit(projectId))
+      .withColumn("original_filename", regexp_extract(col("path"), "([^/]+)$", 1))
+      .withColumn("size", col("length"))
+      .withColumn("mime_type", Scalars.sniffMime(col("content")))
+      .withColumn("checksum", Scalars.sha256Hex(col("content")))
+      .withColumn("filename", Scalars.uniqueFilename(col("original_filename")))
+      .withColumn("metadata", extractMetadataStub(col("content")))
+      .withColumn("size_ok", col("size") <= MaxFileSize && col("size") > 0)
+      .withColumn("mime_ok", col("mime_type").isin(AllowedMime: _*))
+      .withColumn("valid", col("size_ok") && col("mime_ok"))
+    Relational.quarantine(staged, col("valid"))
+  }
+
+  /** Write the validated rows as the `files` table, partitioned by
+    * project_id — the storage-path layout `{storage}/{project_id}/...` of the
+    * reference (main.py:113-122) becomes partition pruning for per-project
+    * queries. */
+  def writeFilesTable(valid: DataFrame, outDir: String): Unit =
+    valid
+      .drop("content") // content stays in the object store, not the table
+      .withColumn("created_at", current_timestamp())
+      .write.mode("append").partitionBy("project_id").parquet(outDir)
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.9 — the reference's one non-standard operator family: spatial
+  * predicates over GeoJSON geometry (reference: PostGIS columns init.sql:30,
+  * 50,103; GIST indexes init.sql:172,178; bbox util
+  * shared/utils/__init__.py:181-194).
+  *
+  * Storage model (SURVEY §1.2): geometry = GeoJSON string + derived numeric
+  * bbox columns persisted at write time. Predicates are then plain conjunctive
+  * range comparisons — pushdown-friendly, codegen-friendly — with the exact
+  * `point_in_polygon` Catalyst expression applied only to bbox survivors.
+  * That two-phase filter/recheck split is exactly what a GIST index does.
+  */
+object Spatial {
+
+  /** GeoJSON geometry schema (the subset the reference models:
+    * Polygon + Point, shared/models/__init__.py:95,220). */
+  val geojsonSchema: StructType = StructType(Seq(
+    StructField("type", StringType),
+    StructField("coordinates", ArrayType(ArrayType(ArrayType(DoubleType))))))
+
+  /** Exterior ring (GeoJSON `coordinates[0]`) parsed from a GeoJSON Polygon
+    * string column: `array<array<double>>` of [lon, lat] pairs. */
+  def polygonRing(geojson: Column): Column =
+    element_at(from_json(geojson, geojsonSchema).getField("coordinates"), 1)
+
+  /** F15/A3 — derived bbox from a ring, as a struct column. Persist this at
+    * write time (the reference's trigger-maintained-derived-data analog). */
+  def ringBbox(ring: Column): Column = struct(
+    array_min(transform(ring, p => element_at(p, 1))).as("min_lon"),
+    array_min(transform(ring, p => element_at(p, 2))).as("min_lat"),
+    array_max(transform(ring, p => element_at(p, 1))).as("max_lon"),
+    array_max(transform(ring, p => element_at(p, 2))).as("max_lat"))
+
+  /** bbox-overlap predicate (polygon × polygon prefilter):
+    * NOT (disjoint on either axis). Plain comparisons — Catalyst can push
+    * and codegen it. */
+  def bboxIntersects(a: Column, b: Column): Column =
+    !(a.getField("max_lon") < b.getField("min_lon") ||
+      b.getField("max_lon") < a.getField("min_lon") ||
+      a.getField("max_lat") < b.getField("min_lat") ||
+      b.getField("max_lat") < a.getField("min_lat"))
+
+  /** point-in-bbox predicate (point × polygon prefilter). */
+  def pointInBbox(lon: Column, lat: Column, b: Column): Column =
+    lon.between(b.getField("min_lon"), b.getField("max_lon")) &&
+      lat.between(b.getField("min_lat"), b.getField("max_lat"))
+
+  /** Exact point-in-polygon (custom Catalyst expression with codegen —
+    * graft.functions.PointInPolygon). Resolved through the function registry,
+    * so `graft.GraftExtensions.register(spark)` (or the extensions class)
+    * must have installed it on the session first. */
+  def pointInPolygon(lon: Column, lat: Column, ring: Column): Column =
+    call_function("point_in_polygon", lon, lat, ring)
+
+  /** J12 — spatial join of points against polygons: bbox prefilter (cheap,
+    * evaluated first) AND exact test (only on survivors).
+    *
+    * Scale note: with a small polygon side this is a broadcast nested-loop
+    * join over an already-cheap predicate — fine. For polygon sets too large
+    * to broadcast, pre-partition both sides by grid cell (add a `cell` column
+    * = floor(lon/cellSize), floor(lat/cellSize), explode polygons to covered
+    * cells) so the join becomes an equi-join on cell; `gridCells` provides
+    * the cell assignment. */
+  def spatialJoin(points: DataFrame, lon: Column, lat: Column,
+                  polys: DataFrame, ringCol: Column, bboxCol: Column): DataFrame =
+    points.join(broadcast(polys),
+      pointInBbox(lon, lat, bboxCol) && pointInPolygon(lon, lat, ringCol))
+
+  /** Grid cells covered by a bbox at `cellDeg` resolution — the equi-join key
+    * for grid-partitioned (non-broadcast) spatial joins. */
+  def gridCells(bbox: Column, cellDeg: Double): Column = {
+    val minCx = floor(bbox.getField("min_lon") / cellDeg).cast("long")
+    val maxCx = floor(bbox.getField("max_lon") / cellDeg).cast("long")
+    val minCy = floor(bbox.getField("min_lat") / cellDeg).cast("long")
+    val maxCy = floor(bbox.getField("max_lat") / cellDeg).cast("long")
+    flatten(transform(sequence(minCx, maxCx), cx =>
+      transform(sequence(minCy, maxCy), cy =>
+        concat_ws(":", cx, cy))))
+  }
+
+  /** Grid cell of a single point at the same resolution. */
+  def pointCell(lon: Column, lat: Column, cellDeg: Double): Column =
+    concat_ws(":",
+      floor(lon / cellDeg).cast("long"),
+      floor(lat / cellDeg).cast("long"))
+}
