@@ -68,22 +68,46 @@ object Similarity {
     concat(bits: _*)
   }
 
-  /** LSH-bucketed ANN: join query and corpus on bucket, rank within bucket.
-    * Misses across bucket boundaries are the recall tradeoff; multi-probe =
-    * union over Hamming-1 neighbor buckets (left to the caller). */
+  /** Hamming-1 probe set of a sign-bit bucket string: the bucket itself plus
+    * every single-bit flip. Multi-probe recovers most neighbors lost across a
+    * single hyperplane boundary at the cost of (nPlanes+1)× candidate lookups
+    * on the (small, broadcast) query side only. */
+  private def probeBuckets(bucket: Column, nPlanes: Int): Column = {
+    val flips = (1 to nPlanes).map { i =>
+      concat(
+        substring(bucket, 1, i - 1),
+        when(substring(bucket, i, 1) === "1", "0").otherwise("1"),
+        substring(bucket, i + 1, nPlanes - i))
+    }
+    array((bucket +: flips): _*)
+  }
+
+  /** LSH-bucketed ANN: join query probes and corpus on bucket, rank within
+    * the probed candidate set. The corpus is bucketed once (per-row
+    * expression); only the broadcast query side fans out to its multi-probe
+    * buckets, so the join stays |corpus| × small. */
   def lshKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
-             vecCol: String, dim: Int, nPlanes: Int, k: Int): DataFrame = {
-    val withBucket = (df: DataFrame, id: String, vec: String) =>
-      df.select(col(idCol).as(id), asDouble(col(vecCol)).as(vec),
-        lshBucket(asDouble(col(vecCol)), dim, nPlanes).as("bucket"))
-    val c = withBucket(corpus, "neighbor_id", "nvec")
-    val q = broadcast(withBucket(queries, "query_id", "qvec"))
+             vecCol: String, dim: Int, nPlanes: Int, k: Int,
+             multiProbe: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("nvec"),
+      lshBucket(asDouble(col(vecCol)), dim, nPlanes).as("bucket"))
+    val qBase = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qvec"),
+      lshBucket(asDouble(col(vecCol)), dim, nPlanes).as("qbucket"))
+    val q = broadcast(
+      if (multiProbe)
+        qBase.select(col("query_id"), col("qvec"),
+          explode(probeBuckets(col("qbucket"), nPlanes)).as("bucket"))
+      else qBase.withColumnRenamed("qbucket", "bucket"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     c.join(q, "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("qvec"), col("nvec")))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("nvec")).as("sim"))
+      .distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "sim")

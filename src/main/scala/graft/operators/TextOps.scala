@@ -20,7 +20,9 @@ object TextOps {
     * punctuation marks each count as a token — a cheap stand-in for subword
     * token counting when no tokenizer model is shipped. */
   def bpeishTokens(text: Column): Column =
-    filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), t => trim(t) =!= "")
+    filter(split(text,
+      "(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])|(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
+      t => trim(t) =!= "")
 
   /** 60-bit token hash derived from md5 so an external oracle can reproduce
     * it exactly (Spark's murmur `hash()` is engine-private). */

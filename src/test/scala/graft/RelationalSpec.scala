@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Relational => R}
+
+/** SURVEY §5.3/§5.4 — per-operator units + the pagination/validation
+  * invariants the reference encodes (shared/utils/__init__.py:161-172,
+  * init.sql CHECK constraints). */
+class RelationalSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val users = Seq(
+    ("u1", "a@x.com", "alice", "admin", true, ts("2024-01-01 00:00:00")),
+    ("u2", "b@x.com", "bob", "viewer", true, ts("2024-01-02 00:00:00")),
+    ("u3", "c@x.com", "carol", "analyst", false, ts("2024-01-03 00:00:00")),
+    ("u4", "not-an-email", "dave", "viewer", true, ts("2024-01-04 00:00:00"))
+  ).toDF("id", "email", "username", "role", "is_active", "created_at")
+
+  test("P1 point lookup returns exactly the keyed row") {
+    assert(R.pointLookup(users, "id", "u2").select("username").as[String].collect().toSeq == Seq("bob"))
+  }
+
+  test("P3 OR-lookup matches either column with the same input") {
+    assert(R.orLookup(users, "alice", "username", "email").count() == 1)
+    assert(R.orLookup(users, "b@x.com", "username", "email").count() == 1)
+    assert(R.orLookup(users, "nobody", "username", "email").count() == 0)
+  }
+
+  test("P4 optional filter is identity on None") {
+    assert(R.optionalFilter(users, "is_active", None).count() == 4)
+    assert(R.optionalFilter(users, "is_active", Some(true)).count() == 3)
+  }
+
+  test("P9 email regex accepts valid, rejects invalid") {
+    val ok = users.filter(col("email").rlike(R.EmailRe)).select("id").as[String].collect().toSet
+    assert(ok == Set("u1", "u2", "u3"))
+  }
+
+  test("P13 quarantine splits rows exactly, nulls routed to quarantine") {
+    val df = Seq(Some(5), Some(15), None).toDF("priority")
+    val (valid, bad) = R.quarantine(df, col("priority").between(1, 10))
+    assert(valid.count() == 1 && bad.count() == 2)
+  }
+
+  test("L1/L2 pagination partitions the ordered set exactly (no dup, no gap)") {
+    val df = (1 to 57).map(i => (i.toLong, s"row$i")).toDF("k", "v")
+    val size = 10
+    val pages = (1 to 6).flatMap(p =>
+      R.page(df, p, size, col("k").asc).select("k").as[Long].collect())
+    assert(pages == (1L to 57L))
+    // page past the end is empty
+    assert(R.page(df, 7, size, col("k").asc).count() == 0)
+    // meta: ceil-division page count (reference utils:163)
+    val meta = R.paginationMeta(df, size).as[(Long, Long)].collect().head
+    assert(meta == ((57L, 6L)))
+  }
+
+  test("keyset pagination equals offset pagination on a unique key") {
+    val df = (1 to 30).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val page2Offset = R.page(df, 2, 10, col("k").asc).select("k").as[Long].collect().toSeq
+    val page2Keyset = R.keysetPage(df, "k", Some(10L), 10).select("k").as[Long].collect().toSeq
+    assert(page2Offset == page2Keyset)
+  }
+
+  test("L4 topK returns k rows in order with deterministic tie-break") {
+    val df = Seq((1L, 5.0), (2L, 5.0), (3L, 1.0)).toDF("id", "priority")
+    val top = R.topK(df, 2, col("priority").desc, col("id").asc).select("id").as[Long].collect().toSeq
+    assert(top == Seq(1L, 2L))
+  }
+
+  test("W1 latestPerKey picks the maximal (ts, id) row per key") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "pending"),
+      (2L, ts("2024-01-01 11:00:00"), 7L, "completed"),
+      (3L, ts("2024-01-01 11:00:00"), 8L, "failed")
+    ).toDF("event_id", "ts", "task_id", "status")
+    val latest = R.latestPerKey(ev, "task_id", col("ts"), col("event_id"))
+      .select("task_id", "status").as[(Long, String)].collect().toMap
+    assert(latest == Map(7L -> "completed", 8L -> "failed"))
+  }
+
+  test("A3 bbox contains every input point (per group)") {
+    val pts = Seq(("a", -10.0, 5.0), ("a", 20.0, -3.0), ("b", 0.0, 0.0))
+      .toDF("g", "lon", "lat")
+    val bb = R.bboxAgg(pts, Seq("g"), col("lon"), col("lat"))
+    val joined = pts.join(bb, "g").filter(
+      col("lon") < col("min_lon") || col("lon") > col("max_lon") ||
+      col("lat") < col("min_lat") || col("lat") > col("max_lat"))
+    assert(joined.count() == 0)
+  }
+
+  test("uniqueness audit finds duplicate keys only") {
+    val df = Seq(("a@x", 1), ("a@x", 2), ("b@x", 3)).toDF("email", "n")
+    val dups = R.duplicateKeys(df, "email").select("email").as[String].collect().toSeq
+    assert(dups == Seq("a@x"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity, Spatial}
+
+class SpatialKnnSpec extends SparkSuite {
+  import spark.implicits._
+
+  // unit square as GeoJSON
+  val square = """{"type":"Polygon","coordinates":[[[0,0],[10,0],[10,10],[0,10],[0,0]]]}"""
+
+  test("GeoJSON ring parse + derived bbox") {
+    val df = Seq(square).toDF("geo")
+      .select(Spatial.ringBbox(Spatial.polygonRing(col("geo"))).as("b"))
+      .select("b.min_lon", "b.min_lat", "b.max_lon", "b.max_lat")
+    assert(df.as[(Double, Double, Double, Double)].collect().head == ((0.0, 0.0, 10.0, 10.0)))
+  }
+
+  test("point_in_polygon: goldens incl. concave polygon and degenerate ring") {
+    // concave "arrow": (0,0) (4,0) (4,4) (2,2) (0,4) — (3,3.5) is outside the notch
+    val ring = Seq(Seq(0.0, 0.0), Seq(4.0, 0.0), Seq(4.0, 4.0), Seq(2.0, 2.0), Seq(0.0, 4.0))
+    val pts = Seq(
+      (1L, 2.0, 1.0, true),   // inside body
+      (2L, 3.0, 3.5, false),  // inside bbox but in the notch
+      (3L, 5.0, 1.0, false),  // outside
+      (4L, 3.5, 2.5, true)    // inside right lobe
+    ).toDF("id", "lon", "lat", "expected")
+    val out = pts.withColumn("got",
+        Spatial.pointInPolygon(col("lon"), col("lat"),
+          typedLit(ring)))
+      .filter(col("got") =!= col("expected"))
+    assert(out.count() == 0)
+    // degenerate ring (< 3 points) → false, not a crash
+    val degen = Seq((0.5, 0.5)).toDF("lon", "lat")
+      .select(Spatial.pointInPolygon(col("lon"), col("lat"),
+        typedLit(Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)))).as("r"))
+    assert(degen.as[Boolean].collect().head == false)
+  }
+
+  test("point_in_polygon callable from SQL via extension registration") {
+    val n = spark.sql(
+      """SELECT point_in_polygon(0.5D, 0.5D,
+         array(array(0D,0D), array(1D,0D), array(1D,1D), array(0D,1D))) AS r""")
+      .as[Boolean].collect().head
+    assert(n)
+  }
+
+  test("bboxIntersects: overlap, touch, disjoint") {
+    def bb(a: Double, b: Double, c: Double, d: Double) =
+      struct(lit(a).as("min_lon"), lit(b).as("min_lat"), lit(c).as("max_lon"), lit(d).as("max_lat"))
+    val df = Seq(1).toDF("x").select(
+      Spatial.bboxIntersects(bb(0, 0, 10, 10), bb(5, 5, 15, 15)).as("overlap"),
+      Spatial.bboxIntersects(bb(0, 0, 10, 10), bb(10, 10, 20, 20)).as("touch"),
+      Spatial.bboxIntersects(bb(0, 0, 10, 10), bb(11, 0, 20, 10)).as("disjoint"))
+    assert(df.as[(Boolean, Boolean, Boolean)].collect().head == ((true, true, false)))
+  }
+
+  test("grid cells cover the bbox at the given resolution") {
+    val cells = Seq(1).toDF("x").select(Spatial.gridCells(
+      struct(lit(-1.5).as("min_lon"), lit(0.0).as("min_lat"),
+        lit(1.5).as("max_lon"), lit(0.5).as("max_lat")), 1.0).as("c"))
+      .as[Seq[String]].collect().head
+    assert(cells.toSet == Set("-2:0", "-1:0", "0:0", "1:0"))
+  }
+
+  test("cosine: identical vectors → 1, orthogonal → 0") {
+    val df = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 2.0)))
+      .toDF("a", "b", "c")
+      .select(Similarity.cosine(col("a"), col("b")).as("same"),
+        Similarity.cosine(col("a"), col("c")).as("orth"))
+    val (same, orth) = df.as[(Double, Double)].collect().head
+    assert(math.abs(same - 1.0) < 1e-12 && math.abs(orth) < 1e-12)
+  }
+
+  test("LSH ANN recall vs brute-force baseline on fixture embeddings") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteKnn(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshKnn(e, q, "vec_id", "embedding", dim = 64, nPlanes = 4, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(lsh.contains).toDouble / brute.size
+    // 4 planes → 16 buckets over 500 vectors; same-bucket neighbors only.
+    assert(recall >= 0.25, s"LSH recall too low: $recall")
+    assert(lsh.nonEmpty && brute.size == 100)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextOps}
+
+/** SURVEY §2.12 — dedup/text operators: crafted docs with known relations. */
+class TextDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank now"), // near-dup of 1
+    (3L, "completely different content about spark query engines and shuffles here"),
+    (4L, "The  Quick Brown fox jumps over the lazy dog near the river bank today"), // case/space variant of 1
+    (5L, "the quick brown fox jumps over the lazy dog near the river bank today")  // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("fingerprint: exact dup and case/whitespace variant collapse together") {
+    val fps = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(5L))
+    assert(fps(1L) == fps(4L)) // normalized
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("exactDedup keeps lowest id per text") {
+    val out = Dedup.exactDedup(docs, "doc_id", col("text"))
+      .filter(col("n_dups") > 1).select("keep_id", "n_dups").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
+  test("jaccardPairs finds the near-dup pair above threshold, not unrelated docs") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 5L)) && pairs.contains((2L, 5L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash candidates are a superset of high-jaccard pairs on fixture docs") {
+    val d = Tables.documents(spark, sf)
+    val trueDups = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val cand = Dedup.minhashCandidates(d, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(trueDups.nonEmpty)
+    val recall = trueDups.count(cand.contains).toDouble / trueDups.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${trueDups.size} true pairs")
+  }
+
+  test("simhash: near-dups land within small hamming distance, unrelated far") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash32(TextOps.tokens(col("text"))).as("h"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(5L)) == 0)
+    assert(ham(sh(1L), sh(2L)) <= 8)
+    assert(ham(sh(1L), sh(3L)) > 8)
+  }
+
+  test("langId picks the profile language deterministically") {
+    val d = Seq(
+      (1L, "der hund und die katze ist hier"),
+      (2L, "the cat and the dog of the house"),
+      (3L, "xyzzy plugh")
+    ).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"), TextOps.langId(TextOps.tokens(col("text"))).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "de", 2L -> "en", 3L -> "und"))
+  }
+
+  test("bpeish tokenizer splits words, digits and punctuation") {
+    val out = Seq("ab12, cd!").toDF("t")
+      .select(TextOps.bpeishTokens(col("t")).as("toks")).as[Seq[String]].collect().head
+    assert(out == Seq("ab", "12", ",", "cd", "!"))
+  }
+}
