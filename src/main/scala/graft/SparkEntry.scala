@@ -220,18 +220,18 @@ object SparkEntry {
 
     // ---- EXT: near-dup dedup (SURVEY §2.12) ----
     "q36_neardup_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      Dedup.jaccardPairs(Tables.spread(s, Tables.documents(s, dir)), "doc_id", "text",
         n = 3, threshold = 0.5)),
     "q37_minhash_candidates" -> ((s, dir) =>
-      Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text")),
+      Dedup.minhashCandidates(Tables.spread(s, Tables.documents(s, dir)), "doc_id", "text")),
     "q38_simhash" -> ((s, dir) =>
-      Tables.documents(s, dir).select(
+      Tables.spread(s, Tables.documents(s, dir)).select(
         col("doc_id"),
         Dedup.simhash32(TextOps.tokens(col("text"))).as("simhash"))),
 
     // ---- EXT: similarity search (SURVEY §2.12) ----
     "q39_knn_brute" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
+      val e = Tables.spread(s, Tables.embeddings(s, dir))
       Similarity.bruteKnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
         .withColumn("sim", round(col("sim"), 6))
     }),

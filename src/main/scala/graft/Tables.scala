@@ -52,4 +52,14 @@ object Tables {
     * reference's schema bootstrap, init.sql:1-219). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Spread a table across the cluster when the source produced too few
+    * input splits for CPU-bound per-row work (single small parquet file →
+    * 1 partition → 1 core). At real scale inputs arrive in many splits and
+    * this is a no-op; the round-robin shuffle only fires on the small-file
+    * case where shuffling is cheap by construction. */
+  def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

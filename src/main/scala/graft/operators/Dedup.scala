@@ -80,16 +80,33 @@ object Dedup {
         transform(slice(sig, b * RowsPerBand + 1, lit(RowsPerBand)), x => x.cast("string")),
         ",")))
 
+  /** MinHash signature via explode + aggregate — the throughput path. The
+    * per-row higher-order-function variant (`minhashSignature`) evaluates
+    * interpreted lambdas (HOFs don't participate in codegen); this shape
+    * instead computes the shingle hash in a codegen'd projection and folds
+    * the 32 permutation minimums in a hash aggregate with map-side partials,
+    * shuffling one 32-long row per document. Identical output. */
+  def minhashSignatureAgg(docs: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int): DataFrame = {
+    val sh = docs.select(col(idCol), explode(
+      TextOps.distinctShingles(TextOps.tokens(col(textCol)), shingleN)).as("shingle"))
+      .withColumn("h", TextOps.tokenHash(col("shingle")) % P)
+    val mins = (0 until NumHashes).map(i =>
+      min((col("h") * (i * 2 + 3) + (i * 5 + 7)) % P).as(s"s_$i"))
+    sh.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until NumHashes).map(i => col(s"s_$i")): _*).as("sig"))
+  }
+
   /** (doc_id, band_id, band_hash) — the LSH index table. MinHash runs over
     * 3-gram shingles, not tokens: token sets of same-domain documents overlap
     * heavily (background Jaccard ≈ 0.5+ on a shared vocabulary), which would
     * make every band collide; shingle sets keep background similarity low. */
   def minhashBandTable(docs: DataFrame, idCol: String, textCol: String,
                        shingleN: Int = 3): DataFrame =
-    docs.select(col(idCol),
-        posexplode(bandHashes(minhashSignature(
-          TextOps.distinctShingles(TextOps.tokens(col(textCol)), shingleN))))
-          .as(Seq("band_id", "band_hash")))
+    minhashSignatureAgg(docs, idCol, textCol, shingleN)
+      .select(col(idCol),
+        posexplode(bandHashes(col("sig"))).as(Seq("band_id", "band_hash")))
 
   /** Candidate near-dup pairs from band collisions (doc_a < doc_b, distinct).
     * The join shuffles on (band_id, band_hash) — collision groups are small
@@ -108,15 +125,18 @@ object Dedup {
     * Σ_tokens (bit_j(token) ? +1 : -1). Near-identical docs land on
     * near-identical simhashes (small Hamming distance). */
   def simhash32(toks: Column): Column = {
-    // bit j of h extracted as floor(h / 2^j) % 2 — shift functions take only
+    // bit j of h extracted as (h div 2^j) % 2 — shift functions take only
     // literal shift amounts, and this form is reproducible in external SQL.
+    // Single pass over tokens (bit-vector per token, vector-summed) instead
+    // of 32 passes; powers are literals, not pow() calls per element.
+    val powers = array((0 until 32).map(j => lit(1L << j)): _*)
     val hashes = transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
-    val bitSums = transform(sequence(lit(0), lit(31)), j =>
-      aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(floor(h / pow(lit(2.0), j)).cast("long") % 2 === 1, 1L).otherwise(-1L)))
+    val bitVecs = transform(hashes, h =>
+      transform(powers, p => when((h / p).cast("long") % 2 === 1, 1L).otherwise(-1L)))
+    val zeros = array((0 until 32).map(_ => lit(0L)): _*)
+    val bitSums = aggregate(bitVecs, zeros, (acc, v) => zip_with(acc, v, _ + _))
     aggregate(
-      zip_with(bitSums, sequence(lit(0), lit(31)),
-        (s, j) => when(s > 0, pow(lit(2.0), j).cast("long")).otherwise(0L)),
+      zip_with(bitSums, powers, (s, p) => when(s > 0, p).otherwise(0L)),
       lit(0L), (acc, x) => acc + x)
   }
 
