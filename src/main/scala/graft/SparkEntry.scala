@@ -273,6 +273,49 @@ object SparkEntry {
         .select("c_custkey", "inside")
     }),
 
+    // ---- S11 scene-export query (SURVEY §2.1) ----
+    "q44_scene_export" -> ((s, dir) => {
+      // GEE-style collection export: date range + bbox-intersects + cloud cap
+      // over a deterministic derived scenes catalog.
+      val scenes = Tables.part(s, dir).select(
+        col("p_partkey").as("scene_id"),
+        concat(lit("c"), (col("p_partkey") % 3).cast("string")).as("collection_id"),
+        date_add(lit("1995-01-01").cast("date"), (col("p_partkey") % 1000).cast("int")).as("date"),
+        (col("p_partkey") * 11 % 340 - 175).cast("double").as("min_lon"),
+        (col("p_partkey") * 23 % 160 - 85).cast("double").as("min_lat"),
+        (col("p_partkey") * 11 % 340 - 175 + 20).cast("double").as("max_lon"),
+        (col("p_partkey") * 23 % 160 - 85 + 10).cast("double").as("max_lat"),
+        (col("p_partkey") % 100).cast("double").as("cloud_pct"))
+      val aoi = struct(lit(-120.0).as("min_lon"), lit(-60.0).as("min_lat"),
+        lit(120.0).as("max_lon"), lit(60.0).as("max_lat"))
+      graft.sources.Sources.exportQuery(scenes, "c1", "1995-01-01", "1997-12-31", aoi, 60.0)
+        .select("scene_id", "date", "cloud_pct")
+    }),
+
+    // ---- §2.11 analysis registry ----
+    "q46_analysis_registry" -> ((s, dir) =>
+      graft.operators.Analyses.run("token_stats", Tables.documents(s, dir),
+        """{"column":"text"}""")),
+
+    // ---- custom typed UDAF (§7.3) ----
+    "q47_bbox_udaf" -> ((s, dir) => {
+      val pts = Tables.lineitem(s, dir).select(col("l_returnflag"),
+        (col("l_partkey") * 7 % 360 - 180).cast("double").as("lon"),
+        (col("l_suppkey") * 13 % 180 - 90).cast("double").as("lat"))
+      pts.groupBy(col("l_returnflag"))
+        .agg(graft.operators.Analyses.bboxUdaf(col("lon"), col("lat")).as("b"))
+        .select(col("l_returnflag"),
+          col("b.minLon").as("min_lon"), col("b.maxLon").as("max_lon"),
+          col("b.minLat").as("min_lat"), col("b.maxLat").as("max_lat"))
+    }),
+
+    "q45_ivf_knn" -> ((s, dir) => {
+      // rows-only gate: IVF (KMeans-coarse-quantized) ANN; recall asserted
+      // in SpatialKnnSpec.
+      val e = Tables.spread(s, Tables.embeddings(s, dir))
+      Similarity.ivfKnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nCentroids = 8, nprobe = 2)
+    }),
     "q41_knn_lsh" -> ((s, dir) => {
       // rows-only gate (no SQL oracle): LSH-bucketed ANN; recall vs the brute
       // baseline is asserted in KnnSpec.
@@ -531,6 +574,43 @@ object SparkEntry {
           + (CASE WHEN ((20.0 > lat) != (70.0 > lat)) AND lon < ((-30.0) - (-100.0)) * (lat - 20.0) / (70.0 - 20.0) + (-100.0) THEN 1 ELSE 0 END)
            ) % 2 = 1 AS inside
          FROM pts""",
+    "q44_scene_export" ->
+      """WITH scenes AS (SELECT p_partkey AS scene_id,
+             'c' || cast(p_partkey % 3 as varchar) AS collection_id,
+             DATE '1995-01-01' + cast(p_partkey % 1000 as int) AS date,
+             cast(p_partkey * 11 % 340 - 175 as double) AS min_lon,
+             cast(p_partkey * 23 % 160 - 85 as double) AS min_lat,
+             cast(p_partkey * 11 % 340 - 175 + 20 as double) AS max_lon,
+             cast(p_partkey * 23 % 160 - 85 + 10 as double) AS max_lat,
+             cast(p_partkey % 100 as double) AS cloud_pct
+           FROM part)
+         SELECT scene_id, date, cloud_pct FROM scenes
+         WHERE collection_id = 'c1'
+           AND date BETWEEN DATE '1995-01-01' AND DATE '1997-12-31'
+           AND cloud_pct <= 60.0
+           AND NOT (max_lon < -120.0 OR 120.0 < min_lon
+                 OR max_lat < -60.0 OR 60.0 < min_lat)""",
+    "q46_analysis_registry" ->
+      """WITH sc AS (SELECT len(string_split(text,' ')) AS n_tokens,
+           len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) AS en,
+           len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist'))) AS de,
+           len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et','est'))) AS fr,
+           len(list_filter(string_split(text,' '), x -> x IN ('el','los','las','y','es'))) AS es
+           FROM documents)
+         SELECT CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+                WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+                WHEN fr >= es AND fr > 0 THEN 'fr'
+                WHEN es > 0 THEN 'es' ELSE 'und' END AS lang_pred,
+           count(*) AS n, avg(n_tokens) AS avg_tokens
+         FROM sc GROUP BY 1""",
+    "q47_bbox_udaf" ->
+      """SELECT l_returnflag,
+         min(lon) AS min_lon, max(lon) AS max_lon,
+         min(lat) AS min_lat, max(lat) AS max_lat
+         FROM (SELECT l_returnflag,
+                 cast(l_partkey * 7 % 360 - 180 as double) AS lon,
+                 cast(l_suppkey * 13 % 180 - 90 as double) AS lat
+               FROM lineitem) t GROUP BY l_returnflag""",
     "q40_embedding_stats" ->
       """SELECT label, count(*) AS n,
          sum(cast(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) as decimal(18,6))) AS sum_norm

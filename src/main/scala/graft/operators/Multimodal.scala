@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.12 (EXT) — multimodal columns: image/audio/video carried as
+  * opaque `binary` columns with typed metadata structs, processed by
+  * per-partition batch operators.
+  *
+  * The decode kernels are STUBS — no image/audio codec ships in this
+  * container (the reference's own extractor module is absent from its
+  * snapshot too, services/file-service/main.py:28-31). Every stub is
+  * deterministic (derived from the content bytes) so pipelines are testable;
+  * the Spark-side plumbing — schema, mapPartitions batching, partitioning —
+  * is real. Swap `decodeImageBytes`/`sampleFrameOffsets` bodies for codec
+  * calls (java.awt/ffmpeg/jni) to productionize; signatures stay.
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside each media binary column. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_channels", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** STUB decode: a real implementation returns (width, height, channels)
+    * from the codec; this derives them deterministically from a byte hash. */
+  private[operators] def decodeImageBytes(bytes: Array[Byte]): (Int, Int, Int) = {
+    val h = java.util.Arrays.hashCode(bytes).toLong & 0x7fffffffL
+    ((h % 4096 + 1).toInt, (h / 4096 % 2160 + 1).toInt, (h % 3 + 1).toInt)
+  }
+
+  /** Attach decoded metadata to a binary media column via mapPartitions —
+    * the batch shape a real decoder needs (amortized per-partition codec
+    * init, row-at-a-time decode). Output schema = input + `media_meta`. */
+  def withImageMeta(spark: SparkSession, df: DataFrame,
+                    contentCol: String = "content"): DataFrame = {
+    val outSchema = df.schema.add(StructField("media_meta", mediaMetaSchema))
+    val idx = df.schema.fieldIndex(contentCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      // per-partition init happens here in a real decoder (codec handles etc.)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val (w, h, c) =
+          if (bytes == null) (0, 0, 0) else decodeImageBytes(bytes)
+        Row.fromSeq(r.toSeq :+ Row("image", w, h, c, 0L))
+      }
+    }
+  }
+
+  /** STUB feature extraction: fixed-size float vector per media row — the
+    * embedding-column producer. Deterministic bytes→vector hash; a real
+    * implementation calls a vision/audio model in batches. Expressed with
+    * codegen-friendly Column functions so only the kernel is a stub. */
+  def imageFeatureVector(content: org.apache.spark.sql.Column, dim: Int = 16): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      (conv(substring(md5(concat(sha2(content, 256), i.cast("string"))), 1, 8), 16, 10)
+        .cast("double") / lit(4294967295.0)) * 2 - 1)
+
+  /** Frame sampling plan for video columns: one output row per sampled frame
+    * offset (explode), every `stepMs` up to `duration_ms` in the metadata
+    * struct. The decode of each frame is downstream (stub'd); the row
+    * explosion and partitioning are the real Spark work. */
+  def sampleFrames(df: DataFrame, metaCol: String = "media_meta",
+                   stepMs: Long = 1000L): DataFrame =
+    df.withColumn("frame_ms",
+        explode(sequence(lit(0L),
+          greatest(col(s"$metaCol.duration_ms") - 1, lit(0L)), lit(stepMs))))
+
+  /** STUB resize: records the target size beside the binary (a real kernel
+    * rewrites bytes); keeps the pipeline shape — select/withColumn chain,
+    * no shuffle. */
+  def resizePlan(df: DataFrame, w: Int, h: Int): DataFrame =
+    df.withColumn("resize_to", struct(lit(w).as("width"), lit(h).as("height")))
+}

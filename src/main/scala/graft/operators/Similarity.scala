@@ -82,6 +82,48 @@ object Similarity {
     array((bucket +: flips): _*)
   }
 
+  /** IVF-style ANN: coarse-quantize the corpus with KMeans centroids, then
+    * search only the `nprobe` nearest inverted lists per query. The classic
+    * scale path when the corpus outgrows brute force: the corpus is bucketed
+    * once (centroid id = shuffle key), queries fan out to nprobe buckets.
+    * Deterministic via fixed seed. */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, nCentroids: Int = 16,
+             nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = corpus.select(array_to_vector(asDouble(col(vecCol))).as("features"))
+    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
+      .fit(train)
+    val centroids = model.clusterCenters.map(_.toArray).zipWithIndex
+    val centroidLit = array(centroids.map { case (c, i) =>
+      struct(lit(i).as("cid"), array(c.map(lit): _*).as("cvec"))
+    }: _*)
+    // nearest-centroid ids as a per-row expression over the literal table
+    def nearestCids(vec: Column, n: Int): Column = {
+      val scored = transform(centroidLit, c =>
+        struct(dot(vec, c.getField("cvec")).as("score"), c.getField("cid").as("cid")))
+      // top-n centroid ids by inner product (centroids near-unit for cosine)
+      slice(reverse(array_sort(scored)), 1, n).getField("cid")
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("nvec"))
+      .withColumn("cell", element_at(nearestCids(col("nvec"), 1), 1))
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
+        .withColumn("cell", explode(nearestCids(col("qvec"), nprobe))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.join(q, "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("nvec")).as("sim"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** LSH-bucketed ANN: join query probes and corpus on bucket, rank within
     * the probed candidate set. The corpus is bucketed once (per-row
     * expression); only the broadcast query side fans out to its multi-probe

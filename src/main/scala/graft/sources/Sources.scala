@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** SURVEY.md §2.1 — source/sink adapters beyond the parquet catalog.
+  *
+  * The reference's I/O surface: PostgreSQL tables (S1/S5-S7), a file store on
+  * a shared volume (S3/S4), JSON-lines logs (S13), GEE satellite-collection
+  * exports (S11), WebODM photogrammetry jobs (S12). Re-expressed as Spark
+  * sources/sinks: schema'd reads, partitioned columnar writes, append logs.
+  */
+object Sources {
+
+  // ---- generic schema'd readers (S1 analog for non-parquet landings) ----
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Always pass an explicit schema at scale: schema inference is a full
+    * extra pass over the input. */
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  // ---- sinks ----
+
+  /** S5 — append rows (ORM add/commit analog,
+    * reference: services/auth-service/crud.py:44-50). */
+  def appendParquet(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("append")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  /** S13 — structured JSON-lines log sink (reference:
+    * shared/utils/__init__.py:95-140; middleware request logs). One JSON
+    * object per row from the given columns. */
+  def writeJsonLog(df: DataFrame, path: String): Unit =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+      .write.mode("append").text(path)
+
+  // ---- S11: GEE satellite-collection export (DECL tier) ----
+
+  /** A scenes catalog row: what a GEE image-collection entry carries
+    * (reference: GEEImageCollection, shared/models/__init__.py:216-221 —
+    * collection id, date range, GeoJSON bounds, filter dict). */
+  case class Scene(scene_id: String, collection_id: String,
+                   date: java.sql.Date, min_lon: Double, min_lat: Double,
+                   max_lon: Double, max_lat: Double, cloud_pct: Double)
+
+  /** The export query the `gee_export_tasks` schema is designed for
+    * (reference: init.sql:97-110): scenes of a collection, within a date
+    * range, whose bounds intersect the AOI bbox, under a cloud threshold.
+    * Date + collection predicates push to the source; bbox intersects is a
+    * conjunctive range predicate (SURVEY §2.9). */
+  def exportQuery(scenes: DataFrame, collectionId: String,
+                  startDate: String, endDate: String,
+                  aoi: Column, maxCloudPct: Double = 100.0): DataFrame = {
+    val sceneBox = struct(
+      col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat"))
+    scenes
+      .filter(col("collection_id") === collectionId)
+      .filter(col("date").between(lit(startDate), lit(endDate)))
+      .filter(col("cloud_pct") <= maxCloudPct)
+      .filter(graft.operators.Spatial.bboxIntersects(sceneBox, aoi))
+  }
+
+  // ---- S12: external-job pattern (WebODM, DECL tier) ----
+
+  /** External-job tracking table (reference: webodm_tasks init.sql:74-94):
+    * submissions are appended, progress/status arrive as events; the current
+    * view is latest-per-job (W1) and artifacts land through the S3/S4 binary
+    * path. Provided as a composition, not a new operator. */
+  def currentJobStatus(jobEvents: DataFrame): DataFrame =
+    graft.operators.Relational.latestPerKey(
+      jobEvents, "job_id", col("ts"), col("event_id"))
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analyses, Multimodal, Similarity}
+import graft.sources.Sources
+
+class AnalysesMultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("analysis registry: ops run with JSON parameter bags; unknown type throws") {
+    val tasks = Seq(("t1", "done"), ("t2", "done"), ("t3", "failed"))
+      .toDF("id", "state")
+    val out = Analyses.run("status_rollup", tasks, """{"column":"state"}""")
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("done" -> 2L, "failed" -> 1L))
+    val dedup = Analyses.run("dedup_audit",
+      Seq((1L, "x"), (2L, "x")).toDF("id", "key"), """{"key":"key","id":"id"}""")
+    assert(dedup.filter(col("n_dups") === 2).count() == 1)
+    intercept[IllegalArgumentException] {
+      Analyses.run("nope", tasks, "{}")
+    }
+  }
+
+  test("BBox Aggregator matches four-way min/max aggregation") {
+    val pts = Seq(("a", -10.0, 5.0), ("a", 20.0, -3.0), ("b", 0.0, 0.0))
+      .toDF("g", "lon", "lat")
+    val viaUdaf = pts.groupBy(col("g"))
+      .agg(Analyses.bboxUdaf(col("lon"), col("lat")).as("b"))
+      .select(col("g"), col("b.minLon"), col("b.minLat"), col("b.maxLon"), col("b.maxLat"))
+      .as[(String, Double, Double, Double, Double)].collect().toSet
+    assert(viaUdaf == Set(("a", -10.0, -3.0, 20.0, 5.0), ("b", 0.0, 0.0, 0.0, 0.0)))
+  }
+
+  test("multimodal: image meta attach is deterministic and null-safe") {
+    val df = Seq(
+      (1L, "a.jpg", Array[Byte](1, 2, 3)),
+      (2L, "b.jpg", Array[Byte](1, 2, 3)),
+      (3L, "c.jpg", null)
+    ).toDF("id", "name", "content")
+    val out = Multimodal.withImageMeta(spark, df)
+    assert(out.schema.fieldNames.contains("media_meta"))
+    // same bytes → same decoded dims; null content → zeros
+    val rows = out.select(col("id"), col("media_meta.width")).as[(Long, Int)].collect().toMap
+    assert(rows(1L) == rows(2L) && rows(3L) == 0)
+  }
+
+  test("multimodal: frame sampling explodes one row per offset") {
+    val df = Seq((1L, 3500L)).toDF("id", "dur")
+      .withColumn("media_meta", struct(lit("video").as("media_type"),
+        lit(0).as("width"), lit(0).as("height"), lit(0).as("n_channels"),
+        col("dur").as("duration_ms")))
+    val frames = Multimodal.sampleFrames(df, stepMs = 1000L)
+      .select("frame_ms").as[Long].collect().toSeq
+    assert(frames == Seq(0L, 1000L, 2000L, 3000L))
+  }
+
+  test("multimodal: feature vector is deterministic, bounded, fixed-dim") {
+    val df = Seq(Array[Byte](9, 9, 9), Array[Byte](9, 9, 9), Array[Byte](1))
+      .toDF("content")
+      .select(Multimodal.imageFeatureVector(col("content"), 8).as("v"))
+    val vs = df.as[Seq[Double]].collect()
+    assert(vs(0) == vs(1) && vs(0) != vs(2))
+    assert(vs.forall(v => v.length == 8 && v.forall(x => x >= -1 && x <= 1)))
+  }
+
+  test("sources: csv and json-lines round trip with explicit schema") {
+    val dir = "target/sources_fixture"
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(dir))
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    df.write.option("header", "true").csv(s"$dir/csv")
+    Sources.writeJsonLog(df, s"$dir/log")
+    val csv = Sources.readCsv(spark, s"$dir/csv", df.schema)
+    assert(csv.as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    val log = Sources.readJsonLines(spark, s"$dir/log", df.schema)
+    assert(log.as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("IVF ANN recall vs brute force on fixture embeddings") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteKnn(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfKnn(e, q, "vec_id", "embedding", k = 5,
+      nCentroids = 8, nprobe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+}
