@@ -15,6 +15,22 @@ import graft.functions.Scalars
 object SparkEntry {
   private val D = "decimal(18,2)"
 
+  /** One SQL text shared verbatim by the Spark SQL surface (q49) and its
+    * DuckDB oracle — revenue per supplier nation in a region and date range
+    * (TPC-H Q5 shape over the fixture star schema). */
+  private val RegionRevenueSql: String =
+    """SELECT n_name,
+       sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1999-01-01'
+       GROUP BY n_name"""
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -309,6 +325,37 @@ object SparkEntry {
           col("b.minLat").as("min_lat"), col("b.maxLat").as("max_lat"))
     }),
 
+    // ---- W4 rolling time-range window ----
+    "q48_rolling_window" -> ((s, dir) =>
+      R.rollingWindow(Tables.events(s, dir), "user_id", "ts",
+        col("value").cast(D), windowSeconds = 3600L, as = "roll_sum")
+        .select("user_id", "event_id", "roll_sum", "roll_sum_n")),
+
+    // ---- SQL API surface over the registered catalog ----
+    "q49_sql_api" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(RegionRevenueSql)
+    }),
+
+    // ---- grid-partitioned (non-broadcast) spatial join ----
+    "q50_grid_spatial_join" -> ((s, dir) => {
+      val boxes = Tables.nation(s, dir).select(col("n_name"), struct(
+        (col("n_nationkey") * 29 % 300 - 170).cast("double").as("min_lon"),
+        (col("n_nationkey") * 17 % 140 - 80).cast("double").as("min_lat"),
+        (col("n_nationkey") * 29 % 300 - 170 + 40).cast("double").as("max_lon"),
+        (col("n_nationkey") * 17 % 140 - 80 + 30).cast("double").as("max_lat")).as("bbox"))
+      val pts = Tables.customer(s, dir).select(col("c_custkey"),
+        (col("c_custkey") * 7 % 360 - 180).cast("double").as("lon"),
+        (col("c_custkey") * 13 % 180 - 90).cast("double").as("lat"))
+      graft.operators.Spatial.gridJoin(pts, "lon", "lat", boxes, "bbox", cellDeg = 30.0)
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n_points"))
+    }),
+
+    // ---- embedding-cosine near-dup (rows-only; ground truth in tests) ----
+    "q51_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDups(Tables.spread(s, Tables.embeddings(s, dir)),
+        "vec_id", "embedding", dim = 64, threshold = 0.8)),
+
     "q45_ivf_knn" -> ((s, dir) => {
       // rows-only gate: IVF (KMeans-coarse-quantized) ANN; recall asserted
       // in SpatialKnnSpec.
@@ -574,6 +621,30 @@ object SparkEntry {
           + (CASE WHEN ((20.0 > lat) != (70.0 > lat)) AND lon < ((-30.0) - (-100.0)) * (lat - 20.0) / (70.0 - 20.0) + (-100.0) THEN 1 ELSE 0 END)
            ) % 2 = 1 AS inside
          FROM pts""",
+    "q48_rolling_window" ->
+      """SELECT user_id, event_id,
+         sum(cast(value as decimal(18,2))) OVER w AS roll_sum,
+         count(*) OVER w AS roll_sum_n
+         FROM events
+         WINDOW w AS (PARTITION BY user_id
+           ORDER BY cast(epoch(date_trunc('second', ts)) as bigint)
+           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""",
+    "q49_sql_api" -> RegionRevenueSql,
+    "q50_grid_spatial_join" ->
+      """WITH boxes AS (SELECT n_name,
+             cast(n_nationkey * 29 % 300 - 170 as double) AS min_lon,
+             cast(n_nationkey * 17 % 140 - 80 as double) AS min_lat,
+             cast(n_nationkey * 29 % 300 - 170 + 40 as double) AS max_lon,
+             cast(n_nationkey * 17 % 140 - 80 + 30 as double) AS max_lat
+           FROM nation),
+         pts AS (SELECT c_custkey,
+             cast(c_custkey * 7 % 360 - 180 as double) AS lon,
+             cast(c_custkey * 13 % 180 - 90 as double) AS lat
+           FROM customer)
+         SELECT n_name, count(*) AS n_points
+         FROM pts JOIN boxes
+           ON lon BETWEEN min_lon AND max_lon AND lat BETWEEN min_lat AND max_lat
+         GROUP BY n_name""",
     "q44_scene_export" ->
       """WITH scenes AS (SELECT p_partkey AS scene_id,
              'c' || cast(p_partkey % 3 as varchar) AS collection_id,

@@ -142,4 +142,20 @@ object Dedup {
 
   /** Hamming distance between two simhash values (bit_count of XOR). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Embedding-cosine near-dup pairs: LSH-bucket the embedding space (sign
+    * hyperplanes), compare only within buckets, keep pairs above the cosine
+    * threshold. The embedding-space analog of the shingle pipelines — no
+    * cross join; the bucket key bounds each comparison group. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, threshold: Double,
+                        nPlanes: Int = 8): DataFrame = {
+    val b = df.select(col(idCol), Similarity.asDouble(col(vecCol)).as("v"),
+      Similarity.lshBucket(Similarity.asDouble(col(vecCol)), dim, nPlanes).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
 }

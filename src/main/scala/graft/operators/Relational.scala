@@ -161,6 +161,21 @@ object Relational {
     df.withColumn(as, sum(valueCol).over(w))
   }
 
+  /** W4 — rolling time-range aggregate: per key, totals over the trailing
+    * `windowSeconds` of event time (frame: RANGE BETWEEN N PRECEDING AND
+    * CURRENT ROW over epoch seconds). The streaming analog of the
+    * reference's request-rate metrics (services/api-gateway/middleware.py:68-94)
+    * expressed as a batch window. Timestamps are truncated to whole seconds
+    * so frame boundaries are reproducible across engines. */
+  def rollingWindow(df: DataFrame, key: String, ts: String, valueCol: Column,
+                    windowSeconds: Long, as: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(unix_timestamp(date_trunc("second", col(ts))))
+      .rangeBetween(-windowSeconds, Window.currentRow)
+    df.withColumn(as, sum(valueCol).over(w))
+      .withColumn(as + "_n", count(lit(1)).over(w))
+  }
+
   /** T3 (batch view) — time-bucketed metrics: tumbling windows over an event
     * log (reference: MetricsMiddleware running count/mean,
     * services/api-gateway/middleware.py:68-94). */

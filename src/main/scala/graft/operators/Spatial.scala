@@ -88,4 +88,25 @@ object Spatial {
     concat_ws(":",
       floor(lon / cellDeg).cast("long"),
       floor(lat / cellDeg).cast("long"))
+
+  /** Grid-partitioned spatial join — the non-broadcast path for polygon sets
+    * too large to broadcast: polygons explode to their covered cells, points
+    * key to their cell, and the join becomes a shuffled EQUI-join on the cell
+    * id (plus the exact predicate on survivors). Equivalent results to
+    * `spatialJoin`; chooses shuffle over broadcast. Cell size should be on
+    * the order of the median polygon extent — too fine explodes polygons
+    * into many cells, too coarse degrades to few fat keys. */
+  def gridJoin(points: DataFrame, lonCol: String, latCol: String,
+               polys: DataFrame, bboxCol: String, cellDeg: Double,
+               exact: Option[(Column, Column) => Column] = None): DataFrame = {
+    val cellPolys = polys.withColumn("__cell",
+      explode(gridCells(col(bboxCol), cellDeg)))
+    val cellPts = points.withColumn("__cell",
+      pointCell(col(lonCol), col(latCol), cellDeg))
+    val joined = cellPts.join(cellPolys, "__cell")
+      .filter(pointInBbox(col(lonCol), col(latCol), col(bboxCol)))
+    val refined = exact.fold(joined)(f => joined.filter(f(col(lonCol), col(latCol))))
+    // a polygon spanning k cells can meet the same point once per cell
+    refined.drop("__cell").distinct()
+  }
 }

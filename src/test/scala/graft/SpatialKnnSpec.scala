@@ -63,6 +63,47 @@ class SpatialKnnSpec extends SparkSuite {
     assert(cells.toSet == Set("-2:0", "-1:0", "0:0", "1:0"))
   }
 
+  test("gridJoin equals broadcast point-in-bbox join") {
+    val boxes = Tables.nation(spark, sf).select(col("n_name"), struct(
+      (col("n_nationkey") * 29 % 300 - 170).cast("double").as("min_lon"),
+      (col("n_nationkey") * 17 % 140 - 80).cast("double").as("min_lat"),
+      (col("n_nationkey") * 29 % 300 - 170 + 40).cast("double").as("max_lon"),
+      (col("n_nationkey") * 17 % 140 - 80 + 30).cast("double").as("max_lat")).as("bbox"))
+    val pts = Tables.customer(spark, sf).select(col("c_custkey"),
+      (col("c_custkey") * 7 % 360 - 180).cast("double").as("lon"),
+      (col("c_custkey") * 13 % 180 - 90).cast("double").as("lat"))
+    val viaBroadcast = pts.join(broadcast(boxes),
+        Spatial.pointInBbox(col("lon"), col("lat"), col("bbox")))
+      .select("c_custkey", "n_name").as[(Long, String)].collect().toSet
+    val viaGrid = Spatial.gridJoin(pts, "lon", "lat", boxes, "bbox", cellDeg = 25.0)
+      .select("c_custkey", "n_name").as[(Long, String)].collect().toSet
+    assert(viaGrid == viaBroadcast && viaGrid.nonEmpty)
+  }
+
+  test("embeddingNearDups finds only pairs above threshold; none missed within bucket recall") {
+    import graft.operators.Dedup
+    val e = Tables.embeddings(spark, sf).limit(200)
+    val got = Dedup.embeddingNearDups(e, "vec_id", "embedding", dim = 64,
+      threshold = 0.5, nPlanes = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // ground truth by brute force on the driver (200 vecs)
+    val vecs = e.select(col("vec_id"), Similarity.asDouble(col("embedding")))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val truth = (for {
+      (i, vi) <- vecs.toSeq; (j, vj) <- vecs.toSeq if i < j
+      if cos(vi, vj) >= 0.5
+    } yield (i, j)).toSet
+    assert(got.subsetOf(truth), s"false positives: ${got.diff(truth).take(3)}")
+    if (truth.nonEmpty) {
+      val recall = truth.count(got.contains).toDouble / truth.size
+      assert(recall >= 0.3, s"bucketed near-dup recall too low: $recall of ${truth.size}")
+    }
+  }
+
   test("cosine: identical vectors → 1, orthogonal → 0") {
     val df = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 2.0)))
       .toDF("a", "b", "c")
