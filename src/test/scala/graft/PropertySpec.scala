@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import graft.operators.{Dedup, Relational => R}
+
+/** SURVEY §5.3 — property-based invariants (ScalaCheck): pagination
+  * partitions the ordered set exactly; bbox contains all inputs; validation
+  * predicates; dedup idempotence; minhash determinism. Generators drive the
+  * *parameters*; Spark executes once per case on small literal data. */
+object PropertySpec extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("PropertySpec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  import scala.language.reflectiveCalls
+
+  property("pagination partitions [1..n] exactly") =
+    Prop.forAll(Gen.choose(0, 40), Gen.choose(1, 12)) { (n: Int, size: Int) =>
+      import spark.implicits._
+      val df = (1 to n).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      val pages = math.ceil(n.toDouble / size).toInt.max(1)
+      val seen = (1 to pages).flatMap(p =>
+        R.page(df, p, size, col("k").asc).select("k").as[Long].collect())
+      val meta = R.paginationMeta(df, size).as[(Long, Long)].collect().head
+      seen == (1L to n.toLong) &&
+        meta._1 == n.toLong &&
+        meta._2 == math.ceil(n.toDouble / size).toLong
+    }
+
+  property("bbox aggregate bounds every generated point") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(-180.0, 180.0), Gen.choose(-90.0, 90.0)))) { ps =>
+      import spark.implicits._
+      val df = ps.map { case (lo, la) => ("g", lo, la) }.toDF("g", "lon", "lat")
+      val Array(bb) = R.bboxAgg(df, Seq("g"), col("lon"), col("lat"))
+        .select("min_lon", "max_lon", "min_lat", "max_lat")
+        .as[(Double, Double, Double, Double)].collect()
+      ps.forall { case (lo, la) =>
+        lo >= bb._1 && lo <= bb._2 && la >= bb._3 && la <= bb._4 }
+    }
+
+  property("exact dedup is idempotent") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d"))) { texts =>
+      import spark.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val once = Dedup.exactDedup(df, "doc_id", col("text"))
+      val kept = once.select(col("keep_id").as("doc_id"), col("key").as("text"))
+      val twice = Dedup.exactDedup(kept, "doc_id", col("text"))
+      twice.filter(col("n_dups") > 1).count() == 0 &&
+        twice.count() == once.count()
+    }
+
+  property("minhash signature deterministic, fixed length, mod-P bounded") =
+    Prop.forAll(Gen.listOfN(6, Gen.alphaLowerStr.suchThat(_.nonEmpty))) { words =>
+      import spark.implicits._
+      val text = (words ++ words).mkString(" ")
+      val df = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+      val sigs = Dedup.minhashSignatureAgg(df, "doc_id", "text", shingleN = 1)
+        .select("sig").as[Seq[Long]].collect()
+      sigs.length == 2 && sigs(0) == sigs(1) &&
+        sigs(0).length == Dedup.NumHashes &&
+        sigs(0).forall(v => v >= 0 && v < Dedup.P)
+    }
+
+  property("coordinate validation accepts exactly the in-range domain") =
+    Prop.forAll(Gen.choose(-400.0, 400.0), Gen.choose(-200.0, 200.0)) { (lon, lat) =>
+      import spark.implicits._
+      val got = Seq((lon, lat)).toDF("lon", "lat")
+        .select(R.validCoords(col("lon"), col("lat")).as("ok"))
+        .as[Boolean].collect().head
+      got == (lat >= -90 && lat <= 90 && lon >= -180 && lon <= 180)
+    }
+}
