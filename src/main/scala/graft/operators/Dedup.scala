@@ -143,6 +143,15 @@ object Dedup {
   /** Hamming distance between two simhash values (bit_count of XOR). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Remove near-duplicates given a pair list (doc_a < doc_b): greedily keep
+    * the lower id of every pair — the standard single-pass policy for
+    * training-corpus dedup (a full connected-components pass costs an
+    * iterative join cascade and changes results only for chains, which are
+    * rare at high thresholds). Implemented as one anti-join: scalable. */
+  def removeNearDups(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
+    docs.join(pairs.select(col("doc_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** Embedding-cosine near-dup pairs: LSH-bucket the embedding space (sign
     * hyperplanes), compare only within buckets, keep pairs above the cosine
     * threshold. The embedding-space analog of the shingle pipelines — no

@@ -94,6 +94,33 @@ class IngestStreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("T1 file-source streaming: parquet directory drives windowed metrics") {
+    // real readStream over a directory (the task-queue ingest path), not
+    // MemoryStream — asserts schema'd file discovery + watermark agg e2e.
+    val dir = "target/stream_src"
+    def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit }
+    rm(new java.io.File(dir))
+    Seq(
+      Streams.Event(1L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0),
+      Streams.Event(2L, ts("2024-01-01 10:35:00"), 2L, "click", 2.0),
+      Streams.Event(3L, ts("2024-01-01 11:20:00"), 1L, "view", 3.0)
+    ).toDF().write.parquet(dir)
+    val src = spark.readStream
+      .schema(Seq(Streams.Event(0L, ts("2024-01-01 00:00:00"), 0L, "", 0.0)).toDF().schema)
+      .parquet(dir)
+    val q = Streams.windowedMetrics(src, "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("filewin").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("filewin")
+        .select(col("win_start").cast("string"), col("event_type"), col("n"))
+        .as[(String, String, Long)].collect().toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00", "click", 2L),
+        ("2024-01-01 11:00:00", "view", 1L)))
+    } finally q.stop()
+  }
+
   test("T1/T4 append dedup drops re-delivered event ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streams.Event]
