@@ -45,19 +45,34 @@ object Dedup {
 
   /** Exact shingle-Jaccard near-dup pairs: candidate pairs share ≥1 shingle
     * (shuffle-join on shingle), then J(A,B) = |A∩B| / (|A|+|B|-|A∩B|).
-    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b. */
+    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    *
+    * Shape: the per-doc set size is computed BEFORE the explode and carried
+    * through the join, so the whole pipeline is one explode + one self-join
+    * + one aggregate — no separate sizes aggregation, no post-join size
+    * joins, nothing cached (a library operator returning a lazy plan must
+    * not pin executor memory). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxDf: Long = 0): DataFrame = {
-    val sh = docShingles(docs, idCol, textCol, n, maxDf).cache()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"), col("a.shingle") === col("b.shingle"))
+    val shingles = TextOps.distinctShingles(TextOps.tokens(col(textCol)), n)
+    val base = docs.select(col(idCol), shingles.as("__sh"))
+      .select(col(idCol), size(col("__sh")).as("n_sh"),
+        explode(col("__sh")).as("shingle"))
+    // maxDf prunes candidate GENERATION only: intersections count surviving
+    // shingles while set sizes stay full, so estimated jaccard is a lower
+    // bound — the conservative direction for a dedup threshold.
+    val sh =
+      if (maxDf <= 0) base
+      else {
+        val hot = base.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("shingle")
+        base.join(broadcast(hot), Seq("shingle"), "left_anti")
+      }
+    sh.as("a").join(sh.as("b"), col("a.shingle") === col("b.shingle"))
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-      .agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .agg(count(lit(1)).as("c"), max(col("a.n_sh")).as("na"), max(col("b.n_sh")).as("nb"))
       .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")

@@ -60,9 +60,13 @@ object Similarity {
       }
     }
     val bits = planes.map { w =>
-      val proj = aggregate(
-        zip_with(vec, array(w.map(lit): _*), (x, c) => x * c),
-        lit(0.0d), (acc, v) => acc + v)
+      // unrolled dot product: element_at terms compile into straight-line
+      // whole-stage-codegen Java; the higher-order zip_with/aggregate form
+      // evaluates interpreted lambdas per element (measurably slower at
+      // corpus scale).
+      val proj = w.zipWithIndex.map { case (c, i) =>
+        element_at(vec, i + 1) * lit(c)
+      }.reduce(_ + _)
       when(proj >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)
