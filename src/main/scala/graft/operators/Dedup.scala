@@ -158,6 +158,32 @@ object Dedup {
   /** Hamming distance between two simhash values (bit_count of XOR). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** MLlib-native near-dup variant: shingles → HashingTF (2^18 binary
+    * features) → `MinHashLSH.approxSimilarityJoin`. Same contract as
+    * `minhashCandidates` through Spark's built-in LSH machinery (OR-amplified
+    * hash tables, self-join pruning). Distances are Jaccard distances over
+    * HASHED shingle space, so the returned `jaccard_est` is approximate where
+    * feature collisions occur. Deterministic via fixed seed. */
+  def mlMinhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 3, minJaccard: Double = 0.6,
+                     numHashTables: Int = 8): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val shingled = docs.select(col(idCol),
+        TextOps.distinctShingles(TextOps.tokens(col(textCol)), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val feats = tf.transform(shingled)
+    val lsh = new MinHashLSH().setNumHashTables(numHashTables).setSeed(42L)
+      .setInputCol("features").setOutputCol("hashes")
+    val model = lsh.fit(feats)
+    model.approxSimilarityJoin(feats, feats, 1.0 - minJaccard, "dist")
+      .filter(col(s"datasetA.$idCol") < col(s"datasetB.$idCol"))
+      .select(col(s"datasetA.$idCol").as("doc_a"),
+        col(s"datasetB.$idCol").as("doc_b"),
+        (lit(1.0) - col("dist")).as("jaccard_est"))
+  }
+
   /** Remove near-duplicates given a pair list (doc_a < doc_b): greedily keep
     * the lower id of every pair — the standard single-pass policy for
     * training-corpus dedup (a full connected-components pass costs an

@@ -29,6 +29,35 @@ class SchemasSpec extends SparkSuite {
     assert(bad.count() == 3)
   }
 
+  test("CHECK boundaries accepted exactly (priority 1/10, progress 0/1)") {
+    // FIXTURES.md edge cases: boundary values must pass, one-past must fail.
+    val tasks = Seq(
+      ("lo", 1, 0.0, "pending"), ("hi", 10, 1.0, "completed"),
+      ("under", 0, 0.0, "pending"), ("over", 10, 1.0000001, "pending")
+    ).toDF("id", "priority", "progress", "status")
+    val (ok, bad) = R.quarantine(tasks, Schemas.taskChecks)
+    assert(ok.select("id").as[String].collect().toSet == Set("lo", "hi"))
+    assert(bad.select("id").as[String].collect().toSet == Set("under", "over"))
+    // lat/lon domain boundaries (utils:176-178): exactly ±90/±180 are valid
+    val coords = Seq((180.0, 90.0, true), (-180.0, -90.0, true),
+      (180.0001, 0.0, false), (0.0, -90.0001, false))
+      .toDF("lon", "lat", "expected")
+    assert(coords.filter(
+      R.validCoords(col("lon"), col("lat")) =!= col("expected")).count() == 0)
+  }
+
+  test("empty inputs: pagination, dedup, explode join are empty-safe") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.processingTasks)
+    assert(R.page(empty, 1, 10, col("id").asc).count() == 0)
+    assert(R.paginationMeta(empty, 10).as[(Long, Long)].collect().head == ((0L, 0L)))
+    assert(Dedup.exactDedup(empty, "id", col("task_type")).count() == 0)
+    // empty lineage arrays produce no joined rows (init.sql:62 default '{}')
+    val tasks = Seq(("t1", Seq.empty[String])).toDF("id", "input_files")
+    val files = Seq(("f1", 1)).toDF("file_id", "x")
+    assert(graft.operators.Joins.explodeJoin(tasks, "input_files", files, "file_id").count() == 0)
+  }
+
   test("schema StructTypes build empty frames with correct nullability") {
     val users = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.users)

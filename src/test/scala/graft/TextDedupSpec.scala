@@ -47,6 +47,17 @@ class TextDedupSpec extends SparkSuite {
     assert(recall >= 0.9, s"LSH recall $recall over ${trueDups.size} true pairs")
   }
 
+  test("MLlib MinHashLSH variant recovers the exact high-jaccard pairs") {
+    val d = Tables.documents(spark, sf)
+    val exact = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val ml = Dedup.mlMinhashPairs(d, "doc_id", "text", shingleN = 3, minJaccard = 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recall = exact.count(ml.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"MLlib LSH recall $recall over ${exact.size} exact pairs")
+  }
+
   test("simhash: near-dups land within small hamming distance, unrelated far") {
     val sh = docs.select(col("doc_id"), Dedup.simhash32(TextOps.tokens(col("text"))).as("h"))
       .as[(Long, Long)].collect().toMap
