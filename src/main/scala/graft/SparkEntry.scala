@@ -17,10 +17,16 @@ object SparkEntry {
 
   /** One SQL text shared verbatim by the Spark SQL surface (q49) and its
     * DuckDB oracle — revenue per supplier nation in a region and date range
-    * (TPC-H Q5 shape over the fixture star schema). */
+    * (TPC-H Q5 shape over the fixture star schema).
+    *
+    * Every decimal aggregate in this file is summed exactly in decimal and
+    * then cast to double as the FINAL output: engines widen decimal sums to
+    * different precisions (Spark → decimal(28,2), DuckDB → decimal(38,2)),
+    * which breaks byte-level hash parity even when values agree; exact
+    * decimal → double is deterministic and identical in both engines. */
   private val RegionRevenueSql: String =
     """SELECT n_name,
-       sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) AS revenue
+       cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) as double) AS revenue
        FROM lineitem
        JOIN orders ON l_orderkey = o_orderkey
        JOIN supplier ON l_suppkey = s_suppkey
@@ -43,9 +49,9 @@ object SparkEntry {
         .filter(col("l_shipdate") <= lit("1998-09-01"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(D)).as("sum_qty"),
-          sum(col("l_extendedprice").cast(D)).as("sum_base_price"),
-          sum(col("l_extendedprice").cast(D) * (lit(1) - col("l_discount").cast(D))).as("sum_disc_price"),
+          sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(D)).cast("double").as("sum_base_price"),
+          sum(col("l_extendedprice").cast(D) * (lit(1) - col("l_discount").cast(D))).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     }),
     "q07_rollup_status" -> ((s, dir) =>
@@ -53,7 +59,7 @@ object SparkEntry {
     "q08_time_buckets" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(to_date(col("ts")).as("day"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value").cast(D)).as("sum_value"))),
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(D)).cast("double").as("sum_value"))),
     "q15_bbox_agg" -> ((s, dir) => {
       // A3 bbox per group over derived integer coordinates (exact arithmetic).
       val li = Tables.lineitem(s, dir)
@@ -113,7 +119,8 @@ object SparkEntry {
       R.runningSum(Tables.orders(s, dir), "o_custkey",
         col("o_totalprice").cast(D), "run_total",
         col("o_orderdate"), col("o_orderkey"))
-        .select("o_orderkey", "o_custkey", "run_total")),
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("run_total").cast("double").as("run_total"))),
 
     // ---- joins (SURVEY §2.3) ----
     "q16_dim_join" -> ((s, dir) => {
@@ -131,7 +138,7 @@ object SparkEntry {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("o_date"))
-        .agg(sum(col("l_extendedprice").cast(D) * (lit(1) - col("l_discount").cast(D))).as("revenue"))
+        .agg(sum(col("l_extendedprice").cast(D) * (lit(1) - col("l_discount").cast(D))).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey").asc)
         .limit(10)
     }),
@@ -179,7 +186,7 @@ object SparkEntry {
     "q24_json_extract" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(Scalars.jsonField(col("props"), "$.k").cast("int").as("k"))
-        .agg(count(lit(1)).as("n"), sum(col("value").cast(D)).as("sum_value"))),
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(D)).cast("double").as("sum_value"))),
     "q25_date_math" -> ((s, dir) =>
       Tables.orders(s, dir).select(
         col("o_orderkey"),
@@ -236,8 +243,11 @@ object SparkEntry {
 
     // ---- EXT: near-dup dedup (SURVEY §2.12) ----
     "q36_neardup_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(Tables.spread(s, Tables.documents(s, dir)), "doc_id", "text",
-        n = 3, threshold = 0.5)),
+      // MinHash-candidates + exact-Jaccard verification: the scale path.
+      // (The all-pairs `jaccardPairs` variant stays available for exact
+      // small-scope audits and is spec-covered.)
+      Dedup.minhashVerifiedPairs(Tables.spread(s, Tables.documents(s, dir)), "doc_id", "text",
+        shingleN = 3, threshold = 0.5)),
     "q37_minhash_candidates" -> ((s, dir) =>
       Dedup.minhashCandidates(Tables.spread(s, Tables.documents(s, dir)), "doc_id", "text")),
     "q38_simhash" -> ((s, dir) =>
@@ -256,7 +266,10 @@ object SparkEntry {
         .withColumn("nrm", Similarity.norm(Similarity.asDouble(col("embedding"))))
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n"),
-          sum(col("nrm").cast("decimal(18,6)")).as("sum_norm"))),
+          // round BEFORE the decimal cast (sqrt doubles can differ by 1 ulp
+          // across engines at the decimal(18,6) boundary), cast the exact
+          // decimal sum to double as the final output.
+          sum(round(col("nrm"), 6).cast("decimal(18,6)")).cast("double").as("sum_norm"))),
     // ---- spatial (SURVEY §2.9) ----
     "q42_bbox_join" -> ((s, dir) => {
       // J12: point-in-bbox spatial join, broadcast dim side; integer-derived
@@ -329,7 +342,8 @@ object SparkEntry {
     "q48_rolling_window" -> ((s, dir) =>
       R.rollingWindow(Tables.events(s, dir), "user_id", "ts",
         col("value").cast(D), windowSeconds = 3600L, as = "roll_sum")
-        .select("user_id", "event_id", "roll_sum", "roll_sum_n")),
+        .select(col("user_id"), col("event_id"),
+          col("roll_sum").cast("double").as("roll_sum"), col("roll_sum_n"))),
 
     // ---- SQL API surface over the registered catalog ----
     "q49_sql_api" -> ((s, dir) => {
@@ -376,9 +390,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         sum(cast(l_quantity as decimal(18,2))) AS sum_qty,
-         sum(cast(l_extendedprice as decimal(18,2))) AS sum_base_price,
-         sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) AS sum_disc_price,
+         cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+         cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_base_price,
+         cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) as double) AS sum_disc_price,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
          GROUP BY l_returnflag, l_linestatus""",
@@ -405,7 +419,7 @@ object SparkEntry {
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
     "q08_time_buckets" ->
       """SELECT cast(date_trunc('day', ts) as date) AS day, event_type,
-         count(*) AS n, sum(cast(value as decimal(18,2))) AS sum_value
+         count(*) AS n, cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
          FROM events GROUP BY 1, 2""",
     "q09_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
@@ -426,9 +440,9 @@ object SparkEntry {
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     "q14_running_sum" ->
       """SELECT o_orderkey, o_custkey,
-         sum(cast(o_totalprice as decimal(18,2))) OVER (
+         cast(sum(cast(o_totalprice as decimal(18,2))) OVER (
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_total
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS run_total
          FROM orders""",
     "q15_bbox_agg" ->
       """SELECT l_returnflag,
@@ -446,7 +460,7 @@ object SparkEntry {
          GROUP BY r_name, n_name""",
     "q17_join_topk_revenue" ->
       """SELECT o_orderkey, cast(o_orderdate as date) AS o_date,
-         sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) AS revenue
+         cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) as double) AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -479,7 +493,7 @@ object SparkEntry {
          SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'""",
     "q24_json_extract" ->
       """SELECT cast(json_extract_string(props, '$.k') as int) AS k,
-         count(*) AS n, sum(cast(value as decimal(18,2))) AS sum_value
+         count(*) AS n, cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
          FROM events GROUP BY 1""",
     "q25_date_math" ->
       """SELECT o_orderkey,
@@ -493,6 +507,9 @@ object SparkEntry {
     "q27_exact_dedup" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY text""",
+    "q28_validation_split" ->
+      """SELECT value BETWEEN 0 AND 100 AS valid, count(*) AS n
+         FROM events GROUP BY 1""",
     "q29_dup_audit" ->
       """SELECT md5(text) AS fp, count(*) AS n_dups
          FROM documents GROUP BY text HAVING count(*) > 1""",
@@ -539,25 +556,36 @@ object SparkEntry {
          min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY 1""",
     "q36_neardup_jaccard" ->
-      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
-         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-                  generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' ')))) AS s
+      """WITH t0 AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         toks AS (SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))) AS t
+                  FROM t0 WHERE len(w) >= 3),
+         hs AS (SELECT doc_id, list_transform(t,
+                  tok -> ('0x' || substr(md5(tok), 1, 15))::bigint % 1000000007) AS h
                 FROM toks),
-         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2)
+         sig AS (SELECT doc_id, list_transform(generate_series(0, 31),
+                   i -> list_min(list_transform(h, x -> (x*(i*2+3) + (i*5+7)) % 1000000007))) AS s
+                 FROM hs),
+         bands AS (SELECT doc_id, b AS band_id,
+                     md5(array_to_string(s[b*4+1 : b*4+4], ',')) AS band_hash
+                   FROM sig, unnest(generate_series(0, 7)) AS u(b)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bands a
+                  JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                              AND a.doc_id < b.doc_id)
          SELECT doc_a, doc_b,
-           cast(c as double) / (sa.n + sb.n - c) AS jaccard
-         FROM inter
-         JOIN sizes sa ON sa.doc_id = doc_a
-         JOIN sizes sb ON sb.doc_id = doc_b
-         WHERE cast(c as double) / (sa.n + sb.n - c) >= 0.5""",
+           cast(len(list_intersect(sa.t, sb.t)) as double)
+             / (len(sa.t) + len(sb.t) - len(list_intersect(sa.t, sb.t))) AS jaccard
+         FROM cand
+         JOIN toks sa ON sa.doc_id = doc_a
+         JOIN toks sb ON sb.doc_id = doc_b
+         WHERE cast(len(list_intersect(sa.t, sb.t)) as double)
+             / (len(sa.t) + len(sb.t) - len(list_intersect(sa.t, sb.t))) >= 0.5""",
     "q37_minhash_candidates" ->
       """WITH t0 AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
          toks AS (SELECT doc_id, list_distinct(list_transform(
                     generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))) AS t
-                  FROM t0),
+                  FROM t0 WHERE len(w) >= 3),
          hs AS (SELECT doc_id, list_transform(t,
                   tok -> ('0x' || substr(md5(tok), 1, 15))::bigint % 1000000007) AS h
                 FROM toks),
@@ -623,7 +651,7 @@ object SparkEntry {
          FROM pts""",
     "q48_rolling_window" ->
       """SELECT user_id, event_id,
-         sum(cast(value as decimal(18,2))) OVER w AS roll_sum,
+         cast(sum(cast(value as decimal(18,2))) OVER w as double) AS roll_sum,
          count(*) OVER w AS roll_sum_n
          FROM events
          WINDOW w AS (PARTITION BY user_id
@@ -684,7 +712,7 @@ object SparkEntry {
                FROM lineitem) t GROUP BY l_returnflag""",
     "q40_embedding_stats" ->
       """SELECT label, count(*) AS n,
-         sum(cast(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) as decimal(18,6))) AS sum_norm
+         cast(sum(cast(round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 6) as decimal(18,6))) as double) AS sum_norm
          FROM embeddings GROUP BY label""",
   )
 }

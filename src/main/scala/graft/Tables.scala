@@ -49,9 +49,14 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Register every fixture table as a temp view (the analog of the
-    * reference's schema bootstrap, init.sql:1-219). */
+    * reference's schema bootstrap, init.sql:1-219). `events` goes through its
+    * wrapper so the TIMESTAMP(NANOS) column reads in any fresh session and the
+    * view exposes a true timestamp, not raw nanos longs. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    all.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 
   /** Spread a table across the cluster when the source produced too few
     * input splits for CPU-bound per-row work (single small parquet file →
@@ -60,6 +65,9 @@ object Tables {
     * case where shuffling is cheap by construction. */
   def spread(spark: SparkSession, df: DataFrame): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // `df.rdd.getNumPartitions` would convert the plan to an RDD per call —
+    // eager analysis + file listing, and AQE loses sight of the plan. The
+    // leaf input-file count answers the same question from metadata only.
+    if (df.inputFiles.length < target) df.repartition(target) else df
   }
 }

@@ -136,6 +136,37 @@ object Dedup {
       .distinct()
   }
 
+  /** Scale-safe exact-Jaccard near-dups: MinHash banded LSH prunes the
+    * candidate space (`minhashCandidates` — no all-pairs join), then exact
+    * Jaccard verifies each surviving pair over the full shingle sets.
+    *
+    * This is the standard two-phase design for corpus dedup at scale
+    * (candidate generation + verification): the shingle self-join in
+    * `jaccardPairs` is quadratic in shingle-collision-group size and dies
+    * first at 100 TB, while here the expensive exact comparison runs only on
+    * |candidates| pairs — a set bounded by band-bucket collisions. Recall is
+    * that of the band scheme (8 bands × 4 rows targets J ≥ ~0.6 with high
+    * probability; pairs barely at 0.5 may be missed — the documented
+    * approximate contract, same as every production MinHash dedup).
+    *
+    * Shape: band table (explode + hash-agg) → self-join on (band, hash) →
+    * distinct pairs → two key-joins back to per-doc shingle arrays →
+    * per-row `array_intersect`. No cross join, no quadratic key. */
+  def minhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val cand = minhashCandidates(docs, idCol, textCol)
+    val sets = docs.select(col(idCol),
+      TextOps.distinctShingles(TextOps.tokens(col(textCol)), shingleN).as("sh"))
+    cand
+      .join(sets.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("c").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** 32-bit SimHash from md5-derived token bits: bit_j(doc) = sign of
     * Σ_tokens (bit_j(token) ? +1 : -1). Near-identical docs land on
     * near-identical simhashes (small Hamming distance). */

@@ -26,6 +26,12 @@ for name, sql in sorted(oracle.items()):
     if ec != gc:
         fails.append((name, f"columns differ: oracle={ec} got={gc}"))
         continue
+    # The driver's hasher is value-representation-sensitive (decimal precision
+    # divergence fails it even when values agree) — surface dtype skew early.
+    dk = [(c, str(exp[c].dtype), str(got[c].dtype)) for c in ec
+          if exp[c].dtype != got[c].dtype]
+    if dk:
+        print(f"WARN {name}: dtype skew oracle-vs-spark: {dk}")
     exp = exp[ec].sort_values(by=ec, ignore_index=True)
     got = got[gc].sort_values(by=gc, ignore_index=True)
     if len(exp) != len(got):
