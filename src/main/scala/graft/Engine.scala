@@ -75,6 +75,21 @@ object Engine {
   def cascadeDeleteProject(projectIds: DataFrame, children: Seq[DataFrame]): Seq[DataFrame] =
     children.map(Joins.antiJoin(_, projectIds, Seq("project_id")))
 
+  /** Transitive cascade: project → processing_tasks (project_id) →
+    * webodm_tasks keyed by the deleted tasks' ids — the second FK level of
+    * the reference's graph (webodm_tasks.processing_task_id REFERENCES
+    * processing_tasks ON DELETE CASCADE, init.sql:89). Returns the surviving
+    * (tasks, webodm_tasks). Both levels are anti/semi joins on their FK —
+    * shuffle-partitioned by key, no driver-side row movement. */
+  def cascadeDeleteProjectDeep(projectIds: DataFrame, tasks: DataFrame,
+                               webodmTasks: DataFrame): (DataFrame, DataFrame) = {
+    val keptTasks = Joins.antiJoin(tasks, projectIds, Seq("project_id"))
+    val deletedTaskIds = Joins.semiJoin(tasks, projectIds, Seq("project_id"))
+      .select(col("id").as("processing_task_id"))
+    val keptWebodm = Joins.antiJoin(webodmTasks, deletedTaskIds, Seq("processing_task_id"))
+    (keptTasks, keptWebodm)
+  }
+
   /** Audit trail with actor context (J9 left join — deleted users preserved
     * as nulls, reference: ON DELETE SET NULL init.sql:155). */
   def auditTrail(auditLogs: DataFrame, users: DataFrame): DataFrame =

@@ -98,6 +98,95 @@ object Schemas {
     StructField("user_agent", StringType),
     StructField("created_at", TimestampType, nullable = false)))
 
+  /** webodm_projects (reference: init.sql:74-81) */
+  val webodmProjects: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("description", StringType),
+    StructField("webodm_id", IntegerType, nullable = false),
+    StructField("project_id", StringType, nullable = false),
+    StructField("created_at", TimestampType, nullable = false)))
+
+  /** webodm_tasks (reference: init.sql:84-94) */
+  val webodmTasks: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("webodm_task_id", StringType, nullable = false),
+    StructField("webodm_project_id", IntegerType, nullable = false),
+    StructField("processing_task_id", StringType, nullable = false),
+    StructField("options", StringType),          // JSONB → json string
+    StructField("status", StringType, nullable = false),
+    StructField("progress", DoubleType, nullable = false),
+    StructField("created_at", TimestampType, nullable = false)))
+
+  /** gee_export_tasks (reference: init.sql:97-110).
+    * GEOMETRY(POLYGON) → GeoJSON string + derived bbox struct (SURVEY §1.2). */
+  val geeExportTasks: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("task_id", StringType, nullable = false),
+    StructField("collection_id", StringType, nullable = false),
+    StructField("start_date", DateType, nullable = false),
+    StructField("end_date", DateType, nullable = false),
+    StructField("bounds_geojson", StringType, nullable = false),
+    StructField("bounds_bbox", bbox),
+    StructField("filters", StringType),
+    StructField("export_params", StringType),
+    StructField("project_id", StringType, nullable = false),
+    StructField("owner_id", StringType, nullable = false),
+    StructField("status", StringType, nullable = false),
+    StructField("created_at", TimestampType, nullable = false)))
+
+  /** analyses (reference: init.sql:113-124) */
+  val analyses: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("analysis_type", StringType, nullable = false),
+    StructField("project_id", StringType, nullable = false),
+    StructField("owner_id", StringType, nullable = false),
+    StructField("input_files", ArrayType(StringType), nullable = false),
+    StructField("parameters", StringType),
+    StructField("results", StringType),
+    StructField("status", StringType, nullable = false),
+    StructField("created_at", TimestampType, nullable = false),
+    StructField("completed_at", TimestampType)))
+
+  /** visualization_layers (reference: init.sql:127-138) */
+  val visualizationLayers: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("layer_type", StringType, nullable = false),
+    StructField("project_id", StringType, nullable = false),
+    StructField("file_id", StringType),          // nullable FK
+    StructField("data_source", StringType, nullable = false),
+    StructField("style", StringType),
+    StructField("is_visible", BooleanType, nullable = false),
+    StructField("opacity", DoubleType, nullable = false),
+    StructField("created_at", TimestampType, nullable = false)))
+
+  /** api_keys (reference: init.sql:141-150) */
+  val apiKeys: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("user_id", StringType, nullable = false),
+    StructField("service_name", StringType, nullable = false),
+    StructField("key_name", StringType, nullable = false),
+    StructField("encrypted_key", StringType, nullable = false),
+    StructField("is_active", BooleanType, nullable = false),
+    StructField("created_at", TimestampType, nullable = false),
+    StructField("expires_at", TimestampType)))
+
+  /** All 11 domain tables by reference name (init.sql:11-150). */
+  val domainTables: Map[String, StructType] = Map(
+    "users" -> users,
+    "projects" -> projects,
+    "files" -> files,
+    "processing_tasks" -> processingTasks,
+    "audit_logs" -> auditLogs,
+    "webodm_projects" -> webodmProjects,
+    "webodm_tasks" -> webodmTasks,
+    "gee_export_tasks" -> geeExportTasks,
+    "analyses" -> analyses,
+    "visualization_layers" -> visualizationLayers,
+    "api_keys" -> apiKeys)
+
   // ---- write-path defaults & triggers (SURVEY §1.3, §4.3) ----
 
   /** DDL defaults applied at write time (`DEFAULT uuid_generate_v4()`
@@ -135,4 +224,17 @@ object Schemas {
   def fileChecks(maxSize: Long): Column =
     col("file_type").isin(FileTypes: _*) &&
       col("size") > 0 && col("size") <= maxSize
+
+  /** webodm_tasks status/progress domain (init.sql:91-92). */
+  def webodmTaskChecks: Column =
+    col("progress").between(0.0, 1.0) &&
+      col("status").isin(ProcessingStatuses: _*)
+
+  /** visualization_layers opacity CHECK (init.sql:136). */
+  def layerChecks: Column = col("opacity").between(0.0, 1.0)
+
+  /** gee_export_tasks status domain + date-range sanity (init.sql:101-109). */
+  def geeExportChecks: Column =
+    col("status").isin(ProcessingStatuses: _*) &&
+      col("start_date") <= col("end_date")
 }

@@ -106,7 +106,7 @@ object SparkEntry {
     "q10_page" -> ((s, dir) =>
       R.page(Tables.customer(s, dir), page = 3, size = 20, col("c_custkey").asc)),
     "q11_pagination_meta" -> ((s, dir) =>
-      R.paginationMeta(Tables.customer(s, dir), size = 100)),
+      R.paginationMeta(Tables.customer(s, dir), page = 2, size = 100)),
 
     // ---- windows (SURVEY §2.7) ----
     "q12_latest_per_key" -> ((s, dir) =>
@@ -258,7 +258,7 @@ object SparkEntry {
     // ---- EXT: similarity search (SURVEY §2.12) ----
     "q39_knn_brute" -> ((s, dir) => {
       val e = Tables.spread(s, Tables.embeddings(s, dir))
-      Similarity.bruteKnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      Similarity.bruteKnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, dim = 64)
         .withColumn("sim", round(col("sim"), 6))
     }),
     "q40_embedding_stats" -> ((s, dir) =>
@@ -365,22 +365,29 @@ object SparkEntry {
         .groupBy(col("n_name")).agg(count(lit(1)).as("n_points"))
     }),
 
-    // ---- embedding-cosine near-dup (rows-only; ground truth in tests) ----
+    // ---- embedding-cosine near-dup (banded LSH + exact-cosine verify) ----
     "q51_embedding_neardup" -> ((s, dir) =>
+      // Threshold 0.4 ≈ the fixture's 99.95th cosine percentile (max pairwise
+      // cosine is 0.51 — the embeddings are near-random, so a realistic 0.8+
+      // near-dup threshold matches nothing; recall at production thresholds
+      // is spec-asserted on planted near-dups instead). 6 bits per band keep
+      // random-pair band collisions at 2^-6 so candidates stay far below
+      // all-pairs even in this low-threshold regime.
       Dedup.embeddingNearDups(Tables.spread(s, Tables.embeddings(s, dir)),
-        "vec_id", "embedding", dim = 64, threshold = 0.8)),
+        "vec_id", "embedding", dim = 64, threshold = 0.4,
+        nBands = 8, rowsPerBand = 6)),
 
     "q45_ivf_knn" -> ((s, dir) => {
       // rows-only gate: IVF (KMeans-coarse-quantized) ANN; recall asserted
       // in SpatialKnnSpec.
       val e = Tables.spread(s, Tables.embeddings(s, dir))
       Similarity.ivfKnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, nCentroids = 8, nprobe = 2)
+        k = 5, nCentroids = 8, nprobe = 2, dim = 64)
     }),
     "q41_knn_lsh" -> ((s, dir) => {
       // rows-only gate (no SQL oracle): LSH-bucketed ANN; recall vs the brute
       // baseline is asserted in KnnSpec.
-      val e = Tables.embeddings(s, dir)
+      val e = Tables.spread(s, Tables.embeddings(s, dir))
       Similarity.lshKnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
         dim = 64, nPlanes = 6, k = 5)
     }),
@@ -427,8 +434,11 @@ object SparkEntry {
     "q10_page" ->
       "SELECT * FROM customer ORDER BY c_custkey LIMIT 20 OFFSET 40",
     "q11_pagination_meta" ->
-      """SELECT count(*) AS total,
-         cast(ceil(count(*) / 100.0) as bigint) AS pages FROM customer""",
+      """SELECT count(*) AS total, 2 AS page, 100 AS size,
+         cast(ceil(count(*) / 100.0) as bigint) AS pages,
+         2 < cast(ceil(count(*) / 100.0) as bigint) AS has_next,
+         true AS has_prev
+         FROM customer""",
     "q12_latest_per_key" ->
       """SELECT user_id, event_id, event_type, value FROM (
            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
@@ -710,6 +720,26 @@ object SparkEntry {
                  cast(l_partkey * 7 % 360 - 180 as double) AS lon,
                  cast(l_suppkey * 13 % 180 - 90 as double) AS lat
                FROM lineitem) t GROUP BY l_returnflag""",
+    "q51_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         bands AS (SELECT vec_id, v, b AS band_id,
+             array_to_string(list_transform(generate_series(0, 5), r ->
+               CASE WHEN list_sum(list_transform(generate_series(1, 64), i ->
+                 v[i] * (('0x' || substr(md5('plane:' || cast(b*6+r as varchar) || ':' || cast(i-1 as varchar)), 1, 4))::bigint / 32768.0 - 1.0))) >= 0
+               THEN '1' ELSE '0' END), '') AS bucket
+           FROM e, unnest(generate_series(0, 7)) AS u(b)),
+         cand AS (SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+                  FROM bands a
+                  JOIN bands b ON a.band_id = b.band_id AND a.bucket = b.bucket
+                              AND a.vec_id < b.vec_id),
+         s AS (SELECT doc_a, doc_b,
+                 round(list_sum(list_transform(generate_series(1, 64), i -> ea.v[i]*eb.v[i]))
+                   / (sqrt(list_sum(list_transform(ea.v, x -> x*x)))
+                      * sqrt(list_sum(list_transform(eb.v, x -> x*x)))), 6) AS cos_sim
+               FROM cand
+               JOIN e ea ON ea.vec_id = doc_a
+               JOIN e eb ON eb.vec_id = doc_b)
+         SELECT doc_a, doc_b, cos_sim FROM s WHERE cos_sim >= 0.4""",
     "q40_embedding_stats" ->
       """SELECT label, count(*) AS n,
          cast(sum(cast(round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 6) as decimal(18,6))) as double) AS sum_norm

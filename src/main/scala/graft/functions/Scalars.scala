@@ -29,6 +29,11 @@ object Scalars {
   def ceilDiv(total: Column, size: Column): Column =
     ceil(total.cast("double") / size).cast("long")
 
+  /** F8 — exponential-backoff delay series: `delay · backoff^attempt`
+    * (reference: retry_with_backoff, shared/utils/__init__.py:255-271). */
+  def backoffDelay(attempt: Column, delay: Double = 1.0, backoff: Double = 2.0): Column =
+    lit(delay) * pow(lit(backoff), attempt)
+
   /** F9 — JSON-serialize a struct of columns (structured log records,
     * reference: shared/utils/__init__.py:114-129). */
   def asJson(cols: Column*): Column = to_json(struct(cols: _*))

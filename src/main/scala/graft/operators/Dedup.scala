@@ -224,19 +224,41 @@ object Dedup {
     docs.join(pairs.select(col("doc_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
-  /** Embedding-cosine near-dup pairs: LSH-bucket the embedding space (sign
-    * hyperplanes), compare only within buckets, keep pairs above the cosine
-    * threshold. The embedding-space analog of the shingle pipelines — no
-    * cross join; the bucket key bounds each comparison group. */
+  /** Embedding-cosine near-dup pairs: banded multi-table hyperplane LSH
+    * (candidate = all `rowsPerBand` sign bits of any of `nBands` tables
+    * agree), then exact-cosine verification on candidates only — the
+    * embedding-space analog of `minhashVerifiedPairs`.
+    *
+    * Scale design: a single 2^p bucket table has two failure modes at corpus
+    * scale — fixed bucket count makes the within-bucket self-join O(N²/2^p),
+    * and recall collapses because every near-dup straddling one hyperplane is
+    * lost. Banding fixes both: collision probability per band is tunable via
+    * `rowsPerBand` (more bits → smaller groups), and OR-amplification across
+    * `nBands` restores recall (p_pair = 1-(1-p_bit^r)^B). The join shuffles
+    * on (band_id, bucket); cosine is an unrolled codegen expression, rounded
+    * to 6 dp so the verdict is engine-reproducible. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int, threshold: Double,
-                        nPlanes: Int = 8): DataFrame = {
-    val b = df.select(col(idCol), Similarity.asDouble(col(vecCol)).as("v"),
-      Similarity.lshBucket(Similarity.asDouble(col(vecCol)), dim, nPlanes).as("bucket"))
-    b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
-        Similarity.cosine(col("a.v"), col("b.v")).as("cos_sim"))
+                        nBands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val v = Similarity.asDouble(col(vecCol))
+    // ids-only through the candidate self-join — carrying the vectors would
+    // shuffle |candidates|×2×dim doubles; instead distinct (doc_a, doc_b)
+    // pairs first, then two key-joins bring the vectors back for the exact
+    // verify (same two-phase shape as minhashVerifiedPairs).
+    val vecs = df.select(col(idCol), v.as("v"))
+    val banded = df.select(col(idCol),
+      posexplode(Similarity.bandBuckets(v, dim, nBands, rowsPerBand))
+        .as(Seq("band_id", "bucket")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.bucket") === col("b.bucket") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+    cand.join(vecs.select(col(idCol).as("doc_a"), col("v").as("va")), Seq("doc_a"))
+      .join(vecs.select(col(idCol).as("doc_b"), col("v").as("vb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(Similarity.cosineU(col("va"), col("vb"), dim), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }

@@ -126,12 +126,30 @@ object Relational {
     after.orderBy(col(keyCol)).limit(size)
   }
 
+  /** L3 — the reference's pagination-parameter clamp: page ≥ 1,
+    * size ∈ [1, 100] (reference: shared/models/__init__.py:38-41). */
+  def clampPageParams(page: Int, size: Int): (Int, Int) =
+    (page.max(1), size.max(1).min(100))
+
   /** L2/F7 — pagination metadata: total count + ceil-division page count
     * (reference: shared/utils/__init__.py:161-172). */
   def paginationMeta(df: DataFrame, size: Int): DataFrame =
     df.agg(count(lit(1)).as("total"))
       .select(col("total"),
         ceil(col("total") / lit(size)).cast("long").as("pages"))
+
+  /** L2 full parity — the reference's paginated-response envelope metadata:
+    * total, page, size, pages, has_next, has_prev
+    * (reference: shared/utils/__init__.py:161-172), with the L3 parameter
+    * clamp applied. */
+  def paginationMeta(df: DataFrame, page: Int, size: Int): DataFrame = {
+    val (p, s) = clampPageParams(page, size)
+    df.agg(count(lit(1)).as("total"))
+      .select(col("total"), lit(p).as("page"), lit(s).as("size"),
+        ceil(col("total") / lit(s)).cast("long").as("pages"))
+      .withColumn("has_next", lit(p) < col("pages"))
+      .withColumn("has_prev", lit(p > 1))
+  }
 
   // ---- windows (§2.7) -----------------------------------------------------
 

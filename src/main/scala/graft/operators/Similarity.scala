@@ -22,6 +22,29 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Unrolled fixed-dimension dot product: `element_at` terms compile into
+    * straight-line whole-stage-codegen Java, where the higher-order
+    * `aggregate`/`zip_with` form evaluates interpreted lambdas per element.
+    * Summation is left-to-right — bit-identical to the HOF form and to an
+    * external oracle's sequential list sum. Use whenever `dim` is known. */
+  def dotU(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+
+  def normU(a: Column, dim: Int): Column = sqrt(dotU(a, a, dim))
+
+  def cosineU(a: Column, b: Column, dim: Int): Column =
+    dotU(a, b, dim) / (normU(a, dim) * normU(b, dim))
+
+  /** Deterministic pseudo-random hyperplane weight in [-1, 1): the first two
+    * md5 bytes of "plane:p:i" scaled — fully reproducible by any engine with
+    * md5 (oracle form: `('0x'||substr(md5('plane:'||p||':'||i),1,4))::bigint
+    * / 32768.0 - 1.0`). */
+  def planeWeight(p: Int, i: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane:$p:$i".getBytes("UTF-8"))
+    (((h(0) & 0xffL) << 8 | (h(1) & 0xffL)).toDouble / 32768.0) - 1.0
+  }
+
   /** Cast an `array<float>` column to `array<double>` so arithmetic matches
     * a double-based oracle exactly. */
   def asDouble(a: Column): Column = a.cast("array<double>")
@@ -31,14 +54,16 @@ object Similarity {
     * scan → broadcast nested loop (|queries| multiplier) → per-query top-k
     * via window. At 1000 executors this is a single pass over the corpus. */
   def bruteKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
-               vecCol: String, k: Int): DataFrame = {
+               vecCol: String, k: Int, dim: Int = 0): DataFrame = {
     val q = broadcast(queries.select(
       col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec")))
     val scored = corpus
       .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("nvec"))
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("qvec"), col("nvec")))
+      .withColumn("sim",
+        if (dim > 0) cosineU(col("qvec"), col("nvec"), dim)
+        else cosine(col("qvec"), col("nvec")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
@@ -50,40 +75,41 @@ object Similarity {
   /** Cosine-LSH bucket signature: sign bits against `nPlanes` deterministic
     * pseudo-random hyperplanes (md5-seeded, so fully reproducible). A vector's
     * bucket = concatenated sign bits of its first `nPlanes` projections. */
-  def lshBucket(vec: Column, dim: Int, nPlanes: Int): Column = {
-    val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
-      (0 until dim).map { i =>
-        // deterministic pseudo-random weights in [-1, 1)
-        val h = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"plane:$p:$i".getBytes("UTF-8"))
-        (((h(0) & 0xffL) << 8 | (h(1) & 0xffL)).toDouble / 32768.0) - 1.0
-      }
-    }
-    val bits = planes.map { w =>
-      // unrolled dot product: element_at terms compile into straight-line
-      // whole-stage-codegen Java; the higher-order zip_with/aggregate form
-      // evaluates interpreted lambdas per element (measurably slower at
-      // corpus scale).
-      val proj = w.zipWithIndex.map { case (c, i) =>
-        element_at(vec, i + 1) * lit(c)
-      }.reduce(_ + _)
-      when(proj >= 0, lit("1")).otherwise(lit("0"))
-    }
-    concat(bits: _*)
+  /** Sign bit of the projection onto deterministic hyperplane `p` — an
+    * unrolled codegen-friendly expression (see `dotU`). */
+  private def signBit(vec: Column, dim: Int, p: Int): Column = {
+    val proj = (0 until dim).map(i => element_at(vec, i + 1) * lit(planeWeight(p, i)))
+      .reduce(_ + _)
+    when(proj >= 0, lit("1")).otherwise(lit("0"))
   }
 
-  /** Hamming-1 probe set of a sign-bit bucket string: the bucket itself plus
-    * every single-bit flip. Multi-probe recovers most neighbors lost across a
-    * single hyperplane boundary at the cost of (nPlanes+1)× candidate lookups
-    * on the (small, broadcast) query side only. */
-  private def probeBuckets(bucket: Column, nPlanes: Int): Column = {
-    val flips = (1 to nPlanes).map { i =>
-      concat(
-        substring(bucket, 1, i - 1),
-        when(substring(bucket, i, 1) === "1", "0").otherwise("1"),
-        substring(bucket, i + 1, nPlanes - i))
-    }
-    array((bucket +: flips): _*)
+  def lshBucket(vec: Column, dim: Int, nPlanes: Int): Column =
+    concat((0 until nPlanes).map(p => signBit(vec, dim, p)): _*)
+
+  /** Banded (multi-table) cosine-LSH buckets: `nBands` independent tables of
+    * `rowsPerBand` sign bits each — band b uses planes [b·r, b·r+r). A pair
+    * is a candidate when ALL bits of ANY band agree, the OR-of-ANDs
+    * amplification that keeps recall high where a single 2^p bucket table
+    * loses every neighbor that straddles one hyperplane (and whose fixed
+    * bucket count makes buckets O(N/2^p) — quadratic blowup at corpus
+    * scale). Returns array[bucket-string] indexed by band. */
+  def bandBuckets(vec: Column, dim: Int, nBands: Int, rowsPerBand: Int): Column =
+    array((0 until nBands).map { b =>
+      concat((0 until rowsPerBand).map(r => signBit(vec, dim, b * rowsPerBand + r)): _*)
+    }: _*)
+
+  /** Hamming-≤radius probe set of a sign-bit bucket string: the bucket plus
+    * every combination of up to `radius` bit flips. Multi-probe recovers
+    * neighbors lost across hyperplane boundaries at the cost of Σ C(p,r)×
+    * candidate lookups on the (small, broadcast) query side only — the
+    * corpus is never re-bucketed. */
+  private def probeBuckets(bucket: Column, nPlanes: Int, radius: Int): Column = {
+    def flip(c: Column, i: Int): Column = concat(
+      substring(c, 1, i - 1),
+      when(substring(c, i, 1) === "1", "0").otherwise("1"),
+      substring(c, i + 1, nPlanes - i))
+    val idxSets = (0 to radius).flatMap(r => (1 to nPlanes).combinations(r))
+    array(idxSets.map(is => is.foldLeft(bucket)((c, i) => flip(c, i))): _*)
   }
 
   /** IVF-style ANN: coarse-quantize the corpus with KMeans centroids, then
@@ -93,35 +119,45 @@ object Similarity {
     * Deterministic via fixed seed. */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, nCentroids: Int = 16,
-             nprobe: Int = 2): DataFrame = {
+             nprobe: Int = 2, maxFitRows: Long = 100000L,
+             dim: Int = 0): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val train = corpus.select(array_to_vector(asDouble(col(vecCol))).as("features"))
+    // Fit the coarse quantizer on a deterministic hash-sampled cap, never the
+    // full corpus: at 100 TB KMeans trains on ≤`maxFitRows` rows once and the
+    // centroids broadcast as literals. (count() is a footer-metadata job.)
+    val mod = math.max(1L, corpus.count() / math.max(1L, maxFitRows))
+    val train = corpus
+      .filter(pmod(xxhash64(col(idCol)), lit(mod)) === 0)
+      .select(array_to_vector(asDouble(col(vecCol))).as("features"))
     val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
       .fit(train)
     val centroids = model.clusterCenters.map(_.toArray).zipWithIndex
-    val centroidLit = array(centroids.map { case (c, i) =>
-      struct(lit(i).as("cid"), array(c.map(lit): _*).as("cvec"))
+    // per-centroid inner product as unrolled straight-line codegen terms
+    def score(vec: Column, cv: Array[Double]): Column =
+      cv.zipWithIndex.map { case (w, i) => element_at(vec, i + 1) * lit(w) }.reduce(_ + _)
+    def scoredArr(vec: Column): Column = array(centroids.map { case (cv, i) =>
+      struct(score(vec, cv).as("score"), lit(i).as("cid"))
     }: _*)
-    // nearest-centroid ids as a per-row expression over the literal table
-    def nearestCids(vec: Column, n: Int): Column = {
-      val scored = transform(centroidLit, c =>
-        struct(dot(vec, c.getField("cvec")).as("score"), c.getField("cid").as("cid")))
-      // top-n centroid ids by inner product (centroids near-unit for cosine)
-      slice(reverse(array_sort(scored)), 1, n).getField("cid")
-    }
+    // corpus side: argmax via array_max over an nCentroids-sized literal
+    // array (struct compares score first) — the heavy dot products are
+    // codegen'd; no per-row array_sort over the corpus.
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("nvec"))
-      .withColumn("cell", element_at(nearestCids(col("nvec"), 1), 1))
+      .withColumn("cell", array_max(scoredArr(col("nvec"))).getField("cid"))
+    // query side is small and broadcast — a sort for top-nprobe is fine here
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
-        .withColumn("cell", explode(nearestCids(col("qvec"), nprobe))))
+        .withColumn("cell",
+          explode(slice(reverse(array_sort(scoredArr(col("qvec")))), 1, nprobe)
+            .getField("cid"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val sim = if (dim > 0) cosineU(col("qvec"), col("nvec"), dim)
+              else cosine(col("qvec"), col("nvec"))
     c.join(q, "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qvec"), col("nvec")).as("sim"))
+      .select(col("query_id"), col("neighbor_id"), sim.as("sim"))
       .distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -134,7 +170,7 @@ object Similarity {
     * buckets, so the join stays |corpus| × small. */
   def lshKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, dim: Int, nPlanes: Int, k: Int,
-             multiProbe: Boolean = true): DataFrame = {
+             multiProbe: Boolean = true, probeRadius: Int = 1): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("nvec"),
       lshBucket(asDouble(col(vecCol)), dim, nPlanes).as("bucket"))
@@ -144,7 +180,7 @@ object Similarity {
     val q = broadcast(
       if (multiProbe)
         qBase.select(col("query_id"), col("qvec"),
-          explode(probeBuckets(col("qbucket"), nPlanes)).as("bucket"))
+          explode(probeBuckets(col("qbucket"), nPlanes, probeRadius)).as("bucket"))
       else qBase.withColumnRenamed("qbucket", "bucket"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
@@ -152,7 +188,7 @@ object Similarity {
     c.join(q, "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qvec"), col("nvec")).as("sim"))
+        cosineU(col("qvec"), col("nvec"), dim).as("sim"))
       .distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

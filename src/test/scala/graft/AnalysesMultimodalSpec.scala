@@ -79,12 +79,15 @@ class AnalysesMultimodalSpec extends SparkSuite {
   test("IVF ANN recall vs brute force on fixture embeddings") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 20)
-    val brute = Similarity.bruteKnn(e, q, "vec_id", "embedding", k = 5)
+    val brute = Similarity.bruteKnn(e, q, "vec_id", "embedding", k = 5, dim = 64)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // Near-random fixture cosines spread true neighbors across cells — the
+    // worst case for IVF; 6 of 8 probed cells is what 0.8 recall costs here.
+    // (Clustered production embeddings concentrate neighbors in 1-2 cells.)
     val ivf = Similarity.ivfKnn(e, q, "vec_id", "embedding", k = 5,
-      nCentroids = 8, nprobe = 3)
+      nCentroids = 8, nprobe = 6, dim = 64)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = brute.count(ivf.contains).toDouble / brute.size
-    assert(recall >= 0.5, s"IVF recall too low: $recall")
+    assert(recall >= 0.8, s"IVF recall too low: $recall")
   }
 }

@@ -66,6 +66,74 @@ class SchemasSpec extends SparkSuite {
     assert(users.count() == 0)
   }
 
+  test("all 11 domain tables declared; new tables build frames with declared nullability") {
+    assert(Schemas.domainTables.keySet == Set(
+      "users", "projects", "files", "processing_tasks", "audit_logs",
+      "webodm_projects", "webodm_tasks", "gee_export_tasks", "analyses",
+      "visualization_layers", "api_keys"))
+    for ((name, st) <- Schemas.domainTables) {
+      val df = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      assert(df.count() == 0, name)
+      assert(!df.schema("id").nullable, s"$name.id must be non-null (PK)")
+      assert(!df.schema("created_at").nullable, s"$name.created_at must be non-null")
+    }
+    // spot nullability parity with init.sql: nullable FK / optional columns
+    assert(Schemas.visualizationLayers("file_id").nullable)       // init.sql:132
+    assert(Schemas.apiKeys("expires_at").nullable)                // init.sql:149
+    assert(!Schemas.geeExportTasks("bounds_geojson").nullable)    // init.sql:102
+  }
+
+  test("CHECK predicates for webodm_tasks, layers, gee exports quarantine violations") {
+    val wt = Seq(
+      ("w1", 0.5, "pending"), ("w2", 1.5, "pending"), ("w3", 0.5, "nope")
+    ).toDF("id", "progress", "status")
+    val (okW, badW) = R.quarantine(wt, Schemas.webodmTaskChecks)
+    assert(okW.select("id").as[String].collect().toSeq == Seq("w1") && badW.count() == 2)
+    val vl = Seq(("l1", 0.0), ("l2", 1.0), ("l3", 1.01)).toDF("id", "opacity")
+    val (okL, badL) = R.quarantine(vl, Schemas.layerChecks)
+    assert(okL.count() == 2 && badL.count() == 1)
+    val ge = Seq(
+      ("g1", "2024-01-01", "2024-02-01", "pending"),
+      ("g2", "2024-03-01", "2024-02-01", "pending"),  // inverted range
+      ("g3", "2024-01-01", "2024-02-01", "bogus")
+    ).toDF("id", "s", "e", "status")
+      .select(col("id"), col("s").cast("date").as("start_date"),
+        col("e").cast("date").as("end_date"), col("status"))
+    val (okG, badG) = R.quarantine(ge, Schemas.geeExportChecks)
+    assert(okG.select("id").as[String].collect().toSeq == Seq("g1") && badG.count() == 2)
+  }
+
+  test("paginationMeta full envelope: page/size clamp, has_next/has_prev") {
+    val df = spark.range(250).toDF("id")
+    // page 2 of 3 (size 100): both neighbors exist
+    val m = R.paginationMeta(df, page = 2, size = 100)
+      .as[(Long, Int, Int, Long, Boolean, Boolean)].collect().head
+    assert(m == ((250L, 2, 100, 3L, true, true)))
+    // clamp: page 0 → 1, size 1000 → 100 (shared/models/__init__.py:38-41)
+    val c = R.paginationMeta(df, page = 0, size = 1000)
+      .as[(Long, Int, Int, Long, Boolean, Boolean)].collect().head
+    assert(c == ((250L, 1, 100, 3L, true, false)))
+    assert(R.clampPageParams(-5, 0) == ((1, 1)))
+  }
+
+  test("cascadeDeleteProjectDeep removes grandchildren via the second FK level") {
+    val projectIds = Seq("p1").toDF("project_id")
+    val tasks = Seq(("t1", "p1"), ("t2", "p2")).toDF("id", "project_id")
+    val webodm = Seq(("w1", "t1"), ("w2", "t2")).toDF("id", "processing_task_id")
+    val (keptTasks, keptWebodm) =
+      Engine.cascadeDeleteProjectDeep(projectIds, tasks, webodm)
+    assert(keptTasks.select("id").as[String].collect().toSeq == Seq("t2"))
+    assert(keptWebodm.select("id").as[String].collect().toSeq == Seq("w2"))
+  }
+
+  test("backoffDelay matches the reference's delay*backoff^attempt series") {
+    val out = Seq(0, 1, 2, 3).toDF("attempt")
+      .select(graft.functions.Scalars.backoffDelay(col("attempt")).as("d"))
+      .as[Double].collect().toSeq
+    assert(out == Seq(1.0, 2.0, 4.0, 8.0))
+  }
+
   test("removeNearDups keeps the lower id of every pair") {
     val docs = Seq((1L, "a"), (2L, "a2"), (3L, "b"), (4L, "c")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")

@@ -80,28 +80,38 @@ class SpatialKnnSpec extends SparkSuite {
     assert(viaGrid == viaBroadcast && viaGrid.nonEmpty)
   }
 
-  test("embeddingNearDups finds only pairs above threshold; none missed within bucket recall") {
+  test("embeddingNearDups: planted near-dups recovered with recall >= 0.9, no false positives") {
     import graft.operators.Dedup
-    val e = Tables.embeddings(spark, sf).limit(200)
+    // Fixture embeddings are near-random (max pairwise cosine ≈ 0.51), so a
+    // production threshold would match nothing — plant one perturbed copy of
+    // each vector (±5% per-element noise → cosine ≈ 0.995) and assert the
+    // banded LSH + verify pipeline finds the planted pairs.
+    val base = Tables.embeddings(spark, sf).limit(200)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("embedding"))
+    val noise = array((0 until 64).map(i =>
+      lit(1.0 + 0.05 * Similarity.planeWeight(999, i))): _*)
+    val dups = base.select((col("vec_id") + 100000L).as("vec_id"),
+      zip_with(col("embedding"), noise, (x, n) => x * n).as("embedding"))
+    val e = base.union(dups)
     val got = Dedup.embeddingNearDups(e, "vec_id", "embedding", dim = 64,
-      threshold = 0.5, nPlanes = 4)
+      threshold = 0.9, nBands = 8, rowsPerBand = 4)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    // ground truth by brute force on the driver (200 vecs)
-    val vecs = e.select(col("vec_id"), Similarity.asDouble(col("embedding")))
-      .as[(Long, Seq[Double])].collect().toMap
+    // ground truth by brute force on the driver (400 vecs)
+    val vecs = e.as[(Long, Seq[Double])].collect().toMap
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
       val d = a.zip(b).map { case (x, y) => x * y }.sum
       d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
     }
     val truth = (for {
       (i, vi) <- vecs.toSeq; (j, vj) <- vecs.toSeq if i < j
-      if cos(vi, vj) >= 0.5
+      if cos(vi, vj) >= 0.9
     } yield (i, j)).toSet
-    assert(got.subsetOf(truth), s"false positives: ${got.diff(truth).take(3)}")
-    if (truth.nonEmpty) {
-      val recall = truth.count(got.contains).toDouble / truth.size
-      assert(recall >= 0.3, s"bucketed near-dup recall too low: $recall of ${truth.size}")
-    }
+    assert(truth.size >= 200, s"expected >=200 planted pairs, got ${truth.size}")
+    // tolerance at the round(·,6) threshold boundary only
+    assert(got.forall { case (i, j) => cos(vecs(i), vecs(j)) >= 0.9 - 1e-5 },
+      s"false positives: ${got.filter { case (i, j) => cos(vecs(i), vecs(j)) < 0.9 - 1e-5 }.take(3)}")
+    val recall = truth.count(got.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"banded near-dup recall too low: $recall of ${truth.size}")
   }
 
   test("cosine: identical vectors → 1, orthogonal → 0") {
@@ -116,13 +126,17 @@ class SpatialKnnSpec extends SparkSuite {
   test("LSH ANN recall vs brute-force baseline on fixture embeddings") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 20)
-    val brute = Similarity.bruteKnn(e, q, "vec_id", "embedding", k = 5)
+    val brute = Similarity.bruteKnn(e, q, "vec_id", "embedding", k = 5, dim = 64)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val lsh = Similarity.lshKnn(e, q, "vec_id", "embedding", dim = 64, nPlanes = 4, k = 5)
+    // Fixture cosines are near-random (top-5 sims ≈ 0.3-0.5), the hardest
+    // regime for cosine LSH — hamming-2 multi-probe (11 of 16 buckets) is
+    // what it takes to hold 0.8 recall here. At production near-dup sims
+    // (0.9+) the same scheme prunes far more aggressively.
+    val lsh = Similarity.lshKnn(e, q, "vec_id", "embedding", dim = 64,
+      nPlanes = 4, k = 5, probeRadius = 2)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = brute.count(lsh.contains).toDouble / brute.size
-    // 4 planes → 16 buckets over 500 vectors; same-bucket neighbors only.
-    assert(recall >= 0.25, s"LSH recall too low: $recall")
+    assert(recall >= 0.8, s"LSH recall too low: $recall")
     assert(lsh.nonEmpty && brute.size == 100)
   }
 }
