@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.PointInPolygon
+import graft.functions.{HyperplaneBands, PointInPolygon}
 
 /** Session extension registering the engine's custom Catalyst expressions so
   * they are callable from SQL as well as the Column API.
@@ -16,6 +16,7 @@ import graft.functions.PointInPolygon
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.pointInPolygonDescriptor)
+    e.injectFunction(GraftExtensions.hyperplaneBandsDescriptor)
   }
 }
 
@@ -26,15 +27,38 @@ object GraftExtensions {
     PointInPolygon(args(0), args(1), args(2))
   }
 
+  private def intArg(e: Expression, what: String): Int = e.eval(null) match {
+    case i: Int  => i
+    case l: Long => l.toInt
+    case other   => throw new IllegalArgumentException(
+      s"hyperplane_bands $what must be an integer literal, got $other")
+  }
+
+  private def hbBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 4,
+      s"hyperplane_bands(vec, dim, nBands, rowsPerBand) takes 4 arguments, got ${args.length}")
+    HyperplaneBands(args(0), intArg(args(1), "dim"),
+      intArg(args(2), "nBands"), intArg(args(3), "rowsPerBand"))
+  }
+
   val pointInPolygonDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("point_in_polygon"),
     new ExpressionInfo(classOf[PointInPolygon].getName, "point_in_polygon"),
     pipBuilder _)
 
+  val hyperplaneBandsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hyperplane_bands"),
+    new ExpressionInfo(classOf[HyperplaneBands].getName, "hyperplane_bands"),
+    hbBuilder _)
+
   /** Register custom functions on an existing session (used by Verify/Bench
     * and tests, where the builder isn't ours). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "point_in_polygon", pipBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_bands", hbBuilder, "built-in")
+  }
 }

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Banded hyperplane sign-bit buckets as a native Catalyst expression.
+  *
+  * Returns, for a `dim`-dimensional double vector, `nBands` bucket strings of
+  * `rowsPerBand` sign bits each — band b uses hyperplanes [b·r, b·r+r), with
+  * the deterministic md5-seeded weights of `Similarity.planeWeight` (fully
+  * reproducible by external oracles).
+  *
+  * Why an expression and not composed built-ins: the unrolled `element_at`
+  * formulation creates B·r·dim expression nodes (3072 at 8×6×64), and Janino
+  * compilation of that tree dominates query time (~30-80 s per plan measured
+  * at sf0.1 — the data work itself is milliseconds). A HOF formulation keeps
+  * the tree small but evaluates interpreted lambdas per element. This
+  * expression emits a tight Java LOOP over a referenced weight matrix:
+  * constant-size generated code, whole-stage codegen, per-row cost
+  * O(B·r·dim) flops with no boxing.
+  */
+case class HyperplaneBands(child: Expression, dim: Int, nBands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "hyperplane_bands"
+
+  @transient private lazy val weights: Array[Array[Double]] =
+    HyperplaneBands.weightMatrix(dim, nBands * rowsPerBand)
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneBands.compute(input.asInstanceOf[ArrayData], weights, dim, nBands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = HyperplaneBands.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val wRef = ctx.addReferenceObj("hyperplaneWeights", weights, "double[][]")
+    nullSafeCodeGen(ctx, ev, vec =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s"$cls.compute($vec, $wRef, $dim, $nBands, $rowsPerBand);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneBands {
+  def weightMatrix(dim: Int, nPlanes: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim)((p, i) => graft.operators.Similarity.planeWeight(p, i))
+
+  /** Sign-bit bucket strings; summation left-to-right per plane (matches the
+    * oracle's sequential list sum bit-for-bit). Vector entries beyond the
+    * declared `dim` are ignored; shorter vectors use their actual length. */
+  def compute(v: ArrayData, w: Array[Array[Double]], dim: Int,
+              nBands: Int, rowsPerBand: Int): ArrayData = {
+    val n = math.min(dim, v.numElements())
+    val out = new Array[Any](nBands)
+    var b = 0
+    while (b < nBands) {
+      val bits = new Array[Char](rowsPerBand)
+      var r = 0
+      while (r < rowsPerBand) {
+        val wp = w(b * rowsPerBand + r)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += v.getDouble(i) * wp(i); i += 1 }
+        bits(r) = if (s >= 0) '1' else '0'
+        r += 1
+      }
+      out(b) = UTF8String.fromString(new String(bits))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -75,16 +75,9 @@ object Similarity {
   /** Cosine-LSH bucket signature: sign bits against `nPlanes` deterministic
     * pseudo-random hyperplanes (md5-seeded, so fully reproducible). A vector's
     * bucket = concatenated sign bits of its first `nPlanes` projections. */
-  /** Sign bit of the projection onto deterministic hyperplane `p` — an
-    * unrolled codegen-friendly expression (see `dotU`). */
-  private def signBit(vec: Column, dim: Int, p: Int): Column = {
-    val proj = (0 until dim).map(i => element_at(vec, i + 1) * lit(planeWeight(p, i)))
-      .reduce(_ + _)
-    when(proj >= 0, lit("1")).otherwise(lit("0"))
-  }
-
+  /** Single-table LSH bucket = the one band of a 1×nPlanes banding. */
   def lshBucket(vec: Column, dim: Int, nPlanes: Int): Column =
-    concat((0 until nPlanes).map(p => signBit(vec, dim, p)): _*)
+    element_at(bandBuckets(vec, dim, 1, nPlanes), 1)
 
   /** Banded (multi-table) cosine-LSH buckets: `nBands` independent tables of
     * `rowsPerBand` sign bits each — band b uses planes [b·r, b·r+r). A pair
@@ -92,11 +85,15 @@ object Similarity {
     * amplification that keeps recall high where a single 2^p bucket table
     * loses every neighbor that straddles one hyperplane (and whose fixed
     * bucket count makes buckets O(N/2^p) — quadratic blowup at corpus
-    * scale). Returns array[bucket-string] indexed by band. */
+    * scale). Returns array[bucket-string] indexed by band.
+    *
+    * Implemented as a custom Catalyst expression
+    * (graft.functions.HyperplaneBands): the unrolled element_at formulation
+    * put B·r·dim nodes in the plan and Janino compilation dominated query
+    * time; the expression emits a constant-size Java loop instead. Requires
+    * `GraftExtensions.register` (or the extensions config) on the session. */
   def bandBuckets(vec: Column, dim: Int, nBands: Int, rowsPerBand: Int): Column =
-    array((0 until nBands).map { b =>
-      concat((0 until rowsPerBand).map(r => signBit(vec, dim, b * rowsPerBand + r)): _*)
-    }: _*)
+    call_function("hyperplane_bands", vec, lit(dim), lit(nBands), lit(rowsPerBand))
 
   /** Hamming-≤radius probe set of a sign-bit bucket string: the bucket plus
     * every combination of up to `radius` bit flips. Multi-probe recovers

@@ -69,6 +69,29 @@ object Sources {
       .filter(graft.operators.Spatial.bboxIntersects(sceneBox, aoi))
   }
 
+  /** S11 driven by the declared `gee_export_tasks` schema
+    * (graft.Schemas.geeExportTasks ← init.sql:97-110): run every pending
+    * export task against the scenes catalog in ONE pass — tasks are a small
+    * dimension (broadcast), scenes stream once regardless of how many export
+    * tasks are pending; collection equality is the join key the broadcast
+    * hash join probes on. */
+  def runExports(exportTasks: DataFrame, scenes: DataFrame,
+                 maxCloudPct: Double = 100.0): DataFrame = {
+    val t = broadcast(exportTasks
+      .filter(col("status") === "pending")
+      .select(col("id").as("export_id"), col("collection_id"),
+        col("start_date"), col("end_date"), col("bounds_bbox")))
+    val sceneBox = struct(
+      col("min_lon"), col("min_lat"), col("max_lon"), col("max_lat"))
+    scenes
+      .filter(col("cloud_pct") <= maxCloudPct)
+      .join(t, Seq("collection_id"))
+      .filter(col("date").between(col("start_date"), col("end_date")) &&
+        graft.operators.Spatial.bboxIntersects(sceneBox, col("bounds_bbox")))
+      .select(col("export_id"), col("collection_id"), col("scene_id"),
+        col("date"), col("cloud_pct"))
+  }
+
   // ---- S12: external-job pattern (WebODM, DECL tier) ----
 
   /** External-job tracking table (reference: webodm_tasks init.sql:74-94):
@@ -78,4 +101,19 @@ object Sources {
   def currentJobStatus(jobEvents: DataFrame): DataFrame =
     graft.operators.Relational.latestPerKey(
       jobEvents, "job_id", col("ts"), col("event_id"))
+
+  /** S12 driven by the declared schemas (graft.Schemas.processingTasks ⋈
+    * graft.Schemas.webodmTasks ← init.sql:56-71,84-94): the combined job view
+    * the reference's processing service polls — each processing task with its
+    * external WebODM counterpart (left outer: tasks not yet submitted surface
+    * with null webodm columns, the J8 nullable-FK shape). */
+  def webodmJobView(processingTasks: DataFrame, webodmTasks: DataFrame): DataFrame =
+    processingTasks.as("t")
+      .join(webodmTasks.as("w"),
+        col("w.processing_task_id") === col("t.id"), "left_outer")
+      .select(col("t.id").as("task_id"), col("t.task_type"),
+        col("t.status").as("status"), col("t.progress").as("progress"),
+        col("w.webodm_task_id"), col("w.webodm_project_id"),
+        col("w.status").as("webodm_status"),
+        col("w.progress").as("webodm_progress"))
 }

@@ -114,6 +114,19 @@ class SpatialKnnSpec extends SparkSuite {
     assert(recall >= 0.9, s"banded near-dup recall too low: $recall of ${truth.size}")
   }
 
+  test("hyperplane_bands: SQL-callable, matches driver-side sign computation") {
+    val row = spark.sql("SELECT hyperplane_bands(array(1.0D, -2.0D), 2, 2, 3) AS b")
+      .as[Seq[String]].collect().head
+    val expected = (0 until 2).map { b =>
+      (0 until 3).map { r =>
+        val p = b * 3 + r
+        val s = 1.0 * Similarity.planeWeight(p, 0) + (-2.0) * Similarity.planeWeight(p, 1)
+        if (s >= 0) '1' else '0'
+      }.mkString
+    }
+    assert(row == expected)
+  }
+
   test("cosine: identical vectors → 1, orthogonal → 0") {
     val df = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 2.0)))
       .toDF("a", "b", "c")
