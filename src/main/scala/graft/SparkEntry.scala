@@ -385,11 +385,14 @@ object SparkEntry {
         k = 5, nCentroids = 8, nprobe = 2, dim = 64)
     }),
     "q41_knn_lsh" -> ((s, dir) => {
-      // rows-only gate (no SQL oracle): LSH-bucketed ANN; recall vs the brute
-      // baseline is asserted in KnnSpec.
+      // Fully oracle-gated: the md5-seeded hyperplane buckets and hamming-1
+      // probe set are engine-reproducible, so the whole multi-probe LSH ANN
+      // pipeline has an exact DuckDB oracle. Recall vs the brute baseline is
+      // additionally asserted in SpatialKnnSpec.
       val e = Tables.spread(s, Tables.embeddings(s, dir))
       Similarity.lshKnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
         dim = 64, nPlanes = 6, k = 5)
+        .withColumn("sim", round(col("sim"), 6))
     }),
   )
 
@@ -626,6 +629,37 @@ object SparkEntry {
                  / (sqrt(list_sum(list_transform(qv, x -> x*x)))
                     * sqrt(list_sum(list_transform(v, x -> x*x)))) AS sim0
                FROM e CROSS JOIN q WHERE e.vec_id != qid),
+         r AS (SELECT query_id, neighbor_id, sim0,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim0 DESC, neighbor_id) AS rank
+               FROM s)
+         SELECT query_id, neighbor_id, cast(rank as int) AS rank, round(sim0, 6) AS sim
+         FROM r WHERE rank <= 5""",
+    "q41_knn_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         b AS (SELECT vec_id, v,
+             array_to_string(list_transform(generate_series(0, 5), r ->
+               CASE WHEN list_sum(list_transform(generate_series(1, 64), i ->
+                 v[i] * (('0x' || substr(md5('plane:' || cast(r as varchar) || ':' || cast(i-1 as varchar)), 1, 4))::bigint / 32768.0 - 1.0))) >= 0
+               THEN '1' ELSE '0' END), '') AS bucket
+           FROM e),
+         q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM b WHERE vec_id < 10),
+         probes0 AS (SELECT query_id,
+             list_prepend(qb, list_transform(generate_series(1, 6), i ->
+               substr(qb, 1, i-1)
+               || (CASE WHEN substr(qb, i, 1) = '1' THEN '0' ELSE '1' END)
+               || substr(qb, i+1, 6-i))) AS pl
+           FROM q),
+         probes AS (SELECT query_id, unnest(pl) AS bucket FROM probes0),
+         cand AS (SELECT DISTINCT query_id, c.vec_id AS neighbor_id
+                  FROM probes p JOIN b c ON c.bucket = p.bucket
+                  WHERE c.vec_id != p.query_id),
+         s AS (SELECT query_id, neighbor_id,
+                 list_sum(list_transform(generate_series(1, 64), i -> qe.v[i]*ne.v[i]))
+                 / (sqrt(list_sum(list_transform(qe.v, x -> x*x)))
+                    * sqrt(list_sum(list_transform(ne.v, x -> x*x)))) AS sim0
+               FROM cand
+               JOIN e qe ON qe.vec_id = query_id
+               JOIN e ne ON ne.vec_id = neighbor_id),
          r AS (SELECT query_id, neighbor_id, sim0,
                  row_number() OVER (PARTITION BY query_id ORDER BY sim0 DESC, neighbor_id) AS rank
                FROM s)

@@ -127,7 +127,11 @@ object Similarity {
     val train = corpus
       .filter(pmod(xxhash64(col(idCol)), lit(mod)) === 0)
       .select(array_to_vector(asDouble(col(vecCol))).as("features"))
+    // random init: k-means|| costs several extra distributed passes and the
+    // coarse quantizer doesn't need it (cells only bucket the corpus; recall
+    // comes from nprobe, asserted in the spec)
     val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
+      .setInitMode("random")
       .fit(train)
     val centroids = model.clusterCenters.map(_.toArray).zipWithIndex
     // per-centroid inner product as unrolled straight-line codegen terms
