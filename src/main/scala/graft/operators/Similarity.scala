@@ -133,24 +133,27 @@ object Similarity {
     val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
       .setInitMode("random")
       .fit(train)
-    val centroids = model.clusterCenters.map(_.toArray).zipWithIndex
-    // per-centroid inner product as unrolled straight-line codegen terms
-    def score(vec: Column, cv: Array[Double]): Column =
-      cv.zipWithIndex.map { case (w, i) => element_at(vec, i + 1) * lit(w) }.reduce(_ + _)
-    def scoredArr(vec: Column): Column = array(centroids.map { case (cv, i) =>
-      struct(score(vec, cv).as("score"), lit(i).as("cid"))
-    }: _*)
-    // corpus side: argmax via array_max over an nCentroids-sized literal
-    // array (struct compares score first) — the heavy dot products are
-    // codegen'd; no per-row array_sort over the corpus.
+    val centroidMatrix: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+    // Centroid assignment via the TopDotIndices custom expression (constant-
+    // size codegen loop over the centroid matrix — the unrolled per-centroid
+    // dot formulation put ~10³ nodes in the plan and Janino compile time
+    // dominated, same pathology as pre-expression bandBuckets).
+    val reg = corpus.sparkSession.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_ivf_top_cells",
+      args => graft.functions.TopDotIndices(args(0), centroidMatrix,
+        args(1).eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(s"bad n: $other")
+        }),
+      "built-in")
+    def topCells(vec: Column, n: Int): Column =
+      call_function("graft_ivf_top_cells", vec, lit(n))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("nvec"))
-      .withColumn("cell", array_max(scoredArr(col("nvec"))).getField("cid"))
-    // query side is small and broadcast — a sort for top-nprobe is fine here
+      .withColumn("cell", element_at(topCells(col("nvec"), 1), 1))
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
-        .withColumn("cell",
-          explode(slice(reverse(array_sort(scoredArr(col("qvec")))), 1, nprobe)
-            .getField("cid"))))
+        .withColumn("cell", explode(topCells(col("qvec"), nprobe))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
