@@ -65,9 +65,26 @@ object Tables {
     * case where shuffling is cheap by construction. */
   def spread(spark: SparkSession, df: DataFrame): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    // `df.rdd.getNumPartitions` would convert the plan to an RDD per call —
-    // eager analysis + file listing, and AQE loses sight of the plan. The
-    // leaf input-file count answers the same question from metadata only.
-    if (df.inputFiles.length < target) df.repartition(target) else df
+    // Estimate the scan's partition count from file metadata instead of
+    // `df.rdd.getNumPartitions` (which converts the plan to an RDD per call —
+    // eager analysis, and AQE loses sight of the plan). Spark bin-packs files
+    // into splits of ~maxPartitionBytes charging openCostInBytes per file, so
+    // estimated splits ≈ ceil((bytes + nFiles·openCost) / maxPartitionBytes)
+    // — this catches both the one-big-file and the many-tiny-files cases.
+    val files = df.inputFiles
+    if (files.isEmpty) {
+      // non-file-backed plan: fall back to the accurate (but eager) probe
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    } else {
+      val hconf = spark.sessionState.newHadoopConf()
+      val bytes = files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(hconf).getFileStatus(p).getLen
+      }.sum
+      val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+      val openCost = spark.sessionState.conf.filesOpenCostInBytes
+      val estSplits = (bytes + files.length * openCost + maxPart - 1) / maxPart
+      if (estSplits < target) df.repartition(target) else df
+    }
   }
 }

@@ -58,9 +58,14 @@ object TopDotIndices {
     val out = new Array[Any](k)
     var j = 0
     while (j < k) {
+      // seed with the first unpicked index so all-NaN scores (a corrupt
+      // vector) degrade to a deterministic index order instead of crashing
+      // (NaN comparisons are all false).
       var best = -1
-      var bestScore = Double.NegativeInfinity
       var r = 0
+      while (r < rows && best < 0) { if (!picked(r)) best = r; r += 1 }
+      var bestScore = scores(best)
+      r = best + 1
       while (r < rows) {
         if (!picked(r) && scores(r) > bestScore) { best = r; bestScore = scores(r) }
         r += 1

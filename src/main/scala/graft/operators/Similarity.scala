@@ -75,6 +75,14 @@ object Similarity {
   /** Cosine-LSH bucket signature: sign bits against `nPlanes` deterministic
     * pseudo-random hyperplanes (md5-seeded, so fully reproducible). A vector's
     * bucket = concatenated sign bits of its first `nPlanes` projections. */
+  /** Wrap a catalyst Expression as a Column (classic-API bridge), so custom
+    * expressions are usable from the Column API without requiring session
+    * function registration. */
+  private def exprColumn(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(e)
+  private def asExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftColumnBridge.expression(c)
+
   /** Single-table LSH bucket = the one band of a 1×nPlanes banding. */
   def lshBucket(vec: Column, dim: Int, nPlanes: Int): Column =
     element_at(bandBuckets(vec, dim, 1, nPlanes), 1)
@@ -90,10 +98,11 @@ object Similarity {
     * Implemented as a custom Catalyst expression
     * (graft.functions.HyperplaneBands): the unrolled element_at formulation
     * put B·r·dim nodes in the plan and Janino compilation dominated query
-    * time; the expression emits a constant-size Java loop instead. Requires
-    * `GraftExtensions.register` (or the extensions config) on the session. */
+    * time; the expression emits a constant-size Java loop instead.
+    * Constructed directly (no session registration needed from the Column
+    * API; `GraftExtensions` additionally registers it for SQL callers). */
   def bandBuckets(vec: Column, dim: Int, nBands: Int, rowsPerBand: Int): Column =
-    call_function("hyperplane_bands", vec, lit(dim), lit(nBands), lit(rowsPerBand))
+    exprColumn(graft.functions.HyperplaneBands(asExpr(vec), dim, nBands, rowsPerBand))
 
   /** Hamming-≤radius probe set of a sign-bit bucket string: the bucket plus
     * every combination of up to `radius` bit flips. Multi-probe recovers
@@ -120,13 +129,14 @@ object Similarity {
              dim: Int = 0): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    // Fit the coarse quantizer on a deterministic hash-sampled cap, never the
-    // full corpus: at 100 TB KMeans trains on ≤`maxFitRows` rows once and the
-    // centroids broadcast as literals. (count() is a footer-metadata job.)
-    val mod = math.max(1L, corpus.count() / math.max(1L, maxFitRows))
+    // Fit the coarse quantizer on a capped prefix, never the full corpus: at
+    // 100 TB KMeans trains on ≤`maxFitRows` rows once (feed a pre-sampled
+    // training set or reuse a persisted model there). A prefix limit costs no
+    // extra corpus pass — an exact count through an upstream repartition
+    // would be one full scan+shuffle before the fit even starts.
     val train = corpus
-      .filter(pmod(xxhash64(col(idCol)), lit(mod)) === 0)
       .select(array_to_vector(asDouble(col(vecCol))).as("features"))
+      .limit(math.min(maxFitRows, Int.MaxValue.toLong).toInt)
     // random init: k-means|| costs several extra distributed passes and the
     // coarse quantizer doesn't need it (cells only bucket the corpus; recall
     // comes from nprobe, asserted in the spec)
@@ -137,18 +147,10 @@ object Similarity {
     // Centroid assignment via the TopDotIndices custom expression (constant-
     // size codegen loop over the centroid matrix — the unrolled per-centroid
     // dot formulation put ~10³ nodes in the plan and Janino compile time
-    // dominated, same pathology as pre-expression bandBuckets).
-    val reg = corpus.sparkSession.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_ivf_top_cells",
-      args => graft.functions.TopDotIndices(args(0), centroidMatrix,
-        args(1).eval(null) match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(s"bad n: $other")
-        }),
-      "built-in")
+    // dominated, same pathology as pre-expression bandBuckets). Constructed
+    // directly per call: no session-global registration to race or leak.
     def topCells(vec: Column, n: Int): Column =
-      call_function("graft_ivf_top_cells", vec, lit(n))
+      exprColumn(graft.functions.TopDotIndices(asExpr(vec), centroidMatrix, n))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("nvec"))
       .withColumn("cell", element_at(topCells(col("nvec"), 1), 1))
     val q = broadcast(
