@@ -217,12 +217,58 @@ object Dedup {
 
   /** Remove near-duplicates given a pair list (doc_a < doc_b): greedily keep
     * the lower id of every pair — the standard single-pass policy for
-    * training-corpus dedup (a full connected-components pass costs an
-    * iterative join cascade and changes results only for chains, which are
-    * rare at high thresholds). Implemented as one anti-join: scalable. */
+    * training-corpus dedup (chains change results only where a<b, b<c but
+    * the a-c pair was missed; see `connectedComponents` for the closure).
+    * Implemented as one anti-join: scalable. */
   def removeNearDups(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
     docs.join(pairs.select(col("doc_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
+
+  /** Connected components over a near-dup pair list (doc_a, doc_b) →
+    * (id, comp) with comp = the minimum id in each component — the closure
+    * that collapses CHAINS of near-dups (a~b, b~c ⇒ {a,b,c} share one keep
+    * id even if the a-c pair was never emitted).
+    *
+    * Min-label propagation: each iteration is two shuffles (edge join +
+    * min-aggregate), converging in ≤ component-diameter iterations — dedup
+    * chains are shallow, so `maxIter` 10 covers real corpora. Iterative
+    * DataFrames need their lineage cut per step (`localCheckpoint`), and the
+    * fixpoint test is an action per iteration — the documented exception to
+    * the no-eager-actions rule for fixpoint operators. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("comp").as("ncomp"))
+      val next = labels.join(prop, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.comp") =!= col("o.comp"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** End-to-end corpus dedup: MinHash-verified near-dup pairs → component
+    * closure → keep exactly the minimum id per component. */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashVerifiedPairs(docs, idCol, textCol, shingleN, threshold)
+    val comps = connectedComponents(pairs)
+    val drop = comps.filter(col("id") =!= col("comp")).select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
 
   /** Embedding-cosine near-dup pairs: banded multi-table hyperplane LSH
     * (candidate = all `rowsPerBand` sign bits of any of `nBands` tables

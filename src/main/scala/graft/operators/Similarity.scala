@@ -83,6 +83,12 @@ object Similarity {
   private def asExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.GraftColumnBridge.expression(c)
 
+  /** Top-n row indices of a small literal matrix by inner product with the
+    * vector column (nearest-centroid assignment and the like) — the
+    * TopDotIndices custom expression as a Column. */
+  def topDotIndices(vec: Column, matrix: Array[Array[Double]], n: Int): Column =
+    exprColumn(graft.functions.TopDotIndices(asExpr(vec), matrix, n))
+
   /** Single-table LSH bucket = the one band of a 1×nPlanes banding. */
   def lshBucket(vec: Column, dim: Int, nPlanes: Int): Column =
     element_at(bandBuckets(vec, dim, 1, nPlanes), 1)

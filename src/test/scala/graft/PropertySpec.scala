@@ -76,6 +76,43 @@ object PropertySpec extends Properties("graft") {
         sigs(0).forall(v => v >= 0 && v < Dedup.P)
     }
 
+  property("hyperplane_bands matches the driver-side sign computation") =
+    Prop.forAll(Gen.listOfN(8, Gen.choose(-5.0, 5.0))) { v =>
+      import spark.implicits._
+      import graft.operators.Similarity
+      val got = Seq(Tuple1(v)).toDF("a")
+        .select(Similarity.bandBuckets(col("a"), 8, 2, 3).as("b"))
+        .as[Seq[String]].collect().head
+      val want = (0 until 2).map { b =>
+        (0 until 3).map { r =>
+          val p = b * 3 + r
+          val s = v.zipWithIndex
+            .map { case (x, i) => x * Similarity.planeWeight(p, i) }
+            .foldLeft(0.0)(_ + _)
+          if (s >= 0) '1' else '0'
+        }.mkString
+      }
+      got == want
+    }
+
+  property("topDotIndices returns top-n by inner product, ties to lower index") =
+    Prop.forAll(
+      Gen.listOfN(6, Gen.listOfN(4, Gen.choose(-3.0, 3.0))),
+      Gen.listOfN(4, Gen.choose(-3.0, 3.0)),
+      Gen.choose(1, 6)) { (m, v, n) =>
+      import spark.implicits._
+      import graft.operators.Similarity
+      val matrix = m.map(_.toArray).toArray
+      val got = Seq(Tuple1(v)).toDF("v")
+        .select(Similarity.topDotIndices(col("v"), matrix, n).as("idx"))
+        .as[Seq[Int]].collect().head
+      val scores = matrix.map(row =>
+        row.zip(v).map { case (a, b) => a * b }.foldLeft(0.0)(_ + _))
+      val want = scores.zipWithIndex.sortBy { case (s, i) => (-s, i) }
+        .take(n).map(_._2).toSeq
+      got == want
+    }
+
   property("coordinate validation accepts exactly the in-range domain") =
     Prop.forAll(Gen.choose(-400.0, 400.0), Gen.choose(-200.0, 200.0)) { (lon, lat) =>
       import spark.implicits._

@@ -141,4 +141,27 @@ class SchemasSpec extends SparkSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L))
   }
+
+  test("connectedComponents collapses chains to the minimum id per component") {
+    // chain 1-2, 2-3, 3-4 (no direct 1-3/1-4 pair) + isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedupCorpus keeps one representative per near-dup chain") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " x"),          // near-dup of 1
+      (3L, base + " x y"),        // near-dup of 2 (chain to 1)
+      (9L, "completely different text about satellites and drones flying high")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(9L) && kept.contains(1L))
+    assert(!kept.contains(3L) || !kept.contains(2L),
+      s"chain members must collapse, kept=$kept")
+  }
 }
