@@ -254,6 +254,10 @@ object SparkEntry {
       Tables.spread(s, Tables.documents(s, dir)).select(
         col("doc_id"),
         Dedup.simhash32(TextOps.tokens(col("text"))).as("simhash"))),
+    "q52_simhash_pairs" -> ((s, dir) =>
+      // Hamming-banded near-dup pairs with pigeonhole-exact recall at ≤3 bits.
+      Dedup.simhashPairs(Tables.spread(s, Tables.documents(s, dir)),
+        "doc_id", "text", maxHamming = 3, nBands = 4)),
 
     // ---- EXT: similarity search (SURVEY §2.12) ----
     "q39_knn_brute" -> ((s, dir) => {
@@ -621,6 +625,25 @@ object SparkEntry {
              CASE WHEN (x // cast(2**j as bigint)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
            THEN cast(2**j as bigint) ELSE 0 END)) as bigint) AS simhash
          FROM hs""",
+    "q52_simhash_pairs" ->
+      """WITH hs AS (SELECT doc_id, list_transform(string_split(text,' '),
+                  tok -> ('0x' || substr(md5(tok), 1, 8))::bigint) AS h
+                FROM documents),
+         sh AS (SELECT doc_id, cast(list_sum(list_transform(generate_series(0, 31), j ->
+             CASE WHEN list_sum(list_transform(h, x ->
+               CASE WHEN (x // cast(2**j as bigint)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+             THEN cast(2**j as bigint) ELSE 0 END)) as bigint) AS simhash
+           FROM hs),
+         bands AS (SELECT doc_id, simhash, b AS band_id,
+             (simhash // cast(2**(b*8) as bigint)) % 256 AS band_val
+           FROM sh, unnest(generate_series(0, 3)) AS u(b)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sa, b.simhash AS sb
+           FROM bands a
+           JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                       AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, cast(bit_count(xor(sa, sb)) as int) AS hamming
+         FROM cand WHERE bit_count(xor(sa, sb)) <= 3""",
     "q39_knn_brute" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),

@@ -189,6 +189,34 @@ object Dedup {
   /** Hamming distance between two simhash values (bit_count of XOR). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup pairs with EXACT recall for `maxHamming ≤ nBands-1`:
+    * split the 32-bit simhash into `nBands` bands of 32/nBands bits — by
+    * pigeonhole, any pair within hamming ≤ nBands-1 leaves at least one band
+    * untouched, so the band-equality join misses nothing. Candidates then
+    * verify `bit_count(xor) ≤ maxHamming` exactly. Same two-phase shape as
+    * every near-dup pipeline here: band join on small keys, per-pair verify,
+    * no all-pairs join (identical docs all share all bands — the worst key
+    * is the exact-dup group, bounded by upstream exact dedup). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, nBands: Int = 4): DataFrame = {
+    require(maxHamming < nBands, "pigeonhole exactness needs maxHamming <= nBands-1")
+    val bits = 32 / nBands
+    val sh = docs.select(col(idCol), simhash32(TextOps.tokens(col(textCol))).as("sh"))
+    // simhash32 is non-negative (< 2^32), so shiftright == integer division
+    val banded = sh.select(col(idCol), col("sh"),
+      posexplode(array((0 until nBands).map(b =>
+        shiftright(col("sh"), b * bits) % (1L << bits)): _*))
+        .as(Seq("band_id", "band_val")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_val") === col("b.band_val") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        hamming(col("a.sh"), col("b.sh")).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** MLlib-native near-dup variant: shingles → HashingTF (2^18 binary
     * features) → `MinHashLSH.approxSimilarityJoin`. Same contract as
     * `minhashCandidates` through Spark's built-in LSH machinery (OR-amplified

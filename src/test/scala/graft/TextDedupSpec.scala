@@ -67,6 +67,21 @@ class TextDedupSpec extends SparkSuite {
     assert(ham(sh(1L), sh(3L)) > 8)
   }
 
+  test("simhashPairs == brute-force hamming pairs (pigeonhole exactness)") {
+    val docs = Tables.documents(spark, sf).limit(150)
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3, nBands = 4)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val hashes = docs.select(col("doc_id"),
+        Dedup.simhash32(TextOps.tokens(col("text"))).as("sh"))
+      .as[(Long, Long)].collect()
+    val want = (for {
+      (i, si) <- hashes; (j, sj) <- hashes if i < j
+      h = java.lang.Long.bitCount(si ^ sj) if h <= 3
+    } yield (i, j, h)).toSet
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(want.nonEmpty, "fixture should contain close simhash pairs")
+  }
+
   test("langId picks the profile language deterministically") {
     val d = Seq(
       (1L, "der hund und die katze ist hier"),
