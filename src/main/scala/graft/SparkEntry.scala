@@ -258,6 +258,12 @@ object SparkEntry {
       // Hamming-banded near-dup pairs with pigeonhole-exact recall at ≤3 bits.
       Dedup.simhashPairs(Tables.spread(s, Tables.documents(s, dir)),
         "doc_id", "text", maxHamming = 3, nBands = 4)),
+    "q53_dedup_corpus" -> ((s, dir) =>
+      // End-to-end corpus dedup incl. the iterative component closure —
+      // oracle'd via a recursive-CTE transitive closure in DuckDB.
+      Dedup.dedupCorpus(Tables.spread(s, Tables.documents(s, dir)),
+        "doc_id", "text", shingleN = 3, threshold = 0.5)
+        .select("doc_id")),
 
     // ---- EXT: similarity search (SURVEY §2.12) ----
     "q39_knn_brute" -> ((s, dir) => {
@@ -625,6 +631,37 @@ object SparkEntry {
              CASE WHEN (x // cast(2**j as bigint)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
            THEN cast(2**j as bigint) ELSE 0 END)) as bigint) AS simhash
          FROM hs""",
+    "q53_dedup_corpus" ->
+      """WITH RECURSIVE t0 AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         toks AS (SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))) AS t
+                  FROM t0 WHERE len(w) >= 3),
+         hs AS (SELECT doc_id, list_transform(t,
+                  tok -> ('0x' || substr(md5(tok), 1, 15))::bigint % 1000000007) AS h
+                FROM toks),
+         sig AS (SELECT doc_id, list_transform(generate_series(0, 31),
+                   i -> list_min(list_transform(h, x -> (x*(i*2+3) + (i*5+7)) % 1000000007))) AS s
+                 FROM hs),
+         bands AS (SELECT doc_id, b AS band_id,
+                     md5(array_to_string(s[b*4+1 : b*4+4], ',')) AS band_hash
+                   FROM sig, unnest(generate_series(0, 7)) AS u(b)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bands a
+                  JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                              AND a.doc_id < b.doc_id),
+         pairs AS (SELECT doc_a, doc_b FROM cand
+                   JOIN toks sa ON sa.doc_id = doc_a
+                   JOIN toks sb ON sb.doc_id = doc_b
+                   WHERE cast(len(list_intersect(sa.t, sb.t)) as double)
+                       / (len(sa.t) + len(sb.t) - len(list_intersect(sa.t, sb.t))) >= 0.5),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         reach(a, b) AS (SELECT a, b FROM edges
+                         UNION SELECT r.a, e.b FROM reach r
+                               JOIN edges e ON r.b = e.a AND e.b <> r.a),
+         dropped AS (SELECT DISTINCT a AS doc_id FROM reach WHERE b < a)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""",
     "q52_simhash_pairs" ->
       """WITH hs AS (SELECT doc_id, list_transform(string_split(text,' '),
                   tok -> ('0x' || substr(md5(tok), 1, 8))::bigint) AS h
