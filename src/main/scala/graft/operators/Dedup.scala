@@ -259,11 +259,12 @@ object Dedup {
     *
     * Min-label propagation: each iteration is two shuffles (edge join +
     * min-aggregate), converging in ≤ component-diameter iterations — dedup
-    * chains are shallow, so `maxIter` 10 covers real corpora. Iterative
+    * chains are shallow, so `maxIter` 20 covers real corpora (the loop exits
+    * at the fixpoint, so unused headroom costs nothing). Iterative
     * DataFrames need their lineage cut per step (`localCheckpoint`), and the
     * fixpoint test is an action per iteration — the documented exception to
     * the no-eager-actions rule for fixpoint operators. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()
