@@ -265,8 +265,11 @@ object Dedup {
     * fixpoint test is an action per iteration — the documented exception to
     * the no-eager-actions rule for fixpoint operators. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the edge list ONCE — without this every iteration's join
+    // re-executes the entire upstream candidate/verify pipeline
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
