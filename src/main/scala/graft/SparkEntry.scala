@@ -258,6 +258,13 @@ object SparkEntry {
       // Hamming-banded near-dup pairs with pigeonhole-exact recall at ≤3 bits.
       Dedup.simhashPairs(Tables.spread(s, Tables.documents(s, dir)),
         "doc_id", "text", maxHamming = 3, nBands = 4)),
+    "q54_hash_split" -> ((s, dir) =>
+      // Deterministic train/val/test assignment: key-stable md5 buckets, no
+      // RNG, no shuffle — each doc keeps its split under appends/reruns.
+      Tables.documents(s, dir)
+        .groupBy(graft.operators.Sampling.splitAssign(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))),
     "q53_dedup_corpus" -> ((s, dir) =>
       // End-to-end corpus dedup incl. the iterative component closure —
       // oracle'd via a recursive-CTE transitive closure in DuckDB.
@@ -631,6 +638,15 @@ object SparkEntry {
              CASE WHEN (x // cast(2**j as bigint)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
            THEN cast(2**j as bigint) ELSE 0 END)) as bigint) AS simhash
          FROM hs""",
+    "q54_hash_split" ->
+      """WITH b AS (SELECT doc_id,
+           ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint % 10000 AS hb
+         FROM documents)
+         SELECT CASE WHEN hb < 8000 THEN 'train'
+                     WHEN hb < 9000 THEN 'val'
+                     ELSE 'test' END AS split,
+           count(*) AS n, min(doc_id) AS min_id
+         FROM b GROUP BY 1""",
     "q53_dedup_corpus" ->
       """WITH RECURSIVE t0 AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
          toks AS (SELECT doc_id, list_distinct(list_transform(

@@ -77,10 +77,16 @@ object Tables {
       if (df.rdd.getNumPartitions < target) df.repartition(target) else df
     } else {
       val hconf = spark.sessionState.newHadoopConf()
-      val bytes = files.map { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        p.getFileSystem(hconf).getFileStatus(p).getLen
-      }.sum
+      // one listStatus per parent directory, not one RPC per file — the
+      // listing cost stays O(directories) when a table has 10^5 files
+      val bytes = files.map(new org.apache.hadoop.fs.Path(_))
+        .groupBy(_.getParent)
+        .map { case (dir, members) =>
+          val names = members.map(_.getName).toSet
+          dir.getFileSystem(hconf).listStatus(dir)
+            .filter(s => names.contains(s.getPath.getName))
+            .map(_.getLen).sum
+        }.sum
       val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
       val openCost = spark.sessionState.conf.filesOpenCostInBytes
       val estSplits = (bytes + files.length * openCost + maxPart - 1) / maxPart

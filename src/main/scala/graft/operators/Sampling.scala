@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** EXT (training-data pipeline) — deterministic, key-stable sampling and
+  * dataset splitting.
+  *
+  * Training corpora need splits that are (a) reproducible run-to-run with no
+  * RNG state, (b) stable under re-partitioning and incremental appends (a
+  * document keeps its split forever), and (c) auditable by external engines.
+  * Hashing the key gives all three where `rand()`/`randomSplit` give none:
+  * the assignment is a pure per-row expression (embarrassingly parallel, no
+  * shuffle) derived from `md5(key)` — reproducible in any engine
+  * (DuckDB: `('0x'||substr(md5(key),1,8))::bigint % 10000`).
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, buckets) from the md5 of the key column —
+    * deterministic, partition-independent, engine-reproducible. 32 hash bits
+    * are uniform across 10^4 buckets far beyond any corpus size. */
+  def hashBucket(key: Column, buckets: Int = 10000): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Assign each row a named split by cumulative fraction over the hash
+    * bucket space, e.g. Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1).
+    * Order matters (cumulative ranges); fractions must sum to ≤ 1, any
+    * remainder falls into the last split. */
+  def splitAssign(key: Column, splits: Seq[(String, Double)],
+                  buckets: Int = 10000): Column = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum to <= 1")
+    val b = hashBucket(key, buckets)
+    val cuts = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+      .map(f => math.round(f * buckets))
+    val cases = splits.map(_._1).zip(cuts).dropRight(1)
+      .foldLeft(None: Option[Column]) { case (acc, (name, cut)) =>
+        Some(acc.fold(when(b < cut, name))(_.when(b < cut, name)))
+      }
+    cases.fold(lit(splits.last._1))(_.otherwise(splits.last._1))
+  }
+
+  /** Key-stable deterministic sample: keep rows whose hash bucket falls under
+    * `fraction` — the scalable substitute for `df.sample` when re-runs and
+    * appends must see the same rows kept. */
+  def deterministicSample(df: DataFrame, key: Column, fraction: Double,
+                          buckets: Int = 10000): DataFrame =
+    df.filter(hashBucket(key, buckets) < math.round(fraction * buckets))
+}

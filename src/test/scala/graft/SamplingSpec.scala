@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("splitAssign: fractions approximately honored, assignment exhaustive") {
+    val df = spark.range(10000).toDF("id")
+      .withColumn("split", Sampling.splitAssign(col("id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    val counts = df.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 10000L)
+    assert(math.abs(counts("train") - 8000L) < 300, s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 1000L) < 150, s"val=${counts("val")}")
+  }
+
+  test("split assignment is key-stable: same key -> same split across reruns and appends") {
+    val a = spark.range(500).toDF("id")
+      .withColumn("split", Sampling.splitAssign(col("id"), Seq("train" -> 0.5, "heldout" -> 0.5)))
+      .as[(Long, String)].collect().toMap
+    // a different frame (appended rows, different partitioning) must agree on
+    // the overlapping keys
+    val b = spark.range(1000).toDF("id").repartition(7)
+      .withColumn("split", Sampling.splitAssign(col("id"), Seq("train" -> 0.5, "heldout" -> 0.5)))
+      .as[(Long, String)].collect().toMap
+    assert(a.forall { case (k, v) => b(k) == v })
+  }
+
+  test("deterministicSample keeps a stable subset of the requested size") {
+    val df = spark.range(2000).toDF("id")
+    val s1 = Sampling.deterministicSample(df, col("id"), 0.25).as[Long].collect().toSet
+    val s2 = Sampling.deterministicSample(df, col("id"), 0.25).as[Long].collect().toSet
+    assert(s1 == s2)
+    assert(math.abs(s1.size - 500) < 120, s"got ${s1.size}")
+    // monotone: a larger fraction strictly contains the smaller sample
+    val s3 = Sampling.deterministicSample(df, col("id"), 0.5).as[Long].collect().toSet
+    assert(s1.subsetOf(s3))
+  }
+
+  test("splitAssign validates inputs") {
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(col("x"), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(col("x"), Seq("a" -> 0.9, "b" -> 0.3))
+    }
+  }
+}
