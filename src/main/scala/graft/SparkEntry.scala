@@ -258,6 +258,20 @@ object SparkEntry {
       // Hamming-banded near-dup pairs with pigeonhole-exact recall at ≤3 bits.
       Dedup.simhashPairs(Tables.spread(s, Tables.documents(s, dir)),
         "doc_id", "text", maxHamming = 3, nBands = 4)),
+    "q55_length_quantiles" -> ((s, dir) =>
+      // Exact token-length quantiles per language (interpolated percentile —
+      // engine-identical to the oracle's quantile_cont). The approximate
+      // sketch path (approx_percentile / approx_count_distinct) is the 100 TB
+      // variant, spec-asserted against these exact values.
+      Tables.documents(s, dir)
+        .select(col("lang"), size(TextOps.tokens(col("text"))).as("n_tokens"))
+        .groupBy("lang")
+        .agg(expr("percentile(n_tokens, array(0.5, 0.9, 0.99))").as("qs"),
+          count(lit(1)).as("n"))
+        .select(col("lang"), col("n"),
+          element_at(col("qs"), 1).as("p50"),
+          element_at(col("qs"), 2).as("p90"),
+          element_at(col("qs"), 3).as("p99"))),
     "q54_hash_split" -> ((s, dir) =>
       // Deterministic train/val/test assignment: key-stable md5 buckets, no
       // RNG, no shuffle — each doc keeps its split under appends/reruns.
@@ -638,6 +652,13 @@ object SparkEntry {
              CASE WHEN (x // cast(2**j as bigint)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
            THEN cast(2**j as bigint) ELSE 0 END)) as bigint) AS simhash
          FROM hs""",
+    "q55_length_quantiles" ->
+      """WITH t AS (SELECT lang, len(string_split(text,' ')) AS n_tokens FROM documents)
+         SELECT lang, count(*) AS n,
+           quantile_cont(n_tokens, 0.5) AS p50,
+           quantile_cont(n_tokens, 0.9) AS p90,
+           quantile_cont(n_tokens, 0.99) AS p99
+         FROM t GROUP BY lang""",
     "q54_hash_split" ->
       """WITH b AS (SELECT doc_id,
            ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint % 10000 AS hb

@@ -40,6 +40,21 @@ class SamplingSpec extends SparkSuite {
     assert(s1.subsetOf(s3))
   }
 
+  test("sketch aggregates track their exact counterparts (the 100 TB path)") {
+    val docs = Tables.documents(spark, sf)
+    val exactDistinct = docs.select(countDistinct(col("text"))).as[Long].collect().head
+    val approxDistinct = docs.select(approx_count_distinct(col("text"), 0.02))
+      .as[Long].collect().head
+    assert(math.abs(approxDistinct - exactDistinct).toDouble / exactDistinct < 0.05,
+      s"HLL off: $approxDistinct vs $exactDistinct")
+    val lens = docs.select(length(col("text")).cast("double").as("len"))
+    val exactP = lens.select(expr("percentile(len, 0.9)")).as[Double].collect().head
+    val approxP = lens.select(expr("approx_percentile(len, 0.9, 1000)"))
+      .as[Double].collect().head
+    assert(math.abs(approxP - exactP) / math.max(exactP, 1.0) < 0.05,
+      s"approx_percentile off: $approxP vs $exactP")
+  }
+
   test("splitAssign validates inputs") {
     intercept[IllegalArgumentException] {
       Sampling.splitAssign(col("x"), Seq.empty)
