@@ -258,6 +258,18 @@ object SparkEntry {
       // Hamming-banded near-dup pairs with pigeonhole-exact recall at ≤3 bits.
       Dedup.simhashPairs(Tables.spread(s, Tables.documents(s, dir)),
         "doc_id", "text", maxHamming = 3, nBands = 4)),
+    "q56_pii_scrub" -> ((s, dir) =>
+      // PII scrubbing over a derived fixture (the word-salad corpus contains
+      // no real PII, so plant a deterministic email+phone per doc — the op
+      // and its oracle still exercise the full scrub).
+      Tables.documents(s, dir).select(col("doc_id"),
+        md5(TextOps.piiScrub(concat(col("text"),
+          lit(" contact user"), col("doc_id"),
+          lit("@example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))).as("scrubbed_md5"))),
+    "q57_repetition" -> ((s, dir) =>
+      TextOps.repetitionStats(Tables.spread(s, Tables.documents(s, dir)),
+        "doc_id", "text", n = 2)),
     "q55_length_quantiles" -> ((s, dir) =>
       // Exact token-length quantiles per language (interpolated percentile —
       // engine-identical to the oracle's quantile_cont). The approximate
@@ -652,6 +664,28 @@ object SparkEntry {
              CASE WHEN (x // cast(2**j as bigint)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
            THEN cast(2**j as bigint) ELSE 0 END)) as bigint) AS simhash
          FROM hs""",
+    "q56_pii_scrub" ->
+      """SELECT doc_id, md5(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 text || ' contact user' || cast(doc_id as varchar)
+                      || '@example.com or +1-555-'
+                      || lpad(cast(doc_id % 10000 as varchar), 4, '0'),
+                 'https?://[^ ]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_md5
+         FROM documents""",
+    "q57_repetition" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         g AS (SELECT doc_id, unnest(list_transform(
+                 generate_series(1, len(w)-1), i -> array_to_string(w[i:i+1], ' '))) AS gram
+               FROM t0 WHERE len(w) >= 2),
+         c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+         SELECT doc_id, cast(sum(c) as bigint) AS n_grams,
+           max(c) AS top_gram_count,
+           cast(max(c) as double) / sum(c) AS repetition_ratio
+         FROM c GROUP BY doc_id""",
     "q55_length_quantiles" ->
       """WITH t AS (SELECT lang, len(string_split(text,' ')) AS n_tokens FROM documents)
          SELECT lang, count(*) AS n,

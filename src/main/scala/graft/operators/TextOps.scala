@@ -29,14 +29,16 @@ object TextOps {
   def tokenHash(token: Column): Column =
     conv(substring(md5(token), 1, 15), 16, 10).cast("long")
 
-  /** Distinct word n-gram shingles over a token array: the unit of near-dup
-    * detection. Guarded for docs shorter than n tokens. */
-  def distinctShingles(toks: Column, n: Int): Column = {
-    val grams = transform(
+  /** Word n-gram shingles (with duplicates) over a token array; empty for
+    * docs shorter than n tokens. */
+  def shingles(toks: Column, n: Int): Column =
+    transform(
       when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1))).otherwise(array()),
       i => array_join(slice(toks, i, lit(n)), " "))
-    array_distinct(grams)
-  }
+
+  /** Distinct word n-gram shingles: the unit of near-dup detection. */
+  def distinctShingles(toks: Column, n: Int): Column =
+    array_distinct(shingles(toks, n))
 
   /** Language-ID heuristic: stopword-profile hit counts with a deterministic
     * argmax (en > de > fr > es on ties; 'und' when nothing matched). A real
@@ -79,6 +81,37 @@ object TextOps {
       "mean_token_len" ->
         (length(text) - nTok + 1).cast("double") / greatest(nTok, lit(1)))
   }
+
+  /** PII scrubbing — the canonical pre-training cleaning pass: URLs, email
+    * addresses and phone-shaped numbers replaced with typed placeholder
+    * tokens. Patterns are RE2-safe (no backrefs/lookaround) so external
+    * engines reproduce the scrub exactly; order is URL → email → phone
+    * (URLs can contain '@'). Per-row codegen'd regexp_replace — no UDF. */
+  val UrlPat = "https?://[^ ]+"
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePat = "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlPat, "<URL>"),
+        EmailPat, "<EMAIL>"),
+      PhonePat, "<PHONE>")
+
+  /** Repetition statistics (the Gopher-style repetition quality rule): per
+    * document, the share of n-gram mass taken by the single most frequent
+    * n-gram. Implemented as explode → two hash aggregates (codegen, map-side
+    * partials) rather than per-row O(grams²) lambdas — the shape that holds
+    * at corpus scale. Docs shorter than n tokens produce no row (no gram
+    * mass to judge). */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2): DataFrame =
+    docs.select(col(idCol), explode(shingles(tokens(col(textCol)), n)).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        sum(col("c")).as("n_grams"),
+        max(col("c")).as("top_gram_count"))
+      .withColumn("repetition_ratio",
+        col("top_gram_count").cast("double") / col("n_grams"))
 
   /** Document fingerprint: md5 over whitespace-normalized lowercase text —
     * the exact-dedup key that survives formatting noise. */

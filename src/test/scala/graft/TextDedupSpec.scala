@@ -93,6 +93,30 @@ class TextDedupSpec extends SparkSuite {
     assert(out == Map(1L -> "de", 2L -> "en", 3L -> "und"))
   }
 
+  test("piiScrub replaces urls, emails, phones with typed placeholders") {
+    val out = Seq(
+      "see https://example.com/x?y=1 or mail bob.smith+a@mail.example.org or call +1-555-0042 now"
+    ).toDF("t").select(TextOps.piiScrub(col("t")).as("s")).as[String].collect().head
+    assert(out == "see <URL> or mail <EMAIL> or call <PHONE> now")
+    // no PII → unchanged
+    val clean = Seq("plain text with no contacts").toDF("t")
+      .select(TextOps.piiScrub(col("t")).as("s")).as[String].collect().head
+    assert(clean == "plain text with no contacts")
+  }
+
+  test("repetitionStats: repeated bigram dominates; short docs drop out") {
+    val docs = Seq(
+      (1L, "a b a b a b"),        // bigrams: ab ba ab ba ab → top 'a b'=3 of 5
+      (2L, "w x y z"),            // all distinct → top 1 of 3
+      (3L, "solo")                // <2 tokens → no row
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(docs, "doc_id", "text", n = 2)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!out.contains(3L))
+    assert(out(1L) == ((1L, 5L, 3L, 0.6)))
+    assert(out(2L) == ((2L, 3L, 1L, 1.0 / 3)))
+  }
+
   test("bpeish tokenizer splits words, digits and punctuation") {
     val out = Seq("ab12, cd!").toDF("t")
       .select(TextOps.bpeishTokens(col("t")).as("toks")).as[Seq[String]].collect().head
