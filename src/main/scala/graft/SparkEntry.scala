@@ -244,10 +244,13 @@ object SparkEntry {
     // ---- EXT: near-dup dedup (SURVEY §2.12) ----
     "q36_neardup_jaccard" -> ((s, dir) =>
       // MinHash-candidates + exact-Jaccard verification: the scale path.
+      // maxDf=100 drops stop-shingles (df > 100) from candidate generation —
+      // the skew guard that keeps band keys bounded when a boilerplate
+      // shingle spans the corpus; the verify stage still scores FULL sets.
       // (The all-pairs `jaccardPairs` variant stays available for exact
       // small-scope audits and is spec-covered.)
       Dedup.minhashVerifiedPairs(Tables.spread(s, Tables.documents(s, dir)), "doc_id", "text",
-        shingleN = 3, threshold = 0.5)),
+        shingleN = 3, threshold = 0.5, maxDf = 100)),
     "q37_minhash_candidates" -> ((s, dir) =>
       Dedup.minhashCandidates(Tables.spread(s, Tables.documents(s, dir)), "doc_id", "text")),
     "q38_simhash" -> ((s, dir) =>
@@ -292,10 +295,12 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))),
     "q53_dedup_corpus" -> ((s, dir) =>
-      // End-to-end corpus dedup incl. the iterative component closure —
-      // oracle'd via a recursive-CTE transitive closure in DuckDB.
+      // End-to-end corpus dedup: exact-dup collapse → near-dup over the
+      // representatives (maxDf stop-shingle guard) → iterative component
+      // closure — oracle'd via a recursive-CTE transitive closure in DuckDB
+      // that mirrors the collapse and the df filter exactly.
       Dedup.dedupCorpus(Tables.spread(s, Tables.documents(s, dir)),
-        "doc_id", "text", shingleN = 3, threshold = 0.5)
+        "doc_id", "text", shingleN = 3, threshold = 0.5, maxDf = 100)
         .select("doc_id")),
 
     // ---- EXT: similarity search (SURVEY §2.12) ----
@@ -381,6 +386,16 @@ object SparkEntry {
           col("b.minLat").as("min_lat"), col("b.maxLat").as("max_lat"))
     }),
 
+    // ---- T3 streaming windowed metrics, batch-equivalence gate ----
+    "q58_windowed_metrics" -> ((s, dir) =>
+      // The tumbling-window metric from Streams.windowedMetrics evaluated
+      // over the batch events fixture (withWatermark is a no-op in batch;
+      // stream==batch equivalence is additionally spec-asserted). win_start
+      // as epoch seconds so both engines hash one integral representation.
+      graft.streaming.Streams.windowedMetrics(Tables.events(s, dir))
+        .select(col("win_start").cast("long").as("win_start"), col("event_type"),
+          col("n"), col("sum_value"), col("avg_value"))),
+
     // ---- W4 rolling time-range window ----
     "q48_rolling_window" -> ((s, dir) =>
       R.rollingWindow(Tables.events(s, dir), "user_id", "ts",
@@ -421,11 +436,15 @@ object SparkEntry {
         nBands = 8, rowsPerBand = 6)),
 
     "q45_ivf_knn" -> ((s, dir) => {
-      // rows-only gate: IVF (KMeans-coarse-quantized) ANN; recall asserted
-      // in SpatialKnnSpec.
+      // Fully oracle-gated: the md5-seeded centroid matrix makes the whole
+      // IVF pipeline (assignment, probe set, cosine, rank) reproducible in
+      // DuckDB — the q41 hyperplane pattern applied to the coarse quantizer.
+      // The KMeans-fitted `ivfKnn` remains the library/production variant,
+      // recall-asserted in SpatialKnnSpec.
       val e = Tables.spread(s, Tables.embeddings(s, dir))
-      Similarity.ivfKnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      Similarity.ivfKnnSeeded(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, nCentroids = 8, nprobe = 2, dim = 64)
+        .withColumn("sim", round(col("sim"), 6))
     }),
     "q41_knn_lsh" -> ((s, dir) => {
       // Fully oracle-gated: the md5-seeded hyperplane buckets and hamming-1
@@ -616,9 +635,11 @@ object SparkEntry {
          toks AS (SELECT doc_id, list_distinct(list_transform(
                     generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))) AS t
                   FROM t0 WHERE len(w) >= 3),
-         hs AS (SELECT doc_id, list_transform(t,
-                  tok -> ('0x' || substr(md5(tok), 1, 15))::bigint % 1000000007) AS h
-                FROM toks),
+         shl AS (SELECT doc_id, unnest(t) AS sng FROM toks),
+         hot AS (SELECT sng FROM shl GROUP BY sng HAVING count(*) > 100),
+         kept AS (SELECT doc_id, sng FROM shl WHERE sng NOT IN (SELECT sng FROM hot)),
+         hs AS (SELECT doc_id, list(('0x' || substr(md5(sng), 1, 15))::bigint % 1000000007) AS h
+                FROM kept GROUP BY doc_id),
          sig AS (SELECT doc_id, list_transform(generate_series(0, 31),
                    i -> list_min(list_transform(h, x -> (x*(i*2+3) + (i*5+7)) % 1000000007))) AS s
                  FROM hs),
@@ -703,13 +724,18 @@ object SparkEntry {
            count(*) AS n, min(doc_id) AS min_id
          FROM b GROUP BY 1""",
     "q53_dedup_corpus" ->
-      """WITH RECURSIVE t0 AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      """WITH RECURSIVE elig AS (SELECT doc_id, text FROM documents
+                                 WHERE len(string_split(text,' ')) >= 3),
+         reps AS (SELECT min(doc_id) AS doc_id, text FROM elig GROUP BY text),
+         t0 AS (SELECT doc_id, string_split(text,' ') AS w FROM reps),
          toks AS (SELECT doc_id, list_distinct(list_transform(
                     generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))) AS t
-                  FROM t0 WHERE len(w) >= 3),
-         hs AS (SELECT doc_id, list_transform(t,
-                  tok -> ('0x' || substr(md5(tok), 1, 15))::bigint % 1000000007) AS h
-                FROM toks),
+                  FROM t0),
+         shl AS (SELECT doc_id, unnest(t) AS sng FROM toks),
+         hot AS (SELECT sng FROM shl GROUP BY sng HAVING count(*) > 100),
+         kept AS (SELECT doc_id, sng FROM shl WHERE sng NOT IN (SELECT sng FROM hot)),
+         hs AS (SELECT doc_id, list(('0x' || substr(md5(sng), 1, 15))::bigint % 1000000007) AS h
+                FROM kept GROUP BY doc_id),
          sig AS (SELECT doc_id, list_transform(generate_series(0, 31),
                    i -> list_min(list_transform(h, x -> (x*(i*2+3) + (i*5+7)) % 1000000007))) AS s
                  FROM hs),
@@ -730,9 +756,12 @@ object SparkEntry {
          reach(a, b) AS (SELECT a, b FROM edges
                          UNION SELECT r.a, e.b FROM reach r
                                JOIN edges e ON r.b = e.a AND e.b <> r.a),
-         dropped AS (SELECT DISTINCT a AS doc_id FROM reach WHERE b < a)
+         rep_dropped AS (SELECT DISTINCT a AS doc_id FROM reach WHERE b < a),
+         member_dropped AS (SELECT e.doc_id FROM elig e
+                            JOIN reps r ON e.text = r.text AND e.doc_id <> r.doc_id)
          SELECT doc_id FROM documents
-         WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""",
+         WHERE doc_id NOT IN (SELECT doc_id FROM rep_dropped)
+           AND doc_id NOT IN (SELECT doc_id FROM member_dropped)""",
     "q52_simhash_pairs" ->
       """WITH hs AS (SELECT doc_id, list_transform(string_split(text,' '),
                   tok -> ('0x' || substr(md5(tok), 1, 8))::bigint) AS h
@@ -832,6 +861,40 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id
            ORDER BY cast(epoch(date_trunc('second', ts)) as bigint)
            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""",
+    "q45_ivf_knn" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cent AS (SELECT c, list_transform(generate_series(1, 64), i ->
+                    ('0x' || substr(md5('centroid:' || cast(c as varchar) || ':' || cast(i-1 as varchar)), 1, 4))::bigint / 32768.0 - 1.0) AS w
+                  FROM unnest(generate_series(0, 7)) AS tc(c)),
+         dots AS (SELECT vec_id, c,
+                    list_sum(list_transform(generate_series(1, 64), i -> v[i] * w[i])) AS d
+                  FROM e CROSS JOIN cent),
+         ranked AS (SELECT vec_id, c,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, c) AS rnk
+                    FROM dots),
+         corp AS (SELECT vec_id AS neighbor_id, c AS cell FROM ranked WHERE rnk = 1),
+         qr AS (SELECT vec_id AS query_id, c AS cell FROM ranked
+                WHERE vec_id < 10 AND rnk <= 2),
+         cand AS (SELECT DISTINCT query_id, neighbor_id
+                  FROM qr JOIN corp USING (cell) WHERE neighbor_id <> query_id),
+         s AS (SELECT query_id, neighbor_id,
+                 list_sum(list_transform(generate_series(1, 64), i -> qe.v[i]*ne.v[i]))
+                 / (sqrt(list_sum(list_transform(qe.v, x -> x*x)))
+                    * sqrt(list_sum(list_transform(ne.v, x -> x*x)))) AS sim0
+               FROM cand
+               JOIN e qe ON qe.vec_id = query_id
+               JOIN e ne ON ne.vec_id = neighbor_id),
+         r AS (SELECT query_id, neighbor_id, sim0,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim0 DESC, neighbor_id) AS rank
+               FROM s)
+         SELECT query_id, neighbor_id, cast(rank as int) AS rank, round(sim0, 6) AS sim
+         FROM r WHERE rank <= 5""",
+    "q58_windowed_metrics" ->
+      """SELECT cast(epoch(date_trunc('hour', ts)) as bigint) AS win_start,
+         event_type, count(*) AS n,
+         cast(sum(cast(value as decimal(18,2))) as double) AS sum_value,
+         cast(sum(cast(value as decimal(18,2))) as double) / count(*) AS avg_value
+         FROM events GROUP BY 1, 2""",
     "q49_sql_api" -> RegionRevenueSql,
     "q50_grid_spatial_join" ->
       """WITH boxes AS (SELECT n_name,

@@ -102,9 +102,11 @@ object Dedup {
     * the 32 permutation minimums in a hash aggregate with map-side partials,
     * shuffling one 32-long row per document. Identical output. */
   def minhashSignatureAgg(docs: DataFrame, idCol: String, textCol: String,
-                          shingleN: Int): DataFrame = {
-    val sh = docs.select(col(idCol), explode(
-      TextOps.distinctShingles(TextOps.tokens(col(textCol)), shingleN)).as("shingle"))
+                          shingleN: Int, maxDf: Long = 0): DataFrame = {
+    // maxDf > 0 drops stop-shingles (document frequency > maxDf) BEFORE the
+    // signature: a shingle shared by the whole corpus carries no near-dup
+    // signal but makes every pair band-collide — the classic skew guard.
+    val sh = docShingles(docs, idCol, textCol, shingleN, maxDf)
       .withColumn("h", TextOps.tokenHash(col("shingle")) % P)
     val mins = (0 until NumHashes).map(i =>
       min((col("h") * (i * 2 + 3) + (i * 5 + 7)) % P).as(s"s_$i"))
@@ -118,16 +120,17 @@ object Dedup {
     * heavily (background Jaccard ≈ 0.5+ on a shared vocabulary), which would
     * make every band collide; shingle sets keep background similarity low. */
   def minhashBandTable(docs: DataFrame, idCol: String, textCol: String,
-                       shingleN: Int = 3): DataFrame =
-    minhashSignatureAgg(docs, idCol, textCol, shingleN)
+                       shingleN: Int = 3, maxDf: Long = 0): DataFrame =
+    minhashSignatureAgg(docs, idCol, textCol, shingleN, maxDf)
       .select(col(idCol),
         posexplode(bandHashes(col("sig"))).as(Seq("band_id", "band_hash")))
 
   /** Candidate near-dup pairs from band collisions (doc_a < doc_b, distinct).
     * The join shuffles on (band_id, band_hash) — collision groups are small
     * by construction, so no quadratic key at scale. */
-  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bt = minhashBandTable(docs, idCol, textCol)
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, maxDf: Long = 0): DataFrame = {
+    val bt = minhashBandTable(docs, idCol, textCol, shingleN, maxDf)
     bt.as("a").join(bt.as("b"),
         col("a.band_id") === col("b.band_id") &&
         col("a.band_hash") === col("b.band_hash") &&
@@ -153,8 +156,13 @@ object Dedup {
     * distinct pairs → two key-joins back to per-doc shingle arrays →
     * per-row `array_intersect`. No cross join, no quadratic key. */
   def minhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
-                           shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val cand = minhashCandidates(docs, idCol, textCol)
+                           shingleN: Int = 3, threshold: Double = 0.5,
+                           maxDf: Long = 0): DataFrame = {
+    // maxDf prunes candidate GENERATION only (the signature): the exact
+    // verify below runs on FULL shingle sets, so reported jaccard values are
+    // unaffected — only recall of pairs glued together solely by
+    // stop-shingles drops, the conservative direction for dedup.
+    val cand = minhashCandidates(docs, idCol, textCol, shingleN, maxDf)
     val sets = docs.select(col(idCol),
       TextOps.distinctShingles(TextOps.tokens(col(textCol)), shingleN).as("sh"))
     cand
@@ -169,22 +177,21 @@ object Dedup {
 
   /** 32-bit SimHash from md5-derived token bits: bit_j(doc) = sign of
     * Σ_tokens (bit_j(token) ? +1 : -1). Near-identical docs land on
-    * near-identical simhashes (small Hamming distance). */
-  def simhash32(toks: Column): Column = {
-    // bit j of h extracted as (h div 2^j) % 2 — shift functions take only
-    // literal shift amounts, and this form is reproducible in external SQL.
-    // Single pass over tokens (bit-vector per token, vector-summed) instead
-    // of 32 passes; powers are literals, not pow() calls per element.
-    val powers = array((0 until 32).map(j => lit(1L << j)): _*)
-    val hashes = transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
-    val bitVecs = transform(hashes, h =>
-      transform(powers, p => when((h / p).cast("long") % 2 === 1, 1L).otherwise(-1L)))
-    val zeros = array((0 until 32).map(_ => lit(0L)): _*)
-    val bitSums = aggregate(bitVecs, zeros, (acc, v) => zip_with(acc, v, _ + _))
-    aggregate(
-      zip_with(bitSums, powers, (s, p) => when(s > 0, p).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
-  }
+    * near-identical simhashes (small Hamming distance).
+    *
+    * Native [[graft.functions.SimHash32]] expression (one md5 + tight bit
+    * loop per token, whole-stage codegen): the former HOF formulation nested
+    * `transform`/`aggregate`/`zip_with` — a boxed 32-element bit vector per
+    * token folded by interpreted lambdas, the per-row kernel of a corpus-wide
+    * pass at 100 TB. Output bits are identical (same md5-derived hash, same
+    * strict sign rule), so the external oracles are unchanged. */
+  def simhash32(toks: Column): Column =
+    exprColumn(graft.functions.SimHash32(asExpr(toks)))
+
+  private def exprColumn(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(e)
+  private def asExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftColumnBridge.expression(c)
 
   /** Hamming distance between two simhash values (bit_count of XOR). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -292,14 +299,44 @@ object Dedup {
     labels
   }
 
-  /** End-to-end corpus dedup: MinHash-verified near-dup pairs → component
-    * closure → keep exactly the minimum id per component. */
+  /** End-to-end corpus dedup: exact-duplicate collapse → MinHash-verified
+    * near-dup pairs over the representatives → component closure → keep
+    * exactly the minimum id per component.
+    *
+    * The exact pre-pass is a SCALE requirement, not an optimization: all k
+    * members of an identical-text group share every band hash, so feeding
+    * raw docs into the band self-join makes an O(k²) candidate key — a
+    * boilerplate page duplicated 10⁶ times at 100 TB is a ~10¹²-pair key.
+    * Collapsing each text group to its min-id representative first keeps
+    * band keys bounded by GENUINE near-dup collision groups.
+    *
+    * The verdict set is unchanged: identical docs (with ≥ shingleN tokens)
+    * are Jaccard-1.0 pairs, so in the un-collapsed graph each text group is
+    * a clique whose members share all the rep's neighbors; the full
+    * component's min id equals the min over its reps (each rep is its
+    * group's min). Docs shorter than shingleN tokens have no shingles, form
+    * no pairs in either formulation, and are always kept. */
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
-                  shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val pairs = minhashVerifiedPairs(docs, idCol, textCol, shingleN, threshold)
+                  shingleN: Int = 3, threshold: Double = 0.5,
+                  maxDf: Long = 0): DataFrame = {
+    // docs that can shingle (the only ones that can ever pair)
+    val eligible = docs
+      .filter(size(TextOps.tokens(col(textCol))) >= shingleN)
+      .select(col(idCol), col(textCol))
+    // one representative (min id) per exact text group; md5 keeps the
+    // groupBy key 16 bytes instead of the full document
+    val repIds = eligible
+      .groupBy(md5(col(textCol)).as("__fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    // non-representative members of exact groups: always dropped (their rep
+    // has the smaller id and Jaccard 1.0)
+    val memberDrop = eligible.select(col(idCol)).join(repIds, Seq(idCol), "left_anti")
+    val reps = docs.join(repIds, Seq(idCol), "left_semi")
+    val pairs = minhashVerifiedPairs(reps, idCol, textCol, shingleN, threshold, maxDf)
     val comps = connectedComponents(pairs)
-    val drop = comps.filter(col("id") =!= col("comp")).select(col("id").as(idCol))
-    docs.join(drop, Seq(idCol), "left_anti")
+    val repDrop = comps.filter(col("id") =!= col("comp")).select(col("id").as(idCol))
+    docs.join(memberDrop.union(repDrop), Seq(idCol), "left_anti")
   }
 
   /** Embedding-cosine near-dup pairs: banded multi-table hyperplane LSH

@@ -31,20 +31,22 @@ object Ingest {
   def readBinaryDir(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("binaryFile").load(dir)
 
-  /** STUB — multimodal metadata extraction. The reference delegates to a
-    * missing `MetadataExtractor` module backed by pyexiv2/rasterio/GDAL
-    * (reference: services/file-service/main.py:128; requirements.txt:10-14);
-    * no image/EXIF library ships in this environment, so the decode step is a
-    * deterministic fake derived from the content bytes. The Spark-side
-    * plumbing — schema, columns, partitioning — is real and tested; swap the
-    * struct fields for a real decoder (mapPartitions over content bytes) to
-    * productionize. */
-  def extractMetadataStub(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  /** Multimodal metadata extraction (reference: the `MetadataExtractor`
+    * delegate, services/file-service/main.py:128; requirements.txt:10-14).
+    * width/height/bands are decoded for REAL where the JDK ships a reader
+    * (PNG/JPEG/GIF/BMP via [[graft.functions.ImageMeta]] — exactly the
+    * formats `Scalars.sniffMime` admits, minus TIFF); bytes no reader claims
+    * (TIFF/GeoTIFF) fall back to a deterministic crc32-derived stand-in, and
+    * crs stays a stub — EXIF/GDAL territory needs a real geo library. */
+  def extractMetadata(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val m = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.ImageMeta(
+        org.apache.spark.sql.GraftColumnBridge.expression(content)))
     val h = crc32(content)
     struct(
-      (h % 4096 + 1).cast("int").as("width"),
-      (h % 2160 + 1).cast("int").as("height"),
-      (h % 4 + 1).cast("int").as("bands"),
+      coalesce(m.getField("width"), (h % 4096 + 1).cast("int")).as("width"),
+      coalesce(m.getField("height"), (h % 2160 + 1).cast("int")).as("height"),
+      coalesce(m.getField("channels"), (h % 4 + 1).cast("int")).as("bands"),
       lit("EPSG:4326").as("crs"))
   }
 
@@ -58,7 +60,7 @@ object Ingest {
       .withColumn("mime_type", Scalars.sniffMime(col("content")))
       .withColumn("checksum", Scalars.sha256Hex(col("content")))
       .withColumn("filename", Scalars.uniqueFilename(col("original_filename")))
-      .withColumn("metadata", extractMetadataStub(col("content")))
+      .withColumn("metadata", extractMetadata(col("content")))
       .withColumn("size_ok", col("size") <= MaxFileSize && col("size") > 0)
       .withColumn("mime_ok", col("mime_type").isin(AllowedMime: _*))
       .withColumn("valid", col("size_ok") && col("mime_ok"))

@@ -9,13 +9,14 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with typed metadata structs, processed by
   * per-partition batch operators.
   *
-  * The decode kernels are STUBS — no image/audio codec ships in this
-  * container (the reference's own extractor module is absent from its
-  * snapshot too, services/file-service/main.py:28-31). Every stub is
-  * deterministic (derived from the content bytes) so pipelines are testable;
-  * the Spark-side plumbing — schema, mapPartitions batching, partitioning —
-  * is real. Swap `decodeImageBytes`/`sampleFrameOffsets` bodies for codec
-  * calls (java.awt/ffmpeg/jni) to productionize; signatures stay.
+  * Image decode is REAL for the formats the JDK ships readers for
+  * (PNG/JPEG/GIF/BMP via `javax.imageio` — see [[graft.functions.ImageMeta]]);
+  * bytes no JDK reader claims (TIFF/GeoTIFF, audio, video — the reference's
+  * rasterio/GDAL territory, services/file-service/requirements.txt:10-14)
+  * fall back to a deterministic byte-hash stub so pipelines stay testable.
+  * The Spark-side plumbing — schema, mapPartitions batching, partitioning —
+  * is real either way; swap the fallback for codec calls (ffmpeg/jni) to
+  * productionize, signatures stay.
   */
 object Multimodal {
 
@@ -27,12 +28,14 @@ object Multimodal {
     StructField("n_channels", IntegerType),
     StructField("duration_ms", LongType)))
 
-  /** STUB decode: a real implementation returns (width, height, channels)
-    * from the codec; this derives them deterministically from a byte hash. */
-  private[operators] def decodeImageBytes(bytes: Array[Byte]): (Int, Int, Int) = {
-    val h = java.util.Arrays.hashCode(bytes).toLong & 0x7fffffffL
-    ((h % 4096 + 1).toInt, (h / 4096 % 2160 + 1).toInt, (h % 3 + 1).toInt)
-  }
+  /** Image decode: REAL (width, height, channels) via JDK ImageIO for
+    * PNG/JPEG/GIF/BMP; a deterministic byte-hash stand-in for bytes no JDK
+    * reader claims (so non-image media still flow through the pipeline). */
+  private[operators] def decodeImageBytes(bytes: Array[Byte]): (Int, Int, Int) =
+    graft.functions.ImageMeta.decode(bytes).getOrElse {
+      val h = java.util.Arrays.hashCode(bytes).toLong & 0x7fffffffL
+      ((h % 4096 + 1).toInt, (h / 4096 % 2160 + 1).toInt, (h % 3 + 1).toInt)
+    }
 
   /** Attach decoded metadata to a binary media column via mapPartitions —
     * the batch shape a real decoder needs (amortized per-partition codec

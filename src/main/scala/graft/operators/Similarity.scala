@@ -22,28 +22,41 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Unrolled fixed-dimension dot product: `element_at` terms compile into
-    * straight-line whole-stage-codegen Java, where the higher-order
-    * `aggregate`/`zip_with` form evaluates interpreted lambdas per element.
-    * Summation is left-to-right — bit-identical to the HOF form and to an
-    * external oracle's sequential list sum. Use whenever `dim` is known. */
+  /** Fixed-dimension dot product via the native [[graft.functions.DotProduct]]
+    * expression: a constant-size codegen loop, where the higher-order
+    * `aggregate`/`zip_with` form evaluates interpreted lambdas per element and
+    * the unrolled `element_at` form floods Janino with ~10·dim nodes per
+    * cosine (measured: compile time dominated q39 when several cosines share
+    * one plan). Summation is left-to-right — bit-identical to both other
+    * forms and to an external oracle's sequential list sum. Use whenever
+    * `dim` is known. */
   def dotU(a: Column, b: Column, dim: Int): Column =
-    (1 to dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+    exprColumn(graft.functions.DotProduct(asExpr(a), asExpr(b), dim))
 
   def normU(a: Column, dim: Int): Column = sqrt(dotU(a, a, dim))
 
   def cosineU(a: Column, b: Column, dim: Int): Column =
     dotU(a, b, dim) / (normU(a, dim) * normU(b, dim))
 
-  /** Deterministic pseudo-random hyperplane weight in [-1, 1): the first two
-    * md5 bytes of "plane:p:i" scaled — fully reproducible by any engine with
-    * md5 (oracle form: `('0x'||substr(md5('plane:'||p||':'||i),1,4))::bigint
-    * / 32768.0 - 1.0`). */
-  def planeWeight(p: Int, i: Int): Double = {
+  /** Deterministic pseudo-random weight in [-1, 1) from a seed string: the
+    * first two md5 bytes scaled — fully reproducible by any engine with md5
+    * (oracle form: `('0x'||substr(md5(key),1,4))::bigint / 32768.0 - 1.0`). */
+  def mdWeight(key: String): Double = {
     val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"plane:$p:$i".getBytes("UTF-8"))
+      .digest(key.getBytes("UTF-8"))
     (((h(0) & 0xffL) << 8 | (h(1) & 0xffL)).toDouble / 32768.0) - 1.0
   }
+
+  /** Hyperplane weight for LSH bucketing (seed "plane:p:i"). */
+  def planeWeight(p: Int, i: Int): Double = mdWeight(s"plane:$p:$i")
+
+  /** Deterministic pseudo-random IVF centroid matrix (seed "centroid:c:i"):
+    * the engine-reproducible coarse quantizer that makes the whole IVF
+    * pipeline expressible in external SQL (the library/production variant
+    * fits KMeans instead — see [[ivfKnn]]). Random directions are a standard
+    * data-independent coarse quantizer; recall still comes from `nprobe`. */
+  def seededCentroids(nCentroids: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nCentroids, dim)((c, i) => mdWeight(s"centroid:$c:$i"))
 
   /** Cast an `array<float>` column to `array<double>` so arithmetic matches
     * a double-based oracle exactly. */
@@ -150,6 +163,28 @@ object Similarity {
       .setInitMode("random")
       .fit(train)
     val centroidMatrix: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+    ivfSearch(corpus, queries, idCol, vecCol, k, centroidMatrix, nprobe, dim)
+  }
+
+  /** IVF ANN with a deterministic md5-seeded coarse quantizer: identical
+    * search pipeline to [[ivfKnn]], but the centroid matrix is
+    * [[seededCentroids]] — engine-reproducible, so the WHOLE pipeline
+    * (assignment, probe set, cosine, rank) has an exact external-SQL oracle
+    * (the q41 hyperplane pattern applied to IVF). */
+  def ivfKnnSeeded(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, nCentroids: Int = 8,
+                   nprobe: Int = 2, dim: Int = 64): DataFrame =
+    ivfSearch(corpus, queries, idCol, vecCol, k,
+      seededCentroids(nCentroids, dim), nprobe, dim)
+
+  /** Shared IVF search core: bucket the corpus by nearest centroid (top-1
+    * inner product), fan each query out to its `nprobe` nearest cells, rank
+    * candidates by exact cosine. The corpus is bucketed once (cell = shuffle
+    * key); only the broadcast query side fans out. */
+  private def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int,
+                        centroidMatrix: Array[Array[Double]],
+                        nprobe: Int, dim: Int): DataFrame = {
     // Centroid assignment via the TopDotIndices custom expression (constant-
     // size codegen loop over the centroid matrix — the unrolled per-centroid
     // dot formulation put ~10³ nodes in the plan and Janino compile time

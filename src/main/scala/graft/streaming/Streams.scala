@@ -32,9 +32,16 @@ object Streams {
     events
       .withWatermark("ts", late)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
-      .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+      // sum exactly in decimal, cast once to double, derive the mean with a
+      // single double division: a double `avg` accumulates in reduction
+      // order, which diverges between engines/partitionings — this form is
+      // deterministic and external-oracle-reproducible (and works the same
+      // over a stream or a batch frame; withWatermark is a no-op in batch).
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
-        col("n"), col("avg_value"))
+        col("n"), col("sum_value"),
+        (col("sum_value") / col("n")).as("avg_value"))
 
   /** T2 — stateful latest-status per key via flatMapGroupsWithState: the
     * streaming "current status" view of the task state machine (reference:
