@@ -31,6 +31,42 @@ class AnalysesMultimodalSpec extends SparkSuite {
     assert(viaUdaf == Set(("a", -10.0, -3.0, 20.0, 5.0), ("b", 0.0, 0.0, 0.0, 0.0)))
   }
 
+  test("multimodal: real PNG/JPEG dimensions decoded via JDK ImageIO") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0x336699)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, png(7, 5)), (2L, jpeg(33, 9)), (3L, Array[Byte](1, 2, 3))
+    ).toDF("id", "content")
+    // mapPartitions path (withImageMeta)
+    val metas = Multimodal.withImageMeta(spark, df)
+      .select(col("id"), col("media_meta.width"), col("media_meta.height"),
+        col("media_meta.n_channels"))
+      .as[(Long, Int, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(metas(1L) == ((7, 5, 3)), s"png dims: ${metas(1L)}")
+    assert(metas(2L) == ((33, 9, 3)), s"jpeg dims: ${metas(2L)}")
+    assert(metas(3L)._1 > 0) // undecodable bytes: deterministic fallback
+    // expression path (Ingest.extractMetadata)
+    val viaExpr = df.select(col("id"),
+        operators.Ingest.extractMetadata(col("content")).as("m"))
+      .select(col("id"), col("m.width"), col("m.height"), col("m.bands"))
+      .as[(Long, Int, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(viaExpr(1L) == ((7, 5, 3)))
+    assert(viaExpr(2L) == ((33, 9, 3)))
+  }
+
   test("multimodal: image meta attach is deterministic and null-safe") {
     val df = Seq(
       (1L, "a.jpg", Array[Byte](1, 2, 3)),
@@ -89,5 +125,13 @@ class AnalysesMultimodalSpec extends SparkSuite {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = brute.count(ivf.contains).toDouble / brute.size
     assert(recall >= 0.8, s"IVF recall too low: $recall")
+    // the md5-seeded deterministic quantizer (the oracle-gated variant)
+    // holds the same recall bar: random directions are a data-independent
+    // coarse quantizer, recall comes from nprobe either way
+    val seeded = Similarity.ivfKnnSeeded(e, q, "vec_id", "embedding", k = 5,
+      nCentroids = 8, nprobe = 6, dim = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val seededRecall = brute.count(seeded.contains).toDouble / brute.size
+    assert(seededRecall >= 0.8, s"seeded IVF recall too low: $seededRecall")
   }
 }
