@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: a local[32] bench run executes ~120 query plans in one JVM
+  // (broadcasts, codegen classes, shuffle buffers accumulate); at 8g the GC
+  // tail inflated late queries 5× (q41 measured 7.7s in-bench vs 1.3s in a
+  // fresh JVM). The host has 128 GiB; override with SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

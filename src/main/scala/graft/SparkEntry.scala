@@ -273,6 +273,15 @@ object SparkEntry {
     "q57_repetition" -> ((s, dir) =>
       TextOps.repetitionStats(Tables.spread(s, Tables.documents(s, dir)),
         "doc_id", "text", n = 2)),
+    "q59_decontaminate" -> ((s, dir) => {
+      // Benchmark decontamination: every 97th doc plays the eval set; flag
+      // training docs sharing any distinct 3-gram with it. The benchmark
+      // shingle set broadcasts; the corpus streams once.
+      val d = Tables.spread(s, Tables.documents(s, dir))
+      TextOps.contaminationHits(
+        d.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        d.filter(col("doc_id") % 97 === 0), "text", n = 3)
+    }),
     "q55_length_quantiles" -> ((s, dir) =>
       // Exact token-length quantiles per language (interpolated percentile —
       // engine-identical to the oracle's quantile_cont). The approximate
@@ -707,6 +716,15 @@ object SparkEntry {
            max(c) AS top_gram_count,
            cast(max(c) as double) / sum(c) AS repetition_ratio
          FROM c GROUP BY doc_id""",
+    "q59_decontaminate" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' ')))) AS s
+                FROM t0 WHERE len(w) >= 3),
+         bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+         SELECT doc_id, count(*) AS n_hits FROM sh
+         WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM bsh)
+         GROUP BY doc_id""",
     "q55_length_quantiles" ->
       """WITH t AS (SELECT lang, len(string_split(text,' ')) AS n_tokens FROM documents)
          SELECT lang, count(*) AS n,

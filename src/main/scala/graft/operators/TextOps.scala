@@ -113,6 +113,39 @@ object TextOps {
       .withColumn("repetition_ratio",
         col("top_gram_count").cast("double") / col("n_grams"))
 
+  /** Benchmark decontamination — the pre-training hygiene pass that drops
+    * training documents overlapping an evaluation set (the GPT-3-style
+    * n-gram filter; n and the gram definition are configurable). Returns
+    * (idCol, n_hits): each contaminated training doc with the number of its
+    * distinct n-grams that appear anywhere in the benchmark corpus.
+    *
+    * Scale shape: the benchmark side is ALWAYS the small side (eval sets
+    * are KBs-MBs against a 100 TB corpus) — its distinct shingle set is
+    * broadcast, the corpus streams once through explode → broadcast hash
+    * join → per-doc count. No corpus shuffle besides the final per-doc
+    * aggregate (map-side partials on doc id). */
+  def contaminationHits(docs: DataFrame, idCol: String, textCol: String,
+                        benchmark: DataFrame, benchTextCol: String,
+                        n: Int = 3): DataFrame = {
+    val docSh = docs.select(col(idCol),
+      explode(distinctShingles(tokens(col(textCol)), n)).as("shingle"))
+    val benchSh = benchmark
+      .select(explode(distinctShingles(tokens(col(benchTextCol)), n)).as("shingle"))
+      .distinct()
+    docSh.join(org.apache.spark.sql.functions.broadcast(benchSh), Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Drop contaminated docs (any n-gram shared with the benchmark). */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, benchTextCol: String,
+                    n: Int = 3): DataFrame =
+    docs.join(
+      contaminationHits(docs, idCol, textCol, benchmark, benchTextCol, n)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Document fingerprint: md5 over whitespace-normalized lowercase text —
     * the exact-dedup key that survives formatting noise. */
   def fingerprint(text: Column): Column =
