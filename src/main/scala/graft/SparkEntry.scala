@@ -167,6 +167,67 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // ---- P4/P6: row-level security + optional filter ----
+    "q60_rls_optional_filter" -> ((s, dir) =>
+      // the reference's universal read path: non-admin RLS scope, then an
+      // optional equality filter only when the caller passed a value
+      R.optionalFilter(
+        R.forUser(Tables.events(s, dir), "user_id", 42L, "user"),
+        "event_type", Some("click"))
+        .select("event_id", "user_id", "event_type", "value")),
+
+    // ---- A6: progress rollup (deterministic derived mean) ----
+    "q61_progress_rollup" -> ((s, dir) =>
+      R.progressRollup(
+        Tables.events(s, dir).withColumn("p", col("value").cast(D)),
+        "event_type", "p")
+        .select(col("event_type"), col("avg_progress"),
+          col("min_progress").cast("double").as("min_progress"),
+          col("max_progress").cast("double").as("max_progress"))),
+
+    // ---- P10: coordinate-range validation ----
+    "q62_coord_validation" -> ((s, dir) =>
+      // derived coords intentionally spill out of [-180,180]×[-90,90] so
+      // both branches of the CHECK predicate carry rows
+      Tables.customer(s, dir)
+        .select((col("c_custkey") * 7 % 400 - 200).cast("double").as("lon"),
+          (col("c_custkey") * 13 % 200 - 100).cast("double").as("lat"))
+        .groupBy(R.validCoords(col("lon"), col("lat")).as("valid"))
+        .agg(count(lit(1)).as("n"))),
+
+    // ---- P12: UUID-format validation ----
+    "q63_uuid_validation" -> ((s, dir) => {
+      val h = md5(col("doc_id").cast("string"))
+      val uuid = concat_ws("-", substring(h, 1, 8), substring(h, 9, 4),
+        substring(h, 13, 4), substring(h, 17, 4), substring(h, 21, 12))
+      Tables.documents(s, dir)
+        .select(when(col("doc_id") % 7 === 0, lit("not-a-uuid"))
+          .otherwise(uuid).as("cand"))
+        .groupBy(col("cand").rlike(R.UuidRe).as("valid"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- F4: MIME sniff over synthesized magic bytes ----
+    "q64_mime_sniff" -> ((s, dir) => {
+      // the oracle derives the expected MIME from doc_id directly, so the
+      // sniff's magic-prefix decisions are what the hash gate verifies
+      val magic = when(col("doc_id") % 5 === 0, "FFD8FFE000104A46")
+        .when(col("doc_id") % 5 === 1, "89504E470D0A1A0A")
+        .when(col("doc_id") % 5 === 2, "49492A0000000000")
+        .when(col("doc_id") % 5 === 3, "504B030414000000")
+        .otherwise("0011223344556677")
+      Tables.documents(s, dir)
+        .select(Scalars.sniffMime(unhex(magic)).as("mime"))
+        .groupBy("mime").agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- F8: exponential-backoff delay series ----
+    "q65_backoff" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), (col("o_orderkey") % 6).cast("int").as("attempt"))
+        .withColumn("delay_s",
+          Scalars.backoffDelay(col("attempt"), delay = 1.0, backoff = 2.0))),
+
     // ---- set ops (SURVEY §2.6) ----
     "q22_union_distinct" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
@@ -567,6 +628,43 @@ object SparkEntry {
       """SELECT p_brand, count(*) AS n
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand""",
+    "q60_rls_optional_filter" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE user_id = 42 AND event_type = 'click'""",
+    "q61_progress_rollup" ->
+      """SELECT event_type,
+         cast(sum(cast(value as decimal(18,2))) as double) / count(*) AS avg_progress,
+         cast(min(cast(value as decimal(18,2))) as double) AS min_progress,
+         cast(max(cast(value as decimal(18,2))) as double) AS max_progress
+         FROM events GROUP BY event_type""",
+    "q62_coord_validation" ->
+      """WITH pts AS (SELECT cast(c_custkey * 7 % 400 - 200 as double) AS lon,
+                             cast(c_custkey * 13 % 200 - 100 as double) AS lat
+                      FROM customer)
+         SELECT (lat BETWEEN -90 AND 90) AND (lon BETWEEN -180 AND 180) AS valid,
+                count(*) AS n
+         FROM pts GROUP BY 1""",
+    "q63_uuid_validation" ->
+      """WITH c AS (SELECT CASE WHEN doc_id % 7 = 0 THEN 'not-a-uuid'
+             ELSE substr(md5(cast(doc_id as varchar)), 1, 8) || '-'
+               || substr(md5(cast(doc_id as varchar)), 9, 4) || '-'
+               || substr(md5(cast(doc_id as varchar)), 13, 4) || '-'
+               || substr(md5(cast(doc_id as varchar)), 17, 4) || '-'
+               || substr(md5(cast(doc_id as varchar)), 21, 12) END AS cand
+           FROM documents)
+         SELECT regexp_matches(cand,
+           '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$') AS valid,
+           count(*) AS n
+         FROM c GROUP BY 1""",
+    "q64_mime_sniff" ->
+      """SELECT CASE doc_id % 5 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
+           WHEN 2 THEN 'image/tiff' WHEN 3 THEN 'application/zip'
+           ELSE 'application/octet-stream' END AS mime, count(*) AS n
+         FROM documents GROUP BY 1""",
+    "q65_backoff" ->
+      """SELECT o_orderkey, cast(o_orderkey % 6 as int) AS attempt,
+         1.0 * power(2.0, cast(o_orderkey % 6 as int)) AS delay_s
+         FROM orders""",
     "q22_union_distinct" ->
       """SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 180000
          UNION

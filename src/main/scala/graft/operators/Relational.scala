@@ -40,8 +40,10 @@ object Relational {
     if (preds.isEmpty) df else df.filter(preds.reduce(_ && _))
 
   /** P6 — row-level security: non-admin sees only rows it owns
-    * (reference: services/file-service/main.py:185,279,319). */
-  def forUser(df: DataFrame, ownerCol: String, uid: String, role: String): DataFrame =
+    * (reference: services/file-service/main.py:185,279,319). `uid` is Any so
+    * UUID-string and numeric owner columns both compare without a lossy
+    * string↔numeric coercion. */
+  def forUser(df: DataFrame, ownerCol: String, uid: Any, role: String): DataFrame =
     if (role == "admin") df else df.filter(col(ownerCol) === lit(uid))
 
   /** P8 — set-membership predicate (MIME / enum allowlists)
@@ -85,12 +87,19 @@ object Relational {
   def rollupCount(df: DataFrame, groupCols: String*): DataFrame =
     df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n"))
 
-  /** A6 — progress aggregation per project (reference: init.sql:65). */
+  /** A6 — progress aggregation per project (reference: init.sql:65). The
+    * mean is derived as exact-sum ÷ count (one double division) rather than
+    * a native double `avg`, whose accumulation order varies with
+    * partitioning — this form is deterministic and, when `progress` is a
+    * decimal column, bit-identical across engines. */
   def progressRollup(df: DataFrame, key: String, progress: String): DataFrame =
     df.groupBy(col(key)).agg(
-      avg(col(progress)).as("avg_progress"),
+      count(lit(1)).as("__n"),
+      sum(col(progress)).as("__sum"),
       min(col(progress)).as("min_progress"),
       max(col(progress)).as("max_progress"))
+      .withColumn("avg_progress", col("__sum").cast("double") / col("__n"))
+      .drop("__n", "__sum")
 
   // ---- sort / limit / pagination (§2.5) ----------------------------------
 
