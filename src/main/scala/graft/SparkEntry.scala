@@ -228,6 +228,39 @@ object SparkEntry {
         .withColumn("delay_s",
           Scalars.backoffDelay(col("attempt"), delay = 1.0, backoff = 2.0))),
 
+    // ---- S5: insert-path DDL defaults ----
+    "q66_insert_defaults" -> ((s, dir) => {
+      // task-insert rows with nulls/missing columns; applyDefaults fills
+      // status/progress where null and adds the absent priority column —
+      // the DDL-default write path (init.sql:64-65) with deterministic
+      // defaults so the gate hashes (uuid/now defaults stay spec-tested).
+      val inserts = Tables.orders(s, dir).select(
+        col("o_orderkey").as("id"),
+        when(col("o_orderkey") % 3 === 0, col("o_orderstatus")).as("status"),
+        when(col("o_orderkey") % 2 === 0,
+          (col("o_orderkey") % 100).cast("double") / 100).as("progress"))
+      Schemas.applyDefaults(inserts, scala.collection.immutable.ListMap(
+        "status" -> lit("pending"),
+        "progress" -> lit(0.0),
+        "priority" -> lit(5)))
+    }),
+
+    // ---- W2 scale path: keyset pagination ----
+    "q67_keyset_page" -> ((s, dir) =>
+      // the 100 TB-safe variant of q10: pushdown range + top-k, no global
+      // row_number window
+      R.keysetPage(Tables.customer(s, dir), "c_custkey", Some(40L), 20)),
+
+    // ---- J9: audit ⋈ users null-preserving join ----
+    "q68_audit_user_join" -> ((s, dir) => {
+      val users = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("user_id"), col("c_name"))
+      Tables.events(s, dir).join(broadcast(users), Seq("user_id"), "left_outer")
+        .groupBy(col("c_name").isNull.as("unknown_user"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // ---- set ops (SURVEY §2.6) ----
     "q22_union_distinct" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
@@ -665,6 +698,22 @@ object SparkEntry {
       """SELECT o_orderkey, cast(o_orderkey % 6 as int) AS attempt,
          1.0 * power(2.0, cast(o_orderkey % 6 as int)) AS delay_s
          FROM orders""",
+    "q66_insert_defaults" ->
+      """SELECT o_orderkey AS id,
+         coalesce(CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus END, 'pending') AS status,
+         coalesce(CASE WHEN o_orderkey % 2 = 0
+                       THEN cast(o_orderkey % 100 as double) / 100 END, 0.0) AS progress,
+         5 AS priority
+         FROM orders""",
+    "q67_keyset_page" ->
+      "SELECT * FROM customer WHERE c_custkey > 40 ORDER BY c_custkey LIMIT 20",
+    "q68_audit_user_join" ->
+      """SELECT c_name IS NULL AS unknown_user, count(*) AS n,
+         count(DISTINCT user_id) AS n_users
+         FROM events LEFT JOIN (SELECT c_custkey AS user_id, c_name
+                                FROM customer WHERE c_mktsegment = 'BUILDING') u
+         USING (user_id)
+         GROUP BY 1""",
     "q22_union_distinct" ->
       """SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 180000
          UNION
