@@ -58,4 +58,27 @@ object Joins {
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
     base.join(updates.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(updates)
+
+  /** Skew-salted equi-join: when one join key holds a disproportionate share
+    * of the left (fact) side, a plain shuffled join puts that whole key on
+    * one reducer. Salting splits each left key into `buckets` sub-keys using
+    * a DETERMINISTIC per-row hash (never `rand()` — retries/speculative
+    * tasks must re-derive the same salt), and explodes the right side
+    * `buckets` ways so every sub-key still finds its match. Result set is
+    * identical to the unsalted join; the hot key's rows now spread over
+    * `buckets` reducers.
+    *
+    * AQE's skew-join handles this automatically for SORT-MERGE joins at
+    * runtime; explicit salting remains the tool when AQE can't split (hash
+    * joins, aggregations feeding the join, or a deliberately pinned
+    * partitioning). `saltBy` should be any column unique-ish per row (a pk). */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltBy: Column, buckets: Int,
+                 how: String = "inner"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val l = left.withColumn("__salt", pmod(xxhash64(saltBy), lit(buckets)))
+    val r = right.withColumn("__salt",
+      explode(array((0 until buckets).map(b => lit(b.toLong)): _*)))
+    l.join(r, Seq(key, "__salt"), how).drop("__salt")
+  }
 }

@@ -36,6 +36,20 @@ object Sources {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** Bucketed table write — the co-located-join layout for repeated
+    * fact⋈fact joins at scale. Two tables bucketed (and sorted) by the same
+    * key into the same bucket count join with NO Exchange on either side:
+    * the shuffle is paid once at write time instead of on every query.
+    * This is the engine-side analog of the reference putting B-tree indexes
+    * on every FK (init.sql:166-204) — you pre-organize the layout the join
+    * needs. BucketingSpec asserts the shuffle-free plan. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    keys: Seq[String]): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
   /** S13 — structured JSON-lines log sink (reference:
     * shared/utils/__init__.py:95-140; middleware request logs). One JSON
     * object per row from the given columns. */
