@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{HyperplaneBands, PointInPolygon}
+import graft.functions.{DotProduct, HyperplaneBands, ImageMeta, PointInPolygon, SimHash32}
 
 /** Session extension registering the engine's custom Catalyst expressions so
   * they are callable from SQL as well as the Column API.
@@ -17,6 +17,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.pointInPolygonDescriptor)
     e.injectFunction(GraftExtensions.hyperplaneBandsDescriptor)
+    e.injectFunction(GraftExtensions.dotProductDescriptor)
+    e.injectFunction(GraftExtensions.simhash32Descriptor)
+    e.injectFunction(GraftExtensions.imageMetaDescriptor)
   }
 }
 
@@ -53,12 +56,54 @@ object GraftExtensions {
     new ExpressionInfo(classOf[HyperplaneBands].getName, "hyperplane_bands"),
     hbBuilder _)
 
+  private def dpBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 3,
+      s"dot_product(a, b, dim) takes 3 arguments, got ${args.length}")
+    DotProduct(args(0), args(1), intArg(args(2), "dim"))
+  }
+
+  private def shBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1,
+      s"simhash32(tokens) takes 1 argument, got ${args.length}")
+    SimHash32(args(0))
+  }
+
+  private def imBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1,
+      s"image_meta(content) takes 1 argument, got ${args.length}")
+    ImageMeta(args(0))
+  }
+
+  val dotProductDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_product"),
+    new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+    dpBuilder _)
+
+  val simhash32Descriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash32"),
+    new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+    shBuilder _)
+
+  val imageMetaDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("image_meta"),
+    new ExpressionInfo(classOf[ImageMeta].getName, "image_meta"),
+    imBuilder _)
+
   /** Register custom functions on an existing session (used by Verify/Bench
     * and tests, where the builder isn't ours). */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "point_in_polygon", pipBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hyperplane_bands", hbBuilder, "built-in")
+    val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+      "point_in_polygon" -> pipBuilder _,
+      "hyperplane_bands" -> hbBuilder _,
+      "dot_product" -> dpBuilder _,
+      "simhash32" -> shBuilder _,
+      "image_meta" -> imBuilder _)
+    fns.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

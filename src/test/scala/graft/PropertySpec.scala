@@ -121,4 +121,39 @@ object PropertySpec extends Properties("graft") {
         .as[Boolean].collect().head
       got == (lat >= -90 && lat <= 90 && lon >= -180 && lon <= 180)
     }
+
+  property("simhash32 expression matches an independent scala model") =
+    Prop.forAll(Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr, Gen.const(""), Gen.const("düne ✓")))) { toks =>
+      import spark.implicits._
+      val got = Seq(Tuple1(toks)).toDF("toks")
+        .select(Dedup.simhash32(col("toks")).as("h")).as[Long].collect().head
+      // independent model: first 4 md5 bytes unsigned; strict sign rule
+      val sums = new Array[Int](32)
+      toks.foreach { t =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8"))
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        (0 until 32).foreach(j =>
+          if (((h >>> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1)
+      }
+      val want = (0 until 32).map(j => if (sums(j) > 0) 1L << j else 0L).sum
+      got == want
+    }
+
+  property("dot_product expression is bit-identical to the HOF aggregate form") =
+    Prop.forAll(
+      Gen.listOfN(6, Gen.choose(-10.0, 10.0)),
+      Gen.listOfN(6, Gen.choose(-10.0, 10.0))) { (a, b) =>
+      import spark.implicits._
+      import graft.operators.Similarity
+      val df = Seq((a, b)).toDF("a", "b")
+      val Array((native, hof)) = df.select(
+        Similarity.dotU(col("a"), col("b"), 6).as("n"),
+        Similarity.dot(col("a"), col("b")).as("h"))
+        .as[(Double, Double)].collect()
+      java.lang.Double.doubleToLongBits(native) ==
+        java.lang.Double.doubleToLongBits(hof)
+    }
 }
