@@ -261,6 +261,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // ---- as-of join (custom operator; DuckDB ASOF JOIN oracle) ----
+    "q69_asof_join" -> ((s, dir) => {
+      // each event joined to the rate version effective as of its
+      // timestamp — 25 keys × 30 daily versions derived deterministically
+      // from nation so both engines build the identical rates table
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        (col("user_id") % 25).as("k"),
+        date_trunc("second", col("ts")).as("ets"))
+      val rates = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("k"),
+          explode(sequence(lit(0), lit(29))).as("d"))
+        .select(col("k"),
+          to_timestamp(date_add(lit("2024-01-01").cast("date"), col("d"))).as("eff"),
+          (((col("k") * 31 + col("d") * 7) % 100).cast("double") / 10).as("rate"))
+      Joins.asofJoin(ev, rates, "k", "ets", "eff", rightCols = Seq("rate"))
+        .select("event_id", "k", "asof_rate")
+    }),
+
     // ---- set ops (SURVEY §2.6) ----
     "q22_union_distinct" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
@@ -714,6 +732,15 @@ object SparkEntry {
                                 FROM customer WHERE c_mktsegment = 'BUILDING') u
          USING (user_id)
          GROUP BY 1""",
+    "q69_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id % 25 AS k,
+                            date_trunc('second', ts) AS ets FROM events),
+         rates AS (SELECT n_nationkey AS k,
+                     TIMESTAMP '2024-01-01' + d * INTERVAL 1 DAY AS eff,
+                     cast((n_nationkey * 31 + d * 7) % 100 as double) / 10 AS rate
+                   FROM nation, unnest(generate_series(0, 29)) AS u(d))
+         SELECT e.event_id, e.k, r.rate AS asof_rate
+         FROM ev e ASOF LEFT JOIN rates r ON e.k = r.k AND e.ets >= r.eff""",
     "q22_union_distinct" ->
       """SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 180000
          UNION

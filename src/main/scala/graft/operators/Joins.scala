@@ -59,6 +59,49 @@ object Joins {
     base.join(updates.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(updates)
 
+  /** As-of join (LEFT): for each left row, the single most recent right row
+    * whose timestamp is ≤ the left row's timestamp, within the same key —
+    * the standard event⋈effective-dated-dimension operator (rates, configs,
+    * slowly-changing state) that Spark has no built-in for.
+    *
+    * Spark-first implementation — NOT a range join (which explodes to
+    * |left|·|versions| before picking the max) and NOT a per-key collect:
+    * tag both sides, union, ONE shuffle on the key, sort each partition by
+    * (ts, side), and propagate the latest right payload onto each left row
+    * with `last(ignoreNulls)` over the preceding frame. O(n log n) per key
+    * partition, single pass, whole pipeline stays in Exchange → Sort →
+    * Window — the same cost shape as one window aggregate at any scale.
+    *
+    * Semantics: inclusive (a right row AT the left timestamp matches, the
+    * ASOF `>=` convention); left rows with no prior right row keep null
+    * payload columns. Right rows tied on (key, ts) resolve to the greatest
+    * payload struct (deterministic); pre-dedup the right side when a
+    * different tie rule is needed. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String,
+               rightCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+    require(rightCols.nonEmpty, "asofJoin needs at least one right payload column")
+    val payload = struct(rightCols.map(col): _*)
+    val payloadType = right.select(payload.as("__p")).schema("__p").dataType
+    val r = right.select(col(key), col(rightTs).as("__ts"),
+      payload.as("__p"), lit(0).as("__side"))
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__p", lit(null).cast(payloadType))
+      .withColumn("__side", lit(1))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key))
+      .orderBy(col("__ts").asc, col("__side").asc, col("__p").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    unioned
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        rightCols.map(c => col("__m").getField(c).as(prefix + c)): _*)
+  }
+
   /** Skew-salted equi-join: when one join key holds a disproportionate share
     * of the left (fact) side, a plain shuffled join puts that whole key on
     * one reducer. Salting splits each left key into `buckets` sub-keys using
