@@ -29,8 +29,9 @@ object Engine {
     val filtered = R.optionalFilter(users, "is_active", isActive)
       .select("id", "email", "username", "full_name", "role", "is_active",
         "created_at", "last_login")
-    R.page(filtered, page = skip / math.max(limit, 1) + 1, size = limit,
-      col("created_at").asc, col("id").asc)
+    // raw skip/limit (crud.py takes a free-form offset): skip=5/limit=10 must
+    // return rows 6-15, which a page-number translation cannot express.
+    R.offsetPage(filtered, skip, limit, col("created_at").asc, col("id").asc)
   }
 
   /** GET /projects/{pid}/files?file_type&page&size with row-level security —

@@ -35,11 +35,16 @@ object Dedup {
         TextOps.distinctShingles(TextOps.tokens(col(textCol)), n)).as("shingle"))
     if (maxDf <= 0) sh
     else {
-      // document-frequency filter: broadcast the (small) hot-shingle list out,
-      // or shuffle-join when it isn't small. df computed in one pass.
+      // document-frequency filter as a plain anti-join on the shingle key —
+      // deliberately NO broadcast() hint: the hot-shingle set (df > maxDf) is
+      // tiny at test scale but corpus-sized on a 100 TB crawl, and a forced
+      // broadcast would collect it to the driver (the exact OOM this guard
+      // exists to prevent). AQE still broadcasts at runtime when the
+      // aggregate output is actually small; otherwise the anti-join degrades
+      // gracefully to a shuffle on the shingle key.
       val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDf).select("shingle")
-      sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+      sh.join(hot, Seq("shingle"), "left_anti")
     }
   }
 
@@ -65,9 +70,12 @@ object Dedup {
     val sh =
       if (maxDf <= 0) base
       else {
+        // no broadcast() hint — see docShingles: the hot set is unbounded at
+        // corpus scale, so the anti-join must be free to shuffle on the
+        // shingle key (AQE still broadcasts small aggregates at runtime).
         val hot = base.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDf).select("shingle")
-        base.join(broadcast(hot), Seq("shingle"), "left_anti")
+        base.join(hot, Seq("shingle"), "left_anti")
       }
     sh.as("a").join(sh.as("b"), col("a.shingle") === col("b.shingle"))
       .filter(col(s"a.$idCol") < col(s"b.$idCol"))
@@ -130,7 +138,17 @@ object Dedup {
     * by construction, so no quadratic key at scale. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, maxDf: Long = 0): DataFrame = {
+    // Lazily materialize the band table (one (id, band, hash) row × Bands per
+    // doc — the LSH "index", orders of magnitude smaller than the corpus) so
+    // the corpus-wide shingle explode + df-guard + signature agg upstream of
+    // it executes exactly ONCE per action: without the cut, each side of the
+    // self-join re-runs the whole subtree whenever ReuseExchange fails to
+    // fire, which measured as 2-4× within-JVM variance on q36/q53.
+    // `eager = false` keeps this operator lazy (no action at build time);
+    // the checkpoint materializes on first execution and both join sides
+    // share the pinned RDD.
     val bt = minhashBandTable(docs, idCol, textCol, shingleN, maxDf)
+      .localCheckpoint(eager = false)
     bt.as("a").join(bt.as("b"),
         col("a.band_id") === col("b.band_id") &&
         col("a.band_hash") === col("b.band_hash") &&
@@ -162,7 +180,12 @@ object Dedup {
     // verify below runs on FULL shingle sets, so reported jaccard values are
     // unaffected — only recall of pairs glued together solely by
     // stop-shingles drops, the conservative direction for dedup.
+    // lazily pin the (tiny) candidate-pair set too: the verify stage and any
+    // downstream closure (dedupCorpus) then never re-execute the band
+    // pipeline — total corpus passes per action are fixed at the two `sets`
+    // joins plus the single band-table build.
     val cand = minhashCandidates(docs, idCol, textCol, shingleN, maxDf)
+      .localCheckpoint(eager = false)
     val sets = docs.select(col(idCol),
       TextOps.distinctShingles(TextOps.tokens(col(textCol)), shingleN).as("sh"))
     cand

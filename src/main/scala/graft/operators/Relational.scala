@@ -128,6 +128,20 @@ object Relational {
       .drop("__rn")
   }
 
+  /** L1 — raw skip/limit pagination honoring NON-ALIGNED offsets: rows with
+    * row_number ∈ (skip, skip+limit]. The reference's users listing takes a
+    * free-form `skip`, not a page number (services/auth-service/crud.py:88-101),
+    * so skip=5/limit=10 must return rows 6-15 — `page` can only express
+    * offsets that are multiples of the page size. Same scale caveat as
+    * `page`; `keysetPage` is the 100 TB path. */
+  def offsetPage(df: DataFrame, skip: Int, limit: Int, order: Column*): DataFrame = {
+    val w = Window.orderBy(order: _*)
+    val s = skip.max(0)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > s && col("__rn") <= s.toLong + limit.max(0))
+      .drop("__rn")
+  }
+
   /** Keyset pagination — the scale-safe variant of L1: pushdown-friendly range
     * predicate + top-k, no global window. */
   def keysetPage(df: DataFrame, keyCol: String, lastSeen: Option[Any], size: Int): DataFrame = {

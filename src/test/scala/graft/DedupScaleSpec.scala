@@ -63,6 +63,32 @@ class DedupScaleSpec extends SparkSuite {
     assert(kept == Set(1L, 2L, 3L))
   }
 
+  test("maxDf guard never forces a driver-side broadcast of the hot set") {
+    // The 100 TB failure shape: with maxDf=1 over a corpus of identical docs,
+    // the hot set (df > maxDf) IS the full shingle set — unbounded at scale,
+    // so collecting it to the driver for a broadcast is the exact OOM the
+    // guard exists to prevent. With stats-based broadcast disabled on both
+    // the planner and AQE, a BroadcastExchange could only appear via a
+    // broadcast() hint; assert the anti-join is free to shuffle instead.
+    val docs = (0 until 30).map(i => (i.toLong, boiler)).toDF("doc_id", "text")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sh = Dedup.docShingles(docs, "doc_id", "text", n = 3, maxDf = 1)
+      assert(sh.count() == 0, "every shingle is hot, so all must be pruned")
+      val plan = sh.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"hot-side anti-join must not force a broadcast:\n$plan")
+      // same guard inside the all-pairs variant
+      val jp = Dedup.jaccardPairs(docs, "doc_id", "text", maxDf = 1)
+      assert(jp.count() == 0)
+      assert(!jp.queryExecution.executedPlan.toString.contains("BroadcastExchange"))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("maxDf drops corpus-wide stop-shingles from candidate generation") {
     // every doc shares the same boilerplate prefix (a hot shingle set);
     // distinct suffixes make them non-duplicates. With maxDf below the

@@ -57,6 +57,22 @@ class JoinsEngineSpec extends SparkSuite {
     assert(p2.select("id").as[String].collect().toSeq == Seq("f2"))
   }
 
+  test("Engine.listUsers honors a non-aligned skip (reference crud.py skip/limit)") {
+    // 20 users created a minute apart; skip=5/limit=10 must return rows 6-15
+    // exactly — the page-number translation (skip/limit+1) would return 1-10.
+    val users = (1 to 20).map(i =>
+      (f"u$i%02d", s"u$i@x.com", s"user$i", s"User $i", "viewer", true,
+        ts(f"2024-01-01 00:$i%02d:00"), ts("2024-02-01 00:00:00")))
+      .toDF("id", "email", "username", "full_name", "role", "is_active",
+        "created_at", "last_login")
+    val got = Engine.listUsers(users, skip = 5, limit = 10, isActive = Some(true))
+      .select("id").as[String].collect().toSeq
+    assert(got == (6 to 15).map(i => f"u$i%02d"))
+    // aligned skip still behaves like page 1
+    val first = Engine.listUsers(users, 0, 3, None).select("id").as[String].collect().toSeq
+    assert(first == Seq("u01", "u02", "u03"))
+  }
+
   test("Engine.nextPendingTasks orders by priority desc then age") {
     val tasks = Seq(
       ("t1", "pending", 5, ts("2024-01-01 00:00:00")),
