@@ -48,8 +48,20 @@ object Bench {
     // last run) is robust to one-off host-noise/GC spikes on this shared VM.
     // The cold first-run time is still emitted per query ("cold"), and every
     // raw iteration lands in "iter_times" for spread diagnosis.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // 3 iterations: iter 1 is the cold run (codegen/JIT/page-cache); iters
+    // 2-3 are both steady, so "iter_times" demonstrates the within-JVM
+    // steady-state spread directly (the ≤1.5× quiet signature) instead of
+    // conflating cold-vs-steady.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
+    // Correctness-gate HARNESSES, not queries: their wall time measures
+    // replay plumbing (temp-dir chunk writes, micro-batch scheduling,
+    // per-object sink PUTs), so timing them would grade the test rig. They
+    // stay in Verify's gate; the artifact names them so the exclusion is
+    // visible.
+    val harness = Set("q71_stream_latest_status", "q72_stream_session_state",
+      "q74_json_log_roundtrip", "q75_binary_roundtrip", "q76_stream_dedup")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => harness(q._1)).map { case (name, fn) =>
       val load0 = loadavg()
       val times = new Array[Double](iters)
       var ok = true
@@ -89,7 +101,8 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, _, v, true, _, _, _) => v }.sum
     val coldTotal = results.collect { case (_, c, _, true, _, _, _) => c }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"cold_total":$coldTotal,"cold":$colds,"iter_times":$iterTimes,"loadavg_1m":$loads,"failed":$failed,"sf":"$sfDir"}""")
+    val excluded = harness.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"cold_total":$coldTotal,"cold":$colds,"iter_times":$iterTimes,"loadavg_1m":$loads,"failed":$failed,"excluded_harness":$excluded,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

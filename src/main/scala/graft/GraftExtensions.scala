@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, HyperplaneBands, ImageMeta, PointInPolygon, SimHash32}
+import graft.functions.{DotProduct, HyperplaneBands, ImageMeta, PointInPolygon, PolygonsOverlap, SimHash32}
 
 /** Session extension registering the engine's custom Catalyst expressions so
   * they are callable from SQL as well as the Column API.
@@ -16,6 +16,7 @@ import graft.functions.{DotProduct, HyperplaneBands, ImageMeta, PointInPolygon, 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.pointInPolygonDescriptor)
+    e.injectFunction(GraftExtensions.polygonsOverlapDescriptor)
     e.injectFunction(GraftExtensions.hyperplaneBandsDescriptor)
     e.injectFunction(GraftExtensions.dotProductDescriptor)
     e.injectFunction(GraftExtensions.simhash32Descriptor)
@@ -44,11 +45,23 @@ object GraftExtensions {
       intArg(args(2), "nBands"), intArg(args(3), "rowsPerBand"))
   }
 
+  private def poBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2,
+      s"polygons_overlap(ring_a, ring_b) takes 2 arguments, got ${args.length}")
+    PolygonsOverlap(args(0), args(1))
+  }
+
   val pointInPolygonDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("point_in_polygon"),
     new ExpressionInfo(classOf[PointInPolygon].getName, "point_in_polygon"),
     pipBuilder _)
+
+  val polygonsOverlapDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("polygons_overlap"),
+    new ExpressionInfo(classOf[PolygonsOverlap].getName, "polygons_overlap"),
+    poBuilder _)
 
   val hyperplaneBandsDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -97,6 +110,7 @@ object GraftExtensions {
   def register(spark: SparkSession): Unit = {
     val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
       "point_in_polygon" -> pipBuilder _,
+      "polygons_overlap" -> poBuilder _,
       "hyperplane_bands" -> hbBuilder _,
       "dot_product" -> dpBuilder _,
       "simhash32" -> shBuilder _,

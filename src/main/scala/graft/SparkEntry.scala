@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 import graft.operators.{Dedup, Joins, Similarity, TextOps, Relational => R}
 import graft.functions.Scalars
 
@@ -36,6 +37,70 @@ object SparkEntry {
          AND o_orderdate >= TIMESTAMP '1996-01-01'
          AND o_orderdate < TIMESTAMP '1999-01-01'
        GROUP BY n_name"""
+
+  /** The fixed AOI pentagon shared by q43 and q70 (an arbitrary convex-ish
+    * ring in lon/lat, integer vertices so all derived arithmetic is exact). */
+  private val AoiPentagon: Seq[(Double, Double)] =
+    Seq((0.0, 0.0), (120.0, 10.0), (140.0, 80.0), (-30.0, 70.0), (-100.0, 20.0))
+
+  /** Generated DuckDB oracle for q70: the polygon-overlap verdict unrolled to
+    * scalar SQL — 15 proper-segment-crossing terms (3 triangle edges × 5 AOI
+    * edges, strict orientation-sign tests) plus two ray-cast containment
+    * probes (triangle vertex A in the AOI; AOI vertex 0 in the triangle),
+    * term-for-term the same arithmetic as the native
+    * [[graft.functions.PolygonsOverlap]] kernel. Programmatic generation
+    * (instead of a hand-written 20-term SQL literal) keeps oracle and engine
+    * in lockstep if the fixture polygons change. */
+  private def q70OracleSql: String = {
+    val pent = AoiPentagon
+    // triangle vertices as SQL expressions over the CTE columns
+    val tri = Seq(("ax", "ay"), ("(ax + 40)", "(ay + 11)"), ("(ax + 17)", "(ay + 33)"))
+    def num(d: Double): String = if (d == d.floor) f"$d%.1f" else d.toString
+    // cross(o, d, p) = (dx-ox)*(py-oy) - (dy-oy)*(px-ox), operands as SQL text
+    def cross(ox: String, oy: String, dx: String, dy: String,
+              px: String, py: String): String =
+      s"(($dx - $ox) * ($py - $oy) - ($dy - $oy) * ($px - $ox))"
+    // proper crossing of triangle edge (p1,p2) × AOI edge (q1,q2)
+    def properCross(p1: (String, String), p2: (String, String),
+                    q1: (Double, Double), q2: (Double, Double)): String = {
+      val (q1x, q1y) = (num(q1._1), num(q1._2))
+      val (q2x, q2y) = (num(q2._1), num(q2._2))
+      val d1 = cross(q1x, q1y, q2x, q2y, p1._1, p1._2)
+      val d2 = cross(q1x, q1y, q2x, q2y, p2._1, p2._2)
+      val d3 = cross(p1._1, p1._2, p2._1, p2._2, q1x, q1y)
+      val d4 = cross(p1._1, p1._2, p2._1, p2._2, q2x, q2y)
+      s"((($d1 > 0 AND $d2 < 0) OR ($d1 < 0 AND $d2 > 0)) AND (($d3 > 0 AND $d4 < 0) OR ($d3 < 0 AND $d4 > 0)))"
+    }
+    val triEdges = tri.indices.map(i => (tri((i + tri.size - 1) % tri.size), tri(i)))
+    val pentEdges = pent.indices.map(i => (pent((i + pent.size - 1) % pent.size), pent(i)))
+    val crossings = (for {
+      (p1, p2) <- triEdges
+      (q1, q2) <- pentEdges
+    } yield properCross(p1, p2, q1, q2)).mkString("(", "\n OR ", ")")
+    // ray-cast of point (px,py) against the fixed pentagon: the q43 unroll,
+    // edge (pi, pj) with j = i-1 wrapping — identical to the kernel's loop
+    def pointInPent(px: String, py: String): String =
+      pent.indices.map { i =>
+        val (xi, yi) = pent(i); val (xj, yj) = pent((i + pent.size - 1) % pent.size)
+        s"(CASE WHEN ((${num(yi)} > $py) != (${num(yj)} > $py)) AND $px < (${num(xj)} - ${num(xi)}) * ($py - ${num(yi)}) / (${num(yj)} - ${num(yi)}) + ${num(xi)} THEN 1 ELSE 0 END)"
+      }.mkString("((", "\n + ", s") % 2 = 1)")
+    // ray-cast of a fixed pentagon vertex against the triangle (column exprs)
+    def pointInTri(px: String, py: String): String =
+      tri.indices.map { i =>
+        val (xi, yi) = tri(i); val (xj, yj) = tri((i + tri.size - 1) % tri.size)
+        s"(CASE WHEN (($yi > $py) != ($yj > $py)) AND $px < ($xj - $xi) * ($py - $yi) / ($yj - $yi) + $xi THEN 1 ELSE 0 END)"
+      }.mkString("((", "\n + ", s") % 2 = 1)")
+    val aInPent = pointInPent("ax", "ay")
+    val p0InTri = pointInTri(num(pent.head._1), num(pent.head._2))
+    s"""WITH t AS (SELECT c_custkey,
+         cast(c_custkey * 19 % 300 - 160 as double) AS ax,
+         cast(c_custkey * 31 % 140 - 75 as double) AS ay
+       FROM customer)
+       SELECT c_custkey FROM t
+       WHERE $crossings
+          OR $aInPent
+          OR $p0InTri"""
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -277,6 +342,153 @@ object SparkEntry {
           (((col("k") * 31 + col("d") * 7) % 100).cast("double") / 10).as("rate"))
       Joins.asofJoin(ev, rates, "k", "ets", "eff", rightCols = Seq("rate"))
         .select("event_id", "k", "asof_rate")
+    }),
+
+    // ---- stateful streaming hard gates (T2/T5): replay == batch view ----
+    "q71_stream_latest_status" -> ((s, dir) =>
+      // the events table replayed through a 3-micro-batch file-source stream
+      // into flatMapGroupsWithState (T2 latestStatus); the memory-sink
+      // updates reduce to a final state that must equal the W1 batch view —
+      // the oracle is the same SQL as q12. Exercises cross-batch state
+      // merge with interleaved users/timestamps per batch.
+      graft.streaming.Streams.replayedFinalState(
+          s, Tables.events(s, dir), chunks = 3, name = "latest_status")(
+          (sp, ev) => graft.streaming.Streams.latestStatus(sp, ev))
+        .select("user_id", "event_id", "event_type", "value")),
+    "q72_stream_session_state" -> ((s, dir) =>
+      // same replay through the T5 TTL-session operator with a TTL long
+      // enough that no processing-time timeout fires during the run: its
+      // state-merge path must land on the identical final state (TTL expiry
+      // itself is processing-time-dependent and stays spec-asserted).
+      graft.streaming.Streams.replayedFinalState(
+          s, Tables.events(s, dir), chunks = 3, name = "session_state")(
+          (sp, ev) => graft.streaming.Streams.sessionWithTtl(sp, ev, ttlMs = 3600000L))
+        .select("user_id", "event_id", "event_type", "value")),
+
+    // ---- exact polygon×polygon overlap (§2.9; the last spatial gap) ----
+    "q70_polygon_overlap" -> ((s, dir) => {
+      // AOI-polygon × scene-footprint join: per-customer triangle footprints
+      // against the fixed pentagon AOI (q43's), through the bbox-prefilter +
+      // exact ring-overlap polygonJoin. Integer-derived coordinates keep the
+      // arithmetic engine-exact; the oracle unrolls the identical
+      // proper-crossing and ray-cast terms (generated, see q70OracleSql).
+      val t = Tables.customer(s, dir).select(col("c_custkey"),
+          (col("c_custkey") * 19 % 300 - 160).cast("double").as("ax"),
+          (col("c_custkey") * 31 % 140 - 75).cast("double").as("ay"))
+        .withColumn("ring", array(
+          array(col("ax"), col("ay")),
+          array(col("ax") + 40, col("ay") + 11),
+          array(col("ax") + 17, col("ay") + 33)))
+        .withColumn("bbox", struct(
+          col("ax").as("min_lon"), col("ay").as("min_lat"),
+          (col("ax") + 40).as("max_lon"), (col("ay") + 33).as("max_lat")))
+      val aoi = s.range(1).select(
+        array(AoiPentagon.map { case (x, y) =>
+          array(lit(x), lit(y)) }: _*).as("aoi_ring"),
+        struct(lit(-100.0).as("min_lon"), lit(0.0).as("min_lat"),
+          lit(140.0).as("max_lon"), lit(80.0).as("max_lat")).as("aoi_bbox"))
+      graft.operators.Spatial.polygonJoin(
+          t, col("ring"), col("bbox"), aoi, col("aoi_ring"), col("aoi_bbox"))
+        .select("c_custkey")
+    }),
+
+    // ---- S6: copy-on-write row update (upsert) ----
+    "q73_upsert" -> ((s, dir) => {
+      // the reference's field-wise UPDATE (crud.py:52-68) over a snapshot:
+      // every 10th order gets its status rewritten; the merged view must be
+      // base-with-updates-applied, which the oracle states as two UNION'd
+      // complements.
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val updates = base.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderstatus", lit("X"))
+      Joins.upsert(base, updates, Seq("o_orderkey"))
+    }),
+
+    // ---- S13 + F9: JSON-lines log sink round-trip ----
+    "q74_json_log_roundtrip" -> ((s, dir) => {
+      // structured-log shape (shared/utils/__init__.py:95-140): serialize a
+      // deterministic event subset to JSON-lines text files, read them back
+      // through the schema'd source; the round-trip must reproduce the rows
+      // bit-for-bit (Jackson round-trips doubles exactly).
+      val sel = Tables.events(s, dir).filter(col("event_id") % 100 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val out = java.nio.file.Files.createTempDirectory("graft_jsonlog").toString
+      graft.sources.Sources.writeJsonLog(sel, out)
+      graft.sources.Sources.readJsonLines(s, out, StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("event_type", StringType), StructField("value", DoubleType))))
+        .select("event_id", "user_id", "event_type", "value")
+    }),
+
+    // ---- S3/S4: binary object sink + source round-trip ----
+    "q75_binary_roundtrip" -> ((s, dir) => {
+      // upload-pipeline storage path, end to end: PUT each selected
+      // document's bytes as an object (executor-side Hadoop FS writes), scan
+      // the directory back with the binaryFile source, recompute identity
+      // (F1 checksum + byte size) — matching the oracle's sha256/length over
+      // the source table proves the sink wrote and the source read the
+      // exact bytes.
+      val docs = Tables.documents(s, dir).filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+      val out = java.nio.file.Files.createTempDirectory("graft_bin_rt").toString
+      graft.operators.Ingest.writeBinaryObjects(docs, "doc_id", "content", out)
+      graft.operators.Ingest.readBinaryDir(s, out)
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+          sha2(col("content"), 256).as("sha"),
+          length(col("content")).cast("long").as("nbytes"))
+    }),
+
+    // ---- T1/T4: watermarked streaming dedup (at-least-once → exactly-once) ----
+    "q76_stream_dedup" -> ((s, dir) =>
+      // every event delivered TWICE through the file-source replay; the
+      // append-mode dropDuplicates sink must emit each exactly once — the
+      // oracle is simply the events table itself.
+      graft.streaming.Streams.replayedDedupAppend(
+          s, Tables.events(s, dir), chunks = 3, name = "dedup_append")
+        .select("event_id", "user_id", "event_type", "value")),
+
+    // ---- F15: GeoJSON polygon parse → derived bbox ----
+    "q77_geojson_bbox" -> ((s, dir) => {
+      // per-customer GeoJSON Polygon STRINGS built with %.1f formatting,
+      // parsed by the real from_json path (polygonRing), bbox derived by
+      // ringBbox; the oracle recomputes the same mins/maxes from the raw
+      // arithmetic — if the parse or the bbox fold mis-read a vertex the
+      // hash diverges.
+      val t = Tables.customer(s, dir).select(col("c_custkey"),
+        (col("c_custkey") * 19 % 300 - 160).cast("double").as("ax"),
+        (col("c_custkey") * 31 % 140 - 75).cast("double").as("ay"))
+      val gj = format_string(
+        """{"type":"Polygon","coordinates":[[[%.1f,%.1f],[%.1f,%.1f],[%.1f,%.1f],[%.1f,%.1f]]]}""",
+        col("ax"), col("ay"), col("ax") + 40, col("ay") - 11,
+        col("ax") - 17, col("ay") + 33, col("ax"), col("ay"))
+      val ring = graft.operators.Spatial.polygonRing(gj)
+      val bbox = graft.operators.Spatial.ringBbox(ring)
+      t.select(col("c_custkey"),
+        bbox.getField("min_lon").as("min_lon"),
+        bbox.getField("min_lat").as("min_lat"),
+        bbox.getField("max_lon").as("max_lon"),
+        bbox.getField("max_lat").as("max_lat"))
+    }),
+
+    // ---- S12: WebODM external-job combined view ----
+    "q78_webodm_job_view" -> ((s, dir) => {
+      // processing_tasks ⋈ webodm_tasks (J8 nullable-FK left join) over
+      // deterministically derived job tables — every 3rd task has been
+      // submitted to WebODM, the rest surface with null webodm columns.
+      val pt = Tables.orders(s, dir).select(
+        col("o_orderkey").as("id"),
+        when(col("o_orderkey") % 2 === 0, "orthophoto").otherwise("dsm").as("task_type"),
+        col("o_orderstatus").as("status"),
+        ((col("o_orderkey") % 100).cast("double") / 100).as("progress"))
+      val wt = Tables.orders(s, dir).filter(col("o_orderkey") % 3 === 0).select(
+        col("o_orderkey").as("processing_task_id"),
+        concat(lit("wo-"), col("o_orderkey")).as("webodm_task_id"),
+        (col("o_custkey") % 50).as("webodm_project_id"),
+        when(col("o_orderkey") % 6 === 0, "RUNNING").otherwise("QUEUED").as("status"),
+        ((col("o_orderkey") % 10).cast("double") / 10).as("progress"))
+      graft.sources.Sources.webodmJobView(pt, wt)
     }),
 
     // ---- set ops (SURVEY §2.6) ----
@@ -1045,6 +1257,58 @@ object SparkEntry {
           + (CASE WHEN ((20.0 > lat) != (70.0 > lat)) AND lon < ((-30.0) - (-100.0)) * (lat - 20.0) / (70.0 - 20.0) + (-100.0) THEN 1 ELSE 0 END)
            ) % 2 = 1 AS inside
          FROM pts""",
+    "q70_polygon_overlap" -> q70OracleSql,
+    // the streaming replays must land on exactly the W1 batch view (q12)
+    "q71_stream_latest_status" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) t WHERE rn = 1""",
+    "q72_stream_session_state" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) t WHERE rn = 1""",
+    // copy-on-write upsert = the two complements, stated directly
+    "q73_upsert" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey % 10 <> 0
+         UNION ALL
+         SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus FROM orders WHERE o_orderkey % 10 = 0""",
+    // sink round-trips must reproduce the source rows exactly
+    "q74_json_log_roundtrip" ->
+      "SELECT event_id, user_id, event_type, value FROM events WHERE event_id % 100 = 0",
+    "q75_binary_roundtrip" ->
+      """SELECT doc_id, sha256(text) AS sha, octet_length(encode(text)) AS nbytes
+         FROM documents WHERE doc_id % 50 = 0""",
+    // at-least-once delivery deduped back to the table itself
+    "q76_stream_dedup" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
+    // bbox of the parsed GeoJSON ring == mins/maxes of the raw vertex arithmetic
+    "q77_geojson_bbox" ->
+      """WITH t AS (SELECT c_custkey,
+           cast(c_custkey * 19 % 300 - 160 as double) AS ax,
+           cast(c_custkey * 31 % 140 - 75 as double) AS ay
+         FROM customer)
+         SELECT c_custkey,
+           least(ax, ax + 40, ax - 17) AS min_lon,
+           least(ay, ay - 11, ay + 33) AS min_lat,
+           greatest(ax, ax + 40, ax - 17) AS max_lon,
+           greatest(ay, ay - 11, ay + 33) AS max_lat
+         FROM t""",
+    "q78_webodm_job_view" ->
+      """WITH pt AS (SELECT o_orderkey AS id,
+             CASE WHEN o_orderkey % 2 = 0 THEN 'orthophoto' ELSE 'dsm' END AS task_type,
+             o_orderstatus AS status,
+             cast(o_orderkey % 100 AS double) / 100 AS progress
+           FROM orders),
+         wt AS (SELECT o_orderkey AS processing_task_id,
+             'wo-' || o_orderkey AS webodm_task_id,
+             o_custkey % 50 AS webodm_project_id,
+             CASE WHEN o_orderkey % 6 = 0 THEN 'RUNNING' ELSE 'QUEUED' END AS status,
+             cast(o_orderkey % 10 AS double) / 10 AS progress
+           FROM orders WHERE o_orderkey % 3 = 0)
+         SELECT pt.id AS task_id, pt.task_type, pt.status AS status,
+           pt.progress AS progress, wt.webodm_task_id, wt.webodm_project_id,
+           wt.status AS webodm_status, wt.progress AS webodm_progress
+         FROM pt LEFT JOIN wt ON wt.processing_task_id = pt.id""",
     "q48_rolling_window" ->
       """SELECT user_id, event_id,
          cast(sum(cast(value as decimal(18,2))) OVER w as double) AS roll_sum,

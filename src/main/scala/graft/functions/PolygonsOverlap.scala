@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{BooleanType, DataType}
+
+/** Exact polygon×polygon interior-overlap test as a native Catalyst
+  * expression — the missing half of the engine's PostGIS-analog predicate
+  * family (reference: `GEOMETRY(POLYGON,4326)` columns init.sql:30,50,103;
+  * the AOI-polygon × scene-footprint case a non-rectangular export AOI hits,
+  * shared/models/__init__.py:220). `Spatial.bboxIntersects` stays the cheap
+  * prefilter (the GIST filter step); this expression is the exact recheck.
+  *
+  * Inputs: two simple polygon exterior rings as ARRAY<ARRAY<DOUBLE>> of
+  * [lon, lat] pairs (GeoJSON `coordinates[0]`, open or closed — a closed
+  * ring's duplicate wrap edge is degenerate and harmless).
+  *
+  * Semantics: interiors overlap ⇔ some edge of A properly crosses some edge
+  * of B, OR a vertex of one lies inside the other (full containment — by
+  * Jordan-curve reasoning, if no edges cross then either polygon is wholly
+  * inside, wholly outside, and one test vertex decides which). Degenerate
+  * boundary-touching contact (shared vertex, collinear edge overlap, vertex
+  * exactly on an edge) is NOT counted as overlap — the same half-open
+  * convention `PointInPolygon` uses, so filter+recheck verdicts compose
+  * consistently.
+  *
+  * Codegen: `doGenCode` emits a static kernel call, participating in
+  * whole-stage codegen like the other native predicates.
+  */
+case class PolygonsOverlap(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "polygons_overlap"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PolygonsOverlap.overlaps(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = PolygonsOverlap.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $cls.overlaps($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PolygonsOverlap {
+
+  /** Signed area of the (p→q→r) triangle ×2 — the orientation test. */
+  @inline private def cross(px: Double, py: Double, qx: Double, qy: Double,
+                            rx: Double, ry: Double): Double =
+    (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+  /** Proper segment crossing: each segment's endpoints strictly straddle the
+    * other's supporting line. Collinear / endpoint-touching contact is
+    * excluded by design (see class doc). */
+  @inline private def properCross(p1x: Double, p1y: Double, p2x: Double, p2y: Double,
+                                  q1x: Double, q1y: Double, q2x: Double, q2y: Double): Boolean = {
+    val d1 = cross(q1x, q1y, q2x, q2y, p1x, p1y)
+    val d2 = cross(q1x, q1y, q2x, q2y, p2x, p2y)
+    val d3 = cross(p1x, p1y, p2x, p2y, q1x, q1y)
+    val d4 = cross(p1x, p1y, p2x, p2y, q2x, q2y)
+    ((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+      ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))
+  }
+
+  /** O(|A|·|B|) edge sweep + two containment probes. Ring sizes here are
+    * AOI/footprint polygons (tens of vertices), so the quadratic edge loop is
+    * a per-row constant — the join fan-out, not this kernel, is the scale
+    * dimension, and that is bounded by the bbox/grid prefilter. */
+  def overlaps(a: ArrayData, b: ArrayData): Boolean = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na < 3 || nb < 3) return false
+    var i = 0
+    var i2 = na - 1
+    while (i < na) {
+      val p1 = a.getArray(i2); val p2 = a.getArray(i)
+      val p1x = p1.getDouble(0); val p1y = p1.getDouble(1)
+      val p2x = p2.getDouble(0); val p2y = p2.getDouble(1)
+      var j = 0
+      var j2 = nb - 1
+      while (j < nb) {
+        val q1 = b.getArray(j2); val q2 = b.getArray(j)
+        if (properCross(p1x, p1y, p2x, p2y,
+            q1.getDouble(0), q1.getDouble(1), q2.getDouble(0), q2.getDouble(1)))
+          return true
+        j2 = j; j += 1
+      }
+      i2 = i; i += 1
+    }
+    // no proper crossings: overlap iff one polygon contains the other —
+    // probe one vertex of each against the opposite ring
+    val a0 = a.getArray(0)
+    val b0 = b.getArray(0)
+    PointInPolygon.contains(a0.getDouble(0), a0.getDouble(1), b) ||
+      PointInPolygon.contains(b0.getDouble(0), b0.getDouble(1), a)
+  }
+}

@@ -31,13 +31,39 @@ object Ingest {
   def readBinaryDir(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("binaryFile").load(dir)
 
+  /** S3 — per-row binary OBJECT sink: write each row's bytes as one object
+    * `<dir>/<id><ext>` — the storage-write half of the upload pipeline
+    * (reference: open(file_path,'wb').write(content), main.py:113-122).
+    * Executor-side imperative I/O is the correct shape for an object-store
+    * PUT (there is no columnar encoding to exploit): each task writes its
+    * own partition's objects through the Hadoop FileSystem API — works the
+    * same against local disk, HDFS, or an object store, with NO driver
+    * funnel and no per-row collect. */
+  def writeBinaryObjects(df: DataFrame, idCol: String, contentCol: String,
+                         dir: String, ext: String = ".bin"): Unit =
+    df.select(col(idCol).cast("string"), col(contentCol).cast("binary"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        if (rows.hasNext) {
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val base = new org.apache.hadoop.fs.Path(dir)
+          val fs = base.getFileSystem(conf)
+          rows.foreach { r =>
+            val out = fs.create(
+              new org.apache.hadoop.fs.Path(base, r.getString(0) + ext), true)
+            try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+          }
+        }
+      }
+
   /** Multimodal metadata extraction (reference: the `MetadataExtractor`
     * delegate, services/file-service/main.py:128; requirements.txt:10-14).
-    * width/height/bands are decoded for REAL where the JDK ships a reader
-    * (PNG/JPEG/GIF/BMP via [[graft.functions.ImageMeta]] — exactly the
-    * formats `Scalars.sniffMime` admits, minus TIFF); bytes no reader claims
-    * (TIFF/GeoTIFF) fall back to a deterministic crc32-derived stand-in, and
-    * crs stays a stub — EXIF/GDAL territory needs a real geo library. */
+    * width/height/bands are decoded for REAL for every format
+    * `Scalars.sniffMime` admits: PNG/JPEG/GIF/BMP via JDK ImageIO and
+    * TIFF/GeoTIFF via the pure-JVM IFD header parse inside
+    * [[graft.functions.ImageMeta]] (tags 256/257/277 — no codec needed for
+    * dimensions). Bytes neither path claims fall back to a deterministic
+    * crc32-derived stand-in, and crs stays a stub — EXIF GPS / CRS needs a
+    * real geo library. */
   def extractMetadata(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val m = org.apache.spark.sql.GraftColumnBridge.column(
       graft.functions.ImageMeta(

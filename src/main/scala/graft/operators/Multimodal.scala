@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with typed metadata structs, processed by
   * per-partition batch operators.
   *
-  * Image decode is REAL for the formats the JDK ships readers for
-  * (PNG/JPEG/GIF/BMP via `javax.imageio` — see [[graft.functions.ImageMeta]]);
-  * bytes no JDK reader claims (TIFF/GeoTIFF, audio, video — the reference's
-  * rasterio/GDAL territory, services/file-service/requirements.txt:10-14)
-  * fall back to a deterministic byte-hash stub so pipelines stay testable.
+  * Image decode is REAL for every format the reference's allowlist admits:
+  * PNG/JPEG/GIF/BMP via `javax.imageio` and TIFF/GeoTIFF dimensions via the
+  * pure-JVM IFD header parse (see [[graft.functions.ImageMeta]] — the
+  * reference's rasterio/GDAL territory,
+  * services/file-service/requirements.txt:10-14). Bytes neither path claims
+  * (audio, video) fall back to a deterministic byte-hash stub so pipelines
+  * stay testable.
   * The Spark-side plumbing — schema, mapPartitions batching, partitioning —
   * is real either way; swap the fallback for codec calls (ffmpeg/jni) to
   * productionize, signatures stay.
@@ -29,8 +31,9 @@ object Multimodal {
     StructField("duration_ms", LongType)))
 
   /** Image decode: REAL (width, height, channels) via JDK ImageIO for
-    * PNG/JPEG/GIF/BMP; a deterministic byte-hash stand-in for bytes no JDK
-    * reader claims (so non-image media still flow through the pipeline). */
+    * PNG/JPEG/GIF/BMP and the TIFF IFD parse for TIFF; a deterministic
+    * byte-hash stand-in for bytes neither path claims (so non-image media
+    * still flow through the pipeline). */
   private[operators] def decodeImageBytes(bytes: Array[Byte]): (Int, Int, Int) =
     graft.functions.ImageMeta.decode(bytes).getOrElse {
       val h = java.util.Arrays.hashCode(bytes).toLong & 0x7fffffffL

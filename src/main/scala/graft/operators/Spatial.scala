@@ -57,6 +57,26 @@ object Spatial {
   def pointInPolygon(lon: Column, lat: Column, ring: Column): Column =
     call_function("point_in_polygon", lon, lat, ring)
 
+  /** Exact polygon×polygon interior-overlap (custom Catalyst expression with
+    * codegen — graft.functions.PolygonsOverlap): proper-edge-crossing OR
+    * containment, the GIST "recheck" half of §2.9's polygon predicate. Like
+    * `pointInPolygon`, resolved through the function registry (install
+    * `graft.GraftExtensions` first) and ALWAYS used behind the
+    * `bboxIntersects` prefilter. */
+  def polygonsOverlap(ringA: Column, ringB: Column): Column =
+    call_function("polygons_overlap", ringA, ringB)
+
+  /** §2.9 — polygon×polygon spatial join (AOI × scene-footprint): bbox
+    * prefilter (cheap conjunctive comparisons, evaluated first) AND exact
+    * ring-overlap test on survivors only. Same scale contract as
+    * `spatialJoin`: broadcast the small side; for two large polygon sets use
+    * the grid-cell equi-join (`gridCells` on both bboxes) with this
+    * predicate as the post-join filter. */
+  def polygonJoin(big: DataFrame, bigRing: Column, bigBbox: Column,
+                  small: DataFrame, smallRing: Column, smallBbox: Column): DataFrame =
+    big.join(broadcast(small),
+      bboxIntersects(bigBbox, smallBbox) && polygonsOverlap(bigRing, smallRing))
+
   /** J12 — spatial join of points against polygons: bbox prefilter (cheap,
     * evaluated first) AND exact test (only on survivors).
     *

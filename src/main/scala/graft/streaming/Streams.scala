@@ -107,4 +107,119 @@ object Streams {
     * watermark (exactly-once append semantics over an at-least-once source). */
   def appendDeduped(events: DataFrame, late: String = "1 hour"): DataFrame =
     events.withWatermark("ts", late).dropDuplicates("event_id")
+
+  private val replaySeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** End-to-end REPLAY gate for the stateful operators (T2/T5): write the
+    * batch event table out as `chunks` single-file parquet chunks keyed by
+    * `event_id % chunks` (so each micro-batch interleaves users and
+    * timestamps — the cross-batch out-of-order state-merge path is genuinely
+    * exercised), stream them back through a file source one file per
+    * trigger, run `op` with a memory sink in update mode to completion, and
+    * reduce the emitted updates to the final state per key.
+    *
+    * If the operator's state handling is correct this equals the W1 batch
+    * view of the same events (`Relational.latestPerKey`) — which is exactly
+    * what the DuckDB oracle of the gated queries (q71/q72) computes. Eager
+    * I/O is inherent to a replay harness and confined to it: the operators
+    * under test stay pure stream transforms. */
+  def replayedFinalState(spark: SparkSession, events: DataFrame, chunks: Int,
+                         name: String)(
+      op: (SparkSession, DataFrame) => Dataset[KeyState]): DataFrame = {
+    val base = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_replay_$name").getAbsolutePath
+    (0 until chunks).foreach { i =>
+      base.filter(pmod(col("event_id"), lit(chunks)) === i)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/c$i")
+    }
+    val expectedRows = base.count()
+    val stream = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/c*")
+    val qname = s"graft_gate_${name}_${replaySeq.incrementAndGet()}"
+    drainStream(spark, qname, expectedRows) {
+      op(spark, stream).toDF()
+        .writeStream.format("memory").queryName(qname)
+        // pace the timeout-check idle loop instead of spinning back-to-back
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+        .outputMode("update").start()
+    }
+    // final state = latest emitted update per key (re-emissions of an
+    // unchanged state are identical rows, so the window picks a stable one)
+    graft.operators.Relational.latestPerKey(
+      spark.table(qname), "user_id", col("ts"), col("event_id"))
+  }
+
+  /** T1/T4 replay gate: stream an at-least-once event log (the fixture
+    * UNION'd with itself — every event delivered twice) through the
+    * watermarked dedup sink in APPEND mode; the emitted rows must be each
+    * event exactly once, i.e. the batch `events` table itself — which is
+    * what the q76 DuckDB oracle selects. The duplicate copies are identical
+    * rows, so which copy wins is unobservable and the gate hashes stably. */
+  def replayedDedupAppend(spark: SparkSession, events: DataFrame, chunks: Int,
+                          name: String, late: String = "3650 days"): DataFrame = {
+    val base = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_replay_$name").getAbsolutePath
+    val doubled = base.unionAll(base)
+    (0 until chunks).foreach { i =>
+      // both copies of an event share an event_id, hence land in the same
+      // chunk file — the dedup state sees the duplicate within one batch or
+      // adjacent ones, both inside the (wide) watermark
+      doubled.filter(pmod(col("event_id"), lit(chunks)) === i)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/c$i")
+    }
+    val expectedRows = base.count() * 2
+    val stream = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/c*")
+    val qname = s"graft_gate_${name}_${replaySeq.incrementAndGet()}"
+    drainStream(spark, qname, expectedRows) {
+      appendDeduped(stream, late)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+    }
+    spark.table(qname)
+  }
+
+  /** Start a streaming query and block until it has CONSUMED `expectedRows`
+    * input rows, then stop it. Completion is detected by input-row count via
+    * a listener, NOT `processAllAvailable()`: under ProcessingTimeTimeout
+    * (the T5 operator) FlatMapGroupsWithStateExec.shouldRunAnotherBatch is
+    * always true — processing time always advances, so empty timeout-check
+    * batches run back-to-back forever and `noNewData` never latches;
+    * processAllAvailable would hang. Each progress event is published after
+    * its batch's sink commit, so rows-seen == rows-written means the sink
+    * table is complete. */
+  private def drainStream(spark: SparkSession, qname: String, expectedRows: Long)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val rowsSeen = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.name == qname) rowsSeen.addAndGet(e.progress.numInputRows): Unit
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val query = start
+    try {
+      val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+      while (rowsSeen.get() < expectedRows && System.nanoTime() < deadline &&
+          query.isActive) Thread.sleep(50)
+      query.exception.foreach(throw _)
+      require(rowsSeen.get() >= expectedRows,
+        s"replay $qname timed out: saw ${rowsSeen.get()} of $expectedRows input rows")
+    } finally {
+      query.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
 }

@@ -67,6 +67,47 @@ class AnalysesMultimodalSpec extends SparkSuite {
     assert(viaExpr(2L) == ((33, 9, 3)))
   }
 
+  test("multimodal: TIFF dimensions parsed from the IFD header, both byte orders") {
+    // Minimal baseline-TIFF headers (no pixel data — ImageIO cannot decode
+    // them, so this exercises the pure-JVM IFD fallback): byte order, magic
+    // 42, first-IFD offset 8, three entries (ImageWidth 256, ImageLength 257,
+    // SamplesPerPixel 277) with inline SHORT values, next-IFD pointer 0.
+    def tiff(le: Boolean, w: Int, h: Int, samples: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + 2 + 3 * 12 + 4)
+      bb.order(if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+               else java.nio.ByteOrder.BIG_ENDIAN)
+      bb.put((if (le) "II" else "MM").getBytes)
+      bb.putShort(42.toShort)
+      bb.putInt(8) // IFD offset
+      bb.putShort(3.toShort) // entry count
+      def entry(tag: Int, v: Int): Unit = {
+        bb.putShort(tag.toShort)
+        bb.putShort(3.toShort) // SHORT
+        bb.putInt(1)           // count
+        bb.putShort(v.toShort) // value, left-justified
+        bb.putShort(0.toShort) // pad
+      }
+      entry(256, w); entry(257, h); entry(277, samples)
+      bb.putInt(0) // no next IFD
+      bb.array()
+    }
+    assert(graft.functions.ImageMeta.decode(tiff(le = true, 640, 480, 3))
+      .contains((640, 480, 3)))
+    assert(graft.functions.ImageMeta.decode(tiff(le = false, 1024, 77, 1))
+      .contains((1024, 77, 1)))
+    // hostile / malformed bytes must fall through, never throw
+    assert(graft.functions.ImageMeta.tiffDims("II*junkbutshort".getBytes).isEmpty)
+    assert(graft.functions.ImageMeta.tiffDims(Array[Byte]('I', 'I', 42, 0, 9, 9, 9, 9)).isEmpty)
+    // the mime sniffer routes these bytes as image/tiff, so the ingest
+    // pipeline's allowlist and the real decode now agree on TIFF
+    val df = Seq((1L, tiff(le = true, 320, 200, 4))).toDF("id", "content")
+    val m = df.select(operators.Ingest.extractMetadata(col("content")).as("m"),
+        graft.functions.Scalars.sniffMime(col("content")).as("mime"))
+      .select(col("mime"), col("m.width"), col("m.height"), col("m.bands"))
+      .as[(String, Int, Int, Int)].head()
+    assert(m == (("image/tiff", 320, 200, 4)))
+  }
+
   test("multimodal: image meta attach is deterministic and null-safe") {
     val df = Seq(
       (1L, "a.jpg", Array[Byte](1, 2, 3)),

@@ -45,6 +45,63 @@ class SpatialKnnSpec extends SparkSuite {
     assert(n)
   }
 
+  test("polygons_overlap: goldens — cross, containment, star, disjoint, concave") {
+    def ring(pts: (Double, Double)*): Seq[Seq[Double]] =
+      pts.map { case (x, y) => Seq(x, y) }
+    val unitSq = ring((0, 0), (10, 0), (10, 10), (0, 10))
+    val cases = Seq(
+      // overlapping squares (edges properly cross)
+      (1L, unitSq, ring((5, 5), (15, 5), (15, 15), (5, 15)), true),
+      // full containment, no edge crossings (small square inside big)
+      (2L, unitSq, ring((2, 2), (4, 2), (4, 4), (2, 4)), true),
+      // containment the other way round (argument order must not matter)
+      (3L, ring((2, 2), (4, 2), (4, 4), (2, 4)), unitSq, true),
+      // star-of-david: triangles cross edge-to-edge, NO vertex of either
+      // inside the other — only the proper-crossing branch catches this
+      (4L, ring((0, 1), (10, 1), (5, 9)), ring((0, 7), (10, 7), (5, -1)), true),
+      // disjoint
+      (5L, unitSq, ring((20, 20), (30, 20), (30, 30), (20, 30)), false),
+      // disjoint but bbox-overlapping: concave arrow's notch holds a
+      // triangle that touches nothing
+      (6L, ring((0, 0), (4, 0), (4, 4), (2, 2), (0, 4)),
+        ring((1.6, 3.4), (2.4, 3.4), (2.0, 3.9)), false),
+      // degenerate ring (< 3 points) → false, not a crash
+      (7L, unitSq, ring((1, 1), (2, 2)), false)
+    ).toDF("id", "a", "b", "expected")
+    val bad = cases.withColumn("got",
+        Spatial.polygonsOverlap(col("a"), col("b")))
+      .filter(col("got") =!= col("expected"))
+    assert(bad.count() == 0, bad.collect().mkString(","))
+    // SQL surface
+    val viaSql = spark.sql(
+      """SELECT polygons_overlap(
+           array(array(0D,0D), array(10D,0D), array(10D,10D), array(0D,10D)),
+           array(array(5D,5D), array(15D,5D), array(15D,15D), array(5D,15D))) AS r""")
+      .as[Boolean].collect().head
+    assert(viaSql)
+  }
+
+  test("polygonJoin: bbox prefilter + exact overlap equals brute-force filter") {
+    // 40 triangles marching across a fixed AOI square; join verdicts must
+    // equal the per-row exact predicate with no bbox prefilter at all
+    val aoiRing = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0), Seq(10.0, 10.0), Seq(0.0, 10.0))
+    val tris = (0 until 40).map { i =>
+      val x = i - 20.0
+      (i.toLong, Seq(Seq(x, x / 3), Seq(x + 3, x / 3 + 1), Seq(x + 1, x / 3 + 4)))
+    }.toDF("id", "ring")
+      .withColumn("bbox", Spatial.ringBbox(col("ring")))
+    val aoi = Seq(1).toDF("x")
+      .select(typedLit(aoiRing).as("aoi_ring"))
+      .withColumn("aoi_bbox", Spatial.ringBbox(col("aoi_ring")))
+    val viaJoin = Spatial.polygonJoin(tris, col("ring"), col("bbox"),
+        aoi, col("aoi_ring"), col("aoi_bbox"))
+      .select("id").as[Long].collect().toSet
+    val brute = tris.filter(Spatial.polygonsOverlap(col("ring"), typedLit(aoiRing)))
+      .select("id").as[Long].collect().toSet
+    assert(viaJoin == brute)
+    assert(brute.nonEmpty && brute.size < 40, s"fixture should mix verdicts: $brute")
+  }
+
   test("bboxIntersects: overlap, touch, disjoint") {
     def bb(a: Double, b: Double, c: Double, d: Double) =
       struct(lit(a).as("min_lon"), lit(b).as("min_lat"), lit(c).as("max_lon"), lit(d).as("max_lat"))
