@@ -491,6 +491,48 @@ object SparkEntry {
       graft.sources.Sources.webodmJobView(pt, wt)
     }),
 
+    // ---- EXT: stratified deterministic sampling (class rebalancing) ----
+    "q79_stratified_sample" -> ((s, dir) =>
+      // downsample the over-represented language, upsample-keep the rest —
+      // the md5-bucket predicate is reproduced verbatim by the oracle
+      graft.operators.Sampling.stratifiedSample(
+          Tables.documents(s, dir), col("lang"), col("doc_id"),
+          Map("en" -> 0.3, "fr" -> 0.8), defaultFraction = 0.5)
+        .select("doc_id", "lang")),
+    "q80_stratified_take" -> ((s, dir) =>
+      // hard per-class cap: exactly min(12, |stratum|) docs per language,
+      // chosen by hash order (unbiased w.r.t. any natural data order)
+      graft.operators.Sampling.stratifiedTake(
+          Tables.documents(s, dir), col("lang"), col("doc_id"), n = 12)
+        .select("doc_id", "lang")),
+
+    // ---- EXT: TF-IDF top terms per document ----
+    "q81_tfidf_topk" -> ((s, dir) =>
+      TextOps.tfidfTopTerms(
+          Tables.documents(s, dir).filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", k = 5)
+        .select("doc_id", "term", "tf", "tfidf")),
+
+    // ---- EXT: token-window chunking (context-length preparation) ----
+    "q82_token_chunks" -> ((s, dir) =>
+      TextOps.chunkTokens(
+          Tables.documents(s, dir).filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", chunkSize = 50, overlap = 10)
+        .select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")),
+
+    // ---- EXT: incremental dedup of an ingest batch against a corpus ----
+    "q83_dedup_against_corpus" -> ((s, dir) => {
+      // the daily-ingest shape: 1/3 of the documents arrive as the new
+      // batch, the other 2/3 are the standing corpus; survivors are batch
+      // docs that neither exactly nor nearly (J >= 0.5) duplicate the corpus
+      val docs = Tables.documents(s, dir)
+      Dedup.dedupAgainstCorpus(
+          docs.filter(col("doc_id") % 3 =!= 0),
+          docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text")
+        .select("doc_id", "lang")
+    }),
+
     // ---- set ops (SURVEY §2.6) ----
     "q22_union_distinct" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
@@ -1309,6 +1351,93 @@ object SparkEntry {
            pt.progress AS progress, wt.webodm_task_id, wt.webodm_project_id,
            wt.status AS webodm_status, wt.progress AS webodm_progress
          FROM pt LEFT JOIN wt ON wt.processing_task_id = pt.id""",
+    // stratified sampling: the md5-bucket predicate restated per stratum
+    "q79_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint % 10000 <
+           CASE lang WHEN 'en' THEN 3000 WHEN 'fr' THEN 8000 ELSE 5000 END""",
+    "q80_stratified_take" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+             ORDER BY ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint % 10000, doc_id) AS rn
+           FROM documents) t WHERE rn <= 12""",
+    // tf-idf: identical tokenization (space split, empties dropped), df from
+    // the (doc,term) rollup, ln-score rounded to 6dp BEFORE ranking on both
+    // sides, term string as total tie-break
+    "q81_tfidf_topk" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+         tok AS (SELECT doc_id, t AS term FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM d) x
+           WHERE t <> ''),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM d),
+         scored AS (SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * ln(cast(n.n_docs AS double) / dfreq.df), 6) AS tfidf
+           FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+         SELECT doc_id, term, tf, tfidf FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+           FROM scored) t WHERE rn <= 5""",
+    // token chunking: starts 0, 40, 80 … while start+overlap < n (Spark
+    // sequence is bound-inclusive, DuckDB range is stop-exclusive → +1)
+    "q82_token_chunks" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+           FROM documents WHERE doc_id % 20 = 0),
+         nn AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+         st AS (SELECT doc_id, toks, n,
+             unnest(range(0, greatest(n - 10 - 1, 0) + 1, 40)) AS start
+           FROM nn)
+         SELECT doc_id, cast(start / 40 AS int) AS chunk_id,
+           array_to_string(toks[start + 1 : least(start + 50, n)], ' ') AS chunk_text,
+           cast(least(n - start, 50) AS bigint) AS n_chunk_tokens
+         FROM st""",
+    // incremental dedup: exact-fingerprint anti-join, then the q37 signature
+    // machinery built separately over batch and corpus, band-joined ACROSS
+    // the two tables, full-set Jaccard verify on candidates, batch anti-join
+    "q83_dedup_against_corpus" ->
+      """WITH corpus AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 <> 0),
+         batch AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 = 0),
+         cfp AS (SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+                 FROM corpus),
+         b1 AS (SELECT doc_id, text, lang FROM batch
+                WHERE md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) NOT IN
+                  (SELECT fp FROM cfp)),
+         bt0 AS (SELECT doc_id, string_split(text,' ') AS w FROM b1),
+         btoks AS (SELECT doc_id, list_distinct(list_transform(
+                     generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))) AS t
+                   FROM bt0 WHERE len(w) >= 3),
+         bhs AS (SELECT doc_id, list_transform(t,
+                   tok -> ('0x' || substr(md5(tok), 1, 15))::bigint % 1000000007) AS h
+                 FROM btoks),
+         bsig AS (SELECT doc_id, list_transform(generate_series(0, 31),
+                    i -> list_min(list_transform(h, x -> (x*(i*2+3) + (i*5+7)) % 1000000007))) AS s
+                  FROM bhs),
+         bbands AS (SELECT doc_id, b AS band_id,
+                      md5(array_to_string(s[b*4+1 : b*4+4], ',')) AS band_hash
+                    FROM bsig, unnest(generate_series(0, 7)) AS u(b)),
+         ct0 AS (SELECT doc_id, string_split(text,' ') AS w FROM corpus),
+         ctoks AS (SELECT doc_id, list_distinct(list_transform(
+                     generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))) AS t
+                   FROM ct0 WHERE len(w) >= 3),
+         chs AS (SELECT doc_id, list_transform(t,
+                   tok -> ('0x' || substr(md5(tok), 1, 15))::bigint % 1000000007) AS h
+                 FROM ctoks),
+         csig AS (SELECT doc_id, list_transform(generate_series(0, 31),
+                    i -> list_min(list_transform(h, x -> (x*(i*2+3) + (i*5+7)) % 1000000007))) AS s
+                  FROM chs),
+         cbands AS (SELECT doc_id, b AS band_id,
+                      md5(array_to_string(s[b*4+1 : b*4+4], ',')) AS band_hash
+                    FROM csig, unnest(generate_series(0, 7)) AS u(b)),
+         cand AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+                  FROM bbands a JOIN cbands b
+                    ON a.band_id = b.band_id AND a.band_hash = b.band_hash),
+         nearDrop AS (SELECT DISTINCT c.batch_id FROM cand c
+           JOIN btoks ba ON ba.doc_id = c.batch_id
+           JOIN ctoks cb ON cb.doc_id = c.corpus_id
+           WHERE cast(len(list_intersect(ba.t, cb.t)) AS double) /
+                 (len(ba.t) + len(cb.t) - len(list_intersect(ba.t, cb.t))) >= 0.5)
+         SELECT doc_id, lang FROM b1
+         WHERE doc_id NOT IN (SELECT batch_id FROM nearDrop)""",
     "q48_rolling_window" ->
       """SELECT user_id, event_id,
          cast(sum(cast(value as decimal(18,2))) OVER w as double) AS roll_sum,

@@ -110,18 +110,28 @@ object Dedup {
     * the 32 permutation minimums in a hash aggregate with map-side partials,
     * shuffling one 32-long row per document. Identical output. */
   def minhashSignatureAgg(docs: DataFrame, idCol: String, textCol: String,
-                          shingleN: Int, maxDf: Long = 0): DataFrame = {
+                          shingleN: Int, maxDf: Long = 0): DataFrame =
     // maxDf > 0 drops stop-shingles (document frequency > maxDf) BEFORE the
     // signature: a shingle shared by the whole corpus carries no near-dup
     // signal but makes every pair band-collide — the classic skew guard.
-    val sh = docShingles(docs, idCol, textCol, shingleN, maxDf)
-      .withColumn("h", TextOps.tokenHash(col("shingle")) % P)
+    sigAggFromShingles(docShingles(docs, idCol, textCol, shingleN, maxDf), idCol)
+
+  /** Signature aggregate over a prepared (id, shingle) table — split out so
+    * cross-corpus dedup can apply ONE consistent stop-shingle filter to both
+    * sides before the signatures are folded. */
+  private def sigAggFromShingles(sh: DataFrame, idCol: String): DataFrame = {
+    val h = sh.withColumn("h", TextOps.tokenHash(col("shingle")) % P)
     val mins = (0 until NumHashes).map(i =>
       min((col("h") * (i * 2 + 3) + (i * 5 + 7)) % P).as(s"s_$i"))
-    sh.groupBy(col(idCol))
+    h.groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
       .select(col(idCol), array((0 until NumHashes).map(i => col(s"s_$i")): _*).as("sig"))
   }
+
+  /** (id, band_id, band_hash) from a signature table. */
+  private def bandsFromSig(sig: DataFrame, idCol: String): DataFrame =
+    sig.select(col(idCol),
+      posexplode(bandHashes(col("sig"))).as(Seq("band_id", "band_hash")))
 
   /** (doc_id, band_id, band_hash) — the LSH index table. MinHash runs over
     * 3-gram shingles, not tokens: token sets of same-domain documents overlap
@@ -186,7 +196,18 @@ object Dedup {
     // joins plus the single band-table build.
     val cand = minhashCandidates(docs, idCol, textCol, shingleN, maxDf)
       .localCheckpoint(eager = false)
-    val sets = docs.select(col(idCol),
+    // Verify touches only docs that appear in some candidate pair: semi-join
+    // the corpus against the candidate id set (read from the pinned RDD,
+    // so no band-pipeline re-execution) BEFORE recomputing shingle sets.
+    // The two verify joins still cost one corpus scan each, but the scan
+    // now emits shingle sets for |candidate docs| rows, not |corpus| — at
+    // 100 TB candidates are the near-dup neighborhoods, orders of magnitude
+    // smaller than the corpus, and the expensive split/distinct and the
+    // join build shrink proportionally. AQE broadcasts the id set when it
+    // is small and falls back to a shuffled semi-join when it is not.
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as(idCol)).distinct()
+    val sets = docs.join(candIds, Seq(idCol), "left_semi").select(col(idCol),
       TextOps.distinctShingles(TextOps.tokens(col(textCol)), shingleN).as("sh"))
     cand
       .join(sets.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
@@ -362,6 +383,79 @@ object Dedup {
     docs.join(memberDrop.union(repDrop), Seq(idCol), "left_anti")
   }
 
+  /** Incremental (batch-vs-corpus) dedup — drop from a NEW ingest batch
+    * every document that exactly or nearly duplicates the EXISTING corpus:
+    * the daily-ingest shape at 100 TB, where re-running full-corpus dedup
+    * per arrival is impossible. Batch-internal duplicates are a separate
+    * concern — compose with `dedupCorpus(batch)` when both are wanted.
+    *
+    * Phases:
+    *  1. exact — batch rows whose normalized fingerprint exists in the
+    *     corpus are dropped (anti-join on a 16-byte md5 key; AQE broadcasts
+    *     the batch side when small).
+    *  2. near — banded MinHash candidates BETWEEN batch and corpus: the
+    *     band equi-join is batch-bands ⋈ corpus-bands, never a self-join of
+    *     the union, so the quadratic term is |batch×corpus collisions| per
+    *     bucket, bounded by band selectivity exactly as in the self-join
+    *     case. Verified with exact Jaccard over full shingle sets of
+    *     CANDIDATE docs only (both sides semi-joined down to candidate ids
+    *     first). In production the corpus band table is the write-once
+    *     artifact this operator's shape assumes (`writeBucketed` on
+    *     (band_id, band_hash)); here it is derived inline.
+    *
+    * Stop-shingle discipline: with maxDf > 0 the hot set comes from the
+    * CORPUS document-frequency distribution (the stable reference) and the
+    * SAME set is removed from both sides before signatures — per-side df
+    * stats would make the two sides' signatures incomparable. */
+  def dedupAgainstCorpus(corpus: DataFrame, batch: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleN: Int = 3, threshold: Double = 0.5,
+                         maxDf: Long = 0): DataFrame = {
+    val corpusFp = corpus.select(TextOps.fingerprint(col(textCol)).as("__fp"))
+    val exactSurvivors = batch
+      .select(col(idCol), TextOps.fingerprint(col(textCol)).as("__fp"))
+      .join(corpusFp, Seq("__fp"), "left_anti")
+      .select(idCol)
+    val b1 = batch.join(exactSurvivors, Seq(idCol), "left_semi")
+    val cSh0 = docShingles(corpus, idCol, textCol, shingleN, 0)
+    val bSh0 = docShingles(b1, idCol, textCol, shingleN, 0)
+    val (cSh, bSh) =
+      if (maxDf <= 0) (cSh0, bSh0)
+      else {
+        // corpus-derived hot set, no broadcast hint (see docShingles)
+        val hot = cSh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("shingle")
+        (cSh0.join(hot, Seq("shingle"), "left_anti"),
+          bSh0.join(hot, Seq("shingle"), "left_anti"))
+      }
+    val bBands = bandsFromSig(sigAggFromShingles(bSh, idCol), idCol)
+      .localCheckpoint(eager = false)
+    val cBands = bandsFromSig(sigAggFromShingles(cSh, idCol), idCol)
+    val cand = bBands.as("a").join(cBands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash"))
+      .select(col(s"a.$idCol").as("batch_id"), col(s"b.$idCol").as("corpus_id"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val bIds = cand.select(col("batch_id").as(idCol)).distinct()
+    val cIds = cand.select(col("corpus_id").as(idCol)).distinct()
+    val shingleSet =
+      TextOps.distinctShingles(TextOps.tokens(col(textCol)), shingleN)
+    val bSets = b1.join(bIds, Seq(idCol), "left_semi")
+      .select(col(idCol).as("batch_id"), shingleSet.as("sh_a"))
+    val cSets = corpus.join(cIds, Seq(idCol), "left_semi")
+      .select(col(idCol).as("corpus_id"), shingleSet.as("sh_b"))
+    val nearDropIds = cand
+      .join(bSets, Seq("batch_id"))
+      .join(cSets, Seq("corpus_id"))
+      .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("c").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id").as(idCol)).distinct()
+    b1.join(nearDropIds, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-dup pairs: banded multi-table hyperplane LSH
     * (candidate = all `rowsPerBand` sign bits of any of `nBands` tables
     * agree), then exact-cosine verification on candidates only — the
@@ -384,17 +478,28 @@ object Dedup {
     // pairs first, then two key-joins bring the vectors back for the exact
     // verify (same two-phase shape as minhashVerifiedPairs).
     val vecs = df.select(col(idCol), v.as("v"))
+    // the same lineage-cut + verify-prefilter discipline as
+    // minhashVerifiedPairs: pin the band table so the projection/explode
+    // subtree runs once per action (not once per self-join side), pin the
+    // tiny candidate-pair set, and semi-join the vectors down to candidate
+    // ids so the two verify joins carry |candidate docs| vectors, not the
+    // whole corpus.
     val banded = df.select(col(idCol),
       posexplode(Similarity.bandBuckets(v, dim, nBands, rowsPerBand))
         .as(Seq("band_id", "bucket")))
+      .localCheckpoint(eager = false)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band_id") === col("b.band_id") &&
         col("a.bucket") === col("b.bucket") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .distinct()
-    cand.join(vecs.select(col(idCol).as("doc_a"), col("v").as("va")), Seq("doc_a"))
-      .join(vecs.select(col(idCol).as("doc_b"), col("v").as("vb")), Seq("doc_b"))
+      .localCheckpoint(eager = false)
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as(idCol)).distinct()
+    val candVecs = vecs.join(candIds, Seq(idCol), "left_semi")
+    cand.join(candVecs.select(col(idCol).as("doc_a"), col("v").as("va")), Seq("doc_a"))
+      .join(candVecs.select(col(idCol).as("doc_b"), col("v").as("vb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(Similarity.cosineU(col("va"), col("vb"), dim), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)

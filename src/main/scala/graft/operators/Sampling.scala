@@ -46,4 +46,40 @@ object Sampling {
   def deterministicSample(df: DataFrame, key: Column, fraction: Double,
                           buckets: Int = 10000): DataFrame =
     df.filter(hashBucket(key, buckets) < math.round(fraction * buckets))
+
+  /** Per-stratum deterministic sampling — the class-rebalancing primitive
+    * (downsample over-represented languages/sources/domains in a training
+    * corpus) with the same guarantees as `deterministicSample`: no RNG, no
+    * shuffle (a pure per-row predicate over (stratum, key)), append-stable,
+    * reproducible in any engine. Strata not named in `fractions` keep
+    * `defaultFraction` of their rows. */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0,
+                       buckets: Int = 10000): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0,1]")
+    val cut = fractions.toSeq.sortBy(_._1).foldLeft(
+        lit(math.round(defaultFraction * buckets)): Column) {
+      case (acc, (s, f)) =>
+        when(stratum === s, lit(math.round(f * buckets))).otherwise(acc)
+    }
+    df.filter(hashBucket(key, buckets) < cut)
+  }
+
+  /** EXACT-n per-stratum deterministic sample: keep the `n` rows of each
+    * stratum with the smallest (hash bucket, key) — a deterministic
+    * substitute for per-group reservoir sampling when the contract is a
+    * hard per-class cap ("at most n examples per language") rather than a
+    * rate. One shuffle on the stratum key + a partitioned window (never a
+    * global one); the hash order makes the selection unbiased w.r.t. any
+    * natural ordering of the data. */
+  def stratifiedTake(df: DataFrame, stratum: Column, key: Column,
+                     n: Int, buckets: Int = 10000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(hashBucket(key, buckets), key)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
 }

@@ -146,6 +146,77 @@ object TextOps {
         .select(col(idCol)),
       Seq(idCol), "left_anti")
 
+  /** TF-IDF top-k terms per document — the keyword/feature-extraction pass
+    * of a text pipeline (domain tagging, topic clustering inputs, index
+    * terms). Score = tf · ln(N/df), rounded to 6 dp so the ranking is
+    * engine-reproducible (ln may differ by 1 ulp between libms; the
+    * ordering uses the ROUNDED value with the term string as total
+    * tie-break).
+    *
+    * Scale shape: explode (codegen) → (doc,term) hash-aggregate with
+    * map-side partials → per-term document frequency as a second hash
+    * aggregate over the SAME (doc,term) rows (no distinct-explode re-pass)
+    * → broadcast of the single-row corpus count → top-k via a window
+    * partitioned BY DOCUMENT (never global). The df table is term-keyed —
+    * the natural-language term distribution is Zipfian, but the df join is
+    * an equi-join on term whose skew AQE splits; nothing here is
+    * quadratic. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5): DataFrame = {
+    val tok = docs.select(col(idCol),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("tfidf"))
+  }
+
+  /** Token-window chunking — split each document into overlapping windows of
+    * at most `chunkSize` tokens with `overlap` tokens shared between
+    * consecutive chunks: the context-window preparation pass for pretraining
+    * and embedding pipelines (long documents must be cut to model context
+    * length; overlap preserves cross-boundary context).
+    *
+    * Pure per-row explode (sequence → slice → join): no shuffle, no state,
+    * embarrassingly parallel — each doc yields ceil((n-overlap)/stride)
+    * rows. Chunk ids are 0-based and stable; the final partial chunk is
+    * kept (a trailing window shorter than chunkSize). Empty docs yield no
+    * rows. */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, overlap: Int = 0): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val toks = filter(tokens(col(textCol)), t => t =!= "")
+    docs
+      .withColumn("__toks", toks)
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      // starts: 0, stride, 2·stride …, while start + overlap < n — a later
+      // start would begin inside the previous window's tail and contribute
+      // no new token (a pure-suffix duplicate chunk); tiny docs (n <=
+      // overlap) keep the single start 0
+      .withColumn("__start",
+        explode(sequence(lit(0),
+          greatest(col("__n") - overlap - 1, lit(0)), lit(stride))))
+      .withColumn("chunk_id", (col("__start") / stride).cast("int"))
+      .withColumn("chunk_text",
+        array_join(slice(col("__toks"), col("__start") + 1, lit(chunkSize)), " "))
+      .withColumn("n_chunk_tokens",
+        least(col("__n") - col("__start"), lit(chunkSize)))
+      .select(col(idCol), col("chunk_id"), col("chunk_text"),
+        col("n_chunk_tokens").cast("long").as("n_chunk_tokens"))
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized lowercase text —
     * the exact-dedup key that survives formatting noise. */
   def fingerprint(text: Column): Column =

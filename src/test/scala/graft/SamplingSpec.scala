@@ -63,4 +63,35 @@ class SamplingSpec extends SparkSuite {
       Sampling.splitAssign(col("x"), Seq("a" -> 0.9, "b" -> 0.3))
     }
   }
+
+  test("stratifiedSample: per-stratum rates honored, key-stable, default applied") {
+    val df = (1L to 3000L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "fr" else "de"))
+      .toDF("id", "lang")
+    val kept = Sampling.stratifiedSample(df, col("lang"), col("id"),
+      Map("en" -> 0.2, "fr" -> 0.9), defaultFraction = 0.5)
+    val counts = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // each stratum has 1000 rows; hash-uniformity tolerance ±8%
+    assert(math.abs(counts("en") - 200) < 80, s"en=${counts("en")}")
+    assert(math.abs(counts("fr") - 900) < 80, s"fr=${counts("fr")}")
+    assert(math.abs(counts("de") - 500) < 80, s"de=${counts("de")}")
+    // key-stability: the en-sample is exactly the global 0.2-sample
+    // restricted to en (same hash, same cut) — and re-runs are identical
+    val enA = kept.filter(col("lang") === "en").select("id").as[Long].collect().toSet
+    val enB = Sampling.deterministicSample(df.filter(col("lang") === "en"),
+      col("id"), 0.2).select("id").as[Long].collect().toSet
+    assert(enA == enB)
+  }
+
+  test("stratifiedTake: exact per-stratum cap, deterministic choice, small strata intact") {
+    val df = ((1L to 100L).map(i => (i, "big")) ++ (101L to 105L).map(i => (i, "small")))
+      .toDF("id", "lang")
+    val t = Sampling.stratifiedTake(df, col("lang"), col("id"), n = 10)
+    val counts = t.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("big" -> 10L, "small" -> 5L))
+    // deterministic: same rows on re-run
+    val a = t.select("id").as[Long].collect().toSet
+    val b = Sampling.stratifiedTake(df, col("lang"), col("id"), n = 10)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
 }

@@ -122,4 +122,68 @@ class TextDedupSpec extends SparkSuite {
       .select(TextOps.bpeishTokens(col("t")).as("toks")).as[Seq[String]].collect().head
     assert(out == Seq("ab", "12", ",", "cd", "!"))
   }
+
+  test("chunkTokens: windows, overlap, trailing partial, tiny and empty docs") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                    // shorter than overlap+1
+      (3L, ""),                                       // empty -> no rows
+      (4L, (1 to 5).map(i => s"u$i").mkString(" "))   // odd tail
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkTokens(docs, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .as[(Long, Int, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toList).toMap
+    assert(out(1L) == List(
+      (1L, 0, "t1 t2 t3 t4", 4L),
+      (1L, 1, "t4 t5 t6 t7", 4L),
+      (1L, 2, "t7 t8 t9 t10", 4L)))
+    assert(out(2L) == List((2L, 0, "a b", 2L)))
+    assert(!out.contains(3L))
+    assert(out(4L) == List((4L, 0, "u1 u2 u3 u4", 4L), (4L, 1, "u4 u5", 2L)))
+    // every token of every doc appears in at least one chunk of that doc
+    val covered = out(1L).flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+    intercept[IllegalArgumentException] {
+      TextOps.chunkTokens(docs, "doc_id", "text", chunkSize = 4, overlap = 4)
+    }
+  }
+
+  test("dedupAgainstCorpus: exact dup, near dup, and novel batch docs routed correctly") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda CHANGED"
+    val corpus = Seq(
+      (1L, base),
+      (2L, "one two three four five six seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),  // exact dup of corpus 1 -> dropped in phase 1
+      (11L, near),  // near dup of corpus 1 (J ~ 0.64) -> dropped in phase 2
+      (12L, "zebra quokka wombat numbat dingo bilby kookaburra emu cassowary lyrebird")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstCorpus(corpus, batch, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(12L))
+    // maxDf guard path (corpus-derived hot set) keeps the same verdicts here
+    val outDf = Dedup.dedupAgainstCorpus(corpus, batch, "doc_id", "text", maxDf = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(outDf == Set(12L))
+  }
+
+  test("tfidfTopTerms matches a hand-computed reference on a tiny corpus") {
+    // 3 docs; "common" appears in all (idf = ln(1) = 0), "rare" only in doc 1
+    val docs = Seq(
+      (1L, "rare common rare"),
+      (2L, "common mid"),
+      (3L, "common mid")).toDF("doc_id", "text")
+    val got = TextOps.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .as[(Long, String, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (-r._4, r._2)).toList).toMap
+    def s(tf: Long, df: Long): Double =
+      BigDecimal(tf * math.log(3.0 / df)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: rare tf=2 df=1 → 2·ln3; common tf=1 df=3 → 0
+    assert(got(1L) == List((1L, "rare", 2L, s(2, 1)), (1L, "common", 1L, s(1, 3))))
+    // docs 2/3: mid tf=1 df=2 → ln(1.5); common 0; tie on k=2 keeps both
+    assert(got(2L) == List((2L, "mid", 1L, s(1, 2)), (2L, "common", 1L, s(1, 3))))
+    assert(got(3L) == List((3L, "mid", 1L, s(1, 2)), (3L, "common", 1L, s(1, 3))))
+  }
 }
