@@ -533,6 +533,32 @@ object SparkEntry {
         .select("doc_id", "lang")
     }),
 
+    // ---- EXT: corpus-relative length-outlier filter ----
+    "q84_length_filter" -> ((s, dir) =>
+      TextOps.lengthOutlierFilter(Tables.documents(s, dir), "doc_id", "text",
+          pLo = 0.05, pHi = 0.95)
+        .select("doc_id", "n_tokens")),
+
+    // ---- EXT: source-level (domain) quality filter ----
+    "q85_source_filter" -> ((s, dir) =>
+      TextOps.filterBySourceQuality(Tables.documents(s, dir),
+          "source", "n_chars", minMean = 300.0)
+        .select("doc_id", "source")),
+
+    // ---- EXT: end-to-end corpus-preparation pipeline ----
+    "q86_pretrain_pipeline" -> ((s, dir) => {
+      // the full composition: length band -> PII scrub -> exact dedup on
+      // scrubbed fingerprints -> decontaminate vs the %97 eval slice ->
+      // deterministic split. The oracle rebuilds every stage from its
+      // already-proven CTE fragments (q84/q56/q27/q59/q54).
+      val docs = Tables.documents(s, dir)
+      graft.operators.Pipelines.pretrainCorpus(
+          docs, "doc_id", "text",
+          benchmark = docs.filter(col("doc_id") % 97 === 0), "text")
+        .select(col("doc_id"), col("n_tokens"), md5(col("clean_text")).as("clean_md5"),
+          col("split"))
+    }),
+
     // ---- set ops (SURVEY §2.6) ----
     "q22_union_distinct" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
@@ -1438,6 +1464,65 @@ object SparkEntry {
                  (len(ba.t) + len(cb.t) - len(list_intersect(ba.t, cb.t))) >= 0.5)
          SELECT doc_id, lang FROM b1
          WHERE doc_id NOT IN (SELECT batch_id FROM nearDrop)""",
+    // exact percentile band: Spark percentile == DuckDB quantile_cont
+    // (identical linear interpolation, bit-for-bit)
+    "q84_length_filter" ->
+      """WITH t AS (SELECT doc_id,
+           cast(len(list_filter(string_split(text, ' '), x -> x <> '')) AS bigint) AS n_tokens
+         FROM documents),
+         b AS (SELECT quantile_cont(n_tokens, 0.05) AS lo, quantile_cont(n_tokens, 0.95) AS hi
+               FROM t)
+         SELECT doc_id, n_tokens FROM t, b
+         WHERE n_tokens >= lo AND n_tokens <= hi""",
+    // per-source exact-decimal mean, filter, semi-join back
+    "q85_source_filter" ->
+      """WITH m AS (SELECT source,
+           cast(sum(cast(n_chars AS decimal(18,2))) AS double) / count(*) AS mean_chars
+         FROM documents GROUP BY source)
+         SELECT d.doc_id, d.source FROM documents d
+         JOIN m ON d.source = m.source
+         WHERE m.mean_chars >= 300.0""",
+    // the pipeline, stage for stage: q84 band -> q56 scrub -> q27-style
+    // min-id dedup on the scrubbed fingerprint -> q59 shingle anti-join ->
+    // q54 bucket CASE over 0.9/0.05/0.05
+    "q86_pretrain_pipeline" ->
+      """WITH t AS (SELECT doc_id, text,
+           cast(len(list_filter(string_split(text, ' '), x -> x <> '')) AS bigint) AS n_tokens
+         FROM documents),
+         b AS (SELECT quantile_cont(n_tokens, 0.05) AS lo, quantile_cont(n_tokens, 0.95) AS hi
+               FROM t),
+         lengthed AS (SELECT doc_id, text, n_tokens FROM t, b
+                      WHERE n_tokens >= lo AND n_tokens <= hi),
+         scrub AS (SELECT doc_id, n_tokens,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean_text
+           FROM lengthed),
+         keep AS (SELECT min(doc_id) AS doc_id FROM scrub
+                  GROUP BY md5(regexp_replace(trim(lower(clean_text)), '\s+', ' ', 'g'))),
+         dedup AS (SELECT s.doc_id, s.n_tokens, s.clean_text FROM scrub s
+                   JOIN keep k ON s.doc_id = k.doc_id),
+         bw AS (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 97 = 0),
+         bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+                   generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' ')))) AS s
+                 FROM bw WHERE len(w) >= 3),
+         dw AS (SELECT doc_id, string_split(clean_text, ' ') AS w FROM dedup),
+         dsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' ')))) AS s
+                 FROM dw WHERE len(w) >= 3),
+         contaminated AS (SELECT DISTINCT doc_id FROM dsh
+                          WHERE s IN (SELECT s FROM bsh)),
+         decon AS (SELECT * FROM dedup
+                   WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+         SELECT doc_id, n_tokens, md5(clean_text) AS clean_md5,
+           CASE WHEN hb < 9000 THEN 'train'
+                WHEN hb < 9500 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (SELECT doc_id, n_tokens, clean_text,
+                 ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint % 10000 AS hb
+               FROM decon) z""",
     "q48_rolling_window" ->
       """SELECT user_id, event_id,
          cast(sum(cast(value as decimal(18,2))) OVER w as double) AS roll_sum,

@@ -217,6 +217,47 @@ object TextOps {
         col("n_chunk_tokens").cast("long").as("n_chunk_tokens"))
   }
 
+  /** Corpus-relative length-outlier filter (the Gopher/C4 document-length
+    * rule): keep documents whose token count lies inside the corpus's
+    * [pLo, pHi] exact-percentile band — truncated docs and boilerplate
+    * mega-docs both fall outside it.
+    *
+    * The thresholds are ONE row of two doubles, broadcast; the corpus
+    * streams once for the percentile aggregate and once for the filter. At
+    * 100 TB swap `percentile` for `approx_percentile` (sketch-mergeable,
+    * single pass, bounded memory) — SamplingSpec asserts the sketch tracks
+    * the exact value on this corpus. */
+  def lengthOutlierFilter(docs: DataFrame, idCol: String, textCol: String,
+                          pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val withN = docs.withColumn("n_tokens",
+      size(filter(tokens(col(textCol)), t => t =!= "")).cast("long"))
+    val bounds = withN.agg(
+      expr(s"percentile(n_tokens, $pLo)").as("__lo"),
+      expr(s"percentile(n_tokens, $pHi)").as("__hi"))
+    withN.crossJoin(org.apache.spark.sql.functions.broadcast(bounds))
+      .filter(col("n_tokens") >= col("__lo") && col("n_tokens") <= col("__hi"))
+      .drop("__lo", "__hi")
+  }
+
+  /** Source-level filtering (domain filtering, the C4/RefinedWeb shape):
+    * keep documents whose SOURCE's mean score clears `minMean` — low-quality
+    * domains are dropped wholesale, which catches boilerplate farms that
+    * per-document rules miss. Mean = exact decimal sum ÷ count (the
+    * engine-reproducible form; native double avg accumulates in reduction
+    * order). Two hash aggregates + a semi-join on the source key; the
+    * per-source table is dimension-sized (|sources| ≪ |docs|), so AQE
+    * broadcasts the semi-join build side. */
+  def filterBySourceQuality(docs: DataFrame, srcCol: String, scoreCol: String,
+                            minMean: Double): DataFrame = {
+    val good = docs.groupBy(col(srcCol))
+      .agg((sum(col(scoreCol).cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("__mean"))
+      .filter(col("__mean") >= minMean)
+      .select(srcCol)
+    docs.join(good, Seq(srcCol), "left_semi")
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized lowercase text —
     * the exact-dedup key that survives formatting noise. */
   def fingerprint(text: Column): Column =

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Pipelines
+
+/** End-to-end corpus-preparation composition: every stage's effect must be
+  * observable in the final frame on a fixture crafted to trigger each one. */
+class PipelinesSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("pretrainCorpus: band, scrub-aware dedup, decontamination, stable splits") {
+    val mid = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, "tiny"),                                        // 1 token -> below p05
+      (2L, (1 to 50).map(i => s"w$i").mkString(" ")),      // 50 tokens -> above p95
+      (3L, s"$mid contact a@b.com"),                       // dup pair after scrub...
+      (4L, s"$mid contact c@d.net"),                       // ...only the min id stays
+      (5L, "november oscar papa quebec romeo sierra"),
+      (6L, "zulu yankee xray mike lima kilo"),             // shares 3-gram with benchmark
+      (7L, "uniform victor whiskey tango golf hotel"),
+      (8L, "one two three four five six"),
+      (9L, "seven eight nine ten eleven twelve"),
+      (10L, "thirteen fourteen fifteen sixteen seventeen eighteen"),
+      (11L, "nineteen twenty twentyone twentytwo twentythree twentyfour"),
+      (12L, "red green blue cyan magenta yellow")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq("the eval set says zulu yankee xray here").toDF("text")
+
+    val out = Pipelines.pretrainCorpus(docs, "doc_id", "text", benchmark, "text")
+    val rows = out.select("doc_id", "n_tokens", "clean_text", "split")
+      .as[(Long, Long, String, String)].collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+
+    // band: 1 (too short) and 2 (too long) gone
+    assert(!byId.contains(1L) && !byId.contains(2L))
+    // scrub-aware dedup: 3 and 4 collapse to min id 3, with the email scrubbed
+    assert(byId.contains(3L) && !byId.contains(4L))
+    assert(byId(3L)._3 == s"$mid contact <EMAIL>")
+    // decontamination: 6 shares "zulu yankee xray" with the benchmark
+    assert(!byId.contains(6L))
+    // everything else survives with its token count and a valid split
+    assert(byId.keySet == Set(3L, 5L, 7L, 8L, 9L, 10L, 11L, 12L))
+    // n_tokens is the PRE-scrub count: doc 3 has 8 ("… contact a@b.com")
+    assert(byId(3L)._2 == 8L)
+    assert(rows.filter(_._1 != 3L).forall(_._2 == 6L))
+    assert(rows.forall(r => Set("train", "val", "test").contains(r._4)))
+    // split stability: rerun assigns identical splits
+    val again = Pipelines.pretrainCorpus(docs, "doc_id", "text", benchmark, "text")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(rows.map(r => r._1 -> r._4).toMap == again)
+  }
+}

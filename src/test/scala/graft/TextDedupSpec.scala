@@ -169,6 +169,30 @@ class TextDedupSpec extends SparkSuite {
     assert(outDf == Set(12L))
   }
 
+  test("lengthOutlierFilter keeps the inner percentile band only") {
+    // 20 docs with 1..20 tokens; p05/p95 of 1..20 under linear interpolation
+    // are 1.95 and 19.05 -> survivors are exactly 2..19 tokens
+    val docs = (1 to 20).map(n => (n.toLong, (1 to n).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val kept = TextOps.lengthOutlierFilter(docs, "doc_id", "text", 0.05, 0.95)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == (2L to 19L).toSet)
+    intercept[IllegalArgumentException] {
+      TextOps.lengthOutlierFilter(docs, "doc_id", "text", 0.9, 0.1)
+    }
+  }
+
+  test("filterBySourceQuality drops whole low-scoring sources") {
+    val docs = Seq(
+      (1L, "good", 100.0), (2L, "good", 200.0),   // mean 150
+      (3L, "bad", 10.0), (4L, "bad", 20.0),       // mean 15
+      (5L, "edge", 50.0), (6L, "edge", 50.0))     // mean 50, inclusive bound
+      .toDF("doc_id", "source", "score")
+    val kept = TextOps.filterBySourceQuality(docs, "source", "score", minMean = 50.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 5L, 6L))
+  }
+
   test("tfidfTopTerms matches a hand-computed reference on a tiny corpus") {
     // 3 docs; "common" appears in all (idf = ln(1) = 0), "rare" only in doc 1
     val docs = Seq(
