@@ -559,6 +559,12 @@ object SparkEntry {
           col("split"))
     }),
 
+    // ---- batch sessionization (W-family; twin of the T5 session store) ----
+    "q87_sessionize" -> ((s, dir) =>
+      R.sessionize(Tables.events(s, dir), "user_id", "ts",
+          gapSeconds = 1800, tieBreak = col("event_id"))
+        .select("event_id", "user_id", "session_seq")),
+
     // ---- set ops (SURVEY §2.6) ----
     "q22_union_distinct" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
@@ -1523,6 +1529,18 @@ object SparkEntry {
          FROM (SELECT doc_id, n_tokens, clean_text,
                  ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint % 10000 AS hb
                FROM decon) z""",
+    // sessionize: lag-gap flag + running sum over the same partitioned
+    // window; floor-second epochs keep the gap boundary engine-identical
+    "q87_sessionize" ->
+      """SELECT event_id, user_id,
+           sum(CASE WHEN prev_e IS NULL OR epoch_s - prev_e > 1800 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         FROM (SELECT event_id, user_id, ts,
+                 cast(floor(epoch(ts)) AS bigint) AS epoch_s,
+                 lag(cast(floor(epoch(ts)) AS bigint))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_e
+               FROM events) t""",
     "q48_rolling_window" ->
       """SELECT user_id, event_id,
          cast(sum(cast(value as decimal(18,2))) OVER w as double) AS roll_sum,

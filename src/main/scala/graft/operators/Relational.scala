@@ -217,6 +217,24 @@ object Relational {
       .withColumn(as + "_n", count(lit(1)).over(w))
   }
 
+  /** Batch sessionization — split each key's event stream into sessions at
+    * inactivity gaps larger than `gapSeconds`: the batch-analytics twin of
+    * the streaming TTL session store (Streams.sessionWithTtl) and the
+    * standard first step of funnel/engagement analysis. session_seq is the
+    * 1-based session index within the key (lag to flag session starts, then
+    * a running sum of the flags — both over the SAME key-partitioned window,
+    * one shuffle, never global). Gap comparison uses floor-second epochs so
+    * the boundary is engine-reproducible under nanos→micros truncation. */
+  def sessionize(df: DataFrame, key: String, ts: String, gapSeconds: Long,
+                 tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts).asc, tieBreak.asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col(ts).cast("long"), 1).over(w)
+    val isStart = when(
+      prev.isNull || (col(ts).cast("long") - prev) > gapSeconds, 1).otherwise(0)
+    df.withColumn("session_seq", sum(isStart).over(run))
+  }
+
   /** T3 (batch view) — time-bucketed metrics: tumbling windows over an event
     * log (reference: MetricsMiddleware running count/mean,
     * services/api-gateway/middleware.py:68-94). */

@@ -94,4 +94,18 @@ class RelationalSpec extends SparkSuite {
     val dups = R.duplicateKeys(df, "email").select("email").as[String].collect().toSeq
     assert(dups == Seq("a@x"))
   }
+
+  test("sessionize: gap threshold splits sessions per key, 1-based and monotone") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L), // u7 s1
+      (2L, ts("2024-01-01 10:20:00"), 7L), // +20m  -> s1
+      (3L, ts("2024-01-01 11:00:00"), 7L), // +40m  -> s2
+      (4L, ts("2024-01-01 11:30:00"), 7L), // +30m exactly = gap, NOT > gap -> s2
+      (5L, ts("2024-01-01 13:00:00"), 7L), // +90m  -> s3
+      (6L, ts("2024-01-01 10:00:00"), 8L)  // other user -> own s1
+    ).toDF("event_id", "ts", "user_id")
+    val got = R.sessionize(ev, "user_id", "ts", gapSeconds = 1800, tieBreak = col("event_id"))
+      .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L, 6L -> 1L))
+  }
 }
