@@ -94,10 +94,38 @@ object PolygonsOverlap {
       i2 = i; i += 1
     }
     // no proper crossings: overlap iff one polygon contains the other —
-    // probe one vertex of each against the opposite ring
+    // probe one vertex of each against the opposite ring. EXACTLY identical
+    // rings short-circuit first: their interiors coincide (trivially
+    // overlapping) but every probe vertex lies ON the boundary, where the
+    // half-open ray-cast is undecided — the one degenerate configuration
+    // whose true verdict is knowable without a boundary convention.
+    if (sameRing(a, b)) return true
     val a0 = a.getArray(0)
     val b0 = b.getArray(0)
     PointInPolygon.contains(a0.getDouble(0), a0.getDouble(1), b) ||
       PointInPolygon.contains(b0.getDouble(0), b0.getDouble(1), a)
+  }
+
+  /** Rings equal as cyclic vertex sequences, in either orientation —
+    * O(n²) doubles compares over tens of vertices, only reached when no
+    * edges properly cross. */
+  private def sameRing(a: ArrayData, b: ArrayData): Boolean = {
+    val n = a.numElements()
+    if (b.numElements() != n) return false
+    def eq(i: Int, j: Int): Boolean = {
+      val p = a.getArray(i); val q = b.getArray(j)
+      p.getDouble(0) == q.getDouble(0) && p.getDouble(1) == q.getDouble(1)
+    }
+    var off = 0
+    while (off < n) {
+      var k = 0
+      while (k < n && eq(k, (k + off) % n)) k += 1
+      if (k == n) return true
+      k = 0
+      while (k < n && eq(k, (off - k % n + n * 2) % n)) k += 1
+      if (k == n) return true
+      off += 1
+    }
+    false
   }
 }

@@ -156,4 +156,38 @@ object PropertySpec extends Properties("graft") {
       java.lang.Double.doubleToLongBits(native) ==
         java.lang.Double.doubleToLongBits(hof)
     }
+
+  // random convex-ish polygons: a center plus sorted angular offsets with
+  // varying radii — always simple (non-self-intersecting), 3-7 vertices
+  private val polyGen: Gen[Seq[Seq[Double]]] = for {
+    cx <- Gen.choose(-50.0, 50.0)
+    cy <- Gen.choose(-50.0, 50.0)
+    n <- Gen.choose(3, 7)
+    radii <- Gen.listOfN(n, Gen.choose(1.0, 15.0))
+  } yield radii.zipWithIndex.map { case (r, i) =>
+    val th = 2 * math.Pi * i / n
+    Seq(cx + r * math.cos(th), cy + r * math.sin(th))
+  }
+
+  property("polygons_overlap: symmetric; far-translated copies are disjoint; near copies overlap") =
+    Prop.forAll(polyGen, polyGen) { (a, b) =>
+      import spark.implicits._
+      import graft.operators.Spatial
+      GraftExtensions.register(spark)
+      // max radius 15 around centers within ±50 → +1000 is far disjoint;
+      // a (0.1, 0.0731) nudge is well under the ≥0.39 center-to-boundary
+      // floor of these star polygons, so interiors genuinely overlap (the
+      // odd direction avoids exactly-parallel collinear edge contact,
+      // which the predicate's strict crossing test deliberately excludes)
+      val far = a.map(p => Seq(p.head + 1000.0, p(1)))
+      val near = a.map(p => Seq(p.head + 0.1, p(1) + 0.0731))
+      val df = Seq((a, b, far, near)).toDF("a", "b", "far", "near")
+      val Array((ab, ba, fr, nr)) = df.select(
+        Spatial.polygonsOverlap(col("a"), col("b")).as("ab"),
+        Spatial.polygonsOverlap(col("b"), col("a")).as("ba"),
+        Spatial.polygonsOverlap(col("a"), col("far")).as("fr"),
+        Spatial.polygonsOverlap(col("a"), col("near")).as("nr"))
+        .as[(Boolean, Boolean, Boolean, Boolean)].collect()
+      ab == ba && !fr && nr
+    }
 }

@@ -66,7 +66,12 @@ class SpatialKnnSpec extends SparkSuite {
       (6L, ring((0, 0), (4, 0), (4, 4), (2, 2), (0, 4)),
         ring((1.6, 3.4), (2.4, 3.4), (2.0, 3.9)), false),
       // degenerate ring (< 3 points) → false, not a crash
-      (7L, unitSq, ring((1, 1), (2, 2)), false)
+      (7L, unitSq, ring((1, 1), (2, 2)), false),
+      // identical rings: interiors coincide → overlap, despite every probe
+      // vertex lying on the boundary (the cyclic-identity fast path)
+      (8L, unitSq, unitSq, true),
+      // same ring, rotated start vertex and reversed orientation
+      (9L, unitSq, ring((10, 10), (0, 10), (0, 0), (10, 0)), true)
     ).toDF("id", "a", "b", "expected")
     val bad = cases.withColumn("got",
         Spatial.polygonsOverlap(col("a"), col("b")))
