@@ -559,6 +559,11 @@ object SparkEntry {
           col("split"))
     }),
 
+    // ---- EXT: unigram-surprisal quality score (LM-perplexity stand-in) ----
+    "q88_unigram_surprisal" -> ((s, dir) =>
+      TextOps.unigramSurprisal(Tables.documents(s, dir), "doc_id", "text")
+        .select("doc_id", "mean_surprisal", "n_tokens")),
+
     // ---- batch sessionization (W-family; twin of the T5 session store) ----
     "q87_sessionize" -> ((s, dir) =>
       R.sessionize(Tables.events(s, dir), "user_id", "ts",
@@ -1529,13 +1534,27 @@ object SparkEntry {
          FROM (SELECT doc_id, n_tokens, clean_text,
                  ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint % 10000 AS hb
                FROM decon) z""",
+    // surprisal: per-token -ln(p) rounded to 6dp then summed EXACTLY in
+    // decimal (double sums are reduction-order-dependent), one division
+    "q88_unigram_surprisal" ->
+      """WITH tok AS (SELECT doc_id, t AS term FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) x
+           WHERE t <> ''),
+         c AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+         tot AS (SELECT sum(c) AS n_total FROM c),
+         s AS (SELECT tok.doc_id,
+             cast(round(-ln(cast(c.c AS double) / tot.n_total), 6) AS decimal(18,6)) AS s
+           FROM tok JOIN c ON tok.term = c.term CROSS JOIN tot)
+         SELECT doc_id, cast(sum(s) AS double) / count(*) AS mean_surprisal,
+           count(*) AS n_tokens
+         FROM s GROUP BY doc_id""",
     // sessionize: lag-gap flag + running sum over the same partitioned
     // window; floor-second epochs keep the gap boundary engine-identical
     "q87_sessionize" ->
       """SELECT event_id, user_id,
-           sum(CASE WHEN prev_e IS NULL OR epoch_s - prev_e > 1800 THEN 1 ELSE 0 END)
+           cast(sum(CASE WHEN prev_e IS NULL OR epoch_s - prev_e > 1800 THEN 1 ELSE 0 END)
              OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS session_seq
          FROM (SELECT event_id, user_id, ts,
                  cast(floor(epoch(ts)) AS bigint) AS epoch_s,
                  lag(cast(floor(epoch(ts)) AS bigint))

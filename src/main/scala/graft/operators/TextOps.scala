@@ -217,6 +217,33 @@ object TextOps {
         col("n_chunk_tokens").cast("long").as("n_chunk_tokens"))
   }
 
+  /** Per-document mean unigram surprisal — the language-model quality score
+    * of the CCNet/CC-filtering recipe with the corpus's own unigram
+    * distribution standing in for the KenLM model (no model ships in a pure
+    * engine): score(doc) = mean over tokens of −ln(count(tok)/total).
+    * Gibberish and boilerplate-heavy docs score high/low respectively
+    * relative to the corpus median, which is how the published pipelines
+    * threshold them.
+    *
+    * Determinism: each token's surprisal is rounded to 6 dp and summed as
+    * an EXACT decimal (double summation is reduction-order-dependent and
+    * engine-divergent), divided once at the end. Scale shape: one explode
+    * pass, a vocab-sized unigram table (vocab ≪ corpus — AQE broadcasts
+    * it), a single-row total broadcast, one per-doc hash aggregate. */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("n_total"))
+    tok.join(counts, Seq("term"))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(total))
+      .withColumn("s",
+        round(-log(col("c").cast("double") / col("n_total")), 6).cast("decimal(18,6)"))
+      .groupBy(col(idCol))
+      .agg((sum(col("s")).cast("double") / count(lit(1))).as("mean_surprisal"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Corpus-relative length-outlier filter (the Gopher/C4 document-length
     * rule): keep documents whose token count lies inside the corpus's
     * [pLo, pHi] exact-percentile band — truncated docs and boilerplate

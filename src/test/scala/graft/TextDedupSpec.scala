@@ -169,6 +169,17 @@ class TextDedupSpec extends SparkSuite {
     assert(outDf == Set(12L))
   }
 
+  test("unigramSurprisal matches a hand-computed corpus distribution") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // counts: a=2, b=2, c=1, total=5; s(a)=s(b)=round(-ln(0.4),6)=0.916291,
+    // s(c)=round(-ln(0.2),6)=1.609438
+    val got = TextOps.unigramSurprisal(docs, "doc_id", "text")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L)._2 == 3L && got(2L)._2 == 2L)
+    assert(math.abs(got(1L)._1 - 0.916291) < 1e-9)
+    assert(math.abs(got(2L)._1 - (0.916291 + 1.609438) / 2) < 1e-9)
+  }
+
   test("lengthOutlierFilter keeps the inner percentile band only") {
     // 20 docs with 1..20 tokens; p05/p95 of 1..20 under linear interpolation
     // are 1.95 and 19.05 -> survivors are exactly 2..19 tokens
