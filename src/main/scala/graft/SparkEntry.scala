@@ -564,6 +564,25 @@ object SparkEntry {
       TextOps.unigramSurprisal(Tables.documents(s, dir), "doc_id", "text")
         .select("doc_id", "mean_surprisal", "n_tokens")),
 
+    // ---- EXT: substring-level dedup (duplicated token-window spans) ----
+    "q89_dup_spans" -> ((s, dir) =>
+      TextOps.duplicateSpanStats(Tables.documents(s, dir), "doc_id", "text",
+          window = 10)
+        .select("doc_id", "n_spans", "n_dup_spans", "dup_ratio")),
+    "q90_drop_dup_spans" -> ((s, dir) =>
+      // md5 of the rebuilt text keeps the gate artifact small while still
+      // pinning every surviving span and its order exactly
+      TextOps.dropDuplicateSpans(Tables.documents(s, dir), "doc_id", "text",
+          window = 10)
+        .select(col("doc_id"), col("n_spans"), col("n_kept"),
+          md5(col("dedup_text")).as("dedup_md5"))),
+
+    // ---- EXT: sequence packing (two-level distributed prefix sum) ----
+    "q91_pack_sequences" -> ((s, dir) =>
+      graft.operators.Pipelines.packSequences(
+          Tables.documents(s, dir), "doc_id", "text", budget = 512)
+        .select("doc_id", "n_tokens", "tok_offset", "seq_first", "seq_last")),
+
     // ---- batch sessionization (W-family; twin of the T5 session store) ----
     "q87_sessionize" -> ((s, dir) =>
       R.sessionize(Tables.events(s, dir), "user_id", "ts",
@@ -1548,6 +1567,62 @@ object SparkEntry {
          SELECT doc_id, cast(sum(s) AS double) / count(*) AS mean_surprisal,
            count(*) AS n_tokens
          FROM s GROUP BY doc_id""",
+    // dup spans: the q82 chunking CTE at overlap 0, span-frequency join,
+    // per-doc counts (sum(int) is HUGEINT in DuckDB -> cast to bigint)
+    "q89_dup_spans" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+           FROM documents),
+         nn AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+         st AS (SELECT doc_id, toks, n,
+             unnest(range(0, greatest(n - 1, 0) + 1, 10)) AS start FROM nn),
+         ch AS (SELECT doc_id,
+             array_to_string(toks[start + 1 : least(start + 10, n)], ' ') AS chunk_text
+           FROM st),
+         freq AS (SELECT chunk_text, count(*) AS occ FROM ch GROUP BY 1)
+         SELECT doc_id, count(*) AS n_spans,
+           cast(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS bigint) AS n_dup_spans,
+           cast(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS double) / count(*) AS dup_ratio
+         FROM ch JOIN freq USING (chunk_text) GROUP BY doc_id""",
+    // drop dup spans: canonical occurrence = min (doc_id, chunk_id) per span
+    // text; rebuild via ORDER BY chunk_id (string_agg skips the NULLs the
+    // CASE leaves for dropped spans)
+    "q90_drop_dup_spans" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+           FROM documents),
+         nn AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+         st AS (SELECT doc_id, toks, n,
+             unnest(range(0, greatest(n - 1, 0) + 1, 10)) AS start FROM nn),
+         ch AS (SELECT doc_id, cast(start / 10 AS int) AS chunk_id,
+             array_to_string(toks[start + 1 : least(start + 10, n)], ' ') AS chunk_text
+           FROM st),
+         rn AS (SELECT doc_id, chunk_id, chunk_text,
+             row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_id) AS rn
+           FROM ch)
+         SELECT doc_id, count(*) AS n_spans,
+           cast(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS bigint) AS n_kept,
+           md5(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' ' ORDER BY chunk_id))
+             AS dedup_md5
+         FROM rn GROUP BY doc_id
+         HAVING sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0""",
+    // pack: ONE global window here is fine for the oracle (DuckDB is
+    // single-node); the engine's two-level prefix sum must equal it exactly.
+    // '//' = integer division (DuckDB '/' is float)
+    "q91_pack_sequences" ->
+      """WITH d AS (SELECT doc_id,
+             cast(len(list_filter(string_split(text, ' '), t -> t <> '')) AS bigint)
+               AS n_tokens,
+             md5(cast(doc_id AS varchar)) AS k
+           FROM documents),
+         nz AS (SELECT * FROM d WHERE n_tokens > 0),
+         o AS (SELECT doc_id, n_tokens,
+             cast(coalesce(sum(n_tokens) OVER (ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint)
+               AS tok_offset
+           FROM nz)
+         SELECT doc_id, n_tokens, tok_offset,
+           tok_offset // 512 AS seq_first,
+           (tok_offset + n_tokens - 1) // 512 AS seq_last
+         FROM o""",
     // sessionize: lag-gap flag + running sum over the same partitioned
     // window; floor-second epochs keep the gap boundary engine-identical
     "q87_sessionize" ->

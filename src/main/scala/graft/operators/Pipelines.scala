@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus preparation — the composition the individual EXT
@@ -54,5 +55,57 @@ object Pipelines {
     val decon = TextOps.decontaminate(deduped, idCol, "clean_text",
       benchmark, benchTextCol, shingleN)
     decon.withColumn("split", Sampling.splitAssign(col(idCol), splits))
+  }
+
+  /** Sequence packing — the final corpus-assembly step before training:
+    * documents are concatenated in a deterministic shuffled order (md5 of
+    * the id — the "global shuffle" that decorrelates neighboring training
+    * sequences, with the id as total tie-break) and the token stream is cut
+    * into fixed `budget`-token training sequences. Each document is mapped
+    * to its token interval: `tok_offset` (exclusive prefix sum of token
+    * counts in pack order), `seq_first = tok_offset div budget` and
+    * `seq_last = (tok_offset + n_tokens − 1) div budget` — the packed-sequence
+    * range a loader must read to reconstruct the document. Zero-token
+    * documents are dropped (they occupy no interval).
+    *
+    * Scale shape: a naive implementation is ONE GLOBAL WINDOW (every row
+    * through a single partition — the q10 anti-pattern). This one is the
+    * two-level distributed prefix sum: rows are hash-sliced into 256 ordered
+    * groups by their md5's first byte (group order = pack order prefix), the
+    * per-group exclusive prefix runs in a GROUP-partitioned window, and the
+    * 256 group totals — a dimension-sized aggregate — get their own
+    * exclusive prefix and are broadcast-joined back. Integer addition is
+    * associative, so the two-level sum equals the global one exactly. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val keyed = docs.select(
+        col(idCol),
+        size(functions.filter(TextOps.tokens(col(textCol)), t => t =!= ""))
+          .cast("long").as("n_tokens"),
+        md5(col(idCol).cast("string")).as("__key"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("__grp", substring(col("__key"), 1, 2))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__grp")).orderBy(col("__key"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val local = keyed.withColumn("__local_end", sum(col("n_tokens")).over(wLocal))
+    val wGrp = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__grp"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val grpOffsets = keyed.groupBy(col("__grp"))
+      .agg(sum(col("n_tokens")).as("__grp_total"))
+      .withColumn("__grp_offset",
+        coalesce(sum(col("__grp_total")).over(wGrp), functions.lit(0L)))
+      .select(col("__grp"), col("__grp_offset"))
+    local.join(functions.broadcast(grpOffsets), Seq("__grp"))
+      .withColumn("tok_offset",
+        col("__grp_offset") + col("__local_end") - col("n_tokens"))
+      // integer division: a double-rounded quotient goes wrong past 2^53
+      // total tokens, which a 100 TB corpus exceeds
+      .withColumn("seq_first", expr(s"tok_offset div $budget"))
+      .withColumn("seq_last", expr(s"(tok_offset + n_tokens - 1) div $budget"))
+      .select(col(idCol), col("n_tokens"), col("tok_offset"),
+        col("seq_first"), col("seq_last"))
   }
 }

@@ -244,6 +244,64 @@ object TextOps {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Duplicated-span statistics — exact substring dedup at token-window
+    * granularity (the scalable form of the "dedup training data at the
+    * substring level" recipe: long verbatim repeats across documents are
+    * boilerplate/licenses/templates that doc-level dedup misses). Each
+    * document is cut into NON-overlapping `window`-token spans
+    * ([[chunkTokens]] with overlap 0); a span is duplicated when its exact
+    * text occurs more than once in the whole corpus (across or within
+    * documents). Returns per-doc (n_spans, n_dup_spans, dup_ratio) — the
+    * thresholding signal.
+    *
+    * Scale shape: one explode pass → span-frequency hash aggregate (map-side
+    * partials; the frequency table is at most corpus-token-sized and is
+    * equi-joined back on the span text, a shuffle join AQE can skew-split —
+    * nothing is broadcast, nothing is quadratic) → per-doc hash aggregate. */
+  def duplicateSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                         window: Int = 10): DataFrame = {
+    val chunks = chunkTokens(docs, idCol, textCol, chunkSize = window, overlap = 0)
+    val freq = chunks.groupBy(col("chunk_text")).agg(count(lit(1)).as("__occ"))
+    chunks.join(freq, Seq("chunk_text"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__occ") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_ratio",
+        col("n_dup_spans").cast("double") / col("n_spans"))
+  }
+
+  /** Substring-level dedup REMOVAL: drop every duplicated `window`-token
+    * span except its canonical first occurrence (smallest (doc id, span
+    * position) — deterministic, partition-independent), then rebuild each
+    * document's text from its surviving spans in position order. Documents
+    * whose every span was dropped disappear (fully-boilerplate docs).
+    * Returns (idCol, dedup_text, n_spans, n_kept).
+    *
+    * Scale shape: the canonical-occurrence choice is a row_number window
+    * partitioned BY SPAN TEXT (hash-partitioned, never global); the rebuild
+    * is a per-doc aggregate whose collect_list is bounded by document size.
+    * The sort inside the aggregate (array_sort over (span position, text)
+    * structs) makes the rebuild independent of collect_list's arrival
+    * order. */
+  def dropDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                         window: Int = 10): DataFrame = {
+    val chunks = chunkTokens(docs, idCol, textCol, chunkSize = window, overlap = 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk_text")).orderBy(col(idCol), col("chunk_id"))
+    chunks.withColumn("__rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__rn") === 1, struct(col("chunk_id"), col("chunk_text"))))),
+            s => s.getField("chunk_text")),
+          " ").as("dedup_text"))
+      .filter(col("n_kept") > 0)
+  }
+
   /** Corpus-relative length-outlier filter (the Gopher/C4 document-length
     * rule): keep documents whose token count lies inside the corpus's
     * [pLo, pHi] exact-percentile band — truncated docs and boilerplate

@@ -49,4 +49,31 @@ class PipelinesSpec extends SparkSuite {
       .select("doc_id", "split").as[(Long, String)].collect().toMap
     assert(rows.map(r => r._1 -> r._4).toMap == again)
   }
+
+  test("packSequences: md5 pack order, contiguous offsets, div sequence bounds") {
+    val docs = Seq(
+      (1L, "a b c"),          // 3 tokens
+      (2L, "d e f g h"),      // 5
+      (3L, ""),               // 0 -> dropped
+      (4L, "i j k l m n o"),  // 7
+      (5L, "p q"),            // 2
+      (6L, "r s t u")         // 4
+    ).toDF("doc_id", "text")
+    val got = Pipelines.packSequences(docs, "doc_id", "text", budget = 5)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._3)
+
+    // the reference model: docs ordered by (md5(id), id), exclusive prefix sum
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) =
+      md5.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val lens = Map(1L -> 3L, 2L -> 5L, 4L -> 7L, 5L -> 2L, 6L -> 4L)
+    val order = lens.keys.toSeq.sortBy(id => (hex(id.toString), id))
+    val offsets = order.scanLeft(0L)((acc, id) => acc + lens(id)).init
+    val expect = order.zip(offsets).map { case (id, off) =>
+      (id, lens(id), off, off / 5, (off + lens(id) - 1) / 5)
+    }
+    assert(got.toSeq == expect)
+    // contiguity: the packed stream has no gaps and no overlaps
+    got.sliding(2).foreach { case Array(a, b) => assert(a._3 + a._2 == b._3) }
+  }
 }

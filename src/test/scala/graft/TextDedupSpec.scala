@@ -180,6 +180,40 @@ class TextDedupSpec extends SparkSuite {
     assert(math.abs(got(2L)._1 - (0.916291 + 1.609438) / 2) < 1e-9)
   }
 
+  test("duplicateSpanStats counts corpus-wide duplicated windows per doc") {
+    val docs = Seq(
+      (1L, "a b c d e f"), // spans: "a b c", "d e f"
+      (2L, "a b c x y z"), // "a b c" duplicated across docs
+      (3L, "p q"),         // single partial span, duplicated with d4
+      (4L, "p q")
+    ).toDF("doc_id", "text")
+    val got = TextOps.duplicateSpanStats(docs, "doc_id", "text", window = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == Map(
+      1L -> (2L, 1L, 0.5), 2L -> (2L, 1L, 0.5),
+      3L -> (1L, 1L, 1.0), 4L -> (1L, 1L, 1.0)))
+  }
+
+  test("dropDuplicateSpans keeps the canonical first occurrence and rebuilds") {
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y z"),
+      (3L, "p q"),
+      (4L, "p q")
+    ).toDF("doc_id", "text")
+    val got = TextOps.dropDuplicateSpans(docs, "doc_id", "text", window = 3)
+      .select("doc_id", "dedup_text", "n_spans", "n_kept")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // canonical "a b c" lives in doc 1; canonical "p q" in doc 3; doc 4
+    // loses its only span and disappears
+    assert(got == Map(
+      1L -> ("a b c d e f", 2L, 2L),
+      2L -> ("x y z", 2L, 1L),
+      3L -> ("p q", 1L, 1L)))
+  }
+
   test("lengthOutlierFilter keeps the inner percentile band only") {
     // 20 docs with 1..20 tokens; p05/p95 of 1..20 under linear interpolation
     // are 1.95 and 19.05 -> survivors are exactly 2..19 tokens
