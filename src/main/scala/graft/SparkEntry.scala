@@ -583,6 +583,23 @@ object SparkEntry {
           Tables.documents(s, dir), "doc_id", "text", budget = 512)
         .select("doc_id", "n_tokens", "tok_offset", "seq_first", "seq_last")),
 
+    // ---- EXT: per-source token-budget sampling (mixture caps in tokens) ----
+    "q92_token_budget" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).withColumn("n_tokens",
+        size(org.apache.spark.sql.functions.filter(
+          TextOps.tokens(col("text")), t => t =!= "")).cast("long"))
+      graft.operators.Sampling.tokenBudgetSample(
+          d, col("source"), col("doc_id"), col("n_tokens"), budget = 700L)
+        .select("doc_id", "source", "n_tokens")
+    }),
+
+    // ---- EXT: epoch-weighted mixture (dataset x epochs replication) ----
+    "q93_epoch_mix" -> ((s, dir) =>
+      graft.operators.Sampling.epochMix(
+          Tables.documents(s, dir), col("source"), col("doc_id"),
+          Map("src0" -> 2.5, "src1" -> 0.5), defaultEpochs = 1.0)
+        .select("doc_id", "source", "epoch")),
+
     // ---- batch sessionization (W-family; twin of the T5 session store) ----
     "q87_sessionize" -> ((s, dir) =>
       R.sessionize(Tables.events(s, dir), "user_id", "ts",
@@ -1623,6 +1640,35 @@ object SparkEntry {
            tok_offset // 512 AS seq_first,
            (tok_offset + n_tokens - 1) // 512 AS seq_last
          FROM o""",
+    // token budget: keep while the EXCLUSIVE stratum prefix sum (hash
+    // order) is under budget — greedy cap, at most one doc of overshoot
+    "q92_token_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+             cast(len(list_filter(string_split(text, ' '), t -> t <> '')) AS bigint)
+               AS n_tokens,
+             ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::bigint % 10000 AS hb
+           FROM documents),
+         o AS (SELECT doc_id, source, n_tokens,
+             cast(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY hb, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint)
+               AS bef
+           FROM d)
+         SELECT doc_id, source, n_tokens FROM o WHERE bef < 700""",
+    // epoch mix: floor(epochs) full copies + one key-stable fractional copy;
+    // generate_series(0, -1) is empty so copies=0 rows vanish as in Spark
+    "q93_epoch_mix" ->
+      """WITH d AS (SELECT doc_id, source,
+             ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::bigint % 10000 AS hb,
+             CASE WHEN source = 'src0' THEN 2.5
+                  WHEN source = 'src1' THEN 0.5 ELSE 1.0 END AS ep
+           FROM documents),
+         c AS (SELECT doc_id, source,
+             cast(floor(ep) AS bigint) +
+               (CASE WHEN hb < round((ep - floor(ep)) * 10000) THEN 1 ELSE 0 END)
+               AS copies
+           FROM d)
+         SELECT doc_id, source, unnest(generate_series(0, copies - 1)) AS epoch
+         FROM c WHERE copies > 0""",
     // sessionize: lag-gap flag + running sum over the same partitioned
     // window; floor-second epochs keep the gap boundary engine-identical
     "q87_sessionize" ->

@@ -67,6 +67,55 @@ object Sampling {
     df.filter(hashBucket(key, buckets) < cut)
   }
 
+  /** Token-budget sampling: per stratum (source/domain/language), keep
+    * documents in deterministic hash order until the stratum's TOKEN budget
+    * is exhausted — the "sample N billion tokens per domain" step of a
+    * mixture recipe, where caps are token counts, not document counts. A
+    * document is kept while the budget still has room when it starts
+    * (exclusive prefix sum < budget), so the cap overshoots by at most one
+    * document — the standard greedy contract, reproducible in any engine.
+    *
+    * One shuffle on the stratum key + a stratum-partitioned running sum
+    * (never a global window); the hash order makes the kept prefix unbiased
+    * w.r.t. the data's natural order. */
+  def tokenBudgetSample(df: DataFrame, stratum: Column, key: Column,
+                        nTokens: Column, budget: Long,
+                        buckets: Int = 10000): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(hashBucket(key, buckets), key)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("__before", coalesce(sum(nTokens).over(w), lit(0L)))
+      .filter(col("__before") < budget)
+      .drop("__before")
+  }
+
+  /** Epoch-weighted mixture assembly — the "dataset × epochs" table of the
+    * published pretraining recipes (some sources repeat 2-3×, others are
+    * subsampled below 1×): each row is replicated `floor(epochs)` times and
+    * gains one extra copy on a key-stable `frac(epochs)` subsample. Output
+    * adds an `epoch` column (0-based copy index) so downstream packing can
+    * decorrelate copies (e.g. salt the pack key with it). Pure per-row
+    * explode — no shuffle, no RNG; the fractional copy reuses the md5
+    * bucket, so membership is append-stable and engine-reproducible.
+    * Strata absent from `epochs` default to 1.0. */
+  def epochMix(df: DataFrame, stratum: Column, key: Column,
+               epochs: Map[String, Double], defaultEpochs: Double = 1.0,
+               buckets: Int = 10000): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(e => e >= 0),
+      "epochs must be >= 0")
+    val e = epochs.toSeq.sortBy(_._1).foldLeft(lit(defaultEpochs): Column) {
+      case (acc, (s, f)) => when(stratum === s, lit(f)).otherwise(acc)
+    }
+    val full = floor(e).cast("long")
+    val frac = e - full
+    val copies = full +
+      when(hashBucket(key, buckets) < round(frac * buckets), 1L).otherwise(0L)
+    df.withColumn("epoch",
+        explode(when(copies > 0, sequence(lit(0L), copies - 1))
+          .otherwise(array().cast("array<long>"))))
+  }
+
   /** EXACT-n per-stratum deterministic sample: keep the `n` rows of each
     * stratum with the smallest (hash bucket, key) — a deterministic
     * substitute for per-group reservoir sampling when the contract is a

@@ -94,4 +94,51 @@ class SamplingSpec extends SparkSuite {
       .select("id").as[Long].collect().toSet
     assert(a == b)
   }
+
+  test("tokenBudgetSample: greedy hash-order prefix per stratum, <=1 doc overshoot") {
+    val df = ((1L to 50L).map(i => (i, "a", 10L)) ++ (51L to 53L).map(i => (i, "b", 4L)))
+      .toDF("id", "src", "n_tok")
+    val kept = Sampling.tokenBudgetSample(df, col("src"), col("id"),
+      col("n_tok"), budget = 95L)
+    val byS = kept.groupBy("src").agg(sum("n_tok").cast("long").as("t"), count(lit(1)).as("c"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // stratum a: docs of 10 tokens; exclusive prefix < 95 keeps exactly 10
+    // docs (before-values 0..90) -> 100 tokens, one-doc overshoot
+    assert(byS("a") == (100L, 10L))
+    // stratum b is under budget entirely
+    assert(byS("b") == (12L, 3L))
+    // the kept prefix follows hash order: every kept doc's bucket <= every
+    // dropped doc's bucket within the stratum
+    val hb = (i: Long) => { // mirror of Sampling.hashBucket
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(8), 16) % 10000
+    }
+    val keptA = kept.filter(col("src") === "a").select("id").as[Long].collect().toSet
+    val dropA = (1L to 50L).toSet -- keptA
+    assert(keptA.map(hb).max <= dropA.map(hb).min)
+  }
+
+  test("epochMix: floor copies + key-stable fractional copy, 0-epoch drop") {
+    val df = ((1L to 400L).map(i => (i, "up")) ++ (401L to 800L).map(i => (i, "down")) ++
+      (801L to 820L).map(i => (i, "rest"))).toDF("id", "src")
+    val out = Sampling.epochMix(df, col("src"), col("id"),
+      Map("up" -> 2.25, "down" -> 0.5), defaultEpochs = 1.0)
+    val counts = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    // up: 400 docs x (2 + key-stable 25%) ~ 900; down ~ 200; rest exactly 20
+    assert(math.abs(counts("up") - 900) < 60, s"up=${counts("up")}")
+    assert(math.abs(counts("down") - 200) < 60, s"down=${counts("down")}")
+    assert(counts("rest") == 20L)
+    // epoch indices are 0-based and dense per doc
+    val eps = out.filter(col("src") === "up").groupBy("id")
+      .agg(sort_array(collect_list("epoch")).as("e"))
+      .as[(Long, Seq[Long])].collect()
+    assert(eps.forall(r => r._2 == (0L until r._2.length)))
+    assert(eps.map(_._2.length).toSet == Set(2, 3))
+    // determinism across reruns
+    val again = Sampling.epochMix(df, col("src"), col("id"),
+      Map("up" -> 2.25, "down" -> 0.5), defaultEpochs = 1.0)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(counts == again)
+  }
 }
