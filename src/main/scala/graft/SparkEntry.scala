@@ -600,6 +600,26 @@ object SparkEntry {
           Map("src0" -> 2.5, "src1" -> 0.5), defaultEpochs = 1.0)
         .select("doc_id", "source", "epoch")),
 
+    // ---- EXT: int8 scalar quantization of the embedding store ----
+    "q94_quantize_int8" -> ((s, dir) =>
+      // md5 over the joined codes pins every int exactly; first/last code
+      // columns keep the gate human-readable
+      graft.operators.Similarity.quantizeInt8(
+          Tables.embeddings(s, dir), "vec_id", "embedding")
+        .select(col("vec_id"),
+          md5(array_join(transform(col("codes"), _.cast("string")), ","))
+            .as("codes_md5"),
+          element_at(col("codes"), 1).as("code_first"),
+          element_at(col("codes"), -1).as("code_last"))),
+
+    // ---- EXT: sharded inverted index (retrieval-side posting lists) ----
+    "q95_inverted_index" -> ((s, dir) =>
+      TextOps.invertedIndex(Tables.documents(s, dir), "doc_id", "text",
+          shardSize = 200L)
+        .select(col("term"), col("shard"), col("df"),
+          md5(array_join(transform(col("postings"), _.cast("string")), ","))
+            .as("postings_md5"))),
+
     // ---- batch sessionization (W-family; twin of the T5 session store) ----
     "q87_sessionize" -> ((s, dir) =>
       R.sessionize(Tables.events(s, dir), "user_id", "ts",
@@ -1669,6 +1689,30 @@ object SparkEntry {
            FROM d)
          SELECT doc_id, source, unnest(generate_series(0, copies - 1)) AS epoch
          FROM c WHERE copies > 0""",
+    // int8 quantization: per-dim min/max over exact float->double widening,
+    // same affine arithmetic, round-half-up on nonnegative args
+    "q94_quantize_int8" ->
+      """WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+             cast(unnest(embedding) AS double) AS v
+           FROM embeddings),
+         st AS (SELECT d, min(v) AS mn, max(v) AS mx FROM x GROUP BY 1),
+         q AS (SELECT vec_id, d,
+             CASE WHEN mx = mn THEN 0
+                  ELSE cast(round((v - mn) * 255.0 / (mx - mn)) AS int) END AS code
+           FROM x JOIN st USING (d)),
+         c AS (SELECT vec_id, list(code ORDER BY d) AS codes FROM q GROUP BY 1)
+         SELECT vec_id, md5(array_to_string(codes, ',')) AS codes_md5,
+           codes[1] AS code_first, codes[-1] AS code_last
+         FROM c""",
+    // inverted index: distinct terms per doc, doc-range shards, postings
+    // sorted within shard
+    "q95_inverted_index" ->
+      """WITH t AS (SELECT DISTINCT doc_id, term FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) x
+           WHERE term <> '')
+         SELECT term, doc_id // 200 AS shard, count(*) AS df,
+           md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS postings_md5
+         FROM t GROUP BY 1, 2""",
     // sessionize: lag-gap flag + running sum over the same partitioned
     // window; floor-second epochs keep the gap boundary engine-identical
     "q87_sessionize" ->

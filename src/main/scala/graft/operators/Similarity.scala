@@ -241,4 +241,56 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "sim")
   }
+
+  /** Scalar int8 quantization of an embedding column — the storage-path
+    * operator for a corpus-scale vector store: per-DIMENSION min/max over
+    * the corpus, then code_d = round((v_d − min_d) · 255 / (max_d − min_d))
+    * ∈ [0, 255] (0 when the dimension is constant). At 100 TB this is the
+    * difference between scanning float32 and scanning a quarter of that,
+    * with the codebook (2·dim doubles) riding along as metadata.
+    *
+    * Returns (idCol, codes array<int>, plus `mins`/`maxs` codebook columns
+    * on every row for downstream dequantization). Engine-reproducible by
+    * construction: float→double widening is exact, the affine arithmetic is
+    * IEEE-identical in any engine evaluating the same expression shape, and
+    * round-half-up on a nonnegative argument agrees across engines.
+    *
+    * Scale shape: one posexplode pass → per-dim min/max hash aggregate (dim
+    * rows — dimension-sized), collapsed to a single codebook row with an
+    * order-fixing sorted aggregate, broadcast; the quantize itself is a pure
+    * per-row transform. No corpus-sized shuffle, no driver collect. */
+  def quantizeInt8(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val dims = embs.select(col(idCol),
+      posexplode(col(vecCol)).as(Seq("d", "v")))
+    val stats = dims.groupBy(col("d"))
+      .agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+    val codebook = stats.agg(
+      array_sort(collect_list(struct(col("d"), col("mn"), col("mx")))).as("__cb"))
+      .select(
+        transform(col("__cb"), s => s.getField("mn")).as("mins"),
+        transform(col("__cb"), s => s.getField("mx")).as("maxs"))
+    embs.crossJoin(broadcast(codebook))
+      .withColumn("codes",
+        transform(col(vecCol), (v, i) => {
+          val mn = element_at(col("mins"), i + 1)
+          val mx = element_at(col("maxs"), i + 1)
+          when(mx === mn, lit(0))
+            .otherwise(round((v.cast("double") - mn) * 255.0d / (mx - mn))
+              .cast("int"))
+        }))
+      .select(col(idCol), col("codes"), col("mins"), col("maxs"))
+  }
+
+  /** Dequantize int8 codes back to doubles via the codebook columns
+    * [[quantizeInt8]] attaches: v̂_d = min_d + code_d · (max_d − min_d)/255.
+    * Max absolute error per dimension is half a quantization step,
+    * (max_d − min_d)/510 — asserted by spec. */
+  def dequantizeInt8(quantized: DataFrame, codesCol: String = "codes"): DataFrame =
+    quantized.withColumn("decoded",
+      transform(col(codesCol), (c, i) => {
+        val mn = element_at(col("mins"), i + 1)
+        val mx = element_at(col("maxs"), i + 1)
+        mn + c.cast("double") * (mx - mn) / 255.0d
+      }))
 }

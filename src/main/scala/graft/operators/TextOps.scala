@@ -343,6 +343,33 @@ object TextOps {
     docs.join(good, Seq(srcCol), "left_semi")
   }
 
+  /** Sharded inverted index — term → posting list, the retrieval-side
+    * primitive (BM25/keyword search over the corpus, candidate generation
+    * for retrieval-augmented pipelines). Postings are SHARDED by document-id
+    * range (`shard = doc_id div shardSize`) so no single (term, shard) group
+    * ever aggregates more than `shardSize` documents: at corpus scale a
+    * stop-word's posting list is billions of ids, and an unsharded
+    * collect_list would concentrate it on one task (the classic hot-key
+    * failure). Sharding bounds every group AND parallelizes hot terms;
+    * readers merge shards in shard order (postings within a shard are
+    * sorted, shards partition the id space in order, so concatenation is
+    * the globally-sorted list).
+    *
+    * Returns (term, shard, df = docs in this shard containing term,
+    * postings = sorted doc ids). One explode pass → per-(doc, term) distinct
+    * via the grouping itself → (term, shard) hash aggregate with map-side
+    * partials; the sorted aggregate makes output order-independent. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    shardSize: Long = 1000000L): DataFrame = {
+    require(shardSize > 0, "shardSize must be positive")
+    docs.select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .withColumn("shard", expr(s"$idCol div ${shardSize}L"))
+      .groupBy(col("term"), col("shard"))
+      .agg(count(lit(1)).as("df"),
+        array_sort(collect_list(col(idCol))).as("postings"))
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized lowercase text —
     * the exact-dedup key that survives formatting noise. */
   def fingerprint(text: Column): Column =

@@ -214,4 +214,42 @@ class SpatialKnnSpec extends SparkSuite {
     assert(recall >= 0.8, s"LSH recall too low: $recall")
     assert(lsh.nonEmpty && brute.size == 100)
   }
+
+  test("quantizeInt8: hand-computed codes, constant dim, roundtrip error bound") {
+    val embs = Seq(
+      (1L, Array(0.0f, 10.0f, 7.0f)),
+      (2L, Array(1.0f, 10.0f, 3.0f)),
+      (3L, Array(0.5f, 10.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(embs, "vec_id", "embedding")
+    val codes = q.select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    // dim0: min 0 max 1 -> codes 0, 255, round(127.5)=128
+    // dim1: constant -> 0; dim2: min 3 max 7 -> (7,3,5) -> 255, 0, round(127.5)=128
+    assert(codes == Map(
+      1L -> Seq(0, 0, 255), 2L -> Seq(255, 0, 0), 3L -> Seq(128, 0, 128)))
+    // roundtrip: every reconstructed value within half a step of the original
+    val rt = Similarity.dequantizeInt8(q)
+      .join(embs, "vec_id")
+      .select(col("vec_id"), col("decoded"), col("embedding"), col("mins"), col("maxs"))
+      .as[(Long, Seq[Double], Seq[Float], Seq[Double], Seq[Double])].collect()
+    rt.foreach { case (_, dec, orig, mins, maxs) =>
+      dec.indices.foreach { i =>
+        val step = (maxs(i) - mins(i)) / 255.0
+        assert(math.abs(dec(i) - orig(i)) <= step / 2 + 1e-12)
+      }
+    }
+  }
+
+  test("quantizeInt8 roundtrip bound holds on fixture embeddings") {
+    val e = Tables.embeddings(spark, sf)
+    val q = Similarity.quantizeInt8(e, "vec_id", "embedding")
+    val bad = Similarity.dequantizeInt8(q)
+      .join(e, "vec_id")
+      .select(size(filter(zip_with(
+        zip_with(col("decoded"), col("embedding").cast("array<double>"), (d, o) => abs(d - o)),
+        zip_with(col("maxs"), col("mins"), (mx, mn) => (mx - mn) / 510.0d + 1e-12),
+        (err, bound) => err > bound), x => x)).as("n_bad"))
+      .agg(sum(col("n_bad"))).as[Long].head()
+    assert(bad == 0L)
+  }
 }

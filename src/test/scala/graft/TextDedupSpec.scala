@@ -214,6 +214,26 @@ class TextDedupSpec extends SparkSuite {
       3L -> ("p q", 1L, 1L)))
   }
 
+  test("invertedIndex: sharded postings, distinct-per-doc terms, sorted lists") {
+    val docs = Seq(
+      (1L, "a b a"),   // 'a' twice in one doc -> one posting
+      (2L, "a c"),
+      (12L, "a b"),    // shard 1 with shardSize=10
+      (13L, "")
+    ).toDF("doc_id", "text")
+    val got = TextOps.invertedIndex(docs, "doc_id", "text", shardSize = 10L)
+      .as[(String, Long, Long, Seq[Long])].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got == Map(
+      ("a", 0L) -> (2L, Seq(1L, 2L)), ("a", 1L) -> (1L, Seq(12L)),
+      ("b", 0L) -> (1L, Seq(1L)), ("b", 1L) -> (1L, Seq(12L)),
+      ("c", 0L) -> (1L, Seq(2L))))
+    // concatenating shards in shard order yields the globally sorted list
+    val aAll = got.collect { case (("a", sh), (_, p)) => sh -> p }.toSeq
+      .sortBy(_._1).flatMap(_._2)
+    assert(aAll == aAll.sorted)
+  }
+
   test("lengthOutlierFilter keeps the inner percentile band only") {
     // 20 docs with 1..20 tokens; p05/p95 of 1..20 under linear interpolation
     // are 1.95 and 19.05 -> survivors are exactly 2..19 tokens
