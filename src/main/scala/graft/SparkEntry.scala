@@ -620,6 +620,15 @@ object SparkEntry {
           md5(array_join(transform(col("postings"), _.cast("string")), ","))
             .as("postings_md5"))),
 
+    // ---- EXT: BM25 ranked retrieval over the corpus ----
+    "q96_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1L, "spark window join"), (2L, "hash table scan merge"),
+        (3L, "vector stream filter customer")).toDF("query_id", "query_text")
+      TextOps.bm25TopK(Tables.spread(s, Tables.documents(s, dir)), "doc_id", "text",
+        qs, "query_id", "query_text", k = 10)
+    }),
+
     // ---- batch sessionization (W-family; twin of the T5 session store) ----
     "q87_sessionize" -> ((s, dir) =>
       R.sessionize(Tables.events(s, dir), "user_id", "ts",
@@ -1713,6 +1722,36 @@ object SparkEntry {
          SELECT term, doc_id // 200 AS shard, count(*) AS df,
            md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS postings_md5
          FROM t GROUP BY 1, 2""",
+    // BM25: tf/dl/df from one tokenize rollup; per-term score rounded to
+    // 6 dp and summed as exact decimal (reduction-order-independent), ln is
+    // the Lucene non-negative idf; rank ties broken by doc_id
+    "q96_bm25_topk" ->
+      """WITH q(query_id, query_text) AS (VALUES
+             (1, 'spark window join'), (2, 'hash table scan merge'),
+             (3, 'vector stream filter customer')),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         st AS (SELECT (SELECT cast(count(*) AS double) FROM documents) AS n_docs,
+                       (SELECT cast(sum(dl) AS double) / count(*) FROM dl) AS avgdl),
+         qt AS (SELECT DISTINCT query_id, term FROM (
+                  SELECT cast(query_id AS bigint) AS query_id,
+                         unnest(string_split(query_text, ' ')) AS term FROM q) x
+                WHERE term <> ''),
+         sc AS (SELECT qt.query_id, tf.doc_id,
+                  cast(round(ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                    * (tf.tf * 2.2)
+                    / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6)
+                    AS decimal(38,6)) AS s
+                FROM qt JOIN dfq USING (term) JOIN tf USING (term)
+                  JOIN dl ON tf.doc_id = dl.doc_id, st),
+         agg AS (SELECT query_id, doc_id, cast(sum(s) AS double) AS score
+                 FROM sc GROUP BY 1, 2)
+         SELECT query_id, doc_id, score, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, doc_id) AS rank FROM agg) r
+         WHERE rank <= 10""",
     // sessionize: lag-gap flag + running sum over the same partitioned
     // window; floor-second epochs keep the gap boundary engine-identical
     "q87_sessionize" ->

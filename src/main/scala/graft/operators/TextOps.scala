@@ -370,6 +370,66 @@ object TextOps {
         array_sort(collect_list(col(idCol))).as("postings"))
   }
 
+  /** BM25 ranked retrieval — the query-side companion to [[invertedIndex]]
+    * (keyword search / retrieval-augmented candidate generation over the
+    * corpus). Scores each (query, document) pair with the Lucene BM25
+    * variant — idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1), always
+    * non-negative — and returns the top `k` documents per query.
+    *
+    * Plan shape for a corpus-scale run: ONE explode pass over the corpus
+    * builds the (doc, term, tf) table; doc lengths and document frequencies
+    * are both derived from that same rollup (no second corpus pass). The
+    * query set is dimension-sized by nature, so (query_id, term, df) is a
+    * broadcast build side and the corpus tf table streams through one
+    * broadcast hash join — the equi-join on term IS the inverted-index
+    * probe, cutting the corpus to the postings of query terms before any
+    * shuffle. The only shuffles are the tf/dl hash aggregates (map-side
+    * partial) and the final per-query top-k window, partitioned by query —
+    * never global. A stop-word query term makes its posting list
+    * corpus-sized; `maxDf` drops such terms from the QUERY side (one tiny
+    * filter — they contribute near-zero idf anyway), bounding the candidate
+    * set the way the dedup family's stop-shingle guard does.
+    *
+    * Determinism contract (same as q81/q88): the per-term score is rounded
+    * to 6 dp and cast to an exact decimal BEFORE the per-(query, doc)
+    * summation — double addition is reduction-order-dependent, so summing
+    * raw doubles would diverge between partitionings and engines. Ranking
+    * orders by the exact-sum-derived score with doc id as tie-break. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qidCol: String, qtextCol: String,
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+               maxDf: Long = 0L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // corpus stats: one row each; exact integer sums ÷ count keep avgdl
+    // engine-reproducible (native double avg accumulates in reduction order)
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val avg = dl.agg((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val qt = queries.select(col(qidCol),
+        explode(array_distinct(tokens(col(qtextCol)))).as("term"))
+      .filter(col("term") =!= "")
+    val qdf0 = qt.join(dfreq, Seq("term")) // (qid, term, df) — query-sized
+    val qdf = if (maxDf > 0) qdf0.filter(col("df") <= maxDf) else qdf0
+    val cand = tf.join(broadcast(qdf), Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(nDocs)).crossJoin(broadcast(avg))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val scored = cand.withColumn("__s",
+      round(idf * (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 6)
+        .cast("decimal(38,6)"))
+    val perDoc = scored.groupBy(col(qidCol), col(idCol))
+      .agg(sum(col("__s")).cast("double").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("score").desc, col(idCol).asc)
+    perDoc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized lowercase text —
     * the exact-dedup key that survives formatting noise. */
   def fingerprint(text: Column): Column =

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+
+/** SURVEY §2.12 — retrieval-side operators: BM25 ranking against a
+  * hand-computed reference, inverted-index/BM25 consistency, and the maxDf
+  * stop-term guard. */
+class RetrievalSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "a a b"),
+    (2L, "b c"),
+    (3L, "c d")
+  ).toDF("doc_id", "text")
+
+  /** Reference BM25 (Lucene idf), mirroring the operator's documented
+    * formula — validates the distributed plumbing end-to-end. */
+  private def refScore(tf: Long, df: Long, dl: Long, n: Long, avgdl: Double,
+                       k1: Double = 1.2, b: Double = 0.75): Double = {
+    val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    val raw = idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+    BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble // 6-dp HALF_UP, as round() does
+  }
+
+  test("bm25TopK matches the hand-computed score on a tiny corpus") {
+    val qs = Seq((10L, "a")).toDF("query_id", "query_text")
+    val out = TextOps.bm25TopK(docs, "doc_id", "text", qs, "query_id", "query_text", k = 5)
+      .select("query_id", "doc_id", "score", "rank")
+      .as[(Long, Long, Double, Long)].collect()
+    // 'a' appears only in doc 1 (tf=2, dl=3); corpus: n=3, avgdl=(3+2+2)/3
+    assert(out.length == 1)
+    val (qid, did, score, rank) = out.head
+    assert(qid == 10L && did == 1L && rank == 1L)
+    val expected = refScore(tf = 2, df = 1, dl = 3, n = 3, avgdl = 7.0 / 3.0)
+    assert(math.abs(score - expected) < 1e-9, s"got $score expected $expected")
+  }
+
+  test("bm25TopK sums per-term scores and ranks rarer-match docs first") {
+    val qs = Seq((1L, "b c")).toDF("query_id", "query_text")
+    val out = TextOps.bm25TopK(docs, "doc_id", "text", qs, "query_id", "query_text", k = 5)
+      .orderBy("rank").select("doc_id", "score").as[(Long, Double)].collect()
+    // doc 2 matches both terms, docs 1 and 3 match one each → doc 2 first
+    assert(out.map(_._1).head == 2L)
+    assert(out.length == 3)
+    val avgdl = 7.0 / 3.0
+    val d2 = refScore(1, 2, 2, 3, avgdl) + refScore(1, 2, 2, 3, avgdl)
+    assert(math.abs(out.head._2 - d2) < 1e-9)
+    // scores strictly ordered, positive
+    assert(out.map(_._2).toSeq == out.map(_._2).sortBy(-_).toSeq)
+    assert(out.forall(_._2 > 0))
+  }
+
+  test("bm25TopK maxDf drops stop terms from the query side") {
+    // df: a=1, b=2, c=2 → maxDf=1 drops b and c; 'a' is the only live term
+    val qs = Seq((1L, "a b c")).toDF("query_id", "query_text")
+    val out = TextOps.bm25TopK(docs, "doc_id", "text", qs, "query_id", "query_text",
+        k = 5, maxDf = 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L)) // only the 'a' posting survives
+  }
+
+  test("bm25TopK honors k and ties break by doc_id") {
+    val many = (1L to 20L).map(i => (i, "x y")).toDF("doc_id", "text")
+    val qs = Seq((1L, "x")).toDF("query_id", "query_text")
+    val out = TextOps.bm25TopK(many, "doc_id", "text", qs, "query_id", "query_text", k = 7)
+      .orderBy("rank").select("doc_id").as[Long].collect()
+    assert(out.toSeq == (1L to 7L)) // identical scores → doc_id ascending
+  }
+
+  test("invertedIndex df agrees with bm25's document frequency on the fixture") {
+    val d = Tables.documents(spark, sf).limit(100)
+    val idx = TextOps.invertedIndex(d, "doc_id", "text", shardSize = 1000000L)
+      .groupBy("term").agg(sum("df").as("df_idx"))
+    val tf = d.select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("df_tf"))
+    val disagree = idx.join(tf, Seq("term"), "full_outer")
+      .filter(col("df_idx").isNull || col("df_tf").isNull || col("df_idx") =!= col("df_tf"))
+    assert(disagree.count() == 0)
+  }
+}
