@@ -620,6 +620,34 @@ object SparkEntry {
           md5(array_join(transform(col("postings"), _.cast("string")), ","))
             .as("postings_md5"))),
 
+    // ---- EXT: quality-banded downsampling (importance-resampling shape) ----
+    "q97_score_band_sample" -> ((s, dir) =>
+      graft.operators.Sampling.scoreBandSample(
+          Tables.documents(s, dir), col("doc_id"), "n_chars",
+          cuts = Seq(0.25, 0.5, 0.9), rates = Seq(0.3, 1.0, 1.0, 0.5))
+        .select("doc_id", "source", "n_chars", "band")),
+
+    // ---- EXT: Z-order locality key (spatial layout at scale) ----
+    "q98_zorder_key" -> ((s, dir) => {
+      // same integer-derived coordinates as the q42/q50 spatial family
+      val pts = Tables.customer(s, dir).select(col("c_custkey"),
+        (col("c_custkey") * 7 % 360 - 180).cast("double").as("lon"),
+        (col("c_custkey") * 13 % 180 - 90).cast("double").as("lat"))
+      pts.withColumn("morton",
+          graft.operators.Spatial.mortonKey(col("lon"), col("lat"), bits = 16))
+        // top-10-bit range bin: the repartitionByRange bucket a writer uses
+        .withColumn("zbin", shiftright(col("morton"), 22))
+        .select("c_custkey", "morton", "zbin")
+    }),
+
+    // ---- EXT: int8-compressed ANN scan + exact rerank ----
+    "q99_int8_knn" -> ((s, dir) => {
+      val e = Tables.spread(s, Tables.embeddings(s, dir))
+      graft.operators.Similarity.int8Knn(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, dim = 64, candMult = 4)
+    }),
+
     // ---- EXT: BM25 ranked retrieval over the corpus ----
     "q96_bm25_topk" -> ((s, dir) => {
       import s.implicits._
@@ -1722,6 +1750,71 @@ object SparkEntry {
          SELECT term, doc_id // 200 AS shard, count(*) AS df,
            md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS postings_md5
          FROM t GROUP BY 1, 2""",
+    // score-band sampling: exact-quantile thresholds, band = count of
+    // thresholds strictly below the score, md5-bucket keep predicate with
+    // round() on the rate product (cast double->bigint rounds in DuckDB but
+    // truncates in Spark — round on both sides first)
+    "q97_score_band_sample" ->
+      """WITH th AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.9]) AS t FROM documents),
+         b AS (SELECT doc_id, source, n_chars,
+                 cast(len(list_filter(th.t, x -> n_chars > x)) AS bigint) AS band
+               FROM documents, th)
+         SELECT doc_id, source, n_chars, band FROM b
+         WHERE ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::bigint % 10000
+               < round([0.3, 1.0, 1.0, 0.5][band + 1] * 10000)""",
+    // Z-order key: 16-bit quantized lon/lat, bit-interleave as a sum of
+    // disjoint shifted bits over a 16-row series (exact bigint arithmetic)
+    "q98_zorder_key" ->
+      """WITH pts AS (SELECT c_custkey,
+             cast(c_custkey * 7 % 360 - 180 AS double) AS lon,
+             cast(c_custkey * 13 % 180 - 90 AS double) AS lat FROM customer),
+         n AS (SELECT c_custkey,
+             least(greatest(cast(floor((lon - (-180.0)) / 360.0 * 65536) AS bigint), 0), 65535) AS nx,
+             least(greatest(cast(floor((lat - (-90.0)) / 180.0 * 65536) AS bigint), 0), 65535) AS ny
+           FROM pts),
+         m AS (SELECT c_custkey,
+             cast(sum((((nx >> i) & 1) << (2*i)) + (((ny >> i) & 1) << (2*i + 1))) AS bigint) AS morton
+           FROM n, generate_series(0, 15) g(i) GROUP BY 1)
+         SELECT c_custkey, morton, morton >> 22 AS zbin FROM m""",
+    // int8 ANN: corpus codebook (q94's CTE) quantizes both sides; candidates
+    // rank by cosine over the DEQUANTIZED values (raw offset-affine code dot
+    // products rank by code-sum offsets, not similarity), exact float cosine
+    // reranks the candidate set (q39's form)
+    "q99_int8_knn" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         x AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+                 cast(unnest(embedding) AS double) AS val FROM embeddings),
+         st AS (SELECT d, min(val) AS mn, max(val) AS mx FROM x GROUP BY 1),
+         cb AS (SELECT list(mn ORDER BY d) AS mins, list(mx ORDER BY d) AS maxs FROM st),
+         codes AS (SELECT vec_id, list_transform(generate_series(1, len(v)), i ->
+                     CASE WHEN maxs[i] = mins[i] THEN 0
+                          ELSE cast(round((v[i] - mins[i]) * 255.0 / (maxs[i] - mins[i])) AS int) END) AS c
+                   FROM e, cb),
+         deq AS (SELECT vec_id, list_transform(generate_series(1, len(c)), i ->
+                   mins[i] + cast(c[i] AS double) * (maxs[i] - mins[i]) / 255.0) AS dv
+                 FROM codes, cb),
+         qd AS (SELECT vec_id AS qid, dv AS qdv FROM deq WHERE vec_id < 10),
+         isc AS (SELECT qid AS query_id, deq.vec_id AS neighbor_id,
+                   list_sum(list_transform(generate_series(1, len(dv)), i -> dv[i] * qdv[i]))
+                   / (sqrt(list_sum(list_transform(dv, z -> z*z)))
+                      * sqrt(list_sum(list_transform(qdv, z -> z*z)))) AS s
+                 FROM deq CROSS JOIN qd WHERE deq.vec_id != qid),
+         cand AS (SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS cr
+                    FROM isc) t WHERE cr <= 20),
+         qv AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         r AS (SELECT cand.query_id, cand.neighbor_id,
+                 list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * v[i]))
+                 / (sqrt(list_sum(list_transform(qv, z -> z*z)))
+                    * sqrt(list_sum(list_transform(v, z -> z*z)))) AS sim0
+               FROM cand JOIN e ON cand.neighbor_id = e.vec_id
+                 JOIN qv ON cand.query_id = qv.query_id),
+         rr AS (SELECT query_id, neighbor_id, sim0,
+                  row_number() OVER (PARTITION BY query_id ORDER BY sim0 DESC, neighbor_id) AS rank
+                FROM r)
+         SELECT query_id, neighbor_id, cast(rank AS int) AS rank, round(sim0, 6) AS sim
+         FROM rr WHERE rank <= 5""",
     // BM25: tf/dl/df from one tokenize rollup; per-term score rounded to
     // 6 dp and summed as exact decimal (reduction-order-independent), ln is
     // the Lucene non-negative idf; rank ties broken by doc_id

@@ -116,6 +116,43 @@ object Sampling {
           .otherwise(array().cast("array<long>"))))
   }
 
+  /** Quality-banded downsampling — the importance-resampling shape of the
+    * published data-selection recipes (keep high-quality bands at full rate,
+    * thin the low-quality tail instead of cutting it): bucket every row by
+    * its CORPUS-RELATIVE score quantile, then keep a per-band fraction with
+    * the key-stable md5 predicate.
+    *
+    * `cuts` are ascending quantiles (e.g. 0.25, 0.5, 0.9) defining
+    * `cuts.size + 1` bands; `rates(i)` is band i's keep fraction. A row's
+    * band = the number of thresholds strictly below its score (ties fall to
+    * the lower band — mirrored exactly by the oracle).
+    *
+    * Scale shape: thresholds are ONE exact-percentile aggregate row,
+    * broadcast; band assignment and the keep predicate are pure per-row
+    * expressions — no shuffle beyond the threshold agg, no RNG,
+    * append-stable. The 100 TB variant swaps `percentile` for
+    * `approx_percentile` (sketch-mergeable, single pass), as q84. */
+  def scoreBandSample(df: DataFrame, key: Column, scoreCol: String,
+                      cuts: Seq[Double], rates: Seq[Double],
+                      buckets: Int = 10000): DataFrame = {
+    require(rates.length == cuts.length + 1, "need one rate per band")
+    require(cuts == cuts.sorted && cuts.forall(c => c > 0 && c < 1),
+      "cuts must be ascending quantiles in (0,1)")
+    require(rates.forall(r => r >= 0 && r <= 1), "rates must be in [0,1]")
+    val th = df.agg(
+      expr(s"percentile($scoreCol, array(${cuts.mkString(", ")}))").as("__th"))
+    val banded = df.crossJoin(broadcast(th))
+      .withColumn("band",
+        aggregate(col("__th"), lit(0),
+          (acc, t) => acc + when(col(scoreCol) > t, 1).otherwise(0)))
+      .drop("__th")
+    val rateArr = array(rates.map(lit): _*)
+    banded
+      .filter(hashBucket(key, buckets) <
+        round(element_at(rateArr, col("band") + 1) * buckets))
+      .withColumn("band", col("band").cast("long"))
+  }
+
   /** EXACT-n per-stratum deterministic sample: keep the `n` rows of each
     * stratum with the smallest (hash bucket, key) — a deterministic
     * substitute for per-group reservoir sampling when the contract is a

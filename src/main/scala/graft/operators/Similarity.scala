@@ -259,18 +259,31 @@ object Similarity {
     * rows — dimension-sized), collapsed to a single codebook row with an
     * order-fixing sorted aggregate, broadcast; the quantize itself is a pure
     * per-row transform. No corpus-sized shuffle, no driver collect. */
-  def quantizeInt8(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val dims = embs.select(col(idCol),
-      posexplode(col(vecCol)).as(Seq("d", "v")))
+  def quantizeInt8(embs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    applyInt8(embs, vecCol, int8Codebook(embs, vecCol))
+      .select(col(idCol), col("codes"), col("mins"), col("maxs"))
+
+  /** Per-dimension min/max codebook (ONE row: `mins`/`maxs` arrays) for
+    * [[applyInt8]] — computed once over the corpus and reused for every
+    * batch/query-set quantized against that corpus (codes from different
+    * codebooks are incomparable). Dimension-sized aggregate, order fixed by
+    * a sorted aggregate. */
+  def int8Codebook(embs: DataFrame, vecCol: String): DataFrame = {
+    val dims = embs.select(posexplode(col(vecCol)).as(Seq("d", "v")))
     val stats = dims.groupBy(col("d"))
       .agg(min(col("v").cast("double")).as("mn"),
         max(col("v").cast("double")).as("mx"))
-    val codebook = stats.agg(
+    stats.agg(
       array_sort(collect_list(struct(col("d"), col("mn"), col("mx")))).as("__cb"))
       .select(
         transform(col("__cb"), s => s.getField("mn")).as("mins"),
         transform(col("__cb"), s => s.getField("mx")).as("maxs"))
-    embs.crossJoin(broadcast(codebook))
+  }
+
+  /** Quantize `vecCol` against a one-row codebook from [[int8Codebook]]:
+    * broadcast the codebook, per-row affine transform (pure expression). */
+  def applyInt8(df: DataFrame, vecCol: String, codebook: DataFrame): DataFrame =
+    df.crossJoin(broadcast(codebook))
       .withColumn("codes",
         transform(col(vecCol), (v, i) => {
           val mn = element_at(col("mins"), i + 1)
@@ -279,8 +292,6 @@ object Similarity {
             .otherwise(round((v.cast("double") - mn) * 255.0d / (mx - mn))
               .cast("int"))
         }))
-      .select(col(idCol), col("codes"), col("mins"), col("maxs"))
-  }
 
   /** Dequantize int8 codes back to doubles via the codebook columns
     * [[quantizeInt8]] attaches: v̂_d = min_d + code_d · (max_d − min_d)/255.
@@ -293,4 +304,58 @@ object Similarity {
         val mx = element_at(col("maxs"), i + 1)
         mn + c.cast("double") * (mx - mn) / 255.0d
       }))
+
+  /** ANN over the int8-quantized store — the compressed-scan + exact-rerank
+    * recipe (SCANN/DiskANN shape): score every corpus row against the
+    * broadcast query set on DEQUANTIZED int8 codes (a quarter of the float32
+    * scan bytes — at 100 TB the scan, not the arithmetic, is the budget),
+    * take the top `k·candMult` candidates per query by reconstructed cosine,
+    * then rerank ONLY those with exact float cosine and keep `k`.
+    *
+    * Candidates are ranked on the RECONSTRUCTED values (codebook affine,
+    * ≤ half-step error per dimension), not on raw code dot products: the
+    * storage codes are offset-affine (min/max per dimension), so a raw
+    * integer dot is dominated by the per-vector code-sum offset and ranks
+    * garbage — measured recall@5 collapsed to 0.1 on the fixture. The
+    * reconstruction arithmetic is the same IEEE expression shape in any
+    * engine, so the candidate ranking is engine-exact without a rounding
+    * contract. The candidate window carries IDS ONLY — full-precision
+    * vectors re-join on the candidate set (tiny), never ride the corpus-wide
+    * shuffle. Composes with [[ivfKnn]]/[[lshKnn]] bucketing when even the
+    * code scan must be pruned. */
+  def int8Knn(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, dim: Int, candMult: Int = 4): DataFrame = {
+    require(k > 0 && candMult >= 1, "need k > 0 and candMult >= 1")
+    val cb = int8Codebook(corpus, vecCol)
+    def deq(codes: Column): Column =
+      transform(codes, (cc, i) => {
+        val mn = element_at(col("mins"), i + 1)
+        val mx = element_at(col("maxs"), i + 1)
+        mn + cc.cast("double") * (mx - mn) / 255.0d
+      })
+    // dequantize ONCE PER ROW (projection before the join), never per pair
+    val c = applyInt8(corpus, vecCol, cb)
+      .select(col(idCol).as("neighbor_id"), deq(col("codes")).as("__nd"))
+    val q = applyInt8(queries, vecCol, cb)
+      .select(col(idCol).as("query_id"), deq(col("codes")).as("__qd"))
+    val isc = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineU(col("__nd"), col("__qd"), dim).as("__csim"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("__csim").desc, col("neighbor_id").asc)
+    val cand = isc.withColumn("__crank", row_number().over(wc))
+      .filter(col("__crank") <= k * candMult)
+      .select("query_id", "neighbor_id")
+    val cv = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__nv"))
+    val qv = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("__sim").desc, col("neighbor_id").asc)
+    cand.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
+      .withColumn("__sim", cosineU(col("__qv"), col("__nv"), dim))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("int").as("rank"), round(col("__sim"), 6).as("sim"))
+  }
 }

@@ -141,4 +141,27 @@ class SamplingSpec extends SparkSuite {
       .groupBy("src").count().as[(String, Long)].collect().toMap
     assert(counts == again)
   }
+
+  test("scoreBandSample: corpus-relative bands, per-band rates, determinism") {
+    // scores 1..1000 -> quartile cuts at 250.75, 500.5, 750.25
+    val df = (1L to 1000L).map(i => (i, i.toDouble)).toDF("id", "score")
+    val out = Sampling.scoreBandSample(df, col("id"), "score",
+      cuts = Seq(0.25, 0.5, 0.75), rates = Seq(0.0, 1.0, 0.5, 1.0))
+    val byBand = out.groupBy("band").count().as[(Long, Long)].collect().toMap
+    // band 0 dropped entirely; bands 1 and 3 kept whole (250 each)
+    assert(!byBand.contains(0L))
+    assert(byBand(1L) == 250L && byBand(3L) == 250L)
+    // band 2 thinned to ~half, key-stable
+    assert(byBand(2L) > 75L && byBand(2L) < 175L, s"band2=${byBand(2L)}")
+    // band assignment: scores <= p25 are band 0 -> absent; spot boundaries
+    val bands = out.select("id", "band").as[(Long, Long)].collect().toMap
+    assert(bands.get(250L).isEmpty || bands(250L) == 0L) // p25 = 250.75
+    assert(bands.get(251L).forall(_ == 1L))
+    assert(bands.get(1000L).forall(_ == 3L))
+    // rerun identical (no RNG)
+    val again = Sampling.scoreBandSample(df, col("id"), "score",
+      cuts = Seq(0.25, 0.5, 0.75), rates = Seq(0.0, 1.0, 0.5, 1.0))
+      .select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+  }
 }

@@ -252,4 +252,59 @@ class SpatialKnnSpec extends SparkSuite {
       .agg(sum(col("n_bad"))).as[Long].head()
     assert(bad == 0L)
   }
+
+  test("mortonKey matches a reference bit-interleave and preserves locality") {
+    // reference interleave on the same 16-bit quantization
+    def ref(lon: Double, lat: Double): Long = {
+      def cell(c: Double, lo: Double, extent: Double): Long =
+        math.min(math.max(math.floor((c - lo) / extent * 65536).toLong, 0L), 65535L)
+      val (nx, ny) = (cell(lon, -180, 360), cell(lat, -90, 180))
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | ((nx >> i & 1L) << (2 * i)) | ((ny >> i & 1L) << (2 * i + 1))
+      }
+    }
+    val pts = Seq((0.0, 0.0), (-180.0, -90.0), (179.9, 89.9), (12.34, -56.78),
+      (-0.001, 0.001), (200.0, 100.0) /* clamps */).toDF("lon", "lat")
+    val got = pts.withColumn("m", Spatial.mortonKey(col("lon"), col("lat")))
+      .as[(Double, Double, Long)].collect()
+    got.foreach { case (lon, lat, m) => assert(m == ref(lon, lat), s"($lon,$lat)") }
+    // locality: two points in the same quantized cell share the key; a far
+    // point differs in high bits (different top-level Z quadrant)
+    val near = ref(10.0001, 20.0001)
+    assert(ref(10.0002, 20.0002) == near)
+    assert((ref(-170.0, -80.0) >> 28) != (near >> 28))
+  }
+
+  test("zOrdered range-partitions by the morton key (sorted, non-overlapping)") {
+    val df = (1L to 2000L).map { i =>
+      (i, (i * 7 % 360 - 180).toDouble, (i * 13 % 180 - 90).toDouble)
+    }.toDF("id", "lon", "lat")
+    val parts = Spatial.zOrdered(df, "lon", "lat", numPartitions = 8)
+      .select(col("__z"), spark_partition_id().as("pid"))
+      .groupBy("pid").agg(min("__z").as("lo"), max("__z").as("hi"))
+      .orderBy("lo").as[(Int, Long, Long)].collect()
+    assert(parts.length > 1)
+    // partitions cover disjoint, ordered Z ranges -> file-level min/max
+    // pruning works for bbox scans
+    parts.sliding(2).foreach { case Array(a, b) => assert(a._3 <= b._2); case _ => }
+  }
+
+  test("int8Knn: exact rerank matches bruteKnn on the candidate-covered top-k") {
+    val e = Tables.embeddings(spark, sf)
+    val qs = e.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteKnn(e, qs, "vec_id", "embedding", k = 5, dim = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val int8 = Similarity.int8Knn(e, qs, "vec_id", "embedding", k = 5, dim = 64, candMult = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // recall@5 of the compressed scan vs exact brute force
+    val recall = (brute & int8).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall=$recall")
+    // the reranked sims are the EXACT cosine: any common pair agrees with brute
+    val bs = Similarity.bruteKnn(e, qs, "vec_id", "embedding", k = 5, dim = 64)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+    val is = Similarity.int8Knn(e, qs, "vec_id", "embedding", k = 5, dim = 64)
+    val disagree = bs.join(is, Seq("query_id", "neighbor_id"))
+      .filter(bs("sim") =!= is("sim"))
+    assert(disagree.count() == 0)
+  }
 }
