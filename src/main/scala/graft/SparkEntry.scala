@@ -620,6 +620,32 @@ object SparkEntry {
           md5(array_join(transform(col("postings"), _.cast("string")), ","))
             .as("postings_md5"))),
 
+    // ---- EXT: corpus dedup keeping the BEST-scoring copy per cluster ----
+    "q100_dedup_keep_best" -> ((s, dir) =>
+      Dedup.dedupCorpusKeepBest(Tables.spread(s, Tables.documents(s, dir)),
+          "doc_id", "text", col("n_chars"), shingleN = 3, threshold = 0.5,
+          maxDf = 100)
+        .select("doc_id")),
+
+    // ---- pivot (wide rollup; A-family) ----
+    "q101_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, dir).groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        // pivot yields NULL for absent combos; the oracle's FILTER'd counts
+        // yield 0 — align on 0
+        .select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+    }),
+
+    // ---- rollup / grouping sets (A-family) ----
+    "q102_rollup" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("yr", year(col("o_orderdate")).cast("long"))
+        .rollup(col("o_orderstatus"), col("yr"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(D)).cast("double").as("total"))),
+
     // ---- EXT: quality-banded downsampling (importance-resampling shape) ----
     "q97_score_band_sample" -> ((s, dir) =>
       graft.operators.Sampling.scoreBandSample(
@@ -1750,6 +1776,68 @@ object SparkEntry {
          SELECT term, doc_id // 200 AS shard, count(*) AS df,
            md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS postings_md5
          FROM t GROUP BY 1, 2""",
+    // keep-best dedup: q53's closure CTEs + component min-label, cluster =
+    // component of the exact-group rep (identity for singletons/short
+    // docs), keep argmax (n_chars desc, doc_id) per cluster
+    "q100_dedup_keep_best" ->
+      """WITH RECURSIVE elig AS (SELECT doc_id, text FROM documents
+                                 WHERE len(string_split(text,' ')) >= 3),
+         reps AS (SELECT min(doc_id) AS doc_id, text FROM elig GROUP BY text),
+         t0 AS (SELECT doc_id, string_split(text,' ') AS w FROM reps),
+         toks AS (SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' '))) AS t
+                  FROM t0),
+         shl AS (SELECT doc_id, unnest(t) AS sng FROM toks),
+         hot AS (SELECT sng FROM shl GROUP BY sng HAVING count(*) > 100),
+         kept AS (SELECT doc_id, sng FROM shl WHERE sng NOT IN (SELECT sng FROM hot)),
+         hs AS (SELECT doc_id, list(('0x' || substr(md5(sng), 1, 15))::bigint % 1000000007) AS h
+                FROM kept GROUP BY doc_id),
+         sig AS (SELECT doc_id, list_transform(generate_series(0, 31),
+                   i -> list_min(list_transform(h, x -> (x*(i*2+3) + (i*5+7)) % 1000000007))) AS s
+                 FROM hs),
+         bands AS (SELECT doc_id, b AS band_id,
+                     md5(array_to_string(s[b*4+1 : b*4+4], ',')) AS band_hash
+                   FROM sig, unnest(generate_series(0, 7)) AS u(b)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bands a
+                  JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                              AND a.doc_id < b.doc_id),
+         pairs AS (SELECT doc_a, doc_b FROM cand
+                   JOIN toks sa ON sa.doc_id = doc_a
+                   JOIN toks sb ON sb.doc_id = doc_b
+                   WHERE cast(len(list_intersect(sa.t, sb.t)) as double)
+                       / (len(sa.t) + len(sb.t) - len(list_intersect(sa.t, sb.t))) >= 0.5),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         reach(a, b) AS (SELECT a, b FROM edges
+                         UNION SELECT r.a, e.b FROM reach r
+                               JOIN edges e ON r.b = e.a AND e.b <> r.a),
+         comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+         clus AS (SELECT e.doc_id, coalesce(c.comp, r.doc_id) AS cluster
+                  FROM elig e JOIN reps r ON e.text = r.text
+                  LEFT JOIN comp c ON c.id = r.doc_id),
+         allc AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster, d.n_chars
+                  FROM documents d LEFT JOIN clus cl ON d.doc_id = cl.doc_id)
+         SELECT doc_id FROM (
+           SELECT doc_id, row_number() OVER (PARTITION BY cluster
+             ORDER BY n_chars DESC, doc_id) AS rn FROM allc) t
+         WHERE rn = 1""",
+    // pivot: fixed column list; FILTER'd counts are bigint on both sides
+    "q101_pivot" ->
+      """SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY user_id""",
+    // rollup: NULL grouping-total rows match Spark's rollup; exact decimal
+    // sum -> double
+    "q102_rollup" ->
+      """SELECT o_orderstatus, cast(year(o_orderdate) AS bigint) AS yr,
+           count(*) AS n,
+           cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total
+         FROM orders GROUP BY ROLLUP (o_orderstatus, yr)""",
     // score-band sampling: exact-quantile thresholds, band = count of
     // thresholds strictly below the score, md5-bucket keep predicate with
     // round() on the rate product (cast double->bigint rounds in DuckDB but

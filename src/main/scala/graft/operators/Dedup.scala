@@ -383,6 +383,39 @@ object Dedup {
     docs.join(memberDrop.union(repDrop), Seq(idCol), "left_anti")
   }
 
+  /** [[dedupCorpus]] with a QUALITY-AWARE keep policy: each duplicate
+    * cluster keeps its best-scoring document (ties → lowest id) instead of
+    * the lowest id — the published recipe when dedup follows quality scoring
+    * (keep the cleanest copy of a boilerplate family, not the first-crawled
+    * one). Same candidate/verify/closure machinery; the only additions are
+    * a doc→cluster mapping (exact-group rep → component label, identity for
+    * singletons and un-shingleable docs) and ONE window over cluster-sized
+    * partitions ordered by (score desc, id) — hash-partitioned on the
+    * cluster key, never global. */
+  def dedupCorpusKeepBest(docs: DataFrame, idCol: String, textCol: String,
+                          score: Column, shingleN: Int = 3,
+                          threshold: Double = 0.5, maxDf: Long = 0): DataFrame = {
+    val eligible = docs
+      .filter(size(TextOps.tokens(col(textCol))) >= shingleN)
+      .select(col(idCol), col(textCol))
+    val fp = eligible.withColumn("__fp", md5(col(textCol)))
+    val repOfGroup = fp.groupBy(col("__fp")).agg(min(col(idCol)).as("__rep"))
+    val docRep = fp.join(repOfGroup, Seq("__fp")).select(col(idCol), col("__rep"))
+    val reps = docs.join(repOfGroup.select(col("__rep").as(idCol)), Seq(idCol), "left_semi")
+    val pairs = minhashVerifiedPairs(reps, idCol, textCol, shingleN, threshold, maxDf)
+    val comps = connectedComponents(pairs)
+    val clusterOf = docRep
+      .join(comps.withColumnRenamed("id", "__rep"), Seq("__rep"), "left")
+      .select(col(idCol), coalesce(col("comp"), col("__rep")).as("__cluster"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__cluster")).orderBy(score.desc, col(idCol).asc)
+    docs.join(clusterOf, Seq(idCol), "left")
+      .withColumn("__cluster", coalesce(col("__cluster"), col(idCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__cluster")
+  }
+
   /** Incremental (batch-vs-corpus) dedup — drop from a NEW ingest batch
     * every document that exactly or nearly duplicates the EXISTING corpus:
     * the daily-ingest shape at 100 TB, where re-running full-corpus dedup

@@ -29,6 +29,28 @@ class TextDedupSpec extends SparkSuite {
     assert(out.toSeq == Seq((1L, 2L)))
   }
 
+  test("dedupCorpusKeepBest keeps the best-scoring doc per cluster, not the min id") {
+    // docs 1,2,5 form one cluster (exact dups + near-dup); doc 4's
+    // case/whitespace variant falls below jaccard 0.5 on raw shingles, so
+    // it is its own cluster, as are 3. Score = id*10 -> the {1,2,5} cluster
+    // keeps doc 5 (highest score), NOT doc 1 (min id, which plain
+    // dedupCorpus keeps).
+    val scored = docs.withColumn("score", col("doc_id") * 10)
+    val kept = Dedup.dedupCorpusKeepBest(scored, "doc_id", "text", col("score"),
+        shingleN = 3, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L, 5L), s"kept=$kept")
+    val keptMin = Dedup.dedupCorpus(docs, "doc_id", "text", shingleN = 3, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptMin == Set(1L, 3L, 4L))
+    // short docs (no shingles) are always kept
+    val withShort = scored.union(Seq((9L, "tiny doc", 0L)).toDF("doc_id", "text", "score"))
+    val kept2 = Dedup.dedupCorpusKeepBest(withShort, "doc_id", "text", col("score"),
+        shingleN = 3, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(3L, 4L, 5L, 9L))
+  }
+
   test("jaccardPairs finds the near-dup pair above threshold, not unrelated docs") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
