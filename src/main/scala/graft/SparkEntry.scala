@@ -620,6 +620,13 @@ object SparkEntry {
           md5(array_join(transform(col("postings"), _.cast("string")), ","))
             .as("postings_md5"))),
 
+    // ---- EXT: deterministic contrastive negative sampling ----
+    "q103_hash_negatives" -> ((s, dir) =>
+      graft.operators.Sampling.hashNegatives(
+          Tables.documents(s, dir).select("doc_id"), col("doc_id"),
+          k = 3, nBuckets = 64)
+        .select("doc_id", "neg_id", "neg_rank")),
+
     // ---- EXT: corpus dedup keeping the BEST-scoring copy per cluster ----
     "q100_dedup_keep_best" -> ((s, dir) =>
       Dedup.dedupCorpusKeepBest(Tables.spread(s, Tables.documents(s, dir)),
@@ -1776,6 +1783,19 @@ object SparkEntry {
          SELECT term, doc_id // 200 AS shard, count(*) AS df,
            md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS postings_md5
          FROM t GROUP BY 1, 2""",
+    // hash negatives: bucket + secondary-hash order from disjoint md5
+    // windows; per-bucket top-k candidates join to the successor bucket
+    "q103_hash_negatives" ->
+      """WITH b AS (SELECT doc_id,
+             ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::bigint % 64 AS bkt,
+             ('0x' || substr(md5(cast(doc_id AS varchar)), 9, 8))::bigint AS h2
+           FROM documents),
+         cand AS (SELECT bkt AS src_bkt, doc_id AS neg_id, neg_rank FROM (
+                    SELECT bkt, doc_id, row_number() OVER (PARTITION BY bkt
+                      ORDER BY h2, doc_id) AS neg_rank FROM b) t
+                  WHERE neg_rank <= 3)
+         SELECT d.doc_id, c.neg_id, c.neg_rank
+         FROM b d JOIN cand c ON c.src_bkt = (d.bkt + 1) % 64""",
     // keep-best dedup: q53's closure CTEs + component min-label, cluster =
     // component of the exact-group rep (identity for singletons/short
     // docs), keep argmax (n_chars desc, doc_id) per cluster

@@ -153,6 +153,37 @@ object Sampling {
       .withColumn("band", col("band").cast("long"))
   }
 
+  /** Deterministic negative sampling for contrastive training: every row
+    * gets `k` pseudo-random negatives drawn from the NEXT md5 bucket —
+    * key-stable (append/rerun-reproducible, the same contract as every
+    * sampler here), never self (different bucket), and uniform because md5
+    * buckets are. The per-bucket candidate table is `nBuckets·k` rows — a
+    * design-time dimension (pick nBuckets ~ parallelism, not corpus size),
+    * so the bucket equi-join broadcasts; the only window is per-bucket
+    * top-k over the secondary hash (hash-partitioned, k rows survive per
+    * bucket before any shuffle via WindowGroupLimit). No RNG, no dense-id
+    * assumption, no global window. A row whose successor bucket is empty
+    * yields no negatives — pick nBuckets ≪ corpus size so every bucket is
+    * populated. */
+  def hashNegatives(df: DataFrame, key: Column, k: Int,
+                    nBuckets: Int = 64): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(nBuckets >= 2, "need >= 2 buckets so a row cannot draw itself")
+    // secondary hash (md5 chars 9-16) orders candidates within a bucket
+    // independently of the bucket hash (chars 1-8)
+    val h2 = conv(substring(md5(key.cast("string")), 9, 8), 16, 10).cast("long")
+    val bucketed = df.withColumn("__bkt", hashBucket(key, nBuckets))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bkt")).orderBy(h2.asc, key.asc)
+    val cand = bucketed
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= k)
+      .select(col("__bkt").as("__src_bkt"), key.as("neg_id"), col("neg_rank"))
+    bucketed.join(broadcast(cand),
+        col("__src_bkt") === (col("__bkt") + 1) % nBuckets)
+      .drop("__bkt", "__src_bkt")
+  }
+
   /** EXACT-n per-stratum deterministic sample: keep the `n` rows of each
     * stratum with the smallest (hash bucket, key) — a deterministic
     * substitute for per-group reservoir sampling when the contract is a

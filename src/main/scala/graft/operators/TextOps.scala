@@ -376,16 +376,25 @@ object TextOps {
     * variant — idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1), always
     * non-negative — and returns the top `k` documents per query.
     *
-    * Plan shape for a corpus-scale run: ONE explode pass over the corpus
-    * builds the (doc, term, tf) table; doc lengths and document frequencies
-    * are both derived from that same rollup (no second corpus pass). The
-    * query set is dimension-sized by nature, so (query_id, term, df) is a
-    * broadcast build side and the corpus tf table streams through one
-    * broadcast hash join — the equi-join on term IS the inverted-index
-    * probe, cutting the corpus to the postings of query terms before any
-    * shuffle. The only shuffles are the tf/dl hash aggregates (map-side
-    * partial) and the final per-query top-k window, partitioned by query —
-    * never global. A stop-word query term makes its posting list
+    * Plan shape for a corpus-scale run: tf, doc lengths and document
+    * frequencies all DERIVE from one (doc, term) rollup logically; Catalyst
+    * executes each aggregate as its own scan+tokenize pass (subtrees on
+    * different join sides don't unify), which is the right trade here —
+    * re-running a cheap per-row projection beats materializing a
+    * corpus-sized tf table (the same lineage discipline as the dedup
+    * family: pin only tiny sets). In production the (term, df) and
+    * (doc, dl) tables are write-once artifacts maintained next to the
+    * inverted index, collapsing this to a single probe pass. The query set
+    * is dimension-sized by nature, so (query_id, term, df) is a broadcast
+    * build side and the corpus tf table streams through one broadcast hash
+    * join — the equi-join on term IS the inverted-index probe, cutting the
+    * corpus to the postings of query terms before any shuffle; the per-doc
+    * dl join has no hint, so AQE broadcasts it only while it is actually
+    * small and shuffles otherwise. The final per-query top-k window is
+    * partitioned by query — never global (Spark plans it as a two-phase
+    * WindowGroupLimit: partial top-k before the exchange, so only k rows
+    * per query per partition shuffle). A stop-word query term makes its
+    * posting list
     * corpus-sized; `maxDf` drops such terms from the QUERY side (one tiny
     * filter — they contribute near-zero idf anyway), bounding the candidate
     * set the way the dedup family's stop-shingle guard does.

@@ -190,4 +190,41 @@ object PropertySpec extends Properties("graft") {
         .as[(Boolean, Boolean, Boolean, Boolean)].collect()
       ab == ba && !fr && nr
     }
+
+  // random tiny corpora from a 6-word vocabulary force heavy tf/df/tie
+  // structure; the distributed BM25 must equal a sequential reference model
+  private val vocab = Vector("a", "b", "c", "d", "e", "f")
+  private val docGen = Gen.listOfN(8, Gen.choose(1, 6).flatMap(n =>
+    Gen.listOfN(n, Gen.oneOf(vocab)))).map(_.map(_.mkString(" ")))
+
+  property("bm25TopK equals a sequential reference model on random corpora") =
+    Prop.forAll(docGen, Gen.someOf(vocab)) { (texts, qterms0) =>
+      import spark.implicits._
+      import graft.operators.TextOps
+      val qterms = qterms0.toSeq.distinct.sorted
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val qs = Seq((1L, qterms.mkString(" "))).toDF("query_id", "query_text")
+      val got = TextOps.bm25TopK(docs, "doc_id", "text", qs, "query_id", "query_text", k = 4)
+        .orderBy("rank").select("doc_id", "score").as[(Long, Double)].collect().toSeq
+      // sequential reference
+      val toks = texts.map(_.split(" ").filter(_.nonEmpty).toSeq)
+      val n = texts.size.toDouble
+      val tf = toks.zipWithIndex.flatMap { case (ts, i) =>
+        ts.groupBy(identity).map { case (t, g) => ((i.toLong, t), g.size.toLong) } }.toMap
+      val df_ = toks.flatMap(_.distinct).groupBy(identity).map { case (t, g) => (t, g.size.toLong) }
+      val dls = toks.zipWithIndex.collect { case (ts, i) if ts.nonEmpty => (i.toLong, ts.size.toLong) }.toMap
+      val avgdl = if (dls.isEmpty) 0.0 else dls.values.sum.toDouble / dls.size
+      val expected = dls.keys.toSeq.map { d =>
+        val s = qterms.filter(t => tf.contains((d, t))).map { t =>
+          val idf = math.log((n - df_(t) + 0.5) / (df_(t) + 0.5) + 1.0)
+          val raw = idf * (tf((d, t)) * 2.2) / (tf((d, t)) + 1.2 * (0.25 + 0.75 * dls(d) / avgdl))
+          // Spark's Round(double) goes through BigDecimal.valueOf (shortest
+          // string repr), not the exact binary expansion — mirror that
+          BigDecimal(java.math.BigDecimal.valueOf(raw)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+        (d, s.toDouble)
+      }.filter(_._2 > 0).sortBy { case (d, s) => (-s, d) }.take(4)
+      got == expected
+    }
 }

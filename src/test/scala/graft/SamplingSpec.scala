@@ -164,4 +164,24 @@ class SamplingSpec extends SparkSuite {
       .select("id").as[Long].collect().toSet
     assert(again == out.select("id").as[Long].collect().toSet)
   }
+
+  test("hashNegatives: k non-self negatives per row, key-stable, bucket-linked") {
+    val df = (1L to 1000L).map(Tuple1(_)).toDF("id")
+    val out = Sampling.hashNegatives(df, col("id"), k = 3, nBuckets = 8)
+      .select("id", "neg_id", "neg_rank").as[(Long, Long, Long)].collect()
+    val byId = out.groupBy(_._1)
+    // every row gets exactly k negatives (all 8 buckets populated at n=1000)
+    assert(byId.size == 1000 && byId.values.forall(_.length == 3))
+    // never self, ranks are 1..k
+    assert(out.forall(r => r._1 != r._2))
+    assert(byId.values.forall(_.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L)))
+    // rows in the same bucket share the same negative set; the corpus uses
+    // more than one distinct negative set overall
+    val negSets = byId.values.map(_.map(_._2).toSet).toSet
+    assert(negSets.size == 8)
+    // deterministic rerun
+    val again = Sampling.hashNegatives(df, col("id"), k = 3, nBuckets = 8)
+      .select("id", "neg_id", "neg_rank").as[(Long, Long, Long)].collect()
+    assert(out.toSet == again.toSet)
+  }
 }
