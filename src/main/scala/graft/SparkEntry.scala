@@ -38,6 +38,17 @@ object SparkEntry {
          AND o_orderdate < TIMESTAMP '1999-01-01'
        GROUP BY n_name"""
 
+  /** Shared verbatim by the Spark SQL surface (q104) and its DuckDB oracle:
+    * explicit GROUPING SETS — per-status totals, per-year totals, and the
+    * grand total in one aggregate pass (Spark expands to one Expand + one
+    * hash aggregate; never three scans). */
+  private val GroupingSetsSql: String =
+    """SELECT o_orderstatus, cast(year(o_orderdate) AS bigint) AS yr,
+       count(*) AS n,
+       cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (yr), ())"""
+
   /** The fixed AOI pentagon shared by q43 and q70 (an arbitrary convex-ish
     * ring in lon/lat, integer vertices so all derived arithmetic is exact). */
   private val AoiPentagon: Seq[(Double, Double)] =
@@ -620,6 +631,22 @@ object SparkEntry {
           md5(array_join(transform(col("postings"), _.cast("string")), ","))
             .as("postings_md5"))),
 
+    // ---- range (interval) join: bucketized equi-join, never a θ-join ----
+    "q105_range_join" -> ((s, dir) => {
+      // 100 hourly intervals every 2h from the event log's first midnight;
+      // count events + distinct users per interval
+      val ev = Tables.events(s, dir).withColumn("es", col("ts").cast("long"))
+      val anchor = ev.agg(floor(min(col("es")) / 86400L).cast("long").as("__d"))
+      val iv = s.range(100).select(col("id").as("interval_id"))
+        .crossJoin(broadcast(anchor))
+        .withColumn("start_s", col("__d") * 86400L + col("interval_id") * 7200L)
+        .withColumn("end_s", col("start_s") + 3600L)
+        .drop("__d")
+      Joins.rangeJoin(ev, "es", iv, "start_s", "end_s", bucketSeconds = 3600L)
+        .groupBy("interval_id")
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("nu"))
+    }),
+
     // ---- EXT: deterministic contrastive negative sampling ----
     "q103_hash_negatives" -> ((s, dir) =>
       graft.operators.Sampling.hashNegatives(
@@ -652,6 +679,12 @@ object SparkEntry {
         .rollup(col("o_orderstatus"), col("yr"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast(D)).cast("double").as("total"))),
+    "q104_grouping_sets" -> ((s, dir) => {
+      // explicit GROUPING SETS on the SQL surface (q49's path); the SQL
+      // text is shared verbatim with the DuckDB oracle
+      Tables.registerAll(s, dir)
+      s.sql(GroupingSetsSql)
+    }),
 
     // ---- EXT: quality-banded downsampling (importance-resampling shape) ----
     "q97_score_band_sample" -> ((s, dir) =>
@@ -1783,6 +1816,20 @@ object SparkEntry {
          SELECT term, doc_id // 200 AS shard, count(*) AS df,
            md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS postings_md5
          FROM t GROUP BY 1, 2""",
+    // range join: the oracle is the plain inequality join (the bucketized
+    // equi-join is internal to the operator and result-identical)
+    "q105_range_join" ->
+      """WITH a AS (SELECT cast(floor(min(cast(floor(epoch(ts)) AS bigint)) / 86400) AS bigint) AS d
+                    FROM events),
+         iv AS (SELECT i AS interval_id, d*86400 + i*7200 AS start_s,
+                       d*86400 + i*7200 + 3600 AS end_s
+                FROM generate_series(0, 99) g(i), a),
+         j AS (SELECT iv.interval_id, e.user_id
+               FROM events e JOIN iv
+                 ON cast(floor(epoch(e.ts)) AS bigint) >= iv.start_s
+                AND cast(floor(epoch(e.ts)) AS bigint) < iv.end_s)
+         SELECT interval_id, count(*) AS n, count(DISTINCT user_id) AS nu
+         FROM j GROUP BY 1""",
     // hash negatives: bucket + secondary-hash order from disjoint md5
     // windows; per-bucket top-k candidates join to the successor bucket
     "q103_hash_negatives" ->
@@ -2008,6 +2055,7 @@ object SparkEntry {
          cast(sum(cast(value as decimal(18,2))) as double) / count(*) AS avg_value
          FROM events GROUP BY 1, 2""",
     "q49_sql_api" -> RegionRevenueSql,
+    "q104_grouping_sets" -> GroupingSetsSql,
     "q50_grid_spatial_join" ->
       """WITH boxes AS (SELECT n_name,
              cast(n_nationkey * 29 % 300 - 170 as double) AS min_lon,

@@ -124,4 +124,33 @@ object Joins {
       explode(array((0 until buckets).map(b => lit(b.toLong)): _*)))
     l.join(r, Seq(key, "__salt"), how).drop("__salt")
   }
+
+  /** Interval (range) join — pair each event with every interval containing
+    * its timestamp (half-open: start ≤ ts < end; epoch-second longs on both
+    * sides). Spark has no native range join, and the naive θ-join plans as
+    * a broadcast-nested-loop (|events|·|intervals| comparisons — the same
+    * trap `asofJoin` avoids). Time-bucketize instead, the temporal analog of
+    * [[Spatial.gridJoin]]: each interval explodes to the buckets it covers
+    * (≤ length/bucketSeconds + 1 rows), each event keys to its ONE bucket,
+    * and the join becomes a shuffled EQUI-join on the bucket id with the
+    * exact range predicate on survivors. No distinct needed — an event's
+    * single bucket meets each covering interval exactly once. Pick
+    * bucketSeconds on the order of the median interval length: too fine
+    * explodes intervals, too coarse degrades selectivity (gridJoin's rule).
+    * Empty/inverted intervals (end ≤ start) match nothing by construction. */
+  def rangeJoin(events: DataFrame, tsSecCol: String,
+                intervals: DataFrame, startSecCol: String, endSecCol: String,
+                bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val bEv = events.withColumn("__bkt",
+      floor(col(tsSecCol) / bucketSeconds).cast("long"))
+    val covered = when(col(endSecCol) > col(startSecCol),
+      sequence(floor(col(startSecCol) / bucketSeconds).cast("long"),
+        floor((col(endSecCol) - 1) / bucketSeconds).cast("long")))
+      .otherwise(array().cast("array<long>"))
+    val bIv = intervals.withColumn("__bkt", explode(covered))
+    bEv.join(bIv, Seq("__bkt"))
+      .filter(col(tsSecCol) >= col(startSecCol) && col(tsSecCol) < col(endSecCol))
+      .drop("__bkt")
+  }
 }

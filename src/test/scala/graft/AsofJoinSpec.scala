@@ -58,4 +58,29 @@ class AsofJoinSpec extends SparkSuite {
       assert(got(id) == want, s"event $id key $k ts $ts")
     }
   }
+
+  test("rangeJoin equals the naive theta join; handles multi-bucket and inverted intervals") {
+    val events = (0L until 500L).map(i => (i, i * 13 % 1000)).toDF("event_id", "es")
+    val intervals = Seq(
+      (1L, 0L, 50L),     // within one bucket (width 60)
+      (2L, 55L, 65L),    // straddles a bucket boundary
+      (3L, 100L, 400L),  // spans many buckets
+      (4L, 500L, 500L),  // empty (start == end)
+      (5L, 700L, 600L),  // inverted -> matches nothing
+      (6L, 990L, 2000L)  // extends past the data
+    ).toDF("interval_id", "start_s", "end_s")
+    val got = Joins.rangeJoin(events, "es", intervals, "start_s", "end_s",
+        bucketSeconds = 60L)
+      .select("event_id", "interval_id").as[(Long, Long)].collect().toSet
+    val naive = events.join(intervals,
+        col("es") >= col("start_s") && col("es") < col("end_s"))
+      .select("event_id", "interval_id").as[(Long, Long)].collect().toSet
+    assert(got == naive)
+    assert(!got.exists(p => p._2 == 4L || p._2 == 5L)) // degenerate intervals
+    assert(got.exists(_._2 == 3L) && got.exists(_._2 == 6L))
+    // no duplicate pairs from the bucket explode
+    val withDupes = Joins.rangeJoin(events, "es", intervals, "start_s", "end_s", 60L)
+      .groupBy("event_id", "interval_id").count().filter(col("count") > 1)
+    assert(withDupes.isEmpty)
+  }
 }

@@ -54,4 +54,25 @@ class ScaleLayoutSpec extends SparkSuite {
       dim, "k", col("row_id"), buckets = 4, how = "left_outer")
     assert(leftOuter.filter(col("name").isNull).count() == fact.count())
   }
+
+  test("partitioned layout prunes partitions at the scan (PartitionFilters)") {
+    // the date/source-partitioned layout for 100 TB fact tables: a filter on
+    // the partition column must prune directories at planning time, not scan
+    // and discard rows
+    val dir = java.nio.file.Files.createTempDirectory("part_layout").toString
+    val events = Tables.events(spark, sf).select("event_id", "event_type", "value")
+    Sources.appendParquet(events, dir, partitionCols = Seq("event_type"))
+    val read = spark.read.parquet(dir).filter(col("event_type") === "click")
+    read.count() // finalize AQE
+    val scan = read.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("event_type"), s"partition filter not pushed:\n$scan")
+    // the pruned read returns exactly the filtered rows
+    assert(read.count() == events.filter(col("event_type") === "click").count())
+    // only the matching partition directory is read
+    assert(scan.contains("PartitionFilters: [isnotnull(event_type") ||
+      !scan.contains("PushedFilters: [IsNotNull(event_type)"),
+      s"expected the predicate at the partition layer, not the data layer:\n$scan")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
