@@ -631,6 +631,14 @@ object SparkEntry {
           md5(array_join(transform(col("postings"), _.cast("string")), ","))
             .as("postings_md5"))),
 
+    // ---- EXT: product-quantization ANN (8-byte codes + ADC + rerank) ----
+    "q106_pq_knn" -> ((s, dir) => {
+      val e = Tables.spread(s, Tables.embeddings(s, dir))
+      graft.operators.Similarity.pqKnnSeeded(
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, m = 8, ksub = 16, dim = 64, candMult = 4)
+    }),
+
     // ---- range (interval) join: bucketized equi-join, never a θ-join ----
     "q105_range_join" -> ((s, dir) => {
       // 100 hourly intervals every 2h from the event log's first midnight;
@@ -646,6 +654,12 @@ object SparkEntry {
         .groupBy("interval_id")
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("nu"))
     }),
+
+    // ---- EXT: weighted sample-without-replacement (A-ES) ----
+    "q107_weighted_sample" -> ((s, dir) =>
+      graft.operators.Sampling.weightedSample(
+        Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+        col("doc_id"), col("n_chars").cast("double"), n = 50)),
 
     // ---- EXT: deterministic contrastive negative sampling ----
     "q103_hash_negatives" -> ((s, dir) =>
@@ -1816,6 +1830,54 @@ object SparkEntry {
          SELECT term, doc_id // 200 AS shard, count(*) AS df,
            md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS postings_md5
          FROM t GROUP BY 1, 2""",
+    // PQ ANN: data-sampled sub-codebooks (ksub md5-chosen corpus rows
+    // supply every subspace's centroids), argmin encoding via the max of
+    // (dot - ||w||^2/2), reconstruction + ADC identity qq - 2<q,xhat> + xx,
+    // exact-cosine rerank
+    "q106_pq_knn" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         seeds AS (SELECT v, row_number() OVER (ORDER BY
+                     ('0x' || substr(md5(cast(vec_id AS varchar)), 1, 8))::bigint,
+                     vec_id) - 1 AS c
+                   FROM e),
+         cent AS (SELECT s, c, v[s*8+1 : s*8+8] AS w
+                  FROM seeds, generate_series(0, 7) gs(s) WHERE c < 16),
+         sc AS (SELECT e.vec_id, cent.s, cent.c,
+                  list_sum(list_transform(generate_series(1, 8), i -> v[cent.s*8 + i] * w[i]))
+                    - list_sum(list_transform(w, x -> x*x)) / 2.0 AS score
+                FROM e, cent),
+         enc AS (SELECT vec_id, s, c FROM (
+                   SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s
+                     ORDER BY score DESC, c) AS rn FROM sc) t
+                 WHERE rn = 1),
+         xh AS (SELECT enc.vec_id, flatten(list(w ORDER BY enc.s)) AS xhat
+                FROM enc JOIN cent ON enc.s = cent.s AND enc.c = cent.c
+                GROUP BY enc.vec_id),
+         base AS (SELECT e.vec_id, xhat,
+                    list_sum(list_transform(generate_series(1, 64), i -> xhat[i] * xhat[i])) AS xx
+                  FROM e JOIN xh ON e.vec_id = xh.vec_id),
+         q AS (SELECT vec_id AS qid, v AS qv,
+                 list_sum(list_transform(generate_series(1, 64), i -> v[i] * v[i])) AS qq
+               FROM e WHERE vec_id < 10),
+         adc AS (SELECT qid AS query_id, b.vec_id AS neighbor_id,
+                   qq - 2 * list_sum(list_transform(generate_series(1, 64), i -> qv[i] * xhat[i])) + xx AS d
+                 FROM base b CROSS JOIN q WHERE b.vec_id != qid),
+         cand AS (SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id ORDER BY d ASC, neighbor_id) AS cr
+                    FROM adc) t WHERE cr <= 20),
+         qv2 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         r AS (SELECT cand.query_id, cand.neighbor_id,
+                 list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * v[i]))
+                 / (sqrt(list_sum(list_transform(qv, z -> z*z)))
+                    * sqrt(list_sum(list_transform(v, z -> z*z)))) AS sim0
+               FROM cand JOIN e ON cand.neighbor_id = e.vec_id
+                 JOIN qv2 ON cand.query_id = qv2.query_id),
+         rr AS (SELECT query_id, neighbor_id, sim0,
+                  row_number() OVER (PARTITION BY query_id ORDER BY sim0 DESC, neighbor_id) AS rank
+                FROM r)
+         SELECT query_id, neighbor_id, cast(rank AS int) AS rank, round(sim0, 6) AS sim
+         FROM rr WHERE rank <= 5""",
     // range join: the oracle is the plain inequality join (the bucketized
     // equi-join is internal to the operator and result-identical)
     "q105_range_join" ->
@@ -1830,6 +1892,16 @@ object SparkEntry {
                 AND cast(floor(epoch(e.ts)) AS bigint) < iv.end_s)
          SELECT interval_id, count(*) AS n, count(DISTINCT user_id) AS nu
          FROM j GROUP BY 1""",
+    // A-ES weighted sampling: priority ln(u)/w on a md5-midpoint uniform,
+    // rounded to 6 dp before ranking (libm ln parity contract), id tiebreak
+    "q107_weighted_sample" ->
+      """SELECT doc_id, source, n_chars FROM (
+           SELECT doc_id, source, n_chars,
+             round(ln((('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::bigint
+                       % 1000000000 + 0.5) / 1000000000.0)
+                   / cast(n_chars AS double), 6) AS pri
+           FROM documents) t
+         ORDER BY pri DESC, doc_id LIMIT 50""",
     // hash negatives: bucket + secondary-hash order from disjoint md5
     // windows; per-bucket top-k candidates join to the successor bucket
     "q103_hash_negatives" ->

@@ -153,6 +153,27 @@ object Sampling {
       .withColumn("band", col("band").cast("long"))
   }
 
+  /** Weighted sample-without-replacement (Efraimidis–Spirakis A-ES), made
+    * deterministic: each row's priority is ln(u)/w for a key-stable uniform
+    * u ∈ (0,1) (md5 bucket midpoint) and weight w > 0; the top `n` by
+    * priority are EXACTLY an n-sample without replacement with inclusion
+    * probability proportional to weight. The priority is rounded to 6 dp
+    * before ranking with the key as tie-break — raw ln can differ by 1 ulp
+    * between libms, and ranking on the rounded value is this engine's
+    * established cross-engine contract (q81/q88). The top-n is a global
+    * TakeOrdered (n is small by contract — a sample, not a partition of the
+    * corpus); per-stratum caps at scale compose with [[stratifiedTake]]'s
+    * window instead. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, n: Int,
+                     buckets: Int = 1000000000): DataFrame = {
+    require(n > 0, "n must be positive")
+    val u = (hashBucket(key, buckets).cast("double") + 0.5d) / buckets
+    df.withColumn("__pri", round(log(u) / weight, 6))
+      .orderBy(col("__pri").desc, key.asc)
+      .limit(n)
+      .drop("__pri")
+  }
+
   /** Deterministic negative sampling for contrastive training: every row
     * gets `k` pseudo-random negatives drawn from the NEXT md5 bucket —
     * key-stable (append/rerun-reproducible, the same contract as every

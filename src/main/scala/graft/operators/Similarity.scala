@@ -58,6 +58,30 @@ object Similarity {
   def seededCentroids(nCentroids: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(nCentroids, dim)((c, i) => mdWeight(s"centroid:$c:$i"))
 
+  /** Deterministic DATA-SAMPLED PQ sub-codebooks: centroid c of subspace s
+    * is the s-th subvector of the corpus row with the c-th smallest
+    * (md5(id), id) — i.e. a key-stable uniform sample of `ksub` corpus
+    * vectors supplies every subspace's codebook. Unlike synthetic
+    * `mdWeight` points (which sit in [-1,1]^d regardless of the data's
+    * scale and quantize with errors larger than the signal — measured
+    * recall 0.06), sampled codebooks are data-distributed by construction,
+    * the same reason FAISS inits PQ training from data samples. The
+    * ksub-row collect is the codebook FIT (the bounded-model analog of
+    * [[ivfKnn]]'s KMeans fit), not a data-path collect. */
+  def pqSampledCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                         m: Int, ksub: Int, subDim: Int): Array[Array[Array[Double]]] = {
+    val seeds: Array[Array[Double]] = corpus
+      .select(asDouble(col(vecCol)).as("v"),
+        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h"),
+        col(idCol).cast("long").as("i"))
+      .orderBy(col("h").asc, col("i").asc).limit(ksub)
+      .select("v").collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seeds.length == ksub, s"corpus has fewer than $ksub rows")
+    Array.tabulate(m, ksub, subDim)((s, c, i) => seeds(c)(s * subDim + i))
+  }
+
   /** Cast an `array<float>` column to `array<double>` so arithmetic matches
     * a double-based oracle exactly. */
   def asDouble(a: Column): Column = a.cast("array<double>")
@@ -345,6 +369,77 @@ object Similarity {
     val wc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("__csim").desc, col("neighbor_id").asc)
     val cand = isc.withColumn("__crank", row_number().over(wc))
+      .filter(col("__crank") <= k * candMult)
+      .select("query_id", "neighbor_id")
+    val cv = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__nv"))
+    val qv = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("__sim").desc, col("neighbor_id").asc)
+    cand.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
+      .withColumn("__sim", cosineU(col("__qv"), col("__nv"), dim))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("int").as("rank"), round(col("__sim"), 6).as("sim"))
+  }
+
+  /** Product-quantization ANN (the FAISS PQ/ADC recipe) with deterministic
+    * codebooks: the corpus stores `m` one-byte codes per vector (8 bytes vs
+    * 256 for float32-dim-64 — a 32× scan shrink, the next compression step
+    * after [[int8Knn]]'s 4×), queries score candidates by asymmetric
+    * distance (exact distance from the query to each RECONSTRUCTED corpus
+    * vector), and the top `k·candMult` candidate ids rerank with exact float
+    * cosine.
+    *
+    * Encoding: per subspace `s`, code = argmin_c ‖x_s − C_{s,c}‖², computed
+    * as argmax ⟨[x_s, 1], [C_{s,c}, −‖C_{s,c}‖²/2]⟩ through the native
+    * [[graft.functions.TopDotIndices]] loop (the augmented-bias trick turns
+    * nearest-centroid into the inner-product form the expression already
+    * ranks, ties to the lower code — same argmin). ADC uses the identity
+    * ‖q−x̂‖² = ‖q‖² − 2⟨q,x̂⟩ + ‖x̂‖²: ‖x̂‖² is per-DOC (once), ‖q‖² per-QUERY
+    * (once), and only the ⟨q,x̂⟩ native loop runs per pair. Candidate
+    * windows carry ids only; reconstruction happens once per row before the
+    * join (the [[int8Knn]] discipline). Every arithmetic step is the same
+    * IEEE expression shape in external SQL, so the full pipeline — codebook
+    * sampling, assignment argmin, ADC ranking, rerank — is exactly
+    * oracle-able (via [[pqSampledCodebooks]]' md5 row selection). */
+  def pqKnnSeeded(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
+                  dim: Int = 64, candMult: Int = 4): DataFrame = {
+    require(dim % m == 0, "dim must divide into m subspaces")
+    require(k > 0 && candMult >= 1, "need k > 0 and candMult >= 1")
+    val subDim = dim / m
+    val books = pqSampledCodebooks(corpus, idCol, vecCol, m, ksub, subDim)
+    // assignment matrices with the L2 bias folded into an extra column
+    val mats: Array[Array[Array[Double]]] =
+      books.map(_.map(w => w :+ (-w.map(x => x * x).sum / 2.0)))
+    def codeOf(vec: Column, s: Int): Column =
+      element_at(exprColumn(graft.functions.TopDotIndices(
+        asExpr(concat(slice(vec, s * subDim + 1, subDim), array(lit(1.0d)))),
+        mats(s), 1)), 1)
+    val flatBooks: Array[Double] = books.flatMap(_.flatMap(_.toSeq))
+    val flatLit = typedLit(flatBooks)
+    def reconstruct(codes: Column): Column =
+      flatten(transform(codes, (code, s) =>
+        transform(sequence(lit(0), lit(subDim - 1)),
+          d => element_at(flatLit, s * (ksub * subDim) + code * subDim + d + 1))))
+    val cEnc = corpus
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__nv"))
+      .withColumn("__codes", array((0 until m).map(s => codeOf(col("__nv"), s)): _*))
+      .withColumn("__xhat", reconstruct(col("__codes")))
+      .withColumn("__xx", dotU(col("__xhat"), col("__xhat"), dim))
+      .select("neighbor_id", "__xhat", "__xx")
+    val q0 = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qq", dotU(col("__qv"), col("__qv"), dim))
+    val adc = cEnc.crossJoin(broadcast(q0))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("__qq") - lit(2.0d) * dotU(col("__qv"), col("__xhat"), dim) + col("__xx"))
+          .as("__adc"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("__adc").asc, col("neighbor_id").asc)
+    val cand = adc.withColumn("__crank", row_number().over(wc))
       .filter(col("__crank") <= k * candMult)
       .select("query_id", "neighbor_id")
     val cv = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__nv"))

@@ -165,6 +165,22 @@ class SamplingSpec extends SparkSuite {
     assert(again == out.select("id").as[Long].collect().toSet)
   }
 
+  test("weightedSample: inclusion tracks weight, exact n, deterministic") {
+    // 950 light rows (w=1) + 50 heavy rows (w=1000): a 50-sample should be
+    // dominated by heavy rows (their priorities u^(1/1000) cluster near 1)
+    val df = ((1L to 950L).map(i => (i, 1.0)) ++
+      (951L to 1000L).map(i => (i, 1000.0))).toDF("id", "w")
+    val got = Sampling.weightedSample(df, col("id"), col("w"), n = 50)
+      .select("id").as[Long].collect().toSet
+    assert(got.size == 50)
+    val heavy = got.count(_ > 950L)
+    assert(heavy >= 40, s"only $heavy/50 heavy rows sampled")
+    // key-stable rerun
+    val again = Sampling.weightedSample(df, col("id"), col("w"), n = 50)
+      .select("id").as[Long].collect().toSet
+    assert(got == again)
+  }
+
   test("hashNegatives: k non-self negatives per row, key-stable, bucket-linked") {
     val df = (1L to 1000L).map(Tuple1(_)).toDF("id")
     val out = Sampling.hashNegatives(df, col("id"), k = 3, nBuckets = 8)

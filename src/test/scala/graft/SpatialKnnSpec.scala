@@ -289,6 +289,25 @@ class SpatialKnnSpec extends SparkSuite {
     parts.sliding(2).foreach { case Array(a, b) => assert(a._3 <= b._2); case _ => }
   }
 
+  test("pqKnnSeeded: planted near-duplicates survive the 32x-compressed ADC scan") {
+    val e = Tables.embeddings(spark, sf)
+    val planted = e.filter(col("vec_id").between(100L, 109L))
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    // queries = slightly perturbed copies of corpus vectors (the retrieval
+    // task ANN exists for; general top-k on this ISOTROPIC fixture is
+    // information-theoretically hard for any quantizer)
+    val qs = planted.toSeq.map { case (id, v) =>
+      (id + 10000L, v.zipWithIndex.map { case (x, i) =>
+        x + (if (i % 2 == 0) 0.01f else -0.01f) })
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.pqKnnSeeded(e, qs, "vec_id", "embedding",
+        k = 1, m = 8, ksub = 16, dim = 64, candMult = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val hits = planted.count { case (id, _) => out.get(id + 10000L).contains(id) }
+    assert(hits >= 8, s"planted recall $hits/10")
+  }
+
   test("int8Knn: exact rerank matches bruteKnn on the candidate-covered top-k") {
     val e = Tables.embeddings(spark, sf)
     val qs = e.filter(col("vec_id") < 10)
