@@ -59,7 +59,8 @@ object Bench {
     // stay in Verify's gate; the artifact names them so the exclusion is
     // visible.
     val harness = Set("q71_stream_latest_status", "q72_stream_session_state",
-      "q74_json_log_roundtrip", "q75_binary_roundtrip", "q76_stream_dedup")
+      "q74_json_log_roundtrip", "q75_binary_roundtrip", "q76_stream_dedup",
+      "q108_stream_interval_join")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => harness(q._1)).map { case (name, fn) =>
       val load0 = loadavg()

@@ -376,6 +376,12 @@ object SparkEntry {
           (sp, ev) => graft.streaming.Streams.sessionWithTtl(sp, ev, ttlMs = 3600000L))
         .select("user_id", "event_id", "event_type", "value")),
 
+    "q108_stream_interval_join" -> ((s, dir) =>
+      // stream-stream interval join replayed as two independent chunked
+      // file streams; appended pairs must equal the batch inequality join
+      graft.streaming.Streams.replayedIntervalJoin(
+        s, Tables.events(s, dir), chunks = 3, name = "interval_join")),
+
     // ---- exact polygon×polygon overlap (§2.9; the last spatial gap) ----
     "q70_polygon_overlap" -> ((s, dir) => {
       // AOI-polygon × scene-footprint join: per-customer triangle footprints
@@ -1519,6 +1525,12 @@ object SparkEntry {
       """SELECT user_id, event_id, event_type, value FROM (
            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
            FROM events) t WHERE rn = 1""",
+    "q108_stream_interval_join" ->
+      """SELECT a.event_id, b.event_id AS p_event_id
+         FROM events a, events b
+         WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+           AND a.user_id = b.user_id
+           AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""",
     // copy-on-write upsert = the two complements, stated directly
     "q73_upsert" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey % 10 <> 0

@@ -187,6 +187,59 @@ object Streams {
     spark.table(qname)
   }
 
+  /** Stream-stream INTERVAL join (the streaming analog of
+    * [[graft.operators.Joins.rangeJoin]]): left events matched to right
+    * events of the same key with `r.ts ∈ [l.ts, l.ts + window]`. Both sides
+    * carry watermarks and the join condition bounds BOTH event-time columns,
+    * which is exactly what lets Spark evict join state — a left row's state
+    * drops once the right watermark passes `l.ts + window`, a right row's
+    * once the left watermark passes `r.ts`. Inner stream-stream joins emit
+    * eagerly in append mode (the watermark only bounds state and lateness,
+    * not emission). Column contract: left (event_id, ts, user_id, …), right
+    * renamed (p_event_id, p_ts, p_user_id). */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         lateness: String, window: String): DataFrame =
+    left.withWatermark("ts", lateness)
+      .join(right.withWatermark("p_ts", lateness),
+        expr(s"user_id = p_user_id AND p_ts >= ts AND p_ts <= ts + interval $window"))
+
+  /** T-family capstone replay gate: clicks and purchases streamed as TWO
+    * independent file-source streams (each in `chunks` micro-batches, so
+    * matches straddle batch boundaries on both sides) through
+    * [[intervalJoinStream]]; the appended pair set must equal the batch
+    * inequality join — which is what the q108 DuckDB oracle computes. The
+    * gate uses a wide lateness so no fixture row is ever dropped as late
+    * (state stays bounded by the window condition regardless). */
+  def replayedIntervalJoin(spark: SparkSession, events: DataFrame, chunks: Int,
+                           name: String, window: String = "30 minutes"): DataFrame = {
+    val left = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val right = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("ts").as("p_ts"),
+        col("user_id").as("p_user_id"))
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_replay_$name").getAbsolutePath
+    (0 until chunks).foreach { i =>
+      left.filter(pmod(col("event_id"), lit(chunks)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/l/c$i")
+      right.filter(pmod(col("p_event_id"), lit(chunks)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/r/c$i")
+    }
+    val expectedRows = left.count() + right.count()
+    val ls = spark.readStream.schema(left.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/l/c*")
+    val rs = spark.readStream.schema(right.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/r/c*")
+    val qname = s"graft_gate_${name}_${replaySeq.incrementAndGet()}"
+    drainStream(spark, qname, expectedRows) {
+      intervalJoinStream(ls, rs, lateness = "3650 days", window = window)
+        .select(col("event_id"), col("p_event_id"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+    }
+    spark.table(qname)
+  }
+
   /** Start a streaming query and block until it has CONSUMED `expectedRows`
     * input rows, then stop it. Completion is detected by input-row count via
     * a listener, NOT `processAllAvailable()`: under ProcessingTimeTimeout
