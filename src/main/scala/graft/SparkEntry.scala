@@ -661,6 +661,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("nu"))
     }),
 
+    // ---- W-family breadth: rank statistics in partitioned windows ----
+    "q109_rank_stats" -> ((s, dir) => {
+      // rank/dense_rank/percent_rank/cume_dist over a COARSENED key so ties
+      // actually exercise their semantics (tied rows share a rank —
+      // deterministic without a total order); ntile needs a total order for
+      // deterministic bucket boundaries, so it adds the id tiebreak
+      val wt = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(floor(col("value") / 10).asc)
+      val wo = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(floor(col("value") / 10).asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          rank().over(wt).cast("long").as("rnk"),
+          dense_rank().over(wt).cast("long").as("drnk"),
+          round(percent_rank().over(wt), 6).as("prk"),
+          round(cume_dist().over(wt), 6).as("cd"),
+          ntile(4).over(wo).cast("long").as("quartile"))
+    }),
+
+    // ---- time-series resample + forward fill (6h grid per user) ----
+    "q110_resample_ffill" -> ((s, dir) =>
+      R.resampleFfill(Tables.events(s, dir), "user_id",
+        col("ts").cast("long"), col("value"), col("event_id"),
+        stepSeconds = 21600L)),
+
     // ---- EXT: weighted sample-without-replacement (A-ES) ----
     "q107_weighted_sample" -> ((s, dir) =>
       graft.operators.Sampling.weightedSample(
@@ -1904,6 +1930,38 @@ object SparkEntry {
                 AND cast(floor(epoch(e.ts)) AS bigint) < iv.end_s)
          SELECT interval_id, count(*) AS n, count(DISTINCT user_id) AS nu
          FROM j GROUP BY 1""",
+    // resample/ffill: per-key 6h grid between own min/max buckets; last
+    // observed per bucket by (es, event_id); IGNORE NULLS carry-forward
+    "q110_resample_ffill" ->
+      """WITH e AS (SELECT user_id, cast(floor(epoch(ts)) AS bigint) AS es,
+                      value, event_id FROM events),
+         wb AS (SELECT user_id, es, value, event_id,
+                  cast(floor(es / 21600) AS bigint) AS bkt FROM e),
+         obs AS (SELECT user_id, bkt AS bucket, value AS v FROM (
+                   SELECT user_id, bkt, value, row_number() OVER (
+                     PARTITION BY user_id, bkt ORDER BY es DESC, event_id DESC) AS rn
+                   FROM wb) t WHERE rn = 1),
+         span AS (SELECT user_id, min(bkt) AS lo, max(bkt) AS hi FROM wb GROUP BY 1),
+         grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS bucket FROM span),
+         j AS (SELECT g.user_id, g.bucket, o.v FROM grid g
+               LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket)
+         SELECT user_id, bucket * 21600 AS bucket_start,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+           v IS NOT NULL AS observed
+         FROM j""",
+    // rank stats: tied windows over floor(value/10); ntile adds the id
+    // tiebreak (bucket boundaries need a total order)
+    "q109_rank_stats" ->
+      """SELECT event_id, user_id,
+           cast(rank() OVER wt AS bigint) AS rnk,
+           cast(dense_rank() OVER wt AS bigint) AS drnk,
+           round(percent_rank() OVER wt, 6) AS prk,
+           round(cume_dist() OVER wt, 6) AS cd,
+           cast(ntile(4) OVER wo AS bigint) AS quartile
+         FROM events
+         WINDOW wt AS (PARTITION BY user_id ORDER BY floor(value / 10)),
+                wo AS (PARTITION BY user_id ORDER BY floor(value / 10), event_id)""",
     // A-ES weighted sampling: priority ln(u)/w on a md5-midpoint uniform,
     // rounded to 6 dp before ranking (libm ln parity contract), id tiebreak
     "q107_weighted_sample" ->

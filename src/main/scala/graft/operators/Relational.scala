@@ -248,4 +248,37 @@ object Relational {
     df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_dups"))
       .filter(col("n_dups") > 1)
+
+  /** Time-series resample + forward fill: regularize an irregular event
+    * series onto a fixed `stepSeconds` grid per key, carrying the last
+    * observed value across empty buckets (the standard resample/ffill pass
+    * before windowed feature extraction or charting). Each key's grid spans
+    * ITS OWN [min, max] bucket range — grid size is (time span / step) per
+    * key, independent of event count, so a 100 TB event log resamples to a
+    * bounded-width table. Per-bucket "last observed" uses a (ts, tieBreak)
+    * window; both windows are key-partitioned (never global); the grid
+    * equi-joins observations on (key, bucket). Leading buckets before a
+    * key's first observation within its own range cannot be null by
+    * construction (the range starts at an observed bucket). */
+  def resampleFfill(df: DataFrame, key: String, tsSec: Column, value: Column,
+                    tieBreak: Column, stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, "stepSeconds must be positive")
+    val withB = df.withColumn("__es", tsSec)
+      .withColumn("__bkt", floor(col("__es") / stepSeconds).cast("long"))
+    val wLast = Window.partitionBy(col(key), col("__bkt"))
+      .orderBy(col("__es").desc, tieBreak.desc)
+    val obs = withB.withColumn("__rn", row_number().over(wLast))
+      .filter(col("__rn") === 1)
+      .select(col(key), col("__bkt").as("bucket"), value.as("__v"))
+    val grid = withB.groupBy(col(key))
+      .agg(min(col("__bkt")).as("__lo"), max(col("__bkt")).as("__hi"))
+      .select(col(key), explode(sequence(col("__lo"), col("__hi"))).as("bucket"))
+    val wf = Window.partitionBy(col(key)).orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq(key, "bucket"), "left")
+      .withColumn("value_ffill", last(col("__v"), ignoreNulls = true).over(wf))
+      .withColumn("observed", col("__v").isNotNull)
+      .select(col(key), (col("bucket") * stepSeconds).as("bucket_start"),
+        col("value_ffill"), col("observed"))
+  }
 }

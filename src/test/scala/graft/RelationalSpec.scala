@@ -108,4 +108,21 @@ class RelationalSpec extends SparkSuite {
       .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L, 6L -> 1L))
   }
+
+  test("resampleFfill: per-key grid, last-in-bucket wins, gaps carry forward") {
+    // user 1: obs in buckets 0 (two values - later es wins), 3; buckets 1-2
+    // must carry 20.0 forward. user 2: single bucket.
+    val ev = Seq(
+      (1L, 5L, 1L, 10.0), (2L, 50L, 1L, 20.0),  // bucket 0: es=50 wins
+      (3L, 310L, 1L, 40.0),                     // bucket 3
+      (4L, 120L, 2L, 7.0)                       // user 2, bucket 1
+    ).toDF("event_id", "es", "user_id", "value")
+    val out = R.resampleFfill(ev, "user_id", col("es"), col("value"),
+        col("event_id"), stepSeconds = 100L)
+      .select("user_id", "bucket_start", "value_ffill", "observed")
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 20.0, true), (1L, 100L, 20.0, false), (1L, 200L, 20.0, false),
+      (1L, 300L, 40.0, true), (2L, 100L, 7.0, true)))
+  }
 }
