@@ -49,6 +49,39 @@ object SparkEntry {
        FROM orders
        GROUP BY GROUPING SETS ((o_orderstatus), (yr), ())"""
 
+  /** Generated DuckDB oracle for q111: five unrolled PageRank iterations
+    * over the undirected customer↔supplier graph. Float literals are cast
+    * to double explicitly — DuckDB evaluates bare `1 - 0.85` in EXACT
+    * decimal (0.15), while Spark's `lit(1.0 - 0.85)` is the IEEE double
+    * 0.15000000000000002; the casts force the identical IEEE operations. */
+  private val PageRankOracleSql: String = {
+    val pairSql =
+      """SELECT DISTINCT 'c' || cast(o_custkey AS varchar) AS src,
+                         's' || cast(l_suppkey AS varchar) AS dst
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
+    val base =
+      s"""WITH ed AS (SELECT src, dst FROM ($pairSql) p
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM ($pairSql) p2),
+          deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+          nodes AS (SELECT DISTINCT node FROM (
+            SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed) u),
+          st AS (SELECT cast(count(*) AS double) AS n FROM nodes),
+          r0 AS (SELECT node, cast(1.0 AS double) / st.n AS r FROM nodes, st)"""
+    val iterSql = (1 to 5).map { k =>
+      s""",
+          inf$k AS (SELECT e.dst AS node,
+               cast(sum(cast(round(r.r / d.deg, 12) AS decimal(38,12))) AS double) AS inflow
+             FROM ed e JOIN r${k - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+             GROUP BY 1),
+          r$k AS (SELECT n.node,
+               round((cast(1 AS double) - cast(0.85 AS double)) / st.n
+                 + cast(0.85 AS double) * coalesce(i.inflow, cast(0 AS double)), 12) AS r
+             FROM nodes n CROSS JOIN st LEFT JOIN inf$k i ON n.node = i.node)"""
+    }.mkString
+    base + iterSql + "\n          SELECT node, r FROM r5"
+  }
+
   /** The fixed AOI pentagon shared by q43 and q70 (an arbitrary convex-ish
     * ring in lon/lat, integer vertices so all derived arithmetic is exact). */
   private val AoiPentagon: Seq[(Double, Double)] =
@@ -679,6 +712,18 @@ object SparkEntry {
           round(percent_rank().over(wt), 6).as("prk"),
           round(cume_dist().over(wt), 6).as("cd"),
           ntile(4).over(wo).cast("long").as("quartile"))
+    }),
+
+    // ---- EXT: iterative PageRank over the customer<->supplier graph ----
+    "q111_pagerank" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val pairs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+      val edges = pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.pageRank(edges, iters = 5, d = 0.85)
     }),
 
     // ---- time-series resample + forward fill (6h grid per user) ----
@@ -1930,6 +1975,7 @@ object SparkEntry {
                 AND cast(floor(epoch(e.ts)) AS bigint) < iv.end_s)
          SELECT interval_id, count(*) AS n, count(DISTINCT user_id) AS nu
          FROM j GROUP BY 1""",
+    "q111_pagerank" -> PageRankOracleSql,
     // resample/ffill: per-key 6h grid between own min/max buckets; last
     // observed per bucket by (es, event_id); IGNORE NULLS carry-forward
     "q110_resample_ffill" ->

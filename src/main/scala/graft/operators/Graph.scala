@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.12 (EXT) — iterative graph analytics beyond the dedup
+  * family's connected components: PageRank as the representative
+  * fixed-point computation (influence/centrality over entity graphs —
+  * supplier importance, document citation weight, user interaction hubs).
+  *
+  * Scale shape: each iteration is one equi-join (edges ⋈ ranks on src) +
+  * one hash aggregate (inflow per dst) — the textbook distributed PR step;
+  * ranks are `localCheckpoint`ed per iteration (the connected-components
+  * lineage-cut discipline: without it iteration k's plan re-executes all
+  * k-1 predecessors). Edge and degree tables are computed once.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank over a directed edge list (src, dst) —
+    * supply both directions for an undirected walk. Dangling nodes
+    * contribute nothing (their mass leaks, the simplest standard variant);
+    * every node receives the (1−d)/N teleport term each round.
+    *
+    * Determinism contract (the q88/q96 summation rule): each edge's
+    * contribution r(src)/deg(src) is rounded to 12 dp and summed as an
+    * EXACT decimal — double addition is reduction-order-dependent, and an
+    * iterative computation would amplify a 1-ulp divergence exponentially
+    * across rounds. The teleport+damping combine is plain double arithmetic
+    * (same IEEE expression shape in any engine), rounded to 12 dp so each
+    * round starts from an identical representable value. */
+  def pageRank(edges: DataFrame, iters: Int = 5, d: Double = 0.85): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    require(d > 0 && d < 1, "damping must be in (0,1)")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val nc = broadcast(nodes.agg(count(lit(1)).cast("double").as("n_nodes")))
+    var ranks = nodes.crossJoin(nc)
+      .select(col("node"), (lit(1.0d) / col("n_nodes")).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks, e("src") === ranks("node"))
+        .join(deg, "src")
+        .select(col("dst").as("node"),
+          round(col("r") / col("deg"), 12).cast("decimal(38,12)").as("c"))
+      val inflow = contrib.groupBy(col("node"))
+        .agg(sum(col("c")).cast("double").as("inflow"))
+      ranks = nodes.crossJoin(nc)
+        .join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          round(lit(1.0d - d) / col("n_nodes")
+            + lit(d) * coalesce(col("inflow"), lit(0.0d)), 12).as("r"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** SURVEY §2.12 — iterative graph analytics: PageRank against a sequential
+  * reference model with the identical rounding contract. */
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Sequential PR mirroring the operator's determinism contract:
+    * contributions rounded to 12 dp and summed exactly, teleport+damping in
+    * doubles, result rounded to 12 dp. */
+  private def refPageRank(edges: Seq[(String, String)], iters: Int,
+                          d: Double): Map[String, Double] = {
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val in = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    def r12(x: Double): Double =
+      BigDecimal(java.math.BigDecimal.valueOf(x))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      r = nodes.map { v =>
+        val inflow = in.getOrElse(v, Nil)
+          .map(u => BigDecimal(java.math.BigDecimal.valueOf(r12(r(u) / out(u)))))
+          .sum.toDouble
+        v -> r12((1.0 - d) / n + d * inflow)
+      }.toMap
+    }
+    r
+  }
+
+  test("pageRank matches the sequential reference on a small undirected graph") {
+    // path a-b-c-d plus a hub e connected to everyone
+    val und = Seq("a" -> "b", "b" -> "c", "c" -> "d",
+      "e" -> "a", "e" -> "b", "e" -> "c", "e" -> "d")
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, iters = 5, d = 0.85)
+      .as[(String, Double)].collect().toMap
+    val want = refPageRank(und ++ und.map(_.swap), iters = 5, d = 0.85)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-12, s"$k: got $v want ${want(k)}")
+    }
+    // the hub out-ranks the path ends; total mass stays <= 1 (no dangling)
+    assert(got("e") > got("a") && got("e") > got("d"))
+    assert(math.abs(got.values.sum - 1.0) < 1e-6)
+  }
+}
