@@ -23,6 +23,14 @@ object Bench {
       try src.mkString.split(" ")(0).toDouble finally src.close()
     } catch { case scala.util.control.NonFatal(_) => -1.0 }
 
+  /** Short key for the contract line: "q36_neardup_jaccard" -> "q36". The
+    * driver's tail capture is ~2.2 KiB; full query names across 100+ queries
+    * overflow it (that is exactly how round 4's artifact became unparseable),
+    * while qNN keys keep the whole contract line ≈1.5 KiB. The short->full
+    * mapping ships in the BENCH_DETAIL sidecar.
+    */
+  private def shortKey(name: String): String = name.takeWhile(_ != '_')
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -86,11 +94,22 @@ object Bench {
       (name, cold, steady, ok, ran.toSeq, load0, load1)
     }
     def fmt(d: Double) = f"$d%.3f"
+    def fmt2(d: Double) = f"$d%.2f"
     // failed queries report -1 and are EXCLUDED from the total (a broken
     // query must not read as a fast one), and named in "failed".
-    val qs = results.map { case (k, _, v, ok, _, _, _) => "\"" + k + "\":" + (if (ok) v else -1) }
+    //
+    // CONTRACT LINE (final stdout line, compact): total + steady per-query
+    // map keyed by qNN + failed + sf. Everything diagnostic — full names,
+    // cold times, raw per-iteration times, loadavg samples — goes to the
+    // BENCH_DETAIL sidecar and stderr, NOT the contract line, so the line
+    // stays well inside the driver's ~2.2 KiB tail capture (round 4's
+    // artifact was unparseable because the diagnostics rode on this line).
+    val qs = results.map { case (k, _, v, ok, _, _, _) =>
+      "\"" + shortKey(k) + "\":" + (if (ok) fmt2(v) else "-1")
+    }.mkString("{", ",", "}")
+    val colds = results.map { case (k, c, _, ok, _, _, _) => "\"" + k + "\":" + (if (ok) fmt(c) else "-1") }
       .mkString("{", ",", "}")
-    val colds = results.map { case (k, c, _, ok, _, _, _) => "\"" + k + "\":" + (if (ok) c else -1) }
+    val steadies = results.map { case (k, _, v, ok, _, _, _) => "\"" + k + "\":" + (if (ok) fmt(v) else "-1") }
       .mkString("{", ",", "}")
     val iterTimes = results.map { case (k, _, _, _, ts, _, _) =>
       "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
@@ -98,12 +117,28 @@ object Bench {
     val loads = results.map { case (k, _, _, _, _, l0, l1) =>
       "\"" + k + "\":[" + fmt(l0) + "," + fmt(l1) + "]"
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, false, _, _, _) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, _, false, _, _, _) => "\"" + shortKey(k) + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, _, v, true, _, _, _) => v }.sum
     val coldTotal = results.collect { case (_, c, _, true, _, _, _) => c }.sum
     val excluded = harness.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"cold_total":$coldTotal,"cold":$colds,"iter_times":$iterTimes,"loadavg_1m":$loads,"failed":$failed,"excluded_harness":$excluded,"sf":"$sfDir"}""")
+    val names = results.map { case (k, _, _, _, _, _, _) =>
+      "\"" + shortKey(k) + "\":\"" + k + "\""
+    }.mkString("{", ",", "}")
+    val detail =
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","iters":$iters,"names":$names,"steady":$steadies,"cold_total":${fmt2(coldTotal)},"cold":$colds,"iter_times":$iterTimes,"loadavg_1m":$loads,"failed":$failed,"excluded_harness":$excluded,"sf":"$sfDir"}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    try {
+      val w = new java.io.PrintWriter(detailPath, "UTF-8")
+      try w.println(detail) finally w.close()
+      System.err.println(s"[bench] detail sidecar -> $detailPath")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] sidecar write failed ($e); detail follows on stderr")
+    }
+    System.err.println(detail)
     spark.stop()
+    // FINAL stdout line: the compact driver contract. Nothing prints after it.
+    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","iters":$iters,"queries":$qs,"failed":$failed,"excluded_harness":$excluded,"sf":"$sfDir"}""")
   }
 }

@@ -2093,12 +2093,15 @@ object SparkEntry {
            count(*) AS n,
            cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total
          FROM orders GROUP BY ROLLUP (o_orderstatus, yr)""",
-    // score-band sampling: exact-quantile thresholds, band = count of
+    // score-band sampling: exact-quantile thresholds ROUNDED to 6 dp on both
+    // sides (the two linear interpolations can differ by 1 ulp and a score
+    // within that ulp of a cut would band differently), band = count of
     // thresholds strictly below the score, md5-bucket keep predicate with
     // round() on the rate product (cast double->bigint rounds in DuckDB but
     // truncates in Spark — round on both sides first)
     "q97_score_band_sample" ->
-      """WITH th AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.9]) AS t FROM documents),
+      """WITH th AS (SELECT list_transform(quantile_cont(n_chars, [0.25, 0.5, 0.9]),
+                       x -> round(x, 6)) AS t FROM documents),
          b AS (SELECT doc_id, source, n_chars,
                  cast(len(list_filter(th.t, x -> n_chars > x)) AS bigint) AS band
                FROM documents, th)

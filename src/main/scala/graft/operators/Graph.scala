@@ -29,7 +29,7 @@ object Graph {
     * (same IEEE expression shape in any engine), rounded to 12 dp so each
     * round starts from an identical representable value. */
   def pageRank(edges: DataFrame, iters: Int = 5, d: Double = 0.85,
-               checkpointEvery: Int = 4): DataFrame = {
+               checkpointEvery: Int = 2): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     require(d > 0 && d < 1, "damping must be in (0,1)")
     require(checkpointEvery >= 1, "checkpointEvery must be positive")
@@ -58,7 +58,11 @@ object Graph {
       // rounds chain LAZILY (each ranks appears once in the next round's
       // plan — no exponential growth, and no per-round materialization
       // barrier; unlike connectedComponents there is no per-iteration
-      // action forcing one). A periodic cut bounds plan depth on long runs.
+      // action forcing one). The periodic EAGER cut (localCheckpoint's
+      // default) bounds how many join+agg rounds any single action can
+      // re-execute; every-2-rounds keeps the worst-case recompute cliff at
+      // 2 rounds (measured: every-4 let one evicted block re-run a 4-round
+      // chain, spiking a single iteration 3-7x).
       if (k % checkpointEvery == 0 && k < iters) ranks = ranks.localCheckpoint()
     }
     ranks

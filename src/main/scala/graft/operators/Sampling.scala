@@ -75,19 +75,47 @@ object Sampling {
     * (exclusive prefix sum < budget), so the cap overshoots by at most one
     * document — the standard greedy contract, reproducible in any engine.
     *
-    * One shuffle on the stratum key + a stratum-partitioned running sum
-    * (never a global window); the hash order makes the kept prefix unbiased
-    * w.r.t. the data's natural order. */
+    * Scale shape: a window partitioned only by stratum serializes each
+    * stratum onto ONE task — and the contract is "N billion tokens per
+    * domain", so a stratum is corpus-sized. This is the two-level
+    * distributed prefix sum ([[Pipelines.packSequences]]'s pattern) applied
+    * WITHIN each stratum: the bucket range [0, buckets) is sliced into
+    * `groups` contiguous sub-ranges (the sub-group is a monotone function of
+    * the primary sort key, so group order is a prefix of the global
+    * hash order), the exclusive prefix runs in a (stratum, group)-partitioned
+    * window, and the per-(stratum, group) totals — a dimension-sized
+    * aggregate, #strata × groups rows — get their own exclusive prefix and
+    * broadcast back. Integer addition is associative, so the two-level sum
+    * equals the single-window one exactly; the hash order makes the kept
+    * prefix unbiased w.r.t. the data's natural order. */
   def tokenBudgetSample(df: DataFrame, stratum: Column, key: Column,
                         nTokens: Column, budget: Long,
-                        buckets: Int = 10000): DataFrame = {
+                        buckets: Int = 10000, groups: Int = 256): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(stratum).orderBy(hashBucket(key, buckets), key)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    df.withColumn("__before", coalesce(sum(nTokens).over(w), lit(0L)))
-      .filter(col("__before") < budget)
-      .drop("__before")
+    require(groups >= 1 && groups <= buckets, "need 1 <= groups <= buckets")
+    val W = org.apache.spark.sql.expressions.Window
+    val sliced = df
+      .withColumn("__stratum", stratum)
+      .withColumn("__bkt", hashBucket(key, buckets))
+      .withColumn("__grp", expr(s"(__bkt * ${groups}L) div $buckets").cast("int"))
+    val wLocal = W.partitionBy(col("__stratum"), col("__grp"))
+      .orderBy(col("__bkt"), key)
+      .rowsBetween(W.unboundedPreceding, -1)
+    val local = sliced
+      .withColumn("__local_before", coalesce(sum(nTokens).over(wLocal), lit(0L)))
+    // per-(stratum, group) totals: #strata × groups rows, dimension-sized BY
+    // CONSTRUCTION (not data-dependent), so the exclusive prefix over groups
+    // and the broadcast back are both safe at any corpus size
+    val wGrp = W.partitionBy(col("__stratum")).orderBy(col("__grp"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val grpOffsets = sliced.groupBy(col("__stratum"), col("__grp"))
+      .agg(sum(nTokens).as("__grp_total"))
+      .withColumn("__grp_offset",
+        coalesce(sum(col("__grp_total")).over(wGrp), lit(0L)))
+      .select(col("__stratum"), col("__grp"), col("__grp_offset"))
+    local.join(broadcast(grpOffsets), Seq("__stratum", "__grp"))
+      .filter(col("__grp_offset") + col("__local_before") < budget)
+      .drop("__stratum", "__bkt", "__grp", "__local_before", "__grp_offset")
   }
 
   /** Epoch-weighted mixture assembly — the "dataset × epochs" table of the
@@ -139,8 +167,15 @@ object Sampling {
     require(cuts == cuts.sorted && cuts.forall(c => c > 0 && c < 1),
       "cuts must be ascending quantiles in (0,1)")
     require(rates.forall(r => r >= 0 && r <= 1), "rates must be in [0,1]")
+    // thresholds rounded to 6 dp before the strict > comparison: Spark's
+    // exact percentile and an external engine's quantile_cont both linearly
+    // interpolate but can differ by 1 ulp, and a score within that ulp of a
+    // cut would land in different bands — rounding on BOTH sides (mirrored
+    // in the oracle SQL) is this engine's established cross-engine contract
     val th = df.agg(
-      expr(s"percentile($scoreCol, array(${cuts.mkString(", ")}))").as("__th"))
+      transform(
+        expr(s"percentile($scoreCol, array(${cuts.mkString(", ")}))"),
+        t => round(t, 6)).as("__th"))
     val banded = df.crossJoin(broadcast(th))
       .withColumn("band",
         aggregate(col("__th"), lit(0),
@@ -168,7 +203,13 @@ object Sampling {
                      buckets: Int = 1000000000): DataFrame = {
     require(n > 0, "n must be positive")
     val u = (hashBucket(key, buckets).cast("double") + 0.5d) / buckets
-    df.withColumn("__pri", round(log(u) / weight, 6))
+    df
+      // enforce the documented w > 0 contract: weight 0 yields null/±Inf
+      // priorities and a negative weight silently inverts the A-ES ordering,
+      // so non-positive-weight rows are excluded rather than corrupting the
+      // sample (they have zero inclusion probability by definition anyway)
+      .filter(weight > 0)
+      .withColumn("__pri", round(log(u) / weight, 6))
       .orderBy(col("__pri").desc, key.asc)
       .limit(n)
       .drop("__pri")
@@ -184,8 +225,9 @@ object Sampling {
     * top-k over the secondary hash (hash-partitioned, k rows survive per
     * bucket before any shuffle via WindowGroupLimit). No RNG, no dense-id
     * assumption, no global window. A row whose successor bucket is empty
-    * yields no negatives — pick nBuckets ≪ corpus size so every bucket is
-    * populated. */
+    * keeps its row with NULL negatives (left join) rather than silently
+    * vanishing — pick nBuckets ≪ corpus size so every bucket is populated
+    * and the null case never fires. */
   def hashNegatives(df: DataFrame, key: Column, k: Int,
                     nBuckets: Int = 64): DataFrame = {
     require(k > 0, "k must be positive")
@@ -201,7 +243,7 @@ object Sampling {
       .filter(col("neg_rank") <= k)
       .select(col("__bkt").as("__src_bkt"), key.as("neg_id"), col("neg_rank"))
     bucketed.join(broadcast(cand),
-        col("__src_bkt") === (col("__bkt") + 1) % nBuckets)
+        col("__src_bkt") === (col("__bkt") + 1) % nBuckets, "left")
       .drop("__bkt", "__src_bkt")
   }
 

@@ -312,9 +312,14 @@ object Similarity {
         transform(col(vecCol), (v, i) => {
           val mn = element_at(col("mins"), i + 1)
           val mx = element_at(col("maxs"), i + 1)
+          // clamp to [0, 255]: the codebook is reused for later batches and
+          // query sets, and a value outside the corpus min/max would
+          // otherwise produce a code that violates the one-byte storage
+          // contract (identity for in-range values, so oracle-neutral)
           when(mx === mn, lit(0))
-            .otherwise(round((v.cast("double") - mn) * 255.0d / (mx - mn))
-              .cast("int"))
+            .otherwise(least(greatest(
+              round((v.cast("double") - mn) * 255.0d / (mx - mn)).cast("int"),
+              lit(0)), lit(255)))
         }))
 
   /** Dequantize int8 codes back to doubles via the codebook columns

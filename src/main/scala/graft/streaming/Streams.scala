@@ -110,6 +110,23 @@ object Streams {
 
   private val replaySeq = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Fresh chunk directory for a replay harness. The directory is DELETED
+    * recursively before use: `mode(overwrite)` only replaces the chunk
+    * indices written THIS run, so a stale `c{i}` from an earlier run with a
+    * larger `chunks` value (or a crashed partial run) would otherwise be
+    * globbed back in, duplicating input and breaking the gate's
+    * expectedRows/oracle comparison. */
+  private def freshReplayDir(name: String): String = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_replay_$name")
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(dir)
+    dir.getAbsolutePath
+  }
+
   /** End-to-end REPLAY gate for the stateful operators (T2/T5): write the
     * batch event table out as `chunks` single-file parquet chunks keyed by
     * `event_id % chunks` (so each micro-batch interleaves users and
@@ -128,8 +145,7 @@ object Streams {
       op: (SparkSession, DataFrame) => Dataset[KeyState]): DataFrame = {
     val base = events.select(col("event_id"), col("ts"), col("user_id"),
       col("event_type"), col("value"))
-    val dir = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_replay_$name").getAbsolutePath
+    val dir = freshReplayDir(name)
     (0 until chunks).foreach { i =>
       base.filter(pmod(col("event_id"), lit(chunks)) === i)
         .coalesce(1)
@@ -163,8 +179,7 @@ object Streams {
                           name: String, late: String = "3650 days"): DataFrame = {
     val base = events.select(col("event_id"), col("ts"), col("user_id"),
       col("event_type"), col("value"))
-    val dir = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_replay_$name").getAbsolutePath
+    val dir = freshReplayDir(name)
     val doubled = base.unionAll(base)
     (0 until chunks).foreach { i =>
       // both copies of an event share an event_id, hence land in the same
@@ -217,8 +232,7 @@ object Streams {
     val right = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_event_id"), col("ts").as("p_ts"),
         col("user_id").as("p_user_id"))
-    val dir = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_replay_$name").getAbsolutePath
+    val dir = freshReplayDir(name)
     (0 until chunks).foreach { i =>
       left.filter(pmod(col("event_id"), lit(chunks)) === i)
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/l/c$i")
