@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, HyperplaneBands, ImageMeta, PointInPolygon, PolygonsOverlap, SimHash32}
+import graft.functions.{DotProduct, ExifGps, HyperplaneBands, ImageMeta, PointInPolygon, PolygonsOverlap, PolygonsOverlapFull, SimHash32}
 
 /** Session extension registering the engine's custom Catalyst expressions so
   * they are callable from SQL as well as the Column API.
@@ -17,10 +17,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.pointInPolygonDescriptor)
     e.injectFunction(GraftExtensions.polygonsOverlapDescriptor)
+    e.injectFunction(GraftExtensions.polygonsOverlapFullDescriptor)
     e.injectFunction(GraftExtensions.hyperplaneBandsDescriptor)
     e.injectFunction(GraftExtensions.dotProductDescriptor)
     e.injectFunction(GraftExtensions.simhash32Descriptor)
     e.injectFunction(GraftExtensions.imageMetaDescriptor)
+    e.injectFunction(GraftExtensions.exifGpsDescriptor)
   }
 }
 
@@ -51,6 +53,12 @@ object GraftExtensions {
     PolygonsOverlap(args(0), args(1))
   }
 
+  private def pofBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2,
+      s"polygons_overlap_full(rings_a, rings_b) takes 2 arguments, got ${args.length}")
+    PolygonsOverlapFull(args(0), args(1))
+  }
+
   val pointInPolygonDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("point_in_polygon"),
@@ -62,6 +70,12 @@ object GraftExtensions {
     FunctionIdentifier("polygons_overlap"),
     new ExpressionInfo(classOf[PolygonsOverlap].getName, "polygons_overlap"),
     poBuilder _)
+
+  val polygonsOverlapFullDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("polygons_overlap_full"),
+    new ExpressionInfo(classOf[PolygonsOverlapFull].getName, "polygons_overlap_full"),
+    pofBuilder _)
 
   val hyperplaneBandsDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -105,16 +119,30 @@ object GraftExtensions {
     new ExpressionInfo(classOf[ImageMeta].getName, "image_meta"),
     imBuilder _)
 
+  private def egBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1,
+      s"exif_gps(content) takes 1 argument, got ${args.length}")
+    ExifGps(args(0))
+  }
+
+  val exifGpsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("exif_gps"),
+    new ExpressionInfo(classOf[ExifGps].getName, "exif_gps"),
+    egBuilder _)
+
   /** Register custom functions on an existing session (used by Verify/Bench
     * and tests, where the builder isn't ours). */
   def register(spark: SparkSession): Unit = {
     val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
       "point_in_polygon" -> pipBuilder _,
       "polygons_overlap" -> poBuilder _,
+      "polygons_overlap_full" -> pofBuilder _,
       "hyperplane_bands" -> hbBuilder _,
       "dot_product" -> dpBuilder _,
       "simhash32" -> shBuilder _,
-      "image_meta" -> imBuilder _)
+      "image_meta" -> imBuilder _,
+      "exif_gps" -> egBuilder _)
     fns.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")

@@ -87,6 +87,13 @@ object SparkEntry {
   private val AoiPentagon: Seq[(Double, Double)] =
     Seq((0.0, 0.0), (120.0, 10.0), (140.0, 80.0), (-30.0, 70.0), (-100.0, 20.0))
 
+  /** Interior ring (hole) strictly inside [[AoiPentagon]] for q114's
+    * hole-aware overlap gate — big enough that some per-customer triangle
+    * footprints fall entirely inside it (those must NOT overlap the AOI
+    * region). Integer vertices keep the arithmetic engine-exact. */
+  private val AoiHole: Seq[(Double, Double)] =
+    Seq((10.0, 15.0), (90.0, 15.0), (90.0, 60.0), (10.0, 60.0))
+
   /** Generated DuckDB oracle for q70: the polygon-overlap verdict unrolled to
     * scalar SQL — 15 proper-segment-crossing terms (3 triangle edges × 5 AOI
     * edges, strict orientation-sign tests) plus two ray-cast containment
@@ -144,6 +151,82 @@ object SparkEntry {
        WHERE $crossings
           OR $aInPent
           OR $p0InTri"""
+  }
+
+  /** Generated DuckDB oracle for q114: the hole-aware overlap verdict of
+    * [[graft.functions.PolygonsOverlapFull]] unrolled to scalar SQL — 27
+    * proper-crossing terms (3 triangle edges × 9 AOI edges across exterior
+    * and hole rings), 3 region probes of the triangle vertices (NOT on any
+    * AOI edge, ray-cast in pentagon AND NOT in hole) and 9 probes of
+    * AOI-ring vertices against the triangle (NOT on any triangle edge, then
+    * ray-cast) — term-for-term the kernel's arithmetic, including the
+    * on-boundary probe skip; the identical-rings fallback cannot fire for
+    * this fixture and is omitted. */
+  private def q114OracleSql: String = {
+    val pent = AoiPentagon
+    val hole = AoiHole
+    val tri = Seq(("ax", "ay"), ("(ax + 40)", "(ay + 11)"), ("(ax + 17)", "(ay + 33)"))
+    def num(d: Double): String = if (d == d.floor) f"$d%.1f" else d.toString
+    def cross(ox: String, oy: String, dx: String, dy: String,
+              px: String, py: String): String =
+      s"(($dx - $ox) * ($py - $oy) - ($dy - $oy) * ($px - $ox))"
+    def properCross(p1: (String, String), p2: (String, String),
+                    q1: (Double, Double), q2: (Double, Double)): String = {
+      val (q1x, q1y) = (num(q1._1), num(q1._2))
+      val (q2x, q2y) = (num(q2._1), num(q2._2))
+      val d1 = cross(q1x, q1y, q2x, q2y, p1._1, p1._2)
+      val d2 = cross(q1x, q1y, q2x, q2y, p2._1, p2._2)
+      val d3 = cross(p1._1, p1._2, p2._1, p2._2, q1x, q1y)
+      val d4 = cross(p1._1, p1._2, p2._1, p2._2, q2x, q2y)
+      s"((($d1 > 0 AND $d2 < 0) OR ($d1 < 0 AND $d2 > 0)) AND (($d3 > 0 AND $d4 < 0) OR ($d3 < 0 AND $d4 > 0)))"
+    }
+    val triEdges = tri.indices.map(i => (tri((i + tri.size - 1) % tri.size), tri(i)))
+    def ringEdges(r: Seq[(Double, Double)]) =
+      r.indices.map(i => (r((i + r.size - 1) % r.size), r(i)))
+    val crossings = (for {
+      (p1, p2) <- triEdges
+      ring <- Seq(pent, hole)
+      (q1, q2) <- ringEdges(ring)
+    } yield properCross(p1, p2, q1, q2)).mkString("(", "\n OR ", ")")
+    def pointInFixedRing(ring: Seq[(Double, Double)], px: String, py: String): String =
+      ring.indices.map { i =>
+        val (xi, yi) = ring(i); val (xj, yj) = ring((i + ring.size - 1) % ring.size)
+        s"(CASE WHEN ((${num(yi)} > $py) != (${num(yj)} > $py)) AND $px < (${num(xj)} - ${num(xi)}) * ($py - ${num(yi)}) / (${num(yj)} - ${num(yi)}) + ${num(xi)} THEN 1 ELSE 0 END)"
+      }.mkString("((", "\n + ", ") % 2 = 1)")
+    def pointInTri(px: String, py: String): String =
+      tri.indices.map { i =>
+        val (xi, yi) = tri(i); val (xj, yj) = tri((i + tri.size - 1) % tri.size)
+        s"(CASE WHEN (($yi > $py) != ($yj > $py)) AND $px < ($xj - $xi) * ($py - $yi) / ($yj - $yi) + $xi THEN 1 ELSE 0 END)"
+      }.mkString("((", "\n + ", ") % 2 = 1)")
+    // point exactly ON an edge: collinear and inside the edge bbox — probe
+    // vertices on the other boundary are SKIPPED, the kernel's convention
+    def onEdge(px: String, py: String, x1: String, y1: String,
+               x2: String, y2: String): String =
+      s"(($x2 - $x1) * ($py - $y1) - ($y2 - $y1) * ($px - $x1) = 0" +
+        s" AND $px >= least($x1, $x2) AND $px <= greatest($x1, $x2)" +
+        s" AND $py >= least($y1, $y2) AND $py <= greatest($y1, $y2))"
+    def onFixedRings(px: String, py: String): String =
+      (ringEdges(pent) ++ ringEdges(hole)).map { case (q1, q2) =>
+        onEdge(px, py, num(q1._1), num(q1._2), num(q2._1), num(q2._2))
+      }.mkString("(", "\n OR ", ")")
+    def onTriEdges(px: String, py: String): String =
+      triEdges.map { case (p1, p2) =>
+        onEdge(px, py, p1._1, p1._2, p2._1, p2._2)
+      }.mkString("(", "\n OR ", ")")
+    val triProbes = tri.map { case (px, py) =>
+      s"(NOT ${onFixedRings(px, py)} AND ${pointInFixedRing(pent, px, py)} AND NOT ${pointInFixedRing(hole, px, py)})"
+    }.mkString("(", "\n OR ", ")")
+    val aoiProbes = (pent ++ hole).map { case (x, y) =>
+      s"(NOT ${onTriEdges(num(x), num(y))} AND ${pointInTri(num(x), num(y))})"
+    }.mkString("(", "\n OR ", ")")
+    s"""WITH t AS (SELECT c_custkey,
+         cast(c_custkey * 19 % 300 - 160 as double) AS ax,
+         cast(c_custkey * 31 % 140 - 75 as double) AS ay
+       FROM customer)
+       SELECT c_custkey FROM t
+       WHERE $crossings
+          OR $triProbes
+          OR $aoiProbes"""
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -442,6 +525,26 @@ object SparkEntry {
         .select("c_custkey")
     }),
 
+    // ---- §2.9: hole-aware polygon overlap (full GeoJSON nesting) ----
+    "q114_polygon_overlap_holes" -> ((s, dir) => {
+      // q70's triangle footprints against the pentagon AOI with an interior
+      // ring: footprints wholly inside the hole no longer overlap the AOI
+      // region. Pure per-row predicate — the join machinery is q70's gate;
+      // this one grades the hole-aware kernel.
+      val t = Tables.customer(s, dir).select(col("c_custkey"),
+          (col("c_custkey") * 19 % 300 - 160).cast("double").as("ax"),
+          (col("c_custkey") * 31 % 140 - 75).cast("double").as("ay"))
+        .withColumn("tri", array(array(
+          array(col("ax"), col("ay")),
+          array(col("ax") + 40, col("ay") + 11),
+          array(col("ax") + 17, col("ay") + 33))))
+      val aoi = array(
+        array(AoiPentagon.map { case (x, y) => array(lit(x), lit(y)) }: _*),
+        array(AoiHole.map { case (x, y) => array(lit(x), lit(y)) }: _*))
+      t.filter(graft.operators.Spatial.polygonsOverlapFull(col("tri"), aoi))
+        .select("c_custkey")
+    }),
+
     // ---- S6: copy-on-write row update (upsert) ----
     "q73_upsert" -> ((s, dir) => {
       // the reference's field-wise UPDATE (crud.py:52-68) over a snapshot:
@@ -724,6 +827,32 @@ object SparkEntry {
       val edges = pairs.union(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
       graft.operators.Graph.pageRank(edges, iters = 5, d = 0.85)
+    }),
+
+    // ---- T4: watermark retention (late-row drop) replay gate ----
+    "q113_stream_retention" -> ((s, dir) =>
+      // full fixture advances the watermark, then crafted late rows (fresh
+      // ids, old timestamps) arrive: the watermarked append sink must drop
+      // exactly those beyond the horizon — the oracle is the batch filter
+      // ts >= max(ts) - horizon (+ guard) over the same construction.
+      graft.streaming.Streams.replayedRetentionAppend(
+          s, Tables.events(s, dir), name = "retention", horizon = "15 days")
+        .select("event_id", "user_id", "event_type", "value")),
+
+    // ---- F13 tail: EXIF GPS decimal degrees via the IFD byte-walk ----
+    "q112_exif_gps" -> ((s, dir) => {
+      // per-row TIFF fixture with a GPS IFD planted from custkey-derived
+      // micro-degrees; the oracle recomputes lat/lon from the same integers,
+      // so the byte-walk's ref/rational decoding is what the hash verifies
+      val bridge = org.apache.spark.sql.GraftColumnBridge
+      val c = Tables.customer(s, dir).select(col("c_custkey"),
+        (col("c_custkey") * 1234567L % 180000000L - 90000000L).as("lat_micro"),
+        (col("c_custkey") * 7654321L % 360000000L - 180000000L).as("lon_micro"))
+      val g = bridge.column(graft.functions.ExifGps(graft.functions.TiffGpsFixture(
+        bridge.expression(col("lat_micro")), bridge.expression(col("lon_micro")))))
+      c.select(col("c_custkey"),
+        round(g.getField("lat"), 6).as("lat"),
+        round(g.getField("lon"), 6).as("lon"))
     }),
 
     // ---- time-series resample + forward fill (6h grid per user) ----
@@ -1587,6 +1716,7 @@ object SparkEntry {
            ) % 2 = 1 AS inside
          FROM pts""",
     "q70_polygon_overlap" -> q70OracleSql,
+    "q114_polygon_overlap_holes" -> q114OracleSql,
     // the streaming replays must land on exactly the W1 batch view (q12)
     "q71_stream_latest_status" ->
       """SELECT user_id, event_id, event_type, value FROM (
@@ -1976,6 +2106,25 @@ object SparkEntry {
          SELECT interval_id, count(*) AS n, count(DISTINCT user_id) AS nu
          FROM j GROUP BY 1""",
     "q111_pagerank" -> PageRankOracleSql,
+    // T4 retention: survivors = all originals + crafted late copies (ids
+    // offset by 1e9) inside the horizon, with a 1-hour guard band so the
+    // watermark boundary comparator can't flip a row across engines
+    "q113_stream_retention" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events)
+         SELECT event_id, user_id, event_type, value FROM events
+         UNION ALL
+         SELECT event_id + 1000000000 AS event_id, user_id, event_type, value
+         FROM events, mx
+         WHERE ts >= m - INTERVAL 15 DAY + INTERVAL 1 HOUR""",
+    // EXIF GPS: the fixture plants micro-degree rationals, so expected
+    // lat/lon derive from the same integers; |x|/1e6 with an N/S|E/W sign
+    // equals x/1e6 exactly in IEEE, and round-to-6dp cannot tie (the true
+    // value has exactly 6 decimals)
+    "q112_exif_gps" ->
+      """SELECT c_custkey,
+         round(cast(c_custkey * 1234567 % 180000000 - 90000000 AS double) / 1000000, 6) AS lat,
+         round(cast(c_custkey * 7654321 % 360000000 - 180000000 AS double) / 1000000, 6) AS lon
+         FROM customer""",
     // resample/ffill: per-key 6h grid between own min/max buckets; last
     // observed per bucket by (es, event_id); IGNORE NULLS carry-forward
     "q110_resample_ffill" ->

@@ -48,6 +48,30 @@ case class PolygonsOverlap(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[PolygonsOverlap]] for the FULL GeoJSON `coordinates` nesting — each
+  * side an ARRAY<ARRAY<ARRAY<DOUBLE>>> of rings (ring 0 exterior, rest
+  * holes); overlap is of the regions (exterior minus holes). See
+  * [[PolygonsOverlap.overlapsFull]] for semantics. */
+case class PolygonsOverlapFull(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "polygons_overlap_full"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PolygonsOverlap.overlapsFull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = PolygonsOverlap.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $cls.overlapsFull($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object PolygonsOverlap {
 
   /** Signed area of the (p→q→r) triangle ×2 — the orientation test. */
@@ -68,11 +92,9 @@ object PolygonsOverlap {
       ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))
   }
 
-  /** O(|A|·|B|) edge sweep + two containment probes. Ring sizes here are
-    * AOI/footprint polygons (tens of vertices), so the quadratic edge loop is
-    * a per-row constant — the join fan-out, not this kernel, is the scale
-    * dimension, and that is bounded by the bbox/grid prefilter. */
-  def overlaps(a: ArrayData, b: ArrayData): Boolean = {
+  /** All edge pairs of two rings tested for proper crossing — the shared
+    * O(|A|·|B|) sweep of [[overlaps]] and [[overlapsFull]]. */
+  private def edgesProperlyCross(a: ArrayData, b: ArrayData): Boolean = {
     val na = a.numElements()
     val nb = b.numElements()
     if (na < 3 || nb < 3) return false
@@ -93,6 +115,18 @@ object PolygonsOverlap {
       }
       i2 = i; i += 1
     }
+    false
+  }
+
+  /** O(|A|·|B|) edge sweep + two containment probes. Ring sizes here are
+    * AOI/footprint polygons (tens of vertices), so the quadratic edge loop is
+    * a per-row constant — the join fan-out, not this kernel, is the scale
+    * dimension, and that is bounded by the bbox/grid prefilter. */
+  def overlaps(a: ArrayData, b: ArrayData): Boolean = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na < 3 || nb < 3) return false
+    if (edgesProperlyCross(a, b)) return true
     // no proper crossings: overlap iff one polygon contains the other —
     // probe one vertex of each against the opposite ring. EXACTLY identical
     // rings short-circuit first: their interiors coincide (trivially
@@ -104,6 +138,133 @@ object PolygonsOverlap {
     val b0 = b.getArray(0)
     PointInPolygon.contains(a0.getDouble(0), a0.getDouble(1), b) ||
       PointInPolygon.contains(b0.getDouble(0), b0.getDouble(1), a)
+  }
+
+  // ------------------------------------------------------------------
+  // Full GeoJSON nesting: polygon-with-holes (ARRAY<ARRAY<ARRAY<DOUBLE>>>,
+  // ring 0 = exterior, rest = interior rings/holes). Multipolygons compose
+  // from this scalar per GeoJSON semantics (a union of polygons overlaps
+  // iff some component pair overlaps — Spatial.multiPolygonsOverlap).
+  // ------------------------------------------------------------------
+
+  /** Interior-overlap of two polygons-with-holes (reference: the
+    * `GEOMETRY(POLYGON,4326)` AOI columns store arbitrary polygons,
+    * init.sql:30 — exterior + interior rings in GeoJSON `coordinates`
+    * nesting).
+    *
+    * Jordan reasoning, hole-aware: (1) a proper crossing between ANY ring
+    * of A and ANY ring of B puts boundary-of-B points strictly inside the
+    * region of A (every ring is a boundary component, with region interior
+    * on one side), so interiors overlap; (2) with no crossings, every ring
+    * of one polygon lies wholly inside or outside each region cell of the
+    * other, so overlap reduces to "some VERTEX of one polygon's rings is
+    * strictly inside the other's region" (exterior minus holes; probing
+    * hole-ring vertices too is what catches same-exterior/different-holes
+    * and hole-inside-footprint configurations); (3) exactly identical ring
+    * structure — every probe lands on a boundary where the half-open
+    * ray-cast is undecided — short-circuits to true. Degenerate boundary
+    * touching stays excluded, the same convention as [[overlaps]]: probe
+    * vertices lying exactly ON the other boundary are skipped rather than
+    * ray-cast (see [[pointInRegion]]), and configurations whose only
+    * contact is collinear boundary (no proper cross, no strictly-interior
+    * vertex, not identical) are judged non-overlapping. */
+  def overlapsFull(a: ArrayData, b: ArrayData): Boolean = {
+    val nra = a.numElements()
+    val nrb = b.numElements()
+    if (nra < 1 || nrb < 1) return false
+    if (a.getArray(0).numElements() < 3 || b.getArray(0).numElements() < 3)
+      return false
+    var i = 0
+    while (i < nra) {
+      var j = 0
+      while (j < nrb) {
+        if (edgesProperlyCross(a.getArray(i), b.getArray(j))) return true
+        j += 1
+      }
+      i += 1
+    }
+    if (sameRegion(a, b)) return true
+    anyVertexInRegion(a, b) || anyVertexInRegion(b, a)
+  }
+
+  /** Point STRICTLY inside the region of a polygon-with-holes: not on any
+    * ring's boundary, inside the exterior ring, inside no hole. The
+    * boundary exclusion matters: a probe vertex lying exactly ON an edge is
+    * degenerate contact (not interior overlap), but the half-open ray-cast
+    * would classify it arbitrarily — skipping it keeps the verdict decided
+    * by generic vertices only, consistent with [[overlaps]]' convention
+    * (strictly-inside probes can never false-positive: an interior point of
+    * one region on the other's boundary ring forces interior overlap). */
+  private def pointInRegion(x: Double, y: Double, poly: ArrayData): Boolean = {
+    var h = 0
+    while (h < poly.numElements()) {
+      if (onRingBoundary(x, y, poly.getArray(h))) return false
+      h += 1
+    }
+    if (!PointInPolygon.contains(x, y, poly.getArray(0))) return false
+    h = 1
+    while (h < poly.numElements()) {
+      if (PointInPolygon.contains(x, y, poly.getArray(h))) return false
+      h += 1
+    }
+    true
+  }
+
+  /** Exact point-on-edge test: collinear with an edge and within its
+    * bounding box. */
+  private def onRingBoundary(x: Double, y: Double, ring: ArrayData): Boolean = {
+    val n = ring.numElements()
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      val pi = ring.getArray(i); val pj = ring.getArray(j)
+      val xi = pi.getDouble(0); val yi = pi.getDouble(1)
+      val xj = pj.getDouble(0); val yj = pj.getDouble(1)
+      if (cross(xi, yi, xj, yj, x, y) == 0 &&
+          x >= math.min(xi, xj) && x <= math.max(xi, xj) &&
+          y >= math.min(yi, yj) && y <= math.max(yi, yj)) return true
+      j = i; i += 1
+    }
+    false
+  }
+
+  /** Some vertex of some ring of `a` strictly inside `b`'s region. */
+  private def anyVertexInRegion(a: ArrayData, b: ArrayData): Boolean = {
+    var i = 0
+    while (i < a.numElements()) {
+      val ring = a.getArray(i)
+      var v = 0
+      while (v < ring.numElements()) {
+        val p = ring.getArray(v)
+        if (pointInRegion(p.getDouble(0), p.getDouble(1), b)) return true
+        v += 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** Identical ring structure: equal exteriors and hole multisets (cyclic
+    * either-orientation ring equality). Ring counts here are per-polygon
+    * constants, so the quadratic matching is a per-row constant too. */
+  private def sameRegion(a: ArrayData, b: ArrayData): Boolean = {
+    val n = a.numElements()
+    if (b.numElements() != n) return false
+    if (!sameRing(a.getArray(0), b.getArray(0))) return false
+    val used = new Array[Boolean](n)
+    var i = 1
+    while (i < n) {
+      var found = -1
+      var j = 1
+      while (j < n && found < 0) {
+        if (!used(j) && sameRing(a.getArray(i), b.getArray(j))) found = j
+        j += 1
+      }
+      if (found < 0) return false
+      used(found) = true
+      i += 1
+    }
+    true
   }
 
   /** Rings equal as cyclic vertex sequences, in either orientation —

@@ -61,18 +61,25 @@ object Ingest {
     * `Scalars.sniffMime` admits: PNG/JPEG/GIF/BMP via JDK ImageIO and
     * TIFF/GeoTIFF via the pure-JVM IFD header parse inside
     * [[graft.functions.ImageMeta]] (tags 256/257/277 — no codec needed for
-    * dimensions). Bytes neither path claims fall back to a deterministic
-    * crc32-derived stand-in, and crs stays a stub — EXIF GPS / CRS needs a
-    * real geo library. */
+    * dimensions). EXIF GPS lat/lon is likewise a REAL byte-walk
+    * ([[graft.functions.ExifGps]]: IFD0 → GPS IFD in TIFF and JPEG/APP1),
+    * null when the bytes carry no GPS tags. Bytes neither dimension path
+    * claims fall back to a deterministic crc32-derived stand-in; only crs
+    * stays a stub — CRS genuinely needs GDAL. */
   def extractMetadata(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val m = org.apache.spark.sql.GraftColumnBridge.column(
       graft.functions.ImageMeta(
+        org.apache.spark.sql.GraftColumnBridge.expression(content)))
+    val g = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.ExifGps(
         org.apache.spark.sql.GraftColumnBridge.expression(content)))
     val h = crc32(content)
     struct(
       coalesce(m.getField("width"), (h % 4096 + 1).cast("int")).as("width"),
       coalesce(m.getField("height"), (h % 2160 + 1).cast("int")).as("height"),
       coalesce(m.getField("channels"), (h % 4 + 1).cast("int")).as("bands"),
+      g.getField("lat").as("gps_lat"),
+      g.getField("lon").as("gps_lon"),
       lit("EPSG:4326").as("crs"))
   }
 

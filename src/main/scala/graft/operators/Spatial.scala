@@ -66,6 +66,24 @@ object Spatial {
   def polygonsOverlap(ringA: Column, ringB: Column): Column =
     call_function("polygons_overlap", ringA, ringB)
 
+  /** [[polygonsOverlap]] for the FULL GeoJSON Polygon nesting — each side
+    * ARRAY<ARRAY<ARRAY<DOUBLE>>> of rings, ring 0 the exterior and the rest
+    * interior rings (holes); overlap is of the regions (exterior minus
+    * holes), so a footprint wholly inside an AOI's hole does NOT overlap.
+    * Native codegen kernel (graft.functions.PolygonsOverlapFull). */
+  def polygonsOverlapFull(ringsA: Column, ringsB: Column): Column =
+    call_function("polygons_overlap_full", ringsA, ringsB)
+
+  /** GeoJSON MultiPolygon × MultiPolygon overlap — each side
+    * ARRAY<ARRAY<ARRAY<ARRAY<DOUBLE>>>> (components × rings × points × 2).
+    * A union of polygons overlaps a union iff SOME component pair overlaps,
+    * so the predicate composes from the scalar kernel with `exists` over
+    * the component cross-product — per-row dimension-sized work (component
+    * counts are AOI design constants), still inside codegen, no explode and
+    * no join fan-out. */
+  def multiPolygonsOverlap(multiA: Column, multiB: Column): Column =
+    exists(multiA, a => exists(multiB, b => polygonsOverlapFull(a, b)))
+
   /** §2.9 — polygon×polygon spatial join (AOI × scene-footprint): bbox
     * prefilter (cheap conjunctive comparisons, evaluated first) AND exact
     * ring-overlap test on survivors only. Same scale contract as

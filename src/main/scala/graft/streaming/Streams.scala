@@ -103,10 +103,38 @@ object Streams {
         })
   }
 
-  /** T1/T4 — audit/event append sink with dedup on event_id within the
-    * watermark (exactly-once append semantics over an at-least-once source). */
+  /** T1 — audit/event append sink with dedup on event_id within the
+    * watermark (exactly-once append semantics over an at-least-once source).
+    * Note the watermark here bounds dedup STATE, not lateness: Spark's
+    * streaming dedup passes rows older than the watermark straight through
+    * (probe-verified); the late-row DROP contract is [[retentionAppend]]. */
   def appendDeduped(events: DataFrame, late: String = "1 hour"): DataFrame =
     events.withWatermark("ts", late).dropDuplicates("event_id")
+
+  /** T4 — audit retention: an append stream that EXPIRES events older than
+    * the retention horizon, where "older" is judged against the event-time
+    * watermark (max event time seen, minus the horizon) — the streaming
+    * analog of the reference's TTL-based audit cleanup. Spark's built-in
+    * watermarked operators don't drop late rows on their own (the watermark
+    * only bounds their state — probe-verified for both dedup variants), so
+    * the drop is explicit: a stateless-by-construction
+    * `flatMapGroupsWithState` pass that filters each micro-batch against
+    * `GroupState.getCurrentWatermarkMs` — the same mechanism the T5 session
+    * TTL operator builds on, keyed by user so the filter distributes. */
+  def retentionAppend(spark: SparkSession, events: DataFrame,
+                      horizon: String): DataFrame = {
+    import spark.implicits._
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[Event]
+      .withWatermark("ts", horizon)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, Event](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[Event], state: GroupState[Long]) =>
+          val wm = state.getCurrentWatermarkMs()
+          rows.filter(_.ts.getTime >= wm)
+      }.toDF()
+  }
 
   private val replaySeq = new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -196,6 +224,53 @@ object Streams {
     val qname = s"graft_gate_${name}_${replaySeq.incrementAndGet()}"
     drainStream(spark, qname, expectedRows) {
       appendDeduped(stream, late)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+    }
+    spark.table(qname)
+  }
+
+  /** T4 replay gate: watermark RETENTION. Batch 0 streams the full fixture,
+    * advancing the watermark to max(ts) − horizon; batch 1 then delivers
+    * crafted LATE rows — fresh event_ids (so dedup cannot mask the outcome)
+    * carrying original timestamps — and the watermarked append sink must
+    * drop exactly those older than the watermark. A ±guard band around the
+    * boundary keeps the gate independent of the engine's exact <-vs-≤
+    * watermark comparator: crafted rows inside the band are not sent at
+    * all. Survivors = every original event + the crafted rows with
+    * ts ≥ max(ts) − horizon + guard — the batch filter the DuckDB oracle
+    * computes. The two driver-side scalars (count, max ts) are harness
+    * bookkeeping, not operator data paths. */
+  def replayedRetentionAppend(spark: SparkSession, events: DataFrame,
+                              name: String, horizon: String = "15 days",
+                              idOffset: Long = 1000000000L): DataFrame = {
+    val base = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    val dir = freshReplayDir(name)
+    val maxTs = base.agg(max(col("ts"))).head().getTimestamp(0)
+    val horizonMs = horizon match {
+      case s if s.endsWith(" days") => s.stripSuffix(" days").trim.toLong * 86400000L
+      case other => throw new IllegalArgumentException(s"horizon '$other': use '<n> days'")
+    }
+    val guardMs = 3600000L // 1 hour
+    val dropCut = new java.sql.Timestamp(maxTs.getTime - horizonMs - guardMs)
+    val keepCut = new java.sql.Timestamp(maxTs.getTime - horizonMs + guardMs)
+    val crafted = base
+      .filter(col("ts") <= lit(dropCut) || col("ts") >= lit(keepCut))
+      .select((col("event_id") + idOffset).as("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    // chunk order matters (c0 must commit before c1 so the watermark is up);
+    // the file source orders by modification time and these sequential jobs
+    // are comfortably apart
+    base.coalesce(1).write.mode("overwrite").parquet(s"$dir/c0")
+    crafted.coalesce(1).write.mode("overwrite").parquet(s"$dir/c1")
+    val expectedRows = base.count() + crafted.count()
+    val stream = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/c*")
+    val qname = s"graft_gate_${name}_${replaySeq.incrementAndGet()}"
+    drainStream(spark, qname, expectedRows) {
+      retentionAppend(spark, stream, horizon)
         .writeStream.format("memory").queryName(qname)
         .outputMode("append").start()
     }

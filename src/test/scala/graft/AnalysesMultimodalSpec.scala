@@ -108,6 +108,38 @@ class AnalysesMultimodalSpec extends SparkSuite {
     assert(m == (("image/tiff", 320, 200, 4)))
   }
 
+  test("multimodal: EXIF GPS byte-walk — TIFF, JPEG/APP1, signs, hostile bytes") {
+    import graft.functions.ImageMeta
+    // planted micro-degrees round-trip exactly through the rational encoding
+    val cases = Seq((37774929L, -122419416L), (-33868820L, 151209290L), (0L, 0L))
+    cases.foreach { case (la, lo) =>
+      val exp = (la / 1e6, lo / 1e6)
+      assert(ImageMeta.gps(ImageMeta.buildTiffGps(la, lo)).contains(exp), s"tiff $la,$lo")
+      assert(ImageMeta.gps(ImageMeta.buildJpegGps(la, lo)).contains(exp), s"jpeg $la,$lo")
+    }
+    // a real-shaped GPS IFD with nonzero minutes/seconds decodes d+m/60+s/3600
+    locally {
+      val b = ImageMeta.buildTiffGps(10000000L, 20000000L)
+      // lat rationals live at 104: overwrite (10,1),(30,1),(36,10) = 10°30'3.6"
+      val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(104, 10); bb.putInt(108, 1)
+      bb.putInt(112, 30); bb.putInt(116, 1)
+      bb.putInt(120, 36); bb.putInt(124, 10)
+      val got = ImageMeta.gps(b).get._1
+      assert(math.abs(got - (10.0 + 30.0 / 60 + 3.6 / 3600)) < 1e-12, s"dms=$got")
+    }
+    // dimension walk and GPS walk coexist on the same fixture bytes
+    assert(ImageMeta.tiffDims(ImageMeta.buildTiffGps(1L, 2L)).contains((1, 1, 1)))
+    // no GPS IFD (plain dims-only TIFF), truncated, and garbage bytes -> None
+    val plain = java.nio.ByteBuffer.allocate(18)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("II".getBytes).putShort(42).putInt(8).putShort(0).putInt(0).array()
+    assert(ImageMeta.gps(plain).isEmpty)
+    assert(ImageMeta.gps(ImageMeta.buildTiffGps(5L, 6L).take(60)).isEmpty)
+    assert(ImageMeta.gps("not an image at all".getBytes).isEmpty)
+    assert(ImageMeta.gps(null).isEmpty)
+  }
+
   test("multimodal: image meta attach is deterministic and null-safe") {
     val df = Seq(
       (1L, "a.jpg", Array[Byte](1, 2, 3)),

@@ -119,6 +119,27 @@ class SamplingSpec extends SparkSuite {
     assert(keptA.map(hb).max <= dropA.map(hb).min)
   }
 
+  test("tokenBudgetSample: one corpus-sized stratum never hits a stratum-only window") {
+    // every row in ONE stratum — the "N billion tokens for this domain" shape
+    // that used to serialize the whole corpus onto a single window task
+    val df = (1L to 5000L).map(i => (i, "web", 3L)).toDF("id", "src", "n_tok")
+    val kept = Sampling.tokenBudgetSample(df, col("src"), col("id"),
+      col("n_tok"), budget = 600L)
+    // two-level prefix equals the single-window greedy contract exactly
+    assert(kept.count() == 200L)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val wins = kept.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    // every window over row-sized input partitions by (stratum, group); a
+    // stratum-only partition spec is allowed ONLY over the dimension-sized
+    // per-group totals (an Aggregate child)
+    wins.foreach { w =>
+      val overAggregate = w.child.collectFirst { case a: Aggregate => a }.isDefined
+      assert(w.partitionSpec.length >= 2 || overAggregate,
+        s"corpus-sized window partitioned only by ${w.partitionSpec}")
+    }
+  }
+
   test("epochMix: floor copies + key-stable fractional copy, 0-epoch drop") {
     val df = ((1L to 400L).map(i => (i, "up")) ++ (401L to 800L).map(i => (i, "down")) ++
       (801L to 820L).map(i => (i, "rest"))).toDF("id", "src")

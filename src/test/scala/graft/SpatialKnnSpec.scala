@@ -86,6 +86,75 @@ class SpatialKnnSpec extends SparkSuite {
     assert(viaSql)
   }
 
+  test("polygons_overlap_full: holes and multipolygon goldens") {
+    def ring(pts: (Double, Double)*): Seq[Seq[Double]] =
+      pts.map { case (x, y) => Seq(x, y) }
+    val outer = ring((0, 0), (20, 0), (20, 20), (0, 20))
+    val hole = ring((5, 5), (15, 5), (15, 15), (5, 15))
+    val annulus = Seq(outer, hole)
+    def solid(r: Seq[Seq[Double]]) = Seq(r)
+    val cases = Seq(
+      // footprint wholly inside the hole: bbox overlaps, region does not
+      (1L, annulus, solid(ring((8, 8), (12, 8), (12, 12), (8, 12))), false),
+      // footprint crossing the hole boundary into the annulus material
+      (2L, annulus, solid(ring((8, 8), (18, 8), (18, 12), (8, 12))), true),
+      // footprint in the annulus material only (between hole and exterior)
+      (3L, annulus, solid(ring((1, 1), (4, 1), (4, 4), (1, 4))), true),
+      // footprint containing the whole hole (covers annulus material around it)
+      (4L, annulus, solid(ring((4, 4), (16, 4), (16, 16), (4, 16))), true),
+      // annulus inside the footprint entirely
+      (5L, annulus, solid(ring((-5, -5), (25, -5), (25, 25), (-5, 25))), true),
+      // footprint disjoint from the exterior
+      (6L, annulus, solid(ring((30, 30), (40, 30), (40, 40), (30, 40))), false),
+      // same exterior, disjoint holes: each one's hole is the other's material
+      (7L, annulus,
+        Seq(outer, ring((1, 1), (3, 1), (3, 3), (1, 3))), true),
+      // identical polygon-with-hole structure (hole ring rotated/reversed)
+      (8L, annulus,
+        Seq(outer, ring((5, 15), (15, 15), (15, 5), (5, 5))), true),
+      // nested holes, same exterior: material between the two hole rings
+      (9L, annulus,
+        Seq(outer, ring((7, 7), (13, 7), (13, 13), (7, 13))), true),
+      // no-holes polygons degrade to the simple-ring semantics
+      (10L, solid(outer), solid(ring((25, 0), (35, 0), (35, 10), (25, 10))), false),
+      (11L, solid(outer), solid(ring((10, 10), (30, 10), (30, 30), (10, 30))), true)
+    ).toDF("id", "a", "b", "expected")
+    val bad = cases.withColumn("got",
+        Spatial.polygonsOverlapFull(col("a"), col("b")))
+      .filter(col("got") =!= col("expected"))
+    assert(bad.count() == 0, bad.collect().mkString(","))
+    // argument order must not matter
+    val badRev = cases.withColumn("got",
+        Spatial.polygonsOverlapFull(col("b"), col("a")))
+      .filter(col("got") =!= col("expected"))
+    assert(badRev.count() == 0, badRev.collect().mkString(","))
+    // multipolygon composition: component 2 of A overlaps component 1 of B
+    val mp = Seq(
+      (1L,
+        Seq(solid(ring((0, 0), (5, 0), (5, 5), (0, 5))),
+          solid(ring((50, 50), (60, 50), (60, 60), (50, 60)))),
+        Seq(solid(ring((55, 55), (70, 55), (70, 70), (55, 70))),
+          solid(ring((-20, -20), (-10, -20), (-10, -10), (-20, -10)))),
+        true),
+      (2L,
+        Seq(solid(ring((0, 0), (5, 0), (5, 5), (0, 5)))),
+        Seq(solid(ring((10, 10), (15, 10), (15, 15), (10, 15)))),
+        false)
+    ).toDF("id", "ma", "mb", "expected")
+    val badMp = mp.withColumn("got",
+        Spatial.multiPolygonsOverlap(col("ma"), col("mb")))
+      .filter(col("got") =!= col("expected"))
+    assert(badMp.count() == 0, badMp.collect().mkString(","))
+    // SQL surface
+    val viaSql = spark.sql(
+      """SELECT polygons_overlap_full(
+           array(array(array(0D,0D), array(20D,0D), array(20D,20D), array(0D,20D)),
+                 array(array(5D,5D), array(15D,5D), array(15D,15D), array(5D,15D))),
+           array(array(array(8D,8D), array(12D,8D), array(12D,12D), array(8D,12D)))) AS r""")
+      .as[Boolean].collect().head
+    assert(!viaSql)
+  }
+
   test("polygonJoin: bbox prefilter + exact overlap equals brute-force filter") {
     // 40 triangles marching across a fixed AOI square; join verdicts must
     // equal the per-row exact predicate with no bbox prefilter at all
