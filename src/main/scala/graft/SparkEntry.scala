@@ -525,6 +525,35 @@ object SparkEntry {
         .select("c_custkey")
     }),
 
+    // ---- flagship composition: the reference's file-listing endpoint ----
+    "q115_list_project_files" -> ((s, dir) => {
+      // Engine.listProjectFiles end-to-end (services/file-service/
+      // main.py:307-344): RLS scope -> project filter -> optional type
+      // filter -> stable pagination -> response projection, over a
+      // files-shaped view derived deterministically from orders. The pieces
+      // are gated individually (q04/q10/q18/q60); this gates the composed
+      // endpoint itself.
+      val o = Tables.orders(s, dir)
+      val files = o.select(
+        col("o_orderkey").as("id"),
+        concat(lit("f"), col("o_orderkey"), lit(".tif")).as("filename"),
+        concat(lit("orig_"), col("o_orderkey"), lit(".tif")).as("original_filename"),
+        when(col("o_orderkey") % 3 === 0, "image")
+          .when(col("o_orderkey") % 3 === 1, "orthophoto")
+          .otherwise("dsm").as("file_type"),
+        (col("o_orderkey") * 37 % 100000 + 1).as("size"),
+        when(col("o_orderkey") % 3 === 0, "image/tiff")
+          .when(col("o_orderkey") % 3 === 1, "image/png")
+          .otherwise("application/octet-stream").as("mime_type"),
+        md5(col("o_orderkey").cast("string")).as("checksum"),
+        concat(lit("p"), col("o_orderkey") % 4).as("project_id"),
+        concat(lit("u"), col("o_custkey") % 50).as("owner_id"),
+        (col("o_orderkey") % 2 === 0).as("is_processed"),
+        col("o_orderdate").as("created_at"))
+      graft.Engine.listProjectFiles(files, projectId = "p1", userId = "u7",
+        role = "user", fileType = Some("orthophoto"), page = 1, size = 2)
+    }),
+
     // ---- §2.9: hole-aware polygon overlap (full GeoJSON nesting) ----
     "q114_polygon_overlap_holes" -> ((s, dir) => {
       // q70's triangle footprints against the pentagon AOI with an interior
@@ -1717,6 +1746,29 @@ object SparkEntry {
          FROM pts""",
     "q70_polygon_overlap" -> q70OracleSql,
     "q114_polygon_overlap_holes" -> q114OracleSql,
+    // flagship file listing: same derived files view, RLS + filters +
+    // row_number pagination, response projection
+    "q115_list_project_files" ->
+      """WITH files AS (SELECT o_orderkey AS id,
+             'f' || o_orderkey || '.tif' AS filename,
+             'orig_' || o_orderkey || '.tif' AS original_filename,
+             CASE o_orderkey % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'orthophoto'
+               ELSE 'dsm' END AS file_type,
+             o_orderkey * 37 % 100000 + 1 AS size,
+             CASE o_orderkey % 3 WHEN 0 THEN 'image/tiff' WHEN 1 THEN 'image/png'
+               ELSE 'application/octet-stream' END AS mime_type,
+             md5(cast(o_orderkey AS varchar)) AS checksum,
+             'p' || (o_orderkey % 4) AS project_id,
+             'u' || (o_custkey % 50) AS owner_id,
+             o_orderkey % 2 = 0 AS is_processed,
+             o_orderdate AS created_at
+           FROM orders),
+         scoped AS (SELECT *, row_number() OVER (ORDER BY created_at ASC, id ASC) AS rn
+           FROM files
+           WHERE owner_id = 'u7' AND project_id = 'p1' AND file_type = 'orthophoto')
+         SELECT id, filename, original_filename, file_type, size, mime_type,
+           checksum, project_id, owner_id, is_processed, created_at
+         FROM scoped WHERE rn > 0 AND rn <= 2""",
     // the streaming replays must land on exactly the W1 batch view (q12)
     "q71_stream_latest_status" ->
       """SELECT user_id, event_id, event_type, value FROM (
