@@ -525,6 +525,18 @@ object SparkEntry {
         .select("c_custkey")
     }),
 
+    // ---- EXT: two-pass heavy hitters (MG sketch -> exact recount) ----
+    "q116_heavy_hitters" -> ((s, dir) => {
+      // deterministic zipf-shaped key (P(rank r) ~ 1/r^2) so the k=32 sketch
+      // is genuinely lossy (40-62 distinct items) while the top-4 guarantee
+      // holds with margin: 4th count 26/26/251 vs N/(k+1) = 15.2/15.2/151.5
+      // at sf0.001/0.01/0.1 — the oracle is then the plain exact top-4.
+      val d = Tables.documents(s, dir)
+        .withColumn("__h", graft.operators.Sampling.hashBucket(col("doc_id"), 1000))
+        .withColumn("item", expr("1000 div (1 + __h)"))
+      graft.operators.TextOps.heavyHitters(d, col("item"), n = 4, k = 32)
+    }),
+
     // ---- flagship composition: the reference's file-listing endpoint ----
     "q115_list_project_files" -> ((s, dir) => {
       // Engine.listProjectFiles end-to-end (services/file-service/
@@ -1746,6 +1758,16 @@ object SparkEntry {
          FROM pts""",
     "q70_polygon_overlap" -> q70OracleSql,
     "q114_polygon_overlap_holes" -> q114OracleSql,
+    // heavy hitters: the MG-guarantee fixture makes the two-pass sketch
+    // output equal the plain exact top-n (string keys, count-desc/key-asc
+    // tie-break on both sides)
+    "q116_heavy_hitters" ->
+      """WITH it AS (SELECT cast(1000 // (1 +
+             (('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::bigint % 1000))
+             AS varchar) AS key
+           FROM documents)
+         SELECT key, count(*) AS cnt FROM it GROUP BY 1
+         ORDER BY cnt DESC, key ASC LIMIT 4""",
     // flagship file listing: same derived files view, RLS + filters +
     // row_number pagination, response projection
     "q115_list_project_files" ->

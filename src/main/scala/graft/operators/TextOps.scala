@@ -448,4 +448,70 @@ object TextOps {
     * catches shuffled/reordered near-duplicates exactly. */
   def bagFingerprint(toks: Column): Column =
     md5(array_join(array_sort(array_distinct(toks)), " "))
+
+  /** Misra–Gries frequent-items sketch as a typed `Aggregator` — the
+    * mergeable summary (Agarwal et al., "Mergeable Summaries") behind
+    * [[heavyHitters]]. At most `k` counters; any item with true count
+    * > N/(k+1) is GUARANTEED to survive both the per-partition stream
+    * updates and arbitrary-order partial merges, which is what makes the
+    * two-pass exact-top-n below correct under Spark's nondeterministic
+    * combine order. The buffer is bounded by k regardless of input size —
+    * a map-side-combinable single row, never a per-term shuffle. */
+  class MisraGriesAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        String, Map[String, Long], Map[String, Long]] {
+    require(k >= 1, "k must be positive")
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], t: String): Map[String, Long] =
+      b.get(t) match {
+        case Some(c)            => b.updated(t, c + 1)
+        case None if b.size < k => b.updated(t, 1L)
+        // full and absent: decrement every counter (drop zeros) — the MG step
+        case None => b.flatMap { case (key, c) =>
+          if (c > 1) Some(key -> (c - 1)) else None }
+      }
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = b.foldLeft(a) { case (m, (t, c)) => m.updated(t, m.getOrElse(t, 0L) + c) }
+      if (sum.size <= k) sum
+      else {
+        // subtract the (k+1)-largest counter from all, drop non-positives —
+        // the mergeable-summaries merge, error stays <= N/(k+1)
+        val cut = sum.values.toArray.sortBy(-_).apply(k)
+        sum.flatMap { case (t, c) => if (c > cut) Some(t -> (c - cut)) else None }
+      }
+    }
+    override def finish(b: Map[String, Long]): Map[String, Long] = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** EXACT top-n frequent items by the textbook two-pass heavy-hitters
+    * shape: (1) one Misra–Gries sketch pass — map-side partials merge into
+    * a single ≤k-entry row, NO per-item shuffle; (2) exact recount of the
+    * candidate items only (broadcast semi-join, so the groupBy shuffles at
+    * most k distinct keys) and top-n of the recount with a deterministic
+    * (count desc, key asc) tie-break.
+    *
+    * Correctness contract: when the true n-th count exceeds N/(k+1), the MG
+    * guarantee puts every true top-n item in the candidate set no matter
+    * how Spark ordered the partial merges, and the exact recount then makes
+    * the output identical to a full groupBy top-n — the property the q116
+    * oracle checks. Size k accordingly (k ≫ N/count_n).
+    *
+    * 100 TB shape: the full-histogram alternative shuffles every distinct
+    * term (vocabulary-sized); this shuffles one bounded sketch row plus k
+    * recount groups. */
+  def heavyHitters(df: DataFrame, key: Column, n: Int, k: Int): DataFrame = {
+    require(n >= 1 && k >= n, "need k >= n >= 1")
+    val keyed = df.select(key.cast("string").as("key"))
+    val sketch = udaf(new MisraGriesAgg(k))
+    val cand = keyed.agg(sketch(col("key")).as("__sk"))
+      .select(explode(map_keys(col("__sk"))).as("key"))
+    keyed.join(broadcast(cand), Seq("key"), "left_semi")
+      .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("key").asc)
+      .limit(n)
+  }
 }

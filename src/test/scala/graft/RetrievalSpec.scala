@@ -80,4 +80,37 @@ class RetrievalSpec extends SparkSuite {
       .filter(col("df_idx").isNull || col("df_tf").isNull || col("df_idx") =!= col("df_tf"))
     assert(disagree.count() == 0)
   }
+
+  test("heavyHitters: two-pass MG top-n equals exact top-n when the guarantee holds") {
+    // zipf-ish stream: item r appears ~6000/r^2 times over ~180 distinct
+    // items; k=24 makes the sketch genuinely lossy, and the top-5 counts
+    // clear the N/(k+1) retention threshold with margin
+    val rows = (1 to 180).flatMap(r => Seq.fill(6000 / (r * r) + 1)(s"i$r"))
+    val df = rows.toDF("item").repartition(13) // merge order varies per run
+    val total = rows.size
+    val exact = rows.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+      .toSeq.sortBy { case (k, c) => (-c, k) }.take(5)
+    assert(exact.head._2 * 1.0 > total / 25.0) // fixture sanity: guarantee applies
+    val got = TextOps.heavyHitters(df, col("item"), n = 5, k = 24)
+      .as[(String, Long)].collect().toSeq
+    assert(got == exact, s"got $got expected $exact")
+    // distinct items exceed k, so pass 1 really was a lossy sketch
+    assert(rows.distinct.size > 24)
+  }
+
+  test("MisraGriesAgg: retention guarantee and merge bound on adversarial input") {
+    val agg = new TextOps.MisraGriesAgg(4)
+    // uniform-ish stream where nothing is frequent: buffer stays <= k
+    val uni = (1 to 200).map(i => s"u${i % 40}")
+    val bufU = uni.foldLeft(agg.zero)(agg.reduce)
+    assert(bufU.size <= 4)
+    // heavy item keeps a positive counter through reduce AND split merges
+    val heavy = Seq.fill(120)("hot") ++ (1 to 90).map(i => s"cold$i")
+    val (h1, h2) = heavy.splitAt(97)
+    // interleave shuffle-deterministically so both halves see both kinds
+    val merged = agg.merge(
+      h1.foldLeft(agg.zero)(agg.reduce), h2.foldLeft(agg.zero)(agg.reduce))
+    assert(merged.size <= 4)
+    assert(merged.contains("hot"), s"count 120 > 210/5 must survive: $merged")
+  }
 }
