@@ -525,6 +525,23 @@ object SparkEntry {
         .select("c_custkey")
     }),
 
+    // ---- P11 + P13 + F4: upload validation (size cap, MIME allowlist) ----
+    "q117_upload_validation" -> ((s, dir) => {
+      // real binary content (q64's magic prefixes + the document bytes); a
+      // 300-byte cap splits the corpus so BOTH verdict branches carry rows.
+      // checksum is engine-computed but not output: DuckDB's sha256 takes
+      // VARCHAR only, and the F1 hash is already gated by q26/q75.
+      val magic = when(col("doc_id") % 5 === 0, "FFD8FFE000104A46")
+        .when(col("doc_id") % 5 === 1, "89504E470D0A1A0A")
+        .when(col("doc_id") % 5 === 2, "49492A0000000000")
+        .when(col("doc_id") % 5 === 3, "504B030414000000")
+        .otherwise("0011223344556677")
+      val files = Tables.documents(s, dir).select(col("doc_id"),
+        concat(unhex(magic), col("text").cast("binary")).as("content"))
+      graft.operators.Ingest.validateUploads(files, "doc_id", maxSize = 300L)
+        .select("doc_id", "size", "mime_type", "size_ok", "mime_ok", "valid")
+    }),
+
     // ---- EXT: two-pass heavy hitters (MG sketch -> exact recount) ----
     "q116_heavy_hitters" -> ((s, dir) => {
       // deterministic zipf-shaped key (P(rank r) ~ 1/r^2) so the k=32 sketch
@@ -1758,6 +1775,25 @@ object SparkEntry {
          FROM pts""",
     "q70_polygon_overlap" -> q70OracleSql,
     "q114_polygon_overlap_holes" -> q114OracleSql,
+    // upload validation: same byte construction (magic prefix || utf-8
+    // text), size/allowlist verdicts recomputed from first principles
+    "q117_upload_validation" ->
+      """WITH f AS (SELECT doc_id,
+             from_hex(CASE doc_id % 5
+               WHEN 0 THEN 'FFD8FFE000104A46' WHEN 1 THEN '89504E470D0A1A0A'
+               WHEN 2 THEN '49492A0000000000' WHEN 3 THEN '504B030414000000'
+               ELSE '0011223344556677' END) || encode(text) AS content
+           FROM documents)
+         SELECT doc_id,
+           octet_length(content) AS size,
+           CASE doc_id % 5 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
+             WHEN 2 THEN 'image/tiff' WHEN 3 THEN 'application/zip'
+             ELSE 'application/octet-stream' END AS mime_type,
+           octet_length(content) <= 300 AND octet_length(content) > 0 AS size_ok,
+           doc_id % 5 IN (0, 1, 2, 3) AS mime_ok,
+           (octet_length(content) <= 300 AND octet_length(content) > 0
+             AND doc_id % 5 IN (0, 1, 2, 3)) AS valid
+         FROM f""",
     // heavy hitters: the MG-guarantee fixture makes the two-pass sketch
     // output equal the plain exact top-n (string keys, count-desc/key-asc
     // tie-break on both sides)

@@ -83,6 +83,24 @@ object Ingest {
       lit("EPSG:4326").as("crs"))
   }
 
+  /** P11/P13/F1/F4 — the reference's upload VALIDATION path
+    * (main.py:86-107) as deterministic per-row columns: byte size, sniffed
+    * MIME, sha-256 checksum, size-cap and allowlist verdicts, combined
+    * validity. The uuid/now-bearing columns of [[pipeline]] are deliberately
+    * absent so the validation decision itself is externally checkable
+    * row-for-row (q117). */
+  def validateUploads(files: DataFrame, idCol: String,
+                      maxSize: Long = MaxFileSize): DataFrame =
+    files
+      .withColumn("size", length(col("content")).cast("long"))
+      .withColumn("mime_type", Scalars.sniffMime(col("content")))
+      .withColumn("checksum", Scalars.sha256Hex(col("content")))
+      .withColumn("size_ok", col("size") <= maxSize && col("size") > 0)
+      .withColumn("mime_ok", col("mime_type").isin(AllowedMime: _*))
+      .withColumn("valid", col("size_ok") && col("mime_ok"))
+      .select(col(idCol), col("size"), col("mime_type"), col("checksum"),
+        col("size_ok"), col("mime_ok"), col("valid"))
+
   /** The §3.3 pipeline: returns (valid, quarantined). Validation mirrors
     * main.py:86-107 step-for-step; checksum is F1 (sha2 over content). */
   def pipeline(files: DataFrame, projectId: String): (DataFrame, DataFrame) = {
