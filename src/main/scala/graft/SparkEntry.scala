@@ -153,18 +153,23 @@ object SparkEntry {
           OR $p0InTri"""
   }
 
-  /** Generated DuckDB oracle for q114: the hole-aware overlap verdict of
-    * [[graft.functions.PolygonsOverlapFull]] unrolled to scalar SQL — 27
-    * proper-crossing terms (3 triangle edges × 9 AOI edges across exterior
-    * and hole rings), 3 region probes of the triangle vertices (NOT on any
-    * AOI edge, ray-cast in pentagon AND NOT in hole) and 9 probes of
-    * AOI-ring vertices against the triangle (NOT on any triangle edge, then
-    * ray-cast) — term-for-term the kernel's arithmetic, including the
-    * on-boundary probe skip; the identical-rings fallback cannot fire for
-    * this fixture and is omitted. */
-  private def q114OracleSql: String = {
-    val pent = AoiPentagon
-    val hole = AoiHole
+  /** Second, disjoint AOI component for q118's MultiPolygon gate — sits in
+    * the triangle coordinate range's south-west corner, far from
+    * [[AoiPentagon]]. Integer vertices keep the arithmetic engine-exact. */
+  private val AoiQuad: Seq[(Double, Double)] =
+    Seq((-160.0, -70.0), (-110.0, -70.0), (-110.0, -30.0), (-160.0, -30.0))
+
+  /** Generated WHERE-clause for "the per-customer triangle overlaps the
+    * region of `poly`" (ring 0 exterior, rest holes), unrolled to scalar
+    * SQL term-for-term with [[graft.functions.PolygonsOverlapFull]]:
+    * proper-crossing terms (3 triangle edges × every ring edge), triangle
+    * vertex probes (NOT on any ring edge, ray-cast in the exterior AND NOT
+    * in any hole) and ring-vertex probes against the triangle (NOT on any
+    * triangle edge, then ray-cast) — including the kernel's on-boundary
+    * probe skip; the identical-rings fallback cannot fire for these
+    * fixtures and is omitted. Programmatic generation keeps oracle and
+    * kernel in lockstep if fixtures change. */
+  private def triOverlapsPolySql(poly: Seq[Seq[(Double, Double)]]): String = {
     val tri = Seq(("ax", "ay"), ("(ax + 40)", "(ay + 11)"), ("(ax + 17)", "(ay + 33)"))
     def num(d: Double): String = if (d == d.floor) f"$d%.1f" else d.toString
     def cross(ox: String, oy: String, dx: String, dy: String,
@@ -185,7 +190,7 @@ object SparkEntry {
       r.indices.map(i => (r((i + r.size - 1) % r.size), r(i)))
     val crossings = (for {
       (p1, p2) <- triEdges
-      ring <- Seq(pent, hole)
+      ring <- poly
       (q1, q2) <- ringEdges(ring)
     } yield properCross(p1, p2, q1, q2)).mkString("(", "\n OR ", ")")
     def pointInFixedRing(ring: Seq[(Double, Double)], px: String, py: String): String =
@@ -206,7 +211,7 @@ object SparkEntry {
         s" AND $px >= least($x1, $x2) AND $px <= greatest($x1, $x2)" +
         s" AND $py >= least($y1, $y2) AND $py <= greatest($y1, $y2))"
     def onFixedRings(px: String, py: String): String =
-      (ringEdges(pent) ++ ringEdges(hole)).map { case (q1, q2) =>
+      poly.flatMap(ringEdges).map { case (q1, q2) =>
         onEdge(px, py, num(q1._1), num(q1._2), num(q2._1), num(q2._2))
       }.mkString("(", "\n OR ", ")")
     def onTriEdges(px: String, py: String): String =
@@ -214,20 +219,35 @@ object SparkEntry {
         onEdge(px, py, p1._1, p1._2, p2._1, p2._2)
       }.mkString("(", "\n OR ", ")")
     val triProbes = tri.map { case (px, py) =>
-      s"(NOT ${onFixedRings(px, py)} AND ${pointInFixedRing(pent, px, py)} AND NOT ${pointInFixedRing(hole, px, py)})"
+      val inRegion = (s"${pointInFixedRing(poly.head, px, py)}" +:
+        poly.tail.map(h => s"NOT ${pointInFixedRing(h, px, py)}")).mkString(" AND ")
+      s"(NOT ${onFixedRings(px, py)} AND $inRegion)"
     }.mkString("(", "\n OR ", ")")
-    val aoiProbes = (pent ++ hole).map { case (x, y) =>
+    val ringProbes = poly.flatten.map { case (x, y) =>
       s"(NOT ${onTriEdges(num(x), num(y))} AND ${pointInTri(num(x), num(y))})"
     }.mkString("(", "\n OR ", ")")
-    s"""WITH t AS (SELECT c_custkey,
+    s"($crossings\n OR $triProbes\n OR $ringProbes)"
+  }
+
+  private def triangleAoiCte: String =
+    """WITH t AS (SELECT c_custkey,
          cast(c_custkey * 19 % 300 - 160 as double) AS ax,
          cast(c_custkey * 31 % 140 - 75 as double) AS ay
        FROM customer)
-       SELECT c_custkey FROM t
-       WHERE $crossings
-          OR $triProbes
-          OR $aoiProbes"""
-  }
+       SELECT c_custkey FROM t"""
+
+  /** q114 oracle: the hole-aware verdict against the holed pentagon. */
+  private def q114OracleSql: String =
+    s"""$triangleAoiCte
+       WHERE ${triOverlapsPolySql(Seq(AoiPentagon, AoiHole))}"""
+
+  /** q118 oracle: MultiPolygon = holed pentagon ∪ disjoint quad; a union of
+    * polygons overlaps iff SOME component does — the exists() composition
+    * [[graft.operators.Spatial.multiPolygonsOverlap]] evaluates. */
+  private def q118OracleSql: String =
+    s"""$triangleAoiCte
+       WHERE ${triOverlapsPolySql(Seq(AoiPentagon, AoiHole))}
+          OR ${triOverlapsPolySql(Seq(AoiQuad))}"""
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -522,6 +542,26 @@ object SparkEntry {
           lit(140.0).as("max_lon"), lit(80.0).as("max_lat")).as("aoi_bbox"))
       graft.operators.Spatial.polygonJoin(
           t, col("ring"), col("bbox"), aoi, col("aoi_ring"), col("aoi_bbox"))
+        .select("c_custkey")
+    }),
+
+    // ---- §2.9: MultiPolygon overlap (exists over component pairs) ----
+    "q118_multipolygon_overlap" -> ((s, dir) => {
+      // AOI = holed pentagon UNION a disjoint SW quad; triangles are
+      // single-component multipolygons through the same exists() kernel
+      val t = Tables.customer(s, dir).select(col("c_custkey"),
+          (col("c_custkey") * 19 % 300 - 160).cast("double").as("ax"),
+          (col("c_custkey") * 31 % 140 - 75).cast("double").as("ay"))
+        .withColumn("mtri", array(array(array(
+          array(col("ax"), col("ay")),
+          array(col("ax") + 40, col("ay") + 11),
+          array(col("ax") + 17, col("ay") + 33)))))
+      def ringLit(r: Seq[(Double, Double)]) =
+        array(r.map { case (x, y) => array(lit(x), lit(y)) }: _*)
+      val aoi = array(
+        array(ringLit(AoiPentagon), ringLit(AoiHole)),
+        array(ringLit(AoiQuad)))
+      t.filter(graft.operators.Spatial.multiPolygonsOverlap(col("mtri"), aoi))
         .select("c_custkey")
     }),
 
@@ -1775,6 +1815,7 @@ object SparkEntry {
          FROM pts""",
     "q70_polygon_overlap" -> q70OracleSql,
     "q114_polygon_overlap_holes" -> q114OracleSql,
+    "q118_multipolygon_overlap" -> q118OracleSql,
     // upload validation: same byte construction (magic prefix || utf-8
     // text), size/allowlist verdicts recomputed from first principles
     "q117_upload_validation" ->
