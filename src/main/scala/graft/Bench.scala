@@ -71,6 +71,15 @@ object Bench {
       "q108_stream_interval_join", "q113_stream_retention")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => harness(q._1)).map { case (name, fn) =>
+      // Between-query hygiene (untimed): drop the previous query's orphaned
+      // localCheckpoint/shuffle blocks. The ContextCleaner unpersists them
+      // only after the referencing plan is garbage-collected, so without an
+      // explicit GC the block manager accumulates earlier queries' blocks
+      // and evicts the CURRENT query's checkpoint mid-iteration — observed
+      // as 3-5x single-iteration spikes on the checkpoint-heavy queries
+      // (q100/q111) late in a 111-query run, at low host load.
+      System.gc()
+      Thread.sleep(100)
       val load0 = loadavg()
       val times = new Array[Double](iters)
       var ok = true
