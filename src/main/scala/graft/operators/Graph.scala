@@ -33,13 +33,28 @@ object Graph {
     require(iters >= 1, "need at least one iteration")
     require(d > 0 && d < 1, "damping must be in (0,1)")
     require(checkpointEvery >= 1, "checkpointEvery must be positive")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    // deg and nodes are node-sized and referenced by EVERY iteration's plan
-    // — pin them once or each round re-runs the edge-wide aggregate/distinct
-    // (measured: 2x suite cost at sf0.1 without the cuts)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    // The static tables (edges, degrees, nodes) are PRE-PARTITIONED on
+    // their join keys and pinned with persist(MEMORY_AND_DISK), NOT
+    // localCheckpoint: a checkpoint's Scan ExistingRDD reports unknown
+    // partitioning under AQE (measured — EnsureRequirements then re-shuffles
+    // the edge side EVERY round), while InMemoryTableScan keeps the cached
+    // plan's HashPartitioning (Spark pins cached-plan partitioning under
+    // AQE by default), so each round's e⋈ranks and ⋈deg joins reuse the
+    // stored distribution — per round only ranks/inflow move. MEMORY_AND_DISK
+    // spills rather than silently evicting, and the eager count()
+    // materializes once so no round pays the build. Their plans are shallow
+    // and static, so keeping lineage (unlike ranks) costs nothing.
+    import org.apache.spark.storage.StorageLevel
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    // deg inherits e's src-partitioning through the groupBy (no exchange);
+    // nodes comes out of distinct hash-partitioned on `node`
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count(); deg.count(); nodes.count(): Unit
     val nc = broadcast(nodes.agg(count(lit(1)).cast("double").as("n_nodes")))
     var ranks = nodes.crossJoin(nc)
       .select(col("node"), (lit(1.0d) / col("n_nodes")).as("r"))
