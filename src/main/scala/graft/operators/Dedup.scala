@@ -317,10 +317,18 @@ object Dedup {
     * the no-eager-actions rule for fixpoint operators. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // materialize the edge list ONCE — without this every iteration's join
-    // re-executes the entire upstream candidate/verify pipeline
+    // re-executes the entire upstream candidate/verify pipeline. Pinned via
+    // persist AFTER a repartition on the iteration join key, NOT
+    // localCheckpoint: a checkpoint scans back with unknown partitioning
+    // under AQE and every iteration would re-shuffle the edge side, while
+    // InMemoryTableScan keeps the cached HashPartitioning so only the
+    // node-sized labels move per round (the q111 PageRank lesson; eager
+    // count so the first iteration doesn't pay the build).
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count(): Unit
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
