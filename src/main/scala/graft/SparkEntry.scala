@@ -545,6 +545,26 @@ object SparkEntry {
         .select("c_custkey")
     }),
 
+    // ---- EXT: per-node triangle counts (degree-oriented wedges) ----
+    "q120_triangle_counts" -> ((s, dir) => {
+      // supplier co-occurrence graph: an edge between two suppliers that
+      // serve the same order (q111's bipartite graph has no triangles by
+      // construction; co-occurrence projections are where triads live)
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+      val pairs = li.select(col("ok"), col("sk").as("src"))
+        .join(li.select(col("ok"), col("sk").as("dst")), Seq("ok"))
+        .filter(col("src") < col("dst"))
+        .select("src", "dst")
+      graft.operators.Graph.triangleCounts(pairs)
+    }),
+
+    // ---- EXT: bigram-LM quality score (conditional surprisal) ----
+    "q119_bigram_surprisal" -> ((s, dir) =>
+      graft.operators.TextOps.bigramSurprisal(
+        Tables.documents(s, dir), "doc_id", "text")),
+
     // ---- §2.9: MultiPolygon overlap (exists over component pairs) ----
     "q118_multipolygon_overlap" -> ((s, dir) => {
       // AOI = holed pentagon UNION a disjoint SW quad; triangles are
@@ -1816,6 +1836,51 @@ object SparkEntry {
     "q70_polygon_overlap" -> q70OracleSql,
     "q114_polygon_overlap_holes" -> q114OracleSql,
     "q118_multipolygon_overlap" -> q118OracleSql,
+    // triangle counts: same canonicalization, degree orientation ((d, id)
+    // lexicographic), ordered wedge self-join, closure equi-join — each
+    // triangle found once, every node credited three times
+    "q120_triangle_counts" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+           FROM lineitem WHERE l_orderkey % 10 = 0),
+         und AS (SELECT DISTINCT x.sk AS a, y.sk AS b
+           FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk),
+         deg AS (SELECT v, count(*) AS d FROM (
+             SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) z GROUP BY 1),
+         o AS (SELECT
+             CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b) THEN u.a ELSE u.b END AS src,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b) THEN u.b ELSE u.a END AS dst,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b) THEN db.d ELSE da.d END AS dd
+           FROM und u JOIN deg da ON u.a = da.v JOIN deg db ON u.b = db.v),
+         w AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w2
+           FROM o e1 JOIN o e2 ON e1.src = e2.src
+            AND (e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst))),
+         tr AS (SELECT w.u, w.v, w.w2 FROM w JOIN o e3 ON w.v = e3.src AND w.w2 = e3.dst),
+         n AS (SELECT unnest([u, v, w2]) AS node FROM tr),
+         t AS (SELECT node, count(*) AS triangles FROM n GROUP BY 1)
+         SELECT deg.v AS node, deg.d AS degree,
+           cast(coalesce(t.triangles, 0) AS bigint) AS triangles
+         FROM deg LEFT JOIN t ON deg.v = t.node""",
+    // bigram LM: add-0.5-smoothed conditional surprisal, q88's determinism
+    // contract (6-dp round, exact-decimal sum, division last); every float
+    // literal cast to double so DuckDB's exact-decimal literal arithmetic
+    // matches Spark's IEEE doubles
+    "q119_bigram_surprisal" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+           FROM documents),
+         nn AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) >= 2),
+         bg AS (SELECT doc_id, toks[i] AS t1, toks[i + 1] AS t2
+           FROM (SELECT doc_id, toks, unnest(range(1, n)) AS i FROM nn) x),
+         c12 AS (SELECT t1, t2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         c1 AS (SELECT t1, count(*) AS c1 FROM bg GROUP BY 1),
+         v AS (SELECT count(DISTINCT t2) AS v FROM bg),
+         s AS (SELECT bg.doc_id,
+             cast(round(-ln((cast(c12.c12 AS double) + cast(0.5 AS double)) /
+               (cast(c1.c1 AS double) + cast(0.5 AS double) * cast(v.v AS double))), 6)
+               AS decimal(18,6)) AS s
+           FROM bg JOIN c12 USING (t1, t2) JOIN c1 USING (t1) CROSS JOIN v)
+         SELECT doc_id, cast(sum(s) AS double) / count(*) AS mean_surprisal,
+           count(*) AS n_bigrams
+         FROM s GROUP BY doc_id""",
     // upload validation: same byte construction (magic prefix || utf-8
     // text), size/allowlist verdicts recomputed from first principles
     "q117_upload_validation" ->

@@ -82,4 +82,55 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node triangle counts over an undirected edge list — the clustering
+    * signal of the entity graph (a supplier/user embedded in many closed
+    * triads is a hub of a tightly-knit group, where PageRank only measures
+    * flow). Classic degree-oriented wedge counting:
+    *
+    *   1. canonicalize to distinct a<b edges;
+    *   2. orient every edge from the (degree, id)-SMALLER endpoint to the
+    *      larger — a total order, so each triangle has exactly ONE node
+    *      with out-edges to the other two;
+    *   3. wedges = self-join of oriented edges on the source, ordered so
+    *      each unordered {v,w} appears once; a wedge closes iff the
+    *      oriented edge v→w exists (equi-join, no θ-join).
+    *
+    * Scale shape: the orientation bounds every node's out-degree by
+    * O(√|E|) on any graph (the arboricity argument behind all large-scale
+    * triangle engines), so the wedge self-join — the only superlinear step
+    * — is Σ outdeg², minimized exactly by the degree orientation. All
+    * joins are shuffled equi-joins on node keys; nothing is broadcast,
+    * nothing is quadratic in nodes. Output: (node, degree, triangles),
+    * zero-triangle nodes included. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+    val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dd"))
+    val e1 = oriented.select(col("src").as("u"), col("dst").as("v"), col("dd").as("dv"))
+    val e2 = oriented.select(col("src").as("u"), col("dst").as("w"), col("dd").as("dw"))
+    val wedges = e1.join(e2, Seq("u"))
+      .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+    val tris = wedges.join(oriented.select(col("src").as("v"), col("dst").as("w")),
+      Seq("v", "w"))
+    val perNode = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    deg.select(col("v").as("node"), col("d").as("degree"))
+      .join(perNode, Seq("node"), "left_outer")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
 }

@@ -244,6 +244,47 @@ object TextOps {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Bigram-LM quality score — the conditional-probability upgrade of
+    * [[unigramSurprisal]] (CCNet-style model-based filtering without a
+    * shipped LM): fit an add-k-smoothed bigram model on the corpus itself,
+    * then score each document by its mean bigram surprisal
+    * −ln p(t₂|t₁) = −ln((c₁₂ + k) / (c₁ + k·V)). Low-probability token
+    * TRANSITIONS (not just rare tokens) mark garbled or boilerplate text.
+    *
+    * Scale shape: the bigram stream is a pure per-row explode (no
+    * self-join — position index via `sequence` + `element_at`); the model
+    * is two vocab²-bounded hash aggregates equi-joined back (map-side
+    * partials, AQE-splittable, nothing broadcast but the one-row vocabulary
+    * count); scoring is the q88 determinism contract — per-bigram 6-dp
+    * round, exact-decimal sum, count division last. Documents with fewer
+    * than two tokens have no bigrams and are absent from the output. */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
+                      addK: Double = 0.5): DataFrame = {
+    val toked = docs.select(col(idCol),
+        org.apache.spark.sql.functions.filter(tokens(col(textCol)), t => t =!= "").as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") >= 2)
+    val bg = toked
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(1), col("__n") - 1)).as("__i"))
+      .select(col(idCol),
+        element_at(col("__toks"), col("__i")).as("t1"),
+        element_at(col("__toks"), col("__i") + 1).as("t2"))
+    val c12 = bg.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("t1")).agg(count(lit(1)).as("c1"))
+    val v = bg.agg(countDistinct(col("t2")).as("v"))
+    bg.join(c12, Seq("t1", "t2")).join(c1, Seq("t1"))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(v))
+      .withColumn("s",
+        round(-log(
+          (col("c12").cast("double") + lit(addK)) /
+            (col("c1").cast("double") + lit(addK) * col("v").cast("double"))), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col(idCol))
+      .agg((sum(col("s")).cast("double") / count(lit(1))).as("mean_surprisal"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** Duplicated-span statistics — exact substring dedup at token-window
     * granularity (the scalable form of the "dedup training data at the
     * substring level" recipe: long verbatim repeats across documents are

@@ -48,4 +48,24 @@ class GraphSpec extends SparkSuite {
     assert(got("e") > got("a") && got("e") > got("d"))
     assert(math.abs(got.values.sum - 1.0) < 1e-6)
   }
+
+  test("triangleCounts: hand-computed goldens on K4 + pendant + disjoint edge") {
+    // K4 on {1,2,3,4} (4 triangles, each node in 3), pendant 5-1 (no
+    // triangle), disjoint edge 6-7; duplicate/reversed inputs collapse
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 2L), (2L, 3L), // duplicates in both orientations
+      (5L, 1L), (6L, 7L)).toDF("src", "dst")
+    val got = Graph.triangleCounts(edges)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val want = Map(
+      1L -> ((4L, 3L)), 2L -> ((3L, 3L)), 3L -> ((3L, 3L)), 4L -> ((3L, 3L)),
+      5L -> ((1L, 0L)), 6L -> ((1L, 0L)), 7L -> ((1L, 0L)))
+    assert(got == want, s"got $got")
+    // self-loops never create triangles
+    val loop = Seq((1L, 1L), (1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val lg = Graph.triangleCounts(loop).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(lg == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }

@@ -98,6 +98,27 @@ class RetrievalSpec extends SparkSuite {
     assert(rows.distinct.size > 24)
   }
 
+  test("bigramSurprisal: hand-computed add-k conditional surprisal") {
+    // corpus: "a b a b" and "a c"; bigrams: (a,b)x2, (b,a)x1, (a,c)x1
+    // c1: a->3, b->1; V = |{b, a, c}| = 3; k = 0.5
+    val df = Seq((1L, "a b a b"), (2L, "a c"), (3L, "solo")).toDF("doc_id", "text")
+    val got = TextOps.bigramSurprisal(df, "doc_id", "text")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def s(c12: Long, c1: Long): BigDecimal = {
+      val raw = -math.log((c12 + 0.5) / (c1 + 0.5 * 3))
+      BigDecimal(java.math.BigDecimal.valueOf(raw))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    // doc 1: bigrams (a,b),(b,a),(a,b) -> s(2,3), s(1,1), s(2,3)
+    val m1 = ((s(2, 3) + s(1, 1) + s(2, 3)).toDouble / 3, 3L)
+    // doc 2: (a,c) -> s(1,3)
+    val m2 = (s(1, 3).toDouble / 1, 1L)
+    assert(math.abs(got(1L)._1 - m1._1) < 1e-12 && got(1L)._2 == 3L, s"${got(1L)} vs $m1")
+    assert(math.abs(got(2L)._1 - m2._1) < 1e-12 && got(2L)._2 == 1L)
+    // single-token doc has no bigrams and is absent
+    assert(!got.contains(3L))
+  }
+
   test("MisraGriesAgg: retention guarantee and merge bound on adversarial input") {
     val agg = new TextOps.MisraGriesAgg(4)
     // uniform-ish stream where nothing is frequent: buffer stays <= k
