@@ -545,6 +545,24 @@ object SparkEntry {
         .select("c_custkey")
     }),
 
+    // ---- EXT: hybrid retrieval — BM25 + vector KNN fused with RRF ----
+    "q121_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      // the aligned id spaces (doc_id and vec_id both 1..N) stand in for a
+      // corpus with both a lexical index and an embedding store; query ids
+      // 1-3 query BOTH indexes and the result lists fuse rank-only
+      val qs = Seq((1L, "spark window join"), (2L, "hash table scan merge"),
+        (3L, "vector stream filter customer")).toDF("query_id", "query_text")
+      val lex = TextOps.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+          qs, "query_id", "query_text", k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val e = Tables.embeddings(s, dir)
+      val sem = Similarity.bruteKnn(e, e.filter(col("vec_id").isin(1L, 2L, 3L)),
+          "vec_id", "embedding", k = 10, dim = 64)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      TextOps.rrfFuse(Seq(lex, sem), "query_id", "doc_id", k = 10)
+    }),
+
     // ---- EXT: per-node triangle counts (degree-oriented wedges) ----
     "q120_triangle_counts" -> ((s, dir) => {
       // supplier co-occurrence graph: an edge between two suppliers that
@@ -1836,6 +1854,59 @@ object SparkEntry {
     "q70_polygon_overlap" -> q70OracleSql,
     "q114_polygon_overlap_holes" -> q114OracleSql,
     "q118_multipolygon_overlap" -> q118OracleSql,
+    // hybrid RRF: the q96 BM25 CTEs and the q39 cosine CTEs produce the two
+    // rank lists; fusion terms rounded to 6 dp and summed as exact decimal
+    // (the float-sum rule), fused ties broken by doc id
+    "q121_hybrid_rrf" ->
+      """WITH q(query_id, query_text) AS (VALUES
+             (1, 'spark window join'), (2, 'hash table scan merge'),
+             (3, 'vector stream filter customer')),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         st AS (SELECT (SELECT cast(count(*) AS double) FROM documents) AS n_docs,
+                       (SELECT cast(sum(dl) AS double) / count(*) FROM dl) AS avgdl),
+         qt AS (SELECT DISTINCT query_id, term FROM (
+                  SELECT cast(query_id AS bigint) AS query_id,
+                         unnest(string_split(query_text, ' ')) AS term FROM q) x
+                WHERE term <> ''),
+         sc AS (SELECT qt.query_id, tf.doc_id,
+                  cast(round(ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                    * (tf.tf * 2.2)
+                    / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6)
+                    AS decimal(38,6)) AS s
+                FROM qt JOIN dfq USING (term) JOIN tf USING (term)
+                  JOIN dl ON tf.doc_id = dl.doc_id, st),
+         agg AS (SELECT query_id, doc_id, cast(sum(s) AS double) AS score
+                 FROM sc GROUP BY 1, 2),
+         lex AS (SELECT query_id, doc_id, rank FROM (
+                   SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, doc_id) AS rank FROM agg) r
+                 WHERE rank <= 10),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         vq AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (1, 2, 3)),
+         vs AS (SELECT qid AS query_id, e.vec_id AS neighbor_id,
+                  list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * v[i]))
+                  / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+                     * sqrt(list_sum(list_transform(v, x -> x*x)))) AS sim0
+                FROM e CROSS JOIN vq WHERE e.vec_id != qid),
+         sem AS (SELECT query_id, neighbor_id AS doc_id, rank FROM (
+                   SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim0 DESC, neighbor_id) AS rank FROM vs) r
+                 WHERE rank <= 10),
+         u AS (SELECT * FROM lex UNION ALL SELECT * FROM sem),
+         t AS (SELECT query_id, doc_id,
+                 cast(round(cast(1.0 AS double) / (cast(60.0 AS double) + cast(rank AS double)), 6)
+                   AS decimal(18,6)) AS tm
+               FROM u),
+         g AS (SELECT query_id, doc_id, sum(tm) AS rrf0, count(*) AS n_lists
+               FROM t GROUP BY 1, 2)
+         SELECT query_id, doc_id, cast(rrf0 AS double) AS rrf, n_lists, fused_rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf0 DESC, doc_id) AS fused_rank FROM g) f
+         WHERE fused_rank <= 10""",
     // triangle counts: same canonicalization, degree orientation ((d, id)
     // lexicographic), ordered wedge self-join, closure equi-join — each
     // triangle found once, every node credited three times

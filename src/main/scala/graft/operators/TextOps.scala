@@ -480,6 +480,42 @@ object TextOps {
       .filter(col("rank") <= k)
   }
 
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval combiner
+    * (lexical BM25 + vector ANN feeding one ranked list, the RAG-serving
+    * shape): each input ranking contributes 1/(kk + rank) per (query, doc),
+    * summed across rankings; documents surfacing in several lists rise.
+    * Rank-only fusion needs no score calibration between retrievers —
+    * that is the point of RRF (Cormack et al.).
+    *
+    * Inputs: DataFrames of (qidCol, idCol, rank). Determinism contract:
+    * each reciprocal term is rounded to 6 dp and summed as exact decimal
+    * (the repo's float-sum rule — with ≥3 rankings a double sum would be
+    * reduction-order-dependent), fused rank ties broken by id.
+    *
+    * Scale shape: a union of top-k lists is (queries × k × lists) rows —
+    * result-sized, not corpus-sized; one hash aggregate on (query, doc)
+    * and one query-partitioned WindowGroupLimit top-k. */
+  def rrfFuse(rankings: Seq[DataFrame], qidCol: String, idCol: String,
+              k: Int = 10, kk: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k >= 1 && kk >= 0, "need k >= 1 and kk >= 0")
+    val u = rankings.map(_.select(
+        col(qidCol), col(idCol), col("rank").cast("long").as("rank")))
+      .reduce(_ unionAll _)
+    val scored = u
+      .withColumn("__t",
+        round(lit(1.0d) / (lit(kk.toDouble) + col("rank").cast("double")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(sum(col("__t")).as("__rrf"), count(lit(1)).as("n_lists"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("__rrf").desc, col(idCol).asc)
+    scored.withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= k)
+      .select(col(qidCol), col(idCol), col("__rrf").cast("double").as("rrf"),
+        col("n_lists"), col("fused_rank"))
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized lowercase text —
     * the exact-dedup key that survives formatting noise. */
   def fingerprint(text: Column): Column =

@@ -98,6 +98,22 @@ class RetrievalSpec extends SparkSuite {
     assert(rows.distinct.size > 24)
   }
 
+  test("rrfFuse: hand-computed fusion, cross-list boost, deterministic ties") {
+    // query 1: lexical ranks d10=1, d20=2; vector ranks d20=1, d30=2
+    val lex = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("query_id", "doc_id", "rank")
+    val vec = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("query_id", "doc_id", "rank")
+    val got = TextOps.rrfFuse(Seq(lex, vec), "query_id", "doc_id", k = 3)
+      .as[(Long, Long, Double, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    def t(r: Long): BigDecimal =
+      BigDecimal(java.math.BigDecimal.valueOf(1.0 / (60.0 + r)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // d20 appears in BOTH lists (ranks 2 and 1) and must fuse first
+    assert(got(20L) == (((t(2) + t(1)).toDouble, 2L, 1L)), s"${got(20L)}")
+    assert(got(10L) == ((t(1).toDouble, 1L, 2L)))
+    assert(got(30L) == ((t(2).toDouble, 1L, 3L)))
+  }
+
   test("bigramSurprisal: hand-computed add-k conditional surprisal") {
     // corpus: "a b a b" and "a c"; bigrams: (a,b)x2, (b,a)x1, (a,c)x1
     // c1: a->3, b->1; V = |{b, a, c}| = 3; k = 0.5
