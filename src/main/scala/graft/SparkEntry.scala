@@ -545,6 +545,15 @@ object SparkEntry {
         .select("c_custkey")
     }),
 
+    // ---- A-family: ordered conversion funnel (chained min-after) ----
+    "q122_funnel" -> ((s, dir) =>
+      R.funnel(Tables.events(s, dir), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))),
+
+    // ---- A-family: weekly cohort retention matrix ----
+    "q123_cohort_retention" -> ((s, dir) =>
+      R.cohortRetention(Tables.events(s, dir), "user_id", "ts")),
+
     // ---- EXT: hybrid retrieval — BM25 + vector KNN fused with RRF ----
     "q121_hybrid_rrf" -> ((s, dir) => {
       import s.implicits._
@@ -1854,6 +1863,30 @@ object SparkEntry {
     "q70_polygon_overlap" -> q70OracleSql,
     "q114_polygon_overlap_holes" -> q114OracleSql,
     "q118_multipolygon_overlap" -> q118OracleSql,
+    // funnel: chained per-stage min(ts) constrained strictly after the
+    // previous stage — order-sensitive conversion counts
+    "q122_funnel" ->
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t0 FROM events
+             WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id AS u, min(e.ts) AS t1 FROM events e
+             JOIN s1 ON e.user_id = s1.u
+             WHERE e.event_type = 'click' AND e.ts > s1.t0 GROUP BY 1),
+         s3 AS (SELECT e.user_id AS u, min(e.ts) AS t2 FROM events e
+             JOIN s2 ON e.user_id = s2.u
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t1 GROUP BY 1)
+         SELECT 1 AS depth, 'view' AS stage, (SELECT count(*) FROM s1) AS n_users
+         UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+         UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""",
+    // cohort retention: integer epoch-week buckets (floor-second epochs as
+    // q87, then floor week division) — calendar-free, engine-exact
+    "q123_cohort_retention" ->
+      """WITH w AS (SELECT user_id AS u,
+             cast(floor(cast(floor(epoch(ts)) AS bigint) / 604800) AS bigint) AS wk
+           FROM events),
+         c AS (SELECT u, min(wk) AS cohort_week FROM w GROUP BY 1)
+         SELECT c.cohort_week, w.wk - c.cohort_week AS week_offset,
+           count(DISTINCT w.u) AS n_users
+         FROM w JOIN c ON w.u = c.u GROUP BY 1, 2""",
     // hybrid RRF: the q96 BM25 CTEs and the q39 cosine CTEs produce the two
     // rank lists; fusion terms rounded to 6 dp and summed as exact decimal
     // (the float-sum rule), fused ties broken by doc id

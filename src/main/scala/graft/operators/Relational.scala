@@ -281,4 +281,61 @@ object Relational {
       .select(col(key), (col("bucket") * stepSeconds).as("bucket_start"),
         col("value_ffill"), col("observed"))
   }
+
+  /** Ordered funnel analysis — how many users completed stage 1, then
+    * stage 2 STRICTLY AFTER their first stage-1 event, then stage 3 after
+    * that (the product-analytics conversion funnel; order matters, a
+    * purchase before the first view does not count). Implemented as the
+    * chained min-after shape: per-stage per-user `min(ts)` constrained to
+    * follow the previous stage's timestamp — one hash aggregate + one
+    * equi-join per stage, no windows, no per-user event sorting. Returns
+    * one row per funnel depth 1..stages.size with the user count reaching
+    * it (depth d counts users who completed stages 1..d in order).
+    *
+    * Scale shape: each stage is a key-partitioned aggregate over only that
+    * stage's events (filter pushed to the scan); joins are user-key
+    * shuffles. Stage count is a query constant, so the chain length is
+    * fixed — never a per-user sequence scan. */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one stage")
+    val reached: Seq[DataFrame] = stages.zipWithIndex
+      .foldLeft(Nil: List[DataFrame]) { case (acc, (stage, i)) =>
+        val evs = events.filter(col(typeCol) === stage)
+          .select(col(userCol).as("__u"), col(tsCol).as("__ts"))
+        val cur = acc match {
+          case Nil =>
+            evs.groupBy(col("__u")).agg(min(col("__ts")).as(s"__t$i"))
+          case prev :: _ =>
+            evs.join(prev.select(col("__u"), col(s"__t${i - 1}")), Seq("__u"))
+              .filter(col("__ts") > col(s"__t${i - 1}"))
+              .groupBy(col("__u")).agg(min(col("__ts")).as(s"__t$i"))
+        }
+        cur :: acc
+      }.reverse
+    reached.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("depth"), lit(stages(i)).as("stage"), col("n_users"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Weekly cohort retention — the (cohort, week-offset) → active-user
+    * matrix behind every retention curve: a user's cohort is the epoch week
+    * of their FIRST event; for each later event the offset is its epoch
+    * week minus the cohort week. Integer epoch-week arithmetic
+    * (`floor(epoch / 604800)`) keeps the bucketing engine-exact where
+    * calendar week truncation would not be. One per-user min aggregate +
+    * one equi-join back + one distinct-count aggregate — all user-key
+    * shuffles, nothing broadcast, no windows. */
+  def cohortRetention(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val weeks = events.select(col(userCol).as("__u"),
+      floor(col(tsCol).cast("long") / 604800L).cast("long").as("__w"))
+    val cohorts = weeks.groupBy(col("__u")).agg(min(col("__w")).as("cohort_week"))
+    weeks.join(cohorts, Seq("__u"))
+      .select(col("__u"), col("cohort_week"),
+        (col("__w") - col("cohort_week")).as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("__u")).as("n_users"))
+  }
 }

@@ -125,4 +125,41 @@ class RelationalSpec extends SparkSuite {
       (1L, 0L, 20.0, true), (1L, 100L, 20.0, false), (1L, 200L, 20.0, false),
       (1L, 300L, 40.0, true), (2L, 100L, 7.0, true)))
   }
+
+  test("funnel: order-sensitive depth counts (purchase before view must not count)") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val events = Seq(
+      // u1 completes the funnel in order
+      (1L, "view", ts(0)), (1L, "click", ts(5)), (1L, "purchase", ts(9)),
+      // u2 purchases BEFORE viewing: depth stops at click
+      (2L, "purchase", ts(0)), (2L, "view", ts(1)), (2L, "click", ts(2)),
+      // u3 only views; u4 clicks without ever viewing (depth 0)
+      (3L, "view", ts(3)), (4L, "click", ts(4)),
+      // u5: click exactly AT the view instant is not strictly after
+      (5L, "view", ts(7)), (5L, "click", ts(7))
+    ).toDF("user_id", "event_type", "ts")
+    val got = operators.Relational.funnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .as[(Int, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got == Map(1 -> 4L, 2 -> 2L, 3 -> 1L), s"got $got") // views: u1,u2,u3,u5
+  }
+
+  test("cohortRetention: epoch-week cohorts and offsets, distinct users") {
+    import java.sql.Timestamp
+    val week = 604800L * 1000
+    val base = 1700006400000L // some instant; absolute cohort ids don't matter
+    def ts(w: Int, off: Long = 0L) = new Timestamp(base + w * week + off)
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(0, 1000)), (1L, ts(2)), // u1: cohort w0, active w0+w2
+      (2L, ts(0)), (2L, ts(1)),                    // u2: cohort w0, active w0+w1
+      (3L, ts(1))                                  // u3: cohort w1 only
+    ).toDF("user_id", "ts")
+    val byOffset = operators.Relational.cohortRetention(events, "user_id", "ts")
+      .as[(Long, Long, Long)].collect()
+    val c0 = byOffset.map(_._1).min
+    val norm = byOffset.map { case (c, o, n) => ((c - c0, o), n) }.toMap
+    assert(norm == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 1L),
+      s"got $norm")
+  }
 }
