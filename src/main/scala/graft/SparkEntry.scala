@@ -545,6 +545,22 @@ object SparkEntry {
         .select("c_custkey")
     }),
 
+    // ---- W-family: SCD-2 validity intervals from the event log ----
+    "q124_scd2_history" -> ((s, dir) =>
+      // floor-second epochs in the output (the q87 contract) — the interval
+      // semantics live in the run collapse, not sub-second precision
+      R.scd2(Tables.events(s, dir), "user_id", "ts", "event_type",
+          tieBreak = col("event_id"))
+        .select(col("user_id"), col("event_type"),
+          col("valid_from").cast("long").as("valid_from_s"),
+          col("valid_to").cast("long").as("valid_to_s"),
+          col("is_current"))),
+
+    // ---- A-family: per-source equi-width histogram profile ----
+    "q125_histogram_profile" -> ((s, dir) =>
+      graft.operators.Analyses.histogramProfile(
+        Tables.documents(s, dir), "source", "n_chars", buckets = 10)),
+
     // ---- A-family: ordered conversion funnel (chained min-after) ----
     "q122_funnel" -> ((s, dir) =>
       R.funnel(Tables.events(s, dir), "user_id", "event_type", "ts",
@@ -1863,6 +1879,33 @@ object SparkEntry {
     "q70_polygon_overlap" -> q70OracleSql,
     "q114_polygon_overlap_holes" -> q114OracleSql,
     "q118_multipolygon_overlap" -> q118OracleSql,
+    // SCD2: lag over the full stream finds value-run starts; lead over run
+    // starts closes each interval; floor-second epochs in the output
+    "q124_scd2_history" ->
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         runs AS (SELECT user_id, event_type, ts, event_id FROM o
+           WHERE prev IS NULL OR prev IS DISTINCT FROM event_type),
+         v AS (SELECT user_id, event_type,
+             cast(floor(epoch(ts)) AS bigint) AS valid_from_s,
+             cast(floor(epoch(lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id))) AS bigint) AS valid_to_s
+           FROM runs)
+         SELECT user_id, event_type, valid_from_s, valid_to_s,
+           valid_to_s IS NULL AS is_current
+         FROM v""",
+    // histogram: shared global [min, max] edges, integer bucket arithmetic,
+    // top value clamped into the last bucket
+    "q125_histogram_profile" ->
+      """WITH mm AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents)
+         SELECT source,
+           cast(CASE WHEN mx = mn THEN 0
+             ELSE least(((n_chars - mn) * 10) // (mx - mn), 9) END AS bigint) AS bucket,
+           count(*) AS n,
+           cast(min(n_chars) AS bigint) AS bucket_min,
+           cast(max(n_chars) AS bigint) AS bucket_max
+         FROM documents, mm GROUP BY 1, 2""",
     // funnel: chained per-stage min(ts) constrained strictly after the
     // previous stage — order-sensitive conversion counts
     "q122_funnel" ->

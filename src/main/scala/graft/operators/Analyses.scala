@@ -86,4 +86,30 @@ object Analyses {
   /** Column form: `df.groupBy(...).agg(bboxUdaf(col("lon"), col("lat")))`. */
   def bboxUdaf(lon: Column, lat: Column): Column =
     udaf(BBoxAggregator).apply(lon, lat).as("bbox")
+
+  /** Data-profiling histogram: per-group equi-width bucket counts of an
+    * integer column over the GLOBAL [min, max] range (shared bucket edges
+    * make groups comparable — the point of a profile). Pure integer
+    * arithmetic (`(v − min)·buckets div (max − min)`, top value clamped
+    * into the last bucket) so bucket assignment is engine-exact; the
+    * min/max pair is one broadcast row, the histogram one hash aggregate —
+    * the single-pass profiling shape that replaces per-column driver
+    * loops. */
+  def histogramProfile(df: DataFrame, groupCol: String, valueCol: String,
+                       buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, "need at least one bucket")
+    val mm = df.agg(
+      min(col(valueCol).cast("long")).as("__mn"),
+      max(col(valueCol).cast("long")).as("__mx"))
+    df.select(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .crossJoin(broadcast(mm))
+      .withColumn("bucket",
+        when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(least(
+            expr(s"((__v - __mn) * ${buckets}L) div (__mx - __mn)"),
+            lit((buckets - 1).toLong))))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("__v")).as("bucket_min"), max(col("__v")).as("bucket_max"))
+  }
 }

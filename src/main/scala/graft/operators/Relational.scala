@@ -282,6 +282,31 @@ object Relational {
         col("value_ffill"), col("observed"))
   }
 
+  /** SCD-2 history build — collapse a per-key event stream into validity
+    * intervals for a tracked attribute: one row per VALUE RUN with
+    * `valid_from` (first ts of the run), `valid_to` (start of the next run,
+    * NULL while current) and `is_current`. The slowly-changing-dimension
+    * shape every warehouse derives from a change log (reference analog: the
+    * task status event stream, init.sql:64-65, viewed as versioned rows
+    * instead of W1's latest-only).
+    *
+    * Two key-partitioned windows (lag to find run starts, lead over run
+    * starts for the closing timestamp) — never global; ties broken by the
+    * caller's tie column so replays are stable. */
+  def scd2(events: DataFrame, keyCol: String, tsCol: String, attrCol: String,
+           tieBreak: Column): DataFrame = {
+    val wAll = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc, tieBreak.asc)
+    val runs = events
+      .withColumn("__prev", lag(col(attrCol), 1).over(wAll))
+      // run start = first event of the key, or a value change (null-safe)
+      .filter(col("__prev").isNull || !(col("__prev") <=> col(attrCol)))
+    val wRuns = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc, tieBreak.asc)
+    runs
+      .withColumn("valid_to", lead(col(tsCol), 1).over(wRuns))
+      .select(col(keyCol), col(attrCol), col(tsCol).as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+  }
+
   /** Ordered funnel analysis — how many users completed stage 1, then
     * stage 2 STRICTLY AFTER their first stage-1 event, then stage 3 after
     * that (the product-analytics conversion funnel; order matters, a

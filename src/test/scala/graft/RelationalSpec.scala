@@ -126,6 +126,27 @@ class RelationalSpec extends SparkSuite {
       (1L, 300L, 40.0, true), (2L, 100L, 7.0, true)))
   }
 
+  test("scd2: value runs collapse to validity intervals; re-emissions stay one row") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val events = Seq(
+      (1L, 10L, ts(0), "pending"),
+      (1L, 11L, ts(1), "pending"),  // re-emission: same run
+      (1L, 12L, ts(2), "running"),
+      (1L, 13L, ts(3), "pending"),  // value RETURNS: new run, not merged
+      (2L, 20L, ts(5), "done")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = operators.Relational.scd2(events, "user_id", "ts", "event_type",
+        tieBreak = col("event_id"))
+      .orderBy("user_id", "valid_from")
+      .as[(Long, String, Timestamp, Option[Timestamp], Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, "pending", ts(0), Some(ts(2)), false),
+      (1L, "running", ts(2), Some(ts(3)), false),
+      (1L, "pending", ts(3), None, true),
+      (2L, "done", ts(5), None, true)), s"got $got")
+  }
+
   test("funnel: order-sensitive depth counts (purchase before view must not count)") {
     import java.sql.Timestamp
     def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
