@@ -545,6 +545,11 @@ object SparkEntry {
         .select("c_custkey")
     }),
 
+    // ---- EXT: PMI collocation extraction ----
+    "q126_pmi_collocations" -> ((s, dir) =>
+      graft.operators.TextOps.pmiCollocations(
+        Tables.documents(s, dir), "doc_id", "text", minCount = 5, k = 20)),
+
     // ---- W-family: SCD-2 validity intervals from the event log ----
     "q124_scd2_history" -> ((s, dir) =>
       // floor-second epochs in the output (the q87 contract) — the interval
@@ -1879,6 +1884,24 @@ object SparkEntry {
     "q70_polygon_overlap" -> q70OracleSql,
     "q114_polygon_overlap_holes" -> q114OracleSql,
     "q118_multipolygon_overlap" -> q118OracleSql,
+    // PMI: ln(c12*N/(c1*c2)) rounded to 6 dp, min-count floor, global
+    // top-20 with (pmi desc, pair) tie-break
+    "q126_pmi_collocations" ->
+      """WITH d AS (SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks
+           FROM documents),
+         nn AS (SELECT toks, len(toks) AS n FROM d WHERE len(toks) >= 2),
+         bg AS (SELECT toks[i] AS t1, toks[i + 1] AS t2
+           FROM (SELECT toks, unnest(range(1, n)) AS i FROM nn) x),
+         c12 AS (SELECT t1, t2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         c1 AS (SELECT t1, count(*) AS c1 FROM bg GROUP BY 1),
+         c2 AS (SELECT t2, count(*) AS c2 FROM bg GROUP BY 1),
+         nb AS (SELECT count(*) AS n_bigrams FROM bg)
+         SELECT t1, t2, c12,
+           round(ln((cast(c12 AS double) * cast(n_bigrams AS double)) /
+             (cast(c1 AS double) * cast(c2 AS double))), 6) AS pmi
+         FROM c12 JOIN c1 USING (t1) JOIN c2 USING (t2) CROSS JOIN nb
+         WHERE c12 >= 5
+         ORDER BY pmi DESC, t1, t2 LIMIT 20""",
     // SCD2: lag over the full stream finds value-run starts; lead over run
     // starts closes each interval; floor-second epochs in the output
     "q124_scd2_history" ->

@@ -285,6 +285,44 @@ object TextOps {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** PMI collocation extraction — the corpus-analysis companion of
+    * [[bigramSurprisal]]: pointwise mutual information
+    * ln(c₁₂·N / (c₁·c₂)) over adjacent token pairs ranks the pairs that
+    * co-occur far above chance (multi-word expressions, boilerplate
+    * phrases — the vocabulary-curation signal). `minCount` suppresses the
+    * low-count PMI explosion (a hapax pair maxes the score by definition);
+    * top-k by (rounded PMI, pair) is a global TakeOrdered — k is small by
+    * contract, a report not a partition of the corpus.
+    *
+    * Scale shape: same as the bigram model — per-row position explode, two
+    * vocab-bounded hash aggregates, one broadcast total row; the PMI
+    * arithmetic is the repo's 6-dp cross-engine contract. */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+                      minCount: Long = 5, k: Int = 20): DataFrame = {
+    require(minCount >= 1 && k >= 1, "need minCount >= 1 and k >= 1")
+    val toked = docs.select(
+        org.apache.spark.sql.functions.filter(tokens(col(textCol)), t => t =!= "").as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") >= 2)
+    val bg = toked
+      .select(col("__toks"), explode(sequence(lit(1), col("__n") - 1)).as("__i"))
+      .select(element_at(col("__toks"), col("__i")).as("t1"),
+        element_at(col("__toks"), col("__i") + 1).as("t2"))
+    val c12 = bg.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("t1")).agg(count(lit(1)).as("c1"))
+    val c2 = bg.groupBy(col("t2")).agg(count(lit(1)).as("c2"))
+    val n = bg.agg(count(lit(1)).as("n_bigrams"))
+    c12.filter(col("c12") >= minCount)
+      .join(c1, Seq("t1")).join(c2, Seq("t2"))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(n))
+      .withColumn("pmi",
+        round(log((col("c12").cast("double") * col("n_bigrams").cast("double")) /
+          (col("c1").cast("double") * col("c2").cast("double"))), 6))
+      .orderBy(col("pmi").desc, col("t1").asc, col("t2").asc)
+      .limit(k)
+      .select(col("t1"), col("t2"), col("c12"), col("pmi"))
+  }
+
   /** Duplicated-span statistics — exact substring dedup at token-window
     * granularity (the scalable form of the "dedup training data at the
     * substring level" recipe: long verbatim repeats across documents are
