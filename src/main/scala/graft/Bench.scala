@@ -131,6 +131,8 @@ object Bench {
     val total = results.collect { case (_, _, v, true, _, _, _) => v }.sum
     val coldTotal = results.collect { case (_, c, _, true, _, _, _) => c }.sum
     val excluded = harness.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Contract line carries qNN keys only; full names live in the sidecar.
+    val excludedShort = harness.toSeq.sorted.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
     val names = results.map { case (k, _, _, _, _, _, _) =>
       "\"" + shortKey(k) + "\":\"" + k + "\""
     }.mkString("{", ",", "}")
@@ -148,6 +150,6 @@ object Bench {
     System.err.println(detail)
     spark.stop()
     // FINAL stdout line: the compact driver contract. Nothing prints after it.
-    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","iters":$iters,"queries":$qs,"failed":$failed,"excluded_harness":$excluded,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","iters":$iters,"queries":$qs,"failed":$failed,"excluded_harness":$excludedShort,"sf":"$sfDir"}""")
   }
 }

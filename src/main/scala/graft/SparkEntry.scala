@@ -550,6 +550,23 @@ object SparkEntry {
       graft.operators.TextOps.pmiCollocations(
         Tables.documents(s, dir), "doc_id", "text", minCount = 5, k = 20)),
 
+    // ---- EXT: corpus-composition statistics ----
+    "q127_source_kl" -> ((s, dir) =>
+      graft.operators.TextOps.sourceKlDivergence(
+        Tables.documents(s, dir), "source", "text")),
+    "q128_chi2_lang_source" -> ((s, dir) =>
+      graft.operators.Analyses.contingencyChi2(
+        Tables.documents(s, dir), "lang", "source")),
+
+    // ---- EXT: per-key rate anomaly + score normalization ----
+    "q129_rate_anomalies" -> ((s, dir) =>
+      graft.operators.Analyses.rateAnomalies(
+        Tables.events(s, dir), "user_id", "ts", zThresh = 2.0)),
+    "q130_percent_rank_norm" -> ((s, dir) =>
+      graft.operators.Analyses.percentRankNormalize(
+        Tables.documents(s, dir).select("doc_id", "lang", "n_chars"),
+        "lang", "n_chars")),
+
     // ---- W-family: SCD-2 validity intervals from the event log ----
     "q124_scd2_history" -> ((s, dir) =>
       // floor-second epochs in the output (the q87 contract) — the interval
@@ -1902,6 +1919,61 @@ object SparkEntry {
          FROM c12 JOIN c1 USING (t1) JOIN c2 USING (t2) CROSS JOIN nb
          WHERE c12 >= 5
          ORDER BY pmi DESC, t1, t2 LIMIT 20""",
+    // KL: per-term 6-dp-rounded signed contributions summed as exact
+    // decimals; marginals derived from the (source, term) table
+    "q127_source_kl" ->
+      """WITH tok AS (SELECT source,
+           unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+           FROM documents),
+         cst AS (SELECT source, term, count(*) AS c_st FROM tok GROUP BY 1, 2),
+         ns AS (SELECT source, cast(sum(c_st) AS bigint) AS n_s FROM cst GROUP BY 1),
+         ct AS (SELECT term, cast(sum(c_st) AS bigint) AS c_t FROM cst GROUP BY 1),
+         n AS (SELECT cast(sum(c_t) AS bigint) AS n_tot FROM ct)
+         SELECT source, max(n_s) AS n_tokens,
+           cast(sum(cast(round((cast(c_st AS double) / cast(n_s AS double)) *
+             ln((cast(c_st AS double) * cast(n_tot AS double)) /
+                (cast(n_s AS double) * cast(c_t AS double))), 6)
+             AS decimal(18,6))) AS double) AS kl
+         FROM cst JOIN ns USING (source) JOIN ct USING (term) CROSS JOIN n
+         GROUP BY source""",
+    // chi2: expected r*c/n and (o-e)^2/e mirrored double trees; totals via
+    // window sums over the bounded cell table
+    "q128_chi2_lang_source" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS observed
+           FROM documents GROUP BY 1, 2),
+         t AS (SELECT lang, source, observed,
+           cast(sum(observed) OVER (PARTITION BY lang) AS double) *
+           cast(sum(observed) OVER (PARTITION BY source) AS double) /
+           cast(sum(observed) OVER () AS double) AS e
+           FROM cells)
+         SELECT lang, source, observed, round(e, 6) AS expected,
+           round((cast(observed AS double) - e) * (cast(observed AS double) - e) / e,
+             6) AS chi2_contrib
+         FROM t""",
+    // z-scores from exact integer moments (never stddev_samp — accumulation
+    // order is engine-specific); observed-day baseline, nd >= 2, var > 0
+    "q129_rate_anomalies" ->
+      """WITH daily AS (SELECT user_id, cast(date_trunc('day', ts) AS date) AS day,
+           count(*) AS n_events FROM events GROUP BY 1, 2),
+         stats AS (SELECT user_id, count(*) AS nd,
+           cast(sum(n_events) AS bigint) AS s,
+           cast(sum(n_events * n_events) AS bigint) AS ss
+           FROM daily GROUP BY 1 HAVING count(*) >= 2),
+         j AS (SELECT d.user_id, d.day, d.n_events,
+           cast(s AS double) / cast(nd AS double) AS mean,
+           (cast(ss AS double) - cast(s AS double) * cast(s AS double) /
+             cast(nd AS double)) / (cast(nd AS double) - 1) AS var
+           FROM daily d JOIN stats USING (user_id))
+         SELECT user_id, day, n_events,
+           round((cast(n_events AS double) - mean) / sqrt(var), 6) AS z
+         FROM j WHERE var > 0
+           AND abs((cast(n_events AS double) - mean) / sqrt(var)) >= 2""",
+    // oracle uses the REAL percent_rank so the distribution-table rewrite is
+    // checked against the textbook window semantics, ties included
+    "q130_percent_rank_norm" ->
+      """SELECT doc_id, lang, n_chars,
+           round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars), 6) AS pr
+         FROM documents""",
     // SCD2: lag over the full stream finds value-run starts; lead over run
     // starts closes each interval; floor-second epochs in the output
     "q124_scd2_history" ->

@@ -112,4 +112,94 @@ object Analyses {
       .agg(count(lit(1)).as("n"),
         min(col("__v")).as("bucket_min"), max(col("__v")).as("bucket_max"))
   }
+
+  /** Pearson chi-squared contingency cells over two categorical columns —
+    * the corpus-composition independence test (is language distribution the
+    * same across sources, or is one source skewing the mixture?). Emits one
+    * row per observed cell with the observed count, the
+    * independence-expected count r·c/n, and the cell's chi-squared
+    * contribution (o−e)²/e; the statistic is the sum, left to the caller so
+    * the per-cell attribution (WHICH cells deviate) survives.
+    *
+    * Scale shape: one hash aggregate collapses the data to the cell table,
+    * which is bounded by |rows|×|cols| — a product of two categorical
+    * cardinalities, not data size — so the window sums over it (row, column
+    * and grand totals) are safe at any input scale. */
+  def contingencyChi2(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.groupBy(col(rowCol), col(colCol)).agg(count(lit(1)).as("observed"))
+    val withTotals = cells
+      .withColumn("__r", sum(col("observed")).over(Window.partitionBy(col(rowCol))))
+      .withColumn("__c", sum(col("observed")).over(Window.partitionBy(col(colCol))))
+      .withColumn("__n", sum(col("observed")).over(Window.partitionBy()))
+      .withColumn("__e",
+        col("__r").cast("double") * col("__c").cast("double") / col("__n").cast("double"))
+    withTotals.select(
+      col(rowCol), col(colCol), col("observed"),
+      round(col("__e"), 6).as("expected"),
+      round((col("observed").cast("double") - col("__e")) *
+        (col("observed").cast("double") - col("__e")) / col("__e"), 6).as("chi2_contrib"))
+  }
+
+  /** Per-key event-rate anomaly detection — flag the days where a key's
+    * activity deviates from its own baseline by ≥ `zThresh` sample standard
+    * deviations (the monitoring/abuse-detection shape: bots, scrapers and
+    * outages all show up as per-entity rate spikes or cliffs). Days with no
+    * events are absent from the baseline by design (observed-day model).
+    *
+    * Determinism: the mean and sample variance are derived from EXACT
+    * integer sums (Σc, Σc²) so both engines do the identical
+    * (ss − s²/nd)/(nd−1) double arithmetic — never a Welford-style
+    * `stddev_samp` whose accumulation order is engine-specific. Scale
+    * shape: two hash aggregates (daily counts, per-key moments) and one
+    * key-equi join back; no windows, no driver state. */
+  def rateAnomalies(events: DataFrame, keyCol: String, tsCol: String,
+                    zThresh: Double = 2.0): DataFrame = {
+    require(zThresh > 0, "need zThresh > 0")
+    val daily = events.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = daily.groupBy(col(keyCol)).agg(
+        count(lit(1)).as("__nd"),
+        sum(col("n_events")).as("__s"),
+        sum(col("n_events") * col("n_events")).as("__ss"))
+      .filter(col("__nd") >= 2)
+    val z = daily.join(stats, Seq(keyCol))
+      .withColumn("__mean", col("__s").cast("double") / col("__nd").cast("double"))
+      .withColumn("__var",
+        (col("__ss").cast("double") -
+          col("__s").cast("double") * col("__s").cast("double") / col("__nd").cast("double")) /
+          (col("__nd").cast("double") - lit(1)))
+      .filter(col("__var") > 0)
+      .withColumn("__z",
+        (col("n_events").cast("double") - col("__mean")) / sqrt(col("__var")))
+    z.filter(abs(col("__z")) >= zThresh)
+      .select(col(keyCol), col("day"), col("n_events"), round(col("__z"), 6).as("z"))
+  }
+
+  /** Percent-rank normalization via the value-distribution table — calibrate
+    * a score across groups (e.g. a quality score across languages) so one
+    * global threshold means the same thing in every group. pr(v) =
+    * |values < v| / (n_group − 1), the standard `percent_rank` definition,
+    * with ties sharing the rank of their first peer.
+    *
+    * Scale shape: this is deliberately NOT `percent_rank().over(partitionBy
+    * (group))` — with few groups those window partitions are corpus-sized
+    * sorts. Instead the data collapses to the (group, value) distribution
+    * table (bounded by value cardinality), cumulative counts run over THAT,
+    * and a hash join maps every row to its rank — the same
+    * distribution-table trick as the q92 two-level prefix sum. */
+  def percentRankNormalize(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dist = df.groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("__c"))
+    val cum = dist
+      .withColumn("__less",
+        sum(col("__c")).over(
+          Window.partitionBy(col(groupCol)).orderBy(col(valueCol))) - col("__c"))
+      .withColumn("__ng", sum(col("__c")).over(Window.partitionBy(col(groupCol))))
+      .withColumn("pr",
+        when(col("__ng") === 1, lit(0.0)).otherwise(
+          round(col("__less").cast("double") / (col("__ng").cast("double") - lit(1)), 6)))
+      .select(col(groupCol), col(valueCol), col("pr"))
+    df.join(cum, Seq(groupCol, valueCol))
+  }
 }

@@ -323,6 +323,41 @@ object TextOps {
       .select(col("t1"), col("t2"), col("c12"), col("pmi"))
   }
 
+  /** Per-source KL divergence from the corpus unigram distribution — the
+    * domain-shift / contamination monitor of a mixture pipeline: a source
+    * whose token distribution drifts far from the corpus (KL ≫ peers) is
+    * either a different register (code vs prose), a different language, or
+    * polluted. KL(pₛ‖q) = Σ_t pₛ(t)·ln(pₛ(t)/q(t)) with pₛ the source's and
+    * q the corpus's unigram distribution; every observed source term also
+    * exists in the corpus so q(t) > 0 always (no smoothing needed).
+    *
+    * Determinism: per-term contributions are rounded to 6 dp and summed as
+    * exact decimals (contributions are signed — only the sum is guaranteed
+    * ≥ 0), with the ln argument computed as one mirrored double expression
+    * (c_st·n)/(n_s·c_t). Scale shape: one tokenize-explode pass collapses to
+    * the (source, term) table; source and term marginals derive from THAT
+    * (vocab-bounded) table, not from a second corpus pass; the grand total
+    * is a one-row broadcast. */
+  def sourceKlDivergence(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(srcCol).as("source"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val cst = tok.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c_st"))
+    val ns = cst.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val ct = cst.groupBy(col("term")).agg(sum(col("c_st")).as("c_t"))
+    val n = ct.agg(sum(col("c_t")).as("n_tot"))
+    cst.join(ns, Seq("source")).join(ct, Seq("term"))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(n))
+      .withColumn("__contrib",
+        round((col("c_st").cast("double") / col("n_s").cast("double")) *
+          log((col("c_st").cast("double") * col("n_tot").cast("double")) /
+            (col("n_s").cast("double") * col("c_t").cast("double"))), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        sum(col("__contrib")).cast("double").as("kl"))
+  }
+
   /** Duplicated-span statistics — exact substring dedup at token-window
     * granularity (the scalable form of the "dedup training data at the
     * substring level" recipe: long verbatim repeats across documents are

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{Analyses, TextOps}
+
+/** Corpus-composition statistics + per-key anomaly ops (q126-q130 family):
+  * hand-computed fixtures so the arithmetic contracts (exact-decimal sums,
+  * mirrored double trees, distribution-table percent_rank) are pinned
+  * independently of the DuckDB oracle.
+  */
+class CorpusStatsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("sourceKlDivergence: identical distributions give KL 0; skew is signed-sum exact") {
+    // A: tokens x x y (p = 2/3, 1/3); B: x y y (p = 1/3, 2/3); q = (1/2, 1/2)
+    val docs = Seq(("A", "x x y"), ("B", "x y y")).toDF("source", "text")
+    val out = TextOps.sourceKlDivergence(docs, "source", "text")
+      .orderBy("source").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("A", "B"))
+    assert(out.forall(_.getLong(1) == 3L))
+    // KL = 2/3 ln(4/3) + 1/3 ln(2/3), per-term 6-dp rounded: 0.191788 - 0.135155
+    assert(out.forall(r => math.abs(r.getDouble(2) - 0.056633) < 1e-9))
+
+    val same = Seq(("A", "x y"), ("B", "x y")).toDF("source", "text")
+    val klSame = TextOps.sourceKlDivergence(same, "source", "text").collect()
+    assert(klSame.forall(_.getDouble(2) == 0.0))
+  }
+
+  test("contingencyChi2: 2x2 with uniform margins has expected 1.5 everywhere") {
+    val df = (Seq.fill(2)(("a", "x")) ++ Seq(("a", "y"), ("b", "x")) ++
+      Seq.fill(2)(("b", "y"))).toDF("lang", "source")
+    val out = Analyses.contingencyChi2(df, "lang", "source").collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getDouble(3) == 1.5))
+    // (2-1.5)^2/1.5 == (1-1.5)^2/1.5 == 1/6
+    assert(out.forall(_.getDouble(4) == 0.166667))
+  }
+
+  test("rateAnomalies: z from exact integer moments; var-0 and single-day keys excluded") {
+    def day(d: Int) = ts(f"2024-01-$d%02d 00:00:00")
+    // user 1: five 1-event days + one 13-event day -> mean 3, var 24, z = 10/sqrt(24)
+    val spike = (1 to 5).map(d => (1L, day(d))) ++ Seq.fill(13)((1L, day(6)))
+    // user 2: constant rate -> var 0 -> excluded; user 3: one day -> excluded
+    val flat = (1 to 4).map(d => (2L, day(d)))
+    val single = Seq.fill(7)((3L, day(1)))
+    val ev = (spike ++ flat ++ single).toDF("user_id", "ts")
+    val out = Analyses.rateAnomalies(ev, "user_id", "ts", zThresh = 2.0).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(2) == 13L)
+    assert(r.getDouble(3) == math.rint(10.0 / math.sqrt(24.0) * 1e6) / 1e6)
+  }
+
+  test("percentRankNormalize: distribution-table rewrite == percent_rank window, ties included") {
+    val df = Seq(
+      (1L, "en", 10L), (2L, "en", 10L), (3L, "en", 20L), (4L, "en", 30L),
+      (5L, "fr", 5L), (6L, "fr", 5L), (7L, "fr", 5L),
+      (8L, "de", 42L) // single-row group -> pr 0
+    ).toDF("doc_id", "lang", "n_chars")
+    val got = Analyses.percentRankNormalize(df, "lang", "n_chars")
+      .select("doc_id", "pr").as[(Long, Double)].collect().toMap
+    val want = df.select(col("doc_id"), round(
+        percent_rank().over(Window.partitionBy($"lang").orderBy($"n_chars")), 6).as("pr"))
+      .as[(Long, Double)].collect().toMap
+    assert(got == want)
+    assert(got(8L) == 0.0 && got(1L) == got(2L))
+  }
+}
