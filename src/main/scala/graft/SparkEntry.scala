@@ -558,6 +558,51 @@ object SparkEntry {
       graft.operators.Analyses.contingencyChi2(
         Tables.documents(s, dir), "lang", "source")),
 
+    // ---- J: multi-dim star joins (TPC-H Q5/Q13 shapes) ----
+    "q131_regional_revenue" -> ((s, dir) => {
+      // Q5 shape: revenue by nation where customer and supplier share the
+      // nation. region⋈nation is a by-NATURE dimension (25×5 rows) →
+      // broadcast; customer/supplier/orders scale with data → shuffled
+      // equi-joins that AQE may demote to broadcast at small SF.
+      val rn = Tables.nation(s, dir)
+        .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(rn), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(rn), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast(D) *
+          (lit(1) - col("l_discount").cast(D))).cast("double").as("revenue"))
+    }),
+    "q132_custdist" -> ((s, dir) => {
+      // Q13 shape: distribution of per-customer order counts, zero-order
+      // customers included (left join + count(non-null)); two hash
+      // aggregates, the second over a count-cardinality-bounded table.
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables.customer(s, dir).select(col("c_custkey"))
+        .join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
     // ---- EXT: per-key rate anomaly + score normalization ----
     "q129_rate_anomalies" -> ((s, dir) =>
       graft.operators.Analyses.rateAnomalies(
@@ -1919,6 +1964,29 @@ object SparkEntry {
          FROM c12 JOIN c1 USING (t1) JOIN c2 USING (t2) CROSS JOIN nb
          WHERE c12 >= 5
          ORDER BY pmi DESC, t1, t2 LIMIT 20""",
+    // Q5: local-supplier star join; same decimal-revenue idiom as q17
+    "q131_regional_revenue" ->
+      """SELECT n_name,
+         cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) as double) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY n_name""",
+    // Q13: zero-order customers kept by the left join + count(non-null)
+    "q132_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN (
+             SELECT o_orderkey, o_custkey FROM orders
+             WHERE o_orderpriority <> '1-URGENT') o ON c_custkey = o_custkey
+           GROUP BY c_custkey)
+         GROUP BY c_count""",
     // KL: per-term 6-dp-rounded signed contributions summed as exact
     // decimals; marginals derived from the (source, term) table
     "q127_source_kl" ->
