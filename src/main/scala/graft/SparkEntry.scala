@@ -603,6 +603,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("custdist"))
     }),
 
+    // ---- T: native session_window replay gate ----
+    "q134_stream_session_agg" -> ((s, dir) =>
+      graft.streaming.Streams.replayedSessionAgg(
+        s, Tables.events(s, dir), chunks = 3, name = "q134")),
+
+    // ---- EXT: edit-distance near-dup (fuzzy dedup) ----
+    "q133_edit_distance_pairs" -> ((s, dir) =>
+      graft.operators.Dedup.editDistancePairs(
+        Tables.documents(s, dir), "doc_id", "text", "lang", maxDist = 15)),
+
     // ---- EXT: per-key rate anomaly + score normalization ----
     "q129_rate_anomalies" -> ((s, dir) =>
       graft.operators.Analyses.rateAnomalies(
@@ -1987,6 +1997,32 @@ object SparkEntry {
              WHERE o_orderpriority <> '1-URGENT') o ON c_custkey = o_custkey
            GROUP BY c_custkey)
          GROUP BY c_count""",
+    // replay == batch gap-rule sessions, MICRO-exact gap comparison (not
+    // q87's floored-second convention); session_end = last event + gap
+    "q134_stream_session_agg" ->
+      """WITH t AS (SELECT event_id, user_id, ts, value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         s AS (SELECT user_id, ts, value,
+           sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 minutes
+                    THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+           FROM t)
+         SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 minutes AS session_end,
+           count(*) AS n_events,
+           cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
+         FROM s GROUP BY user_id, seq""",
+    // edit-distance near-dup: the oracle verifies SEMANTICS with a plain
+    // inequality self-join; banding is the engine-side scale path
+    "q133_edit_distance_pairs" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang,
+           cast(levenshtein(a.text, b.text) AS int) AS lev
+         FROM documents a JOIN documents b
+           ON a.lang = b.lang AND a.doc_id < b.doc_id
+          AND abs(length(a.text) - length(b.text)) <= 15
+         WHERE levenshtein(a.text, b.text) <= 15""",
     // KL: per-term 6-dp-rounded signed contributions summed as exact
     // decimals; marginals derived from the (source, term) table
     "q127_source_kl" ->

@@ -303,6 +303,42 @@ object Dedup {
     docs.join(pairs.select(col("doc_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** Edit-distance (Levenshtein) near-dup pairs — the fuzzy-matching member
+    * of the dedup family: catches small character-level edits (typos, OCR
+    * noise, template fill-ins) that shingle-Jaccard's fixed n-gram windows
+    * under-weight. Semantics: same-`blockCol` pairs with
+    * |len(a) − len(b)| ≤ maxDist and levenshtein(a, b) ≤ maxDist,
+    * canonically ordered idA < idB.
+    *
+    * Scale shape: candidate generation is LENGTH BANDING, not a cross join —
+    * a pair within maxDist of edits is within maxDist of length, so the left
+    * side emits its len-div-maxDist band ±1 and the right side keys on its
+    * own band: every qualifying pair matches on exactly ONE emitted band (no
+    * distinct needed), candidate volume is bounded by the per-(block, band)
+    * occupancy, and the verify step uses Spark's THRESHOLDED `levenshtein`
+    * (banded DP, O(maxDist·min(m,n)) with early exit → −1 above the bound)
+    * rather than the full O(m·n) matrix. */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, maxDist: Int = 15): DataFrame = {
+    require(maxDist >= 1, "need maxDist >= 1")
+    val base = docs.select(col(idCol), col(blockCol), col(textCol),
+      length(col(textCol)).as("__len"))
+    val left = base
+      .withColumn("__band",
+        explode(sequence(expr(s"__len div $maxDist") - 1, expr(s"__len div $maxDist") + 1)))
+      .select(col(idCol).as("id_a"), col(blockCol), col(textCol).as("__ta"),
+        col("__len").as("__la"), col("__band"))
+    val right = base
+      .select(col(idCol).as("id_b"), col(blockCol), col(textCol).as("__tb"),
+        col("__len").as("__lb"), expr(s"__len div $maxDist").as("__band"))
+    left.join(right, Seq(blockCol, "__band"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("__la") - col("__lb")) <= maxDist)
+      .withColumn("lev", levenshtein(col("__ta"), col("__tb"), maxDist))
+      .filter(col("lev") >= 0)
+      .select(col("id_a"), col("id_b"), col(blockCol), col("lev"))
+  }
+
   /** Connected components over a near-dup pair list (doc_a, doc_b) →
     * (id, comp) with comp = the minimum id in each component — the closure
     * that collapses CHAINS of near-dups (a~b, b~c ⇒ {a,b,c} share one keep

@@ -277,6 +277,69 @@ object Streams {
     spark.table(qname)
   }
 
+  /** Native session-window aggregation — the built-in streaming analog of
+    * the batch gap-rule sessionizer (`Relational.sessionize`, q87): Spark's
+    * `session_window` merges per-key windows whose gap-extended spans
+    * overlap, so a session splits exactly when the inter-event gap exceeds
+    * `gap` (strict, micro-exact — NOT the floored-second q87 oracle
+    * convention). Append mode emits a session only once the watermark
+    * passes its end — the state-eviction contract that keeps the operator
+    * bounded on an unbounded stream. */
+  def sessionAgg(events: DataFrame, gap: String, lateness: String): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** T2-family replay gate for [[sessionAgg]]: the fixture streams in
+    * `chunks` event_id-interleaved micro-batches (so one session's events
+    * straddle batches out of time order and the session-MERGE path is
+    * genuinely exercised), followed by two sentinel rows far enough in the
+    * future that the watermark — which lags one batch behind the data that
+    * moved it — passes every real session end. Sentinel 1 advances the
+    * watermark; the batch consuming sentinel 2 computes with that advanced
+    * watermark and flushes every real session to the append sink before the
+    * drain's row-count latch releases. The sentinels' own key (user −1)
+    * stays un-finalized by construction and is filtered here; real events
+    * are never late because `lateness` exceeds the fixture span and the
+    * sentinel lead is `lateness + gap` + margin. Equality target: the batch
+    * gap-rule session table (the q134 DuckDB oracle). */
+  def replayedSessionAgg(spark: SparkSession, events: DataFrame, chunks: Int,
+                         name: String, gap: String = "30 minutes"): DataFrame = {
+    val base = events.select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    val dir = freshReplayDir(name)
+    (0 until chunks).foreach { i =>
+      base.filter(pmod(col("event_id"), lit(chunks)) === i)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/c$i")
+    }
+    val latenessDays = 3650L
+    val maxTs = base.agg(max(col("ts"))).head().getTimestamp(0)
+    def sentinel(i: Int): DataFrame = {
+      // lead = lateness + gap headroom (1 day ≫ 30 min) + 1 day margin
+      val ts = new java.sql.Timestamp(maxTs.getTime + (latenessDays + 2) * 86400000L + i * 1000L)
+      spark.range(1).select(lit(-1L - i).as("event_id"), lit(ts).as("ts"),
+        lit(-1L).as("user_id"), lit(0.0).as("value"))
+    }
+    // written after the data chunks: the file source orders by modification
+    // time and these sequential single-file jobs are comfortably apart
+    sentinel(0).coalesce(1).write.mode("overwrite").parquet(s"$dir/s0")
+    sentinel(1).coalesce(1).write.mode("overwrite").parquet(s"$dir/s1")
+    val expectedRows = base.count() + 2
+    val stream = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+    val qname = s"graft_gate_${name}_${replaySeq.incrementAndGet()}"
+    drainStream(spark, qname, expectedRows) {
+      sessionAgg(stream, gap, lateness = s"$latenessDays days")
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+    }
+    spark.table(qname).filter(col("user_id") >= 0)
+  }
+
   /** Stream-stream INTERVAL join (the streaming analog of
     * [[graft.operators.Joins.rangeJoin]]): left events matched to right
     * events of the same key with `r.ts ∈ [l.ts, l.ts + window]`. Both sides

@@ -280,6 +280,27 @@ class TextDedupSpec extends SparkSuite {
     assert(kept == Set(1L, 2L, 5L, 6L))
   }
 
+  test("editDistancePairs: banding finds all pairs incl. band-straddlers; blocking separates") {
+    val docs = Seq(
+      (1L, "en", "kitten sat here"),   // len 15
+      (2L, "en", "sitten sat here"),   // 1 substitution from doc 1
+      (3L, "en", "kitten sat here!!"), // 2 inserts from doc 1, len 17: band straddle at maxDist 3
+      (4L, "en", "completely different string"),
+      (5L, "fr", "kitten sat here")    // identical text, other block -> must NOT pair
+    ).toDF("doc_id", "lang", "text")
+    val got = Dedup.editDistancePairs(docs, "doc_id", "text", "lang", maxDist = 3)
+      .select("id_a", "id_b", "lev").as[(Long, Long, Int)].collect().toSet
+    // lev(1,2)=1; lev(1,3)=2 with len diff 2 (bands 5 vs 5 at maxDist 3: 15/3=5, 17/3=5);
+    // lev(2,3)=3 (substitution + two inserts)
+    assert(got == Set((1L, 2L, 1), (1L, 3L, 2), (2L, 3L, 3)))
+
+    // true band-straddle: lengths 5 and 8 sit in bands 1 and 2 at maxDist 3
+    val straddle = Seq((1L, "x", "aaaaa"), (2L, "x", "aaaaaaaa")).toDF("doc_id", "lang", "text")
+    val s2 = Dedup.editDistancePairs(straddle, "doc_id", "text", "lang", maxDist = 3)
+      .select("id_a", "id_b", "lev").as[(Long, Long, Int)].collect().toSet
+    assert(s2 == Set((1L, 2L, 3)))
+  }
+
   test("tfidfTopTerms matches a hand-computed reference on a tiny corpus") {
     // 3 docs; "common" appears in all (idf = ln(1) = 0), "rare" only in doc 1
     val docs = Seq(
