@@ -603,6 +603,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("custdist"))
     }),
 
+    // ---- A: cube (completes rollup/grouping-sets/pivot family) ----
+    "q135_cube" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("total_chars"))),
+
+    // ---- W: time-weighted average (duration-weighted mean per key) ----
+    "q136_twap" -> ((s, dir) =>
+      R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
+        tieBreak = col("event_id"))),
+
     // ---- T: native session_window replay gate ----
     "q134_stream_session_agg" -> ((s, dir) =>
       graft.streaming.Streams.replayedSessionAgg(
@@ -1997,6 +2009,23 @@ object SparkEntry {
              WHERE o_orderpriority <> '1-URGENT') o ON c_custkey = o_custkey
            GROUP BY c_custkey)
          GROUP BY c_count""",
+    "q135_cube" ->
+      """SELECT lang, source, count(*) AS n,
+           cast(sum(n_chars) AS bigint) AS total_chars
+         FROM documents GROUP BY CUBE (lang, source)""",
+    // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
+    // one final double division; zero-span keys excluded (no 0/0)
+    "q136_twap" ->
+      """WITH t AS (SELECT user_id, value, epoch_us(ts) AS us,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+           FROM events),
+         iv AS (SELECT user_id, value, next_us - us AS dur FROM t
+           WHERE next_us IS NOT NULL)
+         SELECT user_id, count(*) AS n_intervals,
+           cast(sum(dur) AS bigint) AS span_us,
+           cast(sum(cast(value AS decimal(18,2)) * dur) AS double) /
+             cast(cast(sum(dur) AS bigint) AS double) AS twap
+         FROM iv GROUP BY user_id HAVING sum(dur) > 0""",
     // replay == batch gap-rule sessions, MICRO-exact gap comparison (not
     // q87's floored-second convention); session_end = last event + gap
     "q134_stream_session_agg" ->

@@ -235,6 +235,33 @@ object Relational {
     df.withColumn("session_seq", sum(isStart).over(run))
   }
 
+  /** Time-weighted average — the irregular-series mean that weights each
+    * observation by how long it was CURRENT (until the key's next event),
+    * the standard TWAP/telemetry aggregate where plain `avg` over-counts
+    * bursts. Each event's weight is the exact microsecond gap to the next
+    * event of the same key (`lead` over a key-partitioned window); the last
+    * event carries no interval and single-event keys vanish — the
+    * observed-interval model. Zero-span keys (all events co-timestamped)
+    * are excluded rather than emitting a 0/0.
+    *
+    * Determinism: weights are exact `unix_micros` longs and the weighted
+    * sum is decimal(18,2)·long — both engines sum EXACTLY and divide once
+    * at the end as doubles. Scale shape: one key-partitioned window + one
+    * hash aggregate; no grids, no driver state. */
+  def timeWeightedAvg(df: DataFrame, key: String, ts: String, value: String,
+                      tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts).asc, tieBreak.asc)
+    df.withColumn("__us", unix_micros(col(ts)))
+      .withColumn("__dur", lead(col("__us"), 1).over(w) - col("__us"))
+      .filter(col("__dur").isNotNull)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("__dur")).as("span_us"),
+        (sum(col(value).cast("decimal(18,2)") * col("__dur")).cast("double") /
+          sum(col("__dur")).cast("double")).as("twap"))
+      .filter(col("span_us") > 0)
+  }
+
   /** T3 (batch view) — time-bucketed metrics: tumbling windows over an event
     * log (reference: MetricsMiddleware running count/mean,
     * services/api-gateway/middleware.py:68-94). */

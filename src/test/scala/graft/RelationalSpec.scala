@@ -166,6 +166,23 @@ class RelationalSpec extends SparkSuite {
     assert(got == Map(1 -> 4L, 2 -> 2L, 3 -> 1L), s"got $got") // views: u1,u2,u3,u5
   }
 
+  test("timeWeightedAvg: duration weights, last event dropped, degenerate keys excluded") {
+    import java.sql.Timestamp
+    def t(sec: Long) = new Timestamp(1700000000000L + sec * 1000)
+    val events = Seq(
+      // u1: 10s @ 10.0, then 30s @ 20.0 -> twap (100+600)/40 = 17.5
+      (1L, 1L, t(0), 10.0), (2L, 1L, t(10), 20.0), (3L, 1L, t(40), 30.0),
+      // u2: two co-timestamped events -> span 0 -> excluded
+      (4L, 2L, t(0), 1.0), (5L, 2L, t(0), 2.0),
+      // u3: single event -> no interval -> excluded
+      (6L, 3L, t(0), 9.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = operators.Relational.timeWeightedAvg(events, "user_id", "ts", "value",
+        tieBreak = col("event_id"))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 40000000L, 17.5)), s"got ${got.toSeq}")
+  }
+
   test("cohortRetention: epoch-week cohorts and offsets, distinct users") {
     import java.sql.Timestamp
     val week = 604800L * 1000
