@@ -615,6 +615,17 @@ object SparkEntry {
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
         tieBreak = col("event_id"))),
 
+    // ---- S: streaming parquet file-sink round-trip ----
+    "q138_stream_file_sink" -> ((s, dir) =>
+      graft.streaming.Streams.replayedFileSink(
+        s, Tables.events(s, dir), chunks = 3, name = "q138")),
+
+    // ---- T: stream-static enrichment join replay gate ----
+    "q137_stream_enrich" -> ((s, dir) =>
+      graft.streaming.Streams.replayedEnrichment(
+        s, Tables.events(s, dir), Tables.customer(s, dir),
+        chunks = 3, name = "q137")),
+
     // ---- T: native session_window replay gate ----
     "q134_stream_session_agg" -> ((s, dir) =>
       graft.streaming.Streams.replayedSessionAgg(
@@ -2026,6 +2037,13 @@ object SparkEntry {
            cast(sum(cast(value AS decimal(18,2)) * dur) AS double) /
              cast(cast(sum(dur) AS bigint) AS double) AS twap
          FROM iv GROUP BY user_id HAVING sum(dur) > 0""",
+    // file-sink round-trip: commit-log read-back == the batch table
+    "q138_stream_file_sink" ->
+      "SELECT event_id, ts, user_id, event_type, value FROM events",
+    // stream-static enrichment: appended rows == the batch dim join
+    "q137_stream_enrich" ->
+      """SELECT event_id, user_id, c_mktsegment, c_nationkey, value
+         FROM events JOIN customer ON user_id = c_custkey""",
     // replay == batch gap-rule sessions, MICRO-exact gap comparison (not
     // q87's floored-second convention); session_end = last event + gap
     "q134_stream_session_agg" ->

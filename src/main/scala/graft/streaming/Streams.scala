@@ -277,6 +277,80 @@ object Streams {
     spark.table(qname)
   }
 
+  /** Stream-static enrichment join — the canonical streaming lookup: an
+    * unbounded fact stream joined per micro-batch to a bounded dimension
+    * DataFrame. Stateless (no watermark, no join state — the static side is
+    * re-resolved each batch, which is also what picks up dim updates for
+    * file-backed dims), so rows emit in their own batch. The dim side is a
+    * by-NATURE dimension → explicit broadcast; at 100 TB/h stream rates the
+    * same declaration holds because the static side's size is schema-bound,
+    * not stream-bound. */
+  def enrichStream(events: DataFrame, dim: DataFrame, dimKey: String,
+                   dimCols: String*): DataFrame =
+    events.join(broadcast(dim.select((dimKey +: dimCols).map(col): _*)),
+      col("user_id") === col(dimKey))
+      .drop(dimKey)
+
+  /** Replay gate for [[enrichStream]]: the fixture streams in `chunks`
+    * micro-batches against the static customer dim; the appended enriched
+    * rows must equal the batch join (the q137 DuckDB oracle). Stateless →
+    * no sentinels needed. */
+  def replayedEnrichment(spark: SparkSession, events: DataFrame, dim: DataFrame,
+                         chunks: Int, name: String): DataFrame = {
+    val base = events.select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    val dir = freshReplayDir(name)
+    (0 until chunks).foreach { i =>
+      base.filter(pmod(col("event_id"), lit(chunks)) === i)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/c$i")
+    }
+    val expectedRows = base.count()
+    val stream = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/c*")
+    val qname = s"graft_gate_${name}_${replaySeq.incrementAndGet()}"
+    drainStream(spark, qname, expectedRows) {
+      enrichStream(stream, dim, "c_custkey", "c_mktsegment", "c_nationkey")
+        .select(col("event_id"), col("user_id"), col("c_mktsegment"),
+          col("c_nationkey"), col("value"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+    }
+    spark.table(qname)
+  }
+
+  /** Streaming parquet FILE-sink round-trip — the durable-sink analog of the
+    * memory-sink gates: the fixture streams through an append file sink with
+    * a checkpoint, then reads back through the sink's `_spark_metadata`
+    * commit log, which is what makes the sink exactly-once (a reader only
+    * sees files recorded by committed batches, so a crashed batch's partial
+    * files are invisible). The read-back must equal the batch table — the
+    * q138 oracle. */
+  def replayedFileSink(spark: SparkSession, events: DataFrame, chunks: Int,
+                       name: String): DataFrame = {
+    val base = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    val dir = freshReplayDir(name)
+    (0 until chunks).foreach { i =>
+      base.filter(pmod(col("event_id"), lit(chunks)) === i)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/in/c$i")
+    }
+    val expectedRows = base.count()
+    val stream = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in/c*")
+    val qname = s"graft_gate_${name}_${replaySeq.incrementAndGet()}"
+    drainStream(spark, qname, expectedRows) {
+      stream.writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .queryName(qname)
+        .outputMode("append").start()
+    }
+    spark.read.parquet(s"$dir/out")
+  }
+
   /** Native session-window aggregation — the built-in streaming analog of
     * the batch gap-rule sessionizer (`Relational.sessionize`, q87): Spark's
     * `session_window` merges per-key windows whose gap-extended spans
