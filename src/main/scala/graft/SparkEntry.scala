@@ -631,6 +631,19 @@ object SparkEntry {
       graft.streaming.Streams.replayedSessionAgg(
         s, Tables.events(s, dir), chunks = 3, name = "q134")),
 
+    // ---- §2.9: radius (distance-within) spatial join ----
+    "q140_radius_join" -> ((s, dir) => {
+      val pts = Tables.customer(s, dir).select(col("c_custkey"),
+        (col("c_custkey") * 7 % 360 - 180).cast("double").as("lon"),
+        (col("c_custkey") * 13 % 180 - 90).cast("double").as("lat"))
+      val qs = Tables.supplier(s, dir).select(col("s_suppkey"),
+        (col("s_suppkey") * 11 % 360 - 180).cast("double").as("qlon"),
+        (col("s_suppkey") * 23 % 180 - 90).cast("double").as("qlat"))
+      graft.operators.Spatial.radiusJoin(
+        pts, "c_custkey", "lon", "lat",
+        qs, "s_suppkey", "qlon", "qlat", radiusKm = 500.0)
+    }),
+
     // ---- EXT: edit-distance near-dup (fuzzy dedup) ----
     "q133_edit_distance_pairs" -> ((s, dir) =>
       graft.operators.Dedup.editDistancePairs(
@@ -640,6 +653,9 @@ object SparkEntry {
     "q129_rate_anomalies" -> ((s, dir) =>
       graft.operators.Analyses.rateAnomalies(
         Tables.events(s, dir), "user_id", "ts", zThresh = 2.0)),
+    "q139_mad_outliers" -> ((s, dir) =>
+      graft.operators.Analyses.madOutliers(
+        Tables.events(s, dir), "user_id", "ts", thresh = 3.5)),
     "q130_percent_rank_norm" -> ((s, dir) =>
       graft.operators.Analyses.percentRankNormalize(
         Tables.documents(s, dir).select("doc_id", "lang", "n_chars"),
@@ -2061,6 +2077,25 @@ object SparkEntry {
            count(*) AS n_events,
            cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
          FROM s GROUP BY user_id, seq""",
+    // radius join: brute-force haversine oracle (engine side must find the
+    // SAME pairs through grid candidates incl. antimeridian wrap); mirrored
+    // trig tree, 6-dp rounding before the threshold
+    "q140_radius_join" ->
+      """WITH pts AS (SELECT c_custkey,
+             cast(c_custkey * 7 % 360 - 180 AS double) AS lon,
+             cast(c_custkey * 13 % 180 - 90 AS double) AS lat
+           FROM customer),
+         qs AS (SELECT s_suppkey,
+             cast(s_suppkey * 11 % 360 - 180 AS double) AS qlon,
+             cast(s_suppkey * 23 % 180 - 90 AS double) AS qlat
+           FROM supplier),
+         d AS (SELECT s_suppkey, c_custkey,
+             round(cast(2 AS double) * cast(6371.0088 AS double) * asin(sqrt(
+               sin((radians(qlat) - radians(lat)) / 2) * sin((radians(qlat) - radians(lat)) / 2) +
+               cos(radians(lat)) * cos(radians(qlat)) *
+               sin((radians(qlon) - radians(lon)) / 2) * sin((radians(qlon) - radians(lon)) / 2))), 6) AS dist_km
+           FROM qs CROSS JOIN pts)
+         SELECT s_suppkey, c_custkey, dist_km FROM d WHERE dist_km <= 500""",
     // edit-distance near-dup: the oracle verifies SEMANTICS with a plain
     // inequality self-join; banding is the engine-side scale path
     "q133_edit_distance_pairs" ->
@@ -2119,6 +2154,25 @@ object SparkEntry {
            round((cast(n_events AS double) - mean) / sqrt(var), 6) AS z
          FROM j WHERE var > 0
            AND abs((cast(n_events AS double) - mean) / sqrt(var)) >= 2""",
+    // MAD: integer daily counts make the interpolated median/MAD exact in
+    // both engines; threshold on the unrounded modified z, output rounded
+    "q139_mad_outliers" ->
+      """WITH daily AS (SELECT user_id, cast(date_trunc('day', ts) AS date) AS day,
+           count(*) AS n_events FROM events GROUP BY 1, 2),
+         med AS (SELECT user_id, quantile_cont(n_events, 0.5) AS med
+           FROM daily GROUP BY 1),
+         dev AS (SELECT d.user_id, day, n_events, med,
+           abs(cast(n_events AS double) - med) AS adev
+           FROM daily d JOIN med USING (user_id)),
+         mad AS (SELECT user_id, quantile_cont(adev, 0.5) AS mad
+           FROM dev GROUP BY 1)
+         SELECT v.user_id, v.day, v.n_events,
+           round((cast(0.6745 AS double) * (cast(n_events AS double) - med)) / mad,
+             6) AS rz
+         FROM dev v JOIN mad USING (user_id)
+         WHERE mad > 0
+           AND abs((cast(0.6745 AS double) * (cast(n_events AS double) - med)) / mad)
+             > cast(3.5 AS double)""",
     // oracle uses the REAL percent_rank so the distribution-table rewrite is
     // checked against the textbook window semantics, ties included
     "q130_percent_rank_norm" ->

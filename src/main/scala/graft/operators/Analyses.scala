@@ -176,6 +176,38 @@ object Analyses {
       .select(col(keyCol), col("day"), col("n_events"), round(col("__z"), 6).as("z"))
   }
 
+  /** MAD (median-absolute-deviation) outlier detection — the ROBUST
+    * companion of [[rateAnomalies]]: a key whose baseline contains outliers
+    * inflates its own stddev and hides them from a z-test, while the median
+    * and MAD ignore up to half the days being wild. Flags days where the
+    * modified z-score 0.6745·(x − med)/MAD exceeds `thresh` (3.5 = the
+    * Iglewicz–Hoaglin convention). MAD-0 keys (≥ half the days identical)
+    * are excluded rather than dividing by zero.
+    *
+    * Determinism: daily counts are integers, so the interpolated median and
+    * the MAD are EXACT binary doubles (whole or half/quarter values) in any
+    * engine — the one place exact `percentile` parity is unconditionally
+    * safe. Scale shape: two per-key percentile aggregates + two key
+    * equi-joins; the q84 note applies — at 100 TB swap `percentile` for
+    * `approx_percentile` and accept sketch error. */
+  def madOutliers(events: DataFrame, keyCol: String, tsCol: String,
+                  thresh: Double = 3.5): DataFrame = {
+    require(thresh > 0, "need thresh > 0")
+    val daily = events.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val med = daily.groupBy(col(keyCol))
+      .agg(expr("percentile(n_events, 0.5)").as("__med"))
+    val dev = daily.join(med, Seq(keyCol))
+      .withColumn("__adev", abs(col("n_events").cast("double") - col("__med")))
+    val mad = dev.groupBy(col(keyCol))
+      .agg(expr("percentile(__adev, 0.5)").as("__mad"))
+    dev.join(mad, Seq(keyCol)).filter(col("__mad") > 0)
+      .withColumn("__rz",
+        (lit(0.6745) * (col("n_events").cast("double") - col("__med"))) / col("__mad"))
+      .filter(abs(col("__rz")) > thresh)
+      .select(col(keyCol), col("day"), col("n_events"), round(col("__rz"), 6).as("rz"))
+  }
+
   /** Percent-rank normalization via the value-distribution table — calibrate
     * a score across groups (e.g. a quality score across languages) so one
     * global threshold means the same thing in every group. pr(v) =

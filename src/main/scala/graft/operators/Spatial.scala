@@ -148,6 +148,65 @@ object Spatial {
     refined.drop("__cell").distinct()
   }
 
+  /** Great-circle (haversine) distance in km. One mirrored double tree —
+    * sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2) with squares spelled as products
+    * (never `pow`) so an external oracle evaluates the identical expression
+    * shape; outputs feed the repo's round-to-6-dp-before-compare contract
+    * because JVM and libm trig can differ in the last ulp. */
+  def haversineKm(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
+    val hdphi = (radians(lat2) - radians(lat1)) / 2
+    val hdlmb = (radians(lon2) - radians(lon1)) / 2
+    lit(2.0) * lit(6371.0088) * asin(sqrt(
+      sin(hdphi) * sin(hdphi) +
+        cos(radians(lat1)) * cos(radians(lat2)) * sin(hdlmb) * sin(hdlmb)))
+  }
+
+  /** Radius (distance-within) join — the ST_DWithin analog: every (query,
+    * point) pair within `radiusKm` great-circle km. Candidates come from the
+    * grid machinery: each query point expands to a CONSERVATIVE lat/lon
+    * window (1° lat ≥ 110.574 km everywhere; the lon shrink factor uses the
+    * largest |lat| reachable inside the window, degenerating to the full
+    * lon band near the poles), windows crossing the antimeridian SPLIT into
+    * two disjoint boxes (so wrap-around neighbors are found and nothing
+    * pairs twice), and [[gridJoin]] turns the boxes into a shuffled cell
+    * equi-join — never a cross join. Survivors verify on the 6-dp-rounded
+    * haversine distance. */
+  def radiusJoin(points: DataFrame, pidCol: String, plonCol: String, platCol: String,
+                 queries: DataFrame, qidCol: String, qlonCol: String, qlatCol: String,
+                 radiusKm: Double, cellDeg: Double = 5.0): DataFrame = {
+    require(radiusKm > 0 && cellDeg > 0, "need radiusKm > 0 and cellDeg > 0")
+    val dLat = radiusKm / 110.574
+    def box(lo: Column, hi: Column, minLat: Column, maxLat: Column) =
+      struct(lo.as("min_lon"), minLat.as("min_lat"), hi.as("max_lon"), maxLat.as("max_lat"))
+    val qb = queries
+      .select(col(qidCol), col(qlonCol).as("__qlon"), col(qlatCol).as("__qlat"))
+      .withColumn("__minLat", greatest(lit(-90.0), col("__qlat") - dLat))
+      .withColumn("__maxLat", least(lit(90.0), col("__qlat") + dLat))
+      .withColumn("__latReach", least(lit(90.0), abs(col("__qlat")) + lit(dLat)))
+      .withColumn("__dlon",
+        when(col("__latReach") >= 89.0, lit(180.0)).otherwise(
+          least(lit(180.0), lit(radiusKm) / (lit(111.320) * cos(radians(col("__latReach")))))))
+      .withColumn("__lo", col("__qlon") - col("__dlon"))
+      .withColumn("__hi", col("__qlon") + col("__dlon"))
+      .withColumn("bbox", explode(
+        when(col("__dlon") >= 180.0,
+          array(box(lit(-180.0), lit(180.0), col("__minLat"), col("__maxLat"))))
+        .when(col("__lo") < -180.0, array(
+          box(lit(-180.0), col("__hi"), col("__minLat"), col("__maxLat")),
+          box(col("__lo") + 360.0, lit(180.0), col("__minLat"), col("__maxLat"))))
+        .when(col("__hi") > 180.0, array(
+          box(col("__lo"), lit(180.0), col("__minLat"), col("__maxLat")),
+          box(lit(-180.0), col("__hi") - 360.0, col("__minLat"), col("__maxLat"))))
+        .otherwise(array(box(col("__lo"), col("__hi"), col("__minLat"), col("__maxLat"))))))
+      .select(col(qidCol), col("__qlon"), col("__qlat"), col("bbox"))
+    gridJoin(points.select(col(pidCol), col(plonCol), col(platCol)),
+        plonCol, platCol, qb, "bbox", cellDeg)
+      .withColumn("dist_km",
+        round(haversineKm(col(plonCol), col(platCol), col("__qlon"), col("__qlat")), 6))
+      .filter(col("dist_km") <= radiusKm)
+      .select(col(qidCol), col(pidCol), col("dist_km"))
+  }
+
   /** Z-order (Morton) locality key: lon/lat quantized to `bits`-bit cells,
     * bit-interleaved into one long whose ordering is the Z space-filling
     * curve. Rows sorted/range-partitioned by this key put spatially-near

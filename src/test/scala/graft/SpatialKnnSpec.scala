@@ -395,4 +395,27 @@ class SpatialKnnSpec extends SparkSuite {
       .filter(bs("sim") =!= is("sim"))
     assert(disagree.count() == 0)
   }
+
+  test("haversineKm: known city distance; radiusJoin handles wrap and pole") {
+    // London -> Paris great-circle ~343.5 km
+    val lp = Seq((1)).toDF("x").select(
+      Spatial.haversineKm(lit(-0.1278), lit(51.5074), lit(2.3522), lit(48.8566)).as("d"))
+      .head().getDouble(0)
+    assert(math.abs(lp - 343.5) < 1.0, s"London-Paris got $lp")
+
+    val pts = Seq(
+      (1L, 179.9, 0.0),   // antimeridian east side
+      (2L, -179.9, 0.0),  // west side: ~22.26 km from p1 across the seam
+      (3L, 0.0, 89.9),    // near-pole
+      (4L, 180.0, 89.9),  // other side of the pole: ~22.24 km from p3
+      (5L, 0.0, 0.0)      // far from everything
+    ).toDF("pid", "lon", "lat")
+    val qs = Seq((10L, -179.95, 0.0), (20L, 90.0, 89.95)).toDF("qid", "qlon", "qlat")
+    val got = Spatial.radiusJoin(pts, "pid", "lon", "lat",
+        qs, "qid", "qlon", "qlat", radiusKm = 30.0, cellDeg = 5.0)
+      .select("qid", "pid").as[(Long, Long)].collect().toSet
+    // q10 sits 0.05° west of the seam: reaches p2 directly and p1 ACROSS it;
+    // q20 sits 0.05° from the pole: reaches both near-pole points
+    assert(got == Set((10L, 1L), (10L, 2L), (20L, 3L), (20L, 4L)), s"got $got")
+  }
 }
