@@ -653,6 +653,12 @@ object SparkEntry {
     "q129_rate_anomalies" -> ((s, dir) =>
       graft.operators.Analyses.rateAnomalies(
         Tables.events(s, dir), "user_id", "ts", zThresh = 2.0)),
+    "q141_trend_slope" -> ((s, dir) =>
+      graft.operators.Analyses.trendSlope(
+        Tables.events(s, dir), "user_id", "ts", "value")),
+    "q142_markov_transitions" -> ((s, dir) =>
+      R.markovTransitions(Tables.events(s, dir), "user_id", "ts", "event_type",
+        tieBreak = col("event_id"))),
     "q139_mad_outliers" -> ((s, dir) =>
       graft.operators.Analyses.madOutliers(
         Tables.events(s, dir), "user_id", "ts", thresh = 3.5)),
@@ -2154,6 +2160,43 @@ object SparkEntry {
            round((cast(n_events AS double) - mean) / sqrt(var), 6) AS z
          FROM j WHERE var > 0
            AND abs((cast(n_events AS double) - mean) / sqrt(var)) >= 2""",
+    // OLS trend from exact moments: x = whole seconds since the key's first
+    // event (div — exact), Σx² via decimal-widened squares, one final
+    // closed-form double evaluation; det-0 (co-timestamped) keys excluded
+    "q141_trend_slope" ->
+      """WITH t0 AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1),
+         xy AS (SELECT e.user_id,
+             (epoch_us(e.ts) - epoch_us(t0)) // 1000000 AS x,
+             cast(e.value AS decimal(18,2)) AS y
+           FROM events e JOIN t0 USING (user_id)),
+         m AS (SELECT user_id, count(*) AS n,
+             cast(sum(x) AS bigint) AS sx,
+             sum(cast(x AS decimal(20,0)) * x) AS sxx,
+             sum(y) AS sy,
+             sum(y * x) AS sxy
+           FROM xy GROUP BY 1),
+         d AS (SELECT user_id, n,
+             cast(n AS double) * cast(sxx AS double) -
+               cast(sx AS double) * cast(sx AS double) AS det,
+             cast(n AS double) * cast(sxy AS double) -
+               cast(sx AS double) * cast(sy AS double) AS num,
+             cast(sx AS double) AS sxd, cast(sy AS double) AS syd
+           FROM m)
+         SELECT user_id, n, round(num / det, 6) AS slope,
+           round((syd - (num / det) * sxd) / cast(n AS double), 6) AS intercept
+         FROM d WHERE det > 0""",
+    // Markov transition matrix: lead-window successor pairs; the |types|^2
+    // cell table row-normalizes via a bounded window
+    "q142_markov_transitions" ->
+      """WITH t AS (SELECT event_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+           FROM events),
+         c AS (SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+           FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+           round(cast(n AS double) /
+             cast(sum(n) OVER (PARTITION BY from_type) AS double), 6) AS p
+         FROM c""",
     // MAD: integer daily counts make the interpolated median/MAD exact in
     // both engines; threshold on the unrounded modified z, output rounded
     "q139_mad_outliers" ->

@@ -208,6 +208,45 @@ object Analyses {
       .select(col(keyCol), col("day"), col("n_events"), round(col("__rz"), 6).as("rz"))
   }
 
+  /** Per-key OLS trend — slope/intercept of value over time from EXACT
+    * moments: x is seconds since the key's own first event (small exact
+    * longs — never raw epoch micros, whose squares overflow), y is
+    * decimal(18,2), and Σx, Σx², Σxy, Σy are all exact integer/decimal sums,
+    * so both engines do the identical closed-form double arithmetic
+    * slope = (n·Σxy − Σx·Σy)/(n·Σx² − Σx²̂) once at the end — the same
+    * never-sum-doubles contract as q129, here for `regr_slope` semantics.
+    * Zero-time-variance keys (all events co-timestamped) are excluded.
+    * Scale shape: per-key min join + one hash aggregate. */
+  def trendSlope(events: DataFrame, keyCol: String, tsCol: String,
+                 valCol: String): DataFrame = {
+    val withT0 = events
+      .join(events.groupBy(col(keyCol)).agg(min(col(tsCol)).as("__t0")), Seq(keyCol))
+      // whole seconds since the key's first event: `div` keeps x an exact
+      // long (`/` would be double division and poison the exact sums)
+      .withColumn("__x", expr(s"(unix_micros($tsCol) - unix_micros(__t0)) div 1000000"))
+      .withColumn("__y", col(valCol).cast("decimal(18,2)"))
+    val m = withT0.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col("__x")).as("__sx"),
+      // x widened to decimal BEFORE the square: long·long would wrap
+      // silently once x² sums pass 2⁶³ at larger scale factors
+      sum(col("__x").cast("decimal(20,0)") * col("__x")).as("__sxx"),
+      sum(col("__y")).as("__sy"),
+      sum(col("__y") * col("__x")).as("__sxy"))
+    m.withColumn("__det",
+        col("n").cast("double") * col("__sxx").cast("double") -
+          col("__sx").cast("double") * col("__sx").cast("double"))
+      .filter(col("__det") > 0)
+      .withColumn("__slope",
+        (col("n").cast("double") * col("__sxy").cast("double") -
+          col("__sx").cast("double") * col("__sy").cast("double")) / col("__det"))
+      .withColumn("slope", round(col("__slope"), 6))
+      .withColumn("intercept",
+        round((col("__sy").cast("double") - col("__slope") * col("__sx").cast("double")) /
+          col("n").cast("double"), 6))
+      .select(col(keyCol), col("n"), col("slope"), col("intercept"))
+  }
+
   /** Percent-rank normalization via the value-distribution table — calibrate
     * a score across groups (e.g. a quality score across languages) so one
     * global threshold means the same thing in every group. pr(v) =

@@ -334,6 +334,27 @@ object Relational {
         col("valid_to"), col("valid_to").isNull.as("is_current"))
   }
 
+  /** Event-type transition matrix (first-order Markov) — the behavior-flow
+    * view product analytics builds next to the funnel: for every ordered
+    * pair of event types, how often does one IMMEDIATELY follow the other
+    * within a user's stream, and with what conditional probability
+    * p(to|from). Successor pairs come from one key-partitioned `lead`
+    * window (same shape as SCD-2/sessionize — never a self-join); the
+    * matrix itself is bounded by |types|², so the row-normalizing window
+    * over it is safe at any input scale. Probabilities are one double
+    * division of exact counts, rounded to the 6-dp contract. */
+  def markovTransitions(events: DataFrame, keyCol: String, tsCol: String,
+                        typeCol: String, tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc, tieBreak.asc)
+    events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))).cast("double"), 6))
+  }
+
   /** Ordered funnel analysis — how many users completed stage 1, then
     * stage 2 STRICTLY AFTER their first stage-1 event, then stage 3 after
     * that (the product-analytics conversion funnel; order matters, a

@@ -52,6 +52,33 @@ class CorpusStatsSpec extends SparkSuite {
     assert(r.getDouble(3) == math.rint(10.0 / math.sqrt(24.0) * 1e6) / 1e6)
   }
 
+  test("trendSlope: exact-moment OLS on a hand line; degenerate keys excluded") {
+    import java.sql.Timestamp
+    def t(sec: Long) = new Timestamp(1700000000000L + sec * 1000)
+    val events = Seq(
+      (1L, t(0), 1.0), (1L, t(10), 2.0), (1L, t(20), 3.0), // y = 1 + 0.1x
+      (2L, t(5), 7.0), (2L, t(5), 9.0)                     // co-timestamped -> det 0
+    ).toDF("user_id", "ts", "value")
+    val got = Analyses.trendSlope(events, "user_id", "ts", "value")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((1L, 3L, 0.1, 1.0)), s"got $got")
+  }
+
+  test("markovTransitions: successor counts and row-normalized probabilities") {
+    import java.sql.Timestamp
+    def t(sec: Long) = new Timestamp(1700000000000L + sec * 1000)
+    val events = Seq(
+      (1L, 1L, t(0), "A"), (2L, 1L, t(1), "B"), (3L, 1L, t(2), "A"), (4L, 1L, t(3), "B"),
+      (5L, 2L, t(0), "A"), (6L, 2L, t(1), "C")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.operators.Relational.markovTransitions(
+        events, "user_id", "ts", "event_type", tieBreak = col("event_id"))
+      .as[(String, String, Long, Double)].collect().toSet
+    // from A: B twice, C once (p 2/3, 1/3); from B: A once (p 1)
+    assert(got == Set(("A", "B", 2L, 0.666667), ("A", "C", 1L, 0.333333),
+      ("B", "A", 1L, 1.0)), s"got $got")
+  }
+
   test("percentRankNormalize: distribution-table rewrite == percent_rank window, ties included") {
     val df = Seq(
       (1L, "en", 10L), (2L, "en", 10L), (3L, "en", 20L), (4L, "en", 30L),
