@@ -659,6 +659,10 @@ object SparkEntry {
     "q142_markov_transitions" -> ((s, dir) =>
       R.markovTransitions(Tables.events(s, dir), "user_id", "ts", "event_type",
         tieBreak = col("event_id"))),
+    "q143_mode_per_group" -> ((s, dir) =>
+      R.modePerGroup(Tables.events(s, dir), "user_id", "event_type")),
+    "q144_active_users" -> ((s, dir) =>
+      R.activeUsers(Tables.events(s, dir), "user_id", "ts")),
     "q139_mad_outliers" -> ((s, dir) =>
       graft.operators.Analyses.madOutliers(
         Tables.events(s, dir), "user_id", "ts", thresh = 3.5)),
@@ -2197,6 +2201,28 @@ object SparkEntry {
            round(cast(n AS double) /
              cast(sum(n) OVER (PARTITION BY from_type) AS double), 6) AS p
          FROM c""",
+    // deterministic mode: explicit (count desc, value) tie-break — built-in
+    // mode() is tie-ambiguous under an exact-hash contract
+    "q143_mode_per_group" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT user_id, event_type, n,
+           row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+           FROM c)
+         SELECT user_id, event_type AS mode_value, n FROM r WHERE rk = 1""",
+    // DAU + cumulative uniques via first-seen-day running sum (never a
+    // running distinct over the stream)
+    "q144_active_users" ->
+      """WITH daily AS (SELECT cast(date_trunc('day', ts) AS date) AS day,
+           count(DISTINCT user_id) AS dau FROM events GROUP BY 1),
+         fs AS (SELECT user_id, min(cast(date_trunc('day', ts) AS date)) AS day
+           FROM events GROUP BY 1),
+         nw AS (SELECT day, count(*) AS nnew FROM fs GROUP BY 1)
+         SELECT d.day, dau,
+           cast(sum(coalesce(nnew, 0))
+             OVER (ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS bigint) AS cumulative_users
+         FROM daily d LEFT JOIN nw USING (day)""",
     // MAD: integer daily counts make the interpolated median/MAD exact in
     // both engines; threshold on the unrounded modified z, output rounded
     "q139_mad_outliers" ->

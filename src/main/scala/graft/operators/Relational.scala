@@ -334,6 +334,41 @@ object Relational {
         col("valid_to"), col("valid_to").isNull.as("is_current"))
   }
 
+  /** Deterministic per-group mode — most frequent value with an explicit
+    * (count desc, value asc) tie-break, because the built-in `mode` leaves
+    * ties engine- and partition-order-dependent (unusable under an
+    * exact-hash contract). Two hash aggregates + one WindowGroupLimit-shaped
+    * rank over the (group, value) count table — bounded by value
+    * cardinality, never a data-sized window. */
+  def modePerGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("n").desc, col(valueCol).asc)
+    counts.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(groupCol), col(valueCol).as("mode_value"), col("n"))
+  }
+
+  /** Daily active users + cumulative distinct users — the growth-accounting
+    * pair. Cumulative COUNT(DISTINCT) is deliberately NOT a running
+    * distinct over the event stream (unbounded state): a user contributes
+    * to the cumulative series exactly once, on their FIRST day, so the
+    * series is the running sum of first-seen counts — two hash aggregates
+    * and one window over the day-level table, whose size is the time span,
+    * not the event count. */
+  def activeUsers(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = events.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(countDistinct(col(keyCol)).as("dau"))
+    val firstSeen = events.groupBy(col(keyCol))
+      .agg(min(to_date(col(tsCol))).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("__new"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(firstSeen, Seq("day"), "left")
+      .withColumn("cumulative_users",
+        sum(coalesce(col("__new"), lit(0L))).over(w))
+      .select(col("day"), col("dau"), col("cumulative_users"))
+  }
+
   /** Event-type transition matrix (first-order Markov) — the behavior-flow
     * view product analytics builds next to the funnel: for every ordered
     * pair of event types, how often does one IMMEDIATELY follow the other

@@ -227,4 +227,63 @@ object PropertySpec extends Properties("graft") {
       }.filter(_._2 > 0).sortBy { case (d, s) => (-s, d) }.take(4)
       got == expected
     }
+
+  property("editDistancePairs == brute force (banding has no holes)") =
+    Prop.forAll(Gen.choose(2, 8), Gen.listOfN(24, Gen.choose(3, 40))) { (maxDist, lens) =>
+      import spark.implicits._
+      // strings over a 2-letter alphabet at varied lengths: plenty of
+      // near-misses around the band boundaries
+      val docs = lens.zipWithIndex.map { case (len, i) =>
+        (i.toLong, "b", Seq.tabulate(len)(j => if ((j * 7 + i) % 3 == 0) "a" else "b").mkString)
+      }
+      val df = docs.toDF("doc_id", "lang", "text")
+      val got = Dedup.editDistancePairs(df, "doc_id", "text", "lang", maxDist)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val want = (for {
+        (ida, la, ta) <- docs.map(d => (d._1, d._3.length, d._3))
+        (idb, lb, tb) <- docs.map(d => (d._1, d._3.length, d._3))
+        if ida < idb && math.abs(la - lb) <= maxDist && lev(ta, tb) <= maxDist
+      } yield (ida, idb)).toSet
+      got == want
+    }
+
+  property("radiusJoin == brute-force haversine (wrap/pole candidates complete)") =
+    Prop.forAll(Gen.choose(50.0, 2000.0), Gen.choose(0L, 1000000L)) { (radius, seed) =>
+      import spark.implicits._
+      // deterministic pseudo-random points biased toward the seam and poles
+      def pt(i: Long): (Double, Double) = {
+        val h = (i * 2654435761L + seed) & 0x7fffffffL
+        val lon = (h % 3600) / 10.0 - 180.0
+        val lat = ((h / 3600) % 1800) / 10.0 - 90.0
+        (if (i % 3 == 0) math.signum(lon) * math.min(180.0, math.abs(lon) + 150) else lon,
+         if (i % 4 == 0) math.signum(lat) * math.min(90.0, math.abs(lat) + 70) else lat)
+      }
+      val pts = (0L until 30L).map(i => { val (lo, la) = pt(i); (i, lo, la) })
+      val qs = (100L until 110L).map(i => { val (lo, la) = pt(i); (i, lo, la) })
+      val got = graft.operators.Spatial.radiusJoin(
+          pts.toDF("pid", "lon", "lat"), "pid", "lon", "lat",
+          qs.toDF("qid", "qlon", "qlat"), "qid", "qlon", "qlat", radius, cellDeg = 10.0)
+        .select("qid", "pid").as[(Long, Long)].collect().toSet
+      def hav(lo1: Double, la1: Double, lo2: Double, la2: Double): Double = {
+        val (p1, p2) = (math.toRadians(la1), math.toRadians(la2))
+        val (dp, dl) = ((p2 - p1) / 2, (math.toRadians(lo2) - math.toRadians(lo1)) / 2)
+        2 * 6371.0088 * math.asin(math.sqrt(
+          math.sin(dp) * math.sin(dp) + math.cos(p1) * math.cos(p2) * math.sin(dl) * math.sin(dl)))
+      }
+      val want = (for {
+        (qid, qlo, qla) <- qs; (pid, plo, pla) <- pts
+        d = BigDecimal(java.math.BigDecimal.valueOf(hav(plo, pla, qlo, qla)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if d <= radius
+      } yield (qid, pid)).toSet
+      got == want
+    }
 }
