@@ -105,6 +105,14 @@ object Bench {
     }
     def fmt(d: Double) = f"$d%.3f"
     def fmt2(d: Double) = f"$d%.2f"
+    // Contract-line value format: 2 dp under 10 s (1 dp above), trailing
+    // zeros trimmed — worth ~100 B across 150 queries, and byte-headroom on
+    // the contract line is a real resource (see shortKey).
+    def fmtQ(d: Double) = {
+      val s = if (d >= 10) f"$d%.1f" else f"$d%.2f"
+      val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      if (t.isEmpty) "0" else t
+    }
     // failed queries report -1 and are EXCLUDED from the total (a broken
     // query must not read as a fast one), and named in "failed".
     //
@@ -115,7 +123,7 @@ object Bench {
     // stays well inside the driver's ~2.2 KiB tail capture (round 4's
     // artifact was unparseable because the diagnostics rode on this line).
     val qs = results.map { case (k, _, v, ok, _, _, _) =>
-      "\"" + shortKey(k) + "\":" + (if (ok) fmt2(v) else "-1")
+      "\"" + shortKey(k) + "\":" + (if (ok) fmtQ(v) else "-1")
     }.mkString("{", ",", "}")
     val colds = results.map { case (k, c, _, ok, _, _, _) => "\"" + k + "\":" + (if (ok) fmt(c) else "-1") }
       .mkString("{", ",", "}")
@@ -132,8 +140,6 @@ object Bench {
     val total = results.collect { case (_, _, v, true, _, _, _) => v }.sum
     val coldTotal = results.collect { case (_, c, _, true, _, _, _) => c }.sum
     val excluded = harness.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Contract line carries qNN keys only; full names live in the sidecar.
-    val excludedShort = harness.toSeq.sorted.map("\"" + shortKey(_) + "\"").mkString("[", ",", "]")
     val names = results.map { case (k, _, _, _, _, _, _) =>
       "\"" + shortKey(k) + "\":\"" + k + "\""
     }.mkString("{", ",", "}")
@@ -150,7 +156,18 @@ object Bench {
     }
     System.err.println(detail)
     spark.stop()
-    // FINAL stdout line: the compact driver contract. Nothing prints after it.
-    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","iters":$iters,"queries":$qs,"failed":$failed,"excluded_harness":$excludedShort,"sf":"$sfDir"}""")
+    // FINAL stdout line: the compact driver contract — total + steady qNN map
+    // + failures only. The harness-exclusion list (with full names) lives in
+    // the sidecar's "excluded_harness"; keeping it off the contract line buys
+    // ~100 bytes of headroom under the driver's ~2.2 KiB tail capture as the
+    // gate surface grows (n_excluded keeps the exclusion COUNT visible).
+    val line =
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","iters":$iters,"queries":$qs,"failed":$failed,"n_excluded":${harness.size},"sf":"$sfDir"}"""
+    // Self-check: warn loudly (stderr) before the line outgrows the capture.
+    if (line.length > 2000)
+      System.err.println(s"[bench] WARNING contract line ${line.length} B — nearing the ~2.2 KiB driver tail capture")
+    else
+      System.err.println(s"[bench] contract line ${line.length} B")
+    println(line)
   }
 }

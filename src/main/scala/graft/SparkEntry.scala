@@ -610,6 +610,95 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("n_chars")).as("total_chars"))),
 
+    // ---- EXT: frontier BFS — shortest-hop reachability from a seed set ----
+    "q145_bfs_hops" -> ((s, dir) => {
+      // same customer↔supplier bipartite graph as q111; seeds = 5 flagged
+      // customers, 3 hops (c → s → c → s): "which entities sit within k
+      // hops of a flagged account" — the impact-radius query
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val pairs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+      val edges = pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables.customer(s, dir).filter(col("c_custkey") <= 5)
+        .select(concat(lit("c"), col("c_custkey")).as("node"))
+      graft.operators.Graph.bfsHops(edges, seeds, maxHops = 3)
+    }),
+
+    // ---- J/A/L: TPC-H Q3 shape — top open orders by revenue ----
+    "q146_shipping_priority" -> ((s, dir) => {
+      // dim-filtered fact⋈fact⋈fact star, grouped top-k with a total-order
+      // tie-break (revenue desc, date, orderkey) so LIMIT is deterministic
+      val c = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1997-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("o_date"), col("o_orderpriority"))
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1997-01-01"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_date"), col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast(D) *
+          (lit(1) - col("l_discount").cast(D))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_date"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- J/A/L: TPC-H Q10 shape — returned-item revenue by customer ----
+    "q147_returned_items" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-07-01"))
+        .select("o_orderkey", "o_custkey")
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(col("l_extendedprice").cast(D) *
+          (lit(1) - col("l_discount").cast(D))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // ---- W: gaps-and-islands — longest consecutive-day activity streak ----
+    "q148_activity_streaks" -> ((s, dir) =>
+      R.activityStreaks(Tables.events(s, dir), "user_id", "ts")),
+
+    // ---- A: rolling 7-day distinct active users (sliding distinct) ----
+    "q149_rolling_active" -> ((s, dir) =>
+      R.rollingActiveUsers(Tables.events(s, dir), "user_id", "ts",
+        windowDays = 7)),
+
+    // ---- A: unpivot/melt — wide measure columns back to long rows ----
+    "q150_unpivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("quantity"),
+          col("l_extendedprice").cast("double").as("extendedprice"),
+          col("l_tax").cast("double").as("tax"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extendedprice"), col("tax")),
+          "measure", "value")),
+
+    // ---- A: market-basket co-purchase top-k (item-item recommendation) ----
+    "q151_copurchase" -> ((s, dir) =>
+      graft.operators.Analyses.coPurchasePairs(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", k = 5)),
+
+    // ---- A: per-group Pearson correlation from exact moments ----
+    "q152_exact_corr" -> ((s, dir) =>
+      graft.operators.Analyses.exactCorr(
+        Tables.lineitem(s, dir), "l_suppkey", "l_quantity", "l_extendedprice")),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -2050,6 +2139,116 @@ object SparkEntry {
       """SELECT lang, source, count(*) AS n,
            cast(sum(n_chars) AS bigint) AS total_chars
          FROM documents GROUP BY CUBE (lang, source)""",
+    // BFS: recursive CTE over the same undirected bipartite graph; UNION
+    // (not UNION ALL) dedups (node, hops) states, hops < 3 bounds recursion,
+    // min(hops) per node = shortest distance — exactly the frontier
+    // invariant on the Spark side
+    "q145_bfs_hops" ->
+      """WITH RECURSIVE
+         p AS (SELECT DISTINCT 'c' || cast(o_custkey AS varchar) AS src,
+                 's' || cast(l_suppkey AS varchar) AS dst
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         ed AS (SELECT src, dst FROM p UNION ALL SELECT dst AS src, src AS dst FROM p),
+         bfs(node, hops) AS (
+           SELECT 'c' || cast(c_custkey AS varchar) AS node, 0 AS hops
+           FROM customer WHERE c_custkey <= 5
+           UNION
+           SELECT e.dst, b.hops + 1 FROM bfs b JOIN ed e ON e.src = b.node
+           WHERE b.hops < 3)
+         SELECT node, cast(min(hops) AS int) AS hops FROM bfs GROUP BY node""",
+    // Q3: same decimal-revenue idiom as q131; ORDER BY is a total order
+    // (revenue desc, date, orderkey) so the LIMIT is engine-deterministic
+    "q146_shipping_priority" ->
+      """SELECT l_orderkey, cast(o_orderdate AS date) AS o_date, o_orderpriority,
+           cast(sum(cast(l_extendedprice AS decimal(18,2)) * (1 - cast(l_discount AS decimal(18,2)))) AS double) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+           AND l_shipdate > TIMESTAMP '1997-01-01'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, o_date, l_orderkey LIMIT 10""",
+    "q147_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+           cast(sum(cast(l_extendedprice AS decimal(18,2)) * (1 - cast(l_discount AS decimal(18,2)))) AS double) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-07-01'
+         GROUP BY 1, 2, 3, 4
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    // gaps-and-islands: day − row_number() is constant within a consecutive
+    // run; day-level grain so the window is span-bounded
+    "q148_activity_streaks" ->
+      """WITH daily AS (SELECT DISTINCT user_id,
+             cast(date_trunc('day', ts) AS date) AS day FROM events),
+         isl AS (SELECT user_id,
+             (day - DATE '1995-01-01') - row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS grp
+           FROM daily),
+         runs AS (SELECT user_id, grp, count(*) AS len FROM isl GROUP BY 1, 2)
+         SELECT user_id, max(len) AS best_streak, count(*) AS n_streaks,
+           cast(sum(len) AS bigint) AS active_days
+         FROM runs GROUP BY user_id""",
+    // rolling distinct: same day-grain contribution-explode construction —
+    // a (user, day) pair contributes to the 7 window-end days it covers;
+    // count(*) after the (user, win_day) distinct IS the distinct-user count
+    "q149_rolling_active" ->
+      """WITH daily AS (SELECT DISTINCT user_id,
+             cast(date_trunc('day', ts) AS date) AS day FROM events),
+         days AS (SELECT DISTINCT day FROM daily),
+         contrib AS (SELECT DISTINCT user_id, day + cast(x AS integer) AS win_day
+           FROM daily CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS x) o)
+         SELECT c.win_day, count(*) AS active_users
+         FROM contrib c JOIN days d ON c.win_day = d.day
+         GROUP BY c.win_day""",
+    // unpivot = stacked UNION ALL; measure names are the Spark-side column
+    // aliases, values cast to the common double type on both sides
+    "q150_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+           cast(l_quantity AS double) AS value FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'extendedprice' AS measure,
+           cast(l_extendedprice AS double) AS value FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'tax' AS measure,
+           cast(l_tax AS double) AS value FROM lineitem""",
+    // co-purchase: within-basket a<b pairs, symmetric re-orientation, top-k
+    // per item on (n_co desc, other asc) — a total order, so row_number is
+    // deterministic on both engines
+    "q151_copurchase" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+             FROM lineitem),
+         pairs AS (SELECT a.item AS item, c.item AS other, count(*) AS n_co
+           FROM b a JOIN b c ON a.ok = c.ok AND a.item < c.item GROUP BY 1, 2),
+         sym AS (SELECT item, other, n_co FROM pairs
+           UNION ALL SELECT other AS item, item AS other, n_co FROM pairs),
+         rk AS (SELECT item, other, n_co, row_number() OVER (
+             PARTITION BY item ORDER BY n_co DESC, other) AS rnk FROM sym)
+         SELECT item, other, n_co, rnk FROM rk WHERE rnk <= 5""",
+    // Pearson r from exact decimal moments, mirrored double tree:
+    // vx = n*sxx − sx², vy likewise, r = (n*sxy − sx*sy)/sqrt(vx*vy);
+    // zero-variance groups excluded (r undefined)
+    "q152_exact_corr" ->
+      """WITH t AS (SELECT l_suppkey,
+             cast(l_quantity AS decimal(18,2)) AS x,
+             cast(l_extendedprice AS decimal(18,2)) AS y FROM lineitem),
+         m AS (SELECT l_suppkey, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+           FROM t GROUP BY 1),
+         d AS (SELECT l_suppkey, n,
+             cast(n AS double) * cast(sxx AS double) -
+               cast(sx AS double) * cast(sx AS double) AS vx,
+             cast(n AS double) * cast(syy AS double) -
+               cast(sy AS double) * cast(sy AS double) AS vy,
+             cast(n AS double) * cast(sxy AS double) -
+               cast(sx AS double) * cast(sy AS double) AS num
+           FROM m)
+         SELECT l_suppkey, n, round(num / sqrt(vx * vy), 6) AS corr
+         FROM d WHERE vx > 0 AND vy > 0""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->

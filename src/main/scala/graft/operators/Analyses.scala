@@ -247,6 +247,70 @@ object Analyses {
       .select(col(keyCol), col("n"), col("slope"), col("intercept"))
   }
 
+  /** Market-basket co-occurrence — "orders containing X also contained Y":
+    * top-k co-purchased items per item, the classic item-item
+    * recommendation table. Pairs are generated WITHIN each basket (the
+    * a<b self-join on the basket key), so the quadratic term is bounded by
+    * basket size — a per-GROUP explosion, never a per-CORPUS one; the
+    * symmetric orientation + top-k then runs over the (item, other) count
+    * table, bounded by pair cardinality (WindowGroupLimit prunes per-item
+    * groups to k before the sort completes).
+    *
+    * Determinism: ties rank by (n_co desc, other asc) — a total order. */
+  def coPurchasePairs(baskets: DataFrame, basketCol: String, itemCol: String,
+                      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val b = baskets.select(col(basketCol).as("__ok"), col(itemCol).as("__item")).distinct()
+    val pairs = b.join(b.select(col("__ok"), col("__item").as("__other")), Seq("__ok"))
+      .filter(col("__item") < col("__other"))
+      .groupBy(col("__item"), col("__other")).agg(count(lit(1)).as("n_co"))
+    val sym = pairs.select(col("__item").as("item"), col("__other").as("other"), col("n_co"))
+      .unionAll(pairs.select(col("__other").as("item"), col("__item").as("other"), col("n_co")))
+    val w = Window.partitionBy(col("item")).orderBy(col("n_co").desc, col("other").asc)
+    sym.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Per-group Pearson correlation from EXACT moments — `corr()` built-ins
+    * are engine-ordered double reductions (Spark's CentralMomentAgg and
+    * DuckDB's corr sum doubles in partition order), so their last bits
+    * differ run-to-run and engine-to-engine; under an exact-hash contract
+    * the statistic must be a CLOSED-FORM evaluation of exactly-summed
+    * moments (the trendSlope discipline). n, Σx, Σy, Σxy, Σx², Σy² are
+    * decimal-exact; r = (nΣxy − ΣxΣy) / √((nΣx²−Σx²ₛ)(nΣy²−Σy²ₛ)) is ONE
+    * double expression, rounded to the 6-dp contract. Degenerate groups
+    * (zero variance on either axis) are excluded — r is undefined there.
+    *
+    * Scale shape: one hash aggregate with map-side partials; no windows,
+    * no second pass (the mean-centered two-pass formulation would need
+    * one). */
+  def exactCorr(df: DataFrame, groupCol: String, xCol: String,
+                yCol: String): DataFrame = {
+    val t = df.select(col(groupCol),
+      col(xCol).cast("decimal(18,2)").as("__x"),
+      col(yCol).cast("decimal(18,2)").as("__y"))
+    val m = t.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col("__x")).as("__sx"),
+      sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"))
+    m.withColumn("__vx",
+        col("n").cast("double") * col("__sxx").cast("double") -
+          col("__sx").cast("double") * col("__sx").cast("double"))
+      .withColumn("__vy",
+        col("n").cast("double") * col("__syy").cast("double") -
+          col("__sy").cast("double") * col("__sy").cast("double"))
+      .filter(col("__vx") > 0 && col("__vy") > 0)
+      .withColumn("corr", round(
+        (col("n").cast("double") * col("__sxy").cast("double") -
+          col("__sx").cast("double") * col("__sy").cast("double")) /
+          sqrt(col("__vx") * col("__vy")), 6))
+      .select(col(groupCol), col("n"), col("corr"))
+  }
+
   /** Percent-rank normalization via the value-distribution table — calibrate
     * a score across groups (e.g. a quality score across languages) so one
     * global threshold means the same thing in every group. pr(v) =

@@ -83,6 +83,47 @@ object Graph {
     ranks
   }
 
+  /** Shortest-hop distances from a seed set over a directed edge list —
+    * the reachability/impact query over entity graphs (which suppliers sit
+    * within k hops of a flagged customer; which files descend from a
+    * corrupted upload). Frontier-based BFS, the scale-right shape: round k
+    * joins ONLY the newly-reached frontier against the edge table, so total
+    * work is O(Σ frontier-adjacent edges) = O(|E|) across all rounds, not
+    * O(k·|E|) — a full `dist ⋈ edges` per round would rescan settled nodes.
+    *
+    * Scale shape: edges are pre-partitioned on src and pinned once (the
+    * pageRank discipline); each round is one equi-join + distinct + anti-join
+    * against the accumulated distance table, with eager localCheckpoint cuts
+    * so round k's plan never re-executes rounds 1..k-1. Output: (node, hops)
+    * for every node reachable within maxHops, hops = minimum distance. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    import org.apache.spark.storage.StorageLevel
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    e.count(): Unit
+    var dist = seeds.select(col("node")).distinct()
+      .select(col("node"), lit(0).cast("int").as("hops"))
+      .localCheckpoint()
+    var frontier = dist
+    var k = 1
+    var frontierSize = frontier.count()
+    while (k <= maxHops && frontierSize > 0) {
+      // neighbors of the CURRENT frontier only; distinct before the
+      // anti-join bounds the candidate set by |V|, not by edge multiplicity
+      val candidates = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node")).distinct()
+      frontier = candidates.join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(k).cast("int").as("hops"))
+        .localCheckpoint()
+      dist = dist.union(frontier).localCheckpoint()
+      frontierSize = frontier.count()
+      k += 1
+    }
+    e.unpersist(): Unit
+    dist
+  }
+
   /** Per-node triangle counts over an undirected edge list — the clustering
     * signal of the entity graph (a supplier/user embedded in many closed
     * triads is a hub of a tightly-knit group, where PageRank only measures

@@ -369,6 +369,85 @@ object Relational {
       .select(col("day"), col("dau"), col("cumulative_users"))
   }
 
+  /** Gaps-and-islands — longest consecutive-day activity streak per key
+    * (the engagement metric next to DAU: "7-day streak" badges, churn-risk
+    * run lengths). Classic island labeling: dedupe to the (key, day) grain,
+    * then `day − row_number()` is constant within a consecutive run — a
+    * pure per-key window over the DAY-level table (bounded by the time
+    * span, not the event count, the activeUsers discipline), followed by
+    * two hash aggregates. Returns (key, best_streak, n_streaks,
+    * active_days); tie between equal-length streaks is irrelevant because
+    * only the max length is reported. */
+  def activityStreaks(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = events.select(col(keyCol), to_date(col(tsCol)).as("day")).distinct()
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+    val islands = daily
+      .withColumn("__grp", datediff(col("day"), lit("1995-01-01")) -
+        row_number().over(w))
+      .groupBy(col(keyCol), col("__grp"))
+      .agg(count(lit(1)).as("__len"))
+    islands.groupBy(col(keyCol))
+      .agg(max(col("__len")).as("best_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("__len")).as("active_days"))
+  }
+
+  /** Conversion latency — the funnel's time axis: for every user who
+    * performed `toType` strictly after their first `fromType`, the
+    * whole-second delay between the two firsts, summarized per cohort day
+    * (count, min, quartiles, max). The quantile choice is deliberate:
+    * interpolated quartiles of INTEGER data only ever need dyadic fractions
+    * (0.25·(n−1) has fractional part ∈ {0, ¼, ½, ¾}), so `percentile` and
+    * DuckDB's `quantile_cont` produce bit-identical doubles regardless of
+    * each engine's interpolation expression shape — p90 would interpolate
+    * with non-representable 0.1 steps and diverge by an ulp (the q97
+    * threshold lesson).
+    *
+    * Scale shape: two filtered per-user aggregates + one user-key join
+    * (the funnel min-after chain), then one cohort-day aggregate; exact
+    * `percentile` is safe here because the per-cohort groups are
+    * day-bounded — at 100 TB swap for `approx_percentile` (q84 note). */
+  def conversionLatency(events: DataFrame, userCol: String, typeCol: String,
+                        tsCol: String, fromType: String, toType: String): DataFrame = {
+    val t0 = events.filter(col(typeCol) === fromType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t0"))
+    val conv = events.filter(col(typeCol) === toType)
+      .join(t0, Seq(userCol))
+      .filter(col(tsCol) > col("__t0"))
+      .groupBy(col(userCol), col("__t0")).agg(min(col(tsCol)).as("__t1"))
+    conv
+      .withColumn("__lat", expr("(unix_micros(__t1) - unix_micros(__t0)) div 1000000"))
+      .groupBy(to_date(col("__t0")).as("cohort_day"))
+      .agg(count(lit(1)).as("n_converted"),
+        min(col("__lat")).as("min_sec"),
+        expr("percentile(__lat, 0.25)").as("p25_sec"),
+        expr("percentile(__lat, 0.5)").as("median_sec"),
+        expr("percentile(__lat, 0.75)").as("p75_sec"),
+        max(col("__lat")).as("max_sec"))
+  }
+
+  /** Rolling N-day distinct active users — the WAU/MAU sibling of
+    * [[activeUsers]]. A sliding COUNT(DISTINCT) is NOT computed as a
+    * window-distinct over events (unbounded state, and Spark has no
+    * distinct-over-range window): dedupe to the (key, day) grain, explode
+    * each pair to the N window-END days it contributes to, dedupe again,
+    * and count — two hash aggregates over a table bounded by N·|key-days|,
+    * the standard contribution-explode rewrite. Window-end days outside the
+    * observed day set are dropped (semi-join with the day dimension). */
+  def rollingActiveUsers(events: DataFrame, keyCol: String, tsCol: String,
+                         windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    val daily = events.select(col(keyCol), to_date(col(tsCol)).as("day")).distinct()
+    val days = daily.select(col("day").as("win_day")).distinct()
+    val contrib = daily
+      .select(col(keyCol), explode(sequence(col("day"),
+        date_add(col("day"), windowDays - 1))).as("win_day"))
+      .distinct()
+    contrib.join(days, Seq("win_day"), "left_semi")
+      .groupBy(col("win_day"))
+      .agg(count(lit(1)).as("active_users"))
+  }
+
   /** Event-type transition matrix (first-order Markov) — the behavior-flow
     * view product analytics builds next to the funnel: for every ordered
     * pair of event types, how often does one IMMEDIATELY follow the other

@@ -93,4 +93,39 @@ class CorpusStatsSpec extends SparkSuite {
     assert(got == want)
     assert(got(8L) == 0.0 && got(1L) == got(2L))
   }
+
+  test("coPurchasePairs: within-basket counts, symmetric, top-k total order") {
+    // baskets: {1,2,3}, {1,2}, {1,2}, {2,4}; duplicate line for (b1,1) must
+    // not inflate counts (distinct at the (basket, item) grain)
+    val baskets = Seq(
+      (10L, 1L), (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 2L),
+      (13L, 2L), (13L, 4L)
+    ).toDF("ok", "item")
+    val got = Analyses.coPurchasePairs(baskets, "ok", "item", k = 2)
+      .select("item", "other", "n_co", "rnk")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // co-counts: (1,2)=3, (1,3)=1, (2,3)=1, (2,4)=1
+    val want = Set(
+      (1L, 2L, 3L, 1L), (1L, 3L, 1L, 2L),
+      (2L, 1L, 3L, 1L), (2L, 3L, 1L, 2L), // k=2 cuts (2,4): ties break other asc
+      (3L, 1L, 1L, 1L), (3L, 2L, 1L, 2L),
+      (4L, 2L, 1L, 1L))
+    assert(got == want)
+  }
+
+  test("exactCorr: perfectly linear +1/-1, hand-computed mid value, degenerate excluded") {
+    val df = Seq(
+      ("up", 1.0, 2.0), ("up", 2.0, 4.0), ("up", 3.0, 6.0),     // y = 2x -> r 1
+      ("dn", 1.0, 6.0), ("dn", 2.0, 4.0), ("dn", 3.0, 2.0),     // y = -2x -> r -1
+      ("mid", 1.0, 1.0), ("mid", 2.0, 3.0), ("mid", 3.0, 2.0),  // r = 0.5
+      ("flat", 1.0, 7.0), ("flat", 2.0, 7.0)                    // var(y)=0 -> excluded
+    ).toDF("g", "x", "y")
+    val got = Analyses.exactCorr(df, "g", "x", "y")
+      .select("g", "n", "corr").as[(String, Long, Double)].collect()
+      .map { case (g, n, r) => g -> (n, r) }.toMap
+    assert(got == Map("up" -> (3L, 1.0), "dn" -> (3L, -1.0), "mid" -> (3L, 0.5)))
+    assert(!got.contains("flat"))
+  }
 }

@@ -49,6 +49,26 @@ class GraphSpec extends SparkSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-6)
   }
 
+  test("bfsHops: shortest distances, unreachable excluded, maxHops bound") {
+    // chain a->b->c->d->e plus shortcut a->c; f->g disconnected
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e",
+      "a" -> "c", "f" -> "g").toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val got = Graph.bfsHops(edges, seeds, maxHops = 3)
+      .as[(String, Int)].collect().toMap
+    // a=0, b=1, c=1 (via shortcut, NOT 2), d=2, e=3; f/g unreachable
+    assert(got == Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 2, "e" -> 3), s"got $got")
+    // maxHops truncates: e (distance 3) drops at maxHops=2
+    val g2 = Graph.bfsHops(edges, seeds, maxHops = 2)
+      .as[(String, Int)].collect().toMap
+    assert(g2 == Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 2))
+    // multi-seed: min over seeds; a cycle must not loop forever
+    val cyc = Seq("x" -> "y", "y" -> "z", "z" -> "x").toDF("src", "dst")
+    val g3 = Graph.bfsHops(cyc, Seq("x", "z").toDF("node"), maxHops = 5)
+      .as[(String, Int)].collect().toMap
+    assert(g3 == Map("x" -> 0, "z" -> 0, "y" -> 1))
+  }
+
   test("triangleCounts: hand-computed goldens on K4 + pendant + disjoint edge") {
     // K4 on {1,2,3,4} (4 triangles, each node in 3), pendant 5-1 (no
     // triangle), disjoint edge 6-7; duplicate/reversed inputs collapse

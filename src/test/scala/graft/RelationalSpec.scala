@@ -200,4 +200,33 @@ class RelationalSpec extends SparkSuite {
     assert(norm == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 1L),
       s"got $norm")
   }
+
+  test("rollingActiveUsers: window-end contribution, observed days only") {
+    val events = Seq(
+      (1L, ts("2024-01-01 09:00:00")), // u1 active day 1
+      (2L, ts("2024-01-03 09:00:00")), // u2 active day 3
+      (1L, ts("2024-01-03 18:00:00")), // u1 again day 3
+      (3L, ts("2024-01-20 00:00:00"))  // far-away singleton
+    ).toDF("user_id", "ts")
+    val got = operators.Relational.rollingActiveUsers(events, "user_id", "ts", windowDays = 3)
+      .as[(java.sql.Date, Long)].collect().map(r => r._1.toString -> r._2).toMap
+    // day 1 window {d-2..d1}: u1; day 3 window {d1..d3}: u1(d1,d3)+u2 = 2;
+    // day 20: u3 only; days 2,4.. not observed -> absent
+    assert(got == Map("2024-01-01" -> 1L, "2024-01-03" -> 2L, "2024-01-20" -> 1L),
+      s"got $got")
+  }
+
+  test("activityStreaks: islands split on gaps, multiple events per day collapse") {
+    val events = Seq(
+      // u1: days 1,2,3 (streak 3), gap, 5,6 (streak 2); duplicate events on day 2
+      (1L, ts("2024-01-01 09:00:00")), (1L, ts("2024-01-02 09:00:00")),
+      (1L, ts("2024-01-02 17:00:00")), (1L, ts("2024-01-03 09:00:00")),
+      (1L, ts("2024-01-05 09:00:00")), (1L, ts("2024-01-06 09:00:00")),
+      // u2: one isolated day
+      (2L, ts("2024-02-01 00:00:00"))
+    ).toDF("user_id", "ts")
+    val got = R.activityStreaks(events, "user_id", "ts")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(1L -> ((3L, 2L, 5L)), 2L -> ((1L, 1L, 1L))), s"got $got")
+  }
 }
