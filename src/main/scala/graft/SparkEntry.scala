@@ -699,6 +699,109 @@ object SparkEntry {
       graft.operators.Analyses.exactCorr(
         Tables.lineitem(s, dir), "l_suppkey", "l_quantity", "l_extendedprice")),
 
+    // ---- J/A: TPC-H Q4 shape — late-shipment order-priority rollup ----
+    "q153_priority_check" -> ((s, dir) => {
+      // EXISTS rewritten as a left-semi equi-join on the order key with a
+      // residual date predicate — the semi-join stops at the first witness
+      // line and never multiplies rows
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+      o.join(l, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("interval 60 days"),
+          "left_semi")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // ---- A: TPC-H Q12 shape — priority mix per line status (cond. agg) ----
+    "q154_priority_mix" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1998-01-01") &&
+          col("l_shipdate") < lit("1999-01-01"))
+        .select("l_orderkey", "l_linestatus")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+    }),
+
+    // ---- A/J: TPC-H Q17 shape — small-quantity-line revenue ----
+    "q155_small_qty_revenue" -> ((s, dir) => {
+      // correlated avg subquery as a pre-agg join; the 0.2·avg threshold is
+      // compared EXACTLY: qty < 0.2·(sum/n) ⇔ 5·n·qty < sum — all decimal,
+      // no division, no float threshold to diverge on
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity").cast(D).as("qty"),
+          col("l_extendedprice").cast(D).as("price"))
+      val pa = l.groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_lines"), sum(col("qty")).as("sum_qty"))
+      l.join(pa, Seq("l_partkey"))
+        .filter(col("qty") * lit(5) * col("n_lines") < col("sum_qty"))
+        .agg(count(lit(1)).as("n_small"),
+          (sum(col("price")).cast("double") / lit(7.0)).as("avg_yearly"))
+    }),
+
+    // ---- A/J: TPC-H Q18 shape — large-volume orders ----
+    "q156_big_orders" -> ((s, dir) => {
+      // HAVING sum(qty) ≥ 300 bounds the probe side to a handful of orders
+      // BEFORE the two dimension joins — AQE broadcasts the survivors
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_quantity").cast(D).as("qty"))
+      val big = l.groupBy("l_orderkey").agg(sum(col("qty")).as("sq"))
+        .filter(col("sq") >= 300)
+        .select(col("l_orderkey"), col("sq").cast("double").as("sum_qty"))
+      big.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("o_date"), col("o_totalprice"),
+          col("sum_qty"))
+    }),
+
+    // ---- J: TPC-H Q21 shape — the only-late supplier on multi-supplier
+    // orders (semi + anti probes against the same derived late-set) ----
+    "q157_waiting_supplier" -> ((s, dir) => {
+      val lo = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+          (col("l_shipdate") > col("o_orderdate") + expr("interval 60 days"))
+            .as("late"))
+      val all = lo.select("ok", "sk").distinct()
+      val lateS = lo.filter(col("late")).select("ok", "sk").distinct()
+      val others = all.select(col("ok").as("ok2"), col("sk").as("sk2"))
+      val lateOthers = lateS.select(col("ok").as("ok3"), col("sk").as("sk3"))
+      lateS
+        .join(others,
+          col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+        .join(lateOthers,
+          col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+        .join(Tables.supplier(s, dir), col("sk") === col("s_suppkey"))
+        .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+    }),
+
+    // ---- A/J: TPC-H Q22 shape — dormant above-average-balance value ----
+    "q158_dormant_value" -> ((s, dir) => {
+      // the global-average threshold is a ONE-ROW aggregate — broadcast by
+      // nature (the allowed class); bal > avg compared exactly as
+      // bal·n > sum (no decimal division, whose rounding differs by engine)
+      val c = Tables.customer(s, dir)
+      val thr = c.filter(col("c_acctbal") > 0)
+        .agg(count(lit(1)).as("n_pos"),
+          sum(col("c_acctbal").cast(D)).as("sum_bal"))
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2001-01-01")).select("o_custkey")
+      c.crossJoin(broadcast(thr))
+        .filter(col("c_acctbal").cast(D) * col("n_pos") > col("sum_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast(D)).cast("double").as("total_bal"))
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -2249,6 +2352,71 @@ object SparkEntry {
            FROM m)
          SELECT l_suppkey, n, round(num / sqrt(vx * vy), 6) AS corr
          FROM d WHERE vx > 0 AND vy > 0""",
+    // Q4 shape: EXISTS with a correlated date predicate
+    "q153_priority_check" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+           AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY 1""",
+    // Q12 shape: two-way conditional counts; cast(sum AS bigint) because
+    // DuckDB widens sum(int) past int64
+    "q154_priority_mix" ->
+      """SELECT l_linestatus,
+           cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS bigint) AS high_line_count,
+           cast(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS bigint) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+           AND l_shipdate < TIMESTAMP '1999-01-01'
+         GROUP BY 1""",
+    // Q17 shape: qty < 0.2·avg as the exact decimal inequality 5·n·qty < sum
+    "q155_small_qty_revenue" ->
+      """WITH l AS (SELECT l_partkey,
+             cast(l_quantity AS decimal(18,2)) AS qty,
+             cast(l_extendedprice AS decimal(18,2)) AS price FROM lineitem),
+         pa AS (SELECT l_partkey, count(*) AS n_lines, sum(qty) AS sum_qty
+           FROM l GROUP BY 1)
+         SELECT count(*) AS n_small,
+           cast(sum(price) AS double) / cast(7.0 AS double) AS avg_yearly
+         FROM l JOIN pa USING (l_partkey)
+         WHERE qty * 5 * n_lines < sum_qty""",
+    // Q18 shape: HAVING-filtered order rollup joined back to its dimensions
+    "q156_big_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+             cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty
+           FROM lineitem GROUP BY 1
+           HAVING sum(cast(l_quantity AS decimal(18,2))) >= 300)
+         SELECT c_name, c_custkey, o_orderkey,
+           cast(o_orderdate AS date) AS o_date, o_totalprice, sum_qty
+         FROM big JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey""",
+    // Q21 shape: distinct late-(order,supplier) pairs, EXISTS another
+    // supplier on the order, NOT EXISTS another LATE supplier
+    "q157_waiting_supplier" ->
+      """WITH lo AS (SELECT l_orderkey AS ok, l_suppkey AS sk,
+             l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         lateS AS (SELECT DISTINCT ok, sk FROM lo WHERE late),
+         lone AS (SELECT * FROM lateS t
+           WHERE EXISTS (SELECT 1 FROM lo WHERE lo.ok = t.ok AND lo.sk <> t.sk)
+             AND NOT EXISTS (SELECT 1 FROM lo
+               WHERE lo.ok = t.ok AND lo.sk <> t.sk AND lo.late))
+         SELECT s_name, count(*) AS numwait
+         FROM lone JOIN supplier ON sk = s_suppkey GROUP BY 1""",
+    // Q22 shape: bal > global positive avg as the exact inequality
+    // bal·n > sum; dormancy = no orders since the cutoff
+    "q158_dormant_value" ->
+      """WITH thr AS (SELECT count(*) AS n_pos,
+             sum(cast(c_acctbal AS decimal(18,2))) AS sum_bal
+           FROM customer WHERE c_acctbal > 0)
+         SELECT c_nationkey, count(*) AS n_cust,
+           cast(sum(cast(c_acctbal AS decimal(18,2))) AS double) AS total_bal
+         FROM customer, thr
+         WHERE cast(c_acctbal AS decimal(18,2)) * n_pos > sum_bal
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             AND o_orderdate >= TIMESTAMP '2001-01-01')
+         GROUP BY 1""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->
