@@ -802,6 +802,27 @@ object SparkEntry {
           sum(col("c_acctbal").cast(D)).cast("double").as("total_bal"))
     }),
 
+    // ---- A: 2-D skyline / Pareto frontier ----
+    "q159_skyline" -> ((s, dir) =>
+      graft.operators.Analyses.skyline2D(
+        Tables.part(s, dir), "p_retailprice", "p_size")),
+
+    // ---- A/W: per-group weighted median ----
+    "q160_weighted_median" -> ((s, dir) =>
+      graft.operators.Analyses.weightedMedian(
+        Tables.lineitem(s, dir), "l_suppkey", "l_extendedprice", "l_quantity")),
+
+    // ---- A: one-pass column profiler (long-form data-quality report) ----
+    "q161_profile" -> ((s, dir) =>
+      graft.operators.Analyses.profileColumns(Tables.lineitem(s, dir),
+        numCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        strCols = Seq("l_returnflag", "l_linestatus"))),
+
+    // ---- A: per-group Shannon entropy (stream-mix diagnostics) ----
+    "q162_entropy" -> ((s, dir) =>
+      graft.operators.Analyses.groupEntropy(
+        Tables.events(s, dir), "user_id", "event_type")),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -2417,6 +2438,71 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
              AND o_orderdate >= TIMESTAMP '2001-01-01')
          GROUP BY 1""",
+    // skyline: dominance NOT EXISTS over the distinct-pair grain
+    "q159_skyline" ->
+      """WITH pairs AS (SELECT p_retailprice, p_size, count(*) AS n
+           FROM part GROUP BY 1, 2)
+         SELECT p_retailprice, p_size, n FROM pairs t
+         WHERE NOT EXISTS (SELECT 1 FROM pairs o
+           WHERE o.p_retailprice <= t.p_retailprice AND o.p_size >= t.p_size
+             AND (o.p_retailprice < t.p_retailprice OR o.p_size > t.p_size))""",
+    // weighted median: smallest v with 2·cumw ≥ total, exact decimal
+    // weights at the (group, value) grain
+    "q160_weighted_median" ->
+      """WITH grain AS (SELECT l_suppkey, l_extendedprice AS v,
+             sum(cast(l_quantity AS decimal(18,2))) AS wv
+           FROM lineitem WHERE cast(l_quantity AS decimal(18,2)) > 0
+           GROUP BY 1, 2),
+         c AS (SELECT l_suppkey, v,
+             sum(wv) OVER (PARTITION BY l_suppkey ORDER BY v) AS cum,
+             sum(wv) OVER (PARTITION BY l_suppkey) AS tot FROM grain)
+         SELECT l_suppkey, min(v) AS wmedian FROM c
+         WHERE cum * 2 >= tot GROUP BY 1""",
+    // profiler: per-column stats as UNION ALL branches; numeric min/max as
+    // double, string min/max lexicographic (ASCII-only columns)
+    "q161_profile" ->
+      """SELECT 'l_quantity' AS col_name, count(l_quantity) AS n_nonnull,
+           count(DISTINCT l_quantity) AS n_distinct,
+           cast(min(l_quantity) AS double) AS min_num,
+           cast(max(l_quantity) AS double) AS max_num,
+           cast(NULL AS varchar) AS min_str, cast(NULL AS varchar) AS max_str
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_extendedprice', count(l_extendedprice),
+           count(DISTINCT l_extendedprice),
+           cast(min(l_extendedprice) AS double),
+           cast(max(l_extendedprice) AS double),
+           cast(NULL AS varchar), cast(NULL AS varchar) FROM lineitem
+         UNION ALL
+         SELECT 'l_discount', count(l_discount), count(DISTINCT l_discount),
+           cast(min(l_discount) AS double), cast(max(l_discount) AS double),
+           cast(NULL AS varchar), cast(NULL AS varchar) FROM lineitem
+         UNION ALL
+         SELECT 'l_tax', count(l_tax), count(DISTINCT l_tax),
+           cast(min(l_tax) AS double), cast(max(l_tax) AS double),
+           cast(NULL AS varchar), cast(NULL AS varchar) FROM lineitem
+         UNION ALL
+         SELECT 'l_returnflag', count(l_returnflag),
+           count(DISTINCT l_returnflag), cast(NULL AS double),
+           cast(NULL AS double), min(l_returnflag), max(l_returnflag)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_linestatus', count(l_linestatus),
+           count(DISTINCT l_linestatus), cast(NULL AS double),
+           cast(NULL AS double), min(l_linestatus), max(l_linestatus)
+         FROM lineitem""",
+    // entropy: −Σ p·ln p, per-term 6-dp rounded, exact decimal sum (the
+    // q127 KL discipline)
+    "q162_entropy" ->
+      """WITH gc AS (SELECT user_id, event_type, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         n AS (SELECT user_id, cast(sum(c) AS bigint) AS n FROM gc GROUP BY 1)
+         SELECT user_id, max(n) AS n_events,
+           count(DISTINCT event_type) AS n_cats,
+           cast(sum(cast(round(-(cast(c AS double) / cast(n AS double)) *
+             ln(cast(c AS double) / cast(n AS double)), 6)
+             AS decimal(18,6))) AS double) AS entropy
+         FROM gc JOIN n USING (user_id) GROUP BY user_id""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->

@@ -337,4 +337,126 @@ object Analyses {
       .select(col(groupCol), col(valueCol), col("pr"))
     df.join(cum, Seq(groupCol, valueCol))
   }
+
+  /** 2-D skyline (Pareto frontier): the points not dominated on
+    * (minimize `xCol`, maximize `yCol`) — the classic "cheapest for its
+    * size class" / best-tradeoff query. A pair is dominated iff some other
+    * pair is ≤ on x AND ≥ on y with at least one strict; equal pairs never
+    * dominate each other (they collapse at the distinct-pair grain anyway).
+    *
+    * Scale shape: rows collapse to the DISTINCT (x, y) grain first (with
+    * multiplicity), then a two-level prune: a hash-bucketed LOCAL skyline
+    * pass (sound for ANY row partition — a locally dominated pair is
+    * globally dominated) shrinks each bucket to its own frontier (expected
+    * O(log n) for random data), and only the surviving candidates see the
+    * one GLOBAL ordered pass. In sort order (x asc, y desc, and x asc
+    * within equal y) a pair is on the frontier iff its y strictly exceeds
+    * the running max over all earlier pairs — earlier = cheaper-or-equal,
+    * so rmax ≥ y is exactly a dominance witness. */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = df.groupBy(col(xCol), col(yCol)).agg(count(lit(1)).as("n"))
+    def frontier(in: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec) =
+      in.withColumn("__rmax",
+          max(col(yCol)).over(w.orderBy(col(xCol).asc, col(yCol).desc)
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .filter(col("__rmax").isNull || col(yCol) > col("__rmax"))
+        .drop("__rmax")
+    // bucket choice is plan-only: ANY partition gives the same survivors set
+    // superset, and the global pass fixes the exact frontier
+    val local = frontier(
+      pairs.withColumn("__b", pmod(hash(col(xCol), col(yCol)), lit(64))),
+      Window.partitionBy(col("__b"))).drop("__b")
+    frontier(local, Window.partitionBy())
+  }
+
+  /** Per-group weighted median — the smallest value v whose cumulative
+    * weight reaches half the group total (2·cumw ≥ total, compared in
+    * EXACT decimals so the cut never floats). The robust center for
+    * weighted distributions (price weighted by quantity, score weighted by
+    * tokens).
+    *
+    * Scale shape: rows collapse to the (group, value) grain with exactly-
+    * summed decimal weights; the cumulative window then runs over that
+    * value-cardinality-bounded table (the percentRankNormalize discipline),
+    * never over raw rows. */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                     weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grain = df
+      .select(col(groupCol), col(valueCol),
+        col(weightCol).cast("decimal(18,2)").as("__w"))
+      .filter(col("__w") > 0)
+      .groupBy(col(groupCol), col(valueCol)).agg(sum(col("__w")).as("__wv"))
+    val cum = grain
+      .withColumn("__cum", sum(col("__wv")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col(valueCol))))
+      .withColumn("__tot", sum(col("__wv")).over(Window.partitionBy(col(groupCol))))
+    cum.filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("wmedian"))
+  }
+
+  /** One-pass column profiler — per-column row/null/distinct counts plus
+    * min/max (numeric columns numerically as double, string columns
+    * lexicographically), in LONG form: one output row per profiled column.
+    * The data-quality sweep a pipeline runs before trusting a new drop.
+    *
+    * Scale shape: one aggregate pass computes every per-column statistic
+    * (count-distinct over k columns expands the map side k-fold — the
+    * documented cost of an exact one-pass profile; swap in
+    * approx_count_distinct at 100 TB if ±2 % is acceptable), producing a
+    * SINGLE wide row that unpivots to the long report — the unpivot runs
+    * on one row, not on data. */
+  def profileColumns(df: DataFrame, numCols: Seq[String],
+                     strCols: Seq[String]): DataFrame = {
+    val aggs = numCols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}__n"),
+      countDistinct(col(c)).as(s"${c}__d"),
+      min(col(c)).cast("double").as(s"${c}__mn"),
+      max(col(c)).cast("double").as(s"${c}__mx"))
+    } ++ strCols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}__n"),
+      countDistinct(col(c)).as(s"${c}__d"),
+      min(col(c)).as(s"${c}__smn"),
+      max(col(c)).as(s"${c}__smx"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = numCols.map { c =>
+      struct(lit(c).as("col_name"), col(s"${c}__n").as("n_nonnull"),
+        col(s"${c}__d").as("n_distinct"), col(s"${c}__mn").as("min_num"),
+        col(s"${c}__mx").as("max_num"),
+        lit(null).cast("string").as("min_str"),
+        lit(null).cast("string").as("max_str"))
+    } ++ strCols.map { c =>
+      struct(lit(c).as("col_name"), col(s"${c}__n").as("n_nonnull"),
+        col(s"${c}__d").as("n_distinct"),
+        lit(null).cast("double").as("min_num"),
+        lit(null).cast("double").as("max_num"),
+        col(s"${c}__smn").as("min_str"), col(s"${c}__smx").as("max_str"))
+    }
+    wide.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+  }
+
+  /** Per-group Shannon entropy over a categorical column — corpus/feed
+    * composition diagnostics (how mixed is each user's event stream, each
+    * source's language mix). H = −Σ p·ln p with p = c/n; each term is
+    * computed in the mirrored double tree, rounded to 6 dp, and summed as
+    * EXACT decimal (the sourceKlDivergence discipline — engine-order-free).
+    *
+    * Scale shape: two hash aggregates over the (group, category) grain —
+    * bounded by category cardinality per group, never a window. */
+  def groupEntropy(df: DataFrame, groupCol: String, catCol: String): DataFrame = {
+    val gc = df.groupBy(col(groupCol), col(catCol)).agg(count(lit(1)).as("__c"))
+    val n = gc.groupBy(col(groupCol)).agg(sum(col("__c")).as("__n"))
+    gc.join(n, Seq(groupCol))
+      .withColumn("__term",
+        round(-(col("__c").cast("double") / col("__n").cast("double")) *
+          log(col("__c").cast("double") / col("__n").cast("double")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n_events"),
+        countDistinct(col(catCol)).as("n_cats"),
+        sum(col("__term")).cast("double").as("entropy"))
+  }
 }

@@ -128,4 +128,50 @@ class CorpusStatsSpec extends SparkSuite {
     assert(got == Map("up" -> (3L, 1.0), "dn" -> (3L, -1.0), "mid" -> (3L, 0.5)))
     assert(!got.contains("flat"))
   }
+
+  test("skyline2D: dominance pruning, equal-pair survival, multiplicity") {
+    // minimize x, maximize y. (1,5) and (3,9) are the frontier; (2,5) is
+    // dominated by (1,5) (x strict), (4,9) by (3,9), (5,1) by everything.
+    // The duplicate (1,5) row collapses into n=2.
+    val df = Seq((1.0, 5), (1.0, 5), (2.0, 5), (3.0, 9), (4.0, 9), (5.0, 1))
+      .toDF("x", "y")
+    val got = Analyses.skyline2D(df, "x", "y")
+      .as[(Double, Int, Long)].collect().toSet
+    assert(got == Set((1.0, 5, 2L), (3.0, 9, 1L)))
+  }
+
+  test("weightedMedian: cumulative-weight cut, zero weights dropped") {
+    val df = Seq(
+      ("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 8.0),  // total 10, cut at 3
+      ("b", 1.0, 5.0), ("b", 9.0, 5.0),                   // tie: 2*5 >= 10 -> 1
+      ("c", 7.0, 0.0), ("c", 4.0, 2.0)                    // zero-w row ignored
+    ).toDF("g", "v", "w")
+    val got = Analyses.weightedMedian(df, "g", "v", "w")
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("a" -> 3.0, "b" -> 1.0, "c" -> 4.0))
+  }
+
+  test("profileColumns: counts skip nulls, distinct exact, min/max per kind") {
+    val df = Seq(
+      (Some(1.0), Some("x")), (Some(2.0), None), (None, Some("a")),
+      (Some(2.0), Some("x"))
+    ).toDF("num", "str")
+    val rows = Analyses.profileColumns(df, Seq("num"), Seq("str"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val n = rows("num"); val s = rows("str")
+    assert(n.getLong(1) == 3 && n.getLong(2) == 2 &&
+      n.getDouble(3) == 1.0 && n.getDouble(4) == 2.0 && n.isNullAt(5))
+    assert(s.getLong(1) == 3 && s.getLong(2) == 2 &&
+      s.isNullAt(3) && s.getString(5) == "a" && s.getString(6) == "x")
+  }
+
+  test("groupEntropy: uniform k-way = ln k, single-category = 0") {
+    val df = Seq(("u", "a"), ("u", "b"), ("u", "c"), ("u", "d"),
+      ("v", "a"), ("v", "a")).toDF("g", "cat")
+    val got = Analyses.groupEntropy(df, "g", "cat")
+      .select("g", "n_events", "n_cats", "entropy")
+      .as[(String, Long, Long, Double)].collect().toSet
+    // uniform over 4: 4 * round(0.25*ln 4, 6) = 4*0.346574 = 1.386296
+    assert(got == Set(("u", 4L, 4L, 1.386296), ("v", 2L, 1L, 0.0)))
+  }
 }
