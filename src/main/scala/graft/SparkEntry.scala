@@ -823,6 +823,18 @@ object SparkEntry {
       graft.operators.Analyses.groupEntropy(
         Tables.events(s, dir), "user_id", "event_type")),
 
+    // ---- T: streaming Misra–Gries sketch + batch exact recount ----
+    "q163_stream_heavy_hitters" -> ((s, dir) => {
+      // same zipf-derived item as q116 so the N/(k+1) guarantee margin
+      // carries over; the stream maintains the sketch, the compaction pass
+      // recounts candidates exactly — output == the batch top-4
+      val d = Tables.documents(s, dir)
+        .withColumn("__h", graft.operators.Sampling.hashBucket(col("doc_id"), 1000))
+        .withColumn("item", expr("1000 div (1 + __h)"))
+      graft.streaming.Streams.replayedHeavyHitters(s, d, "doc_id", "item",
+        chunks = 3, n = 4, k = 32, name = "hh")
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -2503,6 +2515,14 @@ object SparkEntry {
              ln(cast(c AS double) / cast(n AS double)), 6)
              AS decimal(18,6))) AS double) AS entropy
          FROM gc JOIN n USING (user_id) GROUP BY user_id""",
+    // streamed sketch + exact recount == plain batch top-n (q116's oracle)
+    "q163_stream_heavy_hitters" ->
+      """WITH it AS (SELECT cast(1000 // (1 +
+             (('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::bigint % 1000))
+             AS varchar) AS key
+           FROM documents)
+         SELECT key, count(*) AS cnt FROM it GROUP BY 1
+         ORDER BY cnt DESC, key ASC LIMIT 4""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->

@@ -466,6 +466,50 @@ object Streams {
     spark.table(qname)
   }
 
+  /** T3+sketch replay gate: maintain a Misra–Gries frequent-items sketch as
+    * STREAMING aggregation state over the replayed item stream (complete
+    * mode — the state is ONE bounded ≤k-entry map row, mergeable across
+    * micro-batches exactly as it is across map-side partials in batch),
+    * then run the exact candidate recount as the batch compaction pass —
+    * the production periodic-top-k shape (stream keeps the cheap sketch,
+    * a scheduled batch pass recounts the survivors exactly).
+    *
+    * Replay == batch: when the true n-th count exceeds N/(k+1), the MG
+    * mergeability guarantee puts every true top-n item in the streamed
+    * sketch's candidate set NO MATTER how the input was micro-batched, so
+    * the recounted top-n equals [[graft.operators.TextOps.heavyHitters]]
+    * on the same table — which is what the q163 oracle (plain exact top-n)
+    * checks. The candidate set is k-bounded BY CONSTRUCTION (a design
+    * dimension, not data) — the allowed broadcast class. */
+  def replayedHeavyHitters(spark: SparkSession, items: DataFrame, idCol: String,
+                           keyCol: String, chunks: Int, n: Int, k: Int,
+                           name: String): DataFrame = {
+    val base = items.select(col(idCol).as("id"), col(keyCol).cast("string").as("key"))
+    val dir = freshReplayDir(name)
+    (0 until chunks).foreach { i =>
+      base.filter(graft.operators.Sampling.hashBucket(col("id"), chunks) === i)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/c$i")
+    }
+    val expectedRows = base.count()
+    val stream = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/c*")
+    val qname = s"graft_gate_${name}_${replaySeq.incrementAndGet()}"
+    val sketch = udaf(new graft.operators.TextOps.MisraGriesAgg(k))
+    drainStream(spark, qname, expectedRows) {
+      stream.groupBy().agg(sketch(col("key")).as("sketch"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete").start()
+    }
+    val cand = spark.table(qname)
+      .select(explode(map_keys(col("sketch"))).as("key"))
+    base.join(broadcast(cand), Seq("key"), "left_semi")
+      .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("key").asc)
+      .limit(n)
+  }
+
   /** Start a streaming query and block until it has CONSUMED `expectedRows`
     * input rows, then stop it. Completion is detected by input-row count via
     * a listener, NOT `processAllAvailable()`: under ProcessingTimeTimeout

@@ -169,4 +169,21 @@ class IngestStreamingSpec extends SparkSuite {
     assert(got == Set((1L, 1L, "a", 1.0), (2L, 2L, "b", 2.0), (3L, 1L, "c", 3.0),
       (4L, 3L, "d", 4.0), (5L, 2L, "e", 5.0)))
   }
+
+  test("replayedHeavyHitters: streamed sketch + recount == batch top-n on a skewed stream") {
+    // planted skew: "hot" 40, "warm" 20, "w2" 12, then 30 singletons — with
+    // k=8 the N/(k+1)=102/9≈11.3 guarantee covers the top-3; 5 chunks force
+    // cross-micro-batch sketch merges
+    val rows = (Seq.fill(40)("hot") ++ Seq.fill(20)("warm") ++
+      Seq.fill(12)("w2") ++ (1 to 30).map(i => s"one$i")).zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }
+    val df = rows.toDF("id", "key")
+    val got = Streams.replayedHeavyHitters(spark, df, "id", "key",
+      chunks = 5, n = 3, k = 8, name = "spec_hh")
+      .as[(String, Long)].collect().toSeq
+    val want = graft.operators.TextOps.heavyHitters(df, col("key"), n = 3, k = 8)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("hot", 40L), ("warm", 20L), ("w2", 12L)))
+    assert(got == want)
+  }
 }
