@@ -835,6 +835,18 @@ object SparkEntry {
         chunks = 3, n = 4, k = 32, name = "hh")
     }),
 
+    // ---- A: per-group equi-depth histogram (quantile profile) ----
+    "q164_equidepth" -> ((s, dir) =>
+      graft.operators.Analyses.equiDepthHistogram(
+        Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice", buckets = 8)),
+
+    // ---- A/W: per-key rolling windowed Pearson correlation ----
+    "q165_rolling_corr" -> ((s, dir) =>
+      graft.operators.Analyses.rollingCorr(
+        Tables.lineitem(s, dir), "l_suppkey", "l_shipdate",
+        "l_quantity", "l_extendedprice", windowDays = 30)
+        .select(col("l_orderkey"), col("l_linenumber"), col("n_win"), col("r"))),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -2523,6 +2535,43 @@ object SparkEntry {
            FROM documents)
          SELECT key, count(*) AS cnt FROM it GROUP BY 1
          ORDER BY cnt DESC, key ASC LIMIT 4""",
+    // equi-depth: bucket = (cum−c)·B div tot, pure integer arithmetic over
+    // the (group, value) distribution grain
+    "q164_equidepth" ->
+      """WITH grain AS (SELECT l_returnflag, l_extendedprice AS v,
+             count(*) AS c FROM lineitem GROUP BY 1, 2),
+         cumt AS (SELECT l_returnflag, v, c,
+             sum(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+             sum(c) OVER (PARTITION BY l_returnflag) AS tot FROM grain)
+         SELECT l_returnflag,
+           cast(((cum - c) * 8) // tot AS bigint) AS bucket,
+           cast(sum(c) AS bigint) AS n_rows, min(v) AS v_min, max(v) AS v_max
+         FROM cumt GROUP BY 1, 2""",
+    // rolling corr: micros-exact trailing range frame, six exact decimal
+    // window sums, one mirrored double tree; degenerate windows -> null r
+    "q165_rolling_corr" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber, l_suppkey,
+             epoch_us(l_shipdate) AS us,
+             cast(l_quantity AS decimal(18,2)) AS x,
+             cast(l_extendedprice AS decimal(18,2)) AS y FROM lineitem),
+         m AS (SELECT l_orderkey, l_linenumber,
+             count(*) OVER w AS n, sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+             sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sxx,
+             sum(y * y) OVER w AS syy
+           FROM t WINDOW w AS (PARTITION BY l_suppkey ORDER BY us
+             RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)),
+         d AS (SELECT l_orderkey, l_linenumber, n,
+             cast(n AS double) * cast(sxx AS double) -
+               cast(sx AS double) * cast(sx AS double) AS vx,
+             cast(n AS double) * cast(syy AS double) -
+               cast(sy AS double) * cast(sy AS double) AS vy,
+             cast(n AS double) * cast(sxy AS double) -
+               cast(sx AS double) * cast(sy AS double) AS num
+           FROM m)
+         SELECT l_orderkey, l_linenumber, cast(n AS bigint) AS n_win,
+           CASE WHEN vx > 0 AND vy > 0
+             THEN round(num / sqrt(vx * vy), 6) END AS r
+         FROM d""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->

@@ -438,6 +438,77 @@ object Analyses {
     wide.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
   }
 
+  /** Per-group EQUI-DEPTH histogram — B buckets of (approximately) equal
+    * row count, the quantile-sketch profile that exposes skew an equi-width
+    * histogram ([[histogramProfile]]) hides. Each distinct value lands in
+    * the bucket of its cumulative START position, b = (cum−c)·B div total —
+    * pure integer arithmetic, so bucket edges are engine-exact; ties stay
+    * whole (a heavy value can overfill its bucket — the honest behavior,
+    * since a value cannot straddle quantiles).
+    *
+    * Scale shape: rows collapse to the (group, value) distribution grain
+    * first; the cumulative window runs over THAT (value-cardinality
+    * bounded, partitioned by group — never a raw-row or global window). */
+  def equiDepthHistogram(df: DataFrame, groupCol: String, valueCol: String,
+                         buckets: Int): DataFrame = {
+    require(buckets >= 1, "need at least one bucket")
+    import org.apache.spark.sql.expressions.Window
+    val grain = df.groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("__c"))
+    grain
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col(valueCol))))
+      .withColumn("__tot", sum(col("__c")).over(Window.partitionBy(col(groupCol))))
+      .withColumn("bucket",
+        expr(s"((__cum - __c) * ${buckets}L) div __tot"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(sum(col("__c")).as("n_rows"),
+        min(col(valueCol)).as("v_min"), max(col(valueCol)).as("v_max"))
+  }
+
+  /** Per-key ROLLING Pearson correlation — the windowed form of
+    * [[exactCorr]]: for every row, r between x and y over the key's
+    * trailing `windowDays` (micros-exact range frame). The drift detector
+    * for paired signals (does quantity still track price this month?).
+    *
+    * Determinism: the six moments are EXACT decimal range-window sums, the
+    * statistic one mirrored double tree rounded to 6 dp — engine-order
+    * free, same discipline as exactCorr. Degenerate windows (either
+    * variance ≤ 0) emit null r rather than dropping the row, so the output
+    * grain stays the input grain. */
+  def rollingCorr(df: DataFrame, keyCol: String, tsCol: String,
+                  xCol: String, yCol: String, windowDays: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val micros = windowDays * 86400000000L
+    // cast covers TIMESTAMP_NTZ sources (identity under the UTC session TZ)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(unix_micros(col(tsCol).cast("timestamp")))
+      .rangeBetween(-micros, 0)
+    val t = df.select(col("*"),
+      col(xCol).cast("decimal(18,2)").as("__x"),
+      col(yCol).cast("decimal(18,2)").as("__y"))
+    val m = t
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sx", sum(col("__x")).over(w))
+      .withColumn("__sy", sum(col("__y")).over(w))
+      .withColumn("__sxy", sum(col("__x") * col("__y")).over(w))
+      .withColumn("__sxx", sum(col("__x") * col("__x")).over(w))
+      .withColumn("__syy", sum(col("__y") * col("__y")).over(w))
+    m.withColumn("__vx",
+        col("__n").cast("double") * col("__sxx").cast("double") -
+          col("__sx").cast("double") * col("__sx").cast("double"))
+      .withColumn("__vy",
+        col("__n").cast("double") * col("__syy").cast("double") -
+          col("__sy").cast("double") * col("__sy").cast("double"))
+      .withColumn("n_win", col("__n"))
+      .withColumn("r",
+        when(col("__vx") > 0 && col("__vy") > 0, round(
+          (col("__n").cast("double") * col("__sxy").cast("double") -
+            col("__sx").cast("double") * col("__sy").cast("double")) /
+            sqrt(col("__vx") * col("__vy")), 6)))
+      .drop("__x", "__y", "__n", "__sx", "__sy", "__sxy", "__sxx", "__syy",
+        "__vx", "__vy")
+  }
+
   /** Per-group Shannon entropy over a categorical column — corpus/feed
     * composition diagnostics (how mixed is each user's event stream, each
     * source's language mix). H = −Σ p·ln p with p = c/n; each term is

@@ -165,6 +165,37 @@ class CorpusStatsSpec extends SparkSuite {
       s.isNullAt(3) && s.getString(5) == "a" && s.getString(6) == "x")
   }
 
+  test("equiDepthHistogram: even split, heavy tie stays whole in its start bucket") {
+    val even = (1 to 8).map(v => ("a", v.toDouble)).toDF("g", "v")
+    val g1 = Analyses.equiDepthHistogram(even, "g", "v", buckets = 4)
+      .select("bucket", "n_rows", "v_min", "v_max")
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(g1 == Set((0L, 2L, 1.0, 2.0), (1L, 2L, 3.0, 4.0),
+      (2L, 2L, 5.0, 6.0), (3L, 2L, 7.0, 8.0)))
+    // 10 copies of 1.0 + 2 copies of 2.0, B=2: the tie overfills bucket 0
+    val skew = (Seq.fill(10)(1.0) ++ Seq.fill(2)(2.0)).map(("a", _)).toDF("g", "v")
+    val g2 = Analyses.equiDepthHistogram(skew, "g", "v", buckets = 2)
+      .select("bucket", "n_rows").as[(Long, Long)].collect().toSet
+    assert(g2 == Set((0L, 10L), (1L, 2L)))
+  }
+
+  test("rollingCorr: perfect linear window = 1, single-row window = null, frame trails") {
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val df = Seq(
+      ("k", ts(1), 1.0, 2.0), ("k", ts(2), 2.0, 4.0), ("k", ts(3), 3.0, 6.0),
+      ("iso", ts(1), 5.0, 5.0) // single row -> n=1, vx=0 -> null
+    ).toDF("key", "t", "x", "y")
+    val got = Analyses.rollingCorr(df, "key", "t", "x", "y", windowDays = 30)
+      .select("key", "t", "n_win", "r")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString.take(10),
+        r.getLong(2), Option(r.get(3)))).toSet
+    assert(got == Set(
+      ("k", "2024-01-01", 1L, None),
+      ("k", "2024-01-02", 2L, Some(1.0)),
+      ("k", "2024-01-03", 3L, Some(1.0)),
+      ("iso", "2024-01-01", 1L, None)))
+  }
+
   test("groupEntropy: uniform k-way = ln k, single-category = 0") {
     val df = Seq(("u", "a"), ("u", "b"), ("u", "c"), ("u", "d"),
       ("v", "a"), ("v", "a")).toDF("g", "cat")
