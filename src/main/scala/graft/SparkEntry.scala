@@ -847,6 +847,77 @@ object SparkEntry {
         "l_quantity", "l_extendedprice", windowDays = 30)
         .select(col("l_orderkey"), col("l_linenumber"), col("n_win"), col("r"))),
 
+    // ---- J/W: TPC-H Q2 shape — cheapest observed supplier per part ----
+    "q166_cheapest_supplier" -> ((s, dir) => {
+      // correlated-min as a per-part top-1 window (parts bound the
+      // partitions). The unit price is built as an exact integer-cents
+      // rational and divided ONCE as doubles — bit-identical across
+      // engines, unlike round(p/q, 6) whose half-boundary behavior diverges
+      // (found at sf0.1: repeating-binary quotients landing on the 5)
+      import org.apache.spark.sql.expressions.Window
+      val u = Tables.lineitem(s, dir).filter(col("l_quantity") > 0)
+        .select(col("l_partkey"), col("l_suppkey"),
+          (round(col("l_extendedprice") * 100, 0).cast("long").cast("double") /
+            round(col("l_quantity") * 100, 0).cast("long").cast("double"))
+            .as("unit"))
+      val w = Window.partitionBy(col("l_partkey"))
+        .orderBy(col("unit").asc, col("l_suppkey").asc)
+      u.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .join(broadcast(Tables.supplier(s, dir)
+          .select("s_suppkey", "s_name")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey"), col("s_name"), col("unit"))
+    }),
+
+    // ---- A/J: period-over-period cohort diff (churned / new / retained) ----
+    "q167_churn" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val a = ev.filter(col("ts") >= lit("2024-01-01") &&
+        col("ts") < lit("2024-01-15")).select("user_id").distinct()
+      val b = ev.filter(col("ts") >= lit("2024-01-15")).select("user_id").distinct()
+      a.join(b, Seq("user_id"), "left_semi").withColumn("status", lit("retained"))
+        .unionByName(a.join(b, Seq("user_id"), "left_anti")
+          .withColumn("status", lit("churned")))
+        .unionByName(b.join(a, Seq("user_id"), "left_anti")
+          .withColumn("status", lit("new")))
+    }),
+
+    // ---- EXT: degree distribution of the customer⋈supplier graph ----
+    "q168_degree_dist" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+      val edges = pairs.unionAll(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+    }),
+
+    // ---- EXT: incremental aggregate maintenance (merge == recompute) ----
+    "q169_incremental_agg" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val base = graft.operators.Pipelines.aggState(
+        o.filter(col("o_orderdate") < lit("1999-01-01")), "o_custkey", "o_totalprice")
+      val delta = graft.operators.Pipelines.aggState(
+        o.filter(col("o_orderdate") >= lit("1999-01-01")), "o_custkey", "o_totalprice")
+      graft.operators.Pipelines.finishAggState(
+        graft.operators.Pipelines.mergeAggStates(base, delta))
+    }),
+
+    // ---- EXT: CDC apply (batch MERGE of an I/U/D change log) ----
+    "q170_cdc_apply" -> ((s, dir) => {
+      val snap = Tables.customer(s, dir)
+        .select(col("c_custkey").as("key"), col("c_acctbal").as("value"))
+      val log = Tables.events(s, dir).select(
+        col("user_id").as("key"), col("ts"), col("value"), col("event_id"),
+        when(graft.operators.Sampling.hashBucket(col("event_id"), 3) === 0, "U")
+          .when(graft.operators.Sampling.hashBucket(col("event_id"), 3) === 1, "I")
+          .otherwise("D").as("op"))
+      graft.operators.Joins.applyCdc(snap, log, "key", "value",
+        col("ts"), col("event_id"))
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -2572,6 +2643,60 @@ object SparkEntry {
            CASE WHEN vx > 0 AND vy > 0
              THEN round(num / sqrt(vx * vy), 6) END AS r
          FROM d""",
+    // Q2 shape: per-part top-1 on (exact integer-cents unit price, suppkey)
+    "q166_cheapest_supplier" ->
+      """WITH u AS (SELECT l_partkey, l_suppkey,
+             cast(cast(round(l_extendedprice * 100) AS bigint) AS double) /
+               cast(cast(round(l_quantity * 100) AS bigint) AS double) AS unit
+           FROM lineitem WHERE l_quantity > 0),
+         r AS (SELECT *, row_number() OVER (PARTITION BY l_partkey
+             ORDER BY unit, l_suppkey) AS rn FROM u)
+         SELECT l_partkey, s_name, unit FROM r
+         JOIN supplier ON l_suppkey = s_suppkey WHERE rn = 1""",
+    // churn: distinct-actives set algebra across two periods
+    "q167_churn" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'),
+         b AS (SELECT DISTINCT user_id FROM events
+           WHERE ts >= TIMESTAMP '2024-01-15')
+         SELECT user_id, 'retained' AS status FROM a
+           WHERE EXISTS (SELECT 1 FROM b WHERE b.user_id = a.user_id)
+         UNION ALL
+         SELECT user_id, 'churned' FROM a
+           WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.user_id = a.user_id)
+         UNION ALL
+         SELECT user_id, 'new' FROM b
+           WHERE NOT EXISTS (SELECT 1 FROM a WHERE a.user_id = b.user_id)""",
+    // degree distribution over the undirected bipartite graph
+    "q168_degree_dist" ->
+      """WITH pairs AS (SELECT DISTINCT 'c' || o_custkey AS src,
+             's' || l_suppkey AS dst
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         edges AS (SELECT src, dst FROM pairs
+           UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+         deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY 1)
+         SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1""",
+    // incremental agg: merged partial states == full recompute
+    "q169_incremental_agg" ->
+      """SELECT o_custkey, count(*) AS n,
+           cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS sum_v,
+           min(o_totalprice) AS min_v, max(o_totalprice) AS max_v
+         FROM orders GROUP BY 1""",
+    // CDC apply: latest op per key over the log; D kills, I/U replaces,
+    // untouched snapshot rows carry with src='base'
+    "q170_cdc_apply" ->
+      """WITH log AS (SELECT user_id AS key, ts, value, event_id,
+             CASE ('0x' || substr(md5(cast(event_id AS varchar)), 1, 8))::bigint % 3
+               WHEN 0 THEN 'U' WHEN 1 THEN 'I' ELSE 'D' END AS op
+           FROM events),
+         latest AS (SELECT key, op, value FROM (SELECT *, row_number() OVER (
+             PARTITION BY key ORDER BY ts DESC, event_id DESC) AS rn FROM log)
+           WHERE rn = 1)
+         SELECT c_custkey AS key, c_acctbal AS value, 'base' AS src
+         FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM latest WHERE latest.key = c_custkey)
+         UNION ALL
+         SELECT key, value, 'cdc' FROM latest WHERE op <> 'D'""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->

@@ -265,8 +265,14 @@ object Analyses {
     val pairs = b.join(b.select(col("__ok"), col("__item").as("__other")), Seq("__ok"))
       .filter(col("__item") < col("__other"))
       .groupBy(col("__item"), col("__other")).agg(count(lit(1)).as("n_co"))
-    val sym = pairs.select(col("__item").as("item"), col("__other").as("other"), col("n_co"))
-      .unionAll(pairs.select(col("__other").as("item"), col("__item").as("other"), col("n_co")))
+    // both orientations via ONE explode — a `unionAll(pairs, pairs.select)`
+    // would duplicate the whole self-join+agg subtree in the plan (verified
+    // in the executed plan: two identical join branches), doubling the work
+    val sym = pairs.select(explode(array(
+        struct(col("__item").as("item"), col("__other").as("other")),
+        struct(col("__other").as("item"), col("__item").as("other")))).as("__p"),
+        col("n_co"))
+      .select(col("__p.item"), col("__p.other"), col("n_co"))
     val w = Window.partitionBy(col("item")).orderBy(col("n_co").desc, col("other").asc)
     sym.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)

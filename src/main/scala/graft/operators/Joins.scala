@@ -153,4 +153,26 @@ object Joins {
       .filter(col(tsSecCol) >= col(startSecCol) && col(tsSecCol) < col(endSecCol))
       .drop("__bkt")
   }
+
+  /** CDC apply — the batch MERGE: collapse an insert/update/delete change
+    * log to its latest operation per key and apply it to a snapshot.
+    * Untouched snapshot rows survive (anti-join on logged keys), keys whose
+    * latest op is I/U take the log's value, keys whose latest op is D
+    * disappear. `src` marks provenance ('base' kept vs 'cdc' applied) so
+    * downstream audits can tell a carried row from a merged one.
+    *
+    * Scale shape: the log collapses FIRST (latest-per-key window — key-
+    * partitioned, state bounded by changed keys, which is the small side of
+    * a CDC batch by nature); the snapshot then sees one anti equi-join.
+    * Copy-on-write semantics, same as [[upsert]] — no in-place mutation. */
+  def applyCdc(snapshot: DataFrame, log: DataFrame, key: String,
+               valueCol: String, order: Column*): DataFrame = {
+    val latest = Relational.latestPerKey(log, key, order: _*)
+    val untouched = snapshot
+      .join(latest.select(col(key)), Seq(key), "left_anti")
+      .select(col(key), col(valueCol), lit("base").as("src"))
+    val applied = latest.filter(col("op") =!= "D")
+      .select(col(key), col(valueCol), lit("cdc").as("src"))
+    untouched.unionByName(applied)
+  }
 }

@@ -108,4 +108,31 @@ object Pipelines {
       .select(col(idCol), col("n_tokens"), col("tok_offset"),
         col("seq_first"), col("seq_last"))
   }
+
+  /** Mergeable per-key aggregate STATE (n, decimal-exact sum, min, max) —
+    * the materialized half of incremental aggregation. */
+  def aggState(df: DataFrame, key: String, valueCol: String): DataFrame =
+    df.groupBy(col(key)).agg(
+      count(lit(1)).as("n"),
+      sum(col(valueCol).cast("decimal(18,2)")).as("__s"),
+      min(col(valueCol)).as("min_v"),
+      max(col(valueCol)).as("max_v"))
+
+  /** Incremental aggregate maintenance — merge partial [[aggState]]s
+    * WITHOUT rescanning the base data: counts add, exact decimal sums add,
+    * min/max fold. merge(state(A), state(B)) ≡ state(A ∪ B) because every
+    * component is a commutative monoid — the property the q169 oracle
+    * (full recompute over the union) checks. This is the daily-ETL shape:
+    * the base state is a write-once artifact; each new partition folds in
+    * with work proportional to the DELTA, not the corpus. */
+  def mergeAggStates(states: DataFrame*): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(col(states.head.columns.head))
+      .agg(sum(col("n")).as("n"), sum(col("__s")).as("__s"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+
+  /** Final user-facing view of an agg state (sum exposed as double). */
+  def finishAggState(state: DataFrame): DataFrame =
+    state.select(col(state.columns.head), col("n"),
+      col("__s").cast("double").as("sum_v"), col("min_v"), col("max_v"))
 }

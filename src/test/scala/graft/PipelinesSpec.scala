@@ -76,4 +76,34 @@ class PipelinesSpec extends SparkSuite {
     // contiguity: the packed stream has no gaps and no overlaps
     got.sliding(2).foreach { case Array(a, b) => assert(a._3 + a._2 == b._3) }
   }
+
+  test("mergeAggStates: merge of partial states == state of the union") {
+    val a = Seq(("k1", 1.0), ("k1", 2.0), ("k2", 5.0)).toDF("k", "v")
+    val b = Seq(("k1", 10.0), ("k3", 7.0)).toDF("k", "v")
+    val merged = Pipelines.finishAggState(Pipelines.mergeAggStates(
+      Pipelines.aggState(a, "k", "v"), Pipelines.aggState(b, "k", "v")))
+    val full = Pipelines.finishAggState(
+      Pipelines.aggState(a.unionByName(b), "k", "v"))
+    val m = merged.as[(String, Long, Double, Double, Double)].collect().toSet
+    assert(m == full.as[(String, Long, Double, Double, Double)].collect().toSet)
+    assert(m == Set(("k1", 3L, 13.0, 1.0, 10.0), ("k2", 1L, 5.0, 5.0, 5.0),
+      ("k3", 1L, 7.0, 7.0, 7.0)))
+  }
+
+  test("applyCdc: D kills, latest I/U replaces, untouched rows carry") {
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val snap = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+      .toDF("key", "value")
+    val log = Seq(
+      (1L, ts(1), 99.0, 100L, "U"),  // stale update...
+      (1L, ts(2), 11.0, 101L, "U"),  // ...latest wins
+      (2L, ts(1), 0.0, 102L, "D"),   // delete key 2
+      (5L, ts(1), 50.0, 103L, "I")   // insert new key 5
+    ).toDF("key", "ts", "value", "event_id", "op")
+    val got = graft.operators.Joins.applyCdc(snap, log, "key", "value",
+      col("ts"), col("event_id"))
+      .as[(Long, Double, String)].collect().toSet
+    assert(got == Set((1L, 11.0, "cdc"), (3L, 30.0, "base"),
+      (4L, 40.0, "base"), (5L, 50.0, "cdc")))
+  }
 }
