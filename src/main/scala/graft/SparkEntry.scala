@@ -918,6 +918,31 @@ object SparkEntry {
         col("ts"), col("event_id"))
     }),
 
+    // ---- A: association rules (support / confidence / lift) ----
+    "q171_assoc_rules" -> ((s, dir) =>
+      graft.operators.Analyses.associationRules(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minCo = 2)),
+
+    // ---- A/W: per-key daily OHLC bars ----
+    "q172_ohlc" -> ((s, dir) =>
+      graft.operators.Analyses.ohlcBars(
+        Tables.events(s, dir), "user_id", "ts", "value",
+        tieBreak = col("event_id"))),
+
+    // ---- A/L: monthly trending parts (top-k per period) ----
+    "q173_monthly_top_parts" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), date_trunc("month", col("o_orderdate")).as("month"))
+      val cnt = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("month"), col("l_partkey")).agg(count(lit(1)).as("n_lines"))
+      val w = Window.partitionBy(col("month"))
+        .orderBy(col("n_lines").desc, col("l_partkey").asc)
+      cnt.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -2697,6 +2722,51 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM latest WHERE latest.key = c_custkey)
          UNION ALL
          SELECT key, value, 'cdc' FROM latest WHERE op <> 'D'""",
+    // association rules: every statistic ONE division of exact integer
+    // counts (lift = n_co*N / n_item*n_other) — bit-identical, no rounding
+    "q171_assoc_rules" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+             FROM lineitem),
+         pairs AS (SELECT a.item AS item, c.item AS other, count(*) AS n_co
+           FROM b a JOIN b c ON a.ok = c.ok AND a.item < c.item
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         sym AS (SELECT item, other, n_co FROM pairs
+           UNION ALL SELECT other AS item, item AS other, n_co FROM pairs),
+         supp AS (SELECT item, count(*) AS n_item FROM b GROUP BY 1),
+         tot AS (SELECT count(DISTINCT ok) AS n_baskets FROM b)
+         SELECT item, other, n_co,
+           cast(n_co AS double) / cast(n_baskets AS double) AS support,
+           cast(n_co AS double) / cast(n_item AS double) AS confidence,
+           cast(n_co * n_baskets AS double) /
+             cast(n_item * n_other AS double) AS lift
+         FROM sym JOIN supp USING (item)
+         JOIN (SELECT item AS other, n_item AS n_other FROM supp) USING (other)
+         CROSS JOIN tot""",
+    // OHLC: first/last under the (ts, event_id) total order via two
+    // row_number flags folded into one hash agg
+    "q172_ohlc" ->
+      """WITH t AS (SELECT user_id, cast(date_trunc('day', ts) AS date) AS day,
+             value,
+             row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+               ORDER BY ts ASC, event_id ASC) AS ra,
+             row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+               ORDER BY ts DESC, event_id DESC) AS rd
+           FROM events)
+         SELECT user_id, day,
+           max(CASE WHEN ra = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           max(CASE WHEN rd = 1 THEN value END) AS close,
+           count(*) AS n_events
+         FROM t GROUP BY 1, 2""",
+    // trending: per-month part counts, top-5 on (n desc, partkey)
+    "q173_monthly_top_parts" ->
+      """WITH cnt AS (SELECT date_trunc('month', o_orderdate) AS month,
+             l_partkey, count(*) AS n_lines
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY month
+             ORDER BY n_lines DESC, l_partkey ASC) AS rnk FROM cnt)
+         SELECT month, l_partkey, n_lines, rnk FROM r WHERE rnk <= 5""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->

@@ -515,6 +515,67 @@ object Analyses {
         "__vx", "__vy")
   }
 
+  /** Association rules over the co-purchase pair table — support,
+    * confidence and lift for item→other rules with at least `minCo`
+    * co-occurrences. Every statistic is ONE division of exact integer
+    * counts (lift as the cross-product ratio n_co·N / n_item·n_other), so
+    * the doubles are bit-identical across engines with NO rounding step —
+    * the q166 lesson applied by construction.
+    *
+    * Scale shape: rides [[coPurchasePairs]]' bounded-by-basket-size pair
+    * generation; item supports are one hash agg; the total-baskets row is
+    * broadcast by nature. */
+  def associationRules(baskets: DataFrame, basketCol: String, itemCol: String,
+                       minCo: Long): DataFrame = {
+    val b = baskets.select(col(basketCol).as("__ok"), col(itemCol).as("__item")).distinct()
+    val pairs = b.join(b.select(col("__ok"), col("__item").as("__other")), Seq("__ok"))
+      .filter(col("__item") < col("__other"))
+      .groupBy(col("__item"), col("__other")).agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= minCo)
+    val sym = pairs.select(explode(array(
+        struct(col("__item").as("item"), col("__other").as("other")),
+        struct(col("__other").as("item"), col("__item").as("other")))).as("__p"),
+        col("n_co"))
+      .select(col("__p.item"), col("__p.other"), col("n_co"))
+    val supp = b.groupBy(col("__item").as("item")).agg(count(lit(1)).as("n_item"))
+    val tot = b.select(col("__ok")).distinct().agg(count(lit(1)).as("n_baskets"))
+    sym
+      .join(supp, Seq("item"))
+      .join(supp.select(col("item").as("other"), col("n_item").as("n_other")),
+        Seq("other"))
+      .crossJoin(broadcast(tot))
+      .select(col("item"), col("other"), col("n_co"),
+        (col("n_co").cast("double") / col("n_baskets").cast("double")).as("support"),
+        (col("n_co").cast("double") / col("n_item").cast("double")).as("confidence"),
+        ((col("n_co") * col("n_baskets")).cast("double") /
+          (col("n_item") * col("n_other")).cast("double")).as("lift"))
+  }
+
+  /** Per-key time-bucketed OHLC bars — open/high/low/close/volume per
+    * `key × day`, the downsampling shape for dashboards and monitoring.
+    * Open/close are the FIRST/LAST value under the total order (ts,
+    * tieBreak) — two row_number flags folded in the same hash aggregate,
+    * so the whole bar is one window pass + one agg over key-day partitions
+    * (span-bounded, never global). */
+  def ohlcBars(df: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String, tieBreak: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = df.withColumn("__day", to_date(col(tsCol)))
+    val wA = Window.partitionBy(col(keyCol), col("__day"))
+      .orderBy(col(tsCol).asc, tieBreak.asc)
+    val wD = Window.partitionBy(col(keyCol), col("__day"))
+      .orderBy(col(tsCol).desc, tieBreak.desc)
+    t.withColumn("__ra", row_number().over(wA))
+      .withColumn("__rd", row_number().over(wD))
+      .groupBy(col(keyCol), col("__day").as("day"))
+      .agg(
+        max(when(col("__ra") === 1, col(valueCol))).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max(when(col("__rd") === 1, col(valueCol))).as("close"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Per-group Shannon entropy over a categorical column — corpus/feed
     * composition diagnostics (how mixed is each user's event stream, each
     * source's language mix). H = −Σ p·ln p with p = c/n; each term is

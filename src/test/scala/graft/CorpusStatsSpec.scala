@@ -196,6 +196,37 @@ class CorpusStatsSpec extends SparkSuite {
       ("iso", "2024-01-01", 1L, None)))
   }
 
+  test("associationRules: hand-computed support/confidence/lift, minCo prunes") {
+    // baskets: {1,2} x3, {1,3} x1, {2,3} x1 -> N=5; co(1,2)=3, co(1,3)=1,
+    // co(2,3)=1; minCo=2 keeps only the 1-2 rule pair
+    val b = Seq((10, 1), (10, 2), (11, 1), (11, 2), (12, 1), (12, 2),
+      (13, 1), (13, 3), (14, 2), (14, 3)).toDF("ok", "item")
+    val got = Analyses.associationRules(b, "ok", "item", minCo = 2)
+      .select("item", "other", "n_co", "support", "confidence", "lift")
+      .as[(Int, Int, Long, Double, Double, Double)].collect().toSet
+    // n_1 = 4, n_2 = 4: conf(1->2) = 3/4, lift = 3*5/(4*4) = 0.9375
+    assert(got == Set(
+      (1, 2, 3L, 0.6, 0.75, 0.9375),
+      (2, 1, 3L, 0.6, 0.75, 0.9375)))
+  }
+
+  test("ohlcBars: open/close follow the (ts, tie) total order, day buckets split") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      ("k", ts("2024-01-01 09:00:00"), 5.0, 1L),
+      ("k", ts("2024-01-01 09:00:00"), 3.0, 0L), // same ts: tie-break opens
+      ("k", ts("2024-01-01 17:00:00"), 9.0, 2L),
+      ("k", ts("2024-01-02 10:00:00"), 7.0, 3L)  // next day -> own bar
+    ).toDF("key", "t", "v", "id")
+    val got = Analyses.ohlcBars(df, "key", "t", "v", col("id"))
+      .select("key", "day", "open", "high", "low", "close", "n_events")
+      .collect().map(r => (r.getDate(1).toString, r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+    assert(got == Set(
+      ("2024-01-01", 3.0, 9.0, 3.0, 9.0, 3L),
+      ("2024-01-02", 7.0, 7.0, 7.0, 7.0, 1L)))
+  }
+
   test("groupEntropy: uniform k-way = ln k, single-category = 0") {
     val df = Seq(("u", "a"), ("u", "b"), ("u", "c"), ("u", "d"),
       ("v", "a"), ("v", "a")).toDF("g", "cat")
