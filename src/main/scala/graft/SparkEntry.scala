@@ -943,6 +943,189 @@ object SparkEntry {
         .filter(col("rnk") <= 5)
     }),
 
+    // ---- J/A: TPC-H Q7 shape — nation-pair trade volume by year ----
+    "q174_volume_shipping" -> ((s, dir) => {
+      // both nation dims filtered to the two trading partners BEFORE the
+      // fact joins (25-row by-NATURE broadcasts); the directed-pair
+      // predicate reduces to supp ≠ cust after the restriction
+      val ns = Tables.nation(s, dir)
+        .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4"))
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val nc = Tables.nation(s, dir)
+        .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4"))
+        .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"),
+          (col("l_extendedprice").cast(D) *
+            (lit(1) - col("l_discount").cast(D))).as("vol"))
+      val su = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+        .join(broadcast(ns), col("s_nationkey") === col("sk"))
+      val cu = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+        .join(broadcast(nc), col("c_nationkey") === col("ck"))
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      l.join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cu, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(col("vol")).cast("double").as("revenue"))
+    }),
+
+    // ---- J/A: TPC-H Q8 shape — nation market share within a region ----
+    "q175_market_share" -> ((s, dir) => {
+      val rn = Tables.nation(s, dir)
+        .join(Tables.region(s, dir).filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("rk"))
+      val cu = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+        .join(broadcast(rn), col("c_nationkey") === col("rk"))
+      val p = Tables.part(s, dir)
+        .filter(col("p_type") === "ECONOMY").select("p_partkey")
+      val ns = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val su = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+        .join(broadcast(ns), col("s_nationkey") === col("sk"))
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("o_year"))
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice").cast(D) *
+            (lit(1) - col("l_discount").cast(D))).as("vol"))
+      // share = one division of two exact-decimal sums cast to double —
+      // bit-identical across engines with no rounding step
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cu, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_5", col("vol"))
+            .otherwise(lit(0).cast(D))).cast("double").as("nation_vol"),
+          sum(col("vol")).cast("double").as("total_vol"))
+        .select(col("o_year"),
+          (col("nation_vol") / col("total_vol")).as("mkt_share"))
+    }),
+
+    // ---- J/A: TPC-H Q9 shape — product-line profit by nation and year ----
+    "q176_product_profit" -> ((s, dir) => {
+      // adapted: no partsupp table in the corpus, so unit cost is modeled
+      // as 10% of p_retailprice — revenue and cost are SEPARATE exact
+      // decimal sums (a fused rev−0.1·retail·qty decimal term would
+      // overflow precision 38 and round differently per engine); they
+      // combine as doubles in one mirrored parse tree at the end
+      val p = Tables.part(s, dir)
+        .filter(col("p_name").like("%red%"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val ns = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sk"), col("n_name"))
+      val su = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+        .join(broadcast(ns), col("s_nationkey") === col("sk"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      Tables.lineitem(s, dir)
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), col("o_year"))
+        .agg(
+          sum(col("l_extendedprice").cast(D) *
+            (lit(1) - col("l_discount").cast(D))).cast("double").as("rev"),
+          sum(col("p_retailprice").cast(D) *
+            col("l_quantity").cast(D)).cast("double").as("retail"))
+        .select(col("n_name"), col("o_year"),
+          (col("rev") - col("retail") * lit(0.1).cast("double")).as("profit"))
+    }),
+
+    // ---- A: TPC-H Q14 shape — promo revenue share by month ----
+    "q177_promo_share" -> ((s, dir) => {
+      val p = Tables.part(s, dir).select(col("p_partkey"), col("p_type"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+        .agg(
+          sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice").cast(D) *
+              (lit(1) - col("l_discount").cast(D)))
+            .otherwise(lit(0).cast(D))).cast("double").as("promo_rev"),
+          sum(col("l_extendedprice").cast(D) *
+            (lit(1) - col("l_discount").cast(D))).cast("double").as("total_rev"))
+        .select(col("month"),
+          (col("promo_rev") / col("total_rev") * lit(100.0).cast("double"))
+            .as("promo_pct"))
+    }),
+
+    // ---- J/A: TPC-H Q16 shape — supplier diversity per part profile ----
+    "q178_supplier_diversity" -> ((s, dir) => {
+      // count(DISTINCT supp) per (brand,type,size) from the observed
+      // lineitem pairs; "complaint" suppliers (negative balance) removed
+      // by anti-join BEFORE the distinct expansion
+      val p = Tables.part(s, dir)
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 5, 9, 15, 20, 25, 30, 35))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val bad = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // ---- J/L: TPC-H Q20 shape — high-volume suppliers of a part family ----
+    "q179_part_family_suppliers" -> ((s, dir) => {
+      // nested-aggregate semi-join: per (part,supp) shipped quantity over
+      // the window, HAVING over the agg, then DISTINCT suppliers via
+      // semi-join (adapted: shipped-qty threshold stands in for the
+      // partsupp availqty comparison — no partsupp table in the corpus)
+      val p = Tables.part(s, dir)
+        .filter(col("p_name").like("small%")).select("p_partkey")
+      val pairs = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast(D)).as("qty"))
+      val tot = pairs.agg(sum(col("qty")).as("tq"), count(lit(1)).as("np"))
+      // SF-robust relative threshold: qty > 2× the family's mean pair
+      // quantity, compared exactly as qty·np > 2·tq (integer multiplies
+      // of exact decimals — no division, no absolute constant that goes
+      // vacuous at a different scale)
+      val heavy = pairs.crossJoin(broadcast(tot))
+        .filter(col("qty") * col("np") > col("tq") * 2)
+        .select("l_suppkey")
+      Tables.supplier(s, dir)
+        .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_nationkey")
+    }),
+
+    // ---- A: TPC-H Q11 shape — parts above a global revenue fraction ----
+    "q180_important_parts" -> ((s, dir) => {
+      // scalar-subquery threshold: the one-row global total is broadcast
+      // by NATURE; the fraction compare is exact-decimal sum·1000 > total
+      // (integer multiply, no decimal division whose scale differs by
+      // engine)
+      val rev = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast(D) *
+          (lit(1) - col("l_discount").cast(D))).as("rev"))
+      // SF-robust: parts above 1.3× the MEAN part revenue (the corpus has
+      // no heavy head, so a fixed global fraction goes empty at larger
+      // SF); 1.3× as the exact integer compare rev·n·10 > 13·total
+      val tot = rev.agg(sum(col("rev")).as("total"), count(lit(1)).as("np"))
+      rev.crossJoin(broadcast(tot))
+        .filter(col("rev") * col("np") * 10 > col("total") * 13)
+        .select(col("l_partkey"), col("rev").cast("double").as("part_value"))
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -2767,6 +2950,109 @@ object SparkEntry {
          r AS (SELECT *, row_number() OVER (PARTITION BY month
              ORDER BY n_lines DESC, l_partkey ASC) AS rnk FROM cnt)
          SELECT month, l_partkey, n_lines, rnk FROM r WHERE rnk <= 5""",
+    // Q7: nation-pair volume; same decimal-revenue idiom as q17/q131
+    "q174_volume_shipping" ->
+      """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           cast(extract(year FROM l_shipdate) AS int) AS l_year,
+           cast(sum(cast(l_extendedprice AS decimal(18,2)) *
+             (1 - cast(l_discount AS decimal(18,2)))) AS double) AS revenue
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ns ON s_nationkey = ns.n_nationkey
+         JOIN nation nc ON c_nationkey = nc.n_nationkey
+         WHERE ns.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+           AND nc.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+           AND ns.n_name <> nc.n_name
+           AND l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1, 2, 3""",
+    // Q8: market share = one division of two exact-decimal sums as doubles
+    "q175_market_share" ->
+      """SELECT cast(extract(year FROM o_orderdate) AS int) AS o_year,
+           cast(sum(CASE WHEN ns.n_name = 'NATION_5'
+               THEN cast(l_extendedprice AS decimal(18,2)) *
+                 (1 - cast(l_discount AS decimal(18,2)))
+               ELSE cast(0 AS decimal(18,2)) END) AS double) /
+           cast(sum(cast(l_extendedprice AS decimal(18,2)) *
+             (1 - cast(l_discount AS decimal(18,2)))) AS double) AS mkt_share
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ncust ON c_nationkey = ncust.n_nationkey
+         JOIN region ON ncust.n_regionkey = r_regionkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ns ON s_nationkey = ns.n_nationkey
+         WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1""",
+    // Q9 adapted: rev and retail-cost as SEPARATE exact-decimal sums,
+    // combined once as doubles (fused term would overflow decimal-38)
+    "q176_product_profit" ->
+      """SELECT n_name, cast(extract(year FROM o_orderdate) AS int) AS o_year,
+           cast(sum(cast(l_extendedprice AS decimal(18,2)) *
+             (1 - cast(l_discount AS decimal(18,2)))) AS double) -
+           cast(sum(cast(p_retailprice AS decimal(18,2)) *
+             cast(l_quantity AS decimal(18,2))) AS double) *
+             cast(0.1 AS double) AS profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE p_name LIKE '%red%'
+         GROUP BY 1, 2""",
+    // Q14: promo share per month — division then ×100, mirrored tree
+    "q177_promo_share" ->
+      """SELECT date_trunc('month', l_shipdate) AS month,
+           cast(sum(CASE WHEN p_type = 'PROMO'
+               THEN cast(l_extendedprice AS decimal(18,2)) *
+                 (1 - cast(l_discount AS decimal(18,2)))
+               ELSE cast(0 AS decimal(18,2)) END) AS double) /
+           cast(sum(cast(l_extendedprice AS decimal(18,2)) *
+             (1 - cast(l_discount AS decimal(18,2)))) AS double) *
+             cast(100.0 AS double) AS promo_pct
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1""",
+    // Q16: distinct suppliers per part profile, complaints anti-joined
+    "q178_supplier_diversity" ->
+      """SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+           AND p_size IN (1, 5, 9, 15, 20, 25, 30, 35)
+           AND l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3""",
+    // Q20 adapted: nested agg, relative 2×-mean HAVING, suppliers via semi
+    "q179_part_family_suppliers" ->
+      """WITH pairs AS (SELECT l_partkey, l_suppkey,
+             sum(cast(l_quantity AS decimal(18,2))) AS qty
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_name LIKE 'small%'
+             AND l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1998-01-01'
+           GROUP BY 1, 2),
+         heavy AS (SELECT DISTINCT l_suppkey FROM pairs
+           CROSS JOIN (SELECT sum(qty) AS tq, count(*) AS np FROM pairs) t
+           WHERE qty * np > tq * 2)
+         SELECT s_suppkey, s_name, s_nationkey FROM supplier
+         JOIN heavy ON s_suppkey = l_suppkey""",
+    // Q11 analog: exact-decimal 1.3×-mean compare as integer multiplies
+    "q180_important_parts" ->
+      """WITH rev AS (SELECT l_partkey,
+             sum(cast(l_extendedprice AS decimal(18,2)) *
+               (1 - cast(l_discount AS decimal(18,2)))) AS rev
+           FROM lineitem GROUP BY 1)
+         SELECT l_partkey, cast(rev AS double) AS part_value
+         FROM rev CROSS JOIN
+           (SELECT sum(rev) AS total, count(*) AS np FROM rev) t
+         WHERE rev * np * 10 > total * 13""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->
