@@ -1126,6 +1126,47 @@ object SparkEntry {
         .select(col("l_partkey"), col("rev").cast("double").as("part_value"))
     }),
 
+    // ---- A/W: peak concurrency per key (+1/−1 interval sweep) ----
+    "q181_max_concurrent" -> ((s, dir) =>
+      graft.operators.Analyses.maxConcurrent(
+        Tables.events(s, dir), "user_id",
+        col("ts"), col("ts") + expr("INTERVAL 1 HOUR"))),
+
+    // ---- A: ABC/Pareto classification (two-level global prefix sum) ----
+    "q182_pareto_class" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast(D) *
+          (lit(1) - col("l_discount").cast(D))).as("rev"))
+      graft.operators.Analyses.paretoClass(rev, "l_partkey", "rev")
+    }),
+
+    // ---- A: per-group Gini coefficient (concentration diagnostic) ----
+    "q183_gini" -> ((s, dir) =>
+      graft.operators.Analyses.giniByGroup(
+        Tables.customer(s, dir).filter(col("c_acctbal") > 0),
+        "c_nationkey", "c_acctbal", col("c_custkey"))),
+
+    // ---- W/J: first/last-touch attribution (trailing-horizon range window) ----
+    "q184_attribution" -> ((s, dir) =>
+      graft.operators.Relational.touchAttribution(
+        Tables.events(s, dir), "user_id", "ts", "event_type", "event_id",
+        convType = "purchase", touchType = "click",
+        horizonSeconds = 7L * 24 * 3600)),
+
+    // ---- G: bounded-round min-label propagation (connected components) ----
+    "q185_label_propagation" -> ((s, dir) => {
+      val b = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("it")).distinct()
+      val p = b.join(b.select(col("ok"), col("it").as("jt")), Seq("ok"))
+        .filter(col("it") < col("jt"))
+        .groupBy(col("it"), col("jt")).agg(count(lit(1)).as("n_co"))
+        .filter(col("n_co") >= 2)
+      val edges = p.select(col("it").as("src"), col("jt").as("dst"))
+        .unionAll(p.select(col("jt").as("src"), col("it").as("dst")))
+      graft.operators.Graph.labelPropagation(edges, rounds = 10)
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -3053,6 +3094,112 @@ object SparkEntry {
          FROM rev CROSS JOIN
            (SELECT sum(rev) AS total, count(*) AS np FROM rev) t
          WHERE rev * np * 10 > total * 13""",
+    // peak concurrency: running-sum max is tie-order-independent (within a
+    // +1 run the sum only rises, within a −1 run only falls)
+    "q181_max_concurrent" ->
+      """WITH d AS (
+           SELECT user_id, ts AS t, cast(1 AS bigint) AS dd FROM events
+           UNION ALL
+           SELECT user_id, ts + INTERVAL 1 HOUR, cast(-1 AS bigint) FROM events),
+         r AS (SELECT user_id, sum(dd) OVER (PARTITION BY user_id
+             ORDER BY t ASC, dd ASC ROWS UNBOUNDED PRECEDING) AS run FROM d)
+         SELECT user_id, cast(max(run) AS bigint) AS peak FROM r GROUP BY 1""",
+    // Pareto/ABC: oracle's ONE global window equals the engine's two-level
+    // range-partitioned prefix sum exactly (associative decimal addition);
+    // 80/95 cuts as exact integer-multiply compares
+    "q182_pareto_class" ->
+      """WITH rev AS (SELECT l_partkey,
+             sum(cast(l_extendedprice AS decimal(18,2)) *
+               (1 - cast(l_discount AS decimal(18,2)))) AS v
+           FROM lineitem GROUP BY 1),
+         t AS (SELECT sum(v) AS total FROM rev),
+         r AS (SELECT l_partkey, v, sum(v) OVER (ORDER BY v DESC, l_partkey
+             ROWS UNBOUNDED PRECEDING) AS cum FROM rev)
+         SELECT l_partkey, cast(v AS double) AS value,
+           CASE WHEN cum * 10 <= total * 8 THEN 'A'
+                WHEN cum * 100 <= total * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+         FROM r CROSS JOIN t""",
+    // Gini: exact decimal·rank sums, ONE final division of identical doubles
+    "q183_gini" ->
+      """WITH t AS (SELECT c_nationkey AS g,
+             cast(c_acctbal AS decimal(18,2)) AS v,
+             cast(row_number() OVER (PARTITION BY c_nationkey
+               ORDER BY c_acctbal ASC, c_custkey ASC) AS bigint) AS i
+           FROM customer WHERE c_acctbal > 0)
+         SELECT g AS c_nationkey, count(*) AS n,
+           cast(sum(v) AS double) AS total,
+           cast(sum(v * i) * 2 - sum(v) * (count(*) + 1) AS double) /
+             cast(sum(v) * count(*) AS double) AS gini
+         FROM t GROUP BY 1 HAVING sum(v) > 0""",
+    // attribution: correlated first/last probes mirror the engine's RANGE
+    // window (touch at the conversion instant included on both sides)
+    "q184_attribution" ->
+      """SELECT e.event_id AS conv_id, e.user_id, e.ts AS conv_ts,
+           (SELECT t.event_id FROM events t
+            WHERE t.user_id = e.user_id AND t.event_type = 'click'
+              AND epoch_us(t.ts) BETWEEN epoch_us(e.ts) - 604800000000
+                AND epoch_us(e.ts)
+            ORDER BY t.ts ASC, t.event_id ASC LIMIT 1) AS first_touch_id,
+           (SELECT t.event_id FROM events t
+            WHERE t.user_id = e.user_id AND t.event_type = 'click'
+              AND epoch_us(t.ts) BETWEEN epoch_us(e.ts) - 604800000000
+                AND epoch_us(e.ts)
+            ORDER BY t.ts DESC, t.event_id DESC LIMIT 1) AS last_touch_id
+         FROM events e WHERE e.event_type = 'purchase'""",
+    // label propagation: the oracle chains the SAME 10 synchronized
+    // min-label rounds the engine runs — equality independent of diameter
+    "q185_label_propagation" ->
+      """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+             l_partkey AS it FROM lineitem),
+         p AS MATERIALIZED (SELECT a.it AS i, c.it AS j
+           FROM b a JOIN b c ON a.ok = c.ok
+             AND a.it < c.it GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS MATERIALIZED (SELECT i AS src, j AS dst FROM p
+           UNION ALL SELECT j AS src, i AS dst FROM p),
+         l0 AS MATERIALIZED (SELECT node, node AS lbl
+           FROM (SELECT DISTINCT src AS node FROM e) n),
+         l1 AS MATERIALIZED (SELECT node, min(lbl) AS lbl
+           FROM (SELECT node, lbl FROM l0 UNION ALL
+             SELECT e.dst, l0.lbl FROM l0 JOIN e ON e.src = l0.node) u
+           GROUP BY node),
+         l2 AS MATERIALIZED (SELECT node, min(lbl) AS lbl
+           FROM (SELECT node, lbl FROM l1 UNION ALL
+             SELECT e.dst, l1.lbl FROM l1 JOIN e ON e.src = l1.node) u
+           GROUP BY node),
+         l3 AS MATERIALIZED (SELECT node, min(lbl) AS lbl
+           FROM (SELECT node, lbl FROM l2 UNION ALL
+             SELECT e.dst, l2.lbl FROM l2 JOIN e ON e.src = l2.node) u
+           GROUP BY node),
+         l4 AS MATERIALIZED (SELECT node, min(lbl) AS lbl
+           FROM (SELECT node, lbl FROM l3 UNION ALL
+             SELECT e.dst, l3.lbl FROM l3 JOIN e ON e.src = l3.node) u
+           GROUP BY node),
+         l5 AS MATERIALIZED (SELECT node, min(lbl) AS lbl
+           FROM (SELECT node, lbl FROM l4 UNION ALL
+             SELECT e.dst, l4.lbl FROM l4 JOIN e ON e.src = l4.node) u
+           GROUP BY node),
+         l6 AS MATERIALIZED (SELECT node, min(lbl) AS lbl
+           FROM (SELECT node, lbl FROM l5 UNION ALL
+             SELECT e.dst, l5.lbl FROM l5 JOIN e ON e.src = l5.node) u
+           GROUP BY node),
+         l7 AS MATERIALIZED (SELECT node, min(lbl) AS lbl
+           FROM (SELECT node, lbl FROM l6 UNION ALL
+             SELECT e.dst, l6.lbl FROM l6 JOIN e ON e.src = l6.node) u
+           GROUP BY node),
+         l8 AS MATERIALIZED (SELECT node, min(lbl) AS lbl
+           FROM (SELECT node, lbl FROM l7 UNION ALL
+             SELECT e.dst, l7.lbl FROM l7 JOIN e ON e.src = l7.node) u
+           GROUP BY node),
+         l9 AS MATERIALIZED (SELECT node, min(lbl) AS lbl
+           FROM (SELECT node, lbl FROM l8 UNION ALL
+             SELECT e.dst, l8.lbl FROM l8 JOIN e ON e.src = l8.node) u
+           GROUP BY node),
+         l10 AS MATERIALIZED (SELECT node, min(lbl) AS lbl
+           FROM (SELECT node, lbl FROM l9 UNION ALL
+             SELECT e.dst, l9.lbl FROM l9 JOIN e ON e.src = l9.node) u
+           GROUP BY node)
+         SELECT node, lbl FROM l10""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->

@@ -597,4 +597,114 @@ object Analyses {
         countDistinct(col(catCol)).as("n_cats"),
         sum(col("__term")).cast("double").as("entropy"))
   }
+
+  /** Peak concurrency per key — the max number of simultaneously open
+    * half-open intervals [start, end), the capacity-planning primitive
+    * (concurrent sessions, parallel jobs, open connections).
+    *
+    * Classic +1/−1 sweep: each interval emits a +1 at start and a −1 at
+    * end; the running sum over (t asc, delta asc) is the concurrency
+    * curve. Ordering −1 before +1 at equal t realizes the half-open
+    * convention (an interval ending exactly when another starts does not
+    * overlap it). Rows tied on (t, delta) get arbitrary relative order,
+    * but the MAX of the running sum is order-independent: within a +1 run
+    * the sum only rises (its end value covers the run), within a −1 run
+    * it only falls (already covered by the preceding prefix).
+    *
+    * Scale shape: one union + one key-partitioned window + one hash agg —
+    * per-key event counts bound the window, never global. */
+  def maxConcurrent(df: DataFrame, keyCol: String, startCol: Column,
+                    endCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val up = df.select(col(keyCol), startCol.as("__t"), lit(1L).as("__d"))
+    val down = df.select(col(keyCol), endCol.as("__t"), lit(-1L).as("__d"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__t").asc, col("__d").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    up.unionAll(down)
+      .withColumn("__run", sum(col("__d")).over(w))
+      .groupBy(col(keyCol))
+      .agg(max(col("__run")).as("peak"))
+  }
+
+  /** ABC / Pareto classification — each key labeled A/B/C by its
+    * cumulative share of the total (A = first 80% of value, B = to 95%,
+    * C = tail) in (value desc, key asc) order; the inventory/corpus
+    * triage primitive.
+    *
+    * Scale shape: the cumulative sum is a GLOBAL ordered prefix — the q10
+    * anti-pattern if done as one window. This is the two-level distributed
+    * prefix sum (the packSequences/q92 discipline) with RANGE partitioning
+    * as the slicer: `repartitionByRange` on the sort key makes partitions
+    * CONTIGUOUS in the total order by construction (the monotone-group
+    * requirement), the local prefix runs per partition, and the
+    * partition totals — at most `nGroups` rows by construction — get their
+    * own exclusive prefix and broadcast back. Exact-decimal addition is
+    * associative, so the two-level sum equals the global one bit-for-bit;
+    * the 80/95 cuts are exact integer-multiply compares (no division,
+    * no float thresholds). */
+  def paretoClass(df: DataFrame, keyCol: String, valueCol: String,
+                  nGroups: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    // Decimal inputs keep their NATIVE scale — a cast to a narrower scale
+    // is a ROUNDING step whose half-rule differs per engine (HALF_UP vs
+    // half-even, the q97 trap); only non-decimal inputs get a defining cast
+    val (inScale, vExpr) = df.schema(valueCol).dataType match {
+      case d: DecimalType => (d.scale, col(valueCol))
+      case _ => (2, col(valueCol).cast("decimal(18,2)"))
+    }
+    val v = col("__v")
+    val ranged = df
+      .select(col(keyCol), vExpr.as("__v"))
+      .repartitionByRange(nGroups, col("__v").desc, col(keyCol).asc)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid"))
+      .orderBy(v.desc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = ranged.withColumn("__cum_local", sum(v).over(wLocal))
+    val wPid = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ranged.groupBy(col("__pid")).agg(sum(v).as("__ptot"))
+      .withColumn("__off",
+        coalesce(sum(col("__ptot")).over(wPid),
+          lit(0).cast(DecimalType(38, inScale))))
+      .select(col("__pid"), col("__off"))
+    val tot = ranged.agg(sum(v).as("__total"))
+    local.join(broadcast(offs), Seq("__pid")).crossJoin(broadcast(tot))
+      .withColumn("__cum", col("__off") + col("__cum_local"))
+      .select(col(keyCol), v.cast("double").as("value"),
+        when(col("__cum") * 10 <= col("__total") * 8, "A")
+          .when(col("__cum") * 100 <= col("__total") * 95, "B")
+          .otherwise("C").as("abc_class"))
+  }
+
+  /** Per-group Gini coefficient over a nonnegative value column — the
+    * inequality/concentration diagnostic (revenue concentration per
+    * region, token-count skew per source).
+    *
+    * Sorted-rank identity: G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with
+    * i = 1-based rank in (x asc, tie asc) order. Numerator and denominator
+    * are EXACT decimal·integer sums; the single final division runs on
+    * bit-identical doubles (the one-division rule). Groups with all-zero
+    * totals are excluded (0/0).
+    *
+    * Scale shape: one key-partitioned window (rank) + one hash agg. */
+  def giniByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                  tieBreak: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol).asc, tieBreak.asc)
+    df.withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__v", col(valueCol).cast("decimal(18,2)"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v")).as("__s"),
+        sum(col("__v") * col("__i")).as("__s1"))
+      .filter(col("__s") > 0)
+      .select(col(groupCol), col("n"),
+        col("__s").cast("double").as("total"),
+        ((col("__s1") * 2 - col("__s") * (col("n") + 1)).cast("double") /
+          (col("__s") * col("n")).cast("double")).as("gini"))
+  }
 }

@@ -144,6 +144,41 @@ object Graph {
     * joins are shuffled equi-joins on node keys; nothing is broadcast,
     * nothing is quadratic in nodes. Output: (node, degree, triangles),
     * zero-triangle nodes included. */
+  /** Bounded-round min-label propagation over an UNDIRECTED edge list
+    * (caller supplies both directions) — after `rounds` synchronized
+    * rounds every node holds the smallest node id within `rounds` hops;
+    * once `rounds` ≥ graph diameter this IS the connected-components
+    * labeling (the general-graph sibling of the dedup closure's min-label
+    * clustering, Dedup.scala). Fixed rounds keep the computation exactly
+    * oracle-expressible (the oracle chains the same K rounds); callers
+    * wanting guaranteed convergence compare round k to k−1 and iterate.
+    *
+    * Scale shape: each round is one src-partitioned equi-join + one hash
+    * agg (min is associative — map-side partial); edges pre-partitioned
+    * on src and pinned once (the pageRank static-table discipline);
+    * labels localCheckpoint-cut every `checkpointEvery` rounds to bound
+    * the recompute cliff. */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+                       checkpointEvery: Int = 2): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    import org.apache.spark.storage.StorageLevel
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count(); nodes.count(): Unit
+    var lbl = nodes.select(col("node"), col("node").as("lbl"))
+    for (k <- 1 to rounds) {
+      val pushed = e.join(lbl, e("src") === lbl("node"))
+        .select(col("dst").as("node"), col("lbl"))
+      lbl = lbl.unionAll(pushed)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+      if (k % checkpointEvery == 0 && k < rounds) lbl = lbl.localCheckpoint()
+    }
+    lbl
+  }
+
   def triangleCounts(edges: DataFrame): DataFrame = {
     val und = edges.select(
         least(col("src"), col("dst")).as("a"),

@@ -525,4 +525,30 @@ object Relational {
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(countDistinct(col("__u")).as("n_users"))
   }
+
+  /** First/last-touch attribution — for every conversion event, the
+    * earliest and latest touch event by the same key within the trailing
+    * `horizonSeconds` window (touch at the conversion instant included,
+    * the RANGE-frame convention). Conversions with no touch in the window
+    * keep NULL attributions — the row is the fact, the touch is optional.
+    *
+    * Scale shape: ONE key-partitioned RANGE window over epoch micros —
+    * no conversions×touches join to blow up, state bounded by per-key
+    * horizon density. min/max over (ts, id) structs give the extreme
+    * touch with a total-order tie-break in the same pass. */
+  def touchAttribution(df: DataFrame, key: String, ts: String,
+                       typeCol: String, idCol: String, convType: String,
+                       touchType: String, horizonSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(unix_micros(col(ts)))
+      .rangeBetween(-horizonSeconds * 1000000L, 0)
+    val touch = when(col(typeCol) === touchType,
+      struct(unix_micros(col(ts)).as("t"), col(idCol).as("id")))
+    df.withColumn("__first", min(touch).over(w))
+      .withColumn("__last", max(touch).over(w))
+      .filter(col(typeCol) === convType)
+      .select(col(idCol).as("conv_id"), col(key), col(ts).as("conv_ts"),
+        col("__first.id").as("first_touch_id"),
+        col("__last.id").as("last_touch_id"))
+  }
 }

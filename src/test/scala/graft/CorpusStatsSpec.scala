@@ -227,6 +227,43 @@ class CorpusStatsSpec extends SparkSuite {
       ("2024-01-02", 7.0, 7.0, 7.0, 7.0, 1L)))
   }
 
+  test("maxConcurrent: sweep peak, half-open touching intervals don't stack") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // k: [9,11) [10,12) [10,13) overlap 3 at 10:00..11:00; m: [9,10) [10,11)
+    // touch exactly -> peak 1 (half-open)
+    val df = Seq(
+      ("k", ts("2024-01-01 09:00:00"), ts("2024-01-01 11:00:00")),
+      ("k", ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")),
+      ("k", ts("2024-01-01 10:00:00"), ts("2024-01-01 13:00:00")),
+      ("m", ts("2024-01-01 09:00:00"), ts("2024-01-01 10:00:00")),
+      ("m", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"))
+    ).toDF("key", "s", "e")
+    val got = Analyses.maxConcurrent(df, "key", col("s"), col("e"))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("k" -> 3L, "m" -> 1L), s"got $got")
+  }
+
+  test("paretoClass: 80/95 cuts on cumulative share, desc-value order") {
+    // values 80, 10, 6, 4 (total 100): cum 80(A), 90(B), 96(C), 100(C)
+    val df = Seq((1, 80.0), (2, 10.0), (3, 6.0), (4, 4.0)).toDF("k", "v")
+    val got = Analyses.paretoClass(df, "k", "v", nGroups = 3)
+      .as[(Int, Double, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(got == Map(1 -> "A", 2 -> "B", 3 -> "C", 4 -> "C"), s"got $got")
+  }
+
+  test("giniByGroup: equal values = 0, extreme concentration near (n-1)/n") {
+    val df = Seq(("u", 5.0, 1L), ("u", 5.0, 2L), ("u", 5.0, 3L), ("u", 5.0, 4L),
+      ("w", 0.01, 1L), ("w", 0.01, 2L), ("w", 0.01, 3L), ("w", 99.97, 4L))
+      .toDF("g", "v", "id")
+    val got = Analyses.giniByGroup(df, "g", "v", col("id"))
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got("u") == 0.0)
+    // w: sorted .01,.01,.01,99.97; S1=.01+.02+.03+4*99.97=399.94
+    // G=(2*399.94-5*100)/(4*100)=299.88/400=.7497
+    assert(math.abs(got("w") - 0.7497) < 1e-12, s"got $got")
+  }
+
   test("groupEntropy: uniform k-way = ln k, single-category = 0") {
     val df = Seq(("u", "a"), ("u", "b"), ("u", "c"), ("u", "d"),
       ("v", "a"), ("v", "a")).toDF("g", "cat")

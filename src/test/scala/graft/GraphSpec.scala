@@ -88,4 +88,18 @@ class GraphSpec extends SparkSuite {
       .map(r => r._1 -> r._3).toMap
     assert(lg == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("labelPropagation: components converge to min id within round bound") {
+    // two components {1,2,3} (path) and {7,8}; diameter 2 -> 3 rounds plenty
+    val und = Seq((1L, 2L), (2L, 3L), (7L, 8L))
+    val edges = (und ++ und.map(e => (e._2, e._1))).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L),
+      s"got $got")
+    // one round only reaches direct neighbors: 3 still labeled 2
+    val one = Graph.labelPropagation(edges, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one(3L) == 2L && one(1L) == 1L, s"got $one")
+  }
 }

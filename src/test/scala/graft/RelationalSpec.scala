@@ -229,4 +229,23 @@ class RelationalSpec extends SparkSuite {
       .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(got == Map(1L -> ((3L, 2L, 5L)), 2L -> ((1L, 1L, 1L))), s"got $got")
   }
+
+  test("touchAttribution: first/last in horizon, boundary included, none -> null") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 5L, "click"),
+      (2L, ts("2024-01-03 09:00:00"), 5L, "click"),
+      (3L, ts("2024-01-03 12:00:00"), 5L, "purchase"), // both touches in 7d
+      (4L, ts("2024-02-20 12:00:00"), 5L, "purchase"), // no touch in window
+      (5L, ts("2024-01-01 08:00:00"), 6L, "click"),
+      (6L, ts("2024-01-08 08:00:00"), 6L, "purchase")  // exactly 7d: included
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = R.touchAttribution(ev, "user_id", "ts", "event_type", "event_id",
+        "purchase", "click", 7L * 24 * 3600)
+      .select("conv_id", "first_touch_id", "last_touch_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set((3L, 1L, 2L), (4L, -1L, -1L), (6L, 5L, 5L)), s"got $got")
+  }
 }
