@@ -1167,6 +1167,59 @@ object SparkEntry {
       graft.operators.Graph.labelPropagation(edges, rounds = 10)
     }),
 
+    // ---- V: one k-means EM step (assign + recompute means) ----
+    "q186_kmeans_step" -> ((s, dir) =>
+      graft.operators.Similarity.kmeansStep(
+        Tables.spread(s, Tables.embeddings(s, dir)), "vec_id", "embedding",
+        k = 8, dim = 64)),
+
+    // ---- A/W: rolling distinct count (trailing-window diversity) ----
+    "q187_rolling_distinct" -> ((s, dir) =>
+      graft.operators.Analyses.rollingDistinct(
+        Tables.events(s, dir), "user_id", "ts", "event_type",
+        windowDays = 7)),
+
+    // ---- D: exact set-similarity join with prefix filtering ----
+    "q188_set_similarity" -> ((s, dir) => {
+      // planted-overlap fixture (the q42/q51 integer-derived pattern):
+      // customers in the same block of 10 share 8 md5 tokens and carry 4
+      // private ones -> within-block Jaccard exactly 8/16 = 1/2, cross-block 0
+      val toks = Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          explode(sequence(lit(0), lit(11))).as("i"))
+        .select(col("c_custkey"),
+          when(col("i") < 8,
+            md5(concat_ws(":", expr("c_custkey div 10").cast("string"),
+              col("i").cast("string"))))
+          .otherwise(
+            md5(concat_ws(":", lit("own"), col("c_custkey").cast("string"),
+              col("i").cast("string")))).as("tok"))
+      graft.operators.Dedup.setSimilarityJoin(toks, "c_custkey", "tok",
+        tNum = 1, tDen = 2)
+    }),
+
+    // ---- S: anti-entropy bucket checksum diff (table reconciliation) ----
+    "q189_checksum_diff" -> ((s, dir) => {
+      val a = Tables.lineitem(s, dir)
+      // b = a with a deterministic simulated drift: every 997th order's
+      // lines get +1 quantity (reconciliation target)
+      val b = a.withColumn("l_quantity",
+        when(col("l_orderkey") % 997 === 0, col("l_quantity") + 1)
+          .otherwise(col("l_quantity")))
+      val repr = concat_ws("|",
+        col("l_orderkey").cast("string"), col("l_linenumber").cast("string"),
+        col("l_quantity").cast("string"))
+      graft.sources.Sources.checksumDiff(a, b,
+        concat_ws("#", col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("string")),
+        repr, nBuckets = 64)
+    }),
+
+    // ---- T: out-of-vocabulary rate against the corpus top-V vocab ----
+    "q190_oov_rate" -> ((s, dir) =>
+      graft.operators.TextOps.oovRate(
+        Tables.documents(s, dir), "doc_id", "text", vocabSize = 20)),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -3200,6 +3253,99 @@ object SparkEntry {
              SELECT e.dst, l9.lbl FROM l9 JOIN e ON e.src = l9.node) u
            GROUP BY node)
          SELECT node, lbl FROM l10""",
+    // k-means step: md5-row centroids, augmented-bias argmin (q106 kernel),
+    // 6dp-rounded exact-decimal component sums, ONE final division
+    "q186_kmeans_step" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         seeds AS MATERIALIZED (SELECT v AS w, row_number() OVER (ORDER BY
+             ('0x' || substr(md5(cast(vec_id AS varchar)), 1, 8))::bigint,
+             vec_id) - 1 AS c
+           FROM e),
+         cent AS MATERIALIZED (SELECT c, w FROM seeds WHERE c < 8),
+         sc AS (SELECT vec_id, v, c,
+             list_sum(list_transform(generate_series(1, 64), i -> v[i] * w[i]))
+               - list_sum(list_transform(w, x -> x*x)) / 2.0 AS score
+           FROM e, cent),
+         a AS (SELECT vec_id, v, c AS cluster FROM (
+             SELECT vec_id, v, c, row_number() OVER (PARTITION BY vec_id
+               ORDER BY score DESC, c) AS rn FROM sc) t
+           WHERE rn = 1),
+         x AS (SELECT cluster, i - 1 AS dim, v[i] AS x
+           FROM a, generate_series(1, 64) g(i))
+         SELECT cast(cluster AS int) AS cluster, cast(dim AS int) AS dim,
+           count(*) AS n,
+           cast(sum(cast(round(x, 6) AS decimal(18,6))) AS double) /
+             cast(count(*) AS double) AS mean_val
+         FROM x GROUP BY 1, 2""",
+    // rolling distinct: the oracle is the plain trailing-range inequality
+    // join (the constant-factor visibility explode is internal)
+    "q187_rolling_distinct" ->
+      """WITH obs AS (SELECT DISTINCT user_id AS k,
+             cast(date_trunc('day', ts) AS date) AS day, event_type AS c
+           FROM events),
+         days AS (SELECT DISTINCT k, day FROM obs)
+         SELECT d.k AS user_id, d.day, count(DISTINCT o.c) AS n_distinct
+         FROM days d JOIN obs o ON o.k = d.k
+           AND o.day BETWEEN d.day - 6 AND d.day
+         GROUP BY 1, 2""",
+    // set-similarity: brute-force pair oracle; threshold and membership in
+    // exact integer arithmetic, jaccard = one division of exact ints
+    "q188_set_similarity" ->
+      """WITH et AS MATERIALIZED (SELECT DISTINCT c_custkey AS e,
+             CASE WHEN i < 8
+               THEN md5(cast(c_custkey // 10 AS varchar) || ':' ||
+                 cast(i AS varchar))
+               ELSE md5('own:' || cast(c_custkey AS varchar) || ':' ||
+                 cast(i AS varchar)) END AS t
+           FROM customer, generate_series(0, 11) g(i)),
+         sz AS (SELECT e, count(*) AS s FROM et GROUP BY 1),
+         i AS (SELECT a.e AS e1, b.e AS e2, count(*) AS n_common
+           FROM et a JOIN et b ON a.t = b.t AND a.e < b.e GROUP BY 1, 2)
+         SELECT e1, e2, n_common,
+           cast(n_common AS double) /
+             cast(s1.s + s2.s - n_common AS double) AS jaccard
+         FROM i JOIN sz s1 ON i.e1 = s1.e JOIN sz s2 ON i.e2 = s2.e
+         WHERE n_common * 2 >= (s1.s + s2.s - n_common) * 1""",
+    // checksum diff: same-construction both sides; bit_xor of a 60-bit md5
+    // digest is order-independent, so engine shuffle order cannot matter
+    "q189_checksum_diff" ->
+      """WITH a AS (SELECT
+             ('0x' || substr(md5(cast(l_orderkey AS varchar) || '#' ||
+               cast(l_linenumber AS varchar)), 1, 8))::bigint % 64 AS bucket,
+             ('0x' || substr(md5(cast(l_orderkey AS varchar) || '|' ||
+               cast(l_linenumber AS varchar) || '|' ||
+               cast(l_quantity AS varchar)), 1, 15))::bigint AS h
+           FROM lineitem),
+         b AS (SELECT
+             ('0x' || substr(md5(cast(l_orderkey AS varchar) || '#' ||
+               cast(l_linenumber AS varchar)), 1, 8))::bigint % 64 AS bucket,
+             ('0x' || substr(md5(cast(l_orderkey AS varchar) || '|' ||
+               cast(l_linenumber AS varchar) || '|' ||
+               cast(CASE WHEN l_orderkey % 997 = 0 THEN l_quantity + 1
+                 ELSE l_quantity END AS varchar)), 1, 15))::bigint AS h
+           FROM lineitem),
+         ca AS (SELECT bucket, count(*) AS n_a, bit_xor(h) AS sum_a
+           FROM a GROUP BY 1),
+         cb AS (SELECT bucket, count(*) AS n_b, bit_xor(h) AS sum_b
+           FROM b GROUP BY 1)
+         SELECT bucket, n_a, sum_a, n_b, sum_b
+         FROM ca FULL OUTER JOIN cb USING (bucket)
+         WHERE n_a IS NULL OR n_b IS NULL OR n_a <> n_b OR sum_a <> sum_b""",
+    // OOV: top-V vocab with (count desc, token) deterministic boundary;
+    // rate = one division of exact integer counts
+    "q190_oov_rate" ->
+      """WITH tok AS (SELECT doc_id, t FROM (SELECT doc_id,
+             unnest(string_split(text, ' ')) AS t FROM documents) u
+           WHERE t <> ''),
+         v AS (SELECT t, 1 AS iv FROM tok GROUP BY t
+           ORDER BY count(*) DESC, t LIMIT 20)
+         SELECT doc_id, count(*) AS n_tokens,
+           cast(sum(CASE WHEN v.iv IS NULL THEN 1 ELSE 0 END) AS bigint)
+             AS n_oov,
+           cast(sum(CASE WHEN v.iv IS NULL THEN 1 ELSE 0 END) AS double) /
+             cast(count(*) AS double) AS oov_rate
+         FROM tok LEFT JOIN v ON tok.t = v.t
+         GROUP BY doc_id""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->

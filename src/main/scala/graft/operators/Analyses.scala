@@ -679,6 +679,34 @@ object Analyses {
           .otherwise("C").as("abc_class"))
   }
 
+  /** Rolling distinct count — for every OBSERVED (key, day), the number
+    * of distinct categories seen in the trailing `windowDays` window (the
+    * "distinct features used this week per account" diagnostic). Exact
+    * sliding COUNT(DISTINCT) is not a window-function shape (no engine
+    * allows DISTINCT in a frame); the distributed form is visibility
+    * explosion: each (key, day, cat) observation stays visible for
+    * `windowDays` days — a CONSTANT-factor explode — then one equi-join
+    * against observed days and one count-distinct agg. No windows at all.
+    *
+    * Scale shape: explode factor is the window length (constant);
+    * both join sides hash-partition on (key, day); the count-distinct
+    * grain is bounded by per-key daily category diversity. */
+  def rollingDistinct(df: DataFrame, keyCol: String, tsCol: String,
+                      catCol: String, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "window must be at least one day")
+    val obs = df.select(col(keyCol).as("__k"), to_date(col(tsCol)).as("__day"),
+      col(catCol).as("__c")).distinct()
+    val vis = obs.select(col("__k"), col("__c"),
+        explode(sequence(col("__day"), date_add(col("__day"), windowDays - 1)))
+          .as("__vday"))
+      .distinct()
+    val days = obs.select(col("__k"), col("__day")).distinct()
+    days.join(vis,
+        days("__k") === vis("__k") && days("__day") === vis("__vday"))
+      .groupBy(days("__k").as(keyCol), days("__day").as("day"))
+      .agg(countDistinct(col("__c")).as("n_distinct"))
+  }
+
   /** Per-group Gini coefficient over a nonnegative value column — the
     * inequality/concentration diagnostic (revenue concentration per
     * region, token-count skew per source).

@@ -581,4 +581,52 @@ object Dedup {
         round(Similarity.cosineU(col("va"), col("vb"), dim), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** EXACT set-similarity join — all entity pairs whose token SETS have
+    * Jaccard ≥ tNum/tDen, the ppjoin-family shape that complements the
+    * approximate MinHash/SimHash family: candidate generation by PREFIX
+    * FILTERING (any qualifying pair must share a token among each side's
+    * |S| − ⌈t·|S|⌉ + 1 RAREST tokens in one global rarity order), then
+    * exact intersection-count verification. The threshold is an integer
+    * RATIONAL, so both the prefix length ⌈t·n⌉ = (tNum·n + tDen − 1) div
+    * tDen and the final compare |∩|·tDen ≥ tNum·|∪| are exact integer
+    * arithmetic — no float thresholds anywhere.
+    *
+    * Scale shape: the prefix join's per-token groups are the SMALLEST
+    * posting lists by construction (rarity order shrinks exactly the hot
+    * lists that blow up a naive token join); verification joins carry ids
+    * only; nothing is broadcast except by AQE's own choice. */
+  def setSimilarityJoin(df: DataFrame, entityCol: String, tokenCol: String,
+                        tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "need 0 < tNum/tDen <= 1")
+    val W = org.apache.spark.sql.expressions.Window
+    val et = df.select(col(entityCol).as("__e"), col(tokenCol).as("__t"))
+      .distinct()
+    val rarity = et.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    val sizes = et.groupBy(col("__e")).agg(count(lit(1)).as("__sz"))
+    val pref = et.join(rarity, Seq("__t"))
+      .withColumn("__rnk", row_number().over(
+        W.partitionBy(col("__e")).orderBy(col("__df").asc, col("__t").asc)))
+      .join(sizes, Seq("__e"))
+      .filter(col("__rnk") <=
+        col("__sz") - expr(s"(__sz * $tNum + $tDen - 1) div $tDen") + 1)
+      .select(col("__e"), col("__t"))
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.__t") === col("b.__t") && col("a.__e") < col("b.__e"))
+      .select(col("a.__e").as("e1"), col("b.__e").as("e2")).distinct()
+    val inter = cand
+      .join(et.select(col("__e").as("e1"), col("__t")), Seq("e1"))
+      .join(et.select(col("__e").as("e2"), col("__t")), Seq("e2", "__t"))
+      .groupBy(col("e1"), col("e2")).agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("__e").as("e1"), col("__sz").as("__s1")), Seq("e1"))
+      .join(sizes.select(col("__e").as("e2"), col("__sz").as("__s2")), Seq("e2"))
+      .filter(col("n_common") * tDen >=
+        (col("__s1") + col("__s2") - col("n_common")) * tNum)
+      .select(col("e1"), col("e2"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("__s1") + col("__s2") - col("n_common")).cast("double"))
+          .as("jaccard"))
+  }
 }

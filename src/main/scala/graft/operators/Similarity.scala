@@ -458,4 +458,46 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("int").as("rank"), round(col("__sim"), 6).as("sim"))
   }
+
+  /** One distributed k-means EM step: assign every corpus vector to its
+    * nearest of `k` DATA-SAMPLED centroids (the [[pqSampledCodebooks]]
+    * md5 row selection — key-stable, engine-reproducible), then recompute
+    * per-cluster per-dimension means. Long-form output
+    * `(cluster, dim, n, mean_val)` keeps downstream joins and the oracle
+    * on a plain GROUP BY grain. Iterating this to a fit is the caller's
+    * loop (see [[ivfKnn]] for the MLlib-fitted production variant); ONE
+    * step is the oracle-exact building block.
+    *
+    * Assignment is argmin-L2 via the augmented-bias trick — argmax
+    * ⟨[x,1],[w,−‖w‖²/2]⟩ through the native [[graft.functions.TopDotIndices]]
+    * codegen loop, ties to the lower cluster id (the q106 kernel).
+    * Means: components rounded to 6 dp, summed as EXACT decimals, ONE
+    * final double division — engine-order-free.
+    *
+    * Scale shape: the centroid fit is a bounded k-row collect (model fit,
+    * not a data path); assignment is a per-row constant-size loop; the M
+    * step is one hash agg over the k·dim group grain with map-side
+    * partials. The posexplode reads only the vector column. */
+  def kmeansStep(vecs: DataFrame, idCol: String, vecCol: String,
+                 k: Int, dim: Int): DataFrame = {
+    val cent: Array[Array[Double]] = vecs
+      .select(asDouble(col(vecCol)).as("v"),
+        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h"),
+        col(idCol).cast("long").as("i"))
+      .orderBy(col("h").asc, col("i").asc).limit(k)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(cent.length == k, s"corpus has fewer than $k rows")
+    val mats = cent.map(w => w :+ (-w.map(x => x * x).sum / 2.0))
+    vecs
+      .select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("cluster", element_at(exprColumn(graft.functions.TopDotIndices(
+        asExpr(concat(col("__v"), array(lit(1.0d)))), mats, 1)), 1))
+      .select(col("cluster"), posexplode(col("__v")).as(Seq("dim", "x")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("x"), 6).cast("decimal(18,6)")).as("__s"))
+      .select(col("cluster"), col("dim"), col("n"),
+        (col("__s").cast("double") / col("n").cast("double")).as("mean_val"))
+  }
 }

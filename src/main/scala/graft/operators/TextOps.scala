@@ -664,4 +664,33 @@ object TextOps {
       .orderBy(col("cnt").desc, col("key").asc)
       .limit(n)
   }
+
+  /** Per-document out-of-vocabulary rate against the corpus's own top-V
+    * vocabulary — the tokenizer-coverage diagnostic run before committing
+    * a vocab (what share of each document would map to <unk>).
+    *
+    * The vocabulary is the V globally most frequent tokens with the
+    * (count desc, token asc) total order making the boundary
+    * deterministic; V is a design-time DIMENSION, so the vocab is
+    * broadcast-by-nature (the allowed class). One explode + one agg +
+    * one broadcast left join — no windows.
+    *
+    * OOV rate = ONE division of exact integer counts. */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, "vocab must have at least one entry")
+    val toks = docs
+      .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("__t"))
+      .filter(col("__t") =!= "")
+    val vocab = toks.groupBy(col("__t")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("__t").asc).limit(vocabSize)
+      .select(col("__t"), lit(1).as("__iv"))
+    toks.join(broadcast(vocab), Seq("__t"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+  }
 }

@@ -130,4 +130,38 @@ object Sources {
         col("w.webodm_task_id"), col("w.webodm_project_id"),
         col("w.status").as("webodm_status"),
         col("w.progress").as("webodm_progress"))
+
+  /** Per-bucket anti-entropy checksum — the table-reconciliation
+    * primitive: rows hash into `nBuckets` by key, each bucket reports its
+    * row count and an ORDER-INDEPENDENT content checksum (bit-XOR of a
+    * 60-bit row digest — XOR is commutative/associative, so partial
+    * aggregation and any shuffle order give the same result, and it can
+    * never overflow). Comparing two 100 TB tables costs ONE aggregate
+    * pass over each plus a bucket-count-sized join; only differing
+    * buckets need a row-level drill-down.
+    *
+    * The digest keeps 15 hex chars (60 bits) of md5 — a 16th would
+    * overflow a signed 64-bit int in either engine's string→int cast. */
+  def tableChecksum(df: DataFrame, keyCol: Column, rowRepr: Column,
+                    nBuckets: Int): DataFrame =
+    df.select(
+        pmod(conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(nBuckets.toLong)).as("bucket"),
+        conv(substring(md5(rowRepr), 1, 15), 16, 10).cast("long").as("__h"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(__h)").as("checksum"))
+
+  /** Bucket-level diff of two tables via [[tableChecksum]] — emits ONE row
+    * per bucket whose count or checksum disagrees (full outer, so buckets
+    * present on only one side surface too). */
+  def checksumDiff(a: DataFrame, b: DataFrame, keyCol: Column,
+                   rowRepr: Column, nBuckets: Int): DataFrame = {
+    val ca = tableChecksum(a, keyCol, rowRepr, nBuckets)
+      .select(col("bucket"), col("n").as("n_a"), col("checksum").as("sum_a"))
+    val cb = tableChecksum(b, keyCol, rowRepr, nBuckets)
+      .select(col("bucket"), col("n").as("n_b"), col("checksum").as("sum_b"))
+    ca.join(cb, Seq("bucket"), "full_outer")
+      .filter(col("n_a").isNull || col("n_b").isNull ||
+        col("n_a") =!= col("n_b") || col("sum_a") =!= col("sum_b"))
+  }
 }
