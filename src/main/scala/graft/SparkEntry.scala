@@ -1220,6 +1220,74 @@ object SparkEntry {
       graft.operators.TextOps.oovRate(
         Tables.documents(s, dir), "doc_id", "text", vocabSize = 20)),
 
+    // ---- G: bounded-round multi-source shortest paths (Bellman-Ford) ----
+    "q191_shortest_paths" -> ((s, dir) => {
+      // copurchase graph, integer edge cost = 1000 div n_co (cheaper =
+      // stronger tie); seeds = every 97th part key
+      val b = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("it")).distinct()
+      val p = b.join(b.select(col("ok"), col("it").as("jt")), Seq("ok"))
+        .filter(col("it") < col("jt"))
+        .groupBy(col("it"), col("jt")).agg(count(lit(1)).as("n_co"))
+        .filter(col("n_co") >= 2)
+        .withColumn("w", expr("1000L div n_co"))
+      val edges = p.select(col("it").as("src"), col("jt").as("dst"), col("w"))
+        .unionAll(p.select(col("jt").as("src"), col("it").as("dst"), col("w")))
+      val seeds = edges.select(col("src").as("node")).distinct()
+        .filter(col("node") % 97 === 0)
+      graft.operators.Graph.shortestPaths(edges, seeds, rounds = 6)
+    }),
+
+    // ---- J: SCD2 point-in-time lookup (status stream ⋈ fact stream) ----
+    "q192_scd2_lookup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dim = R.scd2(ev.filter(col("event_type") =!= "purchase"),
+          "user_id", "ts", "event_type", tieBreak = col("event_id"))
+        .select(col("user_id"), col("event_type").as("status"),
+          col("valid_from"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Joins.asofJoin(facts, dim, "user_id", "ts", "valid_from", Seq("status"))
+    }),
+
+    // ---- A: functional-dependency violation detector ----
+    "q193_fd_violations" -> ((s, dir) =>
+      graft.operators.Analyses.fdViolations(
+        Tables.part(s, dir), Seq("p_brand", "p_type"), "p_size")),
+
+    // ---- A: ratio-to-parent rollup (nation share of region + global) ----
+    "q194_ratio_to_parent" -> ((s, dir) => {
+      val rn = Tables.nation(s, dir)
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      val nrev = Tables.lineitem(s, dir)
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(rn), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("l_extendedprice").cast(D) *
+          (lit(1) - col("l_discount").cast(D))).as("__rev"))
+      // parent/global totals re-aggregate the nation grain (dimension-sized
+      // BY NATURE) — shares are single divisions of exact-decimal doubles
+      val rrev = nrev.groupBy(col("r_name")).agg(sum(col("__rev")).as("__rrev"))
+      val grev = nrev.agg(sum(col("__rev")).as("__grev"))
+      nrev.join(broadcast(rrev), Seq("r_name")).crossJoin(broadcast(grev))
+        .select(col("r_name"), col("n_name"),
+          col("__rev").cast("double").as("revenue"),
+          (col("__rev").cast("double") / col("__rrev").cast("double"))
+            .as("share_of_region"),
+          (col("__rev").cast("double") / col("__grev").cast("double"))
+            .as("share_of_total"))
+    }),
+
+    // ---- J: bloom-pruned semi-join (prune + exact verify) ----
+    "q195_bloom_semi_join" -> ((s, dir) =>
+      graft.operators.Joins.bloomPruneSemiJoin(
+        Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_linenumber", "l_suppkey"),
+        "l_suppkey",
+        Tables.supplier(s, dir).filter(col("s_suppkey") % 11 === 0),
+        "s_suppkey", mBits = 4096, kHashes = 3)),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -3346,6 +3414,88 @@ object SparkEntry {
              cast(count(*) AS double) AS oov_rate
          FROM tok LEFT JOIN v ON tok.t = v.t
          GROUP BY doc_id""",
+    // shortest paths: the oracle chains the SAME 6 relaxation rounds
+    // (integer costs -> exact); MATERIALIZED stops exponential CTE inlining
+    "q191_shortest_paths" ->
+      """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+             l_partkey AS it FROM lineitem),
+         p AS MATERIALIZED (SELECT a.it AS i, c.it AS j,
+             1000 // count(*) AS w
+           FROM b a JOIN b c ON a.ok = c.ok AND a.it < c.it
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS MATERIALIZED (SELECT i AS src, j AS dst, w FROM p
+           UNION ALL SELECT j AS src, i AS dst, w FROM p),
+         d0 AS MATERIALIZED (SELECT node, cast(0 AS bigint) AS dist FROM
+           (SELECT DISTINCT src AS node FROM e) n WHERE node % 97 = 0),
+         d1 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM d0 UNION ALL
+           SELECT e.dst, d0.dist + e.w FROM d0 JOIN e ON e.src = d0.node) u
+           GROUP BY node),
+         d2 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM d1 UNION ALL
+           SELECT e.dst, d1.dist + e.w FROM d1 JOIN e ON e.src = d1.node) u
+           GROUP BY node),
+         d3 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM d2 UNION ALL
+           SELECT e.dst, d2.dist + e.w FROM d2 JOIN e ON e.src = d2.node) u
+           GROUP BY node),
+         d4 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM d3 UNION ALL
+           SELECT e.dst, d3.dist + e.w FROM d3 JOIN e ON e.src = d3.node) u
+           GROUP BY node),
+         d5 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM d4 UNION ALL
+           SELECT e.dst, d4.dist + e.w FROM d4 JOIN e ON e.src = d4.node) u
+           GROUP BY node),
+         d6 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM d5 UNION ALL
+           SELECT e.dst, d5.dist + e.w FROM d5 JOIN e ON e.src = d5.node) u
+           GROUP BY node)
+         SELECT node, dist FROM d6""",
+    // SCD2 lookup: native ASOF JOIN against run starts (ranges are
+    // consecutive, so latest-start-at-or-before IS the validity lookup);
+    // no (user, ts) ties in the status stream (verified per SF)
+    "q192_scd2_lookup" ->
+      """WITH st AS (SELECT user_id, event_type, ts, event_id FROM events
+           WHERE event_type <> 'purchase'),
+         o AS (SELECT user_id, event_type, ts,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev
+           FROM st),
+         dim AS (SELECT user_id, event_type AS status, ts AS valid_from
+           FROM o WHERE prev IS NULL OR prev IS DISTINCT FROM event_type),
+         f AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase')
+         SELECT f.event_id, f.user_id, f.ts, d.status AS asof_status
+         FROM f ASOF LEFT JOIN dim d
+           ON f.user_id = d.user_id AND f.ts >= d.valid_from""",
+    // FD violations: plain grouped count-distinct probe
+    "q193_fd_violations" ->
+      """SELECT p_brand, p_type, count(DISTINCT p_size) AS n_rhs,
+           count(*) AS n_rows, min(p_size) AS rhs_min, max(p_size) AS rhs_max
+         FROM part GROUP BY 1, 2 HAVING count(DISTINCT p_size) > 1""",
+    // ratio-to-parent: shares are single divisions of exact-decimal sums
+    "q194_ratio_to_parent" ->
+      """WITH nrev AS (SELECT r_name, n_name,
+             sum(cast(l_extendedprice AS decimal(18,2)) *
+               (1 - cast(l_discount AS decimal(18,2)))) AS rev
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY 1, 2),
+         rrev AS (SELECT r_name, sum(rev) AS rrev FROM nrev GROUP BY 1),
+         grev AS (SELECT sum(rev) AS grev FROM nrev)
+         SELECT nrev.r_name, n_name, cast(rev AS double) AS revenue,
+           cast(rev AS double) / cast(rrev AS double) AS share_of_region,
+           cast(rev AS double) / cast(grev AS double) AS share_of_total
+         FROM nrev JOIN rrev ON nrev.r_name = rrev.r_name CROSS JOIN grev""",
+    // bloom semi-join: bloom filters have no false negatives and the
+    // engine exact-verifies, so the oracle is the plain semi-join
+    "q195_bloom_semi_join" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem
+         WHERE l_suppkey IN
+           (SELECT s_suppkey FROM supplier WHERE s_suppkey % 11 = 0)""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->

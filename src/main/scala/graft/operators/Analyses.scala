@@ -735,4 +735,21 @@ object Analyses {
         ((col("__s1") * 2 - col("__s") * (col("n") + 1)).cast("double") /
           (col("__s") * col("n")).cast("double")).as("gini"))
   }
+
+  /** Functional-dependency violation detector — the data-quality probe
+    * "does LHS determine RHS?": emits one row per LHS group observed with
+    * MORE than one distinct RHS value, with the violation extent (distinct
+    * count) and a min/max example pair for the drill-down.
+    *
+    * Scale shape: one hash aggregate over the LHS grain (count-distinct
+    * expands internally but stays keyed); no windows, no joins. */
+  def fdViolations(df: DataFrame, lhs: Seq[String], rhs: String): DataFrame = {
+    require(lhs.nonEmpty, "need at least one determinant column")
+    df.groupBy(lhs.map(col): _*)
+      .agg(countDistinct(col(rhs)).as("n_rhs"),
+        count(lit(1)).as("n_rows"),
+        min(col(rhs)).as("rhs_min"),
+        max(col(rhs)).as("rhs_max"))
+      .filter(col("n_rhs") > 1)
+  }
 }

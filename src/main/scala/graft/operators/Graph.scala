@@ -179,6 +179,36 @@ object Graph {
     lbl
   }
 
+  /** Bounded-round multi-source Bellman-Ford over a weighted edge list
+    * (src, dst, w — integer weights keep every distance EXACT): after
+    * `rounds` relaxations each reachable node holds the cheapest cost to
+    * its nearest seed within `rounds` hops — the nearest-facility /
+    * influence-radius primitive. Fixed rounds keep it oracle-expressible
+    * (the [[labelPropagation]] contract); `rounds` ≥ the weighted-path
+    * hop diameter makes it the true shortest-path fixpoint.
+    *
+    * Scale shape: per round ONE src-partitioned equi-join + one
+    * mergeable-min hash agg; edges pinned once (static-table
+    * discipline); periodic lineage cuts. Unreached nodes are absent
+    * (no ∞ sentinel rows). */
+  def shortestPaths(edges: DataFrame, seeds: DataFrame, rounds: Int,
+                    checkpointEvery: Int = 2): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    import org.apache.spark.storage.StorageLevel
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    e.count(): Unit
+    var dist = seeds.select(col("node"), lit(0L).as("dist"))
+    for (k <- 1 to rounds) {
+      val relaxed = e.join(dist, e("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      if (k % checkpointEvery == 0 && k < rounds) dist = dist.localCheckpoint()
+    }
+    dist
+  }
+
   def triangleCounts(edges: DataFrame): DataFrame = {
     val und = edges.select(
         least(col("src"), col("dst")).as("a"),

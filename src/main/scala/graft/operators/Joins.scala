@@ -175,4 +175,45 @@ object Joins {
       .select(col(key), col(valueCol), lit("cdc").as("src"))
     untouched.unionByName(applied)
   }
+
+  /** Bloom-pruned semi-join — the shuffle-avoidance composition for
+    * fact ⋉ dim at 100 TB: build a `mBits`-bit Bloom filter over the dim
+    * keys (k md5-derived positions each), prune the fact side with a
+    * PER-ROW bitset probe (no shuffle, no join — a codegen'd filter), and
+    * exact-verify the survivors with the real semi-join. Bloom filters
+    * have NO false negatives, so the result is bit-identical to the plain
+    * semi-join; the prune just shrinks what the verify join must shuffle
+    * (at scale: a few KB broadcast replaces a fact-wide shuffle of
+    * non-matching rows; Spark's own runtime bloom pruning is the same
+    * idea, this form makes it explicit and tunable).
+    *
+    * The built filter is `mBits/64` longs — sized by the PARAMETER, not
+    * the data, so the driver-side collect is a bounded model fit (the PQ
+    * codebook class), and the probe array broadcasts by nature. */
+  def bloomPruneSemiJoin(fact: DataFrame, factKey: String,
+                         dim: DataFrame, dimKey: String,
+                         mBits: Int = 4096, kHashes: Int = 3): DataFrame = {
+    require(mBits % 64 == 0 && mBits > 0, "mBits must be a positive multiple of 64")
+    require(kHashes >= 1, "need at least one hash")
+    def posExpr(keySql: String, h: Int): String =
+      s"pmod(cast(conv(substring(md5(concat('$h:', cast($keySql as string))), 1, 15), 16, 10) as bigint), ${mBits}L)"
+    val words = new Array[Long](mBits / 64)
+    dim.selectExpr((0 until kHashes).map(h => posExpr(dimKey, h) + s" as __p$h"): _*)
+      .selectExpr(s"explode(array(${(0 until kHashes).map("__p" + _).mkString(",")})) as p")
+      .distinct()
+      .selectExpr("p div 64 as w",
+        "shiftleft(cast(1 as bigint), cast(pmod(p, 64) as int)) as b")
+      .groupBy(col("w")).agg(expr("bit_or(b)").as("bits"))
+      .collect().foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    val probed = fact
+      .withColumn("__words", typedLit(words.toSeq))
+      .withColumn("__bloom_hit", (0 until kHashes).map { h =>
+        expr(s"(element_at(__words, cast((${posExpr(factKey, h)}) div 64 as int) + 1)" +
+          s" & shiftleft(cast(1 as bigint), cast(pmod(${posExpr(factKey, h)}, 64) as int))) != 0")
+      }.reduce(_ && _))
+      .filter(col("__bloom_hit"))
+      .drop("__words", "__bloom_hit")
+    probed.join(dim.select(col(dimKey)).distinct(),
+      probed(factKey) === col(dimKey), "left_semi")
+  }
 }

@@ -102,4 +102,18 @@ class GraphSpec extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(one(3L) == 2L && one(1L) == 1L, s"got $one")
   }
+
+  test("shortestPaths: weighted relax beats hop count, unreached absent") {
+    // 1 -2-> 2 -2-> 3 and 1 -10-> 3: cheaper 2-hop path must win; 9 isolated
+    val und = Seq((1L, 2L, 2L), (2L, 3L, 2L), (1L, 3L, 10L), (8L, 9L, 1L))
+    val edges = (und ++ und.map(e => (e._2, e._1, e._3))).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.shortestPaths(edges, seeds, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 2L, 3L -> 4L), s"got $got")
+    // one round can't reach node 3 via the cheap path: direct edge wins
+    val one = Graph.shortestPaths(edges, seeds, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one(3L) == 10L, s"got $one")
+  }
 }

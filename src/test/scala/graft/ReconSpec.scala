@@ -74,6 +74,26 @@ class ReconSpec extends SparkSuite {
     assert(diff(0).getLong(2) != diff(0).getLong(4))
   }
 
+  test("fdViolations: clean FD silent, violated FD reports extent + examples") {
+    val df = Seq(("a", 1, 10), ("a", 1, 10), ("a", 2, 20),
+      ("b", 3, 30), ("b", 3, 31)).toDF("g", "k", "v")
+    // (g,k) -> v: (a,1) and (a,2) determine v; (b,3) has two values
+    val got = Analyses.fdViolations(df, Seq("g", "k"), "v")
+      .as[(String, Int, Long, Long, Int, Int)].collect().toSeq
+    assert(got == Seq(("b", 3, 2L, 2L, 30, 31)), s"got $got")
+  }
+
+  test("bloomPruneSemiJoin: equals plain semi-join, prune is selective") {
+    val fact = (1L to 500L).map(i => (i, i % 50)).toDF("id", "fk")
+    val dim = Seq(1L, 7L, 13L).toDF("dk")
+    val got = graft.operators.Joins.bloomPruneSemiJoin(
+        fact, "fk", dim, "dk", mBits = 256, kHashes = 3)
+      .as[(Long, Long)].collect().toSet
+    val want = (1L to 500L).filter(i => Set(1L, 7L, 13L)(i % 50))
+      .map(i => (i, i % 50)).toSet
+    assert(got == want)
+  }
+
   test("oovRate: top-V boundary deterministic, rate is oov/total") {
     // counts: a:4 b:3 c:2 d:1 -> V=2 keeps {a,b}
     val docs = Seq((1L, "a a b c"), (2L, "a b c d"), (3L, "a b")).toDF("doc_id", "text")
