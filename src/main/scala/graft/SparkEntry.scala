@@ -1288,6 +1288,90 @@ object SparkEntry {
         Tables.supplier(s, dir).filter(col("s_suppkey") % 11 === 0),
         "s_suppkey", mBits = 4096, kHashes = 3)),
 
+    // ---- M: ViT-style tile/patch grid plan (metadata explode) ----
+    "q196_tile_grid" -> ((s, dir) => {
+      // integer-derived image dims (the q42 fixture pattern); every 17th
+      // part stands in for an image row
+      val imgs = Tables.part(s, dir)
+        .filter(col("p_partkey") % 17 === 0)
+        .select(col("p_partkey").as("img_id"),
+          (lit(64L) + (col("p_partkey") * 13) % 1980).as("w"),
+          (lit(64L) + (col("p_partkey") * 29) % 1080).as("h"))
+      graft.operators.Multimodal.tileGrid(imgs, "w", "h",
+        tile = 224, stride = 200)
+    }),
+
+    // ---- M: video frame-sampling plan (duration metadata explode) ----
+    "q197_frame_sample" -> ((s, dir) => {
+      val media = Tables.events(s, dir)
+        .filter(col("event_id") % 101 === 0)
+        .select(col("event_id"),
+          struct((lit(1000L) + (col("event_id") * 37) % 60000)
+            .as("duration_ms")).as("media_meta"))
+      graft.operators.Multimodal.sampleFrames(media, stepMs = 2000L)
+        .select(col("event_id"),
+          col("media_meta.duration_ms").as("duration_ms"), col("frame_ms"))
+    }),
+
+    // ---- J: golden-record two-source merge (survivorship) ----
+    "q198_golden_record" -> ((s, dir) => {
+      val a = Tables.customer(s, dir)
+      // feed B: every 10th customer re-arrives with a new balance but a
+      // NULL segment (falls through to A), plus genuinely new entities
+      val updates = a.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 100).as("c_acctbal"),
+          lit(null).cast("string").as("c_mktsegment"))
+      val arrivals = a.filter(col("c_custkey") % 250 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          concat(lit("new_"), col("c_name")).as("c_name"),
+          col("c_acctbal"), col("c_mktsegment"))
+      graft.operators.Joins.goldenRecord(a, updates.unionByName(arrivals),
+        "c_custkey", Seq("c_name", "c_acctbal", "c_mktsegment"))
+    }),
+
+    // ---- V: deterministic contrastive eval-pair sampler ----
+    "q199_eval_pairs" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("__v"))
+      val n = e.agg(count(lit(1)).as("__n"))
+      val pairs = s.range(500).select(col("id").as("pair_id"))
+        .crossJoin(broadcast(n))
+        .withColumn("a", conv(substring(md5(
+          concat(lit("a:"), col("pair_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % col("__n"))
+        .withColumn("b", conv(substring(md5(
+          concat(lit("b:"), col("pair_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % col("__n"))
+        .filter(col("a") =!= col("b"))
+        .select("pair_id", "a", "b")
+      // the pair table is param-sized (500 rows) -> broadcast by nature;
+      // the corpus streams through two id joins
+      broadcast(pairs)
+        .join(e.select(col("vec_id").as("a"), col("__v").as("__va")), Seq("a"))
+        .join(e.select(col("vec_id").as("b"), col("__v").as("__vb")), Seq("b"))
+        .select(col("pair_id"), col("a"), col("b"),
+          round(Similarity.cosineU(col("__va"), col("__vb"), 64), 6)
+            .as("cos_sim"))
+    }),
+
+    // ---- P: incremental JOIN-view maintenance (delta algebra) ----
+    "q200_incremental_join_view" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+          col("o_orderdate"))
+      val factOld = o.filter(col("o_orderdate") < lit("2000-01-01"))
+      val deltaFact = o.filter(col("o_orderdate") >= lit("2000-01-01"))
+      val dimOld = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      val deltaDim = dimOld.filter(col("c_custkey") % 100 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 50)
+      graft.operators.Pipelines.incrementalJoinView(
+          factOld, deltaFact, dimOld, deltaDim, "c_custkey")
+        .select(col("o_orderkey"), col("c_custkey"), col("c_acctbal"),
+          col("c_mktsegment"))
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -3496,6 +3580,77 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem
          WHERE l_suppkey IN
            (SELECT s_suppkey FROM supplier WHERE s_suppkey % 11 = 0)""",
+    // tile grid: pure integer tiling rule, last tile clamps to the edge
+    "q196_tile_grid" ->
+      """WITH imgs AS (SELECT p_partkey AS img_id,
+             64 + (p_partkey * 13) % 1980 AS w,
+             64 + (p_partkey * 29) % 1080 AS h
+           FROM part WHERE p_partkey % 17 = 0),
+         n AS (SELECT img_id, w, h,
+             CASE WHEN w <= 224 THEN 1 ELSE (w - 224 + 199) // 200 + 1 END AS nx,
+             CASE WHEN h <= 224 THEN 1 ELSE (h - 224 + 199) // 200 + 1 END AS ny
+           FROM imgs)
+         SELECT img_id, w, h,
+           least(i * 200, greatest(w - 224, 0)) AS tile_x,
+           least(j * 200, greatest(h - 224, 0)) AS tile_y
+         FROM n, generate_series(0, 15) gi(i), generate_series(0, 15) gj(j)
+         WHERE i < nx AND j < ny""",
+    // frame sampling: stepped generate_series over the duration
+    "q197_frame_sample" ->
+      """SELECT event_id, 1000 + (event_id * 37) % 60000 AS duration_ms,
+           k * 2000 AS frame_ms
+         FROM events, generate_series(0, 30) g(k)
+         WHERE event_id % 101 = 0
+           AND k * 2000 <= 1000 + (event_id * 37) % 60000 - 1""",
+    // golden record: full-outer coalesce with per-column survivorship
+    "q198_golden_record" ->
+      """WITH b AS (
+           SELECT c_custkey, c_name, c_acctbal + 100 AS c_acctbal,
+             cast(NULL AS varchar) AS c_mktsegment
+           FROM customer WHERE c_custkey % 10 = 0
+           UNION ALL
+           SELECT c_custkey + 1000000, 'new_' || c_name, c_acctbal,
+             c_mktsegment
+           FROM customer WHERE c_custkey % 250 = 0)
+         SELECT coalesce(b.c_custkey, a.c_custkey) AS c_custkey,
+           coalesce(b.c_name, a.c_name) AS c_name,
+           coalesce(b.c_acctbal, a.c_acctbal) AS c_acctbal,
+           coalesce(b.c_mktsegment, a.c_mktsegment) AS c_mktsegment,
+           CASE WHEN b.c_custkey IS NULL THEN 'a_only'
+                WHEN a.c_custkey IS NULL THEN 'b_only'
+                ELSE 'merged' END AS src
+         FROM customer a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey""",
+    // eval pairs: md5-derived indices over the dense id space, exact-mirror
+    // cosine (the q39/q106 expression shape)
+    "q199_eval_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         n AS (SELECT count(*) AS cnt FROM e),
+         p AS (SELECT i AS pair_id,
+             ('0x' || substr(md5('a:' || cast(i AS varchar)), 1, 8))::bigint
+               % cnt AS a,
+             ('0x' || substr(md5('b:' || cast(i AS varchar)), 1, 8))::bigint
+               % cnt AS b
+           FROM generate_series(0, 499) g(i), n)
+         SELECT pair_id, a, b,
+           round(
+             list_sum(list_transform(generate_series(1, 64),
+               i -> ea.v[i] * eb.v[i]))
+             / (sqrt(list_sum(list_transform(ea.v, x -> x*x)))
+                * sqrt(list_sum(list_transform(eb.v, x -> x*x)))), 6)
+             AS cos_sim
+         FROM p JOIN e ea ON p.a = ea.vec_id JOIN e eb ON p.b = eb.vec_id
+         WHERE a <> b""",
+    // incremental join view: the oracle is the FULL recompute fact' ⋈ dim'
+    // (the delta algebra is row-identical by construction)
+    "q200_incremental_join_view" ->
+      """WITH dimNew AS (
+           SELECT c_custkey, c_acctbal + 50 AS c_acctbal, c_mktsegment
+           FROM customer WHERE c_custkey % 100 = 0
+           UNION ALL
+           SELECT c_custkey, c_acctbal, c_mktsegment
+           FROM customer WHERE c_custkey % 100 <> 0)
+         SELECT o_orderkey, c_custkey, c_acctbal, c_mktsegment
+         FROM orders JOIN dimNew ON o_custkey = c_custkey""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->

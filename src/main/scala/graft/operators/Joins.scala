@@ -216,4 +216,24 @@ object Joins {
     probed.join(dim.select(col(dimKey)).distinct(),
       probed(factKey) === col(dimKey), "left_semi")
   }
+
+  /** Golden-record merge — two-source survivorship: full-outer join on the
+    * entity key, PER-COLUMN precedence (source B wins where it has a
+    * value, A fills the gaps — the master-data "latest feed overrides,
+    * nulls fall through" rule), plus a provenance tag. One shuffle on the
+    * key; no windows. */
+  def goldenRecord(a: DataFrame, b: DataFrame, key: String,
+                   cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one payload column")
+    val aa = a.select(col(key) +: lit(1).as("__a1") +:
+      cols.map(c => col(c).as(s"__a_$c")): _*)
+    val bb = b.select(col(key) +: lit(1).as("__b1") +:
+      cols.map(c => col(c).as(s"__b_$c")): _*)
+    aa.join(bb, Seq(key), "full_outer")
+      .select(col(key) +:
+        cols.map(c => coalesce(col(s"__b_$c"), col(s"__a_$c")).as(c)) :+
+        when(col("__b1").isNull, "a_only")
+          .when(col("__a1").isNull, "b_only")
+          .otherwise("merged").as("src"): _*)
+  }
 }

@@ -83,4 +83,29 @@ object Multimodal {
     * no shuffle. */
   def resizePlan(df: DataFrame, w: Int, h: Int): DataFrame =
     df.withColumn("resize_to", struct(lit(w).as("width"), lit(h).as("height")))
+
+  /** ViT-style tile/patch grid plan: one row per (tile_x, tile_y) covering
+    * a widthCol×heightCol image with `tile`-sized tiles at `stride` steps.
+    * Interior tiles sit at i·stride; the LAST tile on each axis clamps to
+    * size−tile so the right/bottom edge is always covered (the standard
+    * overlapped-tiling rule; images smaller than a tile get one tile at
+    * 0). Tile count per axis is ⌈(size−tile)/stride⌉+1 — pure integer
+    * arithmetic, so the grid is engine-exact. The pixel decode is
+    * downstream; the row EXPLOSION (the real Spark work: one metadata row
+    * fans to nx·ny patch rows, partitioning preserved) is here. */
+  def tileGrid(df: DataFrame, widthCol: String, heightCol: String,
+               tile: Int, stride: Int): DataFrame = {
+    require(tile >= 1 && stride >= 1, "tile and stride must be positive")
+    val nx = when(col(widthCol) <= tile, lit(1L))
+      .otherwise(expr(s"($widthCol - $tile + $stride - 1) div $stride") + 1)
+    val ny = when(col(heightCol) <= tile, lit(1L))
+      .otherwise(expr(s"($heightCol - $tile + $stride - 1) div $stride") + 1)
+    df.withColumn("__ti", explode(sequence(lit(0L), nx - 1)))
+      .withColumn("__tj", explode(sequence(lit(0L), ny - 1)))
+      .withColumn("tile_x", least(col("__ti") * stride,
+        greatest(col(widthCol) - tile, lit(0)).cast("long")))
+      .withColumn("tile_y", least(col("__tj") * stride,
+        greatest(col(heightCol) - tile, lit(0)).cast("long")))
+      .drop("__ti", "__tj")
+  }
 }

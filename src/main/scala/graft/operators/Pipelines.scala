@@ -135,4 +135,24 @@ object Pipelines {
   def finishAggState(state: DataFrame): DataFrame =
     state.select(col(state.columns.head), col("n"),
       col("__s").cast("double").as("sum_v"), col("min_v"), col("max_v"))
+  /** Incremental JOIN-view maintenance — the delta algebra for a
+    * materialized `fact ⋈ dim` view when a fact delta (appends) and a dim
+    * delta (key-level updates, latest-wins) arrive:
+    * V′ = (V ∖ rows touching Δdim keys) ∪ (fact_old ⋈ Δdim) ∪ (Δfact ⋈ dim′).
+    * Result is row-identical to the full recompute `fact′ ⋈ dim′`, but the
+    * work is Δ-sized: one anti-join against the existing view plus two
+    * delta joins — the point at 100 TB, where the full fact never moves.
+    * (The agg-state and snapshot-CDC siblings are `aggState`/`cdcApply`;
+    * this is the JOIN member of the incremental family.) */
+  def incrementalJoinView(factOld: DataFrame, deltaFact: DataFrame,
+                          dimOld: DataFrame, deltaDim: DataFrame,
+                          key: String): DataFrame = {
+    val vOld = factOld.join(dimOld, Seq(key))
+    val keep = vOld.join(deltaDim.select(col(key)), Seq(key), "left_anti")
+    val refreshed = factOld.join(deltaDim, Seq(key))
+    val dimNew = dimOld.join(deltaDim.select(col(key)), Seq(key), "left_anti")
+      .unionByName(deltaDim)
+    val fresh = deltaFact.join(dimNew, Seq(key))
+    keep.unionByName(refreshed).unionByName(fresh)
+  }
 }

@@ -94,6 +94,44 @@ class ReconSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("tileGrid: one tile for small images, clamped last tile covers edge") {
+    val imgs = Seq((1L, 100L, 100L), (2L, 224L, 224L), (3L, 230L, 624L))
+      .toDF("img_id", "w", "h")
+    val got = graft.operators.Multimodal.tileGrid(imgs, "w", "h", 224, 200)
+      .select("img_id", "tile_x", "tile_y")
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+      .map { case (k, v) => k -> v.map(r => (r._2, r._3)).toSet }
+    assert(got(1L) == Set((0L, 0L)))          // smaller than a tile
+    assert(got(2L) == Set((0L, 0L)))          // exact fit
+    // w=230: x in {0, 6(clamped)}; h=624: y in {0, 200, 400(clamped)}
+    assert(got(3L) == Set((0L,0L),(0L,200L),(0L,400L),
+      (6L,0L),(6L,200L),(6L,400L)), s"got ${got(3L)}")
+  }
+
+  test("goldenRecord: B wins per column, nulls fall through, provenance") {
+    val a = Seq((1L, "x", 10.0), (2L, "y", 20.0)).toDF("k", "name", "bal")
+    val b = Seq((2L, null.asInstanceOf[String], 99.0), (3L, "z", 30.0))
+      .toDF("k", "name", "bal")
+    val got = graft.operators.Joins.goldenRecord(a, b, "k", Seq("name", "bal"))
+      .as[(Long, String, Double, String)].collect().toSet
+    assert(got == Set((1L, "x", 10.0, "a_only"),
+      (2L, "y", 99.0, "merged"),   // bal from B, name falls through to A
+      (3L, "z", 30.0, "b_only")), s"got $got")
+  }
+
+  test("incrementalJoinView: delta algebra equals full recompute") {
+    val factOld = Seq((1L, 10L), (2L, 20L)).toDF("oid", "k")
+    val deltaFact = Seq((3L, 10L), (4L, 30L)).toDF("oid", "k")
+    val dimOld = Seq((10L, "a"), (20L, "b"), (30L, "c")).toDF("k", "v")
+    val deltaDim = Seq((10L, "a2")).toDF("k", "v")
+    val got = graft.operators.Pipelines.incrementalJoinView(
+        factOld, deltaFact, dimOld, deltaDim, "k")
+      .select("oid", "k", "v").as[(Long, Long, String)].collect().toSet
+    // full recompute: fact' = 1,2,3,4; dim' = {10->a2, 20->b, 30->c}
+    assert(got == Set((1L, 10L, "a2"), (2L, 20L, "b"),
+      (3L, 10L, "a2"), (4L, 30L, "c")), s"got $got")
+  }
+
   test("oovRate: top-V boundary deterministic, rate is oov/total") {
     // counts: a:4 b:3 c:2 d:1 -> V=2 keeps {a,b}
     val docs = Seq((1L, "a a b c"), (2L, "a b c d"), (3L, "a b")).toDF("doc_id", "text")
