@@ -655,23 +655,32 @@ object Analyses {
       case _ => (2, col(valueCol).cast("decimal(18,2)"))
     }
     val v = col("__v")
+    // the ranged table feeds BOTH the local prefix and the group totals —
+    // pin it once or Spark re-derives the whole upstream (scan + agg +
+    // range exchange) per consumer: 3 fact passes at 100 TB
     val ranged = df
       .select(col(keyCol), vExpr.as("__v"))
       .repartitionByRange(nGroups, col("__v").desc, col(keyCol).asc)
       .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ranged.count(): Unit
     val wLocal = Window.partitionBy(col("__pid"))
       .orderBy(v.desc, col(keyCol).asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = ranged.withColumn("__cum_local", sum(v).over(wLocal))
     val wPid = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // per-partition totals: ≤ nGroups rows BY CONSTRUCTION; the global
+    // total re-aggregates THEM (exact decimal addition is associative),
+    // never the fact again
     val offs = ranged.groupBy(col("__pid")).agg(sum(v).as("__ptot"))
       .withColumn("__off",
         coalesce(sum(col("__ptot")).over(wPid),
           lit(0).cast(DecimalType(38, inScale))))
-      .select(col("__pid"), col("__off"))
-    val tot = ranged.agg(sum(v).as("__total"))
-    local.join(broadcast(offs), Seq("__pid")).crossJoin(broadcast(tot))
+      .withColumn("__total",
+        sum(col("__ptot")).over(Window.partitionBy()))
+      .select(col("__pid"), col("__off"), col("__total"))
+    local.join(broadcast(offs), Seq("__pid"))
       .withColumn("__cum", col("__off") + col("__cum_local"))
       .select(col(keyCol), v.cast("double").as("value"),
         when(col("__cum") * 10 <= col("__total") * 8, "A")
