@@ -1372,6 +1372,87 @@ object SparkEntry {
           col("c_mktsegment"))
     }),
 
+    // ---- A: per-group winsorized mean (robust location) ----
+    "q201_winsorized_mean" -> ((s, dir) =>
+      graft.operators.Analyses.winsorizedMean(
+        Tables.customer(s, dir), "c_nationkey", "c_acctbal",
+        pLo = 0.05, pHi = 0.95)),
+
+    // ---- A: Kaplan-Meier survival (signup -> first purchase) ----
+    "q202_kaplan_meier" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val t0 = ev.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("d0"),
+          min(when(col("event_type") === "purchase", to_date(col("ts"))))
+            .as("dp"),
+          max(to_date(col("ts"))).as("dl"))
+      val subj = t0.select((col("user_id") % 3).as("seg"),
+        when(col("dp").isNotNull, datediff(col("dp"), col("d0")))
+          .otherwise(datediff(col("dl"), col("d0"))).as("dur"),
+        when(col("dp").isNotNull, 1).otherwise(0).as("ev"))
+      graft.operators.Analyses.kaplanMeier(subj, "seg", "dur", "ev")
+    }),
+
+    // ---- W: month-over-month growth with calendar-adjacency guard ----
+    "q203_mom_growth" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val monthly = Tables.orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+          .as("month"), col("o_orderpriority"))
+        .agg(sum(col("o_totalprice").cast(D)).as("__rev"))
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("month").asc)
+      monthly
+        .withColumn("__prev", lag(col("__rev"), 1).over(w))
+        .withColumn("__pm", lag(col("month"), 1).over(w))
+        .select(col("month"), col("o_orderpriority"),
+          col("__rev").cast("double").as("revenue"),
+          when(col("__pm") === add_months(col("month"), -1),
+            col("__rev").cast("double") / col("__prev").cast("double"))
+            .as("mom_ratio"))
+    }),
+
+    // ---- T: multinomial naive-Bayes fit + self-score ----
+    "q204_naive_bayes" -> ((s, dir) =>
+      graft.operators.TextOps.naiveBayesScore(
+        Tables.documents(s, dir), "doc_id", "text", "lang")),
+
+    // ---- A: two-feature OLS per group (normal equations, exact moments) ----
+    "q205_ols2" -> ((s, dir) => {
+      // every raw moment is an EXACT integer/decimal sum; the closed-form
+      // solve is ONE mirrored double tree on bit-identical inputs
+      val e = Tables.events(s, dir).select(col("event_type"),
+        hour(col("ts")).cast("long").as("x1"),
+        dayofweek(col("ts")).cast("long").as("x2"),
+        col("value").cast(D).as("y"))
+      val m = e.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("y")).as("sy"),
+        sum(col("y") * col("x1")).as("s1y"),
+        sum(col("y") * col("x2")).as("s2y"))
+      val nD = col("n").cast("double")
+      val (s1D, s2D) = (col("s1").cast("double"), col("s2").cast("double"))
+      val (s11D, s22D, s12D) = (col("s11").cast("double"),
+        col("s22").cast("double"), col("s12").cast("double"))
+      val (syD, s1yD, s2yD) = (col("sy").cast("double"),
+        col("s1y").cast("double"), col("s2y").cast("double"))
+      val S11 = s11D - s1D * s1D / nD
+      val S22 = s22D - s2D * s2D / nD
+      val S12 = s12D - s1D * s2D / nD
+      val S1y = s1yD - s1D * syD / nD
+      val S2y = s2yD - s2D * syD / nD
+      val det = S11 * S22 - S12 * S12
+      val b1 = (S22 * S1y - S12 * S2y) / det
+      val b2 = (S11 * S2y - S12 * S1y) / det
+      val b0 = syD / nD - b1 * (s1D / nD) - b2 * (s2D / nD)
+      m.select(col("event_type"), col("n"),
+        round(b0, 6).as("b0"), round(b1, 6).as("b1"), round(b2, 6).as("b2"))
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -3651,6 +3732,128 @@ object SparkEntry {
            FROM customer WHERE c_custkey % 100 <> 0)
          SELECT o_orderkey, c_custkey, c_acctbal, c_mktsegment
          FROM orders JOIN dimNew ON o_custkey = c_custkey""",
+    // winsorized mean: thresholds rounded to 6dp BEFORE the clip compare
+    // (ulp-divergent interpolation), clipped values summed exactly
+    "q201_winsorized_mean" ->
+      """WITH cuts AS (SELECT c_nationkey,
+             round(quantile_cont(c_acctbal, 0.05), 6) AS lo,
+             round(quantile_cont(c_acctbal, 0.95), 6) AS hi
+           FROM customer GROUP BY 1)
+         SELECT c.c_nationkey, count(*) AS n,
+           max(lo) AS p_lo, max(hi) AS p_hi,
+           cast(sum(cast(round(least(greatest(c_acctbal, lo), hi), 6)
+             AS decimal(18,6))) AS double) / cast(count(*) AS double)
+             AS winsorized_mean
+         FROM customer c JOIN cuts ON c.c_nationkey = cuts.c_nationkey
+         GROUP BY 1""",
+    // Kaplan-Meier: 6dp-rounded ln factors summed exactly; d = r final
+    // point bypasses ln(0)
+    "q202_kaplan_meier" ->
+      """WITH t0 AS (SELECT user_id,
+             min(cast(date_trunc('day', ts) AS date)) AS d0,
+             min(CASE WHEN event_type = 'purchase'
+               THEN cast(date_trunc('day', ts) AS date) END) AS dp,
+             max(cast(date_trunc('day', ts) AS date)) AS dl
+           FROM events GROUP BY 1),
+         subj AS (SELECT user_id % 3 AS seg,
+             CASE WHEN dp IS NOT NULL THEN dp - d0 ELSE dl - d0 END AS dur,
+             CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS ev FROM t0),
+         grid AS (SELECT seg, cast(dur AS bigint) AS t,
+             cast(sum(ev) AS bigint) AS d, count(*) AS al
+           FROM subj GROUP BY 1, 2),
+         wr AS (SELECT seg, t, d, cast(sum(al) OVER (PARTITION BY seg
+             ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS bigint) AS r
+           FROM grid),
+         tm AS (SELECT seg, t, d, r,
+             CASE WHEN d < r THEN cast(round(ln(1.0 -
+                 cast(d AS double) / cast(r AS double)), 6) AS decimal(18,6))
+               ELSE cast(0 AS decimal(18,6)) END AS term FROM wr),
+         cm AS (SELECT seg, t, d, r, sum(term) OVER (PARTITION BY seg
+             ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum FROM tm)
+         SELECT seg, t, d, r,
+           CASE WHEN d = r THEN 0.0
+                ELSE round(exp(cast(cum AS double)), 6) END AS survival
+         FROM cm""",
+    // MoM growth: ratio only when the previous row is the adjacent month
+    "q203_mom_growth" ->
+      """WITH m AS (SELECT cast(date_trunc('month', o_orderdate) AS date)
+             AS month, o_orderpriority,
+             sum(cast(o_totalprice AS decimal(18,2))) AS rev
+           FROM orders GROUP BY 1, 2),
+         l AS (SELECT month, o_orderpriority, rev,
+             lag(rev) OVER (PARTITION BY o_orderpriority ORDER BY month)
+               AS prev,
+             lag(month) OVER (PARTITION BY o_orderpriority ORDER BY month)
+               AS pm
+           FROM m)
+         SELECT month, o_orderpriority, cast(rev AS double) AS revenue,
+           CASE WHEN pm = month - INTERVAL 1 MONTH
+             THEN cast(rev AS double) / cast(prev AS double) END AS mom_ratio
+         FROM l""",
+    // naive Bayes: Laplace-smoothed ratios of exact counts, 6dp ln-sum
+    // discipline, (score desc, class) argmax
+    "q204_naive_bayes" ->
+      """WITH toks AS (SELECT id, true_c, w FROM (SELECT doc_id AS id,
+             lang AS true_c, unnest(string_split(text, ' ')) AS w
+           FROM documents) u WHERE w <> ''),
+         ct AS (SELECT w, true_c AS c, count(*) AS cnt FROM toks GROUP BY 1, 2),
+         tot AS (SELECT c, sum(cnt) AS tot FROM ct GROUP BY 1),
+         v AS (SELECT count(DISTINCT w) AS v FROM ct),
+         nd AS (SELECT count(*) AS nd FROM documents),
+         cd AS (SELECT lang AS c, count(*) AS ndc FROM documents GROUP BY 1),
+         terms AS (SELECT toks.id, tot.c,
+             cast(round(ln(cast(coalesce(ct.cnt, 0) + 1 AS double) /
+               cast(tot.tot + v.v AS double)), 6) AS decimal(18,6)) AS term
+           FROM toks CROSS JOIN tot
+           LEFT JOIN ct ON ct.w = toks.w AND ct.c = tot.c
+           CROSS JOIN v),
+         lik AS (SELECT id, c, sum(term) AS lik FROM terms GROUP BY 1, 2),
+         pr AS (SELECT c, cast(round(ln(cast(ndc AS double) /
+             cast(nd AS double)), 6) AS decimal(18,6)) AS prior
+           FROM cd CROSS JOIN nd),
+         sc AS (SELECT id, lik.c, cast(lik + prior AS double) AS score
+           FROM lik JOIN pr ON lik.c = pr.c),
+         r AS (SELECT id, c, score, row_number() OVER (PARTITION BY id
+             ORDER BY score DESC, c ASC) AS rn FROM sc)
+         SELECT id AS doc_id, c AS pred_class, round(score, 6) AS score
+         FROM r WHERE rn = 1""",
+    // OLS-2: raw moments exact, one mirrored closed-form solve
+    "q205_ols2" ->
+      """WITH e AS (SELECT event_type,
+             cast(hour(ts) AS bigint) AS x1,
+             cast(dayofweek(ts) + 1 AS bigint) AS x2,
+             cast(value AS decimal(18,2)) AS y
+           FROM events),
+         m AS (SELECT event_type, count(*) AS n,
+             sum(x1) AS s1, sum(x2) AS s2,
+             sum(x1 * x1) AS s11, sum(x2 * x2) AS s22,
+             sum(x1 * x2) AS s12,
+             sum(y) AS sy, sum(y * x1) AS s1y, sum(y * x2) AS s2y
+           FROM e GROUP BY 1),
+         d AS (SELECT event_type, n,
+             cast(n AS double) AS nD,
+             cast(s1 AS double) AS s1D, cast(s2 AS double) AS s2D,
+             cast(s11 AS double) AS s11D, cast(s22 AS double) AS s22D,
+             cast(s12 AS double) AS s12D,
+             cast(sy AS double) AS syD, cast(s1y AS double) AS s1yD,
+             cast(s2y AS double) AS s2yD
+           FROM m),
+         k AS (SELECT event_type, n, nD, s1D, s2D, syD,
+             s11D - s1D * s1D / nD AS S11,
+             s22D - s2D * s2D / nD AS S22,
+             s12D - s1D * s2D / nD AS S12,
+             s1yD - s1D * syD / nD AS S1y,
+             s2yD - s2D * syD / nD AS S2y
+           FROM d),
+         b AS (SELECT event_type, n, nD, s1D, s2D, syD,
+             (S22 * S1y - S12 * S2y) / (S11 * S22 - S12 * S12) AS b1,
+             (S11 * S2y - S12 * S1y) / (S11 * S22 - S12 * S12) AS b2
+           FROM k)
+         SELECT event_type, n,
+           round(syD / nD - b1 * (s1D / nD) - b2 * (s2D / nD), 6) AS b0,
+           round(b1, 6) AS b1, round(b2, 6) AS b2
+         FROM b""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->

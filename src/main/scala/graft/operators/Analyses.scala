@@ -745,6 +745,73 @@ object Analyses {
           (col("__s") * col("n")).cast("double")).as("gini"))
   }
 
+  /** Per-group winsorized mean — the outlier-robust location estimate:
+    * values clipped to the group's own [pLo, pHi] exact interpolated
+    * percentiles, then averaged. Thresholds are rounded to 6 dp BEFORE
+    * the clip compare (the scoreBandSample lesson: two engines'
+    * interpolation can differ by one ulp, and a value AT the threshold
+    * must clip the same way everywhere); clipped values sum as exact
+    * decimals, ONE final division.
+    *
+    * Scale shape: one grouped percentile agg (bounded output), one hash
+    * join back, one grouped mean — no windows. */
+  def winsorizedMean(df: DataFrame, groupCol: String, valueCol: String,
+                     pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val cuts = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, array($pLo, $pHi))").as("__qs"))
+      .select(col(groupCol),
+        round(element_at(col("__qs"), 1), 6).as("__lo"),
+        round(element_at(col("__qs"), 2), 6).as("__hi"))
+    df.join(cuts, Seq(groupCol))
+      .withColumn("__clip",
+        least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi")))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        max(col("__lo")).as("p_lo"), max(col("__hi")).as("p_hi"),
+        (sum(round(col("__clip"), 6).cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("winsorized_mean"))
+  }
+
+  /** Discrete Kaplan-Meier survival curve per group — time-to-event with
+    * right censoring (churn, time-to-conversion, component lifetime):
+    * S(t) = Π_{s ≤ t, event} (1 − d_s / r_s) over the observed duration
+    * grid, r_t = subjects with duration ≥ t, d_t = events at t.
+    *
+    * Determinism: each factor enters as round(ln(1 − d/r), 6) summed as
+    * EXACT decimal, survival = round(exp(Σ), 6) — the entropy/KL ln-sum
+    * discipline, engine-order-free. A final point where d = r (everyone
+    * left fails) yields survival 0 exactly, bypassing ln(0).
+    *
+    * Scale shape: subjects collapse to the (group, duration) grain first
+    * (one hash agg); the cumulative runs in a GROUP-partitioned window
+    * over that bounded grid, never over subjects. */
+  def kaplanMeier(df: DataFrame, groupCol: String, durationCol: String,
+                  eventCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = df
+      .select(col(groupCol), col(durationCol).cast("long").as("__t"),
+        col(eventCol).cast("int").as("__e"))
+      .groupBy(col(groupCol), col("__t"))
+      .agg(sum(col("__e")).cast("long").as("d"), count(lit(1)).as("__all"))
+    val wAsc = Window.partitionBy(col(groupCol)).orderBy(col("__t").asc)
+    val withRisk = grid
+      .withColumn("r",
+        sum(col("__all")).over(wAsc.rowsBetween(Window.currentRow,
+          Window.unboundedFollowing)))
+      .withColumn("__term",
+        when(col("d") < col("r"),
+          round(log(lit(1.0d) - col("d").cast("double") / col("r").cast("double")), 6)
+            .cast("decimal(18,6)"))
+          .otherwise(lit(0).cast("decimal(18,6)")))
+    withRisk
+      .withColumn("__cum",
+        sum(col("__term")).over(wAsc.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col(groupCol), col("__t").as("t"), col("d"), col("r"),
+        when(col("d") === col("r"), lit(0.0d))
+          .otherwise(round(exp(col("__cum").cast("double")), 6)).as("survival"))
+  }
+
   /** Functional-dependency violation detector — the data-quality probe
     * "does LHS determine RHS?": emits one row per LHS group observed with
     * MORE than one distinct RHS value, with the violation extent (distinct

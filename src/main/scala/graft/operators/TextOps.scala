@@ -665,6 +665,64 @@ object TextOps {
       .limit(n)
   }
 
+  /** Multinomial naive-Bayes fit + score in one pass family — fit
+    * P(class) and Laplace-smoothed P(token|class) from a labeled corpus,
+    * then score EVERY document: score(d, c) = ln P(c) + Σ_{w∈d} ln
+    * P(w|c), predicted class = argmax with a (score desc, class asc)
+    * total order. The self-scoring form is the training-diagnostic
+    * (confusion/leakage probe); scoring a second corpus is the same join
+    * against the fitted tables.
+    *
+    * Determinism: every ln term is rounded to 6 dp and summed as EXACT
+    * decimal (the KL/entropy discipline); the smoothed probabilities are
+    * ratios of exact integer counts in ONE mirrored double tree.
+    *
+    * Scale shape: the model is two count tables — (class) and
+    * (token, class), vocabulary-bounded; scoring joins each token
+    * INSTANCE against the (token, class) table fanned by |classes| (a
+    * dimension factor), then one hash agg per (doc, class) and a
+    * doc-partitioned top-1 window. */
+  def naiveBayesScore(docs: DataFrame, idCol: String, textCol: String,
+                      classCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol).as("__id"), col(classCol).as("__true"),
+        explode(tokens(col(textCol))).as("__w"))
+      .filter(col("__w") =!= "")
+    val classTok = toks.groupBy(col("__w"), col("__true").as("__c"))
+      .agg(count(lit(1)).as("__cnt"))
+    val classTot = classTok.groupBy(col("__c"))
+      .agg(sum(col("__cnt")).as("__tot"))
+    val vocabN = classTok.select(col("__w")).distinct()
+      .agg(count(lit(1)).as("__v"))
+    val docsN = docs.agg(count(lit(1)).as("__nd"))
+    val classDocs = docs.groupBy(col(classCol).as("__c"))
+      .agg(count(lit(1)).as("__ndc"))
+    // token instances × classes, smoothed (missing pair -> count 0)
+    val scored = toks
+      .crossJoin(broadcast(classTot))
+      .join(classTok, Seq("__w", "__c"), "left")
+      .crossJoin(broadcast(vocabN))
+      .withColumn("__term", round(log(
+        (coalesce(col("__cnt"), lit(0L)) + 1).cast("double") /
+          (col("__tot") + col("__v")).cast("double")), 6)
+        .cast("decimal(18,6)"))
+      .groupBy(col("__id"), col("__c"))
+      .agg(sum(col("__term")).as("__lik"))
+    val prior = classDocs.crossJoin(broadcast(docsN))
+      .select(col("__c"),
+        round(log(col("__ndc").cast("double") / col("__nd").cast("double")), 6)
+          .cast("decimal(18,6)").as("__prior"))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("__score").desc, col("__c").asc)
+    scored.join(broadcast(prior), Seq("__c"))
+      .withColumn("__score", (col("__lik") + col("__prior")).cast("double"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__id").as(idCol), col("__c").as("pred_class"),
+        round(col("__score"), 6).as("score"))
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus's own top-V
     * vocabulary — the tokenizer-coverage diagnostic run before committing
     * a vocab (what share of each document would map to <unk>).

@@ -264,6 +264,38 @@ class CorpusStatsSpec extends SparkSuite {
     assert(math.abs(got("w") - 0.7497) < 1e-12, s"got $got")
   }
 
+  test("winsorizedMean: clip at exact percentiles, outlier pulled in") {
+    // group g: 1..9 plus outlier 1000; interpolated p10 = 1.9 and
+    // p90 = 9 + 0.1·(1000−9) = 108.1 (the hi cut interpolates TOWARD the
+    // outlier — winsorizing tames it, it doesn't erase it)
+    val df = ((1 to 9).map(i => ("g", i.toDouble)) :+ ("g", 1000.0)).toDF("k", "v")
+    val got = Analyses.winsorizedMean(df, "k", "v", 0.1, 0.9)
+      .select("n", "p_lo", "p_hi", "winsorized_mean").as[(Long, Double, Double, Double)]
+      .collect().head
+    // clipped: 1.9, 2..9, 108.1 -> sum = 1.9 + 44 + 108.1 = 154 -> mean 15.4
+    assert(got == ((10L, 1.9, 108.1, 15.4)), s"got $got")
+  }
+
+  test("kaplanMeier: textbook curve with censoring, final d=r hits zero") {
+    // durations: 1(event), 2(censored), 3(event), 3(event)
+    // t=1: d=1 r=4 -> S=0.75; t=2: d=0 r=3 -> S=0.75; t=3: d=2 r=2 -> S=0
+    val df = Seq(("a", 1L, 1), ("a", 2L, 0), ("a", 3L, 1), ("a", 3L, 1))
+      .toDF("g", "dur", "ev")
+    val got = Analyses.kaplanMeier(df, "g", "dur", "ev")
+      .select("t", "d", "r", "survival").as[(Long, Long, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, 4L, 0.75), (2L, 0L, 3L, 0.75),
+      (3L, 2L, 2L, 0.0)), s"got $got")
+  }
+
+  test("naiveBayesScore: separable two-class corpus self-classifies") {
+    val docs = Seq((1L, "x x x", "A"), (2L, "x x y", "A"),
+      (3L, "z z z", "B"), (4L, "z z y", "B")).toDF("doc_id", "text", "lang")
+    val got = TextOps.naiveBayesScore(docs, "doc_id", "text", "lang")
+      .select("doc_id", "pred_class").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "A", 2L -> "A", 3L -> "B", 4L -> "B"), s"got $got")
+  }
+
   test("groupEntropy: uniform k-way = ln k, single-category = 0") {
     val df = Seq(("u", "a"), ("u", "b"), ("u", "c"), ("u", "d"),
       ("v", "a"), ("v", "a")).toDF("g", "cat")
