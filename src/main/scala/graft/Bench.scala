@@ -123,9 +123,28 @@ object Bench {
     // BENCH_DETAIL sidecar and stderr, NOT the contract line, so the line
     // stays well inside the driver's ~2.2 KiB tail capture (round 4's
     // artifact was unparseable because the diagnostics rode on this line).
-    val qs = results.map { case (k, _, v, ok, _, _, _) =>
-      "\"" + shortKey(k) + "\":" + (if (ok) fmtQ(v) else "-1")
-    }.mkString("{", ",", "}")
+    // At 200+ gated queries even the compact qNN map outgrows the capture
+    // (~13 B/entry × 200 ≈ 2.6 KiB — the round-4 failure mode returns).
+    // The contract map therefore lists only NON-TRIVIAL queries (steady ≥
+    // `mapCutoff`); the sub-cutoff tail is folded into three summary fields
+    // ("n_fast", "fast_total", "fast_max") — zero information loss for
+    // grading (per-query values for EVERY query stay in the sidecar +
+    // stderr detail), and the cutoff auto-raises until the line fits, so
+    // the artifact stays parseable at ANY future gate count.
+    def qsAt(cutoff: Double) = {
+      val heavy = results.filter { case (_, _, v, ok, _, _, _) => !ok || v >= cutoff }
+      val fast = results.filter { case (_, _, v, ok, _, _, _) => ok && v < cutoff }
+      val m = heavy.map { case (k, _, v, ok, _, _, _) =>
+        "\"" + shortKey(k) + "\":" + (if (ok) fmtQ(v) else "-1")
+      }.mkString("{", ",", "}")
+      val ft = fast.map(_._3).sum
+      val fm = if (fast.isEmpty) 0.0 else fast.map(_._3).max
+      (m, s""""n_fast":${fast.size},"fast_total":${fmt2(ft)},"fast_max":${fmtQ(fm)},"map_cutoff":${fmtQ(cutoff)}""")
+    }
+    val (qs, fastSummary) = LazyList(0.3, 0.5, 0.8, 1.5, 3.0)
+      .map(qsAt)
+      .find { case (m, fs) => (m.length + fs.length) <= 1600 }
+      .getOrElse(qsAt(1e9))
     val colds = results.map { case (k, c, _, ok, _, _, _) => "\"" + k + "\":" + (if (ok) fmt(c) else "-1") }
       .mkString("{", ",", "}")
     val steadies = results.map { case (k, _, v, ok, _, _, _) => "\"" + k + "\":" + (if (ok) fmt(v) else "-1") }
@@ -163,7 +182,7 @@ object Bench {
     // ~100 bytes of headroom under the driver's ~2.2 KiB tail capture as the
     // gate surface grows (n_excluded keeps the exclusion COUNT visible).
     val line =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","iters":$iters,"queries":$qs,"failed":$failed,"n_excluded":${harness.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","iters":$iters,"queries":$qs,$fastSummary,"failed":$failed,"n_excluded":${harness.size},"sf":"$sfDir"}"""
     // Self-check: warn loudly (stderr) before the line outgrows the capture.
     if (line.length > 2000)
       System.err.println(s"[bench] WARNING contract line ${line.length} B — nearing the ~2.2 KiB driver tail capture")
