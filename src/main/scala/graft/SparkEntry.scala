@@ -1453,6 +1453,130 @@ object SparkEntry {
         round(b0, 6).as("b0"), round(b1, 6).as("b1"), round(b2, 6).as("b2"))
     }),
 
+    // ---- A: two-sample A/B z-test per metric (exact moments) ----
+    "q206_ab_test" -> ((s, dir) => {
+      // variant = user parity (deterministic assignment); per event_type:
+      // diff of means over pooled standard error, all from exact sums in
+      // ONE mirrored double tree
+      val e = Tables.events(s, dir).select(col("event_type"),
+        (col("user_id") % 2).as("__v"), col("value").cast(D).as("__y"))
+      val m = e.groupBy(col("event_type")).agg(
+        sum(when(col("__v") === 0, 1).otherwise(0)).cast("long").as("na"),
+        sum(when(col("__v") === 1, 1).otherwise(0)).cast("long").as("nb"),
+        sum(when(col("__v") === 0, col("__y"))
+          .otherwise(lit(0).cast(D))).as("sa"),
+        sum(when(col("__v") === 1, col("__y"))
+          .otherwise(lit(0).cast(D))).as("sb"),
+        sum(when(col("__v") === 0, col("__y") * col("__y"))
+          .otherwise(lit(0).cast("decimal(38,4)"))).as("qa"),
+        sum(when(col("__v") === 1, col("__y") * col("__y"))
+          .otherwise(lit(0).cast("decimal(38,4)"))).as("qb"))
+      val (naD, nbD) = (col("na").cast("double"), col("nb").cast("double"))
+      val (saD, sbD) = (col("sa").cast("double"), col("sb").cast("double"))
+      val (qaD, qbD) = (col("qa").cast("double"), col("qb").cast("double"))
+      val va = (qaD - saD * saD / naD) / (naD - 1)
+      val vb = (qbD - sbD * sbD / nbD) / (nbD - 1)
+      val z = (sbD / nbD - saD / naD) / sqrt(va / naD + vb / nbD)
+      m.select(col("event_type"), col("na"), col("nb"),
+        round(saD / naD, 6).as("mean_a"), round(sbD / nbD, 6).as("mean_b"),
+        round(z, 6).as("z_score"))
+    }),
+
+    // ---- W: top event paths (3-step sequences within user streams) ----
+    "q207_top_paths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .withColumn("__n1", lead(col("event_type"), 1).over(w))
+        .withColumn("__n2", lead(col("event_type"), 2).over(w))
+        .filter(col("__n2").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("__n1"), col("__n2"))
+          .as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path").asc)
+        .limit(20)
+    }),
+
+    // ---- P: multi-rule validation with violation tags ----
+    "q208_rule_tags" -> ((s, dir) => {
+      // rule-tagged quarantine split: each failing row carries the SORTED
+      // list of violated rules (joined to one string for a stable compare)
+      val c = Tables.customer(s, dir)
+      val viol = array_sort(org.apache.spark.sql.functions.filter(array(
+        when(col("c_acctbal") < -500, lit("balance_low")),
+        when(col("c_acctbal") > 9000, lit("balance_high")),
+        when(!col("c_mktsegment").isin("AUTOMOBILE", "BUILDING", "FURNITURE",
+          "HOUSEHOLD", "MACHINERY"), lit("bad_segment")),
+        when(col("c_custkey") % 1000 === 0, lit("audit_sample"))),
+        x => x.isNotNull))
+      c.withColumn("violations", concat_ws(",", viol))
+        .filter(col("violations") =!= "")
+        .select("c_custkey", "c_acctbal", "c_mktsegment", "violations")
+    }),
+
+    // ---- J: nearest-event join (closest by |Δt|, tie to earlier) ----
+    "q209_nearest_join" -> ((s, dir) => {
+      // align each purchase to its NEAREST click either side within 1 day:
+      // backward as-of (max ts ≤ t) + forward as-of (min ts > t) via ONE
+      // key-partitioned pass each, then pick the closer (tie -> earlier)
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("__cts"),
+          col("event_id").as("__cid"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("__pts"))
+      val horizon = 86400000000L
+      val wB = Window.partitionBy(col("user_id")).orderBy(col("__t").asc)
+        .rangeBetween(-horizon, 0)
+      val wF = Window.partitionBy(col("user_id")).orderBy(col("__t").asc)
+        .rangeBetween(0, horizon)
+      val u = buys.select(col("event_id"), col("user_id"), col("ts"),
+          col("__pts").as("__t"), lit(null).cast("long").as("__cts"),
+          lit(null).cast("long").as("__cid"), lit(1).as("__isbuy"))
+        .unionByName(clicks.select(lit(null).cast("long").as("event_id"),
+          col("user_id"), lit(null).cast("timestamp").as("ts"),
+          col("__cts").as("__t"), col("__cts"), col("__cid"),
+          lit(0).as("__isbuy")))
+      val back = max(when(col("__isbuy") === 0,
+        struct(col("__cts").as("t"), col("__cid").as("id")))).over(wB)
+      val fwd = min(when(col("__isbuy") === 0,
+        struct(col("__cts").as("t"), col("__cid").as("id")))).over(wF)
+      u.withColumn("__b", back).withColumn("__f", fwd)
+        .filter(col("__isbuy") === 1)
+        .withColumn("__db", col("__t") - col("__b.t"))
+        .withColumn("__df", col("__f.t") - col("__t"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("__b").isNull && col("__f").isNull, lit(null).cast("long"))
+            .when(col("__f").isNull, col("__b.id"))
+            .when(col("__b").isNull, col("__f.id"))
+            .when(col("__db") <= col("__df"), col("__b.id"))
+            .otherwise(col("__f.id")).as("nearest_click_id"))
+    }),
+
+    // ---- A/L: top-k per group with OTHERS rollup ----
+    "q210_topk_others" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.lineitem(s, dir)
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"), col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast(D) *
+          (lit(1) - col("l_discount").cast(D))).as("__rev"))
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("__rev").desc, col("l_partkey").asc)
+      val ranked = rev.withColumn("__rnk", row_number().over(w))
+      val top = ranked.filter(col("__rnk") <= 5)
+        .select(col("s_nationkey"), col("l_partkey").cast("string").as("part"),
+          col("__rev").cast("double").as("revenue"))
+      val others = ranked.filter(col("__rnk") > 5)
+        .groupBy(col("s_nationkey"))
+        .agg(sum(col("__rev")).cast("double").as("revenue"))
+        .select(col("s_nationkey"), lit("OTHERS").as("part"), col("revenue"))
+      top.unionByName(others)
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -3854,6 +3978,76 @@ object SparkEntry {
            round(syD / nD - b1 * (s1D / nD) - b2 * (s2D / nD), 6) AS b0,
            round(b1, 6) AS b1, round(b2, 6) AS b2
          FROM b""",
+    // A/B z-test: all moments exact, one mirrored double tree
+    "q206_ab_test" ->
+      """WITH e AS (SELECT event_type, user_id % 2 AS v,
+             cast(value AS decimal(18,2)) AS y FROM events),
+         m AS (SELECT event_type,
+             cast(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS bigint) AS na,
+             cast(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS bigint) AS nb,
+             sum(CASE WHEN v = 0 THEN y ELSE cast(0 AS decimal(18,2)) END) AS sa,
+             sum(CASE WHEN v = 1 THEN y ELSE cast(0 AS decimal(18,2)) END) AS sb,
+             sum(CASE WHEN v = 0 THEN y * y ELSE cast(0 AS decimal(38,4)) END) AS qa,
+             sum(CASE WHEN v = 1 THEN y * y ELSE cast(0 AS decimal(38,4)) END) AS qb
+           FROM e GROUP BY 1),
+         d AS (SELECT event_type, na, nb,
+             cast(na AS double) AS naD, cast(nb AS double) AS nbD,
+             cast(sa AS double) AS saD, cast(sb AS double) AS sbD,
+             cast(qa AS double) AS qaD, cast(qb AS double) AS qbD
+           FROM m)
+         SELECT event_type, na, nb,
+           round(saD / naD, 6) AS mean_a, round(sbD / nbD, 6) AS mean_b,
+           round((sbD / nbD - saD / naD) /
+             sqrt(((qaD - saD * saD / naD) / (naD - 1)) / naD +
+                  ((qbD - sbD * sbD / nbD) / (nbD - 1)) / nbD), 6) AS z_score
+         FROM d""",
+    // top paths: lead-lead trigrams, (n desc, path) total order
+    "q207_top_paths" ->
+      """WITH p AS (SELECT event_type || '>' ||
+             lead(event_type, 1) OVER w || '>' ||
+             lead(event_type, 2) OVER w AS path
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT path, count(*) AS n FROM p WHERE path IS NOT NULL
+         GROUP BY 1 ORDER BY n DESC, path LIMIT 20""",
+    // rule tags: sorted violated-rule list joined to one stable string
+    "q208_rule_tags" ->
+      """SELECT * FROM (
+           SELECT c_custkey, c_acctbal, c_mktsegment,
+             array_to_string(list_sort(list_filter([
+               CASE WHEN c_acctbal < -500 THEN 'balance_low' END,
+               CASE WHEN c_acctbal > 9000 THEN 'balance_high' END,
+               CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE', 'BUILDING',
+                 'FURNITURE', 'HOUSEHOLD', 'MACHINERY') THEN 'bad_segment' END,
+               CASE WHEN c_custkey % 1000 = 0 THEN 'audit_sample' END],
+               x -> x IS NOT NULL)), ',') AS violations
+           FROM customer) t
+         WHERE violations <> ''""",
+    // nearest join: correlated nearest-either-side probe, tie to earlier
+    "q209_nearest_join" ->
+      """SELECT p.event_id, p.user_id, p.ts,
+           (SELECT c.event_id FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 86400000000
+            ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC,
+              epoch_us(c.ts) ASC LIMIT 1) AS nearest_click_id
+         FROM events p WHERE p.event_type = 'purchase'""",
+    // top-k with OTHERS: window cut + residual rollup
+    "q210_topk_others" ->
+      """WITH rev AS (SELECT s_nationkey, l_partkey,
+             sum(cast(l_extendedprice AS decimal(18,2)) *
+               (1 - cast(l_discount AS decimal(18,2)))) AS rev
+           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY s_nationkey
+             ORDER BY rev DESC, l_partkey ASC) AS rnk FROM rev)
+         SELECT s_nationkey, cast(l_partkey AS varchar) AS part,
+           cast(rev AS double) AS revenue
+         FROM r WHERE rnk <= 5
+         UNION ALL
+         SELECT s_nationkey, 'OTHERS' AS part,
+           cast(sum(rev) AS double) AS revenue
+         FROM r WHERE rnk > 5 GROUP BY 1""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->
