@@ -286,4 +286,64 @@ object PropertySpec extends Properties("graft") {
       } yield (qid, pid)).toSet
       got == want
     }
+
+  property("paretoClass matches the single-pass reference classification") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(1, 500)), Gen.choose(2, 7)) {
+      (vals: List[Int], groups: Int) =>
+      import spark.implicits._
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v.toDouble) }
+        .toDF("k", "v")
+      val got = graft.operators.Analyses.paretoClass(df, "k", "v", groups)
+        .select("k", "abc_class").as[(Long, String)].collect().toMap
+      // reference: exact cumulative over (v desc, k asc) with integer cents
+      val sorted = vals.zipWithIndex
+        .map { case (v, i) => (i.toLong, BigDecimal(v).setScale(2)) }
+        .sortBy { case (k, v) => (-v, k) }
+      val total = sorted.map(_._2).sum
+      var cum = BigDecimal(0)
+      val want = sorted.map { case (k, v) =>
+        cum += v
+        k -> (if (cum * 10 <= total * 8) "A"
+              else if (cum * 100 <= total * 95) "B" else "C")
+      }.toMap
+      got == want
+    }
+
+  property("setSimilarityJoin equals the brute-force pair scan") =
+    Prop.forAll(
+      Gen.listOfN(6, Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e", "f", "g"))),
+      Gen.oneOf((1, 3), (1, 2), (2, 3), (3, 4))) { (sets, t) =>
+      import spark.implicits._
+      val (tn, td) = t
+      val rows = sets.zipWithIndex.flatMap { case (toks, i) =>
+        toks.map(w => (s"e$i", w)) }
+      val df = rows.toDF("e", "tok")
+      val got = Dedup.setSimilarityJoin(df, "e", "tok", tn, td)
+        .select("e1", "e2", "n_common").as[(String, String, Long)]
+        .collect().toSet
+      val asSets = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val keys = asSets.keys.toSeq.sorted
+      val want = (for {
+        i <- keys; j <- keys if i < j
+        inter = (asSets(i) & asSets(j)).size
+        union = (asSets(i) | asSets(j)).size
+        if inter > 0 && inter.toLong * td >= union.toLong * tn
+      } yield (i, j, inter.toLong)).toSet
+      got == want
+    }
+
+  property("maxConcurrent equals the brute-force sweep on integer intervals") =
+    Prop.forAll(Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0, 20), Gen.choose(1, 10)))) { iv =>
+      import spark.implicits._
+      val rows = iv.map { case (st, len) => ("k", st.toLong, (st + len).toLong) }
+      val df = rows.toDF("key", "s", "e")
+      val got = graft.operators.Analyses.maxConcurrent(df,
+          "key", col("s"), col("e"))
+        .as[(String, Long)].collect().head._2
+      // brute force: concurrency at every interval start
+      val want = rows.map { case (_, s, _) =>
+        rows.count { case (_, s2, e2) => s2 <= s && s < e2 }.toLong }.max
+      got == want
+    }
 }
