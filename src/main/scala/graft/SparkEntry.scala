@@ -1577,6 +1577,49 @@ object SparkEntry {
       top.unionByName(others)
     }),
 
+    // ---- P: curation filter-chain attrition report ----
+    "q211_filter_attrition" -> ((s, dir) => {
+      // per-rule sequential attrition: ONE pass computes every prefix
+      // count, then the one-row aggregate unpivots to a row per rule
+      val d = Tables.documents(s, dir)
+        .select(col("n_chars"), col("lang"),
+          size(graft.operators.TextOps.tokens(col("text"))).as("__nt"))
+      val agg = d.agg(
+        count(lit(1)).as("c0"),
+        sum(when(col("n_chars") >= 50, 1).otherwise(0)).cast("long").as("c1"),
+        sum(when(col("n_chars") >= 50 && col("lang") =!= "zh", 1)
+          .otherwise(0)).cast("long").as("c2"),
+        sum(when(col("n_chars") >= 50 && col("lang") =!= "zh" &&
+          col("__nt") >= 5, 1).otherwise(0)).cast("long").as("c3"))
+      agg.select(explode(array(
+          struct(lit("1_min_length").as("rule"), col("c0").as("n_in"),
+            col("c1").as("n_out")),
+          struct(lit("2_lang_allowlist").as("rule"), col("c1").as("n_in"),
+            col("c2").as("n_out")),
+          struct(lit("3_min_tokens").as("rule"), col("c2").as("n_in"),
+            col("c3").as("n_out")))).as("__r"))
+        .select(col("__r.rule"), col("__r.n_in"), col("__r.n_out"),
+          (col("__r.n_in") - col("__r.n_out")).as("n_dropped"))
+    }),
+
+    // ---- T/P: per-source contamination-rate report ----
+    "q212_contamination_report" -> ((s, dir) => {
+      val d = Tables.spread(s, Tables.documents(s, dir))
+      val train = d.filter(col("doc_id") % 97 =!= 0)
+      val hits = graft.operators.TextOps.contaminationHits(
+        train, "doc_id", "text",
+        d.filter(col("doc_id") % 97 === 0), "text", n = 3)
+      train.join(hits.select(col("doc_id"), lit(1).as("__hit")),
+          Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__hit").isNotNull, 1).otherwise(0)).cast("long")
+            .as("n_contaminated"))
+        .select(col("source"), col("n_docs"), col("n_contaminated"),
+          (col("n_contaminated").cast("double") / col("n_docs").cast("double"))
+            .as("contamination_rate"))
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -4048,6 +4091,42 @@ object SparkEntry {
          SELECT s_nationkey, 'OTHERS' AS part,
            cast(sum(rev) AS double) AS revenue
          FROM r WHERE rnk > 5 GROUP BY 1""",
+    // attrition: one-pass prefix counts, unpivoted to a row per rule
+    "q211_filter_attrition" ->
+      """WITH d AS (SELECT n_chars, lang,
+             len(string_split(text, ' ')) AS nt
+           FROM documents),
+         a AS (SELECT count(*) AS c0,
+             cast(sum(CASE WHEN n_chars >= 50 THEN 1 ELSE 0 END) AS bigint)
+               AS c1,
+             cast(sum(CASE WHEN n_chars >= 50 AND lang <> 'zh' THEN 1
+               ELSE 0 END) AS bigint) AS c2,
+             cast(sum(CASE WHEN n_chars >= 50 AND lang <> 'zh' AND nt >= 5
+               THEN 1 ELSE 0 END) AS bigint) AS c3
+           FROM d)
+         SELECT '1_min_length' AS rule, c0 AS n_in, c1 AS n_out,
+           c0 - c1 AS n_dropped FROM a
+         UNION ALL SELECT '2_lang_allowlist', c1, c2, c1 - c2 FROM a
+         UNION ALL SELECT '3_min_tokens', c2, c3, c2 - c3 FROM a""",
+    // contamination report: q59 hit logic rolled up per source
+    "q212_contamination_report" ->
+      """WITH t0 AS (SELECT doc_id, source, string_split(text,' ') AS w
+           FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, len(w)-2),
+             i -> array_to_string(w[i:i+2], ' ')))) AS s
+           FROM t0 WHERE len(w) >= 3),
+         bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+         hit AS (SELECT DISTINCT doc_id FROM sh
+           WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM bsh))
+         SELECT source, count(*) AS n_docs,
+           cast(sum(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS bigint) AS n_contaminated,
+           cast(sum(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS double) / cast(count(*) AS double) AS contamination_rate
+         FROM t0 LEFT JOIN hit ON t0.doc_id = hit.doc_id
+         WHERE t0.doc_id % 97 <> 0
+         GROUP BY source""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->
