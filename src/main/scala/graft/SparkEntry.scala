@@ -1620,6 +1620,30 @@ object SparkEntry {
             .as("contamination_rate"))
     }),
 
+    // ---- P: RLHF preference-pair construction (best vs worst per group) ----
+    "q213_preference_pairs" -> ((s, dir) =>
+      graft.operators.Pipelines.preferencePairs(
+        Tables.documents(s, dir), Seq("source", "lang"), "doc_id",
+        col("n_chars"))),
+
+    // ---- D: duplicate-cluster size distribution (dedup report) ----
+    "q214_dup_cluster_sizes" -> ((s, dir) => {
+      // exact-duplicate clusters via the bag fingerprint; the report is the
+      // histogram of cluster sizes — the dedup-audit summary a curation run
+      // publishes (how much boilerplate, how big the families)
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), graft.operators.TextOps.bagFingerprint(
+          graft.operators.TextOps.tokens(col("text"))).as("__fp"))
+      d.groupBy(col("__fp")).agg(count(lit(1)).as("__sz"))
+        .groupBy(col("__sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+    }),
+
+    // ---- T/P: span-corruption masking plan (T5-style, deterministic) ----
+    "q215_mask_spans" -> ((s, dir) =>
+      graft.operators.Pipelines.maskSpans(
+        Tables.documents(s, dir), "doc_id", "text", maskPct = 15)),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -4127,6 +4151,47 @@ object SparkEntry {
          FROM t0 LEFT JOIN hit ON t0.doc_id = hit.doc_id
          WHERE t0.doc_id % 97 <> 0
          GROUP BY source""",
+    // preference pairs: argmax/argmin with explicit tie rules
+    "q213_preference_pairs" ->
+      """WITH r AS (SELECT source, lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source, lang
+               ORDER BY n_chars DESC, doc_id ASC) AS rb,
+             row_number() OVER (PARTITION BY source, lang
+               ORDER BY n_chars ASC, doc_id ASC) AS rw,
+             count(*) OVER (PARTITION BY source, lang) AS n_docs
+           FROM documents)
+         SELECT b.source, b.lang, b.n_docs,
+           b.doc_id AS chosen_id, b.n_chars AS chosen_score,
+           w.doc_id AS rejected_id, w.n_chars AS rejected_score
+         FROM (SELECT * FROM r WHERE rb = 1) b
+         JOIN (SELECT * FROM r WHERE rw = 1) w
+           ON b.source = w.source AND b.lang = w.lang
+         WHERE b.n_docs >= 2""",
+    // cluster sizes: two hash aggs over the bag fingerprint
+    "q214_dup_cluster_sizes" ->
+      """WITH f AS (SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split(text, ' '))), ' ')) AS fp
+           FROM documents),
+         c AS (SELECT fp, count(*) AS sz FROM f GROUP BY 1)
+         SELECT sz AS cluster_size, count(*) AS n_clusters
+         FROM c GROUP BY 1""",
+    // mask spans: same md5 mask rule, islands key = idx - row_number
+    "q215_mask_spans" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(list_transform(
+             generate_series(1, len(w)),
+             i -> CASE WHEN w[i] <> ''
+               AND ('0x' || substr(md5(cast(doc_id AS varchar) || ':' ||
+                 cast(i - 1 AS varchar)), 1, 8))::bigint % 100 < 15
+               THEN i - 1 END), x -> x IS NOT NULL)) AS idx
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d),
+         isl AS (SELECT doc_id, idx,
+             idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx)
+               AS island
+           FROM toks)
+         SELECT doc_id, cast(min(idx) AS int) AS span_start,
+           count(*) AS span_len
+         FROM isl GROUP BY doc_id, island""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions
 import org.apache.spark.sql.functions._
 
@@ -154,5 +154,55 @@ object Pipelines {
       .unionByName(deltaDim)
     val fresh = deltaFact.join(dimNew, Seq(key))
     keep.unionByName(refreshed).unionByName(fresh)
+  }
+  /** RLHF preference-pair construction — per group, the best- and
+    * worst-scoring documents under a caller-supplied quality score form
+    * one (chosen, rejected) pair; groups with fewer than two distinct
+    * documents emit nothing (no self-pairs). Total order (score desc, id
+    * asc) / (score asc, id asc) makes both picks deterministic.
+    *
+    * Scale shape: ONE hash aggregate with min/max over (score, ±id)
+    * struct orderings — no windows, no sort. */
+  def preferencePairs(docs: DataFrame, groupCols: Seq[String], idCol: String,
+                      score: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one grouping column")
+    // max of (score, -id) = best with ties to LOWER id; min of (score, id)
+    // = worst with ties to lower id
+    val best = max(struct(score.as("s"), (-col(idCol)).as("ni"),
+      col(idCol).as("id")))
+    val worst = min(struct(score.as("s"), col(idCol).as("id")))
+    docs.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), best.as("__b"), worst.as("__w"))
+      .filter(col("n_docs") >= 2)
+      .select(groupCols.map(col) ++ Seq(col("n_docs"),
+        col("__b.id").as("chosen_id"), col("__b.s").as("chosen_score"),
+        col("__w.id").as("rejected_id"), col("__w.s").as("rejected_score")): _*)
+  }
+
+  /** Deterministic span-corruption plan (T5/UL2-style): each token index
+    * masks when md5(id:idx) mod 100 < maskPct; consecutive masked indices
+    * merge into spans (gaps-and-islands over the token index), and the
+    * plan emits one row per span — (doc, span_start, span_len). The
+    * downstream collator replaces each span with a sentinel; this op is
+    * the DECISION, deterministic and replayable (no RNG, the repo rule).
+    *
+    * Scale shape: explode to (doc, idx) for masked tokens only, then one
+    * doc-partitioned window (island = idx − row_number, the classic
+    * constant-time islands key) and one hash agg. */
+  def maskSpans(docs: DataFrame, idCol: String, textCol: String,
+                maskPct: Int): DataFrame = {
+    require(maskPct >= 1 && maskPct <= 99, "maskPct must be in [1, 99]")
+    val W = org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("idx", "__t")))
+      .filter(col("__t") =!= "")
+      .filter(pmod(conv(substring(md5(concat_ws(":",
+        col(idCol).cast("string"), col("idx").cast("string"))), 1, 8), 16, 10)
+        .cast("long"), lit(100L)) < maskPct)
+    val w = W.partitionBy(col(idCol)).orderBy(col("idx").asc)
+    toks.withColumn("__island", col("idx") - row_number().over(w))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("idx")).as("span_start"), count(lit(1)).as("span_len"))
+      .drop("__island")
   }
 }
