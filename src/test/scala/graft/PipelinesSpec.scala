@@ -106,4 +106,37 @@ class PipelinesSpec extends SparkSuite {
     assert(got == Set((1L, 11.0, "cdc"), (3L, 30.0, "base"),
       (4L, 40.0, "base"), (5L, 50.0, "cdc")))
   }
+
+  test("preferencePairs: best/worst tie rules, singleton groups dropped") {
+    val docs = Seq(
+      ("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 30L), // best: score 30 id 2
+      ("a", 4L, 10L),                                  // worst: score 10 id 1
+      ("b", 9L, 5L)                                    // singleton -> dropped
+    ).toDF("g", "id", "sc")
+    val got = graft.operators.Pipelines.preferencePairs(
+        docs, Seq("g"), "id", col("sc"))
+      .select("g", "n_docs", "chosen_id", "rejected_id")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 4L, 2L, 1L)), s"got $got")
+  }
+
+  test("maskSpans: adjacent masked indices merge, spans partition the mask set") {
+    val docs = Seq((1L, Seq.fill(200)("w").mkString(" "))).toDF("id", "text")
+    val spans = graft.operators.Pipelines.maskSpans(docs, "id", "text", 15)
+      .as[(Long, Int, Long)].collect().sortBy(_._2)
+    // spans are disjoint, ordered, non-adjacent (else they'd have merged)
+    spans.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 + a._3 < b._2, s"$a and $b overlap/adjacent")
+      case _ =>
+    }
+    // total masked tokens ~ 15% of 200 (exact count = md5-deterministic,
+    // just sanity-band it) and every span has positive length
+    val totalMasked = spans.map(_._3).sum
+    assert(totalMasked > 10 && totalMasked < 80, s"masked $totalMasked")
+    assert(spans.forall(_._3 >= 1))
+    // deterministic: second run identical
+    val again = graft.operators.Pipelines.maskSpans(docs, "id", "text", 15)
+      .as[(Long, Int, Long)].collect().sortBy(_._2)
+    assert(again.toSeq == spans.toSeq)
+  }
 }
