@@ -1644,6 +1644,71 @@ object SparkEntry {
       graft.operators.Pipelines.maskSpans(
         Tables.documents(s, dir), "doc_id", "text", maskPct = 15)),
 
+    // ---- A: leave-one-out target encoding (leakage-safe feature) ----
+    "q216_target_encoding" -> ((s, dir) => {
+      // enc_i = (Σ_cat y − y_i) / (n_cat − 1): numerator exact decimal,
+      // ONE division; single-member categories yield null (no self-leak)
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          col("value").cast(D).as("__y"))
+      val agg = e.groupBy(col("event_type"))
+        .agg(sum(col("__y")).as("__s"), count(lit(1)).as("__n"))
+      e.join(agg, Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          when(col("__n") > 1, round(
+            (col("__s") - col("__y")).cast("double") /
+              (col("__n") - 1).cast("double"), 6)).as("loo_enc"))
+    }),
+
+    // ---- A: k-anonymity audit over quasi-identifiers ----
+    "q217_k_anonymity" -> ((s, dir) =>
+      // groups of quasi-identifiers smaller than k are re-identification
+      // risks — the privacy audit an export pipeline runs before release
+      Tables.customer(s, dir)
+        .groupBy(col("c_mktsegment"), col("c_nationkey"),
+          expr("cast(floor(c_acctbal / 1000) as bigint)").as("bal_band"))
+        .agg(count(lit(1)).as("group_size"))
+        .filter(col("group_size") < 5)),
+
+    // ---- A: Benford first-digit conformance per group ----
+    "q218_benford" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_totalprice") >= 1)
+        .select(col("o_orderpriority"),
+          substring(floor(col("o_totalprice")).cast("long").cast("string"),
+            1, 1).cast("int").as("digit"))
+      val cnt = o.groupBy(col("o_orderpriority"), col("digit"))
+        .agg(count(lit(1)).as("observed"))
+      val tot = cnt.groupBy(col("o_orderpriority"))
+        .agg(sum(col("observed")).as("__n"))
+      cnt.join(tot, Seq("o_orderpriority"))
+        .withColumn("__e", col("__n").cast("double") *
+          log(10.0, lit(1.0d) + lit(1.0d) / col("digit").cast("double")))
+        .select(col("o_orderpriority"), col("digit"), col("observed"),
+          round(col("__e"), 6).as("expected"),
+          round((col("observed").cast("double") - col("__e")) *
+            (col("observed").cast("double") - col("__e")) / col("__e"), 6)
+            .as("chi2_contrib"))
+    }),
+
+    // ---- A: join-key skew report (scale-planning diagnostic) ----
+    "q219_skew_report" -> ((s, dir) => {
+      // per candidate shuffle key: cardinality, hottest-key share, and the
+      // max/mean ratio that predicts reducer imbalance — the numbers that
+      // decide salting/AQE-skew config before a 100 TB run
+      def keyStats(keyCol: String) = Tables.lineitem(s, dir)
+        .groupBy(col(keyCol).as("__k")).agg(count(lit(1)).as("__c"))
+        .agg(lit(keyCol).as("join_key"), count(lit(1)).as("n_keys"),
+          sum(col("__c")).as("n_rows"), max(col("__c")).as("max_cnt"))
+        .select(col("join_key"), col("n_keys"), col("max_cnt"),
+          round(col("n_rows").cast("double") / col("n_keys").cast("double"), 6)
+            .as("mean_cnt"),
+          round(col("max_cnt").cast("double") * col("n_keys").cast("double") /
+            col("n_rows").cast("double"), 6).as("skew_ratio"))
+      keyStats("l_suppkey").unionByName(keyStats("l_partkey"))
+        .unionByName(keyStats("l_orderkey"))
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -4192,6 +4257,57 @@ object SparkEntry {
          SELECT doc_id, cast(min(idx) AS int) AS span_start,
            count(*) AS span_len
          FROM isl GROUP BY doc_id, island""",
+    // LOO target encoding: exact-decimal numerator, one division
+    "q216_target_encoding" ->
+      """WITH e AS (SELECT event_id, event_type,
+             cast(value AS decimal(18,2)) AS y FROM events),
+         a AS (SELECT event_type, sum(y) AS s, count(*) AS n
+           FROM e GROUP BY 1)
+         SELECT event_id, e.event_type,
+           CASE WHEN n > 1 THEN round(cast(s - y AS double) /
+             cast(n - 1 AS double), 6) END AS loo_enc
+         FROM e JOIN a ON e.event_type = a.event_type""",
+    // k-anonymity: small quasi-identifier groups
+    "q217_k_anonymity" ->
+      """SELECT c_mktsegment, c_nationkey,
+           cast(floor(c_acctbal / 1000) AS bigint) AS bal_band,
+           count(*) AS group_size
+         FROM customer GROUP BY 1, 2, 3 HAVING count(*) < 5""",
+    // Benford: Spark's log(10, y) = ln(y)/ln(10) — mirror that exact tree
+    "q218_benford" ->
+      """WITH o AS (SELECT o_orderpriority,
+             cast(substr(cast(cast(floor(o_totalprice) AS bigint) AS varchar),
+               1, 1) AS int) AS digit
+           FROM orders WHERE o_totalprice >= 1),
+         cnt AS (SELECT o_orderpriority, digit, count(*) AS observed
+           FROM o GROUP BY 1, 2),
+         tot AS (SELECT o_orderpriority, sum(observed) AS n
+           FROM cnt GROUP BY 1),
+         x AS (SELECT cnt.o_orderpriority, digit, observed,
+             cast(n AS double) * (ln(cast(1 AS double) +
+               cast(1 AS double) / cast(digit AS double)) /
+               ln(cast(10 AS double))) AS e
+           FROM cnt JOIN tot ON cnt.o_orderpriority = tot.o_orderpriority)
+         SELECT o_orderpriority, digit, observed, round(e, 6) AS expected,
+           round((cast(observed AS double) - e) *
+             (cast(observed AS double) - e) / e, 6) AS chi2_contrib
+         FROM x""",
+    // skew report: per-key count table -> one summary row per key column
+    "q219_skew_report" ->
+      """WITH s AS (SELECT 'l_suppkey' AS join_key, count(*) AS c
+             FROM lineitem GROUP BY l_suppkey),
+         p AS (SELECT 'l_partkey' AS join_key, count(*) AS c
+             FROM lineitem GROUP BY l_partkey),
+         o AS (SELECT 'l_orderkey' AS join_key, count(*) AS c
+             FROM lineitem GROUP BY l_orderkey),
+         u AS (SELECT * FROM s UNION ALL SELECT * FROM p
+           UNION ALL SELECT * FROM o)
+         SELECT join_key, count(*) AS n_keys, max(c) AS max_cnt,
+           round(cast(sum(c) AS double) / cast(count(*) AS double), 6)
+             AS mean_cnt,
+           round(cast(max(c) AS double) * cast(count(*) AS double) /
+             cast(sum(c) AS double), 6) AS skew_ratio
+         FROM u GROUP BY 1""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->
