@@ -1709,6 +1709,26 @@ object SparkEntry {
         .unionByName(keyStats("l_orderkey"))
     }),
 
+    // ---- P: RAG ingest prep (chunk -> dedup -> per-doc index stats) ----
+    "q220_rag_prep" -> ((s, dir) => {
+      // the retrieval-ingest composition: overlapped chunking, exact chunk
+      // dedup (boilerplate chunks collapse corpus-wide), then per-doc
+      // index statistics a RAG store reports after ingest
+      val chunks = graft.operators.TextOps.chunkTokens(
+        Tables.documents(s, dir), "doc_id", "text",
+        chunkSize = 20, overlap = 5)
+      val keyed = chunks.withColumn("__fp", md5(col("chunk_text")))
+      val keep = keyed.withColumn("__keep",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__fp"))
+          .orderBy(col("doc_id").asc, col("chunk_id").asc)) === 1)
+      keep.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("__keep"), 1).otherwise(0)).cast("long")
+            .as("n_kept_chunks"),
+          sum(col("n_chunk_tokens")).as("n_tokens"))
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -4308,6 +4328,30 @@ object SparkEntry {
            round(cast(max(c) AS double) * cast(count(*) AS double) /
              cast(sum(c) AS double), 6) AS skew_ratio
          FROM u GROUP BY 1""",
+    // RAG prep: q82 chunk rule + md5 chunk dedup + per-doc rollup
+    "q220_rag_prep" ->
+      """WITH d AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+           FROM documents),
+         nn AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+         st AS (SELECT doc_id, toks, n,
+             unnest(range(0, greatest(n - 5 - 1, 0) + 1, 15)) AS start
+           FROM nn),
+         ch AS (SELECT doc_id,
+             array_to_string(toks[start + 1 : least(start + 20, n)], ' ')
+               AS chunk_text,
+             cast(start / 15 AS int) AS chunk_id,
+             cast(least(n - start, 20) AS bigint) AS nt
+           FROM st),
+         k AS (SELECT doc_id, nt,
+             row_number() OVER (PARTITION BY md5(chunk_text)
+               ORDER BY doc_id, chunk_id) AS rn
+           FROM ch)
+         SELECT doc_id, count(*) AS n_chunks,
+           cast(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS bigint)
+             AS n_kept_chunks,
+           cast(sum(nt) AS bigint) AS n_tokens
+         FROM k GROUP BY doc_id""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->
