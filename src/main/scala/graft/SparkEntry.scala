@@ -1729,6 +1729,30 @@ object SparkEntry {
           sum(col("n_chunk_tokens")).as("n_tokens"))
     }),
 
+    // ---- P: dataset card (per-source release datasheet) ----
+    "q221_dataset_card" -> ((s, dir) => {
+      // the release artifact a curated corpus ships with: per source, the
+      // size, token mass, language mix, and exact-dup rate in ONE row —
+      // every number from exact sums, each rate ONE division
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          size(graft.operators.TextOps.tokens(col("text"))).as("__nt"),
+          graft.operators.TextOps.bagFingerprint(
+            graft.operators.TextOps.tokens(col("text"))).as("__fp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__fp")).orderBy(col("doc_id").asc)
+      d.withColumn("__dup", row_number().over(w) > 1)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__nt")).as("total_tokens"),
+          (sum(col("n_chars")).cast("double") /
+            count(lit(1)).cast("double")).as("mean_chars"),
+          (sum(when(col("lang") === "en", 1).otherwise(0)).cast("double") /
+            count(lit(1)).cast("double")).as("pct_en"),
+          (sum(when(col("__dup"), 1).otherwise(0)).cast("double") /
+            count(lit(1)).cast("double")).as("dup_rate"))
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -4352,6 +4376,25 @@ object SparkEntry {
              AS n_kept_chunks,
            cast(sum(nt) AS bigint) AS n_tokens
          FROM k GROUP BY doc_id""",
+    // dataset card: dup = non-first member of a bag-fingerprint cluster
+    // (global, ties to lower doc_id); every rate ONE exact division
+    "q221_dataset_card" ->
+      """WITH d AS (SELECT doc_id, source, lang, n_chars,
+             len(string_split(text, ' ')) AS nt,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split(text, ' '))), ' ')) AS fp
+           FROM documents),
+         k AS (SELECT *, row_number() OVER (PARTITION BY fp
+             ORDER BY doc_id ASC) > 1 AS dup FROM d)
+         SELECT source, count(*) AS n_docs,
+           cast(sum(nt) AS bigint) AS total_tokens,
+           cast(sum(n_chars) AS double) / cast(count(*) AS double)
+             AS mean_chars,
+           cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS double) /
+             cast(count(*) AS double) AS pct_en,
+           cast(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS double) /
+             cast(count(*) AS double) AS dup_rate
+         FROM k GROUP BY source""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->
