@@ -1753,6 +1753,38 @@ object SparkEntry {
             count(lit(1)).cast("double")).as("dup_rate"))
     }),
 
+    // ---- V: retrieval evaluation (recall@k + MRR of ANN vs brute truth) ----
+    "q222_retrieval_eval" -> ((s, dir) => {
+      // the eval harness AS a data op: ground truth from the exact scan,
+      // candidates from the LSH index, metrics per query — each metric ONE
+      // division of exact integers
+      val e = Tables.spread(s, Tables.embeddings(s, dir))
+      val truth = Similarity.bruteKnn(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, dim = 64)
+      val cand = Similarity.lshKnn(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", dim = 64, nPlanes = 6, k = 5)
+      val hits = truth.select(col("query_id"), col("neighbor_id"))
+        .join(cand.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      val top1 = truth.filter(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id").as("__t1"))
+      val rr = top1.join(cand.select(col("query_id"),
+          col("neighbor_id").as("__t1"), col("rank").as("__cr")),
+          Seq("query_id", "__t1"), "left")
+        .select(col("query_id"),
+          coalesce(lit(1.0d) / col("__cr").cast("double"), lit(0.0d))
+            .as("rr"))
+      truth.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .join(rr, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") /
+            lit(5.0d)).as("recall5"),
+          col("rr"))
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -2679,6 +2711,52 @@ object SparkEntry {
     }),
   )
 
+  /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
+  private val KnnBruteSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         s AS (SELECT qid AS query_id, e.vec_id AS neighbor_id,
+                 list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * v[i]))
+                 / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+                    * sqrt(list_sum(list_transform(v, x -> x*x)))) AS sim0
+               FROM e CROSS JOIN q WHERE e.vec_id != qid),
+         r AS (SELECT query_id, neighbor_id, sim0,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim0 DESC, neighbor_id) AS rank
+               FROM s)
+         SELECT query_id, neighbor_id, cast(rank as int) AS rank, round(sim0, 6) AS sim
+         FROM r WHERE rank <= 5"""
+  private val KnnLshSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         b AS (SELECT vec_id, v,
+             array_to_string(list_transform(generate_series(0, 5), r ->
+               CASE WHEN list_sum(list_transform(generate_series(1, 64), i ->
+                 v[i] * (('0x' || substr(md5('plane:' || cast(r as varchar) || ':' || cast(i-1 as varchar)), 1, 4))::bigint / 32768.0 - 1.0))) >= 0
+               THEN '1' ELSE '0' END), '') AS bucket
+           FROM e),
+         q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM b WHERE vec_id < 10),
+         probes0 AS (SELECT query_id,
+             list_prepend(qb, list_transform(generate_series(1, 6), i ->
+               substr(qb, 1, i-1)
+               || (CASE WHEN substr(qb, i, 1) = '1' THEN '0' ELSE '1' END)
+               || substr(qb, i+1, 6-i))) AS pl
+           FROM q),
+         probes AS (SELECT query_id, unnest(pl) AS bucket FROM probes0),
+         cand AS (SELECT DISTINCT query_id, c.vec_id AS neighbor_id
+                  FROM probes p JOIN b c ON c.bucket = p.bucket
+                  WHERE c.vec_id != p.query_id),
+         s AS (SELECT query_id, neighbor_id,
+                 list_sum(list_transform(generate_series(1, 64), i -> qe.v[i]*ne.v[i]))
+                 / (sqrt(list_sum(list_transform(qe.v, x -> x*x)))
+                    * sqrt(list_sum(list_transform(ne.v, x -> x*x)))) AS sim0
+               FROM cand
+               JOIN e qe ON qe.vec_id = query_id
+               JOIN e ne ON ne.vec_id = neighbor_id),
+         r AS (SELECT query_id, neighbor_id, sim0,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim0 DESC, neighbor_id) AS rank
+               FROM s)
+         SELECT query_id, neighbor_id, cast(rank as int) AS rank, round(sim0, 6) AS sim
+         FROM r WHERE rank <= 5"""
+
   /** DuckDB-equivalent SQL per query (same parquet tables, same column names). */
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3073,50 +3151,8 @@ object SparkEntry {
                        AND a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, cast(bit_count(xor(sa, sb)) as int) AS hamming
          FROM cand WHERE bit_count(xor(sa, sb)) <= 3""",
-    "q39_knn_brute" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
-         s AS (SELECT qid AS query_id, e.vec_id AS neighbor_id,
-                 list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * v[i]))
-                 / (sqrt(list_sum(list_transform(qv, x -> x*x)))
-                    * sqrt(list_sum(list_transform(v, x -> x*x)))) AS sim0
-               FROM e CROSS JOIN q WHERE e.vec_id != qid),
-         r AS (SELECT query_id, neighbor_id, sim0,
-                 row_number() OVER (PARTITION BY query_id ORDER BY sim0 DESC, neighbor_id) AS rank
-               FROM s)
-         SELECT query_id, neighbor_id, cast(rank as int) AS rank, round(sim0, 6) AS sim
-         FROM r WHERE rank <= 5""",
-    "q41_knn_lsh" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         b AS (SELECT vec_id, v,
-             array_to_string(list_transform(generate_series(0, 5), r ->
-               CASE WHEN list_sum(list_transform(generate_series(1, 64), i ->
-                 v[i] * (('0x' || substr(md5('plane:' || cast(r as varchar) || ':' || cast(i-1 as varchar)), 1, 4))::bigint / 32768.0 - 1.0))) >= 0
-               THEN '1' ELSE '0' END), '') AS bucket
-           FROM e),
-         q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM b WHERE vec_id < 10),
-         probes0 AS (SELECT query_id,
-             list_prepend(qb, list_transform(generate_series(1, 6), i ->
-               substr(qb, 1, i-1)
-               || (CASE WHEN substr(qb, i, 1) = '1' THEN '0' ELSE '1' END)
-               || substr(qb, i+1, 6-i))) AS pl
-           FROM q),
-         probes AS (SELECT query_id, unnest(pl) AS bucket FROM probes0),
-         cand AS (SELECT DISTINCT query_id, c.vec_id AS neighbor_id
-                  FROM probes p JOIN b c ON c.bucket = p.bucket
-                  WHERE c.vec_id != p.query_id),
-         s AS (SELECT query_id, neighbor_id,
-                 list_sum(list_transform(generate_series(1, 64), i -> qe.v[i]*ne.v[i]))
-                 / (sqrt(list_sum(list_transform(qe.v, x -> x*x)))
-                    * sqrt(list_sum(list_transform(ne.v, x -> x*x)))) AS sim0
-               FROM cand
-               JOIN e qe ON qe.vec_id = query_id
-               JOIN e ne ON ne.vec_id = neighbor_id),
-         r AS (SELECT query_id, neighbor_id, sim0,
-                 row_number() OVER (PARTITION BY query_id ORDER BY sim0 DESC, neighbor_id) AS rank
-               FROM s)
-         SELECT query_id, neighbor_id, cast(rank as int) AS rank, round(sim0, 6) AS sim
-         FROM r WHERE rank <= 5""",
+    "q39_knn_brute" -> KnnBruteSql,
+    "q41_knn_lsh" -> KnnLshSql,
     "q42_bbox_join" ->
       """WITH boxes AS (SELECT n_name,
              cast(n_nationkey * 29 % 300 - 170 as double) AS min_lon,
@@ -4395,6 +4431,28 @@ object SparkEntry {
            cast(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS double) /
              cast(count(*) AS double) AS dup_rate
          FROM k GROUP BY source""",
+    // retrieval eval: truth and candidate pipelines embedded verbatim
+    // (shared vals with q39/q41), metrics = single exact-int divisions
+    "q222_retrieval_eval" ->
+      s"""WITH truth AS (SELECT * FROM ($KnnBruteSql) t),
+         cand AS (SELECT * FROM ($KnnLshSql) c),
+         hits AS (SELECT t.query_id, count(*) AS n_hits FROM truth t
+           JOIN cand c ON t.query_id = c.query_id
+             AND t.neighbor_id = c.neighbor_id
+           GROUP BY 1),
+         rr AS (SELECT t.query_id,
+             coalesce(cast(1 AS double) / cast(c.rank AS double),
+               cast(0 AS double)) AS rr
+           FROM truth t LEFT JOIN cand c ON t.query_id = c.query_id
+             AND t.neighbor_id = c.neighbor_id
+           WHERE t.rank = 1),
+         q AS (SELECT DISTINCT query_id FROM truth)
+         SELECT q.query_id, coalesce(n_hits, 0) AS n_hits,
+           cast(coalesce(n_hits, 0) AS double) / cast(5 AS double)
+             AS recall5,
+           rr.rr
+         FROM q LEFT JOIN hits ON q.query_id = hits.query_id
+         LEFT JOIN rr ON q.query_id = rr.query_id""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->
