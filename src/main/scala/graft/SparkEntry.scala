@@ -1785,6 +1785,42 @@ object SparkEntry {
           col("rr"))
     }),
 
+    // ---- W/A: session quality metrics (bounce rate, duration) ----
+    "q223_session_metrics" -> ((s, dir) => {
+      // per session-start day: session count, bounce rate (single-event
+      // sessions), mean events/session, mean duration — the product
+      // dashboard built on the q87 sessionizer; rates are single exact
+      // divisions
+      val sess = R.sessionize(Tables.events(s, dir), "user_id", "ts",
+          gapSeconds = 1800, tieBreak = col("event_id"))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(to_date(col("ts"))).as("day"),
+          count(lit(1)).as("__n"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+            .as("__dur_us"))
+      sess.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          (sum(when(col("__n") === 1, 1).otherwise(0)).cast("double") /
+            count(lit(1)).cast("double")).as("bounce_rate"),
+          (sum(col("__n")).cast("double") / count(lit(1)).cast("double"))
+            .as("mean_events"),
+          (sum(col("__dur_us")).cast("double") /
+            count(lit(1)).cast("double")).as("mean_duration_us"))
+    }),
+
+    // ---- A: utilization heatmap (dow × hour with share-of-day) ----
+    "q224_usage_heatmap" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
+      val cell = e.groupBy(col("dow"), col("hod"))
+        .agg(count(lit(1)).as("n"))
+      val day = cell.groupBy(col("dow")).agg(sum(col("n")).as("__d"))
+      cell.join(day, Seq("dow"))
+        .select(col("dow"), col("hod"), col("n"),
+          (col("n").cast("double") / col("__d").cast("double"))
+            .as("share_of_day"))
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -4453,6 +4489,41 @@ object SparkEntry {
            rr.rr
          FROM q LEFT JOIN hits ON q.query_id = hits.query_id
          LEFT JOIN rr ON q.query_id = rr.query_id""",
+    // session metrics: q87's session rule re-derived, rates = single
+    // divisions of exact integers
+    "q223_session_metrics" ->
+      """WITH o AS (SELECT user_id, ts, event_id,
+             lag(cast(floor(epoch(ts)) AS bigint)) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_s
+           FROM events),
+         m AS (SELECT user_id, ts, event_id,
+             sum(CASE WHEN prev_s IS NULL
+               OR cast(floor(epoch(ts)) AS bigint) - prev_s > 1800
+               THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_seq
+           FROM o),
+         sess AS (SELECT user_id, session_seq,
+             min(cast(date_trunc('day', ts) AS date)) AS day,
+             count(*) AS n,
+             max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+           FROM m GROUP BY 1, 2)
+         SELECT day, count(*) AS n_sessions,
+           cast(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS double) /
+             cast(count(*) AS double) AS bounce_rate,
+           cast(sum(n) AS double) / cast(count(*) AS double) AS mean_events,
+           cast(sum(dur_us) AS double) / cast(count(*) AS double)
+             AS mean_duration_us
+         FROM sess GROUP BY 1""",
+    // heatmap: 2-d rollup + share-of-parent division
+    "q224_usage_heatmap" ->
+      """WITH cell AS (SELECT cast(dayofweek(ts) + 1 AS int) AS dow,
+             cast(hour(ts) AS int) AS hod, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         day AS (SELECT dow, sum(n) AS d FROM cell GROUP BY 1)
+         SELECT cell.dow, hod, n,
+           cast(n AS double) / cast(d AS double) AS share_of_day
+         FROM cell JOIN day ON cell.dow = day.dow""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->
