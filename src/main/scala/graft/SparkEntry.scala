@@ -1821,6 +1821,71 @@ object SparkEntry {
             .as("share_of_day"))
     }),
 
+    // ---- A: TPC-H Q6 shape — forecast revenue from a discount band ----
+    "q225_forecast_revenue" -> ((s, dir) => {
+      // the canonical scan-dominant aggregate: one predicate over the fact
+      // table, zero joins, single-row partial+final agg. At 100 TB this is
+      // pure scan bandwidth — the three filters and the 3-column projection
+      // must reach the parquet reader (PushedFilters/ReadSchema audited in
+      // PLANS.md); revenue is an exact decimal sum cast to double last.
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01") &&
+          col("l_discount").between(0.04, 0.08) &&
+          col("l_quantity") < 24)
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast(D) * col("l_discount").cast(D))
+            .cast("double").as("revenue"))
+    }),
+
+    // ---- J/A: TPC-H Q15 shape — top supplier(s) by quarterly revenue ----
+    "q226_top_supplier" -> ((s, dir) => {
+      // two-pass argmax: aggregate once per supplier, reduce to the single
+      // max row, then equi-join back on the EXACT decimal revenue (never a
+      // global window sort). Spark's ReuseExchange collapses the two uses
+      // of `rev` into one shuffle; `best` is a 1-row broadcast.
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1997-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast(D) *
+          (lit(1) - col("l_discount").cast(D))).as("r"))
+      val best = rev.agg(max(col("r")).as("rmax"))
+      rev.join(broadcast(best), col("r") === col("rmax"))
+        .join(Tables.supplier(s, dir).select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("r").cast("double").as("total_revenue"))
+    }),
+
+    // ---- J/A: TPC-H Q19 shape — disjunctive brand/size/qty revenue ----
+    "q227_disjunctive_revenue" -> ((s, dir) => {
+      // the classic Q19 rewrite: the OR-of-ANDs stays a RESIDUAL filter on
+      // an equi-hash-join (never a nested-loop θ-join), and the disjunction's
+      // union bounds (3 brands, size ≤ 35, qty ∈ [1,30]) are factored out and
+      // pushed to each scan so both sides prune before the shuffle.
+      val p = Tables.part(s, dir)
+        .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34") &&
+          col("p_size").between(1, 35))
+        .select("p_partkey", "p_brand", "p_size")
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_quantity").between(1, 30))
+        .select(col("l_partkey"), col("l_quantity"),
+          (col("l_extendedprice").cast(D) *
+            (lit(1) - col("l_discount").cast(D))).as("vol"))
+      val cond =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(cond)
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("vol")).cast("double").as("revenue"))
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -4524,6 +4589,40 @@ object SparkEntry {
          SELECT cell.dow, hod, n,
            cast(n AS double) / cast(d AS double) AS share_of_day
          FROM cell JOIN day ON cell.dow = day.dow""",
+    // TPC-H Q6: exact decimal(18,2) product sum, double cast last
+    "q225_forecast_revenue" ->
+      """SELECT count(*) AS n_lines,
+         cast(sum(cast(l_extendedprice AS decimal(18,2)) *
+                  cast(l_discount AS decimal(18,2))) AS double) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND l_discount BETWEEN 0.04 AND 0.08 AND l_quantity < 24""",
+    // TPC-H Q15: argmax join on the EXACT decimal revenue (ties kept)
+    "q226_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+             sum(cast(l_extendedprice AS decimal(18,2)) *
+                 (1 - cast(l_discount AS decimal(18,2)))) AS r
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1997-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, cast(r AS double) AS total_revenue
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE r = (SELECT max(r) FROM rev)""",
+    // TPC-H Q19: OR-of-ANDs residual over the part equi-join
+    "q227_disjunctive_revenue" ->
+      """SELECT count(*) AS n_lines,
+         cast(sum(cast(l_extendedprice AS decimal(18,2)) *
+                  (1 - cast(l_discount AS decimal(18,2)))) AS double) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+                AND l_quantity BETWEEN 20 AND 30)""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->

@@ -23,8 +23,16 @@ object Tables {
   /** Dimension tables small enough to broadcast at any scale factor. */
   val dims: Set[String] = Set("region", "nation", "supplier", "part")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Round-5 testdata writes timestamps as parquet TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false), which Spark 4 infers as TIMESTAMP_NTZ by
+    * default. The whole engine (window frames, streaming event time,
+    * unix_micros, the DuckDB oracle compare) is built on session-UTC
+    * `TimestampType`, so pin inference off at the single load point —
+    * every column then reads as a UTC instant exactly as in prior rounds. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
