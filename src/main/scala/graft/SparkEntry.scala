@@ -1886,6 +1886,151 @@ object SparkEntry {
           sum(col("vol")).cast("double").as("revenue"))
     }),
 
+    // ---- A: exponentially-decayed popularity (recency-weighted counts) ----
+    "q228_decayed_popularity" -> ((s, dir) => {
+      // the feature-store staple: counts where each event contributes
+      // 2^(-age/halflife) — one scan + one agg, the anchor timestamp is a
+      // 1-row broadcast. Decay terms are 6dp-rounded then summed EXACTLY in
+      // decimal (the kaplanMeier ln-sum discipline) so the sum is
+      // order-independent across engines and partitionings.
+      val e = Tables.events(s, dir)
+      val anchor = e.agg(max(col("ts")).as("__mts"))
+      e.crossJoin(broadcast(anchor))
+        .withColumn("__w",
+          round(pow(lit(0.5d),
+            (unix_micros(col("__mts")) - unix_micros(col("ts"))) /
+              lit(86400000000.0d) / lit(7.0d)), 6).cast("decimal(18,6)"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("__w")).cast("double").as("decayed_count"))
+    }),
+
+    // ---- A: PSI distribution-drift report (population stability index) ----
+    "q229_psi_drift" -> ((s, dir) => {
+      // per-source drift of the n_chars distribution between the even-id
+      // (reference) and odd-id (current) halves: 10 equi-width bins over the
+      // GLOBAL min/max (one 1-row broadcast), add-1 smoothing over the full
+      // bin grid (empty bins included via the 10-row literal bin table),
+      // contributions 6dp-rounded then summed exactly in decimal. The
+      // monitoring op a production corpus pipeline runs on every refresh.
+      val d = Tables.documents(s, dir).select(col("source"),
+        (col("doc_id") % 2).cast("int").as("half"), col("n_chars"))
+      val mm = d.agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+      val binned = d.crossJoin(broadcast(mm))
+        .withColumn("bin", least(floor(
+          (col("n_chars") - col("lo")).cast("double") /
+            ((col("hi") - col("lo")).cast("double") / lit(10.0d)))
+          .cast("int"), lit(9)))
+      val cnt = binned.groupBy(col("source"), col("half"), col("bin"))
+        .agg(count(lit(1)).as("c"))
+      val tot = d.groupBy(col("source"))
+        .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_cur"))
+      val bins = s.range(10).select(col("id").cast("int").as("bin"))
+      val grid = d.select(col("source")).distinct()
+        .crossJoin(broadcast(bins))
+      val g = grid
+        .join(cnt.filter(col("half") === 0).select(col("source"), col("bin"),
+          col("c").as("c_ref")), Seq("source", "bin"), "left")
+        .join(cnt.filter(col("half") === 1).select(col("source"), col("bin"),
+          col("c").as("c_cur")), Seq("source", "bin"), "left")
+        .na.fill(0L, Seq("c_ref", "c_cur"))
+        .join(tot, Seq("source"))
+      val p = (col("c_ref") + lit(1.0d)) / (col("n_ref") + lit(10.0d))
+      val q = (col("c_cur") + lit(1.0d)) / (col("n_cur") + lit(10.0d))
+      g.withColumn("__t",
+          round((p - q) * log(p / q), 6).cast("decimal(18,6)"))
+        .groupBy(col("source"))
+        .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+          sum(col("__t")).cast("double").as("psi"))
+    }),
+
+    // ---- A: HLL sketch accuracy gate (approx distinct within bound) ----
+    "q230_hll_accuracy" -> ((s, dir) =>
+      // the 100 TB cardinality path is the HLL++ sketch (mergeable, fixed
+      // size); this gate runs sketch and exact side by side and asserts the
+      // sketch lands within 3× its 5% rsd — the oracle can't run Spark's
+      // HLL, so the CONTRACT (exact value + bound holds) is what's gated.
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.05).as("__a"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("__a") - col("n_exact")) <=
+            lit(0.15d) * col("n_exact").cast("double")).as("within_bound"))),
+
+    // ---- EXT: train/val/test leakage audit (cross-split duplicates) ----
+    "q231_split_leakage" -> ((s, dir) => {
+      // composition gate: q54's md5-stable split assignment × q35's
+      // order-insensitive bag fingerprint — per split, how many distinct
+      // fingerprints also appear in ANOTHER split (the leakage a dedup pass
+      // must run BEFORE splitting to avoid). One distinct + one self-sized
+      // join on fp; no windows.
+      val d = Tables.documents(s, dir).select(
+        graft.operators.Sampling.splitAssign(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"),
+        TextOps.bagFingerprint(TextOps.tokens(col("text"))).as("fp"))
+        .distinct()
+      val multi = d.groupBy(col("fp"))
+        .agg(countDistinct(col("split")).as("__ns"))
+      d.join(multi, Seq("fp"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_fps"),
+          sum(when(col("__ns") >= 2, 1L).otherwise(0L)).as("n_leaked"))
+    }),
+
+    // ---- A: approx-percentile accuracy gate (the 100 TB quantile path) ----
+    "q232_approx_quantile_gate" -> ((s, dir) =>
+      // exact interpolated percentiles don't scale (full sort per group);
+      // the scale path is the mergeable KLL-style sketch. Its merge order
+      // varies with partitioning, so the VALUE can't be oracled — the gate
+      // asserts the rank-error CONTRACT instead: the sketch's p50/p90 must
+      // land within the exact [p45,p55]/[p85,p95] rank windows (accuracy
+      // 10000 → rank error 1e-4 ≪ the 0.05 window).
+      Tables.documents(s, dir)
+        .select(col("lang"), size(TextOps.tokens(col("text"))).as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(
+          expr("percentile(n_tokens, array(0.45, 0.5, 0.55, 0.85, 0.9, 0.95))")
+            .as("__ex"),
+          expr("approx_percentile(n_tokens, array(0.5, 0.9), 10000)").as("__ap"))
+        .select(col("lang"),
+          element_at(col("__ex"), 2).as("p50_exact"),
+          element_at(col("__ex"), 5).as("p90_exact"),
+          (element_at(col("__ap"), 1) >= element_at(col("__ex"), 1) &&
+            element_at(col("__ap"), 1) <= element_at(col("__ex"), 3)).as("ok50"),
+          (element_at(col("__ap"), 2) >= element_at(col("__ex"), 4) &&
+            element_at(col("__ap"), 2) <= element_at(col("__ex"), 6)).as("ok90"))),
+
+    // ---- EXT: label-centroid cosine similarity matrix ----
+    "q233_centroid_similarity" -> ((s, dir) => {
+      // cluster-level embedding analytics: per-label centroid, then the
+      // pairwise cosine matrix (labels are a design-time dimension, so the
+      // matrix is dimension-sized — never corpus×corpus). Every float sum
+      // runs through the 6dp/12dp round→decimal→exact-sum discipline so
+      // partial-aggregation order can't shift the result.
+      val e = Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")))
+        .toDF("label", "dim", "v")
+      val cen = e.groupBy(col("label"), col("dim"))
+        .agg((sum(round(col("v").cast("double"), 6).cast("decimal(18,6)"))
+          .cast("double") / count(lit(1))).as("m"))
+      val a = cen.select(col("label").as("la"), col("dim"), col("m").as("ma"))
+      val b = cen.select(col("label").as("lb"), col("dim"), col("m").as("mb"))
+      a.join(b, Seq("dim")).filter(col("la") < col("lb"))
+        .groupBy(col("la"), col("lb"))
+        .agg(
+          sum(round(col("ma") * col("mb"), 12).cast("decimal(28,12)"))
+            .cast("double").as("__dot"),
+          sum(round(col("ma") * col("ma"), 12).cast("decimal(28,12)"))
+            .cast("double").as("__na2"),
+          sum(round(col("mb") * col("mb"), 12).cast("decimal(28,12)"))
+            .cast("double").as("__nb2"))
+        .select(col("la"), col("lb"),
+          round(col("__dot") / sqrt(col("__na2") * col("__nb2")), 6)
+            .as("cos_sim"))
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -4623,6 +4768,98 @@ object SparkEntry {
                 AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
                 AND l_quantity BETWEEN 20 AND 30)""",
+    // decayed popularity: mirrored pow tree, 6dp terms, exact decimal sum
+    "q228_decayed_popularity" ->
+      """WITH m AS (SELECT max(ts) AS mts FROM events)
+         SELECT event_type, count(*) AS n_events,
+           cast(sum(cast(round(pow(0.5,
+             (epoch_us(mts) - epoch_us(ts)) / 86400000000.0 / 7.0), 6)
+             AS decimal(18,6))) AS double) AS decayed_count
+         FROM events, m GROUP BY event_type""",
+    // PSI: same bin rule, add-1 smoothing over the FULL 10-bin grid,
+    // mirrored (p-q)*ln(p/q) tree, 6dp terms, exact decimal sum
+    "q229_psi_drift" ->
+      """WITH d AS (SELECT source, cast(doc_id % 2 AS int) AS half, n_chars
+           FROM documents),
+         mm AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM d),
+         binned AS (SELECT source, half,
+             least(cast(floor(cast(n_chars - lo AS double) /
+               (cast(hi - lo AS double) / 10.0)) AS int), 9) AS bin
+           FROM d, mm),
+         cnt AS (SELECT source, half, bin, count(*) AS c
+           FROM binned GROUP BY 1, 2, 3),
+         tot AS (SELECT source,
+             sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_ref,
+             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_cur
+           FROM d GROUP BY 1),
+         grid AS (SELECT DISTINCT source, bin
+           FROM d, (SELECT unnest(generate_series(0, 9)) AS bin)),
+         g AS (SELECT grid.source, grid.bin,
+             coalesce(r.c, 0) AS c_ref, coalesce(cu.c, 0) AS c_cur
+           FROM grid
+           LEFT JOIN cnt r ON r.source = grid.source AND r.bin = grid.bin
+             AND r.half = 0
+           LEFT JOIN cnt cu ON cu.source = grid.source AND cu.bin = grid.bin
+             AND cu.half = 1),
+         term AS (SELECT g.source, tot.n_ref, tot.n_cur,
+             cast(round(
+               ((c_ref + 1.0) / (n_ref + 10.0) - (c_cur + 1.0) / (n_cur + 10.0)) *
+               ln(((c_ref + 1.0) / (n_ref + 10.0)) /
+                  ((c_cur + 1.0) / (n_cur + 10.0))), 6)
+               AS decimal(18,6)) AS t
+           FROM g JOIN tot ON g.source = tot.source)
+         SELECT source, cast(max(n_ref) AS bigint) AS n_ref,
+           cast(max(n_cur) AS bigint) AS n_cur,
+           cast(sum(t) AS double) AS psi
+         FROM term GROUP BY source""",
+    // HLL gate: the oracle carries the exact side + the contract boolean
+    "q230_hll_accuracy" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+         true AS within_bound
+         FROM events GROUP BY event_type""",
+    // split leakage: q54's split rule × q35's bag fingerprint, mirrored
+    "q231_split_leakage" ->
+      """WITH b AS (SELECT
+           ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::bigint
+             % 10000 AS hb,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+           FROM documents),
+         s AS (SELECT DISTINCT
+             CASE WHEN hb < 8000 THEN 'train'
+                  WHEN hb < 9000 THEN 'val'
+                  ELSE 'test' END AS split, fp
+           FROM b),
+         m AS (SELECT fp, count(DISTINCT split) AS ns FROM s GROUP BY 1)
+         SELECT split, count(*) AS n_fps,
+           cast(sum(CASE WHEN ns >= 2 THEN 1 ELSE 0 END) AS bigint) AS n_leaked
+         FROM s JOIN m USING (fp) GROUP BY split""",
+    // approx-quantile gate: oracle carries the exact side + the contract
+    // booleans (no oracle can replay the sketch's merge order)
+    "q232_approx_quantile_gate" ->
+      """WITH t AS (SELECT lang, len(string_split(text,' ')) AS n_tokens
+           FROM documents)
+         SELECT lang,
+           quantile_cont(n_tokens, 0.5) AS p50_exact,
+           quantile_cont(n_tokens, 0.9) AS p90_exact,
+           true AS ok50, true AS ok90
+         FROM t GROUP BY lang""",
+    // centroid cosine: 1-based index vs posexplode's 0-based dim — dim is
+    // only a within-engine join/group key, never crosses engines
+    "q233_centroid_similarity" ->
+      """WITH e AS (SELECT label, i AS dim, embedding[i]::DOUBLE AS v
+           FROM embeddings,
+                (SELECT unnest(generate_series(1, 64)) AS i)),
+         cen AS (SELECT label, dim,
+             cast(sum(cast(round(v, 6) AS decimal(18,6))) AS double)
+               / count(*) AS m
+           FROM e GROUP BY 1, 2),
+         p AS (SELECT a.label AS la, b.label AS lb,
+             cast(sum(cast(round(a.m * b.m, 12) AS decimal(28,12))) AS double) AS dot,
+             cast(sum(cast(round(a.m * a.m, 12) AS decimal(28,12))) AS double) AS na2,
+             cast(sum(cast(round(b.m * b.m, 12) AS decimal(28,12))) AS double) AS nb2
+           FROM cen a JOIN cen b ON a.dim = b.dim AND a.label < b.label
+           GROUP BY 1, 2)
+         SELECT la, lb, round(dot / sqrt(na2 * nb2), 6) AS cos_sim FROM p""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->
