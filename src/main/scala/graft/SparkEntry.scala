@@ -2031,6 +2031,105 @@ object SparkEntry {
             .as("cos_sim"))
     }),
 
+    // ---- EXT: exact ROC-AUC via the rank-sum identity ----
+    "q234_auc" -> ((s, dir) => {
+      // classifier-evaluation staple: AUC of a score column against a binary
+      // label, computed as P(score_pos > score_neg) + ½P(tie) from the
+      // VALUE-DISTRIBUTION table (distinct n_chars — bounded by the length
+      // domain, never corpus-sized; the q130 bounded-domain discipline), not
+      // a corpus-sized rank window. Every term is an integer count, so the
+      // whole computation is exact until the single final division.
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir).select(col("n_chars"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val dist = d.groupBy(col("n_chars"))
+        .agg(sum(col("pos")).as("np"), sum(lit(1L) - col("pos")).as("nn"))
+      // one ordered prefix over the bounded distinct-value table (the only
+      // single-partition step; its row count is the value domain, not N)
+      val w = Window.orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = dist.withColumn("cum_nn_below",
+        coalesce(sum(col("nn")).over(w), lit(0L)))
+      cum.agg(sum(col("np")).as("__p"), sum(col("nn")).as("__n"),
+          sum(col("np") * col("cum_nn_below")).as("__gt"),
+          sum(col("np") * col("nn")).as("__tie"))
+        .select(col("__p").as("n_pos"), col("__n").as("n_neg"),
+          round((col("__gt").cast("double") +
+              lit(0.5d) * col("__tie").cast("double")) /
+            (col("__p") * col("__n")).cast("double"), 6).as("auc"))
+    }),
+
+    // ---- EXT: Cohen's kappa inter-annotator agreement ----
+    "q235_cohens_kappa" -> ((s, dir) => {
+      // agreement between two deterministic labeling rules (char-length vs
+      // token-count "long document" annotators) beyond chance: one scan, one
+      // hash agg; po/pe assembled in ONE mirrored double expression from
+      // exact integer marginals (the q152 closed-form-moments discipline).
+      val d = Tables.documents(s, dir).select(
+        when(col("n_chars") >= 500, 1L).otherwise(0L).as("a"),
+        when(size(TextOps.tokens(col("text"))) >= 80, 1L).otherwise(0L)
+          .as("b"))
+      val m = d.agg(count(lit(1)).as("n"),
+        sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("n_agree"),
+        sum(col("a")).as("na"), sum(col("b")).as("nb"))
+      val n  = col("n").cast("double")
+      val po = col("n_agree").cast("double") / n
+      val pe = (col("na").cast("double") / n) * (col("nb").cast("double") / n) +
+        ((n - col("na").cast("double")) / n) *
+          ((n - col("nb").cast("double")) / n)
+      m.select(col("n"), col("n_agree"),
+        round((po - pe) / (lit(1.0d) - pe), 6).as("kappa"))
+    }),
+
+    // ---- EXT: calibration reliability bins (ECE inputs) ----
+    "q236_calibration_bins" -> ((s, dir) => {
+      // calibration audit of a deterministic confidence score (clamped
+      // length squash predicting lang='en'): 10 equi-width confidence bins,
+      // per-bin accuracy vs mean confidence — the reliability-diagram table
+      // ECE is read from. Confidences 6dp-rounded then summed exactly in
+      // decimal so partial-agg order can't shift the mean.
+      val d = Tables.documents(s, dir).select(
+        (least(col("n_chars"), lit(2000)).cast("double") / lit(2000.0d))
+          .as("conf"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      d.withColumn("bin",
+          least(floor(col("conf") * 10).cast("long"), lit(9L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_b"), sum(col("y")).as("n_pos"),
+          sum(round(col("conf"), 6).cast("decimal(18,6)")).as("__sc"))
+        .select(col("bin"), col("n_b"),
+          round(col("n_pos").cast("double") / col("n_b"), 6).as("acc"),
+          round(col("__sc").cast("double") / col("n_b"), 6).as("avg_conf"))
+    }),
+
+    // ---- EXT: corpus-comparison keyness (smoothed log-odds) ----
+    "q237_log_odds_keyness" -> ((s, dir) => {
+      // which terms characterize the 'web' slice vs the rest: +1-smoothed
+      // log-odds ratio per term over vocab-sized aggregates (term counts +
+      // one 1-row broadcast of the side totals). Scores 6dp-rounded BEFORE
+      // the top-k so a libm ulp can't flip the selection boundary; ties
+      // broken on the term itself.
+      val toks = Tables.documents(s, dir)
+        .select(when(col("source") === "web", 1).otherwise(0).as("w"),
+          explode(TextOps.tokens(col("text"))).as("term"))
+        .filter(length(col("term")) >= 3)
+      val counts = toks.groupBy(col("term"))
+        .agg(sum(when(col("w") === 1, 1L).otherwise(0L)).as("n_web"),
+          sum(when(col("w") === 0, 1L).otherwise(0L)).as("n_rest"))
+      val tot = counts.agg(sum(col("n_web")).as("__tw"),
+        sum(col("n_rest")).as("__tr"))
+      counts.filter(col("n_web") + col("n_rest") >= 10)
+        .crossJoin(broadcast(tot))
+        .withColumn("log_odds", round(
+          log((col("n_web") + lit(1.0d)) /
+              (col("__tw") - col("n_web") + lit(1.0d))) -
+          log((col("n_rest") + lit(1.0d)) /
+              (col("__tr") - col("n_rest") + lit(1.0d))), 6))
+        .orderBy(col("log_odds").desc, col("term"))
+        .limit(20)
+        .select(col("term"), col("n_web"), col("n_rest"), col("log_odds"))
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -4860,6 +4959,80 @@ object SparkEntry {
            FROM cen a JOIN cen b ON a.dim = b.dim AND a.label < b.label
            GROUP BY 1, 2)
          SELECT la, lb, round(dot / sqrt(na2 * nb2), 6) AS cos_sim FROM p""",
+    // AUC: mirrored rank-sum identity over the distinct-value distribution
+    // table — integer counts throughout, one final double division
+    "q234_auc" ->
+      """WITH d AS (SELECT n_chars,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM documents),
+         dist AS (SELECT n_chars, sum(pos) AS np, sum(1 - pos) AS nn
+           FROM d GROUP BY 1),
+         cum AS (SELECT np, nn, coalesce(sum(nn) OVER (ORDER BY n_chars
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cum_nn_below
+           FROM dist)
+         SELECT cast(sum(np) AS bigint) AS n_pos,
+           cast(sum(nn) AS bigint) AS n_neg,
+           round((cast(sum(np * cum_nn_below) AS double) +
+               0.5 * cast(sum(np * nn) AS double)) /
+             cast(sum(np) * sum(nn) AS double), 6) AS auc
+         FROM cum""",
+    // kappa: same integer marginals, ONE mirrored double expression
+    "q235_cohens_kappa" ->
+      """WITH d AS (SELECT
+           CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS a,
+           CASE WHEN len(string_split(text, ' ')) >= 80 THEN 1 ELSE 0 END
+             AS b
+           FROM documents),
+         m AS (SELECT cast(count(*) AS bigint) AS n,
+             cast(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS bigint)
+               AS n_agree,
+             cast(sum(a) AS bigint) AS na, cast(sum(b) AS bigint) AS nb
+           FROM d)
+         SELECT n, n_agree,
+           round(((cast(n_agree AS double) / cast(n AS double)) -
+               ((cast(na AS double) / cast(n AS double)) *
+                  (cast(nb AS double) / cast(n AS double)) +
+                ((cast(n AS double) - cast(na AS double)) /
+                   cast(n AS double)) *
+                  ((cast(n AS double) - cast(nb AS double)) /
+                     cast(n AS double)))) /
+             (1.0 - ((cast(na AS double) / cast(n AS double)) *
+                  (cast(nb AS double) / cast(n AS double)) +
+                ((cast(n AS double) - cast(na AS double)) /
+                   cast(n AS double)) *
+                  ((cast(n AS double) - cast(nb AS double)) /
+                     cast(n AS double)))), 6) AS kappa
+         FROM m""",
+    // calibration bins: same bin rule, 6dp terms, exact decimal conf sum
+    "q236_calibration_bins" ->
+      """WITH d AS (SELECT
+           cast(least(n_chars, 2000) AS double) / 2000.0 AS conf,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+         b AS (SELECT least(cast(floor(conf * 10) AS bigint), 9) AS bin,
+             conf, y FROM d)
+         SELECT bin, cast(count(*) AS bigint) AS n_b,
+           round(cast(sum(y) AS double) / count(*), 6) AS acc,
+           round(cast(sum(cast(round(conf, 6) AS decimal(18,6))) AS double)
+             / count(*), 6) AS avg_conf
+         FROM b GROUP BY bin""",
+    // keyness: mirrored smoothed log-odds, 6dp-rounded before the top-k,
+    // term tie-break — boundary-deterministic across engines
+    "q237_log_odds_keyness" ->
+      """WITH toks AS (SELECT
+           CASE WHEN source = 'web' THEN 1 ELSE 0 END AS w,
+           unnest(string_split(text, ' ')) AS term FROM documents),
+         f AS (SELECT w, term FROM toks WHERE len(term) >= 3),
+         counts AS (SELECT term,
+             sum(CASE WHEN w = 1 THEN 1 ELSE 0 END) AS n_web,
+             sum(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS n_rest
+           FROM f GROUP BY 1),
+         tot AS (SELECT sum(n_web) AS tw, sum(n_rest) AS tr FROM counts)
+         SELECT term, cast(n_web AS bigint) AS n_web,
+           cast(n_rest AS bigint) AS n_rest,
+           round(ln((n_web + 1.0) / (tw - n_web + 1.0)) -
+                 ln((n_rest + 1.0) / (tr - n_rest + 1.0)), 6) AS log_odds
+         FROM counts, tot WHERE n_web + n_rest >= 10
+         ORDER BY log_odds DESC, term LIMIT 20""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->
