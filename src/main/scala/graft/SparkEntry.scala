@@ -2130,6 +2130,84 @@ object SparkEntry {
         .select(col("term"), col("n_web"), col("n_rest"), col("log_odds"))
     }),
 
+    // ---- EXT: exponentially-weighted moving average (daily series) ----
+    "q238_ewma_daily" -> ((s, dir) => {
+      // adjusted EWMA over the per-type DAILY count series: ewma_t =
+      // Σ_{i≤t} 0.7^(t−i)·x_i / Σ_{i≤t} 0.7^(t−i) with calendar-day decay.
+      // The sequential recurrence is re-expressed as a self-join on the DAY
+      // GRID — bounded by the calendar span (≤365²/type/year), never by
+      // event count, so it survives 100× data growth unchanged. Terms
+      // 6dp-rounded then summed exactly in decimal.
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val a = daily.select(col("event_type"), col("day"))
+      val b = daily.select(col("event_type"), col("day").as("iday"),
+        col("x").as("ix"))
+      a.join(b, Seq("event_type")).filter(col("iday") <= col("day"))
+        .withColumn("__w",
+          round(pow(lit(0.7d), datediff(col("day"), col("iday"))), 6))
+        .groupBy(col("event_type"), col("day"))
+        .agg(
+          sum(round(col("__w") * col("ix"), 6).cast("decimal(28,6)"))
+            .cast("double").as("__num"),
+          sum(col("__w").cast("decimal(18,6)")).cast("double").as("__den"))
+        .select(col("event_type"), col("day"),
+          round(col("__num") / col("__den"), 6).as("ewma"))
+    }),
+
+    // ---- EXT: CUSUM change-point statistic (exact integer algebra) ----
+    "q239_cusum" -> ((s, dir) => {
+      // classic mean-shift detector over the per-type daily series:
+      // CUSUM⁺_t = p_t − min_{i≤t} p_i with p_t = Σ_{i≤t}(x_i − mean).
+      // Scaled by n (day count) the whole statistic is INTEGER-exact:
+      // n·p_t = n·cumx_t − t·S — so max/argmax comparisons can't be
+      // perturbed by float noise; the single division happens at output.
+      // All windows run over the bounded day grid, partitioned by type.
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val wCum = wAll.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val p = daily
+        .withColumn("__n", count(lit(1)).over(wAll))
+        .withColumn("__s", sum(col("x")).over(wAll))
+        .withColumn("__t", row_number().over(wAll.orderBy(col("day"))))
+        .withColumn("__np",
+          col("__n") * sum(col("x")).over(wCum) - col("__t") * col("__s"))
+      val cu = p.withColumn("__cu", col("__np") - min(col("__np")).over(wCum))
+      val best = cu.withColumn("__rn", row_number().over(
+        wAll.orderBy(col("__cu").desc, col("day"))))
+      best.filter(col("__rn") === 1)
+        .select(col("event_type"), col("day").as("change_day"),
+          round(col("__cu").cast("double") / col("__n").cast("double"), 6)
+            .as("cusum"))
+    }),
+
+    // ---- EXT: day-of-week seasonality index ----
+    "q240_dow_seasonality" -> ((s, dir) => {
+      // traffic-shape profile: mean daily volume per weekday vs the overall
+      // daily mean, per event type — the multiplicative seasonal index a
+      // forecasting pipeline divides out. Integer marginals, ONE mirrored
+      // double expression at output.
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val byDow = daily
+        .groupBy(col("event_type"),
+          dayofweek(col("day")).cast("long").as("dow"))
+        .agg(sum(col("x")).as("__sd"), count(lit(1)).as("n_days"))
+      val tot = daily.groupBy(col("event_type"))
+        .agg(sum(col("x")).as("__s"), count(lit(1)).as("__n"))
+      byDow.join(tot, Seq("event_type"))
+        .select(col("event_type"), col("dow"), col("n_days"),
+          round((col("__sd").cast("double") / col("n_days").cast("double")) /
+            (col("__s").cast("double") / col("__n").cast("double")), 6)
+            .as("seasonal_index"))
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -5033,6 +5111,59 @@ object SparkEntry {
                  ln((n_rest + 1.0) / (tr - n_rest + 1.0)), 6) AS log_odds
          FROM counts, tot WHERE n_web + n_rest >= 10
          ORDER BY log_odds DESC, term LIMIT 20""",
+    // EWMA: same day-grid self-join, 6dp weight/term rounding, exact
+    // decimal sums, one final division
+    "q238_ewma_daily" ->
+      """WITH daily AS (SELECT event_type, cast(ts AS date) AS day,
+           count(*) AS x FROM events GROUP BY 1, 2)
+         SELECT a.event_type, a.day,
+           round(cast(sum(cast(round(round(pow(0.7,
+                 date_diff('day', b.day, a.day)), 6) * b.x, 6)
+               AS decimal(28,6))) AS double) /
+             cast(sum(cast(round(pow(0.7, date_diff('day', b.day, a.day)), 6)
+               AS decimal(18,6))) AS double), 6) AS ewma
+         FROM daily a JOIN daily b
+           ON a.event_type = b.event_type AND b.day <= a.day
+         GROUP BY a.event_type, a.day""",
+    // CUSUM: mirrored integer-scaled prefix-sum / running-min algebra;
+    // argmax tie broken on earliest day; one final division
+    "q239_cusum" ->
+      """WITH daily AS (SELECT event_type, cast(ts AS date) AS day,
+           count(*) AS x FROM events GROUP BY 1, 2),
+         p AS (SELECT event_type, day,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(x) OVER (PARTITION BY event_type) AS s,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+             sum(x) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumx
+           FROM daily),
+         np AS (SELECT event_type, day, n, n * cumx - t * s AS np FROM p),
+         cu AS (SELECT event_type, day, n,
+             np - min(np) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cu
+           FROM np),
+         best AS (SELECT event_type, day, n, cu,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY cu DESC, day) AS rn
+           FROM cu)
+         SELECT event_type, day AS change_day,
+           round(cast(cu AS double) / cast(n AS double), 6) AS cusum
+         FROM best WHERE rn = 1""",
+    // dow seasonality: DuckDB dayofweek is Sunday=0 — +1 aligns it with
+    // Spark's Sunday=1 convention; ONE mirrored ratio expression
+    "q240_dow_seasonality" ->
+      """WITH daily AS (SELECT event_type, cast(ts AS date) AS day,
+           count(*) AS x FROM events GROUP BY 1, 2),
+         bydow AS (SELECT event_type,
+             cast(dayofweek(day) + 1 AS bigint) AS dow,
+             sum(x) AS sd, cast(count(*) AS bigint) AS n_days
+           FROM daily GROUP BY 1, 2),
+         tot AS (SELECT event_type, sum(x) AS s, count(*) AS n
+           FROM daily GROUP BY 1)
+         SELECT b.event_type, b.dow, b.n_days,
+           round((cast(sd AS double) / cast(n_days AS double)) /
+             (cast(s AS double) / cast(n AS double)), 6) AS seasonal_index
+         FROM bydow b JOIN tot USING (event_type)""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->
