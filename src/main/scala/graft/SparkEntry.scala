@@ -2208,6 +2208,79 @@ object SparkEntry {
             .as("seasonal_index"))
     }),
 
+    // ---- EXT: vocabulary coverage curve (tokenizer-budget planning) ----
+    "q241_vocab_coverage" -> ((s, dir) => {
+      // what fraction of all token OCCURRENCES a top-V vocabulary covers,
+      // at V ∈ {100, 1k, 5k, 20k} — the curve a tokenizer budget is read
+      // from. Counts are vocab-sized aggregates; the one ordered prefix runs
+      // over the VOCAB table (bounded by distinct terms, not corpus rows —
+      // the q130 bounded-domain discipline); (count desc, term) total order
+      // makes the rank and the cut boundary deterministic.
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("c").desc, col("term"))
+      val ranked = counts
+        .withColumn("rank", row_number().over(w))
+        .withColumn("cum", sum(col("c")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+      val tot = counts.agg(sum(col("c")).as("__t"))
+      val cuts = s.createDataFrame(Seq(Tuple1(100L), Tuple1(1000L),
+        Tuple1(5000L), Tuple1(20000L))).toDF("v")
+      ranked.join(broadcast(cuts), col("rank") <= col("v"))
+        .groupBy(col("v"))
+        .agg(max(col("rank")).cast("long").as("n_terms"),
+          max(col("cum")).as("__cov"))
+        .crossJoin(broadcast(tot))
+        .select(col("v"), col("n_terms"),
+          round(col("__cov").cast("double") / col("__t").cast("double"), 6)
+            .as("coverage"))
+    }),
+
+    // ---- EXT: referential-integrity orphan audit ----
+    "q242_orphan_audit" -> ((s, dir) => {
+      // FK health check across the star schema: per relation, child rows
+      // whose key has no parent — one left join + agg per relation (parent
+      // key sets deduped; AQE broadcasts the small sides). The audit every
+      // warehouse load runs before publishing.
+      def audit(rel: String, child: DataFrame, key: String,
+                parent: DataFrame, pkey: String): DataFrame =
+        child.select(col(key).as("k"))
+          .join(parent.select(col(pkey).as("k")).distinct()
+            .withColumn("__hit", lit(1)), Seq("k"), "left")
+          .agg(count(lit(1)).as("n_children"),
+            sum(when(col("__hit").isNull, 1L).otherwise(0L))
+              .as("n_orphans"))
+          .select(lit(rel).as("relation"), col("n_children"),
+            col("n_orphans"))
+      audit("customer->nation", Tables.customer(s, dir), "c_nationkey",
+          Tables.nation(s, dir), "n_nationkey")
+        .unionAll(audit("lineitem->orders", Tables.lineitem(s, dir),
+          "l_orderkey", Tables.orders(s, dir), "o_orderkey"))
+        .unionAll(audit("lineitem->part", Tables.lineitem(s, dir),
+          "l_partkey", Tables.part(s, dir), "p_partkey"))
+        .unionAll(audit("orders->customer", Tables.orders(s, dir),
+          "o_custkey", Tables.customer(s, dir), "c_custkey"))
+        .unionAll(audit("supplier->nation", Tables.supplier(s, dir),
+          "s_nationkey", Tables.nation(s, dir), "n_nationkey"))
+    }),
+
+    // ---- EXT: grid-density clustering (DBSCAN-lite) ----
+    "q243_grid_density_cluster" -> ((s, dir) => {
+      // hot regions of the (order-month × price-band) space: cells ≥1.2×
+      // the mean cell count are core; 8-connected core cells merge into
+      // clusters. Distributed hash agg over the corpus; union-find on the
+      // DIMENSION-sized cell table (see Spatial.gridDensityClusters).
+      graft.operators.Spatial.gridDensityClusters(
+        Tables.orders(s, dir).select(
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("gx"),
+          floor(col("o_totalprice") / 50000).cast("long").as("gy")),
+        minFactor = 1.2)
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -5164,6 +5237,80 @@ object SparkEntry {
            round((cast(sd AS double) / cast(n_days AS double)) /
              (cast(s AS double) / cast(n AS double)), 6) AS seasonal_index
          FROM bydow b JOIN tot USING (event_type)""",
+    // vocab coverage: mirrored (count desc, term) rank + prefix over the
+    // vocab table; integer counts, one final division
+    "q241_vocab_coverage" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         counts AS (SELECT term, count(*) AS c FROM toks
+           WHERE term <> '' GROUP BY 1),
+         ranked AS (SELECT term, c,
+             row_number() OVER (ORDER BY c DESC, term) AS rank,
+             sum(c) OVER (ORDER BY c DESC, term
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM counts),
+         tot AS (SELECT sum(c) AS t FROM counts),
+         cuts AS (SELECT unnest([100, 1000, 5000, 20000]) AS v)
+         SELECT cast(v AS bigint) AS v,
+           cast(max(rank) AS bigint) AS n_terms,
+           round(cast(max(cum) AS double) / cast((SELECT t FROM tot)
+             AS double), 6) AS coverage
+         FROM ranked JOIN cuts ON rank <= v GROUP BY v""",
+    // orphan audit: mirrored left-join-against-distinct-parent counts
+    "q242_orphan_audit" ->
+      """SELECT 'customer->nation' AS relation,
+           cast(count(*) AS bigint) AS n_children,
+           cast(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS bigint)
+             AS n_orphans
+         FROM customer c LEFT JOIN
+           (SELECT DISTINCT n_nationkey AS k FROM nation) p
+           ON c.c_nationkey = p.k
+         UNION ALL
+         SELECT 'lineitem->orders', cast(count(*) AS bigint),
+           cast(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS bigint)
+         FROM lineitem l LEFT JOIN
+           (SELECT DISTINCT o_orderkey AS k FROM orders) p
+           ON l.l_orderkey = p.k
+         UNION ALL
+         SELECT 'lineitem->part', cast(count(*) AS bigint),
+           cast(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS bigint)
+         FROM lineitem l LEFT JOIN
+           (SELECT DISTINCT p_partkey AS k FROM part) p
+           ON l.l_partkey = p.k
+         UNION ALL
+         SELECT 'orders->customer', cast(count(*) AS bigint),
+           cast(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS bigint)
+         FROM orders o LEFT JOIN
+           (SELECT DISTINCT c_custkey AS k FROM customer) p
+           ON o.o_custkey = p.k
+         UNION ALL
+         SELECT 'supplier->nation', cast(count(*) AS bigint),
+           cast(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS bigint)
+         FROM supplier s LEFT JOIN
+           (SELECT DISTINCT n_nationkey AS k FROM nation) p
+           ON s.s_nationkey = p.k""",
+    // grid density clusters: same cell rule; connected components via a
+    // recursive reachability CTE over the core-cell adjacency, label = min
+    // reachable cell id — integer-exact throughout
+    "q243_grid_density_cluster" ->
+      """WITH RECURSIVE g AS (SELECT
+           cast(year(o_orderdate) * 12 + month(o_orderdate) AS bigint)
+             AS gx,
+           cast(floor(o_totalprice / 50000) AS bigint) AS gy,
+           count(*) AS c
+           FROM orders GROUP BY 1, 2),
+         s AS (SELECT avg(c) AS a FROM g),
+         core AS (SELECT gx, gy, c, gx * 1000 + gy AS id FROM g
+           WHERE c >= 1.2 * (SELECT a FROM s)),
+         e AS (SELECT a.id AS src, b.id AS dst FROM core a JOIN core b
+           ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1),
+         r AS (SELECT id, id AS lab FROM core
+           UNION
+           SELECT e.dst, r.lab FROM r JOIN e ON e.src = r.id),
+         m AS (SELECT id, min(lab) AS cluster_id FROM r GROUP BY id)
+         SELECT cluster_id, cast(count(*) AS bigint) AS n_cells,
+           cast(sum(core.c) AS bigint) AS n_points
+         FROM m JOIN core USING (id) GROUP BY cluster_id""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->

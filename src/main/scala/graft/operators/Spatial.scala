@@ -239,4 +239,52 @@ object Spatial {
     keyed.repartitionByRange(numPartitions, col("__z"))
       .sortWithinPartitions(col("__z"))
   }
+
+  /** DBSCAN-lite grid-density clustering: bucket points into integer grid
+    * cells, keep cells whose count ≥ `minFactor` × the mean cell count
+    * ("core" cells), and connect core cells that are 8-neighbors into
+    * clusters labeled by their minimum `gx*1000+gy` cell id.
+    *
+    * Scale shape: the per-point cell assignment + count is ONE distributed
+    * hash aggregation over the corpus. The connected-components step then
+    * runs on the CELL table, whose size is bounded by the grid design
+    * (x-domain × y-domain), not by the data — so the union-find runs on the
+    * driver over that dimension-sized aggregate, the same bounded-model-fit
+    * discipline as the PQ codebook fit (Similarity.scala), never a
+    * corpus-sized collect. Output: one row per cluster
+    * (cluster_id, n_cells, n_points), integer-exact.
+    *
+    * `df` must expose integer columns `gx`, `gy`. */
+  def gridDensityClusters(df: DataFrame, minFactor: Double): DataFrame = {
+    val spark = df.sparkSession
+    val cells = df.groupBy(col("gx"), col("gy")).agg(count(lit(1)).as("c"))
+    val avg = cells.agg(org.apache.spark.sql.functions.avg(col("c"))
+      .as("__a"))
+    val core = cells.crossJoin(broadcast(avg))
+      .filter(col("c") >= lit(minFactor) * col("__a"))
+      .select(col("gx"), col("gy"), col("c"))
+    // bounded collect: |core| ≤ |grid|, a design-time constant
+    val rows = core.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val id = rows.map { case (gx, gy, _) => gx * 1000L + gy }
+    val index = id.zipWithIndex.toMap
+    val parent = Array.tabulate(rows.length)(identity)
+    def find(i: Int): Int = { var r = i; while (parent(r) != r) r = parent(r)
+      var c = i; while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }; r }
+    def union(a: Int, b: Int): Unit = { val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    for (i <- rows.indices; j <- (i + 1) until rows.length) {
+      val (ax, ay, _) = rows(i); val (bx, by, _) = rows(j)
+      if (math.abs(ax - bx) <= 1 && math.abs(ay - by) <= 1) union(i, j)
+    }
+    // label = min cell id in the component (ids ascend with index order
+    // only within equal gx*1000+gy ordering — resolve via explicit min)
+    val byRoot = rows.indices.groupBy(find)
+    val out = byRoot.toSeq.map { case (_, members) =>
+      val cid = members.map(id(_)).min
+      (cid, members.size.toLong, members.map(rows(_)._3).sum)
+    }.sortBy(_._1)
+    import spark.implicits._
+    out.toDF("cluster_id", "n_cells", "n_points")
+  }
 }
