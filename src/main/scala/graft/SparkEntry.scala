@@ -518,6 +518,13 @@ object SparkEntry {
       graft.streaming.Streams.replayedIntervalJoin(
         s, Tables.events(s, dir), chunks = 3, name = "interval_join")),
 
+    "q244_stream_left_interval_join" -> ((s, dir) =>
+      // LEFT OUTER stream-stream interval join: null-extended rows emit
+      // only when the advancing watermark proves no match can arrive —
+      // time-sliced replay + flush sentinels; result == batch left join
+      graft.streaming.Streams.replayedLeftIntervalJoin(
+        s, Tables.events(s, dir), chunks = 3, name = "left_interval_join")),
+
     // ---- exact polygon×polygon overlap (§2.9; the last spatial gap) ----
     "q70_polygon_overlap" -> ((s, dir) => {
       // AOI-polygon × scene-footprint join: per-customer triangle footprints
@@ -5725,6 +5732,16 @@ object SparkEntry {
          WHERE a.event_type = 'click' AND b.event_type = 'purchase'
            AND a.user_id = b.user_id
            AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""",
+    // left-outer variant: unmatched clicks survive with a null purchase
+    "q244_stream_left_interval_join" ->
+      """WITH c AS (SELECT event_id, ts, user_id FROM events
+           WHERE event_type = 'click'),
+         p AS (SELECT event_id AS p_event_id, ts AS p_ts,
+             user_id AS p_user_id FROM events
+           WHERE event_type = 'purchase')
+         SELECT c.event_id, p.p_event_id FROM c LEFT JOIN p
+           ON c.user_id = p.p_user_id AND p.p_ts >= c.ts
+             AND p.p_ts <= c.ts + INTERVAL 30 MINUTE""",
     // copy-on-write upsert = the two complements, stated directly
     "q73_upsert" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey % 10 <> 0

@@ -466,6 +466,84 @@ object Streams {
     spark.table(qname)
   }
 
+  /** Stream-stream LEFT OUTER interval join: like [[intervalJoinStream]]
+    * but left rows with no match emit null-extended ONCE the watermark
+    * proves no match can arrive (right watermark past `l.ts + window`).
+    * This is the semantics inner joins don't exercise: emission here is
+    * DRIVEN by watermark progress, not by data arrival, and the same
+    * watermark bounds the join state on both sides. */
+  def leftIntervalJoinStream(left: DataFrame, right: DataFrame,
+                             lateness: String, window: String): DataFrame =
+    left.withWatermark("ts", lateness)
+      .join(right.withWatermark("p_ts", lateness),
+        expr(s"user_id = p_user_id AND p_ts >= ts AND p_ts <= ts + interval $window"),
+        "left_outer")
+
+  /** Replay gate for [[leftIntervalJoinStream]]: the appended result set
+    * must equal the BATCH left interval join (the q244 oracle).
+    *
+    * Unlike the inner-join gate (which can hide behind a huge lateness),
+    * outer emission requires the watermark to actually ADVANCE past the
+    * fixture — so chunks are TIME-SLICED (chunk i = i-th time range), making
+    * event time monotone across micro-batches and a small lateness
+    * sufficient, and two flush-sentinel rounds per side (non-matching
+    * user ids, event time far past max(ts) + window + lateness) push the
+    * final global watermark past every fixture left row's `ts + window`,
+    * forcing the null-extended rows out. Sentinels are filtered from the
+    * result; the sentinel LEFT rows themselves stay in state (the final
+    * watermark stops short of their own window) — by construction, not by
+    * luck. State is evicted as the watermark advances — the gate exercises
+    * the real production shape, not an unbounded-state replay. */
+  def replayedLeftIntervalJoin(spark: SparkSession, events: DataFrame,
+                               chunks: Int, name: String,
+                               window: String = "30 minutes"): DataFrame = {
+    val left = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val right = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("ts").as("p_ts"),
+        col("user_id").as("p_user_id"))
+    val dir = freshReplayDir(name)
+    val mm = events.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val (loUs, hiUs) = (mm.getLong(0), mm.getLong(1))
+    val span = math.max(hiUs - loUs, 1L)
+    def slice(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      least(
+      floor(((unix_micros(ts) - loUs).cast("double") / span) * chunks)
+        .cast("int"), lit(chunks - 1))
+    (0 until chunks).foreach { i =>
+      left.filter(slice(col("ts")) === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/l/c$i")
+      right.filter(slice(col("p_ts")) === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/r/c$i")
+    }
+    // flush sentinels: 1 day past max(ts) clears window (30 min) + lateness
+    // (1 min) with margin; user ids never match each other or the fixture
+    def sentinelTs(round: Int) =
+      new java.sql.Timestamp(hiUs / 1000 + 86400000L + round * 1000L)
+    (0 to 1).foreach { r =>
+      spark.range(1).select(lit(-1L - r).as("event_id"),
+          lit(sentinelTs(r)).as("ts"), lit(-10L).as("user_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/l/s$r")
+      spark.range(1).select(lit(-1L - r).as("p_event_id"),
+          lit(sentinelTs(r)).as("p_ts"), lit(-20L).as("p_user_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/r/s$r")
+    }
+    val expectedRows = left.count() + right.count() + 4
+    val ls = spark.readStream.schema(left.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/l/*")
+    val rs = spark.readStream.schema(right.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/r/*")
+    val qname = s"graft_gate_${name}_${replaySeq.incrementAndGet()}"
+    drainStream(spark, qname, expectedRows) {
+      leftIntervalJoinStream(ls, rs, lateness = "1 minute", window = window)
+        .select(col("event_id"), col("p_event_id"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+    }
+    spark.table(qname).filter(col("event_id") >= 0)
+  }
+
   /** T3+sketch replay gate: maintain a Misra–Gries frequent-items sketch as
     * STREAMING aggregation state over the replayed item stream (complete
     * mode — the state is ONE bounded ≤k-entry map row, mergeable across
