@@ -2288,6 +2288,78 @@ object SparkEntry {
         minFactor = 1.2)
     }),
 
+    // ---- EXT: jackknife confidence interval (delete-one-bucket) ----
+    "q245_jackknife_ci" -> ((s, dir) => {
+      // how production A/B pipelines put error bars on ratio metrics: users
+      // hash into g=20 buckets; θ_i = the mean with bucket i deleted; SE² =
+      // (g−1)/g · Σ(θ_i − θ̄_J)². Per-bucket sums are EXACT decimals (the
+      // repo's monetary discipline), the 20-row θ table uses 12dp → decimal
+      // sums so nothing depends on float ordering; CI = θ̂ ± 1.96·SE.
+      val d = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(graft.operators.Sampling.hashBucket(col("user_id"), 20)
+          .as("b"), col("value").cast(D).as("v"))
+      val per = d.groupBy(col("b"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      val tot = per.agg(sum(col("s")).as("__S"), sum(col("n")).as("__N"),
+        count(lit(1)).as("__g"))
+      val theta = per.crossJoin(broadcast(tot))
+        .select(col("__S"), col("__N"), col("__g"),
+          round((col("__S") - col("s")).cast("double") /
+            (col("__N") - col("n")).cast("double"), 12).as("th"))
+      val tbar = theta
+        .groupBy(col("__S"), col("__N"), col("__g"))
+        .agg((sum(col("th").cast("decimal(28,12)")).cast("double") /
+          col("__g").cast("double")).as("tb"))
+      theta.join(broadcast(tbar), Seq("__S", "__N", "__g"))
+        .groupBy(col("__S"), col("__N"), col("__g"), col("tb"))
+        .agg(sum(round((col("th") - col("tb")) * (col("th") - col("tb")), 12)
+          .cast("decimal(28,12)")).cast("double").as("__ss"))
+        .select(
+          round(col("__S").cast("double") / col("__N").cast("double"), 6)
+            .as("theta"),
+          round(sqrt((col("__g") - 1).cast("double") /
+            col("__g").cast("double") * col("__ss")), 6).as("se_jack"))
+        .withColumn("ci_lo", round(col("theta") - lit(1.96d) * col("se_jack"), 6))
+        .withColumn("ci_hi", round(col("theta") + lit(1.96d) * col("se_jack"), 6))
+    }),
+
+    // ---- EXT: zone-map build (per-partition pruning index) ----
+    "q246_zone_maps" -> ((s, dir) =>
+      // the metadata pass a lakehouse layout runs at write time: per
+      // ship-month partition, min/max/null-count statistics for the scan
+      // planner's min-max pruning. One distributed hash agg; integer/decimal
+      // exact throughout.
+      Tables.lineitem(s, dir)
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("part"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_orderkey"),
+          max(col("l_orderkey")).as("max_orderkey"),
+          min(col("l_extendedprice").cast(D)).as("min_price"),
+          max(col("l_extendedprice").cast(D)).as("max_price"),
+          sum(when(col("l_returnflag").isNull, 1L).otherwise(0L))
+            .as("null_returnflags"))),
+
+    // ---- EXT: sentence segmentation stats ----
+    "q247_sentence_stats" -> ((s, dir) => {
+      // corpus pipelines segment to sentences before sentence-level dedup /
+      // quality filters: split on [.!?] runs, drop empty fragments, exact
+      // integer char sums per source, one final division.
+      val sent = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(split(col("text"), "[.!?]+")).as("frag"))
+        .select(col("source"), trim(col("frag")).as("sent"))
+        .filter(col("sent") =!= "")
+      sent.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sentences"),
+          sum(length(col("sent"))).as("__chars"),
+          max(length(col("sent"))).cast("long").as("max_sentence_chars"))
+        .select(col("source"), col("n_sentences"),
+          round(col("__chars").cast("double") /
+            col("n_sentences").cast("double"), 6).as("avg_sentence_chars"),
+          col("max_sentence_chars"))
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -5318,6 +5390,59 @@ object SparkEntry {
          SELECT cluster_id, cast(count(*) AS bigint) AS n_cells,
            cast(sum(core.c) AS bigint) AS n_points
          FROM m JOIN core USING (id) GROUP BY cluster_id""",
+    // jackknife: mirrored delete-one-bucket algebra — exact decimal bucket
+    // sums, 12dp θ table, decimal θ sums, CI from the ROUNDED outputs
+    "q245_jackknife_ci" ->
+      """WITH d AS (SELECT
+           ('0x' || substr(md5(cast(user_id AS varchar)), 1, 8))::bigint
+             % 20 AS b,
+           cast(value AS decimal(18,2)) AS v
+           FROM events WHERE event_type = 'purchase'),
+         per AS (SELECT b, sum(v) AS s, count(*) AS n FROM d GROUP BY 1),
+         tot AS (SELECT sum(s) AS ts, sum(n) AS tn, count(*) AS g FROM per),
+         theta AS (SELECT ts, tn, g,
+             round(cast(ts - s AS double) / cast(tn - n AS double), 12)
+               AS th
+           FROM per, tot),
+         tbar AS (SELECT ts, tn, g,
+             cast(sum(cast(th AS decimal(28,12))) AS double) /
+               cast(g AS double) AS tb
+           FROM theta GROUP BY 1, 2, 3),
+         ss AS (SELECT t.ts, t.tn, t.g,
+             cast(sum(cast(round((th - tb) * (th - tb), 12)
+               AS decimal(28,12))) AS double) AS ssum
+           FROM theta t JOIN tbar b USING (ts, tn, g) GROUP BY 1, 2, 3),
+         f AS (SELECT
+             round(cast(ts AS double) / cast(tn AS double), 6) AS theta,
+             round(sqrt(cast(g - 1 AS double) / cast(g AS double) * ssum),
+               6) AS se_jack
+           FROM ss)
+         SELECT theta, se_jack,
+           round(theta - 1.96 * se_jack, 6) AS ci_lo,
+           round(theta + 1.96 * se_jack, 6) AS ci_hi
+         FROM f""",
+    // zone maps: plain mirrored per-partition min/max/null stats
+    "q246_zone_maps" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS part,
+           cast(count(*) AS bigint) AS n_rows,
+           min(l_orderkey) AS min_orderkey,
+           max(l_orderkey) AS max_orderkey,
+           min(cast(l_extendedprice AS decimal(18,2))) AS min_price,
+           max(cast(l_extendedprice AS decimal(18,2))) AS max_price,
+           cast(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+             AS bigint) AS null_returnflags
+         FROM lineitem GROUP BY 1""",
+    // sentence stats: same [.!?]+ split rule, trim, exact char sums
+    "q247_sentence_stats" ->
+      """WITH sent AS (SELECT source, trim(f) AS sent FROM
+           (SELECT source, unnest(string_split_regex(text, '[.!?]+')) AS f
+            FROM documents)
+           WHERE trim(f) <> '')
+         SELECT source, cast(count(*) AS bigint) AS n_sentences,
+           round(cast(sum(len(sent)) AS double) /
+             cast(count(*) AS double), 6) AS avg_sentence_chars,
+           cast(max(len(sent)) AS bigint) AS max_sentence_chars
+         FROM sent GROUP BY 1""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->
