@@ -2639,6 +2639,14 @@ object SparkEntry {
           s, Tables.events(s, dir), chunks = 3, name = "dedup_append")
         .select("event_id", "user_id", "event_type", "value")),
 
+    "q248_stream_dedup_within_watermark" -> ((s, dir) =>
+      // the STATE-BOUNDED dedup variant: dropDuplicatesWithinWatermark
+      // evicts keys as the watermark advances (time-sliced replay makes it
+      // advance for real); appended rows == batch distinct
+      graft.streaming.Streams.replayedDedupWithinWatermark(
+          s, Tables.events(s, dir), chunks = 3, name = "dedup_within_wm")
+        .select("event_id", "user_id", "event_type", "value")),
+
     // ---- F15: GeoJSON polygon parse → derived bbox ----
     "q77_geojson_bbox" -> ((s, dir) => {
       // per-customer GeoJSON Polygon STRINGS built with %.1f formatting,
@@ -5880,6 +5888,9 @@ object SparkEntry {
          FROM documents WHERE doc_id % 50 = 0""",
     // at-least-once delivery deduped back to the table itself
     "q76_stream_dedup" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
+    // state-bounded dedup variant: same exactly-once contract
+    "q248_stream_dedup_within_watermark" ->
       "SELECT event_id, user_id, event_type, value FROM events",
     // bbox of the parsed GeoJSON ring == mins/maxes of the raw vertex arithmetic
     "q77_geojson_bbox" ->

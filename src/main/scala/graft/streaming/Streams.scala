@@ -111,6 +111,56 @@ object Streams {
   def appendDeduped(events: DataFrame, late: String = "1 hour"): DataFrame =
     events.withWatermark("ts", late).dropDuplicates("event_id")
 
+  /** T1 scale variant — [[appendDeduped]] keeps one state entry per distinct
+    * key FOREVER (plain `dropDuplicates` never evicts, watermark or not);
+    * `dropDuplicatesWithinWatermark` EVICTS a key's entry once the watermark
+    * passes its event time + delay, so dedup state is bounded by the
+    * watermark horizon instead of by lifetime key cardinality — the only
+    * variant an always-on 100 TB ingest can actually run. Contract: copies
+    * arriving within `late` of each other (event time) dedup exactly; the
+    * at-least-once sources this models re-deliver within seconds, far
+    * inside any sane horizon. */
+  def appendDedupedWithinWatermark(events: DataFrame,
+                                   late: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", late)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Replay gate for [[appendDedupedWithinWatermark]]: the doubled fixture
+    * streams in TIME-SLICED chunks (monotone event time — so the watermark
+    * genuinely advances and evicts dedup state while the run progresses,
+    * which is the point of this API) and the appended rows must equal batch
+    * DISTINCT: both copies of an event share its event time, hence its
+    * slice, hence dedup within the watermark is exact by construction. */
+  def replayedDedupWithinWatermark(spark: SparkSession, events: DataFrame,
+                                   chunks: Int, name: String,
+                                   late: String = "1 hour"): DataFrame = {
+    val base = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    val dir = freshReplayDir(name)
+    val mm = base.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val (loUs, hiUs) = (mm.getLong(0), mm.getLong(1))
+    val span = math.max(hiUs - loUs, 1L)
+    val doubled = base.unionAll(base)
+    (0 until chunks).foreach { i =>
+      doubled.filter(least(
+          floor(((unix_micros(col("ts")) - loUs).cast("double") / span)
+            * chunks).cast("int"), lit(chunks - 1)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/c$i")
+    }
+    val expectedRows = base.count() * 2
+    val stream = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/c*")
+    val qname = s"graft_gate_${name}_${replaySeq.incrementAndGet()}"
+    drainStream(spark, qname, expectedRows) {
+      appendDedupedWithinWatermark(stream, late)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+    }
+    spark.table(qname)
+  }
+
   /** T4 — audit retention: an append stream that EXPIRES events older than
     * the retention horizon, where "older" is judged against the event-time
     * watermark (max event time seen, minus the horizon) — the streaming
