@@ -2360,6 +2360,47 @@ object SparkEntry {
           col("max_sentence_chars"))
     }),
 
+    // ---- EXT: dominant PCA direction via Gram power iteration ----
+    "q249_power_iteration" -> ((s, dir) => {
+      // top principal direction of the embedding matrix without EVER
+      // materializing the 64×64 Gram matrix: each iteration is two
+      // distributed passes over the (row, dim, x) triples — s_r = x_r·v
+      // then w = Σ_r s_r·x_r / n — followed by a 64-row normalize. The
+      // iterate v is DIMENSION-sized (broadcast); the corpus only streams.
+      // Every float reduction is 9dp-round → decimal → exact sum and v is
+      // re-rounded after each normalize, so both engines run the identical
+      // arithmetic in lockstep — that's what makes an ITERATIVE float
+      // algorithm hash-gateable at all. 4 iterations; v0 = 1/8 uniform
+      // (unit norm at d=64, exactly representable).
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .toDF("vec_id", "dim0", "xf")
+        .select(col("vec_id"), (col("dim0") + 1).cast("long").as("dim"),
+          col("xf").cast("double").as("x"))
+      val cnt = Tables.embeddings(s, dir).agg(count(lit(1)).as("__n"))
+      var v = s.range(64).select((col("id") + 1).as("dim"),
+        lit(0.125d).as("v"))
+      for (_ <- 1 to 4) {
+        val sr = e.join(broadcast(v), Seq("dim"))
+          .groupBy(col("vec_id"))
+          .agg(sum(round(col("x") * col("v"), 9).cast("decimal(28,9)"))
+            .cast("double").as("sc"))
+        val w = e.join(sr, Seq("vec_id"))
+          .groupBy(col("dim"))
+          .agg(sum(round(col("x") * col("sc"), 9).cast("decimal(38,9)"))
+            .cast("double").as("__ws"))
+          .crossJoin(broadcast(cnt))
+          .select(col("dim"),
+            (col("__ws") / col("__n").cast("double")).as("w"))
+        val nrm = w.agg(
+          sqrt(sum(round(col("w") * col("w"), 12).cast("decimal(38,12)"))
+            .cast("double")).as("__nrm"))
+        v = w.crossJoin(broadcast(nrm))
+          .select(col("dim"), round(col("w") / col("__nrm"), 9).as("v"))
+      }
+      v.select(col("dim"), round(col("v"), 6).as("loading"))
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -5451,6 +5492,59 @@ object SparkEntry {
              cast(count(*) AS double), 6) AS avg_sentence_chars,
            cast(max(len(sent)) AS bigint) AS max_sentence_chars
          FROM sent GROUP BY 1""",
+    // power iteration: the SAME 4 lockstep-rounded iterations unrolled as
+    // CTE blocks — 9dp term rounds, exact decimal sums, re-rounded v
+    "q249_power_iteration" ->
+      """WITH e AS (SELECT vec_id, i AS dim, embedding[i]::DOUBLE AS x
+           FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)),
+         n AS (SELECT count(*) AS c FROM embeddings),
+         v0 AS (SELECT unnest(generate_series(1, 64)) AS dim, 0.125 AS v),
+         s1 AS (SELECT vec_id, cast(sum(cast(round(x * v, 9)
+             AS decimal(28,9))) AS double) AS sc
+           FROM e JOIN v0 ON e.dim = v0.dim GROUP BY vec_id),
+         w1 AS (SELECT dim, cast(sum(cast(round(x * sc, 9)
+             AS decimal(38,9))) AS double) /
+             cast((SELECT c FROM n) AS double) AS w
+           FROM e JOIN s1 USING (vec_id) GROUP BY dim),
+         n1 AS (SELECT sqrt(cast(sum(cast(round(w * w, 12)
+             AS decimal(38,12))) AS double)) AS nrm FROM w1),
+         v1 AS (SELECT dim, round(w / (SELECT nrm FROM n1), 9) AS v
+           FROM w1),
+         s2 AS (SELECT vec_id, cast(sum(cast(round(x * v, 9)
+             AS decimal(28,9))) AS double) AS sc
+           FROM e JOIN v1 ON e.dim = v1.dim GROUP BY vec_id),
+         w2 AS (SELECT dim, cast(sum(cast(round(x * sc, 9)
+             AS decimal(38,9))) AS double) /
+             cast((SELECT c FROM n) AS double) AS w
+           FROM e JOIN s2 USING (vec_id) GROUP BY dim),
+         n2 AS (SELECT sqrt(cast(sum(cast(round(w * w, 12)
+             AS decimal(38,12))) AS double)) AS nrm FROM w2),
+         v2 AS (SELECT dim, round(w / (SELECT nrm FROM n2), 9) AS v
+           FROM w2),
+         s3 AS (SELECT vec_id, cast(sum(cast(round(x * v, 9)
+             AS decimal(28,9))) AS double) AS sc
+           FROM e JOIN v2 ON e.dim = v2.dim GROUP BY vec_id),
+         w3 AS (SELECT dim, cast(sum(cast(round(x * sc, 9)
+             AS decimal(38,9))) AS double) /
+             cast((SELECT c FROM n) AS double) AS w
+           FROM e JOIN s3 USING (vec_id) GROUP BY dim),
+         n3 AS (SELECT sqrt(cast(sum(cast(round(w * w, 12)
+             AS decimal(38,12))) AS double)) AS nrm FROM w3),
+         v3 AS (SELECT dim, round(w / (SELECT nrm FROM n3), 9) AS v
+           FROM w3),
+         s4 AS (SELECT vec_id, cast(sum(cast(round(x * v, 9)
+             AS decimal(28,9))) AS double) AS sc
+           FROM e JOIN v3 ON e.dim = v3.dim GROUP BY vec_id),
+         w4 AS (SELECT dim, cast(sum(cast(round(x * sc, 9)
+             AS decimal(38,9))) AS double) /
+             cast((SELECT c FROM n) AS double) AS w
+           FROM e JOIN s4 USING (vec_id) GROUP BY dim),
+         n4 AS (SELECT sqrt(cast(sum(cast(round(w * w, 12)
+             AS decimal(38,12))) AS double)) AS nrm FROM w4),
+         v4 AS (SELECT dim, round(w / (SELECT nrm FROM n4), 9) AS v
+           FROM w4)
+         SELECT cast(dim AS bigint) AS dim, round(v, 6) AS loading
+         FROM v4""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->
