@@ -2401,6 +2401,50 @@ object SparkEntry {
       v.select(col("dim"), round(col("v"), 6).as("loading"))
     }),
 
+    // ---- EXT: cluster-quality audit (silhouette-lite per label) ----
+    "q250_cluster_quality" -> ((s, dir) => {
+      // is the labeling geometrically coherent? Per vector: cosine to the
+      // OWN-label centroid vs the best OTHER centroid; per label: the two
+      // means and their margin. Vector×centroid work is corpus × L (a
+      // design-time dimension), never corpus × corpus; all reductions are
+      // round→decimal→exact-sum, margins compared on ROUNDED values.
+      val emb = Tables.embeddings(s, dir)
+      val e = emb.select(col("vec_id"), col("label").cast("long").as("vl"),
+          posexplode(col("embedding")))
+        .toDF("vec_id", "vl", "dim", "xf")
+        .select(col("vec_id"), col("vl"), col("dim"),
+          col("xf").cast("double").as("x"))
+      val cen = e.groupBy(col("vl").as("cl"), col("dim"))
+        .agg((sum(round(col("x"), 6).cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("m"))
+      val vnorm = e.groupBy(col("vec_id"))
+        .agg(sqrt(sum(round(col("x") * col("x"), 12).cast("decimal(38,12)"))
+          .cast("double")).as("nv"))
+      val cnorm = cen.groupBy(col("cl"))
+        .agg(sqrt(sum(round(col("m") * col("m"), 12).cast("decimal(38,12)"))
+          .cast("double")).as("nc"))
+      val dots = e.join(cen, Seq("dim"))
+        .groupBy(col("vec_id"), col("vl"), col("cl"))
+        .agg(sum(round(col("x") * col("m"), 12).cast("decimal(38,12)"))
+          .cast("double").as("__dot"))
+      val cos = dots.join(vnorm, Seq("vec_id")).join(cnorm, Seq("cl"))
+        .select(col("vec_id"), col("vl"), col("cl"),
+          round(col("__dot") / (col("nv") * col("nc")), 6).as("cos"))
+      val per = cos.groupBy(col("vec_id"), col("vl"))
+        .agg(max(when(col("cl") === col("vl"), col("cos"))).as("own"),
+          max(when(col("cl") =!= col("vl"), col("cos"))).as("other"))
+      per.groupBy(col("vl").as("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          (sum(col("own").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("__mo"),
+          (sum(col("other").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("__mb"))
+        .select(col("label"), col("n_vecs"),
+          round(col("__mo"), 6).as("mean_own_cos"),
+          round(col("__mb"), 6).as("mean_other_cos"),
+          round(col("__mo") - col("__mb"), 6).as("margin"))
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -5545,6 +5589,41 @@ object SparkEntry {
            FROM w4)
          SELECT cast(dim AS bigint) AS dim, round(v, 6) AS loading
          FROM v4""",
+    // cluster quality: mirrored centroid/norm/dot pipeline, 6/12dp rounds,
+    // margin from the UNROUNDED means then rounded once
+    "q250_cluster_quality" ->
+      """WITH e AS (SELECT vec_id, label AS vl, i AS dim,
+           embedding[i]::DOUBLE AS x
+           FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)),
+         cen AS (SELECT vl AS cl, dim,
+             cast(sum(cast(round(x, 6) AS decimal(18,6))) AS double)
+               / count(*) AS m
+           FROM e GROUP BY 1, 2),
+         vnorm AS (SELECT vec_id, sqrt(cast(sum(cast(round(x * x, 12)
+             AS decimal(38,12))) AS double)) AS nv FROM e GROUP BY 1),
+         cnorm AS (SELECT cl, sqrt(cast(sum(cast(round(m * m, 12)
+             AS decimal(38,12))) AS double)) AS nc FROM cen GROUP BY 1),
+         dots AS (SELECT vec_id, vl, cl,
+             cast(sum(cast(round(x * m, 12) AS decimal(38,12))) AS double)
+               AS dot
+           FROM e JOIN cen USING (dim) GROUP BY 1, 2, 3),
+         cosv AS (SELECT vec_id, vl, cl, round(dot / (nv * nc), 6) AS cs
+           FROM dots JOIN vnorm USING (vec_id) JOIN cnorm USING (cl)),
+         per AS (SELECT vec_id, vl,
+             max(CASE WHEN cl = vl THEN cs END) AS own,
+             max(CASE WHEN cl <> vl THEN cs END) AS other
+           FROM cosv GROUP BY 1, 2),
+         g AS (SELECT vl AS label, count(*) AS n_vecs,
+             cast(sum(cast(own AS decimal(18,6))) AS double) / count(*)
+               AS mo,
+             cast(sum(cast(other AS decimal(18,6))) AS double) / count(*)
+               AS mb
+           FROM per GROUP BY 1)
+         SELECT cast(label AS bigint) AS label,
+           cast(n_vecs AS bigint) AS n_vecs,
+           round(mo, 6) AS mean_own_cos, round(mb, 6) AS mean_other_cos,
+           round(mo - mb, 6) AS margin
+         FROM g""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->
