@@ -2445,6 +2445,90 @@ object SparkEntry {
           round(col("__mo") - col("__mb"), 6).as("margin"))
     }),
 
+    // ---- EXT: probabilistic record linkage (Fellegi–Sunter-lite) ----
+    "q251_record_linkage" -> ((s, dir) => {
+      // blocked candidate pairs + additive field-agreement log-weights →
+      // threshold classify. Pairs are generated WITHIN (nation, segment)
+      // blocks only — the blocking that keeps linkage off corpus×corpus.
+      // Weights ×10 as integers so scores, the threshold compare, and the
+      // per-block max are all EXACT.
+      val c = Tables.customer(s, dir).select(col("c_custkey"),
+        col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("band"),
+        (round(col("c_acctbal") * 100, 0).cast("long") % 10).as("centd"),
+        (col("c_acctbal") < 0).as("neg"))
+      val a = c.toDF("a_key", "c_nationkey", "c_mktsegment", "a_band",
+        "a_centd", "a_neg")
+      val b = c.toDF("b_key", "c_nationkey", "c_mktsegment", "b_band",
+        "b_centd", "b_neg")
+      a.join(b, Seq("c_nationkey", "c_mktsegment"))
+        .filter(col("a_key") < col("b_key"))
+        .withColumn("score10",
+          when(col("a_band") === col("b_band"), 20L).otherwise(-5L) +
+          when(col("a_centd") === col("b_centd"), 15L).otherwise(-3L) +
+          when(col("a_neg") === col("b_neg"), 5L).otherwise(-1L))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("score10") >= 25L, 1L).otherwise(0L))
+            .as("n_matches"),
+          max(col("score10")).as("max_score10"))
+    }),
+
+    // ---- EXT: asymmetric containment dedup (quote-expansion catcher) ----
+    "q252_containment_dedup" -> ((s, dir) => {
+      // Jaccard misses "A is a fragment of B"; the CONTAINMENT coefficient
+      // |A∩B|/|A| is the asymmetric measure that catches it. Same 3-token
+      // shingles + stop-shingle df cap as q36 (bounds every join group);
+      // exact intersection counts via the shingle equi-join; both
+      // directions emitted, 0.6 threshold on ROUNDED values.
+      val sh = Tables.documents(s, dir).select(col("doc_id"),
+        explode(TextOps.distinctShingles(
+          TextOps.tokens(col("text")), 3)).as("sng"))
+      val hot = sh.groupBy(col("sng")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > 100).select("sng")
+      val kept = sh.join(hot, Seq("sng"), "left_anti")
+      val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = kept.select(col("doc_id").as("doc_a"), col("sng"))
+        .join(kept.select(col("doc_id").as("doc_b"), col("sng")),
+          Seq("sng"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("__i"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("na")),
+          Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("nb")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("__i").cast("double") / col("na").cast("double"), 6)
+            .as("containment_ab"),
+          round(col("__i").cast("double") / col("nb").cast("double"), 6)
+            .as("containment_ba"))
+        .filter(col("containment_ab") >= 0.6 ||
+          col("containment_ba") >= 0.6)
+    }),
+
+    // ---- EXT: Theil–Sen robust trend (median of pairwise slopes) ----
+    "q253_theil_sen" -> ((s, dir) => {
+      // the outlier-proof alternative to OLS (q141): per type, the median
+      // of all pairwise day-slopes of the daily series. Pairs live on the
+      // bounded DAY GRID (calendar², never event count²); slopes 6dp-
+      // rounded BEFORE the median so interpolation runs on identical
+      // doubles in both engines.
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val a = daily.toDF("event_type", "a_day", "a_x")
+      val b = daily.toDF("event_type", "b_day", "b_x")
+      a.join(b, Seq("event_type")).filter(col("a_day") < col("b_day"))
+        .withColumn("slope", round(
+          (col("b_x") - col("a_x")).cast("double") /
+            datediff(col("b_day"), col("a_day")).cast("double"), 6))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(expr("percentile(slope, 0.5)"), 6).as("median_slope"))
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -5624,6 +5708,68 @@ object SparkEntry {
            round(mo, 6) AS mean_own_cos, round(mb, 6) AS mean_other_cos,
            round(mo - mb, 6) AS margin
          FROM g""",
+    // record linkage: mirrored blocked pairs + integer ×10 weights
+    "q251_record_linkage" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+           cast(floor(c_acctbal / 1000) AS bigint) AS band,
+           cast(round(c_acctbal * 100, 0) AS bigint) % 10 AS centd,
+           c_acctbal < 0 AS neg
+           FROM customer),
+         p AS (SELECT a.c_nationkey, a.c_mktsegment,
+             (CASE WHEN a.band = b.band THEN 20 ELSE -5 END +
+              CASE WHEN a.centd = b.centd THEN 15 ELSE -3 END +
+              CASE WHEN a.neg = b.neg THEN 5 ELSE -1 END) AS score10
+           FROM c a JOIN c b
+             ON a.c_nationkey = b.c_nationkey
+             AND a.c_mktsegment = b.c_mktsegment
+             AND a.c_custkey < b.c_custkey)
+         SELECT c_nationkey, c_mktsegment,
+           cast(count(*) AS bigint) AS n_pairs,
+           cast(sum(CASE WHEN score10 >= 25 THEN 1 ELSE 0 END) AS bigint)
+             AS n_matches,
+           cast(max(score10) AS bigint) AS max_score10
+         FROM p GROUP BY 1, 2""",
+    // containment: same shingle + df-cap pipeline as q36, exact
+    // intersection counts, 0.6 threshold on rounded values
+    "q252_containment_dedup" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents),
+         toks AS (SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, len(w) - 2),
+             i -> array_to_string(w[i:i+2], ' '))) AS t
+           FROM t0 WHERE len(w) >= 3),
+         shl AS (SELECT doc_id, unnest(t) AS sng FROM toks),
+         hot AS (SELECT sng FROM shl GROUP BY sng HAVING count(*) > 100),
+         kept AS (SELECT doc_id, sng FROM shl
+           WHERE sng NOT IN (SELECT sng FROM hot)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS i
+           FROM kept a JOIN kept b
+             ON a.sng = b.sng AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         f AS (SELECT doc_a, doc_b,
+             round(cast(i AS double) / cast(sa.sz AS double), 6)
+               AS containment_ab,
+             round(cast(i AS double) / cast(sb.sz AS double), 6)
+               AS containment_ba
+           FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+             JOIN sizes sb ON sb.doc_id = doc_b)
+         SELECT doc_a, doc_b, containment_ab, containment_ba FROM f
+         WHERE containment_ab >= 0.6 OR containment_ba >= 0.6""",
+    // Theil–Sen: mirrored day-grid pairs, 6dp slopes, interpolated median
+    // over identical doubles
+    "q253_theil_sen" ->
+      """WITH daily AS (SELECT event_type, cast(ts AS date) AS day,
+           count(*) AS x FROM events GROUP BY 1, 2),
+         p AS (SELECT a.event_type,
+             round(cast(b.x - a.x AS double) /
+               cast(date_diff('day', a.day, b.day) AS double), 6) AS slope
+           FROM daily a JOIN daily b
+             ON a.event_type = b.event_type AND a.day < b.day)
+         SELECT event_type, cast(count(*) AS bigint) AS n_pairs,
+           round(quantile_cont(slope, 0.5), 6) AS median_slope
+         FROM p GROUP BY 1""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->
