@@ -2816,6 +2816,13 @@ object SparkEntry {
           s, Tables.events(s, dir), chunks = 3, name = "dedup_within_wm")
         .select("event_id", "user_id", "event_type", "value")),
 
+    "q254_stream_rate_limit" -> ((s, dir) =>
+      // per-(user, day) quota enforcement as a stateful streaming op with
+      // event-time state cleanup; admitted set == batch row_number ≤ k
+      graft.streaming.Streams.replayedRateLimit(
+          s, Tables.events(s, dir), chunks = 3, k = 2, name = "rate_limit")
+        .select("event_id", "user_id", "event_type", "value")),
+
     // ---- F15: GeoJSON polygon parse → derived bbox ----
     "q77_geojson_bbox" -> ((s, dir) => {
       // per-customer GeoJSON Polygon STRINGS built with %.1f formatting,
@@ -6211,6 +6218,16 @@ object SparkEntry {
     // state-bounded dedup variant: same exactly-once contract
     "q248_stream_dedup_within_watermark" ->
       "SELECT event_id, user_id, event_type, value FROM events",
+    // rate limiter: earliest k per (user, day window) — the exact batch
+    // statement of the streaming quota rule
+    "q254_stream_rate_limit" ->
+      """WITH r AS (SELECT event_id, user_id, event_type, value,
+           row_number() OVER (
+             PARTITION BY user_id, date_trunc('day', ts)
+             ORDER BY ts, event_id) AS rn
+           FROM events)
+         SELECT event_id, user_id, event_type, value FROM r
+         WHERE rn <= 2""",
     // bbox of the parsed GeoJSON ring == mins/maxes of the raw vertex arithmetic
     "q77_geojson_bbox" ->
       """WITH t AS (SELECT c_custkey,

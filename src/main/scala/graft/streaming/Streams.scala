@@ -161,6 +161,72 @@ object Streams {
     spark.table(qname)
   }
 
+  /** Streaming per-key RATE LIMITER: at most `k` events pass per
+    * (user, tumbling day) window; excess drops. The ingest-protection
+    * shape (quota enforcement at the edge) as a stateful streaming op:
+    * state is ONE counter per active (user, window) key, cleaned up by
+    * EVENT-TIME timeout once the watermark passes the window end — so
+    * state is bounded by active windows, not by history. Per micro-batch
+    * the group's rows are sorted by (ts, event_id) before the quota is
+    * applied, making the admitted set deterministic for any time-ordered
+    * replay: earliest k events of the window win, exactly the batch
+    * row_number rule the q254 oracle states. */
+  def rateLimitStream(spark: SparkSession, events: DataFrame, k: Int,
+                      lateness: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .withWatermark("ts", lateness)
+      .as[Event]
+      .groupByKey(e => (e.user_id, e.ts.getTime / 86400000L))
+      .flatMapGroupsWithState[Long, Event](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, Long), rows: Iterator[Event], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val prev = state.getOption.getOrElse(0L)
+            val admit = sorted.take(math.max(0L, k - prev).toInt)
+            state.update(prev + sorted.size)
+            // clean up once the watermark passes the window end (+1 day)
+            state.setTimeoutTimestamp((key._2 + 2) * 86400000L)
+            admit.iterator
+          }
+      }.toDF()
+  }
+
+  /** Replay gate for [[rateLimitStream]]: time-sliced chunks make arrival
+    * order match event-time order across micro-batches (within a batch the
+    * operator sorts), so the admitted set must equal the batch
+    * `row_number() ≤ k` rule regardless of how the replay was chunked. */
+  def replayedRateLimit(spark: SparkSession, events: DataFrame, chunks: Int,
+                        k: Int, name: String): DataFrame = {
+    val base = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    val dir = freshReplayDir(name)
+    val mm = base.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val (loUs, hiUs) = (mm.getLong(0), mm.getLong(1))
+    val span = math.max(hiUs - loUs, 1L)
+    (0 until chunks).foreach { i =>
+      base.filter(least(
+          floor(((unix_micros(col("ts")) - loUs).cast("double") / span)
+            * chunks).cast("int"), lit(chunks - 1)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/c$i")
+    }
+    val expectedRows = base.count()
+    val stream = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/c*")
+    val qname = s"graft_gate_${name}_${replaySeq.incrementAndGet()}"
+    drainStream(spark, qname, expectedRows) {
+      rateLimitStream(spark, stream, k)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+    }
+    spark.table(qname)
+  }
+
   /** T4 — audit retention: an append stream that EXPIRES events older than
     * the retention horizon, where "older" is judged against the event-time
     * watermark (max event time seen, minus the horizon) — the streaming
