@@ -2372,11 +2372,15 @@ object SparkEntry {
       // arithmetic in lockstep — that's what makes an ITERATIVE float
       // algorithm hash-gateable at all. 4 iterations; v0 = 1/8 uniform
       // (unit norm at d=64, exactly representable).
+      // the triple table feeds TWO joins in each of 4 iterations — pin it
+      // once (rows × dims, the op's working set by definition) so the scan+
+      // explode doesn't re-run 8×, and cut the 4-round lineage chain
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), posexplode(col("embedding")))
         .toDF("vec_id", "dim0", "xf")
         .select(col("vec_id"), (col("dim0") + 1).cast("long").as("dim"),
           col("xf").cast("double").as("x"))
+        .localCheckpoint()
       val cnt = Tables.embeddings(s, dir).agg(count(lit(1)).as("__n"))
       var v = s.range(64).select((col("id") + 1).as("dim"),
         lit(0.125d).as("v"))
