@@ -2533,6 +2533,64 @@ object SparkEntry {
           round(expr("percentile(slope, 0.5)"), 6).as("median_slope"))
     }),
 
+    // ---- EXT: MERGE INTO apply (insert/update/delete classification) ----
+    "q255_merge_apply" -> ((s, dir) => {
+      // the lakehouse MERGE statement as one full-outer join + CASE: a
+      // deterministic change batch (updates %7, tombstones %13 — taking
+      // precedence, inserts keys+1e9) applied to orders; output = resulting
+      // table rows tagged with the action that produced them (deletes
+      // excluded, as MERGE leaves them). One shuffle on the merge key.
+      val t = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val src = Tables.orders(s, dir).select(col("o_orderkey"))
+        .filter(col("o_orderkey") % 7 === 0 || col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 13 === 0, "D").otherwise("U").as("op"),
+          lit("X").as("new_status"))
+        .unionAll(Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + 1000000000L).as("k"),
+            lit("I").as("op"), lit("N").as("new_status")))
+      t.join(src, col("o_orderkey") === col("k"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(
+          coalesce(col("o_orderkey"), col("k")).as("o_orderkey"),
+          when(col("op") === "U" || col("op") === "I", col("new_status"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          when(col("op") === "U", "update")
+            .when(col("op") === "I", "insert")
+            .otherwise("noop").as("action"))
+    }),
+
+    // ---- EXT: aspect-ratio bucketing (image-batch shape planning) ----
+    "q256_aspect_buckets" -> ((s, dir) => {
+      // multimodal training batches need uniform shapes: each image maps to
+      // the aspect bucket minimizing |ln(ratio) − ln(bucket_ratio)| (the
+      // SDXL-style bucket table — a broadcast design-time dimension). Dims
+      // here derive deterministically from doc_id (no decoder in sandbox);
+      // the OPERATOR — log-ratio argmin over a broadcast bucket table with
+      // a rounded, tie-broken boundary — is the real pipeline step. The
+      // argmin window is per-image over exactly |buckets| rows.
+      import org.apache.spark.sql.expressions.Window
+      val buckets = s.createDataFrame(Seq(
+        (1, 1024, 1024), (2, 1152, 896), (3, 896, 1152),
+        (4, 1216, 832), (5, 832, 1216), (6, 1344, 768), (7, 768, 1344)
+      )).toDF("bidx", "bw", "bh")
+      val imgs = Tables.documents(s, dir).select(col("doc_id"),
+        (lit(256) + col("doc_id") % 1024).cast("double").as("w"),
+        (lit(256) + (col("doc_id") * 7) % 1024).cast("double").as("h"))
+      val scored = imgs.crossJoin(broadcast(buckets))
+        .withColumn("diff", round(abs(
+          log(col("w") / col("h")) -
+            log(col("bw").cast("double") / col("bh").cast("double"))), 9))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("diff"), col("bidx"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("bw"), col("bh"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -5781,6 +5839,44 @@ object SparkEntry {
          SELECT event_type, cast(count(*) AS bigint) AS n_pairs,
            round(quantile_cont(slope, 0.5), 6) AS median_slope
          FROM p GROUP BY 1""",
+    // merge apply: mirrored full-outer + CASE classification
+    "q255_merge_apply" ->
+      """WITH src AS (SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+           'X' AS new_status
+           FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 13 = 0
+           UNION ALL
+           SELECT o_orderkey + 1000000000 AS k, 'I' AS op, 'N' AS new_status
+           FROM orders WHERE o_orderkey % 11 = 0)
+         SELECT coalesce(t.o_orderkey, s.k) AS o_orderkey,
+           CASE WHEN s.op IN ('U', 'I') THEN s.new_status
+                ELSE t.o_orderstatus END AS o_orderstatus,
+           CASE WHEN s.op = 'U' THEN 'update'
+                WHEN s.op = 'I' THEN 'insert'
+                ELSE 'noop' END AS action
+         FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.k
+         WHERE s.op IS NULL OR s.op <> 'D'""",
+    // aspect buckets: same log-ratio argmin, 9dp-rounded diff, bidx
+    // tie-break — boundary-deterministic
+    "q256_aspect_buckets" ->
+      """WITH buckets AS (SELECT * FROM (VALUES
+           (1, 1024, 1024), (2, 1152, 896), (3, 896, 1152),
+           (4, 1216, 832), (5, 832, 1216), (6, 1344, 768), (7, 768, 1344))
+           AS b(bidx, bw, bh)),
+         imgs AS (SELECT doc_id,
+             cast(256 + doc_id % 1024 AS double) AS w,
+             cast(256 + (doc_id * 7) % 1024 AS double) AS h
+           FROM documents),
+         scored AS (SELECT doc_id, bidx, bw, bh,
+             round(abs(ln(w / h) -
+               ln(cast(bw AS double) / cast(bh AS double))), 9) AS diff
+           FROM imgs, buckets),
+         best AS (SELECT bw, bh, row_number() OVER (
+             PARTITION BY doc_id ORDER BY diff, bidx) AS rn
+           FROM scored)
+         SELECT cast(bw AS int) AS bw, cast(bh AS int) AS bh,
+           cast(count(*) AS bigint) AS n_docs
+         FROM best WHERE rn = 1 GROUP BY 1, 2""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->

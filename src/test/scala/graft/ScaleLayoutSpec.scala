@@ -75,4 +75,32 @@ class ScaleLayoutSpec extends SparkSuite {
       s"expected the predicate at the partition layer, not the data layer:\n$scan")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("dim-filtered join dynamically prunes fact partitions (DPP)") {
+    // the 100 TB star-join shape: the fact table is partitioned on the join
+    // key's column; a selective dim filter must prune fact DIRECTORIES at
+    // runtime (dynamic partition pruning), not stream the whole fact
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dpp_layout").toString
+    val events = Tables.events(spark, sf)
+      .select("event_id", "event_type", "value")
+    Sources.appendParquet(events, dir, partitionCols = Seq("event_type"))
+    // the dim must be a REAL source (parquet), not a LocalRelation: Catalyst
+    // constant-folds a filter over literal rows away, and with no surviving
+    // selective Filter node the PartitionPruning rule has nothing to hook
+    val dimDir = java.nio.file.Files.createTempDirectory("dpp_dim").toString
+    Seq(("click", "interactive"), ("view", "passive"))
+      .toDF("event_type", "grp").write.mode("overwrite").parquet(dimDir)
+    val joined = spark.read.parquet(dir)
+      .join(spark.read.parquet(dimDir).filter(col("grp") === "interactive"),
+        Seq("event_type"))
+    joined.count() // finalize AQE so the executed plan is real
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter on the fact scan:\n$plan")
+    assert(joined.count() ==
+      events.filter(col("event_type") === "click").count())
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dimDir))
+  }
 }
