@@ -2591,6 +2591,43 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // ---- EXT: top-k terms per doc via higher-order array functions ----
+    "q257_topk_terms_per_doc" -> ((s, dir) => {
+      // the window-free top-k: per-doc term counts collect into an array of
+      // (-count, term) structs, then sort_array + slice + transform run
+      // INSIDE the row — no second shuffle, no window; the array is bounded
+      // by per-doc vocabulary. Struct field order gives (count desc, term
+      // asc) total order, so the top-3 and its string join are exact.
+      val counts = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+        .filter(col("t") =!= "")
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      counts.groupBy(col("doc_id"))
+        .agg(collect_list(struct((-col("c")).as("nc"), col("t").as("t")))
+          .as("__a"))
+        .select(col("doc_id"),
+          array_join(transform(slice(sort_array(col("__a")), 1, 3),
+            e => e.getField("t")), ",").as("top_terms"))
+    }),
+
+    // ---- EXT: correlated scalar subquery (Catalyst decorrelation) ----
+    "q258_correlated_subquery" -> ((s, dir) => {
+      // the SQL-surface shape every BI tool emits: a correlated scalar
+      // subquery per outer row. Catalyst decorrelates it into ONE aggregate
+      // + ONE join (never a per-row re-execution) — the rewrite is what
+      // makes this runnable at scale at all. The inner mean is an exact
+      // decimal sum with one final division so the > boundary is identical
+      // in both engines.
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT c.c_nationkey, count(*) AS n_above
+        FROM customer c
+        WHERE c.c_acctbal > (
+          SELECT cast(sum(cast(i.c_acctbal AS decimal(18,2))) AS double)
+                 / count(*)
+          FROM customer i WHERE i.c_nationkey = c.c_nationkey)
+        GROUP BY c.c_nationkey""")
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -5877,6 +5914,27 @@ object SparkEntry {
          SELECT cast(bw AS int) AS bw, cast(bh AS int) AS bh,
            cast(count(*) AS bigint) AS n_docs
          FROM best WHERE rn = 1 GROUP BY 1, 2""",
+    // top-k terms: same (count desc, term) total order stated via window +
+    // ordered string_agg — construction differs, semantics identical
+    "q257_topk_terms_per_doc" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+           FROM documents),
+         counts AS (SELECT doc_id, t, count(*) AS c FROM toks
+           WHERE t <> '' GROUP BY 1, 2),
+         r AS (SELECT doc_id, t, row_number() OVER (
+             PARTITION BY doc_id ORDER BY c DESC, t) AS rn
+           FROM counts)
+         SELECT doc_id, string_agg(t, ',' ORDER BY rn) AS top_terms
+         FROM r WHERE rn <= 3 GROUP BY doc_id""",
+    // correlated subquery: near-verbatim — DuckDB decorrelates the same way
+    "q258_correlated_subquery" ->
+      """SELECT c.c_nationkey, cast(count(*) AS bigint) AS n_above
+         FROM customer c
+         WHERE c.c_acctbal > (
+           SELECT cast(sum(cast(i.c_acctbal AS decimal(18,2))) AS double)
+                  / count(*)
+           FROM customer i WHERE i.c_nationkey = c.c_nationkey)
+         GROUP BY c.c_nationkey""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->
