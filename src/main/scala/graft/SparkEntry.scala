@@ -2628,6 +2628,51 @@ object SparkEntry {
         GROUP BY c.c_nationkey""")
     }),
 
+    // ---- EXT: debounce (burst collapse, keep-first) ----
+    "q259_debounce" -> ((s, dir) => {
+      // sensor/click de-noising: consecutive events of the same (user,
+      // type) within 30 minutes collapse to the burst's FIRST event. One
+      // per-key lag window (key-partitioned, never global); burst size
+      // carried out for auditability.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val marked = Tables.events(s, dir)
+        .withColumn("__prev", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("__new", when(col("__prev").isNull ||
+          unix_micros(col("ts")) - col("__prev") > 1800000000L, 1L)
+          .otherwise(0L))
+        .withColumn("__grp", sum(col("__new")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+      marked.groupBy(col("user_id"), col("event_type"), col("__grp"))
+        .agg(min(struct(col("ts"), col("event_id"))).as("__f"),
+          count(lit(1)).as("burst_len"))
+        .select(col("__f.event_id").as("event_id"), col("user_id"),
+          col("event_type"), col("burst_len"))
+    }),
+
+    // ---- EXT: join-skew profile (pre-flight cardinality planning) ----
+    "q260_join_skew_profile" -> ((s, dir) => {
+      // what a planner computes BEFORE a big join: per-key output
+      // contribution a_k·b_k from the two key histograms (never the join
+      // itself), the total predicted size, and the heaviest keys — the
+      // evidence that decides salting. Integer-exact; top-10 tie-broken on
+      // key.
+      val e = Tables.events(s, dir)
+      val a = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("na"))
+      val b = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("nb"))
+      val contrib = a.join(b, Seq("user_id"))
+        .select(col("user_id"), (col("na") * col("nb")).as("pairs"))
+      val tot = contrib.agg(sum(col("pairs")).as("__t"))
+      contrib.crossJoin(broadcast(tot))
+        .orderBy(col("pairs").desc, col("user_id"))
+        .limit(10)
+        .select(col("user_id"), col("pairs"),
+          col("__t").as("total_predicted_pairs"))
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -2921,6 +2966,13 @@ object SparkEntry {
       graft.streaming.Streams.replayedRateLimit(
           s, Tables.events(s, dir), chunks = 3, k = 2, name = "rate_limit")
         .select("event_id", "user_id", "event_type", "value")),
+
+    "q261_stream_restart_exactly_once" -> ((s, dir) =>
+      // kill the file-sink query mid-replay, restart on the same
+      // checkpoint: the drained sink == the batch table (no loss, no dups)
+      graft.streaming.Streams.replayedRestartFileSink(
+          s, Tables.events(s, dir), chunks = 4, name = "restart_sink")
+        .select("event_id", "ts", "user_id", "event_type", "value")),
 
     // ---- F15: GeoJSON polygon parse → derived bbox ----
     "q77_geojson_bbox" -> ((s, dir) => {
@@ -5935,6 +5987,40 @@ object SparkEntry {
                   / count(*)
            FROM customer i WHERE i.c_nationkey = c.c_nationkey)
          GROUP BY c.c_nationkey""",
+    // debounce: mirrored lag/gap-group windows, first row by (ts, id)
+    "q259_debounce" ->
+      """WITH m AS (SELECT event_id, user_id, event_type, ts,
+           epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+             ORDER BY ts, event_id) AS prev
+           FROM events),
+         g AS (SELECT *, sum(CASE WHEN prev IS NULL
+               OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+           FROM m),
+         f AS (SELECT user_id, event_type, grp, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type, grp
+               ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id, event_type, grp)
+               AS burst_len
+           FROM g)
+         SELECT event_id, user_id, event_type,
+           cast(burst_len AS bigint) AS burst_len
+         FROM f WHERE rn = 1""",
+    // join-skew profile: mirrored histogram product + top-10 by (pairs
+    // desc, key)
+    "q260_join_skew_profile" ->
+      """WITH a AS (SELECT user_id, count(*) AS na FROM events
+           WHERE event_type = 'click' GROUP BY 1),
+         b AS (SELECT user_id, count(*) AS nb FROM events
+           WHERE event_type = 'purchase' GROUP BY 1),
+         c AS (SELECT a.user_id, na * nb AS pairs
+           FROM a JOIN b USING (user_id)),
+         t AS (SELECT sum(pairs) AS tp FROM c)
+         SELECT user_id, cast(pairs AS bigint) AS pairs,
+           cast((SELECT tp FROM t) AS bigint) AS total_predicted_pairs
+         FROM c ORDER BY pairs DESC, user_id LIMIT 10""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->
@@ -6376,6 +6462,9 @@ object SparkEntry {
     // state-bounded dedup variant: same exactly-once contract
     "q248_stream_dedup_within_watermark" ->
       "SELECT event_id, user_id, event_type, value FROM events",
+    // restart sink: exactly-once across kill+restart == the source table
+    "q261_stream_restart_exactly_once" ->
+      "SELECT event_id, ts, user_id, event_type, value FROM events",
     // rate limiter: earliest k per (user, day window) — the exact batch
     // statement of the streaming quota rule
     "q254_stream_rate_limit" ->

@@ -227,6 +227,56 @@ object Streams {
     spark.table(qname)
   }
 
+  /** Exactly-once across KILL + RESTART — the recovery contract every
+    * production stream lives on: a parquet file sink with a real
+    * checkpoint is stopped PARTWAY through the replay, a NEW query is
+    * started on the same checkpoint + sink, and the drained sink must
+    * equal the batch table exactly — no loss (checkpoint resumes from the
+    * committed offset) and no duplication (the sink's _spark_metadata
+    * commit log makes a re-run of an in-flight batch idempotent). The
+    * committed count is polled through a BATCH read of the sink, which
+    * respects the commit log — uncommitted files are invisible, exactly as
+    * a downstream consumer would see them. */
+  def replayedRestartFileSink(spark: SparkSession, events: DataFrame,
+                              chunks: Int, name: String): DataFrame = {
+    val base = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    val dir = freshReplayDir(name)
+    val mm = base.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val (loUs, hiUs) = (mm.getLong(0), mm.getLong(1))
+    val span = math.max(hiUs - loUs, 1L)
+    (0 until chunks).foreach { i =>
+      base.filter(least(
+          floor(((unix_micros(col("ts")) - loUs).cast("double") / span)
+            * chunks).cast("int"), lit(chunks - 1)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/in/c$i")
+    }
+    val n = base.count()
+    val out = s"$dir/out"
+    val ckpt = s"$dir/ckpt"
+    def committed(): Long =
+      try spark.read.parquet(out).count() catch { case _: Throwable => 0L }
+    def runUntil(target: Long): Unit = {
+      val q = spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/c*")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+        while (committed() < target && System.nanoTime() < deadline &&
+            q.isActive) Thread.sleep(100)
+        q.exception.foreach(throw _)
+        require(committed() >= target,
+          s"restart sink $name: ${committed()} of $target rows committed")
+      } finally q.stop()
+    }
+    runUntil(1) // first committed batch, then KILL mid-stream
+    runUntil(n) // restart on the same checkpoint, drain the remainder
+    spark.read.parquet(out)
+  }
+
   /** T4 — audit retention: an append stream that EXPIRES events older than
     * the retention horizon, where "older" is judged against the event-time
     * watermark (max event time seen, minus the horizon) — the streaming
