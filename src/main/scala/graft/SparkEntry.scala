@@ -2673,6 +2673,61 @@ object SparkEntry {
           col("__t").as("total_predicted_pairs"))
     }),
 
+    // ---- EXT: LATERAL correlated subquery (per-row top-n) ----
+    "q262_lateral_topn" -> ((s, dir) => {
+      // "top 2 orders per customer" stated as a LATERAL subquery — the SQL
+      // form analysts write; Catalyst decorrelates the ORDER BY+LIMIT into
+      // a window group-limit, never a per-row re-execution. Total order
+      // (price desc, orderkey) makes the per-customer cut deterministic.
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l""")
+    }),
+
+    // ---- EXT: recursive CTE (Spark 4 native SQL recursion) ----
+    "q263_recursive_cte" -> ((s, dir) => {
+      // the q145 impact-radius BFS, this time as NATIVE SQL recursion
+      // (Spark 4 WITH RECURSIVE). Spark requires UNION ALL in the
+      // recursive step; the DISTINCT inside the step dedups each frontier
+      // LEVEL, so the recursion carries ≤ hops × |nodes| rows — the
+      // level-synchronous BFS shape, not path enumeration (which would be
+      // combinatorial on this bipartite graph). min(hops) at the end
+      // collapses cross-level re-visits.
+      Tables.registerAll(s, dir)
+      s.sql("""WITH RECURSIVE
+        p AS (SELECT DISTINCT 'c' || cast(o_custkey AS string) AS src,
+                's' || cast(l_suppkey AS string) AS dst
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        ed AS (SELECT src, dst FROM p
+               UNION ALL SELECT dst AS src, src AS dst FROM p),
+        bfs(node, hops) AS (
+          SELECT 'c' || cast(c_custkey AS string) AS node, 0 AS hops
+          FROM customer WHERE c_custkey <= 5
+          UNION ALL
+          SELECT DISTINCT e.dst, b.hops + 1
+          FROM bfs b JOIN ed e ON e.src = b.node
+          WHERE b.hops < 3)
+        SELECT node, cast(min(hops) AS int) AS hops
+        FROM bfs GROUP BY node""")
+    }),
+
+    // ---- EXT: VARIANT semi-structured extraction (Spark 4) ----
+    "q264_variant_json" -> ((s, dir) => {
+      // schema-on-read over the event props payload via the VARIANT type —
+      // the open-schema ingestion path (parse once, extract typed fields,
+      // aggregate); binary-encoded variant beats per-row JSON re-parsing
+      // at scale.
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT event_type, count(*) AS n,
+        sum(variant_get(parse_json(props), '$.k', 'long')) AS sum_k,
+        count(DISTINCT variant_get(parse_json(props), '$.k', 'long'))
+          AS n_distinct_k
+        FROM events GROUP BY event_type""")
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -6021,6 +6076,37 @@ object SparkEntry {
          SELECT user_id, cast(pairs AS bigint) AS pairs,
            cast((SELECT tp FROM t) AS bigint) AS total_predicted_pairs
          FROM c ORDER BY pairs DESC, user_id LIMIT 10""",
+    // lateral top-n: identical LATERAL syntax in DuckDB
+    "q262_lateral_topn" ->
+      """SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+         FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+           WHERE o.o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l""",
+    // recursive BFS: DuckDB uses UNION recursion (its level dedup);
+    // min(hops) makes both recursion styles converge to the same result
+    "q263_recursive_cte" ->
+      """WITH RECURSIVE
+         p AS (SELECT DISTINCT 'c' || cast(o_custkey AS varchar) AS src,
+                 's' || cast(l_suppkey AS varchar) AS dst
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         ed AS (SELECT src, dst FROM p
+                UNION ALL SELECT dst AS src, src AS dst FROM p),
+         bfs(node, hops) AS (
+           SELECT 'c' || cast(c_custkey AS varchar) AS node, 0 AS hops
+           FROM customer WHERE c_custkey <= 5
+           UNION
+           SELECT e.dst, b.hops + 1 FROM bfs b JOIN ed e ON e.src = b.node
+           WHERE b.hops < 3)
+         SELECT node, cast(min(hops) AS int) AS hops
+         FROM bfs GROUP BY node""",
+    // variant extraction: DuckDB's JSON path extraction, same typed field
+    "q264_variant_json" ->
+      """SELECT event_type, cast(count(*) AS bigint) AS n,
+         cast(sum(json_extract(props, '$.k')::bigint) AS bigint) AS sum_k,
+         cast(count(DISTINCT json_extract(props, '$.k')::bigint) AS bigint)
+           AS n_distinct_k
+         FROM events GROUP BY event_type""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->
