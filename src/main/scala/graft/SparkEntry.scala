@@ -2728,6 +2728,74 @@ object SparkEntry {
         FROM events GROUP BY event_type""")
     }),
 
+    // ---- EXT: group-median imputation (data repair) ----
+    "q265_impute_median" -> ((s, dir) => {
+      // the standard repair pass: values flagged missing (deterministic
+      // %17 mask here) impute to the group median, with the imputation
+      // VOLUME reported per group — repairs must be auditable. Median over
+      // 2dp values interpolates identically in both engines; the repaired
+      // mean is assembled in ONE mirrored expression from the exact
+      // decimal sum of surviving values.
+      val e = Tables.events(s, dir).select(col("event_type"),
+        col("value").cast(D).as("v"),
+        (col("event_id") % 17 === 0).as("miss"))
+      val med = e.filter(!col("miss"))
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(cast(v AS double), 0.5)"), 6)
+          .as("med"))
+      e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("miss"), 1L).otherwise(0L)).as("n_imputed"),
+          sum(when(!col("miss"), col("v")).otherwise(lit(0).cast(D)))
+            .cast("double").as("__s"))
+        .join(med, Seq("event_type"))
+        .select(col("event_type"), col("n"), col("n_imputed"),
+          round((col("__s") + col("med") * col("n_imputed")
+            .cast("double")) / col("n").cast("double"), 6)
+            .as("mean_after"))
+    }),
+
+    // ---- EXT: k-NN label-noise audit (confident-learning shape) ----
+    "q266_knn_label_noise" -> ((s, dir) => {
+      // mislabeled-example detection: for each vector, the fraction of its
+      // 5 cosine neighbors carrying a DIFFERENT label, averaged per label.
+      // Exact brute-force here (the audit runs on samples by design; the
+      // scale path is the gated ANN family q41/q45/q99/q106); all float
+      // reductions 12dp→decimal, cosines 6dp-rounded BEFORE the top-5 cut,
+      // ties on neighbor id.
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").cast("long").as("lab"),
+          posexplode(col("embedding")))
+        .toDF("vec_id", "lab", "dim", "xf")
+        .select(col("vec_id"), col("lab"), col("dim"),
+          col("xf").cast("double").as("x"))
+      val nrm = e.groupBy(col("vec_id"))
+        .agg(sqrt(sum(round(col("x") * col("x"), 12).cast("decimal(38,12)"))
+          .cast("double")).as("nv"))
+      val a = e.toDF("v1", "l1", "dim", "x1")
+      val b = e.toDF("v2", "l2", "dim", "x2")
+      val dots = a.join(b, Seq("dim")).filter(col("v1") =!= col("v2"))
+        .groupBy(col("v1"), col("l1"), col("v2"), col("l2"))
+        .agg(sum(round(col("x1") * col("x2"), 12).cast("decimal(38,12)"))
+          .cast("double").as("__dot"))
+      val cos = dots
+        .join(nrm.toDF("v1", "n1"), Seq("v1"))
+        .join(nrm.toDF("v2", "n2"), Seq("v2"))
+        .select(col("v1"), col("l1"), col("v2"), col("l2"),
+          round(col("__dot") / (col("n1") * col("n2")), 6).as("cs"))
+      val w = Window.partitionBy(col("v1"))
+        .orderBy(col("cs").desc, col("v2"))
+      cos.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .groupBy(col("l1").as("label"))
+        .agg(countDistinct(col("v1")).as("n_vecs"),
+          sum(when(col("l2") =!= col("l1"), 1L).otherwise(0L))
+            .as("__dis"))
+        .select(col("label"), col("n_vecs"),
+          round(col("__dis").cast("double") /
+            (col("n_vecs") * 5).cast("double"), 6).as("noise_rate"))
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -6107,6 +6175,50 @@ object SparkEntry {
          cast(count(DISTINCT json_extract(props, '$.k')::bigint) AS bigint)
            AS n_distinct_k
          FROM events GROUP BY event_type""",
+    // impute: mirrored median + one repaired-mean expression
+    "q265_impute_median" ->
+      """WITH e AS (SELECT event_type,
+           cast(value AS decimal(18,2)) AS v,
+           event_id % 17 = 0 AS miss FROM events),
+         med AS (SELECT event_type,
+             round(quantile_cont(cast(v AS double), 0.5), 6) AS med
+           FROM e WHERE NOT miss GROUP BY 1),
+         g AS (SELECT event_type, cast(count(*) AS bigint) AS n,
+             cast(sum(CASE WHEN miss THEN 1 ELSE 0 END) AS bigint)
+               AS n_imputed,
+             cast(sum(CASE WHEN NOT miss THEN v
+               ELSE cast(0 AS decimal(18,2)) END) AS double) AS s
+           FROM e GROUP BY 1)
+         SELECT g.event_type, n, n_imputed,
+           round((s + med * cast(n_imputed AS double)) /
+             cast(n AS double), 6) AS mean_after
+         FROM g JOIN med USING (event_type)""",
+    // label noise: mirrored norm/dot/cosine pipeline, 6dp before top-5,
+    // neighbor-id tie-break
+    "q266_knn_label_noise" ->
+      """WITH e AS (SELECT vec_id, cast(label AS bigint) AS lab, i AS dim,
+           embedding[i]::DOUBLE AS x
+           FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)),
+         nrm AS (SELECT vec_id, sqrt(cast(sum(cast(round(x * x, 12)
+             AS decimal(38,12))) AS double)) AS nv FROM e GROUP BY 1),
+         dots AS (SELECT a.vec_id AS v1, a.lab AS l1, b.vec_id AS v2,
+             b.lab AS l2,
+             cast(sum(cast(round(a.x * b.x, 12) AS decimal(38,12)))
+               AS double) AS dot
+           FROM e a JOIN e b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+           GROUP BY 1, 2, 3, 4),
+         cs AS (SELECT v1, l1, v2, l2,
+             round(dot / (na.nv * nb.nv), 6) AS c
+           FROM dots JOIN nrm na ON na.vec_id = v1
+             JOIN nrm nb ON nb.vec_id = v2),
+         top AS (SELECT v1, l1, l2, row_number() OVER (
+             PARTITION BY v1 ORDER BY c DESC, v2) AS rn
+           FROM cs)
+         SELECT l1 AS label,
+           cast(count(DISTINCT v1) AS bigint) AS n_vecs,
+           round(cast(sum(CASE WHEN l2 <> l1 THEN 1 ELSE 0 END) AS double)
+             / cast(count(DISTINCT v1) * 5 AS double), 6) AS noise_rate
+         FROM top WHERE rn <= 5 GROUP BY l1""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->
