@@ -2796,6 +2796,87 @@ object SparkEntry {
             (col("n_vecs") * 5).cast("double"), 6).as("noise_rate"))
     }),
 
+    // ---- EXT: interval union (merge overlapping activity windows) ----
+    "q267_interval_union" -> ((s, dir) => {
+      // total covered time per user when each event opens a 30-minute
+      // activity window: classic interval merging via the running-max-end
+      // trick — a new island starts where ts exceeds every previous end.
+      // Key-partitioned windows only; exact micros arithmetic end-to-end.
+      import org.apache.spark.sql.expressions.Window
+      val iv = Tables.events(s, dir).select(col("user_id"),
+        col("event_id"), unix_micros(col("ts")).as("st"),
+        (unix_micros(col("ts")) + 1800000000L).as("en"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("st"), col("event_id"))
+      val marked = iv
+        .withColumn("__pmax", max(col("en")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("__new",
+          when(col("__pmax").isNull || col("st") > col("__pmax"), 1L)
+            .otherwise(0L))
+        .withColumn("__isl", sum(col("__new")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+      marked.groupBy(col("user_id"), col("__isl"))
+        .agg(min(col("st")).as("__s"), max(col("en")).as("__e"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("__e") - col("__s")).as("covered_us"))
+    }),
+
+    // ---- EXT: cross-source duplicate flow matrix ----
+    "q268_cross_source_dups" -> ((s, dir) => {
+      // corpus governance: which sources share exact-duplicate content —
+      // per (source_a ≤ source_b) pair, the number of shared bag
+      // fingerprints (q35's order-insensitive content key). Fingerprint
+      // groups bound the pair fan-out; one distinct + one self-join on fp.
+      val d = Tables.documents(s, dir).select(col("source"),
+        TextOps.bagFingerprint(TextOps.tokens(col("text"))).as("fp"))
+        .distinct()
+      d.toDF("sa", "fp")
+        .join(d.toDF("sb", "fp2"), col("fp") === col("fp2"))
+        .filter(col("sa") <= col("sb"))
+        .filter(col("sa") =!= col("sb"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(countDistinct(col("fp")).as("n_shared_fps"))
+    }),
+
+    // ---- EXT: mutual nearest neighbors (canonical pairing) ----
+    "q269_mutual_nn" -> ((s, dir) => {
+      // reciprocal best match: pairs where each vector is the other's
+      // cosine top-1 — the high-precision pairing primitive under
+      // merge/canonicalization decisions. Reuses the exact cosine table
+      // (audit-sample scale; ANN is the corpus path); 6dp cosines before
+      // the argmax, neighbor-id tie-break, v1 < v2 canonical orientation.
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .toDF("vec_id", "dim", "xf")
+        .select(col("vec_id"), col("dim"),
+          col("xf").cast("double").as("x"))
+      val nrm = e.groupBy(col("vec_id"))
+        .agg(sqrt(sum(round(col("x") * col("x"), 12).cast("decimal(38,12)"))
+          .cast("double")).as("nv"))
+      val dots = e.toDF("v1", "dim", "x1")
+        .join(e.toDF("v2", "dim2", "x2"),
+          col("dim") === col("dim2") && col("v1") =!= col("v2"))
+        .groupBy(col("v1"), col("v2"))
+        .agg(sum(round(col("x1") * col("x2"), 12).cast("decimal(38,12)"))
+          .cast("double").as("__dot"))
+      val cos = dots
+        .join(nrm.toDF("v1", "n1"), Seq("v1"))
+        .join(nrm.toDF("v2", "n2"), Seq("v2"))
+        .select(col("v1"), col("v2"),
+          round(col("__dot") / (col("n1") * col("n2")), 6).as("cs"))
+      val w = Window.partitionBy(col("v1"))
+        .orderBy(col("cs").desc, col("v2"))
+      val best = cos.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("v1"), col("v2"), col("cs"))
+      best.join(best.toDF("b2", "b1", "cs2"),
+          col("v1") === col("b1") && col("v2") === col("b2"))
+        .filter(col("v1") < col("v2"))
+        .select(col("v1"), col("v2"), col("cs"))
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -6219,6 +6300,55 @@ object SparkEntry {
            round(cast(sum(CASE WHEN l2 <> l1 THEN 1 ELSE 0 END) AS double)
              / cast(count(DISTINCT v1) * 5 AS double), 6) AS noise_rate
          FROM top WHERE rn <= 5 GROUP BY l1""",
+    // interval union: mirrored running-max-end island windows
+    "q267_interval_union" ->
+      """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS st,
+           epoch_us(ts) + 1800000000 AS en FROM events),
+         m AS (SELECT user_id, st, en,
+             max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax,
+             event_id
+           FROM iv),
+         g AS (SELECT *, sum(CASE WHEN pmax IS NULL OR st > pmax
+               THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY st, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+           FROM m),
+         i AS (SELECT user_id, isl, min(st) AS s, max(en) AS e
+           FROM g GROUP BY 1, 2)
+         SELECT user_id, cast(count(*) AS bigint) AS n_islands,
+           cast(sum(e - s) AS bigint) AS covered_us
+         FROM i GROUP BY 1""",
+    // cross-source dup flow: q35's bag fingerprint, source-pair join
+    "q268_cross_source_dups" ->
+      """WITH d AS (SELECT DISTINCT source,
+           md5(array_to_string(list_sort(list_distinct(
+             string_split(text, ' '))), ' ')) AS fp
+           FROM documents)
+         SELECT a.source AS sa, b.source AS sb,
+           cast(count(DISTINCT a.fp) AS bigint) AS n_shared_fps
+         FROM d a JOIN d b ON a.fp = b.fp AND a.source < b.source
+         GROUP BY 1, 2""",
+    // mutual NN: mirrored cosine table, per-side argmax, reciprocal join
+    "q269_mutual_nn" ->
+      """WITH e AS (SELECT vec_id, i AS dim, embedding[i]::DOUBLE AS x
+           FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)),
+         nrm AS (SELECT vec_id, sqrt(cast(sum(cast(round(x * x, 12)
+             AS decimal(38,12))) AS double)) AS nv FROM e GROUP BY 1),
+         dots AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+             cast(sum(cast(round(a.x * b.x, 12) AS decimal(38,12)))
+               AS double) AS dot
+           FROM e a JOIN e b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+           GROUP BY 1, 2),
+         cs AS (SELECT v1, v2, round(dot / (na.nv * nb.nv), 6) AS cs
+           FROM dots JOIN nrm na ON na.vec_id = v1
+             JOIN nrm nb ON nb.vec_id = v2),
+         best AS (SELECT v1, v2, cs FROM (SELECT v1, v2, cs,
+             row_number() OVER (PARTITION BY v1 ORDER BY cs DESC, v2)
+               AS rn FROM cs) WHERE rn = 1)
+         SELECT a.v1, a.v2, a.cs FROM best a
+         JOIN best b ON a.v1 = b.v2 AND a.v2 = b.v1
+         WHERE a.v1 < a.v2""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->
