@@ -2877,6 +2877,41 @@ object SparkEntry {
         .select(col("v1"), col("v2"), col("cs"))
     }),
 
+    // ---- EXT: multiset set-ops (INTERSECT ALL / EXCEPT ALL) ----
+    "q270_bag_setops" -> ((s, dir) => {
+      // bag semantics matter for reconciliation: INTERSECT ALL keeps
+      // min(multiplicity), EXCEPT ALL subtracts it — both distinct from
+      // the q22/q23 set versions. Two deterministic order slices of the
+      // same column; results aggregated per key for a compact gate.
+      val a = Tables.orders(s, dir).filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_custkey"))
+      val b = Tables.orders(s, dir).filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_custkey"))
+      val ia = a.intersectAll(b).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      val ea = a.exceptAll(b).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      ia.unionAll(ea).select(col("op"), col("o_custkey"), col("n"))
+    }),
+
+    // ---- EXT: null-safe equi-join (<=>) ----
+    "q271_null_safe_join" -> ((s, dir) => {
+      // reconciliation joins must pair NULL keys too — plain equality
+      // silently drops them. Sides pre-aggregate per key (histogram
+      // discipline), then one null-safe hash join; the NULL group pairs
+      // like any other key.
+      val e = Tables.events(s, dir)
+        .select(nullif(col("event_type"), lit("view")).as("k"),
+          col("event_id"))
+      val a = e.filter(col("event_id") % 2 === 0)
+        .groupBy(col("k")).agg(count(lit(1)).as("na"))
+      val b = e.filter(col("event_id") % 2 === 1)
+        .groupBy(col("k")).agg(count(lit(1)).as("nb"))
+      a.join(b, a("k") <=> b("k"))
+        .select(a("k").as("k"), col("na"), col("nb"),
+          (col("na") * col("nb")).as("n_pairs"))
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -6349,6 +6384,30 @@ object SparkEntry {
          SELECT a.v1, a.v2, a.cs FROM best a
          JOIN best b ON a.v1 = b.v2 AND a.v2 = b.v1
          WHERE a.v1 < a.v2""",
+    // bag set-ops: verbatim INTERSECT ALL / EXCEPT ALL
+    "q270_bag_setops" ->
+      """WITH a AS (SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0),
+         b AS (SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0),
+         ia AS (SELECT o_custkey FROM a INTERSECT ALL
+                SELECT o_custkey FROM b),
+         ea AS (SELECT o_custkey FROM a EXCEPT ALL
+                SELECT o_custkey FROM b)
+         SELECT 'intersect_all' AS op, o_custkey,
+           cast(count(*) AS bigint) AS n FROM ia GROUP BY 2
+         UNION ALL
+         SELECT 'except_all' AS op, o_custkey,
+           cast(count(*) AS bigint) AS n FROM ea GROUP BY 2""",
+    // null-safe join: IS NOT DISTINCT FROM pairs the NULL group too
+    "q271_null_safe_join" ->
+      """WITH e AS (SELECT nullif(event_type, 'view') AS k, event_id
+           FROM events),
+         a AS (SELECT k, count(*) AS na FROM e
+           WHERE event_id % 2 = 0 GROUP BY k),
+         b AS (SELECT k, count(*) AS nb FROM e
+           WHERE event_id % 2 = 1 GROUP BY k)
+         SELECT a.k, cast(na AS bigint) AS na, cast(nb AS bigint) AS nb,
+           cast(na * nb AS bigint) AS n_pairs
+         FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->
