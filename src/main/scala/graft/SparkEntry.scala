@@ -2912,6 +2912,57 @@ object SparkEntry {
           (col("na") * col("nb")).as("n_pairs"))
     }),
 
+    // ---- EXT: largest-remainder proration (exact cents allocation) ----
+    "q272_proration" -> ((s, dir) => {
+      // the finance/ETL allocation op: spread each order's total cents
+      // across its line items proportional to extended price, conserving
+      // the total EXACTLY — floor shares first, then one extra cent to the
+      // largest remainders (linenumber tie-break). Pure integer
+      // arithmetic; windows are per-order (≤7 rows by schema).
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        col("l_linenumber"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("w"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("t"))
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      val wSum = Window.partitionBy(col("l_orderkey"))
+      val base = j
+        .withColumn("__W", sum(col("w")).over(wSum))
+        .withColumn("__base", expr("(t * w) div __W"))
+        .withColumn("__rem", (col("t") * col("w")) % col("__W"))
+      val ranked = base
+        .withColumn("__left", col("t") - sum(col("__base")).over(wSum))
+        .withColumn("__rk", row_number().over(wSum
+          .orderBy(col("__rem").desc, col("l_linenumber"))))
+      ranked.select(col("l_orderkey"), col("l_linenumber"),
+        (col("__base") +
+          when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+          .as("alloc_cents"))
+    }),
+
+    // ---- EXT: encoding-quality audit (mojibake / control chars) ----
+    "q273_encoding_audit" -> ((s, dir) =>
+      // corpus hygiene: per source, documents containing U+FFFD
+      // replacement chars and the control-character rate per 1k chars —
+      // the filter that catches broken decodes before training. Counts
+      // via length-difference (no per-row lambdas); integer-exact until
+      // the final rate division.
+      Tables.documents(s, dir)
+        .select(col("source"), col("n_chars"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "�", ""))).as("__nr"),
+          (length(col("text")) - length(regexp_replace(col("text"),
+            "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))).as("__nc"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__nr") > 0, 1L).otherwise(0L))
+            .as("n_docs_replacement"),
+          sum(col("__nc")).as("__ctl"), sum(col("n_chars")).as("__ch"))
+        .select(col("source"), col("n_docs"), col("n_docs_replacement"),
+          round(col("__ctl").cast("double") * 1000.0d /
+            col("__ch").cast("double"), 6).as("ctl_per_1k_chars"))),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -6408,6 +6459,40 @@ object SparkEntry {
          SELECT a.k, cast(na AS bigint) AS na, cast(nb AS bigint) AS nb,
            cast(na * nb AS bigint) AS n_pairs
          FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k""",
+    // proration: mirrored integer floor-share + largest-remainder windows
+    "q272_proration" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+           cast(round(l_extendedprice * 100, 0) AS bigint) AS w
+           FROM lineitem),
+         o AS (SELECT o_orderkey,
+           cast(round(o_totalprice * 100, 0) AS bigint) AS t FROM orders),
+         j AS (SELECT l_orderkey, l_linenumber, w, t
+           FROM li JOIN o ON l_orderkey = o_orderkey),
+         b AS (SELECT *, sum(w) OVER (PARTITION BY l_orderkey) AS tw
+           FROM j),
+         c AS (SELECT *, (t * w) // tw AS base, (t * w) % tw AS rem
+           FROM b),
+         r AS (SELECT *,
+             t - sum(base) OVER (PARTITION BY l_orderkey) AS leftover,
+             row_number() OVER (PARTITION BY l_orderkey
+               ORDER BY rem DESC, l_linenumber) AS rk
+           FROM c)
+         SELECT l_orderkey, l_linenumber,
+           cast(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+             AS bigint) AS alloc_cents
+         FROM r""",
+    // encoding audit: same char classes (tab/newline/CR excluded), 'g'
+    // flag so DuckDB replaces ALL matches like Spark does
+    "q273_encoding_audit" ->
+      """SELECT source, cast(count(*) AS bigint) AS n_docs,
+         cast(sum(CASE WHEN len(text) -
+             len(regexp_replace(text, '\x{FFFD}', '', 'g')) > 0
+           THEN 1 ELSE 0 END) AS bigint) AS n_docs_replacement,
+         round(cast(sum(len(text) - len(regexp_replace(text,
+             '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'))) AS double)
+           * 1000.0 / cast(sum(n_chars) AS double), 6)
+           AS ctl_per_1k_chars
+         FROM documents GROUP BY source""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->
