@@ -2759,12 +2759,14 @@ object SparkEntry {
     "q266_knn_label_noise" -> ((s, dir) => {
       // mislabeled-example detection: for each vector, the fraction of its
       // 5 cosine neighbors carrying a DIFFERENT label, averaged per label.
-      // Exact brute-force here (the audit runs on samples by design; the
-      // scale path is the gated ANN family q41/q45/q99/q106); all float
-      // reductions 12dp→decimal, cosines 6dp-rounded BEFORE the top-5 cut,
-      // ties on neighbor id.
+      // The audit runs on a DETERMINISTIC md5 sample (1 in 8) — brute-force
+      // pair work is bounded by the sample budget, not the corpus (the
+      // corpus-scale path is the gated ANN family q41/q45/q99/q106); all
+      // float reductions 12dp→decimal, cosines 6dp-rounded BEFORE the
+      // top-5 cut, ties on neighbor id.
       import org.apache.spark.sql.expressions.Window
       val e = Tables.embeddings(s, dir)
+        .filter(graft.operators.Sampling.hashBucket(col("vec_id"), 8) === 0)
         .select(col("vec_id"), col("label").cast("long").as("lab"),
           posexplode(col("embedding")))
         .toDF("vec_id", "lab", "dim", "xf")
@@ -2844,11 +2846,13 @@ object SparkEntry {
     "q269_mutual_nn" -> ((s, dir) => {
       // reciprocal best match: pairs where each vector is the other's
       // cosine top-1 — the high-precision pairing primitive under
-      // merge/canonicalization decisions. Reuses the exact cosine table
-      // (audit-sample scale; ANN is the corpus path); 6dp cosines before
-      // the argmax, neighbor-id tie-break, v1 < v2 canonical orientation.
+      // merge/canonicalization decisions. Same deterministic md5 audit
+      // sample as q266 (pair work bounded by the sample budget; ANN is the
+      // corpus path); 6dp cosines before the argmax, neighbor-id
+      // tie-break, v1 < v2 canonical orientation.
       import org.apache.spark.sql.expressions.Window
       val e = Tables.embeddings(s, dir)
+        .filter(graft.operators.Sampling.hashBucket(col("vec_id"), 8) === 0)
         .select(col("vec_id"), posexplode(col("embedding")))
         .toDF("vec_id", "dim", "xf")
         .select(col("vec_id"), col("dim"),
@@ -6365,7 +6369,9 @@ object SparkEntry {
     "q266_knn_label_noise" ->
       """WITH e AS (SELECT vec_id, cast(label AS bigint) AS lab, i AS dim,
            embedding[i]::DOUBLE AS x
-           FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)),
+           FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+           WHERE ('0x' || substr(md5(cast(vec_id AS varchar)), 1, 8))::bigint
+             % 8 = 0),
          nrm AS (SELECT vec_id, sqrt(cast(sum(cast(round(x * x, 12)
              AS decimal(38,12))) AS double)) AS nv FROM e GROUP BY 1),
          dots AS (SELECT a.vec_id AS v1, a.lab AS l1, b.vec_id AS v2,
@@ -6418,7 +6424,9 @@ object SparkEntry {
     // mutual NN: mirrored cosine table, per-side argmax, reciprocal join
     "q269_mutual_nn" ->
       """WITH e AS (SELECT vec_id, i AS dim, embedding[i]::DOUBLE AS x
-           FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)),
+           FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+           WHERE ('0x' || substr(md5(cast(vec_id AS varchar)), 1, 8))::bigint
+             % 8 = 0),
          nrm AS (SELECT vec_id, sqrt(cast(sum(cast(round(x * x, 12)
              AS decimal(38,12))) AS double)) AS nv FROM e GROUP BY 1),
          dots AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
