@@ -2967,6 +2967,60 @@ object SparkEntry {
           round(col("__ctl").cast("double") * 1000.0d /
             col("__ch").cast("double"), 6).as("ctl_per_1k_chars"))),
 
+    // ---- EXT: Poisson bootstrap (deterministic resampling CI) ----
+    "q274_poisson_bootstrap" -> ((s, dir) => {
+      // THE bootstrap that works on big data: instead of drawing n rows
+      // with replacement, each (row, replicate) gets a Poisson(1) weight —
+      // one scan per replicate batch, no global shuffle. Weights are
+      // DETERMINISTIC: md5(row, replicate) → uniform → Poisson quantile by
+      // CDF thresholds, so both engines draw the identical resamples.
+      // Replicate means use exact decimal numerators; the SE over the
+      // B=20 replicate means follows the q245 jackknife discipline.
+      val B = 20
+      val d = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("value").cast(D).as("v"))
+      val reps = s.range(1, B + 1).select(col("id").as("r"))
+      val u = (graft.operators.Sampling.hashBucket(
+        concat_ws("_", col("event_id"), col("r")), 1000000)
+        .cast("double") / lit(1000000.0d))
+      val w = when(u < 0.367879d, 0L).when(u < 0.735759d, 1L)
+        .when(u < 0.919699d, 2L).when(u < 0.981012d, 3L)
+        .when(u < 0.996340d, 4L).when(u < 0.999406d, 5L).otherwise(6L)
+      val perRep = d.crossJoin(broadcast(reps))
+        .withColumn("__w", w)
+        .groupBy(col("r"))
+        .agg((sum(col("v") * col("__w")).cast("double") /
+          sum(col("__w")).cast("double")).as("m"))
+      val mbar = perRep.agg(
+        (sum(round(col("m"), 12).cast("decimal(28,12)")).cast("double") /
+          lit(B.toDouble)).as("mb"))
+      val se = perRep.crossJoin(broadcast(mbar))
+        .agg(sum(round((col("m") - col("mb")) * (col("m") - col("mb")), 12)
+          .cast("decimal(28,12)")).cast("double").as("__ss"))
+        .select(round(sqrt(col("__ss") / lit((B - 1).toDouble)), 6)
+          .as("se_boot"))
+      val theta = d.agg(
+        round(sum(col("v")).cast("double") / count(lit(1)), 6).as("theta"))
+      theta.crossJoin(se).withColumn("b", lit(B.toLong))
+    }),
+
+    // ---- EXT: ANALYZE-style column statistics ----
+    "q275_table_stats" -> ((s, dir) => {
+      // the stats pass a cost-based optimizer feeds on: per column, exact
+      // NDV + null count (+ row count). Exact distincts here — bounded
+      // fixture domains; the 100 TB path is the gated HLL sketch (q230).
+      val li = Tables.lineitem(s, dir)
+      def one(c: String): DataFrame = li.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col(c)).as("ndv"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("ndv"),
+          col("n_nulls"))
+      one("l_orderkey").unionAll(one("l_returnflag"))
+        .unionAll(one("l_quantity")).unionAll(one("l_shipdate"))
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -6501,6 +6555,60 @@ object SparkEntry {
            * 1000.0 / cast(sum(n_chars) AS double), 6)
            AS ctl_per_1k_chars
          FROM documents GROUP BY source""",
+    // Poisson bootstrap: identical md5→uniform→Poisson-quantile draws,
+    // exact decimal replicate numerators, q245-style SE assembly
+    "q274_poisson_bootstrap" ->
+      """WITH d AS (SELECT event_id, cast(value AS decimal(18,2)) AS v
+           FROM events WHERE event_type = 'purchase'),
+         reps AS (SELECT unnest(generate_series(1, 20)) AS r),
+         j AS (SELECT event_id, v, r,
+             (('0x' || substr(md5(cast(event_id AS varchar) || '_' ||
+               cast(r AS varchar)), 1, 8))::bigint % 1000000)
+               / 1000000.0 AS u
+           FROM d, reps),
+         wts AS (SELECT r, v,
+             CASE WHEN u < 0.367879 THEN 0 WHEN u < 0.735759 THEN 1
+                  WHEN u < 0.919699 THEN 2 WHEN u < 0.981012 THEN 3
+                  WHEN u < 0.996340 THEN 4 WHEN u < 0.999406 THEN 5
+                  ELSE 6 END AS w
+           FROM j),
+         pr AS (SELECT r, cast(sum(v * w) AS double) /
+             cast(sum(w) AS double) AS m
+           FROM wts GROUP BY r),
+         mb AS (SELECT cast(sum(cast(round(m, 12) AS decimal(28,12)))
+             AS double) / 20.0 AS mb FROM pr),
+         se AS (SELECT round(sqrt(cast(sum(cast(round((m - mb) * (m - mb),
+             12) AS decimal(28,12))) AS double) / 19.0), 6) AS se_boot
+           FROM pr, mb),
+         th AS (SELECT round(cast(sum(v) AS double) / count(*), 6)
+             AS theta FROM d)
+         SELECT theta, se_boot, cast(20 AS bigint) AS b FROM th, se""",
+    // table stats: mirrored exact NDV/null counts per column
+    "q275_table_stats" ->
+      """SELECT 'l_orderkey' AS column_name,
+           cast(count(*) AS bigint) AS n_rows,
+           cast(count(DISTINCT l_orderkey) AS bigint) AS ndv,
+           cast(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+             AS bigint) AS n_nulls
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_returnflag', cast(count(*) AS bigint),
+           cast(count(DISTINCT l_returnflag) AS bigint),
+           cast(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+             AS bigint)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_quantity', cast(count(*) AS bigint),
+           cast(count(DISTINCT l_quantity) AS bigint),
+           cast(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+             AS bigint)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_shipdate', cast(count(*) AS bigint),
+           cast(count(DISTINCT l_shipdate) AS bigint),
+           cast(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+             AS bigint)
+         FROM lineitem""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->
