@@ -3021,6 +3021,44 @@ object SparkEntry {
         .unionAll(one("l_quantity")).unionAll(one("l_shipdate"))
     }),
 
+    // ---- EXT: sliding-window aggregation (overlapping windows) ----
+    "q276_sliding_windows" -> ((s, dir) =>
+      // 1-hour windows sliding every 15 minutes: each event lands in
+      // exactly 4 overlapping windows — the smoothing shape monitoring
+      // dashboards use (tumbling q58 is the special case slide = length).
+      // Spark's `window()` generates the assignment inline (a 4-row
+      // explode, no join); exact decimal sums per window.
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(D)).cast("double").as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("n"), col("sum_value"))),
+
+    // ---- EXT: chunk → reassemble round trip (inverse-operator gate) ----
+    "q277_chunk_roundtrip" -> ((s, dir) => {
+      // integrity proof for the RAG chunker: q82's overlapped chunks,
+      // reassembled (first chunk whole, later chunks minus the `overlap`
+      // leading tokens), must reproduce every document's space-normalized
+      // token stream exactly. Per-doc arrays bounded by doc length; the
+      // oracle is simply the normalized source text.
+      val overlap = 10
+      val chunks = TextOps.chunkTokens(
+        Tables.documents(s, dir).filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", chunkSize = 50, overlap = overlap)
+      chunks
+        .withColumn("__kept",
+          when(col("chunk_id") === 0, split(col("chunk_text"), " "))
+            .otherwise(slice(split(col("chunk_text"), " "),
+              overlap + 1, 1000000)))
+        .groupBy(col("doc_id"))
+        .agg(array_join(flatten(transform(
+          sort_array(collect_list(struct(col("chunk_id").as("i"),
+            col("__kept").as("t")))),
+          e => e.getField("t"))), " ").as("text_norm"))
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -6609,6 +6647,22 @@ object SparkEntry {
            cast(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
              AS bigint)
          FROM lineitem""",
+    // sliding windows: the 4 aligned starts per event, stated directly
+    "q276_sliding_windows" ->
+      """WITH j AS (SELECT event_type, value,
+           (epoch_us(ts) // 900000000) * 900 - k * 900 AS win_start
+           FROM events, (SELECT unnest(generate_series(0, 3)) AS k))
+         SELECT cast(win_start AS bigint) AS win_start, event_type,
+           cast(count(*) AS bigint) AS n,
+           cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
+         FROM j GROUP BY 1, 2""",
+    // chunk round trip: oracle = the space-normalized source token stream
+    "q277_chunk_roundtrip" ->
+      """SELECT doc_id, array_to_string(list_filter(
+           string_split(text, ' '), t -> t <> ''), ' ') AS text_norm
+         FROM documents
+         WHERE doc_id % 20 = 0
+           AND len(list_filter(string_split(text, ' '), t -> t <> '')) > 0""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->
