@@ -3059,6 +3059,64 @@ object SparkEntry {
           e => e.getField("t"))), " ").as("text_norm"))
     }),
 
+    // ---- EXT: UNPIVOT SQL syntax (wide → long in the parser) ----
+    "q278_unpivot_sql" -> ((s, dir) => {
+      // the SQL-native wide→long (q150 is the DataFrame melt): per-nation
+      // order-status counts pivoted wide, then UNPIVOT back to long in
+      // the same statement — parser-level coverage of the melt shape.
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT c_nationkey, status, n FROM (
+          SELECT c_nationkey,
+            sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_n,
+            sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS done_n,
+            sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS part_n
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_nationkey)
+        UNPIVOT (n FOR status IN (open_n, done_n, part_n))""")
+    }),
+
+    // ---- EXT: Neyman allocation (variance-optimal sample budget) ----
+    "q279_neyman_allocation" -> ((s, dir) => {
+      // survey-sampling capstone: split a 10k-row sample budget across
+      // event-type strata ∝ N_h·σ_h (Neyman), integerized with the q272
+      // largest-remainder trick so the budget is conserved EXACTLY.
+      // σ from exact decimal moments (the q152 closed form), 6dp-rounded
+      // before the share computation so both engines allocate identically.
+      import org.apache.spark.sql.expressions.Window
+      val budget = 10000L
+      val m = Tables.events(s, dir)
+        .select(col("event_type"), col("value").cast(D).as("v"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nh"),
+          sum(col("v")).cast("double").as("__s"),
+          sum((col("v") * col("v")).cast("decimal(28,4)")).cast("double")
+            .as("__s2"))
+        .select(col("event_type"), col("nh"),
+          round(sqrt(greatest(col("__s2") / col("nh") -
+            (col("__s") / col("nh")) * (col("__s") / col("nh")),
+            lit(0.0d))), 6).as("sigma"))
+      // weight w_h = round(N_h·σ_h) as exact integers for the remainder;
+      // totals as explicit 1-row broadcasts (the stratum table is
+      // dimension-sized, so the "global" steps are 5-row work)
+      val wt = m.withColumn("__w",
+        round(col("nh").cast("double") * col("sigma"), 0).cast("long"))
+        .localCheckpoint() // 5-row stratum table; breaks self-join lineage
+      val tot = wt.agg(sum(col("__w")).as("__tw"))
+      val base = wt.crossJoin(broadcast(tot))
+        .withColumn("__base", expr(s"($budget * __w) div __tw"))
+        .withColumn("__rem", (lit(budget) * col("__w")) % col("__tw"))
+        .localCheckpoint()
+      val used = base.agg(sum(col("__base")).as("__SB"))
+      base.crossJoin(broadcast(used))
+        .withColumn("__left", lit(budget) - col("__SB"))
+        .withColumn("__rk", row_number().over(
+          Window.orderBy(col("__rem").desc, col("event_type"))))
+        .select(col("event_type"), col("nh"), col("sigma"),
+          (col("__base") +
+            when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+            .as("alloc"))
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -6663,6 +6721,46 @@ object SparkEntry {
          FROM documents
          WHERE doc_id % 20 = 0
            AND len(list_filter(string_split(text, ' '), t -> t <> '')) > 0""",
+    // unpivot: union-based melt with the same status labels
+    "q278_unpivot_sql" ->
+      """WITH w AS (SELECT c_nationkey,
+           cast(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+             AS bigint) AS open_n,
+           cast(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+             AS bigint) AS done_n,
+           cast(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+             AS bigint) AS part_n
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_nationkey)
+         SELECT c_nationkey, 'open_n' AS status, open_n AS n FROM w
+         UNION ALL
+         SELECT c_nationkey, 'done_n', done_n FROM w
+         UNION ALL
+         SELECT c_nationkey, 'part_n', part_n FROM w""",
+    // Neyman: mirrored exact-moment sigma + largest-remainder integers
+    "q279_neyman_allocation" ->
+      """WITH m AS (SELECT event_type, cast(count(*) AS bigint) AS nh,
+           cast(sum(cast(value AS decimal(18,2))) AS double) AS s,
+           cast(sum(cast(cast(value AS decimal(18,2)) *
+             cast(value AS decimal(18,2)) AS decimal(28,4))) AS double)
+             AS s2
+           FROM events GROUP BY 1),
+         sg AS (SELECT event_type, nh,
+             round(sqrt(greatest(s2 / nh - (s / nh) * (s / nh), 0.0)), 6)
+               AS sigma
+           FROM m),
+         wt AS (SELECT *, cast(round(cast(nh AS double) * sigma, 0)
+             AS bigint) AS w FROM sg),
+         b AS (SELECT *, sum(w) OVER () AS tw FROM wt),
+         c AS (SELECT *, (10000 * w) // tw AS base,
+             (10000 * w) % tw AS rem FROM b),
+         r AS (SELECT *, 10000 - sum(base) OVER () AS leftover,
+             row_number() OVER (ORDER BY rem DESC, event_type) AS rk
+           FROM c)
+         SELECT event_type, nh, sigma,
+           cast(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+             AS bigint) AS alloc
+         FROM r""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->
