@@ -3117,6 +3117,39 @@ object SparkEntry {
             .as("alloc"))
     }),
 
+    // ---- EXT: decile lift / cumulative-gains table ----
+    "q280_decile_lift" -> ((s, dir) => {
+      // the ranking-evaluation closer (with q234 AUC and q236 calibration):
+      // rank by score desc, cut into deciles, report per-decile positive
+      // rate and cumulative capture. Deciles are assigned at the DISTINCT-
+      // SCORE level via the bounded distribution table (integer cum-count
+      // division — ties never straddle engines), not a corpus-sized ntile.
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir).select(col("n_chars"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val dist = d.groupBy(col("n_chars"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))
+      val w = Window.orderBy(col("n_chars").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val tot = dist.agg(sum(col("n")).as("__N"), sum(col("np")).as("__P"))
+      val cum = dist
+        .withColumn("__cb", coalesce(sum(col("n")).over(w), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("decile",
+          least(expr("(__cb * 10) div __N"), lit(9L)))
+      cum.groupBy(col("decile"))
+        .agg(sum(col("n")).as("n"), sum(col("np")).as("n_pos"),
+          max(col("__P")).as("__p"))
+        .withColumn("__cp", sum(col("n_pos")).over(
+          Window.orderBy(col("decile"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("decile"), col("n"), col("n_pos"),
+          round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+            .as("pos_rate"),
+          round(col("__cp").cast("double") / col("__p").cast("double"), 6)
+            .as("cum_capture"))
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -6761,6 +6794,31 @@ object SparkEntry {
            cast(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
              AS bigint) AS alloc
          FROM r""",
+    // decile lift: mirrored distribution-table deciles + cumulative capture
+    "q280_decile_lift" ->
+      """WITH d AS (SELECT n_chars,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM documents),
+         dist AS (SELECT n_chars, count(*) AS n, sum(pos) AS np
+           FROM d GROUP BY 1),
+         tot AS (SELECT sum(n) AS tn, sum(np) AS tp FROM dist),
+         cum AS (SELECT n_chars, n, np,
+             coalesce(sum(n) OVER (ORDER BY n_chars DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           FROM dist),
+         dec AS (SELECT least((cb * 10) // (SELECT tn FROM tot), 9)
+             AS decile, n, np FROM cum),
+         g AS (SELECT decile, sum(n) AS n, sum(np) AS n_pos
+           FROM dec GROUP BY 1),
+         f AS (SELECT *, sum(n_pos) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+           FROM g)
+         SELECT cast(decile AS bigint) AS decile, cast(n AS bigint) AS n,
+           cast(n_pos AS bigint) AS n_pos,
+           round(cast(n_pos AS double) / cast(n AS double), 6)
+             AS pos_rate,
+           round(cast(cp AS double) /
+             cast((SELECT tp FROM tot) AS double), 6) AS cum_capture
+         FROM f""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->
