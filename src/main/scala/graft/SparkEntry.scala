@@ -3150,6 +3150,86 @@ object SparkEntry {
             .as("cum_capture"))
     }),
 
+    // ---- EXT: conversion latency (click → first purchase) ----
+    "q281_conversion_latency" -> ((s, dir) => {
+      // the funnel-latency readout: for each click, the FIRST purchase by
+      // the same user within 24 h; overall conversion rate + latency
+      // percentiles. Same-user interval pairing (per-user groups bound the
+      // join), min() collapses to first-match, exact micros until the
+      // final percentile interpolation on identical integers.
+      val e = Tables.events(s, dir)
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id"),
+          unix_micros(col("ts")).as("cus"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("pus"))
+      val lat = c.join(p, Seq("user_id"))
+        .filter(col("pus") > col("cus") &&
+          col("pus") <= col("cus") + 86400000000L)
+        .groupBy(col("cid"))
+        .agg((min(col("pus")) - max(col("cus"))).as("lat_us"))
+      val nClicks = c.agg(count(lit(1)).as("n_clicks"))
+      lat.agg(count(lit(1)).as("n_converted"),
+          round(expr("percentile(lat_us, 0.5)"), 6).as("p50_lat_us"),
+          round(expr("percentile(lat_us, 0.9)"), 6).as("p90_lat_us"))
+        .crossJoin(broadcast(nClicks))
+        .select(col("n_clicks"), col("n_converted"),
+          round(col("n_converted").cast("double") /
+            col("n_clicks").cast("double"), 6).as("conv_rate"),
+          col("p50_lat_us"), col("p90_lat_us"))
+    }),
+
+    // ---- EXT: shipping-SLA conformance by month ----
+    "q282_sla_conformance" -> ((s, dir) =>
+      // operations reporting: per order month, the fraction of line items
+      // shipped within 30/60/90 days of the order — integer day diffs,
+      // exact counts, three mirrored divisions.
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          datediff(col("l_shipdate"), col("o_orderdate")).as("d"))
+        .groupBy(col("month"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("d") <= 30, 1L).otherwise(0L)).as("__n30"),
+          sum(when(col("d") <= 60, 1L).otherwise(0L)).as("__n60"),
+          sum(when(col("d") <= 90, 1L).otherwise(0L)).as("__n90"))
+        .select(col("month"), col("n"),
+          round(col("__n30").cast("double") / col("n").cast("double"), 6)
+            .as("pct_30d"),
+          round(col("__n60").cast("double") / col("n").cast("double"), 6)
+            .as("pct_60d"),
+          round(col("__n90").cast("double") / col("n").cast("double"), 6)
+            .as("pct_90d"))),
+
+    // ---- EXT: two-sample Kolmogorov–Smirnov statistic ----
+    "q283_ks_test" -> ((s, dir) => {
+      // distribution-shift test between two sources' length distributions:
+      // D = max |CDF_a − CDF_b| over the POOLED distinct-value grid (the
+      // q234 bounded-domain discipline — never a corpus sort). Counts stay
+      // integer through the running sums; the two CDF divisions and their
+      // gap are one mirrored expression, 9dp-rounded before the max.
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+        .filter(col("source").isin("web", "social"))
+        .select(col("n_chars"),
+          when(col("source") === "web", 1L).otherwise(0L).as("ia"))
+      val dist = d.groupBy(col("n_chars"))
+        .agg(sum(col("ia")).as("ca"), sum(lit(1L) - col("ia")).as("cb"))
+      val w = Window.orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = dist.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      dist
+        .withColumn("__cca", sum(col("ca")).over(w))
+        .withColumn("__ccb", sum(col("cb")).over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("__gap", round(abs(
+          col("__cca").cast("double") / col("na").cast("double") -
+          col("__ccb").cast("double") / col("nb").cast("double")), 9))
+        .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+          round(max(col("__gap")), 6).as("ks_stat"))
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -6819,6 +6899,65 @@ object SparkEntry {
            round(cast(cp AS double) /
              cast((SELECT tp FROM tot) AS double), 6) AS cum_capture
          FROM f""",
+    // conversion latency: mirrored first-match pairing + percentiles on
+    // identical integer micros
+    "q281_conversion_latency" ->
+      """WITH c AS (SELECT event_id AS cid, user_id, epoch_us(ts) AS cus
+           FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, epoch_us(ts) AS pus FROM events
+           WHERE event_type = 'purchase'),
+         lat AS (SELECT cid, min(pus) - max(cus) AS lat_us
+           FROM c JOIN p USING (user_id)
+           WHERE pus > cus AND pus <= cus + 86400000000
+           GROUP BY cid),
+         n AS (SELECT count(*) AS n_clicks FROM c),
+         a AS (SELECT cast(count(*) AS bigint) AS n_converted,
+             round(quantile_cont(lat_us, 0.5), 6) AS p50_lat_us,
+             round(quantile_cont(lat_us, 0.9), 6) AS p90_lat_us
+           FROM lat)
+         SELECT cast(n_clicks AS bigint) AS n_clicks, n_converted,
+           round(cast(n_converted AS double) / cast(n_clicks AS double),
+             6) AS conv_rate,
+           p50_lat_us, p90_lat_us
+         FROM a, n""",
+    // SLA conformance: integer day diffs, three mirrored divisions
+    "q282_sla_conformance" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           cast(count(*) AS bigint) AS n,
+           round(cast(sum(CASE WHEN date_diff('day', o_orderdate,
+               l_shipdate) <= 30 THEN 1 ELSE 0 END) AS double)
+             / cast(count(*) AS double), 6) AS pct_30d,
+           round(cast(sum(CASE WHEN date_diff('day', o_orderdate,
+               l_shipdate) <= 60 THEN 1 ELSE 0 END) AS double)
+             / cast(count(*) AS double), 6) AS pct_60d,
+           round(cast(sum(CASE WHEN date_diff('day', o_orderdate,
+               l_shipdate) <= 90 THEN 1 ELSE 0 END) AS double)
+             / cast(count(*) AS double), 6) AS pct_90d
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
+    // KS: mirrored pooled-grid running CDFs, 9dp gaps before the max
+    "q283_ks_test" ->
+      """WITH d AS (SELECT n_chars,
+           CASE WHEN source = 'web' THEN 1 ELSE 0 END AS ia
+           FROM documents WHERE source IN ('web', 'social')),
+         dist AS (SELECT n_chars, cast(sum(ia) AS bigint) AS ca,
+             cast(sum(1 - ia) AS bigint) AS cb
+           FROM d GROUP BY 1),
+         tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM dist),
+         c AS (SELECT n_chars,
+             sum(ca) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cca,
+             sum(cb) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS ccb
+           FROM dist),
+         g AS (SELECT round(abs(
+             cast(cca AS double) / cast((SELECT na FROM tot) AS double) -
+             cast(ccb AS double) / cast((SELECT nb FROM tot) AS double)),
+             9) AS gap FROM c)
+         SELECT cast((SELECT na FROM tot) AS bigint) AS na,
+           cast((SELECT nb FROM tot) AS bigint) AS nb,
+           round(max(gap), 6) AS ks_stat
+         FROM g""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->
