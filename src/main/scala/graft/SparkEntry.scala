@@ -3230,6 +3230,66 @@ object SparkEntry {
           round(max(col("__gap")), 6).as("ks_stat"))
     }),
 
+    // ---- EXT: exact trimmed mean (robust location, drop-10% ends) ----
+    "q284_trimmed_mean" -> ((s, dir) => {
+      // the robust sibling of q201's winsorized mean: DROP the lowest and
+      // highest k = n div 10 observations instead of clamping them.
+      // Computed over the value-DISTRIBUTION table with integer rank
+      // algebra — each distinct value contributes its clamped overlap with
+      // the kept rank interval (k, n−k], so boundary values partially
+      // include EXACTLY; decimal value × integer count sums, one final
+      // division.
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.events(s, dir)
+        .select(col("event_type"), col("value").cast(D).as("v"))
+      val dist = d.groupBy(col("event_type"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = d.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val cum = dist
+        .withColumn("__cum", sum(col("c")).over(w))
+        .join(tot, Seq("event_type"))
+        .withColumn("__k", expr("n div 10"))
+        .withColumn("__keep",
+          greatest(least(col("__cum"), col("n") - col("__k")) -
+            greatest(col("__cum") - col("c"), col("__k")), lit(0L)))
+      cum.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), max(col("__k")).as("n_trimmed_each"),
+          (sum(col("v") * col("__keep")).cast("double") /
+            sum(col("__keep")).cast("double")).as("__m"))
+        .select(col("event_type"), col("n"), col("n_trimmed_each"),
+          round(col("__m"), 6).as("trimmed_mean"))
+    }),
+
+    // ---- EXT: direct standardization (mix-adjusted mean) ----
+    "q285_mix_adjusted_mean" -> ((s, dir) => {
+      // "did the metric move, or did the mix?": per-source mean value
+      // reweighted to a FIXED reference mix (the all-up source shares) —
+      // comparing raw vs adjusted separates composition effects from
+      // true per-segment movement. Exact decimal segment sums; the
+      // reference shares come from one dimension-sized aggregate.
+      val d = Tables.events(s, dir)
+        .select(col("event_type"),
+          (col("user_id") % 2 === 0).cast("int").as("grp"),
+          col("value").cast(D).as("v"))
+      val seg = d.groupBy(col("grp"), col("event_type"))
+        .agg(count(lit(1)).as("ns"), sum(col("v")).as("sv"))
+      val ref = d.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nr"))
+      val tot = d.agg(count(lit(1)).as("nt"))
+      seg.join(ref, Seq("event_type")).crossJoin(broadcast(tot))
+        .withColumn("__term", round(
+          (col("nr").cast("double") / col("nt").cast("double")) *
+            (col("sv").cast("double") / col("ns").cast("double")), 9)
+          .cast("decimal(28,9)"))
+        .groupBy(col("grp"))
+        .agg(sum(col("ns")).as("n"),
+          round(sum(col("sv")).cast("double") /
+            sum(col("ns")).cast("double"), 6).as("raw_mean"),
+          round(sum(col("__term")).cast("double"), 6).as("adjusted_mean"))
+    }),
+
     // ---- W: time-weighted average (duration-weighted mean per key) ----
     "q136_twap" -> ((s, dir) =>
       R.timeWeightedAvg(Tables.events(s, dir), "user_id", "ts", "value",
@@ -6958,6 +7018,46 @@ object SparkEntry {
            cast((SELECT nb FROM tot) AS bigint) AS nb,
            round(max(gap), 6) AS ks_stat
          FROM g""",
+    // trimmed mean: mirrored rank-overlap algebra on the distribution table
+    "q284_trimmed_mean" ->
+      """WITH d AS (SELECT event_type, cast(value AS decimal(18,2)) AS v
+           FROM events),
+         dist AS (SELECT event_type, v, count(*) AS c FROM d GROUP BY 1, 2),
+         tot AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1),
+         cum AS (SELECT dist.event_type, v, c, n,
+             sum(c) OVER (PARTITION BY dist.event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+             n // 10 AS k
+           FROM dist JOIN tot USING (event_type)),
+         kp AS (SELECT event_type, v, n, k,
+             greatest(least(cm, n - k) - greatest(cm - c, k), 0) AS keep
+           FROM cum)
+         SELECT event_type, cast(max(n) AS bigint) AS n,
+           cast(max(k) AS bigint) AS n_trimmed_each,
+           round(cast(sum(v * keep) AS double) /
+             cast(sum(keep) AS double), 6) AS trimmed_mean
+         FROM kp GROUP BY event_type""",
+    // mix adjustment: mirrored reference shares × segment means, 9dp
+    // terms → exact decimal sum
+    "q285_mix_adjusted_mean" ->
+      """WITH d AS (SELECT event_type,
+           cast(user_id % 2 = 0 AS int) AS grp,
+           cast(value AS decimal(18,2)) AS v FROM events),
+         seg AS (SELECT grp, event_type, count(*) AS ns, sum(v) AS sv
+           FROM d GROUP BY 1, 2),
+         ref AS (SELECT event_type, count(*) AS nr FROM d GROUP BY 1),
+         tot AS (SELECT count(*) AS nt FROM d),
+         t AS (SELECT grp, ns, sv,
+             cast(round((cast(nr AS double) /
+               cast((SELECT nt FROM tot) AS double)) *
+               (cast(sv AS double) / cast(ns AS double)), 9)
+               AS decimal(28,9)) AS term
+           FROM seg JOIN ref USING (event_type))
+         SELECT grp, cast(sum(ns) AS bigint) AS n,
+           round(cast(sum(sv) AS double) / cast(sum(ns) AS double), 6)
+             AS raw_mean,
+           round(cast(sum(term) AS double), 6) AS adjusted_mean
+         FROM t GROUP BY grp""",
     // TWAP: exact micros weights, decimal(18,2)*bigint exact weighted sum,
     // one final double division; zero-span keys excluded (no 0/0)
     "q136_twap" ->
