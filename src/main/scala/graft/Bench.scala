@@ -84,27 +84,48 @@ object Bench {
       // (q100/q111) late in a 111-query run, at low host load.
       System.gc()
       Thread.sleep(100)
-      val load0 = loadavg()
-      val times = new Array[Double](iters)
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      // loadavg sampled BEFORE each iteration, aligned 1:1 with iter_times —
+      // every iteration carries its own exogenous-load evidence, so a
+      // "quiet-certified" measurement (some iteration with load ≤
+      // quietThresh) is visible in the artifact itself.
+      val iterLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
       var ok = true
-      var i = 0
-      while (i < iters && ok) {
+      def runOnce(): Unit = {
+        iterLoads += loadavg()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: $e"); ok = false
         }
-        times(i) = (System.nanoTime() - t0) / 1e9
-        i += 1
+        times += (System.nanoTime() - t0) / 1e9
       }
-      val ran = times.take(math.max(1, i))
-      val cold = times(0)
+      var i = 0
+      while (i < iters && ok) { runOnce(); i += 1 }
+      // Quiet-certification retries: a heavy query (steady ≥ 2 s) whose every
+      // iteration ran under exogenous load (loadavg > quietThresh on a
+      // 32-thread host; the shared VM's noisy-neighbour signature is 8-21)
+      // gets up to 3 extra warm iterations, stopping at the first quiet one.
+      // The min over ALL iterations is the reported steady time, so one
+      // quiet iteration suffices to de-noise the artifact (round-3/round-5
+      // lesson: official numbers inflated 5-11× by host load, provable only
+      // out-of-band before this).
+      val quietThresh = 6.0
+      var extras = 0
+      while (ok && times.min >= 2.0 && extras < 3 &&
+             !iterLoads.exists(l => l >= 0 && l <= quietThresh)) {
+        System.err.println(f"[bench] $name retry ${extras + 1} for a quiet iteration (loads ${iterLoads.map(l => f"$l%.1f").mkString(",")})")
+        runOnce(); extras += 1
+      }
+      val ran = times.toSeq
+      val cold = ran.head
       val steady = ran.min
+      val load0 = iterLoads.head
       val load1 = loadavg()
       System.err.println(
         f"[bench] $name%-24s cold $cold%8.2f s  steady $steady%8.2f s  load $load0%5.1f->$load1%5.1f" +
           (if (ok) "" else "  FAILED"))
-      (name, cold, steady, ok, ran.toSeq, load0, load1)
+      (name, cold, steady, ok, ran, iterLoads.toSeq :+ load1)
     }
     def fmt(d: Double) = f"$d%.3f"
     def fmt2(d: Double) = f"$d%.2f"
@@ -134,9 +155,9 @@ object Bench {
     // stderr detail), and the cutoff auto-raises until the line fits, so
     // the artifact stays parseable at ANY future gate count.
     def qsAt(cutoff: Double) = {
-      val heavy = results.filter { case (_, _, v, ok, _, _, _) => !ok || v >= cutoff }
-      val fast = results.filter { case (_, _, v, ok, _, _, _) => ok && v < cutoff }
-      val m = heavy.map { case (k, _, v, ok, _, _, _) =>
+      val heavy = results.filter { case (_, _, v, ok, _, _) => !ok || v >= cutoff }
+      val fast = results.filter { case (_, _, v, ok, _, _) => ok && v < cutoff }
+      val m = heavy.map { case (k, _, v, ok, _, _) =>
         "\"" + shortKey(k) + "\":" + (if (ok) fmtQ(v) else "-1")
       }.mkString("{", ",", "}")
       val ft = fast.map(_._3).sum
@@ -147,22 +168,24 @@ object Bench {
       .map(qsAt)
       .find { case (m, fs) => (m.length + fs.length) <= 1600 }
       .getOrElse(qsAt(1e9))
-    val colds = results.map { case (k, c, _, ok, _, _, _) => "\"" + k + "\":" + (if (ok) fmt(c) else "-1") }
+    val colds = results.map { case (k, c, _, ok, _, _) => "\"" + k + "\":" + (if (ok) fmt(c) else "-1") }
       .mkString("{", ",", "}")
-    val steadies = results.map { case (k, _, v, ok, _, _, _) => "\"" + k + "\":" + (if (ok) fmt(v) else "-1") }
+    val steadies = results.map { case (k, _, v, ok, _, _) => "\"" + k + "\":" + (if (ok) fmt(v) else "-1") }
       .mkString("{", ",", "}")
-    val iterTimes = results.map { case (k, _, _, _, ts, _, _) =>
+    val iterTimes = results.map { case (k, _, _, _, ts, _) =>
       "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val loads = results.map { case (k, _, _, _, _, l0, l1) =>
-      "\"" + k + "\":[" + fmt(l0) + "," + fmt(l1) + "]"
+    // per-iteration loadavg samples (one per iter_times entry) + one final
+    // post-query sample appended — each iteration self-documents its noise
+    val loads = results.map { case (k, _, _, _, _, ls) =>
+      "\"" + k + "\":" + ls.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, false, _, _, _) => "\"" + shortKey(k) + "\"" }
+    val failed = results.collect { case (k, _, _, false, _, _) => "\"" + shortKey(k) + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, _, v, true, _, _, _) => v }.sum
-    val coldTotal = results.collect { case (_, c, _, true, _, _, _) => c }.sum
+    val total = results.collect { case (_, _, v, true, _, _) => v }.sum
+    val coldTotal = results.collect { case (_, c, _, true, _, _) => c }.sum
     val excluded = harness.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val names = results.map { case (k, _, _, _, _, _, _) =>
+    val names = results.map { case (k, _, _, _, _, _) =>
       "\"" + shortKey(k) + "\":\"" + k + "\""
     }.mkString("{", ",", "}")
     val detail =

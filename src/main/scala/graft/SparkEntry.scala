@@ -2285,7 +2285,7 @@ object SparkEntry {
           (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
             .cast("long").as("gx"),
           floor(col("o_totalprice") / 50000).cast("long").as("gy")),
-        minFactor = 1.2)
+        minNum = 12, minDen = 10)
     }),
 
     // ---- EXT: jackknife confidence interval (delete-one-bucket) ----
@@ -2335,8 +2335,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           min(col("l_orderkey")).as("min_orderkey"),
           max(col("l_orderkey")).as("max_orderkey"),
-          min(col("l_extendedprice").cast(D)).as("min_price"),
-          max(col("l_extendedprice").cast(D)).as("max_price"),
+          // lockstep contract: never ship raw DECIMAL to the hasher — finish
+          // with round(cast(... as double), 2) like every other money gate.
+          round(min(col("l_extendedprice").cast(D)).cast("double"), 2)
+            .as("min_price"),
+          round(max(col("l_extendedprice").cast(D)).cast("double"), 2)
+            .as("max_price"),
           sum(when(col("l_returnflag").isNull, 1L).otherwise(0L))
             .as("null_returnflags"))),
 
@@ -2759,14 +2763,17 @@ object SparkEntry {
     "q266_knn_label_noise" -> ((s, dir) => {
       // mislabeled-example detection: for each vector, the fraction of its
       // 5 cosine neighbors carrying a DIFFERENT label, averaged per label.
-      // The audit runs on a DETERMINISTIC md5 sample (1 in 8) — brute-force
-      // pair work is bounded by the sample budget, not the corpus (the
-      // corpus-scale path is the gated ANN family q41/q45/q99/q106); all
-      // float reductions 12dp→decimal, cosines 6dp-rounded BEFORE the
-      // top-5 cut, ties on neighbor id.
+      // The audit runs on a FIXED-SIZE deterministic sample: the 512
+      // smallest md5(vec_id) ranks (TakeOrderedAndProject — one scan, top-K
+      // per partition, never a full sort). Pair work is O(512²) CONSTANT in
+      // corpus size — a budget, not a fraction (the corpus-scale path is
+      // the gated ANN family q41/q45/q99/q106); all float reductions
+      // 12dp→decimal, cosines 6dp-rounded BEFORE the top-5 cut, ties on
+      // neighbor id.
       import org.apache.spark.sql.expressions.Window
       val e = Tables.embeddings(s, dir)
-        .filter(graft.operators.Sampling.hashBucket(col("vec_id"), 8) === 0)
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(512)
         .select(col("vec_id"), col("label").cast("long").as("lab"),
           posexplode(col("embedding")))
         .toDF("vec_id", "lab", "dim", "xf")
@@ -2846,13 +2853,14 @@ object SparkEntry {
     "q269_mutual_nn" -> ((s, dir) => {
       // reciprocal best match: pairs where each vector is the other's
       // cosine top-1 — the high-precision pairing primitive under
-      // merge/canonicalization decisions. Same deterministic md5 audit
-      // sample as q266 (pair work bounded by the sample budget; ANN is the
-      // corpus path); 6dp cosines before the argmax, neighbor-id
+      // merge/canonicalization decisions. Same FIXED 512-row md5-rank
+      // sample as q266 (pair work O(512²) constant in corpus size; ANN is
+      // the corpus path); 6dp cosines before the argmax, neighbor-id
       // tie-break, v1 < v2 canonical orientation.
       import org.apache.spark.sql.expressions.Window
       val e = Tables.embeddings(s, dir)
-        .filter(graft.operators.Sampling.hashBucket(col("vec_id"), 8) === 0)
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(512)
         .select(col("vec_id"), posexplode(col("embedding")))
         .toDF("vec_id", "dim", "xf")
         .select(col("vec_id"), col("dim"),
@@ -6330,9 +6338,10 @@ object SparkEntry {
            cast(floor(o_totalprice / 50000) AS bigint) AS gy,
            count(*) AS c
            FROM orders GROUP BY 1, 2),
-         s AS (SELECT avg(c) AS a FROM g),
+         s AS (SELECT count(*) AS ncells, sum(c) AS total FROM g),
          core AS (SELECT gx, gy, c, gx * 1000 + gy AS id FROM g
-           WHERE c >= 1.2 * (SELECT a FROM s)),
+           WHERE c * (SELECT ncells FROM s) * 10
+             >= 12 * (SELECT total FROM s)),
          e AS (SELECT a.id AS src, b.id AS dst FROM core a JOIN core b
            ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1),
          r AS (SELECT id, id AS lab FROM core
@@ -6379,8 +6388,10 @@ object SparkEntry {
            cast(count(*) AS bigint) AS n_rows,
            min(l_orderkey) AS min_orderkey,
            max(l_orderkey) AS max_orderkey,
-           min(cast(l_extendedprice AS decimal(18,2))) AS min_price,
-           max(cast(l_extendedprice AS decimal(18,2))) AS max_price,
+           round(cast(min(cast(l_extendedprice AS decimal(18,2)))
+             AS double), 2) AS min_price,
+           round(cast(max(cast(l_extendedprice AS decimal(18,2)))
+             AS double), 2) AS max_price,
            cast(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
              AS bigint) AS null_returnflags
          FROM lineitem GROUP BY 1""",
@@ -6690,11 +6701,11 @@ object SparkEntry {
     // label noise: mirrored norm/dot/cosine pipeline, 6dp before top-5,
     // neighbor-id tie-break
     "q266_knn_label_noise" ->
-      """WITH e AS (SELECT vec_id, cast(label AS bigint) AS lab, i AS dim,
+      """WITH e0 AS (SELECT vec_id, label, embedding FROM embeddings
+           ORDER BY md5(cast(vec_id AS varchar)), vec_id LIMIT 512),
+         e AS (SELECT vec_id, cast(label AS bigint) AS lab, i AS dim,
            embedding[i]::DOUBLE AS x
-           FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
-           WHERE ('0x' || substr(md5(cast(vec_id AS varchar)), 1, 8))::bigint
-             % 8 = 0),
+           FROM e0, (SELECT unnest(generate_series(1, 64)) AS i)),
          nrm AS (SELECT vec_id, sqrt(cast(sum(cast(round(x * x, 12)
              AS decimal(38,12))) AS double)) AS nv FROM e GROUP BY 1),
          dots AS (SELECT a.vec_id AS v1, a.lab AS l1, b.vec_id AS v2,
@@ -6746,10 +6757,10 @@ object SparkEntry {
          GROUP BY 1, 2""",
     // mutual NN: mirrored cosine table, per-side argmax, reciprocal join
     "q269_mutual_nn" ->
-      """WITH e AS (SELECT vec_id, i AS dim, embedding[i]::DOUBLE AS x
-           FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
-           WHERE ('0x' || substr(md5(cast(vec_id AS varchar)), 1, 8))::bigint
-             % 8 = 0),
+      """WITH e0 AS (SELECT vec_id, embedding FROM embeddings
+           ORDER BY md5(cast(vec_id AS varchar)), vec_id LIMIT 512),
+         e AS (SELECT vec_id, i AS dim, embedding[i]::DOUBLE AS x
+           FROM e0, (SELECT unnest(generate_series(1, 64)) AS i)),
          nrm AS (SELECT vec_id, sqrt(cast(sum(cast(round(x * x, 12)
              AS decimal(38,12))) AS double)) AS nv FROM e GROUP BY 1),
          dots AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
@@ -7194,8 +7205,9 @@ object SparkEntry {
                cast(sx AS double) * cast(sy AS double) AS num,
              cast(sx AS double) AS sxd, cast(sy AS double) AS syd
            FROM m)
-         SELECT user_id, n, round(num / det, 6) AS slope,
-           round((syd - (num / det) * sxd) / cast(n AS double), 6) AS intercept
+         SELECT user_id, n, round(num / det, 6) + 0.0 AS slope,
+           round((syd - (num / det) * sxd) / cast(n AS double), 6) + 0.0
+             AS intercept
          FROM d WHERE det > 0""",
     // Markov transition matrix: lead-window successor pairs; the |types|^2
     // cell table row-normalizes via a bounded window

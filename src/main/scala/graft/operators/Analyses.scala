@@ -240,10 +240,12 @@ object Analyses {
       .withColumn("__slope",
         (col("n").cast("double") * col("__sxy").cast("double") -
           col("__sx").cast("double") * col("__sy").cast("double")) / col("__det"))
-      .withColumn("slope", round(col("__slope"), 6))
+      // `+ 0.0` collapses IEEE -0.0 to +0.0 — DuckDB's round can emit -0.0
+      // where Spark emits 0.0 (hash-comparator divergence, never a value one)
+      .withColumn("slope", round(col("__slope"), 6) + lit(0.0d))
       .withColumn("intercept",
         round((col("__sy").cast("double") - col("__slope") * col("__sx").cast("double")) /
-          col("n").cast("double"), 6))
+          col("n").cast("double"), 6) + lit(0.0d))
       .select(col(keyCol), col("n"), col("slope"), col("intercept"))
   }
 

@@ -241,9 +241,10 @@ object Spatial {
   }
 
   /** DBSCAN-lite grid-density clustering: bucket points into integer grid
-    * cells, keep cells whose count ≥ `minFactor` × the mean cell count
-    * ("core" cells), and connect core cells that are 8-neighbors into
-    * clusters labeled by their minimum `gx*1000+gy` cell id.
+    * cells, keep cells whose count ≥ `minNum/minDen` × the mean cell count
+    * ("core" cells, cut evaluated in exact integer algebra), and connect
+    * core cells that are 8-neighbors into clusters labeled by their
+    * minimum `gx*1000+gy` cell id.
     *
     * Scale shape: the per-point cell assignment + count is ONE distributed
     * hash aggregation over the corpus. The connected-components step then
@@ -255,13 +256,19 @@ object Spatial {
     * (cluster_id, n_cells, n_points), integer-exact.
     *
     * `df` must expose integer columns `gx`, `gy`. */
-  def gridDensityClusters(df: DataFrame, minFactor: Double): DataFrame = {
+  def gridDensityClusters(df: DataFrame, minNum: Long,
+                          minDen: Long): DataFrame = {
     val spark = df.sparkSession
     val cells = df.groupBy(col("gx"), col("gy")).agg(count(lit(1)).as("c"))
-    val avg = cells.agg(org.apache.spark.sql.functions.avg(col("c"))
-      .as("__a"))
+    // the core cut "c ≥ (minNum/minDen) · avg(c)" restated in EXACT integer
+    // algebra — c·n_cells·minDen ≥ minNum·total — so a cell landing exactly
+    // on the boundary can never flip between engines on a double-rounding
+    // ulp (the suite's boundary discipline; avg(c) itself is never computed)
+    val avg = cells.agg(count(lit(1)).as("__ncells"),
+      sum(col("c")).as("__total"))
     val core = cells.crossJoin(broadcast(avg))
-      .filter(col("c") >= lit(minFactor) * col("__a"))
+      .filter(col("c") * col("__ncells") * lit(minDen) >=
+        lit(minNum) * col("__total"))
       .select(col("gx"), col("gy"), col("c"))
     // bounded collect: |core| ≤ |grid|, a design-time constant
     val rows = core.collect().map(r =>

@@ -677,11 +677,28 @@ object Streams {
       least(
       floor(((unix_micros(ts) - loUs).cast("double") / span) * chunks)
         .cast("int"), lit(chunks - 1))
+    // FileStreamSource drains files oldest-mtime-first; the time-sliced
+    // chunks MUST arrive in slice order or their rows land behind the
+    // 1-minute watermark and are silently dropped as late. Write order
+    // usually produces ascending mtimes, but a same-millisecond tie (or a
+    // filesystem with coarse mtime granularity) falls back to an
+    // unspecified tiebreak — so every chunk's files are stamped with an
+    // EXPLICIT strictly-increasing mtime, 2 s apart, making delivery order
+    // deterministic by construction.
+    val mtimeBase = System.currentTimeMillis()
+    def stampChunk(sub: String, seq: Int): Unit = {
+      val files = new java.io.File(s"$dir/$sub").listFiles()
+      if (files != null) files.foreach { f =>
+        f.setLastModified(mtimeBase + seq * 2000L): Unit
+      }
+    }
     (0 until chunks).foreach { i =>
       left.filter(slice(col("ts")) === i)
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/l/c$i")
       right.filter(slice(col("p_ts")) === i)
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/r/c$i")
+      stampChunk(s"l/c$i", i)
+      stampChunk(s"r/c$i", i)
     }
     // flush sentinels: 1 day past max(ts) clears window (30 min) + lateness
     // (1 min) with margin; user ids never match each other or the fixture
@@ -694,6 +711,10 @@ object Streams {
       spark.range(1).select(lit(-1L - r).as("p_event_id"),
           lit(sentinelTs(r)).as("p_ts"), lit(-20L).as("p_user_id"))
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/r/s$r")
+      // sentinels stamp AFTER every data chunk so the flush rounds are the
+      // last micro-batches on each side
+      stampChunk(s"l/s$r", chunks + r)
+      stampChunk(s"r/s$r", chunks + r)
     }
     val expectedRows = left.count() + right.count() + 4
     val ls = spark.readStream.schema(left.schema)

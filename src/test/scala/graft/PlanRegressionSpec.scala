@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-regression sweep (round-5 verdict item #7): the most expensive
+  * gates' PHYSICAL plans must keep the structural invariants documented in
+  * PLANS.md — silent Catalyst plan drift (a Spark upgrade, a testdata
+  * regeneration changing stats, an innocent-looking refactor losing a
+  * broadcast hint) otherwise surfaces only as a bench regression rounds
+  * later.
+  *
+  * Invariants asserted on every swept plan:
+  *   1. no `CartesianProductExec` — an all-pairs join that survived to the
+  *      physical plan is a scale-killer at any data size;
+  *   2. no `BroadcastNestedLoopJoinExec` whose broadcast side is NOT a
+  *      bounded aggregate — the repo's only sanctioned BNLJ shape is
+  *      `crossJoin(broadcast(<scalar/dimension agg>))` (threshold rows,
+  *      corpus totals), where the build side is provably tiny by
+  *      construction;
+  *   3. no single-partition shuffle except the final-merge exchange of a
+  *      global aggregate (whose input is one partial row per partition) or
+  *      one fed by an already-bounded aggregate/limit — a global Window or
+  *      global Sort funneling CORPUS rows through one partition shows up
+  *      here as an unexplained `Exchange SinglePartition`.
+  *
+  * AQE is disabled in this suite's dedicated session so `executedPlan` is
+  * the fully-prepared static tree (exchanges inserted by EnsureRequirements,
+  * no AdaptiveSparkPlanExec wrapper hiding the children from `collect`).
+  * Plans are BUILT, never executed — the sweep costs planning time only
+  * (plus the few bounded model-fit collects some operators run at
+  * construction time, cheap at sf0.001).
+  */
+class PlanRegressionSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("PlanRegressionSpec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(s)
+    s
+  }
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The expensive tail of BENCH_DETAIL plus every iterate/join-heavy
+    * family representative — the plans whose shape IS the performance
+    * story. Streaming harness gates are excluded (their cost is replay
+    * plumbing, and building them writes temp dirs). */
+  private val swept = Seq(
+    "q36_neardup_jaccard", "q37_minhash_candidates", "q38_simhash",
+    "q39_knn_brute", "q41_knn_lsh", "q45_ivf_knn",
+    "q51_embedding_neardup", "q53_dedup_corpus", "q59_decontaminate",
+    "q83_dedup_against_corpus", "q86_pretrain_pipeline",
+    "q95_inverted_index", "q96_bm25_topk", "q99_int8_knn",
+    "q100_dedup_keep_best", "q106_pq_knn", "q111_pagerank",
+    "q121_hybrid_rrf", "q133_edit_distance_pairs", "q188_set_similarity",
+    "q243_grid_density_cluster", "q249_power_iteration",
+    "q252_containment_dedup", "q266_knn_label_noise", "q269_mutual_nn")
+
+  /** Sanctioned BroadcastNestedLoopJoins whose build side is a DESIGN-
+    * bounded broadcast probe/query set rather than an aggregate — e.g. the
+    * ANN family broadcasts its ≤10-row query set (a pushed `vec_id < 10`
+    * scan filter), and the power iteration broadcasts the current
+    * dimension-sized iterate each round. The counts are PINNED: a new BNLJ
+    * appearing anywhere (a lost broadcast hint, a join degenerating to
+    * nested-loop after a refactor) still fails the sweep. */
+  private val allowedBnlj = Map(
+    "q39_knn_brute" -> 1, "q99_int8_knn" -> 2, "q106_pq_knn" -> 1,
+    "q86_pretrain_pipeline" -> 2, "q121_hybrid_rrf" -> 1,
+    "q249_power_iteration" -> 7)
+
+  private def aggregateBounded(p: SparkPlan): Boolean = p match {
+    case _: BaseAggregateExec => true
+    case _: org.apache.spark.sql.execution.LocalLimitExec => true
+    case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+    case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+    // pass-through wrappers between the exchange and the real producer
+    case _: org.apache.spark.sql.execution.ProjectExec |
+         _: org.apache.spark.sql.execution.FilterExec |
+         _: org.apache.spark.sql.execution.SortExec |
+         _: org.apache.spark.sql.execution.WholeStageCodegenExec |
+         _: org.apache.spark.sql.execution.InputAdapter =>
+      p.children.exists(aggregateBounded)
+    case _ => false
+  }
+
+  private def offenders(plan: SparkPlan): Seq[String] = plan.collect {
+    case _: CartesianProductExec => Seq("CartesianProduct")
+    case j: BroadcastNestedLoopJoinExec =>
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        case _ => j.left
+      }
+      if (build.exists(_.isInstanceOf[BaseAggregateExec])) Seq.empty
+      else Seq(s"BroadcastNestedLoopJoin(non-aggregate build: ${build.nodeName})")
+    case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
+      if (aggregateBounded(e.child)) Seq.empty
+      else Seq(s"SinglePartitionExchange(child: ${e.child.nodeName})")
+  }.flatten
+
+  for (name <- swept) {
+    test(s"plan invariants: $name") {
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      val bad = offenders(plan)
+      val (bnlj, other) = bad.partition(_.startsWith("BroadcastNestedLoopJoin"))
+      assert(other.isEmpty,
+        s"$name physical plan violates PLANS.md invariants: ${other.mkString("; ")}\n${plan.toString.take(4000)}")
+      assert(bnlj.size == allowedBnlj.getOrElse(name, 0),
+        s"$name has ${bnlj.size} non-aggregate-build BNLJs, expected ${allowedBnlj.getOrElse(name, 0)} " +
+          s"(pinned sanctioned count — did a join lose its hash/broadcast shape?)\n${plan.toString.take(4000)}")
+    }
+  }
+}

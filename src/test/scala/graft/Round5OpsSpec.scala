@@ -19,7 +19,7 @@ class Round5OpsSpec extends SparkSuite {
       Seq.fill(n)((gx, gy))
     val pts = (cell(0, 0, 4) ++ cell(1, 1, 4) ++ cell(5, 5, 4) ++
       cell(9, 9, 1)).toDF("gx", "gy")
-    val out = Spatial.gridDensityClusters(pts, minFactor = 1.2)
+    val out = Spatial.gridDensityClusters(pts, minNum = 12, minDen = 10)
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     // cluster ids: min member cell id (gx*1000+gy)
     assert(out.toSeq == Seq((0L, 2L, 8L), (5005L, 1L, 4L)))
@@ -27,7 +27,7 @@ class Round5OpsSpec extends SparkSuite {
 
   test("gridDensityClusters: straight-line chain collapses to one cluster") {
     val pts = (0L to 4L).flatMap(i => Seq.fill(3)((i, 0L))).toDF("gx", "gy")
-    val out = Spatial.gridDensityClusters(pts, minFactor = 0.5)
+    val out = Spatial.gridDensityClusters(pts, minNum = 1, minDen = 2)
       .as[(Long, Long, Long)].collect()
     assert(out.toSeq == Seq((0L, 5L, 15L)))
   }
