@@ -2767,37 +2767,24 @@ object SparkEntry {
       // smallest md5(vec_id) ranks (TakeOrderedAndProject — one scan, top-K
       // per partition, never a full sort). Pair work is O(512²) CONSTANT in
       // corpus size — a budget, not a fraction (the corpus-scale path is
-      // the gated ANN family q41/q45/q99/q106); all float reductions
-      // 12dp→decimal, cosines 6dp-rounded BEFORE the top-5 cut, ties on
-      // neighbor id.
-      import org.apache.spark.sql.expressions.Window
-      val e = Tables.embeddings(s, dir)
+      // the gated ANN family q41/q45/q99/q106). Cosines go through the
+      // NATIVE codegen dot-product loop on the q39 contract: sequential
+      // double summation is bit-identical to DuckDB's ordered list_sum, so
+      // no per-term decimal rounding is needed and the 512² pair stage is
+      // pure whole-stage-codegen arithmetic (the previous explode-join +
+      // decimal-sum formulation did the same work through a 16.7M-row
+      // shuffle agg — 42 s vs sub-second at sf0.1).
+      val sample = Tables.embeddings(s, dir)
         .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
         .limit(512)
-        .select(col("vec_id"), col("label").cast("long").as("lab"),
-          posexplode(col("embedding")))
-        .toDF("vec_id", "lab", "dim", "xf")
-        .select(col("vec_id"), col("lab"), col("dim"),
-          col("xf").cast("double").as("x"))
-      val nrm = e.groupBy(col("vec_id"))
-        .agg(sqrt(sum(round(col("x") * col("x"), 12).cast("decimal(38,12)"))
-          .cast("double")).as("nv"))
-      val a = e.toDF("v1", "l1", "dim", "x1")
-      val b = e.toDF("v2", "l2", "dim", "x2")
-      val dots = a.join(b, Seq("dim")).filter(col("v1") =!= col("v2"))
-        .groupBy(col("v1"), col("l1"), col("v2"), col("l2"))
-        .agg(sum(round(col("x1") * col("x2"), 12).cast("decimal(38,12)"))
-          .cast("double").as("__dot"))
-      val cos = dots
-        .join(nrm.toDF("v1", "n1"), Seq("v1"))
-        .join(nrm.toDF("v2", "n2"), Seq("v2"))
-        .select(col("v1"), col("l1"), col("v2"), col("l2"),
-          round(col("__dot") / (col("n1") * col("n2")), 6).as("cs"))
-      val w = Window.partitionBy(col("v1"))
-        .orderBy(col("cs").desc, col("v2"))
-      cos.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      val labels = sample.select(col("vec_id"), col("label").cast("long"))
+      val knn = graft.operators.Similarity.bruteKnn(
+        sample, sample, "vec_id", "embedding", k = 5, dim = 64)
+      knn
+        .join(broadcast(labels.toDF("query_id", "l1")), Seq("query_id"))
+        .join(broadcast(labels.toDF("neighbor_id", "l2")), Seq("neighbor_id"))
         .groupBy(col("l1").as("label"))
-        .agg(countDistinct(col("v1")).as("n_vecs"),
+        .agg(countDistinct(col("query_id")).as("n_vecs"),
           sum(when(col("l2") =!= col("l1"), 1L).otherwise(0L))
             .as("__dis"))
         .select(col("label"), col("n_vecs"),
@@ -2855,34 +2842,16 @@ object SparkEntry {
       // cosine top-1 — the high-precision pairing primitive under
       // merge/canonicalization decisions. Same FIXED 512-row md5-rank
       // sample as q266 (pair work O(512²) constant in corpus size; ANN is
-      // the corpus path); 6dp cosines before the argmax, neighbor-id
-      // tie-break, v1 < v2 canonical orientation.
-      import org.apache.spark.sql.expressions.Window
-      val e = Tables.embeddings(s, dir)
+      // the corpus path), same native-dot q39 contract: argmax on the raw
+      // bit-identical cosine with neighbor-id tie-break, 6dp round on
+      // OUTPUT only, v1 < v2 canonical orientation.
+      val sample = Tables.embeddings(s, dir)
         .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
         .limit(512)
-        .select(col("vec_id"), posexplode(col("embedding")))
-        .toDF("vec_id", "dim", "xf")
-        .select(col("vec_id"), col("dim"),
-          col("xf").cast("double").as("x"))
-      val nrm = e.groupBy(col("vec_id"))
-        .agg(sqrt(sum(round(col("x") * col("x"), 12).cast("decimal(38,12)"))
-          .cast("double")).as("nv"))
-      val dots = e.toDF("v1", "dim", "x1")
-        .join(e.toDF("v2", "dim2", "x2"),
-          col("dim") === col("dim2") && col("v1") =!= col("v2"))
-        .groupBy(col("v1"), col("v2"))
-        .agg(sum(round(col("x1") * col("x2"), 12).cast("decimal(38,12)"))
-          .cast("double").as("__dot"))
-      val cos = dots
-        .join(nrm.toDF("v1", "n1"), Seq("v1"))
-        .join(nrm.toDF("v2", "n2"), Seq("v2"))
-        .select(col("v1"), col("v2"),
-          round(col("__dot") / (col("n1") * col("n2")), 6).as("cs"))
-      val w = Window.partitionBy(col("v1"))
-        .orderBy(col("cs").desc, col("v2"))
-      val best = cos.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select(col("v1"), col("v2"), col("cs"))
+      val best = graft.operators.Similarity.bruteKnn(
+          sample, sample, "vec_id", "embedding", k = 1, dim = 64)
+        .select(col("query_id").as("v1"), col("neighbor_id").as("v2"),
+          round(col("sim"), 6).as("cs"))
       best.join(best.toDF("b2", "b1", "cs2"),
           col("v1") === col("b1") && col("v2") === col("b2"))
         .filter(col("v1") < col("v2"))
@@ -6698,29 +6667,23 @@ object SparkEntry {
            round((s + med * cast(n_imputed AS double)) /
              cast(n AS double), 6) AS mean_after
          FROM g JOIN med USING (event_type)""",
-    // label noise: mirrored norm/dot/cosine pipeline, 6dp before top-5,
-    // neighbor-id tie-break
+    // label noise: q39's sequential-double dot contract (list_sum in index
+    // order == the native loop), raw-sim top-5, neighbor-id tie-break
     "q266_knn_label_noise" ->
       """WITH e0 AS (SELECT vec_id, label, embedding FROM embeddings
            ORDER BY md5(cast(vec_id AS varchar)), vec_id LIMIT 512),
-         e AS (SELECT vec_id, cast(label AS bigint) AS lab, i AS dim,
-           embedding[i]::DOUBLE AS x
-           FROM e0, (SELECT unnest(generate_series(1, 64)) AS i)),
-         nrm AS (SELECT vec_id, sqrt(cast(sum(cast(round(x * x, 12)
-             AS decimal(38,12))) AS double)) AS nv FROM e GROUP BY 1),
-         dots AS (SELECT a.vec_id AS v1, a.lab AS l1, b.vec_id AS v2,
+         e AS (SELECT vec_id, cast(label AS bigint) AS lab,
+           embedding::DOUBLE[] AS v FROM e0),
+         s AS (SELECT a.vec_id AS v1, a.lab AS l1, b.vec_id AS v2,
              b.lab AS l2,
-             cast(sum(cast(round(a.x * b.x, 12) AS decimal(38,12)))
-               AS double) AS dot
-           FROM e a JOIN e b ON a.dim = b.dim AND a.vec_id <> b.vec_id
-           GROUP BY 1, 2, 3, 4),
-         cs AS (SELECT v1, l1, v2, l2,
-             round(dot / (na.nv * nb.nv), 6) AS c
-           FROM dots JOIN nrm na ON na.vec_id = v1
-             JOIN nrm nb ON nb.vec_id = v2),
+             list_sum(list_transform(generate_series(1, 64),
+               i -> a.v[i] * b.v[i]))
+             / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                * sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS sim
+           FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id),
          top AS (SELECT v1, l1, l2, row_number() OVER (
-             PARTITION BY v1 ORDER BY c DESC, v2) AS rn
-           FROM cs)
+             PARTITION BY v1 ORDER BY sim DESC, v2) AS rn
+           FROM s)
          SELECT l1 AS label,
            cast(count(DISTINCT v1) AS bigint) AS n_vecs,
            round(cast(sum(CASE WHEN l2 <> l1 THEN 1 ELSE 0 END) AS double)
@@ -6755,25 +6718,22 @@ object SparkEntry {
            cast(count(DISTINCT a.fp) AS bigint) AS n_shared_fps
          FROM d a JOIN d b ON a.fp = b.fp AND a.source < b.source
          GROUP BY 1, 2""",
-    // mutual NN: mirrored cosine table, per-side argmax, reciprocal join
+    // mutual NN: q39's sequential-double dot contract, raw-sim argmax,
+    // reciprocal join, 6dp round on output only
     "q269_mutual_nn" ->
       """WITH e0 AS (SELECT vec_id, embedding FROM embeddings
            ORDER BY md5(cast(vec_id AS varchar)), vec_id LIMIT 512),
-         e AS (SELECT vec_id, i AS dim, embedding[i]::DOUBLE AS x
-           FROM e0, (SELECT unnest(generate_series(1, 64)) AS i)),
-         nrm AS (SELECT vec_id, sqrt(cast(sum(cast(round(x * x, 12)
-             AS decimal(38,12))) AS double)) AS nv FROM e GROUP BY 1),
-         dots AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
-             cast(sum(cast(round(a.x * b.x, 12) AS decimal(38,12)))
-               AS double) AS dot
-           FROM e a JOIN e b ON a.dim = b.dim AND a.vec_id <> b.vec_id
-           GROUP BY 1, 2),
-         cs AS (SELECT v1, v2, round(dot / (na.nv * nb.nv), 6) AS cs
-           FROM dots JOIN nrm na ON na.vec_id = v1
-             JOIN nrm nb ON nb.vec_id = v2),
-         best AS (SELECT v1, v2, cs FROM (SELECT v1, v2, cs,
-             row_number() OVER (PARTITION BY v1 ORDER BY cs DESC, v2)
-               AS rn FROM cs) WHERE rn = 1)
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM e0),
+         s AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> a.v[i] * b.v[i]))
+             / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                * sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS sim
+           FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id),
+         best AS (SELECT v1, v2, round(sim, 6) AS cs
+           FROM (SELECT v1, v2, sim,
+             row_number() OVER (PARTITION BY v1 ORDER BY sim DESC, v2)
+               AS rn FROM s) WHERE rn = 1)
          SELECT a.v1, a.v2, a.cs FROM best a
          JOIN best b ON a.v1 = b.v2 AND a.v2 = b.v1
          WHERE a.v1 < a.v2""",

@@ -78,7 +78,12 @@ class PlanRegressionSpec extends AnyFunSuite {
   private val allowedBnlj = Map(
     "q39_knn_brute" -> 1, "q99_int8_knn" -> 2, "q106_pq_knn" -> 1,
     "q86_pretrain_pipeline" -> 2, "q121_hybrid_rrf" -> 1,
-    "q249_power_iteration" -> 7)
+    "q249_power_iteration" -> 7,
+    // q266/q269 broadcast the fixed 512-row md5-rank sample as the
+    // bruteKnn query side (build subtree = TakeOrderedAndProject, bounded
+    // by the LIMIT, not an aggregate); q269's mutual self-join re-executes
+    // that bounded subtree on both sides → 2
+    "q266_knn_label_noise" -> 1, "q269_mutual_nn" -> 2)
 
   private def aggregateBounded(p: SparkPlan): Boolean = p match {
     case _: BaseAggregateExec => true
