@@ -82,6 +82,34 @@ object SparkEntry {
     base + iterSql + "\n          SELECT node, r FROM r5"
   }
 
+  /** Generated DuckDB oracle for q296: six unrolled k-core peel rounds over
+    * the same undirected customer↔supplier graph as q111 — each round keeps
+    * the nodes whose degree WITHIN the surviving subgraph is ≥ k. Pure
+    * integer counting, so the Spark loop and this unrolled SQL agree
+    * bit-for-bit (the PageRank unrolled-iteration discipline). */
+  private val KCoreOracleSql: String = {
+    val rounds = 6
+    val k = 5
+    val base =
+      """WITH pairs AS (SELECT DISTINCT 'c' || cast(o_custkey AS varchar) AS src,
+               's' || cast(l_suppkey AS varchar) AS dst
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          edges AS (SELECT src, dst FROM pairs
+            UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+          n0 AS (SELECT DISTINCT src AS v FROM edges)"""
+    val iterSql = (1 to rounds).map { r =>
+      s""",
+          d$r AS (SELECT e.src AS v, cast(count(*) AS bigint) AS c
+             FROM edges e
+             JOIN n${r - 1} a ON e.src = a.v
+             JOIN n${r - 1} b ON e.dst = b.v
+             GROUP BY 1),
+          n$r AS (SELECT v FROM d$r WHERE c >= $k)"""
+    }.mkString
+    base + iterSql +
+      s"\n          SELECT v AS node, c AS degree FROM d$rounds WHERE c >= $k"
+  }
+
   /** The fixed AOI pentagon shared by q43 and q70 (an arbitrary convex-ish
     * ring in lon/lat, integer vertices so all derived arithmetic is exact). */
   private val AoiPentagon: Seq[(Double, Double)] =
@@ -4213,6 +4241,114 @@ object SparkEntry {
         dim = 64, nPlanes = 6, k = 5)
         .withColumn("sim", round(col("sim"), 6))
     }),
+
+    // ---- EXT: autocorrelation of the daily revenue series (lags 1..7) ----
+    "q286_acf_daily" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice").cast(D)).as("rev"))
+      graft.operators.Analyses.acfByLag(daily, "day", "rev", maxLag = 7)
+    }),
+
+    // ---- EXT: MASE — seasonal-naive forecast quality per priority ----
+    "q287_mase_forecast" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice").cast(D)).as("rev"))
+      graft.operators.Analyses.maseSeasonalNaive(
+        daily, "o_orderpriority", "day", "rev", season = 7)
+    }),
+
+    // ---- EXT: Zipf rank-frequency slope per language slice ----
+    "q288_zipf_slope" -> ((s, dir) =>
+      TextOps.zipfSlope(Tables.documents(s, dir), "lang", "text",
+        topRanks = 200)),
+
+    // ---- EXT: Spearman rank correlation (value vs time, per type) ----
+    "q289_spearman_rho" -> ((s, dir) =>
+      graft.operators.Analyses.spearmanRho(
+        Tables.events(s, dir).select(col("event_type"), col("value"),
+          unix_micros(col("ts")).as("t_us")),
+        "event_type", col("value"), col("t_us"))),
+
+    // ---- EXT: Mann–Whitney U rank-sum A/B test per type ----
+    "q290_mann_whitney" -> ((s, dir) =>
+      graft.operators.Analyses.mannWhitneyU(
+        Tables.events(s, dir), "event_type",
+        armCol = col("user_id") % 2 === 1, valueCol = col("value"))),
+
+    // ---- EXT: Cramér's V effect size (event type × weekday) ----
+    "q291_cramers_v" -> ((s, dir) =>
+      graft.operators.Analyses.cramersV(
+        Tables.events(s, dir).select(col("event_type"),
+          weekday(col("ts")).cast("int").as("dow")),
+        "event_type", "dow")),
+
+    // ---- EXT: geometric + harmonic means per type ----
+    "q292_log_means" -> ((s, dir) =>
+      graft.operators.Analyses.logMeans(
+        Tables.events(s, dir), "event_type", col("value"))),
+
+    // ---- EXT: RFM quintile segmentation (threshold buckets, no global window) ----
+    "q293_rfm_segments" -> ((s, dir) =>
+      graft.operators.Analyses.rfmSegments(
+        Tables.orders(s, dir), "o_custkey", "o_orderdate", "o_totalprice")),
+
+    // ---- EXT: count-min sketch accuracy audit (d=2, w=64) ----
+    "q294_countmin_audit" -> ((s, dir) =>
+      graft.operators.Sketches.countMinAudit(
+        Tables.events(s, dir), col("user_id"), depth = 2, width = 64,
+        topN = 20)),
+
+    // ---- EXT: KMV bottom-k set-intersection estimate audit ----
+    "q295_kmv_intersect" -> ((s, dir) =>
+      graft.operators.Sketches.kmvIntersectAudit(
+        Tables.events(s, dir), col("event_type"), col("user_id"), k = 128)),
+
+    // ---- EXT: fixed-round k-core peel on the customer↔supplier graph ----
+    "q296_kcore_peel" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val pairs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+      val edges = pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.kCorePeel(edges, k = 5, rounds = 6)
+    }),
+
+    // ---- EXT: graded nDCG@5 of the LSH index against the exact ranking ----
+    "q297_ndcg" -> ((s, dir) => {
+      // q222's recall/MRR sibling with GRADED relevance: a candidate found
+      // at truth-rank r carries gain 6−r, so ordering quality inside the
+      // top-k matters, not just membership. Per-position terms are rounded
+      // then summed as exact decimals (the q162 discipline); IDCG comes
+      // from each query's own truth list so short lists normalize fairly.
+      val e = Tables.spread(s, Tables.embeddings(s, dir))
+      val truth = Similarity.bruteKnn(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, dim = 64)
+      val cand = Similarity.lshKnn(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", dim = 64, nPlanes = 6, k = 5)
+      val dcg = cand.select(col("query_id"), col("neighbor_id"), col("rank"))
+        .join(truth.select(col("query_id"), col("neighbor_id"),
+          (lit(6) - col("rank")).cast("double").as("__g")),
+          Seq("query_id", "neighbor_id"), "left")
+        .withColumn("__term",
+          round(coalesce(col("__g"), lit(0.0d)) /
+            log2(col("rank").cast("double") + 1.0d), 6).cast("decimal(18,6)"))
+        .groupBy(col("query_id")).agg(sum(col("__term")).as("__dcg"))
+      val idcg = truth
+        .withColumn("__term",
+          round((lit(6) - col("rank")).cast("double") /
+            log2(col("rank").cast("double") + 1.0d), 6).cast("decimal(18,6)"))
+        .groupBy(col("query_id")).agg(sum(col("__term")).as("__idcg"))
+      idcg.join(dcg, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("__dcg").cast("double"), lit(0.0d)).as("dcg"),
+          col("__idcg").cast("double").as("idcg"),
+          (round(coalesce(col("__dcg").cast("double"), lit(0.0d)) /
+            col("__idcg").cast("double"), 6) + lit(0.0d)).as("ndcg"))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -8210,5 +8346,297 @@ object SparkEntry {
       """SELECT label, count(*) AS n,
          cast(sum(cast(round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 6) as decimal(18,6))) as double) AS sum_norm
          FROM embeddings GROUP BY label""",
+
+    // ACF from exact-decimal cross moments; calendar-date lag alignment
+    "q286_acf_daily" ->
+      """WITH s AS (SELECT cast(o_orderdate AS date) AS d,
+             cast(sum(cast(o_totalprice AS decimal(18,2))) AS decimal(18,2)) AS v
+           FROM orders GROUP BY 1),
+         base AS (SELECT cast(count(*) AS bigint) AS n, sum(v) AS sv,
+             sum(cast(v AS decimal(28,2)) * v) AS svv FROM s),
+         lags AS (SELECT l.lag, cast(count(*) AS bigint) AS n_pairs,
+             sum(a.v) AS spa, sum(b.v) AS spb,
+             sum(cast(a.v AS decimal(28,2)) * b.v) AS spab
+           FROM (SELECT unnest(range(1, 8)) AS lag) l
+           JOIN s a ON true
+           JOIN s b ON b.d = a.d + cast(l.lag AS int)
+           GROUP BY 1),
+         mb AS (SELECT n, svv, cast(sv AS double) / cast(n AS double) AS m
+           FROM base)
+         SELECT cast(l.lag AS int) AS lag, l.n_pairs,
+           round((cast(spab AS double) - m * cast(spa AS double)
+               - m * cast(spb AS double)
+               + cast(l.n_pairs AS double) * m * m)
+             / (cast(svv AS double) - cast(n AS double) * m * m), 6) + 0.0
+             AS acf
+         FROM lags l CROSS JOIN mb
+         WHERE cast(svv AS double) - cast(n AS double) * m * m > 0""",
+    // MASE: exact-decimal absolute errors, two calendar-lag joins
+    "q287_mase_forecast" ->
+      """WITH s AS (SELECT o_orderpriority AS k, cast(o_orderdate AS date) AS d,
+             cast(sum(cast(o_totalprice AS decimal(18,2))) AS decimal(18,2)) AS v
+           FROM orders GROUP BY 1, 2),
+         l7 AS (SELECT a.k, cast(count(*) AS bigint) AS n7,
+             sum(abs(b.v - a.v)) AS sae7
+           FROM s a JOIN s b ON b.k = a.k AND b.d = a.d + 7 GROUP BY 1),
+         l1 AS (SELECT a.k, cast(count(*) AS bigint) AS n1,
+             sum(abs(b.v - a.v)) AS sae1
+           FROM s a JOIN s b ON b.k = a.k AND b.d = a.d + 1 GROUP BY 1)
+         SELECT l7.k AS o_orderpriority, n7 AS n_seasonal_pairs,
+           round(cast(sae7 AS double) / cast(n7 AS double), 6) + 0.0
+             AS mae_seasonal,
+           round(cast(sae1 AS double) / cast(n1 AS double), 6) + 0.0
+             AS mae_naive,
+           round((cast(sae7 AS double) / cast(n7 AS double))
+             / (cast(sae1 AS double) / cast(n1 AS double)), 6) + 0.0 AS mase
+         FROM l7 JOIN l1 ON l7.k = l1.k
+         WHERE cast(sae1 AS double) / cast(n1 AS double) > 0""",
+    // Zipf: deterministic ranks, rounded-ln decimal moments, closed-form OLS
+    "q288_zipf_slope" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS t
+           FROM documents),
+         freq AS (SELECT lang, t, count(*) AS f FROM tok WHERE t <> ''
+           GROUP BY 1, 2),
+         ranked AS (SELECT lang, f,
+             row_number() OVER (PARTITION BY lang ORDER BY f DESC, t ASC) AS r
+           FROM freq),
+         xy AS (SELECT lang,
+             cast(round(ln(cast(r AS double)), 6) AS decimal(18,6)) AS x,
+             cast(round(ln(cast(f AS double)), 6) AS decimal(18,6)) AS y
+           FROM ranked WHERE r <= 200),
+         m AS (SELECT lang, cast(count(*) AS bigint) AS n_ranks,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+           FROM xy GROUP BY 1),
+         d AS (SELECT lang, n_ranks,
+             cast(n_ranks AS double) * cast(sxx AS double)
+               - cast(sx AS double) * cast(sx AS double) AS det,
+             cast(n_ranks AS double) * cast(sxy AS double)
+               - cast(sx AS double) * cast(sy AS double) AS num,
+             cast(sx AS double) AS sxd, cast(sy AS double) AS syd
+           FROM m)
+         SELECT lang, n_ranks, round(num / det, 6) + 0.0 AS zipf_slope,
+           round((syd - (num / det) * sxd) / cast(n_ranks AS double), 6) + 0.0
+             AS intercept
+         FROM d WHERE det > 0""",
+    // Spearman: midranks off the distribution table, exact hugeint moments
+    "q289_spearman_rho" ->
+      """WITH t AS (SELECT event_type AS g, value AS x, epoch_us(ts) AS y
+           FROM events),
+         dx AS (SELECT g, x, count(*) AS c FROM t GROUP BY 1, 2),
+         rx AS (SELECT g, x,
+             2 * (sum(c) OVER (PARTITION BY g ORDER BY x) - c) + c + 1 AS r2
+           FROM dx),
+         dy AS (SELECT g, y, count(*) AS c FROM t GROUP BY 1, 2),
+         ry AS (SELECT g, y,
+             2 * (sum(c) OVER (PARTITION BY g ORDER BY y) - c) + c + 1 AS r2
+           FROM dy),
+         j AS (SELECT t.g, rx.r2 AS ra, ry.r2 AS rb FROM t
+           JOIN rx ON t.g = rx.g AND t.x = rx.x
+           JOIN ry ON t.g = ry.g AND t.y = ry.y),
+         m AS (SELECT g, cast(count(*) AS bigint) AS n,
+             sum(cast(ra AS hugeint)) AS sx, sum(cast(rb AS hugeint)) AS sy,
+             sum(cast(ra AS hugeint) * rb) AS sxy,
+             sum(cast(ra AS hugeint) * ra) AS sxx,
+             sum(cast(rb AS hugeint) * rb) AS syy
+           FROM j GROUP BY 1),
+         v AS (SELECT g, n,
+             cast(n AS double) * cast(sxx AS double)
+               - cast(sx AS double) * cast(sx AS double) AS vx,
+             cast(n AS double) * cast(syy AS double)
+               - cast(sy AS double) * cast(sy AS double) AS vy,
+             cast(n AS double) * cast(sxy AS double)
+               - cast(sx AS double) * cast(sy AS double) AS cxy
+           FROM m)
+         SELECT g AS event_type, n, round(cxy / sqrt(vx * vy), 6) + 0.0 AS rho
+         FROM v WHERE vx > 0 AND vy > 0""",
+    // Mann–Whitney: pooled midranks, tie-corrected variance, exact algebra
+    "q290_mann_whitney" ->
+      """WITH t AS (SELECT event_type AS g,
+             cast(user_id % 2 = 1 AS int) AS arm, value AS v FROM events),
+         d AS (SELECT g, v, count(*) AS c FROM t GROUP BY 1, 2),
+         r AS (SELECT g, v,
+             2 * (sum(c) OVER (PARTITION BY g ORDER BY v) - c) + c + 1 AS r2
+           FROM d),
+         ties AS (SELECT g, sum(cast(c AS hugeint) * c * c - c) AS tie3
+           FROM d GROUP BY 1),
+         m AS (SELECT t.g, cast(count(*) AS bigint) AS n,
+             cast(sum(t.arm) AS bigint) AS n_b,
+             sum(CASE WHEN t.arm = 1 THEN cast(r.r2 AS hugeint)
+               ELSE 0 END) AS sr2b
+           FROM t JOIN r ON t.g = r.g AND t.v = r.v GROUP BY 1),
+         f AS (SELECT m.g, n, n_b, n - n_b AS n_a,
+             cast(sr2b AS double) AS sr2bd, tie3
+           FROM m JOIN ties ON m.g = ties.g),
+         z AS (SELECT g, n, n_a, n_b,
+             sr2bd - cast(n_b AS double) * (cast(n_b AS double) + 1.0) AS u2,
+             cast(n_a AS double) * cast(n_b AS double) AS mu,
+             cast(n_a AS double) * cast(n_b AS double) / 12.0
+               * ((cast(n AS double) + 1.0) - cast(tie3 AS double)
+                 / (cast(n AS double) * (cast(n AS double) - 1.0))) AS var
+           FROM f WHERE n_a > 0 AND n_b > 0)
+         SELECT g AS event_type, n_a, n_b,
+           round(u2 / 2.0, 6) + 0.0 AS u_b,
+           round((u2 / 2.0 - mu / 2.0) / sqrt(var), 6) + 0.0 AS z
+         FROM z WHERE var > 0""",
+    // Cramér's V over the COMPLETE rows×cols grid (empty cells still
+    // contribute e to the χ² total — the q128 observed-cell view would
+    // understate the statistic)
+    "q291_cramers_v" ->
+      """WITH t AS (SELECT event_type AS r, cast(isodow(ts) - 1 AS int) AS c
+           FROM events),
+         obs AS (SELECT r, c, cast(count(*) AS bigint) AS o FROM t GROUP BY 1, 2),
+         rt AS (SELECT r, cast(sum(o) AS bigint) AS rr FROM obs GROUP BY 1),
+         ct AS (SELECT c, cast(sum(o) AS bigint) AS cc FROM obs GROUP BY 1),
+         nn AS (SELECT cast(sum(o) AS bigint) AS n FROM obs),
+         grid AS (SELECT rt.r, ct.c, rr, cc, n,
+             coalesce(o, 0) AS o,
+             cast(rr AS double) * cast(cc AS double) / cast(n AS double) AS e
+           FROM rt CROSS JOIN ct CROSS JOIN nn
+           LEFT JOIN obs ON obs.r = rt.r AND obs.c = ct.c),
+         contrib AS (SELECT r, c, n,
+             round((cast(o AS double) - e) * (cast(o AS double) - e) / e, 6)
+               AS chi2c
+           FROM grid),
+         agg AS (SELECT max(n) AS n,
+             cast(count(DISTINCT r) AS bigint) AS n_rows,
+             cast(count(DISTINCT c) AS bigint) AS n_cols,
+             sum(cast(chi2c AS decimal(18,6))) AS chi2d
+           FROM contrib)
+         SELECT n, n_rows, n_cols, cast(chi2d AS double) AS chi2,
+           round(sqrt(cast(chi2d AS double) / (cast(n AS double)
+             * (cast(least(n_rows, n_cols) AS double) - 1.0))), 6) + 0.0
+             AS cramers_v
+         FROM agg WHERE least(n_rows, n_cols) > 1""",
+    // geometric/harmonic means: rounded per-term transforms, decimal sums
+    "q292_log_means" ->
+      """WITH t AS (SELECT event_type, value AS v FROM events WHERE value > 0)
+         SELECT event_type, cast(count(*) AS bigint) AS n,
+           round(exp(cast(sum(cast(round(ln(v), 6) AS decimal(18,6)))
+             AS double) / cast(count(*) AS double)), 6) + 0.0 AS geo_mean,
+           round(cast(count(*) AS double)
+             / cast(sum(cast(round(1.0 / v, 9) AS decimal(18,9))) AS double),
+             6) + 0.0 AS harmonic_mean
+         FROM t GROUP BY 1
+         HAVING sum(cast(round(1.0 / v, 9) AS decimal(18,9))) > 0""",
+    // RFM: broadcast quantile thresholds, strict-> lower-bucket ties
+    "q293_rfm_segments" ->
+      """WITH per AS (SELECT o_custkey, max(cast(o_orderdate AS date)) AS last_d,
+             cast(count(*) AS bigint) AS frequency,
+             sum(cast(o_totalprice AS decimal(18,2))) AS spend
+           FROM orders GROUP BY 1),
+         h AS (SELECT max(last_d) AS hd FROM per),
+         base AS (SELECT o_custkey,
+             cast(date_diff('day', last_d, hd) AS bigint) AS recency_days,
+             frequency, round(cast(spend AS double), 2) AS monetary
+           FROM per CROSS JOIN h),
+         th AS (SELECT
+             list_transform(quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]),
+               t -> round(t, 6)) AS tr,
+             list_transform(quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]),
+               t -> round(t, 6)) AS tf,
+             list_transform(quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]),
+               t -> round(t, 6)) AS tm
+           FROM base)
+         SELECT o_custkey, recency_days, frequency, monetary,
+           cast(1 + len(list_filter(tr,
+             t -> cast(recency_days AS double) > t)) AS int) AS r_q,
+           cast(1 + len(list_filter(tf,
+             t -> cast(frequency AS double) > t)) AS int) AS f_q,
+           cast(1 + len(list_filter(tm, t -> monetary > t)) AS int) AS m_q,
+           cast((1 + len(list_filter(tr, t -> cast(recency_days AS double) > t))) * 100
+             + (1 + len(list_filter(tf, t -> cast(frequency AS double) > t))) * 10
+             + (1 + len(list_filter(tm, t -> monetary > t))) AS bigint)
+             AS segment
+         FROM base CROSS JOIN th""",
+    // count-min: md5-lane counters, min-over-lanes estimate, top-20 audit
+    "q294_countmin_audit" ->
+      """WITH keyed AS (SELECT cast(user_id AS varchar) AS k,
+             cast(count(*) AS bigint) AS exact
+           FROM events GROUP BY 1),
+         lanes AS (
+           SELECT 0 AS j,
+               ('0x' || substr(md5(k), 1, 8))::bigint % 64 AS b,
+               cast(sum(exact) AS bigint) AS c
+             FROM keyed GROUP BY 2
+           UNION ALL
+           SELECT 1,
+               ('0x' || substr(md5(k), 9, 8))::bigint % 64,
+               cast(sum(exact) AS bigint)
+             FROM keyed GROUP BY 2),
+         e0 AS (SELECT k, exact, c FROM keyed JOIN lanes ON j = 0
+           AND ('0x' || substr(md5(k), 1, 8))::bigint % 64 = b),
+         e1 AS (SELECT k, exact, c FROM keyed JOIN lanes ON j = 1
+           AND ('0x' || substr(md5(k), 9, 8))::bigint % 64 = b),
+         est AS (SELECT k, exact, min(c) AS estimate
+           FROM (SELECT * FROM e0 UNION ALL SELECT * FROM e1)
+           GROUP BY 1, 2)
+         SELECT k AS key, exact, estimate, estimate - exact AS overestimate
+         FROM est ORDER BY exact DESC, k ASC LIMIT 20""",
+    // KMV: bottom-k union trick; under-full pairs are exact by construction
+    "q295_kmv_intersect" ->
+      """WITH m AS (SELECT DISTINCT cast(event_type AS varchar) AS s,
+             cast(user_id AS varchar) AS mm FROM events),
+         sizes AS (SELECT s, cast(count(*) AS bigint) AS n FROM m GROUP BY 1),
+         h AS (SELECT s, mm,
+             ('0x' || substr(md5(mm), 1, 15))::bigint AS hh FROM m),
+         sk AS (SELECT s, mm, hh FROM (SELECT s, mm, hh,
+             row_number() OVER (PARTITION BY s ORDER BY hh, mm) AS r FROM h)
+           WHERE r <= 128),
+         pairs AS (SELECT a.s AS set_a, b.s AS set_b, a.n AS n_a, b.n AS n_b
+           FROM sizes a, sizes b WHERE a.s < b.s),
+         uni AS (SELECT set_a, set_b, n_a, n_b, mm, hh, count(*) AS cnt
+           FROM (
+             SELECT p.set_a, p.set_b, p.n_a, p.n_b, k.mm, k.hh
+               FROM pairs p JOIN sk k ON k.s = p.set_a
+             UNION ALL
+             SELECT p.set_a, p.set_b, p.n_a, p.n_b, k.mm, k.hh
+               FROM pairs p JOIN sk k ON k.s = p.set_b)
+           GROUP BY 1, 2, 3, 4, 5, 6),
+         topk AS (SELECT * FROM (SELECT *,
+             row_number() OVER (PARTITION BY set_a, set_b
+               ORDER BY hh, mm) AS r FROM uni)
+           WHERE r <= 128),
+         stats AS (SELECT set_a, set_b, n_a, n_b,
+             cast(count(*) AS bigint) AS ku,
+             max(CASE WHEN r = 128 THEN hh END) AS thetah,
+             cast(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS bigint)
+               AS inboth
+           FROM topk GROUP BY 1, 2, 3, 4),
+         ex AS (SELECT a.s AS set_a, b.s AS set_b,
+             cast(count(*) AS bigint) AS exact_intersection
+           FROM m a JOIN m b ON a.mm = b.mm AND a.s < b.s GROUP BY 1, 2)
+         SELECT st.set_a, st.set_b, st.n_a, st.n_b,
+           cast(coalesce(e.exact_intersection, 0) AS bigint)
+             AS exact_intersection,
+           round(cast(inboth AS double) / cast(least(ku, 128) AS double)
+             * (CASE WHEN ku < 128 OR thetah IS NULL THEN cast(ku AS double)
+                ELSE 127.0 * 1152921504606846976.0 / cast(thetah AS double)
+                END), 2) + 0.0 AS est_intersection
+         FROM stats st LEFT JOIN ex e
+           ON st.set_a = e.set_a AND st.set_b = e.set_b""",
+    "q296_kcore_peel" -> KCoreOracleSql,
+    // nDCG: graded gains from the exact ranking, rounded-term decimal sums
+    "q297_ndcg" ->
+      s"""WITH truth AS (SELECT * FROM ($KnnBruteSql) t),
+         cand AS (SELECT * FROM ($KnnLshSql) c),
+         rel AS (SELECT c.query_id, c.rank,
+             coalesce(cast(6 - t.rank AS double), 0.0) AS g
+           FROM cand c LEFT JOIN truth t ON c.query_id = t.query_id
+             AND c.neighbor_id = t.neighbor_id),
+         dcg AS (SELECT query_id,
+             sum(cast(round(g / log2(cast(rank AS double) + 1.0), 6)
+               AS decimal(18,6))) AS dcgd
+           FROM rel GROUP BY 1),
+         idcg AS (SELECT query_id,
+             sum(cast(round(cast(6 - rank AS double)
+               / log2(cast(rank AS double) + 1.0), 6)
+               AS decimal(18,6))) AS idcgd
+           FROM truth GROUP BY 1)
+         SELECT i.query_id,
+           coalesce(cast(dcgd AS double), 0.0) AS dcg,
+           cast(idcgd AS double) AS idcg,
+           round(coalesce(cast(dcgd AS double), 0.0)
+             / cast(idcgd AS double), 6) + 0.0 AS ndcg
+         FROM idcg i LEFT JOIN dcg USING (query_id)""",
   )
 }

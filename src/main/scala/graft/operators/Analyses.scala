@@ -830,4 +830,295 @@ object Analyses {
         max(col(rhs)).as("rhs_max"))
       .filter(col("n_rhs") > 1)
   }
+
+  /** Autocorrelation of a (date, value) series at lags 1..`maxLag` — the
+    * seasonality detector behind forecast-model selection (a weekly cycle
+    * shows as a spike at lag 7). r_k = Σ(v_t−m)(v_{t+k}−m) / Σ(v_t−m)²
+    * with the FULL-series mean m and variance, computed entirely from
+    * exact-decimal cross moments (Σv, Σv², Σ v_t·v_{t+k}, and the lag-side
+    * marginals Σv_t, Σv_{t+k} over matched pairs) expanded algebraically —
+    * no double is ever summed, the q152/q141 discipline. Pairs match by
+    * CALENDAR date (t+k days), so gaps shrink n_k rather than sliding the
+    * alignment. Scale shape: one hash agg to the daily grain (bounded by
+    * the date range), then a self-join per lag on the dimension-sized
+    * daily table — corpus rows are touched once. */
+  def acfByLag(daily: DataFrame, dateCol: String, valCol: String,
+               maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "need at least one lag")
+    // the daily series is dimension-sized (one row per calendar day) and
+    // reused maxLag+1 times — pin it so the corpus-side aggregate that
+    // produced it runs once, not once per lag
+    val s = daily.select(col(dateCol).as("__d"), col(valCol).cast("decimal(18,2)").as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = s.agg(
+      count(lit(1)).as("n"),
+      sum(col("__v")).as("__sv"),
+      sum(col("__v") * col("__v")).as("__svv"))
+    val lags = (1 to maxLag).map(k => (k, s.as("a").join(
+        s.select(col("__d").as("__d2"), col("__v").as("__w")).as("b"),
+        expr(s"date_add(__d, $k) = __d2"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__v")).as("__spa"),
+        sum(col("__w")).as("__spb"),
+        sum(col("__v") * col("__w")).as("__spab"))
+      .withColumn("lag", lit(k))))
+    val pairs = lags.map(_._2).reduce(_.unionByName(_))
+    pairs.crossJoin(broadcast(base))
+      .withColumn("__m", col("__sv").cast("double") / col("n").cast("double"))
+      // numerator: Σ v_t·v_{t+k} − m·Σv_t − m·Σv_{t+k} + n_k·m²
+      .withColumn("__num",
+        col("__spab").cast("double") -
+          col("__m") * col("__spa").cast("double") -
+          col("__m") * col("__spb").cast("double") +
+          col("n_pairs").cast("double") * col("__m") * col("__m"))
+      // denominator: full-series Σ(v−m)² = Σv² − n·m²
+      .withColumn("__den",
+        col("__svv").cast("double") -
+          col("n").cast("double") * col("__m") * col("__m"))
+      .filter(col("__den") > 0)
+      .select(col("lag"), col("n_pairs"),
+        (round(col("__num") / col("__den"), 6) + lit(0.0d)).as("acf"))
+  }
+
+  /** MASE — mean absolute scaled error of the seasonal-naive forecast
+    * v̂_t = v_{t−season} against the naive-1 baseline |v_t − v_{t−1}|, the
+    * scale-free forecast-quality metric (MASE < 1 ⇒ the seasonal model
+    * beats carrying yesterday forward). Absolute differences of exact
+    * decimals are exact decimals; each MAE is ONE final double division,
+    * and the ratio one more — nothing double is ever summed. Calendar-date
+    * joins (not row offsets) so series gaps shrink the pair count instead
+    * of mis-aligning the forecast. Scale shape: daily-grain self-joins on
+    * a dimension-sized series table, grouped per series key. */
+  def maseSeasonalNaive(daily: DataFrame, keyCol: String, dateCol: String,
+                        valCol: String, season: Int): DataFrame = {
+    require(season >= 2, "season must be >= 2 (1 would equal the baseline)")
+    // dimension-sized (key × day) series, reused by both lag joins — pin it
+    val s = daily.select(col(keyCol).as("__k"), col(dateCol).as("__d"),
+      col(valCol).cast("decimal(18,2)").as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def lagJoin(k: Int) = s.as("a").join(
+        s.select(col("__k").as("__k2"), col("__d").as("__d2"),
+          col("__v").as("__w")).as("b"),
+        col("__k") === col("__k2") && expr(s"date_add(__d, $k) = __d2"))
+      .groupBy(col("__k").as(keyCol))
+      .agg(count(lit(1)).as(s"n_$k"), sum(abs(col("__w") - col("__v"))).as(s"__sae_$k"))
+    lagJoin(season).join(lagJoin(1), Seq(keyCol))
+      .withColumn("__mae_s",
+        col(s"__sae_$season").cast("double") / col(s"n_$season").cast("double"))
+      .withColumn("__mae_1",
+        col("__sae_1").cast("double") / col("n_1").cast("double"))
+      .filter(col("__mae_1") > 0)
+      .select(col(keyCol),
+        col(s"n_$season").as("n_seasonal_pairs"),
+        (round(col("__mae_s"), 6) + lit(0.0d)).as("mae_seasonal"),
+        (round(col("__mae_1"), 6) + lit(0.0d)).as("mae_naive"),
+        (round(col("__mae_s") / col("__mae_1"), 6) + lit(0.0d)).as("mase"))
+  }
+
+  /** Average ranks (midranks) of `valueCol` within each group, returned at
+    * the (group, value) DISTRIBUTION grain as the INTEGER 2·rank (ties get
+    * the mean of the positions they occupy, so 2·rank = 2·|{<v}| + c + 1 is
+    * always a whole number — rank algebra stays exact end-to-end). The
+    * shared primitive of the rank statistics below: correlation and U are
+    * invariant to the affine 2r map, so no division ever happens before the
+    * final statistic. Scale shape: the corpus collapses to the (group,
+    * value) distribution table first (the q130 trick); the window runs over
+    * THAT, bounded by value cardinality, never corpus-sized. */
+  def midranks2(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dist = df.select(col(groupCol), valueCol.as("__v"))
+      .groupBy(col(groupCol), col("__v")).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dist.withColumn("__cum", sum(col("__c")).over(w))
+      .select(col(groupCol), col("__v"), col("__c"),
+        (lit(2L) * (col("__cum") - col("__c")) + col("__c") + 1L).as("__r2"))
+  }
+
+  /** Spearman rank correlation per group — the monotone-association
+    * measure that survives outliers and nonlinearity (use over q152's
+    * Pearson when the question is "does y go up with x" rather than "is it
+    * linear"). Pearson over midranks, computed with EXACT integer moments
+    * of the doubled ranks (2r is integral even under ties; correlation is
+    * affine-invariant so the doubling cancels) — sums go through
+    * decimal(38,0) because Σ(2r)² reaches n³. One double sqrt+division at
+    * the end, rounded, negative zero collapsed. Scale shape: two
+    * distribution-table rank maps (bounded windows) + two hash joins back
+    * to rows + one hash aggregate — no corpus-sized window, no RDD. */
+  def spearmanRho(df: DataFrame, groupCol: String, xCol: Column,
+                  yCol: Column): DataFrame = {
+    val t = df.select(col(groupCol), xCol.as("__x"), yCol.as("__y"))
+    val rx = midranks2(t, groupCol, col("__x"))
+      .select(col(groupCol), col("__v").as("__x"), col("__r2").as("__rx"))
+    val ry = midranks2(t, groupCol, col("__y"))
+      .select(col(groupCol), col("__v").as("__y"), col("__r2").as("__ry"))
+    val ranked = t.join(rx, Seq(groupCol, "__x")).join(ry, Seq(groupCol, "__y"))
+    val B = "decimal(38,0)"
+    val m = ranked.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col("__rx").cast(B)).as("__sx"),
+      sum(col("__ry").cast(B)).as("__sy"),
+      sum(col("__rx").cast(B) * col("__ry")).as("__sxy"),
+      sum(col("__rx").cast(B) * col("__rx")).as("__sxx"),
+      sum(col("__ry").cast(B) * col("__ry")).as("__syy"))
+    m.withColumn("__vx",
+        col("n").cast("double") * col("__sxx").cast("double") -
+          col("__sx").cast("double") * col("__sx").cast("double"))
+      .withColumn("__vy",
+        col("n").cast("double") * col("__syy").cast("double") -
+          col("__sy").cast("double") * col("__sy").cast("double"))
+      .filter(col("__vx") > 0 && col("__vy") > 0)
+      .select(col(groupCol), col("n"),
+        (round((col("n").cast("double") * col("__sxy").cast("double") -
+          col("__sx").cast("double") * col("__sy").cast("double")) /
+          sqrt(col("__vx") * col("__vy")), 6) + lit(0.0d)).as("rho"))
+  }
+
+  /** Mann–Whitney U with normal approximation and tie-corrected variance —
+    * the distribution-free two-sample test (the robust sibling of q206's
+    * t-based A/B read: no normality assumption, rank-level only). U_A =
+    * ΣrankA − n_A(n_A+1)/2 over the POOLED midranks; doubled-rank sums keep
+    * every term integral until the final z. Tie correction Σ(t³−t) comes
+    * off the pooled distribution table exactly. Scale shape: distribution-
+    * table ranks (bounded window) + one hash join + one hash aggregate. */
+  def mannWhitneyU(df: DataFrame, groupCol: String, armCol: Column,
+                   valueCol: Column): DataFrame = {
+    val t = df.select(col(groupCol), armCol.cast("int").as("__arm"),
+      valueCol.as("__v"))
+    val r = midranks2(t, groupCol, col("__v"))
+      .select(col(groupCol), col("__v"), col("__r2"))
+    val ties = t.groupBy(col(groupCol), col("__v")).agg(count(lit(1)).as("__t"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__t").cast("decimal(38,0)") * col("__t") * col("__t") -
+        col("__t")).as("__tie3"))
+    val B = "decimal(38,0)"
+    val m = t.join(r, Seq(groupCol, "__v"))
+      .groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n"),
+        sum(col("__arm")).as("n_b"),
+        sum(when(col("__arm") === 1, col("__r2").cast(B)).otherwise(lit(0L)))
+          .as("__sr2b"))
+      .withColumn("n_a", col("n") - col("n_b"))
+    m.join(ties, Seq(groupCol))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      // 2U_B = Σ2r_B − n_B(n_B+1): still integral
+      .withColumn("__u2",
+        col("__sr2b").cast("double") -
+          col("n_b").cast("double") * (col("n_b").cast("double") + 1.0d))
+      .withColumn("__mu", col("n_a").cast("double") * col("n_b").cast("double"))
+      // Var U = n_a·n_b/12 · [(n+1) − Σ(t³−t)/(n(n−1))]
+      .withColumn("__var",
+        col("__mu") / 12.0d * ((col("n").cast("double") + 1.0d) -
+          col("__tie3").cast("double") /
+            (col("n").cast("double") * (col("n").cast("double") - 1.0d))))
+      .filter(col("__var") > 0)
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        (round(col("__u2") / 2.0d, 6) + lit(0.0d)).as("u_b"),
+        (round((col("__u2") / 2.0d - col("__mu") / 2.0d) /
+          sqrt(col("__var")), 6) + lit(0.0d)).as("z"))
+  }
+
+  /** Cramér's V — χ² normalized to [0,1] effect size so association
+    * strength is comparable ACROSS contingency tables of different shape
+    * (the "is this drift big" companion to q128's raw χ², which only says
+    * "is it nonzero"). Reuses [[contingencyChi2]]'s per-cell contributions
+    * (already rounded per term, the entropy discipline) and reduces them
+    * with an exact decimal(18,6) sum; V = sqrt(χ²/(n·min(r−1,c−1))) is one
+    * final double expression. Scale: the cell table is |rows|×|cols| —
+    * dimension-sized by design. */
+  def cramersV(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    // NOT built on contingencyChi2: that one reports only OBSERVED cells
+    // (right for its per-cell display gate q128, wrong for a χ² total —
+    // an empty cell still contributes e to the statistic). The full
+    // rows×cols grid here is dimension-sized by construction.
+    val obs = df.groupBy(col(rowCol), col(colCol)).agg(count(lit(1)).as("__o"))
+    val rt = obs.groupBy(col(rowCol)).agg(sum(col("__o")).as("__r"))
+    val ct = obs.groupBy(col(colCol)).agg(sum(col("__o")).as("__c"))
+    val n = obs.agg(sum(col("__o")).as("__n"))
+    val grid = rt.crossJoin(broadcast(ct)).crossJoin(broadcast(n))
+      .join(obs, Seq(rowCol, colCol), "left")
+      .withColumn("__e",
+        col("__r").cast("double") * col("__c").cast("double") /
+          col("__n").cast("double"))
+      .withColumn("__od", coalesce(col("__o"), lit(0L)).cast("double"))
+      .withColumn("__term", round(
+        (col("__od") - col("__e")) * (col("__od") - col("__e")) / col("__e"), 6)
+        .cast("decimal(18,6)"))
+    grid.agg(
+        max(col("__n")).as("n"),
+        countDistinct(col(rowCol)).as("n_rows"),
+        countDistinct(col(colCol)).as("n_cols"),
+        sum(col("__term")).as("__chi2"))
+      .withColumn("__dof",
+        least(col("n_rows"), col("n_cols")).cast("double") - 1.0d)
+      .filter(col("__dof") > 0)
+      .select(col("n"), col("n_rows"), col("n_cols"),
+        col("__chi2").cast("double").as("chi2"),
+        (round(sqrt(col("__chi2").cast("double") /
+          (col("n").cast("double") * col("__dof"))), 6) + lit(0.0d)).as("cramers_v"))
+  }
+
+  /** RFM (recency / frequency / monetary) quintile segmentation — the
+    * classic customer-value grid. Each entity's three metrics (days since
+    * last activity, activity count, exact-decimal spend) are bucketed
+    * 1..5 against CORPUS quintile thresholds; the 3-digit `segment` code
+    * (r·100 + f·10 + m) is the marketing-facing label.
+    *
+    * Deliberately NOT `ntile(5) OVER ()` — a global window is a
+    * single-partition sort. Thresholds are ONE percentile-array aggregate
+    * row, broadcast (the scoreBandSample shape); bucket assignment is a
+    * pure per-row expression: q = 1 + |{thresholds strictly below the
+    * value}| so ties fall to the lower bucket deterministically, and
+    * thresholds are rounded to 6 dp before the compare (two engines'
+    * linear interpolation can differ by 1 ulp — the established
+    * cross-engine contract). Monetary is rounded to 2 dp on BOTH sides of
+    * the compare for the same reason. */
+  def rfmSegments(orders: DataFrame, keyCol: String, tsCol: String,
+                  amountCol: String): DataFrame = {
+    val per = orders.groupBy(col(keyCol)).agg(
+      max(to_date(col(tsCol))).as("__last"),
+      count(lit(1)).as("frequency"),
+      sum(col(amountCol).cast("decimal(18,2)")).as("__spend"))
+    val horizon = per.agg(max(col("__last")).as("__h"))
+    val base = per.crossJoin(broadcast(horizon))
+      .withColumn("recency_days", datediff(col("__h"), col("__last")).cast("long"))
+      .withColumn("monetary", round(col("__spend").cast("double"), 2))
+      .select(col(keyCol), col("recency_days"), col("frequency"), col("monetary"))
+    val cuts = "0.2, 0.4, 0.6, 0.8"
+    val th = base.agg(
+      transform(expr(s"percentile(recency_days, array($cuts))"), t => round(t, 6)).as("__tr"),
+      transform(expr(s"percentile(frequency, array($cuts))"), t => round(t, 6)).as("__tf"),
+      transform(expr(s"percentile(monetary, array($cuts))"), t => round(t, 6)).as("__tm"))
+    def bucket(v: Column, th: Column): Column =
+      aggregate(th, lit(1), (acc, t) => acc + when(v > t, 1).otherwise(0))
+    base.crossJoin(broadcast(th))
+      .select(col(keyCol), col("recency_days"), col("frequency"), col("monetary"),
+        bucket(col("recency_days").cast("double"), col("__tr")).as("r_q"),
+        bucket(col("frequency").cast("double"), col("__tf")).as("f_q"),
+        bucket(col("monetary"), col("__tm")).as("m_q"))
+      .withColumn("segment",
+        (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).cast("long"))
+  }
+
+  /** Geometric and harmonic means per group — the right central tendencies
+    * for ratio/rate data (growth factors average geometrically; rates
+    * average harmonically), both over strictly positive values. Per-row
+    * transforms (ln v, 1/v) are rounded THEN summed as exact decimals (the
+    * q162 entropy discipline — never sum raw doubles across engines); the
+    * final exp/division is one double expression. Scale: one hash
+    * aggregate, map-side combinable. */
+  def logMeans(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
+    val t = df.select(col(groupCol), valueCol.cast("double").as("__v"))
+      .filter(col("__v") > 0)
+    t.groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n"),
+        sum(round(log(col("__v")), 6).cast("decimal(18,6)")).as("__slog"),
+        sum(round(lit(1.0d) / col("__v"), 9).cast("decimal(18,9)")).as("__sinv"))
+      .filter(col("__sinv") > 0)
+      .select(col(groupCol), col("n"),
+        (round(exp(col("__slog").cast("double") / col("n").cast("double")), 6)
+          + lit(0.0d)).as("geo_mean"),
+        (round(col("n").cast("double") / col("__sinv").cast("double"), 6)
+          + lit(0.0d)).as("harmonic_mean"))
+  }
 }

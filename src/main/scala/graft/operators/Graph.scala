@@ -239,4 +239,47 @@ object Graph {
       .select(col("node"), col("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
+
+  /** Fixed-round k-core peel — `rounds` synchronous rounds of "drop every
+    * node whose degree within the surviving subgraph is < k", returning the
+    * survivors with their within-subgraph degree. The k-core is the
+    * classic density filter (spam/bot rings, cohesive communities survive;
+    * tendrils peel off); a FIXED round count makes the gate deterministic
+    * and oracle-mirrorable (the PageRank unrolled-iteration discipline) —
+    * on this fixture the peel converges well before the default rounds, so
+    * the result IS the true k-core.
+    *
+    * Scale shape: the symmetric edge list is pre-partitioned on src and
+    * pinned once (the q111 static-table discipline); each round is one
+    * broadcast-or-shuffle semi-join of edges against the shrinking node
+    * set + one map-side-combinable count aggregate. The node set is
+    * localCheckpoint-cut every `checkpointEvery` rounds so round r's plan
+    * never replays rounds 1..r−1. Degrees are exact integers end-to-end —
+    * nothing to diverge between engines. */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int,
+                checkpointEvery: Int = 2): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(rounds >= 1, "need at least one peel round")
+    import org.apache.spark.storage.StorageLevel
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    e.count(): Unit
+    var alive = e.select(col("src").as("node")).distinct()
+    var deg: DataFrame = null
+    (1 to rounds).foreach { r =>
+      // the node set is dimension-sized (≤ |V|, shrinking every round):
+      // broadcast both semi-join sides so the pinned src-partitioned edge
+      // table streams in place — per round ZERO shuffles on the edge side,
+      // only the (node, degree) aggregate moves
+      deg = e
+        .join(broadcast(alive.select(col("node").as("src"))), Seq("src"), "left_semi")
+        .join(broadcast(alive.select(col("node").as("dst"))), Seq("dst"), "left_semi")
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+        .filter(col("degree") >= k)
+      alive = deg.select(col("node"))
+      if (r % checkpointEvery == 0 && r < rounds)
+        alive = alive.localCheckpoint(eager = true)
+    }
+    deg.select(col("node"), col("degree"))
+  }
 }

@@ -751,4 +751,50 @@ object TextOps {
         (col("n_oov").cast("double") / col("n_tokens").cast("double"))
           .as("oov_rate"))
   }
+
+  /** Zipf slope per corpus slice — OLS of ln(frequency) on ln(rank) over
+    * the top `topRanks` token ranks: natural language sits near −1, and a
+    * slice that drifts far from its siblings signals boilerplate, spam, or
+    * a broken extractor (the corpus-health read that q32's language profile
+    * and q127's KL divergence don't give). Ranks are deterministic
+    * (frequency desc, token asc). The regression follows the q141/q162
+    * hybrid discipline: ln terms are rounded to 6 dp THEN summed as exact
+    * decimals (a raw double Σ would be accumulation-order-dependent), and
+    * the closed-form slope/intercept are single double expressions at the
+    * end. Scale shape: one token hash agg, a per-slice top-k window over
+    * the (slice, token) frequency table (WindowGroupLimit prunes to
+    * `topRanks` before the full sort), one moment aggregate over ≤
+    * slices×topRanks rows. */
+  def zipfSlope(docs: DataFrame, sliceCol: String, textCol: String,
+                topRanks: Int = 200): DataFrame = {
+    require(topRanks >= 2, "need at least two ranks to fit a line")
+    val freq = docs
+      .select(col(sliceCol), explode(tokens(col(textCol))).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col(sliceCol), col("__t")).agg(count(lit(1)).as("__f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sliceCol)).orderBy(col("__f").desc, col("__t").asc)
+    val ranked = freq.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= topRanks)
+      .withColumn("__x", round(log(col("__r").cast("double")), 6).cast("decimal(18,6)"))
+      .withColumn("__y", round(log(col("__f").cast("double")), 6).cast("decimal(18,6)"))
+    val m = ranked.groupBy(col(sliceCol)).agg(
+      count(lit(1)).as("n_ranks"),
+      sum(col("__x")).as("__sx"),
+      sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"))
+    m.withColumn("__det",
+        col("n_ranks").cast("double") * col("__sxx").cast("double") -
+          col("__sx").cast("double") * col("__sx").cast("double"))
+      .filter(col("__det") > 0)
+      .withColumn("__slope",
+        (col("n_ranks").cast("double") * col("__sxy").cast("double") -
+          col("__sx").cast("double") * col("__sy").cast("double")) / col("__det"))
+      .select(col(sliceCol), col("n_ranks"),
+        (round(col("__slope"), 6) + lit(0.0d)).as("zipf_slope"),
+        (round((col("__sy").cast("double") - col("__slope") *
+          col("__sx").cast("double")) / col("n_ranks").cast("double"), 6)
+          + lit(0.0d)).as("intercept"))
+  }
 }

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analyses, Graph, Sketches, TextOps}
+
+/** Unit goldens for the round-6 operators (their end-to-end gates are
+  * q286–q297): time-series ACF/MASE, rank statistics, effect size,
+  * log-domain means, RFM bucketing, the count-min / KMV sketch audits,
+  * k-core peeling and the Zipf fit. Each golden is hand-computed. */
+class Round6OpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def day(s: String): java.sql.Date = java.sql.Date.valueOf(s)
+
+  test("acfByLag: period-2 series gives acf(1)=-7/8, acf(2)=3/4") {
+    // 8 consecutive days alternating 1,3: mean 2, Σ(v−m)² = 8;
+    // lag1: 7 pairs each (±1)(∓1) = −1 → −7/8; lag2: 6 pairs each +1 → 6/8
+    val vals = Seq(1.0, 3.0, 1.0, 3.0, 1.0, 3.0, 1.0, 3.0)
+    val daily = vals.zipWithIndex
+      .map { case (v, i) => (day(f"2024-01-${i + 1}%02d"), v) }
+      .toDF("day", "v")
+    val out = Analyses.acfByLag(daily, "day", "v", maxLag = 2)
+      .orderBy("lag").as[(Int, Long, Double)].collect()
+    assert(out.toSeq == Seq((1, 7L, -0.875), (2, 6L, 0.75)))
+  }
+
+  test("maseSeasonalNaive: exact weekly periodicity → mase = 0") {
+    // 21 days, value = dow index (period 7): seasonal error 0, naive error > 0
+    val daily = (0 until 21)
+      .map(i => ("k", day(f"2024-03-${i + 1}%02d"), (i % 7 + 1).toDouble))
+      .toDF("k", "day", "v")
+    val out = Analyses.maseSeasonalNaive(daily, "k", "day", "v", season = 7)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(out.length == 1)
+    val (_, n7, maeS, mae1, mase) = out.head
+    assert(n7 == 14L && maeS == 0.0 && mae1 > 0 && mase == 0.0)
+  }
+
+  test("spearmanRho: invariant under monotone transforms, sign under reversal") {
+    val df = Seq.tabulate(10)(i => ("g", i.toDouble, math.pow(i + 1, 3)))
+      .toDF("g", "x", "y")
+    val up = Analyses.spearmanRho(df, "g", col("x"), col("y"))
+      .select("rho").as[Double].head()
+    assert(up == 1.0)
+    val down = Analyses.spearmanRho(
+      df.withColumn("y", -col("y")), "g", col("x"), col("y"))
+      .select("rho").as[Double].head()
+    assert(down == -1.0)
+  }
+
+  test("mannWhitneyU: textbook 2-vs-2 separation golden") {
+    // A = {1,2} (arm 0), B = {3,4} (arm 1): U_B = (3+4) − 3 = 4;
+    // z = (4 − 2)/sqrt(4/12·5) = 2/1.290994 = 1.549193
+    val df = Seq(("g", 0L, 1.0), ("g", 0L, 2.0), ("g", 1L, 3.0), ("g", 1L, 4.0))
+      .toDF("g", "u", "v")
+    val out = Analyses.mannWhitneyU(df, "g", col("u") % 2 === 1, col("v"))
+      .as[(String, Long, Long, Double, Double)].head()
+    assert(out == (("g", 2L, 2L, 4.0, 1.549193)))
+  }
+
+  test("cramersV: 1.0 on perfect association, 0.0 on independence") {
+    val perfect = (Seq.fill(5)(("a", "x")) ++ Seq.fill(5)(("b", "y")))
+      .toDF("r", "c")
+    assert(Analyses.cramersV(perfect, "r", "c")
+      .select("cramers_v").as[Double].head() == 1.0)
+    val indep = (for { r <- Seq("a", "b"); c <- Seq("x", "y") }
+      yield Seq.fill(3)((r, c))).flatten.toDF("r", "c")
+    assert(Analyses.cramersV(indep, "r", "c")
+      .select("cramers_v").as[Double].head() == 0.0)
+  }
+
+  test("logMeans: geo/harmonic goldens; non-positive values excluded") {
+    val df = Seq(("g", 2.0), ("g", 8.0), ("g", -1.0), ("g", 0.0)).toDF("g", "v")
+    val (n, geo, harm) = Analyses.logMeans(df, "g", col("v"))
+      .select("n", "geo_mean", "harmonic_mean")
+      .as[(Long, Double, Double)].head()
+    assert(n == 2L)
+    assert(math.abs(geo - 4.0) < 1e-5)   // exp((ln2+ln8)/2) = 4
+    assert(harm == 3.2)                  // 2/(1/2 + 1/8)
+  }
+
+  test("rfmSegments: distinct 1..10 metrics land 2 per quintile (ties low)") {
+    // 10 customers, frequency 1..10 (one order per day streak): quantile
+    // cuts 2.8/4.6/6.4/8.2 → strict > puts {1,2},{3,4},{5,6},{7,8},{9,10}
+    val orders = (1 to 10).flatMap { c =>
+      (0 until c).map(i => (c.toLong, s"2024-02-${10 + i} 00:00:00", 100.0 * c))
+    }.toDF("cust", "d", "amt")
+      .withColumn("d", to_timestamp(col("d")))
+    val out = Analyses.rfmSegments(orders, "cust", "d", "amt")
+    val fq = out.groupBy("f_q").count().orderBy("f_q")
+      .as[(Int, Long)].collect()
+    assert(fq.toSeq == Seq((1, 2L), (2, 2L), (3, 2L), (4, 2L), (5, 2L)))
+    // monetary is total spend = 100·c·c, strictly increasing in c → same split
+    val mq = out.groupBy("m_q").count().orderBy("m_q")
+      .as[(Int, Long)].collect()
+    assert(mq.toSeq == Seq((1, 2L), (2, 2L), (3, 2L), (4, 2L), (5, 2L)))
+  }
+
+  test("countMinAudit: estimate >= exact always; exact when width is ample") {
+    val df = (Seq.fill(7)("a") ++ Seq.fill(3)("b") ++ Seq.fill(1)("c"))
+      .toDF("k")
+    val wide = Sketches.countMinAudit(df, col("k"), depth = 2, width = 4096,
+      topN = 10).as[(String, Long, Long, Long)].collect()
+    assert(wide.forall { case (_, exact, est, over) =>
+      est >= exact && over == est - exact })
+    assert(wide.forall { case (_, exact, est, _) => est == exact })
+    val narrow = Sketches.countMinAudit(df, col("k"), depth = 2, width = 2,
+      topN = 10).as[(String, Long, Long, Long)].collect()
+    assert(narrow.forall { case (_, exact, est, _) => est >= exact })
+  }
+
+  test("kmvIntersectAudit: under-full sketches are exact by construction") {
+    val df = (Seq.tabulate(20)(i => ("A", i)) ++
+      Seq.tabulate(20)(i => ("B", i + 15))).toDF("s", "m")
+    val out = Sketches.kmvIntersectAudit(df, col("s"), col("m"), k = 128)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(out.length == 1)
+    val (_, _, na, nb, exact, est) = out.head
+    assert(na == 20L && nb == 20L && exact == 5L && est == 5.0)
+  }
+
+  test("kCorePeel: triangle survives 2-core, pendant and path peel away") {
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "a"), // triangle
+      ("c", "d"), ("d", "e")) // pendant path
+    val edges = und.toDF("src", "dst")
+      .unionByName(und.map(_.swap).toDF("src", "dst"))
+    val out = Graph.kCorePeel(edges, k = 2, rounds = 4)
+      .orderBy("node").as[(String, Long)].collect()
+    assert(out.toSeq == Seq(("a", 2L), ("b", 2L), ("c", 2L)))
+    val path = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val sym = path.unionByName(path.select(col("dst").as("src"), col("src").as("dst")))
+    assert(Graph.kCorePeel(sym, k = 2, rounds = 3).count() == 0L)
+  }
+
+  test("zipfSlope: two-rank fit through (ln1,ln4),(ln2,ln2) has slope -1") {
+    val docs = Seq((1L, "a a a a b b", "x")).toDF("doc_id", "text", "lang")
+    val (n, slope) = TextOps.zipfSlope(docs, "lang", "text", topRanks = 2)
+      .select("n_ranks", "zipf_slope").as[(Long, Double)].head()
+    assert(n == 2L && slope == -1.0)
+  }
+}
