@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, ExifGps, HyperplaneBands, ImageMeta, PointInPolygon, PolygonsOverlap, PolygonsOverlapFull, SimHash32}
+import graft.functions.{DotProduct, ExifGps, HyperplaneBands, ImageMeta, JaroWinkler, PointInPolygon, PolygonsOverlap, PolygonsOverlapFull, SimHash32}
 
 /** Session extension registering the engine's custom Catalyst expressions so
   * they are callable from SQL as well as the Column API.
@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.simhash32Descriptor)
     e.injectFunction(GraftExtensions.imageMetaDescriptor)
     e.injectFunction(GraftExtensions.exifGpsDescriptor)
+    e.injectFunction(GraftExtensions.jaroWinklerDescriptor)
   }
 }
 
@@ -131,6 +132,18 @@ object GraftExtensions {
     new ExpressionInfo(classOf[ExifGps].getName, "exif_gps"),
     egBuilder _)
 
+  private def jwBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2,
+      s"jaro_winkler(a, b) takes 2 arguments, got ${args.length}")
+    JaroWinkler(args(0), args(1))
+  }
+
+  val jaroWinklerDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+    jwBuilder _)
+
   /** Register custom functions on an existing session (used by Verify/Bench
     * and tests, where the builder isn't ours). */
   def register(spark: SparkSession): Unit = {
@@ -142,7 +155,8 @@ object GraftExtensions {
       "dot_product" -> dpBuilder _,
       "simhash32" -> shBuilder _,
       "image_meta" -> imBuilder _,
-      "exif_gps" -> egBuilder _)
+      "exif_gps" -> egBuilder _,
+      "jaro_winkler" -> jwBuilder _)
     fns.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")

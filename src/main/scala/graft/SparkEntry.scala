@@ -4349,6 +4349,23 @@ object SparkEntry {
           (round(coalesce(col("__dcg").cast("double"), lit(0.0d)) /
             col("__idcg").cast("double"), 6) + lit(0.0d)).as("ndcg"))
     }),
+
+    // ---- EXT: Jaro–Winkler fuzzy name resolution (native expression) ----
+    "q298_fuzzy_match" -> ((s, dir) => {
+      // dirty probe set: every part name with ONE character dropped at a
+      // p_partkey-derived position in [2, len−1] (first char preserved so
+      // first-char blocking holds); the matcher must resolve each probe
+      // back to a catalog name. The JW kernel is the native codegen
+      // expression — the oracle scores the same pairs with DuckDB's
+      // jaro_winkler_similarity, so the gate verifies the kernel itself.
+      val dirty = Tables.part(s, dir).select(col("p_partkey"),
+        expr("""concat(
+             substring(p_name, 1, cast(1 + p_partkey % (length(p_name) - 2) as int)),
+             substring(p_name, cast(3 + p_partkey % (length(p_name) - 2) as int), length(p_name)))""")
+          .as("dirty_name"))
+      Dedup.fuzzyBlockMatch(dirty, "p_partkey", "dirty_name",
+        Tables.part(s, dir), "p_name", minSim = 0.85)
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -8638,5 +8655,27 @@ object SparkEntry {
            round(coalesce(cast(dcgd AS double), 0.0)
              / cast(idcgd AS double), 6) + 0.0 AS ndcg
          FROM idcg i LEFT JOIN dcg USING (query_id)""",
+    // fuzzy match: same dirty construction, DuckDB's own JW kernel, ranked
+    // on the rounded score with the clean name as tie-break
+    "q298_fuzzy_match" ->
+      """WITH dirty AS (SELECT p_partkey,
+             substr(p_name, 1,
+               cast(1 + p_partkey % (length(p_name) - 2) AS int))
+             || substr(p_name,
+               cast(3 + p_partkey % (length(p_name) - 2) AS int))
+             AS dirty_name
+           FROM part),
+         cat AS (SELECT DISTINCT p_name AS clean FROM part),
+         scored AS (SELECT d.p_partkey, d.dirty_name, c.clean,
+             round(jaro_winkler_similarity(d.dirty_name, c.clean), 6) AS jw
+           FROM dirty d JOIN cat c
+             ON substr(d.dirty_name, 1, 1) = substr(c.clean, 1, 1)
+           WHERE round(jaro_winkler_similarity(d.dirty_name, c.clean), 6)
+             >= 0.85),
+         best AS (SELECT *, row_number() OVER (PARTITION BY p_partkey
+             ORDER BY jw DESC, clean ASC) AS rn
+           FROM scored)
+         SELECT p_partkey, dirty_name, clean AS matched_name, jw
+         FROM best WHERE rn = 1""",
   )
 }

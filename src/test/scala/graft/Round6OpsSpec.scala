@@ -132,6 +132,33 @@ class Round6OpsSpec extends SparkSuite {
     assert(Graph.kCorePeel(sym, k = 2, rounds = 3).count() == 0L)
   }
 
+  test("jaroWinkler: textbook goldens and edge cases") {
+    import graft.functions.JaroWinkler
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      JaroWinkler.compute(UTF8String.fromString(a), UTF8String.fromString(b))
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("dwayne", "duane") - 0.8400000000000001) < 1e-12)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    assert(jw("", "") == 1.0 && jw("a", "") == 0.0 && jw("", "a") == 0.0)
+    assert(jw("same", "same") == 1.0)
+    // boost only above 0.7: a low-jaro pair with a shared prefix stays raw
+    assert(jw("abcdefgh", "abzzzzzz") < 0.75)
+  }
+
+  test("fuzzyBlockMatch: dropped-char probes resolve to their source name") {
+    import graft.operators.Dedup
+    val clean = Seq("small ring", "red widget", "blue bolt", "hot gear")
+      .toDF("name")
+    val dirty = Seq((1L, "smal ring"), (2L, "red wdget"), (3L, "blue blt"))
+      .toDF("id", "dname")
+    val out = Dedup.fuzzyBlockMatch(dirty, "id", "dname", clean, "name",
+      minSim = 0.85).orderBy("id")
+      .select("id", "matched_name").as[(Long, String)].collect()
+    assert(out.toSeq == Seq((1L, "small ring"), (2L, "red widget"),
+      (3L, "blue bolt")))
+  }
+
   test("zipfSlope: two-rank fit through (ln1,ln4),(ln2,ln2) has slope -1") {
     val docs = Seq((1L, "a a a a b b", "x")).toDF("doc_id", "text", "lang")
     val (n, slope) = TextOps.zipfSlope(docs, "lang", "text", topRanks = 2)
