@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, ExifGps, HyperplaneBands, ImageMeta, JaroWinkler, PointInPolygon, PolygonsOverlap, PolygonsOverlapFull, SimHash32}
+import graft.functions.{DamerauLevenshtein, DotProduct, ExifGps, HyperplaneBands, ImageMeta, JaroWinkler, PointInPolygon, PolygonsOverlap, PolygonsOverlapFull, SimHash32}
 
 /** Session extension registering the engine's custom Catalyst expressions so
   * they are callable from SQL as well as the Column API.
@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.imageMetaDescriptor)
     e.injectFunction(GraftExtensions.exifGpsDescriptor)
     e.injectFunction(GraftExtensions.jaroWinklerDescriptor)
+    e.injectFunction(GraftExtensions.damerauLevenshteinDescriptor)
   }
 }
 
@@ -144,6 +145,18 @@ object GraftExtensions {
     new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
     jwBuilder _)
 
+  private def dlBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2,
+      s"damerau_levenshtein(a, b) takes 2 arguments, got ${args.length}")
+    DamerauLevenshtein(args(0), args(1))
+  }
+
+  val damerauLevenshteinDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("damerau_levenshtein"),
+    new ExpressionInfo(classOf[DamerauLevenshtein].getName, "damerau_levenshtein"),
+    dlBuilder _)
+
   /** Register custom functions on an existing session (used by Verify/Bench
     * and tests, where the builder isn't ours). */
   def register(spark: SparkSession): Unit = {
@@ -156,7 +169,8 @@ object GraftExtensions {
       "simhash32" -> shBuilder _,
       "image_meta" -> imBuilder _,
       "exif_gps" -> egBuilder _,
-      "jaro_winkler" -> jwBuilder _)
+      "jaro_winkler" -> jwBuilder _,
+      "damerau_levenshtein" -> dlBuilder _)
     fns.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")

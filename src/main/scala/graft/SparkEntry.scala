@@ -4366,6 +4366,68 @@ object SparkEntry {
       Dedup.fuzzyBlockMatch(dirty, "p_partkey", "dirty_name",
         Tables.part(s, dir), "p_name", minSim = 0.85)
     }),
+
+    // ---- EXT: true Damerau–Levenshtein neighborhood audit ----
+    "q299_damerau_close" -> ((s, dir) => {
+      // the q298 probe set scored with the UNRESTRICTED DL kernel (native
+      // expression): per probe, how many catalog names sit within edit
+      // distance 2 and how close the nearest is — the ambiguity check a
+      // fuzzy matcher needs before trusting best-match resolution
+      val dirty = Tables.part(s, dir).select(col("p_partkey"),
+        expr("""concat(
+             substring(p_name, 1, cast(1 + p_partkey % (length(p_name) - 2) as int)),
+             substring(p_name, cast(3 + p_partkey % (length(p_name) - 2) as int), length(p_name)))""")
+          .as("dirty_name"))
+      val cat = Tables.part(s, dir).select(col("p_name").as("__clean")).distinct()
+      dirty.join(broadcast(cat),
+          substring(col("dirty_name"), 1, 1) === substring(col("__clean"), 1, 1))
+        .withColumn("__dl", Dedup.damerauLevenshtein(col("dirty_name"), col("__clean")))
+        .groupBy(col("p_partkey"), col("dirty_name"))
+        .agg(min(col("__dl")).as("min_dl"),
+          sum(when(col("__dl") <= 2, 1L).otherwise(0L)).as("n_within2"))
+    }),
+
+    // ---- EXT: inter-arrival burstiness per event type ----
+    "q300_interarrival" -> ((s, dir) =>
+      graft.operators.Analyses.interarrivalStats(
+        Tables.events(s, dir), "event_type", "user_id", "ts",
+        tieBreak = col("event_id"))),
+
+    // ---- EXT: Gumbel fit of monthly maxima of daily revenue ----
+    "q301_gumbel_fit" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice").cast(D)).as("rev"))
+      graft.operators.Analyses.gumbelBlockMaxima(daily, "day", "rev")
+    }),
+
+    // ---- EXT: weekly-activity bitmask profiles ----
+    "q302_dow_bitmask" -> ((s, dir) =>
+      // per user one int whose bit d is set iff the user was active on
+      // weekday d, then the histogram of those masks — the compact
+      // behavioral-profile encoding (bitmap index grain: OR/AND-mergeable
+      // across partitions and days, the roaring-bitmap idea in miniature)
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(expr("bit_or(shiftleft(1, weekday(ts)))").as("mask"))
+        .groupBy(col("mask"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("mask"), expr("cast(bit_count(mask) as int)").as("n_active_days"),
+          col("n_users"))),
+
+    // ---- EXT: small-file compaction plan (start-offset bin packing) ----
+    "q303_compaction_plan" -> ((s, dir) => {
+      val files = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"),
+          date_trunc("month", col("l_shipdate")).as("file_month"))
+        .agg((count(lit(1)) * 100L).as("bytes"))
+      graft.sources.Sources.compactionPlan(files,
+          Seq("l_returnflag", "l_linestatus"), col("file_month"), col("bytes"),
+          targetBytes = 500000L)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          to_date(col("file_month")).as("file_month"),
+          col("est_bytes"), col("bin"))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -8677,5 +8739,90 @@ object SparkEntry {
            FROM scored)
          SELECT p_partkey, dirty_name, clean AS matched_name, jw
          FROM best WHERE rn = 1""",
+    // DL neighborhood: DuckDB's damerau_levenshtein is the unrestricted
+    // (alphabet-table) variant — the native kernel must agree pairwise
+    "q299_damerau_close" ->
+      """WITH dirty AS (SELECT p_partkey,
+             substr(p_name, 1,
+               cast(1 + p_partkey % (length(p_name) - 2) AS int))
+             || substr(p_name,
+               cast(3 + p_partkey % (length(p_name) - 2) AS int))
+             AS dirty_name
+           FROM part),
+         cat AS (SELECT DISTINCT p_name AS clean FROM part),
+         scored AS (SELECT d.p_partkey, d.dirty_name,
+             damerau_levenshtein(d.dirty_name, c.clean) AS dl
+           FROM dirty d JOIN cat c
+             ON substr(d.dirty_name, 1, 1) = substr(c.clean, 1, 1))
+         SELECT p_partkey, dirty_name, min(dl) AS min_dl,
+           cast(sum(CASE WHEN dl <= 2 THEN 1 ELSE 0 END) AS bigint)
+             AS n_within2
+         FROM scored GROUP BY 1, 2""",
+    // burstiness: exact integer-microsecond gap moments, population sigma
+    "q300_interarrival" ->
+      """WITH g AS (SELECT event_type, user_id, epoch_us(ts) AS t,
+             lag(epoch_us(ts)) OVER (PARTITION BY event_type, user_id
+               ORDER BY ts, event_id) AS pt
+           FROM events),
+         gg AS (SELECT event_type, t - pt AS g FROM g WHERE pt IS NOT NULL),
+         m AS (SELECT event_type, cast(count(*) AS bigint) AS n_gaps,
+             sum(cast(g AS hugeint)) AS sg,
+             sum(cast(g AS hugeint) * g) AS sgg
+           FROM gg GROUP BY 1 HAVING count(*) > 1),
+         s AS (SELECT event_type, n_gaps,
+             cast(sg AS double) / cast(n_gaps AS double) AS mu,
+             sqrt(cast(n_gaps AS double) * cast(sgg AS double)
+               - cast(sg AS double) * cast(sg AS double))
+               / cast(n_gaps AS double) AS sigma
+           FROM m)
+         SELECT event_type, n_gaps,
+           round(mu / 1e6, 6) + 0.0 AS mean_gap_s,
+           round(sigma / 1e6, 6) + 0.0 AS sd_gap_s,
+           round((sigma - mu) / (sigma + mu), 6) + 0.0 AS burstiness
+         FROM s WHERE sigma + mu > 0""",
+    // Gumbel MoM fit: exact block-max moments, hardcoded gamma literal
+    "q301_gumbel_fit" ->
+      """WITH daily AS (SELECT cast(o_orderdate AS date) AS d,
+             cast(sum(cast(o_totalprice AS decimal(18,2))) AS decimal(18,2)) AS v
+           FROM orders GROUP BY 1),
+         blocks AS (SELECT date_trunc('month', d) AS blk, max(v) AS mx
+           FROM daily GROUP BY 1),
+         m AS (SELECT cast(count(*) AS bigint) AS n_blocks, sum(mx) AS sv,
+             sum(cast(mx AS decimal(28,2)) * mx) AS svv FROM blocks),
+         s AS (SELECT n_blocks,
+             cast(sv AS double) / cast(n_blocks AS double) AS mean,
+             sqrt((cast(n_blocks AS double) * cast(svv AS double)
+               - cast(sv AS double) * cast(sv AS double))
+               / (cast(n_blocks AS double)
+                 * (cast(n_blocks AS double) - 1.0))) AS sd
+           FROM m WHERE n_blocks > 1),
+         b AS (SELECT n_blocks, mean, sd, sd * sqrt(6.0) / pi() AS beta
+           FROM s)
+         SELECT n_blocks, round(mean, 6) + 0.0 AS block_max_mean,
+           round(sd, 6) + 0.0 AS block_max_sd,
+           round(beta, 6) + 0.0 AS gumbel_beta,
+           round(mean - 0.5772156649015329 * beta, 6) + 0.0 AS gumbel_mu
+         FROM b""",
+    // bitmask profiles: OR-mergeable weekday bitmaps, Monday = bit 0
+    "q302_dow_bitmask" ->
+      """WITH u AS (SELECT user_id,
+             bit_or(1 << cast(isodow(ts) - 1 AS int)) AS mask
+           FROM events GROUP BY 1)
+         SELECT mask, cast(bit_count(mask) AS int) AS n_active_days,
+           cast(count(*) AS bigint) AS n_users
+         FROM u GROUP BY mask""",
+    // compaction plan: start-offset bin over the per-partition cumsum
+    "q303_compaction_plan" ->
+      """WITH files AS (SELECT l_returnflag, l_linestatus,
+             date_trunc('month', l_shipdate) AS fm,
+             cast(count(*) * 100 AS bigint) AS est_bytes
+           FROM lineitem GROUP BY 1, 2, 3),
+         c AS (SELECT l_returnflag, l_linestatus, fm, est_bytes,
+             sum(est_bytes) OVER (PARTITION BY l_returnflag, l_linestatus
+               ORDER BY fm) AS cum
+           FROM files)
+         SELECT l_returnflag, l_linestatus, cast(fm AS date) AS file_month,
+           est_bytes, cast((cum - est_bytes) // 500000 AS bigint) AS bin
+         FROM c""",
   )
 }

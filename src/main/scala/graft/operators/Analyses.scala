@@ -1100,6 +1100,81 @@ object Analyses {
         (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).cast("long"))
   }
 
+  /** Inter-arrival burstiness per group — mean gap and the Goh–Barabási
+    * burstiness coefficient B = (σ−μ)/(σ+μ) over per-entity event gaps:
+    * B→−1 is a metronome (periodic polling), B≈0 Poisson-random, B→+1
+    * bursty (human/incident-driven) — the traffic-shape read behind
+    * capacity planning and bot detection that a plain rate (q129) misses.
+    * Gaps are exact integer microseconds; μ and the POPULATION σ come from
+    * exact Σg/Σg² (decimal(38,0), since Σg² reaches n·gap²) — the q129
+    * never-sum-doubles rule. One partitioned lag window (per entity) + one
+    * hash aggregate. */
+  def interarrivalStats(df: DataFrame, groupCol: String, entityCol: String,
+                        tsCol: String, tieBreak: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol), col(entityCol))
+      .orderBy(col(tsCol).asc, tieBreak.asc)
+    val gaps = df
+      .withColumn("__t", unix_micros(col(tsCol)))
+      .withColumn("__g", col("__t") - lag(col("__t"), 1).over(w))
+      .filter(col("__g").isNotNull)
+    val B = "decimal(38,0)"
+    gaps.groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("__g").cast(B)).as("__sg"),
+        sum(col("__g").cast(B) * col("__g")).as("__sgg"))
+      .filter(col("n_gaps") > 1)
+      .withColumn("__mu",
+        col("__sg").cast("double") / col("n_gaps").cast("double"))
+      // population σ = sqrt(n·Σg² − (Σg)²)/n, all from exact sums
+      .withColumn("__sigma",
+        sqrt(col("n_gaps").cast("double") * col("__sgg").cast("double") -
+          col("__sg").cast("double") * col("__sg").cast("double")) /
+          col("n_gaps").cast("double"))
+      .filter(col("__sigma") + col("__mu") > 0)
+      .select(col(groupCol), col("n_gaps"),
+        (round(col("__mu") / 1e6d, 6) + lit(0.0d)).as("mean_gap_s"),
+        (round(col("__sigma") / 1e6d, 6) + lit(0.0d)).as("sd_gap_s"),
+        (round((col("__sigma") - col("__mu")) /
+          (col("__sigma") + col("__mu")), 6) + lit(0.0d)).as("burstiness"))
+  }
+
+  /** Gumbel (EV-I) fit of block maxima by the method of moments — the
+    * extreme-value read behind "what daily peak should next quarter
+    * plan for": collapse to a daily grain, take each calendar block's
+    * maximum, and fit β = s·√6/π, μ = m̄ − γ·β (γ = Euler–Mascheroni).
+    * Block maxima and their Σv/Σv² are exact decimals; the sample std and
+    * the two plug-in parameters are one final double expression each (the
+    * q141 closed-form discipline — the oracle hardcodes the same γ
+    * literal). Scale shape: corpus → daily hash agg → block-max hash agg
+    * (calendar-bounded) → one moment row. */
+  def gumbelBlockMaxima(daily: DataFrame, dateCol: String,
+                        valCol: String): DataFrame = {
+    val blocks = daily
+      .groupBy(date_trunc("month", col(dateCol)).as("__blk"))
+      .agg(max(col(valCol).cast("decimal(18,2)")).as("__mx"))
+    blocks.agg(
+        count(lit(1)).as("n_blocks"),
+        sum(col("__mx")).as("__sv"),
+        sum(col("__mx").cast("decimal(28,2)") * col("__mx")).as("__svv"))
+      .filter(col("n_blocks") > 1)
+      .withColumn("__mean",
+        col("__sv").cast("double") / col("n_blocks").cast("double"))
+      .withColumn("__sd",
+        sqrt((col("n_blocks").cast("double") * col("__svv").cast("double") -
+          col("__sv").cast("double") * col("__sv").cast("double")) /
+          (col("n_blocks").cast("double") *
+            (col("n_blocks").cast("double") - 1.0d))))
+      .withColumn("__beta",
+        col("__sd") * sqrt(lit(6.0d)) / lit(math.Pi))
+      .select(col("n_blocks"),
+        (round(col("__mean"), 6) + lit(0.0d)).as("block_max_mean"),
+        (round(col("__sd"), 6) + lit(0.0d)).as("block_max_sd"),
+        (round(col("__beta"), 6) + lit(0.0d)).as("gumbel_beta"),
+        (round(col("__mean") - lit(0.5772156649015329d) * col("__beta"), 6)
+          + lit(0.0d)).as("gumbel_mu"))
+  }
+
   /** Geometric and harmonic means per group — the right central tendencies
     * for ratio/rate data (growth factors average geometrically; rates
     * average harmonically), both over strictly positive values. Per-row

@@ -636,6 +636,11 @@ object Dedup {
   def jaroWinkler(a: Column, b: Column): Column =
     exprColumn(graft.functions.JaroWinkler(asExpr(a), asExpr(b)))
 
+  /** TRUE Damerau–Levenshtein distance column (native codegen
+    * [[graft.functions.DamerauLevenshtein]]; SQL: `damerau_levenshtein`). */
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    exprColumn(graft.functions.DamerauLevenshtein(asExpr(a), asExpr(b)))
+
   /** Fuzzy name resolution — match every dirty name to its best clean
     * catalog entry by Jaro–Winkler within a blocking key: the scoring half
     * of record linkage when keys are free text rather than structured

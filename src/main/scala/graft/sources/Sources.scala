@@ -164,4 +164,32 @@ object Sources {
       .filter(col("n_a").isNull || col("n_b").isNull ||
         col("n_a") =!= col("n_b") || col("sum_a") =!= col("sum_b"))
   }
+
+  /** Small-file compaction planner — the table-maintenance pass every
+    * 100 TB parquet lake needs: given a file inventory (partition keys +
+    * per-file size + a stable order key), assign each file a compaction
+    * bin so every bin's total lands near `targetBytes`. The rule is the
+    * START-OFFSET bin: bin = (cumulative bytes BEFORE this file) div
+    * target — pure integer arithmetic over a per-partition cumulative sum
+    * (the q164 equi-depth trick), deterministic, and append-stable for
+    * files ordered after existing ones. A file larger than the target gets
+    * its own bin(s) boundary naturally. One partitioned window, bounded by
+    * files-per-partition; no driver state, no global sort. */
+  def compactionPlan(files: DataFrame, partCols: Seq[String],
+                     orderCol: Column, bytesCol: Column,
+                     targetBytes: Long): DataFrame = {
+    require(partCols.nonEmpty, "need at least one partition column")
+    require(targetBytes > 0, "targetBytes must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCols.map(col): _*)
+      .orderBy(orderCol.asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    files
+      .withColumn("__bytes", bytesCol.cast("long"))
+      .withColumn("__cum", sum(col("__bytes")).over(w))
+      .withColumn("bin",
+        expr(s"(__cum - __bytes) div ${targetBytes}L").cast("long"))
+      .drop("__cum")
+      .withColumnRenamed("__bytes", "est_bytes")
+  }
 }

@@ -159,6 +159,48 @@ class Round6OpsSpec extends SparkSuite {
       (3L, "blue bolt")))
   }
 
+  test("damerauLevenshtein: unrestricted variant (CA→ABC = 2, not OSA's 3)") {
+    import graft.functions.DamerauLevenshtein
+    import org.apache.spark.unsafe.types.UTF8String
+    def dl(a: String, b: String): Long =
+      DamerauLevenshtein.compute(UTF8String.fromString(a), UTF8String.fromString(b))
+    assert(dl("CA", "ABC") == 2L)         // the OSA restriction would say 3
+    assert(dl("MARTHA", "MARHTA") == 1L)  // one transposition
+    assert(dl("kitten", "sitting") == 3L)
+    assert(dl("", "abc") == 3L && dl("abc", "") == 3L && dl("", "") == 0L)
+    assert(dl("ab", "ba") == 1L && dl("same", "same") == 0L)
+  }
+
+  test("interarrivalStats: metronome gaps give burstiness -1") {
+    val rows = (0 until 5).map(i =>
+      (i.toLong, ts(f"2024-01-01 10:0$i:00"), 7L, "tick", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Analyses.interarrivalStats(rows, "event_type", "user_id", "ts",
+      col("event_id")).as[(String, Long, Double, Double, Double)].head()
+    assert(out == (("tick", 4L, 60.0, 0.0, -1.0)))
+  }
+
+  test("gumbelBlockMaxima: two equal maxima give sd 0, mu = mean") {
+    val daily = Seq(
+      (day("2024-01-05"), 10.0), (day("2024-01-20"), 50.0),
+      (day("2024-02-10"), 50.0), (day("2024-02-11"), 30.0))
+      .toDF("day", "v")
+    val (n, mean, sd, beta, mu) = Analyses.gumbelBlockMaxima(daily, "day", "v")
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(n == 2L && mean == 50.0 && sd == 0.0 && beta == 0.0 && mu == 50.0)
+  }
+
+  test("compactionPlan: start-offset bins pack to the target") {
+    import graft.sources.Sources
+    val files = Seq(("p", 1, 300L), ("p", 2, 300L), ("p", 3, 300L),
+      ("p", 4, 1200L), ("p", 5, 100L)).toDF("part", "ord", "bytes")
+    val out = Sources.compactionPlan(files, Seq("part"), col("ord"),
+      col("bytes"), targetBytes = 500L)
+      .orderBy("ord").select("bin").as[Long].collect()
+    // cum-before: 0,300,600,900,2100 → bins 0,0,1,1,4
+    assert(out.toSeq == Seq(0L, 0L, 1L, 1L, 4L))
+  }
+
   test("zipfSlope: two-rank fit through (ln1,ln4),(ln2,ln2) has slope -1") {
     val docs = Seq((1L, "a a a a b b", "x")).toDF("doc_id", "text", "lang")
     val (n, slope) = TextOps.zipfSlope(docs, "lang", "text", topRanks = 2)
