@@ -4428,6 +4428,44 @@ object SparkEntry {
           to_date(col("file_month")).as("file_month"),
           col("est_bytes"), col("bin"))
     }),
+
+    // ---- EXT: decision-stump split search (histogram greedy) ----
+    "q304_decision_stump" -> ((s, dir) =>
+      // "which feature and cut best separates purchases": candidate grids
+      // are the whole-unit-rounded value and the event hour — bounded by
+      // construction, the XGBoost histogram discipline
+      graft.operators.Analyses.giniStump(
+        Tables.events(s, dir),
+        features = Seq(
+          "value_unit" -> round(col("value"), 0),
+          "hour" -> hour(col("ts")).cast("double")),
+        label = (col("event_type") === "purchase").cast("int"))),
+
+    // ---- EXT: l-diversity privacy audit ----
+    "q305_l_diversity" -> ((s, dir) => {
+      val t = Tables.customer(s, dir)
+        .join(Tables.orders(s, dir),
+          col("c_custkey") === col("o_custkey"))
+      graft.operators.Analyses.lDiversityAudit(t,
+        Seq("c_mktsegment", "c_nationkey"), col("o_orderpriority"), minL = 3)
+    }),
+
+    // ---- EXT: business-day SLA latency per priority ----
+    "q306_business_days" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship_d"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          to_date(col("o_orderdate")).as("order_d"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("__bd",
+          Scalars.busDayIndex(col("ship_d")) - Scalars.busDayIndex(col("order_d")))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          (round(sum(col("__bd")).cast("double") /
+            count(lit(1)).cast("double"), 6) + lit(0.0d)).as("mean_bus_days"),
+          max(col("__bd")).as("max_bus_days"))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -8824,5 +8862,81 @@ object SparkEntry {
          SELECT l_returnflag, l_linestatus, cast(fm AS date) AS file_month,
            est_bytes, cast((cum - est_bytes) // 500000 AS bigint) AS bin
          FROM c""",
+    // stump: cumulative class counts over the candidate grid; rank on
+    // rounded Gini with the threshold as tie-break
+    "q304_decision_stump" ->
+      """WITH tagged AS (
+           SELECT 'value_unit' AS feature, round(value, 0) AS v,
+               cast(event_type = 'purchase' AS int) AS y FROM events
+           UNION ALL
+           SELECT 'hour', cast(hour(ts) AS double),
+               cast(event_type = 'purchase' AS int) FROM events),
+         dist AS (SELECT feature, v, cast(count(*) AS bigint) AS c,
+             cast(sum(y) AS bigint) AS a
+           FROM tagged GROUP BY 1, 2),
+         tot AS (SELECT feature, cast(sum(c) AS bigint) AS n,
+             cast(sum(a) AS bigint) AS at FROM dist GROUP BY 1),
+         cum AS (SELECT feature, v,
+             sum(c) OVER (PARTITION BY feature ORDER BY v) AS nl,
+             sum(a) OVER (PARTITION BY feature ORDER BY v) AS al
+           FROM dist),
+         cand AS (SELECT cum.feature, v, nl, al, n - nl AS nr, at - al AS ar,
+             nl - al AS bl, (n - nl) - (at - al) AS br, n
+           FROM cum JOIN tot ON cum.feature = tot.feature
+           WHERE nl < n),
+         g AS (SELECT feature, v, nl, nr, al, ar,
+             round((cast(nl AS double)
+               - (cast(al AS double) * al + cast(bl AS double) * bl)
+                 / cast(nl AS double)
+               + cast(nr AS double)
+               - (cast(ar AS double) * ar + cast(br AS double) * br)
+                 / cast(nr AS double)) / cast(n AS double), 6) AS gini
+           FROM cand),
+         best AS (SELECT *, row_number() OVER (PARTITION BY feature
+             ORDER BY gini ASC, v ASC) AS rn FROM g)
+         SELECT feature, v AS threshold, gini + 0.0 AS gini,
+           cast(nl AS bigint) AS n_left, cast(nr AS bigint) AS n_right,
+           round(cast(al AS double) / cast(nl AS double), 6) + 0.0
+             AS pos_rate_left,
+           round(cast(ar AS double) / cast(nr AS double), 6) + 0.0
+             AS pos_rate_right
+         FROM best WHERE rn = 1""",
+    // l-diversity: distinct-l + entropy-l per QI group, q162 entropy terms
+    "q305_l_diversity" ->
+      """WITH t AS (SELECT c_mktsegment, c_nationkey, o_orderpriority AS s
+           FROM customer JOIN orders ON c_custkey = o_custkey),
+         cell AS (SELECT c_mktsegment, c_nationkey, s,
+             cast(count(*) AS bigint) AS c
+           FROM t GROUP BY 1, 2, 3),
+         totals AS (SELECT c_mktsegment, c_nationkey,
+             cast(sum(c) AS bigint) AS n
+           FROM cell GROUP BY 1, 2),
+         terms AS (SELECT cell.c_mktsegment, cell.c_nationkey, s, c, n,
+             cast(round(-(cast(c AS double) / cast(n AS double))
+               * ln(cast(c AS double) / cast(n AS double)), 6)
+               AS decimal(18,6)) AS term
+           FROM cell JOIN totals USING (c_mktsegment, c_nationkey))
+         SELECT c_mktsegment, c_nationkey, max(n) AS n,
+           count(DISTINCT s) AS l_distinct,
+           round(exp(cast(sum(term) AS double)), 6) + 0.0 AS entropy_l,
+           cast(count(DISTINCT s) >= 3 AS int) AS diverse
+         FROM terms GROUP BY 1, 2""",
+    // business days: closed-form Mon-Fri day index difference, no holidays
+    "q306_business_days" ->
+      """WITH j AS (SELECT o_orderpriority,
+             date_diff('day', DATE '1970-01-05', cast(l_shipdate AS date))
+               AS ds,
+             date_diff('day', DATE '1970-01-05', cast(o_orderdate AS date))
+               AS doo
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         b AS (SELECT o_orderpriority,
+             ((ds // 7) * 5 + least(ds % 7, 5))
+               - ((doo // 7) * 5 + least(doo % 7, 5)) AS bd
+           FROM j)
+         SELECT o_orderpriority, cast(count(*) AS bigint) AS n,
+           round(cast(sum(bd) AS double) / cast(count(*) AS double), 6) + 0.0
+             AS mean_bus_days,
+           cast(max(bd) AS bigint) AS max_bus_days
+         FROM b GROUP BY 1""",
   )
 }

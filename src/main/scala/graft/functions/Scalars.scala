@@ -60,4 +60,16 @@ object Scalars {
       .when(head.startsWith("1F8B"), "application/gzip")
       .otherwise("application/octet-stream")
   }
+
+  /** Business days from the epoch-Monday 1970-01-05 to `d` — the closed
+    * form (weeks·5 + min(weekday, 5)) whose DIFFERENCE between two dates
+    * counts Mon–Fri days in the half-open interval, the SLA-clock
+    * primitive (no holiday table; that's a join away). Pure integer
+    * calendar arithmetic, identical in any engine. */
+  def busDayIndex(d: Column): Column = {
+    // non-negative dd (fixture dates are all after the anchor), so
+    // floor(dd/7) is the exact integer quotient in both engines
+    val dd = datediff(d, to_date(lit("1970-01-05"))).cast("long")
+    floor(dd / lit(7)).cast("long") * 5L + least(pmod(dd, lit(7L)), lit(5L))
+  }
 }

@@ -1175,6 +1175,93 @@ object Analyses {
           + lit(0.0d)).as("gumbel_mu"))
   }
 
+  /** Single-split decision stump search — per feature, the threshold
+    * minimizing weighted Gini impurity of the induced left/right label
+    * split: the inner loop of greedy tree training (and the quickest "is
+    * this feature predictive at all" read), expressed as the XGBoost-style
+    * histogram pass. Candidate thresholds are the DISTINCT (bucketed)
+    * feature values, so callers pass a pre-rounded feature column to bound
+    * the grid; per-threshold class counts come from ONE cumulative window
+    * over the (feature, value) distribution table — never a per-candidate
+    * scan. Gini is a rational of exact integer counts evaluated once in
+    * double; candidates rank on the ROUNDED impurity with the threshold as
+    * tie-break (the cross-engine rank contract). Scale shape: one hash agg
+    * to the candidate grid + a feature-partitioned window over it + top-1
+    * per feature (WindowGroupLimit). */
+  def giniStump(df: DataFrame, features: Seq[(String, Column)],
+                label: Column): DataFrame = {
+    require(features.nonEmpty, "need at least one candidate feature")
+    import org.apache.spark.sql.expressions.Window
+    val tagged = features.map { case (name, f) =>
+      df.select(lit(name).as("feature"), f.cast("double").as("__v"),
+        label.cast("int").as("__y"))
+    }.reduce(_.unionByName(_))
+    val dist = tagged.groupBy(col("feature"), col("__v"))
+      .agg(count(lit(1)).as("__c"), sum(col("__y")).as("__a"))
+    val tot = dist.groupBy(col("feature"))
+      .agg(sum(col("__c")).as("__n"), sum(col("__a")).as("__at"))
+    val w = Window.partitionBy(col("feature")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    def sq(c: Column): Column = c.cast("double") * c.cast("double")
+    val cum = dist
+      .withColumn("__nl", sum(col("__c")).over(w))
+      .withColumn("__al", sum(col("__a")).over(w))
+      .join(tot, Seq("feature"))
+      .filter(col("__nl") < col("__n"))
+      .withColumn("__nr", col("__n") - col("__nl"))
+      .withColumn("__ar", col("__at") - col("__al"))
+      .withColumn("__bl", col("__nl") - col("__al"))
+      .withColumn("__br", col("__nr") - col("__ar"))
+      .withColumn("__gini", round(
+        (col("__nl").cast("double")
+          - (sq(col("__al")) + sq(col("__bl"))) / col("__nl").cast("double")
+          + col("__nr").cast("double")
+          - (sq(col("__ar")) + sq(col("__br"))) / col("__nr").cast("double"))
+          / col("__n").cast("double"), 6))
+    val rank = Window.partitionBy(col("feature"))
+      .orderBy(col("__gini").asc, col("__v").asc)
+    cum.withColumn("__rn", row_number().over(rank))
+      .filter(col("__rn") === 1)
+      .select(col("feature"), col("__v").as("threshold"),
+        (col("__gini") + lit(0.0d)).as("gini"),
+        col("__nl").as("n_left"), col("__nr").as("n_right"),
+        (round(col("__al").cast("double") / col("__nl").cast("double"), 6)
+          + lit(0.0d)).as("pos_rate_left"),
+        (round(col("__ar").cast("double") / col("__nr").cast("double"), 6)
+          + lit(0.0d)).as("pos_rate_right"))
+  }
+
+  /** l-diversity audit — q217's k-anonymity sibling one level deeper: a
+    * quasi-identifier group can be large (k-anonymous) yet expose its
+    * members if nearly all share one SENSITIVE value. Reports, per QI
+    * group, the group size, distinct-l, and ENTROPY-l (exp of the
+    * sensitive-value entropy — the effective number of sensitive values,
+    * robust to 99:1 skew that distinct-l misses), plus the pass flag
+    * against `minL`. Entropy terms follow the q162 rounded-then-decimal-
+    * summed discipline. Scale shape: two hash aggregates at the (QI,
+    * sensitive) and QI grains — no windows, no driver state. */
+  def lDiversityAudit(df: DataFrame, qiCols: Seq[String],
+                      sensitiveCol: Column, minL: Int): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(minL >= 1, "minL must be positive")
+    val qi = qiCols.map(col)
+    val cell = df.groupBy(qi :+ sensitiveCol.as("__s"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val totals = cell.groupBy(qi: _*).agg(sum(col("__c")).as("__n"))
+    val g = cell.join(totals, qiCols)
+      .withColumn("__term",
+        round(-(col("__c").cast("double") / col("__n").cast("double")) *
+          log(col("__c").cast("double") / col("__n").cast("double")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(qi: _*)
+      .agg(max(col("__n")).as("n"),
+        countDistinct(col("__s")).as("l_distinct"),
+        sum(col("__term")).as("__ent"))
+    g.select(qi :+ col("n") :+ col("l_distinct") :+
+        (round(exp(col("__ent").cast("double")), 6) + lit(0.0d)).as("entropy_l") :+
+        (col("l_distinct") >= minL).cast("int").as("diverse"): _*)
+  }
+
   /** Geometric and harmonic means per group — the right central tendencies
     * for ratio/rate data (growth factors average geometrically; rates
     * average harmonically), both over strictly positive values. Per-row

@@ -201,6 +201,41 @@ class Round6OpsSpec extends SparkSuite {
     assert(out.toSeq == Seq(0L, 0L, 1L, 1L, 4L))
   }
 
+  test("giniStump: perfect separator found with gini 0") {
+    val df = (1 to 10).map(i => (i.toDouble, if (i > 5) 1 else 0))
+      .toDF("x", "y")
+    val out = Analyses.giniStump(df, Seq("x" -> col("x")), col("y"))
+      .select("feature", "threshold", "gini", "n_left", "n_right")
+      .as[(String, Double, Double, Long, Long)].head()
+    assert(out == (("x", 5.0, 0.0, 5L, 5L)))
+  }
+
+  test("lDiversityAudit: uniform sensitive value fails, balanced passes") {
+    val df = (Seq.fill(6)(("g1", "s")) ++
+      Seq.tabulate(6)(i => ("g2", if (i % 2 == 0) "a" else "b")))
+      .toDF("qi", "sens")
+    val out = Analyses.lDiversityAudit(df, Seq("qi"), col("sens"), minL = 2)
+      .orderBy("qi")
+      .select("qi", "n", "l_distinct", "entropy_l", "diverse")
+      .as[(String, Long, Long, Double, Int)].collect()
+    // 2.000002, not 2.0: per-term rounding (q162 discipline) rounds
+    // −0.5·ln(0.5) = 0.3465736 up to 0.346574 before the exp
+    assert(out.toSeq == Seq(("g1", 6L, 1L, 1.0, 0), ("g2", 6L, 2L, 2.000002, 1)))
+  }
+
+  test("busDayIndex: Mon–Fri counting skips weekends") {
+    import graft.functions.Scalars
+    val df = Seq(
+      ("2024-01-01", "2024-01-08"), // Mon → next Mon: 5 business days
+      ("2024-01-05", "2024-01-08"), // Fri → Mon: 1
+      ("2024-01-06", "2024-01-07")  // Sat → Sun: 0
+    ).toDF("a", "b")
+      .select(
+        (Scalars.busDayIndex(to_date(col("b"))) -
+          Scalars.busDayIndex(to_date(col("a")))).as("bd"))
+    assert(df.as[Long].collect().toSeq == Seq(5L, 1L, 0L))
+  }
+
   test("zipfSlope: two-rank fit through (ln1,ln4),(ln2,ln2) has slope -1") {
     val docs = Seq((1L, "a a a a b b", "x")).toDF("doc_id", "text", "lang")
     val (n, slope) = TextOps.zipfSlope(docs, "lang", "text", topRanks = 2)
