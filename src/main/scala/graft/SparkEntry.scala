@@ -110,6 +110,68 @@ object SparkEntry {
       s"\n          SELECT v AS node, c AS degree FROM d$rounds WHERE c >= $k"
   }
 
+  /** Generated DuckDB oracle for q307: three unrolled IRLS (Newton)
+    * iterations of 2-feature logistic regression. Per-row gradient/Hessian
+    * terms are rounded then decimal-summed, coefficients rounded to 8 dp
+    * between rounds, and the 3×3 cofactor solve is written with the exact
+    * expression text of the Scala driver solve — the q111 unrolled-
+    * iteration discipline applied to model training. The β=0 start makes
+    * iteration 1 exp-free (p = 0.5 exactly). */
+  private val LogisticOracleSql: String = {
+    val iters = 3
+    def sumsCte(k: Int, b0: String, b1: String, b2: String): String = {
+      val from =
+        if (k == 1) "feats"
+        else s"feats CROSS JOIN b${k - 1}"
+      s""",
+         s$k AS (SELECT
+             cast(count(*) AS bigint) AS n,
+             cast(sum(cast(round(y - p, 6) AS decimal(18,6))) AS double) AS g0,
+             cast(sum(cast(round((y - p) * x1, 6) AS decimal(18,6))) AS double) AS g1,
+             cast(sum(cast(round((y - p) * x2, 6) AS decimal(18,6))) AS double) AS g2,
+             cast(sum(cast(round(w, 6) AS decimal(18,6))) AS double) AS h00,
+             cast(sum(cast(round(w * x1, 6) AS decimal(18,6))) AS double) AS h01,
+             cast(sum(cast(round(w * x2, 6) AS decimal(18,6))) AS double) AS h02,
+             cast(sum(cast(round(w * x1 * x1, 6) AS decimal(18,6))) AS double) AS h11,
+             cast(sum(cast(round(w * x1 * x2, 6) AS decimal(18,6))) AS double) AS h12,
+             cast(sum(cast(round(w * x2 * x2, 6) AS decimal(18,6))) AS double) AS h22
+           FROM (SELECT y, x1, x2, p, p * (1.0 - p) AS w
+             FROM (SELECT y, x1, x2,
+                 1.0 / (1.0 + exp(-($b0 + $b1 * x1 + $b2 * x2))) AS p
+               FROM $from) ip) iw),
+         c$k AS (SELECT *,
+             h11 * h22 - h12 * h12 AS cA, h02 * h12 - h01 * h22 AS cB,
+             h01 * h12 - h02 * h11 AS cC, h00 * h22 - h02 * h02 AS cD,
+             h01 * h02 - h00 * h12 AS cE, h00 * h11 - h01 * h01 AS cF
+           FROM s$k),
+         b$k AS (SELECT
+             round($b0 + (cA * g0 + cB * g1 + cC * g2)
+               / (h00 * cA + h01 * cB + h02 * cC), 8) AS b0,
+             round($b1 + (cB * g0 + cD * g1 + cE * g2)
+               / (h00 * cA + h01 * cB + h02 * cC), 8) AS b1,
+             round($b2 + (cC * g0 + cE * g1 + cF * g2)
+               / (h00 * cA + h01 * cB + h02 * cC), 8) AS b2
+           FROM c$k${if (k == 1) "" else s" CROSS JOIN b${k - 1}"})"""
+    }
+    val body = (1 to iters).map { k =>
+      if (k == 1) sumsCte(k, "0.0", "0.0", "0.0")
+      else sumsCte(k, s"b${k - 1}.b0", s"b${k - 1}.b1", s"b${k - 1}.b2")
+    }.mkString
+    s"""WITH feats AS (SELECT cast(event_type = 'purchase' AS int) AS y,
+             value / 100 AS x1, hour(ts) / 24.0 AS x2 FROM events)$body
+         SELECT (SELECT cast(count(*) AS bigint) FROM feats) AS n,
+           $iters AS iters,
+           b0 + 0.0 AS b0, b1 + 0.0 AS b1, b2 + 0.0 AS b2,
+           (SELECT round(cast(sum(cast(round(
+               y * ln(p) + (1 - y) * ln(1.0 - p), 6) AS decimal(18,6)))
+               AS double), 6) + 0.0
+             FROM (SELECT y,
+                 1.0 / (1.0 + exp(-(b$iters.b0 + b$iters.b1 * x1
+                   + b$iters.b2 * x2))) AS p
+               FROM feats CROSS JOIN b$iters) lp) AS log_likelihood
+         FROM b$iters"""
+  }
+
   /** The fixed AOI pentagon shared by q43 and q70 (an arbitrary convex-ish
     * ring in lon/lat, integer vertices so all derived arithmetic is exact). */
   private val AoiPentagon: Seq[(Double, Double)] =
@@ -4466,6 +4528,13 @@ object SparkEntry {
             count(lit(1)).cast("double"), 6) + lit(0.0d)).as("mean_bus_days"),
           max(col("__bd")).as("max_bus_days"))
     }),
+
+    // ---- EXT: logistic regression via IRLS (Newton), 3 iterations ----
+    "q307_logistic_irls" -> ((s, dir) =>
+      graft.operators.Analyses.logisticIrls(
+        Tables.events(s, dir),
+        x1 = col("value") / 100, x2 = hour(col("ts")) / 24.0d,
+        label = col("event_type") === "purchase", iters = 3)),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -8938,5 +9007,6 @@ object SparkEntry {
              AS mean_bus_days,
            cast(max(bd) AS bigint) AS max_bus_days
          FROM b GROUP BY 1""",
+    "q307_logistic_irls" -> LogisticOracleSql,
   )
 }

@@ -1262,6 +1262,77 @@ object Analyses {
         (col("l_distinct") >= minL).cast("int").as("diverse"): _*)
   }
 
+  /** Distributed logistic regression by IRLS (Newton) — the GLM sibling of
+    * q205's closed-form OLS and the representative "model training as
+    * aggregation" primitive: each iteration is ONE map-side-combinable
+    * aggregate over the corpus (gradient + upper-triangle Hessian of the
+    * 2-feature-plus-intercept model), a 3×3 cofactor solve on the driver
+    * (a bounded model fit, the kmeans-step precedent), and a broadcast of
+    * the 3 updated coefficients — the exact shape that scales to 1000
+    * executors because only 10 doubles cross the wire per round.
+    *
+    * Determinism (the q111 iterative discipline): per-row gradient/Hessian
+    * terms are rounded to 6 dp THEN summed as exact decimals (raw-double Σ
+    * is accumulation-order-dependent and iteration amplifies divergence);
+    * each new coefficient is rounded to 8 dp (Spark `round` semantics —
+    * BigDecimal HALF_UP — which the oracle's `round` matches) so every
+    * round starts from an identical representable β in both engines. The
+    * β=0 start makes iteration 1 exp-free (p = 0.5 exactly). */
+  def logisticIrls(df: DataFrame, x1: Column, x2: Column, label: Column,
+                   iters: Int = 3): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val feats = df.select(label.cast("int").as("y"),
+        x1.cast("double").as("x1"), x2.cast("double").as("x2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def r8(x: Double): Double =
+      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def term(c: Column): Column = round(c, 6).cast("decimal(18,6)")
+    var b0 = 0.0; var b1 = 0.0; var b2 = 0.0
+    (1 to iters).foreach { _ =>
+      val withP = feats
+        .withColumn("p", lit(1.0d) / (lit(1.0d) +
+          exp(-(lit(b0) + lit(b1) * col("x1") + lit(b2) * col("x2")))))
+        .withColumn("w", col("p") * (lit(1.0d) - col("p")))
+      val r = withP.agg(
+        sum(term(col("y") - col("p"))).cast("double").as("g0"),
+        sum(term((col("y") - col("p")) * col("x1"))).cast("double").as("g1"),
+        sum(term((col("y") - col("p")) * col("x2"))).cast("double").as("g2"),
+        sum(term(col("w"))).cast("double").as("h00"),
+        sum(term(col("w") * col("x1"))).cast("double").as("h01"),
+        sum(term(col("w") * col("x2"))).cast("double").as("h02"),
+        sum(term(col("w") * col("x1") * col("x1"))).cast("double").as("h11"),
+        sum(term(col("w") * col("x1") * col("x2"))).cast("double").as("h12"),
+        sum(term(col("w") * col("x2") * col("x2"))).cast("double").as("h22")
+      ).head()
+      val Seq(g0, g1, g2, h00, h01, h02, h11, h12, h22) =
+        (0 until 9).map(r.getDouble)
+      // symmetric 3×3 cofactor solve — the SAME expression text as the
+      // oracle so the IEEE operation sequence is identical
+      val cA = h11 * h22 - h12 * h12
+      val cB = h02 * h12 - h01 * h22
+      val cC = h01 * h12 - h02 * h11
+      val cD = h00 * h22 - h02 * h02
+      val cE = h01 * h02 - h00 * h12
+      val cF = h00 * h11 - h01 * h01
+      val det = h00 * cA + h01 * cB + h02 * cC
+      b0 = r8(b0 + (cA * g0 + cB * g1 + cC * g2) / det)
+      b1 = r8(b1 + (cB * g0 + cD * g1 + cE * g2) / det)
+      b2 = r8(b2 + (cC * g0 + cE * g1 + cF * g2) / det)
+    }
+    feats
+      .withColumn("p", lit(1.0d) / (lit(1.0d) +
+        exp(-(lit(b0) + lit(b1) * col("x1") + lit(b2) * col("x2")))))
+      .agg(count(lit(1)).as("n"),
+        sum(term(col("y") * log(col("p")) +
+          (lit(1) - col("y")) * log(lit(1.0d) - col("p"))))
+          .cast("double").as("__ll"))
+      .select(col("n"), lit(iters).as("iters"),
+        (lit(b0) + lit(0.0d)).as("b0"),
+        (lit(b1) + lit(0.0d)).as("b1"),
+        (lit(b2) + lit(0.0d)).as("b2"),
+        (round(col("__ll"), 6) + lit(0.0d)).as("log_likelihood"))
+  }
+
   /** Geometric and harmonic means per group — the right central tendencies
     * for ratio/rate data (growth factors average geometrically; rates
     * average harmonically), both over strictly positive values. Per-row

@@ -236,6 +236,19 @@ class Round6OpsSpec extends SparkSuite {
     assert(df.as[Long].collect().toSeq == Seq(5L, 1L, 0L))
   }
 
+  test("logisticIrls: separable feature gets a positive weight, beats chance") {
+    val df = (1 to 200).map { i =>
+      val x1 = (i % 10).toDouble / 10.0
+      (x1, 0.5, if (x1 > 0.5) 1 else 0)
+    }.toDF("x1", "x2", "y")
+    val (n, b1, ll) = Analyses.logisticIrls(df, col("x1"), col("x2"),
+      col("y") === 1, iters = 3)
+      .select("n", "b1", "log_likelihood").as[(Long, Double, Double)].head()
+    assert(n == 200L)
+    assert(b1 > 1.0) // strongly positive slope on the separating feature
+    assert(ll > 200.0 * math.log(0.5)) // better than coin-flip likelihood
+  }
+
   test("zipfSlope: two-rank fit through (ln1,ln4),(ln2,ln2) has slope -1") {
     val docs = Seq((1L, "a a a a b b", "x")).toDF("doc_id", "text", "lang")
     val (n, slope) = TextOps.zipfSlope(docs, "lang", "text", topRanks = 2)
