@@ -1315,6 +1315,9 @@ object Analyses {
       val cE = h01 * h02 - h00 * h12
       val cF = h00 * h11 - h01 * h01
       val det = h00 * cA + h01 * cB + h02 * cC
+      require(det != 0.0 && !det.isNaN,
+        "singular Hessian: features are collinear (or constant) — " +
+          "the 3-parameter model is unidentifiable on this data")
       b0 = r8(b0 + (cA * g0 + cB * g1 + cC * g2) / det)
       b1 = r8(b1 + (cB * g0 + cD * g1 + cE * g2) / det)
       b2 = r8(b2 + (cC * g0 + cE * g1 + cF * g2) / det)

@@ -237,9 +237,12 @@ class Round6OpsSpec extends SparkSuite {
   }
 
   test("logisticIrls: separable feature gets a positive weight, beats chance") {
+    // x2 must VARY: a constant feature is collinear with the intercept and
+    // the Newton solve correctly refuses the singular Hessian
     val df = (1 to 200).map { i =>
       val x1 = (i % 10).toDouble / 10.0
-      (x1, 0.5, if (x1 > 0.5) 1 else 0)
+      val x2 = ((i * 7) % 10).toDouble / 10.0
+      (x1, x2, if (x1 > 0.5) 1 else 0)
     }.toDF("x1", "x2", "y")
     val (n, b1, ll) = Analyses.logisticIrls(df, col("x1"), col("x2"),
       col("y") === 1, iters = 3)
