@@ -4535,6 +4535,24 @@ object SparkEntry {
         Tables.events(s, dir),
         x1 = col("value") / 100, x2 = hour(col("ts")) / 24.0d,
         label = col("event_type") === "purchase", iters = 3)),
+
+    // ---- EXT: perceptual dHash over real image bytes + dup groups ----
+    "q308_dhash" -> ((s, dir) => {
+      // per-row 9×8 gray BMP built from the key (genuine bytes: header,
+      // bottom-up padded rows), decoded by the native dHash byte-walk; the
+      // oracle recomputes the hash from the pixel FORMULA in integer SQL,
+      // so the decode path is exactly what the gate verifies (the q112
+      // EXIF discipline applied to the multimodal dedup fingerprint)
+      val bridge = org.apache.spark.sql.GraftColumnBridge
+      val h = bridge.column(graft.functions.DHash64(graft.functions.GrayBmpFixture(
+        bridge.expression(col("c_custkey")))))
+      val hashed = Tables.customer(s, dir)
+        .select(col("c_custkey"), h.as("dhash"))
+      val groups = hashed.groupBy(col("dhash"))
+        .agg(count(lit(1)).as("n_same_hash"))
+      hashed.join(groups, Seq("dhash"))
+        .select(col("c_custkey"), col("dhash"), col("n_same_hash"))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -9008,5 +9026,22 @@ object SparkEntry {
            cast(max(bd) AS bigint) AS max_bus_days
          FROM b GROUP BY 1""",
     "q307_logistic_irls" -> LogisticOracleSql,
+    // dHash: the oracle derives the 64 gradient bits straight from the
+    // fixture's pixel formula — equal output proves the BMP byte-walk
+    "q308_dhash" ->
+      """WITH grid AS (SELECT r.range AS r, c.range AS c
+           FROM range(0, 8) r, range(0, 8) c),
+         h AS (SELECT c_custkey,
+             bit_or(CASE WHEN (c_custkey * 31 + r * 17 + c * 13) % 256
+                 > (c_custkey * 31 + r * 17 + (c + 1) * 13) % 256
+               THEN CASE WHEN r * 8 + c = 63
+                 THEN (-9223372036854775807 - 1)::BIGINT
+                 ELSE 1::BIGINT << cast(r * 8 + c AS int) END
+               ELSE 0::BIGINT END) AS dhash
+           FROM customer CROSS JOIN grid GROUP BY 1),
+         g AS (SELECT dhash, cast(count(*) AS bigint) AS n_same_hash
+           FROM h GROUP BY 1)
+         SELECT c_custkey, h.dhash, n_same_hash
+         FROM h JOIN g ON h.dhash = g.dhash""",
   )
 }

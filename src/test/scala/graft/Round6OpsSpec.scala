@@ -252,6 +252,25 @@ class Round6OpsSpec extends SparkSuite {
     assert(ll > 200.0 * math.log(0.5)) // better than coin-flip likelihood
   }
 
+  test("DHash64: BMP round-trip matches the pixel formula; junk rejected") {
+    import graft.functions.DHash64
+    for (seed <- Seq(0L, 1L, 7L, 255L, 256L, 123456789L)) {
+      val got = DHash64.compute(DHash64.buildBmp(seed))
+      var want = 0L
+      for (r <- 0 until 8; c <- 0 until 8) {
+        def g(cc: Int) = (seed * 31 + r * 17 + cc * 13) % 256
+        if (g(c) > g(c + 1)) want |= 1L << (r * 8 + c)
+      }
+      assert(got == want, s"seed $seed")
+    }
+    // seeds 256 apart produce identical pixels → identical hashes
+    assert(DHash64.compute(DHash64.buildBmp(3L)) ==
+      DHash64.compute(DHash64.buildBmp(3L + 256L * 31)))
+    intercept[IllegalArgumentException] {
+      DHash64.compute(Array.fill[Byte](60)(0x42))
+    }
+  }
+
   test("zipfSlope: two-rank fit through (ln1,ln4),(ln2,ln2) has slope -1") {
     val docs = Seq((1L, "a a a a b b", "x")).toDF("doc_id", "text", "lang")
     val (n, slope) = TextOps.zipfSlope(docs, "lang", "text", topRanks = 2)
