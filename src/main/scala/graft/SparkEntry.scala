@@ -4553,6 +4553,42 @@ object SparkEntry {
       hashed.join(groups, Seq("dhash"))
         .select(col("c_custkey"), col("dhash"), col("n_same_hash"))
     }),
+
+    // ---- EXT: floor-at-zero running balance (closed-form, no scan) ----
+    "q309_clamped_balance" -> ((s, dir) =>
+      // signed integer stock moves per user: purchases/errors draw down,
+      // everything else restocks; the floor-at-zero recurrence collapses
+      // to prefix-sum minus running-min — two windows, fully distributed
+      graft.operators.Analyses.clampedBalance(
+        Tables.events(s, dir), "user_id", "ts",
+        deltaCol = round(col("value"), 0).cast("long") *
+          when(col("event_type").isin("purchase", "error"), -1L).otherwise(1L),
+        tieBreak = col("event_id"))),
+
+    // ---- EXT: banded near-dup join over the perceptual hashes ----
+    "q310_dhash_banded_pairs" -> ((s, dir) => {
+      // the multimodal sibling of q52's SimHash pairs: 8 bands of 8 bits
+      // over the DISTINCT dHash values (≤256 by the fixture's mod-256
+      // pixel cycle — entity grain, bounded at any SF); pigeonhole gives
+      // exact recall for hamming ≤ 7
+      val bridge = org.apache.spark.sql.GraftColumnBridge
+      val h = bridge.column(graft.functions.DHash64(graft.functions.GrayBmpFixture(
+        bridge.expression(col("c_custkey")))))
+      val d = Tables.customer(s, dir).select(h.as("dhash")).distinct()
+      val bands = d.select(col("dhash"),
+          explode(sequence(lit(0), lit(7))).as("band"))
+        .withColumn("bv", expr("shiftright(dhash, band * 8) & 255"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.dhash") < col("b.dhash"))
+        .select(col("a.dhash").as("dhash_a"), col("b.dhash").as("dhash_b"))
+        .distinct()
+      cand
+        .withColumn("hamming",
+          bit_count(col("dhash_a").bitwiseXOR(col("dhash_b"))).cast("int"))
+        .filter(col("hamming") <= 7)
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -9043,5 +9079,45 @@ object SparkEntry {
            FROM h GROUP BY 1)
          SELECT c_custkey, h.dhash, n_same_hash
          FROM h JOIN g ON h.dhash = g.dhash""",
+    // clamped balance: s = P_final − min(0, min prefix) — two windows of
+    // exact integer arithmetic, no sequential scan
+    "q309_clamped_balance" ->
+      """WITH d AS (SELECT user_id, ts, event_id,
+             cast(round(value, 0) AS bigint) *
+               (CASE WHEN event_type IN ('purchase', 'error')
+                THEN -1 ELSE 1 END) AS dd
+           FROM events),
+         p AS (SELECT user_id, dd,
+             sum(dd) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS pp
+           FROM d)
+         SELECT user_id, cast(count(*) AS bigint) AS n,
+           cast(sum(dd) AS bigint) AS net_raw,
+           cast(sum(dd) - least(0, min(pp)) AS bigint) AS balance,
+           cast(-least(0, min(pp)) AS bigint) AS absorbed_shortfall
+         FROM p GROUP BY 1""",
+    // banded near-dup over distinct perceptual hashes; pigeonhole-exact
+    // for hamming <= 7 with 8 bands
+    "q310_dhash_banded_pairs" ->
+      """WITH grid AS (SELECT r.range AS r, c.range AS c
+           FROM range(0, 8) r, range(0, 8) c),
+         h AS (SELECT c_custkey,
+             bit_or(CASE WHEN (c_custkey * 31 + r * 17 + c * 13) % 256
+                 > (c_custkey * 31 + r * 17 + (c + 1) * 13) % 256
+               THEN CASE WHEN r * 8 + c = 63
+                 THEN (-9223372036854775807 - 1)::BIGINT
+                 ELSE 1::BIGINT << cast(r * 8 + c AS int) END
+               ELSE 0::BIGINT END) AS dhash
+           FROM customer CROSS JOIN grid GROUP BY 1),
+         d AS (SELECT DISTINCT dhash FROM h),
+         bands AS (SELECT dhash, b.range AS band,
+             (dhash >> cast(8 * b.range AS int)) & 255 AS bv
+           FROM d, range(0, 8) b),
+         cand AS (SELECT DISTINCT a.dhash AS dhash_a, c.dhash AS dhash_b
+           FROM bands a JOIN bands c
+             ON a.band = c.band AND a.bv = c.bv AND a.dhash < c.dhash)
+         SELECT dhash_a, dhash_b,
+           cast(bit_count(xor(dhash_a, dhash_b)) AS int) AS hamming
+         FROM cand WHERE bit_count(xor(dhash_a, dhash_b)) <= 7""",
   )
 }

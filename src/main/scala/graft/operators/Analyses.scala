@@ -1336,6 +1336,37 @@ object Analyses {
         (round(col("__ll"), 6) + lit(0.0d)).as("log_likelihood"))
   }
 
+  /** Floor-at-zero running balance — inventory/credit semantics where the
+    * balance cannot go negative (you can't ship stock you don't have):
+    * s_i = max(0, s_{i−1} + δ_i). Looks like an inherently sequential
+    * recurrence, but it has the closed form s_i = P_i − min(0, min_{j≤i}
+    * P_j) over the RAW prefix sums P — so the whole computation is two
+    * stacked key-partitioned windows (running sum, running min), fully
+    * distributed, no sequential scan and no driver state. Deltas are
+    * exact integers end-to-end. Returns one row per key with the final
+    * clamped balance, the total absorbed shortfall (demand lost to the
+    * floor), and the raw net for comparison. */
+  def clampedBalance(df: DataFrame, keyCol: String, tsCol: String,
+                     deltaCol: Column, tieBreak: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, tieBreak.asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val run = df
+      .withColumn("__d", deltaCol.cast("long"))
+      .withColumn("__p", sum(col("__d")).over(w))
+    // the final prefix IS the group total and the final running-min IS the
+    // group-wide min of prefixes — so the reduction is a plain hash agg,
+    // no order-sensitive `last()` anywhere
+    run.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__d")).as("net_raw"),
+        min(col("__p")).as("__minp"))
+      .select(col(keyCol), col("n"), col("net_raw"),
+        (col("net_raw") - least(lit(0L), col("__minp"))).as("balance"),
+        (-least(lit(0L), col("__minp"))).as("absorbed_shortfall"))
+  }
+
   /** Geometric and harmonic means per group — the right central tendencies
     * for ratio/rate data (growth factors average geometrically; rates
     * average harmonically), both over strictly positive values. Per-row

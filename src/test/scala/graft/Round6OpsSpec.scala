@@ -271,6 +271,27 @@ class Round6OpsSpec extends SparkSuite {
     }
   }
 
+  test("clampedBalance: closed form equals the sequential clamp recurrence") {
+    // deltas +5, −10, +3: sequential max(0, ·) gives 5 → 0 → 3; the
+    // closed form: net −2, min prefix −5 → balance −2 − (−5) = 3
+    val rows = Seq((1L, ts("2024-01-01 10:00:00"), 9L, 5L),
+      (2L, ts("2024-01-01 11:00:00"), 9L, -10L),
+      (3L, ts("2024-01-01 12:00:00"), 9L, 3L))
+      .toDF("event_id", "ts", "k", "d")
+    val out = Analyses.clampedBalance(rows, "k", "ts", col("d"), col("event_id"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(out == ((9L, 3L, -2L, 3L, 5L)))
+    // property: brute-force sequential clamp on md5-ish pseudo-random deltas
+    val deltas = (1 to 40).map(i => ((i * 2654435761L) % 21L) - 10L)
+    val df = deltas.zipWithIndex.map { case (d, i) =>
+      (i.toLong, ts(f"2024-01-01 ${10 + i / 60}%02d:${i % 60}%02d:00"), 1L, d)
+    }.toDF("event_id", "ts", "k", "d")
+    val got = Analyses.clampedBalance(df, "k", "ts", col("d"), col("event_id"))
+      .select("balance").as[Long].head()
+    val want = deltas.foldLeft(0L)((s, d) => math.max(0L, s + d))
+    assert(got == want)
+  }
+
   test("zipfSlope: two-rank fit through (ln1,ln4),(ln2,ln2) has slope -1") {
     val docs = Seq((1L, "a a a a b b", "x")).toDF("doc_id", "text", "lang")
     val (n, slope) = TextOps.zipfSlope(docs, "lang", "text", topRanks = 2)
