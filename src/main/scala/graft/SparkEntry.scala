@@ -172,6 +172,45 @@ object SparkEntry {
          FROM b$iters"""
   }
 
+  /** Generated DuckDB oracle for q311: five unrolled greedy set-cover
+    * rounds — round k picks the document with the most shingles outside
+    * cov(k−1) (gain desc, id asc), then folds its shingles in. Pure
+    * integer counting over the q36 shingle grain, so the Spark loop and
+    * this unrolled SQL agree exactly. */
+  private val GreedyCoverOracleSql: String = {
+    val rounds = 5
+    val base =
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          toks AS (SELECT doc_id, list_distinct(list_transform(
+              generate_series(1, len(w) - 2),
+              i -> array_to_string(w[i:i+2], ' '))) AS t
+            FROM t0 WHERE len(w) >= 3),
+          ds AS (SELECT doc_id, unnest(t) AS s FROM toks),
+          g1 AS (SELECT doc_id, cast(count(*) AS bigint) AS gain
+            FROM ds GROUP BY 1),
+          w1 AS (SELECT doc_id, gain FROM g1
+            ORDER BY gain DESC, doc_id ASC LIMIT 1),
+          cov1 AS (SELECT DISTINCT s FROM ds JOIN w1 USING (doc_id))"""
+    val iterSql = (2 to rounds).map { k =>
+      val notIn = (1 until k).map(j => s"SELECT doc_id FROM w$j")
+        .mkString(" UNION ALL ")
+      s""",
+          g$k AS (SELECT doc_id, cast(count(*) AS bigint) AS gain
+            FROM ds ANTI JOIN cov${k - 1} USING (s)
+            WHERE doc_id NOT IN ($notIn) GROUP BY 1),
+          w$k AS (SELECT doc_id, gain FROM g$k
+            ORDER BY gain DESC, doc_id ASC LIMIT 1),
+          cov$k AS (SELECT s FROM cov${k - 1}
+            UNION SELECT s FROM ds JOIN w$k USING (doc_id))"""
+    }.mkString
+    val rows = (1 to rounds).map { k =>
+      s"""SELECT $k AS round, doc_id, gain,
+          (SELECT cast(count(*) AS bigint) FROM cov$k) AS covered_total
+          FROM w$k"""
+    }.mkString("\n          UNION ALL ")
+    s"$base$iterSql\n          $rows"
+  }
+
   /** The fixed AOI pentagon shared by q43 and q70 (an arbitrary convex-ish
     * ring in lon/lat, integer vertices so all derived arithmetic is exact). */
   private val AoiPentagon: Seq[(Double, Double)] =
@@ -4589,6 +4628,11 @@ object SparkEntry {
           bit_count(col("dhash_a").bitwiseXOR(col("dhash_b"))).cast("int"))
         .filter(col("hamming") <= 7)
     }),
+
+    // ---- EXT: greedy coverage-maximizing subset selection ----
+    "q311_greedy_cover" -> ((s, dir) =>
+      TextOps.greedyCover(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, rounds = 5)),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -9119,5 +9163,6 @@ object SparkEntry {
          SELECT dhash_a, dhash_b,
            cast(bit_count(xor(dhash_a, dhash_b)) AS int) AS hamming
          FROM cand WHERE bit_count(xor(dhash_a, dhash_b)) <= 7""",
+    "q311_greedy_cover" -> GreedyCoverOracleSql,
   )
 }

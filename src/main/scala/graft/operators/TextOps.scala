@@ -752,6 +752,56 @@ object TextOps {
           .as("oov_rate"))
   }
 
+  /** Greedy coverage-maximizing document selection — `rounds` rounds of
+    * "pick the document adding the most not-yet-covered shingles": the
+    * classic (1−1/e)-approximate set-cover heuristic, used to pick a small
+    * high-diversity subset for curriculum seeds, eval slices, or
+    * annotation budgets (the coverage-driven sibling of q92's token-budget
+    * sampler). Greedy is inherently sequential in ROUNDS, but each round
+    * is fully distributed: one anti-join against the covered set + one
+    * count aggregate + a 1-row argmax fetch (bounded driver traffic — the
+    * kmeans-step precedent); the covered set is localCheckpoint-cut per
+    * round so round r never replays rounds 1..r−1. Ties rank (gain desc,
+    * id asc) — deterministic, oracle-mirrored. */
+  def greedyCover(docs: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    import org.apache.spark.storage.StorageLevel
+    val spark = docs.sparkSession
+    val ds = docs.select(col(idCol).cast("long").as("__id"),
+        explode(distinctShingles(tokens(col(textCol)), shingleN)).as("__s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ds.count(): Unit
+    var covered = ds.select(col("__s")).limit(0)
+    var chosenIds = List.empty[Long]
+    val picks = scala.collection.mutable.ListBuffer.empty[(Int, Long, Long, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val remaining =
+        if (chosenIds.isEmpty) ds
+        else ds.filter(!col("__id").isin(chosenIds: _*))
+      val gains = remaining.join(covered, Seq("__s"), "left_anti")
+        .groupBy(col("__id")).agg(count(lit(1)).as("__gain"))
+      val top = gains.orderBy(col("__gain").desc, col("__id").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val id = top.head.getLong(0)
+        val gain = top.head.getLong(1)
+        chosenIds ::= id
+        covered = covered
+          .union(ds.filter(col("__id") === id).select(col("__s")))
+          .distinct()
+          .localCheckpoint(eager = true)
+        picks += ((r, id, gain, covered.count()))
+        r += 1
+      }
+    }
+    import spark.implicits._
+    picks.toSeq.toDF("round", "doc_id", "gain", "covered_total")
+  }
+
   /** Zipf slope per corpus slice — OLS of ln(frequency) on ln(rank) over
     * the top `topRanks` token ranks: natural language sits near −1, and a
     * slice that drifts far from its siblings signals boilerplate, spam, or

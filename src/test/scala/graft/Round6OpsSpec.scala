@@ -292,6 +292,18 @@ class Round6OpsSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("greedyCover: ties to lower id, stops when nothing new is coverable") {
+    // doc1 "a b c d" → {a b c, b c d}; doc3 "x y z w" → {x y z, y z w};
+    // doc2 "a b c" ⊂ doc1. Round 1 ties doc1/doc3 at gain 2 → doc1 wins;
+    // round 2 picks doc3; round 3 has no doc with uncovered shingles → stop
+    val docs = Seq((1L, "a b c d"), (2L, "a b c"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val out = TextOps.greedyCover(docs, "doc_id", "text", shingleN = 3,
+      rounds = 5).orderBy("round")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((1, 1L, 2L, 2L), (2, 3L, 2L, 4L)))
+  }
+
   test("zipfSlope: two-rank fit through (ln1,ln4),(ln2,ln2) has slope -1") {
     val docs = Seq((1L, "a a a a b b", "x")).toDF("doc_id", "text", "lang")
     val (n, slope) = TextOps.zipfSlope(docs, "lang", "text", topRanks = 2)
