@@ -772,7 +772,11 @@ object TextOps {
         explode(distinctShingles(tokens(col(textCol)), shingleN)).as("__s"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     ds.count(): Unit
-    var covered = ds.select(col("__s")).limit(0)
+    // the covered set keeps its OWN column name (__cs): localCheckpoint
+    // preserves attribute ids, so an anti-join of ds against a
+    // checkpointed ds-derived frame on a same-named column can trip
+    // Catalyst's conflicting-reference check — distinct names sidestep it
+    var covered = ds.select(col("__s").as("__cs")).limit(0)
     var chosenIds = List.empty[Long]
     val picks = scala.collection.mutable.ListBuffer.empty[(Int, Long, Long, Long)]
     var r = 1
@@ -781,7 +785,8 @@ object TextOps {
       val remaining =
         if (chosenIds.isEmpty) ds
         else ds.filter(!col("__id").isin(chosenIds: _*))
-      val gains = remaining.join(covered, Seq("__s"), "left_anti")
+      val gains = remaining
+        .join(covered, col("__s") === col("__cs"), "left_anti")
         .groupBy(col("__id")).agg(count(lit(1)).as("__gain"))
       val top = gains.orderBy(col("__gain").desc, col("__id").asc)
         .limit(1).collect()
@@ -791,7 +796,7 @@ object TextOps {
         val gain = top.head.getLong(1)
         chosenIds ::= id
         covered = covered
-          .union(ds.filter(col("__id") === id).select(col("__s")))
+          .union(ds.filter(col("__id") === id).select(col("__s").as("__cs")))
           .distinct()
           .localCheckpoint(eager = true)
         picks += ((r, id, gain, covered.count()))
