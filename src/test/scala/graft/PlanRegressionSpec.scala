@@ -66,7 +66,13 @@ class PlanRegressionSpec extends AnyFunSuite {
     "q100_dedup_keep_best", "q106_pq_knn", "q111_pagerank",
     "q121_hybrid_rrf", "q133_edit_distance_pairs", "q188_set_similarity",
     "q243_grid_density_cluster", "q249_power_iteration",
-    "q252_containment_dedup", "q266_knn_label_noise", "q269_mutual_nn")
+    "q252_containment_dedup", "q266_knn_label_noise", "q269_mutual_nn",
+    // round-6 additions: iterative (k-core peel, IRLS, greedy cover),
+    // kernel-join (fuzzy match/DL neighborhood), rank/sketch windows
+    "q286_acf_daily", "q289_spearman_rho", "q293_rfm_segments",
+    "q295_kmv_intersect", "q296_kcore_peel", "q298_fuzzy_match",
+    "q299_damerau_close", "q304_decision_stump", "q307_logistic_irls",
+    "q310_dhash_banded_pairs", "q311_greedy_cover")
 
   /** Sanctioned BroadcastNestedLoopJoins whose build side is a DESIGN-
     * bounded broadcast probe/query set rather than an aggregate — e.g. the
@@ -83,7 +89,13 @@ class PlanRegressionSpec extends AnyFunSuite {
     // bruteKnn query side (build subtree = TakeOrderedAndProject, bounded
     // by the LIMIT, not an aggregate); q269's mutual self-join re-executes
     // that bounded subtree on both sides → 2
-    "q266_knn_label_noise" -> 1, "q269_mutual_nn" -> 2)
+    "q266_knn_label_noise" -> 1, "q269_mutual_nn" -> 2,
+    // q293/q295 each broadcast an aggregate row/dimension whose exchange
+    // Catalyst REUSES for a second identical crossJoin — the reused
+    // occurrence shows a childless ReusedExchangeExec build, so the
+    // aggregate behind it is invisible to the classifier; the original
+    // occurrence in the same plan IS aggregate-built and unsanctioned
+    "q293_rfm_segments" -> 1, "q295_kmv_intersect" -> 1)
 
   private def aggregateBounded(p: SparkPlan): Boolean = p match {
     case _: BaseAggregateExec => true
