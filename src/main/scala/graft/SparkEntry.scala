@@ -211,6 +211,38 @@ object SparkEntry {
     s"$base$iterSql\n          $rows"
   }
 
+  /** Shared verbatim by the Spark SQL surface (q317) and its DuckDB
+    * oracle: `GROUP BY ALL` — group on every non-aggregate select item,
+    * the analyst-ergonomics syntax both engines support natively. */
+  private val GroupByAllSql: String =
+    """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+       cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total
+       FROM orders GROUP BY ALL"""
+
+  /** Generated DuckDB oracle for q312: the Luhn sum as twelve explicit
+    * per-position terms (odd distance from the right doubles, minus 9
+    * above 4) — the same expression tree `Scalars.luhnValid` emits. */
+  private val LuhnOracleSql: String = {
+    val width = 12
+    val terms = (1 to width).map { pos =>
+      val d = s"cast(substr(acct, $pos, 1) AS int)"
+      if ((width - pos) % 2 == 1)
+        s"(CASE WHEN $d * 2 > 9 THEN $d * 2 - 9 ELSE $d * 2 END)"
+      else d
+    }.mkString(" + ")
+    s"""WITH nums AS (SELECT c_mktsegment,
+            lpad(cast(c_custkey * 37 % 100000000000 AS varchar), 11, '0')
+              || cast(c_custkey % 10 AS varchar) AS acct
+          FROM customer)
+        SELECT c_mktsegment, cast(count(*) AS bigint) AS n,
+          cast(sum(CASE WHEN length(acct) = $width
+            AND ($terms) % 10 = 0 THEN 1 ELSE 0 END) AS bigint) AS n_valid,
+          round(cast(sum(CASE WHEN length(acct) = $width
+              AND ($terms) % 10 = 0 THEN 1 ELSE 0 END) AS double)
+            / cast(count(*) AS double), 6) + 0.0 AS valid_rate
+        FROM nums GROUP BY 1"""
+  }
+
   /** The fixed AOI pentagon shared by q43 and q70 (an arbitrary convex-ish
     * ring in lon/lat, integer vertices so all derived arithmetic is exact). */
   private val AoiPentagon: Seq[(Double, Double)] =
@@ -4633,6 +4665,298 @@ object SparkEntry {
     "q311_greedy_cover" -> ((s, dir) =>
       TextOps.greedyCover(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, rounds = 5)),
+
+    // ---- EXT: Luhn check-digit audit (q62/q63 validator family) ----
+    "q312_luhn_audit" -> ((s, dir) => {
+      // synthetic 12-digit account numbers: 11 payload digits from the
+      // key, check digit = custkey mod 10 (so a key-dependent mix of
+      // valid and invalid rows); the audit reports validity per segment
+      val withNum = Tables.customer(s, dir).select(col("c_mktsegment"),
+        concat(lpad((col("c_custkey") * 37 % 100000000000L).cast("string"),
+          11, "0"), (col("c_custkey") % 10).cast("string")).as("acct"))
+      withNum.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(Scalars.luhnValid(col("acct"), 12).cast("long")).as("n_valid"))
+        .withColumn("valid_rate",
+          round(col("n_valid").cast("double") / col("n").cast("double"), 6)
+            + lit(0.0d))
+    }),
+
+    // ---- EXT: Horvitz–Thompson two-stage sample estimator audit ----
+    "q313_horvitz_thompson" -> ((s, dir) => {
+      // stage 1 samples entire users (π₁ = 3/10), stage 2 samples events
+      // within sampled users (π₂ = 5/10) — both key-stable md5 buckets,
+      // so the design is reproducible and the inclusion probability of
+      // every sampled row is exactly π₁π₂ = 3/20. The HT estimate
+      // Σ y/(π₁π₂) = Σy · 20/3 uses an exact decimal Σy (one rational
+      // scale at the end) and is audited against the true total — the
+      // design-unbiasedness check a sampling pipeline ships with.
+      import graft.operators.Sampling.hashBucket
+      val e = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          col("value").cast(D).as("__v"))
+      val sampled = e
+        .filter(hashBucket(col("user_id"), 10) < 3)
+        .filter(hashBucket(col("event_id"), 10) < 5)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("__v")).as("__sy"))
+      val truth = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_total"), sum(col("__v")).as("__ty"))
+      sampled.join(truth, Seq("event_type"))
+        .select(col("event_type"), col("n_sampled"), col("n_total"),
+          (round(col("__sy").cast("double") * 20.0d / 3.0d, 2) + lit(0.0d))
+            .as("ht_estimate"),
+          (round(col("__ty").cast("double"), 2) + lit(0.0d)).as("true_total"),
+          (round(col("__sy").cast("double") * 20.0d / 3.0d /
+            col("__ty").cast("double"), 6) + lit(0.0d)).as("ratio"))
+    }),
+
+    // ---- EXT: run-length encoding of event-type sequences ----
+    "q314_type_runs" -> ((s, dir) => {
+      // gaps-and-islands over the TYPE sequence (q148 is day-streaks):
+      // run id = overall rank − per-type rank, constant within a run of
+      // identical consecutive types; per user the run count and the
+      // longest run (ties: type asc, earliest start)
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wType = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val runs = Tables.events(s, dir)
+        .withColumn("__grp",
+          row_number().over(wAll) - row_number().over(wType))
+        .groupBy(col("user_id"), col("event_type"), col("__grp"))
+        .agg(count(lit(1)).as("__len"), min(col("event_id")).as("__start"))
+      val wBest = Window.partitionBy(col("user_id"))
+        .orderBy(col("__len").desc, col("event_type").asc, col("__start").asc)
+      runs.withColumn("__rn", row_number().over(wBest))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_runs"),
+          max(col("__len")).as("longest_run"),
+          max(when(col("__rn") === 1, col("event_type"))).as("longest_type"))
+    }),
+
+    // ---- EXT: distribution-free median confidence interval ----
+    "q316_median_ci" -> ((s, dir) => {
+      // order-statistic CI: P(X_(l) ≤ median ≤ X_(u)) ≈ 95% with
+      // l = floor((n − 1.96√n)/2), u = ceil(1 + (n + 1.96√n)/2) — no
+      // normality assumption, pure rank lookups. All three ranks resolve
+      // against the (type, value) DISTRIBUTION table (bounded window, the
+      // q130 trick), never a corpus sort; the rank formulas are mirrored
+      // double→floor/ceil expressions.
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.events(s, dir)
+        .select(col("event_type"), col("value").as("__v"))
+      val dist = d.groupBy(col("event_type"), col("__v"))
+        .agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = dist.withColumn("__cum", sum(col("__c")).over(w))
+      val n = d.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val ranks = n
+        .withColumn("__rmed", expr("(n + 1) div 2"))
+        .withColumn("__rlo", greatest(lit(1L),
+          floor((col("n").cast("double") -
+            lit(1.96d) * sqrt(col("n").cast("double"))) / 2.0d).cast("long")))
+        .withColumn("__rhi", least(col("n"),
+          ceil(lit(1.0d) + (col("n").cast("double") +
+            lit(1.96d) * sqrt(col("n").cast("double"))) / 2.0d).cast("long")))
+      def at(rankCol: String, out: String) =
+        ranks.select(col("event_type"), col("n"), col(rankCol).as("__r"))
+          .join(cum, Seq("event_type"))
+          .filter(col("__cum") >= col("__r"))
+          .groupBy(col("event_type"), col("n"))
+          .agg(min(col("__v")).as(out))
+      at("__rlo", "ci_lo")
+        .join(at("__rmed", "median"), Seq("event_type", "n"))
+        .join(at("__rhi", "ci_hi"), Seq("event_type", "n"))
+        .select(col("event_type"), col("n"), col("ci_lo"), col("median"),
+          col("ci_hi"))
+    }),
+
+    // ---- SQL surface: GROUP BY ALL (shared text, q49 discipline) ----
+    "q317_group_by_all" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(GroupByAllSql)
+    }),
+
+    // ---- EXT: ANN tuning curve — recall@5 vs LSH selectivity ----
+    "q318_ann_tuning" -> ((s, dir) => {
+      // the index-tuning decision as an oracle-checked query: more planes
+      // = smaller buckets = fewer candidates = lower recall; the sweep
+      // quantifies the tradeoff the q41 production setting (6 planes)
+      // sits on. Each setting is one bounded LSH pass; recall is exact
+      // integer division.
+      val e = Tables.spread(s, Tables.embeddings(s, dir))
+      val probes = e.filter(col("vec_id") < 10)
+      val truth = Similarity.bruteKnn(e, probes, "vec_id", "embedding",
+        k = 5, dim = 64).select(col("query_id"), col("neighbor_id"))
+      Seq(4, 6, 8).map { p =>
+        val cand = Similarity.lshKnn(e, probes, "vec_id", "embedding",
+          dim = 64, nPlanes = p, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        truth.join(cand, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("__m"))
+          .crossJoin(broadcast(truth.agg(count(lit(1)).as("__t"))))
+          .select(lit(p).as("n_planes"),
+            (round(col("__m").cast("double") / col("__t").cast("double"), 6)
+              + lit(0.0d)).as("mean_recall5"))
+      }.reduce(_.unionByName(_))
+    }),
+
+    // ---- EXT: medallion pipeline (bronze → silver → gold + audit) ----
+    "q319_medallion" -> ((s, dir) => {
+      // the warehouse-shaped sibling of q86's pretrain pipeline: quarantine
+      // invalid rows (CHECK-style predicate), collapse duplicate
+      // (user, ts, type) events keeping the lowest id, roll up the gold
+      // daily grain, and carry the bronze/quarantine/dedup audit counts on
+      // every row (broadcast 1-row audit — lineage you can SELECT). Every
+      // stage is a pure frame transform; counts are exact integers and
+      // revenue an exact decimal sum.
+      val bronze = Tables.events(s, dir)
+      val quarantined = bronze.filter(col("value") < 1.0d)
+      val valid = bronze.filter(col("value") >= 1.0d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("ts"), col("event_type"))
+        .orderBy(col("event_id").asc)
+      val silver = valid.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val audit = bronze.agg(count(lit(1)).as("n_bronze"))
+        .crossJoin(broadcast(quarantined.agg(count(lit(1)).as("n_quarantined"))))
+        .crossJoin(broadcast(silver.agg(count(lit(1)).as("__ns"))))
+        .withColumn("n_dups_dropped",
+          col("n_bronze") - col("n_quarantined") - col("__ns"))
+        .select(col("n_bronze"), col("n_quarantined"), col("n_dups_dropped"))
+      silver
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          (round(sum(col("value").cast(D)).cast("double"), 2) + lit(0.0d))
+            .as("revenue"))
+        .crossJoin(broadcast(audit))
+    }),
+
+    // ---- EXT: quantile-gap drift between two slices ----
+    "q320_qq_drift" -> ((s, dir) => {
+      // decile-grid QQ comparison of the value distribution between the
+      // even- and odd-user populations — the quantile-space drift read
+      // that PSI (q229, bin-mass space) and KS (q283, max-CDF-gap) don't
+      // give: WHERE in the distribution the two slices diverge. Exact
+      // percentiles on both slices, rounded before the gap (cross-engine
+      // ulp contract); thresholds are two 1-row percentile aggregates.
+      val e = Tables.events(s, dir)
+        .select((col("user_id") % 2 === 0).as("__even"), col("value"))
+      val cuts = (1 to 9).map(_ / 10.0).mkString(", ")
+      val qa = e.filter(col("__even"))
+        .agg(transform(expr(s"percentile(value, array($cuts))"),
+          t => round(t, 6)).as("__qa"))
+      val qb = e.filter(!col("__even"))
+        .agg(transform(expr(s"percentile(value, array($cuts))"),
+          t => round(t, 6)).as("__qb"))
+      qa.crossJoin(broadcast(qb))
+        .select(posexplode(arrays_zip(col("__qa"), col("__qb"))))
+        .select(((col("pos") + 1).cast("int") * 10).as("pct"),
+          col("col.__qa").as("q_even"), col("col.__qb").as("q_odd"))
+        .withColumn("gap",
+          round(abs(col("q_even") - col("q_odd")), 6) + lit(0.0d))
+    }),
+
+    // ---- EXT: ABC × XYZ inventory classification ----
+    "q321_abc_xyz" -> ((s, dir) => {
+      // q182's revenue-Pareto ABC crossed with demand-VARIABILITY XYZ:
+      // X = steady (CV ≤ 0.5), Y = variable (≤ 1), Z = erratic — the
+      // classic stocking-policy matrix. Monthly demand moments are exact
+      // decimals (q152 discipline); the ABC cut runs on the revenue
+      // distribution table with integer cumulative shares (ties can't
+      // straddle engines); CV thresholds compare the 6-dp ROUNDED value.
+      import org.apache.spark.sql.expressions.Window
+      val monthly = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"),
+          date_trunc("month", col("l_shipdate")).as("__m"))
+        .agg(sum(col("l_quantity").cast(D)).as("__q"))
+      val stats = monthly.groupBy(col("l_partkey")).agg(
+          count(lit(1)).as("__nm"),
+          sum(col("__q")).as("__sq"),
+          sum(col("__q").cast("decimal(28,2)") * col("__q")).as("__sqq"))
+        .filter(col("__nm") > 1)
+        .withColumn("__mean",
+          col("__sq").cast("double") / col("__nm").cast("double"))
+        .withColumn("__sd", sqrt(
+          (col("__nm").cast("double") * col("__sqq").cast("double") -
+            col("__sq").cast("double") * col("__sq").cast("double")) /
+            (col("__nm").cast("double") * (col("__nm").cast("double") - 1.0d))))
+        .withColumn("cv", round(col("__sd") / col("__mean"), 6) + lit(0.0d))
+      val rev = Tables.lineitem(s, dir).groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast(D)).as("__rev"))
+      val wc = Window.orderBy(col("__rev").desc, col("l_partkey").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = rev.agg(sum(col("__rev")).as("__tot"))
+      // integer-exact Pareto cut: cum·100 ≤ tot·80 → A, ≤ 95 → B, else C
+      val abc = rev.withColumn("__cum", sum(col("__rev")).over(wc))
+        .crossJoin(broadcast(tot))
+        .withColumn("abc_class",
+          when(col("__cum") * 100 <= col("__tot") * 80, "A")
+            .when(col("__cum") * 100 <= col("__tot") * 95, "B")
+            .otherwise("C"))
+      abc.join(stats, Seq("l_partkey"))
+        .withColumn("xyz_class",
+          when(col("cv") <= 0.5, "X").when(col("cv") <= 1.0, "Y")
+            .otherwise("Z"))
+        .groupBy(col("abc_class"), col("xyz_class"))
+        .agg(count(lit(1)).as("n_parts"),
+          (round(sum(col("__rev")).cast("double"), 2) + lit(0.0d))
+            .as("revenue"))
+    }),
+
+    // ---- EXT: log-log price elasticity per product type ----
+    "q322_price_elasticity" -> ((s, dir) => {
+      // elasticity = d ln(qty) / d ln(unit price), the OLS slope in log
+      // space per product type — the q288 Zipf discipline (rounded-ln
+      // decimal moments, closed-form slope) applied to the pricing read.
+      val d = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(col("l_quantity") > 0 && col("l_extendedprice") > 0)
+        .select(col("p_type"),
+          round(log(col("l_quantity")), 6).cast("decimal(18,6)").as("__y"),
+          round(log(col("l_extendedprice") / col("l_quantity")), 6)
+            .cast("decimal(18,6)").as("__x"))
+      val m = d.groupBy(col("p_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      m.withColumn("__det",
+          col("n").cast("double") * col("__sxx").cast("double") -
+            col("__sx").cast("double") * col("__sx").cast("double"))
+        .filter(col("__det") > 0)
+        .select(col("p_type"), col("n"),
+          (round((col("n").cast("double") * col("__sxy").cast("double") -
+            col("__sx").cast("double") * col("__sy").cast("double")) /
+            col("__det"), 6) + lit(0.0d)).as("elasticity"))
+    }),
+
+    // ---- EXT: join-cardinality estimator audit (optimizer literacy) ----
+    "q315_join_card_estimate" -> ((s, dir) => {
+      // |R ⋈ R on k| exactly = Σ c(k)² vs the textbook uniform estimate
+      // n²/d — the statistic behind every optimizer's join reorder; the
+      // ratio IS the key-skew penalty the estimate misses
+      val freq = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("__c"))
+      freq.agg(
+          sum(col("__c")).as("n"),
+          count(lit(1)).as("n_distinct_keys"),
+          sum(col("__c").cast("decimal(38,0)") * col("__c")).as("__exact"))
+        .select(col("n"), col("n_distinct_keys"),
+          col("__exact").cast("long").as("exact_pairs"),
+          (round(col("n").cast("double") * col("n").cast("double") /
+            col("n_distinct_keys").cast("double"), 2) + lit(0.0d))
+            .as("est_pairs"),
+          (round(col("__exact").cast("double") /
+            (col("n").cast("double") * col("n").cast("double") /
+              col("n_distinct_keys").cast("double")), 6) + lit(0.0d))
+            .as("skew_ratio"))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -4649,20 +4973,20 @@ object SparkEntry {
                FROM s)
          SELECT query_id, neighbor_id, cast(rank as int) AS rank, round(sim0, 6) AS sim
          FROM r WHERE rank <= 5"""
-  private val KnnLshSql: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  private def lshSql(nPlanes: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          b AS (SELECT vec_id, v,
-             array_to_string(list_transform(generate_series(0, 5), r ->
+             array_to_string(list_transform(generate_series(0, ${nPlanes - 1}), r ->
                CASE WHEN list_sum(list_transform(generate_series(1, 64), i ->
                  v[i] * (('0x' || substr(md5('plane:' || cast(r as varchar) || ':' || cast(i-1 as varchar)), 1, 4))::bigint / 32768.0 - 1.0))) >= 0
                THEN '1' ELSE '0' END), '') AS bucket
            FROM e),
          q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM b WHERE vec_id < 10),
          probes0 AS (SELECT query_id,
-             list_prepend(qb, list_transform(generate_series(1, 6), i ->
+             list_prepend(qb, list_transform(generate_series(1, $nPlanes), i ->
                substr(qb, 1, i-1)
                || (CASE WHEN substr(qb, i, 1) = '1' THEN '0' ELSE '1' END)
-               || substr(qb, i+1, 6-i))) AS pl
+               || substr(qb, i+1, $nPlanes-i))) AS pl
            FROM q),
          probes AS (SELECT query_id, unnest(pl) AS bucket FROM probes0),
          cand AS (SELECT DISTINCT query_id, c.vec_id AS neighbor_id
@@ -4680,6 +5004,25 @@ object SparkEntry {
                FROM s)
          SELECT query_id, neighbor_id, cast(rank as int) AS rank, round(sim0, 6) AS sim
          FROM r WHERE rank <= 5"""
+
+  private val KnnLshSql: String = lshSql(6)
+
+  /** Generated DuckDB oracle for q318: the q41 LSH pipeline swept over
+    * nPlanes ∈ {4, 6, 8}, each setting's recall@5 against the exact
+    * ranking — the tuning curve (recall vs bucket selectivity) as an
+    * oracle-checked query. */
+  private val AnnTuningOracleSql: String = {
+    val settings = Seq(4, 6, 8)
+    settings.map { p =>
+      s"""SELECT $p AS n_planes,
+          round(cast((SELECT count(*) FROM ($KnnBruteSql) t
+            JOIN (${lshSql(p)}) c
+            ON t.query_id = c.query_id AND t.neighbor_id = c.neighbor_id)
+            AS double)
+          / cast((SELECT count(*) FROM ($KnnBruteSql) t2) AS double), 6)
+          + 0.0 AS mean_recall5"""
+    }.mkString("\n          UNION ALL ")
+  }
 
   /** DuckDB-equivalent SQL per query (same parquet tables, same column names). */
   def oracleSql: Map[String, String] = Map(
@@ -9164,5 +9507,182 @@ object SparkEntry {
            cast(bit_count(xor(dhash_a, dhash_b)) AS int) AS hamming
          FROM cand WHERE bit_count(xor(dhash_a, dhash_b)) <= 7""",
     "q311_greedy_cover" -> GreedyCoverOracleSql,
+    "q312_luhn_audit" -> LuhnOracleSql,
+    // HT estimator: md5-bucket two-stage design, exact decimal Σy, one
+    // rational 20/3 scale at the end
+    "q313_horvitz_thompson" ->
+      """WITH e AS (SELECT event_type, user_id, event_id,
+             cast(value AS decimal(18,2)) AS v FROM events),
+         s AS (SELECT event_type, cast(count(*) AS bigint) AS n_sampled,
+             sum(v) AS sy
+           FROM e
+           WHERE ('0x' || substr(md5(cast(user_id AS varchar)), 1, 8))::bigint
+               % 10 < 3
+             AND ('0x' || substr(md5(cast(event_id AS varchar)), 1, 8))::bigint
+               % 10 < 5
+           GROUP BY 1),
+         t AS (SELECT event_type, cast(count(*) AS bigint) AS n_total,
+             sum(v) AS ty
+           FROM e GROUP BY 1)
+         SELECT s.event_type, n_sampled, n_total,
+           round(cast(sy AS double) * 20.0 / 3.0, 2) + 0.0 AS ht_estimate,
+           round(cast(ty AS double), 2) + 0.0 AS true_total,
+           round(cast(sy AS double) * 20.0 / 3.0 / cast(ty AS double), 6)
+             + 0.0 AS ratio
+         FROM s JOIN t ON s.event_type = t.event_type""",
+    // RLE islands: run id = overall rank − per-type rank
+    "q314_type_runs" ->
+      """WITH r AS (SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id) AS grp
+           FROM events),
+         runs AS (SELECT user_id, event_type, grp,
+             cast(count(*) AS bigint) AS len,
+             min(event_id) AS start_id
+           FROM r GROUP BY 1, 2, 3),
+         best AS (SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY len DESC, event_type ASC, start_id ASC) AS rn
+           FROM runs)
+         SELECT user_id, cast(count(*) AS bigint) AS n_runs,
+           max(len) AS longest_run,
+           max(CASE WHEN rn = 1 THEN event_type END) AS longest_type
+         FROM best GROUP BY 1""",
+    // order-statistic median CI: mirrored rank formulas, distribution-
+    // table value lookups
+    "q316_median_ci" ->
+      """WITH d AS (SELECT event_type, value AS v FROM events),
+         dist AS (SELECT event_type, v, count(*) AS c FROM d GROUP BY 1, 2),
+         cum AS (SELECT event_type, v,
+             sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cm
+           FROM dist),
+         n AS (SELECT event_type, cast(count(*) AS bigint) AS n
+           FROM d GROUP BY 1),
+         ranks AS (SELECT event_type, n,
+             (n + 1) // 2 AS rmed,
+             greatest(1, cast(floor((cast(n AS double)
+               - 1.96 * sqrt(cast(n AS double))) / 2.0) AS bigint)) AS rlo,
+             least(n, cast(ceil(1.0 + (cast(n AS double)
+               + 1.96 * sqrt(cast(n AS double))) / 2.0) AS bigint)) AS rhi
+           FROM n),
+         lo AS (SELECT r.event_type, r.n, min(v) AS ci_lo FROM ranks r
+           JOIN cum ON cum.event_type = r.event_type AND cm >= rlo
+           GROUP BY 1, 2),
+         med AS (SELECT r.event_type, r.n, min(v) AS median FROM ranks r
+           JOIN cum ON cum.event_type = r.event_type AND cm >= rmed
+           GROUP BY 1, 2),
+         hi AS (SELECT r.event_type, r.n, min(v) AS ci_hi FROM ranks r
+           JOIN cum ON cum.event_type = r.event_type AND cm >= rhi
+           GROUP BY 1, 2)
+         SELECT lo.event_type, lo.n, ci_lo, median, ci_hi
+         FROM lo JOIN med ON lo.event_type = med.event_type
+         JOIN hi ON lo.event_type = hi.event_type""",
+    "q317_group_by_all" -> GroupByAllSql,
+    "q318_ann_tuning" -> AnnTuningOracleSql,
+    // medallion: quarantine → dedup-keep-lowest-id → gold rollup, audit
+    // counts broadcast onto every row
+    "q319_medallion" ->
+      """WITH bronze AS (SELECT * FROM events),
+         quarantined AS (SELECT * FROM bronze WHERE value < 1.0),
+         valid AS (SELECT * FROM bronze WHERE value >= 1.0),
+         silver AS (SELECT * FROM (SELECT *, row_number() OVER (
+             PARTITION BY user_id, ts, event_type ORDER BY event_id) AS rn
+           FROM valid) WHERE rn = 1),
+         audit AS (SELECT
+             (SELECT cast(count(*) AS bigint) FROM bronze) AS n_bronze,
+             (SELECT cast(count(*) AS bigint) FROM quarantined)
+               AS n_quarantined,
+             (SELECT cast(count(*) AS bigint) FROM bronze)
+               - (SELECT cast(count(*) AS bigint) FROM quarantined)
+               - (SELECT cast(count(*) AS bigint) FROM silver)
+               AS n_dups_dropped)
+         SELECT cast(date_trunc('day', ts) AS date) AS day, event_type,
+           cast(count(*) AS bigint) AS n_events,
+           cast(count(DISTINCT user_id) AS bigint) AS n_users,
+           round(cast(sum(cast(value AS decimal(18,2))) AS double), 2) + 0.0
+             AS revenue,
+           n_bronze, n_quarantined, n_dups_dropped
+         FROM silver CROSS JOIN audit
+         GROUP BY 1, 2, n_bronze, n_quarantined, n_dups_dropped""",
+    // QQ drift: rounded exact deciles per slice, absolute gaps
+    "q320_qq_drift" ->
+      """WITH qa AS (SELECT list_transform(
+             quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+             t -> round(t, 6)) AS l
+           FROM events WHERE user_id % 2 = 0),
+         qb AS (SELECT list_transform(
+             quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+             t -> round(t, 6)) AS l
+           FROM events WHERE user_id % 2 <> 0),
+         g AS (SELECT unnest(generate_series(1, 9)) AS i)
+         SELECT cast(i * 10 AS int) AS pct,
+           qa.l[i] AS q_even, qb.l[i] AS q_odd,
+           round(abs(qa.l[i] - qb.l[i]), 6) + 0.0 AS gap
+         FROM g CROSS JOIN qa CROSS JOIN qb""",
+    // ABC×XYZ: integer-exact Pareto cut + exact-moment CV thresholds
+    "q321_abc_xyz" ->
+      """WITH monthly AS (SELECT l_partkey, date_trunc('month', l_shipdate) AS m,
+             sum(cast(l_quantity AS decimal(18,2))) AS q
+           FROM lineitem GROUP BY 1, 2),
+         stats AS (SELECT l_partkey, cast(count(*) AS bigint) AS nm,
+             sum(q) AS sq, sum(cast(q AS decimal(28,2)) * q) AS sqq
+           FROM monthly GROUP BY 1 HAVING count(*) > 1),
+         cv AS (SELECT l_partkey,
+             round(sqrt((cast(nm AS double) * cast(sqq AS double)
+                 - cast(sq AS double) * cast(sq AS double))
+               / (cast(nm AS double) * (cast(nm AS double) - 1.0)))
+               / (cast(sq AS double) / cast(nm AS double)), 6) + 0.0 AS cv
+           FROM stats),
+         rev AS (SELECT l_partkey,
+             sum(cast(l_extendedprice AS decimal(18,2))) AS r
+           FROM lineitem GROUP BY 1),
+         tot AS (SELECT sum(r) AS t FROM rev),
+         abc AS (SELECT l_partkey, r,
+             CASE WHEN sum(r) OVER (ORDER BY r DESC, l_partkey ASC) * 100
+                 <= t * 80 THEN 'A'
+               WHEN sum(r) OVER (ORDER BY r DESC, l_partkey ASC) * 100
+                 <= t * 95 THEN 'B'
+               ELSE 'C' END AS abc_class
+           FROM rev CROSS JOIN tot)
+         SELECT abc_class,
+           CASE WHEN cv <= 0.5 THEN 'X' WHEN cv <= 1.0 THEN 'Y'
+             ELSE 'Z' END AS xyz_class,
+           cast(count(*) AS bigint) AS n_parts,
+           round(cast(sum(r) AS double), 2) + 0.0 AS revenue
+         FROM abc JOIN cv USING (l_partkey)
+         GROUP BY 1, 2""",
+    // elasticity: rounded-ln decimal moments, closed-form OLS slope
+    "q322_price_elasticity" ->
+      """WITH d AS (SELECT p_type,
+             cast(round(ln(l_quantity), 6) AS decimal(18,6)) AS y,
+             cast(round(ln(l_extendedprice / l_quantity), 6)
+               AS decimal(18,6)) AS x
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_quantity > 0 AND l_extendedprice > 0),
+         m AS (SELECT p_type, cast(count(*) AS bigint) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx
+           FROM d GROUP BY 1),
+         s AS (SELECT p_type, n,
+             cast(n AS double) * cast(sxx AS double)
+               - cast(sx AS double) * cast(sx AS double) AS det,
+             cast(n AS double) * cast(sxy AS double)
+               - cast(sx AS double) * cast(sy AS double) AS num
+           FROM m)
+         SELECT p_type, n, round(num / det, 6) + 0.0 AS elasticity
+         FROM s WHERE det > 0""",
+    // join cardinality: exact Σc² vs the uniform n²/d textbook estimate
+    "q315_join_card_estimate" ->
+      """WITH f AS (SELECT l_partkey, cast(count(*) AS bigint) AS c
+           FROM lineitem GROUP BY 1),
+         m AS (SELECT cast(sum(c) AS bigint) AS n,
+             cast(count(*) AS bigint) AS d,
+             sum(cast(c AS hugeint) * c) AS ex FROM f)
+         SELECT n, d AS n_distinct_keys, cast(ex AS bigint) AS exact_pairs,
+           round(cast(n AS double) * cast(n AS double) / cast(d AS double),
+             2) + 0.0 AS est_pairs,
+           round(cast(ex AS double) / (cast(n AS double) * cast(n AS double)
+             / cast(d AS double)), 6) + 0.0 AS skew_ratio
+         FROM m""",
   )
 }

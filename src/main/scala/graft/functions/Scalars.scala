@@ -66,6 +66,25 @@ object Scalars {
     * counts Mon–Fri days in the half-open interval, the SLA-clock
     * primitive (no holiday table; that's a join away). Pure integer
     * calendar arithmetic, identical in any engine. */
+  /** Luhn checksum validity of a fixed-width digit string — the payment/
+    * account-number check digit (ISO/IEC 7812), the numeric sibling of the
+    * q63 UUID and q62 coordinate validators. Generated as `width` explicit
+    * per-position terms (digits at even distance from the right count
+    * once; odd-distance digits double, minus 9 above 4) so the whole
+    * check is one codegen-friendly integer expression — no UDF, no
+    * explode. */
+  def luhnValid(num: Column, width: Int): Column = {
+    require(width >= 2, "need at least one payload digit + check digit")
+    val terms = (1 to width).map { pos =>
+      val d = substring(num, pos, 1).cast("int")
+      val fromRight = width - pos // 0 = check digit itself
+      if (fromRight % 2 == 1)
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+      else d
+    }
+    (length(num) === width) && (terms.reduce(_ + _) % 10 === 0)
+  }
+
   def busDayIndex(d: Column): Column = {
     // non-negative dd (fixture dates are all after the anchor), so
     // floor(dd/7) is the exact integer quotient in both engines

@@ -304,6 +304,16 @@ class Round6OpsSpec extends SparkSuite {
     assert(out.toSeq == Seq((1, 1L, 2L, 2L), (2, 3L, 2L, 4L)))
   }
 
+  test("luhnValid: classic check-digit goldens") {
+    import graft.functions.Scalars
+    val df = Seq("79927398713", "79927398710", "79927398711", "7992739871")
+      .toDF("num")
+      .select(Scalars.luhnValid(col("num"), 11).as("ok"))
+    // 79927398713 is the canonical valid Luhn example; 0/1 endings are
+    // invalid; a short string fails the width check outright
+    assert(df.as[Boolean].collect().toSeq == Seq(true, false, false, false))
+  }
+
   test("zipfSlope: two-rank fit through (ln1,ln4),(ln2,ln2) has slope -1") {
     val docs = Seq((1L, "a a a a b b", "x")).toDF("doc_id", "text", "lang")
     val (n, slope) = TextOps.zipfSlope(docs, "lang", "text", topRanks = 2)
