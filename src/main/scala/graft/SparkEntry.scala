@@ -4936,6 +4936,97 @@ object SparkEntry {
             col("__det"), 6) + lit(0.0d)).as("elasticity"))
     }),
 
+    // ---- EXT: partial correlation (confounder-adjusted association) ----
+    "q323_partial_corr" -> ((s, dir) => {
+      // r_xy·z = (r_xy − r_xz·r_zy)/√((1−r_xz²)(1−r_zy²)): does value
+      // correlate with hour AFTER controlling for weekday — the
+      // first-order causal hygiene step q152's raw correlation skips.
+      // All three pairwise r's come from ONE exact-decimal moment
+      // aggregate; the adjustment is a single mirrored double expression.
+      val t = Tables.events(s, dir).select(col("event_type"),
+        col("value").cast(D).as("__x"),
+        hour(col("ts")).cast("decimal(18,2)").as("__y"),
+        weekday(col("ts")).cast("decimal(18,2)").as("__z"))
+      val m = t.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__z")).as("__sz"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__z")).as("__sxz"),
+        sum(col("__y") * col("__z")).as("__syz"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum(col("__z") * col("__z")).as("__szz"))
+      def nd(c: String) = col(c).cast("double")
+      def r(sab: String, sa: String, sb: String, saa: String, sbb: String) =
+        (nd("n") * nd(sab) - nd(sa) * nd(sb)) /
+          sqrt((nd("n") * nd(saa) - nd(sa) * nd(sa)) *
+            (nd("n") * nd(sbb) - nd(sb) * nd(sb)))
+      m.withColumn("__rxy", r("__sxy", "__sx", "__sy", "__sxx", "__syy"))
+        .withColumn("__rxz", r("__sxz", "__sx", "__sz", "__sxx", "__szz"))
+        .withColumn("__rzy", r("__syz", "__sz", "__sy", "__szz", "__syy"))
+        .filter(abs(col("__rxz")) < 1 && abs(col("__rzy")) < 1)
+        .select(col("event_type"), col("n"),
+          (round(col("__rxy"), 6) + lit(0.0d)).as("r_xy"),
+          (round((col("__rxy") - col("__rxz") * col("__rzy")) /
+            sqrt((lit(1.0d) - col("__rxz") * col("__rxz")) *
+              (lit(1.0d) - col("__rzy") * col("__rzy"))), 6) + lit(0.0d))
+            .as("r_xy_given_z"))
+    }),
+
+    // ---- EXT: cohort LTV curve (cumulative revenue by month offset) ----
+    "q324_ltv_curve" -> ((s, dir) => {
+      // q123's retention matrix in MONEY: users cohorted by first-seen
+      // month; per (cohort, month offset) the cumulative per-cohort
+      // revenue and its per-user normalization — the payback-period
+      // curve. The cumulative window runs over the bounded cohort×offset
+      // grid, never event rows.
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir).select(col("user_id"), col("ts"),
+        col("value").cast(D).as("__v"))
+      val first = e.groupBy(col("user_id"))
+        .agg(date_trunc("month", min(col("ts"))).as("__cohort"))
+      val sizes = first.groupBy(col("__cohort"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      val cell = e.join(first, Seq("user_id"))
+        .withColumn("__offset",
+          (months_between(date_trunc("month", col("ts")), col("__cohort")))
+            .cast("int"))
+        .groupBy(col("__cohort"), col("__offset"))
+        .agg(sum(col("__v")).as("__rev"))
+      val w = Window.partitionBy(col("__cohort")).orderBy(col("__offset"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      cell.withColumn("__cum", sum(col("__rev")).over(w))
+        .join(sizes, Seq("__cohort"))
+        .select(to_date(col("__cohort")).as("cohort"),
+          col("__offset").as("month_offset"), col("n_users"),
+          (round(col("__cum").cast("double"), 2) + lit(0.0d))
+            .as("cum_revenue"),
+          (round(col("__cum").cast("double") /
+            col("n_users").cast("double"), 2) + lit(0.0d))
+            .as("cum_ltv_per_user"))
+    }),
+
+    // ---- EXT: keyword-in-context concordance ----
+    "q325_kwic" -> ((s, dir) => {
+      // every occurrence of the probe term with its ±2-token window — the
+      // corpus-inspection primitive behind annotation review and filter
+      // debugging ("what does 'spark' actually look like in context").
+      // Pure per-row explode; the context slice is clamped array algebra.
+      val toks = TextOps.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("__w"))
+        .select(col("doc_id"), col("__w"),
+          posexplode(col("__w")).as(Seq("__p0", "__t")))
+        .filter(col("__t") === "spark")
+        .withColumn("pos", (col("__p0") + 1).cast("int"))
+        .withColumn("__start", greatest(lit(1), col("pos") - 2))
+        .withColumn("__end", least(size(col("__w")), col("pos") + 2))
+        .select(col("doc_id"), col("pos"),
+          array_join(slice(col("__w"), col("__start"),
+            col("__end") - col("__start") + 1), " ").as("context"))
+    }),
+
     // ---- EXT: join-cardinality estimator audit (optimizer literacy) ----
     "q315_join_card_estimate" -> ((s, dir) => {
       // |R ⋈ R on k| exactly = Σ c(k)² vs the textbook uniform estimate
@@ -9671,6 +9762,75 @@ object SparkEntry {
            FROM m)
          SELECT p_type, n, round(num / det, 6) + 0.0 AS elasticity
          FROM s WHERE det > 0""",
+    // partial correlation: three pairwise r's from one moment aggregate
+    "q323_partial_corr" ->
+      """WITH t AS (SELECT event_type,
+             cast(value AS decimal(18,2)) AS x,
+             cast(hour(ts) AS decimal(18,2)) AS y,
+             cast(isodow(ts) - 1 AS decimal(18,2)) AS z
+           FROM events),
+         m AS (SELECT event_type, cast(count(*) AS bigint) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+             sum(x * y) AS sxy, sum(x * z) AS sxz, sum(y * z) AS syz,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(z * z) AS szz
+           FROM t GROUP BY 1),
+         r AS (SELECT event_type, n,
+             (cast(n AS double) * cast(sxy AS double)
+               - cast(sx AS double) * cast(sy AS double))
+               / sqrt((cast(n AS double) * cast(sxx AS double)
+                   - cast(sx AS double) * cast(sx AS double))
+                 * (cast(n AS double) * cast(syy AS double)
+                   - cast(sy AS double) * cast(sy AS double))) AS rxy,
+             (cast(n AS double) * cast(sxz AS double)
+               - cast(sx AS double) * cast(sz AS double))
+               / sqrt((cast(n AS double) * cast(sxx AS double)
+                   - cast(sx AS double) * cast(sx AS double))
+                 * (cast(n AS double) * cast(szz AS double)
+                   - cast(sz AS double) * cast(sz AS double))) AS rxz,
+             (cast(n AS double) * cast(syz AS double)
+               - cast(sz AS double) * cast(sy AS double))
+               / sqrt((cast(n AS double) * cast(szz AS double)
+                   - cast(sz AS double) * cast(sz AS double))
+                 * (cast(n AS double) * cast(syy AS double)
+                   - cast(sy AS double) * cast(sy AS double))) AS rzy
+           FROM m)
+         SELECT event_type, n, round(rxy, 6) + 0.0 AS r_xy,
+           round((rxy - rxz * rzy)
+             / sqrt((1.0 - rxz * rxz) * (1.0 - rzy * rzy)), 6) + 0.0
+             AS r_xy_given_z
+         FROM r WHERE abs(rxz) < 1 AND abs(rzy) < 1""",
+    // LTV: bounded cohort×offset grid, cumulative exact-decimal revenue
+    "q324_ltv_curve" ->
+      """WITH e AS (SELECT user_id, ts, cast(value AS decimal(18,2)) AS v
+           FROM events),
+         fst AS (SELECT user_id, date_trunc('month', min(ts)) AS cohort
+           FROM e GROUP BY 1),
+         sizes AS (SELECT cohort,
+             cast(count(DISTINCT user_id) AS bigint) AS n_users
+           FROM fst GROUP BY 1),
+         cell AS (SELECT cohort,
+             cast(date_diff('month', cohort, date_trunc('month', ts))
+               AS int) AS month_offset,
+             sum(v) AS rev
+           FROM e JOIN fst USING (user_id) GROUP BY 1, 2),
+         c AS (SELECT cohort, month_offset,
+             sum(rev) OVER (PARTITION BY cohort ORDER BY month_offset) AS cum
+           FROM cell)
+         SELECT cast(c.cohort AS date) AS cohort, month_offset, n_users,
+           round(cast(cum AS double), 2) + 0.0 AS cum_revenue,
+           round(cast(cum AS double) / cast(n_users AS double), 2) + 0.0
+             AS cum_ltv_per_user
+         FROM c JOIN sizes ON c.cohort = sizes.cohort""",
+    // KWIC: 1-based positions, clamped ±2-token slice
+    "q325_kwic" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents),
+         p AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos
+           FROM t)
+         SELECT doc_id, cast(pos AS int) AS pos,
+           array_to_string(w[greatest(1, pos - 2):least(len(w), pos + 2)],
+             ' ') AS context
+         FROM p WHERE w[pos] = 'spark'""",
     // join cardinality: exact Σc² vs the uniform n²/d textbook estimate
     "q315_join_card_estimate" ->
       """WITH f AS (SELECT l_partkey, cast(count(*) AS bigint) AS c
