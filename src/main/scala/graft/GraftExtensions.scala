@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DamerauLevenshtein, DotProduct, ExifGps, HyperplaneBands, ImageMeta, JaroWinkler, PointInPolygon, PolygonsOverlap, PolygonsOverlapFull, SimHash32}
+import graft.functions.{CdcBounds, DamerauLevenshtein, DotProduct, ExifGps, HyperplaneBands, ImageMeta, JaroWinkler, PointInPolygon, PolygonsOverlap, PolygonsOverlapFull, SimHash32}
 
 /** Session extension registering the engine's custom Catalyst expressions so
   * they are callable from SQL as well as the Column API.
@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.exifGpsDescriptor)
     e.injectFunction(GraftExtensions.jaroWinklerDescriptor)
     e.injectFunction(GraftExtensions.damerauLevenshteinDescriptor)
+    e.injectFunction(GraftExtensions.cdcBoundsDescriptor)
   }
 }
 
@@ -157,6 +158,18 @@ object GraftExtensions {
     new ExpressionInfo(classOf[DamerauLevenshtein].getName, "damerau_levenshtein"),
     dlBuilder _)
 
+  private def cbBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1,
+      s"cdc_bounds(text) takes 1 argument, got ${args.length}")
+    CdcBounds(args(0))
+  }
+
+  val cdcBoundsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cdc_bounds"),
+    new ExpressionInfo(classOf[CdcBounds].getName, "cdc_bounds"),
+    cbBuilder _)
+
   /** Register custom functions on an existing session (used by Verify/Bench
     * and tests, where the builder isn't ours). */
   def register(spark: SparkSession): Unit = {
@@ -170,7 +183,8 @@ object GraftExtensions {
       "image_meta" -> imBuilder _,
       "exif_gps" -> egBuilder _,
       "jaro_winkler" -> jwBuilder _,
-      "damerau_levenshtein" -> dlBuilder _)
+      "damerau_levenshtein" -> dlBuilder _,
+      "cdc_bounds" -> cbBuilder _)
     fns.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")

@@ -219,6 +219,44 @@ object SparkEntry {
        cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total
        FROM orders GROUP BY ALL"""
 
+  /** Generated DuckDB oracle for q326: the windowed polynomial hash
+    * recomputed per position from the explicit 16-term sum (B^j mod M
+    * powers inlined as a literal list) — same arithmetic as the O(n)
+    * incremental kernel, so boundaries agree exactly. */
+  private val CdcOracleSql: String = {
+    val w = graft.functions.CdcBounds.W
+    val b = graft.functions.CdcBounds.B
+    val m = graft.functions.CdcBounds.M
+    val mask = graft.functions.CdcBounds.Mask
+    val powers = Iterator.iterate(1L)(p => p * b % m).take(w).toSeq
+    val powList = powers.mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, source, text,
+            cast(length(text) AS int) AS n
+          FROM documents WHERE length(text) > 0),
+        pos AS (SELECT doc_id, source, text, n,
+            unnest(generate_series(1, n)) AS i FROM t),
+        hs AS (SELECT doc_id, i AS e FROM pos
+          WHERE i >= $w
+            AND (list_sum(list_transform(generate_series(0, ${w - 1}),
+              j -> ord(substr(text, cast(i - j AS int), 1))
+                * ($powList)[j + 1])) % $m) % $mask = 0),
+        cuts AS (SELECT doc_id, e FROM hs
+          UNION SELECT doc_id, n AS e FROM t),
+        ordered AS (SELECT c.doc_id, t.source, t.text, e,
+            lag(e) OVER (PARTITION BY c.doc_id ORDER BY e) AS pe
+          FROM cuts c JOIN t ON c.doc_id = t.doc_id),
+        chunks AS (SELECT doc_id, source,
+            substr(text, cast(coalesce(pe, 0) + 1 AS int),
+              cast(e - coalesce(pe, 0) AS int)) AS chunk
+          FROM ordered)
+        SELECT source, cast(count(DISTINCT doc_id) AS bigint) AS n_docs,
+          cast(count(*) AS bigint) AS total_chunks,
+          cast(count(DISTINCT chunk) AS bigint) AS distinct_chunks,
+          round(1.0 - cast(count(DISTINCT chunk) AS double)
+            / cast(count(*) AS double), 6) + 0.0 AS dedup_ratio
+        FROM chunks GROUP BY 1"""
+  }
+
   /** Generated DuckDB oracle for q312: the Luhn sum as twelve explicit
     * per-position terms (odd distance from the right doubles, minus 9
     * above 4) — the same expression tree `Scalars.luhnValid` emits. */
@@ -5027,6 +5065,35 @@ object SparkEntry {
             col("__end") - col("__start") + 1), " ").as("context"))
     }),
 
+    // ---- EXT: content-defined chunking dedup audit ----
+    "q326_cdc_chunks" -> ((s, dir) => {
+      // Rabin-style content-defined chunk boundaries (native O(n) rolling
+      // hash kernel), then the storage-dedup read: how many chunks the
+      // corpus stores vs how many are DISTINCT — the rsync/backup
+      // property that an edit shifts one chunk, not every block after it.
+      val bridge = org.apache.spark.sql.GraftColumnBridge
+      val bounds = bridge.column(graft.functions.CdcBounds(
+        bridge.expression(col("text"))))
+      val chunks = Tables.documents(s, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("source"), col("text"),
+          bounds.as("__b"))
+        .select(col("doc_id"), col("source"), col("text"), col("__b"),
+          posexplode(col("__b")).as(Seq("__k", "endp")))
+        .withColumn("start",
+          when(col("__k") === 0, lit(1))
+            .otherwise(element_at(col("__b"), col("__k")) + 1))
+        .withColumn("chunk",
+          expr("substring(text, start, endp - start + 1)"))
+      chunks.groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("total_chunks"),
+          countDistinct(col("chunk")).as("distinct_chunks"))
+        .withColumn("dedup_ratio",
+          round(lit(1.0d) - col("distinct_chunks").cast("double") /
+            col("total_chunks").cast("double"), 6) + lit(0.0d))
+    }),
+
     // ---- EXT: join-cardinality estimator audit (optimizer literacy) ----
     "q315_join_card_estimate" -> ((s, dir) => {
       // |R ⋈ R on k| exactly = Σ c(k)² vs the textbook uniform estimate
@@ -9599,6 +9666,7 @@ object SparkEntry {
          FROM cand WHERE bit_count(xor(dhash_a, dhash_b)) <= 7""",
     "q311_greedy_cover" -> GreedyCoverOracleSql,
     "q312_luhn_audit" -> LuhnOracleSql,
+    "q326_cdc_chunks" -> CdcOracleSql,
     // HT estimator: md5-bucket two-stage design, exact decimal Σy, one
     // rational 20/3 scale at the end
     "q313_horvitz_thompson" ->

@@ -314,6 +314,29 @@ class Round6OpsSpec extends SparkSuite {
     assert(df.as[Boolean].collect().toSeq == Seq(true, false, false, false))
   }
 
+  test("CdcBounds: boundary contract and the insertion-shift property") {
+    import graft.functions.CdcBounds
+    import org.apache.spark.unsafe.types.UTF8String
+    def bounds(t: String): Seq[Int] =
+      CdcBounds.compute(UTF8String.fromString(t)).toIntArray().toSeq
+    def chunks(t: String): Seq[String] = {
+      val b = bounds(t)
+      (0 +: b.dropRight(1)).zip(b).map { case (s, e) => t.substring(s, e) }
+    }
+    assert(bounds("") == Seq.empty)
+    val text = (1 to 300).map(i => ('a' + (i * 2654435761L % 26).toInt).toChar)
+      .mkString
+    val b = bounds(text)
+    assert(b.last == text.length && b == b.sorted && b.distinct == b)
+    assert(chunks(text).mkString == text) // chunks partition the text
+    // content-defined = an insertion near the front perturbs only the
+    // chunks up to the first shared boundary; the tail chunks are IDENTICAL
+    val edited = "INSERTED " + text
+    val shared = chunks(text).toSet intersect chunks(edited).toSet
+    assert(shared.size >= chunks(text).size - 2,
+      s"expected tail chunks to survive the edit, shared=${shared.size} of ${chunks(text).size}")
+  }
+
   test("zipfSlope: two-rank fit through (ln1,ln4),(ln2,ln2) has slope -1") {
     val docs = Seq((1L, "a a a a b b", "x")).toDF("doc_id", "text", "lang")
     val (n, slope) = TextOps.zipfSlope(docs, "lang", "text", topRanks = 2)
