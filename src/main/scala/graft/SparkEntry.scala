@@ -257,6 +257,45 @@ object SparkEntry {
         FROM chunks GROUP BY 1"""
   }
 
+  /** Generated DuckDB oracle for q327: three unrolled HITS rounds
+    * (authority-from-hubs then hubs-from-authorities, max-normalized and
+    * 12-dp-rounded between steps) plus the final authority pass — the
+    * PageRank unrolled-iteration discipline on the bipartite graph. */
+  private val HitsOracleSql: String = {
+    val iters = 3
+    val base =
+      """WITH pairs AS MATERIALIZED (SELECT DISTINCT 'c' || cast(o_custkey AS varchar) AS src,
+               's' || cast(l_suppkey AS varchar) AS dst
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          h0 AS MATERIALIZED (SELECT DISTINCT src AS node,
+              cast(1.0 AS decimal(26,12)) AS h FROM pairs)"""
+    def aStep(k: Int): String =
+      s""",
+          a${k}r AS MATERIALIZED (SELECT dst, sum(h) AS a FROM pairs
+            JOIN h${k - 1} ON src = node GROUP BY 1),
+          a$k AS MATERIALIZED (SELECT dst AS node,
+              cast(round(cast(a AS double)
+                / cast((SELECT max(a) FROM a${k}r) AS double), 12)
+                AS decimal(26,12)) AS a
+            FROM a${k}r)"""
+    def hStep(k: Int): String =
+      s""",
+          h${k}r AS MATERIALIZED (SELECT src, sum(a) AS h FROM pairs
+            JOIN a$k ON dst = node GROUP BY 1),
+          h$k AS MATERIALIZED (SELECT src AS node,
+              cast(round(cast(h AS double)
+                / cast((SELECT max(h) FROM h${k}r) AS double), 12)
+                AS decimal(26,12)) AS h
+            FROM h${k}r)"""
+    val body = (1 to iters).map(k => aStep(k) + hStep(k)).mkString
+    val fin = aStep(iters + 1)
+    s"""$base$body$fin
+          SELECT node, 'hub' AS kind, cast(h AS double) AS score FROM h$iters
+          UNION ALL
+          SELECT node, 'authority' AS kind, cast(a AS double) AS score
+          FROM a${iters + 1}"""
+  }
+
   /** Generated DuckDB oracle for q312: the Luhn sum as twelve explicit
     * per-position terms (odd distance from the right doubles, minus 9
     * above 4) — the same expression tree `Scalars.luhnValid` emits. */
@@ -5065,6 +5104,16 @@ object SparkEntry {
             col("__end") - col("__start") + 1), " ").as("context"))
     }),
 
+    // ---- EXT: HITS hubs & authorities on the buyer→supplier graph ----
+    "q327_hits" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      graft.operators.Graph.hits(edges, iters = 3)
+    }),
+
     // ---- EXT: content-defined chunking dedup audit ----
     "q326_cdc_chunks" -> ((s, dir) => {
       // Rabin-style content-defined chunk boundaries (native O(n) rolling
@@ -9667,6 +9716,7 @@ object SparkEntry {
     "q311_greedy_cover" -> GreedyCoverOracleSql,
     "q312_luhn_audit" -> LuhnOracleSql,
     "q326_cdc_chunks" -> CdcOracleSql,
+    "q327_hits" -> HitsOracleSql,
     // HT estimator: md5-bucket two-stage design, exact decimal Σy, one
     // rational 20/3 scale at the end
     "q313_horvitz_thompson" ->

