@@ -5114,6 +5114,126 @@ object SparkEntry {
       graft.operators.Graph.hits(edges, iters = 3)
     }),
 
+    // ---- EXT: revenue bridge (volume / rate / mix decomposition) ----
+    "q328_revenue_bridge" -> ((s, dir) => {
+      // "WHY did revenue move 1996→1997": per segment the exact
+      // ΔR = Δn·aov_A + n_A·Δaov + Δn·Δaov decomposition (volume, rate,
+      // cross) — the waterfall q285's direct standardization only hints
+      // at. Counts and revenue are exact; the three effects are mirrored
+      // double expressions that reconcile to ΔR by construction.
+      def yearAgg(y: Int, nc: String, rc: String) =
+        Tables.orders(s, dir)
+          .filter(year(col("o_orderdate")) === y)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as(nc),
+            sum(col("o_totalprice").cast(D)).as(rc))
+      val j = yearAgg(1996, "n_a", "__ra").join(
+        yearAgg(1997, "n_b", "__rb"), Seq("o_orderpriority"))
+      def aov(r: String, n: String) = col(r).cast("double") / col(n).cast("double")
+      j.filter(col("n_a") > 0 && col("n_b") > 0)
+        .withColumn("__aova", aov("__ra", "n_a"))
+        .withColumn("__aovb", aov("__rb", "n_b"))
+        .select(col("o_orderpriority"), col("n_a"), col("n_b"),
+          (round(col("__ra").cast("double"), 2) + lit(0.0d)).as("rev_a"),
+          (round(col("__rb").cast("double"), 2) + lit(0.0d)).as("rev_b"),
+          (round((col("n_b") - col("n_a")).cast("double") * col("__aova"), 2)
+            + lit(0.0d)).as("volume_effect"),
+          (round(col("n_a").cast("double") * (col("__aovb") - col("__aova")), 2)
+            + lit(0.0d)).as("rate_effect"),
+          (round((col("n_b") - col("n_a")).cast("double") *
+            (col("__aovb") - col("__aova")), 2) + lit(0.0d)).as("cross_effect"))
+    }),
+
+    // ---- EXT: Qini uplift curve by score decile ----
+    "q329_qini_uplift" -> ((s, dir) => {
+      // causal ranking evaluation: does targeting high-value events move
+      // the PURCHASE rate differently in treatment (odd users) vs control
+      // — the uplift sibling of q280's lift table and q234's AUC. Deciles
+      // assign at the DISTINCT-score grain (q280's integer algebra, ties
+      // can't straddle engines); Qini(k) = convT − convC·NT/NC cumulative,
+      // exact integers until the final doubles.
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir).select(col("value").as("__s"),
+        (col("user_id") % 2 === 1).cast("int").as("__t"),
+        (col("event_type") === "purchase").cast("long").as("__y"))
+      val dist = e.groupBy(col("__s")).agg(count(lit(1)).as("__c"))
+      val tot = dist.agg(sum(col("__c")).as("__n"))
+      val wd = Window.orderBy(col("__s").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val dec = dist.withColumn("__cum", sum(col("__c")).over(wd))
+        .crossJoin(broadcast(tot))
+        .withColumn("decile",
+          expr("cast((__cum - __c) * 10 div __n as int) + 1"))
+        .select(col("__s"), col("decile"))
+      val cell = e.join(dec, Seq("__s"))
+        .groupBy(col("decile")).agg(
+          sum(col("__t")).as("__nt"),
+          sum(lit(1) - col("__t")).as("__nc"),
+          sum(col("__y") * col("__t")).as("__ct"),
+          sum(col("__y") * (lit(1) - col("__t"))).as("__cc"))
+      val wc = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      cell
+        .withColumn("__cnt", sum(col("__nt")).over(wc))
+        .withColumn("__cnc", sum(col("__nc")).over(wc))
+        .withColumn("__cct", sum(col("__ct")).over(wc))
+        .withColumn("__ccc", sum(col("__cc")).over(wc))
+        .select(col("decile"),
+          col("__nt").as("n_treat"), col("__nc").as("n_control"),
+          (round(col("__ct").cast("double") / col("__nt").cast("double") -
+            col("__cc").cast("double") / col("__nc").cast("double"), 6)
+            + lit(0.0d)).as("uplift"),
+          (round(col("__cct").cast("double") -
+            col("__ccc").cast("double") * col("__cnt").cast("double") /
+              col("__cnc").cast("double"), 6) + lit(0.0d)).as("qini"))
+    }),
+
+    // ---- EXT: consistent-hash ring rebalance audit ----
+    "q330_consistent_hash" -> ((s, dir) => {
+      // the partition-rebalance math of every distributed store: 16 nodes
+      // × 4 virtual points on an md5 ring; a key belongs to the first
+      // point clockwise. Removing one node must move ONLY that node's
+      // keys (~1/16) — the audit counts per-node keys before/after and
+      // the churn, all md5-deterministic and oracle-mirrored.
+      import graft.operators.Sketches.kmvHash
+      val vn = (for (n <- 0 until 16; v <- 0 until 4) yield (n, v))
+        .toList
+      val vnodes = s.createDataFrame(vn).toDF("node", "vp")
+        .withColumn("__pos",
+          kmvHash(concat(lit("node:"), col("node"), lit(":"), col("vp"))))
+        .select(col("node"), col("__pos"))
+      val keys = Tables.events(s, dir).select(col("user_id")).distinct()
+        .withColumn("__kpos", kmvHash(concat(lit("key:"), col("user_id"))))
+      def assign(vns: DataFrame, out: String): DataFrame = {
+        val wrapRow = vns.agg(min(col("__pos")).as("__minpos"))
+        val wrapNode = vns.join(broadcast(wrapRow),
+          col("__pos") === col("__minpos")).select(
+          col("node").as("__wrapnode"), col("__minpos"))
+        val best = keys.join(broadcast(vns), col("__pos") >= col("__kpos"))
+          .groupBy(col("user_id"), col("__kpos"))
+          .agg(min(col("__pos")).as("__bestpos"))
+        keys.join(best, Seq("user_id", "__kpos"), "left")
+          .join(broadcast(vns.withColumnRenamed("node", "__bn")),
+            col("__bestpos") === col("__pos"), "left")
+          .crossJoin(broadcast(wrapNode))
+          .select(col("user_id"),
+            coalesce(col("__bn"), col("__wrapnode")).as(out))
+      }
+      val before = assign(vnodes, "node_before")
+      val after = assign(vnodes.filter(col("node") =!= 7), "node_after")
+      val moved = before.join(after, Seq("user_id"))
+      moved.groupBy(col("node_after").as("node"))
+        .agg(count(lit(1)).as("n_after"),
+          sum((col("node_before") =!= col("node_after")).cast("long"))
+            .as("n_gained"))
+        .join(before.groupBy(col("node_before").as("node"))
+          .agg(count(lit(1)).as("n_before")), Seq("node"), "full")
+        .select(col("node"),
+          coalesce(col("n_before"), lit(0L)).as("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          coalesce(col("n_gained"), lit(0L)).as("n_gained"))
+    }),
+
     // ---- EXT: content-defined chunking dedup audit ----
     "q326_cdc_chunks" -> ((s, dir) => {
       // Rabin-style content-defined chunk boundaries (native O(n) rolling
@@ -9717,6 +9837,101 @@ object SparkEntry {
     "q312_luhn_audit" -> LuhnOracleSql,
     "q326_cdc_chunks" -> CdcOracleSql,
     "q327_hits" -> HitsOracleSql,
+    // revenue bridge: volume/rate/cross effects from exact per-year moments
+    "q328_revenue_bridge" ->
+      """WITH a AS (SELECT o_orderpriority, cast(count(*) AS bigint) AS n_a,
+             sum(cast(o_totalprice AS decimal(18,2))) AS ra
+           FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1),
+         b AS (SELECT o_orderpriority, cast(count(*) AS bigint) AS n_b,
+             sum(cast(o_totalprice AS decimal(18,2))) AS rb
+           FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1),
+         j AS (SELECT a.o_orderpriority, n_a, n_b,
+             cast(ra AS double) AS rad, cast(rb AS double) AS rbd,
+             cast(ra AS double) / cast(n_a AS double) AS aova,
+             cast(rb AS double) / cast(n_b AS double) AS aovb
+           FROM a JOIN b ON a.o_orderpriority = b.o_orderpriority
+           WHERE n_a > 0 AND n_b > 0)
+         SELECT o_orderpriority, n_a, n_b,
+           round(rad, 2) + 0.0 AS rev_a, round(rbd, 2) + 0.0 AS rev_b,
+           round(cast(n_b - n_a AS double) * aova, 2) + 0.0
+             AS volume_effect,
+           round(cast(n_a AS double) * (aovb - aova), 2) + 0.0
+             AS rate_effect,
+           round(cast(n_b - n_a AS double) * (aovb - aova), 2) + 0.0
+             AS cross_effect
+         FROM j""",
+    // Qini: distribution-grain deciles (integer algebra), cumulative
+    // treatment/control conversion counts
+    "q329_qini_uplift" ->
+      """WITH e AS (SELECT value AS s,
+             cast(user_id % 2 = 1 AS int) AS t,
+             cast(event_type = 'purchase' AS bigint) AS y FROM events),
+         dist AS (SELECT s, count(*) AS c FROM e GROUP BY 1),
+         tot AS (SELECT cast(sum(c) AS bigint) AS n FROM dist),
+         dec AS (SELECT s,
+             cast((sum(c) OVER (ORDER BY s DESC) - c) * 10 // n AS int) + 1
+               AS decile
+           FROM dist CROSS JOIN tot),
+         cell AS (SELECT decile,
+             cast(sum(t) AS bigint) AS nt,
+             cast(sum(1 - t) AS bigint) AS nc,
+             cast(sum(y * t) AS bigint) AS ct,
+             cast(sum(y * (1 - t)) AS bigint) AS cc
+           FROM e JOIN dec USING (s) GROUP BY 1),
+         c AS (SELECT decile, nt, nc, ct, cc,
+             sum(nt) OVER (ORDER BY decile) AS cnt,
+             sum(nc) OVER (ORDER BY decile) AS cnc,
+             sum(ct) OVER (ORDER BY decile) AS cct,
+             sum(cc) OVER (ORDER BY decile) AS ccc
+           FROM cell)
+         SELECT decile, nt AS n_treat, nc AS n_control,
+           round(cast(ct AS double) / cast(nt AS double)
+             - cast(cc AS double) / cast(nc AS double), 6) + 0.0 AS uplift,
+           round(cast(cct AS double) - cast(ccc AS double)
+             * cast(cnt AS double) / cast(cnc AS double), 6) + 0.0 AS qini
+         FROM c""",
+    // consistent hashing: 64 md5 ring points, first-clockwise assignment,
+    // wrap to the global minimum; node 7 removed in the after-view
+    "q330_consistent_hash" ->
+      """WITH vn AS (SELECT n.range AS node, v.range AS vp,
+             ('0x' || substr(md5('node:' || cast(n.range AS varchar)
+               || ':' || cast(v.range AS varchar)), 1, 15))::bigint AS pos
+           FROM range(0, 16) n, range(0, 4) v),
+         keys AS (SELECT DISTINCT user_id,
+             ('0x' || substr(md5('key:' || cast(user_id AS varchar)), 1,
+               15))::bigint AS kpos
+           FROM events),
+         bef AS (SELECT user_id,
+             coalesce(
+               (SELECT v2.node FROM vn v2 WHERE v2.pos =
+                 (SELECT min(v3.pos) FROM vn v3 WHERE v3.pos >= k.kpos)),
+               (SELECT v4.node FROM vn v4 WHERE v4.pos =
+                 (SELECT min(v5.pos) FROM vn v5))) AS node_before
+           FROM keys k),
+         aft AS (SELECT user_id,
+             coalesce(
+               (SELECT v2.node FROM vn v2 WHERE v2.node <> 7 AND v2.pos =
+                 (SELECT min(v3.pos) FROM vn v3 WHERE v3.node <> 7
+                   AND v3.pos >= k.kpos)),
+               (SELECT v4.node FROM vn v4 WHERE v4.node <> 7 AND v4.pos =
+                 (SELECT min(v5.pos) FROM vn v5 WHERE v5.node <> 7)))
+               AS node_after
+           FROM keys k),
+         m AS (SELECT b.user_id, node_before, node_after
+           FROM bef b JOIN aft a ON b.user_id = a.user_id),
+         ag AS (SELECT node_after AS node,
+             cast(count(*) AS bigint) AS n_after,
+             cast(sum(CASE WHEN node_before <> node_after THEN 1 ELSE 0 END)
+               AS bigint) AS n_gained
+           FROM m GROUP BY 1),
+         bg AS (SELECT node_before AS node,
+             cast(count(*) AS bigint) AS n_before
+           FROM m GROUP BY 1)
+         SELECT cast(coalesce(ag.node, bg.node) AS int) AS node,
+           coalesce(n_before, 0) AS n_before,
+           coalesce(n_after, 0) AS n_after,
+           coalesce(n_gained, 0) AS n_gained
+         FROM ag FULL JOIN bg ON ag.node = bg.node""",
     // HT estimator: md5-bucket two-stage design, exact decimal Σy, one
     // rational 20/3 scale at the end
     "q313_horvitz_thompson" ->
