@@ -296,6 +296,46 @@ object SparkEntry {
           FROM a${iters + 1}"""
   }
 
+  /** Generated DuckDB oracle for q332: twenty unrolled value-iteration
+    * rounds of x = Qx + b on the 5-state event chain (absorbing
+    * purchase=1 / error=0 pinned each round; 12-dp-rounded terms summed
+    * as exact decimals; q142's 6-dp transition probabilities). */
+  private val AbsorptionOracleSql: String = {
+    val rounds = 20
+    val base =
+      """WITH seq AS (SELECT event_type,
+              lead(event_type) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS next_type
+            FROM events),
+          cnt AS (SELECT event_type AS f, next_type AS t, count(*) AS n
+            FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+          trans AS MATERIALIZED (SELECT f, t,
+              round(cast(n AS double) /
+                cast(sum(n) OVER (PARTITION BY f) AS double), 6) AS p
+            FROM cnt),
+          states AS MATERIALIZED (SELECT DISTINCT f AS s FROM trans),
+          x0 AS (SELECT s, CASE WHEN s = 'purchase' THEN 1.0
+              WHEN s = 'error' THEN 0.0 ELSE 0.0 END AS x
+            FROM states)"""
+    val iterSql = (1 to rounds).map { k =>
+      s""",
+          x$k AS MATERIALIZED (
+            SELECT s, x FROM x${k - 1} WHERE s IN ('purchase', 'error')
+            UNION ALL
+            SELECT tr.f AS s,
+              cast(sum(cast(round(tr.p * xp.x, 12) AS decimal(18,12)))
+                AS double) AS x
+            FROM trans tr JOIN x${k - 1} xp ON tr.t = xp.s
+            WHERE tr.f NOT IN ('purchase', 'error')
+            GROUP BY 1)"""
+    }.mkString
+    base + iterSql +
+      s"""
+          SELECT s AS event_type,
+            round(round(x, 12), 6) + 0.0 AS p_convert_before_error
+          FROM x$rounds WHERE s NOT IN ('purchase', 'error')"""
+  }
+
   /** Generated DuckDB oracle for q312: the Luhn sum as twelve explicit
     * per-position terms (odd distance from the right doubles, minus 9
     * above 4) — the same expression tree `Scalars.luhnValid` emits. */
@@ -5234,6 +5274,136 @@ object SparkEntry {
           coalesce(col("n_gained"), lit(0L)).as("n_gained"))
     }),
 
+    // ---- EXT: mass significance testing with BH-FDR control ----
+    "q331_bh_fdr" -> ((s, dir) => {
+      // 35 simultaneous two-sample z-tests (each (type, weekday) cell's
+      // mean value vs the rest) with Benjamini–Hochberg step-up control —
+      // the multiple-comparisons hygiene every metrics platform needs
+      // before flagging "significant" cells. Moments are exact decimals
+      // (q152); the normal tail probability is the Abramowitz–Stegun
+      // 26.2.17 polynomial written EXPLICITLY (identical expression both
+      // engines — no libm erf); BH compares the 9-dp-rounded p to rank/m·α
+      // in integer-scaled algebra.
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir).select(col("event_type"),
+        weekday(col("ts")).cast("int").as("dow"),
+        col("value").cast(D).as("__v"))
+      val cell = e.groupBy(col("event_type"), col("dow")).agg(
+        count(lit(1)).as("__nc"), sum(col("__v")).as("__sc"),
+        sum(col("__v") * col("__v")).as("__qc"))
+      val tot = e.agg(count(lit(1)).as("__nt"), sum(col("__v")).as("__st"),
+        sum(col("__v") * col("__v")).as("__qt"))
+      val z = cell.crossJoin(broadcast(tot))
+        .withColumn("__nr", col("__nt") - col("__nc"))
+        .withColumn("__sr", col("__st") - col("__sc"))
+        .withColumn("__qr", col("__qt") - col("__qc"))
+        .filter(col("__nc") > 1 && col("__nr") > 1)
+        .withColumn("__mc", col("__sc").cast("double") / col("__nc").cast("double"))
+        .withColumn("__mr", col("__sr").cast("double") / col("__nr").cast("double"))
+        .withColumn("__vc",
+          (col("__qc").cast("double") - col("__nc").cast("double") *
+            col("__mc") * col("__mc")) / (col("__nc").cast("double") - 1.0d))
+        .withColumn("__vr",
+          (col("__qr").cast("double") - col("__nr").cast("double") *
+            col("__mr") * col("__mr")) / (col("__nr").cast("double") - 1.0d))
+        .withColumn("__z", (col("__mc") - col("__mr")) /
+          sqrt(col("__vc") / col("__nc").cast("double") +
+            col("__vr") / col("__nr").cast("double")))
+      // two-sided p from |z| via Abramowitz–Stegun 26.2.17
+      val az = abs(col("__z"))
+      val t = lit(1.0d) / (lit(1.0d) + lit(0.2316419d) * az)
+      val poly = t * (lit(0.319381530d) + t * (lit(-0.356563782d) +
+        t * (lit(1.781477937d) + t * (lit(-1.821255978d) +
+          t * lit(1.330274429d)))))
+      val phi = exp(-az * az / 2.0d) / lit(2.5066282746310002d)
+      val p2 = round(lit(2.0d) * phi * poly, 9)
+      val withP = z.withColumn("p", p2 + lit(0.0d))
+      val wr = Window.orderBy(col("p").asc, col("event_type").asc,
+        col("dow").asc)
+      val wAllRows = Window.orderBy(lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      withP.withColumn("__rank", row_number().over(wr))
+        .withColumn("__m", count(lit(1)).over(wAllRows))
+        // BH step-up at α = 0.05 in integer-scaled algebra
+        // (p·m·100 ≤ rank·5), then the closure: everything at or below
+        // the LARGEST passing rank is significant
+        .withColumn("__pass",
+          when(col("p") * col("__m").cast("double") * 100.0d <=
+            col("__rank").cast("double") * 5.0d, col("__rank")))
+        .withColumn("__kmax", max(col("__pass")).over(wAllRows))
+        .select(col("event_type"), col("dow"),
+          (round(col("__z"), 6) + lit(0.0d)).as("z"), col("p"),
+          col("__rank").as("p_rank"),
+          (col("__rank") <= coalesce(col("__kmax"), lit(0))).cast("int")
+            .as("significant"))
+    }),
+
+    // ---- EXT: absorbing-chain conversion probability ----
+    "q332_absorption" -> ((s, dir) => {
+      // q142's transition matrix turned into the product question it
+      // exists for: from each transient state, the probability of
+      // reaching 'purchase' before 'error' — x = Qx + b solved by 20
+      // lockstep value-iteration rounds over the 5-state chain (the
+      // corpus pass is the transition aggregate; the 25-entry chain is a
+      // bounded model fit, the kmeans/PQ collect precedent). Terms are
+      // rounded to 12 dp then exactly summed each round; transition
+      // probabilities carry q142's 6-dp contract.
+      import org.apache.spark.sql.expressions.Window
+      val wl = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, dir)
+        .withColumn("__next", lead(col("event_type"), 1).over(wl))
+        .filter(col("__next").isNotNull)
+        .groupBy(col("event_type").as("__from"), col("__next").as("__to"))
+        .agg(count(lit(1)).as("__n"))
+      val withP = trans
+        .withColumn("__tot", sum(col("__n")).over(
+          Window.partitionBy(col("__from"))))
+        .withColumn("__p",
+          round(col("__n").cast("double") / col("__tot").cast("double"), 6))
+        .select(col("__from"), col("__to"), col("__p"))
+      val chain = withP.collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+      val absorbing = Map("purchase" -> 1.0, "error" -> 0.0)
+      val states = chain.keys.map(_._1).toSeq.distinct.sorted
+      val transient = states.filterNot(absorbing.contains)
+      def r12(x: Double): Double =
+        BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      var x: Map[String, Double] =
+        (transient.map(_ -> 0.0) ++ absorbing.toSeq).toMap
+      (1 to 20).foreach { _ =>
+        val next = transient.map { st =>
+          val terms = states.flatMap(t => chain.get((st, t))
+            .map(p => BigDecimal(r12(p * x(t)))))
+          st -> (if (terms.isEmpty) 0.0 else terms.sum.toDouble)
+        }.toMap
+        x = next ++ absorbing
+      }
+      val rows = transient.map(st => (st, r12(x(st))))
+      val spark = s
+      import spark.implicits._
+      rows.toDF("event_type", "__x")
+        .select(col("event_type"),
+          (round(col("__x"), 6) + lit(0.0d)).as("p_convert_before_error"))
+    }),
+
+    // ---- EXT: Jain's fairness index of per-user load ----
+    "q333_jain_fairness" -> ((s, dir) =>
+      // J = (Σc)²/(n·Σc²) ∈ (1/n, 1]: 1 = perfectly even per-user event
+      // load, →1/n = one user dominates — the quota-health scalar behind
+      // q260's skew profile, from exact integer moments
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("__c")).as("__s"),
+          sum(col("__c") * col("__c")).as("__q"))
+        .select(col("event_type"), col("n_users"),
+          (round(col("__s").cast("double") * col("__s").cast("double") /
+            (col("n_users").cast("double") * col("__q").cast("double")), 6)
+            + lit(0.0d)).as("jain_index"))),
+
     // ---- EXT: content-defined chunking dedup audit ----
     "q326_cdc_chunks" -> ((s, dir) => {
       // Rabin-style content-defined chunk boundaries (native O(n) rolling
@@ -9837,6 +10007,67 @@ object SparkEntry {
     "q312_luhn_audit" -> LuhnOracleSql,
     "q326_cdc_chunks" -> CdcOracleSql,
     "q327_hits" -> HitsOracleSql,
+    "q332_absorption" -> AbsorptionOracleSql,
+    // Jain: exact integer moments, one mirrored division
+    "q333_jain_fairness" ->
+      """WITH c AS (SELECT event_type, user_id, cast(count(*) AS bigint) AS c
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, cast(count(*) AS bigint) AS n_users,
+           round(cast(sum(c) AS double) * cast(sum(c) AS double)
+             / (cast(count(*) AS double) * cast(sum(c * c) AS double)), 6)
+             + 0.0 AS jain_index
+         FROM c GROUP BY 1""",
+    // BH-FDR: exact-moment Welch z, Abramowitz–Stegun tail polynomial
+    // (explicit, no libm erf), integer-scaled step-up at alpha = 0.05
+    "q331_bh_fdr" ->
+      """WITH e AS (SELECT event_type, cast(isodow(ts) - 1 AS int) AS dow,
+             cast(value AS decimal(18,2)) AS v FROM events),
+         cell AS (SELECT event_type, dow, cast(count(*) AS bigint) AS nc,
+             sum(v) AS sc, sum(v * v) AS qc
+           FROM e GROUP BY 1, 2),
+         tot AS (SELECT cast(count(*) AS bigint) AS nt, sum(v) AS st,
+             sum(v * v) AS qt FROM e),
+         z AS (SELECT event_type, dow,
+             cast(sc AS double) / cast(nc AS double) AS mc,
+             cast(st - sc AS double) / cast(nt - nc AS double) AS mr,
+             (cast(qc AS double) - cast(nc AS double)
+               * (cast(sc AS double) / cast(nc AS double))
+               * (cast(sc AS double) / cast(nc AS double)))
+               / (cast(nc AS double) - 1.0) AS vc,
+             (cast(qt - qc AS double) - cast(nt - nc AS double)
+               * (cast(st - sc AS double) / cast(nt - nc AS double))
+               * (cast(st - sc AS double) / cast(nt - nc AS double)))
+               / (cast(nt - nc AS double) - 1.0) AS vr,
+             nc, nt - nc AS nr
+           FROM cell CROSS JOIN tot
+           WHERE nc > 1 AND nt - nc > 1),
+         zz AS (SELECT event_type, dow,
+             (mc - mr) / sqrt(vc / cast(nc AS double)
+               + vr / cast(nr AS double)) AS zv
+           FROM z),
+         pp AS (SELECT event_type, dow, zv,
+             round(2.0 * (exp(-abs(zv) * abs(zv) / 2.0)
+                 / 2.5066282746310002)
+               * ((1.0 / (1.0 + 0.2316419 * abs(zv)))
+                 * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(zv)))
+                   * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(zv)))
+                     * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(zv)))
+                       * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(zv)))
+                         * 1.330274429))))), 9) + 0.0 AS p
+           FROM zz),
+         rk AS (SELECT event_type, dow, zv, p,
+             row_number() OVER (ORDER BY p ASC, event_type ASC, dow ASC)
+               AS p_rank,
+             cast(count(*) OVER () AS bigint) AS m
+           FROM pp),
+         pass AS (SELECT *, CASE WHEN p * cast(m AS double) * 100.0
+               <= cast(p_rank AS double) * 5.0 THEN p_rank END AS pr
+           FROM rk),
+         km AS (SELECT *, max(pr) OVER () AS kmax FROM pass)
+         SELECT event_type, dow, round(zv, 6) + 0.0 AS z, p,
+           cast(p_rank AS int) AS p_rank,
+           cast(p_rank <= coalesce(kmax, 0) AS int) AS significant
+         FROM km""",
     // revenue bridge: volume/rate/cross effects from exact per-year moments
     "q328_revenue_bridge" ->
       """WITH a AS (SELECT o_orderpriority, cast(count(*) AS bigint) AS n_a,
