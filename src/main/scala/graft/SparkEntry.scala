@@ -94,17 +94,17 @@ object SparkEntry {
       """WITH pairs AS (SELECT DISTINCT 'c' || cast(o_custkey AS varchar) AS src,
                's' || cast(l_suppkey AS varchar) AS dst
              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-          edges AS (SELECT src, dst FROM pairs
+          edges AS MATERIALIZED (SELECT src, dst FROM pairs
             UNION ALL SELECT dst AS src, src AS dst FROM pairs),
-          n0 AS (SELECT DISTINCT src AS v FROM edges)"""
+          n0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM edges)"""
     val iterSql = (1 to rounds).map { r =>
       s""",
-          d$r AS (SELECT e.src AS v, cast(count(*) AS bigint) AS c
+          d$r AS MATERIALIZED (SELECT e.src AS v, cast(count(*) AS bigint) AS c
              FROM edges e
              JOIN n${r - 1} a ON e.src = a.v
              JOIN n${r - 1} b ON e.dst = b.v
              GROUP BY 1),
-          n$r AS (SELECT v FROM d$r WHERE c >= $k)"""
+          n$r AS MATERIALIZED (SELECT v FROM d$r WHERE c >= $k)"""
     }.mkString
     base + iterSql +
       s"\n          SELECT v AS node, c AS degree FROM d$rounds WHERE c >= $k"
@@ -157,7 +157,7 @@ object SparkEntry {
       if (k == 1) sumsCte(k, "0.0", "0.0", "0.0")
       else sumsCte(k, s"b${k - 1}.b0", s"b${k - 1}.b1", s"b${k - 1}.b2")
     }.mkString
-    s"""WITH feats AS (SELECT cast(event_type = 'purchase' AS int) AS y,
+    s"""WITH feats AS MATERIALIZED (SELECT cast(event_type = 'purchase' AS int) AS y,
              value / 100 AS x1, hour(ts) / 24.0 AS x2 FROM events)$body
          SELECT (SELECT cast(count(*) AS bigint) FROM feats) AS n,
            $iters AS iters,
@@ -185,12 +185,12 @@ object SparkEntry {
               generate_series(1, len(w) - 2),
               i -> array_to_string(w[i:i+2], ' '))) AS t
             FROM t0 WHERE len(w) >= 3),
-          ds AS (SELECT doc_id, unnest(t) AS s FROM toks),
+          ds AS MATERIALIZED (SELECT doc_id, unnest(t) AS s FROM toks),
           g1 AS (SELECT doc_id, cast(count(*) AS bigint) AS gain
             FROM ds GROUP BY 1),
           w1 AS (SELECT doc_id, gain FROM g1
             ORDER BY gain DESC, doc_id ASC LIMIT 1),
-          cov1 AS (SELECT DISTINCT s FROM ds JOIN w1 USING (doc_id))"""
+          cov1 AS MATERIALIZED (SELECT DISTINCT s FROM ds JOIN w1 USING (doc_id))"""
     val iterSql = (2 to rounds).map { k =>
       val notIn = (1 until k).map(j => s"SELECT doc_id FROM w$j")
         .mkString(" UNION ALL ")
@@ -200,7 +200,7 @@ object SparkEntry {
             WHERE doc_id NOT IN ($notIn) GROUP BY 1),
           w$k AS (SELECT doc_id, gain FROM g$k
             ORDER BY gain DESC, doc_id ASC LIMIT 1),
-          cov$k AS (SELECT s FROM cov${k - 1}
+          cov$k AS MATERIALIZED (SELECT s FROM cov${k - 1}
             UNION SELECT s FROM ds JOIN w$k USING (doc_id))"""
     }.mkString
     val rows = (1 to rounds).map { k =>
