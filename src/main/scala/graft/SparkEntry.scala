@@ -5404,6 +5404,47 @@ object SparkEntry {
             (col("n_users").cast("double") * col("__q").cast("double")), 6)
             + lit(0.0d)).as("jain_index"))),
 
+    // ---- EXT: 3-D skyline (Pareto-optimal suppliers) ----
+    "q334_skyline3d" -> ((s, dir) => {
+      // q159's 2-D frontier in three objectives: maximize revenue,
+      // maximize breadth (distinct parts), MINIMIZE mean ship delay — a
+      // supplier survives unless someone is at least as good on all three
+      // and strictly better on one. Metrics come off the corpus in one
+      // hash aggregate to the SUPPLIER grain (dimension-bounded, so the
+      // pairwise dominance test is a broadcast non-equi self-join over a
+      // design-sized table — the legitimate place for one). Delay
+      // compares at the exact integer-sum grain (cross-multiplied, no
+      // division) so dominance can't flip on a rounded mean.
+      val m = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast(D)).as("__rev"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          sum(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .cast("long")).as("__dsum"),
+          count(lit(1)).as("__dn"))
+      val a = m.select(col("l_suppkey").as("sk"), col("__rev").as("ra"),
+        col("n_parts").as("pa"), col("__dsum").as("sa"), col("__dn").as("na"))
+      val b = m.select(col("l_suppkey").as("sk_b"), col("__rev").as("rb"),
+        col("n_parts").as("pb"), col("__dsum").as("sb"), col("__dn").as("nb"))
+      // b dominates a: rb ≥ ra, pb ≥ pa, delay_b ≤ delay_a (sb·na ≤ sa·nb),
+      // and strict somewhere
+      val dominated = a.join(broadcast(b),
+        col("sk") =!= col("sk_b") &&
+          col("rb") >= col("ra") && col("pb") >= col("pa") &&
+          col("sb") * col("na") <= col("sa") * col("nb") &&
+          (col("rb") > col("ra") || col("pb") > col("pa") ||
+            col("sb") * col("na") < col("sa") * col("nb")),
+        "left_semi")
+      a.join(dominated.select(col("sk")), Seq("sk"), "left_anti")
+        .select(col("sk").as("s_suppkey"),
+          (round(col("ra").cast("double"), 2) + lit(0.0d)).as("revenue"),
+          col("pa").as("n_parts"),
+          (round(col("sa").cast("double") / col("na").cast("double"), 6)
+            + lit(0.0d)).as("mean_ship_delay_days"))
+    }),
+
     // ---- EXT: content-defined chunking dedup audit ----
     "q326_cdc_chunks" -> ((s, dir) => {
       // Rabin-style content-defined chunk boundaries (native O(n) rolling
@@ -10008,6 +10049,29 @@ object SparkEntry {
     "q326_cdc_chunks" -> CdcOracleSql,
     "q327_hits" -> HitsOracleSql,
     "q332_absorption" -> AbsorptionOracleSql,
+    // 3-D skyline: exact integer/decimal dominance (delays compared
+    // cross-multiplied), NOT EXISTS anti-dominance on the supplier grain
+    "q334_skyline3d" ->
+      """WITH m AS (SELECT l_suppkey,
+             sum(cast(l_extendedprice AS decimal(18,2))) AS rev,
+             cast(count(DISTINCT l_partkey) AS bigint) AS np,
+             cast(sum(date_diff('day', cast(o_orderdate AS date),
+               cast(l_shipdate AS date))) AS bigint) AS ds,
+             cast(count(*) AS bigint) AS dn
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1)
+         SELECT a.l_suppkey AS s_suppkey,
+           round(cast(a.rev AS double), 2) + 0.0 AS revenue,
+           a.np AS n_parts,
+           round(cast(a.ds AS double) / cast(a.dn AS double), 6) + 0.0
+             AS mean_ship_delay_days
+         FROM m a
+         WHERE NOT EXISTS (SELECT 1 FROM m b
+           WHERE b.l_suppkey <> a.l_suppkey
+             AND b.rev >= a.rev AND b.np >= a.np
+             AND b.ds * a.dn <= a.ds * b.dn
+             AND (b.rev > a.rev OR b.np > a.np
+               OR b.ds * a.dn < a.ds * b.dn))""",
     // Jain: exact integer moments, one mirrored division
     "q333_jain_fairness" ->
       """WITH c AS (SELECT event_type, user_id, cast(count(*) AS bigint) AS c
