@@ -5445,6 +5445,51 @@ object SparkEntry {
             + lit(0.0d)).as("mean_ship_delay_days"))
     }),
 
+    // ---- EXT: SPRT always-valid sequential test per user ----
+    "q335_sprt" -> ((s, dir) => {
+      // Wald's sequential probability ratio test replayed over each
+      // user's event stream: is the user's error rate 0.2 (H0) or 0.4
+      // (H1)? Each event adds a CONSTANT log-likelihood term (error:
+      // ln(0.4/0.2), other: ln(0.6/0.8), both 6-dp literals), so the
+      // cumulative LLR is an exact decimal prefix sum; the decision fires
+      // at the FIRST crossing of ±ln(19) (α = β = 0.05) — the always-
+      // valid monitoring shape that fixed-horizon tests (q206) can't
+      // give. One key-partitioned window + one hash aggregate.
+      import org.apache.spark.sql.expressions.Window
+      val up = 2.944439d // round(ln(19), 6)
+      val aTerm = 0.693147d // round(ln(0.4/0.2), 6)
+      val bTerm = -0.287682d // round(ln(0.6/0.8), 6)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val llr = Tables.events(s, dir)
+        .withColumn("__t",
+          when(col("event_type") === "error", lit(aTerm)).otherwise(lit(bTerm))
+            .cast("decimal(18,6)"))
+        .withColumn("__cum", sum(col("__t")).over(w))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+      llr.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (round(sum(col("__t")).cast("double"), 6) + lit(0.0d))
+            .as("llr_final"),
+          min(when(col("__cum").cast("double") >= up, col("__rn")))
+            .as("__hit1"),
+          min(when(col("__cum").cast("double") <= -up, col("__rn")))
+            .as("__hit0"))
+        .withColumn("decision",
+          when(col("__hit1").isNotNull &&
+            (col("__hit0").isNull || col("__hit1") < col("__hit0")),
+            "accept_h1")
+            .when(col("__hit0").isNotNull, "accept_h0")
+            .otherwise("continue"))
+        .withColumn("decided_at_event",
+          coalesce(least(col("__hit1"), col("__hit0")),
+            col("__hit1"), col("__hit0"), lit(0)).cast("long"))
+        .select(col("user_id"), col("n_events"), col("llr_final"),
+          col("decision"), col("decided_at_event"))
+    }),
+
     // ---- EXT: content-defined chunking dedup audit ----
     "q326_cdc_chunks" -> ((s, dir) => {
       // Rabin-style content-defined chunk boundaries (native O(n) rolling
@@ -10049,6 +10094,34 @@ object SparkEntry {
     "q326_cdc_chunks" -> CdcOracleSql,
     "q327_hits" -> HitsOracleSql,
     "q332_absorption" -> AbsorptionOracleSql,
+    // SPRT: constant 6-dp per-event terms, exact decimal prefix sums,
+    // first ±ln(19) crossing decides
+    "q335_sprt" ->
+      """WITH t AS (SELECT user_id, ts, event_id,
+             cast(CASE WHEN event_type = 'error' THEN 0.693147
+               ELSE -0.287682 END AS decimal(18,6)) AS term
+           FROM events),
+         c AS (SELECT user_id, term,
+             sum(term) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+           FROM t),
+         g AS (SELECT user_id, cast(count(*) AS bigint) AS n_events,
+             round(cast(sum(term) AS double), 6) + 0.0 AS llr_final,
+             min(CASE WHEN cast(cum AS double) >= 2.944439 THEN rn END)
+               AS hit1,
+             min(CASE WHEN cast(cum AS double) <= -2.944439 THEN rn END)
+               AS hit0
+           FROM c GROUP BY 1)
+         SELECT user_id, n_events, llr_final,
+           CASE WHEN hit1 IS NOT NULL AND (hit0 IS NULL OR hit1 < hit0)
+               THEN 'accept_h1'
+             WHEN hit0 IS NOT NULL THEN 'accept_h0'
+             ELSE 'continue' END AS decision,
+           cast(coalesce(least(hit1, hit0), hit1, hit0, 0) AS bigint)
+             AS decided_at_event
+         FROM g""",
     // 3-D skyline: exact integer/decimal dominance (delays compared
     // cross-multiplied), NOT EXISTS anti-dominance on the supplier grain
     "q334_skyline3d" ->
