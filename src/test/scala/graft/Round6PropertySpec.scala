@@ -122,6 +122,31 @@ class Round6PropertySpec extends SparkSuite {
     assert(out("s1") > out("s2") && out("s2") > out("s3"))
   }
 
+  test("kmvIntersectAudit: estimate tracks a large planted overlap") {
+    import graft.operators.Sketches
+    // |A| = |B| = 1500, |A∩B| = 500 — both well past k = 128, so the
+    // estimate comes from the bottom-k union trick, not exact storage;
+    // k = 128 gives ~9% relative sigma, assert a generous 35% band
+    val df = (Seq.tabulate(1500)(i => ("A", i)) ++
+      Seq.tabulate(1500)(i => ("B", i + 1000))).toDF("s", "m")
+    val (exact, est) = Sketches.kmvIntersectAudit(df, col("s"), col("m"),
+      k = 128).select("exact_intersection", "est_intersection")
+      .as[(Long, Double)].head()
+    assert(exact == 500L)
+    assert(est > 500 * 0.65 && est < 500 * 1.35, s"est $est")
+  }
+
+  test("countMinAudit: per-key overestimate bounded by the CM guarantee") {
+    import graft.operators.Sketches
+    // n = 2000 occurrences over 400 keys, width 64: E[overestimate] ≤
+    // n/w ≈ 31 per lane; the min over 2 lanes stays well under 6·n/w
+    val df = (1 to 2000).map(i => s"k${i % 400}").toDF("k")
+    val out = Sketches.countMinAudit(df, col("k"), depth = 2, width = 64,
+      topN = 400).as[(String, Long, Long, Long)].collect()
+    assert(out.forall { case (_, exact, est, over) =>
+      est >= exact && over <= 6 * 2000 / 64 })
+  }
+
   test("luhn check digit: generator-validator round trip") {
     import graft.functions.Scalars
     // brute-force the valid check digit for pseudo-random 10-digit
