@@ -5490,6 +5490,85 @@ object SparkEntry {
           col("decision"), col("decided_at_event"))
     }),
 
+    // ---- EXT: classical seasonal indices (ratio-to-moving-average) ----
+    "q336_seasonal_indices" -> ((s, dir) => {
+      // the pre-STL decomposition every demand planner still uses: a
+      // centered 12-month moving average is the trend; each month's
+      // revenue/trend ratio, averaged per calendar month, is its seasonal
+      // index. Windows run over the bounded monthly series (the q286
+      // discipline); ratios are rounded then decimal-averaged.
+      import org.apache.spark.sql.expressions.Window
+      val monthly = Tables.orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("__m"))
+        .agg(sum(col("o_totalprice").cast(D)).as("__rev"))
+      val wOrd = Window.orderBy(col("__m"))
+      val seq = monthly.withColumn("__i", row_number().over(wOrd))
+      val wMa = Window.orderBy(col("__i")).rowsBetween(-6, 5)
+      val wCnt = Window.orderBy(col("__i")).rowsBetween(-6, 5)
+      val withTrend = seq
+        .withColumn("__cnt", count(lit(1)).over(wCnt))
+        .withColumn("__masum", sum(col("__rev")).over(wMa))
+        // only FULL 12-month windows define a trend point
+        .filter(col("__cnt") === 12)
+        .withColumn("__trend",
+          col("__masum").cast("double") / 12.0d)
+        .withColumn("__ratio",
+          round(col("__rev").cast("double") / col("__trend"), 6)
+            .cast("decimal(18,6)"))
+      withTrend
+        .groupBy(month(col("__m")).as("month_of_year"))
+        .agg(count(lit(1)).as("n_years"),
+          (round(sum(col("__ratio")).cast("double") /
+            count(lit(1)).cast("double"), 6) + lit(0.0d))
+            .as("seasonal_index"))
+    }),
+
+    // ---- EXT: accounts-receivable aging buckets ----
+    "q337_ar_aging" -> ((s, dir) => {
+      // open receivables ('O' status) aged against the ledger's horizon
+      // (max order date, a 1-row broadcast): the 0-30/31-60/61-90/90+
+      // buckets every finance close runs; exact integer day diffs, exact
+      // decimal totals
+      val o = Tables.orders(s, dir)
+      val horizon = o.agg(max(to_date(col("o_orderdate"))).as("__h"))
+      o.filter(col("o_orderstatus") === "O")
+        .crossJoin(broadcast(horizon))
+        .withColumn("__age", datediff(col("__h"), to_date(col("o_orderdate"))))
+        .withColumn("age_bucket",
+          when(col("__age") <= 30, "0-30")
+            .when(col("__age") <= 60, "31-60")
+            .when(col("__age") <= 90, "61-90")
+            .otherwise("90+"))
+        .groupBy(col("o_orderpriority"), col("age_bucket"))
+        .agg(count(lit(1)).as("n_open"),
+          (round(sum(col("o_totalprice").cast(D)).cast("double"), 2)
+            + lit(0.0d)).as("open_amount"))
+    }),
+
+    // ---- EXT: duplicate-invoice heuristic (near amount, near date) ----
+    "q338_dup_invoices" -> ((s, dir) =>
+      // the payables fraud/error screen: two orders from the same
+      // customer within 7 days for nearly the same amount (≤ 1000 apart)
+      // are suspicious. The self-join blocks on the CUSTOMER key, so the
+      // quadratic term is bounded by per-customer order multiplicity
+      // (~10), never corpus²; the amount/date predicates are exact double
+      // subtraction and integer day diffs — deterministic in both
+      // engines.
+      Tables.orders(s, dir).select(col("o_custkey"),
+          col("o_orderkey").as("k_a"), col("o_totalprice").as("amt_a"),
+          to_date(col("o_orderdate")).as("d_a"))
+        .join(Tables.orders(s, dir).select(col("o_custkey"),
+          col("o_orderkey").as("k_b"), col("o_totalprice").as("amt_b"),
+          to_date(col("o_orderdate")).as("d_b")),
+          Seq("o_custkey"))
+        .filter(col("k_a") < col("k_b") &&
+          abs(col("amt_a") - col("amt_b")) <= 1000.0d &&
+          abs(datediff(col("d_b"), col("d_a"))) <= 7)
+        .select(col("o_custkey"), col("k_a"), col("k_b"),
+          (round(col("amt_a"), 2) + lit(0.0d)).as("amount_a"),
+          (round(col("amt_b"), 2) + lit(0.0d)).as("amount_b"),
+          abs(datediff(col("d_b"), col("d_a"))).cast("int").as("days_apart"))),
+
     // ---- EXT: content-defined chunking dedup audit ----
     "q326_cdc_chunks" -> ((s, dir) => {
       // Rabin-style content-defined chunk boundaries (native O(n) rolling
@@ -10094,6 +10173,59 @@ object SparkEntry {
     "q326_cdc_chunks" -> CdcOracleSql,
     "q327_hits" -> HitsOracleSql,
     "q332_absorption" -> AbsorptionOracleSql,
+    // seasonal indices: centered 12-month MA trend, rounded ratio means
+    "q336_seasonal_indices" ->
+      """WITH monthly AS (SELECT date_trunc('month', o_orderdate) AS m,
+             sum(cast(o_totalprice AS decimal(18,2))) AS rev
+           FROM orders GROUP BY 1),
+         seq AS (SELECT m, rev, row_number() OVER (ORDER BY m) AS i
+           FROM monthly),
+         t AS (SELECT m, rev,
+             count(*) OVER (ORDER BY i ROWS BETWEEN 6 PRECEDING
+               AND 5 FOLLOWING) AS cnt,
+             sum(rev) OVER (ORDER BY i ROWS BETWEEN 6 PRECEDING
+               AND 5 FOLLOWING) AS masum
+           FROM seq),
+         r AS (SELECT m,
+             cast(round(cast(rev AS double)
+               / (cast(masum AS double) / 12.0), 6) AS decimal(18,6))
+               AS ratio
+           FROM t WHERE cnt = 12)
+         SELECT cast(month(m) AS int) AS month_of_year,
+           cast(count(*) AS bigint) AS n_years,
+           round(cast(sum(ratio) AS double) / cast(count(*) AS double), 6)
+             + 0.0 AS seasonal_index
+         FROM r GROUP BY 1""",
+    // AR aging: horizon-relative integer day buckets, exact totals
+    "q337_ar_aging" ->
+      """WITH h AS (SELECT max(cast(o_orderdate AS date)) AS hd FROM orders)
+         SELECT o_orderpriority,
+           CASE WHEN date_diff('day', cast(o_orderdate AS date), hd) <= 30
+               THEN '0-30'
+             WHEN date_diff('day', cast(o_orderdate AS date), hd) <= 60
+               THEN '31-60'
+             WHEN date_diff('day', cast(o_orderdate AS date), hd) <= 90
+               THEN '61-90'
+             ELSE '90+' END AS age_bucket,
+           cast(count(*) AS bigint) AS n_open,
+           round(cast(sum(cast(o_totalprice AS decimal(18,2))) AS double),
+             2) + 0.0 AS open_amount
+         FROM orders CROSS JOIN h
+         WHERE o_orderstatus = 'O'
+         GROUP BY 1, 2""",
+    // duplicate invoices: customer-blocked self-join, near amount + date
+    "q338_dup_invoices" ->
+      """SELECT a.o_custkey, a.o_orderkey AS k_a, b.o_orderkey AS k_b,
+           round(a.o_totalprice, 2) + 0.0 AS amount_a,
+           round(b.o_totalprice, 2) + 0.0 AS amount_b,
+           cast(abs(date_diff('day', cast(a.o_orderdate AS date),
+             cast(b.o_orderdate AS date))) AS int) AS days_apart
+         FROM orders a JOIN orders b
+           ON a.o_custkey = b.o_custkey
+           AND a.o_orderkey < b.o_orderkey
+         WHERE abs(a.o_totalprice - b.o_totalprice) <= 1000.0
+           AND abs(date_diff('day', cast(a.o_orderdate AS date),
+             cast(b.o_orderdate AS date))) <= 7""",
     // SPRT: constant 6-dp per-event terms, exact decimal prefix sums,
     // first ±ln(19) crossing decides
     "q335_sprt" ->
