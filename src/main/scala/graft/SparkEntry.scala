@@ -5619,6 +5619,270 @@ object SparkEntry {
               col("n_distinct_keys").cast("double")), 6) + lit(0.0d))
             .as("skew_ratio"))
     }),
+
+    // ---- EXT: Holt linear (double-exponential) smoothing ----
+    "q339_holt_smoothing" -> ((s, dir) => {
+      // level+trend exponential smoothing (alpha=0.3, beta=0.2) over the
+      // bounded monthly revenue series — the short-horizon forecaster
+      // complementing q336's seasonal decomposition and q48's EWMA. The
+      // corpus pass is ONE monthly aggregate; the ~80-row recursion is a
+      // bounded model fit (the q332 collect precedent) with every step
+      // rounded to 6 dp so it is lockstep-identical to the oracle's
+      // recursive CTE.
+      val monthly = Tables.orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+          .as("__m"))
+        .agg(sum(col("o_totalprice").cast(D)).cast("double").as("__y"))
+        .orderBy(col("__m"))
+        .collect()
+        .map(r => (r.getDate(0), r.getDouble(1)))
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(java.sql.Date, Double, Double, Double)]
+      var lev = r6(monthly(0)._2)
+      var tr = r6(monthly(1)._2 - monthly(0)._2)
+      out += ((monthly(0)._1, monthly(0)._2, lev, tr))
+      monthly.drop(1).foreach { case (m, y) =>
+        val l2 = r6(0.3d * y + 0.7d * (lev + tr))
+        val t2 = r6(0.2d * (l2 - lev) + 0.8d * tr)
+        lev = l2; tr = t2
+        out += ((m, y, lev, tr))
+      }
+      val spark = s
+      import spark.implicits._
+      out.toSeq.toDF("month", "__y", "__lev", "__tr")
+        .select(col("month"),
+          (round(col("__y"), 2) + lit(0.0d)).as("revenue"),
+          (col("__lev") + lit(0.0d)).as("smooth_level"),
+          (col("__tr") + lit(0.0d)).as("smooth_trend"),
+          (round(col("__lev") + col("__tr"), 6) + lit(0.0d))
+            .as("forecast_next"))
+    }),
+
+    // ---- EXT: Lorenz concentration curve (value-binned) ----
+    "q340_lorenz_curve" -> ((s, dir) => {
+      // the Lorenz curve behind the suite's Gini gates, on a VALUE-BINNED
+      // grid ($10k bins of exact integer cents): the corpus pass is one
+      // per-customer aggregate + one per-bin aggregate; the cumulative
+      // curve runs over the BOUNDED bin table (q336's bounded-series
+      // window discipline) — never a global sort of the customer grain,
+      // which is the formulation that survives 100 TB.
+      import org.apache.spark.sql.expressions.Window
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(D)).as("__s"))
+        .withColumn("__cents", (col("__s") * lit(100)).cast("bigint"))
+      val binned = spend
+        .withColumn("spend_bin", expr("__cents div 1000000"))
+        .groupBy(col("spend_bin"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("__s")).as("__bs"))
+      val tot = binned.agg(sum(col("n_customers")).as("__tn"),
+        sum(col("__bs")).as("__ts"))
+      val wc = Window.orderBy(col("spend_bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      binned
+        .withColumn("cum_customers", sum(col("n_customers")).over(wc))
+        .withColumn("__cs", sum(col("__bs")).over(wc))
+        .crossJoin(broadcast(tot))
+        .select(col("spend_bin"), col("n_customers"), col("cum_customers"),
+          (round(col("cum_customers").cast("double") /
+            col("__tn").cast("double"), 6) + lit(0.0d))
+            .as("cum_pop_share"),
+          (round(col("__cs").cast("double") /
+            col("__ts").cast("double"), 6) + lit(0.0d))
+            .as("cum_rev_share"))
+    }),
+
+    // ---- EXT: CUSUM changepoint localization per stream ----
+    "q341_changepoint" -> ((s, dir) => {
+      // where did the level shift? per event stream, the day t maximizing
+      // |S_t·n − t·T| — the integer-scaled CUSUM deviation from a flat
+      // mean, EXACT cents algebra with no rounding until output (q335's
+      // prefix-sum discipline turned from monitoring into localization).
+      // Windows are key-partitioned on event_type; the split must leave
+      // both halves non-empty (t < n); ties break to the earliest day.
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(sum((col("value").cast(D) * lit(100)).cast("bigint"))
+          .as("cents"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val dev = daily
+        .withColumn("t", row_number().over(wOrd).cast("long"))
+        .withColumn("s", sum(col("cents")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("tot", sum(col("cents")).over(wAll))
+        .filter(col("t") < col("n"))
+        .withColumn("dv", abs(col("s") * col("n") - col("t") * col("tot")))
+      val wPick = Window.partitionBy(col("event_type"))
+        .orderBy(col("dv").desc, col("d"))
+      dev.withColumn("__rk", row_number().over(wPick))
+        .filter(col("__rk") === 1)
+        .select(col("event_type"), col("n").as("n_days"),
+          col("d").as("cp_day"),
+          (round(col("dv").cast("double") /
+            (col("n").cast("double") * lit(100.0d)), 2) + lit(0.0d))
+            .as("cusum_peak"),
+          (round(col("s").cast("double") /
+            (col("t").cast("double") * lit(100.0d)), 6) + lit(0.0d))
+            .as("mean_before"),
+          (round((col("tot") - col("s")).cast("double") /
+            ((col("n") - col("t")).cast("double") * lit(100.0d)), 6)
+            + lit(0.0d)).as("mean_after"))
+    }),
+
+    // ---- EXT: one-way ANOVA F across priority classes ----
+    "q342_anova_f" -> ((s, dir) => {
+      // does order value differ across the five priority classes? per
+      // status: SSB/SSW from EXACT integer-cents moments (n, S, Q — the
+      // Q sum in decimal(38,0), q315's precedent); the per-cell S²/n
+      // terms are rounded to 4 dp then EXACTLY summed so the k=5
+      // reduction has no float summation-order freedom.
+      val cents = (col("o_totalprice").cast(D) * lit(100)).cast("bigint")
+      val cell = Tables.orders(s, dir)
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          cents.as("__c"))
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("__n"), sum(col("__c")).as("__s"),
+          sum(col("__c").cast("decimal(38,0)") * col("__c")).as("__q"))
+      val terms = cell.withColumn("__a",
+        round(col("__s").cast("double") * col("__s").cast("double") /
+          col("__n").cast("double"), 4).cast("decimal(38,4)"))
+      val st = terms.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("k_groups"), sum(col("__n")).as("n"),
+          sum(col("__s").cast("decimal(38,0)")).as("__st"),
+          sum(col("__q")).as("__qt"),
+          sum(col("__a")).as("__at"))
+      st.select(col("o_orderstatus"), col("k_groups"), col("n"),
+        (round((col("__at").cast("double") -
+          col("__st").cast("double") * col("__st").cast("double") /
+            col("n").cast("double")) / lit(10000.0d), 2) + lit(0.0d))
+          .as("ss_between"),
+        (round((col("__qt").cast("double") - col("__at").cast("double")) /
+          lit(10000.0d), 2) + lit(0.0d)).as("ss_within"),
+        (round(((col("__at").cast("double") -
+          col("__st").cast("double") * col("__st").cast("double") /
+            col("n").cast("double")) /
+          (col("k_groups") - lit(1)).cast("double")) /
+          ((col("__qt").cast("double") - col("__at").cast("double")) /
+            (col("n") - col("k_groups")).cast("double")), 6) + lit(0.0d))
+          .as("f_stat"))
+    }),
+
+    // ---- EXT: Kendall tau-b rank correlation (bounded series) ----
+    "q343_kendall_tau" -> ((s, dir) => {
+      // Kendall tau-b between monthly revenue and monthly order count —
+      // the rank-robust complement to q141's OLS slope and the Spearman
+      // gate: concordance counted by EXACT decimal/integer sign
+      // comparisons over the bounded-series broadcast self-join (80²
+      // pairs); the only float op is the final tie-corrected
+      // normalization (IEEE sqrt is correctly rounded — deterministic).
+      import org.apache.spark.sql.expressions.Window
+      val monthly = Tables.orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("__m"))
+        .agg(sum(col("o_totalprice").cast(D)).as("__rev"),
+          count(lit(1)).as("__cnt"))
+        .withColumn("__i", row_number().over(Window.orderBy(col("__m"))))
+      val a = monthly.select(col("__i").as("ia"), col("__rev").as("xa"),
+        col("__cnt").as("ya"))
+      val b = monthly.select(col("__i").as("ib"), col("__rev").as("xb"),
+        col("__cnt").as("yb"))
+      val pairs = a.join(broadcast(b), col("ia") < col("ib"))
+      val agg = pairs.agg(
+        count(lit(1)).as("__n0"),
+        sum(when((col("xa") < col("xb") && col("ya") < col("yb")) ||
+          (col("xa") > col("xb") && col("ya") > col("yb")), 1L)
+          .otherwise(0L)).as("concordant"),
+        sum(when((col("xa") < col("xb") && col("ya") > col("yb")) ||
+          (col("xa") > col("xb") && col("ya") < col("yb")), 1L)
+          .otherwise(0L)).as("discordant"),
+        sum(when(col("xa") === col("xb"), 1L).otherwise(0L)).as("tied_x"),
+        sum(when(col("ya") === col("yb"), 1L).otherwise(0L)).as("tied_y"))
+      val nm = monthly.agg(count(lit(1)).as("n_months"))
+      agg.crossJoin(broadcast(nm))
+        .select(col("n_months"), col("concordant"), col("discordant"),
+          col("tied_x"), col("tied_y"),
+          (round((col("concordant") - col("discordant")).cast("double") /
+            sqrt((col("__n0") - col("tied_x")).cast("double") *
+              (col("__n0") - col("tied_y")).cast("double")), 6)
+            + lit(0.0d)).as("tau_b"))
+    }),
+
+    // ---- EXT: Levene variance-homogeneity test ----
+    "q344_levene" -> ((s, dir) => {
+      // the ANOVA precondition q342 assumes, tested: Levene's W across
+      // priority classes per status. Stage 1 pins 6-dp group means (a
+      // broadcast dimension), the per-row |x − mean| terms are rounded
+      // to 6 dp and summed EXACTLY in decimal, and the k=5 reduction
+      // reuses q342's rounded-term discipline — no float summation-order
+      // freedom anywhere.
+      val x = Tables.orders(s, dir)
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("o_totalprice").cast(D).cast("double").as("__v"))
+      val gm = x.groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(round(sum(col("__v").cast(D)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("__mg"))
+      val z = x.join(broadcast(gm), Seq("o_orderstatus", "o_orderpriority"))
+        .withColumn("__z",
+          round(abs(col("__v") - col("__mg")), 6).cast("decimal(18,6)"))
+      val cell = z.groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("__n"), sum(col("__z")).as("__sz"),
+          sum(col("__z").cast("decimal(19,6)") * col("__z")).as("__qz"))
+      val terms = cell.withColumn("__a",
+        round(col("__sz").cast("double") * col("__sz").cast("double") /
+          col("__n").cast("double"), 6).cast("decimal(38,6)"))
+      val st = terms.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("k_groups"), sum(col("__n")).as("n"),
+          sum(col("__sz")).cast("double").as("__szt"),
+          sum(col("__qz")).cast("double").as("__qzt"),
+          sum(col("__a")).cast("double").as("__at"))
+      st.select(col("o_orderstatus"), col("k_groups"), col("n"),
+        (round(((col("__at") - col("__szt") * col("__szt") /
+          col("n").cast("double")) /
+          (col("k_groups") - lit(1)).cast("double")) /
+          ((col("__qzt") - col("__at")) /
+            (col("n") - col("k_groups")).cast("double")), 6) + lit(0.0d))
+          .as("w_stat"))
+    }),
+
+    // ---- EXT: phonetic blocking key (record-linkage pass) ----
+    "q345_phonetic_blocking" -> ((s, dir) => {
+      // soundex-style phonetic blocking over the corpus vocabulary
+      // (part names + document text): the record-linkage blocking pass
+      // that puts "red"/"rod" in one candidate bucket before q251's
+      // verify stage. The code is an EXPLICIT shared regexp chain
+      // (consonant classes → digits, run-collapse, vowel drop) written
+      // identically in both engines — RE2 has no backreferences, so runs
+      // collapse one digit class at a time; Java and RE2 agree on every
+      // pattern used.
+      val words = Tables.part(s, dir)
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .union(Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("word")))
+        .select(lower(col("word")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy(col("word")).agg(count(lit(1)).as("occ"))
+      val rest = Seq(
+        ("[hw]", ""), ("[bfpv]", "1"), ("[cgjkqsxz]", "2"), ("[dt]", "3"),
+        ("l", "4"), ("[mn]", "5"), ("r", "6"), ("[aeiouy]", "0"),
+        ("0{2,}", "0"), ("1{2,}", "1"), ("2{2,}", "2"), ("3{2,}", "3"),
+        ("4{2,}", "4"), ("5{2,}", "5"), ("6{2,}", "6"), ("0", ""))
+        .foldLeft(expr("substring(word, 2)")) { case (c, (p, r)) =>
+          regexp_replace(c, p, r) }
+      words
+        .withColumn("code",
+          concat(upper(substring(col("word"), 1, 1)),
+            rpad(substring(rest, 1, 3), 3, "0")))
+        .groupBy(col("code"))
+        .agg(count(lit(1)).as("n_distinct_words"),
+          sum(col("occ")).as("n_occurrences"),
+          min(col("word")).as("example_a"),
+          max(col("word")).as("example_b"))
+        .withColumn("is_block_collision", col("n_distinct_words") > 1)
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -10677,5 +10941,260 @@ object SparkEntry {
            round(cast(ex AS double) / (cast(n AS double) * cast(n AS double)
              / cast(d AS double)), 6) + 0.0 AS skew_ratio
          FROM m""",
+    // Holt: recursive CTE over the bounded monthly series, every level/
+    // trend step rounded to 6 dp — lockstep with the Scala fold
+    "q339_holt_smoothing" ->
+      """WITH RECURSIVE monthly AS (
+           SELECT date_trunc('month', o_orderdate) AS m,
+             cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS y
+           FROM orders GROUP BY 1),
+         seq AS (SELECT m, y, row_number() OVER (ORDER BY m) AS i
+           FROM monthly),
+         rec AS (
+           SELECT s.i, round(s.y, 6) AS lev,
+             round((SELECT y FROM seq WHERE i = 2) - s.y, 6) AS tr
+           FROM seq s WHERE s.i = 1
+           UNION ALL
+           SELECT s.i,
+             round(cast(0.3 AS double) * s.y
+               + cast(0.7 AS double) * (r.lev + r.tr), 6) AS lev,
+             round(cast(0.2 AS double)
+                 * (round(cast(0.3 AS double) * s.y
+                     + cast(0.7 AS double) * (r.lev + r.tr), 6) - r.lev)
+               + cast(0.8 AS double) * r.tr, 6) AS tr
+           FROM rec r JOIN seq s ON s.i = r.i + 1)
+         SELECT cast(s.m AS date) AS month,
+           round(s.y, 2) + 0.0 AS revenue,
+           r.lev + 0.0 AS smooth_level,
+           r.tr + 0.0 AS smooth_trend,
+           round(r.lev + r.tr, 6) + 0.0 AS forecast_next
+         FROM rec r JOIN seq s ON s.i = r.i""",
+    // Lorenz: exact integer-cent bins, cumulative over the bounded bin
+    // table, shares against one 1-row total
+    "q340_lorenz_curve" ->
+      """WITH spend AS (
+           SELECT o_custkey, sum(cast(o_totalprice AS decimal(18,2))) AS s
+           FROM orders GROUP BY 1),
+         binned AS (
+           SELECT cast(s * 100 AS bigint) // 1000000 AS spend_bin,
+             cast(count(*) AS bigint) AS n_customers,
+             sum(s) AS bin_spend
+           FROM spend GROUP BY 1),
+         tot AS (SELECT cast(sum(n_customers) AS bigint) AS tn,
+             sum(bin_spend) AS ts
+           FROM binned),
+         c AS (
+           SELECT spend_bin, n_customers,
+             cast(sum(n_customers) OVER (ORDER BY spend_bin) AS bigint)
+               AS cum_customers,
+             sum(bin_spend) OVER (ORDER BY spend_bin) AS cum_spend
+           FROM binned)
+         SELECT spend_bin, n_customers, cum_customers,
+           round(cast(cum_customers AS double) / cast(tn AS double), 6)
+             + 0.0 AS cum_pop_share,
+           round(cast(cum_spend AS double) / cast(ts AS double), 6)
+             + 0.0 AS cum_rev_share
+         FROM c CROSS JOIN tot""",
+    // changepoint: exact integer-scaled CUSUM argmax, earliest-day ties
+    "q341_changepoint" ->
+      """WITH daily AS (
+           SELECT event_type, cast(ts AS date) AS d,
+             cast(sum(cast(cast(value AS decimal(18,2)) * 100 AS bigint))
+               AS bigint) AS cents
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, d, cents,
+             cast(row_number() OVER (PARTITION BY event_type ORDER BY d)
+               AS bigint) AS t,
+             cast(sum(cents) OVER (PARTITION BY event_type ORDER BY d
+               ROWS UNBOUNDED PRECEDING) AS bigint) AS s
+           FROM daily),
+         g AS (
+           SELECT event_type, cast(count(*) AS bigint) AS n,
+             cast(sum(cents) AS bigint) AS tot
+           FROM daily GROUP BY 1),
+         dev AS (
+           SELECT w.event_type, w.d, w.t, w.s, g.n, g.tot,
+             abs(w.s * g.n - w.t * g.tot) AS dv
+           FROM w JOIN g ON w.event_type = g.event_type
+           WHERE w.t < g.n),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY event_type
+               ORDER BY dv DESC, d) AS rk
+           FROM dev)
+         SELECT event_type, n AS n_days, d AS cp_day,
+           round(cast(dv AS double) / (cast(n AS double) * 100.0), 2)
+             + 0.0 AS cusum_peak,
+           round(cast(s AS double) / (cast(t AS double) * 100.0), 6)
+             + 0.0 AS mean_before,
+           round(cast(tot - s AS double)
+             / (cast(n - t AS double) * 100.0), 6) + 0.0 AS mean_after
+         FROM r WHERE rk = 1""",
+    // ANOVA F: exact integer-cents moments, 4-dp rounded S²/n terms
+    // exactly summed (no float summation-order freedom at k=5)
+    "q342_anova_f" ->
+      """WITH cell AS (
+           SELECT o_orderstatus, o_orderpriority,
+             cast(count(*) AS bigint) AS n,
+             cast(sum(cast(cast(o_totalprice AS decimal(18,2)) * 100
+               AS bigint)) AS bigint) AS s,
+             sum(cast(cast(cast(o_totalprice AS decimal(18,2)) * 100
+               AS bigint) AS hugeint)
+               * cast(cast(o_totalprice AS decimal(18,2)) * 100 AS bigint))
+               AS q
+           FROM orders GROUP BY 1, 2),
+         terms AS (
+           SELECT o_orderstatus, n, s, q,
+             cast(round(cast(s AS double) * cast(s AS double)
+               / cast(n AS double), 4) AS decimal(38,4)) AS a_term
+           FROM cell),
+         st AS (
+           SELECT o_orderstatus,
+             cast(count(*) AS bigint) AS k_groups,
+             cast(sum(n) AS bigint) AS n,
+             cast(sum(s) AS hugeint) AS s_tot,
+             sum(cast(q AS hugeint)) AS q_tot,
+             sum(a_term) AS a
+           FROM terms GROUP BY 1)
+         SELECT o_orderstatus, k_groups, n,
+           round((cast(a AS double) - cast(s_tot AS double)
+               * cast(s_tot AS double) / cast(n AS double)) / 10000.0, 2)
+             + 0.0 AS ss_between,
+           round((cast(q_tot AS double) - cast(a AS double)) / 10000.0, 2)
+             + 0.0 AS ss_within,
+           round(((cast(a AS double) - cast(s_tot AS double)
+               * cast(s_tot AS double) / cast(n AS double))
+               / cast(k_groups - 1 AS double))
+             / ((cast(q_tot AS double) - cast(a AS double))
+               / cast(n - k_groups AS double)), 6) + 0.0 AS f_stat
+         FROM st""",
+    // Kendall tau-b: exact sign comparisons over the bounded-series
+    // self-join; IEEE sqrt only in the final normalization
+    "q343_kendall_tau" ->
+      """WITH monthly AS (
+           SELECT date_trunc('month', o_orderdate) AS m,
+             sum(cast(o_totalprice AS decimal(18,2))) AS rev,
+             cast(count(*) AS bigint) AS cnt
+           FROM orders GROUP BY 1),
+         seq AS (SELECT m, rev, cnt, row_number() OVER (ORDER BY m) AS i
+           FROM monthly),
+         pairs AS (
+           SELECT a.rev AS xa, a.cnt AS ya, b.rev AS xb, b.cnt AS yb
+           FROM seq a JOIN seq b ON a.i < b.i),
+         agg AS (
+           SELECT
+             cast(count(*) AS bigint) AS n0,
+             cast(sum(CASE WHEN (xa < xb AND ya < yb)
+               OR (xa > xb AND ya > yb) THEN 1 ELSE 0 END) AS bigint) AS c,
+             cast(sum(CASE WHEN (xa < xb AND ya > yb)
+               OR (xa > xb AND ya < yb) THEN 1 ELSE 0 END) AS bigint) AS d,
+             cast(sum(CASE WHEN xa = xb THEN 1 ELSE 0 END) AS bigint)
+               AS tx,
+             cast(sum(CASE WHEN ya = yb THEN 1 ELSE 0 END) AS bigint)
+               AS ty
+           FROM pairs),
+         nm AS (SELECT cast(count(*) AS bigint) AS n_months FROM monthly)
+         SELECT n_months, c AS concordant, d AS discordant,
+           tx AS tied_x, ty AS tied_y,
+           round(cast(c - d AS double)
+             / sqrt(cast(n0 - tx AS double) * cast(n0 - ty AS double)), 6)
+             + 0.0 AS tau_b
+         FROM agg CROSS JOIN nm""",
+    // Levene: 6-dp pinned group means, 6-dp rounded |x−mean| terms
+    // exactly decimal-summed, q342's rounded-term reduction
+    "q344_levene" ->
+      """WITH x AS (
+           SELECT o_orderstatus, o_orderpriority,
+             cast(cast(o_totalprice AS decimal(18,2)) AS double) AS v
+           FROM orders),
+         gm AS (
+           SELECT o_orderstatus, o_orderpriority,
+             round(cast(sum(cast(v AS decimal(18,2))) AS double)
+               / cast(count(*) AS double), 6) AS mg
+           FROM x GROUP BY 1, 2),
+         z AS (
+           SELECT x.o_orderstatus, x.o_orderpriority,
+             cast(round(abs(x.v - gm.mg), 6) AS decimal(18,6)) AS z
+           FROM x JOIN gm USING (o_orderstatus, o_orderpriority)),
+         cell AS (
+           SELECT o_orderstatus, o_orderpriority,
+             cast(count(*) AS bigint) AS n,
+             sum(z) AS sz,
+             sum(cast(z AS decimal(19,6)) * z) AS qz
+           FROM z GROUP BY 1, 2),
+         terms AS (
+           SELECT o_orderstatus, n, sz, qz,
+             cast(round(cast(sz AS double) * cast(sz AS double)
+               / cast(n AS double), 6) AS decimal(38,6)) AS a_term
+           FROM cell),
+         st AS (
+           SELECT o_orderstatus,
+             cast(count(*) AS bigint) AS k_groups,
+             cast(sum(n) AS bigint) AS n,
+             cast(sum(sz) AS double) AS sz_tot,
+             cast(sum(qz) AS double) AS qz_tot,
+             cast(sum(a_term) AS double) AS a
+           FROM terms GROUP BY 1)
+         SELECT o_orderstatus, k_groups, n,
+           round(((a - sz_tot * sz_tot / cast(n AS double))
+               / cast(k_groups - 1 AS double))
+             / ((qz_tot - a) / cast(n - k_groups AS double)), 6) + 0.0
+             AS w_stat
+         FROM st""",
+    // phonetic blocking: the identical explicit regexp chain (RE2-safe —
+    // no backreferences; runs collapse one digit class at a time)
+    "q345_phonetic_blocking" ->
+      """WITH w AS (
+           SELECT word, cast(count(*) AS bigint) AS occ FROM (
+             SELECT lower(unnest(string_split(p_name, ' '))) AS word
+             FROM part
+             UNION ALL
+             SELECT lower(unnest(string_split(text, ' '))) AS word
+             FROM documents
+           ) t WHERE regexp_matches(word, '^[a-z]+$') GROUP BY 1),
+         coded AS (
+           SELECT word, occ,
+             upper(substr(word, 1, 1)) ||
+             rpad(substr(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                 regexp_replace(
+                 regexp_replace(
+                 regexp_replace(
+                 regexp_replace(
+                 regexp_replace(
+                 regexp_replace(
+                   regexp_replace(substr(word, 2), '[hw]', '', 'g'),
+                   '[bfpv]', '1', 'g'),
+                   '[cgjkqsxz]', '2', 'g'),
+                   '[dt]', '3', 'g'),
+                   'l', '4', 'g'),
+                   '[mn]', '5', 'g'),
+                   'r', '6', 'g'),
+                   '[aeiouy]', '0', 'g'),
+                 '0{2,}', '0', 'g'),
+                 '1{2,}', '1', 'g'),
+                 '2{2,}', '2', 'g'),
+                 '3{2,}', '3', 'g'),
+                 '4{2,}', '4', 'g'),
+                 '5{2,}', '5', 'g'),
+                 '6{2,}', '6', 'g'),
+               '0', '', 'g'), 1, 3), 3, '0') AS code
+           FROM w)
+         SELECT code,
+           cast(count(*) AS bigint) AS n_distinct_words,
+           cast(sum(occ) AS bigint) AS n_occurrences,
+           min(word) AS example_a,
+           max(word) AS example_b,
+           count(*) > 1 AS is_block_collision
+         FROM coded
+         GROUP BY 1""",
   )
 }

@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Brute-force cross-checks for the round-6 third-wave gates (q339–q345):
+  * each gate's distributed / lockstep formulation must agree with the
+  * obvious sequential reference computed from the same sf0.001 fixture —
+  * an independent derivation, not a re-run of the gate's own code path. */
+class Round6WaveSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val monthly: Seq[(java.sql.Date, BigDecimal, Long)] =
+    Tables.orders(spark, sf)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"),
+        count(lit(1)).as("cnt"))
+      .orderBy("m")
+      .collect()
+      .map(r => (r.getDate(0), BigDecimal(r.getDecimal(1)), r.getLong(2)))
+      .toSeq
+
+  test("q339 Holt: gate level/trend track an unrounded reference closely") {
+    // the gate rounds each recursion step to 6 dp; an UNROUNDED reference
+    // fold must stay within accumulated-rounding distance (~1e-4 over 80
+    // steps) — catches any formula or ordering mistake, which would move
+    // results by orders of magnitude more
+    val got = SparkEntry.queries("q339_holt_smoothing")(spark, sf)
+      .orderBy("month")
+      .select("month", "smooth_level", "smooth_trend")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1), r.getDouble(2)))
+    val ys = monthly.map(_._2.toDouble)
+    var lev = ys.head
+    var tr = ys(1) - ys.head
+    val ref = scala.collection.mutable.ArrayBuffer((lev, tr))
+    ys.drop(1).foreach { y =>
+      val l2 = 0.3 * y + 0.7 * (lev + tr)
+      val t2 = 0.2 * (l2 - lev) + 0.8 * tr
+      lev = l2; tr = t2
+      ref += ((lev, tr))
+    }
+    assert(got.length == monthly.length)
+    got.zip(ref).zip(monthly).foreach { case (((m, l, t), (rl, rt)), (rm, _, _)) =>
+      assert(m == rm.toString)
+      assert(math.abs(l - rl) < 1e-3, s"$m level $l vs ref $rl")
+      assert(math.abs(t - rt) < 1e-3, s"$m trend $t vs ref $rt")
+    }
+  }
+
+  test("q340 Lorenz: shares end at 1.0 and match the brute curve") {
+    val got = SparkEntry.queries("q340_lorenz_curve")(spark, sf)
+      .orderBy("spend_bin")
+      .select("spend_bin", "cum_customers", "cum_pop_share", "cum_rev_share")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.last._3 == 1.0 && got.last._4 == 1.0)
+    // monotone nondecreasing in both shares
+    got.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 <= b._3 && a._4 <= b._4)
+      case _ =>
+    }
+    // brute reference: per-customer spend → exact cents bins
+    val spend = Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("s"))
+      .collect().map(r => BigDecimal(r.getDecimal(1)))
+    val bins = spend.groupBy(s => (s * 100).toLongExact / 1000000L)
+    val totN = spend.length.toDouble
+    val totS = spend.sum.toDouble
+    val sortedBins = bins.toSeq.sortBy(_._1)
+    var cn = 0L
+    var cs = BigDecimal(0)
+    val ref = sortedBins.map { case (b, vs) =>
+      cn += vs.length; cs += vs.sum
+      (b, cn, cn / totN, cs.toDouble / totS)
+    }
+    assert(got.length == ref.length)
+    got.zip(ref).foreach { case ((b, c, p, r), (rb, rc, rp, rr)) =>
+      assert(b == rb && c == rc)
+      assert(math.abs(p - rp) < 1e-5 && math.abs(r - rr) < 1e-5)
+    }
+  }
+
+  test("q341 changepoint: argmax matches the brute sequential scan") {
+    val got = SparkEntry.queries("q341_changepoint")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(2).toString, r.getDouble(3)))
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(sum((col("value").cast("decimal(18,2)") * lit(100))
+        .cast("bigint")).as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (tpe, rows) =>
+      val seq = rows.sortBy(_._2)
+      val n = seq.length.toLong
+      val tot = seq.map(_._3).sum
+      var s = 0L
+      val devs = seq.zipWithIndex.dropRight(1).map { case ((_, d, c), i) =>
+        s += c
+        (d, math.abs(s * n - (i + 1) * tot))
+      }
+      // earliest-day tie rule: first index attaining the max deviation
+      val maxDev = devs.map(_._2).max
+      val bestDay = devs.find(_._2 == maxDev).get
+      val (gd, gp) = got(tpe)
+      assert(gd == bestDay._1, s"$tpe cp_day $gd vs brute ${bestDay._1}")
+      assert(math.abs(gp - bestDay._2.toDouble / (n * 100.0)) < 0.01)
+    }
+  }
+
+  test("q342/q344: F and W match brute double-precision references") {
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    def bruteF(vs: Seq[(String, Double)]): Double = {
+      val groups = vs.groupBy(_._1).values.map(_.map(_._2)).toSeq
+      val n = vs.size.toDouble
+      val k = groups.size.toDouble
+      val gm = vs.map(_._2).sum / n
+      val ssb = groups.map(g => g.size * math.pow(g.sum / g.size - gm, 2)).sum
+      val ssw = groups.map(g => {
+        val m = g.sum / g.size; g.map(x => (x - m) * (x - m)).sum
+      }).sum
+      (ssb / (k - 1)) / (ssw / (n - k))
+    }
+    def bruteW(vs: Seq[(String, Double)]): Double = {
+      val zs = vs.groupBy(_._1).values.flatMap { g =>
+        val m = g.map(_._2).sum / g.size
+        g.map(x => (x._1, math.abs(x._2 - m)))
+      }.toSeq
+      bruteF(zs)
+    }
+    val gotF = SparkEntry.queries("q342_anova_f")(spark, sf)
+      .select("o_orderstatus", "f_stat").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val gotW = SparkEntry.queries("q344_levene")(spark, sf)
+      .select("o_orderstatus", "w_stat").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.groupBy(_._1).foreach { case (st, rs) =>
+      val vs = rs.map(t => (t._2, t._3)).toSeq
+      assert(math.abs(gotF(st) - bruteF(vs)) < 1e-3,
+        s"$st F ${gotF(st)} vs brute ${bruteF(vs)}")
+      assert(math.abs(gotW(st) - bruteW(vs)) < 1e-3,
+        s"$st W ${gotW(st)} vs brute ${bruteW(vs)}")
+    }
+  }
+
+  test("q343 Kendall: pair counts match the brute quadratic count") {
+    val got = SparkEntry.queries("q343_kendall_tau")(spark, sf).collect().head
+    val xs = monthly.map(m => (m._2, m._3))
+    var c = 0L; var d = 0L; var tx = 0L; var ty = 0L
+    for (i <- xs.indices; j <- (i + 1) until xs.size) {
+      val sx = xs(i)._1.compare(xs(j)._1)
+      val sy = xs(i)._2.compare(xs(j)._2)
+      if (sx == 0) tx += 1
+      if (sy == 0) ty += 1
+      if (sx * sy > 0) c += 1
+      if (sx * sy < 0) d += 1
+    }
+    assert(got.getAs[Long]("concordant") == c)
+    assert(got.getAs[Long]("discordant") == d)
+    assert(got.getAs[Long]("tied_x") == tx)
+    assert(got.getAs[Long]("tied_y") == ty)
+    val n0 = xs.size.toLong * (xs.size - 1) / 2
+    val want = (c - d).toDouble / math.sqrt((n0 - tx).toDouble * (n0 - ty))
+    assert(math.abs(got.getAs[Double]("tau_b") - want) < 1e-6)
+  }
+
+  test("q345 phonetic: soundex-style goldens and collision flag") {
+    val got = SparkEntry.queries("q345_phonetic_blocking")(spark, sf)
+      .collect()
+      .map(r => r.getAs[String]("code") ->
+        ((r.getAs[String]("example_a"), r.getAs[String]("example_b"),
+          r.getAs[Boolean]("is_block_collision"))))
+      .toMap
+    // red → R, d→3 → R300; rod → R, d→3 → R300: one blocking bucket
+    val r300 = got.get("R300")
+    assert(r300.exists { case (a, b, coll) => a == "red" && b == "rod" && coll })
+    // blue → B, l→4, vowels drop → B400, no collision partner in corpus
+    assert(got.get("B400").exists { case (a, b, coll) =>
+      a == "blue" && b == "blue" && !coll })
+  }
+}
