@@ -4878,15 +4878,16 @@ object SparkEntry {
         .withColumn("__rhi", least(col("n"),
           ceil(lit(1.0d) + (col("n").cast("double") +
             lit(1.96d) * sqrt(col("n").cast("double"))) / 2.0d).cast("long")))
-      def at(rankCol: String, out: String) =
-        ranks.select(col("event_type"), col("n"), col(rankCol).as("__r"))
-          .join(cum, Seq("event_type"))
-          .filter(col("__cum") >= col("__r"))
-          .groupBy(col("event_type"), col("n"))
-          .agg(min(col("__v")).as(out))
-      at("__rlo", "ci_lo")
-        .join(at("__rmed", "median"), Seq("event_type", "n"))
-        .join(at("__rhi", "ci_hi"), Seq("event_type", "n"))
+      // ONE pass over the cumulative distribution resolves all three
+      // ranks (conditional mins against the broadcast 1-row-per-type
+      // rank table) — the previous three-join form recomputed the
+      // distribution window per rank
+      cum.join(broadcast(ranks), Seq("event_type"))
+        .groupBy(col("event_type"), col("n"))
+        .agg(
+          min(when(col("__cum") >= col("__rlo"), col("__v"))).as("ci_lo"),
+          min(when(col("__cum") >= col("__rmed"), col("__v"))).as("median"),
+          min(when(col("__cum") >= col("__rhi"), col("__v"))).as("ci_hi"))
         .select(col("event_type"), col("n"), col("ci_lo"), col("median"),
           col("ci_hi"))
     }),

@@ -59,12 +59,23 @@ object Tables {
   /** Register every fixture table as a temp view (the analog of the
     * reference's schema bootstrap, init.sql:1-219). `events` goes through its
     * wrapper so the TIMESTAMP(NANOS) column reads in any fresh session and the
-    * view exposes a true timestamp, not raw nanos longs. */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach { n =>
-      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
-      df.createOrReplaceTempView(n)
-    }
+    * view exposes a true timestamp, not raw nanos longs.
+    *
+    * Memoized per (session, dir): each registration re-reads 10 parquet
+    * footers for schema inference, which dominates the small SQL-surface
+    * gates when the bench re-runs them per iteration. The views are
+    * path-backed, so a repeat call with the SAME dir is a pure no-op;
+    * switching dirs within a session (tests do this) still re-registers. */
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val key = System.identityHashCode(spark).toString
+    if (registeredDir.put(key, dir) != dir)
+      all.foreach { n =>
+        val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+        df.createOrReplaceTempView(n)
+      }
+  }
 
   /** Spread a table across the cluster when the source produced too few
     * input splits for CPU-bound per-row work (single small parquet file →
