@@ -5884,6 +5884,189 @@ object SparkEntry {
           max(col("word")).as("example_b"))
         .withColumn("is_block_collision", col("n_distinct_words") > 1)
     }),
+
+    // ---- EXT: Laspeyres / Paasche / Fisher price indices ----
+    "q346_price_index" -> ((s, dir) => {
+      // the economics of the fact table: per year vs the base year, the
+      // fixed-basket (Laspeyres), current-basket (Paasche) and geometric-
+      // mean (Fisher) price indices over the common part set. Unit prices
+      // are pinned to 6-dp decimals, so every Σp·q is an EXACT decimal
+      // sum; the base-year basket is a part-dimension broadcast.
+      val py = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).cast("int").as("yr"),
+          col("l_partkey"))
+        .agg(sum(col("l_quantity").cast(D)).as("__q"),
+          sum(col("l_extendedprice").cast(D)).as("__e"))
+        .withColumn("__p",
+          round(col("__e").cast("double") / col("__q").cast("double"), 6)
+            .cast("decimal(19,6)"))
+      val y0 = py.agg(min(col("yr")).as("__y0"))
+      val base = py.crossJoin(broadcast(y0))
+        .filter(col("yr") === col("__y0"))
+        .select(col("l_partkey"), col("__q").as("__q0"),
+          col("__p").as("__p0"))
+      py.join(broadcast(base), Seq("l_partkey"))
+        .groupBy(col("yr"))
+        .agg(count(lit(1)).as("n_common_parts"),
+          sum(col("__p") * col("__q0")).as("__pq0"),
+          sum(col("__p0") * col("__q0")).as("__p0q0"),
+          sum(col("__p") * col("__q")).as("__pq"),
+          sum(col("__p0") * col("__q")).as("__p0q"))
+        .select(col("yr"), col("n_common_parts"),
+          (round(col("__pq0").cast("double") /
+            col("__p0q0").cast("double"), 6) + lit(0.0d)).as("laspeyres"),
+          (round(col("__pq").cast("double") /
+            col("__p0q").cast("double"), 6) + lit(0.0d)).as("paasche"),
+          (round(sqrt((col("__pq0").cast("double") /
+            col("__p0q0").cast("double")) *
+            (col("__pq").cast("double") /
+              col("__p0q").cast("double"))), 6) + lit(0.0d)).as("fisher"))
+    }),
+
+    // ---- EXT: cross-correlation function (lead/lag between streams) ----
+    "q347_cross_correlation" -> ((s, dir) => {
+      // does click volume LEAD purchase volume? corr(x_d, y_{d+k}) for
+      // k ∈ [−3, 3] over the bounded daily series — exact integer-cents
+      // moments per lag (products in decimal(38,0)); one double division
+      // per lag at the end.
+      val spark = s
+      import spark.implicits._
+      def daily(t: String, dc: String, vc: String) =
+        Tables.events(s, dir).filter(col("event_type") === t)
+          .groupBy(col("ts").cast("date").as(dc))
+          .agg(sum((col("value").cast(D) * lit(100)).cast("bigint"))
+            .as(vc))
+      val x = daily("click", "dx", "xv")
+      val y = daily("purchase", "dy", "yv")
+      val lags = (-3 to 3).toDF("lag")
+      val pairs = x.crossJoin(broadcast(lags))
+        .join(y, col("dy") === date_add(col("dx"), col("lag")))
+      pairs.groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("xv")).as("__sx"), sum(col("yv")).as("__sy"),
+          sum(col("xv").cast("decimal(18,0)") *
+            col("yv").cast("decimal(19,0)")).as("__sxy"),
+          sum(col("xv").cast("decimal(18,0)") *
+            col("xv").cast("decimal(19,0)")).as("__sxx"),
+          sum(col("yv").cast("decimal(18,0)") *
+            col("yv").cast("decimal(19,0)")).as("__syy"))
+        .select(col("lag"), col("n_days"),
+          (round((col("n_days").cast("double") *
+            col("__sxy").cast("double") -
+            col("__sx").cast("double") * col("__sy").cast("double")) /
+            sqrt((col("n_days").cast("double") *
+              col("__sxx").cast("double") -
+              col("__sx").cast("double") * col("__sx").cast("double")) *
+              (col("n_days").cast("double") *
+                col("__syy").cast("double") -
+                col("__sy").cast("double") * col("__sy").cast("double"))),
+            6) + lit(0.0d)).as("ccf"))
+    }),
+
+    // ---- EXT: Hill tail-index estimator ----
+    "q348_hill_tail" -> ((s, dir) => {
+      // how heavy is the order-value tail? the Hill estimator over the
+      // top k=500 order statistics: α̂ = k / Σ ln(x_i/x_min). The top-501
+      // selection is a TakeOrderedAndProject (deterministic price-desc,
+      // orderkey tiebreak — never a global sort); ln terms are rounded
+      // to 9 dp then EXACTLY summed (the q322/q331 libm-boundary
+      // discipline).
+      import org.apache.spark.sql.expressions.Window
+      val top = Tables.orders(s, dir)
+        .select(col("o_totalprice").cast(D).as("__v"), col("o_orderkey"))
+        .orderBy(col("__v").desc, col("o_orderkey"))
+        .limit(501)
+      // the 501-row post-limit set is design-bounded: a global window
+      // over it is a single-partition window over 501 rows by construction
+      val ranked = top.withColumn("__rk", row_number().over(
+        Window.orderBy(col("__v").desc, col("o_orderkey"))))
+      val thr = ranked.filter(col("__rk") === 501)
+        .select(col("__v").cast("double").as("__xmin"))
+      ranked.filter(col("__rk") <= 500)
+        .crossJoin(broadcast(thr))
+        .select(col("__xmin"),
+          round(log(col("__v").cast("double") / col("__xmin")), 9)
+            .cast("decimal(18,9)").as("__t"))
+        .groupBy(col("__xmin"))
+        .agg(sum(col("__t")).as("__st"))
+        .select(lit(500L).as("k"),
+          (round(col("__xmin"), 2) + lit(0.0d)).as("x_min"),
+          (round(lit(500.0d) / col("__st").cast("double"), 6) + lit(0.0d))
+            .as("hill_alpha"))
+    }),
+
+    // ---- EXT: McNemar paired day-over-day activity test ----
+    "q349_mcnemar" -> ((s, dir) => {
+      // is (user, day) activity symmetric day-over-day? the paired-
+      // proportions test on consecutive-day activity: b = active then
+      // gone, c = gone then active, χ² = (b−c)²/(b+c). Counts come from
+      // EXACT anti/semi self-joins on the distinct activity table — no
+      // user×day grid is ever materialized, so the formulation is linear
+      // in the activity table at any scale.
+      val a = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"),
+          col("ts").cast("date").as("d")).distinct()
+      val bounds = Tables.events(s, dir)
+        .agg(min(col("ts").cast("date")).as("__d0"),
+          max(col("ts").cast("date")).as("__d1"))
+      val y = a.select(col("event_type").as("__et"),
+        col("user_id").as("__u"), col("d").as("__dn"))
+      val b = a.crossJoin(broadcast(bounds))
+        .filter(col("d") < col("__d1"))
+        .join(y, col("__et") === col("event_type") &&
+          col("__u") === col("user_id") &&
+          col("__dn") === date_add(col("d"), 1), "left_anti")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("active_then_gone"))
+      val c = a.crossJoin(broadcast(bounds))
+        .filter(col("d") > col("__d0"))
+        .join(y, col("__et") === col("event_type") &&
+          col("__u") === col("user_id") &&
+          col("__dn") === date_sub(col("d"), 1), "left_anti")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("gone_then_active"))
+      val both = a
+        .join(y, col("__et") === col("event_type") &&
+          col("__u") === col("user_id") &&
+          col("__dn") === date_add(col("d"), 1), "left_semi")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_both"))
+      b.join(c, Seq("event_type")).join(both, Seq("event_type"))
+        .select(col("event_type"), col("active_then_gone"),
+          col("gone_then_active"), col("n_both"),
+          (round(((col("active_then_gone") - col("gone_then_active")) *
+            (col("active_then_gone") - col("gone_then_active")))
+            .cast("double") /
+            (col("active_then_gone") + col("gone_then_active"))
+              .cast("double"), 6) + lit(0.0d)).as("chi2_mcnemar"))
+    }),
+
+    // ---- EXT: days-sales-outstanding working-capital scalar ----
+    "q350_dso" -> ((s, dir) => {
+      // the finance close's DSO: open receivables over daily revenue run
+      // rate, per priority class — exact decimal totals, one global span
+      // broadcast, mirrored double divisions at the end.
+      val span = Tables.orders(s, dir)
+        .agg((datediff(max(col("o_orderdate").cast("date")),
+          min(col("o_orderdate").cast("date"))) + lit(1))
+          .cast("long").as("__nd"))
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(when(col("o_orderstatus") === "O",
+          col("o_totalprice").cast(D))
+          .otherwise(lit(0).cast(D))).as("__ar"),
+          sum(col("o_totalprice").cast(D)).as("__rev"))
+        .crossJoin(broadcast(span))
+        .select(col("o_orderpriority"),
+          (round(col("__ar").cast("double"), 2) + lit(0.0d)).as("open_ar"),
+          (round(col("__rev").cast("double") / col("__nd").cast("double"),
+            2) + lit(0.0d)).as("daily_revenue"),
+          (round(col("__ar").cast("double") /
+            (col("__rev").cast("double") / col("__nd").cast("double")), 2)
+            + lit(0.0d)).as("dso_days"))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -11197,5 +11380,144 @@ object SparkEntry {
            count(*) > 1 AS is_block_collision
          FROM coded
          GROUP BY 1""",
+    // price indices: 6-dp pinned unit prices → exact Σp·q decimal sums;
+    // base-year basket joined on the part dimension
+    "q346_price_index" ->
+      """WITH py AS (
+           SELECT cast(year(o_orderdate) AS int) AS yr, l_partkey,
+             sum(cast(l_quantity AS decimal(18,2))) AS q,
+             cast(round(cast(sum(cast(l_extendedprice AS decimal(18,2)))
+                 AS double)
+               / cast(sum(cast(l_quantity AS decimal(18,2))) AS double), 6)
+               AS decimal(19,6)) AS p
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1, 2),
+         base AS (SELECT cast(min(yr) AS int) AS y0 FROM py),
+         b AS (SELECT l_partkey, q AS q0, p AS p0 FROM py CROSS JOIN base
+           WHERE yr = y0),
+         agg AS (
+           SELECT py.yr, cast(count(*) AS bigint) AS n_common_parts,
+             sum(py.p * b.q0) AS pq0, sum(b.p0 * b.q0) AS p0q0,
+             sum(py.p * py.q) AS pq, sum(b.p0 * py.q) AS p0q
+           FROM py JOIN b USING (l_partkey) GROUP BY 1)
+         SELECT yr, n_common_parts,
+           round(cast(pq0 AS double) / cast(p0q0 AS double), 6) + 0.0
+             AS laspeyres,
+           round(cast(pq AS double) / cast(p0q AS double), 6) + 0.0
+             AS paasche,
+           round(sqrt((cast(pq0 AS double) / cast(p0q0 AS double))
+             * (cast(pq AS double) / cast(p0q AS double))), 6) + 0.0
+             AS fisher
+         FROM agg""",
+    // CCF: exact integer-cents moments per lag, one double division each
+    "q347_cross_correlation" ->
+      """WITH x AS (
+           SELECT cast(ts AS date) AS dx,
+             cast(sum(cast(cast(value AS decimal(18,2)) * 100 AS bigint))
+               AS bigint) AS xv
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         y AS (
+           SELECT cast(ts AS date) AS dy,
+             cast(sum(cast(cast(value AS decimal(18,2)) * 100 AS bigint))
+               AS bigint) AS yv
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         lags AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+         pairs AS (
+           SELECT l.lag, x.xv, y.yv
+           FROM lags l
+           JOIN x ON true
+           JOIN y ON y.dy = x.dx + to_days(cast(l.lag AS int))),
+         m AS (
+           SELECT lag, cast(count(*) AS bigint) AS n,
+             cast(sum(xv) AS bigint) AS sx, cast(sum(yv) AS bigint) AS sy,
+             sum(cast(xv AS hugeint) * yv) AS sxy,
+             sum(cast(xv AS hugeint) * xv) AS sxx,
+             sum(cast(yv AS hugeint) * yv) AS syy
+           FROM pairs GROUP BY 1)
+         SELECT cast(lag AS int) AS lag, n AS n_days,
+           round((cast(n AS double) * cast(sxy AS double)
+               - cast(sx AS double) * cast(sy AS double))
+             / sqrt((cast(n AS double) * cast(sxx AS double)
+                 - cast(sx AS double) * cast(sx AS double))
+               * (cast(n AS double) * cast(syy AS double)
+                 - cast(sy AS double) * cast(sy AS double))), 6) + 0.0
+             AS ccf
+         FROM m""",
+    // Hill: deterministic top-501 order statistics, 9-dp rounded ln
+    // terms exactly summed (q322/q331 libm-boundary discipline)
+    "q348_hill_tail" ->
+      """WITH top AS (
+           SELECT cast(o_totalprice AS decimal(18,2)) AS v,
+             row_number() OVER (ORDER BY
+               cast(o_totalprice AS decimal(18,2)) DESC, o_orderkey)
+               AS rk
+           FROM orders
+           ORDER BY cast(o_totalprice AS decimal(18,2)) DESC, o_orderkey
+           LIMIT 501),
+         thr AS (SELECT cast(v AS double) AS xmin FROM top WHERE rk = 501),
+         terms AS (
+           SELECT cast(round(ln(cast(v AS double) / xmin), 9)
+             AS decimal(18,9)) AS term
+           FROM top CROSS JOIN thr WHERE rk <= 500)
+         SELECT cast(500 AS bigint) AS k,
+           round(xmin, 2) + 0.0 AS x_min,
+           round(500.0 / cast(sum(term) AS double), 6) + 0.0 AS hill_alpha
+         FROM terms CROSS JOIN thr
+         GROUP BY xmin""",
+    // McNemar: exact anti/semi self-joins on the distinct activity table
+    // — no user×day grid at any scale
+    "q349_mcnemar" ->
+      """WITH a AS (
+           SELECT DISTINCT event_type, user_id, cast(ts AS date) AS d
+           FROM events),
+         bounds AS (
+           SELECT min(cast(ts AS date)) AS d0, max(cast(ts AS date)) AS d1
+           FROM events),
+         b_cnt AS (
+           SELECT x.event_type, cast(count(*) AS bigint) AS b
+           FROM a x CROSS JOIN bounds
+           WHERE x.d < d1 AND NOT EXISTS (
+             SELECT 1 FROM a y WHERE y.event_type = x.event_type
+               AND y.user_id = x.user_id AND y.d = x.d + to_days(1))
+           GROUP BY 1),
+         c_cnt AS (
+           SELECT x.event_type, cast(count(*) AS bigint) AS c
+           FROM a x CROSS JOIN bounds
+           WHERE x.d > d0 AND NOT EXISTS (
+             SELECT 1 FROM a y WHERE y.event_type = x.event_type
+               AND y.user_id = x.user_id AND y.d = x.d - to_days(1))
+           GROUP BY 1),
+         both_cnt AS (
+           SELECT x.event_type, cast(count(*) AS bigint) AS n_both
+           FROM a x JOIN a y ON y.event_type = x.event_type
+             AND y.user_id = x.user_id AND y.d = x.d + to_days(1)
+           GROUP BY 1)
+         SELECT event_type, b AS active_then_gone, c AS gone_then_active,
+           n_both,
+           round(cast((b - c) * (b - c) AS double) / cast(b + c AS double),
+             6) + 0.0 AS chi2_mcnemar
+         FROM b_cnt JOIN c_cnt USING (event_type)
+           JOIN both_cnt USING (event_type)""",
+    // DSO: exact decimal totals, one global span, mirrored divisions
+    "q350_dso" ->
+      """WITH span AS (
+           SELECT cast(date_diff('day', min(cast(o_orderdate AS date)),
+             max(cast(o_orderdate AS date))) + 1 AS bigint) AS n_days
+           FROM orders),
+         g AS (
+           SELECT o_orderpriority,
+             sum(CASE WHEN o_orderstatus = 'O'
+               THEN cast(o_totalprice AS decimal(18,2))
+               ELSE cast(0 AS decimal(18,2)) END) AS open_ar,
+             sum(cast(o_totalprice AS decimal(18,2))) AS rev
+           FROM orders GROUP BY 1)
+         SELECT o_orderpriority,
+           round(cast(open_ar AS double), 2) + 0.0 AS open_ar,
+           round(cast(rev AS double) / cast(n_days AS double), 2) + 0.0
+             AS daily_revenue,
+           round(cast(open_ar AS double)
+             / (cast(rev AS double) / cast(n_days AS double)), 2) + 0.0
+             AS dso_days
+         FROM g CROSS JOIN span""",
   )
 }

@@ -170,6 +170,94 @@ class Round6WaveSpec extends SparkSuite {
     assert(math.abs(got.getAs[Double]("tau_b") - want) < 1e-6)
   }
 
+  test("q346 price index: base year pins to 1.0, Fisher between L and P") {
+    val got = SparkEntry.queries("q346_price_index")(spark, sf)
+      .orderBy("yr").collect()
+      .map(r => (r.getInt(0), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val (y0, l0, p0, f0) = got.head
+    assert(l0 == 1.0 && p0 == 1.0 && f0 == 1.0, s"base year $y0 not unity")
+    got.foreach { case (y, l, p, f) =>
+      assert(f >= math.min(l, p) - 1e-6 && f <= math.max(l, p) + 1e-6,
+        s"$y fisher $f outside [$p, $l]")
+    }
+  }
+
+  test("q347 CCF: each lag matches brute Pearson on the joined series") {
+    val got = SparkEntry.queries("q347_cross_correlation")(spark, sf)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    def daily(t: String): Map[java.time.LocalDate, Long] =
+      Tables.events(spark, sf).filter(col("event_type") === t)
+        .groupBy(col("ts").cast("date").as("d"))
+        .agg(sum((col("value").cast("decimal(18,2)") * lit(100))
+          .cast("bigint")).as("v"))
+        .collect()
+        .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    val xs = daily("click"); val ys = daily("purchase")
+    for (lag <- -3 to 3) {
+      val pairs = xs.toSeq.flatMap { case (d, xv) =>
+        ys.get(d.plusDays(lag)).map(yv => (xv.toDouble, yv.toDouble))
+      }
+      val n = pairs.size.toDouble
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val want = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      val (gn, gc) = got(lag)
+      assert(gn == pairs.size.toLong, s"lag $lag n_days")
+      assert(math.abs(gc - want) < 1e-5, s"lag $lag ccf $gc vs brute $want")
+    }
+  }
+
+  test("q348 Hill: alpha matches the brute top-k computation") {
+    val got = SparkEntry.queries("q348_hill_tail")(spark, sf).collect().head
+    val top = Tables.orders(spark, sf)
+      .select(col("o_totalprice").cast("decimal(18,2)").cast("double"),
+        col("o_orderkey"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy { case (v, k) => (-v, k) }.take(501)
+    val xmin = top.last._1
+    val alpha = 500.0 / top.take(500).map(t => math.log(t._1 / xmin)).sum
+    assert(got.getAs[Double]("x_min") == BigDecimal(xmin)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(math.abs(got.getAs[Double]("hill_alpha") - alpha) < 1e-3,
+      s"alpha ${got.getAs[Double]("hill_alpha")} vs brute $alpha")
+  }
+
+  test("q349 McNemar: b/c counts match the brute successor scan") {
+    val got = SparkEntry.queries("q349_mcnemar")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val act = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("ts").cast("date"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDate(2).toLocalDate))
+    val d0 = act.map(_._3).min; val d1 = act.map(_._3).max
+    val set = act.toSet
+    act.groupBy(_._1).foreach { case (tpe, rows) =>
+      val b = rows.count(r => r._3.isBefore(d1) &&
+        !set.contains((r._1, r._2, r._3.plusDays(1))))
+      val c = rows.count(r => r._3.isAfter(d0) &&
+        !set.contains((r._1, r._2, r._3.minusDays(1))))
+      val nb = rows.count(r => set.contains((r._1, r._2, r._3.plusDays(1))))
+      assert(got(tpe) == ((b.toLong, c.toLong, nb.toLong)),
+        s"$tpe got ${got(tpe)} want ($b, $c, $nb)")
+    }
+  }
+
+  test("q350 DSO: internal consistency open_ar / daily_revenue") {
+    SparkEntry.queries("q350_dso")(spark, sf).collect().foreach { r =>
+      val ar = r.getAs[Double]("open_ar")
+      val dr = r.getAs[Double]("daily_revenue")
+      val dso = r.getAs[Double]("dso_days")
+      assert(math.abs(dso - ar / dr) < 0.51, s"dso $dso vs ${ar / dr}")
+      assert(ar >= 0 && dr > 0)
+    }
+  }
+
   test("q345 phonetic: soundex-style goldens and collision flag") {
     val got = SparkEntry.queries("q345_phonetic_blocking")(spark, sf)
       .collect()
