@@ -6067,6 +6067,163 @@ object SparkEntry {
             (col("__rev").cast("double") / col("__nd").cast("double")), 2)
             + lit(0.0d)).as("dso_days"))
     }),
+
+    // ---- EXT: Heaps' law vocabulary growth curve ----
+    "q351_heaps_law" -> ((s, dir) => {
+      // vocabulary size vs corpus size at ten doc-count checkpoints —
+      // the sublinear growth every tokenizer-budget plan assumes. No
+      // corpus sort: doc_ids are dense 0..n−1, so checkpoints are pure
+      // arithmetic on the count; vocab(k) counts words by their
+      // FIRST-occurrence doc (one min-agg), tokens(k) sums per-doc
+      // counts — both against the broadcast 10-row checkpoint table.
+      val docs = Tables.documents(s, dir)
+      val cps = docs.agg(count(lit(1)).as("__n"))
+        .select(explode(sequence(lit(1), lit(10))).as("checkpoint"),
+          col("__n"))
+        .select(col("checkpoint").cast("int").as("checkpoint"),
+          expr("(__n * checkpoint) div 10").as("__t"))
+      val tok = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val fs = tok.groupBy(col("w")).agg(min(col("doc_id")).as("__fd"))
+      val dt = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("__c"))
+      val v = fs.crossJoin(broadcast(cps))
+        .groupBy(col("checkpoint"), col("__t"))
+        .agg(sum(when(col("__fd") < col("__t"), 1L).otherwise(0L))
+          .as("vocab_size"))
+      val tk = dt.crossJoin(broadcast(cps))
+        .groupBy(col("checkpoint"))
+        .agg(coalesce(sum(when(col("doc_id") < col("__t"), col("__c"))),
+          lit(0L)).as("n_tokens_seen"))
+      v.join(tk, Seq("checkpoint"))
+        .select(col("checkpoint"), col("__t").cast("long").as("n_docs_seen"),
+          col("n_tokens_seen"), col("vocab_size"))
+    }),
+
+    // ---- EXT: degree assortativity of the purchase graph ----
+    "q352_assortativity" -> ((s, dir) => {
+      // do high-degree customers buy from high-degree suppliers? Pearson
+      // correlation of endpoint degrees over the distinct customer→
+      // supplier edge set (q111's graph) — exact integer moments with
+      // decimal(38,0) products, one double division at the end.
+      val e = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s2"))
+        .distinct()
+      val dc = e.groupBy(col("c")).agg(count(lit(1)).as("__x"))
+      val ds = e.groupBy(col("s2")).agg(count(lit(1)).as("__y"))
+      e.join(dc, Seq("c")).join(ds, Seq("s2"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+          sum(col("__x").cast("decimal(18,0)") *
+            col("__y").cast("decimal(19,0)")).as("__sxy"),
+          sum(col("__x").cast("decimal(18,0)") *
+            col("__x").cast("decimal(19,0)")).as("__sxx"),
+          sum(col("__y").cast("decimal(18,0)") *
+            col("__y").cast("decimal(19,0)")).as("__syy"))
+        .select(col("n_edges"),
+          (round(col("__sx").cast("double") /
+            col("n_edges").cast("double"), 6) + lit(0.0d))
+            .as("mean_deg_cust"),
+          (round(col("__sy").cast("double") /
+            col("n_edges").cast("double"), 6) + lit(0.0d))
+            .as("mean_deg_supp"),
+          (round((col("n_edges").cast("double") *
+            col("__sxy").cast("double") -
+            col("__sx").cast("double") * col("__sy").cast("double")) /
+            sqrt((col("n_edges").cast("double") *
+              col("__sxx").cast("double") -
+              col("__sx").cast("double") * col("__sx").cast("double")) *
+              (col("n_edges").cast("double") *
+                col("__syy").cast("double") -
+                col("__sy").cast("double") * col("__sy").cast("double"))),
+            6) + lit(0.0d)).as("assortativity"))
+    }),
+
+    // ---- EXT: global + mean-local clustering coefficient ----
+    "q353_clustering_coeff" -> ((s, dir) => {
+      // the triad-closure scalars over q120's supplier co-occurrence
+      // graph: global C = 3T/W from exact integer wedge/triangle counts,
+      // mean local C from 6-dp rounded per-node ratios exactly summed —
+      // all on triangleCounts' per-node output (the oriented-wedge join,
+      // never an all-pairs pass).
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val pairs = li.select(col("ok"), col("sk").as("src"))
+        .join(li.select(col("ok"), col("sk").as("dst")), Seq("ok"))
+        .filter(col("src") < col("dst"))
+        .select("src", "dst")
+      val tc = graft.operators.Graph.triangleCounts(pairs)
+      tc.agg(count(lit(1)).as("n_nodes"),
+          sum((col("degree") * (col("degree") - lit(1)))
+            .cast("decimal(38,0)")).cast("long").as("__dd2"),
+          sum(col("triangles")).as("__tri3"),
+          sum(when(col("degree") >= 2,
+            round((col("triangles") * 2).cast("double") /
+              (col("degree") * (col("degree") - lit(1))).cast("double"), 6)
+              .cast("decimal(18,6)"))).as("__lcs"),
+          sum(when(col("degree") >= 2, 1L).otherwise(0L)).as("__nge2"))
+        .select(col("n_nodes"),
+          expr("__dd2 div 2").as("n_wedges"),
+          expr("__tri3 div 3").as("total_triangles"),
+          (round(col("__tri3").cast("double") /
+            col("__dd2").cast("double") * lit(2.0d), 6) + lit(0.0d))
+            .as("global_cc"),
+          (round(col("__lcs").cast("double") /
+            col("__nge2").cast("double"), 6) + lit(0.0d))
+            .as("avg_local_cc"))
+    }),
+
+    // ---- EXT: Fellegi–Sunter field match weights ----
+    "q354_linkage_weights" -> ((s, dir) => {
+      // record-linkage calibration: per comparison field, m = P(agree |
+      // match) from the customer-blocked pair set (q338's bounded self-
+      // join) and u = P(agree | nonmatch) from a FIXED 512-order md5-rank
+      // sample's cross-customer pairs (the q266 budget discipline —
+      // O(512²) constant forever). log2 weights take ln of the 6-dp
+      // ROUNDED probabilities so both engines feed libm identical
+      // doubles.
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderpriority",
+        "o_orderstatus", "o_orderdate")
+      val o = Tables.orders(s, dir).select(cols.map(col): _*)
+      def agrees(df: DataFrame) = df.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("pa") === col("pb"), 1L).otherwise(0L)).as("ap"),
+        sum(when(col("sa") === col("sb"), 1L).otherwise(0L)).as("ast"),
+        sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("am"))
+      def sides(df: DataFrame, sfx: String) = df.select(
+        col("o_orderkey").as(s"k$sfx"), col("o_custkey").as(s"c$sfx"),
+        col("o_orderpriority").as(s"p$sfx"), col("o_orderstatus").as(s"s$sfx"),
+        month(col("o_orderdate")).as(s"m$sfx"))
+      val mp = agrees(sides(o, "a").join(sides(o, "b"),
+        col("ca") === col("cb") && col("ka") < col("kb")))
+        .select(col("n").as("mn"), col("ap").as("map_"),
+          col("ast").as("mast"), col("am").as("mam"))
+      val samp = o.orderBy(md5(col("o_orderkey").cast("string")),
+        col("o_orderkey")).limit(512)
+      val up = agrees(sides(samp, "a").join(sides(samp, "b"),
+        col("ka") < col("kb") && col("ca") =!= col("cb")))
+        .select(col("n").as("un"), col("ap").as("uap"),
+          col("ast").as("uast"), col("am").as("uam"))
+      val x = mp.crossJoin(up)
+      def fld(name: String, ma: String, ua: String) = {
+        val m6 = round(col(ma).cast("double") / col("mn").cast("double"), 6) +
+          lit(0.0d)
+        val u6 = round(col(ua).cast("double") / col("un").cast("double"), 6) +
+          lit(0.0d)
+        x.select(lit(name).as("field"),
+          col("mn").as("n_match_pairs"), col("un").as("n_nonmatch_pairs"),
+          m6.as("m_prob"), u6.as("u_prob"),
+          (round(log(m6 / u6) / log(lit(2.0d)), 6) + lit(0.0d))
+            .as("log2_weight"))
+      }
+      fld("priority", "map_", "uap")
+        .unionByName(fld("status", "mast", "uast"))
+        .unionByName(fld("month", "mam", "uam"))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -11519,5 +11676,162 @@ object SparkEntry {
              / (cast(rev AS double) / cast(n_days AS double)), 2) + 0.0
              AS dso_days
          FROM g CROSS JOIN span""",
+    // Heaps: checkpoints are count arithmetic (dense doc_ids), vocab by
+    // first-occurrence doc, tokens by per-doc counts — no corpus sort
+    "q351_heaps_law" ->
+      """WITH n1 AS (SELECT cast(count(*) AS bigint) AS n FROM documents),
+         cps AS (SELECT cast(unnest(generate_series(1, 10)) AS int)
+           AS checkpoint),
+         thr AS (SELECT checkpoint, (n * checkpoint) // 10 AS t
+           FROM cps CROSS JOIN n1),
+         toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         tok AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+         fs AS (SELECT w, min(doc_id) AS fd FROM tok GROUP BY 1),
+         dt AS (SELECT doc_id, cast(count(*) AS bigint) AS c FROM tok
+           GROUP BY 1),
+         v AS (SELECT checkpoint, t,
+             cast(count(CASE WHEN fd < t THEN 1 END) AS bigint)
+               AS vocab_size
+           FROM fs CROSS JOIN thr GROUP BY 1, 2),
+         tk AS (SELECT checkpoint,
+             cast(coalesce(sum(CASE WHEN doc_id < t THEN c END), 0)
+               AS bigint) AS n_tokens_seen
+           FROM dt CROSS JOIN thr GROUP BY 1)
+         SELECT v.checkpoint, cast(v.t AS bigint) AS n_docs_seen,
+           tk.n_tokens_seen, v.vocab_size
+         FROM v JOIN tk USING (checkpoint)""",
+    // assortativity: exact integer degree moments over the distinct edge
+    // set, hugeint products, one double division
+    "q352_assortativity" ->
+      """WITH e AS (
+           SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         dc AS (SELECT c, cast(count(*) AS bigint) AS degc FROM e
+           GROUP BY 1),
+         ds AS (SELECT s, cast(count(*) AS bigint) AS degs FROM e
+           GROUP BY 1),
+         j AS (SELECT degc AS x, degs AS y
+           FROM e JOIN dc USING (c) JOIN ds USING (s)),
+         m AS (
+           SELECT cast(count(*) AS bigint) AS n,
+             cast(sum(x) AS bigint) AS sx, cast(sum(y) AS bigint) AS sy,
+             sum(cast(x AS hugeint) * y) AS sxy,
+             sum(cast(x AS hugeint) * x) AS sxx,
+             sum(cast(y AS hugeint) * y) AS syy
+           FROM j)
+         SELECT n AS n_edges,
+           round(cast(sx AS double) / cast(n AS double), 6) + 0.0
+             AS mean_deg_cust,
+           round(cast(sy AS double) / cast(n AS double), 6) + 0.0
+             AS mean_deg_supp,
+           round((cast(n AS double) * cast(sxy AS double)
+               - cast(sx AS double) * cast(sy AS double))
+             / sqrt((cast(n AS double) * cast(sxx AS double)
+                 - cast(sx AS double) * cast(sx AS double))
+               * (cast(n AS double) * cast(syy AS double)
+                 - cast(sy AS double) * cast(sy AS double))), 6) + 0.0
+             AS assortativity
+         FROM m""",
+    // clustering: q120's oriented-wedge triangle CTEs + the closure
+    // aggregate (global 3T/W, 6-dp rounded local ratios exactly summed)
+    "q353_clustering_coeff" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+           FROM lineitem WHERE l_orderkey % 10 = 0),
+         und AS (SELECT DISTINCT x.sk AS a, y.sk AS b
+           FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk),
+         deg AS (SELECT v, count(*) AS d FROM (
+             SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) z
+           GROUP BY 1),
+         o AS (SELECT
+             CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+               THEN u.a ELSE u.b END AS src,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+               THEN u.b ELSE u.a END AS dst,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+               THEN db.d ELSE da.d END AS dd
+           FROM und u JOIN deg da ON u.a = da.v JOIN deg db
+             ON u.b = db.v),
+         w AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w2
+           FROM o e1 JOIN o e2 ON e1.src = e2.src
+            AND (e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst))),
+         tr AS (SELECT w.u, w.v, w.w2 FROM w JOIN o e3
+           ON w.v = e3.src AND w.w2 = e3.dst),
+         n AS (SELECT unnest([u, v, w2]) AS node FROM tr),
+         t AS (SELECT node, count(*) AS triangles FROM n GROUP BY 1),
+         pn AS (SELECT deg.v AS node, cast(deg.d AS bigint) AS degree,
+             cast(coalesce(t.triangles, 0) AS bigint) AS tri
+           FROM deg LEFT JOIN t ON deg.v = t.node),
+         agg AS (
+           SELECT cast(count(*) AS bigint) AS n_nodes,
+             cast(sum(degree * (degree - 1)) AS bigint) AS dd2,
+             cast(sum(tri) AS bigint) AS tri3,
+             sum(CASE WHEN degree >= 2 THEN
+               cast(round(cast(2 * tri AS double)
+                 / cast(degree * (degree - 1) AS double), 6)
+                 AS decimal(18,6)) END) AS lc_sum,
+             cast(count(CASE WHEN degree >= 2 THEN 1 END) AS bigint)
+               AS n_ge2
+           FROM pn)
+         SELECT n_nodes, dd2 // 2 AS n_wedges, tri3 // 3
+             AS total_triangles,
+           round(cast(tri3 AS double) / cast(dd2 AS double) * 2.0, 6)
+             + 0.0 AS global_cc,
+           round(cast(lc_sum AS double) / cast(n_ge2 AS double), 6) + 0.0
+             AS avg_local_cc
+         FROM agg""",
+    // Fellegi–Sunter: customer-blocked match pairs, 512-order md5-rank
+    // nonmatch budget; ln of the 6-dp ROUNDED probabilities
+    "q354_linkage_weights" ->
+      """WITH mp AS (
+           SELECT cast(count(*) AS bigint) AS n,
+             cast(sum(CASE WHEN a.o_orderpriority = b.o_orderpriority
+               THEN 1 ELSE 0 END) AS bigint) AS ap,
+             cast(sum(CASE WHEN a.o_orderstatus = b.o_orderstatus
+               THEN 1 ELSE 0 END) AS bigint) AS ast,
+             cast(sum(CASE WHEN month(a.o_orderdate) =
+               month(b.o_orderdate) THEN 1 ELSE 0 END) AS bigint) AS am
+           FROM orders a JOIN orders b
+             ON a.o_custkey = b.o_custkey
+             AND a.o_orderkey < b.o_orderkey),
+         samp AS (
+           SELECT o_orderkey, o_custkey, o_orderpriority, o_orderstatus,
+             o_orderdate
+           FROM orders
+           ORDER BY md5(cast(o_orderkey AS varchar)), o_orderkey
+           LIMIT 512),
+         up AS (
+           SELECT cast(count(*) AS bigint) AS n,
+             cast(sum(CASE WHEN a.o_orderpriority = b.o_orderpriority
+               THEN 1 ELSE 0 END) AS bigint) AS ap,
+             cast(sum(CASE WHEN a.o_orderstatus = b.o_orderstatus
+               THEN 1 ELSE 0 END) AS bigint) AS ast,
+             cast(sum(CASE WHEN month(a.o_orderdate) =
+               month(b.o_orderdate) THEN 1 ELSE 0 END) AS bigint) AS am
+           FROM samp a JOIN samp b
+             ON a.o_orderkey < b.o_orderkey
+             AND a.o_custkey <> b.o_custkey),
+         f AS (
+           SELECT 'priority' AS field, mp.ap AS ma, mp.n AS mn,
+             up.ap AS ua, up.n AS un FROM mp CROSS JOIN up
+           UNION ALL
+           SELECT 'status', mp.ast, mp.n, up.ast, up.n
+           FROM mp CROSS JOIN up
+           UNION ALL
+           SELECT 'month', mp.am, mp.n, up.am, up.n
+           FROM mp CROSS JOIN up)
+         SELECT field,
+           mn AS n_match_pairs, un AS n_nonmatch_pairs,
+           round(cast(ma AS double) / cast(mn AS double), 6) + 0.0
+             AS m_prob,
+           round(cast(ua AS double) / cast(un AS double), 6) + 0.0
+             AS u_prob,
+           round(ln((round(cast(ma AS double) / cast(mn AS double), 6)
+               + 0.0)
+               / (round(cast(ua AS double) / cast(un AS double), 6)
+                 + 0.0))
+             / ln(cast(2.0 AS double)), 6) + 0.0 AS log2_weight
+         FROM f""",
   )
 }

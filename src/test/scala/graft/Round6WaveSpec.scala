@@ -258,6 +258,78 @@ class Round6WaveSpec extends SparkSuite {
     }
   }
 
+  test("q351 Heaps: monotone growth, final checkpoint covers the corpus") {
+    val got = SparkEntry.queries("q351_heaps_law")(spark, sf)
+      .orderBy("checkpoint").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 10)
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 <= b._2 && a._3 <= b._3 && a._4 <= b._4)
+      case _ =>
+    }
+    val tok = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val (totTok, totVocab) = (tok.count(),
+      tok.select(countDistinct(col("w"))).head().getLong(0))
+    assert(got.last._3 == totTok && got.last._4 == totVocab)
+  }
+
+  test("q352 assortativity: matches brute Pearson over the edge list") {
+    val got = SparkEntry.queries("q352_assortativity")(spark, sf)
+      .collect().head
+    val edges = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dc = edges.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+    val ds = edges.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val xs = edges.map(e => dc(e._1)); val ys = edges.map(e => ds(e._2))
+    val n = edges.length.toDouble
+    val sx = xs.sum; val sy = ys.sum
+    val sxy = xs.zip(ys).map(p => p._1 * p._2).sum
+    val sxx = xs.map(x => x * x).sum; val syy = ys.map(y => y * y).sum
+    val want = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(got.getAs[Long]("n_edges") == edges.length.toLong)
+    assert(math.abs(got.getAs[Double]("assortativity") - want) < 1e-5,
+      s"got ${got.getAs[Double]("assortativity")} want $want")
+  }
+
+  test("q353 clustering: identities vs q120's per-node triangle table") {
+    val got = SparkEntry.queries("q353_clustering_coeff")(spark, sf)
+      .collect().head
+    val tc = SparkEntry.queries("q120_triangle_counts")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val wedges = tc.map { case (d, _) => d * (d - 1) / 2 }.sum
+    val tri = tc.map(_._2).sum / 3
+    assert(got.getAs[Long]("n_nodes") == tc.length.toLong)
+    assert(got.getAs[Long]("n_wedges") == wedges)
+    assert(got.getAs[Long]("total_triangles") == tri)
+    val gcc = got.getAs[Double]("global_cc")
+    assert(math.abs(gcc - 3.0 * tri / wedges) < 1e-5)
+    assert(gcc >= 0.0 && gcc <= 1.0 &&
+      got.getAs[Double]("avg_local_cc") <= 1.0)
+  }
+
+  test("q354 linkage: probabilities in (0,1), weight sign tracks m vs u") {
+    val got = SparkEntry.queries("q354_linkage_weights")(spark, sf)
+      .collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      val m = r.getAs[Double]("m_prob"); val u = r.getAs[Double]("u_prob")
+      val w = r.getAs[Double]("log2_weight")
+      assert(m > 0 && m < 1 && u > 0 && u < 1)
+      assert((m > u && w > 0) || (m < u && w < 0) || (m == u && w == 0.0),
+        s"${r.getString(0)}: m=$m u=$u w=$w")
+      // weight identity vs the rounded probabilities
+      val want = math.log(m / u) / math.log(2.0)
+      assert(math.abs(w - want) < 1e-5)
+    }
+  }
+
   test("q345 phonetic: soundex-style goldens and collision flag") {
     val got = SparkEntry.queries("q345_phonetic_blocking")(spark, sf)
       .collect()
