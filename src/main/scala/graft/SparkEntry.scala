@@ -6224,6 +6224,173 @@ object SparkEntry {
         .unionByName(fld("status", "mast", "uast"))
         .unionByName(fld("month", "mam", "uam"))
     }),
+
+    // ---- EXT: Fano factor — burstiness of per-user daily activity ----
+    "q355_fano_burstiness" -> ((s, dir) =>
+      // index of dispersion Var/Mean over (user, day) event counts per
+      // stream: 1 = Poisson, > 1 = bursty, < 1 = regular — the traffic-
+      // shape scalar behind q300's interarrival profile. Exact integer
+      // moments, one double division each.
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"),
+          col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("__c")).as("__s"),
+          sum(col("__c") * col("__c")).as("__q"))
+        .select(col("event_type"), col("n_cells"),
+          (round(col("__s").cast("double") / col("n_cells").cast("double"),
+            6) + lit(0.0d)).as("mean_count"),
+          (round((col("__q").cast("double") -
+            col("__s").cast("double") * col("__s").cast("double") /
+              col("n_cells").cast("double")) /
+            col("n_cells").cast("double"), 6) + lit(0.0d)).as("var_count"),
+          (round((col("n_cells").cast("double") *
+            col("__q").cast("double") -
+            col("__s").cast("double") * col("__s").cast("double")) /
+            (col("n_cells").cast("double") * col("__s").cast("double")),
+            6) + lit(0.0d)).as("fano_factor"))),
+
+    // ---- EXT: lognormal method-of-moments fit ----
+    "q356_lognormal_fit" -> ((s, dir) =>
+      // the distributional model behind q301's Gumbel fit, for the body
+      // instead of the tail: μ̂, σ̂ of ln(order value) per priority from
+      // 9-dp rounded-ln decimal moments (q322's libm discipline), median
+      // estimate exp(μ̂) from the 6-dp rounded mean so both engines
+      // exponentiate the identical double.
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"),
+          round(log(col("o_totalprice").cast(D).cast("double")), 9)
+            .cast("decimal(18,9)").as("__lv"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("__lv")).as("__sl"),
+          sum(col("__lv").cast("decimal(19,9)") * col("__lv")).as("__ql"))
+        .select(col("o_orderpriority"), col("n"),
+          (round(col("__sl").cast("double") / col("n").cast("double"), 6)
+            + lit(0.0d)).as("mu_hat"),
+          (round(sqrt((col("__ql").cast("double") -
+            col("__sl").cast("double") * col("__sl").cast("double") /
+              col("n").cast("double")) / col("n").cast("double")), 6)
+            + lit(0.0d)).as("sigma_hat"),
+          (round(exp(round(col("__sl").cast("double") /
+            col("n").cast("double"), 6)), 2) + lit(0.0d))
+            .as("median_hat"))),
+
+    // ---- EXT: Cochran's Q over weekly purchase activity ----
+    "q357_cochran_q" -> ((s, dir) => {
+      // did purchase propensity stay flat across the four weeks? the
+      // k-treatment generalization of q349's McNemar on the binary
+      // user×week activity matrix: Q = (k−1)(k·ΣG² − T²)/(k·T − ΣL²) —
+      // every moment an exact integer, one double division at the end.
+      val d0 = Tables.events(s, dir)
+        .agg(min(col("ts").cast("date")).as("__d0"))
+      val marks = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .crossJoin(broadcast(d0))
+        .withColumn("__wk",
+          expr("datediff(cast(ts as date), __d0) div 7"))
+        .filter(col("__wk") <= 3)
+        .select(col("user_id"), col("__wk")).distinct()
+      val lrow = marks.groupBy(col("user_id")).agg(count(lit(1)).as("__l"))
+      val rowStats = lrow.agg(count(lit(1)).as("n_users"),
+        sum(col("__l")).as("__t"),
+        sum(col("__l") * col("__l")).as("__sl2"))
+      val colStats = marks.groupBy(col("__wk"))
+        .agg(count(lit(1)).as("__g"))
+        .agg(sum(col("__g") * col("__g")).as("__sg2"))
+      rowStats.crossJoin(broadcast(colStats))
+        .select(lit(4).as("k_periods"), col("n_users"),
+          col("__t").as("total_marks"), col("__sl2").as("sum_l_sq"),
+          col("__sg2").as("sum_g_sq"),
+          (round((lit(3L) * (lit(4L) * col("__sg2") -
+            col("__t") * col("__t"))).cast("double") /
+            (lit(4L) * col("__t") - col("__sl2")).cast("double"), 6)
+            + lit(0.0d)).as("cochran_q"))
+    }),
+
+    // ---- EXT: LM-Dirichlet query-likelihood retrieval ----
+    "q358_lm_dirichlet" -> ((s, dir) => {
+      // the probabilistic retrieval model next to q96's BM25 — same
+      // probe queries, same broadcast inverted-index shape, Dirichlet
+      // smoothing μ=2000 (Zhai & Lafferty's rank-equivalent scoring)
+      import s.implicits._
+      val qs = Seq((1L, "spark window join"), (2L, "hash table scan merge"),
+        (3L, "vector stream filter customer")).toDF("query_id", "query_text")
+      TextOps.lmDirichletTopK(Tables.spread(s, Tables.documents(s, dir)),
+        "doc_id", "text", qs, "query_id", "query_text", k = 10)
+    }),
+
+    // ---- EXT: Hurst exponent via rescaled-range analysis ----
+    "q359_hurst_rs" -> ((s, dir) => {
+      // long-range dependence of the monthly revenue series: R/S per
+      // block at window sizes {10, 20, 40}, Hurst = log-log slope.
+      // Everything runs on the bounded monthly series (q336 discipline);
+      // block means are 6-dp pinned, running deviations are sequential-
+      // frame window sums (deterministic order), block stds come from
+      // exact integer-cents moments, and the 3-point slope fit uses
+      // exact decimal products so no double summation-order freedom.
+      import org.apache.spark.sql.expressions.Window
+      val spark = s
+      import spark.implicits._
+      val monthly = Tables.orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("__m"))
+        .agg(sum(col("o_totalprice").cast(D)).as("__rev"))
+      val seq0 = monthly
+        .withColumn("__i", row_number().over(Window.orderBy(col("__m"))))
+        .withColumn("__cents", (col("__rev") * lit(100)).cast("bigint"))
+        .select("__i", "__cents")
+      val nRow = seq0.agg(count(lit(1)).as("__nm"))
+      val ws = Seq(10, 20, 40).toDF("window_size")
+      val blocks = seq0.crossJoin(broadcast(ws))
+        .crossJoin(broadcast(nRow))
+        .filter(col("__i") <=
+          expr("(__nm div window_size) * window_size"))
+        .withColumn("__blk", expr("(__i - 1) div window_size"))
+      val bm = blocks.groupBy(col("window_size"), col("__blk"))
+        .agg(count(lit(1)).as("__n"), sum(col("__cents")).as("__s"),
+          sum(col("__cents").cast("decimal(18,0)") *
+            col("__cents").cast("decimal(19,0)")).as("__q"))
+        .withColumn("__mean6", round(col("__s").cast("double") /
+          (col("__n").cast("double") * lit(100.0d)), 6))
+      val wCum = Window.partitionBy(col("window_size"), col("__blk"))
+        .orderBy(col("__i"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dev = blocks
+        .join(bm.select(col("window_size"), col("__blk"), col("__mean6")),
+          Seq("window_size", "__blk"))
+        .withColumn("__cum", sum(col("__cents").cast("double") /
+          lit(100.0d) - col("__mean6")).over(wCum))
+      val rpart = dev.groupBy(col("window_size"), col("__blk"))
+        .agg((max(col("__cum")) - min(col("__cum"))).as("__r"))
+      val rs = rpart.join(bm, Seq("window_size", "__blk"))
+        .withColumn("__sd",
+          sqrt((col("__q").cast("double") -
+            col("__s").cast("double") * col("__s").cast("double") /
+              col("__n").cast("double")) / col("__n").cast("double")) /
+            lit(100.0d))
+      val mrs = rs.groupBy(col("window_size"))
+        .agg(count(lit(1)).as("n_blocks"),
+          round(sum(round(col("__r") / col("__sd"), 6)
+            .cast("decimal(18,6)")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("__mrs"))
+      val pts = mrs.select(
+        round(log(col("window_size").cast("double")), 9)
+          .cast("decimal(18,9)").as("__x"),
+        round(log(col("__mrs")), 9).cast("decimal(18,9)").as("__y"))
+      val fit = pts.agg(
+        sum(col("__x").cast("decimal(19,9)") * col("__y")).as("__sxy"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x").cast("decimal(19,9)") * col("__x")).as("__sxx"))
+        .select(((lit(3.0d) * col("__sxy").cast("double") -
+          col("__sx").cast("double") * col("__sy").cast("double")) /
+          (lit(3.0d) * col("__sxx").cast("double") -
+            col("__sx").cast("double") * col("__sx").cast("double")))
+          .as("__slope"))
+      mrs.crossJoin(broadcast(fit))
+        .select(col("window_size"), col("n_blocks"),
+          (col("__mrs") + lit(0.0d)).as("mean_rs"),
+          (round(col("__slope"), 6) + lit(0.0d)).as("hurst_exponent"))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -11833,5 +12000,173 @@ object SparkEntry {
                  + 0.0))
              / ln(cast(2.0 AS double)), 6) + 0.0 AS log2_weight
          FROM f""",
+    // Fano: exact integer moments of (user, day) counts per stream
+    "q355_fano_burstiness" ->
+      """WITH c AS (
+           SELECT event_type, user_id, cast(ts AS date) AS d,
+             cast(count(*) AS bigint) AS c
+           FROM events GROUP BY 1, 2, 3),
+         m AS (
+           SELECT event_type, cast(count(*) AS bigint) AS n,
+             cast(sum(c) AS bigint) AS s,
+             cast(sum(c * c) AS bigint) AS q
+           FROM c GROUP BY 1)
+         SELECT event_type, n AS n_cells,
+           round(cast(s AS double) / cast(n AS double), 6) + 0.0
+             AS mean_count,
+           round((cast(q AS double) - cast(s AS double) * cast(s AS double)
+               / cast(n AS double)) / cast(n AS double), 6) + 0.0
+             AS var_count,
+           round((cast(n AS double) * cast(q AS double)
+               - cast(s AS double) * cast(s AS double))
+             / (cast(n AS double) * cast(s AS double)), 6) + 0.0
+             AS fano_factor
+         FROM m""",
+    // lognormal MoM: 9-dp rounded-ln decimal moments; exp of the 6-dp
+    // rounded mean so both engines exponentiate the identical double
+    "q356_lognormal_fit" ->
+      """WITH l AS (
+           SELECT o_orderpriority,
+             cast(round(ln(cast(cast(o_totalprice AS decimal(18,2))
+               AS double)), 9) AS decimal(18,9)) AS lv
+           FROM orders),
+         m AS (
+           SELECT o_orderpriority, cast(count(*) AS bigint) AS n,
+             sum(lv) AS sl,
+             sum(cast(lv AS decimal(19,9)) * lv) AS ql
+           FROM l GROUP BY 1)
+         SELECT o_orderpriority, n,
+           round(cast(sl AS double) / cast(n AS double), 6) + 0.0
+             AS mu_hat,
+           round(sqrt((cast(ql AS double) - cast(sl AS double)
+               * cast(sl AS double) / cast(n AS double))
+             / cast(n AS double)), 6) + 0.0 AS sigma_hat,
+           round(exp(round(cast(sl AS double) / cast(n AS double), 6)), 2)
+             + 0.0 AS median_hat
+         FROM m""",
+    // Cochran's Q: exact integer user×week activity moments
+    "q357_cochran_q" ->
+      """WITH d0 AS (SELECT min(cast(ts AS date)) AS d0 FROM events),
+         marks AS (
+           SELECT DISTINCT user_id,
+             date_diff('day', d0, cast(ts AS date)) // 7 AS wk
+           FROM events CROSS JOIN d0
+           WHERE event_type = 'purchase'
+             AND date_diff('day', d0, cast(ts AS date)) // 7 <= 3),
+         lrow AS (SELECT user_id, cast(count(*) AS bigint) AS l
+           FROM marks GROUP BY 1),
+         gcol AS (SELECT wk, cast(count(*) AS bigint) AS g FROM marks
+           GROUP BY 1),
+         m AS (
+           SELECT (SELECT cast(count(*) AS bigint) FROM lrow) AS n_users,
+             (SELECT cast(sum(l) AS bigint) FROM lrow) AS t,
+             (SELECT cast(sum(l * l) AS bigint) FROM lrow) AS sl2,
+             (SELECT cast(sum(g * g) AS bigint) FROM gcol) AS sg2)
+         SELECT cast(4 AS int) AS k_periods, n_users, t AS total_marks,
+           sl2 AS sum_l_sq, sg2 AS sum_g_sq,
+           round(cast(3 * (4 * sg2 - t * t) AS double)
+             / cast(4 * t - sl2 AS double), 6) + 0.0 AS cochran_q
+         FROM m""",
+    // LM-Dirichlet: q96's inverted-index probe shape, Zhai-Lafferty
+    // rank-equivalent scoring, integer products inside the ln
+    "q358_lm_dirichlet" ->
+      """WITH q(query_id, query_text) AS (VALUES
+             (1, 'spark window join'), (2, 'hash table scan merge'),
+             (3, 'vector stream filter customer')),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+         tf AS (SELECT doc_id, term, cast(count(*) AS bigint) AS tf
+           FROM tok2 GROUP BY 1, 2),
+         dl AS (SELECT doc_id, cast(sum(tf) AS bigint) AS dl FROM tf
+           GROUP BY 1),
+         cf AS (SELECT term, cast(count(*) AS bigint) AS cf FROM tok2
+           GROUP BY 1),
+         ct AS (SELECT cast(count(*) AS bigint) AS ctot FROM tok2),
+         qt AS (SELECT DISTINCT query_id, term FROM (
+             SELECT cast(query_id AS bigint) AS query_id,
+               unnest(string_split(query_text, ' ')) AS term FROM q) x
+           WHERE term <> ''),
+         qm AS (SELECT qt.query_id, qt.term, cf.cf FROM qt JOIN cf
+           USING (term)),
+         qn AS (SELECT query_id, cast(count(*) AS bigint) AS nq
+           FROM qm GROUP BY 1),
+         sc AS (
+           SELECT qm.query_id, tf.doc_id,
+             cast(round(ln(1.0 + cast(tf.tf * ct.ctot AS double)
+               / cast(2000 * qm.cf AS double)), 6) AS decimal(18,6)) AS s
+           FROM qm JOIN tf USING (term), ct),
+         agg AS (SELECT query_id, doc_id, sum(s) AS ssum
+           FROM sc GROUP BY 1, 2),
+         scored AS (
+           SELECT agg.query_id, agg.doc_id,
+             round(cast(agg.ssum AS double)
+               + cast(qn.nq AS double)
+                 * (round(ln(cast(2000 AS double)
+                     / cast(dl.dl + 2000 AS double)), 6) + 0.0), 6) + 0.0
+               AS score
+           FROM agg JOIN qn USING (query_id) JOIN dl USING (doc_id))
+         SELECT query_id, doc_id, score, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, doc_id) AS rank FROM scored) r
+         WHERE rank <= 10""",
+    // Hurst R/S: 6-dp pinned block means, sequential-frame running
+    // deviations, exact-cents block stds, exact-decimal 3-point slope
+    "q359_hurst_rs" ->
+      """WITH monthly AS (
+           SELECT date_trunc('month', o_orderdate) AS m,
+             sum(cast(o_totalprice AS decimal(18,2))) AS rev
+           FROM orders GROUP BY 1),
+         seq AS (SELECT rev, row_number() OVER (ORDER BY m) AS i
+           FROM monthly),
+         ws AS (SELECT unnest([10, 20, 40]) AS w),
+         blocks AS (
+           SELECT ws.w, (seq.i - 1) // ws.w AS blk, seq.i,
+             cast(rev * 100 AS bigint) AS cents
+           FROM seq CROSS JOIN ws
+           WHERE seq.i <= ((SELECT count(*) FROM seq) // ws.w) * ws.w),
+         bm AS (
+           SELECT w, blk, cast(count(*) AS bigint) AS n,
+             cast(sum(cents) AS bigint) AS s,
+             sum(cast(cents AS hugeint) * cents) AS q,
+             round(cast(sum(cents) AS double)
+               / (cast(count(*) AS double) * 100.0), 6) AS mean6
+           FROM blocks GROUP BY 1, 2),
+         dev AS (
+           SELECT b.w, b.blk, b.i,
+             sum(cast(b.cents AS double) / 100.0 - bm.mean6)
+               OVER (PARTITION BY b.w, b.blk ORDER BY b.i
+                 ROWS UNBOUNDED PRECEDING) AS cum
+           FROM blocks b JOIN bm ON b.w = bm.w AND b.blk = bm.blk),
+         rpart AS (SELECT w, blk, max(cum) - min(cum) AS r FROM dev
+           GROUP BY 1, 2),
+         rs AS (
+           SELECT rpart.w, rpart.blk, rpart.r,
+             sqrt((cast(bm.q AS double) - cast(bm.s AS double)
+                 * cast(bm.s AS double) / cast(bm.n AS double))
+               / cast(bm.n AS double)) / 100.0 AS sd
+           FROM rpart JOIN bm ON rpart.w = bm.w AND rpart.blk = bm.blk),
+         mrs AS (
+           SELECT w, cast(count(*) AS bigint) AS n_blocks,
+             round(cast(sum(cast(round(r / sd, 6) AS decimal(18,6)))
+                 AS double)
+               / cast(count(*) AS double), 6) AS mean_rs
+           FROM rs GROUP BY 1),
+         pts AS (
+           SELECT cast(round(ln(cast(w AS double)), 9) AS decimal(18,9))
+               AS x,
+             cast(round(ln(mean_rs), 9) AS decimal(18,9)) AS y
+           FROM mrs),
+         fit AS (
+           SELECT (3.0 * cast(sum(cast(x AS decimal(19,9)) * y) AS double)
+               - cast(sum(x) AS double) * cast(sum(y) AS double))
+             / (3.0 * cast(sum(cast(x AS decimal(19,9)) * x) AS double)
+               - cast(sum(x) AS double) * cast(sum(x) AS double))
+               AS slope
+           FROM pts)
+         SELECT mrs.w AS window_size, mrs.n_blocks,
+           mrs.mean_rs + 0.0 AS mean_rs,
+           round(fit.slope, 6) + 0.0 AS hurst_exponent
+         FROM mrs CROSS JOIN fit""",
   )
 }

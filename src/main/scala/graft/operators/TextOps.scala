@@ -553,6 +553,59 @@ object TextOps {
       .filter(col("rank") <= k)
   }
 
+  /** Query-likelihood retrieval with Dirichlet smoothing (Zhai & Lafferty's
+    * rank-equivalent form) — the probabilistic complement to [[bm25TopK]]:
+    *
+    *   score(q,d) = Σ_{t ∈ q∩d} ln(1 + tf_{t,d}·|C| / (μ·cf_t))
+    *              + |q|·ln(μ / (dl_d + μ))
+    *
+    * Same scale shape as BM25: the (query, term, cf) build side is
+    * dimension-sized and broadcast, the corpus tf table streams through one
+    * broadcast hash join (the inverted-index probe), the per-query top-k is
+    * a partitioned WindowGroupLimit. Only documents containing ≥1 query
+    * term are candidates (the second term alone cannot rank a doc in).
+    *
+    * Determinism contract: per-term scores round to 6 dp and sum as exact
+    * decimals; the per-doc length penalty rounds its ln to 6 dp before the
+    * |q| multiply; integer products (tf·|C|, μ·cf) stay exact inside the
+    * ln argument so both engines feed libm identical doubles. */
+  def lmDirichletTopK(docs: DataFrame, idCol: String, textCol: String,
+                      queries: DataFrame, qidCol: String, qtextCol: String,
+                      k: Int = 10, mu: Long = 2000L): DataFrame = {
+    require(k > 0 && mu > 0, "need k > 0 and mu > 0")
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val cf = tok.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val ctot = tok.agg(count(lit(1)).as("ctot"))
+    val qt = queries.select(col(qidCol),
+        explode(array_distinct(tokens(col(qtextCol)))).as("term"))
+      .filter(col("term") =!= "")
+    val qm = qt.join(cf, Seq("term")) // (qid, term, cf) — query-sized
+    val qn = qm.groupBy(col(qidCol)).agg(count(lit(1)).as("nq"))
+    val perTerm = tf.join(broadcast(qm), Seq("term"))
+      .crossJoin(broadcast(ctot))
+      .withColumn("__s",
+        round(log(lit(1.0d) + (col("tf") * col("ctot")).cast("double") /
+          (lit(mu) * col("cf")).cast("double")), 6).cast("decimal(18,6)"))
+    val perDoc = perTerm.groupBy(col(qidCol), col(idCol))
+      .agg(sum(col("__s")).as("__ssum"))
+    val scored = perDoc
+      .join(broadcast(qn), Seq(qidCol))
+      .join(dl, Seq(idCol))
+      .withColumn("score",
+        round(col("__ssum").cast("double") + col("nq").cast("double") *
+          (round(log(lit(mu.toDouble) /
+            (col("dl") + lit(mu)).cast("double")), 6) + lit(0.0d)), 6)
+          + lit(0.0d))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("score"), col("rank"))
+  }
+
   /** Reciprocal-rank fusion — the standard hybrid-retrieval combiner
     * (lexical BM25 + vector ANN feeding one ranked list, the RAG-serving
     * shape): each input ranking contributes 1/(kk + rank) per (query, doc),

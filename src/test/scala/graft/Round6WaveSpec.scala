@@ -330,6 +330,91 @@ class Round6WaveSpec extends SparkSuite {
     }
   }
 
+  test("q355 Fano: matches brute dispersion over (user, day) cells") {
+    val got = SparkEntry.queries("q355_fano_burstiness")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("fano_factor"))
+      .toMap
+    val cells = Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("user_id"),
+        col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(3)))
+    cells.groupBy(_._1).foreach { case (tpe, rows) =>
+      val cs = rows.map(_._2.toDouble)
+      val m = cs.sum / cs.length
+      val v = cs.map(x => (x - m) * (x - m)).sum / cs.length
+      assert(math.abs(got(tpe) - v / m) < 1e-5, s"$tpe ${got(tpe)} vs ${v / m}")
+    }
+  }
+
+  test("q356 lognormal: exp(mu) median within the value range") {
+    SparkEntry.queries("q356_lognormal_fit")(spark, sf).collect()
+      .foreach { r =>
+        val mu = r.getAs[Double]("mu_hat")
+        val sg = r.getAs[Double]("sigma_hat")
+        val med = r.getAs[Double]("median_hat")
+        assert(sg > 0 && mu > 0)
+        assert(math.abs(med - math.exp(mu)) < 0.5 + med * 1e-6)
+      }
+  }
+
+  test("q357 Cochran Q: identity from the brute user-week matrix") {
+    val got = SparkEntry.queries("q357_cochran_q")(spark, sf)
+      .collect().head
+    val marks = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").collect()
+    val d0 = Tables.events(spark, sf)
+      .agg(min(col("ts").cast("date"))).head().getDate(0).toLocalDate
+    val mk = marks.map { r =>
+      val d = r.getAs[java.sql.Timestamp]("ts").toLocalDateTime.toLocalDate
+      (r.getAs[Long]("user_id"),
+        java.time.temporal.ChronoUnit.DAYS.between(d0, d) / 7)
+    }.filter(_._2 <= 3).distinct
+    val ls = mk.groupBy(_._1).values.map(_.size.toLong)
+    val gs = mk.groupBy(_._2).values.map(_.size.toLong)
+    val t = ls.sum; val sl2 = ls.map(l => l * l).sum
+    val sg2 = gs.map(g => g * g).sum
+    val want = 3.0 * (4 * sg2 - t * t).toDouble / (4 * t - sl2).toDouble
+    assert(got.getAs[Long]("n_users") == ls.size.toLong)
+    assert(math.abs(got.getAs[Double]("cochran_q") - want) < 1e-5)
+  }
+
+  test("q358 LM-Dirichlet: per-query top-10, scores descending, overlap with BM25") {
+    val lm = SparkEntry.queries("q358_lm_dirichlet")(spark, sf).collect()
+    val byQ = lm.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == Set(1L, 2L, 3L))
+    byQ.values.foreach { rows =>
+      assert(rows.length == 10)
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("score") >= b.getAs[Double]("score"))
+        case _ =>
+      }
+    }
+    // sanity: the two models should agree on a nonempty slice of top-10s
+    val bm = SparkEntry.queries("q96_bm25_topk")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))).toSet
+    val lmSet = lm.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))).toSet
+    assert(lmSet.intersect(bm).nonEmpty)
+  }
+
+  test("q359 Hurst: slope in (0,1), R/S grows with window size") {
+    val got = SparkEntry.queries("q359_hurst_rs")(spark, sf)
+      .orderBy("window_size").collect()
+      .map(r => (r.getInt(0), r.getAs[Double]("mean_rs"),
+        r.getAs[Double]("hurst_exponent")))
+    assert(got.map(_._1).toSeq == Seq(10, 20, 40))
+    assert(got.sliding(2).forall {
+      case Array(a, b) => a._2 < b._2
+      case _ => true
+    })
+    val h = got.head._3
+    assert(got.forall(_._3 == h))
+    assert(h > 0.0 && h < 1.0, s"hurst $h outside (0,1)")
+  }
+
   test("q345 phonetic: soundex-style goldens and collision flag") {
     val got = SparkEntry.queries("q345_phonetic_blocking")(spark, sf)
       .collect()
