@@ -72,7 +72,12 @@ class PlanRegressionSpec extends AnyFunSuite {
     "q286_acf_daily", "q289_spearman_rho", "q293_rfm_segments",
     "q295_kmv_intersect", "q296_kcore_peel", "q298_fuzzy_match",
     "q299_damerau_close", "q304_decision_stump", "q307_logistic_irls",
-    "q310_dhash_banded_pairs", "q311_greedy_cover")
+    "q310_dhash_banded_pairs", "q311_greedy_cover",
+    // round-6 third/fourth wave: fact⋈basket price index, changepoint
+    // windows, edge-moment assortativity, triangle-closure aggregate,
+    // blocked+budgeted linkage, LM retrieval probe
+    "q341_changepoint", "q346_price_index", "q352_assortativity",
+    "q353_clustering_coeff", "q354_linkage_weights", "q358_lm_dirichlet")
 
   /** Sanctioned BroadcastNestedLoopJoins whose build side is a DESIGN-
     * bounded broadcast probe/query set rather than an aggregate — e.g. the
@@ -95,7 +100,13 @@ class PlanRegressionSpec extends AnyFunSuite {
     // occurrence shows a childless ReusedExchangeExec build, so the
     // aggregate behind it is invisible to the classifier; the original
     // occurrence in the same plan IS aggregate-built and unsanctioned
-    "q293_rfm_segments" -> 1, "q295_kmv_intersect" -> 1)
+    "q293_rfm_segments" -> 1, "q295_kmv_intersect" -> 1,
+    // q354 crossJoins the 1-row nonmatch-aggregate onto the 1-row match-
+    // aggregate once per union branch (3 fields); the build subtree is the
+    // same SinglePartition aggregate exchange, reused after the first
+    // branch, which hides the aggregate from the classifier exactly as in
+    // q293/q295. The count stays pinned at 3.
+    "q354_linkage_weights" -> 3)
 
   private def aggregateBounded(p: SparkPlan): Boolean = p match {
     case _: BaseAggregateExec => true
