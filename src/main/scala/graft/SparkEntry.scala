@@ -6391,6 +6391,190 @@ object SparkEntry {
           (col("__mrs") + lit(0.0d)).as("mean_rs"),
           (round(col("__slope"), 6) + lit(0.0d)).as("hurst_exponent"))
     }),
+
+    // ---- EXT: negative-binomial method-of-moments fit ----
+    "q360_negbin_fit" -> ((s, dir) =>
+      // overdispersion model of per-customer order counts (q132's
+      // custdist domain): r̂ = m²/(v−m), p̂ = m/v — defined only when the
+      // data is actually overdispersed (v > m), NULL otherwise, matching
+      // NB's domain. Exact integer moments, mirrored double algebra.
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("__c"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("__c")).as("__s"),
+          sum(col("__c") * col("__c")).as("__q"))
+        .withColumn("__m",
+          col("__s").cast("double") / col("n_customers").cast("double"))
+        .withColumn("__v",
+          (col("__q").cast("double") -
+            col("__s").cast("double") * col("__s").cast("double") /
+              col("n_customers").cast("double")) /
+            col("n_customers").cast("double"))
+        .select(col("n_customers"),
+          (round(col("__m"), 6) + lit(0.0d)).as("mean_orders"),
+          (round(col("__v"), 6) + lit(0.0d)).as("var_orders"),
+          when(col("__v") > col("__m"),
+            round(col("__m") * col("__m") / (col("__v") - col("__m")), 6)
+              + lit(0.0d)).as("r_hat"),
+          when(col("__v") > col("__m"),
+            round(col("__m") / col("__v"), 6) + lit(0.0d)).as("p_hat"))),
+
+    // ---- EXT: Good–Turing frequency-of-frequencies ----
+    "q361_good_turing" -> ((s, dir) => {
+      // the smoothing table LM estimators start from: how many bigram
+      // types occur r times (r ≤ 10), plus the Good–Turing unseen-mass
+      // estimate P₀ = N₁/N — the vocabulary-coverage diagnostic for a
+      // training corpus. Bigrams reuse q119's adjacency construction
+      // (empties filtered BEFORE pairing).
+      val toked = Tables.documents(s, dir)
+        .select(org.apache.spark.sql.functions.filter(
+          split(col("text"), " "), t => t =!= "").as("__toks"))
+        .withColumn("__n", size(col("__toks")))
+        .filter(col("__n") >= 2)
+      val bg = toked
+        .select(col("__toks"),
+          explode(sequence(lit(1), col("__n") - 1)).as("__i"))
+        .select(concat(element_at(col("__toks"), col("__i")), lit(" "),
+          element_at(col("__toks"), col("__i") + 1)).as("__bg"))
+      val tf = bg.groupBy(col("__bg")).agg(count(lit(1)).as("__c"))
+      val ff = tf.groupBy(col("__c").as("freq"))
+        .agg(count(lit(1)).as("n_types"))
+      val tot = tf.agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("vocab"))
+      val n1 = ff.agg(coalesce(sum(when(col("freq") === 1,
+        col("n_types"))), lit(0L)).as("__n1"))
+      ff.filter(col("freq") <= 10)
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(n1))
+        .select(col("freq"), col("n_types"), col("n_tokens"), col("vocab"),
+          (round(col("__n1").cast("double") /
+            col("n_tokens").cast("double"), 6) + lit(0.0d))
+            .as("p0_unseen"))
+    }),
+
+    // ---- EXT: Simpson diversity of token distributions ----
+    "q362_simpson_diversity" -> ((s, dir) =>
+      // the collision-probability complement to the entropy gates:
+      // Simpson's index Σc(c−1)/(N(N−1)) per source — an EXACT rational
+      // (unbiased sampling-without-replacement form), one mirrored
+      // division at the end.
+      Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("__c"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("vocab"), sum(col("__c")).as("__n"),
+          sum(col("__c") * (col("__c") - lit(1))).as("__cc"))
+        .select(col("source"), col("vocab"), col("__n").as("n_tokens"),
+          (round(col("__cc").cast("double") /
+            (col("__n").cast("double") * (col("__n") - lit(1))
+              .cast("double")), 6) + lit(0.0d)).as("simpson_index"),
+          (round(lit(1.0d) - col("__cc").cast("double") /
+            (col("__n").cast("double") * (col("__n") - lit(1))
+              .cast("double")), 6) + lit(0.0d)).as("simpson_diversity"))),
+
+    // ---- EXT: Durbin–Watson residual autocorrelation ----
+    "q363_durbin_watson" -> ((s, dir) => {
+      // is q141's OLS trend leaving autocorrelated residuals? DW =
+      // Σ(e_t − e_{t−1})²/Σe_t² on the monthly-revenue trend fit —
+      // residuals rounded to 6 dp, squared terms rounded to 4 dp then
+      // EXACTLY decimal-summed (the k-cell reduction discipline), all on
+      // the bounded monthly series.
+      import org.apache.spark.sql.expressions.Window
+      val monthly = Tables.orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("__m"))
+        .agg(sum(col("o_totalprice").cast(D)).cast("double").as("__y"))
+      val seq0 = monthly.withColumn("__t",
+        row_number().over(Window.orderBy(col("__m"))).cast("long"))
+      val fit = seq0.agg(count(lit(1)).as("__n"),
+        sum(col("__t")).as("__st"),
+        sum(col("__t") * col("__t")).as("__stt"),
+        sum(col("__y").cast("decimal(28,6)")).as("__syd"),
+        sum(round(col("__t").cast("double") * col("__y"), 4)
+          .cast("decimal(38,4)")).as("__styd"))
+        .select(col("__n"), col("__st"), col("__stt"),
+          col("__syd").cast("double").as("__sy"),
+          col("__styd").cast("double").as("__sty"))
+        .withColumn("__b",
+          (col("__n").cast("double") * col("__sty") -
+            col("__st").cast("double") * col("__sy")) /
+            (col("__n").cast("double") * col("__stt").cast("double") -
+              col("__st").cast("double") * col("__st").cast("double")))
+        .withColumn("__a",
+          (col("__sy") - col("__b") * col("__st").cast("double")) /
+            col("__n").cast("double"))
+      val res = seq0.crossJoin(broadcast(fit.select("__a", "__b")))
+        .select(col("__t"),
+          round(col("__y") - (col("__a") + col("__b") *
+            col("__t").cast("double")), 6).as("__e"))
+      val lagd = res.withColumn("__ep",
+        lag(col("__e"), 1).over(Window.orderBy(col("__t"))))
+      lagd.agg(
+          sum(round((col("__e") - col("__ep")) * (col("__e") - col("__ep")),
+            4).cast("decimal(38,4)")).as("__sdd"),
+          sum(round(col("__e") * col("__e"), 4).cast("decimal(38,4)"))
+            .as("__see"),
+          count(lit(1)).as("n_months"))
+        .select(col("n_months"),
+          (round(col("__sdd").cast("double") / col("__see").cast("double"),
+            6) + lit(0.0d)).as("durbin_watson"))
+    }),
+
+    // ---- EXT: Goodman–Kruskal gamma (ordinal association) ----
+    "q364_gk_gamma" -> ((s, dir) => {
+      // ordinal association between priority class and order-status
+      // stage on the BOUNDED 15-cell contingency table: concordant/
+      // discordant weighted by exact cell-count products — the ordinal
+      // cousin of the Cramér's V gate, never a row-pair join.
+      val cell = Tables.orders(s, dir)
+        .groupBy(substring(col("o_orderpriority"), 1, 1).cast("int")
+          .as("px"),
+          when(col("o_orderstatus") === "F", 1)
+            .when(col("o_orderstatus") === "P", 2).otherwise(3).as("sy"))
+        .agg(count(lit(1)).as("c"))
+      val a = cell.select(col("px").as("pxa"), col("sy").as("sya"),
+        col("c").as("ca"))
+      val b = cell.select(col("px").as("pxb"), col("sy").as("syb"),
+        col("c").as("cb"))
+      a.join(broadcast(b), col("pxa") < col("pxb") ||
+          (col("pxa") === col("pxb") && col("sya") < col("syb")))
+        .agg(
+          sum(when((col("pxa") < col("pxb") && col("sya") < col("syb")) ||
+            (col("pxa") > col("pxb") && col("sya") > col("syb")),
+            col("ca") * col("cb")).otherwise(0L)).as("concordant"),
+          sum(when((col("pxa") < col("pxb") && col("sya") > col("syb")) ||
+            (col("pxa") > col("pxb") && col("sya") < col("syb")),
+            col("ca") * col("cb")).otherwise(0L)).as("discordant"))
+        .select(col("concordant"), col("discordant"),
+          (round((col("concordant") - col("discordant")).cast("double") /
+            (col("concordant") + col("discordant")).cast("double"), 6)
+            + lit(0.0d)).as("gk_gamma"))
+    }),
+
+    // ---- EXT: categorical mutual information ----
+    "q365_mutual_info" -> ((s, dir) => {
+      // I(event_type; day-of-week) in nats — the dependence scalar
+      // behind q128's χ² screen: 9-dp rounded p·ln terms over the
+      // BOUNDED 35-cell table, exactly decimal-summed.
+      val e = Tables.events(s, dir)
+        .select(col("event_type"),
+          dayofweek(col("ts")).as("__dw"))
+        // isodow mirror: Spark dayofweek is 1=Sunday; shift to ISO
+        .withColumn("dow",
+          when(col("__dw") === 1, 7).otherwise(col("__dw") - 1))
+      val cell = e.groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("c"))
+      val mx = cell.groupBy(col("event_type")).agg(sum(col("c")).as("cx"))
+      val my = cell.groupBy(col("dow")).agg(sum(col("c")).as("cy"))
+      val tot = cell.agg(sum(col("c")).as("n"))
+      cell.join(mx, Seq("event_type")).join(my, Seq("dow"))
+        .crossJoin(broadcast(tot))
+        .select(round(col("c").cast("double") / col("n").cast("double") *
+          log(col("c").cast("double") * col("n").cast("double") /
+            (col("cx").cast("double") * col("cy").cast("double"))), 9)
+          .cast("decimal(18,9)").as("__term"))
+        .agg(count(lit(1)).as("n_cells"),
+          (round(sum(col("__term")).cast("double"), 6) + lit(0.0d))
+            .as("mutual_info_nats"))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -12168,5 +12352,160 @@ object SparkEntry {
            mrs.mean_rs + 0.0 AS mean_rs,
            round(fit.slope, 6) + 0.0 AS hurst_exponent
          FROM mrs CROSS JOIN fit""",
+    // negative binomial MoM over per-customer order counts; r/p defined
+    // only when genuinely overdispersed (v > m)
+    "q360_negbin_fit" ->
+      """WITH c AS (SELECT o_custkey, cast(count(*) AS bigint) AS c
+           FROM orders GROUP BY 1),
+         m AS (SELECT cast(count(*) AS bigint) AS n,
+             cast(sum(c) AS bigint) AS s,
+             cast(sum(c * c) AS bigint) AS q FROM c),
+         mv AS (SELECT n,
+             cast(s AS double) / cast(n AS double) AS mean,
+             (cast(q AS double) - cast(s AS double) * cast(s AS double)
+               / cast(n AS double)) / cast(n AS double) AS var
+           FROM m)
+         SELECT n AS n_customers,
+           round(mean, 6) + 0.0 AS mean_orders,
+           round(var, 6) + 0.0 AS var_orders,
+           CASE WHEN var > mean
+             THEN round(mean * mean / (var - mean), 6) + 0.0 END AS r_hat,
+           CASE WHEN var > mean
+             THEN round(mean / var, 6) + 0.0 END AS p_hat
+         FROM mv""",
+    // Good-Turing: bigram frequency-of-frequencies (q119's adjacency —
+    // empties filtered BEFORE pairing), unseen mass N1/N
+    "q361_good_turing" ->
+      """WITH d AS (SELECT list_filter(string_split(text, ' '),
+             t -> t <> '') AS toks
+           FROM documents),
+         nn AS (SELECT toks, len(toks) AS n FROM d WHERE len(toks) >= 2),
+         bg AS (SELECT toks[i] || ' ' || toks[i + 1] AS bg
+           FROM nn, unnest(generate_series(1, n - 1)) AS t(i)),
+         tf AS (SELECT bg, cast(count(*) AS bigint) AS c FROM bg
+           GROUP BY 1),
+         ff AS (SELECT c AS freq, cast(count(*) AS bigint) AS n_types
+           FROM tf GROUP BY 1),
+         tot AS (SELECT cast(sum(c) AS bigint) AS n_tokens,
+             cast(count(*) AS bigint) AS vocab FROM tf),
+         n1 AS (SELECT cast(coalesce(
+             (SELECT n_types FROM ff WHERE freq = 1), 0) AS bigint) AS n1)
+         SELECT ff.freq, ff.n_types, tot.n_tokens, tot.vocab,
+           round(cast(n1.n1 AS double) / cast(tot.n_tokens AS double), 6)
+             + 0.0 AS p0_unseen
+         FROM ff CROSS JOIN tot CROSS JOIN n1
+         WHERE ff.freq <= 10""",
+    // Simpson: exact rational collision probability per source
+    "q362_simpson_diversity" ->
+      """WITH tok AS (
+           SELECT source, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         tf AS (SELECT source, w, cast(count(*) AS bigint) AS c FROM tok
+           WHERE w <> '' GROUP BY 1, 2),
+         m AS (SELECT source, cast(count(*) AS bigint) AS vocab,
+             cast(sum(c) AS bigint) AS n,
+             cast(sum(c * (c - 1)) AS bigint) AS cc
+           FROM tf GROUP BY 1)
+         SELECT source, vocab, n AS n_tokens,
+           round(cast(cc AS double)
+             / (cast(n AS double) * cast(n - 1 AS double)), 6) + 0.0
+             AS simpson_index,
+           round(1.0 - cast(cc AS double)
+             / (cast(n AS double) * cast(n - 1 AS double)), 6) + 0.0
+             AS simpson_diversity
+         FROM m""",
+    // Durbin-Watson: 6-dp residuals, 4-dp rounded squared terms exactly
+    // summed; the trend fit's y-moments are exact decimal sums
+    "q363_durbin_watson" ->
+      """WITH monthly AS (
+           SELECT date_trunc('month', o_orderdate) AS m,
+             cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS y
+           FROM orders GROUP BY 1),
+         seq AS (SELECT y, cast(row_number() OVER (ORDER BY m) AS bigint)
+             AS t
+           FROM monthly),
+         fit AS (
+           SELECT cast(count(*) AS bigint) AS n,
+             cast(sum(t) AS bigint) AS st,
+             cast(sum(t * t) AS bigint) AS stt,
+             cast(sum(cast(y AS decimal(28,6))) AS double) AS sy,
+             cast(sum(cast(round(cast(t AS double) * y, 4)
+               AS decimal(38,4))) AS double) AS sty
+           FROM seq),
+         ab AS (
+           SELECT n,
+             (cast(n AS double) * sty - cast(st AS double) * sy)
+               / (cast(n AS double) * cast(stt AS double)
+                 - cast(st AS double) * cast(st AS double)) AS b,
+             (sy - (cast(n AS double) * sty - cast(st AS double) * sy)
+               / (cast(n AS double) * cast(stt AS double)
+                 - cast(st AS double) * cast(st AS double))
+               * cast(st AS double)) / cast(n AS double) AS a
+           FROM fit),
+         res AS (
+           SELECT seq.t,
+             round(seq.y - (ab.a + ab.b * cast(seq.t AS double)), 6) AS e
+           FROM seq CROSS JOIN ab),
+         lagd AS (
+           SELECT t, e, lag(e) OVER (ORDER BY t) AS ep FROM res),
+         agg AS (
+           SELECT
+             sum(cast(round((e - ep) * (e - ep), 4) AS decimal(38,4)))
+               AS sdd,
+             sum(cast(round(e * e, 4) AS decimal(38,4))) AS see,
+             cast(count(*) AS bigint) AS n
+           FROM lagd)
+         SELECT n AS n_months,
+           round(cast(sdd AS double) / cast(see AS double), 6) + 0.0
+             AS durbin_watson
+         FROM agg""",
+    // GK gamma: bounded 15-cell contingency table, exact count products
+    "q364_gk_gamma" ->
+      """WITH cell AS (
+           SELECT cast(substr(o_orderpriority, 1, 1) AS int) AS px,
+             CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'P' THEN 2
+               ELSE 3 END AS sy,
+             cast(count(*) AS bigint) AS c
+           FROM orders GROUP BY 1, 2),
+         pairs AS (
+           SELECT a.px AS pxa, a.sy AS sya, b.px AS pxb, b.sy AS syb,
+             a.c AS ca, b.c AS cb
+           FROM cell a JOIN cell b
+             ON a.px < b.px OR (a.px = b.px AND a.sy < b.sy)),
+         agg AS (
+           SELECT
+             cast(sum(CASE WHEN (pxa < pxb AND sya < syb)
+               OR (pxa > pxb AND sya > syb) THEN ca * cb ELSE 0 END)
+               AS bigint) AS conc,
+             cast(sum(CASE WHEN (pxa < pxb AND sya > syb)
+               OR (pxa > pxb AND sya < syb) THEN ca * cb ELSE 0 END)
+               AS bigint) AS disc
+           FROM pairs)
+         SELECT conc AS concordant, disc AS discordant,
+           round(cast(conc - disc AS double)
+             / cast(conc + disc AS double), 6) + 0.0 AS gk_gamma
+         FROM agg""",
+    // mutual information: 9-dp rounded p*ln terms over the bounded
+    // 35-cell table, exactly decimal-summed
+    "q365_mutual_info" ->
+      """WITH e AS (SELECT event_type, cast(isodow(ts) AS int) AS dow
+           FROM events),
+         cell AS (SELECT event_type, dow, cast(count(*) AS bigint) AS c
+           FROM e GROUP BY 1, 2),
+         mx AS (SELECT event_type, cast(sum(c) AS bigint) AS cx FROM cell
+           GROUP BY 1),
+         my AS (SELECT dow, cast(sum(c) AS bigint) AS cy FROM cell
+           GROUP BY 1),
+         tot AS (SELECT cast(sum(c) AS bigint) AS n FROM cell),
+         terms AS (
+           SELECT cast(round(cast(cell.c AS double) / cast(tot.n AS double)
+               * ln(cast(cell.c AS double) * cast(tot.n AS double)
+                 / (cast(mx.cx AS double) * cast(my.cy AS double))), 9)
+               AS decimal(18,9)) AS term
+           FROM cell JOIN mx USING (event_type) JOIN my USING (dow)
+             CROSS JOIN tot)
+         SELECT cast(count(*) AS bigint) AS n_cells,
+           round(cast(sum(term) AS double), 6) + 0.0 AS mutual_info_nats
+         FROM terms""",
   )
 }

@@ -415,6 +415,93 @@ class Round6WaveSpec extends SparkSuite {
     assert(h > 0.0 && h < 1.0, s"hurst $h outside (0,1)")
   }
 
+  test("q360 negbin: moment identities and NB domain guard") {
+    val r = SparkEntry.queries("q360_negbin_fit")(spark, sf).collect().head
+    val m = r.getAs[Double]("mean_orders"); val v = r.getAs[Double]("var_orders")
+    if (v > m) {
+      val rh = r.getAs[Double]("r_hat"); val ph = r.getAs[Double]("p_hat")
+      assert(math.abs(rh - m * m / (v - m)) < 1e-4)
+      assert(math.abs(ph - m / v) < 1e-6 && ph > 0 && ph < 1)
+    } else {
+      assert(r.isNullAt(r.fieldIndex("r_hat")) &&
+        r.isNullAt(r.fieldIndex("p_hat")))
+    }
+  }
+
+  test("q361 Good-Turing: ff table sums to vocab tail, p0 = N1/N") {
+    val rows = SparkEntry.queries("q361_good_turing")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n1 = rows.find(_.getAs[Long]("freq") == 1L)
+      .map(_.getAs[Long]("n_types")).getOrElse(0L)
+    val nTok = rows.head.getAs[Long]("n_tokens")
+    val p0 = rows.head.getAs[Double]("p0_unseen")
+    assert(math.abs(p0 - n1.toDouble / nTok) < 1e-6)
+    // every displayed class is rare by construction
+    assert(rows.forall(_.getAs[Long]("freq") <= 10L))
+  }
+
+  test("q362 Simpson: index + diversity sum to 1, in-range") {
+    SparkEntry.queries("q362_simpson_diversity")(spark, sf).collect()
+      .foreach { r =>
+        val i = r.getAs[Double]("simpson_index")
+        val d = r.getAs[Double]("simpson_diversity")
+        assert(i >= 0 && i <= 1 && math.abs(i + d - 1.0) < 1e-9)
+      }
+  }
+
+  test("q363 Durbin-Watson: in [0,4], matches brute residual scan") {
+    val got = SparkEntry.queries("q363_durbin_watson")(spark, sf)
+      .collect().head.getAs[Double]("durbin_watson")
+    assert(got > 0 && got < 4)
+    val ys = monthly.map(_._2.toDouble)
+    val n = ys.length
+    val ts = (1 to n).map(_.toDouble)
+    val st = ts.sum; val stt = ts.map(t => t * t).sum
+    val sy = ys.sum; val sty = ts.zip(ys).map(p => p._1 * p._2).sum
+    val b = (n * sty - st * sy) / (n * stt - st * st)
+    val a = (sy - b * st) / n
+    val es = ts.zip(ys).map { case (t, y) => y - (a + b * t) }
+    val want = es.sliding(2).map { case Seq(p, c) =>
+      (c - p) * (c - p)
+    }.sum / es.map(e => e * e).sum
+    assert(math.abs(got - want) < 1e-4, s"dw $got vs brute $want")
+  }
+
+  test("q364 GK gamma: matches brute ordinal concordance on the cells") {
+    val got = SparkEntry.queries("q364_gk_gamma")(spark, sf).collect().head
+    val cells = Tables.orders(spark, sf)
+      .groupBy(substring(col("o_orderpriority"), 1, 1).cast("int").as("px"),
+        when(col("o_orderstatus") === "F", 1)
+          .when(col("o_orderstatus") === "P", 2).otherwise(3).as("sy"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    var conc = 0L; var disc = 0L
+    for (a <- cells; b <- cells
+         if a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)) {
+      val sp = (b._1 - a._1).sign * (b._2 - a._2).sign
+      if (sp > 0) conc += a._3 * b._3
+      if (sp < 0) disc += a._3 * b._3
+    }
+    assert(got.getAs[Long]("concordant") == conc)
+    assert(got.getAs[Long]("discordant") == disc)
+  }
+
+  test("q365 MI: nonnegative-ish and matches brute cell computation") {
+    val got = SparkEntry.queries("q365_mutual_info")(spark, sf)
+      .collect().head.getAs[Double]("mutual_info_nats")
+    val cells = Tables.events(spark, sf)
+      .select(col("event_type"), dayofweek(col("ts")).as("dw"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val n = cells.length.toDouble
+    val cxy = cells.groupBy(identity).view.mapValues(_.length).toMap
+    val cx = cells.groupBy(_._1).view.mapValues(_.length).toMap
+    val cy = cells.groupBy(_._2).view.mapValues(_.length).toMap
+    val want = cxy.map { case ((x, y), c) =>
+      c / n * math.log(c * n / (cx(x).toDouble * cy(y))) }.sum
+    assert(math.abs(got - want) < 1e-4, s"mi $got vs brute $want")
+    assert(got >= -1e-9)
+  }
+
   test("q345 phonetic: soundex-style goldens and collision flag") {
     val got = SparkEntry.queries("q345_phonetic_blocking")(spark, sf)
       .collect()
