@@ -6575,6 +6575,205 @@ object SparkEntry {
           (round(sum(col("__term")).cast("double"), 6) + lit(0.0d))
             .as("mutual_info_nats"))
     }),
+
+    // ---- EXT: stratified IPW average treatment effect ----
+    "q366_ipw_ate" -> ((s, dir) => {
+      // the causal-inference workhorse: effect of urgent priority on
+      // order value, inverse-propensity-weighted within (status, year)
+      // strata. Propensities are exact rationals (n_t/n per stratum), so
+      // each stratum term is exact-integer algebra rounded to 4 dp and
+      // EXACTLY summed; degenerate strata (no treated or no control) are
+      // excluded on both sides, and the naive unadjusted diff ships for
+      // contrast.
+      val o = Tables.orders(s, dir).select(
+        col("o_orderstatus").as("st"),
+        year(col("o_orderdate")).cast("int").as("yr"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("tr"),
+        (col("o_totalprice").cast(D) * lit(100)).cast("bigint").as("yc"))
+      val strata = o.groupBy(col("st"), col("yr"))
+        .agg(count(lit(1)).as("n"), sum(col("tr")).as("nt"),
+          sum(when(col("tr") === 1, col("yc")).otherwise(0L)).as("yt"),
+          sum(when(col("tr") === 0, col("yc")).otherwise(0L)).as("yc0"))
+        .filter(col("nt") > 0 && col("nt") < col("n"))
+        .withColumn("__term",
+          round((col("yt").cast("double") * col("n").cast("double") /
+            col("nt").cast("double") -
+            col("yc0").cast("double") * col("n").cast("double") /
+              (col("n") - col("nt")).cast("double")) / lit(100.0d), 4)
+            .cast("decimal(38,4)"))
+      val tot = strata.agg(sum(col("n")).as("n_orders"),
+        count(lit(1)).as("n_strata"), sum(col("nt")).as("n_treat"),
+        sum(col("__term")).as("__ts"))
+      val naive = o.agg(
+        ((sum(when(col("tr") === 1, col("yc")).otherwise(0L))
+          .cast("double") / sum(col("tr")).cast("double") -
+          sum(when(col("tr") === 0, col("yc")).otherwise(0L))
+            .cast("double") / sum(lit(1L) - col("tr")).cast("double")) /
+          lit(100.0d)).as("__nd"))
+      tot.crossJoin(broadcast(naive))
+        .select(col("n_orders"), col("n_treat"), col("n_strata"),
+          (round(col("__nd"), 2) + lit(0.0d)).as("naive_diff"),
+          (round(col("__ts").cast("double") /
+            col("n_orders").cast("double"), 2) + lit(0.0d)).as("ipw_ate"))
+    }),
+
+    // ---- EXT: empirical-Bayes beta-binomial shrinkage ----
+    "q367_eb_shrinkage" -> ((s, dir) => {
+      // per-user click-rate smoothing: a beta prior fit by method of
+      // moments on the 6-dp rounded rate distribution (exact decimal
+      // moments), then every user's rate shrunk toward the global mean
+      // by their own evidence — the small-sample CTR estimator. The
+      // prior is a 1-row broadcast; the corpus streams once.
+      val u = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("n_clicks"))
+        .withColumn("__ph",
+          round(col("n_clicks").cast("double") /
+            col("n_events").cast("double"), 6).cast("decimal(18,6)"))
+      val prior = u.agg(count(lit(1)).as("__nu"), sum(col("__ph")).as("__sp"),
+          sum(col("__ph").cast("decimal(19,6)") * col("__ph")).as("__qp"))
+        .select(
+          round(col("__sp").cast("double") / col("__nu").cast("double"), 6)
+            .as("__mm"),
+          round((col("__qp").cast("double") -
+            col("__sp").cast("double") * col("__sp").cast("double") /
+              col("__nu").cast("double")) / col("__nu").cast("double"), 9)
+            .as("__vv"))
+        .withColumn("__s0",
+          round(col("__mm") * (lit(1.0d) - col("__mm")) / col("__vv") -
+            lit(1.0d), 6))
+      u.crossJoin(broadcast(prior))
+        .select(col("user_id"), col("n_events"), col("n_clicks"),
+          (col("__ph").cast("double") + lit(0.0d)).as("raw_rate"),
+          (round((round(col("__mm") * col("__s0"), 6) +
+            col("n_clicks").cast("double")) /
+            (col("__s0") + col("n_events").cast("double")), 6)
+            + lit(0.0d)).as("shrunk_rate"))
+    }),
+
+    // ---- EXT: session bounce rate ----
+    "q368_bounce_rate" -> ((s, dir) => {
+      // the product-analytics scalar on q87's session definition
+      // (1800 s inactivity gap): single-event sessions / all sessions +
+      // mean session length — key-partitioned windows only.
+      import org.apache.spark.sql.expressions.Window
+      val wl = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val t = Tables.events(s, dir)
+        .withColumn("__es",
+          floor(unix_micros(col("ts")) / lit(1000000L)).cast("long"))
+        .withColumn("__pe", lag(col("__es"), 1).over(wl))
+      val sess = t.withColumn("__sid",
+        sum(when(col("__pe").isNull ||
+          col("__es") - col("__pe") > 1800, 1L).otherwise(0L))
+          .over(wl.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .groupBy(col("user_id"), col("__sid"))
+        .agg(count(lit(1)).as("__len"))
+      sess.agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("__len") === 1, 1L).otherwise(0L)).as("n_bounce"),
+          sum(col("__len")).as("__tot"))
+        .select(col("n_sessions"), col("n_bounce"),
+          (round(col("n_bounce").cast("double") /
+            col("n_sessions").cast("double"), 6) + lit(0.0d))
+            .as("bounce_rate"),
+          (round(col("__tot").cast("double") /
+            col("n_sessions").cast("double"), 6) + lit(0.0d))
+            .as("mean_session_len"))
+    }),
+
+    // ---- EXT: p95 ship-delay SLA per month ----
+    "q369_ship_delay_p95" -> ((s, dir) => {
+      // the ops SLA readout: 95th-percentile order→ship delay per ship
+      // month, resolved by integer rank against the (month, delay)
+      // DISTRIBUTION table (q316's trick — delays are a bounded integer
+      // grid, so the window input stays compressed at any corpus scale).
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(date_format(date_trunc("month", col("o_orderdate")),
+          "yyyy-MM").as("ship_month"),
+          datediff(col("l_shipdate").cast("date"),
+            col("o_orderdate").cast("date")).as("__delay"))
+      val dist = d.groupBy(col("ship_month"), col("__delay"))
+        .agg(count(lit(1)).as("__c"))
+      val wOrd = Window.partitionBy(col("ship_month")).orderBy(col("__delay"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("ship_month"))
+      dist
+        .withColumn("__cc", sum(col("__c")).over(wOrd))
+        .withColumn("__n", sum(col("__c")).over(wAll))
+        .groupBy(col("ship_month"), col("__n"))
+        .agg(min(when(col("__cc") >=
+          expr("(95 * __n + 99) div 100"), col("__delay"))).cast("bigint")
+          .as("p95_delay_days"))
+        .select(col("ship_month"), col("__n").as("n_items"),
+          col("p95_delay_days"))
+    }),
+
+    // ---- EXT: Burrows' delta stylometric distance ----
+    "q370_burrows_delta" -> ((s, dir) => {
+      // the classic authorship-attribution distance between sources:
+      // z-scores of the top-20 vocabulary's relative frequencies
+      // (9-dp pinned), mean |Δz| per source pair — every join runs on
+      // the bounded (sources × 20) grid; the top-20 vocabulary is a
+      // deterministic TakeOrdered selection.
+      val tok = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val topw = tok.groupBy(col("w")).agg(count(lit(1)).as("__c"))
+        .orderBy(col("__c").desc, col("w")).limit(20).select("w")
+      val sn = tok.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+      val cnt = tok.join(broadcast(topw), Seq("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("__wc"))
+      val f = sn.crossJoin(broadcast(topw))
+        .join(cnt, Seq("source", "w"), "left_outer")
+        .select(col("source"), col("w"),
+          round(coalesce(col("__wc"), lit(0L)).cast("double") /
+            col("__n").cast("double"), 9).cast("decimal(18,9)").as("__f"))
+      val ms = f.groupBy(col("w"))
+        .agg(count(lit(1)).as("__ns"), sum(col("__f")).as("__sf"),
+          sum(col("__f").cast("decimal(19,9)") * col("__f")).as("__qf"))
+      // the z-score is the suite's one knife-edge round: Spark's round()
+      // rounds the double's SHORTEST-decimal rendering while DuckDB
+      // rounds the binary value, and a z landing ~1e-16 from a 6-dp
+      // midpoint flips between them (observed once in 400 cells at
+      // sf0.01). The explicit half-away floor formula below is the SAME
+      // IEEE op sequence in both engines — no engine round semantics.
+      val zRaw = (col("__f").cast("double") -
+        col("__sf").cast("double") / col("__ns").cast("double")) /
+        sqrt((col("__qf").cast("double") -
+          col("__sf").cast("double") * col("__sf").cast("double") /
+            col("__ns").cast("double")) /
+          col("__ns").cast("double"))
+      val z = f.join(broadcast(ms), Seq("w"))
+        .select(col("source"), col("w"),
+          (when(zRaw >= 0,
+            floor(zRaw * lit(1000000.0d) + lit(0.5d)))
+            .otherwise(-floor(-zRaw * lit(1000000.0d) + lit(0.5d)))
+            .cast("double") / lit(1000000.0d)).as("__z"))
+      val a = z.select(col("w"), col("source").as("source_a"),
+        col("__z").as("__za"))
+      val b = z.select(col("w"), col("source").as("source_b"),
+        col("__z").as("__zb"))
+      a.join(b, Seq("w"))
+        .filter(col("source_a") < col("source_b"))
+        .withColumn("__dz",
+          round(abs(col("__za") - col("__zb")), 6).cast("decimal(18,6)"))
+        .groupBy(col("source_a"), col("source_b"))
+        // the mean of EXACT 6-dp decimals over 20 words lands on exact
+        // decimal midpoints systematically (sum_micro ≡ 10 mod 20), so
+        // round() semantics diverge between engines — same mirrored
+        // half-away floor as the z-score
+        .agg((floor(sum(col("__dz")).cast("double") /
+          count(lit(1)).cast("double") * lit(1000000.0d) + lit(0.5d))
+          .cast("double") / lit(1000000.0d) + lit(0.0d))
+          .as("burrows_delta"))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -12507,5 +12706,183 @@ object SparkEntry {
          SELECT cast(count(*) AS bigint) AS n_cells,
            round(cast(sum(term) AS double), 6) + 0.0 AS mutual_info_nats
          FROM terms""",
+    // IPW ATE: exact rational propensities per stratum, 4-dp rounded
+    // stratum terms exactly summed; degenerate strata excluded both sides
+    "q366_ipw_ate" ->
+      """WITH o AS (
+           SELECT o_orderstatus AS st, cast(year(o_orderdate) AS int)
+               AS yr,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS tr,
+             cast(cast(o_totalprice AS decimal(18,2)) * 100 AS bigint)
+               AS yc
+           FROM orders),
+         s AS (
+           SELECT st, yr, cast(count(*) AS bigint) AS n,
+             cast(sum(tr) AS bigint) AS nt,
+             cast(sum(CASE WHEN tr = 1 THEN yc ELSE 0 END) AS bigint)
+               AS yt,
+             cast(sum(CASE WHEN tr = 0 THEN yc ELSE 0 END) AS bigint)
+               AS yc0
+           FROM o GROUP BY 1, 2),
+         terms AS (
+           SELECT n, nt,
+             cast(round((cast(yt AS double) * cast(n AS double)
+                 / cast(nt AS double)
+               - cast(yc0 AS double) * cast(n AS double)
+                 / cast(n - nt AS double)) / 100.0, 4) AS decimal(38,4))
+               AS term
+           FROM s WHERE nt > 0 AND nt < n),
+         tot AS (
+           SELECT cast(sum(n) AS bigint) AS bign,
+             cast(count(*) AS bigint) AS n_strata,
+             cast(sum(nt) AS bigint) AS n_treat,
+             sum(term) AS tsum
+           FROM terms),
+         naive AS (
+           SELECT
+             (cast(sum(CASE WHEN tr = 1 THEN yc ELSE 0 END) AS double)
+               / cast(sum(tr) AS double)
+              - cast(sum(CASE WHEN tr = 0 THEN yc ELSE 0 END) AS double)
+               / cast(sum(1 - tr) AS double)) / 100.0 AS nd
+           FROM o)
+         SELECT bign AS n_orders, n_treat, n_strata,
+           round(nd, 2) + 0.0 AS naive_diff,
+           round(cast(tsum AS double) / cast(bign AS double), 2) + 0.0
+             AS ipw_ate
+         FROM tot CROSS JOIN naive""",
+    // EB shrinkage: beta prior by MoM on the 6-dp rounded rate
+    // distribution; 1-row broadcast prior, corpus streams once
+    "q367_eb_shrinkage" ->
+      """WITH u AS (
+           SELECT user_id, cast(count(*) AS bigint) AS n,
+             cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS bigint) AS k
+           FROM events GROUP BY 1),
+         p AS (
+           SELECT user_id, n, k,
+             cast(round(cast(k AS double) / cast(n AS double), 6)
+               AS decimal(18,6)) AS ph
+           FROM u),
+         m AS (
+           SELECT cast(count(*) AS bigint) AS nu, sum(ph) AS sp,
+             sum(cast(ph AS decimal(19,6)) * ph) AS qp
+           FROM p),
+         ab AS (
+           SELECT
+             round(cast(sp AS double) / cast(nu AS double), 6) AS mm,
+             round((cast(qp AS double) - cast(sp AS double)
+               * cast(sp AS double) / cast(nu AS double))
+               / cast(nu AS double), 9) AS vv
+           FROM m),
+         ab2 AS (
+           SELECT mm, vv, round(mm * (1.0 - mm) / vv - 1.0, 6) AS s0
+           FROM ab)
+         SELECT p.user_id, p.n AS n_events, p.k AS n_clicks,
+           cast(p.ph AS double) + 0.0 AS raw_rate,
+           round((round(ab2.mm * ab2.s0, 6) + cast(p.k AS double))
+             / (ab2.s0 + cast(p.n AS double)), 6) + 0.0 AS shrunk_rate
+         FROM p CROSS JOIN ab2""",
+    // bounce rate: q87's floor-second 1800 s gap sessions, one aggregate
+    "q368_bounce_rate" ->
+      """WITH t AS (
+           SELECT user_id, ts, event_id,
+             cast(floor(epoch(ts)) AS bigint) AS es,
+             lag(cast(floor(epoch(ts)) AS bigint))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pe
+           FROM events),
+         s AS (
+           SELECT user_id,
+             cast(sum(CASE WHEN pe IS NULL OR es - pe > 1800
+               THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS bigint) AS sid
+           FROM t),
+         g AS (SELECT user_id, sid, cast(count(*) AS bigint) AS len
+           FROM s GROUP BY 1, 2),
+         m AS (
+           SELECT cast(count(*) AS bigint) AS n_sessions,
+             cast(sum(CASE WHEN len = 1 THEN 1 ELSE 0 END) AS bigint)
+               AS n_bounce,
+             cast(sum(len) AS bigint) AS tot
+           FROM g)
+         SELECT n_sessions, n_bounce,
+           round(cast(n_bounce AS double) / cast(n_sessions AS double), 6)
+             + 0.0 AS bounce_rate,
+           round(cast(tot AS double) / cast(n_sessions AS double), 6)
+             + 0.0 AS mean_session_len
+         FROM m""",
+    // p95 ship delay: integer rank against the (month, delay)
+    // distribution table — q316's compressed-window trick
+    "q369_ship_delay_p95" ->
+      """WITH d AS (
+           SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+               AS mth,
+             date_diff('day', cast(o_orderdate AS date),
+               cast(l_shipdate AS date)) AS delay
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         dist AS (SELECT mth, delay, cast(count(*) AS bigint) AS c
+           FROM d GROUP BY 1, 2),
+         cum AS (
+           SELECT mth, delay, c,
+             cast(sum(c) OVER (PARTITION BY mth ORDER BY delay
+               ROWS UNBOUNDED PRECEDING) AS bigint) AS cc,
+             cast(sum(c) OVER (PARTITION BY mth) AS bigint) AS n
+           FROM dist)
+         SELECT mth AS ship_month, cast(n AS bigint) AS n_items,
+           cast(min(CASE WHEN cc >= (95 * n + 99) // 100 THEN delay END)
+             AS bigint) AS p95_delay_days
+         FROM cum GROUP BY 1, 2""",
+    // Burrows' delta: 9-dp pinned top-20 relative frequencies, z-scores
+    // from exact decimal moments, mean |dz| on the bounded pair grid
+    "q370_burrows_delta" ->
+      """WITH tok AS (
+           SELECT source, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         tok2 AS (SELECT source, w FROM tok WHERE w <> ''),
+         topw AS (
+           SELECT w FROM (
+             SELECT w, cast(count(*) AS bigint) AS c,
+               row_number() OVER (ORDER BY count(*) DESC, w) AS rk
+             FROM tok2 GROUP BY w) x
+           WHERE rk <= 20),
+         sn AS (SELECT source, cast(count(*) AS bigint) AS n FROM tok2
+           GROUP BY 1),
+         cnt AS (
+           SELECT t.source, t.w, cast(count(*) AS bigint) AS c
+           FROM tok2 t JOIN topw ON t.w = topw.w
+           GROUP BY 1, 2),
+         f AS (
+           SELECT sn.source, topw.w,
+             cast(round(cast(coalesce(cnt.c, 0) AS double)
+               / cast(sn.n AS double), 9) AS decimal(18,9)) AS f
+           FROM sn CROSS JOIN topw
+           LEFT JOIN cnt ON cnt.source = sn.source AND cnt.w = topw.w),
+         ms AS (
+           SELECT w, cast(count(*) AS bigint) AS ns, sum(f) AS sf,
+             sum(cast(f AS decimal(19,9)) * f) AS qf
+           FROM f GROUP BY 1),
+         zr AS (
+           SELECT f.source, f.w,
+             (cast(f.f AS double) - cast(ms.sf AS double)
+                 / cast(ms.ns AS double))
+               / sqrt((cast(ms.qf AS double) - cast(ms.sf AS double)
+                   * cast(ms.sf AS double) / cast(ms.ns AS double))
+                 / cast(ms.ns AS double)) AS z0
+           FROM f JOIN ms USING (w)),
+         z AS (
+           SELECT source, w,
+             CASE WHEN z0 >= 0
+               THEN floor(z0 * 1000000.0 + 0.5)
+               ELSE -floor(-z0 * 1000000.0 + 0.5) END / 1000000.0 AS z
+           FROM zr),
+         pairs AS (
+           SELECT a.source AS source_a, b.source AS source_b,
+             cast(round(abs(a.z - b.z), 6) AS decimal(18,6)) AS dz
+           FROM z a JOIN z b ON a.w = b.w AND a.source < b.source)
+         SELECT source_a, source_b,
+           floor(cast(sum(dz) AS double) / cast(count(*) AS double)
+             * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS burrows_delta
+         FROM pairs GROUP BY 1, 2""",
   )
 }

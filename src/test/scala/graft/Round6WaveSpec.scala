@@ -502,6 +502,84 @@ class Round6WaveSpec extends SparkSuite {
     assert(got >= -1e-9)
   }
 
+  test("q366 IPW: matches brute stratified estimator") {
+    val got = SparkEntry.queries("q366_ipw_ate")(spark, sf).collect().head
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_orderstatus"), year(col("o_orderdate")),
+        (col("o_orderpriority") === "1-URGENT").cast("int"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double"))
+      .collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getInt(2), r.getDouble(3)))
+    val strata = rows.groupBy(_._1).filter { case (_, rs) =>
+      rs.exists(_._2 == 1) && rs.exists(_._2 == 0)
+    }
+    val terms = strata.values.map { rs =>
+      val n = rs.size
+      val yt = rs.filter(_._2 == 1).map(_._3).sum
+      val nt = rs.count(_._2 == 1)
+      val yc = rs.filter(_._2 == 0).map(_._3).sum
+      (yt * n / nt - yc * n / (n - nt), n)
+    }
+    val want = terms.map(_._1).sum / terms.map(_._2).sum
+    assert(math.abs(got.getAs[Double]("ipw_ate") - want) < 1.0,
+      s"ipw ${got.getAs[Double]("ipw_ate")} vs brute $want")
+    assert(got.getAs[Long]("n_strata") == strata.size.toLong)
+  }
+
+  test("q367 EB: shrinkage pulls toward the prior mean, ordering kept") {
+    val rows = SparkEntry.queries("q367_eb_shrinkage")(spark, sf).collect()
+    val m = rows.map(_.getAs[Double]("raw_rate")).sum / rows.length
+    rows.foreach { r =>
+      val raw = r.getAs[Double]("raw_rate")
+      val sh = r.getAs[Double]("shrunk_rate")
+      // shrunk estimate lies between the raw rate and the global mean
+      assert(sh >= math.min(raw, m) - 0.02 && sh <= math.max(raw, m) + 0.02,
+        s"user ${r.getLong(0)}: raw $raw shrunk $sh mean $m")
+    }
+  }
+
+  test("q368 bounce: session identities vs q87's sessionization") {
+    val got = SparkEntry.queries("q368_bounce_rate")(spark, sf)
+      .collect().head
+    val sess = SparkEntry.queries("q87_sessionize")(spark, sf)
+      .groupBy(col("user_id"), col("session_seq")).count().collect()
+    val n = sess.length.toLong
+    val b = sess.count(_.getAs[Long]("count") == 1L).toLong
+    assert(got.getAs[Long]("n_sessions") == n)
+    assert(got.getAs[Long]("n_bounce") == b)
+  }
+
+  test("q369 p95: rank definition holds against brute percentile") {
+    val got = SparkEntry.queries("q369_ship_delay_p95")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("p95_delay_days"))
+      .toMap
+    val delays = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM"),
+        datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    delays.groupBy(_._1).foreach { case (mth, rs) =>
+      val sorted = rs.map(_._2).sorted
+      val rank = (95 * sorted.length + 99) / 100
+      assert(got(mth) == sorted(rank - 1).toLong,
+        s"$mth p95 ${got(mth)} vs brute ${sorted(rank - 1)}")
+    }
+  }
+
+  test("q370 Burrows: symmetric-positive distances, self-consistent z") {
+    val rows = SparkEntry.queries("q370_burrows_delta")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("burrows_delta") >= 0.0)
+      assert(r.getString(0) < r.getString(1))
+    }
+    // distance scale: z-scores have unit variance, so mean |dz| across
+    // pairs should be O(1) — catches a wrong normalizer by 10x
+    val mean = rows.map(_.getAs[Double]("burrows_delta")).sum / rows.length
+    assert(mean > 0.2 && mean < 5.0, s"implausible delta scale $mean")
+  }
+
   test("q345 phonetic: soundex-style goldens and collision flag") {
     val got = SparkEntry.queries("q345_phonetic_blocking")(spark, sf)
       .collect()
