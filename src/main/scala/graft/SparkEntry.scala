@@ -6774,6 +6774,155 @@ object SparkEntry {
           .cast("double") / lit(1000000.0d) + lit(0.0d))
           .as("burrows_delta"))
     }),
+
+    // ---- EXT: BFS reach profile + harmonic coverage ----
+    "q371_reach_profile" -> ((s, dir) => {
+      // the impact-radius readout over q145's bipartite purchase graph:
+      // nodes first reached at each hop, cumulative coverage fraction,
+      // and the seed set's harmonic reach Σ 1/d — the level-synchronous
+      // frontier BFS (checkpointEvery discipline) plus bounded per-hop
+      // aggregates.
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val pairs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+      val edges = pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables.customer(s, dir).filter(col("c_custkey") <= 5)
+        .select(concat(lit("c"), col("c_custkey")).as("node"))
+      val dist = graft.operators.Graph.bfsHops(edges, seeds, maxHops = 4)
+      val nv = edges.agg(countDistinct(col("src")).as("__nv"))
+      val lvl = dist.groupBy(col("hops")).agg(count(lit(1)).as("n_nodes"))
+      val wc = Window.orderBy(col("hops"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val h = dist.filter(col("hops") > 0)
+        .agg((round(sum(round(lit(1.0d) / col("hops").cast("double"), 9)
+          .cast("decimal(18,9)")).cast("double"), 6) + lit(0.0d))
+          .as("harmonic_sum"))
+      lvl.withColumn("cum_reached", sum(col("n_nodes")).over(wc))
+        .crossJoin(broadcast(nv)).crossJoin(broadcast(h))
+        .select(col("hops"), col("n_nodes"), col("cum_reached"),
+          (round(col("cum_reached").cast("double") /
+            col("__nv").cast("double"), 6) + lit(0.0d)).as("frac_reached"),
+          col("harmonic_sum"))
+    }),
+
+    // ---- EXT: per-doc TF-IDF keyword extraction ----
+    "q372_tfidf_keywords" -> ((s, dir) => {
+      // the classic keyword extractor next to q96's BM25: top-3 terms
+      // per doc by tf·ln(N/df), idf pinned to 6 dp so the per-term score
+      // is engine-identical; the top-k is a doc-partitioned
+      // WindowGroupLimit, never a global sort.
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.spread(s, Tables.documents(s, dir))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val tf = tok.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("__tf"))
+      val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+      val nd = Tables.documents(s, dir).agg(count(lit(1)).as("__n"))
+      val sc = tf.join(dfq, Seq("term")).crossJoin(broadcast(nd))
+        .withColumn("tfidf",
+          round(col("__tf").cast("double") *
+            (round(log(col("__n").cast("double") /
+              col("__df").cast("double")), 6) + lit(0.0d)), 6) + lit(0.0d))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      sc.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tfidf"),
+          col("rank").cast("int").as("rank"))
+    }),
+
+    // ---- EXT: Flesch-style readability per source ----
+    "q373_readability" -> ((s, dir) => {
+      // corpus-quality readability: words/sentence and vowel-group
+      // syllables/word (the deterministic syllable heuristic both
+      // engines compute identically via the same regexp), folded into
+      // the Flesch formula with mirrored literal arithmetic.
+      val sent = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(split(col("text"), "[.!?]+")).as("__s0"))
+        .select(col("source"), trim(col("__s0")).as("__s"))
+        .filter(col("__s") =!= "")
+      val words = sent
+        .select(col("source"), explode(split(col("__s"), " ")).as("__w"))
+        .filter(col("__w") =!= "")
+      val syl = words.withColumn("__sy",
+        greatest(size(expr("regexp_extract_all(lower(__w), '[aeiouy]+', 0)"))
+          .cast("long"), lit(1L)))
+      val sentCnt = sent.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sentences"))
+      val wordCnt = syl.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"), sum(col("__sy")).as("n_syllables"))
+      sentCnt.join(wordCnt, Seq("source"))
+        .select(col("source"), col("n_sentences"), col("n_words"),
+          col("n_syllables"),
+          (round(lit(206.835d) -
+            lit(1.015d) * (col("n_words").cast("double") /
+              col("n_sentences").cast("double")) -
+            lit(84.6d) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double")), 6) + lit(0.0d))
+            .as("flesch_score"))
+    }),
+
+    // ---- EXT: MinHash estimator accuracy sweep ----
+    "q374_minhash_accuracy" -> ((s, dir) => {
+      // how many hashes does the q37 signature actually need? mean
+      // |estimated − exact| Jaccard over the banded candidate pairs at
+      // k ∈ {8, 16, 32} signature prefixes (a prefix of a MinHash
+      // signature IS a k-hash MinHash). Completes the sketch-audit
+      // family (KMV/CM/HLL); the error column must fall as k grows.
+      // Final means use the mirrored half-away floor (q370 lesson —
+      // means of exact 6-dp decimals).
+      val docs = Tables.spread(s, Tables.documents(s, dir))
+      val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+        .localCheckpoint(eager = false)
+      val sigd = Dedup.minhashSignatureAgg(docs, "doc_id", "text", 3)
+      val candIds = cand
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      val sets = docs.join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          TextOps.distinctShingles(TextOps.tokens(col("text")), 3).as("sh"))
+      val ex = cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("__sha")),
+          Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("__shb")),
+          Seq("doc_b"))
+        .withColumn("__c", size(array_intersect(col("__sha"), col("__shb"))))
+        .withColumn("__j", col("__c").cast("double") /
+          (size(col("__sha")) + size(col("__shb")) - col("__c"))
+            .cast("double"))
+        .select("doc_a", "doc_b", "__j")
+      val spark = s
+      import spark.implicits._
+      val ks = Seq(8, 16, 32).toDF("k_hashes")
+      ex
+        .join(sigd.select(col("doc_id").as("doc_a"), col("sig").as("__sa")),
+          Seq("doc_a"))
+        .join(sigd.select(col("doc_id").as("doc_b"), col("sig").as("__sb")),
+          Seq("doc_b"))
+        .crossJoin(broadcast(ks))
+        .withColumn("__match",
+          aggregate(zip_with(
+            slice(col("__sa"), lit(1), col("k_hashes")),
+            slice(col("__sb"), lit(1), col("k_hashes")),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, v) => acc + v))
+        .withColumn("__err",
+          round(abs(col("__match").cast("double") /
+            col("k_hashes").cast("double") - col("__j")), 6)
+            .cast("decimal(18,6)"))
+        .groupBy(col("k_hashes"))
+        .agg(count(lit(1)).as("n_pairs"),
+          (floor(sum(col("__err")).cast("double") /
+            count(lit(1)).cast("double") * lit(1000000.0d) + lit(0.5d))
+            .cast("double") / lit(1000000.0d) + lit(0.0d))
+            .as("mean_abs_err"))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -12884,5 +13033,138 @@ object SparkEntry {
            floor(cast(sum(dz) AS double) / cast(count(*) AS double)
              * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS burrows_delta
          FROM pairs GROUP BY 1, 2""",
+    // reach profile: q145's recursive BFS + per-hop coverage aggregates
+    // and the 9-dp rounded harmonic sum
+    "q371_reach_profile" ->
+      """WITH RECURSIVE
+         p AS (SELECT DISTINCT 'c' || cast(o_custkey AS varchar) AS src,
+             's' || cast(l_suppkey AS varchar) AS dst
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         ed AS (SELECT src, dst FROM p UNION ALL
+           SELECT dst AS src, src AS dst FROM p),
+         allv AS (SELECT cast(count(DISTINCT src) AS bigint) AS nv
+           FROM ed),
+         bfs(node, hops) AS (
+           SELECT 'c' || cast(c_custkey AS varchar) AS node, 0 AS hops
+           FROM customer WHERE c_custkey <= 5
+           UNION
+           SELECT e.dst, b.hops + 1 FROM bfs b JOIN ed e ON e.src = b.node
+           WHERE b.hops < 4),
+         d AS (SELECT node, cast(min(hops) AS int) AS hops FROM bfs
+           GROUP BY node),
+         lvl AS (SELECT hops, cast(count(*) AS bigint) AS n_nodes FROM d
+           GROUP BY 1),
+         cum AS (SELECT hops, n_nodes,
+             cast(sum(n_nodes) OVER (ORDER BY hops) AS bigint)
+               AS cum_reached
+           FROM lvl),
+         h AS (SELECT round(cast(sum(cast(round(1.0 / cast(hops AS double),
+               9) AS decimal(18,9))) AS double), 6) + 0.0 AS harmonic_sum
+           FROM d WHERE hops > 0)
+         SELECT cum.hops, cum.n_nodes, cum.cum_reached,
+           round(cast(cum.cum_reached AS double) / cast(allv.nv AS double),
+             6) + 0.0 AS frac_reached,
+           h.harmonic_sum
+         FROM cum CROSS JOIN allv CROSS JOIN h""",
+    // TF-IDF keywords: 6-dp pinned idf, doc-partitioned top-3
+    "q372_tfidf_keywords" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' '))
+             AS term
+           FROM documents),
+         tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+         tf AS (SELECT doc_id, term, cast(count(*) AS bigint) AS tf
+           FROM tok2 GROUP BY 1, 2),
+         dfq AS (SELECT term, cast(count(*) AS bigint) AS df FROM tf
+           GROUP BY 1),
+         nd AS (SELECT cast(count(*) AS bigint) AS n FROM documents),
+         sc AS (
+           SELECT tf.doc_id, tf.term,
+             round(cast(tf.tf AS double)
+               * (round(ln(cast(nd.n AS double) / cast(dfq.df AS double)),
+                 6) + 0.0), 6) + 0.0 AS tfidf
+           FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+         r AS (
+           SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, term) AS rk
+           FROM sc)
+         SELECT doc_id, term, tfidf, cast(rk AS int) AS rank
+         FROM r WHERE rk <= 3""",
+    // readability: [.!?]+ sentences, vowel-group syllables (identical
+    // regexp both engines), mirrored Flesch literals
+    "q373_readability" ->
+      """WITH sent AS (
+           SELECT source, trim(s) AS s
+           FROM (SELECT source,
+               unnest(string_split_regex(text, '[.!?]+')) AS s
+             FROM documents) x
+           WHERE trim(s) <> ''),
+         words AS (
+           SELECT source, w FROM (
+             SELECT source, unnest(string_split(s, ' ')) AS w FROM sent) y
+           WHERE w <> ''),
+         syl AS (
+           SELECT source, w,
+             greatest(cast(len(regexp_extract_all(lower(w), '[aeiouy]+'))
+               AS bigint), 1) AS sy
+           FROM words),
+         sc AS (SELECT source, cast(count(*) AS bigint) AS n_sentences
+           FROM sent GROUP BY 1),
+         wc AS (SELECT source, cast(count(*) AS bigint) AS n_words,
+             cast(sum(sy) AS bigint) AS n_syllables
+           FROM syl GROUP BY 1)
+         SELECT sc.source, sc.n_sentences, wc.n_words, wc.n_syllables,
+           round(206.835
+             - 1.015 * (cast(wc.n_words AS double)
+               / cast(sc.n_sentences AS double))
+             - 84.6 * (cast(wc.n_syllables AS double)
+               / cast(wc.n_words AS double)), 6) + 0.0 AS flesch_score
+         FROM sc JOIN wc USING (source)""",
+    // minhash accuracy: q37's signatures, q36's exact verify, k-prefix
+    // estimators; floor-mean (q370 midpoint lesson)
+    "q374_minhash_accuracy" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text,' ') AS w
+           FROM documents),
+         toks AS (SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, len(w)-2),
+             i -> array_to_string(w[i:i+2], ' '))) AS t
+           FROM t0 WHERE len(w) >= 3),
+         hs AS (SELECT doc_id, list_transform(t,
+             tok -> ('0x' || substr(md5(tok), 1, 15))::bigint % 1000000007)
+             AS h
+           FROM toks),
+         sig AS (SELECT doc_id, list_transform(generate_series(0, 31),
+             i -> list_min(list_transform(h,
+               x -> (x*(i*2+3) + (i*5+7)) % 1000000007))) AS s
+           FROM hs),
+         bands AS (SELECT doc_id, b AS band_id,
+             md5(array_to_string(s[b*4+1 : b*4+4], ',')) AS band_hash
+           FROM sig, unnest(generate_series(0, 7)) AS u(b)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b ON a.band_id = b.band_id
+             AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+         ex AS (
+           SELECT doc_a, doc_b,
+             cast(len(list_intersect(sa.t, sb.t)) AS double)
+               / (len(sa.t) + len(sb.t) - len(list_intersect(sa.t, sb.t)))
+               AS jaccard
+           FROM cand JOIN toks sa ON sa.doc_id = doc_a
+             JOIN toks sb ON sb.doc_id = doc_b),
+         ks AS (SELECT unnest([8, 16, 32]) AS k),
+         est AS (
+           SELECT ks.k, ex.doc_a, ex.doc_b,
+             cast(round(abs(
+               cast(list_sum(list_transform(generate_series(1, ks.k),
+                 i -> CASE WHEN sa.s[i] = sb.s[i] THEN 1 ELSE 0 END))
+                 AS double) / cast(ks.k AS double)
+               - ex.jaccard), 6) AS decimal(18,6)) AS err
+           FROM ex JOIN sig sa ON sa.doc_id = ex.doc_a
+             JOIN sig sb ON sb.doc_id = ex.doc_b
+             CROSS JOIN ks)
+         SELECT cast(k AS int) AS k_hashes,
+           cast(count(*) AS bigint) AS n_pairs,
+           floor(cast(sum(err) AS double) / cast(count(*) AS double)
+             * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS mean_abs_err
+         FROM est GROUP BY 1""",
   )
 }

@@ -580,6 +580,77 @@ class Round6WaveSpec extends SparkSuite {
     assert(mean > 0.2 && mean < 5.0, s"implausible delta scale $mean")
   }
 
+  test("q371 reach: cumulative counts consistent with q145's distances") {
+    val got = SparkEntry.queries("q371_reach_profile")(spark, sf)
+      .orderBy("hops").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getAs[Double]("frac_reached")))
+    assert(got.head._1 == 0)
+    // cumulative is the running sum of per-level counts
+    var cum = 0L
+    got.foreach { case (_, n, c, f) =>
+      cum += n
+      assert(c == cum)
+      assert(f >= 0 && f <= 1.0)
+    }
+    // fraction is monotone nondecreasing
+    got.map(_._4).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b)
+      case _ =>
+    }
+  }
+
+  test("q372 TF-IDF: three keywords per doc, each present in the doc") {
+    val got = SparkEntry.queries("q372_tfidf_keywords")(spark, sf).collect()
+    val byDoc = got.groupBy(_.getAs[Long]("doc_id"))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    byDoc.foreach { case (id, rows) =>
+      assert(rows.length == 3)
+      rows.foreach { r =>
+        assert(docs(id).split(" ").contains(r.getAs[String]("term")),
+          s"doc $id keyword ${r.getAs[String]("term")} not in text")
+      }
+    }
+  }
+
+  test("q373 readability: counts match brute token/sentence scan") {
+    val got = SparkEntry.queries("q373_readability")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      var sents = 0L; var wordsN = 0L; var syls = 0L
+      rows.foreach { case (_, text) =>
+        text.split("[.!?]+").map(_.trim).filter(_.nonEmpty).foreach { sn =>
+          sents += 1
+          sn.split(" ").filter(_.nonEmpty).foreach { w =>
+            wordsN += 1
+            val groups = "[aeiouy]+".r.findAllIn(w.toLowerCase).length
+            syls += math.max(groups, 1)
+          }
+        }
+      }
+      assert(got(src) == ((sents, wordsN, syls)),
+        s"$src got ${got(src)} want ($sents, $wordsN, $syls)")
+    }
+  }
+
+  test("q374 minhash accuracy: error shrinks as k grows") {
+    val got = SparkEntry.queries("q374_minhash_accuracy")(spark, sf)
+      .orderBy("k_hashes").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getAs[Double]("mean_abs_err")))
+    assert(got.map(_._1).toSeq == Seq(8, 16, 32))
+    assert(got.map(_._2).distinct.length == 1) // same pair set at every k
+    // the estimator is consistent: error at k=32 below error at k=8
+    assert(got.last._3 <= got.head._3 + 1e-9,
+      s"err(32)=${got.last._3} err(8)=${got.head._3}")
+    assert(got.forall(_._3 >= 0.0))
+  }
+
   test("q345 phonetic: soundex-style goldens and collision flag") {
     val got = SparkEntry.queries("q345_phonetic_blocking")(spark, sf)
       .collect()
