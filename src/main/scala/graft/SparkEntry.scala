@@ -6923,6 +6923,116 @@ object SparkEntry {
             .cast("double") / lit(1000000.0d) + lit(0.0d))
             .as("mean_abs_err"))
     }),
+
+    // ---- EXT: iterative proportional fitting (raking) ----
+    "q375_ipf_raking" -> ((s, dir) => {
+      // the survey-weighting workhorse: rake the pre-1996 (priority ×
+      // status) cell matrix to the post-1996 row/column margins — five
+      // lockstep IPF rounds on the BOUNDED 15-cell table (the q332
+      // bounded-model-fit collect), each half-step rounded to 9 dp so
+      // the Scala fold and the generated unrolled oracle agree exactly.
+      val o = Tables.orders(s, dir)
+      val cells = o.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      val post = o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      val rm = post.groupBy(col("o_orderpriority")).agg(count(lit(1)))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val cm = post.groupBy(col("o_orderstatus")).agg(count(lit(1)))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def r9(x: Double): BigDecimal =
+        BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      var state: Map[(String, String), BigDecimal] =
+        cells.map { case (k, n) => k -> BigDecimal(n) }.toMap
+      (1 to 5).foreach { _ =>
+        val rowSum = state.groupBy(_._1._1).view
+          .mapValues(_.values.sum).toMap
+        state = state.map { case ((p, st), v) =>
+          ((p, st), r9(v.toDouble *
+            (rm(p).toDouble / rowSum(p).toDouble)))
+        }
+        val colSum = state.groupBy(_._1._2).view
+          .mapValues(_.values.sum).toMap
+        state = state.map { case ((p, st), v) =>
+          ((p, st), r9(v.toDouble *
+            (cm(st).toDouble / colSum(st).toDouble)))
+        }
+      }
+      val spark = s
+      import spark.implicits._
+      cells.toSeq.map { case ((p, st), n) =>
+        (p, st, n, state((p, st)).toDouble)
+      }.toDF("o_orderpriority", "o_orderstatus", "n_base", "__v")
+        .select(col("o_orderpriority"), col("o_orderstatus"), col("n_base"),
+          (round(col("__v"), 6) + lit(0.0d)).as("fitted"))
+    }),
+
+    // ---- EXT: difference-in-differences estimate ----
+    "q376_diff_in_diff" -> ((s, dir) => {
+      // the pre/post × treated/control causal contrast completing the
+      // q366/q329 family: heavy pre-period buyers (≥7 purchases) vs the
+      // rest, click-value outcome; four exact-cents cell means and one
+      // mirrored double contrast.
+      val ev = Tables.events(s, dir)
+      val b = ev.agg(min(col("ts").cast("date")).as("__d0"))
+      val treat = ev.crossJoin(broadcast(b))
+        .filter(col("event_type") === "purchase" &&
+          col("ts").cast("date") < date_add(col("__d0"), 15))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("__np"))
+        .filter(col("__np") >= 7).select(col("user_id"))
+      val x = ev.crossJoin(broadcast(b))
+        .filter(col("event_type") === "click")
+        .join(treat.withColumn("__t", lit(1)), Seq("user_id"), "left_outer")
+        .select(coalesce(col("__t"), lit(0)).as("tr"),
+          when(col("ts").cast("date") < date_add(col("__d0"), 15), 0)
+            .otherwise(1).as("post"),
+          (col("value").cast(D) * lit(100)).cast("bigint").as("__yc"))
+      val cells = x.groupBy(col("tr"), col("post"))
+        .agg(count(lit(1)).as("__n"), sum(col("__yc")).as("__s"))
+      def cellMean(t: Int, p: Int) = max(when(col("tr") === t &&
+        col("post") === p, col("__s").cast("double") /
+        col("__n").cast("double") / lit(100.0d)))
+      cells.agg(cellMean(1, 0).as("__tp"), cellMean(1, 1).as("__tq"),
+          cellMean(0, 0).as("__cp"), cellMean(0, 1).as("__cq"),
+          sum(col("__n")).as("n_obs"))
+        .select(col("n_obs"),
+          (round(col("__tp"), 6) + lit(0.0d)).as("treat_pre"),
+          (round(col("__tq"), 6) + lit(0.0d)).as("treat_post"),
+          (round(col("__cp"), 6) + lit(0.0d)).as("ctrl_pre"),
+          (round(col("__cq"), 6) + lit(0.0d)).as("ctrl_post"),
+          (round((col("__tq") - col("__tp")) - (col("__cq") - col("__cp")),
+            6) + lit(0.0d)).as("did_estimate"))
+    }),
+
+    // ---- EXT: ledger key-gap audit (bucketed, no global sort) ----
+    "q377_key_gaps" -> ((s, dir) => {
+      // missing-invoice detection over the finalized ('F') ledger: gap
+      // length histogram of the orderkey sequence. Windows run INSIDE
+      // 8192-key buckets (key-partitioned); cross-bucket adjacency is
+      // one lead over the 8192×-compressed bucket summary — never a
+      // global sort of the corpus.
+      import org.apache.spark.sql.expressions.Window
+      val k = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("key"),
+          expr("o_orderkey div 8192").as("b"))
+      val wIn = Window.partitionBy(col("b")).orderBy(col("key"))
+      val intra = k.withColumn("__nk", lead(col("key"), 1).over(wIn))
+        .filter(col("__nk").isNotNull && col("__nk") - col("key") > 1)
+        .select((col("__nk") - col("key") - 1).as("gap_len"))
+      val bs = k.groupBy(col("b"))
+        .agg(min(col("key")).as("__mn"), max(col("key")).as("__mx"))
+      val wB = Window.orderBy(col("b"))
+      val inter = bs.withColumn("__nmn", lead(col("__mn"), 1).over(wB))
+        .filter(col("__nmn").isNotNull && col("__nmn") - col("__mx") > 1)
+        .select((col("__nmn") - col("__mx") - 1).as("gap_len"))
+      intra.unionByName(inter)
+        .groupBy(col("gap_len"))
+        .agg(count(lit(1)).as("n_gaps"))
+        .select(col("gap_len"), col("n_gaps"),
+          (col("gap_len") * col("n_gaps")).as("missing_keys"))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -6988,6 +7098,47 @@ object SparkEntry {
           / cast((SELECT count(*) FROM ($KnnBruteSql) t2) AS double), 6)
           + 0.0 AS mean_recall5"""
     }.mkString("\n          UNION ALL ")
+  }
+
+  /** Generated DuckDB oracle for q375: five unrolled IPF rounds (row-scale
+    * then column-scale per round), each half-step's cells rounded to 9 dp
+    * and kept as exact decimals so the margin sums are order-free — the
+    * q332 generated-oracle discipline applied to iterative proportional
+    * fitting. */
+  private val IpfOracleSql: String = {
+    val base =
+      """WITH a AS (SELECT o_orderpriority AS p, o_orderstatus AS s,
+             cast(count(*) AS bigint) AS n
+           FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+           GROUP BY 1, 2),
+         rm AS (SELECT o_orderpriority AS p, cast(count(*) AS bigint) AS r
+           FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           GROUP BY 1),
+         cm AS (SELECT o_orderstatus AS s, cast(count(*) AS bigint) AS c
+           FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           GROUP BY 1),
+         x0 AS (SELECT p, s, n, cast(n AS decimal(28,9)) AS v FROM a)"""
+    val rounds = (1 to 5).map { k =>
+      s""",
+         rs$k AS (SELECT p, sum(v) AS rs FROM x${k - 1} GROUP BY 1),
+         xr$k AS (SELECT t.p, t.s, t.n,
+             cast(round(cast(t.v AS double)
+               * (cast(rm.r AS double) / cast(rs$k.rs AS double)), 9)
+               AS decimal(28,9)) AS v
+           FROM x${k - 1} t JOIN rm ON t.p = rm.p
+             JOIN rs$k ON t.p = rs$k.p),
+         cs$k AS (SELECT s, sum(v) AS cs FROM xr$k GROUP BY 1),
+         x$k AS (SELECT t.p, t.s, t.n,
+             cast(round(cast(t.v AS double)
+               * (cast(cm.c AS double) / cast(cs$k.cs AS double)), 9)
+               AS decimal(28,9)) AS v
+           FROM xr$k t JOIN cm ON t.s = cm.s
+             JOIN cs$k ON t.s = cs$k.s)"""
+    }.mkString
+    s"""$base$rounds
+         SELECT p AS o_orderpriority, s AS o_orderstatus, n AS n_base,
+           round(cast(v AS double), 6) + 0.0 AS fitted
+         FROM x5"""
   }
 
   /** DuckDB-equivalent SQL per query (same parquet tables, same column names). */
@@ -13166,5 +13317,69 @@ object SparkEntry {
            floor(cast(sum(err) AS double) / cast(count(*) AS double)
              * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS mean_abs_err
          FROM est GROUP BY 1""",
+    "q375_ipf_raking" -> IpfOracleSql,
+    // DiD: four exact-cents cell means, one mirrored contrast
+    "q376_diff_in_diff" ->
+      """WITH b AS (SELECT min(cast(ts AS date)) AS d0 FROM events),
+         pre AS (
+           SELECT user_id, cast(count(*) AS bigint) AS np
+           FROM events CROSS JOIN b
+           WHERE event_type = 'purchase'
+             AND cast(ts AS date) < d0 + to_days(15)
+           GROUP BY 1),
+         treat AS (SELECT user_id FROM pre WHERE np >= 7),
+         x AS (
+           SELECT CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END AS tr,
+             CASE WHEN cast(e.ts AS date) < b.d0 + to_days(15) THEN 0
+               ELSE 1 END AS post,
+             cast(cast(e.value AS decimal(18,2)) * 100 AS bigint) AS yc
+           FROM events e CROSS JOIN b
+             LEFT JOIN treat t ON e.user_id = t.user_id
+           WHERE e.event_type = 'click'),
+         cells AS (
+           SELECT tr, post, cast(count(*) AS bigint) AS n,
+             cast(sum(yc) AS bigint) AS s
+           FROM x GROUP BY 1, 2),
+         m AS (
+           SELECT
+             max(CASE WHEN tr=1 AND post=0 THEN cast(s AS double)
+               / cast(n AS double) / 100.0 END) AS t_pre,
+             max(CASE WHEN tr=1 AND post=1 THEN cast(s AS double)
+               / cast(n AS double) / 100.0 END) AS t_post,
+             max(CASE WHEN tr=0 AND post=0 THEN cast(s AS double)
+               / cast(n AS double) / 100.0 END) AS c_pre,
+             max(CASE WHEN tr=0 AND post=1 THEN cast(s AS double)
+               / cast(n AS double) / 100.0 END) AS c_post,
+             cast(sum(n) AS bigint) AS n_obs
+           FROM cells)
+         SELECT n_obs,
+           round(t_pre, 6) + 0.0 AS treat_pre,
+           round(t_post, 6) + 0.0 AS treat_post,
+           round(c_pre, 6) + 0.0 AS ctrl_pre,
+           round(c_post, 6) + 0.0 AS ctrl_post,
+           round((t_post - t_pre) - (c_post - c_pre), 6) + 0.0
+             AS did_estimate
+         FROM m""",
+    // key gaps: bucketed windows + compressed cross-bucket lead
+    "q377_key_gaps" ->
+      """WITH k AS (SELECT o_orderkey AS key, o_orderkey // 8192 AS b
+           FROM orders WHERE o_orderstatus = 'F'),
+         w AS (SELECT key, b,
+             lead(key) OVER (PARTITION BY b ORDER BY key) AS nk
+           FROM k),
+         intra AS (SELECT nk - key - 1 AS gap_len FROM w
+           WHERE nk IS NOT NULL AND nk - key > 1),
+         bs AS (SELECT b, min(key) AS mn, max(key) AS mx FROM k
+           GROUP BY 1),
+         bw AS (SELECT b, mx, lead(mn) OVER (ORDER BY b) AS nmn FROM bs),
+         inter AS (SELECT nmn - mx - 1 AS gap_len FROM bw
+           WHERE nmn IS NOT NULL AND nmn - mx > 1),
+         allg AS (SELECT gap_len FROM intra UNION ALL
+           SELECT gap_len FROM inter)
+         SELECT cast(gap_len AS bigint) AS gap_len,
+           cast(count(*) AS bigint) AS n_gaps,
+           cast(gap_len AS bigint) * cast(count(*) AS bigint)
+             AS missing_keys
+         FROM allg GROUP BY gap_len""",
   )
 }

@@ -651,6 +651,56 @@ class Round6WaveSpec extends SparkSuite {
     assert(got.forall(_._3 >= 0.0))
   }
 
+  test("q375 IPF: fitted margins converge to the post-period targets") {
+    val got = SparkEntry.queries("q375_ipf_raking")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        r.getAs[Double]("fitted")))
+    val post = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+    val colTargets = post.groupBy(col("o_orderstatus")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the LAST IPF half-step scales columns, so fitted column sums match
+    // the column targets almost exactly
+    got.groupBy(_._1._2).foreach { case (st, cells) =>
+      val s = cells.map(_._2).sum
+      assert(math.abs(s - colTargets(st)) < 0.01,
+        s"status $st fitted sum $s vs target ${colTargets(st)}")
+    }
+    // row margins converge but are not exact after the column step:
+    // within 1% after 5 rounds
+    val rowTargets = post.groupBy(col("o_orderpriority")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.groupBy(_._1._1).foreach { case (p, cells) =>
+      val s = cells.map(_._2).sum
+      assert(math.abs(s - rowTargets(p)) < 0.01 * rowTargets(p),
+        s"priority $p fitted sum $s vs target ${rowTargets(p)}")
+    }
+  }
+
+  test("q376 DiD: identity from the four cell means") {
+    val r = SparkEntry.queries("q376_diff_in_diff")(spark, sf)
+      .collect().head
+    val did = r.getAs[Double]("did_estimate")
+    val id = (r.getAs[Double]("treat_post") - r.getAs[Double]("treat_pre")) -
+      (r.getAs[Double]("ctrl_post") - r.getAs[Double]("ctrl_pre"))
+    assert(math.abs(did - id) < 1e-5)
+    assert(r.getAs[Long]("n_obs") > 0)
+  }
+
+  test("q377 gaps: histogram accounts for every missing finalized key") {
+    val got = SparkEntry.queries("q377_key_gaps")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (len, n, miss) => assert(miss == len * n) }
+    val keys = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted
+    val bruteMissing = keys.sliding(2).collect {
+      case Array(a, b) if b - a > 1 => b - a - 1
+    }.sum
+    assert(got.map(_._3).sum == bruteMissing,
+      s"missing ${got.map(_._3).sum} vs brute $bruteMissing")
+  }
+
   test("q345 phonetic: soundex-style goldens and collision flag") {
     val got = SparkEntry.queries("q345_phonetic_blocking")(spark, sf)
       .collect()
