@@ -7033,6 +7033,220 @@ object SparkEntry {
         .select(col("gap_len"), col("n_gaps"),
           (col("gap_len") * col("n_gaps")).as("missing_keys"))
     }),
+
+    // ---- EXT: Bayesian A/B probability of superiority ----
+    "q378_bayes_ab" -> ((s, dir) => {
+      // P(treatment mean > control mean) under the flat-prior normal
+      // approximation — the "chance to beat control" readout next to
+      // q206's fixed-horizon test and q335's SPRT. Exact cents moments;
+      // Φ via q331's explicit Abramowitz–Stegun polynomial (no libm
+      // erf).
+      val o = Tables.orders(s, dir).select(
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("tr"),
+        (col("o_totalprice").cast(D) * lit(100)).cast("bigint").as("yc"))
+      val m = o.groupBy(col("tr"))
+        .agg(count(lit(1)).as("n"), sum(col("yc")).as("s"),
+          sum(col("yc").cast("decimal(38,0)") * col("yc")).as("q"))
+      def g(t: Int, c: String, out: String) =
+        max(when(col("tr") === t, col(c))).as(out)
+      val wide = m.agg(g(1, "n", "nt"), g(1, "s", "st"), g(1, "q", "qt"),
+        g(0, "n", "nc"), g(0, "s", "sc"), g(0, "q", "qc"))
+        .withColumn("__mt", col("st").cast("double") /
+          col("nt").cast("double") / lit(100.0d))
+        .withColumn("__mc", col("sc").cast("double") /
+          col("nc").cast("double") / lit(100.0d))
+        .withColumn("__vt",
+          (col("qt").cast("double") / lit(10000.0d) -
+            col("nt").cast("double") * col("__mt") * col("__mt")) /
+            (col("nt").cast("double") - lit(1.0d)))
+        .withColumn("__vc",
+          (col("qc").cast("double") / lit(10000.0d) -
+            col("nc").cast("double") * col("__mc") * col("__mc")) /
+            (col("nc").cast("double") - lit(1.0d)))
+        .withColumn("__z", (col("__mt") - col("__mc")) /
+          sqrt(col("__vt") / col("nt").cast("double") +
+            col("__vc") / col("nc").cast("double")))
+      val az = abs(col("__z"))
+      val t = lit(1.0d) / (lit(1.0d) + lit(0.2316419d) * az)
+      val poly = t * (lit(0.319381530d) + t * (lit(-0.356563782d) +
+        t * (lit(1.781477937d) + t * (lit(-1.821255978d) +
+          t * lit(1.330274429d)))))
+      val tail = exp(-az * az / 2.0d) / lit(2.5066282746310002d) * poly
+      wide.select(col("nt").as("n_treat"), col("nc").as("n_ctrl"),
+        (round(col("__mt") - col("__mc"), 2) + lit(0.0d)).as("mean_diff"),
+        (round(col("__z"), 6) + lit(0.0d)).as("z_score"),
+        (round(when(col("__z") >= 0, lit(1.0d) - tail).otherwise(tail), 9)
+          + lit(0.0d)).as("p_superior"))
+    }),
+
+    // ---- EXT: A/B sample-size / power analysis ----
+    "q379_power_analysis" -> ((s, dir) =>
+      // given each stream's observed weekend-vs-weekday effect, the n
+      // per arm a two-sided α=0.05 / 80%-power test needs:
+      // n = (z_{α/2}+z_β)²(v₁+v₂)/Δ² — the experiment-design readout
+      // from exact cents moments, mirrored literal constants.
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          when(dayofweek(col("ts")).isin(1, 7), 1L).otherwise(0L)
+            .as("we"),
+          (col("value").cast(D) * lit(100)).cast("bigint").as("yc"))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(col("we") === 1, 1L).otherwise(0L)).as("__n1"),
+          sum(when(col("we") === 1, col("yc")).otherwise(0L)).as("__s1"),
+          sum(when(col("we") === 1,
+            col("yc").cast("decimal(38,0)") * col("yc")).otherwise(
+            lit(0).cast("decimal(38,0)"))).as("__q1"),
+          sum(when(col("we") === 0, 1L).otherwise(0L)).as("__n0"),
+          sum(when(col("we") === 0, col("yc")).otherwise(0L)).as("__s0"),
+          sum(when(col("we") === 0,
+            col("yc").cast("decimal(38,0)") * col("yc")).otherwise(
+            lit(0).cast("decimal(38,0)"))).as("__q0"))
+        .withColumn("__m1", col("__s1").cast("double") /
+          col("__n1").cast("double") / lit(100.0d))
+        .withColumn("__m0", col("__s0").cast("double") /
+          col("__n0").cast("double") / lit(100.0d))
+        .withColumn("__v1",
+          (col("__q1").cast("double") / lit(10000.0d) -
+            col("__n1").cast("double") * col("__m1") * col("__m1")) /
+            (col("__n1").cast("double") - lit(1.0d)))
+        .withColumn("__v0",
+          (col("__q0").cast("double") / lit(10000.0d) -
+            col("__n0").cast("double") * col("__m0") * col("__m0")) /
+            (col("__n0").cast("double") - lit(1.0d)))
+        .withColumn("__d", col("__m1") - col("__m0"))
+        .select(col("event_type"),
+          (round(col("__d"), 6) + lit(0.0d)).as("observed_delta"),
+          (round(sqrt((col("__v1") + col("__v0")) / lit(2.0d)), 6)
+            + lit(0.0d)).as("pooled_sd"),
+          // (z_{0.975} + z_{0.80})² ≈ 7.849 — one shared literal, so the
+          // constant is identical in both engines by construction
+          ceil(lit(7.849d) * (col("__v1") + col("__v0")) /
+            (col("__d") * col("__d"))).cast("bigint")
+            .as("n_required_per_arm"))),
+
+    // ---- EXT: CUPED variance reduction ----
+    "q380_cuped" -> ((s, dir) => {
+      // the modern experimentation stack's variance-reduction estimator:
+      // θ = cov(post, pre)/var(pre) over per-user click-value totals,
+      // var(y_cuped) = var(y) − cov²/var(x) analytically from EXACT
+      // integer-cents moments — the reduction equals ρ².
+      val ev = Tables.events(s, dir)
+      val b = ev.agg(min(col("ts").cast("date")).as("__d0"))
+      val u = ev.crossJoin(broadcast(b))
+        .filter(col("event_type") === "click")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("ts").cast("date") < date_add(col("__d0"), 15),
+            (col("value").cast(D) * lit(100)).cast("bigint"))
+            .otherwise(0L)).as("__x"),
+          sum(when(col("ts").cast("date") >= date_add(col("__d0"), 15),
+            (col("value").cast(D) * lit(100)).cast("bigint"))
+            .otherwise(0L)).as("__y"))
+      u.agg(count(lit(1)).as("n_users"),
+          sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+          sum(col("__x").cast("decimal(38,0)") * col("__x")).as("qx"),
+          sum(col("__y").cast("decimal(38,0)") * col("__y")).as("qy"),
+          sum(col("__x").cast("decimal(38,0)") * col("__y")).as("qxy"))
+        .withColumn("__vx",
+          (col("qx").cast("double") - col("sx").cast("double") *
+            col("sx").cast("double") / col("n_users").cast("double")) /
+            col("n_users").cast("double"))
+        .withColumn("__vy",
+          (col("qy").cast("double") - col("sy").cast("double") *
+            col("sy").cast("double") / col("n_users").cast("double")) /
+            col("n_users").cast("double"))
+        .withColumn("__cv",
+          (col("qxy").cast("double") - col("sx").cast("double") *
+            col("sy").cast("double") / col("n_users").cast("double")) /
+            col("n_users").cast("double"))
+        .select(col("n_users"),
+          (round(col("__cv") / col("__vx"), 6) + lit(0.0d)).as("theta"),
+          (round(col("__vy") / lit(10000.0d), 2) + lit(0.0d))
+            .as("var_raw"),
+          (round((col("__vy") - col("__cv") * col("__cv") / col("__vx")) /
+            lit(10000.0d), 2) + lit(0.0d)).as("var_cuped"),
+          (round(col("__cv") * col("__cv") /
+            (col("__vx") * col("__vy")), 6) + lit(0.0d))
+            .as("variance_reduction"))
+    }),
+
+    // ---- EXT: Neyman optimal stratified allocation ----
+    "q381_neyman_allocation" -> ((s, dir) => {
+      // allocate a 10,000-unit sample across priority strata ∝ N_h·S_h —
+      // the optimal-variance design the sampling family (q84, q107)
+      // executes. Per-stratum N·S terms are rounded to 4 dp then EXACTLY
+      // summed (k=5 reduction discipline); the integer allocation uses
+      // the mirrored half-away floor.
+      val cents = (col("o_totalprice").cast(D) * lit(100)).cast("bigint")
+      val strata = Tables.orders(s, dir)
+        .select(col("o_orderpriority"), cents.as("__c"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_h"), sum(col("__c")).as("__s"),
+          sum(col("__c").cast("decimal(38,0)") * col("__c")).as("__q"))
+        .withColumn("__m", col("__s").cast("double") /
+          col("n_h").cast("double"))
+        .withColumn("__sd",
+          sqrt((col("__q").cast("double") -
+            col("n_h").cast("double") * col("__m") * col("__m")) /
+            col("n_h").cast("double")) / lit(100.0d))
+        .withColumn("__ns",
+          round(col("n_h").cast("double") * col("__sd"), 4)
+            .cast("decimal(38,4)"))
+      val tot = strata.agg(sum(col("__ns")).as("__tns"))
+      strata.crossJoin(broadcast(tot))
+        .select(col("o_orderpriority"), col("n_h"),
+          (round(col("__sd"), 2) + lit(0.0d)).as("stratum_sd"),
+          (round(col("__ns").cast("double") / col("__tns").cast("double"),
+            6) + lit(0.0d)).as("weight"),
+          floor(col("__ns").cast("double") / col("__tns").cast("double") *
+            lit(10000.0d) + lit(0.5d)).cast("bigint").as("allocation"))
+    }),
+
+    // ---- EXT: regression discontinuity at the 1996 boundary ----
+    "q382_reg_discontinuity" -> ((s, dir) => {
+      // the RDD mechanic: local linear fits on both sides of the
+      // 1996-01-01 cutoff (±365-day bandwidth) over (days-to-cutoff,
+      // order value); the jump is the difference of the two intercepts
+      // at x=0. Exact integer moments (days × cents in decimal(38,0)),
+      // closed-form OLS, mirrored double algebra.
+      val o = Tables.orders(s, dir)
+        .withColumn("__x", datediff(col("o_orderdate").cast("date"),
+          lit("1996-01-01").cast("date")).cast("long"))
+        .filter(col("__x") >= -365 && col("__x") < 365)
+        .withColumn("__yc",
+          (col("o_totalprice").cast(D) * lit(100)).cast("bigint"))
+        .withColumn("side", when(col("__x") < 0, "left").otherwise("right"))
+      val fits = o.groupBy(col("side"))
+        .agg(count(lit(1)).as("n"), sum(col("__x")).as("sx"),
+          sum(col("__x") * col("__x")).as("sxx"),
+          sum(col("__yc")).as("sy"),
+          sum(col("__x").cast("decimal(38,0)") * col("__yc")).as("sxy"))
+        .withColumn("__b",
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")))
+        .withColumn("__a",
+          (col("sy").cast("double") - col("__b") *
+            col("sx").cast("double")) / col("n").cast("double") /
+            lit(100.0d))
+      def side(sd: String, c: String, out: String) =
+        max(when(col("side") === sd, col(c))).as(out)
+      fits.agg(side("left", "n", "n_left"), side("right", "n", "n_right"),
+          side("left", "__a", "__al"), side("right", "__a", "__ar"),
+          side("left", "__b", "__bl"), side("right", "__b", "__br"))
+        .select(col("n_left"), col("n_right"),
+          (round(col("__al"), 2) + lit(0.0d)).as("intercept_left"),
+          (round(col("__ar"), 2) + lit(0.0d)).as("intercept_right"),
+          (round(col("__bl") / lit(100.0d), 6) + lit(0.0d))
+            .as("slope_left"),
+          (round(col("__br") / lit(100.0d), 6) + lit(0.0d))
+            .as("slope_right"),
+          (round(col("__ar") - col("__al"), 2) + lit(0.0d))
+            .as("jump_at_cutoff"))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -13381,5 +13595,219 @@ object SparkEntry {
            cast(gap_len AS bigint) * cast(count(*) AS bigint)
              AS missing_keys
          FROM allg GROUP BY gap_len""",
+    // Bayes A/B: exact cents moments, A-S polynomial Φ (q331 machinery)
+    "q378_bayes_ab" ->
+      """WITH o AS (
+           SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS tr,
+             cast(cast(o_totalprice AS decimal(18,2)) * 100 AS bigint)
+               AS yc
+           FROM orders),
+         m AS (
+           SELECT tr, cast(count(*) AS bigint) AS n,
+             cast(sum(yc) AS bigint) AS s,
+             sum(cast(yc AS hugeint) * yc) AS q
+           FROM o GROUP BY 1),
+         w AS (
+           SELECT
+             max(CASE WHEN tr = 1 THEN n END) AS nt,
+             max(CASE WHEN tr = 1 THEN s END) AS st,
+             max(CASE WHEN tr = 1 THEN q END) AS qt,
+             max(CASE WHEN tr = 0 THEN n END) AS nc,
+             max(CASE WHEN tr = 0 THEN s END) AS sc,
+             max(CASE WHEN tr = 0 THEN q END) AS qc
+           FROM m),
+         d AS (
+           SELECT nt, nc,
+             cast(st AS double) / cast(nt AS double) / 100.0 AS mt,
+             cast(sc AS double) / cast(nc AS double) / 100.0 AS mc,
+             (cast(qt AS double) / 10000.0 - cast(nt AS double)
+               * (cast(st AS double) / cast(nt AS double) / 100.0)
+               * (cast(st AS double) / cast(nt AS double) / 100.0))
+               / (cast(nt AS double) - 1.0) AS vt,
+             (cast(qc AS double) / 10000.0 - cast(nc AS double)
+               * (cast(sc AS double) / cast(nc AS double) / 100.0)
+               * (cast(sc AS double) / cast(nc AS double) / 100.0))
+               / (cast(nc AS double) - 1.0) AS vc
+           FROM w),
+         z AS (
+           SELECT nt, nc, mt, mc,
+             (mt - mc) / sqrt(vt / cast(nt AS double)
+               + vc / cast(nc AS double)) AS z
+           FROM d),
+         ph AS (
+           SELECT nt, nc, mt, mc, z,
+             exp(-abs(z) * abs(z) / 2.0) / 2.5066282746310002
+               * ((1.0 / (1.0 + 0.2316419 * abs(z)))
+                 * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                   * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                     * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                       * (-1.821255978 + (1.0 / (1.0 + 0.2316419
+                         * abs(z))) * 1.330274429))))) AS tail
+           FROM z)
+         SELECT nt AS n_treat, nc AS n_ctrl,
+           round(mt - mc, 2) + 0.0 AS mean_diff,
+           round(z, 6) + 0.0 AS z_score,
+           round(CASE WHEN z >= 0 THEN 1.0 - tail ELSE tail END, 9) + 0.0
+             AS p_superior
+         FROM ph""",
+    // power analysis: mirrored (z975+z80)^2 literal, exact cents moments
+    "q379_power_analysis" ->
+      """WITH e AS (
+           SELECT event_type,
+             CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS we,
+             cast(cast(value AS decimal(18,2)) * 100 AS bigint) AS yc
+           FROM events),
+         m AS (
+           SELECT event_type,
+             cast(sum(CASE WHEN we = 1 THEN 1 ELSE 0 END) AS bigint)
+               AS n1,
+             cast(sum(CASE WHEN we = 1 THEN yc ELSE 0 END) AS bigint)
+               AS s1,
+             sum(CASE WHEN we = 1 THEN cast(yc AS hugeint) * yc
+               ELSE 0 END) AS q1,
+             cast(sum(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS bigint)
+               AS n0,
+             cast(sum(CASE WHEN we = 0 THEN yc ELSE 0 END) AS bigint)
+               AS s0,
+             sum(CASE WHEN we = 0 THEN cast(yc AS hugeint) * yc
+               ELSE 0 END) AS q0
+           FROM e GROUP BY 1),
+         d AS (
+           SELECT event_type, n1, n0,
+             cast(s1 AS double) / cast(n1 AS double) / 100.0 AS m1,
+             cast(s0 AS double) / cast(n0 AS double) / 100.0 AS m0,
+             (cast(q1 AS double) / 10000.0 - cast(n1 AS double)
+               * (cast(s1 AS double) / cast(n1 AS double) / 100.0)
+               * (cast(s1 AS double) / cast(n1 AS double) / 100.0))
+               / (cast(n1 AS double) - 1.0) AS v1,
+             (cast(q0 AS double) / 10000.0 - cast(n0 AS double)
+               * (cast(s0 AS double) / cast(n0 AS double) / 100.0)
+               * (cast(s0 AS double) / cast(n0 AS double) / 100.0))
+               / (cast(n0 AS double) - 1.0) AS v0
+           FROM m)
+         SELECT event_type,
+           round(m1 - m0, 6) + 0.0 AS observed_delta,
+           round(sqrt((v1 + v0) / 2.0), 6) + 0.0 AS pooled_sd,
+           cast(ceil(7.849 * (v1 + v0) / ((m1 - m0) * (m1 - m0)))
+             AS bigint) AS n_required_per_arm
+         FROM d""",
+    // CUPED: exact integer-cents moments, analytic variance reduction
+    "q380_cuped" ->
+      """WITH b AS (SELECT min(cast(ts AS date)) AS d0 FROM events),
+         u AS (
+           SELECT user_id,
+             cast(sum(CASE WHEN cast(ts AS date) < d0 + to_days(15)
+               THEN cast(cast(value AS decimal(18,2)) * 100 AS bigint)
+               ELSE 0 END) AS bigint) AS x,
+             cast(sum(CASE WHEN cast(ts AS date) >= d0 + to_days(15)
+               THEN cast(cast(value AS decimal(18,2)) * 100 AS bigint)
+               ELSE 0 END) AS bigint) AS y
+           FROM events CROSS JOIN b
+           WHERE event_type = 'click'
+           GROUP BY 1),
+         m AS (
+           SELECT cast(count(*) AS bigint) AS n,
+             cast(sum(x) AS bigint) AS sx, cast(sum(y) AS bigint) AS sy,
+             sum(cast(x AS hugeint) * x) AS qx,
+             sum(cast(y AS hugeint) * y) AS qy,
+             sum(cast(x AS hugeint) * y) AS qxy
+           FROM u),
+         d AS (
+           SELECT n,
+             (cast(qx AS double) - cast(sx AS double) * cast(sx AS double)
+               / cast(n AS double)) / cast(n AS double) AS vx,
+             (cast(qy AS double) - cast(sy AS double) * cast(sy AS double)
+               / cast(n AS double)) / cast(n AS double) AS vy,
+             (cast(qxy AS double) - cast(sx AS double)
+               * cast(sy AS double) / cast(n AS double))
+               / cast(n AS double) AS cv
+           FROM m)
+         SELECT n AS n_users,
+           round(cv / vx, 6) + 0.0 AS theta,
+           round(vy / 10000.0, 2) + 0.0 AS var_raw,
+           round((vy - cv * cv / vx) / 10000.0, 2) + 0.0 AS var_cuped,
+           round(cv * cv / (vx * vy), 6) + 0.0 AS variance_reduction
+         FROM d""",
+    // Neyman: 4-dp rounded N·S terms exactly summed, floor allocation
+    "q381_neyman_allocation" ->
+      """WITH s AS (
+           SELECT o_orderpriority, cast(count(*) AS bigint) AS n_h,
+             cast(sum(cast(cast(o_totalprice AS decimal(18,2)) * 100
+               AS bigint)) AS bigint) AS sc,
+             sum(cast(cast(cast(o_totalprice AS decimal(18,2)) * 100
+               AS bigint) AS hugeint)
+               * cast(cast(o_totalprice AS decimal(18,2)) * 100
+                 AS bigint)) AS qc
+           FROM orders GROUP BY 1),
+         d AS (
+           SELECT o_orderpriority, n_h,
+             sqrt((cast(qc AS double) - cast(n_h AS double)
+               * (cast(sc AS double) / cast(n_h AS double))
+               * (cast(sc AS double) / cast(n_h AS double)))
+               / cast(n_h AS double)) / 100.0 AS sd
+           FROM s),
+         t AS (
+           SELECT o_orderpriority, n_h, sd,
+             cast(round(cast(n_h AS double) * sd, 4) AS decimal(38,4))
+               AS ns
+           FROM d),
+         tot AS (SELECT sum(ns) AS tns FROM t)
+         SELECT o_orderpriority, n_h,
+           round(sd, 2) + 0.0 AS stratum_sd,
+           round(cast(ns AS double) / cast(tns AS double), 6) + 0.0
+             AS weight,
+           cast(floor(cast(ns AS double) / cast(tns AS double) * 10000.0
+             + 0.5) AS bigint) AS allocation
+         FROM t CROSS JOIN tot""",
+    // RDD: exact day×cents moments, closed-form OLS each side, jump =
+    // intercept difference at the cutoff
+    "q382_reg_discontinuity" ->
+      """WITH o AS (
+           SELECT date_diff('day', cast('1996-01-01' AS date),
+               cast(o_orderdate AS date)) AS x,
+             cast(cast(o_totalprice AS decimal(18,2)) * 100 AS bigint)
+               AS yc
+           FROM orders
+           WHERE date_diff('day', cast('1996-01-01' AS date),
+               cast(o_orderdate AS date)) >= -365
+             AND date_diff('day', cast('1996-01-01' AS date),
+               cast(o_orderdate AS date)) < 365),
+         f AS (
+           SELECT CASE WHEN x < 0 THEN 'left' ELSE 'right' END AS side,
+             cast(count(*) AS bigint) AS n,
+             cast(sum(x) AS bigint) AS sx,
+             cast(sum(x * x) AS bigint) AS sxx,
+             cast(sum(yc) AS bigint) AS sy,
+             sum(cast(x AS hugeint) * yc) AS sxy
+           FROM o GROUP BY 1),
+         ab AS (
+           SELECT side, n,
+             (cast(n AS double) * cast(sxy AS double)
+               - cast(sx AS double) * cast(sy AS double))
+               / (cast(n AS double) * cast(sxx AS double)
+                 - cast(sx AS double) * cast(sx AS double)) AS b,
+             (cast(sy AS double) - (cast(n AS double) * cast(sxy AS double)
+               - cast(sx AS double) * cast(sy AS double))
+               / (cast(n AS double) * cast(sxx AS double)
+                 - cast(sx AS double) * cast(sx AS double))
+               * cast(sx AS double)) / cast(n AS double) / 100.0 AS a
+           FROM f),
+         w AS (
+           SELECT
+             max(CASE WHEN side = 'left' THEN n END) AS n_left,
+             max(CASE WHEN side = 'right' THEN n END) AS n_right,
+             max(CASE WHEN side = 'left' THEN a END) AS al,
+             max(CASE WHEN side = 'right' THEN a END) AS ar,
+             max(CASE WHEN side = 'left' THEN b END) AS bl,
+             max(CASE WHEN side = 'right' THEN b END) AS br
+           FROM ab)
+         SELECT n_left, n_right,
+           round(al, 2) + 0.0 AS intercept_left,
+           round(ar, 2) + 0.0 AS intercept_right,
+           round(bl / 100.0, 6) + 0.0 AS slope_left,
+           round(br / 100.0, 6) + 0.0 AS slope_right,
+           round(ar - al, 2) + 0.0 AS jump_at_cutoff
+         FROM w""",
   )
 }

@@ -701,6 +701,70 @@ class Round6WaveSpec extends SparkSuite {
       s"missing ${got.map(_._3).sum} vs brute $bruteMissing")
   }
 
+  test("q378 Bayes A/B: probability consistent with the z sign and scale") {
+    val r = SparkEntry.queries("q378_bayes_ab")(spark, sf).collect().head
+    val z = r.getAs[Double]("z_score")
+    val p = r.getAs[Double]("p_superior")
+    assert(p > 0 && p < 1)
+    if (z > 0.1) assert(p > 0.5) else if (z < -0.1) assert(p < 0.5)
+    // A-S polynomial vs an independent Φ approximation (erf-based)
+    val want = 0.5 * (1.0 + erf(z / math.sqrt(2.0)))
+    assert(math.abs(p - want) < 1e-6, s"p $p vs erf-based $want")
+  }
+
+  private def erf(x: Double): Double = {
+    // Abramowitz-Stegun 7.1.26 — an INDEPENDENT formula from the gate's
+    // 26.2.17 polynomial, max error 1.5e-7
+    val t = 1.0 / (1.0 + 0.3275911 * math.abs(x))
+    val y = 1.0 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741)
+      * t - 0.284496736) * t + 0.254829592) * t * math.exp(-x * x)
+    if (x >= 0) y else -y
+  }
+
+  test("q379 power: n grows as the observed effect shrinks") {
+    val got = SparkEntry.queries("q379_power_analysis")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Double]("observed_delta"),
+        r.getAs[Double]("pooled_sd"), r.getAs[Long]("n_required_per_arm")))
+    got.foreach { case (d, sd, n) =>
+      // identity: n = ceil(7.849 * 2 * sd^2 / d^2) (v1+v0 = 2*pooled^2)
+      val want = math.ceil(7.849 * 2.0 * sd * sd / (d * d)).toLong
+      assert(math.abs(n - want) <= math.max(1L, want / 100),
+        s"n $n vs identity $want")
+    }
+  }
+
+  test("q380 CUPED: reduction equals rho^2, var_cuped <= var_raw") {
+    val r = SparkEntry.queries("q380_cuped")(spark, sf).collect().head
+    val vr = r.getAs[Double]("var_raw")
+    val vc = r.getAs[Double]("var_cuped")
+    val red = r.getAs[Double]("variance_reduction")
+    assert(vc <= vr + 1e-9)
+    assert(red >= 0 && red <= 1)
+    assert(math.abs((vr - vc) / vr - red) < 1e-2,
+      s"reduction $red vs (vr-vc)/vr ${(vr - vc) / vr}")
+  }
+
+  test("q381 Neyman: weights sum to 1, allocation to ~10000") {
+    val got = SparkEntry.queries("q381_neyman_allocation")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Double]("weight"), r.getAs[Long]("allocation")))
+    assert(math.abs(got.map(_._1).sum - 1.0) < 1e-4)
+    val total = got.map(_._2).sum
+    assert(math.abs(total - 10000L) <= got.length,
+      s"allocations sum $total")
+  }
+
+  test("q382 RDD: jump equals the intercept difference; fits span the cutoff") {
+    val r = SparkEntry.queries("q382_reg_discontinuity")(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("n_left") > 0 && r.getAs[Long]("n_right") > 0)
+    val jump = r.getAs[Double]("jump_at_cutoff")
+    val id = r.getAs[Double]("intercept_right") -
+      r.getAs[Double]("intercept_left")
+    assert(math.abs(jump - id) < 0.011)
+  }
+
   test("q345 phonetic: soundex-style goldens and collision flag") {
     val got = SparkEntry.queries("q345_phonetic_blocking")(spark, sf)
       .collect()
