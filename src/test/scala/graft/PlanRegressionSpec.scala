@@ -77,7 +77,11 @@ class PlanRegressionSpec extends AnyFunSuite {
     // windows, edge-moment assortativity, triangle-closure aggregate,
     // blocked+budgeted linkage, LM retrieval probe
     "q341_changepoint", "q346_price_index", "q352_assortativity",
-    "q353_clustering_coeff", "q354_linkage_weights", "q358_lm_dirichlet")
+    "q353_clustering_coeff", "q354_linkage_weights", "q358_lm_dirichlet",
+    // waves 7-9: distribution-window p95, bucketed gap audit, TF-IDF
+    // keyword top-k, minhash accuracy (band join + prefix estimators)
+    "q369_ship_delay_p95", "q372_tfidf_keywords", "q374_minhash_accuracy",
+    "q377_key_gaps")
 
   /** Sanctioned BroadcastNestedLoopJoins whose build side is a DESIGN-
     * bounded broadcast probe/query set rather than an aggregate — e.g. the
@@ -106,7 +110,11 @@ class PlanRegressionSpec extends AnyFunSuite {
     // same SinglePartition aggregate exchange, reused after the first
     // branch, which hides the aggregate from the classifier exactly as in
     // q293/q295. The count stays pinned at 3.
-    "q354_linkage_weights" -> 3)
+    "q354_linkage_weights" -> 3,
+    // q374 crossJoins the 3-row LITERAL k-table (Seq.toDF LocalRelation —
+    // design-bounded by construction, but not an aggregate, so the
+    // classifier can't prove it) onto the candidate-pair set once
+    "q374_minhash_accuracy" -> 1)
 
   private def aggregateBounded(p: SparkPlan): Boolean = p match {
     case _: BaseAggregateExec => true
