@@ -7247,6 +7247,74 @@ object SparkEntry {
           (round(col("__ar") - col("__al"), 2) + lit(0.0d))
             .as("jump_at_cutoff"))
     }),
+
+    // ---- EXT: local-maxima peak detection per stream ----
+    "q383_peak_detection" -> ((s, dir) => {
+      // strict local maxima of each stream's daily revenue with the rise
+      // from the previous day and the fall to the next — the alerting
+      // primitive behind q341's changepoints (exact cents comparisons,
+      // key-partitioned lag/lead windows only).
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(sum((col("value").cast(D) * lit(100)).cast("bigint"))
+          .as("cents"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      daily
+        .withColumn("__pv", lag(col("cents"), 1).over(w))
+        .withColumn("__nx", lead(col("cents"), 1).over(w))
+        .filter(col("__pv").isNotNull && col("__nx").isNotNull &&
+          col("cents") > col("__pv") && col("cents") > col("__nx"))
+        .select(col("event_type"), col("d").as("peak_day"),
+          (round(col("cents").cast("double") / lit(100.0d), 2)
+            + lit(0.0d)).as("peak_value"),
+          (round((col("cents") - col("__pv")).cast("double") /
+            lit(100.0d), 2) + lit(0.0d)).as("rise"),
+          (round((col("cents") - col("__nx")).cast("double") /
+            lit(100.0d), 2) + lit(0.0d)).as("fall"))
+    }),
+
+    // ---- EXT: dataset profile drift between periods ----
+    "q384_profile_drift" -> ((s, dir) => {
+      // the data-contract monitor: volume / user-cardinality / value-mean
+      // / null-rate profiles of the two event halves, with drift ratios —
+      // exact moments per period, mirrored divisions, NULL-guarded where
+      // the baseline is zero.
+      val ev = Tables.events(s, dir)
+      val b = ev.agg(min(col("ts").cast("date")).as("__d0"))
+      val m = ev.crossJoin(broadcast(b))
+        .withColumn("__p",
+          when(col("ts").cast("date") < date_add(col("__d0"), 15), "p1")
+            .otherwise("p2"))
+        .groupBy(col("__p"))
+        .agg(count(lit(1)).as("__nr"),
+          countDistinct(col("user_id")).as("__nu"),
+          round(sum(col("value").cast(D)).cast("double") /
+            count(lit(1)).cast("double"), 6).as("__mv"),
+          round(sum(when(col("props").isNull, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)).cast("double"), 6).as("__zr"))
+      def g(p: String, c: String, out: String) =
+        max(when(col("__p") === p, col(c))).as(out)
+      val w = m.agg(g("p1", "__nr", "r1"), g("p2", "__nr", "r2"),
+        g("p1", "__nu", "u1"), g("p2", "__nu", "u2"),
+        g("p1", "__mv", "m1"), g("p2", "__mv", "m2"),
+        g("p1", "__zr", "z1"), g("p2", "__zr", "z2"))
+      def row(name: String, a: org.apache.spark.sql.Column,
+              bb: org.apache.spark.sql.Column, guard: Boolean) =
+        w.select(lit(name).as("metric"),
+          (a.cast("double") + lit(0.0d)).as("period1"),
+          (bb.cast("double") + lit(0.0d)).as("period2"),
+          (if (guard)
+            when(a.cast("double") > 0,
+              round(bb.cast("double") / a.cast("double"), 6) + lit(0.0d))
+          else round(bb.cast("double") / a.cast("double"), 6) + lit(0.0d))
+            .as("drift_ratio"))
+      row("n_rows", col("r1"), col("r2"), guard = false)
+        .unionByName(row("n_users", col("u1"), col("u2"), guard = false))
+        .unionByName(row("mean_value", col("m1"), col("m2"), guard = false))
+        .unionByName(row("null_props_rate", col("z1"), col("z2"),
+          guard = true))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -13809,5 +13877,66 @@ object SparkEntry {
            round(br / 100.0, 6) + 0.0 AS slope_right,
            round(ar - al, 2) + 0.0 AS jump_at_cutoff
          FROM w""",
+    // peaks: exact cents comparisons, key-partitioned lag/lead
+    "q383_peak_detection" ->
+      """WITH daily AS (
+           SELECT event_type, cast(ts AS date) AS d,
+             cast(sum(cast(cast(value AS decimal(18,2)) * 100 AS bigint))
+               AS bigint) AS cents
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, d, cents,
+             lag(cents) OVER (PARTITION BY event_type ORDER BY d) AS pv,
+             lead(cents) OVER (PARTITION BY event_type ORDER BY d) AS nx
+           FROM daily)
+         SELECT event_type, d AS peak_day,
+           round(cast(cents AS double) / 100.0, 2) + 0.0 AS peak_value,
+           round(cast(cents - pv AS double) / 100.0, 2) + 0.0 AS rise,
+           round(cast(cents - nx AS double) / 100.0, 2) + 0.0 AS fall
+         FROM w
+         WHERE pv IS NOT NULL AND nx IS NOT NULL AND cents > pv
+           AND cents > nx""",
+    // profile drift: per-period exact moments, NULL-guarded ratios
+    "q384_profile_drift" ->
+      """WITH b AS (SELECT min(cast(ts AS date)) AS d0 FROM events),
+         e AS (SELECT CASE WHEN cast(ts AS date) < d0 + to_days(15)
+             THEN 'p1' ELSE 'p2' END AS period, user_id,
+             cast(cast(value AS decimal(18,2)) AS double) AS v, props
+           FROM events CROSS JOIN b),
+         m AS (
+           SELECT period, cast(count(*) AS bigint) AS n_rows,
+             cast(count(DISTINCT user_id) AS bigint) AS n_users,
+             round(cast(sum(cast(v AS decimal(18,2))) AS double)
+               / cast(count(*) AS double), 6) AS mean_value,
+             round(cast(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+               AS double) / cast(count(*) AS double), 6)
+               AS null_props_rate
+           FROM e GROUP BY 1),
+         w AS (
+           SELECT
+             max(CASE WHEN period='p1' THEN n_rows END) AS r1,
+             max(CASE WHEN period='p2' THEN n_rows END) AS r2,
+             max(CASE WHEN period='p1' THEN n_users END) AS u1,
+             max(CASE WHEN period='p2' THEN n_users END) AS u2,
+             max(CASE WHEN period='p1' THEN mean_value END) AS m1,
+             max(CASE WHEN period='p2' THEN mean_value END) AS m2,
+             max(CASE WHEN period='p1' THEN null_props_rate END) AS z1,
+             max(CASE WHEN period='p2' THEN null_props_rate END) AS z2
+           FROM m)
+         SELECT 'n_rows' AS metric, cast(r1 AS double) + 0.0 AS period1,
+           cast(r2 AS double) + 0.0 AS period2,
+           round(cast(r2 AS double) / cast(r1 AS double), 6) + 0.0
+             AS drift_ratio
+         FROM w
+         UNION ALL
+         SELECT 'n_users', cast(u1 AS double) + 0.0,
+           cast(u2 AS double) + 0.0,
+           round(cast(u2 AS double) / cast(u1 AS double), 6) + 0.0 FROM w
+         UNION ALL
+         SELECT 'mean_value', m1 + 0.0, m2 + 0.0,
+           round(m2 / m1, 6) + 0.0 FROM w
+         UNION ALL
+         SELECT 'null_props_rate', z1 + 0.0, z2 + 0.0,
+           CASE WHEN z1 > 0 THEN round(z2 / z1, 6) + 0.0 END FROM w""",
   )
 }

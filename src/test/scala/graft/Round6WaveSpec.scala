@@ -765,6 +765,46 @@ class Round6WaveSpec extends SparkSuite {
     assert(math.abs(jump - id) < 0.011)
   }
 
+  test("q383 peaks: every reported peak is a strict local maximum") {
+    val got = SparkEntry.queries("q383_peak_detection")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate,
+        r.getAs[Double]("rise"), r.getAs[Double]("fall")))
+    assert(got.nonEmpty)
+    got.foreach { case (_, _, rise, fall) =>
+      assert(rise > 0 && fall > 0)
+    }
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(sum((col("value").cast("decimal(18,2)") * lit(100))
+        .cast("bigint")).as("c"))
+      .collect()
+      .map(r => ((r.getString(0), r.getDate(1).toLocalDate), r.getLong(2)))
+      .toMap
+    got.foreach { case (tpe, day, _, _) =>
+      val c = daily((tpe, day))
+      val pv = daily.get((tpe, day.minusDays(1)))
+      val nx = daily.get((tpe, day.plusDays(1)))
+      assert(pv.exists(_ < c) && nx.exists(_ < c),
+        s"$tpe $day not a strict local max")
+    }
+  }
+
+  test("q384 drift: ratio identities and full metric set") {
+    val got = SparkEntry.queries("q384_profile_drift")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getAs[Double]("period1"),
+        r.getAs[Double]("period2"),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(got.keySet == Set("n_rows", "n_users", "mean_value",
+      "null_props_rate"))
+    got.foreach { case (m, (p1, p2, ratio)) =>
+      if (p1 > 0)
+        assert(ratio.exists(r => math.abs(r - p2 / p1) < 1e-5), s"$m")
+      else assert(ratio.isEmpty, s"$m ratio should be NULL at zero base")
+    }
+  }
+
   test("q345 phonetic: soundex-style goldens and collision flag") {
     val got = SparkEntry.queries("q345_phonetic_blocking")(spark, sf)
       .collect()
