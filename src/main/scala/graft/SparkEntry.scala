@@ -5632,33 +5632,15 @@ object SparkEntry {
       // recursive CTE.
       val monthly = Tables.orders(s, dir)
         .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
-          .as("__m"))
+          .as("month"))
         .agg(sum(col("o_totalprice").cast(D)).cast("double").as("__y"))
-        .orderBy(col("__m"))
-        .collect()
-        .map(r => (r.getDate(0), r.getDouble(1)))
-      def r6(x: Double): Double =
-        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      val out = scala.collection.mutable.ArrayBuffer
-        .empty[(java.sql.Date, Double, Double, Double)]
-      var lev = r6(monthly(0)._2)
-      var tr = r6(monthly(1)._2 - monthly(0)._2)
-      out += ((monthly(0)._1, monthly(0)._2, lev, tr))
-      monthly.drop(1).foreach { case (m, y) =>
-        val l2 = r6(0.3d * y + 0.7d * (lev + tr))
-        val t2 = r6(0.2d * (l2 - lev) + 0.8d * tr)
-        lev = l2; tr = t2
-        out += ((m, y, lev, tr))
-      }
-      val spark = s
-      import spark.implicits._
-      out.toSeq.toDF("month", "__y", "__lev", "__tr")
+      graft.operators.Analyses
+        .holtSmooth(monthly, "month", "__y", alpha = 0.3, beta = 0.2)
         .select(col("month"),
           (round(col("__y"), 2) + lit(0.0d)).as("revenue"),
-          (col("__lev") + lit(0.0d)).as("smooth_level"),
-          (col("__tr") + lit(0.0d)).as("smooth_trend"),
-          (round(col("__lev") + col("__tr"), 6) + lit(0.0d))
-            .as("forecast_next"))
+          (col("smooth_level") + lit(0.0d)).as("smooth_level"),
+          (col("smooth_trend") + lit(0.0d)).as("smooth_trend"),
+          (col("forecast_next") + lit(0.0d)).as("forecast_next"))
     }),
 
     // ---- EXT: Lorenz concentration curve (value-binned) ----

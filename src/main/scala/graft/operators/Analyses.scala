@@ -1388,4 +1388,57 @@ object Analyses {
         (round(col("n").cast("double") / col("__sinv").cast("double"), 6)
           + lit(0.0d)).as("harmonic_mean"))
   }
+
+  /** Holt linear (double-exponential) smoothing over a BOUNDED series —
+    * the library form of gate q339. The input is collected (bounded model
+    * fit, the q332 precedent: the caller aggregates the corpus to a
+    * bounded grain first) and the level/trend recursion
+    *
+    *   l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *
+    * runs with every step rounded to 6 dp (BigDecimal HALF_UP — the same
+    * op sequence a mirrored recursive-CTE oracle computes). Output: one
+    * row per input point with the smoothed level, trend and one-step
+    * forecast.
+    *
+    * Ordering is by `orderCol` ascending; requires ≥ 2 rows (the trend
+    * initializes from the first difference). */
+  def holtSmooth(series: DataFrame, orderCol: String, valueCol: String,
+                 alpha: Double = 0.3, beta: Double = 0.2): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      "alpha/beta must be in (0,1)")
+    val rows = series
+      .select(col(orderCol).cast("date").as("__m"),
+        col(valueCol).cast("double").as("__y"))
+      .orderBy(col("__m"))
+      .collect()
+      .map(r => (r.getDate(0), r.getDouble(1)))
+    require(rows.length >= 2, "holtSmooth needs at least 2 points")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // complements via DECIMAL subtraction of the shortest representation:
+    // IEEE `1.0 - 0.3` is 0.7000000000000001, NOT the double literal 0.7
+    // a mirrored oracle writes — BigDecimal.valueOf(0.3) is the decimal
+    // "0.3", so 1 − it round-trips to the exact literal 0.7
+    val ca = (BigDecimal(1) - BigDecimal.valueOf(alpha)).toDouble
+    val cb = (BigDecimal(1) - BigDecimal.valueOf(beta)).toDouble
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(java.sql.Date, Double, Double, Double)]
+    var lev = r6(rows(0)._2)
+    var tr = r6(rows(1)._2 - rows(0)._2)
+    out += ((rows(0)._1, rows(0)._2, lev, tr))
+    rows.drop(1).foreach { case (m, y) =>
+      val l2 = r6(alpha * y + ca * (lev + tr))
+      val t2 = r6(beta * (l2 - lev) + cb * tr)
+      lev = l2; tr = t2
+      out += ((m, y, lev, tr))
+    }
+    val spark = series.sparkSession
+    import spark.implicits._
+    out.toSeq.toDF("__m", "__y", "__lev", "__tr")
+      .select(col("__m").as(orderCol), col("__y").as(valueCol),
+        col("__lev").as("smooth_level"), col("__tr").as("smooth_trend"),
+        round(col("__lev") + col("__tr"), 6).as("forecast_next"))
+  }
 }

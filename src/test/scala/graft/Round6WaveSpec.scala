@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.operators.Analyses
 
 /** Brute-force cross-checks for the round-6 third-wave gates (q339–q345):
   * each gate's distributed / lockstep formulation must agree with the
@@ -804,6 +805,32 @@ class Round6WaveSpec extends SparkSuite {
       else assert(ratio.isEmpty, s"$m ratio should be NULL at zero base")
     }
   }
+
+  test("holtSmooth: a constant series is a fixed point (trend 0)") {
+    val df = (1 to 30).map(i => (day(f"2024-01-${i % 28 + 1}%02d"), 500.0))
+      .distinct.toDF("d", "v")
+    val out = Analyses.holtSmooth(df, "d", "v").collect()
+    out.foreach { r =>
+      assert(r.getAs[Double]("smooth_level") == 500.0)
+      assert(r.getAs[Double]("smooth_trend") == 0.0)
+      assert(r.getAs[Double]("forecast_next") == 500.0)
+    }
+  }
+
+  test("holtSmooth: a linear series is tracked exactly — forecast hits next point") {
+    // y_t = 100 + 7t: the first-difference init makes the recursion exact
+    // (l2 = α·y2 + (1−α)(y1 + b) = y2), so every one-step forecast equals
+    // the next observation up to the 6-dp step rounding
+    val df = (1 to 20).map(i => (day(f"2024-03-$i%02d"), 100.0 + 7.0 * i))
+      .toDF("d", "v")
+    val out = Analyses.holtSmooth(df, "d", "v").orderBy("d").collect()
+    out.dropRight(1).zip(out.drop(1)).foreach { case (cur, nxt) =>
+      assert(math.abs(cur.getAs[Double]("forecast_next") -
+        nxt.getAs[Double]("v")) < 1e-6)
+    }
+  }
+
+  private def day(s: String): java.sql.Date = java.sql.Date.valueOf(s)
 
   test("q345 phonetic: soundex-style goldens and collision flag") {
     val got = SparkEntry.queries("q345_phonetic_blocking")(spark, sf)
