@@ -7297,6 +7297,79 @@ object SparkEntry {
         .unionByName(row("null_props_rate", col("z1"), col("z2"),
           guard = true))
     }),
+
+    // ---- EXT: conversion latency percentiles ----
+    "q385_conversion_latency" -> ((s, dir) => {
+      // the funnel-latency readout behind q122's counts: minutes from
+      // first signup to first subsequent purchase, p50/p90/p99 resolved
+      // by integer rank against the minute-grain DISTRIBUTION table
+      // (q316/q369's compressed-window trick); floor-second epochs and
+      // integer-minute division keep the grain engine-identical.
+      import org.apache.spark.sql.expressions.Window
+      val spark = s
+      import spark.implicits._
+      val ev = Tables.events(s, dir)
+      def es(c: org.apache.spark.sql.Column) =
+        floor(unix_micros(c) / lit(1000000L)).cast("long")
+      val sTbl = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(es(min(col("ts"))).as("__es"))
+      val pTbl = ev.filter(col("event_type") === "purchase")
+        .join(sTbl, Seq("user_id"))
+        .filter(es(col("ts")) > col("__es"))
+        .groupBy(col("user_id"), col("__es"))
+        .agg(es(min(col("ts"))).as("__ep"))
+      val dist = pTbl
+        .select(expr("(__ep - __es) div 60").as("__mins"))
+        .groupBy(col("__mins")).agg(count(lit(1)).as("__c"))
+      val tot = dist.agg(sum(col("__c")).as("n_converted"))
+      val wc = Window.orderBy(col("__mins"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = dist.withColumn("__cc", sum(col("__c")).over(wc))
+      val q = Seq(50, 90, 99).toDF("pct")
+      cum.crossJoin(broadcast(q)).crossJoin(broadcast(tot))
+        .groupBy(col("pct"), col("n_converted"))
+        .agg(min(when(col("__cc") >=
+          expr("(pct * n_converted + 99) div 100"), col("__mins")))
+          .cast("bigint").as("latency_minutes"))
+        .select(col("pct"), col("n_converted"), col("latency_minutes"))
+    }),
+
+    // ---- EXT: rolling-origin drift-forecast backtest ----
+    "q386_forecast_backtest" -> ((s, dir) => {
+      // how good is the naive drift forecast ŷ_{t+h} = y_t + h(y_t −
+      // y_{t−1})? MAE/RMSE by horizon h ∈ {1,2,3} over every origin of
+      // the bounded monthly series — the rolling-origin evaluation that
+      // complements q287's MASE; absolute/squared errors rounded to 2 dp
+      // then exactly decimal-summed.
+      import org.apache.spark.sql.expressions.Window
+      val spark = s
+      import spark.implicits._
+      val seq0 = Tables.orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("__m"))
+        .agg(sum(col("o_totalprice").cast(D)).cast("double").as("__y"))
+        .withColumn("__i", row_number().over(Window.orderBy(col("__m"))))
+        .select("__i", "__y")
+      val hz = Seq(1, 2, 3).toDF("horizon")
+      val a = seq0.select(col("__i").as("ia"), col("__y").as("ya"))
+      val b = seq0.select(col("__i").as("ib"), col("__y").as("yb"))
+      val c = seq0.select(col("__i").as("ic"), col("__y").as("yc"))
+      a.crossJoin(broadcast(hz))
+        .join(b, col("ib") === col("ia") - col("horizon"))
+        .join(c, col("ic") === col("ia") - col("horizon") - lit(1))
+        .withColumn("__f", col("yb") + col("horizon").cast("double") *
+          (col("yb") - col("yc")))
+        .withColumn("__ae",
+          round(abs(col("ya") - col("__f")), 2).cast("decimal(18,2)"))
+        .withColumn("__se",
+          round((col("ya") - col("__f")) * (col("ya") - col("__f")), 2)
+            .cast("decimal(28,2)"))
+        .groupBy(col("horizon"))
+        .agg(count(lit(1)).as("n_evals"),
+          (round(sum(col("__ae")).cast("double") /
+            count(lit(1)).cast("double"), 2) + lit(0.0d)).as("mae"),
+          (round(sqrt(sum(col("__se")).cast("double") /
+            count(lit(1)).cast("double")), 2) + lit(0.0d)).as("rmse"))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -13920,5 +13993,63 @@ object SparkEntry {
          UNION ALL
          SELECT 'null_props_rate', z1 + 0.0, z2 + 0.0,
            CASE WHEN z1 > 0 THEN round(z2 / z1, 6) + 0.0 END FROM w""",
+    // conversion latency: floor-second epochs, integer-minute grain,
+    // rank lookups on the compressed distribution table
+    "q385_conversion_latency" ->
+      """WITH s AS (SELECT user_id,
+             cast(floor(epoch(min(ts))) AS bigint) AS es
+           FROM events WHERE event_type = 'signup' GROUP BY 1),
+         p AS (
+           SELECT e.user_id, s.es,
+             cast(floor(epoch(min(e.ts))) AS bigint) AS ep
+           FROM events e JOIN s ON e.user_id = s.user_id
+           WHERE e.event_type = 'purchase'
+             AND cast(floor(epoch(e.ts)) AS bigint) > s.es
+           GROUP BY 1, 2),
+         dist AS (SELECT (ep - es) // 60 AS mins,
+             cast(count(*) AS bigint) AS c
+           FROM p GROUP BY 1),
+         tot AS (SELECT cast(sum(c) AS bigint) AS n FROM dist),
+         cum AS (
+           SELECT mins, c,
+             cast(sum(c) OVER (ORDER BY mins ROWS UNBOUNDED PRECEDING)
+               AS bigint) AS cc
+           FROM dist),
+         q AS (SELECT cast(unnest([50, 90, 99]) AS int) AS pct)
+         SELECT q.pct, tot.n AS n_converted,
+           cast(min(CASE WHEN cum.cc >= (q.pct * tot.n + 99) // 100
+             THEN cum.mins END) AS bigint) AS latency_minutes
+         FROM q CROSS JOIN tot CROSS JOIN cum
+         GROUP BY q.pct, tot.n""",
+    // backtest: naive drift forecast, 2-dp rounded errors exactly summed
+    "q386_forecast_backtest" ->
+      """WITH monthly AS (
+           SELECT date_trunc('month', o_orderdate) AS m,
+             cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+               AS y
+           FROM orders GROUP BY 1),
+         seq AS (SELECT y, row_number() OVER (ORDER BY m) AS i
+           FROM monthly),
+         hz AS (SELECT cast(unnest([1, 2, 3]) AS int) AS horizon),
+         f AS (
+           SELECT hz.horizon, a.y AS actual,
+             b.y + cast(hz.horizon AS double) * (b.y - c.y) AS forecast
+           FROM hz
+           JOIN seq a ON true
+           JOIN seq b ON b.i = a.i - hz.horizon
+           JOIN seq c ON c.i = a.i - hz.horizon - 1),
+         e AS (
+           SELECT horizon,
+             cast(round(abs(actual - forecast), 2) AS decimal(18,2))
+               AS ae,
+             cast(round((actual - forecast) * (actual - forecast), 2)
+               AS decimal(28,2)) AS se
+           FROM f)
+         SELECT horizon, cast(count(*) AS bigint) AS n_evals,
+           round(cast(sum(ae) AS double) / cast(count(*) AS double), 2)
+             + 0.0 AS mae,
+           round(sqrt(cast(sum(se) AS double) / cast(count(*) AS double)),
+             2) + 0.0 AS rmse
+         FROM e GROUP BY 1""",
   )
 }

@@ -832,6 +832,46 @@ class Round6WaveSpec extends SparkSuite {
 
   private def day(s: String): java.sql.Date = java.sql.Date.valueOf(s)
 
+  test("q385 latency: percentiles ordered, ranks hold against brute") {
+    val got = SparkEntry.queries("q385_conversion_latency")(spark, sf)
+      .orderBy("pct").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == Seq(50, 90, 99))
+    assert(got.map(_._3).sliding(2).forall {
+      case Array(a, b) => a <= b
+      case _ => true
+    })
+    // brute: per-user first signup → first subsequent purchase minutes
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        floor(unix_micros(col("ts")) / lit(1000000L)).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val signup = evs.filter(_._2 == "signup").groupBy(_._1).view
+      .mapValues(_.map(_._3).min).toMap
+    val lats = signup.flatMap { case (u, es) =>
+      val ps = evs.filter(e => e._1 == u && e._2 == "purchase" && e._3 > es)
+      if (ps.isEmpty) None else Some((ps.map(_._3).min - es) / 60)
+    }.toSeq.sorted
+    got.foreach { case (pct, n, lat) =>
+      assert(n == lats.length.toLong)
+      val rank = (pct * lats.length + 99) / 100
+      assert(lat == lats(rank - 1), s"p$pct $lat vs brute ${lats(rank - 1)}")
+    }
+  }
+
+  test("q386 backtest: error grows with horizon on a drifting series") {
+    val got = SparkEntry.queries("q386_forecast_backtest")(spark, sf)
+      .orderBy("horizon").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getAs[Double]("mae"),
+        r.getAs[Double]("rmse")))
+    assert(got.map(_._1).toSeq == Seq(1, 2, 3))
+    got.foreach { case (_, n, mae, rmse) =>
+      assert(n > 0 && mae > 0 && rmse >= mae)
+    }
+    // each extra horizon loses exactly one evaluable origin
+    assert(got(0)._2 == got(1)._2 + 1 && got(1)._2 == got(2)._2 + 1)
+  }
+
   test("q345 phonetic: soundex-style goldens and collision flag") {
     val got = SparkEntry.queries("q345_phonetic_blocking")(spark, sf)
       .collect()
