@@ -7370,6 +7370,85 @@ object SparkEntry {
           (round(sqrt(sum(col("__se")).cast("double") /
             count(lit(1)).cast("double")), 2) + lit(0.0d)).as("rmse"))
     }),
+
+    // ---- EXT: one-pass Pearson correlation matrix ----
+    "q387_corr_matrix" -> ((s, dir) => {
+      // the numeric-profile matrix over lineitem's four measures: all
+      // 15 moments (4 sums, 10 products, count) in ONE hash aggregate —
+      // exact integer-cents / decimal(38,0) — then six mirrored Pearson
+      // divisions. One corpus pass for the full matrix, never a pass
+      // per pair.
+      def c2(n: String) =
+        (col(n).cast(D) * lit(100)).cast("bigint")
+      val x = Tables.lineitem(s, dir).select(
+        c2("l_quantity").as("q"), c2("l_extendedprice").as("e"),
+        c2("l_discount").as("d"), c2("l_tax").as("t"))
+      def p(a: String, b: String) =
+        sum(col(a).cast("decimal(38,0)") * col(b))
+      val m = x.agg(count(lit(1)).as("n"),
+        sum(col("q")).as("sq"), sum(col("e")).as("se"),
+        sum(col("d")).as("sd"), sum(col("t")).as("st"),
+        p("q", "q").as("qq"), p("e", "e").as("ee"),
+        p("d", "d").as("dd"), p("t", "t").as("tt"),
+        p("q", "e").as("qe"), p("q", "d").as("qd"),
+        p("q", "t").as("qt2"), p("e", "d").as("ed"),
+        p("e", "t").as("et"), p("d", "t").as("dt"))
+      def pair(an: String, bn: String, sa: String, sb: String,
+               saa: String, sbb: String, sab: String) =
+        m.select(lit(an).as("col_a"), lit(bn).as("col_b"),
+          (round((col("n").cast("double") * col(sab).cast("double") -
+            col(sa).cast("double") * col(sb).cast("double")) /
+            sqrt((col("n").cast("double") * col(saa).cast("double") -
+              col(sa).cast("double") * col(sa).cast("double")) *
+              (col("n").cast("double") * col(sbb).cast("double") -
+                col(sb).cast("double") * col(sb).cast("double"))), 6)
+            + lit(0.0d)).as("pearson_r"))
+      pair("quantity", "extendedprice", "sq", "se", "qq", "ee", "qe")
+        .unionByName(pair("quantity", "discount", "sq", "sd", "qq", "dd",
+          "qd"))
+        .unionByName(pair("quantity", "tax", "sq", "st", "qq", "tt",
+          "qt2"))
+        .unionByName(pair("extendedprice", "discount", "se", "sd", "ee",
+          "dd", "ed"))
+        .unionByName(pair("extendedprice", "tax", "se", "st", "ee", "tt",
+          "et"))
+        .unionByName(pair("discount", "tax", "sd", "st", "dd", "tt",
+          "dt"))
+    }),
+
+    // ---- EXT: quantile normalization map between sources ----
+    "q388_quantile_norm" -> ((s, dir) => {
+      // the batch-effect correction table: src0's decile grid mapped
+      // onto src1's — integer rank lookups on each source's length
+      // DISTRIBUTION table (q316's compressed-window trick); the shift
+      // column IS the correction.
+      import org.apache.spark.sql.expressions.Window
+      val spark = s
+      import spark.implicits._
+      val l = Tables.documents(s, dir)
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), length(col("text")).cast("long").as("len"))
+      val dist = l.groupBy(col("source"), col("len"))
+        .agg(count(lit(1)).as("__c"))
+      val wOrd = Window.partitionBy(col("source")).orderBy(col("len"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("source"))
+      val cum = dist
+        .withColumn("__cc", sum(col("__c")).over(wOrd))
+        .withColumn("__n", sum(col("__c")).over(wAll))
+      val q = (1 to 9).toDF("decile")
+      val v = cum.crossJoin(broadcast(q))
+        .groupBy(col("decile"), col("source"))
+        .agg(min(when(col("__cc") >=
+          expr("(decile * __n + 9) div 10"), col("len"))).as("__val"))
+      val a = v.filter(col("source") === "src0")
+        .select(col("decile"), col("__val").as("len_src0"))
+      val b = v.filter(col("source") === "src1")
+        .select(col("decile"), col("__val").as("len_src1"))
+      a.join(b, Seq("decile"))
+        .select(col("decile"), col("len_src0"), col("len_src1"),
+          (col("len_src1") - col("len_src0")).as("shift"))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -14051,5 +14130,78 @@ object SparkEntry {
            round(sqrt(cast(sum(se) AS double) / cast(count(*) AS double)),
              2) + 0.0 AS rmse
          FROM e GROUP BY 1""",
+    // corr matrix: 15 exact moments in one aggregate, six mirrored
+    // Pearson divisions
+    "q387_corr_matrix" ->
+      """WITH x AS (
+           SELECT cast(cast(l_quantity AS decimal(18,2)) * 100 AS bigint)
+               AS q,
+             cast(cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint)
+               AS e,
+             cast(cast(l_discount AS decimal(18,2)) * 100 AS bigint)
+               AS d,
+             cast(cast(l_tax AS decimal(18,2)) * 100 AS bigint) AS t
+           FROM lineitem),
+         m AS (
+           SELECT cast(count(*) AS bigint) AS n,
+             cast(sum(q) AS bigint) AS sq, cast(sum(e) AS bigint) AS se,
+             cast(sum(d) AS bigint) AS sd, cast(sum(t) AS bigint) AS st,
+             sum(cast(q AS hugeint) * q) AS qq,
+             sum(cast(e AS hugeint) * e) AS ee,
+             sum(cast(d AS hugeint) * d) AS dd,
+             sum(cast(t AS hugeint) * t) AS tt,
+             sum(cast(q AS hugeint) * e) AS qe,
+             sum(cast(q AS hugeint) * d) AS qd,
+             sum(cast(q AS hugeint) * t) AS qt2,
+             sum(cast(e AS hugeint) * d) AS ed,
+             sum(cast(e AS hugeint) * t) AS et,
+             sum(cast(d AS hugeint) * t) AS dt
+           FROM x)
+         SELECT p.col_a, p.col_b,
+           round((cast(p.n AS double) * cast(p.sab AS double)
+               - cast(p.sa AS double) * cast(p.sb AS double))
+             / sqrt((cast(p.n AS double) * cast(p.saa AS double)
+                 - cast(p.sa AS double) * cast(p.sa AS double))
+               * (cast(p.n AS double) * cast(p.sbb AS double)
+                 - cast(p.sb AS double) * cast(p.sb AS double))), 6)
+             + 0.0 AS pearson_r
+         FROM (
+           SELECT 'quantity' AS col_a, 'extendedprice' AS col_b, n,
+             sq AS sa, se AS sb, qq AS saa, ee AS sbb, qe AS sab FROM m
+           UNION ALL SELECT 'quantity', 'discount', n, sq, sd, qq, dd, qd
+           FROM m
+           UNION ALL SELECT 'quantity', 'tax', n, sq, st, qq, tt, qt2
+           FROM m
+           UNION ALL SELECT 'extendedprice', 'discount', n, se, sd, ee,
+             dd, ed FROM m
+           UNION ALL SELECT 'extendedprice', 'tax', n, se, st, ee, tt, et
+           FROM m
+           UNION ALL SELECT 'discount', 'tax', n, sd, st, dd, tt, dt
+           FROM m) p""",
+    // quantile normalization: per-source distribution-table rank lookups
+    "q388_quantile_norm" ->
+      """WITH l AS (SELECT source, cast(length(text) AS bigint) AS len
+           FROM documents WHERE source IN ('src0', 'src1')),
+         dist AS (SELECT source, len, cast(count(*) AS bigint) AS c
+           FROM l GROUP BY 1, 2),
+         cum AS (
+           SELECT source, len, c,
+             cast(sum(c) OVER (PARTITION BY source ORDER BY len
+               ROWS UNBOUNDED PRECEDING) AS bigint) AS cc,
+             cast(sum(c) OVER (PARTITION BY source) AS bigint) AS n
+           FROM dist),
+         q AS (SELECT cast(unnest(generate_series(1, 9)) AS int)
+           AS decile),
+         v AS (
+           SELECT q.decile, cum.source,
+             min(CASE WHEN cum.cc >= (q.decile * cum.n + 9) // 10
+               THEN cum.len END) AS val
+           FROM q CROSS JOIN cum GROUP BY 1, 2)
+         SELECT a.decile,
+           cast(a.val AS bigint) AS len_src0,
+           cast(b.val AS bigint) AS len_src1,
+           cast(b.val - a.val AS bigint) AS shift
+         FROM v a JOIN v b ON a.decile = b.decile
+         WHERE a.source = 'src0' AND b.source = 'src1'""",
   )
 }

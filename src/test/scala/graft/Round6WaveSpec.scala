@@ -872,6 +872,86 @@ class Round6WaveSpec extends SparkSuite {
     assert(got(0)._2 == got(1)._2 + 1 && got(1)._2 == got(2)._2 + 1)
   }
 
+  test("lmDirichletTopK: hand-computed golden on a 3-doc corpus") {
+    // corpus: d1 = "a a b", d2 = "a c", d3 = "b b c"  (|C| = 8 tokens)
+    // cf: a=3, b=3, c=2; dl: d1=3, d2=2, d3=3; query "a b", mu = 2
+    // term score  t in d: ln(1 + tf*8 / (2*cf))
+    //   d1: a tf2 -> ln(1+16/6), b tf1 -> ln(1+8/6)
+    //   d2: a tf1 -> ln(1+8/6)
+    //   d3: b tf2 -> ln(1+16/6)
+    // length penalty: nq=2 terms, ln(2/(dl+2)): d1,d3 -> 2*ln(2/5);
+    //   d2 -> 2*ln(2/4)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b c"))
+      .toDF("doc_id", "text")
+    val qs = Seq((1L, "a b")).toDF("query_id", "query_text")
+    val got = graft.operators.TextOps
+      .lmDirichletTopK(docs, "doc_id", "text", qs, "query_id",
+        "query_text", k = 3, mu = 2L)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    val s1 = r6(r6(math.log(1 + 16.0 / 6)) + r6(math.log(1 + 8.0 / 6)) +
+      2.0 * r6(math.log(2.0 / 5)))
+    val s2 = r6(r6(math.log(1 + 8.0 / 6)) + 2.0 * r6(math.log(2.0 / 4)))
+    val s3 = r6(r6(math.log(1 + 16.0 / 6)) + 2.0 * r6(math.log(2.0 / 5)))
+    val want = Seq((1L, s1), (2L, s2), (3L, s3)).sortBy(-_._2)
+    assert(got.length == 3)
+    got.zip(want).foreach { case ((gd, gs), (wd, ws)) =>
+      assert(gd == wd && math.abs(gs - ws) < 1e-9,
+        s"got ($gd, $gs) want ($wd, $ws)")
+    }
+  }
+
+  test("q387 corr matrix: matches per-pair brute Pearson, r in [-1,1]") {
+    val got = SparkEntry.queries("q387_corr_matrix")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getAs[Double]("pearson_r")))
+    assert(got.length == 6)
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("double"),
+        col("l_extendedprice").cast("double"),
+        col("l_discount").cast("double"), col("l_tax").cast("double"))
+      .collect()
+      .map(r => Map("quantity" -> r.getDouble(0),
+        "extendedprice" -> r.getDouble(1), "discount" -> r.getDouble(2),
+        "tax" -> r.getDouble(3)))
+    def pearson(a: String, b: String): Double = {
+      val xs = rows.map(_(a)); val ys = rows.map(_(b))
+      val n = xs.length.toDouble
+      val mx = xs.sum / n; val my = ys.sum / n
+      val cov = xs.zip(ys).map(p => (p._1 - mx) * (p._2 - my)).sum
+      val vx = xs.map(x => (x - mx) * (x - mx)).sum
+      val vy = ys.map(y => (y - my) * (y - my)).sum
+      cov / math.sqrt(vx * vy)
+    }
+    got.foreach { case (a, b, r) =>
+      assert(r >= -1.0 && r <= 1.0)
+      assert(math.abs(r - pearson(a, b)) < 1e-4,
+        s"$a/$b r=$r brute=${pearson(a, b)}")
+    }
+  }
+
+  test("q388 quantile norm: deciles monotone, ranks hold per source") {
+    val got = SparkEntry.queries("q388_quantile_norm")(spark, sf)
+      .orderBy("decile").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == (1 to 9))
+    got.foreach { case (_, a, b, s2) => assert(s2 == b - a) }
+    got.sliding(2).foreach {
+      case Array(x, y) => assert(x._2 <= y._2 && x._3 <= y._3)
+      case _ =>
+    }
+    val lens = Tables.documents(spark, sf)
+      .filter(col("source") === "src0")
+      .select(length(col("text")).cast("long")).collect()
+      .map(_.getLong(0)).sorted
+    got.foreach { case (d, a, _, _) =>
+      val rank = (d * lens.length + 9) / 10
+      assert(a == lens(rank - 1), s"decile $d src0 $a vs ${lens(rank - 1)}")
+    }
+  }
+
   test("q345 phonetic: soundex-style goldens and collision flag") {
     val got = SparkEntry.queries("q345_phonetic_blocking")(spark, sf)
       .collect()
