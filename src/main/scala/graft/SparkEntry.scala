@@ -7449,6 +7449,53 @@ object SparkEntry {
         .select(col("decile"), col("len_src0"), col("len_src1"),
           (col("len_src1") - col("len_src0")).as("shift"))
     }),
+
+    // ---- EXT: language-ID classifier evaluation ----
+    "q389_langid_eval" -> ((s, dir) => {
+      // q32's confusion matrix folded into the per-class
+      // precision/recall/F1 report — the eval loop that decides whether
+      // the stopword heuristic is good enough to gate corpus routing.
+      // Exact integer tp/fp/fn; F1 from the 6-dp rounded P and R so the
+      // harmonic mean is engine-identical.
+      val cm = Tables.documents(s, dir)
+        .withColumn("pred", TextOps.langId(TextOps.tokens(col("text"))))
+        .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("__n"))
+      val tp = cm.filter(col("lang") === col("pred"))
+        .select(col("lang").as("language"), col("__n").as("__tp"))
+      val byLang = cm.groupBy(col("lang").as("language"))
+        .agg(sum(col("__n")).as("__support"))
+      val byPred = cm.groupBy(col("pred").as("language"))
+        .agg(sum(col("__n")).as("__predicted"))
+      val p6 = round(col("__tp").cast("double") /
+        col("__predicted").cast("double"), 6) + lit(0.0d)
+      val r6c = round(col("__tp").cast("double") /
+        col("__support").cast("double"), 6) + lit(0.0d)
+      byLang.join(byPred, Seq("language"), "full_outer")
+        .join(tp, Seq("language"), "left_outer")
+        .select(col("language"),
+          coalesce(col("__support"), lit(0L)).as("support"),
+          coalesce(col("__predicted"), lit(0L)).as("n_predicted"),
+          coalesce(col("__tp"), lit(0L)).as("true_positives"))
+        .filter(col("support") > 0)
+        .withColumn("__tp", col("true_positives"))
+        .withColumn("__support", col("support"))
+        .withColumn("__predicted", col("n_predicted"))
+        .select(col("language"), col("support"), col("n_predicted"),
+          col("true_positives"),
+          when(col("__predicted") > 0, p6).as("precision"),
+          r6c.as("recall"),
+          when(col("__predicted") > 0 && col("__tp") > 0,
+            round(lit(2.0d) *
+              (round(col("__tp").cast("double") /
+                col("__predicted").cast("double"), 6) + lit(0.0d)) *
+              (round(col("__tp").cast("double") /
+                col("__support").cast("double"), 6) + lit(0.0d)) /
+              ((round(col("__tp").cast("double") /
+                col("__predicted").cast("double"), 6) + lit(0.0d)) +
+                (round(col("__tp").cast("double") /
+                  col("__support").cast("double"), 6) + lit(0.0d))), 6)
+              + lit(0.0d)).as("f1"))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -14203,5 +14250,58 @@ object SparkEntry {
            cast(b.val - a.val AS bigint) AS shift
          FROM v a JOIN v b ON a.decile = b.decile
          WHERE a.source = 'src0' AND b.source = 'src1'""",
+    // lang-ID eval: q32's confusion matrix → per-class P/R/F1; F1 from
+    // the 6-dp rounded P and R
+    "q389_langid_eval" ->
+      """WITH sc AS (SELECT lang,
+           len(list_filter(string_split(text,' '),
+             x -> x IN ('the','a','of','and','to'))) AS en,
+           len(list_filter(string_split(text,' '),
+             x -> x IN ('der','die','das','und','ist'))) AS de,
+           len(list_filter(string_split(text,' '),
+             x -> x IN ('le','la','les','et','est'))) AS fr,
+           len(list_filter(string_split(text,' '),
+             x -> x IN ('el','los','las','y','es'))) AS es
+           FROM documents),
+         cm AS (SELECT lang,
+           CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0
+               THEN 'en'
+             WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+             WHEN fr >= es AND fr > 0 THEN 'fr'
+             WHEN es > 0 THEN 'es' ELSE 'und' END AS pred,
+           cast(count(*) AS bigint) AS n
+           FROM sc GROUP BY 1, 2),
+         tp AS (SELECT lang AS language, cast(sum(n) AS bigint) AS tp
+           FROM cm WHERE lang = pred GROUP BY 1),
+         bl AS (SELECT lang AS language, cast(sum(n) AS bigint)
+             AS support FROM cm GROUP BY 1),
+         bp AS (SELECT pred AS language, cast(sum(n) AS bigint)
+             AS predicted FROM cm GROUP BY 1),
+         j AS (
+           SELECT coalesce(bl.language, bp.language) AS language,
+             coalesce(bl.support, 0) AS support,
+             coalesce(bp.predicted, 0) AS n_predicted,
+             coalesce(tp.tp, 0) AS true_positives
+           FROM bl FULL OUTER JOIN bp ON bl.language = bp.language
+           LEFT JOIN tp ON coalesce(bl.language, bp.language)
+             = tp.language)
+         SELECT language, support, n_predicted, true_positives,
+           CASE WHEN n_predicted > 0 THEN
+             round(cast(true_positives AS double)
+               / cast(n_predicted AS double), 6) + 0.0 END AS precision,
+           round(cast(true_positives AS double)
+             / cast(support AS double), 6) + 0.0 AS recall,
+           CASE WHEN n_predicted > 0 AND true_positives > 0 THEN
+             round(2.0
+               * (round(cast(true_positives AS double)
+                 / cast(n_predicted AS double), 6) + 0.0)
+               * (round(cast(true_positives AS double)
+                 / cast(support AS double), 6) + 0.0)
+               / ((round(cast(true_positives AS double)
+                 / cast(n_predicted AS double), 6) + 0.0)
+                 + (round(cast(true_positives AS double)
+                   / cast(support AS double), 6) + 0.0)), 6) + 0.0
+             END AS f1
+         FROM j WHERE support > 0""",
   )
 }

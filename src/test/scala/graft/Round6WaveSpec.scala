@@ -952,6 +952,36 @@ class Round6WaveSpec extends SparkSuite {
     }
   }
 
+  test("q389 lang-ID eval: identities vs q32's confusion matrix") {
+    val cm = SparkEntry.queries("q32_lang_profile")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val got = SparkEntry.queries("q389_langid_eval")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val langs = cm.map(_._1._1).distinct
+    langs.foreach { l =>
+      val support = cm.filter(_._1._1 == l).map(_._2).sum
+      val predicted = cm.filter(_._1._2 == l).map(_._2).sum
+      val tp = cm.filter(c => c._1._1 == l && c._1._2 == l)
+        .map(_._2).sum
+      assert(got(l) == ((support, predicted, tp)),
+        s"$l got ${got(l)} want ($support, $predicted, $tp)")
+    }
+    // F1 lies between precision and recall wherever defined
+    SparkEntry.queries("q389_langid_eval")(spark, sf).collect()
+      .foreach { r =>
+        val p = Option(r.get(4)).map(_.asInstanceOf[Double])
+        val rc = r.getAs[Double]("recall")
+        val f1 = Option(r.get(6)).map(_.asInstanceOf[Double])
+        (p, f1) match {
+          case (Some(pp), Some(f)) =>
+            assert(f >= math.min(pp, rc) - 1e-6 &&
+              f <= math.max(pp, rc) + 1e-6)
+          case _ =>
+        }
+      }
+  }
+
   test("q345 phonetic: soundex-style goldens and collision flag") {
     val got = SparkEntry.queries("q345_phonetic_blocking")(spark, sf)
       .collect()
