@@ -5848,17 +5848,8 @@ object SparkEntry {
         .select(lower(col("word")).as("word"))
         .filter(col("word").rlike("^[a-z]+$"))
         .groupBy(col("word")).agg(count(lit(1)).as("occ"))
-      val rest = Seq(
-        ("[hw]", ""), ("[bfpv]", "1"), ("[cgjkqsxz]", "2"), ("[dt]", "3"),
-        ("l", "4"), ("[mn]", "5"), ("r", "6"), ("[aeiouy]", "0"),
-        ("0{2,}", "0"), ("1{2,}", "1"), ("2{2,}", "2"), ("3{2,}", "3"),
-        ("4{2,}", "4"), ("5{2,}", "5"), ("6{2,}", "6"), ("0", ""))
-        .foldLeft(expr("substring(word, 2)")) { case (c, (p, r)) =>
-          regexp_replace(c, p, r) }
       words
-        .withColumn("code",
-          concat(upper(substring(col("word"), 1, 1)),
-            rpad(substring(rest, 1, 3), 3, "0")))
+        .withColumn("code", TextOps.phoneticKey(col("word")))
         .groupBy(col("code"))
         .agg(count(lit(1)).as("n_distinct_words"),
           sum(col("occ")).as("n_occurrences"),
@@ -7495,6 +7486,38 @@ object SparkEntry {
                 (round(col("__tp").cast("double") /
                   col("__support").cast("double"), 6) + lit(0.0d))), 6)
               + lit(0.0d)).as("f1"))
+    }),
+
+    // ---- EXT: lang-ID evaluation summary (micro + macro) ----
+    "q390_langid_summary" -> ((s, dir) => {
+      // the 1-row report card over q389: micro accuracy Σtp/N and
+      // macro-averaged P/R/F1 (undefined per-class values count as 0 —
+      // the sklearn zero_division=0 convention). Per-class values are
+      // the 6-dp rounded decimals, so the k-class means use the
+      // mirrored half-away floor (q370 midpoint lesson).
+      val perClass = queries("q389_langid_eval")(s, dir)
+        .select(col("support"),
+          coalesce(col("precision"), lit(0.0d)).as("__p"),
+          col("recall").as("__r"),
+          coalesce(col("f1"), lit(0.0d)).as("__f"))
+      def fmean(c: org.apache.spark.sql.Column) =
+        floor(sum(c.cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double") * lit(1000000.0d) + lit(0.5d))
+          .cast("double") / lit(1000000.0d) + lit(0.0d)
+      val tpTotal = Tables.documents(s, dir)
+        .withColumn("pred", TextOps.langId(TextOps.tokens(col("text"))))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lang") === col("pred"), 1L).otherwise(0L))
+            .as("__tp"))
+      perClass.agg(count(lit(1)).as("n_classes"),
+          fmean(col("__p")).as("macro_precision"),
+          fmean(col("__r")).as("macro_recall"),
+          fmean(col("__f")).as("macro_f1"))
+        .crossJoin(broadcast(tpTotal))
+        .select(col("n_docs"), col("n_classes"),
+          (round(col("__tp").cast("double") / col("n_docs").cast("double"),
+            6) + lit(0.0d)).as("micro_accuracy"),
+          col("macro_precision"), col("macro_recall"), col("macro_f1"))
     }),
   )
 
@@ -14303,5 +14326,80 @@ object SparkEntry {
                    / cast(support AS double), 6) + 0.0)), 6) + 0.0
              END AS f1
          FROM j WHERE support > 0""",
+    // lang-ID summary: micro accuracy + floor-mean macro P/R/F1
+    // (zero_division=0 convention)
+    "q390_langid_summary" ->
+      """WITH sc AS (SELECT lang,
+           len(list_filter(string_split(text,' '),
+             x -> x IN ('the','a','of','and','to'))) AS en,
+           len(list_filter(string_split(text,' '),
+             x -> x IN ('der','die','das','und','ist'))) AS de,
+           len(list_filter(string_split(text,' '),
+             x -> x IN ('le','la','les','et','est'))) AS fr,
+           len(list_filter(string_split(text,' '),
+             x -> x IN ('el','los','las','y','es'))) AS es
+           FROM documents),
+         cm AS (SELECT lang,
+           CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0
+               THEN 'en'
+             WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+             WHEN fr >= es AND fr > 0 THEN 'fr'
+             WHEN es > 0 THEN 'es' ELSE 'und' END AS pred,
+           cast(count(*) AS bigint) AS n
+           FROM sc GROUP BY 1, 2),
+         tp AS (SELECT lang AS language, cast(sum(n) AS bigint) AS tp
+           FROM cm WHERE lang = pred GROUP BY 1),
+         bl AS (SELECT lang AS language, cast(sum(n) AS bigint)
+             AS support FROM cm GROUP BY 1),
+         bp AS (SELECT pred AS language, cast(sum(n) AS bigint)
+             AS predicted FROM cm GROUP BY 1),
+         j AS (
+           SELECT coalesce(bl.language, bp.language) AS language,
+             coalesce(bl.support, 0) AS support,
+             coalesce(bp.predicted, 0) AS n_predicted,
+             coalesce(tp.tp, 0) AS true_positives
+           FROM bl FULL OUTER JOIN bp ON bl.language = bp.language
+           LEFT JOIN tp ON coalesce(bl.language, bp.language)
+             = tp.language),
+         pc AS (
+           SELECT support,
+             coalesce(CASE WHEN n_predicted > 0 THEN
+               round(cast(true_positives AS double)
+                 / cast(n_predicted AS double), 6) + 0.0 END, 0.0) AS p,
+             round(cast(true_positives AS double)
+               / cast(support AS double), 6) + 0.0 AS r,
+             coalesce(CASE WHEN n_predicted > 0 AND true_positives > 0
+               THEN round(2.0
+                 * (round(cast(true_positives AS double)
+                   / cast(n_predicted AS double), 6) + 0.0)
+                 * (round(cast(true_positives AS double)
+                   / cast(support AS double), 6) + 0.0)
+                 / ((round(cast(true_positives AS double)
+                   / cast(n_predicted AS double), 6) + 0.0)
+                   + (round(cast(true_positives AS double)
+                     / cast(support AS double), 6) + 0.0)), 6) + 0.0
+               END, 0.0) AS f
+           FROM j WHERE support > 0),
+         mac AS (
+           SELECT cast(count(*) AS bigint) AS n_classes,
+             floor(cast(sum(cast(p AS decimal(18,6))) AS double)
+               / cast(count(*) AS double) * 1000000.0 + 0.5) / 1000000.0
+               + 0.0 AS macro_precision,
+             floor(cast(sum(cast(r AS decimal(18,6))) AS double)
+               / cast(count(*) AS double) * 1000000.0 + 0.5) / 1000000.0
+               + 0.0 AS macro_recall,
+             floor(cast(sum(cast(f AS decimal(18,6))) AS double)
+               / cast(count(*) AS double) * 1000000.0 + 0.5) / 1000000.0
+               + 0.0 AS macro_f1
+           FROM pc),
+         mic AS (
+           SELECT cast(sum(support) AS bigint) AS n_docs,
+             cast(sum(true_positives) AS bigint) AS tps
+           FROM j)
+         SELECT mic.n_docs, mac.n_classes,
+           round(cast(mic.tps AS double) / cast(mic.n_docs AS double), 6)
+             + 0.0 AS micro_accuracy,
+           mac.macro_precision, mac.macro_recall, mac.macro_f1
+         FROM mac CROSS JOIN mic""",
   )
 }

@@ -642,6 +642,25 @@ object TextOps {
         col("n_lists"), col("fused_rank"))
   }
 
+  /** Soundex-style phonetic blocking key (gate q345's kernel): first
+    * letter + three digits from consonant classes, with h/w removal,
+    * per-class run collapse and vowel drop. The chain is EXPLICIT
+    * regexps only — RE2-safe (no backreferences), so a mirrored DuckDB
+    * oracle computes the identical codes. Invariant (spec-pinned):
+    * doubling any letter of a word never changes its code — runs
+    * collapse before the digits are read. */
+  def phoneticKey(word: Column): Column = {
+    val rest = Seq(
+      ("[hw]", ""), ("[bfpv]", "1"), ("[cgjkqsxz]", "2"), ("[dt]", "3"),
+      ("l", "4"), ("[mn]", "5"), ("r", "6"), ("[aeiouy]", "0"),
+      ("0{2,}", "0"), ("1{2,}", "1"), ("2{2,}", "2"), ("3{2,}", "3"),
+      ("4{2,}", "4"), ("5{2,}", "5"), ("6{2,}", "6"), ("0", ""))
+      .foldLeft(word.substr(lit(2), length(word))) { case (c, (p, r)) =>
+        regexp_replace(c, p, r)
+      }
+    concat(upper(substring(word, 1, 1)), rpad(substring(rest, 1, 3), 3, "0"))
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized lowercase text —
     * the exact-dedup key that survives formatting noise. */
   def fingerprint(text: Column): Column =

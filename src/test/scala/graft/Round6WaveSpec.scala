@@ -982,6 +982,45 @@ class Round6WaveSpec extends SparkSuite {
       }
   }
 
+  test("phoneticKey: doubling any non-initial letter never changes the code") {
+    // run collapse happens before digits are read, and dropped classes
+    // (vowels, h/w) collapse with their twin. The FIRST letter is
+    // excluded: it is consumed as the code letter before the chain (the
+    // same caveat classic soundex carries), so doubling it introduces a
+    // new leading consonant into the digit tail.
+    val base = Seq("red", "rod", "blue", "widget", "bolt", "spring",
+      "lavender", "goldenrod", "hash", "where", "why", "aqua", "xylo")
+    val doubled = base.flatMap { w =>
+      (1 until w.length).map(i => (w, w.substring(0, i + 1) + w(i) +
+        w.substring(i + 1)))
+    }
+    val df = doubled.toDF("orig", "mut")
+    val out = df.select(
+      graft.operators.TextOps.phoneticKey(col("orig")).as("a"),
+      graft.operators.TextOps.phoneticKey(col("mut")).as("b"),
+      col("orig"), col("mut")).collect()
+    out.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"${r.getString(2)} -> ${r.getString(3)}: " +
+          s"${r.getString(0)} != ${r.getString(1)}")
+    }
+  }
+
+  test("q390 summary: micro/macro consistent with the per-class report") {
+    val sum0 = SparkEntry.queries("q390_langid_summary")(spark, sf)
+      .collect().head
+    val per = SparkEntry.queries("q389_langid_eval")(spark, sf).collect()
+    val n = per.map(_.getAs[Long]("support")).sum
+    val tp = per.map(_.getAs[Long]("true_positives")).sum
+    assert(sum0.getAs[Long]("n_docs") == n)
+    assert(math.abs(sum0.getAs[Double]("micro_accuracy") -
+      tp.toDouble / n) < 1e-5)
+    val mf = sum0.getAs[Double]("macro_f1")
+    val brute = per.map(r => Option(r.get(6))
+      .map(_.asInstanceOf[Double]).getOrElse(0.0)).sum / per.length
+    assert(math.abs(mf - brute) < 1e-5, s"macro f1 $mf vs $brute")
+  }
+
   test("q345 phonetic: soundex-style goldens and collision flag") {
     val got = SparkEntry.queries("q345_phonetic_blocking")(spark, sf)
       .collect()
