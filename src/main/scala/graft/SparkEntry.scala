@@ -7519,6 +7519,271 @@ object SparkEntry {
             6) + lit(0.0d)).as("micro_accuracy"),
           col("macro_precision"), col("macro_recall"), col("macro_f1"))
     }),
+
+    // ---- EXT: BPE merge learning (tokenizer training primitive) ----
+    "q391_bpe_merges" -> ((s, dir) => {
+      // Sennrich-style greedy BPE over the word-frequency TYPE table:
+      // pair counts weighted by corpus frequency, argmax with
+      // (count desc, left, right) tie-break, merges applied as exact
+      // left-to-right non-overlapping pairing (window-algebra island
+      // parity — naive string replace diverges on same-char runs). The
+      // state is Heaps-bounded (types, never corpus rows); the oracle
+      // unrolls all 6 steps as CTE chains (the q332/q375 generated-oracle
+      // discipline).
+      val wf = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .select(lower(col("tok")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      TextOps.bpeLearn(wf, steps = 6)
+    }),
+
+    // ---- EXT: temperature-based source mixing weights ----
+    "q392_mix_weights" -> ((s, dir) => {
+      // pretraining data mixing: sample sources ∝ n^α (α = 0.5, the
+      // multilingual-temperature convention) so small sources are
+      // up-weighted without letting any source dominate. Per-source
+      // sqrt-mass is 6-dp rounded THEN exact-decimal summed (q88's
+      // reduction-order-free contract); effective epochs at a budget of
+      // half the corpus tokens shows which sources would repeat.
+      val src = Tables.documents(s, dir)
+        .select(col("source"), size(TextOps.tokens(col("text"))).as("__nt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__nt").cast("long")).as("n_tokens"))
+        .withColumn("__s",
+          round(sqrt(col("n_tokens").cast("double")), 6).cast("decimal(28,6)"))
+      val tot = src.agg(sum(col("__s")).as("__tot"),
+        sum(col("n_tokens")).as("__ttok"))
+      src.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (round(col("__s").cast("double") / col("__tot").cast("double"), 6)
+            + lit(0.0d)).as("weight"),
+          (round((col("__s").cast("double") / col("__tot").cast("double")) *
+            (col("__ttok").cast("double") / lit(2.0d)) /
+            col("n_tokens").cast("double"), 6) + lit(0.0d)).as("eff_epochs"))
+    }),
+
+    // ---- EXT: duplicated 8-gram span coverage (exact-substring audit) ----
+    "q393_dup_ngram_coverage" -> ((s, dir) => {
+      // the Lee-et-al. "Deduplicating Training Data" repeated-substring
+      // metric: the share of token positions covered by any 8-gram that
+      // appears in ≥ 2 documents. One shuffle on the gram hash finds the
+      // duplicated grams; coverage is a per-doc rolling max over the
+      // 8-position window (no interval machinery, no join explosion) —
+      // exactly the shape that survives a corpus 100× larger.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+      val withG = toks.withColumn("ng",
+        when(lead(col("tok"), 7).over(w).isNotNull,
+          concat_ws(" ", (0 to 7).map(i =>
+            if (i == 0) col("tok") else lead(col("tok"), i).over(w)): _*)))
+      val dup = withG.filter(col("ng").isNotNull)
+        .groupBy(col("ng")).agg(countDistinct(col("doc_id")).as("__nd"))
+        .filter(col("__nd") >= 2).select(col("ng").as("__dng"))
+      withG.join(dup, col("ng") === col("__dng"), "left")
+        .withColumn("__d", when(col("__dng").isNotNull, 1).otherwise(0))
+        .withColumn("__cov", max(col("__d")).over(w.rowsBetween(-7, 0)))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("__cov")).cast("long").as("n_dup_tokens"))
+        .select(col("source"), col("n_tokens"), col("n_dup_tokens"),
+          (round(col("n_dup_tokens").cast("double") /
+            col("n_tokens").cast("double"), 6) + lit(0.0d))
+            .as("dup_token_share"))
+    }),
+
+    // ---- EXT: tokenizer fertility / compression ratio ----
+    "q394_tokenizer_fertility" -> ((s, dir) =>
+      // tokenizer evaluation: subword-per-word fertility and chars-per-
+      // subword compression — the cheap health check run before committing
+      // a tokenizer to a corpus. Runs over customer names (mixed
+      // letter/digit/punct tokens — the documents table is pure lowercase
+      // words where fertility is trivially 1) per market segment. Exact
+      // integer sums, two mirrored divisions at the end.
+      Tables.customer(s, dir)
+        .select(col("c_mktsegment"),
+          size(TextOps.tokens(col("c_name"))).cast("long").as("__ws"),
+          size(TextOps.bpeishTokens(col("c_name"))).cast("long").as("__bp"),
+          length(col("c_name")).cast("long").as("__ch"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("__ws")).as("ws_tokens"),
+          sum(col("__bp")).as("subword_tokens"), sum(col("__ch")).as("chars"))
+        .select(col("c_mktsegment"), col("n_rows"), col("ws_tokens"),
+          col("subword_tokens"), col("chars"),
+          (round(col("subword_tokens").cast("double") /
+            col("ws_tokens").cast("double"), 6) + lit(0.0d)).as("fertility"),
+          (round(col("chars").cast("double") /
+            col("subword_tokens").cast("double"), 6) + lit(0.0d))
+            .as("chars_per_subword"))),
+
+    // ---- EXT: train/test split leakage audit ----
+    "q395_split_leakage" -> ((s, dir) => {
+      // split hygiene: test documents whose content fingerprint (q35's
+      // order-insensitive bag key) also appears in train — exact-dup
+      // leakage across the q54 deterministic split. Fingerprint semi-join
+      // only; no corpus self-join.
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          md5(concat_ws(" ", array_sort(array_distinct(
+            TextOps.tokens(col("text")))))).as("fp"),
+          graft.operators.Sampling.splitAssign(col("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+      val trainFps = d.filter(col("split") === "train")
+        .select(col("fp").as("__tfp")).distinct()
+      d.filter(col("split") === "test")
+        .join(trainFps, col("fp") === col("__tfp"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_test_docs"),
+          sum(when(col("__tfp").isNotNull, 1L).otherwise(0L))
+            .as("n_leaked"))
+        .select(col("source"), col("n_test_docs"), col("n_leaked"),
+          (round(col("n_leaked").cast("double") /
+            col("n_test_docs").cast("double"), 6) + lit(0.0d))
+            .as("leak_rate"))
+    }),
+
+    // ---- EXT: BPE compression curve (merges vs corpus subword count) ----
+    "q396_bpe_compression" -> ((s, dir) => {
+      // the tokenizer-budget diagnostic over q391's learner: corpus
+      // subword count after k = 0..6 merges (Σ freq × symbols-per-word) —
+      // how much each merge buys. Same Heaps-bounded state chain; each
+      // curve point is one sum over a checkpointed vocab-char table.
+      val wf = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .select(lower(col("tok")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      TextOps.bpeCompressionCurve(wf, steps = 6)
+    }),
+
+    // ---- EXT: linear multi-touch attribution ----
+    "q397_linear_attribution" -> ((s, dir) => {
+      // the equal-credit sibling of q184's first/last-touch: every
+      // click/view in the 7 days before a purchase shares 1/n of that
+      // conversion's credit. Linear attribution NEEDS the per-conversion
+      // touch count, so the conv×touch join is inherent — it is horizon-
+      // bounded (≤ one user-week of touches per conversion) and keyed on
+      // user_id, the suite's interval-join discipline. Per-(conversion,
+      // type) credit is 6-dp rounded then exact-decimal summed (q88).
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("__cid"),
+          unix_micros(col("ts")).as("__cts"))
+      val touch = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_type").as("__ttype"),
+          unix_micros(col("ts")).as("__tts"))
+      val horizon = 7L * 86400L * 1000000L
+      val j = conv.join(touch, Seq("user_id"))
+        .filter(col("__tts") < col("__cts") &&
+          col("__tts") >= col("__cts") - lit(horizon))
+      j.groupBy(col("__cid"), col("__ttype"))
+        .agg(count(lit(1)).as("__ct"))
+        .withColumn("__n",
+          sum(col("__ct")).over(Window.partitionBy(col("__cid"))))
+        .withColumn("__credit",
+          round(col("__ct").cast("double") / col("__n").cast("double"), 6)
+            .cast("decimal(18,6)"))
+        .groupBy(col("__ttype").as("event_type"))
+        .agg(countDistinct(col("__cid")).as("n_conversions_touched"),
+          sum(col("__ct")).as("n_touches"),
+          (round(sum(col("__credit")).cast("double"), 6) + lit(0.0d))
+            .as("linear_credit"))
+    }),
+
+    // ---- EXT: cross-snapshot n-gram novelty (corpus freshness) ----
+    "q398_ngram_novelty" -> ((s, dir) => {
+      // crawl-freshness audit: treating doc_id % 4 as the crawl-snapshot
+      // id (the suite's deterministic synthetic-arm convention, q329),
+      // the share of each snapshot's distinct 8-grams first seen in that
+      // snapshot. Gram-hash shuffles only; first-seen is a per-gram min.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), (col("doc_id") % 4).cast("int").as("snap"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("ng",
+          when(lead(col("tok"), 7).over(w).isNotNull,
+            concat_ws(" ", (0 to 7).map(i =>
+              if (i == 0) col("tok") else lead(col("tok"), i).over(w)): _*)))
+        .filter(col("ng").isNotNull)
+        .select(col("snap"), col("ng")).distinct()
+      grams
+        .withColumn("__first",
+          min(col("snap")).over(Window.partitionBy(col("ng"))))
+        .groupBy(col("snap").as("snapshot"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("__first") === col("snap"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("snapshot"), col("n_grams"), col("n_novel"),
+          (round(col("n_novel").cast("double") /
+            col("n_grams").cast("double"), 6) + lit(0.0d))
+            .as("novelty_rate"))
+    }),
+
+    // ---- EXT: quality-threshold yield sweep ----
+    "q399_quality_yield" -> ((s, dir) => {
+      // curation tuning: how many docs/tokens survive a stopword-ratio
+      // floor of k/20 for k = 0..4, per source — the parameter-sweep
+      // companion to q211's fixed filter chain. The cut is exact integer
+      // algebra (20·n_stop ≥ k·n_tokens — the q243 boundary lesson), so
+      // no double threshold can straddle engines.
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it",
+        "that", "for")
+      val t = TextOps.tokens(col("text"))
+      val d = Tables.documents(s, dir)
+        .select(col("source"), size(t).cast("long").as("__nt"),
+          size(filter(t, x => x.isInCollection(stop))).cast("long")
+            .as("__ns"))
+      d.crossJoin(broadcast(s.range(0, 5).select(col("id").as("k"))))
+        .filter(col("__ns") * 20L >= col("k") * col("__nt"))
+        .groupBy(col("source"), col("k"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+        .select(col("source"), col("k").cast("int").as("k20"),
+          col("n_docs"), col("n_tokens"))
+    }),
+
+    // ---- EXT: embedding isotropy / centroid-cosine audit ----
+    "q400_embedding_isotropy" -> ((s, dir) => {
+      // embedding-health diagnostic (Ethayarajh-style anisotropy): per
+      // label, the mean cosine of vectors to the GLOBAL centroid and the
+      // mean vector norm. The centroid is a dimension-sized exact-decimal
+      // aggregate (components 6-dp rounded before the sum so the mean is
+      // reduction-order-free), broadcast back as one 64-element array;
+      // cosines go through the native q39 sequential-dot contract.
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val n = emb.agg(count(lit(1)).as("__n"))
+      val cent = emb
+        .select(posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("d"))
+        .agg(sum(round(col("x"), 6).cast("decimal(28,6)")).as("__s"))
+        .crossJoin(broadcast(n))
+        .select(col("d"),
+          (col("__s").cast("double") / col("__n").cast("double")).as("c"))
+        .agg(expr("transform(array_sort(collect_list(struct(d, c))), s -> s.c)")
+          .as("cv"))
+      def fmean(c: org.apache.spark.sql.Column) =
+        floor(sum(c.cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double") * lit(1000000.0d) + lit(0.5d))
+          .cast("double") / lit(1000000.0d) + lit(0.0d)
+      import graft.operators.Similarity
+      emb.crossJoin(broadcast(cent))
+        .withColumn("__cos",
+          round(Similarity.dotU(col("v"), col("cv"), 64) /
+            (Similarity.normU(col("v"), 64) *
+              Similarity.normU(col("cv"), 64)), 6))
+        .withColumn("__norm", round(Similarity.normU(col("v"), 64), 6))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          fmean(col("__cos")).as("mean_cos_centroid"),
+          fmean(col("__norm")).as("mean_norm"))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -7625,6 +7890,71 @@ object SparkEntry {
          SELECT p AS o_orderpriority, s AS o_orderstatus, n AS n_base,
            round(cast(v AS double), 6) + 0.0 AS fitted
          FROM x5"""
+  }
+
+  /** Generated DuckDB oracle for q391: six unrolled greedy-BPE merge steps.
+    * Each step mirrors the Spark kernel exactly — pair counts via lead()
+    * over (word, pos), argmax with (count desc, left, right) tie-break,
+    * and the island-parity statement of left-to-right non-overlapping
+    * merge application (candidates at consecutive positions — only
+    * possible when left == right — merge at even island offsets; the row
+    * after a merge start is consumed). */
+  private val BpeOracleSql: String = bpeOracle(merges = true)
+  private val BpeCurveOracleSql: String = bpeOracle(merges = false)
+
+  private def bpeOracle(merges: Boolean): String = {
+    val steps = 6
+    val base =
+      """WITH wf AS (SELECT word, cast(count(*) AS bigint) AS freq FROM (
+             SELECT lower(t.tok) AS word
+             FROM documents, LATERAL unnest(string_split(text, ' ')) AS t(tok)
+             WHERE regexp_full_match(lower(t.tok), '[a-z]+'))
+           GROUP BY 1),
+         t0 AS (SELECT word, freq, cast(li.i AS int) AS pos,
+             substr(word, cast(li.i AS int), 1) AS sym
+           FROM wf, LATERAL (SELECT unnest(range(1, len(word)+1)) AS i) AS li)"""
+    val rounds = (1 to steps).map { k =>
+      s""",
+         p$k AS (SELECT sym AS l, nxt AS r, cast(sum(freq) AS bigint) AS n
+           FROM (SELECT freq, sym,
+               lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+             FROM t${k - 1})
+           WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         b$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1),
+         m$k AS (SELECT *, pos - sum(c) OVER
+               (PARTITION BY word ORDER BY pos ROWS UNBOUNDED PRECEDING)
+               AS isl
+           FROM (SELECT word, freq, pos, sym,
+               lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+               CASE WHEN sym = (SELECT l FROM b$k)
+                     AND lead(sym) OVER (PARTITION BY word ORDER BY pos)
+                         = (SELECT r FROM b$k)
+                 THEN 1 ELSE 0 END AS c
+             FROM t${k - 1})),
+         s$k AS (SELECT *, min(CASE WHEN c = 1 THEN pos END) OVER
+               (PARTITION BY word, isl) AS strt
+           FROM m$k),
+         g$k AS (SELECT *,
+             (c = 1 AND (pos - strt) % 2 = 0) AS mstart,
+             coalesce(lag(c = 1 AND (pos - strt) % 2 = 0) OVER
+               (PARTITION BY word ORDER BY pos), false) AS consumed
+           FROM s$k),
+         t$k AS (SELECT word, freq,
+             cast(row_number() OVER (PARTITION BY word ORDER BY pos) AS int)
+               AS pos,
+             CASE WHEN mstart THEN sym || nxt ELSE sym END AS sym
+           FROM g$k WHERE NOT consumed)"""
+    }.mkString
+    val out =
+      if (merges)
+        (1 to steps).map { k =>
+          s"SELECT cast($k AS int) AS step, l AS merge_left, r AS merge_right, n AS n_pairs FROM b$k"
+        }.mkString("\n         UNION ALL ")
+      else
+        (0 to steps).map { k =>
+          s"SELECT cast($k AS int) AS step, cast(sum(freq) AS bigint) AS corpus_subwords FROM t$k"
+        }.mkString("\n         UNION ALL ")
+    s"$base$rounds\n         $out"
   }
 
   /** DuckDB-equivalent SQL per query (same parquet tables, same column names). */
@@ -14401,5 +14731,174 @@ object SparkEntry {
              + 0.0 AS micro_accuracy,
            mac.macro_precision, mac.macro_recall, mac.macro_f1
          FROM mac CROSS JOIN mic""",
+
+    "q391_bpe_merges" -> BpeOracleSql,
+
+    "q392_mix_weights" ->
+      """WITH src AS (SELECT source, cast(count(*) AS bigint) AS n_docs,
+             cast(sum(len(string_split(text, ' '))) AS bigint) AS n_tokens
+           FROM documents GROUP BY 1),
+         s2 AS (SELECT *, cast(round(sqrt(cast(n_tokens AS double)), 6)
+             AS decimal(28,6)) AS s
+           FROM src),
+         t AS (SELECT cast(sum(s) AS decimal(38,6)) AS tot,
+             cast(sum(n_tokens) AS bigint) AS ttok
+           FROM s2)
+         SELECT source, n_docs, n_tokens,
+           round(cast(s AS double) / cast(tot AS double), 6) + 0.0 AS weight,
+           round((cast(s AS double) / cast(tot AS double))
+             * (cast(ttok AS double) / 2.0)
+             / cast(n_tokens AS double), 6) + 0.0 AS eff_epochs
+         FROM s2 CROSS JOIN t""",
+
+    "q393_dup_ngram_coverage" ->
+      """WITH toks AS (SELECT doc_id, source, cast(t.i AS int) AS pos, t.tok
+           FROM (SELECT doc_id, source, string_split(text, ' ') AS l
+             FROM documents),
+           LATERAL (SELECT unnest(l) AS tok,
+             unnest(range(1, len(l)+1)) AS i) AS t),
+         g AS (SELECT doc_id, source, pos,
+             CASE WHEN lead(tok, 7) OVER w IS NOT NULL THEN
+               concat_ws(' ', tok, lead(tok, 1) OVER w, lead(tok, 2) OVER w,
+                 lead(tok, 3) OVER w, lead(tok, 4) OVER w, lead(tok, 5) OVER w,
+                 lead(tok, 6) OVER w, lead(tok, 7) OVER w) END AS ng
+           FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         dup AS (SELECT ng FROM g WHERE ng IS NOT NULL
+           GROUP BY ng HAVING count(DISTINCT doc_id) >= 2),
+         f AS (SELECT g.doc_id, g.source, g.pos,
+             CASE WHEN dup.ng IS NOT NULL THEN 1 ELSE 0 END AS d
+           FROM g LEFT JOIN dup ON g.ng = dup.ng),
+         c AS (SELECT source, max(d) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cov
+           FROM f)
+         SELECT source, cast(count(*) AS bigint) AS n_tokens,
+           cast(sum(cov) AS bigint) AS n_dup_tokens,
+           round(cast(sum(cov) AS double) / cast(count(*) AS double), 6)
+             + 0.0 AS dup_token_share
+         FROM c GROUP BY 1""",
+
+    "q394_tokenizer_fertility" ->
+      """WITH d AS (SELECT c_mktsegment,
+             cast(len(string_split(c_name, ' ')) AS bigint) AS ws,
+             cast(len(list_filter(
+               regexp_extract_all(c_name, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9]'),
+               x -> trim(x) != '')) AS bigint) AS bp,
+             cast(length(c_name) AS bigint) AS ch
+           FROM customer)
+         SELECT c_mktsegment, cast(count(*) AS bigint) AS n_rows,
+           cast(sum(ws) AS bigint) AS ws_tokens,
+           cast(sum(bp) AS bigint) AS subword_tokens,
+           cast(sum(ch) AS bigint) AS chars,
+           round(cast(sum(bp) AS double) / cast(sum(ws) AS double), 6)
+             + 0.0 AS fertility,
+           round(cast(sum(ch) AS double) / cast(sum(bp) AS double), 6)
+             + 0.0 AS chars_per_subword
+         FROM d GROUP BY 1""",
+
+    "q395_split_leakage" ->
+      """WITH d AS (SELECT doc_id, source,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split(text, ' '))), ' ')) AS fp,
+             ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::bigint
+               % 10000 AS hb
+           FROM documents),
+         tr AS (SELECT DISTINCT fp FROM d WHERE hb < 8000),
+         te AS (SELECT d.source, d.fp,
+             CASE WHEN tr.fp IS NOT NULL THEN 1 ELSE 0 END AS leaked
+           FROM d LEFT JOIN tr ON d.fp = tr.fp
+           WHERE d.hb >= 9000)
+         SELECT source, cast(count(*) AS bigint) AS n_test_docs,
+           cast(sum(leaked) AS bigint) AS n_leaked,
+           round(cast(sum(leaked) AS double) / cast(count(*) AS double), 6)
+             + 0.0 AS leak_rate
+         FROM te GROUP BY 1""",
+
+    "q396_bpe_compression" -> BpeCurveOracleSql,
+
+    "q397_linear_attribution" ->
+      """WITH conv AS (SELECT user_id, event_id AS cid, epoch_us(ts) AS cts
+           FROM events WHERE event_type = 'purchase'),
+         tch AS (SELECT user_id, event_type AS tt, epoch_us(ts) AS tts
+           FROM events WHERE event_type IN ('click', 'view')),
+         j AS (SELECT c.cid, t.tt
+           FROM conv c JOIN tch t ON c.user_id = t.user_id
+             AND t.tts < c.cts AND t.tts >= c.cts - 604800000000),
+         pc AS (SELECT cid, tt, cast(count(*) AS bigint) AS ct
+           FROM j GROUP BY 1, 2),
+         pn AS (SELECT *, sum(ct) OVER (PARTITION BY cid) AS n FROM pc),
+         cr AS (SELECT cid, tt, ct,
+             cast(round(cast(ct AS double) / cast(n AS double), 6)
+               AS decimal(18,6)) AS credit
+           FROM pn)
+         SELECT tt AS event_type,
+           cast(count(DISTINCT cid) AS bigint) AS n_conversions_touched,
+           cast(sum(ct) AS bigint) AS n_touches,
+           round(cast(sum(credit) AS double), 6) + 0.0 AS linear_credit
+         FROM cr GROUP BY 1""",
+
+    "q398_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id, cast(doc_id % 4 AS int) AS snap,
+             cast(t.i AS int) AS pos, t.tok
+           FROM (SELECT doc_id, string_split(text, ' ') AS l
+             FROM documents),
+           LATERAL (SELECT unnest(l) AS tok,
+             unnest(range(1, len(l)+1)) AS i) AS t),
+         g AS (SELECT snap,
+             CASE WHEN lead(tok, 7) OVER w IS NOT NULL THEN
+               concat_ws(' ', tok, lead(tok, 1) OVER w, lead(tok, 2) OVER w,
+                 lead(tok, 3) OVER w, lead(tok, 4) OVER w, lead(tok, 5) OVER w,
+                 lead(tok, 6) OVER w, lead(tok, 7) OVER w) END AS ng
+           FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         gs AS (SELECT DISTINCT snap, ng FROM g WHERE ng IS NOT NULL),
+         f AS (SELECT *, min(snap) OVER (PARTITION BY ng) AS fs FROM gs)
+         SELECT snap AS snapshot, cast(count(*) AS bigint) AS n_grams,
+           cast(sum(CASE WHEN fs = snap THEN 1 ELSE 0 END) AS bigint)
+             AS n_novel,
+           round(cast(sum(CASE WHEN fs = snap THEN 1 ELSE 0 END) AS double)
+             / cast(count(*) AS double), 6) + 0.0 AS novelty_rate
+         FROM f GROUP BY 1""",
+
+    "q399_quality_yield" ->
+      """WITH d AS (SELECT source,
+             cast(len(string_split(text, ' ')) AS bigint) AS nt,
+             cast(len(list_filter(string_split(text, ' '),
+               x -> x IN ('the','a','of','and','to','in','is','it','that','for')))
+               AS bigint) AS ns
+           FROM documents)
+         SELECT source, cast(kk.k AS int) AS k20,
+           cast(count(*) AS bigint) AS n_docs,
+           cast(sum(nt) AS bigint) AS n_tokens
+         FROM d, LATERAL (SELECT unnest(range(0, 5)) AS k) AS kk
+         WHERE ns * 20 >= kk.k * nt
+         GROUP BY 1, 2""",
+
+    "q400_embedding_isotropy" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+           FROM embeddings),
+         nn AS (SELECT cast(count(*) AS bigint) AS n FROM e),
+         dx AS (SELECT cast(dd.d AS int) AS d, dd.x
+           FROM e, LATERAL (SELECT unnest(range(1, len(v)+1)) AS d,
+             unnest(v) AS x) AS dd),
+         cent AS (SELECT d, sum(cast(round(x, 6) AS decimal(28,6))) AS s
+           FROM dx GROUP BY d),
+         cvt AS (SELECT list(cast(s AS double)
+             / (SELECT cast(n AS double) FROM nn) ORDER BY d) AS cv
+           FROM cent),
+         cs AS (SELECT label,
+             round(list_sum(list_transform(generate_series(1, 64),
+                 i -> v[i] * cv[i]))
+               / (sqrt(list_sum(list_transform(v, y -> y*y)))
+                  * sqrt(list_sum(list_transform(cv, y -> y*y)))), 6)
+               AS cosc,
+             round(sqrt(list_sum(list_transform(v, y -> y*y))), 6) AS nrm
+           FROM e CROSS JOIN cvt)
+         SELECT label, cast(count(*) AS bigint) AS n_vecs,
+           floor(cast(sum(cast(cosc AS decimal(18,6))) AS double)
+             / cast(count(*) AS double) * 1000000.0 + 0.5) / 1000000.0
+             + 0.0 AS mean_cos_centroid,
+           floor(cast(sum(cast(nrm AS decimal(18,6))) AS double)
+             / cast(count(*) AS double) * 1000000.0 + 0.5) / 1000000.0
+             + 0.0 AS mean_norm
+         FROM cs GROUP BY 1""",
   )
 }

@@ -924,4 +924,104 @@ object TextOps {
           col("__sx").cast("double")) / col("n_ranks").cast("double"), 6)
           + lit(0.0d)).as("intercept"))
   }
+
+  /** Greedy byte-pair-encoding merge learning over a word-frequency table
+    * (the tokenizer-training primitive: Sennrich-style BPE on the TYPE
+    * table, pair counts weighted by corpus frequency).
+    *
+    * Input: `(word string, freq long)`. Output: the learned merge table
+    * `(step int, merge_left, merge_right, n_pairs long)` — one row per
+    * merge, in learning order.
+    *
+    * Per step: (1) count adjacent symbol pairs weighted by word frequency
+    * (ALL adjacent occurrences count, the standard convention); (2) pick
+    * the argmax pair with (count desc, left asc, right asc) tie-break;
+    * (3) apply the merge EXACTLY as greedy left-to-right non-overlapping
+    * pairing. Step (3) is where naive string `replace` diverges from BPE
+    * (a run like `a a a a` must become `aa aa`, but replace's consumed
+    * boundary yields `aa a aa a`-style artifacts) — instead the merge is
+    * applied RELATIONALLY on the `(word, pos, sym)` long table: candidate
+    * positions (sym, next) == best form islands of consecutive positions
+    * (only possible when left == right), and within an island exactly the
+    * even offsets merge — the window-algebra statement of left-to-right
+    * greedy pairing. All windows are key-partitioned by word.
+    *
+    * Scale: the state is the TYPE table (Heaps-bounded — millions of rows
+    * at 100 TB, never corpus-sized), exploded to one row per character;
+    * each step is one hash aggregate over a vocab-char-sized table plus
+    * key-partitioned windows. The per-step argmax is a 1-row broadcast.
+    * Lineage is cut per step (the q53 `localCheckpoint` discipline) so the
+    * plan stays flat across steps. Ref behavior: the reference has no
+    * tokenizer trainer; this is the §2.12 training-data-pipeline extension.
+    */
+  def bpeLearn(wordFreq: DataFrame, steps: Int): DataFrame =
+    bpeStates(wordFreq, steps)._1.reduce(_ unionByName _)
+
+  /** Corpus-compression curve of the q391 BPE learner: after k = 0..steps
+    * merges, the total subword count of the corpus
+    * (Σ_word freq × symbols-in-word) — the "how many merges buy how much"
+    * tokenizer-budget diagnostic. Same bounded state chain as `bpeLearn`;
+    * each curve point is one sum over a vocab-char-sized checkpointed
+    * table. */
+  def bpeCompressionCurve(wordFreq: DataFrame, steps: Int): DataFrame =
+    bpeStates(wordFreq, steps)._2.zipWithIndex.map { case (t, k) =>
+      t.agg(sum(col("freq")).as("corpus_subwords"))
+        .select(lit(k).as("step"), col("corpus_subwords"))
+    }.reduce(_ unionByName _)
+
+  /** Shared BPE iteration core: returns (per-step merge rows, symbol-table
+    * states t0..tN). Each state is one row per (word, pos, sym), lineage
+    * cut per step. */
+  private def bpeStates(wordFreq: DataFrame,
+                        steps: Int): (Seq[DataFrame], Seq[DataFrame]) = {
+    require(steps >= 1, "need at least one merge step")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("word")).orderBy(col("pos"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
+    var t = wordFreq
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(1), length(col("word")))).as("pos"))
+      .select(col("word"), col("freq"), col("pos"),
+        expr("substring(word, pos, 1)").as("sym"))
+      .localCheckpoint()
+    val states = scala.collection.mutable.ArrayBuffer(t)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    (1 to steps).foreach { k =>
+      val withNext = t.withColumn("nxt", lead(col("sym"), 1).over(w))
+      val best = withNext.filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("merge_left"), col("nxt").as("merge_right"))
+        .agg(sum(col("freq")).as("n_pairs"))
+        .orderBy(col("n_pairs").desc, col("merge_left"), col("merge_right"))
+        .limit(1)
+        .localCheckpoint()
+      merges += best.select(lit(k).as("step"), col("merge_left"),
+        col("merge_right"), col("n_pairs"))
+      // mark greedy merge starts: islands of consecutive candidates, even
+      // offsets merge; the row after a merge start is consumed.
+      val marked = withNext
+        .crossJoin(broadcast(best.select(col("merge_left").as("__a"),
+          col("merge_right").as("__b"))))
+        .withColumn("c",
+          when(col("sym") === col("__a") && col("nxt") === col("__b"), 1)
+            .otherwise(0))
+        .withColumn("isl", col("pos") - sum(col("c")).over(wCum))
+        .withColumn("start",
+          min(when(col("c") === 1, col("pos")))
+            .over(Window.partitionBy(col("word"), col("isl"))))
+        .withColumn("mstart",
+          col("c") === 1 && ((col("pos") - col("start")) % 2 === 0))
+        .withColumn("consumed",
+          coalesce(lag(col("mstart"), 1).over(w), lit(false)))
+      t = marked.filter(!col("consumed"))
+        .withColumn("__sym",
+          when(col("mstart"), concat(col("sym"), col("nxt")))
+            .otherwise(col("sym")))
+        .withColumn("__pos", row_number().over(w))
+        .select(col("word"), col("freq"), col("__pos").as("pos"),
+          col("__sym").as("sym"))
+        .localCheckpoint()
+      states += t
+    }
+    (merges.toSeq, states.toSeq)
+  }
 }
