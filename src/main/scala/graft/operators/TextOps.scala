@@ -983,7 +983,7 @@ object TextOps {
         explode(sequence(lit(1), length(col("word")))).as("pos"))
       .select(col("word"), col("freq"), col("pos"),
         expr("substring(word, pos, 1)").as("sym"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val states = scala.collection.mutable.ArrayBuffer(t)
     val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     (1 to steps).foreach { k =>
@@ -993,7 +993,7 @@ object TextOps {
         .agg(sum(col("freq")).as("n_pairs"))
         .orderBy(col("n_pairs").desc, col("merge_left"), col("merge_right"))
         .limit(1)
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       merges += best.select(lit(k).as("step"), col("merge_left"),
         col("merge_right"), col("n_pairs"))
       // mark greedy merge starts: islands of consecutive candidates, even
@@ -1019,7 +1019,7 @@ object TextOps {
         .withColumn("__pos", row_number().over(w))
         .select(col("word"), col("freq"), col("__pos").as("pos"),
           col("__sym").as("sym"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       states += t
     }
     (merges.toSeq, states.toSeq)
