@@ -7784,6 +7784,131 @@ object SparkEntry {
           fmean(col("__cos")).as("mean_cos_centroid"),
           fmean(col("__norm")).as("mean_norm"))
     }),
+
+    // ---- EXT: k-anonymity risk audit ----
+    "q401_k_anonymity" -> ((s, dir) => {
+      // disclosure-risk governance over the quasi-identifier class table
+      // (nation, segment, $1000 balance band): for k ∈ {2, 5, 10}, how many
+      // rows sit in equivalence classes smaller than k. One hash aggregate
+      // builds the class table; the k-grid is a 3-row broadcast. All
+      // comparisons are exact integers.
+      val classes = Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000.0d).cast("long").as("__band"))
+        .agg(count(lit(1)).as("__sz"))
+      val ks = s.range(0, 3).select(
+        element_at(array(lit(2L), lit(5L), lit(10L)), col("id").cast("int") + 1)
+          .as("k"))
+      classes.crossJoin(broadcast(ks))
+        .groupBy(col("k"))
+        .agg(sum(col("__sz")).as("n_rows"),
+          count(lit(1)).as("n_classes"),
+          sum(when(col("__sz") < col("k"), col("__sz")).otherwise(0L))
+            .as("n_at_risk"))
+        .select(col("k"), col("n_rows"), col("n_classes"), col("n_at_risk"),
+          (round(col("n_at_risk").cast("double") /
+            col("n_rows").cast("double"), 6) + lit(0.0d)).as("risk_share"))
+    }),
+
+    // ---- EXT: l-diversity audit ----
+    "q402_l_diversity" -> ((s, dir) => {
+      // the companion disclosure audit: within each (nation, segment)
+      // quasi-identifier class, how diverse is the sensitive attribute
+      // (the $2000 balance band)? For l ∈ {2, 3, 5}: classes with fewer
+      // than l distinct sensitive values and the rows they expose.
+      val classes = Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("__sz"),
+          countDistinct(floor(col("c_acctbal") / 2000.0d).cast("long"))
+            .as("__l"))
+      val ls = s.range(0, 3).select(
+        element_at(array(lit(2L), lit(3L), lit(5L)), col("id").cast("int") + 1)
+          .as("l"))
+      classes.crossJoin(broadcast(ls))
+        .groupBy(col("l"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("__l") < col("l"), 1L).otherwise(0L))
+            .as("n_classes_below"),
+          sum(when(col("__l") < col("l"), col("__sz")).otherwise(0L))
+            .as("n_rows_exposed"))
+    }),
+
+    // ---- EXT: small-cell suppression (statistical disclosure control) ----
+    "q403_cell_suppression" -> ((s, dir) => {
+      // the publishing rule: nation×segment counts with cells under 10
+      // suppressed and rolled into one OTHER cell, so no small group is
+      // identifiable in the released table. Exact integer counts; the
+      // roll-up keeps the published total equal to the true total.
+      val cells = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+      val kept = cells.filter(col("n") >= 10)
+        .select(col("n_name"), col("c_mktsegment"), col("n"),
+          lit(0L).as("n_suppressed_cells"))
+      val other = cells.filter(col("n") < 10)
+        .agg(sum(col("n")).as("n"), count(lit(1)).as("n_suppressed_cells"))
+        .filter(col("n").isNotNull)
+        .select(lit("OTHER").as("n_name"), lit("OTHER").as("c_mktsegment"),
+          col("n"), col("n_suppressed_cells"))
+      kept.unionByName(other)
+    }),
+
+    // ---- EXT: Benford first-digit audit ----
+    "q404_benford_audit" -> ((s, dir) => {
+      // fraud/quality screening: the first significant digit of order
+      // totals against Benford's law. Expected shares are pinned 6-dp
+      // LITERALS on both sides (log10 in two engines can differ in the
+      // last ulp — constants remove libm entirely); each χ² term is the
+      // mirrored double expression rounded at 6 dp.
+      val p = Map(1 -> 0.301030d, 2 -> 0.176091d, 3 -> 0.124939d,
+        4 -> 0.096910d, 5 -> 0.079181d, 6 -> 0.066947d, 7 -> 0.057992d,
+        8 -> 0.051153d, 9 -> 0.045757d)
+      val digits = Tables.orders(s, dir)
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      val total = digits.agg(sum(col("n_obs")).as("__n"))
+      val pExpected = p.foldLeft(lit(null).cast("double")) {
+        case (acc, (d, v)) => when(col("digit") === d, lit(v)).otherwise(acc)
+      }
+      digits.crossJoin(broadcast(total))
+        .withColumn("p_expected", pExpected)
+        .withColumn("n_expected",
+          round(col("p_expected") * col("__n").cast("double"), 6))
+        .select(col("digit"), col("n_obs"), col("p_expected"),
+          col("n_expected"),
+          (round((col("n_obs").cast("double") - col("p_expected") *
+            col("__n").cast("double")) * (col("n_obs").cast("double") -
+            col("p_expected") * col("__n").cast("double")) /
+            (col("p_expected") * col("__n").cast("double")), 6) + lit(0.0d))
+            .as("chi2_term"))
+    }),
+
+    // ---- EXT: quasi-identifier uniqueness-risk curve ----
+    "q405_uniqueness_curve" -> ((s, dir) => {
+      // re-identification risk vs attribute release: how quickly row
+      // uniqueness explodes as quasi-identifiers accumulate — level 1
+      // (nation), level 2 (+segment), level 3 (+$1000 balance band).
+      // Three hash aggregates over the same scan, unioned.
+      def level(n: Int, qis: Seq[org.apache.spark.sql.Column]) =
+        Tables.customer(s, dir)
+          .groupBy(qis: _*)
+          .agg(count(lit(1)).as("__sz"))
+          .agg(count(lit(1)).as("n_classes"),
+            sum(when(col("__sz") === 1L, 1L).otherwise(0L)).as("n_unique"),
+            sum(col("__sz")).as("n_rows"))
+          .select(lit(n).as("level"), col("n_classes"), col("n_unique"),
+            (round(col("n_unique").cast("double") /
+              col("n_rows").cast("double"), 6) + lit(0.0d))
+              .as("unique_share"))
+      val band = floor(col("c_acctbal") / 1000.0d).cast("long")
+      level(1, Seq(col("c_nationkey")))
+        .unionByName(level(2, Seq(col("c_nationkey"), col("c_mktsegment"))))
+        .unionByName(level(3,
+          Seq(col("c_nationkey"), col("c_mktsegment"), band)))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -14900,5 +15025,101 @@ object SparkEntry {
              / cast(count(*) AS double) * 1000000.0 + 0.5) / 1000000.0
              + 0.0 AS mean_norm
          FROM cs GROUP BY 1""",
+
+    "q401_k_anonymity" ->
+      """WITH classes AS (SELECT c_nationkey, c_mktsegment,
+             cast(floor(c_acctbal / 1000.0) AS bigint) AS band,
+             cast(count(*) AS bigint) AS sz
+           FROM customer GROUP BY 1, 2, 3),
+         ks AS (SELECT cast(kk.k AS bigint) AS k
+           FROM (SELECT unnest([2, 5, 10]) AS k) AS kk)
+         SELECT k, cast(sum(sz) AS bigint) AS n_rows,
+           cast(count(*) AS bigint) AS n_classes,
+           cast(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS bigint)
+             AS n_at_risk,
+           round(cast(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS double)
+             / cast(sum(sz) AS double), 6) + 0.0 AS risk_share
+         FROM classes CROSS JOIN ks GROUP BY k""",
+
+    "q402_l_diversity" ->
+      """WITH classes AS (SELECT c_nationkey, c_mktsegment,
+             cast(count(*) AS bigint) AS sz,
+             cast(count(DISTINCT cast(floor(c_acctbal / 2000.0) AS bigint))
+               AS bigint) AS l
+           FROM customer GROUP BY 1, 2),
+         ls AS (SELECT cast(ll.l AS bigint) AS lv
+           FROM (SELECT unnest([2, 3, 5]) AS l) AS ll)
+         SELECT lv AS l, cast(count(*) AS bigint) AS n_classes,
+           cast(sum(CASE WHEN classes.l < lv THEN 1 ELSE 0 END) AS bigint)
+             AS n_classes_below,
+           cast(sum(CASE WHEN classes.l < lv THEN sz ELSE 0 END) AS bigint)
+             AS n_rows_exposed
+         FROM classes CROSS JOIN ls GROUP BY lv""",
+
+    "q403_cell_suppression" ->
+      """WITH cells AS (SELECT n_name, c_mktsegment,
+             cast(count(*) AS bigint) AS n
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2)
+         SELECT n_name, c_mktsegment, n,
+           cast(0 AS bigint) AS n_suppressed_cells
+         FROM cells WHERE n >= 10
+         UNION ALL
+         SELECT 'OTHER' AS n_name, 'OTHER' AS c_mktsegment,
+           cast(sum(n) AS bigint) AS n,
+           cast(count(*) AS bigint) AS n_suppressed_cells
+         FROM cells WHERE n < 10 HAVING count(*) > 0""",
+
+    "q404_benford_audit" ->
+      """WITH d AS (SELECT cast(substr(cast(cast(floor(o_totalprice)
+             AS bigint) AS varchar), 1, 1) AS int) AS digit
+           FROM orders),
+         g AS (SELECT digit, cast(count(*) AS bigint) AS n_obs
+           FROM d GROUP BY 1),
+         t AS (SELECT cast(sum(n_obs) AS bigint) AS n FROM g),
+         p AS (SELECT cast(pp.digit AS int) AS digit, pp.pe
+           FROM (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit,
+             unnest([0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+               0.066947, 0.057992, 0.051153, 0.045757]) AS pe) AS pp)
+         SELECT g.digit, g.n_obs, p.pe AS p_expected,
+           round(p.pe * cast(t.n AS double), 6) AS n_expected,
+           round((cast(g.n_obs AS double) - p.pe * cast(t.n AS double))
+             * (cast(g.n_obs AS double) - p.pe * cast(t.n AS double))
+             / (p.pe * cast(t.n AS double)), 6) + 0.0 AS chi2_term
+         FROM g JOIN p ON g.digit = p.digit CROSS JOIN t""",
+
+    "q405_uniqueness_curve" ->
+      """WITH c AS (SELECT c_nationkey, c_mktsegment,
+             cast(floor(c_acctbal / 1000.0) AS bigint) AS band
+           FROM customer),
+         s1 AS (SELECT cast(count(*) AS bigint) AS sz FROM c
+           GROUP BY c_nationkey),
+         s2 AS (SELECT cast(count(*) AS bigint) AS sz FROM c
+           GROUP BY c_nationkey, c_mktsegment),
+         s3 AS (SELECT cast(count(*) AS bigint) AS sz FROM c
+           GROUP BY c_nationkey, c_mktsegment, band),
+         l1 AS (SELECT cast(1 AS int) AS level,
+             cast(count(*) AS bigint) AS n_classes,
+             cast(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS bigint)
+               AS n_unique,
+             round(cast(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS double)
+               / cast(sum(sz) AS double), 6) + 0.0 AS unique_share
+           FROM s1),
+         l2 AS (SELECT cast(2 AS int) AS level,
+             cast(count(*) AS bigint) AS n_classes,
+             cast(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS bigint)
+               AS n_unique,
+             round(cast(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS double)
+               / cast(sum(sz) AS double), 6) + 0.0 AS unique_share
+           FROM s2),
+         l3 AS (SELECT cast(3 AS int) AS level,
+             cast(count(*) AS bigint) AS n_classes,
+             cast(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS bigint)
+               AS n_unique,
+             round(cast(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS double)
+               / cast(sum(sz) AS double), 6) + 0.0 AS unique_share
+           FROM s3)
+         SELECT * FROM l1 UNION ALL SELECT * FROM l2
+         UNION ALL SELECT * FROM l3""",
   )
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Brute cross-checks for the disclosure-control / audit wave (q401–q405). */
+class GovernanceAuditSpec extends SparkSuite {
+
+  private lazy val customers: Array[(Int, String, Double)] =
+    Tables.customer(spark, sf)
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+
+  test("q401 k-anonymity matches a brute class-size recount") {
+    val sizes = customers
+      .groupBy(c => (c._1, c._2, math.floor(c._3 / 1000.0).toLong))
+      .map(_._2.length.toLong)
+    val got = SparkEntry.queries("q401_k_anonymity")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    Seq(2L, 5L, 10L).foreach { k =>
+      val (nRows, nClasses, atRisk) = got(k)
+      assert(nRows == customers.length)
+      assert(nClasses == sizes.size)
+      assert(atRisk == sizes.filter(_ < k).sum, s"k=$k")
+    }
+  }
+
+  test("q402 l-diversity matches brute distinct-sensitive counts") {
+    val classes = customers.groupBy(c => (c._1, c._2)).toSeq.map { case (_, g) =>
+      (g.length.toLong, g.map(c => math.floor(c._3 / 2000.0).toLong).distinct.length.toLong)
+    }
+    val got = SparkEntry.queries("q402_l_diversity")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    Seq(2L, 3L, 5L).foreach { l =>
+      val (nc, below, exposed) = got(l)
+      assert(nc == classes.size)
+      assert(below == classes.count(_._2 < l), s"l=$l classes below")
+      assert(exposed == classes.filter(_._2 < l).map(_._1).sum, s"l=$l rows")
+    }
+  }
+
+  test("q403 suppression conserves the total and publishes no small cell") {
+    val got = SparkEntry.queries("q403_cell_suppression")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._3).sum == customers.length, "published total must match")
+    got.filter(_._1 != "OTHER").foreach { case (n, seg, c, supp) =>
+      assert(c >= 10, s"cell ($n,$seg)=$c published below threshold")
+      assert(supp == 0)
+    }
+    val other = got.filter(_._1 == "OTHER")
+    assert(other.length <= 1)
+    other.foreach { case (_, _, c, supp) =>
+      assert(supp > 0 && c < supp * 10, "OTHER must aggregate only small cells")
+    }
+  }
+
+  test("q404 Benford: totals reconcile, probabilities pinned, terms nonnegative") {
+    val got = SparkEntry.queries("q404_benford_audit")(spark, sf)
+      .orderBy("digit").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(4)))
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(got.map(_._2).sum == nOrders)
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-4, "pinned shares sum to ~1")
+    assert(got.forall(_._4 >= 0.0))
+    // brute recount of first digits
+    val brute = Tables.orders(spark, sf)
+      .select(col("o_totalprice")).collect()
+      .map(r => r.getDouble(0).floor.toLong.toString.head.asDigit)
+      .groupBy(identity).map { case (d, g) => (d, g.length.toLong) }
+    got.foreach { case (d, n, _, _) => assert(n == brute(d), s"digit $d") }
+  }
+
+  test("q405 uniqueness curve: classes and uniques monotone in QI level") {
+    val got = SparkEntry.queries("q405_uniqueness_curve")(spark, sf)
+      .orderBy("level").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == Seq(1, 2, 3))
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._2 >= a._2, "more QIs cannot merge classes")
+        assert(b._3 >= a._3, "a unique row stays unique under more QIs")
+        assert(b._4 >= a._4 - 1e-9)
+      case _ =>
+    }
+    // brute level-3 uniqueness
+    val u3 = customers
+      .groupBy(c => (c._1, c._2, math.floor(c._3 / 1000.0).toLong))
+      .count(_._2.length == 1).toLong
+    assert(got(2)._3 == u3)
+  }
+}
