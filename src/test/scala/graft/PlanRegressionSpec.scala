@@ -81,7 +81,13 @@ class PlanRegressionSpec extends AnyFunSuite {
     // waves 7-9: distribution-window p95, bucketed gap audit, TF-IDF
     // keyword top-k, minhash accuracy (band join + prefix estimators)
     "q369_ship_delay_p95", "q372_tfidf_keywords", "q374_minhash_accuracy",
-    "q377_key_gaps")
+    "q377_key_gaps",
+    // tokenizer/governance waves: BPE iteration chain, dup-ngram join,
+    // horizon-bounded attribution join, QI class tables, grid crossJoins
+    "q391_bpe_merges", "q393_dup_ngram_coverage", "q396_bpe_compression",
+    "q397_linear_attribution", "q398_ngram_novelty", "q399_quality_yield",
+    "q400_embedding_isotropy", "q401_k_anonymity", "q402_l_diversity",
+    "q404_benford_audit", "q405_uniqueness_curve")
 
   /** Sanctioned BroadcastNestedLoopJoins whose build side is a DESIGN-
     * bounded broadcast probe/query set rather than an aggregate — e.g. the
@@ -114,7 +120,16 @@ class PlanRegressionSpec extends AnyFunSuite {
     // q374 crossJoins the 3-row LITERAL k-table (Seq.toDF LocalRelation —
     // design-bounded by construction, but not an aggregate, so the
     // classifier can't prove it) onto the candidate-pair set once
-    "q374_minhash_accuracy" -> 1)
+    "q374_minhash_accuracy" -> 1,
+    // NOTE: the BPE gates (q391/q396) swept below show NO joins at all —
+    // each step's crossJoin(argmax) plan is sealed behind its
+    // localCheckpoint boundary at construction, so the final plan is a
+    // union of RDD scans; the per-step shape is audited in
+    // TokenizerPipelineSpec via the sequential-reference parity instead.
+    // Grid crossJoins against Range-built k/l threshold tables (3-5 rows
+    // by construction, not aggregates):
+    "q399_quality_yield" -> 1, "q401_k_anonymity" -> 1,
+    "q402_l_diversity" -> 1)
 
   private def aggregateBounded(p: SparkPlan): Boolean = p match {
     case _: BaseAggregateExec => true
