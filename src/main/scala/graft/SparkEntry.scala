@@ -7909,6 +7909,104 @@ object SparkEntry {
         .unionByName(level(3,
           Seq(col("c_nationkey"), col("c_mktsegment"), band)))
     }),
+
+    // ---- EXT: padding-vs-packing efficiency curve ----
+    "q406_packing_efficiency" -> ((s, dir) => {
+      // the context-length economics behind q92's packer: at L ∈ {128,
+      // 256, 512}, padded batching needs Σ⌈n/L⌉ sequences and wastes the
+      // remainder of each, while stream packing needs ⌈Σn/L⌉. All exact
+      // integer algebra (ceil via (n + L − 1) div L — no doubles until the
+      // final share).
+      val d = Tables.documents(s, dir)
+        .select(size(TextOps.tokens(col("text"))).cast("long").as("__nt"))
+        .filter(col("__nt") > 0)
+      val ls = s.range(0, 3).select(
+        element_at(array(lit(128L), lit(256L), lit(512L)),
+          col("id").cast("int") + 1).as("ctx_len"))
+      d.crossJoin(broadcast(ls))
+        .groupBy(col("ctx_len"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__nt")).as("total_tokens"),
+          sum(expr("(__nt + ctx_len - 1) div ctx_len")).as("n_seqs_padded"))
+        .select(col("ctx_len"), col("n_docs"), col("total_tokens"),
+          col("n_seqs_padded"),
+          expr("(total_tokens + ctx_len - 1) div ctx_len")
+            .as("n_seqs_packed"),
+          (round((col("n_seqs_padded") * col("ctx_len") -
+            col("total_tokens")).cast("double") /
+            (col("n_seqs_padded") * col("ctx_len")).cast("double"), 6)
+            + lit(0.0d)).as("padding_share"))
+    }),
+
+    // ---- EXT: per-source dedup yield ----
+    "q407_dedup_yield" -> ((s, dir) => {
+      // corpus-economics report: per source, how much volume exact
+      // (bag-fingerprint) dedup recovers — docs and tokens before vs after
+      // keep-first. The keeper per fingerprint group is the struct-min
+      // (doc_id, tokens) total-order pick; one (source, fp) hash aggregate.
+      val d = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          TextOps.bagFingerprint(TextOps.tokens(col("text"))).as("fp"),
+          size(TextOps.tokens(col("text"))).cast("long").as("__nt"))
+      d.groupBy(col("source"), col("fp"))
+        .agg(count(lit(1)).as("__n"), sum(col("__nt")).as("__toks"),
+          min(struct(col("doc_id"), col("__nt"))).as("__keep"))
+        .groupBy(col("source"))
+        .agg(sum(col("__n")).as("n_docs"),
+          count(lit(1)).as("n_kept"),
+          sum(col("__toks")).as("tokens_total"),
+          sum(col("__keep.__nt")).as("tokens_kept"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          col("tokens_total"), col("tokens_kept"),
+          (round((col("tokens_total") - col("tokens_kept")).cast("double") /
+            col("tokens_total").cast("double"), 6) + lit(0.0d))
+            .as("tokens_saved_share"))
+    }),
+
+    // ---- EXT: hapax legomena share per source ----
+    "q408_hapax_share" -> ((s, dir) =>
+      // vocabulary-health diagnostic: the share of each source's word
+      // TYPES seen exactly once there — high hapax share flags noisy or
+      // fragmentary text. Two hash aggregates, exact integers.
+      Tables.documents(s, dir)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("__c"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("vocab"),
+          sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("vocab"), col("n_hapax"),
+          (round(col("n_hapax").cast("double") / col("vocab").cast("double"),
+            6) + lit(0.0d)).as("hapax_share"))),
+
+    // ---- EXT: top-k vocabulary coverage curve ----
+    "q409_vocab_coverage" -> ((s, dir) => {
+      // the Zipf-coverage question a tokenizer budget hangs on: what share
+      // of corpus token MASS do the top-k types cover, k ∈ {5, 10, 20}?
+      // Deterministic ranks ((count desc, word) total order); the rank
+      // table is vocabulary-sized, the grid a 3-row broadcast.
+      import org.apache.spark.sql.expressions.Window
+      val freq = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("__c"))
+      val ranked = freq.withColumn("__r",
+        row_number().over(Window.orderBy(col("__c").desc, col("w"))))
+      val tot = freq.agg(sum(col("__c")).as("__tot"))
+      val ks = s.range(0, 3).select(
+        element_at(array(lit(5L), lit(10L), lit(20L)),
+          col("id").cast("int") + 1).as("k"))
+      ranked.crossJoin(broadcast(ks))
+        .filter(col("__r") <= col("k"))
+        .groupBy(col("k"))
+        .agg(sum(col("__c")).as("covered_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("covered_tokens"),
+          col("__tot").as("total_tokens"),
+          (round(col("covered_tokens").cast("double") /
+            col("__tot").cast("double"), 6) + lit(0.0d))
+            .as("coverage_share"))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -15121,5 +15219,70 @@ object SparkEntry {
            FROM s3)
          SELECT * FROM l1 UNION ALL SELECT * FROM l2
          UNION ALL SELECT * FROM l3""",
+
+    "q406_packing_efficiency" ->
+      """WITH d AS (SELECT cast(len(string_split(text, ' ')) AS bigint) AS nt
+           FROM documents WHERE len(string_split(text, ' ')) > 0),
+         ls AS (SELECT cast(ll.l AS bigint) AS ctx_len
+           FROM (SELECT unnest([128, 256, 512]) AS l) AS ll),
+         g AS (SELECT ctx_len, cast(count(*) AS bigint) AS n_docs,
+             cast(sum(nt) AS bigint) AS total_tokens,
+             cast(sum((nt + ctx_len - 1) // ctx_len) AS bigint)
+               AS n_seqs_padded
+           FROM d CROSS JOIN ls GROUP BY 1)
+         SELECT ctx_len, n_docs, total_tokens, n_seqs_padded,
+           cast((total_tokens + ctx_len - 1) // ctx_len AS bigint)
+             AS n_seqs_packed,
+           round(cast(n_seqs_padded * ctx_len - total_tokens AS double)
+             / cast(n_seqs_padded * ctx_len AS double), 6) + 0.0
+             AS padding_share
+         FROM g""",
+
+    "q407_dedup_yield" ->
+      """WITH d AS (SELECT source, doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split(text, ' '))), ' ')) AS fp,
+             cast(len(string_split(text, ' ')) AS bigint) AS nt
+           FROM documents),
+         g AS (SELECT source, fp, cast(count(*) AS bigint) AS n,
+             cast(sum(nt) AS bigint) AS toks,
+             arg_min(nt, doc_id) AS keep_nt
+           FROM d GROUP BY 1, 2)
+         SELECT source, cast(sum(n) AS bigint) AS n_docs,
+           cast(count(*) AS bigint) AS n_kept,
+           cast(sum(toks) AS bigint) AS tokens_total,
+           cast(sum(keep_nt) AS bigint) AS tokens_kept,
+           round(cast(sum(toks) - sum(keep_nt) AS double)
+             / cast(sum(toks) AS double), 6) + 0.0 AS tokens_saved_share
+         FROM g GROUP BY 1""",
+
+    "q408_hapax_share" ->
+      """WITH w AS (SELECT source, t.w
+           FROM documents, LATERAL unnest(string_split(text, ' ')) AS t(w)
+           WHERE t.w != ''),
+         g AS (SELECT source, w, cast(count(*) AS bigint) AS c
+           FROM w GROUP BY 1, 2)
+         SELECT source, cast(count(*) AS bigint) AS vocab,
+           cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS bigint)
+             AS n_hapax,
+           round(cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS double)
+             / cast(count(*) AS double), 6) + 0.0 AS hapax_share
+         FROM g GROUP BY 1""",
+
+    "q409_vocab_coverage" ->
+      """WITH f AS (SELECT t.w, cast(count(*) AS bigint) AS c
+           FROM documents, LATERAL unnest(string_split(text, ' ')) AS t(w)
+           WHERE t.w != '' GROUP BY 1),
+         r AS (SELECT *, row_number() OVER (ORDER BY c DESC, w) AS rk
+           FROM f),
+         tt AS (SELECT cast(sum(c) AS bigint) AS tot FROM f),
+         ks AS (SELECT cast(kk.k AS bigint) AS k
+           FROM (SELECT unnest([5, 10, 20]) AS k) AS kk)
+         SELECT k, cast(sum(c) AS bigint) AS covered_tokens,
+           tot AS total_tokens,
+           round(cast(sum(c) AS double) / cast(tot AS double), 6) + 0.0
+             AS coverage_share
+         FROM r CROSS JOIN ks CROSS JOIN tt
+         WHERE rk <= k GROUP BY k, tot""",
   )
 }

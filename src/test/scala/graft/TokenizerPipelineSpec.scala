@@ -250,6 +250,62 @@ class TokenizerPipelineSpec extends SparkSuite {
     }
   }
 
+  test("q406 packing curve: packed never exceeds padded, brute recount agrees") {
+    val lens = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("long")).collect()
+      .map(_.getLong(0)).filter(_ > 0)
+    val got = SparkEntry.queries("q406_packing_efficiency")(spark, sf)
+      .orderBy("ctx_len").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    got.foreach { case (l, nd, tt, padded, packed) =>
+      assert(nd == lens.length && tt == lens.sum)
+      assert(padded == lens.map(n => (n + l - 1) / l).sum, s"L=$l padded")
+      assert(packed == (tt + l - 1) / l && packed <= padded)
+    }
+  }
+
+  test("q407 dedup yield: conservation and keep-first token accounting") {
+    val d = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+          .as("fp"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val expect = d.groupBy(_._1).map { case (src, g) =>
+      val groups = g.groupBy(_._3).values
+      src -> (g.length.toLong, groups.size.toLong, g.map(_._4).sum,
+        groups.map(_.minBy(_._2)._4).sum)
+    }
+    val got = SparkEntry.queries("q407_dedup_yield")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got == expect)
+  }
+
+  test("q408 hapax and q409 coverage: bounds and brute top-k parity") {
+    SparkEntry.queries("q408_hapax_share")(spark, sf).collect().foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "hapax cannot exceed vocab")
+    }
+    val freq = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val ranked = freq.sortBy { case (w, c) => (-c, w) }
+    val total = freq.map(_._2).sum
+    val got = SparkEntry.queries("q409_vocab_coverage")(spark, sf)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    var prev = 0.0
+    got.foreach { case (k, cov, share) =>
+      assert(cov == ranked.take(k.toInt).map(_._2).sum, s"k=$k coverage")
+      assert(share >= prev && share <= 1.0); prev = share
+    }
+    assert(got.last._2 <= total)
+  }
+
   test("q395 split leakage matches a brute fingerprint-set check") {
     val d = Tables.documents(spark, sf)
       .select(col("doc_id"), col("source"),
