@@ -8007,6 +8007,100 @@ object SparkEntry {
             col("__tot").cast("double"), 6) + lit(0.0d))
             .as("coverage_share"))
     }),
+
+    // ---- EXT: event path mining (top trigram user journeys) ----
+    "q410_event_paths" -> ((s, dir) => {
+      // sequence-pattern mining primitive: the 10 most frequent
+      // event-type trigrams along user timelines — the "what do users do
+      // next" journey report. Per-user lead windows (key-partitioned),
+      // one global count over the ≤ |types|³ path table, total-order
+      // top-10.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val paths = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("__t2", lead(col("event_type"), 1).over(w))
+        .withColumn("__t3", lead(col("event_type"), 2).over(w))
+        .filter(col("__t3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("__t2"), col("__t3"))
+          .as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      paths.withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("path"))))
+        .filter(col("rank") <= 10)
+        .select(col("rank"), col("path"), col("n"))
+    }),
+
+    // ---- EXT: join-skew audit (exact Gini, no global sort) ----
+    "q411_join_skew" -> ((s, dir) => {
+      // the pre-salting diagnostic: how skewed is the lineitem→orders join
+      // key? Everything derives from the FREQUENCY-OF-FREQUENCIES table
+      // (multiplicity c → t keys), which is bounded by the max lines per
+      // order, never key-count-sized — so the Gini's rank sums are EXACT
+      // integer algebra over a ≤dozens-row table instead of a global sort
+      // over millions of keys: keys of multiplicity c occupy a contiguous
+      // ascending-rank run [r0, r0+t), contributing c·(t·r0 + t(t−1)/2)
+      // to Σ r·c_r; G = (2·Σ r·c_r) / (n·Σc) − (n+1)/n.
+      import org.apache.spark.sql.expressions.Window
+      val ff = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("__c"))
+        .groupBy(col("__c")).agg(count(lit(1)).as("__t"))
+      val wc = Window.orderBy(col("__c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val runs = ff
+        .withColumn("__r0", coalesce(sum(col("__t")).over(wc), lit(0L)) + 1L)
+        .withColumn("__rsum",
+          col("__c") * (col("__t") * col("__r0") +
+            expr("__t * (__t - 1) div 2")))
+      runs.agg(sum(col("__t")).as("n_keys"),
+          sum(col("__c") * col("__t")).as("n_rows"),
+          max(col("__c")).as("max_mult"),
+          sum(col("__rsum")).as("__s"))
+        .select(col("n_keys"), col("n_rows"), col("max_mult"),
+          (round(lit(2.0d) * col("__s").cast("double") /
+            (col("n_keys").cast("double") * col("n_rows").cast("double")) -
+            (col("n_keys") + 1L).cast("double") /
+            col("n_keys").cast("double"), 6) + lit(0.0d)).as("gini"))
+    }),
+
+    // ---- EXT: referential-integrity scorecard ----
+    "q412_fk_scorecard" -> ((s, dir) => {
+      // the FK health report run before trusting any join: per edge,
+      // child rows, distinct child keys, orphan rows (anti-join), and
+      // coverage of the parent key space. Five anti/semi-join pairs
+      // unioned; orphans being zero IS the result worth asserting.
+      def edge(name: String, child: DataFrame, ck: String,
+               parent: DataFrame, pk: String) = {
+        val orphans = child.join(parent.select(col(pk)),
+          child(ck) === col(pk), "left_anti")
+          .agg(count(lit(1)).as("orphan_rows"))
+        val stats = child.agg(count(lit(1)).as("child_rows"),
+          countDistinct(col(ck)).as("child_keys"))
+        val pcov = parent.join(child.select(col(ck)).distinct(),
+            col(pk) === col(ck), "left_semi")
+          .agg(count(lit(1)).as("parents_referenced"))
+        val ptot = parent.agg(count(lit(1)).as("parent_rows"))
+        stats.crossJoin(broadcast(orphans)).crossJoin(broadcast(pcov))
+          .crossJoin(broadcast(ptot))
+          .select(lit(name).as("edge"), col("child_rows"), col("child_keys"),
+            col("orphan_rows"), col("parents_referenced"), col("parent_rows"),
+            (round(col("parents_referenced").cast("double") /
+              col("parent_rows").cast("double"), 6) + lit(0.0d))
+              .as("parent_coverage"))
+      }
+      edge("lineitem->orders", Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey")
+        .unionByName(edge("lineitem->part", Tables.lineitem(s, dir),
+          "l_partkey", Tables.part(s, dir), "p_partkey"))
+        .unionByName(edge("lineitem->supplier", Tables.lineitem(s, dir),
+          "l_suppkey", Tables.supplier(s, dir), "s_suppkey"))
+        .unionByName(edge("orders->customer", Tables.orders(s, dir),
+          "o_custkey", Tables.customer(s, dir), "c_custkey"))
+        .unionByName(edge("customer->nation", Tables.customer(s, dir),
+          "c_nationkey", Tables.nation(s, dir), "n_nationkey"))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -8178,6 +8272,31 @@ object SparkEntry {
           s"SELECT cast($k AS int) AS step, cast(sum(freq) AS bigint) AS corpus_subwords FROM t$k"
         }.mkString("\n         UNION ALL ")
     s"$base$rounds\n         $out"
+  }
+
+  /** Generated DuckDB oracle for q412: one correlated-EXISTS scorecard row
+    * per FK edge, unioned. */
+  private val FkScorecardOracleSql: String = {
+    val edges = Seq(
+      ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"))
+    edges.map { case (n, c, ck, p, pk) =>
+      s"""SELECT '$n' AS edge,
+           (SELECT cast(count(*) AS bigint) FROM $c) AS child_rows,
+           (SELECT cast(count(DISTINCT $ck) AS bigint) FROM $c) AS child_keys,
+           (SELECT cast(count(*) AS bigint) FROM $c WHERE NOT EXISTS
+             (SELECT 1 FROM $p WHERE $pk = $c.$ck)) AS orphan_rows,
+           (SELECT cast(count(*) AS bigint) FROM $p WHERE EXISTS
+             (SELECT 1 FROM $c WHERE $ck = $p.$pk)) AS parents_referenced,
+           (SELECT cast(count(*) AS bigint) FROM $p) AS parent_rows,
+           round(cast((SELECT count(*) FROM $p WHERE EXISTS
+             (SELECT 1 FROM $c WHERE $ck = $p.$pk)) AS double)
+             / cast((SELECT count(*) FROM $p) AS double), 6) + 0.0
+             AS parent_coverage"""
+    }.mkString("\n         UNION ALL ")
   }
 
   /** DuckDB-equivalent SQL per query (same parquet tables, same column names). */
@@ -15284,5 +15403,42 @@ object SparkEntry {
              AS coverage_share
          FROM r CROSS JOIN ks CROSS JOIN tt
          WHERE rk <= k GROUP BY k, tot""",
+
+    "q410_event_paths" ->
+      """WITH p AS (SELECT concat_ws('>', event_type,
+             lead(event_type, 1) OVER w, lead(event_type, 2) OVER w)
+             AS path,
+             lead(event_type, 2) OVER w AS t3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         g AS (SELECT path, cast(count(*) AS bigint) AS n
+           FROM p WHERE t3 IS NOT NULL GROUP BY 1),
+         r AS (SELECT *, cast(row_number() OVER (ORDER BY n DESC, path)
+             AS int) AS rank
+           FROM g)
+         SELECT rank, path, n FROM r WHERE rank <= 10""",
+
+    "q411_join_skew" ->
+      """WITH f AS (SELECT l_orderkey, cast(count(*) AS bigint) AS c
+           FROM lineitem GROUP BY 1),
+         ff AS (SELECT c, cast(count(*) AS bigint) AS t FROM f GROUP BY 1),
+         runs AS (SELECT c, t,
+             coalesce(sum(t) OVER (ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+               AS r0
+           FROM ff),
+         agg AS (SELECT cast(sum(t) AS bigint) AS n_keys,
+             cast(sum(c * t) AS bigint) AS n_rows,
+             cast(max(c) AS bigint) AS max_mult,
+             cast(sum(c * (t * r0 + t * (t - 1) // 2)) AS bigint) AS s
+           FROM runs)
+         SELECT n_keys, n_rows, max_mult,
+           round(2.0 * cast(s AS double)
+             / (cast(n_keys AS double) * cast(n_rows AS double))
+             - cast(n_keys + 1 AS double) / cast(n_keys AS double), 6)
+             + 0.0 AS gini
+         FROM agg""",
+
+    "q412_fk_scorecard" -> FkScorecardOracleSql,
   )
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Brute cross-checks for the ops-diagnostics wave (q410–q412). */
+class OpsDiagnosticsSpec extends SparkSuite {
+
+  test("q410 event paths match a brute per-user timeline scan") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    evs.groupBy(_._1).values.foreach { g =>
+      val seq = g.sortBy(e => (e._2, e._3)).map(_._4)
+      seq.sliding(3).filter(_.length == 3).foreach { t =>
+        val p = t.mkString(">")
+        counts(p) = counts.getOrElse(p, 0L) + 1
+      }
+    }
+    val expect = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+      .zipWithIndex.map { case ((p, n), i) => (i + 1, p, n) }
+    val got = SparkEntry.queries("q410_event_paths")(spark, sf)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expect)
+  }
+
+  test("q411 Gini matches a brute sorted-rank computation") {
+    val mult = Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey").count().collect().map(_.getLong(1)).sorted
+    val n = mult.length.toLong
+    val tot = mult.sum
+    val s = mult.zipWithIndex.map { case (c, i) => (i + 1).toLong * c }.sum
+    val gini = 2.0 * s / (n.toDouble * tot.toDouble) - (n + 1).toDouble / n
+    val row = SparkEntry.queries("q411_join_skew")(spark, sf).collect()(0)
+    assert(row.getLong(0) == n && row.getLong(1) == tot)
+    assert(row.getLong(2) == mult.max)
+    assert(math.abs(row.getDouble(3) - gini) < 1e-6)
+  }
+
+  test("q412 FK scorecard: five edges, zero orphans, full child coverage") {
+    val got = SparkEntry.queries("q412_fk_scorecard")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.length == 5)
+    got.foreach { case (edge, childRows, childKeys, orphans, refd, parents) =>
+      assert(orphans == 0, s"$edge has orphans")
+      assert(childKeys <= childRows && refd <= parents, edge)
+      assert(refd >= childKeys.min(parents), s"$edge referenced count")
+    }
+    // brute one edge: orders->customer
+    val custs = Tables.customer(spark, sf).select("c_custkey").collect()
+      .map(_.getLong(0)).toSet
+    val ordKeys = Tables.orders(spark, sf).select("o_custkey").collect()
+      .map(_.getLong(0))
+    val e = got.find(_._1 == "orders->customer").get
+    assert(e._2 == ordKeys.length)
+    assert(e._3 == ordKeys.distinct.length)
+    assert(e._4 == ordKeys.count(k => !custs(k)))
+    assert(e._5 == custs.count(ordKeys.toSet))
+  }
+}
