@@ -8101,6 +8101,58 @@ object SparkEntry {
         .unionByName(edge("customer->nation", Tables.customer(s, dir),
           "c_nationkey", Tables.nation(s, dir), "n_nationkey"))
     }),
+
+    // ---- EXT: user-profile assembly (field survivorship) ----
+    "q413_profile_assembly" -> ((s, dir) => {
+      // the CRM survivorship merge: each event TYPE carries different
+      // fields, and the profile takes, per user, the latest value each
+      // field was reported with — latest purchase amount, latest click
+      // payload, first signup. One hash aggregate of filtered
+      // max_by/min_by; the total order is a zero-padded (ts, event_id)
+      // string key (DuckDB's arg_max has no composite-key overload). No
+      // windows, no self-joins.
+      val ord = format_string("%020d%020d", unix_micros(col("ts")),
+        col("event_id"))
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max(unix_micros(col("ts"))).as("last_seen_us"),
+          min(when(col("event_type") === "signup",
+            unix_micros(col("ts")))).as("signup_us"),
+          max_by(when(col("event_type") === "purchase",
+            round(col("value").cast("double"), 2)),
+            when(col("event_type") === "purchase", ord))
+            .as("latest_purchase_value"),
+          max_by(when(col("event_type") === "click",
+            get_json_object(col("props"), "$.k").cast("long")),
+            when(col("event_type") === "click", ord))
+            .as("latest_click_k"))
+    }),
+
+    // ---- EXT: deterministic-sample bias audit ----
+    "q414_sample_bias" -> ((s, dir) => {
+      // before trusting the md5-bucket 10% sample for profiling, prove it
+      // unbiased: per order priority, population vs in-sample counts and
+      // means of the order total. Means are exact-decimal sums divided
+      // once at output (q88 contract); the sample predicate is the q54
+      // key-stable hash bucket, so the audit reproduces anywhere.
+      val D = "decimal(28,2)"
+      val o = Tables.orders(s, dir)
+        .withColumn("__in",
+          graft.operators.Sampling.hashBucket(col("o_orderkey")) < 1000)
+      o.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("pop_n"),
+          sum(col("o_totalprice").cast(D)).as("__ps"),
+          sum(when(col("__in"), 1L).otherwise(0L)).as("samp_n"),
+          sum(when(col("__in"), col("o_totalprice").cast(D))).as("__ss"))
+        .select(col("o_orderpriority"), col("pop_n"), col("samp_n"),
+          (round(col("__ps").cast("double") / col("pop_n").cast("double"),
+            2) + lit(0.0d)).as("pop_mean"),
+          (round(col("__ss").cast("double") / col("samp_n").cast("double"),
+            2) + lit(0.0d)).as("samp_mean"),
+          (round(col("samp_n").cast("double") / col("pop_n").cast("double"),
+            6) + lit(0.0d)).as("sampling_rate"))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -15440,5 +15492,35 @@ object SparkEntry {
          FROM agg""",
 
     "q412_fk_scorecard" -> FkScorecardOracleSql,
+
+    "q413_profile_assembly" ->
+      """SELECT user_id, cast(count(*) AS bigint) AS n_events,
+           cast(max(epoch_us(ts)) AS bigint) AS last_seen_us,
+           cast(min(epoch_us(ts)) FILTER (WHERE event_type = 'signup')
+             AS bigint) AS signup_us,
+           arg_max(round(value, 2), printf('%020d%020d', epoch_us(ts),
+             event_id)) FILTER (WHERE event_type = 'purchase')
+             AS latest_purchase_value,
+           arg_max(json_extract(props, '$.k')::bigint,
+             printf('%020d%020d', epoch_us(ts), event_id))
+             FILTER (WHERE event_type = 'click') AS latest_click_k
+         FROM events GROUP BY user_id""",
+
+    "q414_sample_bias" ->
+      """WITH o AS (SELECT o_orderpriority, o_totalprice,
+             ('0x' || substr(md5(cast(o_orderkey AS varchar)), 1, 8))::bigint
+               % 10000 < 1000 AS s
+           FROM orders)
+         SELECT o_orderpriority, cast(count(*) AS bigint) AS pop_n,
+           cast(sum(CASE WHEN s THEN 1 ELSE 0 END) AS bigint) AS samp_n,
+           round(cast(sum(cast(o_totalprice AS decimal(28,2))) AS double)
+             / cast(count(*) AS double), 2) + 0.0 AS pop_mean,
+           round(cast(sum(cast(o_totalprice AS decimal(28,2)))
+               FILTER (WHERE s) AS double)
+             / cast(sum(CASE WHEN s THEN 1 ELSE 0 END) AS double), 2) + 0.0
+             AS samp_mean,
+           round(cast(sum(CASE WHEN s THEN 1 ELSE 0 END) AS double)
+             / cast(count(*) AS double), 6) + 0.0 AS sampling_rate
+         FROM o GROUP BY 1""",
   )
 }

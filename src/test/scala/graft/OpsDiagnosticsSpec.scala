@@ -40,6 +40,46 @@ class OpsDiagnosticsSpec extends SparkSuite {
     assert(math.abs(row.getDouble(3) - gini) < 1e-6)
   }
 
+  test("q413 profile assembly matches a brute per-user event fold") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"), round(col("value").cast("double"), 2),
+        get_json_object(col("props"), "$.k").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4), r.getLong(5)))
+    val expect = evs.groupBy(_._1).map { case (u, g) =>
+      val purch = g.filter(_._4 == "purchase")
+      val clicks = g.filter(_._4 == "click")
+      val signups = g.filter(_._4 == "signup")
+      u -> (g.length.toLong, g.map(_._2).max,
+        if (signups.isEmpty) None else Some(signups.map(_._2).min),
+        if (purch.isEmpty) None else Some(purch.maxBy(e => (e._2, e._3))._5),
+        if (clicks.isEmpty) None else Some(clicks.maxBy(e => (e._2, e._3))._6))
+    }
+    val got = SparkEntry.queries("q413_profile_assembly")(spark, sf)
+      .collect()
+      .map { r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)))
+      }.toMap
+    assert(got == expect)
+  }
+
+  test("q414 sample bias: rates near 10%, sample stats consistent") {
+    val got = SparkEntry.queries("q414_sample_bias")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.length == 5)
+    got.foreach { case (p, popN, sampN, popM, sampM, rate) =>
+      assert(sampN <= popN && rate > 0.02 && rate < 0.25, s"$p rate $rate")
+      // unbiasedness at this sf: sample mean within 25% of population mean
+      assert(math.abs(sampM - popM) / popM < 0.25, s"$p means $popM/$sampM")
+    }
+  }
+
   test("q412 FK scorecard: five edges, zero orphans, full child coverage") {
     val got = SparkEntry.queries("q412_fk_scorecard")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
