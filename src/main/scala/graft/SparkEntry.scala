@@ -8153,6 +8153,49 @@ object SparkEntry {
           (round(col("samp_n").cast("double") / col("pop_n").cast("double"),
             6) + lit(0.0d)).as("sampling_rate"))
     }),
+
+    // ---- EXT: blocking-quality audit (linkage evaluation metrics) ----
+    "q415_blocking_quality" -> ((s, dir) => {
+      // the record-linkage evaluation triplet over the q37 MinHash banding:
+      // against EXACT text duplicates as ground truth (identical text ⇒
+      // identical shingle sets ⇒ identical signatures, so pair
+      // completeness = 1.0 IS the soundness assertion for the banding;
+      // bag-level dups are deliberately NOT the truth set — order-scrambled
+      // texts share no shingles, and shingle-Jaccard blocking rightly
+      // ignores them), pair precision, and the reduction ratio vs the
+      // n(n−1)/2 all-pairs space — the number that justifies blocking at
+      // 100 TB. Counts are exact; three divisions at output.
+      val docs = Tables.spread(s, Tables.documents(s, dir))
+      val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+      // truth restricted to the blocking's domain (≥ 3 tokens — shorter
+      // docs have no shingles and are out of scope for the banding)
+      val fp = docs
+        .filter(size(TextOps.tokens(col("text"))) >= 3)
+        .select(col("doc_id"), md5(col("text")).as("__f"))
+      val truth = fp.toDF("__da", "__f")
+        .join(fp.toDF("__db", "__f2"), col("__f") === col("__f2"))
+        .filter(col("__da") < col("__db"))
+        .select(col("__da"), col("__db"))
+      val caught = truth.join(cand,
+        col("__da") === col("doc_a") && col("__db") === col("doc_b"),
+        "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+        .crossJoin(broadcast(caught.agg(count(lit(1)).as("n_caught"))))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("__n"))))
+        .select(col("n_truth"), col("n_cand"), col("n_caught"),
+          when(col("n_truth") > 0,
+            round(col("n_caught").cast("double") /
+              col("n_truth").cast("double"), 6) + lit(0.0d))
+            .as("pair_completeness"),
+          when(col("n_cand") > 0,
+            round(col("n_caught").cast("double") /
+              col("n_cand").cast("double"), 6) + lit(0.0d))
+            .as("pair_precision"),
+          (round(lit(1.0d) - col("n_cand").cast("double") /
+            (col("__n").cast("double") * (col("__n") - 1L).cast("double") /
+              lit(2.0d)), 6) + lit(0.0d)).as("reduction_ratio"))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -15522,5 +15565,48 @@ object SparkEntry {
            round(cast(sum(CASE WHEN s THEN 1 ELSE 0 END) AS double)
              / cast(count(*) AS double), 6) + 0.0 AS sampling_rate
          FROM o GROUP BY 1""",
+
+    "q415_blocking_quality" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text,' ') AS w
+           FROM documents),
+         toks AS (SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, len(w)-2),
+             i -> array_to_string(w[i:i+2], ' '))) AS t
+           FROM t0 WHERE len(w) >= 3),
+         hs AS (SELECT doc_id, list_transform(t,
+             tok -> ('0x' || substr(md5(tok), 1, 15))::bigint % 1000000007)
+             AS h
+           FROM toks),
+         sig AS (SELECT doc_id, list_transform(generate_series(0, 31),
+             i -> list_min(list_transform(h,
+               x -> (x*(i*2+3) + (i*5+7)) % 1000000007))) AS s
+           FROM hs),
+         bands AS (SELECT doc_id, b AS band_id,
+             md5(array_to_string(s[b*4+1 : b*4+4], ',')) AS band_hash
+           FROM sig, unnest(generate_series(0, 7)) AS u(b)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b ON a.band_id = b.band_id
+             AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+         fp AS (SELECT doc_id, md5(text) AS f FROM documents
+           WHERE len(string_split(text, ' ')) >= 3),
+         truth AS (SELECT a.doc_id AS da, b.doc_id AS db
+           FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id),
+         m AS (SELECT
+             cast((SELECT count(*) FROM truth) AS bigint) AS n_truth,
+             cast((SELECT count(*) FROM cand) AS bigint) AS n_cand,
+             cast((SELECT count(*) FROM truth t JOIN cand c
+               ON t.da = c.doc_a AND t.db = c.doc_b) AS bigint) AS n_caught,
+             cast((SELECT count(*) FROM documents) AS bigint) AS n)
+         SELECT n_truth, n_cand, n_caught,
+           CASE WHEN n_truth > 0 THEN
+             round(cast(n_caught AS double) / cast(n_truth AS double), 6)
+               + 0.0 END AS pair_completeness,
+           CASE WHEN n_cand > 0 THEN
+             round(cast(n_caught AS double) / cast(n_cand AS double), 6)
+               + 0.0 END AS pair_precision,
+           round(1.0 - cast(n_cand AS double)
+             / (cast(n AS double) * cast(n - 1 AS double) / 2.0), 6) + 0.0
+             AS reduction_ratio
+         FROM m""",
   )
 }

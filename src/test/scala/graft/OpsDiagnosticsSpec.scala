@@ -80,6 +80,16 @@ class OpsDiagnosticsSpec extends SparkSuite {
     }
   }
 
+  test("q415 blocking quality: caught bounded, exact dups fully caught") {
+    val r = SparkEntry.queries("q415_blocking_quality")(spark, sf).collect()(0)
+    val (nTruth, nCand, nCaught) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nCaught <= nTruth && nCaught <= nCand)
+    // identical text ⇒ identical signature ⇒ every truth pair is caught
+    assert(nCaught == nTruth, "an exact dup escaped the banding")
+    if (nTruth > 0) assert(r.getDouble(3) == 1.0)
+    assert(r.getDouble(5) > 0.99, "blocking must prune ≫ all-pairs")
+  }
+
   test("q412 FK scorecard: five edges, zero orphans, full child coverage") {
     val got = SparkEntry.queries("q412_fk_scorecard")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
