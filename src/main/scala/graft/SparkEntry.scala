@@ -8196,6 +8196,69 @@ object SparkEntry {
             (col("__n").cast("double") * (col("__n") - 1L).cast("double") /
               lit(2.0d)), 6) + lit(0.0d)).as("reduction_ratio"))
     }),
+
+    // ---- EXT: U-shaped (position-based) attribution ----
+    "q416_ushaped_attribution" -> ((s, dir) => {
+      // completes the attribution family (first/last q184, linear q397):
+      // 40% to the first touch, 40% to the last, 20% split across the
+      // middles; two touches split 50/50 and a single touch takes 1.0
+      // (the standard conventions — per-conversion credit always sums to
+      // exactly 1, the conservation invariant the spec asserts). Same
+      // horizon-bounded conv×touch join keyed on user_id; position comes
+      // from one key-partitioned window per conversion; per-touch weights
+      // are 6-dp rounded then exact-decimal summed.
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("__cid"),
+          unix_micros(col("ts")).as("__cts"))
+      val touch = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_type").as("__ttype"),
+          col("event_id").as("__tid"), unix_micros(col("ts")).as("__tts"))
+      val horizon = 7L * 86400L * 1000000L
+      val w = Window.partitionBy(col("__cid"))
+        .orderBy(col("__tts"), col("__tid"))
+      val j = conv.join(touch, Seq("user_id"))
+        .filter(col("__tts") < col("__cts") &&
+          col("__tts") >= col("__cts") - lit(horizon))
+        .withColumn("__pos", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__cid"))))
+        .withColumn("__w", round(
+          when(col("__n") === 1, lit(1.0d))
+            .when(col("__n") === 2, lit(0.5d))
+            .when(col("__pos") === 1 || col("__pos") === col("__n"),
+              lit(0.4d))
+            .otherwise(lit(0.2d) / (col("__n") - 2).cast("double")), 6)
+          .cast("decimal(18,6)"))
+      j.groupBy(col("__ttype").as("event_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          (round(sum(col("__w")).cast("double"), 6) + lit(0.0d))
+            .as("ushaped_credit"))
+    }),
+
+    // ---- EXT: near-dup threshold sensitivity curve ----
+    "q417_dedup_threshold_curve" -> ((s, dir) => {
+      // the dedup tuning curve: how many verified near-dup pairs survive
+      // at Jaccard floors {0.3, 0.5, 0.7} — the q318 ANN-tuning
+      // discipline applied to q36's candidates+verify pipeline. ONE
+      // candidate verification pass; the grid is a 3-row broadcast; the
+      // threshold compare uses the exact same double division as q36.
+      val pairs = Dedup.minhashVerifiedPairs(
+        Tables.spread(s, Tables.documents(s, dir)), "doc_id", "text",
+        shingleN = 3, threshold = 0.0, maxDf = 100)
+      val ts = s.range(0, 3).select(
+        element_at(array(lit(0.3d), lit(0.5d), lit(0.7d)),
+          col("id").cast("int") + 1).as("threshold"))
+      def fmean(c: org.apache.spark.sql.Column) =
+        floor(sum(c.cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double") * lit(1000000.0d) + lit(0.5d))
+          .cast("double") / lit(1000000.0d) + lit(0.0d)
+      pairs.crossJoin(broadcast(ts))
+        .filter(col("jaccard") >= col("threshold"))
+        .groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_pairs"),
+          fmean(round(col("jaccard"), 6)).as("mean_jaccard"))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -15608,5 +15671,67 @@ object SparkEntry {
              / (cast(n AS double) * cast(n - 1 AS double) / 2.0), 6) + 0.0
              AS reduction_ratio
          FROM m""",
+
+    "q416_ushaped_attribution" ->
+      """WITH conv AS (SELECT user_id, event_id AS cid, epoch_us(ts) AS cts
+           FROM events WHERE event_type = 'purchase'),
+         tch AS (SELECT user_id, event_type AS tt, event_id AS tid,
+             epoch_us(ts) AS tts
+           FROM events WHERE event_type IN ('click', 'view')),
+         j AS (SELECT c.cid, t.tt, t.tid, t.tts
+           FROM conv c JOIN tch t ON c.user_id = t.user_id
+             AND t.tts < c.cts AND t.tts >= c.cts - 604800000000),
+         r AS (SELECT *,
+             row_number() OVER (PARTITION BY cid ORDER BY tts, tid) AS pos,
+             count(*) OVER (PARTITION BY cid) AS n
+           FROM j),
+         wgt AS (SELECT tt, cast(round(CASE WHEN n = 1 THEN 1.0
+             WHEN n = 2 THEN 0.5
+             WHEN pos = 1 OR pos = n THEN 0.4
+             ELSE 0.2 / cast(n - 2 AS double) END, 6) AS decimal(18,6)) AS w
+           FROM r)
+         SELECT tt AS event_type, cast(count(*) AS bigint) AS n_touches,
+           round(cast(sum(w) AS double), 6) + 0.0 AS ushaped_credit
+         FROM wgt GROUP BY 1""",
+
+    "q417_dedup_threshold_curve" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text,' ') AS w
+           FROM documents),
+         toks AS (SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, len(w)-2),
+             i -> array_to_string(w[i:i+2], ' '))) AS t
+           FROM t0 WHERE len(w) >= 3),
+         shl AS (SELECT doc_id, unnest(t) AS sng FROM toks),
+         hot AS (SELECT sng FROM shl GROUP BY sng HAVING count(*) > 100),
+         kept AS (SELECT doc_id, sng FROM shl
+           WHERE sng NOT IN (SELECT sng FROM hot)),
+         hs AS (SELECT doc_id,
+             list(('0x' || substr(md5(sng), 1, 15))::bigint % 1000000007)
+               AS h
+           FROM kept GROUP BY doc_id),
+         sig AS (SELECT doc_id, list_transform(generate_series(0, 31),
+             i -> list_min(list_transform(h,
+               x -> (x*(i*2+3) + (i*5+7)) % 1000000007))) AS s
+           FROM hs),
+         bands AS (SELECT doc_id, b AS band_id,
+             md5(array_to_string(s[b*4+1 : b*4+4], ',')) AS band_hash
+           FROM sig, unnest(generate_series(0, 7)) AS u(b)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b ON a.band_id = b.band_id
+             AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+         ver AS (SELECT doc_a, doc_b,
+             cast(len(list_intersect(sa.t, sb.t)) AS double)
+               / (len(sa.t) + len(sb.t) - len(list_intersect(sa.t, sb.t)))
+               AS jaccard
+           FROM cand JOIN toks sa ON sa.doc_id = doc_a
+             JOIN toks sb ON sb.doc_id = doc_b),
+         ts AS (SELECT cast(tt.t AS double) AS threshold
+           FROM (SELECT unnest([0.3, 0.5, 0.7]) AS t) AS tt)
+         SELECT threshold, cast(count(*) AS bigint) AS n_pairs,
+           floor(cast(sum(cast(round(jaccard, 6) AS decimal(18,6)))
+               AS double)
+             / cast(count(*) AS double) * 1000000.0 + 0.5) / 1000000.0
+             + 0.0 AS mean_jaccard
+         FROM ver CROSS JOIN ts WHERE jaccard >= threshold GROUP BY 1""",
   )
 }

@@ -90,6 +90,64 @@ class OpsDiagnosticsSpec extends SparkSuite {
     assert(r.getDouble(5) > 0.99, "blocking must prune ≫ all-pairs")
   }
 
+  test("q416 U-shaped attribution: credits conserve conversions, brute parity") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val horizon = 7L * 86400L * 1000000L
+    val credit = scala.collection.mutable.Map.empty[String, BigDecimal]
+    val touches = scala.collection.mutable.Map.empty[String, Long]
+    var attributed = 0
+    evs.groupBy(_._1).values.foreach { g =>
+      val ts = g.filter(e => e._4 == "click" || e._4 == "view")
+      g.filter(_._4 == "purchase").foreach { case (_, cts, _, _) =>
+        val win = ts.filter(t => t._2 < cts && t._2 >= cts - horizon)
+          .sortBy(t => (t._2, t._3))
+        if (win.nonEmpty) {
+          attributed += 1
+          val n = win.length
+          win.zipWithIndex.foreach { case (t, i) =>
+            val w =
+              if (n == 1) 1.0
+              else if (n == 2) 0.5
+              else if (i == 0 || i == n - 1) 0.4
+              else 0.2 / (n - 2)
+            credit(t._4) = credit.getOrElse(t._4, BigDecimal(0)) +
+              BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            touches(t._4) = touches.getOrElse(t._4, 0L) + 1
+          }
+        }
+      }
+    }
+    val got = SparkEntry.queries("q416_ushaped_attribution")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    credit.keys.foreach { tt =>
+      assert(got(tt)._1 == touches(tt), s"$tt touches")
+      assert(math.abs(got(tt)._2 - credit(tt).toDouble) < 1e-6, s"$tt credit")
+    }
+    // per-conversion weights sum to 1, so total credit ≈ attributed convs
+    val total = got.values.map(_._2).sum
+    assert(math.abs(total - attributed) < 1e-3, s"total $total vs $attributed")
+  }
+
+  test("q417 threshold curve is monotone and agrees with q36 at 0.5") {
+    val got = SparkEntry.queries("q417_dedup_threshold_curve")(spark, sf)
+      .orderBy("threshold").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq(0.3, 0.5, 0.7))
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._2 <= a._2, "higher floor cannot admit more pairs")
+        assert(b._3 >= a._3 - 1e-9, "surviving mean jaccard must not drop")
+      case _ =>
+    }
+    val q36n = SparkEntry.queries("q36_neardup_jaccard")(spark, sf).count()
+    assert(got.find(_._1 == 0.5).get._2 == q36n, "0.5 point must equal q36")
+  }
+
   test("q412 FK scorecard: five edges, zero orphans, full child coverage") {
     val got = SparkEntry.queries("q412_fk_scorecard")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
