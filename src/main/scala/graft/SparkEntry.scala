@@ -7855,35 +7855,34 @@ object SparkEntry {
       kept.unionByName(other)
     }),
 
-    // ---- EXT: Benford first-digit audit ----
-    "q404_benford_audit" -> ((s, dir) => {
-      // fraud/quality screening: the first significant digit of order
-      // totals against Benford's law. Expected shares are pinned 6-dp
-      // LITERALS on both sides (log10 in two engines can differ in the
-      // last ulp — constants remove libm entirely); each χ² term is the
-      // mirrored double expression rounded at 6 dp.
-      val p = Map(1 -> 0.301030d, 2 -> 0.176091d, 3 -> 0.124939d,
-        4 -> 0.096910d, 5 -> 0.079181d, 6 -> 0.066947d, 7 -> 0.057992d,
-        8 -> 0.051153d, 9 -> 0.045757d)
-      val digits = Tables.orders(s, dir)
-        .select(substring(floor(col("o_totalprice")).cast("long")
-          .cast("string"), 1, 1).cast("int").as("digit"))
-        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
-      val total = digits.agg(sum(col("n_obs")).as("__n"))
-      val pExpected = p.foldLeft(lit(null).cast("double")) {
-        case (acc, (d, v)) => when(col("digit") === d, lit(v)).otherwise(acc)
-      }
-      digits.crossJoin(broadcast(total))
-        .withColumn("p_expected", pExpected)
-        .withColumn("n_expected",
-          round(col("p_expected") * col("__n").cast("double"), 6))
-        .select(col("digit"), col("n_obs"), col("p_expected"),
-          col("n_expected"),
-          (round((col("n_obs").cast("double") - col("p_expected") *
-            col("__n").cast("double")) * (col("n_obs").cast("double") -
-            col("p_expected") * col("__n").cast("double")) /
-            (col("p_expected") * col("__n").cast("double")), 6) + lit(0.0d))
-            .as("chi2_term"))
+    // ---- EXT: capture-recapture population estimate ----
+    "q404_capture_recapture" -> ((s, dir) => {
+      // the census/dedup-planning estimator: when a full count is too
+      // expensive, two independent deterministic samples estimate the
+      // population via Chapman's (n1+1)(n2+1)/(m+1) − 1. Independence
+      // comes from salted md5 buckets ("a:"/"b:" prefixes — disjoint hash
+      // families over the same key); the gate carries the true count so
+      // the relative error is part of the artifact. Three filtered counts
+      // in ONE aggregate pass.
+      def in(salt: String) = graft.operators.Sampling.hashBucket(
+        concat(lit(salt), col("doc_id").cast("string"))) < 2000
+      Tables.documents(s, dir)
+        .select(in("a:").as("__a"), in("b:").as("__b"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(when(col("__a"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("__b"), 1L).otherwise(0L)).as("n2"),
+          sum(when(col("__a") && col("__b"), 1L).otherwise(0L))
+            .as("overlap"))
+        .select(col("n_true"), col("n1"), col("n2"), col("overlap"),
+          (round((col("n1") + 1L).cast("double") *
+            (col("n2") + 1L).cast("double") /
+            (col("overlap") + 1L).cast("double") - lit(1.0d), 2)
+            + lit(0.0d)).as("chapman_estimate"),
+          (round(((col("n1") + 1L).cast("double") *
+            (col("n2") + 1L).cast("double") /
+            (col("overlap") + 1L).cast("double") - lit(1.0d) -
+            col("n_true").cast("double")) /
+            col("n_true").cast("double"), 6) + lit(0.0d)).as("rel_error"))
     }),
 
     // ---- EXT: quasi-identifier uniqueness-risk curve ----
@@ -7979,34 +7978,27 @@ object SparkEntry {
           (round(col("n_hapax").cast("double") / col("vocab").cast("double"),
             6) + lit(0.0d)).as("hapax_share"))),
 
-    // ---- EXT: top-k vocabulary coverage curve ----
-    "q409_vocab_coverage" -> ((s, dir) => {
-      // the Zipf-coverage question a tokenizer budget hangs on: what share
-      // of corpus token MASS do the top-k types cover, k ∈ {5, 10, 20}?
-      // Deterministic ranks ((count desc, word) total order); the rank
-      // table is vocabulary-sized, the grid a 3-row broadcast.
-      import org.apache.spark.sql.expressions.Window
-      val freq = Tables.documents(s, dir)
-        .select(explode(TextOps.tokens(col("text"))).as("w"))
+    // ---- EXT: Chao1 vocabulary-richness estimate ----
+    "q409_chao1_richness" -> ((s, dir) =>
+      // how many word types does each source REALLY have, including the
+      // unseen ones? Chao1 = V + F1²/(2·F2) from the hapax (F1) and
+      // dis-legomena (F2) counts — the species-richness estimator that
+      // pairs with the q351 Heaps growth curve and q361 Good-Turing
+      // unseen mass. Two hash aggregates; NULL-guarded when F2 = 0.
+      Tables.documents(s, dir)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
         .filter(col("w") =!= "")
-        .groupBy(col("w")).agg(count(lit(1)).as("__c"))
-      val ranked = freq.withColumn("__r",
-        row_number().over(Window.orderBy(col("__c").desc, col("w"))))
-      val tot = freq.agg(sum(col("__c")).as("__tot"))
-      val ks = s.range(0, 3).select(
-        element_at(array(lit(5L), lit(10L), lit(20L)),
-          col("id").cast("int") + 1).as("k"))
-      ranked.crossJoin(broadcast(ks))
-        .filter(col("__r") <= col("k"))
-        .groupBy(col("k"))
-        .agg(sum(col("__c")).as("covered_tokens"))
-        .crossJoin(broadcast(tot))
-        .select(col("k"), col("covered_tokens"),
-          col("__tot").as("total_tokens"),
-          (round(col("covered_tokens").cast("double") /
-            col("__tot").cast("double"), 6) + lit(0.0d))
-            .as("coverage_share"))
-    }),
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("__c"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("vocab"),
+          sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("__c") === 2L, 1L).otherwise(0L)).as("f2"))
+        .select(col("source"), col("vocab"), col("f1"), col("f2"),
+          when(col("f2") > 0,
+            round(col("vocab").cast("double") +
+              col("f1").cast("double") * col("f1").cast("double") /
+              (lit(2.0d) * col("f2").cast("double")), 2) + lit(0.0d))
+            .as("chao1_estimate"))),
 
     // ---- EXT: event path mining (top trigram user journeys) ----
     "q410_event_paths" -> ((s, dir) => {
@@ -15445,23 +15437,27 @@ object SparkEntry {
            cast(count(*) AS bigint) AS n_suppressed_cells
          FROM cells WHERE n < 10 HAVING count(*) > 0""",
 
-    "q404_benford_audit" ->
-      """WITH d AS (SELECT cast(substr(cast(cast(floor(o_totalprice)
-             AS bigint) AS varchar), 1, 1) AS int) AS digit
-           FROM orders),
-         g AS (SELECT digit, cast(count(*) AS bigint) AS n_obs
-           FROM d GROUP BY 1),
-         t AS (SELECT cast(sum(n_obs) AS bigint) AS n FROM g),
-         p AS (SELECT cast(pp.digit AS int) AS digit, pp.pe
-           FROM (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit,
-             unnest([0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
-               0.066947, 0.057992, 0.051153, 0.045757]) AS pe) AS pp)
-         SELECT g.digit, g.n_obs, p.pe AS p_expected,
-           round(p.pe * cast(t.n AS double), 6) AS n_expected,
-           round((cast(g.n_obs AS double) - p.pe * cast(t.n AS double))
-             * (cast(g.n_obs AS double) - p.pe * cast(t.n AS double))
-             / (p.pe * cast(t.n AS double)), 6) + 0.0 AS chi2_term
-         FROM g JOIN p ON g.digit = p.digit CROSS JOIN t""",
+    "q404_capture_recapture" ->
+      """WITH d AS (SELECT
+             ('0x' || substr(md5('a:' || cast(doc_id AS varchar)), 1, 8))
+               ::bigint % 10000 < 2000 AS a,
+             ('0x' || substr(md5('b:' || cast(doc_id AS varchar)), 1, 8))
+               ::bigint % 10000 < 2000 AS b
+           FROM documents),
+         g AS (SELECT cast(count(*) AS bigint) AS n_true,
+             cast(sum(CASE WHEN a THEN 1 ELSE 0 END) AS bigint) AS n1,
+             cast(sum(CASE WHEN b THEN 1 ELSE 0 END) AS bigint) AS n2,
+             cast(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS bigint)
+               AS overlap
+           FROM d)
+         SELECT n_true, n1, n2, overlap,
+           round(cast(n1 + 1 AS double) * cast(n2 + 1 AS double)
+             / cast(overlap + 1 AS double) - 1.0, 2) + 0.0
+             AS chapman_estimate,
+           round((cast(n1 + 1 AS double) * cast(n2 + 1 AS double)
+             / cast(overlap + 1 AS double) - 1.0 - cast(n_true AS double))
+             / cast(n_true AS double), 6) + 0.0 AS rel_error
+         FROM g""",
 
     "q405_uniqueness_curve" ->
       """WITH c AS (SELECT c_nationkey, c_mktsegment,
@@ -15546,21 +15542,22 @@ object SparkEntry {
              / cast(count(*) AS double), 6) + 0.0 AS hapax_share
          FROM g GROUP BY 1""",
 
-    "q409_vocab_coverage" ->
-      """WITH f AS (SELECT t.w, cast(count(*) AS bigint) AS c
+    "q409_chao1_richness" ->
+      """WITH w AS (SELECT source, t.w
            FROM documents, LATERAL unnest(string_split(text, ' ')) AS t(w)
-           WHERE t.w != '' GROUP BY 1),
-         r AS (SELECT *, row_number() OVER (ORDER BY c DESC, w) AS rk
-           FROM f),
-         tt AS (SELECT cast(sum(c) AS bigint) AS tot FROM f),
-         ks AS (SELECT cast(kk.k AS bigint) AS k
-           FROM (SELECT unnest([5, 10, 20]) AS k) AS kk)
-         SELECT k, cast(sum(c) AS bigint) AS covered_tokens,
-           tot AS total_tokens,
-           round(cast(sum(c) AS double) / cast(tot AS double), 6) + 0.0
-             AS coverage_share
-         FROM r CROSS JOIN ks CROSS JOIN tt
-         WHERE rk <= k GROUP BY k, tot""",
+           WHERE t.w != ''),
+         g AS (SELECT source, w, cast(count(*) AS bigint) AS c
+           FROM w GROUP BY 1, 2)
+         SELECT source, cast(count(*) AS bigint) AS vocab,
+           cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS bigint) AS f1,
+           cast(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS bigint) AS f2,
+           CASE WHEN sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) > 0 THEN
+             round(cast(count(*) AS double)
+               + cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS double)
+               * cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS double)
+               / (2.0 * cast(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                 AS double)), 2) + 0.0 END AS chao1_estimate
+         FROM g GROUP BY 1""",
 
     "q410_event_paths" ->
       """WITH p AS (SELECT concat_ws('>', event_type,

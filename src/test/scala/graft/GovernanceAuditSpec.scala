@@ -58,20 +58,16 @@ class GovernanceAuditSpec extends SparkSuite {
     }
   }
 
-  test("q404 Benford: totals reconcile, probabilities pinned, terms nonnegative") {
-    val got = SparkEntry.queries("q404_benford_audit")(spark, sf)
-      .orderBy("digit").collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(4)))
-    val nOrders = Tables.orders(spark, sf).count()
-    assert(got.map(_._2).sum == nOrders)
-    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-4, "pinned shares sum to ~1")
-    assert(got.forall(_._4 >= 0.0))
-    // brute recount of first digits
-    val brute = Tables.orders(spark, sf)
-      .select(col("o_totalprice")).collect()
-      .map(r => r.getDouble(0).floor.toLong.toString.head.asDigit)
-      .groupBy(identity).map { case (d, g) => (d, g.length.toLong) }
-    got.foreach { case (d, n, _, _) => assert(n == brute(d), s"digit $d") }
+  test("q404 capture-recapture: counts brute-match, estimate near truth") {
+    val r = SparkEntry.queries("q404_capture_recapture")(spark, sf).collect()(0)
+    val (nTrue, n1, n2, m) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(m <= n1.min(n2) && n1 <= nTrue && n2 <= nTrue)
+    val chapman = (n1 + 1).toDouble * (n2 + 1) / (m + 1) - 1.0
+    assert(math.abs(r.getDouble(4) - chapman) < 0.01)
+    // independent 20% samples: the estimate lands within 25% of truth
+    assert(math.abs(r.getDouble(5)) < 0.25,
+      s"estimate ${r.getDouble(4)} too far from $nTrue")
   }
 
   test("q405 uniqueness curve: classes and uniques monotone in QI level") {

@@ -87,7 +87,7 @@ class PlanRegressionSpec extends AnyFunSuite {
     "q391_bpe_merges", "q393_dup_ngram_coverage", "q396_bpe_compression",
     "q397_linear_attribution", "q398_ngram_novelty", "q399_quality_yield",
     "q400_embedding_isotropy", "q401_k_anonymity", "q402_l_diversity",
-    "q404_benford_audit", "q405_uniqueness_curve")
+    "q404_capture_recapture", "q405_uniqueness_curve")
 
   /** Sanctioned BroadcastNestedLoopJoins whose build side is a DESIGN-
     * bounded broadcast probe/query set rather than an aggregate — e.g. the

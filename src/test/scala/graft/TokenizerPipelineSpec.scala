@@ -285,25 +285,29 @@ class TokenizerPipelineSpec extends SparkSuite {
     assert(got == expect)
   }
 
-  test("q408 hapax and q409 coverage: bounds and brute top-k parity") {
+  test("q408 hapax and q409 Chao1: bounds and brute F1/F2 parity") {
     SparkEntry.queries("q408_hapax_share")(spark, sf).collect().foreach { r =>
       assert(r.getLong(2) <= r.getLong(1), "hapax cannot exceed vocab")
     }
-    val freq = Tables.documents(spark, sf)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "").groupBy("w").count().collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    val ranked = freq.sortBy { case (w, c) => (-c, w) }
-    val total = freq.map(_._2).sum
-    val got = SparkEntry.queries("q409_vocab_coverage")(spark, sf)
-      .orderBy("k").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
-    var prev = 0.0
-    got.foreach { case (k, cov, share) =>
-      assert(cov == ranked.take(k.toInt).map(_._2).sum, s"k=$k coverage")
-      assert(share >= prev && share <= 1.0); prev = share
+    val counts = Tables.documents(spark, sf)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("source", "w").count().collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    val expect = counts.groupBy(_._1).map { case (src, g) =>
+      src -> (g.length.toLong, g.count(_._2 == 1L).toLong,
+        g.count(_._2 == 2L).toLong)
     }
-    assert(got.last._2 <= total)
+    SparkEntry.queries("q409_chao1_richness")(spark, sf).collect()
+      .foreach { r =>
+        val (v, f1, f2) = expect(r.getString(0))
+        assert(r.getLong(1) == v && r.getLong(2) == f1 && r.getLong(3) == f2)
+        if (f2 > 0) {
+          val chao1 = v + f1.toDouble * f1 / (2.0 * f2)
+          assert(math.abs(r.getDouble(4) - chao1) < 0.01)
+          assert(r.getDouble(4) >= v, "richness estimate below observed vocab")
+        } else assert(r.isNullAt(4))
+      }
   }
 
   test("q395 split leakage matches a brute fingerprint-set check") {
