@@ -87,7 +87,10 @@ class PlanRegressionSpec extends AnyFunSuite {
     "q391_bpe_merges", "q393_dup_ngram_coverage", "q396_bpe_compression",
     "q397_linear_attribution", "q398_ngram_novelty", "q399_quality_yield",
     "q400_embedding_isotropy", "q401_k_anonymity", "q402_l_diversity",
-    "q404_capture_recapture", "q405_uniqueness_curve")
+    "q404_capture_recapture", "q405_uniqueness_curve",
+    // ops-diagnostics / linkage-eval wave: horizon joins, banding audits
+    "q413_profile_assembly", "q415_blocking_quality",
+    "q416_ushaped_attribution", "q417_dedup_threshold_curve")
 
   /** Sanctioned BroadcastNestedLoopJoins whose build side is a DESIGN-
     * bounded broadcast probe/query set rather than an aggregate — e.g. the
@@ -129,7 +132,7 @@ class PlanRegressionSpec extends AnyFunSuite {
     // Grid crossJoins against Range-built k/l threshold tables (3-5 rows
     // by construction, not aggregates):
     "q399_quality_yield" -> 1, "q401_k_anonymity" -> 1,
-    "q402_l_diversity" -> 1)
+    "q402_l_diversity" -> 1, "q417_dedup_threshold_curve" -> 1)
 
   private def aggregateBounded(p: SparkPlan): Boolean = p match {
     case _: BaseAggregateExec => true
