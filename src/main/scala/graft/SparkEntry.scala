@@ -8251,6 +8251,129 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"),
           fmean(round(col("jaccard"), 6)).as("mean_jaccard"))
     }),
+
+    // ---- EXT: schema-evolution merged read (on-disk round trip) ----
+    "q418_schema_evolution" -> ((s, dir) => {
+      // lakehouse schema evolution, end to end ON DISK: a v1 snapshot
+      // (orders before 1998 — written before the priority column existed)
+      // and a v2 snapshot (priority added) land as separate parquet
+      // directories, are read back independently, and merge with
+      // unionByName(allowMissingColumns = true) — the column missing from
+      // v1 materializes as NULL, the mergeSchema contract. The rollup
+      // proves both the byte round trip and the merge semantics (the
+      // LEGACY bucket is exactly the v1 row count). At 100 TB schema
+      // evolution is append-time metadata only: old files are never
+      // rewritten, and the merged scan still prunes columns per file.
+      val o = Tables.orders(s, dir)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_schema_evo").toString
+      o.filter(col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$root/v1")
+      o.filter(col("o_orderdate") >= lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$root/v2")
+      s.read.parquet(s"$root/v1")
+        .unionByName(s.read.parquet(s"$root/v2"), allowMissingColumns = true)
+        .groupBy(coalesce(col("o_orderpriority"), lit("LEGACY"))
+          .as("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(D)).cast("double").as("sum_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+    }),
+
+    // ---- EXT: dictionary-encoding planner + round trip ----
+    "q419_dict_encoding" -> ((s, dir) => {
+      // columnar dictionary encoding as an operator: build the code table
+      // for p_type (dense codes in value order — deterministic), encode the
+      // fact side, then DECODE BACK through the dictionary and aggregate on
+      // the decoded value — parity with direct aggregation proves the round
+      // trip is lossless. The dictionary is vocabulary-sized, so the rank
+      // window runs over a bounded dimension table (the sanctioned
+      // single-partition shape), and both joins broadcast it; the fact
+      // side streams once. bits_per_value = length of the max code's
+      // binary form — the storage planner's narrowest-width output, in
+      // exact integer algebra on both engines.
+      import org.apache.spark.sql.expressions.Window
+      val p = Tables.part(s, dir)
+      val dict = p.select(col("p_type")).distinct()
+        .withColumn("code",
+          (dense_rank().over(Window.orderBy(col("p_type"))) - 1).cast("int"))
+      val nd = dict.agg(count(lit(1)).as("__nd"))
+      val encoded = p.join(broadcast(dict), Seq("p_type"))
+        .select(col("p_partkey"), col("code"))
+      encoded.join(broadcast(dict), Seq("code"))
+        .groupBy(col("p_type"), col("code"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("p_partkey")).as("sum_partkey"))
+        .crossJoin(broadcast(nd))
+        .withColumn("bits_per_value",
+          length(bin(col("__nd").cast("long") - 1)).cast("int"))
+        .drop("__nd")
+    }),
+
+    // ---- EXT: data-driven data-quality rule engine ----
+    "q420_dq_rule_engine" -> ((s, dir) =>
+      // the governance pattern the static CHECK gates (q28, q208) cannot
+      // express: the rule set arrives as DATA and is folded into ONE scan —
+      // per-rule violation counts over orders without a pass per rule. The
+      // same DqRules tuples generate the oracle's unrolled UNION, so the
+      // two sides cannot drift.
+      graft.operators.Relational.dataRuleAudit(
+        Tables.orders(s, dir), DqRules)),
+
+    // ---- EXT: Mondrian split-conformal prediction intervals ----
+    "q421_split_conformal" -> ((s, dir) => {
+      // distribution-free uncertainty quantification for a trained
+      // predictor — the missing member of the eval family (q316 gives a
+      // median CI, q274/q284 resample; this calibrates a PREDICTION
+      // interval with finite-sample coverage). Split conformal, Mondrian
+      // (per-group) flavor: train < 1998 fits the group-mean predictor,
+      // 1998 is the calibration year, ≥ 1999 is held out. qhat = the
+      // k-th smallest |residual| with k = ceil(0.9·(n_cal+1)), resolved by
+      // integer rank against the per-group residual DISTRIBUTION table
+      // (q316/q369's compressed-window trick); residuals are exact integer
+      // cents, so every comparison is engine-exact. Coverage on the held-out
+      // year then audits the 90% guarantee. Scale: the model and qhat
+      // tables are group-cardinality-sized broadcasts; the corpus streams
+      // once per split.
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, dir).select(
+        col("o_orderpriority").as("priority"),
+        (col("o_totalprice").cast(D) * 100).cast("long").as("cents"),
+        col("o_orderdate").as("d"))
+      val model = o.filter(col("d") < lit("1998-01-01"))
+        .groupBy(col("priority"))
+        .agg(count(lit(1)).as("n_train"),
+          expr("sum(cents) div count(1)").as("yhat_cents"))
+      val cal = o.filter(col("d") >= lit("1998-01-01") &&
+          col("d") < lit("1999-01-01"))
+        .join(broadcast(model), Seq("priority"))
+        .withColumn("resid", abs(col("cents") - col("yhat_cents")))
+      val wOrd = Window.partitionBy(col("priority")).orderBy(col("resid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("priority"))
+      val qhat = cal.groupBy(col("priority"), col("resid"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__cc", sum(col("__c")).over(wOrd))
+        .withColumn("__n", sum(col("__c")).over(wAll))
+        .withColumn("__k", expr("(9 * (__n + 1) + 9) div 10"))
+        .groupBy(col("priority"), col("__n").as("n_cal"))
+        .agg(min(when(col("__cc") >= col("__k"), col("resid")))
+          .as("qhat_cents"))
+      o.filter(col("d") >= lit("1999-01-01"))
+        .join(broadcast(model), Seq("priority"))
+        .withColumn("resid", abs(col("cents") - col("yhat_cents")))
+        .join(broadcast(qhat), Seq("priority"))
+        .groupBy(col("priority"), col("n_train"), col("yhat_cents"),
+          col("n_cal"), col("qhat_cents"))
+        .agg(count(lit(1)).as("n_eval"),
+          (round(sum(when(col("resid") <= col("qhat_cents"), 1L)
+              .otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double"), 6) + lit(0.0d)).as("coverage"))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -8446,6 +8569,44 @@ object SparkEntry {
              (SELECT 1 FROM $c WHERE $ck = $p.$pk)) AS double)
              / cast((SELECT count(*) FROM $p) AS double), 6) + 0.0
              AS parent_coverage"""
+    }.mkString("\n         UNION ALL ")
+  }
+
+  /** q420's rule table — the SAME data drives the Spark rule engine and the
+    * generated DuckDB oracle, so a rule edit cannot desynchronize the two
+    * sides. (rule_id, column, op, arg). */
+  private val DqRules: Seq[(String, String, String, String)] = Seq(
+    ("r01_status_domain", "o_orderstatus", "in", "O|F|P"),
+    ("r02_price_positive", "o_totalprice", "gt", "0"),
+    ("r03_priority_format", "o_orderpriority", "regex", "^[1-5]-[A-Z ]+$"),
+    ("r04_date_bounds", "o_orderdate", "between", "1995-01-01|1999-12-31"),
+    ("r05_custkey_notnull", "o_custkey", "not_null", ""),
+    ("r06_key_positive", "o_orderkey", "gt", "0"))
+
+  /** Generated DuckDB oracle for q420: one UNION ALL arm per rule, each the
+    * unrolled form of the predicate the Spark engine builds from the same
+    * tuple. */
+  private val DqRuleOracleSql: String = {
+    def cond(column: String, op: String, arg: String): String = op match {
+      case "not_null" => s"$column IS NOT NULL"
+      case "gt"       => s"$column > $arg"
+      case "ge"       => s"$column >= $arg"
+      case "in"       =>
+        arg.split('|').map(v => s"'$v'").mkString(s"$column IN (", ", ", ")")
+      case "regex"    => s"regexp_matches($column, '$arg')"
+      case "between"  =>
+        val Array(lo, hi) = arg.split('|')
+        s"$column BETWEEN '$lo' AND '$hi'"
+    }
+    DqRules.map { case (id, column, op, arg) =>
+      s"""SELECT '$id' AS rule_id, '$column' AS column_name,
+           cast(count(*) AS bigint) AS n_checked,
+           cast(sum(CASE WHEN NOT coalesce(${cond(column, op, arg)}, FALSE)
+             THEN 1 ELSE 0 END) AS bigint) AS n_violations,
+           round(cast(sum(CASE WHEN NOT coalesce(${cond(column, op, arg)},
+             FALSE) THEN 1 ELSE 0 END) AS double)
+             / cast(count(*) AS double), 6) + 0.0 AS violation_rate
+         FROM orders"""
     }.mkString("\n         UNION ALL ")
   }
 
@@ -15730,5 +15891,68 @@ object SparkEntry {
              / cast(count(*) AS double) * 1000000.0 + 0.5) / 1000000.0
              + 0.0 AS mean_jaccard
          FROM ver CROSS JOIN ts WHERE jaccard >= threshold GROUP BY 1""",
+    // v1 rows (pre-1995) carry no priority column on disk; the merged read
+    // materializes NULL for them — modeled here by explicit NULL padding.
+    "q418_schema_evolution" ->
+      """WITH merged AS (
+           SELECT o_orderkey, o_custkey, o_totalprice,
+             NULL AS o_orderpriority
+           FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+           FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+         SELECT coalesce(o_orderpriority, 'LEGACY') AS priority,
+           cast(count(*) AS bigint) AS n,
+           cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+             AS sum_price,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM merged GROUP BY 1""",
+    "q419_dict_encoding" ->
+      """WITH dict AS (SELECT p_type,
+             cast(dense_rank() OVER (ORDER BY p_type) - 1 AS int) AS code
+           FROM (SELECT DISTINCT p_type FROM part)),
+         nd AS (SELECT count(*) AS nd FROM dict),
+         enc AS (SELECT p_partkey, code FROM part JOIN dict USING (p_type)),
+         dec AS (SELECT p_partkey, enc.code AS code, dict.p_type AS p_type
+           FROM enc JOIN dict ON enc.code = dict.code)
+         SELECT p_type, code, cast(count(*) AS bigint) AS n_rows,
+           cast(sum(p_partkey) AS bigint) AS sum_partkey,
+           cast(length(bin((SELECT nd FROM nd) - 1)) AS int)
+             AS bits_per_value
+         FROM dec GROUP BY 1, 2""",
+    "q420_dq_rule_engine" -> DqRuleOracleSql,
+    "q421_split_conformal" ->
+      """WITH o AS (SELECT o_orderpriority AS priority,
+             cast(cast(o_totalprice AS decimal(18,2)) * 100 AS bigint)
+               AS cents,
+             o_orderdate AS d
+           FROM orders),
+         m AS (SELECT priority, cast(count(*) AS bigint) AS n_train,
+             cast(sum(cents) AS bigint) // count(*) AS yhat_cents
+           FROM o WHERE d < TIMESTAMP '1998-01-01' GROUP BY 1),
+         cal AS (SELECT o.priority, abs(cents - yhat_cents) AS resid
+           FROM o JOIN m ON o.priority = m.priority
+           WHERE d >= TIMESTAMP '1998-01-01'
+             AND d < TIMESTAMP '1999-01-01'),
+         dist AS (SELECT priority, resid, count(*) AS c
+           FROM cal GROUP BY 1, 2),
+         rk AS (SELECT priority, resid,
+             sum(c) OVER (PARTITION BY priority ORDER BY resid) AS cc,
+             sum(c) OVER (PARTITION BY priority) AS n
+           FROM dist),
+         q AS (SELECT priority, cast(max(n) AS bigint) AS n_cal,
+             cast(min(CASE WHEN cc >= (9 * (n + 1) + 9) // 10
+               THEN resid END) AS bigint) AS qhat_cents
+           FROM rk GROUP BY 1),
+         ev AS (SELECT o.priority, abs(cents - yhat_cents) AS resid
+           FROM o JOIN m ON o.priority = m.priority
+           WHERE d >= TIMESTAMP '1999-01-01')
+         SELECT ev.priority, m.n_train, m.yhat_cents, q.n_cal, q.qhat_cents,
+           cast(count(*) AS bigint) AS n_eval,
+           round(cast(sum(CASE WHEN resid <= qhat_cents THEN 1 ELSE 0 END)
+               AS double) / cast(count(*) AS double), 6) + 0.0 AS coverage
+         FROM ev JOIN q ON ev.priority = q.priority
+           JOIN m ON ev.priority = m.priority
+         GROUP BY 1, 2, 3, 4, 5""",
   )
 }

@@ -551,4 +551,48 @@ object Relational {
         col("__first.id").as("first_touch_id"),
         col("__last.id").as("last_touch_id"))
   }
+
+  /** Data-driven data-quality rule engine: rules arrive as DATA
+    * (rule_id, column, op, arg — the shape a governance team maintains in a
+    * table), not as code. Every rule is evaluated in ONE scan of the fact
+    * table: the bounded rule list is folded into an array of per-rule
+    * violation flags, exploded, and aggregated — never a scan per rule.
+    * NULL semantics are explicit and uniform: a NULL that the predicate
+    * cannot prove compliant is a violation (`NOT coalesce(pred, false)`),
+    * except `not_null` which tests the null itself.
+    *
+    * Supported ops: not_null; gt / ge (numeric, arg = threshold);
+    * in (arg = '|'-joined domain); regex (RE2-safe pattern, identical
+    * semantics in Spark and DuckDB with ^$ anchors); between
+    * (arg = 'lo|hi', inclusive).
+    *
+    * Scale shape: rule list is dimension-sized by construction (collected
+    * to the driver ONCE at plan-build time — it is metadata, not data);
+    * the fact table streams through a single whole-stage-codegen'd
+    * projection + one hash aggregate over |rules| groups. */
+  def dataRuleAudit(df: DataFrame,
+                    rules: Seq[(String, String, String, String)]): DataFrame = {
+    def pred(c: Column, op: String, arg: String): Column = op match {
+      case "not_null" => c.isNotNull
+      case "gt"       => c > lit(arg.toDouble)
+      case "ge"       => c >= lit(arg.toDouble)
+      case "in"       => c.isin(arg.split('|').toSeq: _*)
+      case "regex"    => c.rlike(arg)
+      case "between"  =>
+        val Array(lo, hi) = arg.split('|'); c >= lit(lo) && c <= lit(hi)
+    }
+    val flags = rules.map { case (id, column, op, arg) =>
+      struct(lit(id).as("rule_id"), lit(column).as("column_name"),
+        (!coalesce(pred(col(column), op, arg), lit(false)))
+          .cast("int").as("viol"))
+    }
+    df.select(explode(array(flags: _*)).as("r"))
+      .groupBy(col("r.rule_id").as("rule_id"),
+        col("r.column_name").as("column_name"))
+      .agg(count(lit(1)).as("n_checked"),
+        sum(col("r.viol")).as("n_violations"))
+      .withColumn("violation_rate",
+        round(col("n_violations").cast("double") /
+          col("n_checked").cast("double"), 6) + lit(0.0d))
+  }
 }
