@@ -93,4 +93,77 @@ class Wave10Spec extends SparkSuite {
       assert(r.getDouble(6) > 0.75 && r.getDouble(6) <= 1.0)
     }
   }
+
+  test("q422 apportionment conserves the budget exactly and floors correctly") {
+    val out = SparkEntry.queries("q422_token_apportionment")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val B = 1000000L
+    assert(out.map(_._5).sum == B)              // Σalloc == B, always
+    assert(out.forall(r => r._4 == 0L || r._4 == 1L))
+    val total = out.map(_._2).sum
+    out.foreach { case (_, tok, base, extra, alloc) =>
+      assert(base == B * tok / total)           // floor share
+      assert(alloc == base + extra)
+    }
+    // every award went to a remainder at least as large as any non-award
+    val awarded = out.filter(_._4 == 1L).map(r => B * r._2 % total)
+    val skipped = out.filter(_._4 == 0L).map(r => B * r._2 % total)
+    if (awarded.nonEmpty && skipped.nonEmpty)
+      assert(awarded.min >= skipped.max) // equality = tie broken by name
+  }
+
+  test("q423 projection ratios concentrate near 1 and match a brute vector") {
+    val out = SparkEntry.queries("q423_jl_projection")(spark, sf).collect()
+    out.foreach { r =>
+      assert(r.getDouble(2) > 0.5 && r.getDouble(2) < 1.5)  // JL concentration
+      assert(r.getDouble(3) > 0.0)
+    }
+    // brute-check one vector end to end
+    def sgn(i: Int, j: Int): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl_${i}_${j}".getBytes("UTF-8"))
+      1 - 2 * ((h(0) & 0xff) % 2)
+    }
+    val v = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).collect()(0)
+      .getSeq[Double](0).map(x => math.floor(x * 1e6 + 0.5) / 1e6).toArray
+    val p = (1 to 16).map { j =>
+      // exact-decimal sum: scale to 1e6 longs, sum, scale back
+      val s = (1 to 64).map(i =>
+        math.round(v(i - 1) * 1e6) * sgn(i, j)).sum
+      s.toDouble / 1e6
+    }
+    val ratio = p.map(x => x * x).sum / (16.0 * v.map(x => x * x).sum)
+    val lbl = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select("label").collect()(0).getInt(0)
+    val row = out.find(_.getInt(0) == lbl).get
+    assert(row.getDouble(3) <= ratio + 1e-5 && ratio <= row.getDouble(4) + 1e-5)
+  }
+
+  test("q424 matches a brute temporal-BFS enumeration") {
+    val edges = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey"),
+        ((year(col("o_orderdate")) - 1995) * 12 +
+          month(col("o_orderdate")) - 1).as("m"))
+      .distinct().collect()
+      .flatMap(r => Seq(("c" + r.getLong(0), "s" + r.getLong(1), r.getInt(2)),
+        ("s" + r.getLong(1), "c" + r.getLong(0), r.getInt(2))))
+    val best = scala.collection.mutable.Map.empty[String, Int]
+    Tables.customer(spark, sf).filter(col("c_custkey") <= 2)
+      .select("c_custkey").collect()
+      .foreach(r => best("c" + r.getLong(0)) = 0)
+    for (_ <- 1 to 3) {
+      val snapshot = best.toMap
+      snapshot.foreach { case (u, arr) =>
+        edges.filter(e => e._1 == u && e._3 >= arr).foreach { e =>
+          if (best.getOrElse(e._2, Int.MaxValue) > e._3) best(e._2) = e._3
+        }
+      }
+    }
+    val got = SparkEntry.queries("q424_temporal_reachability")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == best.toMap)
+  }
 }
