@@ -8494,6 +8494,103 @@ object SparkEntry {
       state.select(col("node"), col("arr").cast("int")
         .as("first_reach_month"))
     }),
+
+    // ---- EXT: interleaved curriculum schedule ----
+    "q425_curriculum_interleave" -> ((s, dir) => {
+      // deterministic training-data ORDERING: rank documents within each
+      // source (longest-first difficulty proxy, doc_id tiebreak), then
+      // interleave sources round-robin via slot algebra —
+      // slot = (rank−1)·S + source_index — so no two same-source docs are
+      // adjacent and the whole schedule is reproducible WITHOUT a global
+      // sort: ranks are key-partitioned windows, the source index is a
+      // dimension-sized window, and the slot is pure integer arithmetic.
+      // The top-100 head of the schedule ships as the gate artifact
+      // (TakeOrderedAndProject — one scan, no full materialization).
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val srcIdx = docs.select(col("source")).distinct()
+        .withColumn("__si", dense_rank().over(Window.orderBy(col("source"))))
+      val nSrc = srcIdx.agg(count(lit(1)).as("__s"))
+      docs
+        .withColumn("rank", row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+        .join(broadcast(srcIdx), Seq("source"))
+        .crossJoin(broadcast(nSrc))
+        .withColumn("slot",
+          (col("rank") - 1).cast("long") * col("__s") + col("__si"))
+        .orderBy(col("slot")).limit(100)
+        .select(col("slot"), col("doc_id"), col("source"),
+          col("rank").cast("int").as("rank"))
+    }),
+
+    // ---- EXT: RLE run-length encoding audit ----
+    "q426_rle_audit" -> ((s, dir) => {
+      // storage-planner companion to q419 (dictionary) / q246 (zone maps) /
+      // q303 (compaction): how RLE-friendly is l_returnflag along the
+      // file's natural order (l_linenumber within l_orderkey)? A run
+      // starts where the flag differs from its lag — key-partitioned
+      // windows only, so run detection never needs a global sort; run
+      // starts at each partition head are counted conservatively (each
+      // order opens a new run, the per-row-group reality of columnar RLE).
+      import org.apache.spark.sql.expressions.Window
+      // (l_linenumber, l_partkey, l_suppkey) is the total order within an
+      // order — linenumber ALONE ties in the synthetic data, and a tied
+      // lag() is engine-nondeterministic.
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      Tables.lineitem(s, dir)
+        .withColumn("__start",
+          when(lag(col("l_returnflag"), 1).over(w).isNull ||
+            lag(col("l_returnflag"), 1).over(w) =!= col("l_returnflag"), 1L)
+            .otherwise(0L))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("__start")).as("n_runs"))
+        .withColumn("mean_run_len",
+          round(col("n_rows").cast("double") /
+            col("n_runs").cast("double"), 6) + lit(0.0d))
+        .withColumn("rle_ratio",
+          round(col("n_runs").cast("double") /
+            col("n_rows").cast("double"), 6) + lit(0.0d))
+    }),
+
+    // ---- EXT: trajectory stay-point detection ----
+    "q427_staypoints" -> ((s, dir) => {
+      // trajectory mining over the event stream: with deterministic
+      // synthetic coordinates (the q15 convention), a STAY is a maximal
+      // run of ≥ 2 consecutive small movements (Chebyshev distance ≤ 50)
+      // along each user's timeline — i.e. ≥ 3 points dwelling in one
+      // place. Gaps-and-islands with key-partitioned windows only; all
+      // comparisons exact integers. Per-user output: points, stay count,
+      // longest dwell.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pts = Tables.events(s, dir)
+        .withColumn("x", col("event_id") * 7 % 1000)
+        .withColumn("y", col("event_id") * 13 % 1000)
+        .withColumn("__near",
+          when(greatest(abs(col("x") - lag(col("x"), 1).over(w)),
+            abs(col("y") - lag(col("y"), 1).over(w))) <= 50, 1L)
+            .otherwise(0L))
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__isl", col("__rn") -
+          sum(col("__near")).over(w.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+      val runs = pts.filter(col("__near") === 1)
+        .groupBy(col("user_id"), col("__isl"))
+        .agg(count(lit(1)).as("__len"))
+        .filter(col("__len") >= 2)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_stays"),
+          (max(col("__len")) + 1).as("longest_stay_points"))
+      pts.groupBy(col("user_id")).agg(count(lit(1)).as("n_points"))
+        .join(runs, Seq("user_id"), "left")
+        .select(col("user_id"), col("n_points"),
+          coalesce(col("n_stays"), lit(0L)).as("n_stays"),
+          coalesce(col("longest_stay_points"), lit(0L))
+            .as("longest_stay_points"))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -16145,5 +16242,57 @@ object SparkEntry {
            WHERE t.hops < 3)
          SELECT node, cast(min(arr) AS int) AS first_reach_month
          FROM tr GROUP BY 1""",
+    "q425_curriculum_interleave" ->
+      """WITH si AS (SELECT source,
+             cast(dense_rank() OVER (ORDER BY source) AS bigint) AS sidx
+           FROM (SELECT DISTINCT source FROM documents)),
+         ns AS (SELECT cast(count(*) AS bigint) AS s FROM si),
+         r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS rank
+           FROM documents)
+         SELECT cast((rank - 1) * (SELECT s FROM ns) + sidx AS bigint)
+             AS slot,
+           doc_id, source, cast(rank AS int) AS rank
+         FROM r JOIN si USING (source)
+         ORDER BY slot LIMIT 100""",
+    "q426_rle_audit" ->
+      """WITH t AS (SELECT l_returnflag,
+             CASE WHEN lag(l_returnflag) OVER (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_partkey, l_suppkey)
+                 IS DISTINCT FROM l_returnflag
+               THEN 1 ELSE 0 END AS st
+           FROM lineitem)
+         SELECT l_returnflag, cast(count(*) AS bigint) AS n_rows,
+           cast(sum(st) AS bigint) AS n_runs,
+           round(cast(count(*) AS double) / cast(sum(st) AS double), 6)
+             + 0.0 AS mean_run_len,
+           round(cast(sum(st) AS double) / cast(count(*) AS double), 6)
+             + 0.0 AS rle_ratio
+         FROM t GROUP BY 1""",
+    "q427_staypoints" ->
+      """WITH p AS (SELECT user_id, ts, event_id,
+             (event_id * 7) % 1000 AS x, (event_id * 13) % 1000 AS y
+           FROM events),
+         f AS (SELECT user_id, ts, event_id, x, y,
+             CASE WHEN greatest(abs(x - lag(x) OVER w),
+                 abs(y - lag(y) OVER w)) <= 50
+               THEN 1 ELSE 0 END AS near,
+             row_number() OVER w AS rn
+           FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         g AS (SELECT *, rn - sum(near) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS isl
+           FROM f),
+         runs AS (SELECT user_id, isl, count(*) AS len
+           FROM g WHERE near = 1 GROUP BY 1, 2 HAVING count(*) >= 2),
+         agg AS (SELECT user_id, cast(count(*) AS bigint) AS n_stays,
+             cast(max(len) + 1 AS bigint) AS longest
+           FROM runs GROUP BY 1)
+         SELECT p2.user_id, p2.n_points,
+           coalesce(agg.n_stays, 0) AS n_stays,
+           coalesce(agg.longest, 0) AS longest_stay_points
+         FROM (SELECT user_id, cast(count(*) AS bigint) AS n_points
+           FROM p GROUP BY 1) p2
+         LEFT JOIN agg ON p2.user_id = agg.user_id""",
   )
 }

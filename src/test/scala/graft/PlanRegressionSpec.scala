@@ -90,7 +90,14 @@ class PlanRegressionSpec extends AnyFunSuite {
     "q404_capture_recapture", "q405_uniqueness_curve",
     // ops-diagnostics / linkage-eval wave: horizon joins, banding audits
     "q413_profile_assembly", "q415_blocking_quality",
-    "q416_ushaped_attribution", "q417_dedup_threshold_curve")
+    "q416_ushaped_attribution", "q417_dedup_threshold_curve",
+    // wave 10: dictionary round trip, one-scan rule engine, conformal
+    // distribution windows, apportionment slot algebra, JL sign-matrix
+    // broadcast join, curriculum interleave, RLE islands, stay-points
+    // (q418 excluded: building its plan writes parquet snapshots)
+    "q419_dict_encoding", "q420_dq_rule_engine", "q421_split_conformal",
+    "q422_token_apportionment", "q423_jl_projection",
+    "q425_curriculum_interleave", "q426_rle_audit", "q427_staypoints")
 
   /** Sanctioned BroadcastNestedLoopJoins whose build side is a DESIGN-
     * bounded broadcast probe/query set rather than an aggregate — e.g. the
@@ -132,7 +139,11 @@ class PlanRegressionSpec extends AnyFunSuite {
     // Grid crossJoins against Range-built k/l threshold tables (3-5 rows
     // by construction, not aggregates):
     "q399_quality_yield" -> 1, "q401_k_anonymity" -> 1,
-    "q402_l_diversity" -> 1, "q417_dedup_threshold_curve" -> 1)
+    "q402_l_diversity" -> 1, "q417_dedup_threshold_curve" -> 1,
+    // q422 crossJoins the scalar total and the scalar seat count; one of
+    // the two aggregate exchanges is REUSED (childless ReusedExchangeExec
+    // build) and thus invisible to the classifier — q293/q295 pattern
+    "q422_token_apportionment" -> 1)
 
   private def aggregateBounded(p: SparkPlan): Boolean = p match {
     case _: BaseAggregateExec => true
@@ -144,8 +155,14 @@ class PlanRegressionSpec extends AnyFunSuite {
          _: org.apache.spark.sql.execution.FilterExec |
          _: org.apache.spark.sql.execution.SortExec |
          _: org.apache.spark.sql.execution.WholeStageCodegenExec |
-         _: org.apache.spark.sql.execution.InputAdapter =>
+         _: org.apache.spark.sql.execution.InputAdapter |
+         _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
       p.children.exists(aggregateBounded)
+    // a join of two PROVABLY bounded sides is bounded (dimension × scalar
+    // crossJoins — q422's apportionment shape); any unbounded side still
+    // fails the whole chain
+    case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+      j.children.forall(aggregateBounded)
     case _ => false
   }
 

@@ -166,4 +166,71 @@ class Wave10Spec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(got == best.toMap)
   }
+
+  test("q425 schedule interleaves sources and honors longest-first ranks") {
+    val out = SparkEntry.queries("q425_curriculum_interleave")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getInt(3)))
+    // slots strictly increasing and unique
+    assert(out.map(_._1).toSeq == out.map(_._1).sorted.toSeq)
+    assert(out.map(_._1).distinct.length == out.length)
+    // no two adjacent schedule entries share a source
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 != b._3); case _ => }
+    // rank-1 docs are each source's longest (doc_id tiebreak)
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    out.filter(_._4 == 1).foreach { case (_, docId, src, _) =>
+      val best = docs.filter(_._2 == src).minBy(d => (-d._3, d._1))
+      assert(docId == best._1)
+    }
+  }
+
+  test("q426 run accounting matches a brute per-order scan") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val runs = scala.collection.mutable.Map.empty[String, Long]
+    val rows = scala.collection.mutable.Map.empty[String, Long]
+    li.groupBy(_._1).values.foreach { g =>
+      val seq = g.sortBy(t => (t._2, t._3, t._4)).map(_._5)
+      seq.foreach(f => rows(f) = rows.getOrElse(f, 0L) + 1)
+      seq.zipWithIndex.foreach { case (f, i) =>
+        if (i == 0 || seq(i - 1) != f) runs(f) = runs.getOrElse(f, 0L) + 1
+      }
+    }
+    val out = SparkEntry.queries("q426_rle_audit")(spark, sf).collect()
+    out.foreach { r =>
+      assert(r.getLong(1) == rows(r.getString(0)))
+      assert(r.getLong(2) == runs(r.getString(0)))
+    }
+  }
+
+  test("q427 stay detection matches a brute trajectory scan") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = evs.groupBy(_._1).map { case (u, g) =>
+      val pts = g.sortBy(e => (e._2, e._3))
+        .map(e => (e._3 * 7 % 1000, e._3 * 13 % 1000))
+      val near = pts.indices.map(i => i > 0 &&
+        math.max(math.abs(pts(i)._1 - pts(i - 1)._1),
+          math.abs(pts(i)._2 - pts(i - 1)._2)) <= 50)
+      // maximal runs of near==true with length >= 2
+      var stays = 0L; var longest = 0L; var cur = 0L
+      (near :+ false).foreach { n =>
+        if (n) cur += 1
+        else { if (cur >= 2) { stays += 1; longest = math.max(longest, cur + 1) }
+          cur = 0 }
+      }
+      u -> (pts.length.toLong, stays, longest)
+    }
+    val got = SparkEntry.queries("q427_staypoints")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expect)
+  }
 }
