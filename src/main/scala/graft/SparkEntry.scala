@@ -8591,6 +8591,102 @@ object SparkEntry {
           coalesce(col("longest_stay_points"), lit(0L))
             .as("longest_stay_points"))
     }),
+
+    // ---- EXT: watermark-delay advisor (event-time disorder profile) ----
+    "q428_watermark_advisor" -> ((s, dir) => {
+      // the streaming-design question the T-gates assume an answer to:
+      // how LATE do events actually arrive? Lateness of an event = the
+      // running max event-time at its arrival (arrival order = event_id)
+      // minus its own event-time; the p99 of that distribution IS the
+      // withWatermark delay that keeps 99% of events inside the state
+      // window. The running max over arrival order is computed WITHOUT a
+      // global sort: two-level decomposition (the tokenBudgetSample
+      // pattern) — per-block running max via key-partitioned windows +
+      // a bounded block-prefix table broadcast back. Percentiles resolve
+      // by integer rank on the (lateness-seconds, count) distribution.
+      import org.apache.spark.sql.expressions.Window
+      val B = 4096L
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("tu"))
+        .withColumn("__blk", expr(s"event_id div $B"))
+      val wIn = Window.partitionBy(col("__blk")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val blkMax = e.groupBy(col("__blk")).agg(max(col("tu")).as("__bm"))
+      val wPre = Window.orderBy(col("__blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prefix = blkMax
+        .withColumn("__pre", max(col("__bm")).over(wPre))
+        .select(col("__blk"), col("__pre"))
+      val late = e
+        .withColumn("__inr", max(col("tu")).over(wIn))
+        .join(broadcast(prefix), Seq("__blk"))
+        .withColumn("late",
+          expr("(greatest(__inr, coalesce(__pre, __inr)) - tu) div 1000000"))
+      val dist = late.groupBy(col("late")).agg(count(lit(1)).as("__c"))
+      val wOrd = Window.orderBy(col("late"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def pctl(p: Int) = min(when(col("__cc") >=
+        expr(s"($p * __n + 99) div 100"), col("late"))).cast("bigint")
+      dist
+        .withColumn("__cc", sum(col("__c")).over(wOrd))
+        .withColumn("__n", sum(col("__c")).over(
+          Window.partitionBy(lit(1))))
+        .agg(max(col("__n")).cast("bigint").as("n_events"),
+          pctl(50).as("p50_lateness_s"),
+          pctl(95).as("p95_lateness_s"),
+          pctl(99).as("p99_lateness_s"))
+        .withColumn("watermark_delay_s", col("p99_lateness_s"))
+    }),
+
+    // ---- EXT: columnar encoding advisor ----
+    "q429_encoding_advisor" -> ((s, dir) => {
+      // the DECISION layer over the storage-audit family (q419 dictionary,
+      // q426 RLE, q246 zone maps): per column, exact NDV + run statistics
+      // along the file order, folded into the encoding rule a columnar
+      // writer applies — dictionary when the vocabulary is bounded, RLE
+      // stacked on top when runs average ≥ 2 rows. ONE scan computes all
+      // four columns' run flags in a single window pass; the multi-
+      // countDistinct aggregate expands 4× in map-side partials but never
+      // reshuffles the fact twice.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      def runFlag(c: org.apache.spark.sql.Column) =
+        when(lag(c, 1).over(w).isNull || lag(c, 1).over(w) =!= c, 1L)
+          .otherwise(0L)
+      val t = Tables.lineitem(s, dir)
+        .withColumn("__m",
+          date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM"))
+        .select(col("l_returnflag").as("c1"), col("l_linestatus").as("c2"),
+          col("__m").as("c3"), col("l_partkey").as("c4"),
+          runFlag(col("l_returnflag")).as("r1"),
+          runFlag(col("l_linestatus")).as("r2"),
+          runFlag(date_format(date_trunc("month", col("l_shipdate")),
+            "yyyy-MM")).as("r3"),
+          runFlag(col("l_partkey")).as("r4"))
+      val stats = t.agg(count(lit(1)).as("n"),
+        countDistinct(col("c1")).as("d1"), sum(col("r1")).as("s1"),
+        countDistinct(col("c2")).as("d2"), sum(col("r2")).as("s2"),
+        countDistinct(col("c3")).as("d3"), sum(col("r3")).as("s3"),
+        countDistinct(col("c4")).as("d4"), sum(col("r4")).as("s4"))
+      val cols = Seq(("l_returnflag", "d1", "s1"),
+        ("l_linestatus", "d2", "s2"), ("l_shipmonth", "d3", "s3"),
+        ("l_partkey", "d4", "s4"))
+      stats.select(explode(array(cols.map { case (nm, d, r) =>
+          struct(lit(nm).as("column_name"), col("n").as("n_rows"),
+            col(d).as("ndv"), col(r).as("n_runs"))
+        }: _*)).as("s"))
+        .select(col("s.column_name"), col("s.n_rows"), col("s.ndv"),
+          col("s.n_runs"))
+        .withColumn("bits_per_code",
+          length(bin(col("ndv") - 1)).cast("int"))
+        .withColumn("encoding",
+          when(col("ndv") <= 4096 && col("n_runs") * 2 <= col("n_rows"),
+            "DICT_RLE")
+            .when(col("ndv") <= 4096, "DICT")
+            .when(col("n_runs") * 2 <= col("n_rows"), "RLE")
+            .otherwise("PLAIN"))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -16294,5 +16390,67 @@ object SparkEntry {
          FROM (SELECT user_id, cast(count(*) AS bigint) AS n_points
            FROM p GROUP BY 1) p2
          LEFT JOIN agg ON p2.user_id = agg.user_id""",
+    // the oracle may use the plain global running max — IT is allowed a
+    // single-partition window; the engine side must decompose (two-level)
+    "q428_watermark_advisor" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS tu FROM events),
+         r AS (SELECT event_id, tu,
+             max(tu) OVER (ORDER BY event_id) AS rm
+           FROM e),
+         l AS (SELECT (rm - tu) // 1000000 AS late FROM r),
+         d AS (SELECT late, count(*) AS c FROM l GROUP BY 1),
+         k AS (SELECT late, sum(c) OVER (ORDER BY late) AS cc,
+             sum(c) OVER () AS n
+           FROM d)
+         SELECT cast(max(n) AS bigint) AS n_events,
+           cast(min(CASE WHEN cc >= (50 * n + 99) // 100 THEN late END)
+             AS bigint) AS p50_lateness_s,
+           cast(min(CASE WHEN cc >= (95 * n + 99) // 100 THEN late END)
+             AS bigint) AS p95_lateness_s,
+           cast(min(CASE WHEN cc >= (99 * n + 99) // 100 THEN late END)
+             AS bigint) AS p99_lateness_s,
+           cast(min(CASE WHEN cc >= (99 * n + 99) // 100 THEN late END)
+             AS bigint) AS watermark_delay_s
+         FROM k""",
+    "q429_encoding_advisor" ->
+      """WITH t AS (SELECT l_returnflag AS c1, l_linestatus AS c2,
+             strftime(date_trunc('month', l_shipdate), '%Y-%m') AS c3,
+             l_partkey AS c4,
+             CASE WHEN lag(l_returnflag) OVER w
+               IS DISTINCT FROM l_returnflag THEN 1 ELSE 0 END AS r1,
+             CASE WHEN lag(l_linestatus) OVER w
+               IS DISTINCT FROM l_linestatus THEN 1 ELSE 0 END AS r2,
+             CASE WHEN lag(strftime(date_trunc('month', l_shipdate),
+                 '%Y-%m')) OVER w
+               IS DISTINCT FROM strftime(date_trunc('month', l_shipdate),
+                 '%Y-%m') THEN 1 ELSE 0 END AS r3,
+             CASE WHEN lag(l_partkey) OVER w
+               IS DISTINCT FROM l_partkey THEN 1 ELSE 0 END AS r4
+           FROM lineitem
+           WINDOW w AS (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_partkey, l_suppkey)),
+         s AS (SELECT cast(count(*) AS bigint) AS n,
+             cast(count(DISTINCT c1) AS bigint) AS d1,
+             cast(sum(r1) AS bigint) AS s1,
+             cast(count(DISTINCT c2) AS bigint) AS d2,
+             cast(sum(r2) AS bigint) AS s2,
+             cast(count(DISTINCT c3) AS bigint) AS d3,
+             cast(sum(r3) AS bigint) AS s3,
+             cast(count(DISTINCT c4) AS bigint) AS d4,
+             cast(sum(r4) AS bigint) AS s4
+           FROM t),
+         u AS (
+           SELECT 'l_returnflag' AS column_name, n AS n_rows, d1 AS ndv,
+             s1 AS n_runs FROM s
+           UNION ALL SELECT 'l_linestatus', n, d2, s2 FROM s
+           UNION ALL SELECT 'l_shipmonth', n, d3, s3 FROM s
+           UNION ALL SELECT 'l_partkey', n, d4, s4 FROM s)
+         SELECT column_name, n_rows, ndv, n_runs,
+           cast(length(bin(ndv - 1)) AS int) AS bits_per_code,
+           CASE WHEN ndv <= 4096 AND n_runs * 2 <= n_rows THEN 'DICT_RLE'
+                WHEN ndv <= 4096 THEN 'DICT'
+                WHEN n_runs * 2 <= n_rows THEN 'RLE'
+                ELSE 'PLAIN' END AS encoding
+         FROM u""",
   )
 }

@@ -97,7 +97,8 @@ class PlanRegressionSpec extends AnyFunSuite {
     // (q418 excluded: building its plan writes parquet snapshots)
     "q419_dict_encoding", "q420_dq_rule_engine", "q421_split_conformal",
     "q422_token_apportionment", "q423_jl_projection",
-    "q425_curriculum_interleave", "q426_rle_audit", "q427_staypoints")
+    "q425_curriculum_interleave", "q426_rle_audit", "q427_staypoints",
+    "q428_watermark_advisor", "q429_encoding_advisor")
 
   /** Sanctioned BroadcastNestedLoopJoins whose build side is a DESIGN-
     * bounded broadcast probe/query set rather than an aggregate — e.g. the

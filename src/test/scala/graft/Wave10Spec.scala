@@ -233,4 +233,58 @@ class Wave10Spec extends SparkSuite {
       .toMap
     assert(got == expect)
   }
+
+  test("q428 two-level running max equals the brute arrival-order scan") {
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    var rm = Long.MinValue
+    val lates = evs.map { case (_, tu) =>
+      rm = math.max(rm, tu); (rm - tu) / 1000000L
+    }.sorted
+    def pct(p: Int): Long = lates((p * lates.length + 99) / 100 - 1)
+    val r = SparkEntry.queries("q428_watermark_advisor")(spark, sf)
+      .collect()(0)
+    assert(r.getLong(0) == lates.length)
+    assert(r.getLong(1) == pct(50))
+    assert(r.getLong(2) == pct(95))
+    assert(r.getLong(3) == pct(99))
+    assert(r.getLong(4) == r.getLong(3)) // delay IS the p99
+    assert(r.getLong(1) <= r.getLong(2) && r.getLong(2) <= r.getLong(3))
+  }
+
+  test("q429 advisor stats match brute NDV/run counts and the rule table") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_returnflag"), col("l_linestatus"),
+        date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5), r.getString(6)))
+    def runsOf(f: ((Long, Int, Long, Long, String, String, String)) => Any)
+        : Long =
+      li.groupBy(_._1).values.map { g =>
+        val seq = g.sortBy(t => (t._2, t._3, t._4)).map(f)
+        seq.zipWithIndex.count { case (v, i) => i == 0 || seq(i - 1) != v }
+      }.sum
+    val expect = Map(
+      "l_returnflag" -> (li.map(_._5).distinct.length.toLong, runsOf(_._5)),
+      "l_linestatus" -> (li.map(_._6).distinct.length.toLong, runsOf(_._6)),
+      "l_shipmonth" -> (li.map(_._7).distinct.length.toLong, runsOf(_._7)),
+      "l_partkey" -> (li.map(_._3).distinct.length.toLong, runsOf(_._3)))
+    val out = SparkEntry.queries("q429_encoding_advisor")(spark, sf)
+      .collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      val (ndv, runs) = expect(r.getString(0))
+      assert(r.getLong(1) == li.length)
+      assert(r.getLong(2) == ndv && r.getLong(3) == runs)
+      val enc =
+        if (ndv <= 4096 && runs * 2 <= li.length) "DICT_RLE"
+        else if (ndv <= 4096) "DICT"
+        else if (runs * 2 <= li.length) "RLE"
+        else "PLAIN"
+      assert(r.getString(5) == enc)
+    }
+  }
 }
