@@ -8687,6 +8687,113 @@ object SparkEntry {
             .when(col("n_runs") * 2 <= col("n_rows"), "RLE")
             .otherwise("PLAIN"))
     }),
+
+    // ---- EXT: concurrent-sessions curve (interval sweep) ----
+    "q430_concurrency_curve" -> ((s, dir) => {
+      // the capacity-planning question: how many sessions are OPEN at
+      // once? Classic interval sweep (+1 at session start, −1 one second
+      // after its end), with simultaneous boundaries folded atomically at
+      // second grain so tie order cannot matter — then the running count
+      // decomposes two-level by day (the q428 pattern): within-day
+      // cumulative via key-partitioned windows + a bounded per-day net
+      // table whose prefix sum is the midnight carry. Per day: peak
+      // concurrency and sessions still open at midnight. The oracle keeps
+      // its sanctioned single global window; the engine never sorts the
+      // corpus globally.
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .withColumn("__s", col("ts").cast("long"))
+      val sess = graft.operators.Relational
+        .sessionize(ev, "user_id", "__s", 1800L, col("event_id"))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("__s")).as("st"), max(col("__s")).as("en"))
+      val bounds = sess.select(col("st").as("t"), lit(1L).as("delta"))
+        .union(sess.select((col("en") + 1).as("t"), lit(-1L).as("delta")))
+      val net = bounds.groupBy(expr("t div 86400").as("day"), col("t"))
+        .agg(sum(col("delta")).as("net"))
+      val wDay = Window.partitionBy(col("day")).orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dayNet = net.groupBy(col("day")).agg(sum(col("net")).as("dnet"))
+      val wPre = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = dayNet
+        .withColumn("carry", coalesce(sum(col("dnet")).over(wPre), lit(0L)))
+        .select(col("day"), col("carry"), col("dnet"))
+      net
+        .withColumn("__cum", sum(col("net")).over(wDay))
+        .join(broadcast(carry), Seq("day"))
+        .groupBy(col("day"), col("carry"), col("dnet"))
+        .agg(max(col("__cum") + col("carry")).as("peak_concurrent"))
+        .select(col("day").as("day_num"), col("peak_concurrent"),
+          (col("carry") + col("dnet")).as("open_at_midnight"))
+    }),
+
+    // ---- EXT: hierarchical path aggregation (critical path to root) ----
+    "q431_path_aggregation" -> ((s, dir) => {
+      // DAG scheduling analytics WITHOUT iteration: orders form a binary
+      // in-tree (parent(k) = k >> 1, the synthetic-arm convention), each
+      // node costing its max ship delay; the critical-path cost from a
+      // node to the root is the sum of costs along its ancestor chain.
+      // Because heap ancestors are CLOSED-FORM (k >> j, j = 0..20), the
+      // whole path aggregation is one explode + ONE equi-join + one hash
+      // aggregate — the O(n log n) enumeration replaces the log-round
+      // pointer-doubling loop entirely; no iteration state at any scale.
+      // depth(k) = len(bin(k)) − 1, exact integer algebra on both sides.
+      val dur = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderkey") >= 1)
+        .groupBy(col("o_orderkey").as("node"))
+        .agg(max(datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date"))).as("dur"))
+      val anc = dur
+        .select(col("node"), explode(sequence(lit(0), lit(20))).as("j"))
+        .withColumn("anc", expr("shiftright(node, j)"))
+        .filter(col("anc") >= 1)
+      anc.join(dur.select(col("node").as("anc"), col("dur").as("adur")),
+          Seq("anc"))
+        .groupBy(col("node"))
+        .agg(sum(col("adur")).as("path_cost"))
+        .withColumn("depth", (length(bin(col("node"))) - 1).cast("int"))
+        .groupBy(col("depth"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(col("path_cost")).as("total_path_cost"),
+          max(col("path_cost")).as("max_path_cost"))
+    }),
+
+    // ---- EXT: dataset card (corpus release summary) ----
+    "q432_dataset_card" -> ((s, dir) => {
+      // the one-row artifact a training-data release ships: corpus size,
+      // composition, duplication and diversity — each field mirrors a
+      // gate family elsewhere in the suite (q35 bag fingerprints, q392
+      // token convention, q162's pinned per-term entropy rounding). Two
+      // scans (token/fingerprint pass + language pass), everything else
+      // is scalar algebra over broadcast aggregates.
+      val d = Tables.documents(s, dir)
+        .withColumn("__tok", size(split(col("text"), " ")).cast("long"))
+        .withColumn("__fp", md5(array_join(array_sort(array_distinct(
+          split(col("text"), " "))), " ")))
+      val base = d.agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("__tok")).as("n_tokens"),
+        countDistinct(col("__fp")).as("__nfp"))
+      val langs = d.groupBy(col("lang")).agg(count(lit(1)).as("__c"))
+      val ent = langs.crossJoin(broadcast(base.select(col("n_docs")
+          .as("__n"))))
+        .agg(sum(round(-(col("__c").cast("double") /
+            col("__n").cast("double")) *
+          log(col("__c").cast("double") / col("__n").cast("double")), 6)
+          .cast("decimal(18,6)")).cast("double").as("lang_entropy"))
+      base.crossJoin(broadcast(ent))
+        .select(col("n_docs"), col("n_sources"), col("n_langs"),
+          col("n_tokens"),
+          (round(lit(1.0d) - col("__nfp").cast("double") /
+            col("n_docs").cast("double"), 6) + lit(0.0d))
+            .as("bag_dup_rate"),
+          expr("n_tokens div n_docs").as("mean_doc_tokens"),
+          col("lang_entropy"))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -16452,5 +16559,75 @@ object SparkEntry {
                 WHEN n_runs * 2 <= n_rows THEN 'RLE'
                 ELSE 'PLAIN' END AS encoding
          FROM u""",
+    "q430_concurrency_curve" ->
+      """WITH es AS (SELECT event_id, user_id,
+             cast(floor(epoch(ts)) AS bigint) AS s
+           FROM events),
+         lg AS (SELECT user_id, s, event_id,
+             lag(s) OVER (PARTITION BY user_id ORDER BY s, event_id)
+               AS prev_s
+           FROM es),
+         sx AS (SELECT user_id, s,
+             sum(CASE WHEN prev_s IS NULL OR s - prev_s > 1800
+               THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+           FROM lg),
+         b AS (SELECT user_id, seq, min(s) AS st, max(s) AS en
+           FROM sx GROUP BY 1, 2),
+         d AS (SELECT st AS t, 1 AS delta FROM b
+               UNION ALL SELECT en + 1, -1 FROM b),
+         n AS (SELECT t // 86400 AS day, t,
+             cast(sum(delta) AS bigint) AS net
+           FROM d GROUP BY 1, 2),
+         c AS (SELECT day, t, sum(net) OVER (ORDER BY t) AS cum FROM n),
+         dn AS (SELECT day, sum(net) AS dnet FROM n GROUP BY 1),
+         dc AS (SELECT day,
+             cast(sum(dnet) OVER (ORDER BY day) AS bigint) AS runend
+           FROM dn)
+         SELECT c.day AS day_num, cast(max(cum) AS bigint)
+             AS peak_concurrent,
+           max(dc.runend) AS open_at_midnight
+         FROM c JOIN dc ON c.day = dc.day GROUP BY 1""",
+    "q431_path_aggregation" ->
+      """WITH dur AS (SELECT o_orderkey AS node,
+             max(date_diff('day', cast(o_orderdate AS date),
+               cast(l_shipdate AS date))) AS dur
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderkey >= 1 GROUP BY 1),
+         anc AS (SELECT node, j, node >> j AS anc
+           FROM dur, (SELECT unnest(range(0, 21)) AS j) js
+           WHERE (node >> j) >= 1),
+         pc AS (SELECT a.node, cast(sum(d2.dur) AS bigint) AS path_cost
+           FROM anc a JOIN dur d2 ON d2.node = a.anc GROUP BY 1)
+         SELECT cast(length(bin(node)) - 1 AS int) AS depth,
+           cast(count(*) AS bigint) AS n_nodes,
+           cast(sum(path_cost) AS bigint) AS total_path_cost,
+           cast(max(path_cost) AS bigint) AS max_path_cost
+         FROM pc GROUP BY 1""",
+    "q432_dataset_card" ->
+      """WITH d AS (SELECT source, lang,
+             len(string_split(text, ' ')) AS tok,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split(text, ' '))), ' ')) AS fp
+           FROM documents),
+         b AS (SELECT cast(count(*) AS bigint) AS n_docs,
+             cast(count(DISTINCT source) AS bigint) AS n_sources,
+             cast(count(DISTINCT lang) AS bigint) AS n_langs,
+             cast(sum(tok) AS bigint) AS n_tokens,
+             cast(count(DISTINCT fp) AS bigint) AS nfp
+           FROM d),
+         lg AS (SELECT lang, count(*) AS c FROM d GROUP BY 1),
+         e AS (SELECT cast(sum(cast(round(
+               -(cast(c AS double) / cast(b.n_docs AS double)) *
+               ln(cast(c AS double) / cast(b.n_docs AS double)), 6)
+             AS decimal(18,6))) AS double) AS lang_entropy
+           FROM lg CROSS JOIN b)
+         SELECT n_docs, n_sources, n_langs, n_tokens,
+           round(1.0 - cast(nfp AS double) / cast(n_docs AS double), 6)
+             + 0.0 AS bag_dup_rate,
+           n_tokens // n_docs AS mean_doc_tokens,
+           lang_entropy
+         FROM b CROSS JOIN e""",
   )
 }
