@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.jaroWinklerDescriptor)
     e.injectFunction(GraftExtensions.damerauLevenshteinDescriptor)
     e.injectFunction(GraftExtensions.cdcBoundsDescriptor)
+    // optimizer rule: derive pushable bbox range conjuncts from literal-ring
+    // point_in_polygon filters (row-group skipping for spatial lookups)
+    e.injectOptimizerRule(_ => graft.plans.SpatialBboxPushdown)
   }
 }
 
@@ -188,6 +191,18 @@ object GraftExtensions {
     fns.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+    // optimizer rules cannot be injected into an already-built session via
+    // SparkSessionExtensions — the session-level hook is
+    // experimental.extraOptimizations (same "User Provided Optimizers"
+    // fixed-point batch). Guard: register() may run more than once.
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.SpatialBboxPushdown)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          (graft.plans.SpatialBboxPushdown: org.apache.spark.sql.catalyst
+            .rules.Rule[org.apache.spark.sql.catalyst.plans.logical
+            .LogicalPlan])
     }
   }
 }
