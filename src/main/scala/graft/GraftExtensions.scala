@@ -204,5 +204,12 @@ object GraftExtensions {
             .rules.Rule[org.apache.spark.sql.catalyst.plans.logical
             .LogicalPlan])
     }
+    // planner strategy for the native as-of join operator (same post-build
+    // hook; the strategy only matches graft.plans.AsofJoinNode)
+    if (!spark.experimental.extraStrategies
+        .contains(graft.plans.AsofJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+    }
   }
 }

@@ -8794,6 +8794,30 @@ object SparkEntry {
           expr("n_tokens div n_docs").as("mean_doc_tokens"),
           col("lang_entropy"))
     }),
+
+    // ---- EXT: native as-of join (custom LogicalPlan + Strategy + Exec) ----
+    "q433_asof_native" -> ((s, dir) => {
+      // q69's exact query through the custom-operator VERTICAL
+      // (AsofJoinNode → AsofJoinStrategy → AsofJoinExec) instead of the
+      // union+window rewrite: one sort per side inside the hash
+      // co-partitioning, one forward merge pass with a single row of
+      // state, left partitioning/ordering passed through. Same oracle
+      // shape as q69 (DuckDB native ASOF LEFT JOIN).
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        (col("user_id") % 25).as("k"),
+        date_trunc("second", col("ts")).as("ets"))
+      val rates = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("k"),
+          explode(sequence(lit(0), lit(29))).as("d"))
+        .select(col("k"),
+          to_timestamp(date_add(lit("2024-01-01").cast("date"), col("d")))
+            .as("eff"),
+          (((col("k") * 31 + col("d") * 7) % 100).cast("double") / 10)
+            .as("rate"))
+      graft.operators.Joins
+        .asofJoinNative(ev, rates, "k", "ets", "eff", Seq("rate"))
+        .select("event_id", "k", "asof_rate")
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -16629,5 +16653,14 @@ object SparkEntry {
            n_tokens // n_docs AS mean_doc_tokens,
            lang_entropy
          FROM b CROSS JOIN e""",
+    "q433_asof_native" ->
+      """WITH ev AS (SELECT event_id, user_id % 25 AS k,
+                            date_trunc('second', ts) AS ets FROM events),
+         rates AS (SELECT n_nationkey AS k,
+                     TIMESTAMP '2024-01-01' + d * INTERVAL 1 DAY AS eff,
+                     cast((n_nationkey * 31 + d * 7) % 100 as double) / 10 AS rate
+                   FROM nation, unnest(generate_series(0, 29)) AS u(d))
+         SELECT e.event_id, e.k, r.rate AS asof_rate
+         FROM ev e ASOF LEFT JOIN rates r ON e.k = r.k AND e.ets >= r.eff""",
   )
 }

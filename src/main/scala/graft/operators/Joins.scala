@@ -102,6 +102,67 @@ object Joins {
         rightCols.map(c => col("__m").getField(c).as(prefix + c)): _*)
   }
 
+  /** NATIVE as-of join — same semantics as [[asofJoin]], planned through
+    * the custom [[graft.plans.AsofJoinNode]] LogicalPlan +
+    * [[graft.plans.AsofJoinStrategy]] + [[graft.plans.AsofJoinExec]]
+    * vertical instead of the union+window rewrite. Each side sorts once
+    * within its hash co-partitioning and the merge is one forward pass
+    * holding a single row of state — no union row inflation, no window
+    * buffering — and the operator passes the left partitioning/ordering
+    * through, so a downstream aggregate on `key` plans no new exchange.
+    * Requires `AsofJoinStrategy` to be registered
+    * (GraftExtensions.register). */
+  def asofJoinNative(left: DataFrame, right: DataFrame, key: String,
+                     leftTs: String, rightTs: String,
+                     rightCols: Seq[String],
+                     prefix: String = "asof_"): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types._
+    require(rightCols.nonEmpty, "asofJoinNative needs a payload column")
+    // key/time types MUST match exactly: hashpartitioning(bigint) and
+    // hashpartitioning(int) hash the same numeric value DIFFERENTLY
+    // (Murmur3 over 8 vs 4 bytes), so mismatched types silently mispair
+    // the co-partitions (caught by the AQE-off parity spec — with AQE on,
+    // small inputs coalesce to one partition and hide it). Widen both
+    // sides to the wider type up front.
+    val order = Seq(ByteType, ShortType, IntegerType, LongType,
+      FloatType, DoubleType)
+    def widen(a: DataType, b: DataType): DataType =
+      if (a == b) a
+      else {
+        val (ia, ib) = (order.indexOf(a), order.indexOf(b))
+        require(ia >= 0 && ib >= 0,
+          s"as-of key/time types must match or be widenable: $a vs $b")
+        order(math.max(ia, ib))
+      }
+    val keyDt = widen(left.schema(key).dataType, right.schema(key).dataType)
+    val tsDt = widen(left.schema(leftTs).dataType,
+      right.schema(rightTs).dataType)
+    def align(df: DataFrame, kc: String, tc: String): DataFrame = {
+      var d = df
+      if (d.schema(kc).dataType != keyDt)
+        d = d.withColumn(kc, col(kc).cast(keyDt))
+      if (d.schema(tc).dataType != tsDt)
+        d = d.withColumn(tc, col(tc).cast(tsDt))
+      d
+    }
+    val lAligned = align(left, key, leftTs)
+    val rAligned = align(right, key, rightTs)
+    val lPlan = lAligned.queryExecution.analyzed
+    val rPlan = rAligned.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    val pAttrs = rightCols.map(attr(rPlan, _))
+    val outAttrs = pAttrs.map(a =>
+      AttributeReference(prefix + a.name, a.dataType, nullable = true)())
+    org.apache.spark.sql.graft.GraftPlanBuilder.ofRows(lAligned.sparkSession,
+      graft.plans.AsofJoinNode(lPlan, rPlan,
+        attr(lPlan, key), attr(rPlan, key),
+        attr(lPlan, leftTs), attr(rPlan, rightTs), pAttrs, outAttrs))
+  }
+
   /** Skew-salted equi-join: when one join key holds a disproportionate share
     * of the left (fact) side, a plain shuffled join puts that whole key on
     * one reducer. Salting splits each left key into `buckets` sub-keys using

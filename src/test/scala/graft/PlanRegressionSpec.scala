@@ -99,8 +99,10 @@ class PlanRegressionSpec extends AnyFunSuite {
     "q422_token_apportionment", "q423_jl_projection",
     "q425_curriculum_interleave", "q426_rle_audit", "q427_staypoints",
     "q428_watermark_advisor", "q429_encoding_advisor",
-    // wave 11: two-level interval sweep, closed-form path aggregation
-    "q430_concurrency_curve", "q431_path_aggregation", "q432_dataset_card")
+    // wave 11: two-level interval sweep, closed-form path aggregation,
+    // native as-of operator vertical
+    "q430_concurrency_curve", "q431_path_aggregation", "q432_dataset_card",
+    "q433_asof_native")
 
   /** Sanctioned BroadcastNestedLoopJoins whose build side is a DESIGN-
     * bounded broadcast probe/query set rather than an aggregate — e.g. the
