@@ -8818,6 +8818,127 @@ object SparkEntry {
         .asofJoinNative(ev, rates, "k", "ets", "eff", Seq("rate"))
         .select("event_id", "k", "asof_rate")
     }),
+
+    // ---- EXT: schema type-inference profiler ----
+    "q434_type_inference" -> ((s, dir) => {
+      // the CSV-ingestion question q429 doesn't answer: given STRING
+      // columns, what type are they really? Each value classifies by
+      // regex priority (integer → float → timestamp → other; identical
+      // RE2-safe patterns both engines); the inferred type is the
+      // narrowest class covering every non-null value. Doubles go
+      // through a decimal cast before rendering — raw double→string
+      // formatting is engine-specific, decimal rendering is not. One
+      // scan, all four columns classified in a single aggregate.
+      val t = Tables.orders(s, dir).select(
+        col("o_orderkey").cast("string").as("c1"),
+        col("o_totalprice").cast(D).cast("string").as("c2"),
+        col("o_orderdate").cast("string").as("c3"),
+        col("o_orderpriority").as("c4"))
+      def cls(c: org.apache.spark.sql.Column) =
+        when(c.rlike("^-?[0-9]+$"), "int")
+          .when(c.rlike("^-?[0-9]+\\.[0-9]+$"), "float")
+          .when(c.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}"), "ts")
+          .otherwise("other")
+      val stats = t.agg(count(lit(1)).as("n"),
+        sum(when(cls(col("c1")) === "int", 1L).otherwise(0L)).as("i1"),
+        sum(when(cls(col("c1")) === "float", 1L).otherwise(0L)).as("f1"),
+        sum(when(cls(col("c1")) === "ts", 1L).otherwise(0L)).as("t1"),
+        sum(when(cls(col("c2")) === "int", 1L).otherwise(0L)).as("i2"),
+        sum(when(cls(col("c2")) === "float", 1L).otherwise(0L)).as("f2"),
+        sum(when(cls(col("c2")) === "ts", 1L).otherwise(0L)).as("t2"),
+        sum(when(cls(col("c3")) === "int", 1L).otherwise(0L)).as("i3"),
+        sum(when(cls(col("c3")) === "float", 1L).otherwise(0L)).as("f3"),
+        sum(when(cls(col("c3")) === "ts", 1L).otherwise(0L)).as("t3"),
+        sum(when(cls(col("c4")) === "int", 1L).otherwise(0L)).as("i4"),
+        sum(when(cls(col("c4")) === "float", 1L).otherwise(0L)).as("f4"),
+        sum(when(cls(col("c4")) === "ts", 1L).otherwise(0L)).as("t4"))
+      val colsSpec = Seq(("o_orderkey", "i1", "f1", "t1"),
+        ("o_totalprice", "i2", "f2", "t2"),
+        ("o_orderdate", "i3", "f3", "t3"),
+        ("o_orderpriority", "i4", "f4", "t4"))
+      stats.select(explode(array(colsSpec.map { case (nm, i, f, ts) =>
+          struct(lit(nm).as("column_name"), col("n").as("n_values"),
+            col(i).as("n_int"), col(f).as("n_float"), col(ts).as("n_ts"))
+        }: _*)).as("s"))
+        .select(col("s.column_name"), col("s.n_values"), col("s.n_int"),
+          col("s.n_float"), col("s.n_ts"))
+        .withColumn("inferred_type",
+          when(col("n_int") === col("n_values"), "BIGINT")
+            .when(col("n_int") + col("n_float") === col("n_values"),
+              "DOUBLE")
+            .when(col("n_ts") === col("n_values"), "TIMESTAMP")
+            .otherwise("STRING"))
+    }),
+
+    // ---- EXT: corpus boilerplate removal (C4-style shared-span drop) ----
+    "q435_boilerplate_removal" -> ((s, dir) => {
+      // sub-document dedup, the TRANSFORM q393's coverage audit measures:
+      // documents split into 5-token chunks (the line analog for the
+      // synthetic corpus), chunks appearing in ≥ 10 DISTINCT documents are
+      // boilerplate, and each document is re-emitted without them. The
+      // chunk table is corpus-token-sized (one shuffle on the chunk hash
+      // computes document frequency); reassembly is a key-partitioned
+      // ordered aggregation — document identity via md5 of the cleaned
+      // text so the artifact stays narrow.
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " "))
+          .as(Seq("__p", "__w")))
+        .withColumn("__chunk", expr("__p div 5"))
+      val chunks = toks.groupBy(col("doc_id"), col("__chunk"))
+        .agg(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(__p, __w))), t -> t.__w)"))
+          .as("__ctext"))
+      val df = chunks.groupBy(col("__ctext"))
+        .agg(countDistinct(col("doc_id")).as("__df"))
+      chunks.join(df, Seq("__ctext"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("__df") >= 10, 1L).otherwise(0L)).as("n_removed"),
+          md5(concat_ws(" ", expr("transform(array_sort(" +
+            "collect_list(CASE WHEN __df < 10 THEN struct(__chunk, __ctext) END))," +
+            " t -> t.__ctext)"))).as("cleaned_md5"))
+    }),
+
+    // ---- EXT: snapshot diff (CDC classification) ----
+    "q436_snapshot_diff" -> ((s, dir) => {
+      // the warehouse diff operator: two snapshots full-outer-joined on
+      // the key, every row classified added / removed / changed /
+      // unchanged, plus per-column change counts — the summary a CDC
+      // pipeline emits per sync. Snapshot B derives deterministically
+      // from A (the q200 dimNew convention): every 50th order re-priced,
+      // every 97th dropped, synthetic new keys appended. ONE shuffle on
+      // the key; comparisons in exact cents.
+      val a = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+        (col("o_totalprice").cast(D) * 100).cast("long").as("cents"),
+        col("o_orderstatus").as("st"))
+      val b0 = a.filter(col("k") % 97 =!= 0)
+        .withColumn("cents",
+          when(col("k") % 50 === 0, col("cents") + 1000L)
+            .otherwise(col("cents")))
+      val bNew = a.agg(max(col("k")).as("__m"))
+        .select(explode(sequence(lit(1), lit(20))).as("__i"),
+          col("__m"))
+        .select((col("__m") + col("__i")).as("k"),
+          (col("__i") * 12345L).as("cents"), lit("O").as("st"))
+      val b = b0.unionByName(bNew)
+      val j = a.select(col("k"), col("cents").as("ca"), col("st").as("sa"))
+        .join(b.select(col("k"), col("cents").as("cb"), col("st").as("sb")),
+          Seq("k"), "full_outer")
+      j.select(
+          when(col("ca").isNull, "added")
+            .when(col("cb").isNull, "removed")
+            .when(col("ca") =!= col("cb") || col("sa") =!= col("sb"),
+              "changed")
+            .otherwise("unchanged").as("change_class"),
+          when(col("ca").isNotNull && col("cb").isNotNull &&
+            col("ca") =!= col("cb"), 1L).otherwise(0L).as("__pc"),
+          when(col("ca").isNotNull && col("cb").isNotNull &&
+            col("sa") =!= col("sb"), 1L).otherwise(0L).as("__sc"))
+        .groupBy(col("change_class"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("__pc")).as("n_price_changes"),
+          sum(col("__sc")).as("n_status_changes"))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -16662,5 +16783,106 @@ object SparkEntry {
                    FROM nation, unnest(generate_series(0, 29)) AS u(d))
          SELECT e.event_id, e.k, r.rate AS asof_rate
          FROM ev e ASOF LEFT JOIN rates r ON e.k = r.k AND e.ets >= r.eff""",
+    "q434_type_inference" ->
+      """WITH t AS (SELECT cast(o_orderkey AS varchar) AS c1,
+             cast(cast(o_totalprice AS decimal(18,2)) AS varchar) AS c2,
+             cast(o_orderdate AS varchar) AS c3,
+             o_orderpriority AS c4
+           FROM orders),
+         s AS (SELECT cast(count(*) AS bigint) AS n,
+             cast(sum(CASE WHEN regexp_matches(c1, '^-?[0-9]+$')
+               THEN 1 ELSE 0 END) AS bigint) AS i1,
+             cast(sum(CASE WHEN NOT regexp_matches(c1, '^-?[0-9]+$')
+               AND regexp_matches(c1, '^-?[0-9]+\.[0-9]+$')
+               THEN 1 ELSE 0 END) AS bigint) AS f1,
+             cast(sum(CASE WHEN NOT regexp_matches(c1, '^-?[0-9]+$')
+               AND NOT regexp_matches(c1, '^-?[0-9]+\.[0-9]+$')
+               AND regexp_matches(c1, '^[0-9]{4}-[0-9]{2}-[0-9]{2}')
+               THEN 1 ELSE 0 END) AS bigint) AS t1,
+             cast(sum(CASE WHEN regexp_matches(c2, '^-?[0-9]+$')
+               THEN 1 ELSE 0 END) AS bigint) AS i2,
+             cast(sum(CASE WHEN NOT regexp_matches(c2, '^-?[0-9]+$')
+               AND regexp_matches(c2, '^-?[0-9]+\.[0-9]+$')
+               THEN 1 ELSE 0 END) AS bigint) AS f2,
+             cast(sum(CASE WHEN NOT regexp_matches(c2, '^-?[0-9]+$')
+               AND NOT regexp_matches(c2, '^-?[0-9]+\.[0-9]+$')
+               AND regexp_matches(c2, '^[0-9]{4}-[0-9]{2}-[0-9]{2}')
+               THEN 1 ELSE 0 END) AS bigint) AS t2,
+             cast(sum(CASE WHEN regexp_matches(c3, '^-?[0-9]+$')
+               THEN 1 ELSE 0 END) AS bigint) AS i3,
+             cast(sum(CASE WHEN NOT regexp_matches(c3, '^-?[0-9]+$')
+               AND regexp_matches(c3, '^-?[0-9]+\.[0-9]+$')
+               THEN 1 ELSE 0 END) AS bigint) AS f3,
+             cast(sum(CASE WHEN NOT regexp_matches(c3, '^-?[0-9]+$')
+               AND NOT regexp_matches(c3, '^-?[0-9]+\.[0-9]+$')
+               AND regexp_matches(c3, '^[0-9]{4}-[0-9]{2}-[0-9]{2}')
+               THEN 1 ELSE 0 END) AS bigint) AS t3,
+             cast(sum(CASE WHEN regexp_matches(c4, '^-?[0-9]+$')
+               THEN 1 ELSE 0 END) AS bigint) AS i4,
+             cast(sum(CASE WHEN NOT regexp_matches(c4, '^-?[0-9]+$')
+               AND regexp_matches(c4, '^-?[0-9]+\.[0-9]+$')
+               THEN 1 ELSE 0 END) AS bigint) AS f4,
+             cast(sum(CASE WHEN NOT regexp_matches(c4, '^-?[0-9]+$')
+               AND NOT regexp_matches(c4, '^-?[0-9]+\.[0-9]+$')
+               AND regexp_matches(c4, '^[0-9]{4}-[0-9]{2}-[0-9]{2}')
+               THEN 1 ELSE 0 END) AS bigint) AS t4
+           FROM t),
+         u AS (
+           SELECT 'o_orderkey' AS column_name, n AS n_values, i1 AS n_int,
+             f1 AS n_float, t1 AS n_ts FROM s
+           UNION ALL SELECT 'o_totalprice', n, i2, f2, t2 FROM s
+           UNION ALL SELECT 'o_orderdate', n, i3, f3, t3 FROM s
+           UNION ALL SELECT 'o_orderpriority', n, i4, f4, t4 FROM s)
+         SELECT column_name, n_values, n_int, n_float, n_ts,
+           CASE WHEN n_int = n_values THEN 'BIGINT'
+                WHEN n_int + n_float = n_values THEN 'DOUBLE'
+                WHEN n_ts = n_values THEN 'TIMESTAMP'
+                ELSE 'STRING' END AS inferred_type
+         FROM u""",
+    "q435_boilerplate_removal" ->
+      """WITH x AS (SELECT doc_id, string_split(text, ' ') AS ws
+           FROM documents),
+         toks AS (SELECT doc_id, (dd.p - 1) // 5 AS chunk, dd.p AS p, dd.w
+           FROM x, LATERAL (SELECT unnest(generate_series(1, len(ws)))
+             AS p, unnest(ws) AS w) AS dd),
+         chunks AS (SELECT doc_id, chunk,
+             string_agg(w, ' ' ORDER BY p) AS ctext
+           FROM toks GROUP BY 1, 2),
+         dfq AS (SELECT ctext, count(DISTINCT doc_id) AS df
+           FROM chunks GROUP BY 1)
+         SELECT doc_id, cast(count(*) AS bigint) AS n_chunks,
+           cast(sum(CASE WHEN df >= 10 THEN 1 ELSE 0 END) AS bigint)
+             AS n_removed,
+           md5(coalesce(string_agg(CASE WHEN df < 10 THEN ctext END,
+             ' ' ORDER BY chunk), '')) AS cleaned_md5
+         FROM chunks JOIN dfq USING (ctext) GROUP BY 1""",
+    "q436_snapshot_diff" ->
+      """WITH a AS (SELECT o_orderkey AS k,
+             cast(cast(o_totalprice AS decimal(18,2)) * 100 AS bigint)
+               AS cents,
+             o_orderstatus AS st
+           FROM orders),
+         b0 AS (SELECT k,
+             CASE WHEN k % 50 = 0 THEN cents + 1000 ELSE cents END AS cents,
+             st
+           FROM a WHERE k % 97 <> 0),
+         bn AS (SELECT (SELECT max(k) FROM a) + i AS k,
+             cast(i * 12345 AS bigint) AS cents, 'O' AS st
+           FROM (SELECT unnest(generate_series(1, 20)) AS i)),
+         b AS (SELECT * FROM b0 UNION ALL SELECT * FROM bn),
+         j AS (SELECT a.cents AS ca, a.st AS sa, b.cents AS cb, b.st AS sb
+           FROM a FULL OUTER JOIN b ON a.k = b.k)
+         SELECT CASE WHEN ca IS NULL THEN 'added'
+                WHEN cb IS NULL THEN 'removed'
+                WHEN ca <> cb OR sa <> sb THEN 'changed'
+                ELSE 'unchanged' END AS change_class,
+           cast(count(*) AS bigint) AS n_rows,
+           cast(sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL
+             AND ca <> cb THEN 1 ELSE 0 END) AS bigint)
+             AS n_price_changes,
+           cast(sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL
+             AND sa <> sb THEN 1 ELSE 0 END) AS bigint)
+             AS n_status_changes
+         FROM j GROUP BY 1""",
   )
 }

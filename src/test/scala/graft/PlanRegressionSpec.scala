@@ -102,7 +102,9 @@ class PlanRegressionSpec extends AnyFunSuite {
     // wave 11: two-level interval sweep, closed-form path aggregation,
     // native as-of operator vertical
     "q430_concurrency_curve", "q431_path_aggregation", "q432_dataset_card",
-    "q433_asof_native")
+    "q433_asof_native",
+    // wave 12: one-scan profilers, chunk-df shuffle, full-outer diff
+    "q434_type_inference", "q435_boilerplate_removal", "q436_snapshot_diff")
 
   /** Sanctioned BroadcastNestedLoopJoins whose build side is a DESIGN-
     * bounded broadcast probe/query set rather than an aggregate — e.g. the
