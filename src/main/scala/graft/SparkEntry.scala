@@ -8939,6 +8939,84 @@ object SparkEntry {
           sum(col("__pc")).as("n_price_changes"),
           sum(col("__sc")).as("n_status_changes"))
     }),
+
+    // ---- EXT: feature-store point-in-time training matrix ----
+    "q437_feature_matrix" -> ((s, dir) => {
+      // THE feature-store operator: assemble a leakage-free training
+      // matrix — for every label row (purchases = the spine), each
+      // feature's value AS OF the label timestamp, never after it. Two
+      // feature tables with different keys and version grains: the q69
+      // rates dimension (native as-of operator) and a running
+      // activity-count feature derived from the event stream itself
+      // (union+window as-of) — chaining both engine implementations in
+      // one pipeline. Point-in-time is the ≤ convention throughout.
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val spine = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          (col("user_id") % 25).as("k"),
+          date_trunc("second", col("ts")).as("ets"))
+      val rates = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("k"),
+          explode(sequence(lit(0), lit(29))).as("d"))
+        .select(col("k"),
+          to_timestamp(date_add(lit("2024-01-01").cast("date"), col("d")))
+            .as("eff"),
+          (((col("k") * 31 + col("d") * 7) % 100).cast("double") / 10)
+            .as("rate"))
+      val wCum = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val activity = ev
+        .withColumn("__cum", count(lit(1)).over(wCum))
+        .groupBy(col("user_id"),
+          date_trunc("second", col("ts")).as("vts"))
+        .agg(max(col("__cum")).as("cum_events"))
+      val f1 = graft.operators.Joins.asofJoinNative(
+        spine, rates, "k", "ets", "eff", Seq("rate"))
+      graft.operators.Joins.asofJoin(
+          f1, activity, "user_id", "ets", "vts", Seq("cum_events"))
+        .select(col("event_id"), col("user_id"), col("k"),
+          col("asof_rate"), col("asof_cum_events"))
+    }),
+
+    // ---- EXT: delta + varint encoding advisor (integer column arm) ----
+    "q438_delta_encoding" -> ((s, dir) => {
+      // completes q429's encoding family for SORTED INTEGER keys: gaps
+      // between consecutive distinct orderkeys, varint-encoded — the
+      // delta-compression size a columnar writer would achieve. Gap
+      // computation never sorts globally: the q377 bucket decomposition
+      // (8192-key buckets → within-bucket lag windows + one lead over the
+      // compressed per-bucket summary for boundary gaps). varint width is
+      // exact integer algebra on both engines. First key costs a full
+      // 8-byte anchor.
+      import org.apache.spark.sql.expressions.Window
+      val keys = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("key")).distinct()
+        .withColumn("__b", expr("key div 8192"))
+      val wIn = Window.partitionBy(col("__b")).orderBy(col("key"))
+      val inGaps = keys
+        .withColumn("__gap", col("key") - lag(col("key"), 1).over(wIn))
+      val bsum = keys.groupBy(col("__b"))
+        .agg(min(col("key")).as("__mn"), max(col("key")).as("__mx"))
+      val wB = Window.orderBy(col("__b"))
+      val boundary = bsum
+        .withColumn("__gap", col("__mn") - lag(col("__mx"), 1).over(wB))
+        .select(col("__gap"))
+      def vbytes(g: org.apache.spark.sql.Column) =
+        lit(1L) + (g >= 128L).cast("long") + (g >= 16384L).cast("long") +
+          (g >= 2097152L).cast("long") + (g >= 268435456L).cast("long")
+      inGaps.select(col("__gap"))
+        .unionByName(boundary)
+        .filter(col("__gap").isNotNull)
+        .agg((count(lit(1)) + 1).as("n_keys"),
+          max(col("__gap")).as("max_gap"),
+          (sum(vbytes(col("__gap"))) + 8L).as("delta_bytes"),
+          ((count(lit(1)) + 1) * 8).as("plain_bytes"))
+        .withColumn("compression_ratio",
+          round(col("plain_bytes").cast("double") /
+            col("delta_bytes").cast("double"), 6) + lit(0.0d))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -16884,5 +16962,42 @@ object SparkEntry {
              AND sa <> sb THEN 1 ELSE 0 END) AS bigint)
              AS n_status_changes
          FROM j GROUP BY 1""",
+    "q437_feature_matrix" ->
+      """WITH spine AS (SELECT event_id, user_id, user_id % 25 AS k,
+             date_trunc('second', ts) AS ets
+           FROM events WHERE event_type = 'purchase'),
+         rates AS (SELECT n_nationkey AS k,
+             TIMESTAMP '2024-01-01' + d * INTERVAL 1 DAY AS eff,
+             cast((n_nationkey * 31 + d * 7) % 100 as double) / 10 AS rate
+           FROM nation, unnest(generate_series(0, 29)) AS u(d)),
+         act0 AS (SELECT user_id, ts, event_id,
+             count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM events),
+         act AS (SELECT user_id, date_trunc('second', ts) AS vts,
+             cast(max(cum) AS bigint) AS cum_events
+           FROM act0 GROUP BY 1, 2)
+         SELECT s.event_id, s.user_id, s.k, r.rate AS asof_rate,
+           a.cum_events AS asof_cum_events
+         FROM spine s
+         ASOF LEFT JOIN rates r ON s.k = r.k AND s.ets >= r.eff
+         ASOF LEFT JOIN act a ON s.user_id = a.user_id
+           AND s.ets >= a.vts""",
+    "q438_delta_encoding" ->
+      """WITH keys AS (SELECT DISTINCT o_orderkey AS key FROM orders),
+         g AS (SELECT key - lag(key) OVER (ORDER BY key) AS gap FROM keys),
+         v AS (SELECT gap,
+             1 + CASE WHEN gap >= 128 THEN 1 ELSE 0 END
+               + CASE WHEN gap >= 16384 THEN 1 ELSE 0 END
+               + CASE WHEN gap >= 2097152 THEN 1 ELSE 0 END
+               + CASE WHEN gap >= 268435456 THEN 1 ELSE 0 END AS vb
+           FROM g WHERE gap IS NOT NULL)
+         SELECT cast(count(*) + 1 AS bigint) AS n_keys,
+           cast(max(gap) AS bigint) AS max_gap,
+           cast(sum(vb) + 8 AS bigint) AS delta_bytes,
+           cast((count(*) + 1) * 8 AS bigint) AS plain_bytes,
+           round(cast((count(*) + 1) * 8 AS double)
+             / cast(sum(vb) + 8 AS double), 6) + 0.0 AS compression_ratio
+         FROM v""",
   )
 }

@@ -104,7 +104,9 @@ class PlanRegressionSpec extends AnyFunSuite {
     "q430_concurrency_curve", "q431_path_aggregation", "q432_dataset_card",
     "q433_asof_native",
     // wave 12: one-scan profilers, chunk-df shuffle, full-outer diff
-    "q434_type_inference", "q435_boilerplate_removal", "q436_snapshot_diff")
+    "q434_type_inference", "q435_boilerplate_removal", "q436_snapshot_diff",
+    // wave 13: chained as-of assembly, bucketed delta-gap algebra
+    "q437_feature_matrix", "q438_delta_encoding")
 
   /** Sanctioned BroadcastNestedLoopJoins whose build side is a DESIGN-
     * bounded broadcast probe/query set rather than an aggregate — e.g. the
