@@ -9017,6 +9017,109 @@ object SparkEntry {
           round(col("plain_bytes").cast("double") /
             col("delta_bytes").cast("double"), 6) + lit(0.0d))
     }),
+
+    // ---- EXT: multimodal microbatch manifest (bucketed batch packing) ----
+    "q439_microbatch_manifest" -> ((s, dir) => {
+      // the step AFTER q256's aspect bucketing: pack each bucket's images
+      // into fixed-size training microbatches (32, drop-last — uniform
+      // shapes per batch is the whole point of bucketing). Batch id is
+      // pure slot algebra over the per-bucket rank (key-partitioned
+      // window); the summary carries a per-bucket membership checksum
+      // (exact integer sum of batched doc_ids) so the manifest is
+      // reproducible byte-for-byte.
+      import org.apache.spark.sql.expressions.Window
+      val buckets = s.createDataFrame(Seq(
+        (1, 1024, 1024), (2, 1152, 896), (3, 896, 1152),
+        (4, 1216, 832), (5, 832, 1216), (6, 1344, 768), (7, 768, 1344)
+      )).toDF("bidx", "bw", "bh")
+      val imgs = Tables.documents(s, dir).select(col("doc_id"),
+        (lit(256) + col("doc_id") % 1024).cast("double").as("w"),
+        (lit(256) + (col("doc_id") * 7) % 1024).cast("double").as("h"))
+      val scored = imgs.crossJoin(broadcast(buckets))
+        .withColumn("diff", round(abs(
+          log(col("w") / col("h")) -
+            log(col("bw").cast("double") / col("bh").cast("double"))), 9))
+      val wPick = Window.partitionBy(col("doc_id"))
+        .orderBy(col("diff"), col("bidx"))
+      val assigned = scored.withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("bidx"), col("bw"), col("bh"))
+      val wRank = Window.partitionBy(col("bidx")).orderBy(col("doc_id"))
+      assigned
+        .withColumn("__r", row_number().over(wRank))
+        .withColumn("__nb", count(lit(1)).over(
+          Window.partitionBy(col("bidx"))))
+        .withColumn("__batched", expr("__r <= (__nb div 32) * 32"))
+        .groupBy(col("bidx"), col("bw"), col("bh"))
+        .agg(count(lit(1)).as("n_images"),
+          expr("count(1) div 32").as("n_batches"),
+          (count(lit(1)) - (expr("count(1) div 32") * 32)).as("n_dropped"),
+          sum(when(col("__batched"), col("doc_id")).otherwise(0L))
+            .as("batched_docid_sum"))
+    }),
+
+    // ---- EXT: reproducibility shard manifest ----
+    "q440_shard_manifest" -> ((s, dir) => {
+      // the dataset-release manifest: deterministic md5 sharding, and per
+      // shard an ORDER-INSENSITIVE content checksum (bit_xor of each
+      // document's 56-bit md5 prefix) plus row/token accounting — the
+      // artifact that lets two independent runs prove they produced the
+      // same shards without sorting anything. One hash aggregate; XOR
+      // state is constant-size at any scale.
+      Tables.documents(s, dir)
+        .withColumn("__shard",
+          graft.operators.Sampling.hashBucket(col("doc_id"), 16))
+        .withColumn("__h",
+          conv(substring(md5(col("text")), 1, 14), 16, 10).cast("long"))
+        .groupBy(col("__shard").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+          expr("bit_xor(__h)").as("content_xor"))
+    }),
+
+    // ---- EXT: DataSource V2 GeoJSONL reader, end to end ----
+    "q441_geojson_source" -> ((s, dir) => {
+      // the custom-CONNECTOR vertical (TableProvider → Table → ScanBuilder
+      // with column pruning → per-file InputPartitions → InternalRow
+      // reader): one GeoJSON feature per customer is written as GeoJSONL
+      // shards via the text sink, read back through
+      // format("graft-geojson"), and aggregated — identity against the
+      // oracle's recomputation from the source table proves the writer,
+      // the parser, and the nested InternalRow construction (ring array,
+      // props map) byte-exact. Coordinates are integers in the JSON so
+      // no engine renders a float.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_geojson").toString
+      Tables.customer(s, dir)
+        .select(concat(
+          lit("{\"type\":\"Feature\",\"id\":\"c"), col("c_custkey"),
+          lit("\",\"geometry\":{\"type\":\"Polygon\",\"coordinates\":[[["),
+          (col("c_custkey") % 20) * 10, lit(","),
+          expr("(c_custkey div 20) * 10"), lit("],["),
+          (col("c_custkey") % 20) * 10 + 5, lit(","),
+          expr("(c_custkey div 20) * 10"), lit("],["),
+          (col("c_custkey") % 20) * 10 + 5, lit(","),
+          expr("(c_custkey div 20) * 10 + 5"), lit("],["),
+          (col("c_custkey") % 20) * 10, lit(","),
+          expr("(c_custkey div 20) * 10 + 5"), lit("],["),
+          (col("c_custkey") % 20) * 10, lit(","),
+          expr("(c_custkey div 20) * 10"),
+          lit("]]]},\"properties\":{\"name\":\""), col("c_name"),
+          lit("\"}}")).as("value"))
+        .write.mode("overwrite").text(root)
+      s.read.format("graft-geojson").load(root)
+        .select(col("gtype"), length(col("id")).as("idlen"),
+          size(col("ring")).as("nv"),
+          expr("ring[0][0]").as("x0"), expr("ring[2][0]").as("x2"),
+          length(element_at(col("props"), "name")).as("namelen"))
+        .groupBy(col("gtype"))
+        .agg(count(lit(1)).as("n_features"),
+          sum(col("nv").cast("long")).as("n_vertices"),
+          min(col("x0")).cast("long").as("min_x"),
+          max(col("x2")).cast("long").as("max_x"),
+          sum(col("idlen").cast("long")).as("sum_id_len"),
+          sum(col("namelen").cast("long")).as("sum_name_len"))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -16999,5 +17102,57 @@ object SparkEntry {
            round(cast((count(*) + 1) * 8 AS double)
              / cast(sum(vb) + 8 AS double), 6) + 0.0 AS compression_ratio
          FROM v""",
+    "q439_microbatch_manifest" ->
+      """WITH buckets AS (SELECT * FROM (VALUES
+           (1, 1024, 1024), (2, 1152, 896), (3, 896, 1152),
+           (4, 1216, 832), (5, 832, 1216), (6, 1344, 768), (7, 768, 1344))
+           AS b(bidx, bw, bh)),
+         imgs AS (SELECT doc_id,
+             cast(256 + doc_id % 1024 AS double) AS w,
+             cast(256 + (doc_id * 7) % 1024 AS double) AS h
+           FROM documents),
+         scored AS (SELECT doc_id, bidx, bw, bh,
+             round(abs(ln(w / h)
+               - ln(cast(bw AS double) / cast(bh AS double))), 9) AS diff
+           FROM imgs CROSS JOIN buckets),
+         asg AS (SELECT doc_id, bidx, bw, bh FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY diff, bidx) AS rn
+             FROM scored) WHERE rn = 1),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY bidx
+               ORDER BY doc_id) AS r,
+             count(*) OVER (PARTITION BY bidx) AS nb
+           FROM asg)
+         SELECT bidx, bw, bh, cast(count(*) AS bigint) AS n_images,
+           cast(count(*) // 32 AS bigint) AS n_batches,
+           cast(count(*) - (count(*) // 32) * 32 AS bigint) AS n_dropped,
+           cast(sum(CASE WHEN r <= (nb // 32) * 32 THEN doc_id ELSE 0 END)
+             AS bigint) AS batched_docid_sum
+         FROM rk GROUP BY 1, 2, 3""",
+    "q440_shard_manifest" ->
+      """WITH d AS (SELECT doc_id, text,
+             ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint
+               % 16 AS shard,
+             ('0x' || substr(md5(text), 1, 14))::bigint AS h
+           FROM documents)
+         SELECT shard, cast(count(*) AS bigint) AS n_docs,
+           cast(sum(len(string_split(text, ' '))) AS bigint) AS n_tokens,
+           cast(bit_xor(h) AS bigint) AS content_xor
+         FROM d GROUP BY 1""",
+    // recomputed from the source table — file-identity is what the gate
+    // proves on the Spark side
+    "q441_geojson_source" ->
+      """WITH f AS (SELECT c_custkey AS k,
+             (c_custkey % 20) * 10 AS x, (c_custkey // 20) * 10 AS y,
+             c_name
+           FROM customer)
+         SELECT 'Polygon' AS gtype, cast(count(*) AS bigint) AS n_features,
+           cast(count(*) * 5 AS bigint) AS n_vertices,
+           cast(min(x) AS bigint) AS min_x,
+           cast(max(x + 5) AS bigint) AS max_x,
+           cast(sum(length('c' || cast(k AS varchar))) AS bigint)
+             AS sum_id_len,
+           cast(sum(length(c_name)) AS bigint) AS sum_name_len
+         FROM f""",
   )
 }

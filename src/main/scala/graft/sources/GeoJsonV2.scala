@@ -1,0 +1,175 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData,
+  GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
+  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 reader for newline-delimited GeoJSON features
+  * (GeoJSONL) — the engine-native ingestion path for the reference's
+  * GeoJSON payloads (reference: services/file-service/main.py GeoJSON
+  * uploads; F15 parses the column form, this reads the FILE form).
+  *
+  * Spark-first design notes:
+  *  - one InputPartition per file: a directory of shard files reads in
+  *    parallel with no driver-side parsing;
+  *  - SupportsPushDownRequiredColumns: a `select(id)` over a wide
+  *    feature collection never parses geometry (the JSON node is only
+  *    traversed for requested fields) and the scan's readSchema shows
+  *    exactly the pruned columns (spec-asserted);
+  *  - rows are built directly as InternalRow (UTF8String / nested
+  *    GenericArrayData), no Row→InternalRow conversion layer.
+  *
+  * Schema: id STRING, gtype STRING, ring ARRAY<ARRAY<DOUBLE>>
+  * (exterior ring of [lon, lat] pairs — GeoJSON coordinates[0]),
+  * props MAP<STRING, STRING>.
+  */
+class GeoJsonSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-geojson"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GeoJsonV2.fullSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new GeoJsonTable(GeoJsonV2.pathOf(properties))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object GeoJsonV2 {
+  val fullSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("gtype", StringType),
+    StructField("ring", ArrayType(ArrayType(DoubleType))),
+    StructField("props", MapType(StringType, StringType))))
+
+  /** `load(path)` lands as the `paths` property (a JSON string array) or
+    * `path` for the single-path form — accept both. */
+  def pathOf(properties: util.Map[String, String]): String = {
+    val single = properties.get("path")
+    if (single != null) single
+    else {
+      val many = properties.get("paths")
+      require(many != null, "graft-geojson needs a path")
+      // minimal JSON array unwrap: ["p1"] or ["p1","p2"] → first path
+      val m = new ObjectMapper().readTree(many)
+      require(m.isArray && m.size() >= 1, s"bad paths option: $many")
+      m.get(0).asText()
+    }
+  }
+
+  def listFiles(dir: String): Seq[String] = {
+    val f = new java.io.File(dir)
+    if (f.isFile) Seq(f.getPath)
+    else f.listFiles()
+      .filter(x => x.isFile && !x.getName.startsWith(".") &&
+        !x.getName.startsWith("_"))
+      .map(_.getPath).sorted.toSeq
+  }
+}
+
+class GeoJsonTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"geojson:$path"
+  override def schema(): StructType = GeoJsonV2.fullSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GeoJsonScanBuilder(path)
+}
+
+class GeoJsonScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = GeoJsonV2.fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = GeoJsonScan(path, required)
+}
+
+case class GeoJsonFilePartition(file: String) extends InputPartition
+
+case class GeoJsonScan(path: String, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    GeoJsonV2.listFiles(path).map(GeoJsonFilePartition.apply).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    GeoJsonReaderFactory(required.fieldNames)
+}
+
+case class GeoJsonReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GeoJsonPartitionReader(
+      p.asInstanceOf[GeoJsonFilePartition].file, fields)
+}
+
+class GeoJsonPartitionReader(file: String, fields: Array[String])
+    extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private val lines = java.nio.file.Files
+    .lines(java.nio.file.Paths.get(file)).iterator()
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    var found = false
+    while (!found && lines.hasNext) {
+      val line = lines.next()
+      if (line.trim.nonEmpty) { row = parse(line); found = true }
+    }
+    found
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+
+  private def parse(line: String): InternalRow = {
+    val n = mapper.readTree(line)
+    val vals: Array[Any] = fields.map {
+      case "id" =>
+        val v = n.get("id"); if (v == null) null
+        else UTF8String.fromString(v.asText())
+      case "gtype" =>
+        val g = n.get("geometry")
+        if (g == null || g.get("type") == null) null
+        else UTF8String.fromString(g.get("type").asText())
+      case "ring" =>
+        val g = n.get("geometry")
+        val cs = if (g == null) null else g.get("coordinates")
+        if (cs == null || !cs.isArray || cs.size() == 0) null
+        else ringOf(cs.get(0))
+      case "props" =>
+        val p = n.get("properties")
+        if (p == null || !p.isObject) null
+        else {
+          val ks = p.properties().asScala.toSeq
+          new ArrayBasedMapData(
+            new GenericArrayData(ks.map(e =>
+              UTF8String.fromString(e.getKey)).toArray[Any]),
+            new GenericArrayData(ks.map(e =>
+              UTF8String.fromString(e.getValue.asText())).toArray[Any]))
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unknown column $other")
+    }
+    InternalRow.fromSeq(vals.toSeq)
+  }
+
+  private def ringOf(ring: JsonNode): ArrayData =
+    new GenericArrayData((0 until ring.size()).map { i =>
+      val pt = ring.get(i)
+      new GenericArrayData(
+        (0 until pt.size()).map(j => pt.get(j).asDouble()).toArray[Any])
+    }.toArray[Any])
+}

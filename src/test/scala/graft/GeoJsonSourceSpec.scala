@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** The graft-geojson DataSource V2 connector: column pruning reaches the
+  * scan, parsing is byte-exact, malformed input degrades to nulls, and a
+  * sharded directory plans one partition per file. */
+class GeoJsonSourceSpec extends SparkSuite {
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_gj_spec").toString
+    val w = new java.io.PrintWriter(s"$d/part-0.geojsonl")
+    w.println("""{"type":"Feature","id":"a","geometry":{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[0,4],[0,0]]]},"properties":{"name":"alpha","zone":"z1"}}""")
+    w.println("""{"type":"Feature","id":"b","geometry":{"type":"Point","coordinates":[[7,8]]},"properties":{"name":"beta"}}""")
+    w.println("")
+    w.println("""{"type":"Feature","geometry":null,"properties":null}""")
+    w.close()
+    val w2 = new java.io.PrintWriter(s"$d/part-1.geojsonl")
+    w2.println("""{"type":"Feature","id":"c","geometry":{"type":"Polygon","coordinates":[[[10,10],[12,10],[12,12],[10,12],[10,10]]]},"properties":{"name":"gamma"}}""")
+    w2.close()
+    d
+  }
+
+  test("parses features with nested ring and props map; nulls for malformed") {
+    val rows = spark.read.format("graft-geojson").load(dir)
+      .orderBy("id").collect()
+    assert(rows.length == 4)
+    val a = rows.find(r => !r.isNullAt(0) && r.getString(0) == "a").get
+    assert(a.getString(1) == "Polygon")
+    val ring = a.getSeq[scala.collection.Seq[Double]](2).map(_.toSeq)
+    assert(ring.length == 5)
+    assert(ring.head == Seq(0.0, 0.0))
+    assert(a.getMap[String, String](3) ==
+      Map("name" -> "alpha", "zone" -> "z1"))
+    val nullRow = rows.find(_.isNullAt(0)).get
+    assert(nullRow.isNullAt(1) && nullRow.isNullAt(2) && nullRow.isNullAt(3))
+  }
+
+  test("column pruning reaches the scan (only requested fields parse)") {
+    val q = spark.read.format("graft-geojson").load(dir).select("id")
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    val gs = scans.head.scan.asInstanceOf[graft.sources.GeoJsonScan]
+    assert(gs.required.fieldNames.toSeq == Seq("id"))
+    assert(q.collect().flatMap(r =>
+      if (r.isNullAt(0)) None else Some(r.getString(0))).sorted.toSeq ==
+      Seq("a", "b", "c"))
+  }
+
+  test("one input partition per shard file") {
+    val scan = graft.sources.GeoJsonScan(dir, graft.sources.GeoJsonV2.fullSchema)
+    assert(scan.planInputPartitions().length == 2)
+  }
+}

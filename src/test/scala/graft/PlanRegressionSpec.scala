@@ -106,7 +106,10 @@ class PlanRegressionSpec extends AnyFunSuite {
     // wave 12: one-scan profilers, chunk-df shuffle, full-outer diff
     "q434_type_inference", "q435_boilerplate_removal", "q436_snapshot_diff",
     // wave 13: chained as-of assembly, bucketed delta-gap algebra
-    "q437_feature_matrix", "q438_delta_encoding")
+    "q437_feature_matrix", "q438_delta_encoding",
+    // wave 14: bucketed batch packing, xor shard manifest
+    // (q441 excluded: building its plan writes GeoJSONL shards)
+    "q439_microbatch_manifest", "q440_shard_manifest")
 
   /** Sanctioned BroadcastNestedLoopJoins whose build side is a DESIGN-
     * bounded broadcast probe/query set rather than an aggregate — e.g. the

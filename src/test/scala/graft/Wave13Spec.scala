@@ -45,4 +45,38 @@ class Wave13Spec extends SparkSuite {
     assert(r.getLong(3) == keys.length * 8L)
     assert(r.getDouble(4) > 1.0) // dense keys must compress
   }
+
+  test("q439 batches account for every image; drops are sub-batch remainders") {
+    val total = Tables.documents(spark, sf).count()
+    val out = SparkEntry.queries("q439_microbatch_manifest")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(out.map(_._2).sum == total)
+    out.foreach { case (_, n, nb, dropped, _) =>
+      assert(nb == n / 32)
+      assert(dropped == n - nb * 32 && dropped < 32)
+    }
+  }
+
+  test("q440 shard checksums match a brute xor fold") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val expect = docs.groupBy { case (id, _) =>
+      java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 16
+    }.map { case (shard, g) =>
+      shard -> (g.length.toLong,
+        g.map(d => java.lang.Long.parseLong(md5hex(d._2).take(14), 16))
+          .reduce(_ ^ _))
+    }
+    val got = SparkEntry.queries("q440_shard_manifest")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3)))
+      .toMap
+    expect.foreach { case (shard, (n, x)) =>
+      assert(got(shard) == ((n, x)))
+    }
+    assert(got.values.map(_._1).sum == docs.length)
+  }
 }
