@@ -152,6 +152,10 @@ class PlanRegressionSpec extends AnyFunSuite {
     // by construction, not aggregates):
     "q399_quality_yield" -> 1, "q401_k_anonymity" -> 1,
     "q402_l_diversity" -> 1, "q417_dedup_threshold_curve" -> 1,
+    // q439 crossJoins the 7-row LITERAL SDXL bucket table (Seq.toDF
+    // LocalRelation — design-bounded by construction, not an aggregate),
+    // exactly the q374 k-table shape
+    "q439_microbatch_manifest" -> 1,
     // q422 crossJoins the scalar total and the scalar seat count; one of
     // the two aggregate exchanges is REUSED (childless ReusedExchangeExec
     // build) and thus invisible to the classifier — q293/q295 pattern
