@@ -72,7 +72,7 @@ object Bench {
       "q244_stream_left_interval_join", "q248_stream_dedup_within_watermark",
       "q254_stream_rate_limit", "q261_stream_restart_exactly_once",
       "q134_stream_session_agg", "q137_stream_enrich", "q138_stream_file_sink",
-      "q163_stream_heavy_hitters")
+      "q163_stream_heavy_hitters", "q442_stream_geojson")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => harness(q._1)).map { case (name, fn) =>
       // Between-query hygiene (untimed): drop the previous query's orphaned

@@ -9120,6 +9120,34 @@ object SparkEntry {
           sum(col("idlen").cast("long")).as("sum_id_len"),
           sum(col("namelen").cast("long")).as("sum_name_len"))
     }),
+
+    // ---- EXT: streaming arm of the GeoJSONL connector ----
+    "q442_stream_geojson" -> ((s, dir) => {
+      // the connector's MicroBatchStream, replay-gated like the other
+      // T gates: shards appended BETWEEN micro-batches advance the
+      // file-count offset one shard at a time; the final complete-mode
+      // aggregate must equal the batch view — exactly-once across
+      // offsets. Squares (even keys, 5 vertices) vs triangles (odd, 4)
+      // give the aggregate two groups to conserve.
+      val x = (col("c_custkey") % 20) * 10
+      def pt(px: org.apache.spark.sql.Column,
+             py: org.apache.spark.sql.Column) =
+        concat(lit("["), px, lit(","), py, lit("]"))
+      val y = expr("(c_custkey div 20) * 10")
+      val square = concat(pt(x, y), lit(","), pt(x + 5, y), lit(","),
+        pt(x + 5, expr("(c_custkey div 20) * 10 + 5")), lit(","),
+        pt(x, expr("(c_custkey div 20) * 10 + 5")), lit(","), pt(x, y))
+      val triangle = concat(pt(x, y), lit(","), pt(x + 5, y), lit(","),
+        pt(x, expr("(c_custkey div 20) * 10 + 5")), lit(","), pt(x, y))
+      val lines = Tables.customer(s, dir).select(col("c_custkey"), concat(
+        lit("{\"type\":\"Feature\",\"id\":\"c"), col("c_custkey"),
+        lit("\",\"geometry\":{\"type\":\"Polygon\",\"coordinates\":[["),
+        when(col("c_custkey") % 2 === 0, square).otherwise(triangle),
+        lit("]]},\"properties\":{}}")).as("line"))
+      graft.streaming.Streams.replayedGeoJsonStream(
+        s, lines, col("c_custkey"), chunks = 3,
+        name = "geojson_stream")
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -17154,5 +17182,10 @@ object SparkEntry {
              AS sum_id_len,
            cast(sum(length(c_name)) AS bigint) AS sum_name_len
          FROM f""",
+    "q442_stream_geojson" ->
+      """SELECT CASE WHEN c_custkey % 2 = 0 THEN 5 ELSE 4 END
+             AS n_vertices,
+           cast(count(*) AS bigint) AS n_features
+         FROM customer GROUP BY 1""",
   )
 }

@@ -14,6 +14,8 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
   SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
+  Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -84,7 +86,7 @@ class GeoJsonTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"geojson:$path"
   override def schema(): StructType = GeoJsonV2.fullSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GeoJsonScanBuilder(path)
 }
@@ -107,6 +109,41 @@ case class GeoJsonScan(path: String, required: StructType)
     GeoJsonV2.listFiles(path).map(GeoJsonFilePartition.apply).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     GeoJsonReaderFactory(required.fieldNames)
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream =
+    new GeoJsonMicroBatchStream(path, required)
+}
+
+/** Offset = how many files (in sorted-name order) have been consumed.
+  * Appended shards must sort after consumed ones (monotone shard names —
+  * the writer contract every file-based stream source shares). */
+case class GeoJsonOffset(files: Int) extends Offset {
+  override def json(): String = s"""{"files":$files}"""
+}
+
+/** Streaming arm of the connector: each micro-batch reads exactly the
+  * shard files that appeared since the last committed offset — one
+  * InputPartition per new file, same pruned reader as the batch path. */
+class GeoJsonMicroBatchStream(path: String, required: StructType)
+    extends MicroBatchStream {
+  override def initialOffset(): Offset = GeoJsonOffset(0)
+  override def latestOffset(): Offset =
+    GeoJsonOffset(GeoJsonV2.listFiles(path).size)
+  override def deserializeOffset(json: String): Offset = {
+    val n = new ObjectMapper().readTree(json).get("files").asInt()
+    GeoJsonOffset(n)
+  }
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s0 = start.asInstanceOf[GeoJsonOffset].files
+    val e0 = end.asInstanceOf[GeoJsonOffset].files
+    GeoJsonV2.listFiles(path).slice(s0, e0)
+      .map(GeoJsonFilePartition.apply).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    GeoJsonReaderFactory(required.fieldNames)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class GeoJsonReaderFactory(fields: Array[String])

@@ -321,6 +321,39 @@ object Streams {
     dir.getAbsolutePath
   }
 
+  /** Streaming arm of the graft-geojson connector, replay-gated: feature
+    * lines land as `chunks` shard files APPENDED between micro-batches
+    * (processAllAvailable between appends — each append advances the
+    * file-count offset by exactly one shard), aggregated in complete mode
+    * into a memory sink. Exactly-once across offsets ⇒ the final counts
+    * equal the batch view of all lines. The driver-side chunk writes are
+    * replay-harness plumbing (same status as the parquet chunk writers
+    * here); the operator under test is the connector's MicroBatchStream. */
+  def replayedGeoJsonStream(spark: SparkSession, lines: DataFrame,
+                            chunkKey: org.apache.spark.sql.Column,
+                            chunks: Int,
+                            name: String): DataFrame = {
+    val dir = freshReplayDir(name)
+    new java.io.File(dir).mkdirs()
+    val qname = s"graft_gate_${name}_${replaySeq.incrementAndGet()}"
+    val stream = spark.readStream.format("graft-geojson").load(dir)
+      .groupBy(size(col("ring")).as("n_vertices"))
+      .agg(count(lit(1)).as("n_features"))
+    val q = stream.writeStream.format("memory").queryName(qname)
+      .outputMode("complete").start()
+    try {
+      val tagged = lines.withColumn("__c", chunkKey % chunks)
+      (0 until chunks).foreach { i =>
+        val rows = tagged.filter(col("__c") === i)
+          .select(col("line")).collect().map(_.getString(0))
+        val p = new java.io.PrintWriter(s"$dir/shard-$i.geojsonl")
+        rows.foreach(p.println); p.close()
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(qname)
+  }
+
   /** End-to-end REPLAY gate for the stateful operators (T2/T5): write the
     * batch event table out as `chunks` single-file parquet chunks keyed by
     * `event_id % chunks` (so each micro-batch interleaves users and

@@ -54,4 +54,31 @@ class GeoJsonSourceSpec extends SparkSuite {
     val scan = graft.sources.GeoJsonScan(dir, graft.sources.GeoJsonV2.fullSchema)
     assert(scan.planInputPartitions().length == 2)
   }
+
+  test("streaming reads each appended shard exactly once (incremental offsets)") {
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_gj_stream_spec").toString
+    def shard(i: Int, n: Int): Unit = {
+      val w = new java.io.PrintWriter(s"$d/shard-$i.geojsonl")
+      (0 until n).foreach { j =>
+        w.println(s"""{"type":"Feature","id":"s$i-$j","geometry":{"type":"Point","coordinates":[[$j,$j]]},"properties":{}}""")
+      }
+      w.close()
+    }
+    shard(0, 3)
+    val q = spark.readStream.format("graft-geojson").load(d)
+      .groupBy().count()
+      .writeStream.format("memory").queryName("gj_stream_spec")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      shard(1, 2)
+      q.processAllAvailable()
+      // exactly-once: total input rows across ALL batches == 5 — a
+      // re-read of shard-0 in batch 2 would make this 8
+      val totalIn = q.recentProgress.map(_.numInputRows).sum
+      assert(totalIn == 5, s"expected 5 input rows total, got $totalIn")
+      assert(spark.table("gj_stream_spec").collect()(0).getLong(0) == 5L)
+    } finally q.stop()
+  }
 }
