@@ -9148,6 +9148,77 @@ object SparkEntry {
         s, lines, col("c_custkey"), chunks = 3,
         name = "geojson_stream")
     }),
+
+    // ---- EXT: SemDeDup (semantic dedup — cluster then prune) ----
+    "q443_semdedup" -> ((s, dir) =>
+      // the published semantic-dedup recipe (cluster embeddings, prune
+      // ε-close pairs WITHIN clusters only): threshold 0.35 sits at the
+      // fixture's cosine tail exactly like q51's 0.4 (near-random vectors;
+      // production thresholds are recall-asserted on planted dups in
+      // SpatialKnnSpec). k=8 matches q186's centroid fit so the cluster
+      // assignment reuses a proven-lockstep kernel.
+      graft.operators.Similarity.semDedup(
+        Tables.spread(s, Tables.embeddings(s, dir)), "vec_id", "embedding",
+        k = 8, dim = 64, threshold = 0.35)),
+
+    // ---- EXT: incremental view maintenance (signed-delta merge) ----
+    "q444_incremental_view" -> ((s, dir) => {
+      // counting-IVM correctness gate: materialize a rollup over a BASE
+      // subset, absorb an insert+delete delta through the signed-delta
+      // merge (base table never rescanned), and the ORACLE recomputes the
+      // refreshed view from scratch — merged == recomputed proves the
+      // delta algebra. Inserts: orderkey ≡ 0 (mod 10) (held out of the
+      // base); deletes: base rows with orderkey ≡ 0 (mod 7).
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_orderpriority"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_totalprice").cast(D).as("rev"))
+      val base = o.filter(col("o_orderkey") % 10 =!= 0)
+      val view0 = base.groupBy(col("o_orderpriority"), col("yr"))
+        .agg(count(lit(1)).as("n"), sum(col("rev")).as("rev"))
+      val delta = o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("sign", lit(1))
+        .unionByName(base.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("sign", lit(-1)))
+        .select(col("o_orderpriority"), col("yr"), col("rev"), col("sign"))
+      graft.operators.Incremental.mergeAggDelta(view0, delta,
+          Seq("o_orderpriority", "yr"), "n", Seq("rev"))
+        .select(col("o_orderpriority"), col("yr"), col("n"),
+          (round(col("rev").cast("double"), 2) + lit(0.0d)).as("revenue"))
+    }),
+
+    // ---- EXT: ε-DP noisy histogram (deterministic Laplace audit) ----
+    "q445_dp_histogram" -> ((s, dir) => {
+      // disclosure-control companion to q401–q403: Laplace(1/ε) noise via
+      // the inverse CDF on an md5-derived uniform (u = (2h+1)/2^33 — an
+      // odd dyadic, so u ≠ 1/2 and the log argument never hits 0), ε=0.5.
+      // Deterministic noise is the TESTABLE skeleton of the DP release;
+      // swapping the md5 uniform for a real RNG is the one-line production
+      // change. Noise is 6-dp rounded before the add (ln-ulp discipline).
+      val eps = 0.5
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("__u",
+          (conv(substring(md5(concat(lit("dp:"), col("event_type"))), 1, 8),
+            16, 10).cast("long").cast("double") + lit(0.5d)) / lit(4294967296.0d))
+        .withColumn("__noise", round(
+          lit(-1.0 / eps) * signum(col("__u") - lit(0.5d)) *
+            log(lit(1.0d) - lit(2.0d) * abs(col("__u") - lit(0.5d))), 6))
+        .select(col("event_type"), col("n"),
+          (round(col("n").cast("double") + col("__noise"), 6) + lit(0.0d))
+            .as("noisy_n"),
+          (abs(col("__noise")) + lit(0.0d)).as("abs_err"))
+    }),
+
+    // ---- EXT: DoReMi-style domain reweighting (one MW update) ----
+    "q446_domain_reweight" -> ((s, dir) =>
+      // data-mixture tuning: per-source mean unigram surprisal (the q88
+      // loss proxy) drives one multiplicative-weights update
+      // w ∝ exp(η·(loss − mean loss)) — up-weight domains the reference
+      // model finds hard, the DoReMi recipe's inner step. All boundary
+      // math in 1e6-scaled integers (half-away floors both sides).
+      graft.operators.TextOps.domainReweight(
+        Tables.documents(s, dir), "source", "text", eta = 1.0)),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -17187,5 +17258,98 @@ object SparkEntry {
              AS n_vertices,
            cast(count(*) AS bigint) AS n_features
          FROM customer GROUP BY 1""",
+    // SemDeDup: q186's seeded-centroid assignment CTEs, then within-cluster
+    // smaller-id near-neighbor pruning; membership proven by 56-bit md5-XOR
+    // set checksums (the q440 manifest trick)
+    "q443_semdedup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         seeds AS MATERIALIZED (SELECT v AS w, row_number() OVER (ORDER BY
+             ('0x' || substr(md5(cast(vec_id AS varchar)), 1, 8))::bigint,
+             vec_id) - 1 AS c
+           FROM e),
+         cent AS MATERIALIZED (SELECT c, w FROM seeds WHERE c < 8),
+         sc AS (SELECT vec_id, v, c,
+             list_sum(list_transform(generate_series(1, 64), i -> v[i] * w[i]))
+               - list_sum(list_transform(w, x -> x*x)) / 2.0 AS score
+           FROM e, cent),
+         a AS (SELECT vec_id, v, c AS cluster FROM (
+             SELECT vec_id, v, c, row_number() OVER (PARTITION BY vec_id
+               ORDER BY score DESC, c) AS rn FROM sc) t
+           WHERE rn = 1),
+         drops AS (SELECT DISTINCT y.cluster, y.vec_id AS bid
+           FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+           WHERE round(
+             list_sum(list_transform(generate_series(1, 64), i -> x.v[i]*y.v[i]))
+             / (sqrt(list_sum(list_transform(x.v, t -> t*t)))
+                * sqrt(list_sum(list_transform(y.v, t -> t*t)))), 6) >= 0.35)
+         SELECT cast(a.cluster AS int) AS cluster, count(*) AS n_vecs,
+           cast(sum(CASE WHEN d.bid IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+             AS n_dropped,
+           bit_xor(CASE WHEN d.bid IS NULL THEN
+             ('0x' || substr(md5(cast(a.vec_id AS varchar)), 1, 14))::bigint
+             ELSE 0 END) AS kept_xor,
+           bit_xor(CASE WHEN d.bid IS NOT NULL THEN
+             ('0x' || substr(md5(cast(a.vec_id AS varchar)), 1, 14))::bigint
+             ELSE 0 END) AS dropped_xor
+         FROM a LEFT JOIN drops d
+           ON a.cluster = d.cluster AND a.vec_id = d.bid
+         GROUP BY a.cluster""",
+    // IVM: the oracle recomputes the refreshed view FROM SCRATCH over
+    // (base \ deletes) ∪ inserts — equality with the engine's signed-delta
+    // merge is the IVM correctness theorem instantiated
+    "q444_incremental_view" ->
+      """SELECT o_orderpriority, cast(year(o_orderdate) AS bigint) AS yr,
+           count(*) AS n,
+           round(cast(sum(cast(o_totalprice AS decimal(18,2))) AS double), 2)
+             + 0.0 AS revenue
+         FROM orders
+         WHERE o_orderkey % 10 = 0 OR o_orderkey % 7 <> 0
+         GROUP BY 1, 2""",
+    // deterministic Laplace: u = (h + 0.5)/2^32 from the first 8 md5 hex
+    // chars, inverse-CDF noise at ε = 0.5, 6-dp rounded before the add
+    "q445_dp_histogram" ->
+      """WITH g AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+         u AS (SELECT event_type, n,
+             (('0x' || substr(md5('dp:' || event_type), 1, 8))::bigint + 0.5)
+               / 4294967296.0 AS u
+           FROM g),
+         z AS (SELECT event_type, n,
+             round(-2.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6)
+               AS noise
+           FROM u)
+         SELECT event_type, n,
+           round(cast(n AS double) + noise, 6) + 0.0 AS noisy_n,
+           abs(noise) + 0.0 AS abs_err
+         FROM z""",
+    // DoReMi: q88's token-surprisal CTEs at the source grain; every
+    // boundary value fixed in 1e6-scaled integers via mirrored half-away
+    // floors, so the MW update is exact-integer until the final quotient
+    "q446_domain_reweight" ->
+      """WITH tok AS (SELECT source, t AS term FROM (
+             SELECT source, unnest(string_split(text, ' ')) AS t
+             FROM documents) x
+           WHERE t <> ''),
+         c AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+         tot AS (SELECT sum(c) AS n_total FROM c),
+         s AS (SELECT tok.source,
+             cast(round(-ln(cast(c.c AS double) / tot.n_total), 6)
+               AS decimal(18,6)) AS s
+           FROM tok JOIN c ON tok.term = c.term CROSS JOIN tot),
+         loss AS (SELECT source, count(*) AS n_tokens,
+             cast(floor(cast(sum(s) AS double) / count(*) * 1000000.0 + 0.5)
+               AS bigint) AS lk
+           FROM s GROUP BY 1),
+         m AS (SELECT sum(lk) AS lsum, count(*) AS ns FROM loss),
+         w AS (SELECT source, n_tokens, lk,
+             cast(floor(exp(1.0 * (cast(lk AS double)
+               - cast(m.lsum AS double) / m.ns) / 1000000.0) * 1000000.0
+               + 0.5) AS bigint) AS wk
+           FROM loss CROSS JOIN m),
+         z AS (SELECT sum(wk) AS z FROM w)
+         SELECT source, n_tokens,
+           cast(lk AS double) / 1000000.0 AS mean_surprisal,
+           floor(cast(wk AS double) / cast(z.z AS double) * 1000000.0 + 0.5)
+             / 1000000.0 AS weight
+         FROM w CROSS JOIN z""",
   )
 }

@@ -500,4 +500,69 @@ object Similarity {
       .select(col("cluster"), col("dim"), col("n"),
         (col("__s").cast("double") / col("n").cast("double")).as("mean_val"))
   }
+
+  /** SemDeDup — SEMANTIC deduplication by cluster-then-prune (Abbas et al.
+    * 2023): assign every vector to its nearest data-sampled centroid (the
+    * [[kmeansStep]] assignment kernel, argmin-L2 via the augmented-bias
+    * TopDotIndices codegen loop, ties to the lower cluster id), then inside
+    * each cluster drop every vector that has ANY same-cluster neighbor with
+    * a SMALLER id and cosine ≥ `threshold` (the deterministic keep-earliest
+    * rule — the published recipe keeps one exemplar per ε-neighborhood;
+    * anchoring on the min id makes the survivor set order-free and
+    * engine-reproducible without a closure pass).
+    *
+    * Returns one row per cluster: size, drop count, and ORDER-INSENSITIVE
+    * 56-bit md5-XOR checksums of the kept and dropped id sets (the q440
+    * manifest trick) — the gate proves the exact MEMBERSHIP of both sets,
+    * not just their cardinality, while staying k-row small.
+    *
+    * Scale shape — the whole point of SemDeDup at 100 TB: the pairwise
+    * stage is confined to single-cluster partitions, so with k chosen ~n/C
+    * (bounded mean cluster size C) the quadratic term is n·C, not n²; the
+    * cluster equi-join shuffles each side once on the cluster key, cosines
+    * run in the constant-size native codegen loop, and nothing but the
+    * k-row centroid fit ever reaches the driver. */
+  def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
+               k: Int, dim: Int, threshold: Double): DataFrame = {
+    val cent: Array[Array[Double]] = vecs
+      .select(asDouble(col(vecCol)).as("v"),
+        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h"),
+        col(idCol).cast("long").as("i"))
+      .orderBy(col("h").asc, col("i").asc).limit(k)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(cent.length == k, s"corpus has fewer than $k rows")
+    val mats = cent.map(w => w :+ (-w.map(x => x * x).sum / 2.0))
+    val assigned = vecs
+      .select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
+      .withColumn("cluster", element_at(exprColumn(graft.functions.TopDotIndices(
+        asExpr(concat(col("__v"), array(lit(1.0d)))), mats, 1)), 1))
+    val a = assigned.select(col("cluster"), col("__id").as("__aid"),
+      col("__v").as("__av"))
+    val b = assigned.select(col("cluster"), col("__id").as("__bid"),
+      col("__v").as("__bv"))
+    // a vector is dropped iff SOME smaller-id cluster-mate is ≥ threshold;
+    // the 6-dp round before the compare keeps the boundary engine-free
+    // (q51 discipline), the distinct collapses the pair table back to the
+    // dropped-id set before anything else touches it
+    val drops = b.as("b").join(a.as("a"),
+        col("b.cluster") === col("a.cluster") &&
+          col("a.__aid") < col("b.__bid"))
+      .filter(round(cosineU(col("a.__av"), col("b.__bv"), dim), 6)
+        >= threshold)
+      .select(col("b.cluster").as("cluster"), col("b.__bid").as("__id"))
+      .distinct()
+    assigned.select(col("cluster"), col("__id"))
+      .join(drops.withColumn("__isdrop", lit(1L)),
+        Seq("cluster", "__id"), "left")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(coalesce(col("__isdrop"), lit(0L))).as("n_dropped"),
+        expr("bit_xor(case when __isdrop is null then " +
+          "cast(conv(substring(md5(cast(__id as string)), 1, 14), 16, 10) " +
+          "as bigint) else 0L end)").as("kept_xor"),
+        expr("bit_xor(case when __isdrop = 1 then " +
+          "cast(conv(substring(md5(cast(__id as string)), 1, 14), 16, 10) " +
+          "as bigint) else 0L end)").as("dropped_xor"))
+  }
 }

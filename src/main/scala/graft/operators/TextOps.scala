@@ -244,6 +244,54 @@ object TextOps {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** DoReMi-style domain reweighting, one multiplicative-weights update:
+    * per-domain loss = mean unigram surprisal over the domain's TOKENS
+    * (the [[unigramSurprisal]] proxy at the source grain), then
+    * w(source) ∝ exp(η · (loss − mean-of-losses)), normalized — up-weight
+    * the domains the reference model finds hard, the published DoReMi
+    * inner step with the corpus unigram LM standing in for the proxy
+    * model.
+    *
+    * Determinism: every boundary value lives in 1e6-SCALED INTEGERS —
+    * per-source loss and the exp() weights are fixed by the mirrored
+    * half-away floor `floor(x·1e6 + 0.5)` (exact longs; q370 discipline),
+    * sums of those longs are order-free, and the final normalization is
+    * one more half-away floor of an identical double quotient. Scale
+    * shape: one explode pass, vocab-sized count table, token-grain hash
+    * agg to the source grain, then ALL remaining algebra runs on the
+    * domain-count-sized table (a broadcast scalar for the mean and the
+    * normalizer). */
+  def domainReweight(docs: DataFrame, srcCol: String, textCol: String,
+                     eta: Double): DataFrame = {
+    val tok = docs.select(col(srcCol).as("source"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("n_total"))
+    val s = tok.join(counts, Seq("term"))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(total))
+      .withColumn("s",
+        round(-log(col("c").cast("double") / col("n_total")), 6)
+          .cast("decimal(18,6)"))
+    val loss = s.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("__ss"))
+      .withColumn("lk", floor(col("__ss").cast("double") /
+        col("n_tokens").cast("double") * lit(1e6) + lit(0.5d)).cast("long"))
+    val m = loss.agg(sum(col("lk")).as("__lsum"),
+      count(lit(1)).as("__ns"))
+    val w = loss.crossJoin(org.apache.spark.sql.functions.broadcast(m))
+      .withColumn("wk", floor(
+        exp(lit(eta) * (col("lk").cast("double") -
+          col("__lsum").cast("double") / col("__ns").cast("double")) /
+          lit(1e6)) * lit(1e6) + lit(0.5d)).cast("long"))
+    val z = w.agg(sum(col("wk")).as("__z"))
+    w.crossJoin(org.apache.spark.sql.functions.broadcast(z))
+      .select(col("source"), col("n_tokens"),
+        (col("lk").cast("double") / lit(1e6)).as("mean_surprisal"),
+        (floor(col("wk").cast("double") / col("__z").cast("double") *
+          lit(1e6) + lit(0.5d)) / lit(1e6)).as("weight"))
+  }
+
   /** Bigram-LM quality score — the conditional-probability upgrade of
     * [[unigramSurprisal]] (CCNet-style model-based filtering without a
     * shipped LM): fit an add-k-smoothed bigram model on the corpus itself,
