@@ -9219,6 +9219,28 @@ object SparkEntry {
       // math in 1e6-scaled integers (half-away floors both sides).
       graft.operators.TextOps.domainReweight(
         Tables.documents(s, dir), "source", "text", eta = 1.0)),
+
+    // ---- EXT: DSv2 aggregate pushdown (COUNT(*) at metadata speed) ----
+    "q447_count_pushdown" -> ((s, dir) => {
+      // the connector's SupportsPushDownAggregates arm: COUNT(*) over a
+      // GeoJSONL lake never parses a feature — each shard answers one
+      // partial-count row (non-blank line count) and Spark sums the
+      // partials. The plan shape (GeoJsonCountScan, no row-path parse) is
+      // spec-asserted in Wave15Spec; this gate pins the ANSWER against
+      // the source-table oracle across multiple shards.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_geojson_cnt").toString
+      Tables.customer(s, dir)
+        .select(concat(
+          lit("{\"type\":\"Feature\",\"id\":\"c"), col("c_custkey"),
+          lit("\",\"geometry\":{\"type\":\"Polygon\",\"coordinates\":" +
+            "[[[0,0],[1,0],[1,1],[0,0]]]},\"properties\":{}}")).as("value"))
+        .repartition(4)
+        .write.mode("overwrite").text(root)
+      s.read.format("graft-geojson").load(root)
+        .createOrReplaceTempView("__geojson_cnt")
+      s.sql("SELECT count(*) AS n_features FROM __geojson_cnt")
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -17351,5 +17373,9 @@ object SparkEntry {
            floor(cast(wk AS double) / cast(z.z AS double) * 1000000.0 + 0.5)
              / 1000000.0 AS weight
          FROM w CROSS JOIN z""",
+    // every customer became exactly one GeoJSONL feature; the pushed
+    // shard-count partials must sum to the source cardinality
+    "q447_count_pushdown" ->
+      "SELECT count(*) AS n_features FROM customer",
   )
 }

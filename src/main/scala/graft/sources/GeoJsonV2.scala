@@ -11,9 +11,11 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData,
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
   TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
+  CountStar}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownRequiredColumns}
+  SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
   Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -91,12 +93,63 @@ class GeoJsonTable(path: String) extends Table with SupportsRead {
     new GeoJsonScanBuilder(path)
 }
 
+/** Aggregate pushdown (COUNT(*) only): a bare row count never needs the
+  * JSON parsed — each shard answers with ONE row holding its non-blank
+  * line count, and Spark's partial-pushdown contract sums the per-shard
+  * partials (`supportCompletePushDown` stays false: shards are
+  * independent InputPartitions, the final merge belongs to the engine).
+  * At 100 TB this turns dataset-census queries over a GeoJSONL lake from
+  * a full parse into a metadata-speed byte scan; richer aggregates
+  * (min/max over parsed fields, grouped counts) deliberately stay on the
+  * row path — they need the parse anyway. */
 class GeoJsonScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var required: StructType = GeoJsonV2.fullSchema
+  private var countPushed = false
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = GeoJsonScan(path, required)
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val ok = aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.length == 1 &&
+      aggregation.aggregateExpressions.head.isInstanceOf[CountStar]
+    if (ok) countPushed = true
+    ok
+  }
+  override def build(): Scan =
+    if (countPushed) GeoJsonCountScan(path) else GeoJsonScan(path, required)
+}
+
+/** The pushed-COUNT(*) scan: one partial-count row per shard file. */
+case class GeoJsonCountScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count", LongType)))
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    GeoJsonV2.listFiles(path).map(GeoJsonFilePartition.apply).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    GeoJsonCountReaderFactory()
+  override def description(): String =
+    s"GeoJsonCountScan(path=$path, PushedAggregates=[COUNT(*)])"
+}
+
+case class GeoJsonCountReaderFactory() extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val file = p.asInstanceOf[GeoJsonFilePartition].file
+      private var done = false
+      private var n = 0L
+      override def next(): Boolean =
+        if (done) false
+        else {
+          val it = java.nio.file.Files
+            .lines(java.nio.file.Paths.get(file)).iterator()
+          while (it.hasNext) if (it.next().trim.nonEmpty) n += 1
+          done = true
+          true
+        }
+      override def get(): InternalRow = InternalRow(n)
+      override def close(): Unit = ()
+    }
 }
 
 case class GeoJsonFilePartition(file: String) extends InputPartition

@@ -90,6 +90,30 @@ class Wave15Spec extends SparkSuite {
     assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("COUNT(*) pushes to the shard count scan; grouped aggs stay on the row path") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_geojson_pd").toString
+    (1 to 97).map(i =>
+        s"""{"type":"Feature","id":"f$i","geometry":{"type":"Polygon",""" +
+          s""""coordinates":[[[0,0],[1,0],[1,1],[0,0]]]},"properties":{}}""")
+      .toDF("value").repartition(3).write.mode("overwrite").text(root)
+    val df = spark.read.format("graft-geojson").load(root)
+    df.createOrReplaceTempView("__pd")
+    val pushed = spark.sql("SELECT count(*) AS n FROM __pd")
+    assert(pushed.queryExecution.executedPlan.toString
+      .contains("GeoJsonCountScan"))
+    assert(pushed.collect().head.getLong(0) == 97L)
+    // a grouped count needs the parse — it must NOT take the count scan,
+    // and must still be correct through the row path
+    val grouped = spark.sql(
+      "SELECT gtype, count(*) AS n FROM __pd GROUP BY gtype")
+    assert(!grouped.queryExecution.executedPlan.toString
+      .contains("GeoJsonCountScan"))
+    assert(grouped.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq == Seq(("Polygon", 97L)))
+  }
+
   test("domainReweight: weights normalize, monotone in loss, mean preserved") {
     val out = SparkEntry.queries("q446_domain_reweight")(spark, sf)
       .collect().map(r => (r.getString(0), r.getAs[Double]("mean_surprisal"),
