@@ -9241,6 +9241,43 @@ object SparkEntry {
         .createOrReplaceTempView("__geojson_cnt")
       s.sql("SELECT count(*) AS n_features FROM __geojson_cnt")
     }),
+
+    // ---- EXT: storage-partitioned join over co-bucketed lakes ----
+    "q448_spj_join" -> ((s, dir) => {
+      // two GeoJSONL lakes laid out pkey=N/ and read bucketed: the
+      // connector reports KeyGroupedPartitioning, so the fact⋈dim join
+      // below plans ZERO exchanges (SPJ — proven structurally in
+      // StoragePartitionedJoinSpec; this gate pins the ANSWER through
+      // that plan against a plain SQL oracle). The 100 TB claim: two
+      // co-bucketed lakes of any size join as a per-bucket zip.
+      def lake(df: org.apache.spark.sql.DataFrame): String = {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_geojson_spj").toString
+        df.repartition(col("pkey"))
+          .write.partitionBy("pkey").mode("overwrite").text(root)
+        root
+      }
+      val lroot = lake(Tables.customer(s, dir)
+        .select((col("c_custkey") % 8).cast("int").as("pkey"),
+          concat(lit("{\"type\":\"Feature\",\"id\":\"c"), col("c_custkey"),
+            lit("\",\"geometry\":{\"type\":\"Polygon\",\"coordinates\":" +
+              "[[[0,0],[1,0],[1,1],[0,0]]]},\"properties\":{\"name\":\""),
+            col("c_name"), lit("\"}}")).as("value")))
+      val rroot = lake(Tables.orders(s, dir)
+        .select((col("o_custkey") % 8).cast("int").as("pkey"),
+          concat(lit("{\"type\":\"Feature\",\"id\":\"c"), col("o_custkey"),
+            lit("\",\"geometry\":{\"type\":\"Polygon\",\"coordinates\":" +
+              "[[[0,0],[1,0],[1,1],[0,0]]]},\"properties\":{\"okey\":\""),
+            col("o_orderkey"), lit("\"}}")).as("value")))
+      def rd(p: String) = s.read.format("graft-geojson")
+        .option("bucketed", "true").load(p)
+      rd(lroot).as("l").join(rd(rroot).as("r"), Seq("pkey", "id"))
+        .groupBy(col("pkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("id")).as("n_customers"),
+          sum(length(element_at(col("l.props"), "name")).cast("long"))
+            .as("sum_name_len"))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -17377,5 +17414,13 @@ object SparkEntry {
     // shard-count partials must sum to the source cardinality
     "q447_count_pushdown" ->
       "SELECT count(*) AS n_features FROM customer",
+    // the SPJ gate's join is semantically orders⋈customer on custkey,
+    // bucket key = custkey % 8
+    "q448_spj_join" ->
+      """SELECT cast(o_custkey % 8 AS int) AS pkey, count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers,
+           cast(sum(length(c_name)) AS bigint) AS sum_name_len
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1""",
   )
 }

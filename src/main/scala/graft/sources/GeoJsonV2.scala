@@ -13,9 +13,12 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
   CountStar}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition,
-  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey,
+  InputPartition, PartitionReader, PartitionReaderFactory, Scan,
+  ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns,
+  SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{
+  KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
   Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -45,10 +48,12 @@ import org.apache.spark.unsafe.types.UTF8String
 class GeoJsonSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-geojson"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GeoJsonV2.fullSchema
+    if (GeoJsonV2.isBucketed(options)) GeoJsonV2.bucketedSchema
+    else GeoJsonV2.fullSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new GeoJsonTable(GeoJsonV2.pathOf(properties))
+    new GeoJsonTable(GeoJsonV2.pathOf(properties),
+      "true".equalsIgnoreCase(properties.getOrDefault("bucketed", "false")))
   override def supportsExternalMetadata(): Boolean = false
 }
 
@@ -58,6 +63,31 @@ object GeoJsonV2 {
     StructField("gtype", StringType),
     StructField("ring", ArrayType(ArrayType(DoubleType))),
     StructField("props", MapType(StringType, StringType))))
+
+  /** Bucketed lakes carry the Hive-style partition key as a real column. */
+  val bucketedSchema: StructType =
+    fullSchema.add(StructField("pkey", IntegerType))
+
+  def isBucketed(options: CaseInsensitiveStringMap): Boolean =
+    "true".equalsIgnoreCase(options.getOrDefault("bucketed", "false"))
+
+  /** Bucketed layout: `root/pkey=<int>/<files>` (what
+    * `df.write.partitionBy("pkey").text(root)` produces). Returns
+    * (file, pkey) pairs across all bucket directories. */
+  def listBucketedFiles(dir: String): Seq[(String, Int)] = {
+    val root = new java.io.File(dir)
+    val dirs = root.listFiles()
+    require(dirs != null, s"not a directory: $dir")
+    dirs.filter(d => d.isDirectory && d.getName.startsWith("pkey="))
+      .sortBy(_.getName)
+      .flatMap { d =>
+        val k = d.getName.stripPrefix("pkey=").toInt
+        d.listFiles()
+          .filter(x => x.isFile && !x.getName.startsWith(".") &&
+            !x.getName.startsWith("_"))
+          .map(f => (f.getPath, k)).sortBy(_._1)
+      }.toSeq
+  }
 
   /** `load(path)` lands as the `paths` property (a JSON string array) or
     * `path` for the single-path form — accept both. */
@@ -84,13 +114,15 @@ object GeoJsonV2 {
   }
 }
 
-class GeoJsonTable(path: String) extends Table with SupportsRead {
+class GeoJsonTable(path: String, bucketed: Boolean = false)
+    extends Table with SupportsRead {
   override def name(): String = s"geojson:$path"
-  override def schema(): StructType = GeoJsonV2.fullSchema
+  override def schema(): StructType =
+    if (bucketed) GeoJsonV2.bucketedSchema else GeoJsonV2.fullSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GeoJsonScanBuilder(path)
+    new GeoJsonScanBuilder(path, bucketed)
 }
 
 /** Aggregate pushdown (COUNT(*) only): a bare row count never needs the
@@ -102,21 +134,67 @@ class GeoJsonTable(path: String) extends Table with SupportsRead {
   * a full parse into a metadata-speed byte scan; richer aggregates
   * (min/max over parsed fields, grouped counts) deliberately stay on the
   * row path — they need the parse anyway. */
-class GeoJsonScanBuilder(path: String) extends ScanBuilder
+class GeoJsonScanBuilder(path: String, bucketed: Boolean = false)
+    extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
-  private var required: StructType = GeoJsonV2.fullSchema
+  private var required: StructType =
+    if (bucketed) GeoJsonV2.bucketedSchema else GeoJsonV2.fullSchema
   private var countPushed = false
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    val ok = aggregation.groupByExpressions.isEmpty &&
+    val ok = !bucketed && aggregation.groupByExpressions.isEmpty &&
       aggregation.aggregateExpressions.length == 1 &&
       aggregation.aggregateExpressions.head.isInstanceOf[CountStar]
     if (ok) countPushed = true
     ok
   }
   override def build(): Scan =
-    if (countPushed) GeoJsonCountScan(path) else GeoJsonScan(path, required)
+    if (countPushed) GeoJsonCountScan(path)
+    else if (bucketed) GeoJsonBucketedScan(path, required)
+    else GeoJsonScan(path, required)
+}
+
+case class GeoJsonBucketedFilePartition(file: String, pkey: Int)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(pkey)
+}
+
+/** Scan over a Hive-layout bucketed GeoJSONL lake that REPORTS its
+  * key-grouped partitioning (`SupportsReportPartitioning` +
+  * `HasPartitionKey` per file): with
+  * `spark.sql.sources.v2.bucketing.enabled=true`, two lakes bucketed on
+  * the same key join WITHOUT a shuffle on either side — Spark's
+  * storage-partitioned join recognizes the co-partitioning exactly as it
+  * does for Iceberg tables. At 100 TB this is the layout contract that
+  * turns the biggest fact⋈fact joins into zero-exchange zips; the
+  * `writeBucketed` parquet layout (ScaleLayoutSpec) is the same idea on
+  * the engine's native format. */
+case class GeoJsonBucketedScan(path: String, required: StructType)
+    extends Scan with Batch with SupportsReportPartitioning {
+  private lazy val files: Seq[(String, Int)] =
+    GeoJsonV2.listBucketedFiles(path)
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map { case (f, k) => GeoJsonBucketedFilePartition(f, k) }.toArray
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .identity("pkey")),
+      files.size)
+  override def createReaderFactory(): PartitionReaderFactory =
+    GeoJsonBucketedReaderFactory(required.fieldNames)
+  override def description(): String =
+    s"GeoJsonBucketedScan(path=$path, keyGroupedBy=pkey)"
+}
+
+case class GeoJsonBucketedReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val bp = p.asInstanceOf[GeoJsonBucketedFilePartition]
+    new GeoJsonPartitionReader(bp.file, fields, bp.pkey)
+  }
 }
 
 /** The pushed-COUNT(*) scan: one partial-count row per shard file. */
@@ -206,7 +284,8 @@ case class GeoJsonReaderFactory(fields: Array[String])
       p.asInstanceOf[GeoJsonFilePartition].file, fields)
 }
 
-class GeoJsonPartitionReader(file: String, fields: Array[String])
+class GeoJsonPartitionReader(file: String, fields: Array[String],
+                             pkey: Int = -1)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
   private val lines = java.nio.file.Files
@@ -250,6 +329,7 @@ class GeoJsonPartitionReader(file: String, fields: Array[String])
             new GenericArrayData(ks.map(e =>
               UTF8String.fromString(e.getValue.asText())).toArray[Any]))
         }
+      case "pkey" => pkey
       case other =>
         throw new IllegalArgumentException(s"unknown column $other")
     }
