@@ -10,13 +10,16 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData,
   GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
   TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference,
+  Transform}
+import org.apache.spark.sql.connector.expressions.{Literal => ConnLiteral}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
   CountStar}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey,
   InputPartition, PartitionReader, PartitionReaderFactory, Scan,
   ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns,
-  SupportsReportPartitioning}
+  SupportsReportPartitioning, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.partitioning.{
   KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
@@ -171,9 +174,20 @@ case class GeoJsonBucketedFilePartition(file: String, pkey: Int)
   * `writeBucketed` parquet layout (ScaleLayoutSpec) is the same idea on
   * the engine's native format. */
 case class GeoJsonBucketedScan(path: String, required: StructType)
-    extends Scan with Batch with SupportsReportPartitioning {
-  private lazy val files: Seq[(String, Int)] =
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsRuntimeV2Filtering {
+  private lazy val allFiles: Seq[(String, Int)] =
     GeoJsonV2.listBucketedFiles(path)
+  // runtime (DPP-style) shard pruning: set once by filter(), read by
+  // planInputPartitions; deliberately NOT part of case equality so a
+  // filtered scan still reuses the unfiltered scan's broadcast
+  @volatile private var keptKeys: Option[Set[Int]] = None
+  /** Test hook: which bucket keys survived runtime filtering. */
+  private[graft] def prunedKeys: Option[Set[Int]] = keptKeys
+  private def files: Seq[(String, Int)] = keptKeys match {
+    case Some(ks) => allFiles.filter { case (_, k) => ks(k) }
+    case None => allFiles
+  }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
@@ -183,6 +197,37 @@ case class GeoJsonBucketedScan(path: String, required: StructType)
       Array(org.apache.spark.sql.connector.expressions.Expressions
         .identity("pkey")),
       files.size)
+  /** Dynamic shard pruning (the DSv2 DPP hook): when the bucketed lake is
+    * the fact side of a join on `pkey`, Spark hands the dim side's key
+    * set here at RUN time and whole shard directories drop out of the
+    * scan before any byte is read — the Iceberg-style
+    * SupportsRuntimeV2Filtering contract on the engine's own connector.
+    * Unrecognized predicate shapes are ignored (pruning is an
+    * optimization, never a correctness dependency — Spark re-applies the
+    * join itself). */
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column("pkey"))
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val keys = predicates.iterator.flatMap { p =>
+      val kids = p.children()
+      p.name() match {
+        case "IN" if kids.nonEmpty =>
+          val lits = kids.drop(1).collect {
+            case l: ConnLiteral[_] if l.value.isInstanceOf[java.lang.Integer] =>
+              l.value.asInstanceOf[java.lang.Integer].intValue()
+          }
+          if (lits.length == kids.length - 1) Some(lits.toSet) else None
+        case "=" if kids.length == 2 =>
+          kids.collectFirst {
+            case l: ConnLiteral[_] if l.value.isInstanceOf[java.lang.Integer] =>
+              Set(l.value.asInstanceOf[java.lang.Integer].intValue())
+          }
+        case _ => None
+      }
+    }.toSeq
+    if (keys.nonEmpty) keptKeys = Some(keys.reduce(_ intersect _))
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     GeoJsonBucketedReaderFactory(required.fieldNames)
   override def description(): String =

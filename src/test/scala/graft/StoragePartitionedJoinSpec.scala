@@ -95,6 +95,52 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     assert(shuffles(j2) > 0)
   }
 
+  test("runtime filtering prunes whole shard directories from the scan") {
+    import spark.implicits._
+    val root = writeLake((0 until 64).map(i => (s"p$i", s"n$i", i % 8)))
+    // fresh session with defaults: broadcast ON (DPP rides the broadcast)
+    val s2 = spark.newSession()
+    val fact = s2.read.format("graft-geojson")
+      .option("bucketed", "true").load(root)
+    // DPP needs a LIKELY-SELECTIVE predicate on the dim side (IsNotNull
+    // doesn't qualify), and the dim must be a real SOURCE — a local
+    // collection constant-folds, erasing the Filter the rule looks for
+    val dimPath = java.nio.file.Files
+      .createTempDirectory("graft_spj_dim").toString
+    (0 until 8).map(k => (k, if (k == 1 || k == 4) "keep" else "drop"))
+      .toDF("pkey", "tag").write.mode("overwrite").parquet(dimPath)
+    val dim = s2.read.parquet(dimPath)
+      .filter(col("tag") === "keep").select(col("pkey"))
+    val joined = fact.join(dim, Seq("pkey"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("pkey")).as("k"))
+    val Array(row) = joined.collect()
+    assert(row.getLong(0) == 16L && row.getLong(1) == 2L)
+    // the executed scan must hold only the two surviving buckets' files
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: (p.children ++ (p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case _ => Seq.empty
+      })).flatMap(walk)
+    val scans = walk(joined.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    // the optimizer attached a dynamic-pruning runtime filter to the scan…
+    assert(scans.head.toString.contains("dynamicpruningexpression"),
+      s"no runtime filter on the scan: ${scans.head}")
+    // …and at execution the connector received the dim's key set and kept
+    // only those buckets' shard files (inputPartitions reports the
+    // UNFILTERED list; the connector's own pruning state is the witness)
+    val pruned = scans.head.scan
+      .asInstanceOf[graft.sources.GeoJsonBucketedScan].prunedKeys
+    assert(pruned.contains(Set(1, 4)),
+      s"expected buckets {1,4} to survive pruning, got $pruned")
+  }
+
   test("pkey arrives as a real column and groupBy(pkey) is also exchange-free") {
     val root = writeLake((0 until 48).map(i => (s"g$i", s"n$i", i % 6)))
     val df = spark.read.format("graft-geojson")
