@@ -9278,6 +9278,39 @@ object SparkEntry {
           sum(length(element_at(col("l.props"), "name")).cast("long"))
             .as("sum_name_len"))
     }),
+
+    // ---- EXT: V2 writer round-trip (commit-protocol write arm) ----
+    "q449_v2_write_roundtrip" -> ((s, dir) => {
+      // q441 through the connector's OWN write path instead of the text
+      // sink: DataFrame rows → GeoJsonShardWriter temp files → commit
+      // renames → reader. Equality with the q441-shape oracle proves the
+      // serializer, the commit protocol, and the parser are inverse to
+      // each other (integer-exact coordinate rendering keeps the
+      // round-trip byte-deterministic).
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_geojson_w").toString
+      val x = (col("c_custkey") % 20).cast("double") * 10
+      val y = expr("cast(c_custkey div 20 as double)") * 10
+      Tables.customer(s, dir).select(
+          concat(lit("c"), col("c_custkey")).as("id"),
+          lit("Polygon").as("gtype"),
+          array(array(x, y), array(x + 5, y), array(x + 5, y + 5),
+            array(x, y + 5), array(x, y)).as("ring"),
+          map(lit("name"), col("c_name")).as("props"))
+        .write.format("graft-geojson").mode("overwrite").save(root)
+      s.read.format("graft-geojson").load(root)
+        .select(col("gtype"), length(col("id")).as("idlen"),
+          size(col("ring")).as("nv"),
+          expr("ring[0][0]").as("x0"), expr("ring[2][0]").as("x2"),
+          length(element_at(col("props"), "name")).as("namelen"))
+        .groupBy(col("gtype"))
+        .agg(count(lit(1)).as("n_features"),
+          sum(col("nv").cast("long")).as("n_vertices"),
+          min(col("x0")).cast("long").as("min_x"),
+          max(col("x2")).cast("long").as("max_x"),
+          sum(col("idlen").cast("long")).as("sum_id_len"),
+          sum(col("namelen").cast("long")).as("sum_name_len"))
+    }),
   )
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
@@ -17422,5 +17455,20 @@ object SparkEntry {
            cast(sum(length(c_name)) AS bigint) AS sum_name_len
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1""",
+    // identical shape to the q441 oracle — the write path must be
+    // invisible to the aggregate
+    "q449_v2_write_roundtrip" ->
+      """WITH f AS (SELECT c_custkey AS k,
+             (c_custkey % 20) * 10 AS x, (c_custkey // 20) * 10 AS y,
+             c_name
+           FROM customer)
+         SELECT 'Polygon' AS gtype, cast(count(*) AS bigint) AS n_features,
+           cast(count(*) * 5 AS bigint) AS n_vertices,
+           cast(min(x) AS bigint) AS min_x,
+           cast(max(x + 5) AS bigint) AS max_x,
+           cast(sum(length('c' || cast(k AS varchar))) AS bigint)
+             AS sum_id_len,
+           cast(sum(length(c_name)) AS bigint) AS sum_name_len
+         FROM f""",
   )
 }

@@ -118,14 +118,20 @@ object GeoJsonV2 {
 }
 
 class GeoJsonTable(path: String, bucketed: Boolean = false)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"geojson:$path"
   override def schema(): StructType =
     if (bucketed) GeoJsonV2.bucketedSchema else GeoJsonV2.fullSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GeoJsonScanBuilder(path, bucketed)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GeoJsonWriteBuilder(path, info.schema())
 }
 
 /** Aggregate pushdown (COUNT(*) only): a bare row count never needs the
@@ -387,4 +393,165 @@ class GeoJsonPartitionReader(file: String, fields: Array[String],
       new GenericArrayData(
         (0 until pt.size()).map(j => pt.get(j).asDouble()).toArray[Any])
     }.toArray[Any])
+}
+
+/** WRITE arm of the connector — the V2 commit protocol done properly:
+  * every task writes to a hidden temp file (`.tmp-<task>-<attempt>`),
+  * task commit hands the temp name to the driver in its commit message,
+  * and ONLY `BatchWrite.commit` renames the complete set to visible
+  * shard names (`shard-<task>.jsonl`). A failed/speculative attempt's
+  * temp file is ignored by every reader (dot-prefix) and deleted on
+  * abort — the exactly-once file-sink contract, connector-local. Shard
+  * names are monotone in task id, satisfying the streaming arm's
+  * sorted-name offset contract, so a directory written here is
+  * immediately replayable by the MicroBatchStream. */
+class GeoJsonWriteBuilder(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new GeoJsonWrite(path, schema, doTruncate)
+}
+
+case class GeoJsonShardCommit(tempPath: String, finalName: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class GeoJsonWrite(path: String, schema: StructType, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.Write {
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+    new org.apache.spark.sql.connector.write.BatchWrite {
+      override def createBatchWriterFactory(
+          info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+          : org.apache.spark.sql.connector.write.DataWriterFactory = {
+        val dir = new java.io.File(path)
+        dir.mkdirs()
+        GeoJsonWriterFactory(path, schema.fieldNames)
+      }
+      override def commit(messages: Array[
+          org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+        val dir = java.nio.file.Paths.get(path)
+        if (truncate) {
+          val old = new java.io.File(path).listFiles()
+          if (old != null) old.filter(f => f.isFile &&
+            !messages.exists(_.asInstanceOf[GeoJsonShardCommit]
+              .tempPath == f.getPath))
+            .foreach(_.delete())
+        }
+        messages.foreach { m =>
+          val c = m.asInstanceOf[GeoJsonShardCommit]
+          java.nio.file.Files.move(java.nio.file.Paths.get(c.tempPath),
+            dir.resolve(c.finalName),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+      override def abort(messages: Array[
+          org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+        messages.foreach {
+          case c: GeoJsonShardCommit =>
+            java.nio.file.Files.deleteIfExists(
+              java.nio.file.Paths.get(c.tempPath))
+          case _ =>
+        }
+    }
+}
+
+case class GeoJsonWriterFactory(path: String, fields: Array[String])
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GeoJsonShardWriter(path, fields, partitionId, taskId)
+}
+
+class GeoJsonShardWriter(path: String, fields: Array[String],
+                         partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val temp = java.nio.file.Paths.get(path,
+    f".tmp-$partitionId%05d-$taskId")
+  private val out = java.nio.file.Files.newBufferedWriter(temp,
+    java.nio.charset.StandardCharsets.UTF_8)
+  private val idx = fields.zipWithIndex.toMap
+
+  /** Doubles render integer-exact where possible so integer-coordinate
+    * fixtures round-trip byte-identically through any JSON parser. */
+  private def num(d: Double): String =
+    if (d == Math.rint(d) && Math.abs(d) < 1e15) d.toLong.toString
+    else d.toString
+
+  private def esc(s: String): String = {
+    val b = new StringBuilder
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val b = new StringBuilder("{\"type\":\"Feature\"")
+    idx.get("id").foreach { i =>
+      if (!row.isNullAt(i))
+        b.append(",\"id\":\"").append(esc(row.getUTF8String(i).toString))
+          .append('"')
+    }
+    val gtype = idx.get("gtype")
+      .filterNot(row.isNullAt).map(i => row.getUTF8String(i).toString)
+    val ring = idx.get("ring").filterNot(row.isNullAt).map(row.getArray)
+    (gtype, ring) match {
+      case (Some(t), Some(r)) =>
+        b.append(",\"geometry\":{\"type\":\"").append(esc(t))
+          .append("\",\"coordinates\":[[")
+        var i = 0
+        while (i < r.numElements()) {
+          if (i > 0) b.append(',')
+          val pt = r.getArray(i)
+          b.append('[')
+          var j = 0
+          while (j < pt.numElements()) {
+            if (j > 0) b.append(',')
+            b.append(num(pt.getDouble(j)))
+            j += 1
+          }
+          b.append(']')
+          i += 1
+        }
+        b.append("]]}")
+      case _ => b.append(",\"geometry\":null")
+    }
+    b.append(",\"properties\":{")
+    idx.get("props").filterNot(row.isNullAt).foreach { i =>
+      val m = row.getMap(i)
+      var k = 0
+      while (k < m.numElements()) {
+        if (k > 0) b.append(',')
+        b.append('"').append(esc(m.keyArray().getUTF8String(k).toString))
+          .append("\":\"")
+          .append(esc(m.valueArray().getUTF8String(k).toString)).append('"')
+        k += 1
+      }
+    }
+    b.append("}}")
+    out.write(b.toString)
+    out.newLine()
+  }
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    out.close()
+    GeoJsonShardCommit(temp.toString, f"shard-$partitionId%05d.jsonl")
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    java.nio.file.Files.deleteIfExists(temp)
+  }
+
+  override def close(): Unit = ()
 }

@@ -114,6 +114,33 @@ class Wave15Spec extends SparkSuite {
       .toSeq == Seq(("Polygon", 97L)))
   }
 
+  test("v2 writer: commit renames temps, overwrite truncates, rows round-trip") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_geojson_wr").toString
+    def features(n: Int) = (1 to n).map(i => (s"w$i", "Polygon",
+        Seq(Seq(0.0, 0.0), Seq(1.0, 0.0), Seq(1.0, 1.0), Seq(0.0, 0.0)),
+        Map("v" -> i.toString)))
+      .toDF("id", "gtype", "ring", "props")
+    features(10).repartition(2)
+      .write.format("graft-geojson").mode("append").save(root)
+    val names = new java.io.File(root).listFiles().map(_.getName).sorted
+    assert(names.forall(n => n.startsWith("shard-") && n.endsWith(".jsonl")),
+      s"uncommitted temp files visible: ${names.mkString(",")}")
+    val back = spark.read.format("graft-geojson").load(root)
+    assert(back.count() == 10)
+    assert(back.select("id").collect().map(_.getString(0)).sorted
+      .sameElements((1 to 10).map(i => s"w$i").sorted))
+    // map content and ring coordinates survive the round-trip
+    val r5 = back.filter(col("id") === "w5").collect().head
+    assert(r5.getAs[Map[String, String]]("props") == Map("v" -> "5"))
+    assert(r5.getSeq[scala.collection.Seq[Double]](r5.fieldIndex("ring"))
+      .head.toSeq == Seq(0.0, 0.0))
+    // overwrite truncates the previous commit's shards
+    features(4).write.format("graft-geojson").mode("overwrite").save(root)
+    assert(spark.read.format("graft-geojson").load(root).count() == 4)
+  }
+
   test("domainReweight: weights normalize, monotone in loss, mean preserved") {
     val out = SparkEntry.queries("q446_domain_reweight")(spark, sf)
       .collect().map(r => (r.getString(0), r.getAs[Double]("mean_surprisal"),
