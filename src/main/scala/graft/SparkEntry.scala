@@ -9311,7 +9311,106 @@ object SparkEntry {
           sum(col("idlen").cast("long")).as("sum_id_len"),
           sum(col("namelen").cast("long")).as("sum_name_len"))
     }),
+
+    // ---- EXT: unigram-LM Viterbi segmentation (SentencePiece decode) ----
+    "q450_viterbi_segment" -> ((s, dir) =>
+      // the tokenizer family's decode half (BPE merge learning is q391):
+      // min-surprisal segmentation over a corpus-derived 512-piece
+      // vocabulary, reported as the fertility curve per word length
+      graft.operators.TextOps.viterbiSegment(
+        Tables.documents(s, dir), "text",
+        vocabSize = 512, maxLen = 12, maxPiece = 4)),
+
+    // ---- EXT: randomized response + debias (local-DP telemetry) ----
+    "q451_randomized_response" -> ((s, dir) => {
+      // the q445 (central-DP) sibling at the LOCAL level: each event
+      // reports its sensitive bit (purchase?) through Warner's coin —
+      // truth if coin1, else coin2 — and the collector debiases
+      // π̂ = 2·p̂(reported) − 1/2. Coins are independent md5 hex nibbles
+      // (testable skeleton; production swaps a real RNG). Per user
+      // cohort: true rate vs debiased estimate vs |error|, every ratio
+      // through the mirrored half-away floor (rational values — q370).
+      val h1 = conv(substring(md5(concat(lit("rr1:"),
+        col("event_id"))), 1, 1), 16, 10).cast("int")
+      val h2 = conv(substring(md5(concat(lit("rr2:"),
+        col("event_id"))), 1, 1), 16, 10).cast("int")
+      val truth = (col("event_type") === "purchase").cast("int")
+      val reported = when(h1 % 2 === 0, truth)
+        .otherwise((h2 % 2).cast("int"))
+      val floor6 = (c: org.apache.spark.sql.Column) =>
+        floor(c * lit(1e6) + lit(0.5d)) / lit(1e6)
+      Tables.events(s, dir)
+        .select((col("user_id") % 8).cast("int").as("cohort"),
+          truth.as("__t"), reported.as("__r"))
+        .groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("__t")).cast("long").as("n_true"),
+          sum(col("__r")).cast("long").as("n_reported"))
+        .select(col("cohort"), col("n"), col("n_true"),
+          floor6(col("n_true").cast("double") / col("n").cast("double"))
+            .as("true_rate"),
+          floor6(lit(2.0d) * (col("n_reported").cast("double") /
+            col("n").cast("double")) - lit(0.5d)).as("debiased_rate"),
+          floor6(abs(lit(2.0d) * (col("n_reported").cast("double") /
+            col("n").cast("double")) - lit(0.5d) -
+            col("n_true").cast("double") / col("n").cast("double")))
+            .as("abs_err"))
+    }),
   )
+
+  /** Generated unrolled-DP oracle for q450 (the q307 pattern: a fixed
+    * round count unrolls into chained CTEs, one argmin row_number per
+    * position). Mirrors TextOps.viterbiSegment step for step. */
+  private def viterbiOracleSql(vocabSize: Int, maxLen: Int,
+                               maxPiece: Int, unkCost: String): String = {
+    val sCtes = (1 to maxLen).map { i =>
+      val cands = (1 to maxPiece).filter(d => i - d >= 0).map { d =>
+        s"""SELECT s.w AS w, ${i - d} AS j,
+              cast(s.lp + e.elp AS decimal(18,6)) AS nlp, s.np + 1 AS nnp
+            FROM s${i - d} s JOIN edges e
+              ON e.w = s.w AND e.j = ${i - d} AND e.i = $i"""
+      }.mkString("\n            UNION ALL\n")
+      s"""s$i AS MATERIALIZED (SELECT w, nlp AS lp, nnp AS np FROM (
+            SELECT c.w, c.j, c.nlp, c.nnp, row_number() OVER (
+              PARTITION BY c.w
+              ORDER BY c.nlp ASC, c.nnp ASC, c.j ASC) AS rn
+            FROM ($cands) c) t WHERE rn = 1)"""
+    }.mkString(",\n         ")
+    val fins = (1 to maxLen).map(l =>
+      s"SELECT $l AS len, w, lp, np FROM s$l WHERE length(w) = $l")
+      .mkString("\n           UNION ALL\n           ")
+    s"""WITH wr AS MATERIALIZED (SELECT w, count(*) AS wc FROM (
+             SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+           WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) <= $maxLen
+           GROUP BY w),
+         occ1 AS MATERIALIZED (SELECT w, wc,
+             unnest(generate_series(0, length(w) - 1)) AS j FROM wr),
+         occ2 AS MATERIALIZED (SELECT w, wc, j, unnest(generate_series(1,
+             least($maxPiece, length(w) - j))) AS d FROM occ1),
+         occ AS MATERIALIZED (SELECT w, wc, j, d, substr(w, j + 1, d) AS piece
+           FROM occ2),
+         vocab AS MATERIALIZED (SELECT piece, sum(wc) AS cnt FROM occ GROUP BY piece
+           ORDER BY cnt DESC, piece LIMIT $vocabSize),
+         vtot AS (SELECT sum(cnt) AS tot FROM vocab),
+         vlp AS MATERIALIZED (SELECT piece, cast(round(-ln(cast(cnt AS double)
+             / cast(tot AS double)), 6) AS decimal(18,6)) AS lp
+           FROM vocab CROSS JOIN vtot),
+         edges AS MATERIALIZED (SELECT o.w, o.j, o.j + o.d AS i,
+             coalesce(v.lp, cast($unkCost AS decimal(18,6))) AS elp
+           FROM occ o LEFT JOIN vlp v ON o.piece = v.piece
+           WHERE v.lp IS NOT NULL OR o.d = 1),
+         s0 AS MATERIALIZED (SELECT w, cast(0 AS decimal(18,6)) AS lp, 0 AS np FROM wr),
+         $sCtes,
+         fin AS ($fins)
+         SELECT len, count(*) AS n_words, cast(sum(wc) AS bigint) AS total_wc,
+           floor((cast(sum(wc * np) AS double) / cast(sum(wc) AS double))
+             * 1000000.0 + 0.5) / 1000000.0 AS mean_pieces,
+           floor((cast(sum(cast(wc AS decimal(20,0)) * lp) AS double)
+             / cast(sum(wc) AS double)) * 1000000.0 + 0.5) / 1000000.0
+             AS mean_surprisal
+         FROM fin JOIN wr USING (w)
+         GROUP BY len"""
+  }
 
   /** q39 / q41 oracle bodies, shared with the q222 retrieval-eval oracle. */
   private val KnnBruteSql: String =
@@ -17470,5 +17569,30 @@ object SparkEntry {
              AS sum_id_len,
            cast(sum(length(c_name)) AS bigint) AS sum_name_len
          FROM f""",
+    "q450_viterbi_segment" -> viterbiOracleSql(512, 12, 4, "20.000000"),
+    // Warner's randomized response mirrored nibble-for-nibble
+    "q451_randomized_response" ->
+      """WITH e AS (SELECT cast(user_id % 8 AS int) AS cohort,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS t,
+             CASE WHEN ('0x' || substr(md5('rr1:' ||
+                 cast(event_id AS varchar)), 1, 1))::int % 2 = 0
+               THEN CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+               ELSE ('0x' || substr(md5('rr2:' ||
+                 cast(event_id AS varchar)), 1, 1))::int % 2
+             END AS r
+           FROM events),
+         g AS (SELECT cohort, count(*) AS n,
+             cast(sum(t) AS bigint) AS n_true,
+             cast(sum(r) AS bigint) AS n_reported
+           FROM e GROUP BY 1)
+         SELECT cohort, n, n_true,
+           floor((cast(n_true AS double) / cast(n AS double)) * 1000000.0
+             + 0.5) / 1000000.0 AS true_rate,
+           floor((2.0 * (cast(n_reported AS double) / cast(n AS double))
+             - 0.5) * 1000000.0 + 0.5) / 1000000.0 AS debiased_rate,
+           floor(abs(2.0 * (cast(n_reported AS double) / cast(n AS double))
+             - 0.5 - cast(n_true AS double) / cast(n AS double))
+             * 1000000.0 + 0.5) / 1000000.0 AS abs_err
+         FROM g""",
   )
 }

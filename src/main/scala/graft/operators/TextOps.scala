@@ -244,6 +244,115 @@ object TextOps {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Unigram-LM Viterbi segmentation — SentencePiece's DECODE step over a
+    * corpus-derived piece vocabulary, the subword-tokenizer family's
+    * missing half next to BPE merge LEARNING (q391): vocabulary = the
+    * `vocabSize` highest-frequency character substrings (length ≤
+    * `maxPiece`) of the corpus's words, piece cost = 6-dp-rounded unigram
+    * surprisal renormalized over the vocabulary, and each word takes the
+    * segmentation MINIMIZING total surprisal (ties → fewer pieces → lower
+    * split position; out-of-vocabulary single pieces cost `unkCost`).
+    *
+    * Because words are LENGTH-BOUNDED (`maxLen`), the whole DP runs
+    * per-row in ONE higher-order expression: each word carries its
+    * (position, length)→cost edge map and `aggregate(sequence(1, len))`
+    * folds the Viterbi table left to right — no iteration, no per-round
+    * shuffles, embarrassingly parallel over the distinct-word table. (An
+    * equi-join round per position — the q191/q263 graph shape — would
+    * pay ~2·maxLen shuffle stages for a DAG whose depth is a CONSTANT;
+    * measured 9.5 s → sub-second at sf0.1.) All costs are EXACT
+    * decimals, so the argmin and its tie rules (fewer pieces, lower
+    * split position) order identically in any engine.
+    *
+    * Output: per word length, word counts and the weighted mean
+    * pieces-per-word and surprisal (the tokenizer-fertility curve a
+    * vocab-size decision needs). Scale shape: the edge map is
+    * (distinct words × len × maxPiece)-sized — vocabulary-bounded, not
+    * corpus-bounded; the corpus is read once for word counts. */
+  def viterbiSegment(docs: DataFrame, textCol: String,
+                     vocabSize: Int = 512, maxLen: Int = 12,
+                     maxPiece: Int = 4,
+                     unkCost: String = "20.000000"): DataFrame = {
+    val D = "decimal(18,6)"
+    val words = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= maxLen)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    val occ = words
+      .select(col("w"),
+        explode(sequence(lit(0), length(col("w")) - 1)).as("j"),
+        col("wc"))
+      .select(col("w"), col("j"),
+        explode(sequence(lit(1),
+          least(lit(maxPiece), length(col("w")) - col("j")))).as("d"),
+        col("wc"))
+      .withColumn("piece", expr("substring(w, j + 1, d)"))
+    val vocab = occ.groupBy(col("piece")).agg(sum(col("wc")).as("cnt"))
+      .orderBy(col("cnt").desc, col("piece").asc).limit(vocabSize)
+    val vtot = vocab.agg(sum(col("cnt")).as("tot"))
+    val vlp = vocab.crossJoin(broadcast(vtot))
+      .select(col("piece"),
+        round(-log(col("cnt").cast("double") / col("tot").cast("double")), 6)
+          .cast(D).as("lp"))
+    // one row per word: edge-cost map keyed j·maxPiece + d. OOV pieces
+    // get an edge ONLY at d=1 (SentencePiece's per-CHARACTER unknown —
+    // an unk cost on arbitrary substrings would let any garbage word
+    // collapse to one cheap piece); single chars always have an edge, so
+    // every position stays reachable and DP lookups can miss only on
+    // multi-char keys, where the missing edge reads as null = no path
+    val em = occ
+      .join(broadcast(vlp), Seq("piece"), "left")
+      .filter(col("lp").isNotNull || col("d") === 1)
+      .groupBy(col("w"))
+      .agg(map_from_entries(collect_list(struct(
+        (col("j") * maxPiece + col("d")).as("k"),
+        coalesce(col("lp"), lit(unkCost).cast(D)).as("v")))).as("em"))
+    def entry(lp: Column, np: Column) = struct(
+      lp.cast(D).as("lp"), np.cast("int").as("np"))
+    val dp = aggregate(
+      sequence(lit(1), length(col("w"))),
+      array(entry(lit("0.000000"), lit(0))),
+      (acc, i) => {
+        // candidate via piece length d (predecessor j = i−d); fold from
+        // d = maxPiece down so ties keep the SMALLEST split position j,
+        // with strictly-better (cost, then pieces) challengers winning —
+        // exactly ORDER BY cost, pieces, j
+        def cand(d: Int): Column = {
+          val e = element_at(col("em"), (i - lit(d)) * maxPiece + lit(d))
+          when(i >= d && e.isNotNull, entry(
+            element_at(acc, i - lit(d) + 1).getField("lp") + e,
+            element_at(acc, i - lit(d) + 1).getField("np") + 1))
+            .otherwise(lit(null))
+        }
+        val best = (maxPiece - 1 to 1 by -1).foldLeft(cand(maxPiece)) {
+          (b, d) =>
+            val ch = cand(d)
+            when(b.isNull, ch).otherwise(when(ch.isNull, b).otherwise(
+              when(ch.getField("lp") < b.getField("lp") ||
+                (ch.getField("lp") === b.getField("lp") &&
+                  ch.getField("np") < b.getField("np")), ch).otherwise(b)))
+        }
+        concat(acc, array(best))
+      })
+    val fin = em
+      .withColumn("__f", element_at(dp, length(col("w")) + 1))
+      .select(col("w"), length(col("w")).as("len"),
+        col("__f").getField("lp").as("lp"), col("__f").getField("np").as("np"))
+    val floor6 = (c: Column) =>
+      floor(c * lit(1e6) + lit(0.5d)) / lit(1e6)
+    fin.join(words, Seq("w"))
+      .groupBy(col("len"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("wc")).as("total_wc"),
+        sum(col("wc") * col("np")).as("__sp"),
+        sum(col("wc").cast("decimal(20,0)") * col("lp")).as("__sl"))
+      .select(col("len"), col("n_words"), col("total_wc"),
+        floor6(col("__sp").cast("double") / col("total_wc").cast("double"))
+          .as("mean_pieces"),
+        floor6(col("__sl").cast("double") / col("total_wc").cast("double"))
+          .as("mean_surprisal"))
+  }
+
   /** DoReMi-style domain reweighting, one multiplicative-weights update:
     * per-domain loss = mean unigram surprisal over the domain's TOKENS
     * (the [[unigramSurprisal]] proxy at the source grain), then
