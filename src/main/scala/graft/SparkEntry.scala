@@ -9321,6 +9321,16 @@ object SparkEntry {
         Tables.documents(s, dir), "text",
         vocabSize = 512, maxLen = 12, maxPiece = 4)),
 
+    // ---- T: FULL OUTER stream-stream interval join ----
+    "q452_stream_full_interval_join" -> ((s, dir) =>
+      // the outer-join matrix's last cell (inner q108, left q244):
+      // unmatched rows on BOTH sides emit null-extended exactly once,
+      // each driven by watermark progress past its own horizon —
+      // time-sliced replay + flush sentinels; result == batch full join
+      graft.streaming.Streams.replayedFullIntervalJoin(
+        s, Tables.events(s, dir), chunks = 3,
+        name = "full_interval_join")),
+
     // ---- EXT: randomized response + debias (local-DP telemetry) ----
     "q451_randomized_response" -> ((s, dir) => {
       // the q445 (central-DP) sibling at the LOCAL level: each event
@@ -17570,6 +17580,15 @@ object SparkEntry {
            cast(sum(length(c_name)) AS bigint) AS sum_name_len
          FROM f""",
     "q450_viterbi_segment" -> viterbiOracleSql(512, 12, 4, "20.000000"),
+    "q452_stream_full_interval_join" ->
+      """WITH c AS (SELECT event_id, ts, user_id FROM events
+           WHERE event_type = 'click'),
+         p AS (SELECT event_id AS p_event_id, ts AS p_ts,
+             user_id AS p_user_id FROM events
+           WHERE event_type = 'purchase')
+         SELECT c.event_id, p.p_event_id FROM c FULL OUTER JOIN p
+           ON c.user_id = p.p_user_id AND p.p_ts >= c.ts
+             AND p.p_ts <= c.ts + INTERVAL 30 MINUTE""",
     // Warner's randomized response mirrored nibble-for-nibble
     "q451_randomized_response" ->
       """WITH e AS (SELECT cast(user_id % 8 AS int) AS cohort,

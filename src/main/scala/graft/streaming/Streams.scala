@@ -672,11 +672,12 @@ object Streams {
     * DRIVEN by watermark progress, not by data arrival, and the same
     * watermark bounds the join state on both sides. */
   def leftIntervalJoinStream(left: DataFrame, right: DataFrame,
-                             lateness: String, window: String): DataFrame =
+                             lateness: String, window: String,
+                             joinType: String = "left_outer"): DataFrame =
     left.withWatermark("ts", lateness)
       .join(right.withWatermark("p_ts", lateness),
         expr(s"user_id = p_user_id AND p_ts >= ts AND p_ts <= ts + interval $window"),
-        "left_outer")
+        joinType)
 
   /** Replay gate for [[leftIntervalJoinStream]]: the appended result set
     * must equal the BATCH left interval join (the q244 oracle).
@@ -695,7 +696,8 @@ object Streams {
     * the real production shape, not an unbounded-state replay. */
   def replayedLeftIntervalJoin(spark: SparkSession, events: DataFrame,
                                chunks: Int, name: String,
-                               window: String = "30 minutes"): DataFrame = {
+                               window: String = "30 minutes",
+                               joinType: String = "left_outer"): DataFrame = {
     val left = events.filter(col("event_type") === "click")
       .select(col("event_id"), col("ts"), col("user_id"))
     val right = events.filter(col("event_type") === "purchase")
@@ -756,13 +758,30 @@ object Streams {
       .option("maxFilesPerTrigger", "1").parquet(s"$dir/r/*")
     val qname = s"graft_gate_${name}_${replaySeq.incrementAndGet()}"
     drainStream(spark, qname, expectedRows) {
-      leftIntervalJoinStream(ls, rs, lateness = "1 minute", window = window)
+      leftIntervalJoinStream(ls, rs, lateness = "1 minute", window = window,
+          joinType = joinType)
         .select(col("event_id"), col("p_event_id"))
         .writeStream.format("memory").queryName(qname)
         .outputMode("append").start()
     }
-    spark.table(qname).filter(col("event_id") >= 0)
+    // drop sentinel residue null-safely: FULL OUTER legitimately emits
+    // rows with a null on either side
+    spark.table(qname)
+      .filter((col("event_id").isNull || col("event_id") >= 0) &&
+        (col("p_event_id").isNull || col("p_event_id") >= 0))
   }
+
+  /** FULL OUTER sibling of [[replayedLeftIntervalJoin]]: unmatched RIGHT
+    * rows also emit null-extended, each exactly once, when the watermark
+    * passes their own event time (a right row at p_ts can only match
+    * left rows with ts ∈ [p_ts − window, p_ts], so watermark > p_ts
+    * proves no future match). Same time-sliced replay + flush sentinels;
+    * result == the batch FULL OUTER interval join. */
+  def replayedFullIntervalJoin(spark: SparkSession, events: DataFrame,
+                               chunks: Int, name: String,
+                               window: String = "30 minutes"): DataFrame =
+    replayedLeftIntervalJoin(spark, events, chunks, name, window,
+      joinType = "full_outer")
 
   /** T3+sketch replay gate: maintain a Misra–Gries frequent-items sketch as
     * STREAMING aggregation state over the replayed item stream (complete
