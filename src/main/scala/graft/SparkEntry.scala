@@ -9331,6 +9331,59 @@ object SparkEntry {
         s, Tables.events(s, dir), chunks = 3,
         name = "full_interval_join")),
 
+    // ---- SQL surface: SQL-defined scalar UDF (CREATE FUNCTION) ----
+    "q453_sql_udf" -> ((s, dir) => {
+      // Spark 4's SQL scalar UDFs: business logic DECLARED in SQL and
+      // inlined by Catalyst into the plan (no JVM closure, full codegen)
+      // — the engine-native answer to the reference's app-layer helper
+      // functions. The oracle inlines the same CASE, proving the UDF is
+      // a pure view over the expression.
+      Tables.registerAll(s, dir)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_tier(d DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN d < 0.02 THEN 'low'
+                    WHEN d < 0.06 THEN 'mid' ELSE 'high' END""")
+      s.sql("""SELECT graft_disc_tier(l_discount) AS tier,
+          count(*) AS n,
+          round(cast(sum(cast(l_quantity AS decimal(18,2))) AS double), 2)
+            + 0.0 AS total_qty
+        FROM lineitem GROUP BY 1""")
+    }),
+
+    // ---- SQL surface: collation-aware comparison and distinct ----
+    "q454_collation" -> ((s, dir) => {
+      // Spark 4 collations: case-insensitive equality and DISTINCT via
+      // UTF8_LCASE on a deliberately case-mangled column — the
+      // engine-level answer to the reference's citext-style lookups
+      // (lower() on both sides is the portable oracle mirror).
+      Tables.registerAll(s, dir)
+      s.sql("""WITH m AS (SELECT CASE WHEN c_custkey % 2 = 0
+               THEN upper(c_mktsegment) ELSE lower(c_mktsegment) END AS seg
+             FROM customer)
+           SELECT count(*) AS n_total,
+             count(CASE WHEN seg COLLATE UTF8_LCASE = 'building'
+               THEN 1 END) AS n_building,
+             cast(count(DISTINCT seg COLLATE UTF8_LCASE) AS bigint)
+               AS n_segments,
+             cast(count(DISTINCT seg) AS bigint) AS n_raw_variants
+           FROM m""")
+    }),
+
+    // ---- SQL surface: pipe syntax (|>) ----
+    "q455_pipe_sql" -> ((s, dir) => {
+      // Spark 4 SQL pipe syntax: the same relational algebra, staged
+      // left-to-right; must plan and answer identically to the classic
+      // form the oracle uses
+      Tables.registerAll(s, dir)
+      s.sql("""FROM orders
+        |> WHERE year(o_orderdate) = 1996
+        |> AGGREGATE count(*) AS n,
+             round(cast(sum(cast(o_totalprice AS decimal(18,2)))
+               AS double), 2) + 0.0 AS revenue
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n, revenue""")
+    }),
+
     // ---- EXT: randomized response + debias (local-DP telemetry) ----
     "q451_randomized_response" -> ((s, dir) => {
       // the q445 (central-DP) sibling at the LOCAL level: each event
@@ -17580,6 +17633,32 @@ object SparkEntry {
            cast(sum(length(c_name)) AS bigint) AS sum_name_len
          FROM f""",
     "q450_viterbi_segment" -> viterbiOracleSql(512, 12, 4, "20.000000"),
+    // the SQL-UDF body inlined — a Spark SQL UDF is a pure expression view
+    "q453_sql_udf" ->
+      """SELECT CASE WHEN l_discount < 0.02 THEN 'low'
+             WHEN l_discount < 0.06 THEN 'mid' ELSE 'high' END AS tier,
+           count(*) AS n,
+           round(cast(sum(cast(l_quantity AS decimal(18,2))) AS double), 2)
+             + 0.0 AS total_qty
+         FROM lineitem GROUP BY 1""",
+    // collation mirrored with lower()
+    "q454_collation" ->
+      """WITH m AS (SELECT CASE WHEN c_custkey % 2 = 0
+             THEN upper(c_mktsegment) ELSE lower(c_mktsegment) END AS seg
+           FROM customer)
+         SELECT count(*) AS n_total,
+           count(CASE WHEN lower(seg) = 'building' THEN 1 END)
+             AS n_building,
+           cast(count(DISTINCT lower(seg)) AS bigint) AS n_segments,
+           cast(count(DISTINCT seg) AS bigint) AS n_raw_variants
+         FROM m""",
+    // pipe syntax answers identically to the classic form
+    "q455_pipe_sql" ->
+      """SELECT o_orderpriority, count(*) AS n,
+           round(cast(sum(cast(o_totalprice AS decimal(18,2)))
+             AS double), 2) + 0.0 AS revenue
+         FROM orders WHERE year(o_orderdate) = 1996
+         GROUP BY o_orderpriority""",
     "q452_stream_full_interval_join" ->
       """WITH c AS (SELECT event_id, ts, user_id FROM events
            WHERE event_type = 'click'),
