@@ -9384,6 +9384,261 @@ object SparkEntry {
         |> SELECT o_orderpriority, n, revenue""")
     }),
 
+    // ---- EXT: Mann-Whitney U rank-sum test (compressed distribution) ----
+    "q456_mann_whitney" -> ((s, dir) => {
+      // two-sample rank test WITHOUT a global row sort: l_quantity has
+      // ≤50 distinct values, so all rank algebra runs on the 50-row
+      // compressed distribution (value → per-group counts). Tied ranks
+      // stay exact by 2x-scaling (avg rank ×2 = 2·cum_before + n(v) + 1);
+      // the tie-corrected normal z is the only double and goes through
+      // the mirrored half-away floor (q370 discipline).
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_quantity").cast("int").as("v"),
+          (col("l_linestatus") === "O").cast("long").as("g1"))
+      val dist = li.groupBy("v")
+        .agg(sum("g1").as("n1v"), (count(lit(1)) - sum("g1")).as("n2v"))
+        .withColumn("nv", col("n1v") + col("n2v"))
+      val w = Window.orderBy("v") // ≤50-row distribution table
+      val ranked = dist.withColumn("cb", coalesce(
+        sum("nv").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      ranked.agg(
+          sum("n1v").as("n1"), sum("n2v").as("n2"),
+          sum(col("n1v") * (lit(2L) * col("cb") + col("nv") + lit(1L)))
+            .as("r1_x2"),
+          sum(col("nv") * col("nv") * col("nv") - col("nv")).as("tt"))
+        .select(col("n1"), col("n2"),
+          (col("r1_x2") - col("n1") * (col("n1") + 1)).as("u1_x2"),
+          (lit(2L) * col("n1") * col("n2")
+            - (col("r1_x2") - col("n1") * (col("n1") + 1))).as("u2_x2"),
+          (floor(((col("r1_x2") - col("n1") * (col("n1") + 1))
+              .cast("double") / 2.0
+            - (col("n1") * col("n2")).cast("double") / 2.0)
+            / sqrt(col("n1").cast("double") * col("n2").cast("double")
+              / 12.0
+              * ((col("n1") + col("n2") + 1).cast("double")
+                - col("tt").cast("double")
+                  / ((col("n1") + col("n2")).cast("double")
+                    * (col("n1") + col("n2") - 1).cast("double"))))
+            * 1000000 + 0.5) / 1000000.0).as("z_approx"))
+    }),
+
+    // ---- EXT: Benjamini-Hochberg FDR over a test family ----
+    "q457_bh_fdr" -> ((s, dir) => {
+      // multiple-testing control for the per-nation return-rate screen:
+      // one two-proportion z per supplier nation against the global rate,
+      // then the BH step-up at α=0.05 stated in exact scaled-integer
+      // algebra (p6·m·20 ≤ k·10^6 — no double threshold can flip a
+      // boundary row between engines). Φ via the mirrored logistic
+      // approximation 1/(1+exp(−1.702z)) — both engines run the same
+      // IEEE ops, and the gate's subject is the step-up machinery, not
+      // the tail approximation. Rank windows run on the 25-row nation
+      // table only.
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_nationkey"), col("n_name"),
+          (col("l_returnflag") === "R").cast("long").as("r"))
+      val per = li.groupBy("n_nationkey", "n_name")
+        .agg(count(lit(1)).as("n_li"), sum("r").as("x_ret"))
+      val glob = per.agg(sum("n_li").as("nt"), sum("x_ret").as("xt"))
+      val z = per.crossJoin(broadcast(glob))
+        .withColumn("p0", col("xt").cast("double") / col("nt").cast("double"))
+        .withColumn("z", (col("x_ret").cast("double")
+            / col("n_li").cast("double") - col("p0"))
+          / sqrt(col("p0") * (lit(1.0) - col("p0"))
+            / col("n_li").cast("double")))
+        .withColumn("p6", floor((lit(2.0) * (lit(1.0)
+          - lit(1.0) / (lit(1.0) + exp(lit(-1.702) * abs(col("z"))))))
+          * 1000000 + 0.5).cast("long"))
+      val wr = Window.orderBy(col("p6"), col("n_nationkey"))
+      val wAll = Window.partitionBy(lit(1)) // 25-row family
+      val ranked = z.withColumn("rnk", row_number().over(wr))
+        .withColumn("m", count(lit(1)).over(wAll))
+        .withColumn("kmax", max(when(
+          col("p6") * col("m") * 20 <= col("rnk") * lit(1000000L),
+          col("rnk")).otherwise(lit(0))).over(wAll))
+      ranked.select(col("n_name"), col("n_li"), col("x_ret"),
+          (col("p6").cast("double") / 1000000.0).as("p_value"),
+          col("rnk").cast("long").as("rnk"),
+          (col("rnk") <= col("kmax")).cast("int").as("rejected"))
+    }),
+
+    // ---- EXT: difference-in-differences estimator ----
+    "q458_did" -> ((s, dir) => {
+      // the 2×2 causal panel in ONE conditional-aggregation pass:
+      // treated = ASIA-region customers, post = orders from 1999 on,
+      // outcome = mean order value. Sums stay exact in cents; each cell
+      // mean is half-away-floored at 6dp FIRST, so the DiD contrast is
+      // pure integer algebra at the 1e6 scale (no double subtraction
+      // can diverge between engines).
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"),
+          (col("r_name") === "ASIA").cast("int").as("treated"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          (col("o_orderdate") >= lit("1999-01-01").cast("date"))
+            .cast("int").as("post"),
+          (col("o_totalprice").cast(D) * 100).cast("long").as("cents"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      def m6(t: Int, p: Int) = floor(
+        sum(when(col("treated") === t && col("post") === p, col("cents")))
+          .cast("double")
+        / sum(when(col("treated") === t && col("post") === p, 1L))
+        / 100.0 * 1000000 + 0.5).cast("long")
+      def n(t: Int, p: Int) =
+        sum(when(col("treated") === t && col("post") === p, 1L)).as(s"n$t$p")
+      o.agg(n(0, 0), n(0, 1), n(1, 0), n(1, 1),
+          m6(0, 0).as("m00"), m6(0, 1).as("m01"),
+          m6(1, 0).as("m10"), m6(1, 1).as("m11"))
+        .select(col("n00"), col("n01"), col("n10"), col("n11"),
+          (col("m00").cast("double") / 1000000.0).as("mean_c_pre"),
+          (col("m01").cast("double") / 1000000.0).as("mean_c_post"),
+          (col("m10").cast("double") / 1000000.0).as("mean_t_pre"),
+          (col("m11").cast("double") / 1000000.0).as("mean_t_post"),
+          (((col("m11") - col("m10")) - (col("m01") - col("m00")))
+            .cast("double") / 1000000.0).as("did"))
+    }),
+
+    // ---- EXT: coarsened exact matching (ATT) ----
+    "q459_cem_att" -> ((s, dir) => {
+      // observational causal estimate with exact-match strata: units are
+      // customers (treatment = deterministic md5 parity — a testable
+      // skeleton for a real exposure flag), outcome = lifetime spend,
+      // strata = (nation, segment). Only strata holding BOTH arms
+      // contribute; controls are reweighted to the treated distribution
+      // (ATT weights = n_treated per stratum). Per-stratum means floored
+      // at 6dp first so the weighted contrast is exact integer algebra;
+      // the stratum table is dimension-sized (≤ 25×5 rows).
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(D) * 100).cast("long").as("sc"))
+      val cust = Tables.customer(s, dir)
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          coalesce(col("sc"), lit(0L)).as("cents"),
+          (conv(substring(md5(concat(lit("cem:"),
+            col("c_custkey").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 2 === 0).cast("int").as("treated"))
+      val cells = cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(sum(when(col("treated") === 1, 1L)).as("nt"),
+          sum(when(col("treated") === 0, 1L)).as("nc"),
+          sum(when(col("treated") === 1, col("cents"))).as("st"),
+          sum(when(col("treated") === 0, col("cents"))).as("sc"))
+      val matched = cells.filter(col("nt") > 0 && col("nc") > 0)
+        .withColumn("d6",
+          floor(col("st").cast("double") / col("nt") / 100.0
+            * 1000000 + 0.5).cast("long")
+          - floor(col("sc").cast("double") / col("nc") / 100.0
+            * 1000000 + 0.5).cast("long"))
+      cells.agg(count(lit(1)).as("n_cells")).crossJoin(
+        matched.agg(count(lit(1)).as("n_matched"),
+            sum("nt").as("n_treated_matched"),
+            sum("nc").as("n_control_matched"),
+            (floor(sum(col("nt") * col("d6")).cast("double")
+              / sum("nt") + 0.5) / 1000000.0).as("att")))
+        .select(col("n_cells"), col("n_matched"),
+          col("n_treated_matched"), col("n_control_matched"), col("att"))
+    }),
+
+    // ---- EXT: permutation test (deterministic label reshuffles) ----
+    "q460_permutation_test" -> ((s, dir) => {
+      // exact-style significance WITHOUT distributional assumptions:
+      // the observed open-vs-finished (l_linestatus) mean-quantity gap vs B=64 md5-parity
+      // label permutations. Explode-by-64 is one hash aggregate over a
+      // bounded multiple of the filtered fact (embarrassingly parallel —
+      // the 100 TB shape); every mean diff is half-away-floored at 6dp
+      // so 'as extreme' is an integer comparison. p = (1+#extreme)/(B+1).
+      val li = Tables.lineitem(s, dir)
+        .select(concat(col("l_orderkey").cast("string"), lit(":"),
+            col("l_linenumber").cast("string")).as("key"),
+          col("l_quantity").cast("long").as("v"),
+          (col("l_linestatus") === "O").cast("int").as("g1"))
+      val obs = li.groupBy("g1")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .agg(sum(when(col("g1") === 1, col("n"))).as("n1"),
+          sum(when(col("g1") === 0, col("n"))).as("n2"),
+          floor((sum(when(col("g1") === 1, col("s"))).cast("double")
+              / sum(when(col("g1") === 1, col("n")))
+            - sum(when(col("g1") === 0, col("s"))).cast("double")
+              / sum(when(col("g1") === 0, col("n"))))
+            * 1000000 + 0.5).cast("long").as("obs6"))
+      val perms = li
+        .select(col("key"), col("v"),
+          explode(sequence(lit(1), lit(64))).as("b"))
+        .withColumn("pg", (conv(substring(md5(concat(lit("pt:"),
+          col("key"), lit(":"), col("b").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 2).cast("int"))
+        .groupBy("b", "pg")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .groupBy("b")
+        .agg(floor((sum(when(col("pg") === 1, col("s"))).cast("double")
+            / sum(when(col("pg") === 1, col("n")))
+          - sum(when(col("pg") === 0, col("s"))).cast("double")
+            / sum(when(col("pg") === 0, col("n"))))
+          * 1000000 + 0.5).cast("long").as("d6"))
+      perms.crossJoin(broadcast(obs))
+        .agg(first(col("n1")).as("n1"), first(col("n2")).as("n2"),
+          (first(col("obs6")).cast("double") / 1000000.0).as("obs_diff"),
+          coalesce(sum(when(abs(col("d6")) >= abs(col("obs6")), 1L)),
+            lit(0L)).as("n_extreme"))
+        .withColumn("p_value",
+          floor((col("n_extreme") + 1).cast("double") / 65.0
+            * 1000000 + 0.5) / 1000000.0)
+    }),
+
+    // ---- EXT: Wilcoxon signed-rank test (paired years) ----
+    "q461_wilcoxon_signed" -> ((s, dir) => {
+      // the paired sibling of q456: per supplier nation, the 1997 vs
+      // 1998 return-rate shift. Rates are 6dp-floored integers, so the
+      // pair differences are exact; zero diffs drop (standard Wilcoxon);
+      // |d| average ranks stay exact by 2x-scaling over the ≤25-row pair
+      // table. w_plus_x2 + w_minus_x2 == 2·Σrank is the conservation
+      // invariant the spec asserts.
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, dir)
+        .filter(year(col("l_shipdate")).isin(1997, 1998))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey"), year(col("l_shipdate")).as("y"),
+          (col("l_returnflag") === "R").cast("long").as("r"))
+      val rates = li.groupBy("s_nationkey", "y")
+        .agg(floor(sum("r").cast("double") / count(lit(1))
+          * 1000000 + 0.5).cast("long").as("rate6"))
+      val pairs = rates.groupBy("s_nationkey")
+        .agg(sum(when(col("y") === 1998, col("rate6"))).as("r98"),
+          sum(when(col("y") === 1997, col("rate6"))).as("r97"),
+          count(lit(1)).as("ny"))
+        .filter(col("ny") === 2)
+        .select(col("s_nationkey"), (col("r98") - col("r97")).as("d"))
+      val nz = pairs.filter(col("d") =!= 0)
+        .select(col("s_nationkey"), col("d"), abs(col("d")).as("ad"))
+      val dist = nz.groupBy("ad").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("ad") // ≤25-row pair table
+      val rankedVals = dist.withColumn("cb", coalesce(
+        sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+        .select(col("ad").as("adv"),
+          (lit(2L) * col("cb") + col("cnt") + 1).as("rank_x2"))
+      val joined = nz.join(broadcast(rankedVals), col("ad") === col("adv"))
+      pairs.agg(count(lit(1)).as("n_pairs")).crossJoin(
+        joined.agg(count(lit(1)).as("n_nonzero"),
+          coalesce(sum(when(col("d") > 0, col("rank_x2"))), lit(0L))
+            .as("w_plus_x2"),
+          coalesce(sum(when(col("d") < 0, col("rank_x2"))), lit(0L))
+            .as("w_minus_x2")))
+        .select(col("n_pairs"), col("n_nonzero"),
+          col("w_plus_x2"), col("w_minus_x2"))
+    }),
+
     // ---- EXT: randomized response + debias (local-DP telemetry) ----
     "q451_randomized_response" -> ((s, dir) => {
       // the q445 (central-DP) sibling at the LOCAL level: each event
@@ -17659,6 +17914,220 @@ object SparkEntry {
              AS double), 2) + 0.0 AS revenue
          FROM orders WHERE year(o_orderdate) = 1996
          GROUP BY o_orderpriority""",
+    // rank algebra on the compressed distribution, 2x-scaled tied ranks
+    "q456_mann_whitney" ->
+      """WITH b AS (SELECT cast(l_quantity AS int) AS v,
+             CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END AS g1
+           FROM lineitem),
+         d AS (SELECT v, cast(sum(g1) AS bigint) AS n1v,
+             cast(count(*) - sum(g1) AS bigint) AS n2v
+           FROM b GROUP BY 1),
+         r AS (SELECT v, n1v, n2v, n1v + n2v AS nv,
+             cast(coalesce(sum(n1v + n2v) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS bigint) AS cb
+           FROM d),
+         a AS (SELECT cast(sum(n1v) AS bigint) AS n1,
+             cast(sum(n2v) AS bigint) AS n2,
+             cast(sum(n1v * (2 * cb + nv + 1)) AS bigint) AS r1_x2,
+             cast(sum(nv * nv * nv - nv) AS bigint) AS tt
+           FROM r)
+         SELECT n1, n2,
+           r1_x2 - n1 * (n1 + 1) AS u1_x2,
+           2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS u2_x2,
+           floor((cast(r1_x2 - n1 * (n1 + 1) AS double) / 2.0
+               - cast(n1 * n2 AS double) / 2.0)
+             / sqrt(cast(n1 AS double) * cast(n2 AS double) / 12.0
+               * (cast(n1 + n2 + 1 AS double) - cast(tt AS double)
+                 / (cast(n1 + n2 AS double) * cast(n1 + n2 - 1 AS double))))
+             * 1000000 + 0.5) / 1000000.0 AS z_approx
+         FROM a""",
+    // BH step-up in scaled-integer algebra; logistic Phi both sides
+    "q457_bh_fdr" ->
+      """WITH li AS (SELECT n.n_nationkey, n.n_name,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+           FROM lineitem l
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           JOIN nation n ON s.s_nationkey = n.n_nationkey),
+         per AS (SELECT n_nationkey, n_name,
+             cast(count(*) AS bigint) AS n_li,
+             cast(sum(r) AS bigint) AS x_ret
+           FROM li GROUP BY 1, 2),
+         g AS (SELECT cast(sum(n_li) AS bigint) AS nt,
+             cast(sum(x_ret) AS bigint) AS xt FROM per),
+         z AS (SELECT per.*,
+             cast(xt AS double) / cast(nt AS double) AS p0
+           FROM per CROSS JOIN g),
+         z2 AS (SELECT n_nationkey, n_name, n_li, x_ret,
+             (cast(x_ret AS double) / cast(n_li AS double) - p0)
+               / sqrt(p0 * (1.0 - p0) / cast(n_li AS double)) AS zz
+           FROM z),
+         p AS (SELECT *, cast(floor((2.0 * (1.0
+               - 1.0 / (1.0 + exp(-1.702 * abs(zz)))))
+             * 1000000 + 0.5) AS bigint) AS p6 FROM z2),
+         rk AS (SELECT *,
+             row_number() OVER (ORDER BY p6, n_nationkey) AS rnk,
+             cast(count(*) OVER () AS bigint) AS m FROM p),
+         km AS (SELECT *, max(CASE WHEN p6 * m * 20 <= rnk * 1000000
+               THEN rnk ELSE 0 END) OVER () AS kmax FROM rk)
+         SELECT n_name, n_li, x_ret,
+           cast(p6 AS double) / 1000000.0 AS p_value,
+           cast(rnk AS bigint) AS rnk,
+           CASE WHEN rnk <= kmax THEN 1 ELSE 0 END AS rejected
+         FROM km""",
+    // 2x2 conditional aggregation; cell means 6dp-floored before the
+    // contrast so the DiD is exact integer algebra
+    "q458_did" ->
+      """WITH cust AS (SELECT c_custkey,
+             CASE WHEN r.r_name = 'ASIA' THEN 1 ELSE 0 END AS treated
+           FROM customer c
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey),
+         o AS (SELECT treated,
+             CASE WHEN o_orderdate >= DATE '1999-01-01'
+               THEN 1 ELSE 0 END AS post,
+             cast(cast(o_totalprice AS decimal(18,2)) * 100 AS bigint)
+               AS cents
+           FROM orders JOIN cust ON o_custkey = c_custkey),
+         a AS (SELECT
+             cast(sum(CASE WHEN treated = 0 AND post = 0 THEN 1 END)
+               AS bigint) AS n00,
+             cast(sum(CASE WHEN treated = 0 AND post = 1 THEN 1 END)
+               AS bigint) AS n01,
+             cast(sum(CASE WHEN treated = 1 AND post = 0 THEN 1 END)
+               AS bigint) AS n10,
+             cast(sum(CASE WHEN treated = 1 AND post = 1 THEN 1 END)
+               AS bigint) AS n11,
+             cast(floor(cast(sum(CASE WHEN treated = 0 AND post = 0
+                 THEN cents END) AS double)
+               / sum(CASE WHEN treated = 0 AND post = 0 THEN 1 END)
+               / 100.0 * 1000000 + 0.5) AS bigint) AS m00,
+             cast(floor(cast(sum(CASE WHEN treated = 0 AND post = 1
+                 THEN cents END) AS double)
+               / sum(CASE WHEN treated = 0 AND post = 1 THEN 1 END)
+               / 100.0 * 1000000 + 0.5) AS bigint) AS m01,
+             cast(floor(cast(sum(CASE WHEN treated = 1 AND post = 0
+                 THEN cents END) AS double)
+               / sum(CASE WHEN treated = 1 AND post = 0 THEN 1 END)
+               / 100.0 * 1000000 + 0.5) AS bigint) AS m10,
+             cast(floor(cast(sum(CASE WHEN treated = 1 AND post = 1
+                 THEN cents END) AS double)
+               / sum(CASE WHEN treated = 1 AND post = 1 THEN 1 END)
+               / 100.0 * 1000000 + 0.5) AS bigint) AS m11
+           FROM o)
+         SELECT n00, n01, n10, n11,
+           cast(m00 AS double) / 1000000.0 AS mean_c_pre,
+           cast(m01 AS double) / 1000000.0 AS mean_c_post,
+           cast(m10 AS double) / 1000000.0 AS mean_t_pre,
+           cast(m11 AS double) / 1000000.0 AS mean_t_post,
+           cast((m11 - m10) - (m01 - m00) AS double) / 1000000.0 AS did
+         FROM a""",
+    // exact-match strata; ATT weights = treated counts per stratum
+    "q459_cem_att" ->
+      """WITH spend AS (SELECT o_custkey,
+             cast(sum(cast(o_totalprice AS decimal(18,2)) * 100)
+               AS bigint) AS sc
+           FROM orders GROUP BY 1),
+         cust AS (SELECT c_nationkey, c_mktsegment,
+             coalesce(sc, 0) AS cents,
+             CASE WHEN ('0x' || substr(md5('cem:'
+                 || cast(c_custkey AS varchar)), 1, 8))::bigint % 2 = 0
+               THEN 1 ELSE 0 END AS treated
+           FROM customer LEFT JOIN spend ON c_custkey = o_custkey),
+         cells AS (SELECT c_nationkey, c_mktsegment,
+             cast(sum(CASE WHEN treated = 1 THEN 1 END) AS bigint) AS nt,
+             cast(sum(CASE WHEN treated = 0 THEN 1 END) AS bigint) AS nc,
+             cast(sum(CASE WHEN treated = 1 THEN cents END) AS bigint)
+               AS st,
+             cast(sum(CASE WHEN treated = 0 THEN cents END) AS bigint)
+               AS scs
+           FROM cust GROUP BY 1, 2),
+         m AS (SELECT *,
+             cast(floor(cast(st AS double) / nt / 100.0
+               * 1000000 + 0.5) AS bigint)
+             - cast(floor(cast(scs AS double) / nc / 100.0
+               * 1000000 + 0.5) AS bigint) AS d6
+           FROM cells WHERE nt > 0 AND nc > 0)
+         SELECT (SELECT cast(count(*) AS bigint) FROM cells) AS n_cells,
+           cast(count(*) AS bigint) AS n_matched,
+           cast(sum(nt) AS bigint) AS n_treated_matched,
+           cast(sum(nc) AS bigint) AS n_control_matched,
+           floor(cast(sum(nt * d6) AS double) / sum(nt) + 0.5)
+             / 1000000.0 AS att
+         FROM m""",
+    // 64 deterministic md5-parity label permutations
+    "q460_permutation_test" ->
+      """WITH li AS (SELECT cast(l_orderkey AS varchar) || ':'
+             || cast(l_linenumber AS varchar) AS key,
+             cast(l_quantity AS bigint) AS v,
+             CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END AS g1
+           FROM lineitem),
+         og AS (SELECT g1, cast(count(*) AS bigint) AS n,
+             cast(sum(v) AS bigint) AS s FROM li GROUP BY 1),
+         obs AS (SELECT
+             cast(sum(CASE WHEN g1 = 1 THEN n END) AS bigint) AS n1,
+             cast(sum(CASE WHEN g1 = 0 THEN n END) AS bigint) AS n2,
+             cast(floor((cast(sum(CASE WHEN g1 = 1 THEN s END) AS double)
+                 / sum(CASE WHEN g1 = 1 THEN n END)
+               - cast(sum(CASE WHEN g1 = 0 THEN s END) AS double)
+                 / sum(CASE WHEN g1 = 0 THEN n END))
+               * 1000000 + 0.5) AS bigint) AS obs6
+           FROM og),
+         e AS (SELECT key, v,
+             unnest(generate_series(1, 64)) AS b FROM li),
+         e2 AS (SELECT b, v, ('0x' || substr(md5('pt:' || key || ':'
+             || cast(b AS varchar)), 1, 8))::bigint % 2 AS pg FROM e),
+         pm AS (SELECT b, pg, cast(count(*) AS bigint) AS n,
+             cast(sum(v) AS bigint) AS s FROM e2 GROUP BY 1, 2),
+         pd AS (SELECT b,
+             cast(floor((cast(sum(CASE WHEN pg = 1 THEN s END) AS double)
+                 / sum(CASE WHEN pg = 1 THEN n END)
+               - cast(sum(CASE WHEN pg = 0 THEN s END) AS double)
+                 / sum(CASE WHEN pg = 0 THEN n END))
+               * 1000000 + 0.5) AS bigint) AS d6
+           FROM pm GROUP BY 1)
+         SELECT obs.n1, obs.n2,
+           cast(obs.obs6 AS double) / 1000000.0 AS obs_diff,
+           cast(coalesce(sum(CASE WHEN abs(d6) >= abs(obs6)
+             THEN 1 END), 0) AS bigint) AS n_extreme,
+           floor(cast(coalesce(sum(CASE WHEN abs(d6) >= abs(obs6)
+               THEN 1 END), 0) + 1 AS double) / 65.0
+             * 1000000 + 0.5) / 1000000.0 AS p_value
+         FROM pd CROSS JOIN obs
+         GROUP BY obs.n1, obs.n2, obs.obs6""",
+    // paired-year signed ranks, 2x-scaled tied ranks, zero diffs drop
+    "q461_wilcoxon_signed" ->
+      """WITH li AS (SELECT s.s_nationkey,
+             year(l.l_shipdate) AS y,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+           FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           WHERE year(l.l_shipdate) IN (1997, 1998)),
+         rates AS (SELECT s_nationkey, y,
+             cast(floor(cast(sum(r) AS double) / count(*)
+               * 1000000 + 0.5) AS bigint) AS rate6
+           FROM li GROUP BY 1, 2),
+         pairs AS (SELECT s_nationkey,
+             cast(sum(CASE WHEN y = 1998 THEN rate6 END)
+               - sum(CASE WHEN y = 1997 THEN rate6 END) AS bigint) AS d
+           FROM rates GROUP BY 1 HAVING count(*) = 2),
+         nz AS (SELECT s_nationkey, d, abs(d) AS ad FROM pairs
+           WHERE d <> 0),
+         dist AS (SELECT ad, cast(count(*) AS bigint) AS cnt
+           FROM nz GROUP BY 1),
+         rv AS (SELECT ad AS adv,
+             2 * cast(coalesce(sum(cnt) OVER (ORDER BY ad
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS bigint) + cnt + 1 AS rank_x2
+           FROM dist),
+         j AS (SELECT nz.d, rv.rank_x2 FROM nz
+           JOIN rv ON nz.ad = rv.adv)
+         SELECT (SELECT cast(count(*) AS bigint) FROM pairs) AS n_pairs,
+           cast(count(*) AS bigint) AS n_nonzero,
+           cast(coalesce(sum(CASE WHEN d > 0 THEN rank_x2 END), 0)
+             AS bigint) AS w_plus_x2,
+           cast(coalesce(sum(CASE WHEN d < 0 THEN rank_x2 END), 0)
+             AS bigint) AS w_minus_x2
+         FROM j""",
     "q452_stream_full_interval_join" ->
       """WITH c AS (SELECT event_id, ts, user_id FROM events
            WHERE event_type = 'click'),
