@@ -9639,6 +9639,102 @@ object SparkEntry {
           col("w_plus_x2"), col("w_minus_x2"))
     }),
 
+    // ---- SQL surface: session variables (DECLARE / SET VAR) ----
+    "q462_session_variable" -> ((s, dir) => {
+      // Spark 4 SQL session variables: a data-derived threshold staged
+      // into a variable, then consumed by a second statement — the
+      // engine-native answer to the reference's app-layer "compute
+      // setting, then query with it" two-step. The threshold lives in
+      // exact integer cents (floor of the mean) so the filter bound can
+      // never straddle an engine-specific double; the oracle inlines the
+      // same scalar through a CTE.
+      Tables.registerAll(s, dir)
+      s.sql("""DECLARE OR REPLACE VARIABLE thr_cents BIGINT DEFAULT 0""")
+      s.sql("""SET VAR thr_cents = (SELECT cast(floor(
+          sum(cast(cast(o_totalprice AS decimal(18,2)) * 100 AS bigint))
+          / count(*)) AS bigint) FROM orders)""")
+      s.sql("""SELECT o_orderpriority,
+          count(*) AS n_above,
+          round(cast(sum(cast(o_totalprice AS decimal(18,2)))
+            AS double), 2) + 0.0 AS revenue_above
+        FROM orders
+        WHERE cast(cast(o_totalprice AS decimal(18,2)) * 100 AS bigint)
+          > thr_cents
+        GROUP BY o_orderpriority""")
+    }),
+
+    // ---- SQL surface: EXECUTE IMMEDIATE with bound parameters ----
+    "q463_execute_immediate" -> ((s, dir) => {
+      // dynamic SQL, engine-side: the statement text is data, the
+      // parameters bind at execution (the reference's string-built
+      // queries done safely). The oracle inlines the same constants —
+      // EXECUTE IMMEDIATE must be a pure staging layer over the plan.
+      Tables.registerAll(s, dir)
+      s.sql("""EXECUTE IMMEDIATE
+        'SELECT o_orderpriority, count(*) AS n,
+           round(cast(sum(cast(o_totalprice AS decimal(18,2)))
+             AS double), 2) + 0.0 AS revenue
+         FROM orders WHERE o_orderdate >= ? AND o_orderdate < ?
+         GROUP BY o_orderpriority'
+        USING DATE '1998-01-01', DATE '1999-01-01'""")
+    }),
+
+    // ---- SQL surface: try_* error-safe arithmetic ----
+    "q464_try_arithmetic" -> ((s, dir) => {
+      // ANSI-mode-safe ratios: try_divide returns NULL where a raw
+      // division would error (the suite runs ANSI-on everywhere else,
+      // q415's CASE-guard lesson made native). Markup ratio per
+      // lineitem; zero-discount rows surface as NULLs, counted — not
+      // task-killing. Non-null ratios are 6dp-floored per row, then
+      // exactly summed (bigint), so the aggregate is engine-exact.
+      Tables.lineitem(s, dir)
+        .select(col("l_discount"),
+          try_divide(col("l_extendedprice"), col("l_discount")).as("m"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("m").isNull, 1L)).as("n_null_ratio"),
+          count(col("m")).as("n_ok"),
+          sum(when(col("m").isNotNull,
+            floor(col("m") * 1000000 + 0.5).cast("long"))).as("sum_m6"))
+        .select(col("n_rows"), col("n_null_ratio"), col("n_ok"),
+          col("sum_m6"),
+          (floor(col("sum_m6").cast("double") / col("n_ok") + 0.5)
+            / 1000000.0).as("mean_markup"))
+    }),
+
+    // ---- EXT: homoglyph / zero-width skeleton dedup ----
+    "q465_homoglyph_skeleton" -> ((s, dir) => {
+      // spoof-resistant identity matching (UTS #39 skeleton, shrunk to a
+      // testable confusable table): Cyrillic о/е lookalikes and
+      // zero-width-space padding collapse to an ASCII skeleton via ONE
+      // codegen'd translate (chars beyond the `to` string are deleted —
+      // that's the ZWSP strip). Every customer emits its clean name AND
+      // a deterministically spoofed variant; the skeleton must merge
+      // exactly the spoofed pairs and nothing else — distinct-count
+      // algebra proves both soundness and completeness.
+      val c = Tables.customer(s, dir).select(col("c_custkey"),
+        col("c_name"))
+      val spoofed = c.select(
+        when(col("c_custkey") % 3 === 1,
+            translate(col("c_name"), "o", "\u043e"))
+          .when(col("c_custkey") % 3 === 2,
+            translate(col("c_name"), "e", "\u0435"))
+          .otherwise(concat(col("c_name"), lit("\u200b")))
+          .as("display_name"))
+      val all = c.select(col("c_name").as("display_name"))
+        .unionAll(spoofed)
+        .withColumn("skeleton", translate(col("display_name"),
+          "\u043e\u0435\u200b", "oe"))
+      all.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("display_name")).as("n_distinct_display"),
+          countDistinct(col("skeleton")).as("n_distinct_skeleton"),
+          sum(when(col("display_name") =!= col("skeleton"), 1L))
+            .as("n_spoofed"))
+        .select(col("n_rows"), col("n_distinct_display"),
+          col("n_distinct_skeleton"), col("n_spoofed"),
+          (col("n_distinct_display") - col("n_distinct_skeleton"))
+            .as("n_merged_variants"))
+    }),
+
     // ---- EXT: randomized response + debias (local-DP telemetry) ----
     "q451_randomized_response" -> ((s, dir) => {
       // the q445 (central-DP) sibling at the LOCAL level: each event
@@ -18095,6 +18191,68 @@ object SparkEntry {
              * 1000000 + 0.5) / 1000000.0 AS p_value
          FROM pd CROSS JOIN obs
          GROUP BY obs.n1, obs.n2, obs.obs6""",
+    // the session variable inlined through a scalar CTE
+    "q462_session_variable" ->
+      """WITH thr AS (SELECT cast(floor(
+             sum(cast(cast(o_totalprice AS decimal(18,2)) * 100
+               AS bigint)) / count(*)) AS bigint) AS thr_cents
+           FROM orders)
+         SELECT o_orderpriority, count(*) AS n_above,
+           round(cast(sum(cast(o_totalprice AS decimal(18,2)))
+             AS double), 2) + 0.0 AS revenue_above
+         FROM orders CROSS JOIN thr
+         WHERE cast(cast(o_totalprice AS decimal(18,2)) * 100 AS bigint)
+           > thr_cents
+         GROUP BY o_orderpriority""",
+    // the dynamic statement with its parameters inlined
+    "q463_execute_immediate" ->
+      """SELECT o_orderpriority, count(*) AS n,
+           round(cast(sum(cast(o_totalprice AS decimal(18,2)))
+             AS double), 2) + 0.0 AS revenue
+         FROM orders
+         WHERE o_orderdate >= DATE '1998-01-01'
+           AND o_orderdate < DATE '1999-01-01'
+         GROUP BY o_orderpriority""",
+    // try_divide mirrored as an explicit zero guard
+    "q464_try_arithmetic" ->
+      """WITH m AS (SELECT l_discount,
+             CASE WHEN l_discount = 0 THEN NULL
+               ELSE l_extendedprice / l_discount END AS m
+           FROM lineitem)
+         SELECT cast(count(*) AS bigint) AS n_rows,
+           cast(sum(CASE WHEN m IS NULL THEN 1 END) AS bigint)
+             AS n_null_ratio,
+           cast(count(m) AS bigint) AS n_ok,
+           cast(sum(CASE WHEN m IS NOT NULL
+             THEN cast(floor(m * 1000000 + 0.5) AS bigint) END)
+             AS bigint) AS sum_m6,
+           floor(cast(sum(CASE WHEN m IS NOT NULL
+               THEN cast(floor(m * 1000000 + 0.5) AS bigint) END)
+               AS double)
+             / count(m) + 0.5) / 1000000.0 AS mean_markup
+         FROM m""",
+    // confusables via chr() so the oracle text stays ASCII
+    "q465_homoglyph_skeleton" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer),
+         sp AS (SELECT CASE
+             WHEN c_custkey % 3 = 1 THEN translate(c_name, 'o', chr(1086))
+             WHEN c_custkey % 3 = 2 THEN translate(c_name, 'e', chr(1077))
+             ELSE c_name || chr(8203) END AS display_name FROM c),
+         a AS (SELECT c_name AS display_name FROM c
+           UNION ALL SELECT display_name FROM sp),
+         sk AS (SELECT display_name, translate(display_name,
+             chr(1086) || chr(1077) || chr(8203), 'oe') AS skeleton
+           FROM a)
+         SELECT cast(count(*) AS bigint) AS n_rows,
+           cast(count(DISTINCT display_name) AS bigint)
+             AS n_distinct_display,
+           cast(count(DISTINCT skeleton) AS bigint)
+             AS n_distinct_skeleton,
+           cast(sum(CASE WHEN display_name <> skeleton THEN 1 END)
+             AS bigint) AS n_spoofed,
+           cast(count(DISTINCT display_name) - count(DISTINCT skeleton)
+             AS bigint) AS n_merged_variants
+         FROM sk""",
     // paired-year signed ranks, 2x-scaled tied ranks, zero diffs drop
     "q461_wilcoxon_signed" ->
       """WITH li AS (SELECT s.s_nationkey,

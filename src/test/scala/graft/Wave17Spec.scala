@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the SQL-surface + text-hygiene wave (q462–q465). */
+class Wave17Spec extends SparkSuite {
+
+  test("q462 variable threshold splits orders exactly") {
+    val total = Tables.orders(spark, sf).count()
+    val above = SparkEntry.queries("q462_session_variable")(spark, sf)
+      .agg(sum("n_above")).collect()(0).getLong(0)
+    // the threshold is the floored mean, so both sides are non-empty
+    // and partition the table
+    assert(above > 0 && above < total)
+    val thr = spark.sql("SELECT thr_cents").collect()(0).getLong(0)
+    val below = Tables.orders(spark, sf)
+      .filter((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long") <= thr).count()
+    assert(above + below == total)
+  }
+
+  test("q463 EXECUTE IMMEDIATE matches the classic statement") {
+    Tables.registerAll(spark, sf)
+    val classic = spark.sql(
+      """SELECT o_orderpriority, count(*) AS n
+         FROM orders
+         WHERE o_orderdate >= DATE '1998-01-01'
+           AND o_orderdate < DATE '1999-01-01'
+         GROUP BY o_orderpriority""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val dyn = SparkEntry.queries("q463_execute_immediate")(spark, sf)
+      .select("o_orderpriority", "n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(dyn == classic)
+  }
+
+  test("q464 try_divide nulls exactly the zero-discount rows") {
+    val row = SparkEntry.queries("q464_try_arithmetic")(spark, sf)
+      .collect()(0)
+    val zeros = Tables.lineitem(spark, sf)
+      .filter(col("l_discount") === 0.0).count()
+    assert(row.getLong(1) == zeros)
+    assert(row.getLong(0) == row.getLong(1) + row.getLong(2))
+  }
+
+  test("q465 skeleton merges every spoofed variant and nothing else") {
+    val n = Tables.customer(spark, sf).count()
+    val row = SparkEntry.queries("q465_homoglyph_skeleton")(spark, sf)
+      .collect()(0)
+    assert(row.getLong(0) == 2 * n)          // clean + variant per row
+    assert(row.getLong(1) == 2 * n)          // every variant is distinct
+    assert(row.getLong(2) == n)              // skeletons collapse pairwise
+    assert(row.getLong(3) == n)              // every variant was spoofed
+    assert(row.getLong(4) == n)              // merged = exactly the spoofs
+  }
+}
