@@ -9322,6 +9322,14 @@ object SparkEntry {
         vocabSize = 512, maxLen = 12, maxPiece = 4)),
 
     // ---- T: FULL OUTER stream-stream interval join ----
+    // ---- Streaming: transformWithState (Spark 4 stateful API) ----
+    "q466_stream_transform_with_state" -> ((s, dir) =>
+      // per-user running event numbers through a named ValueState in the
+      // RocksDB store; chunked replay must continue counting across
+      // micro-batches — equals the batch row_number rule
+      graft.streaming.Streams.replayedRunningCount(
+        s, Tables.events(s, dir), chunks = 3, name = "running_count")),
+
     "q452_stream_full_interval_join" -> ((s, dir) =>
       // the outer-join matrix's last cell (inner q108, left q244):
       // unmatched rows on BOTH sides emit null-extended exactly once,
@@ -18286,6 +18294,12 @@ object SparkEntry {
            cast(coalesce(sum(CASE WHEN d < 0 THEN rank_x2 END), 0)
              AS bigint) AS w_minus_x2
          FROM j""",
+    // state carried across micro-batches == batch row_number
+    "q466_stream_transform_with_state" ->
+      """SELECT user_id, event_id,
+           cast(row_number() OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS bigint) AS running_n
+         FROM events""",
     "q452_stream_full_interval_join" ->
       """WITH c AS (SELECT event_id, ts, user_id FROM events
            WHERE event_type = 'click'),

@@ -310,6 +310,89 @@ object Streams {
     * larger `chunks` value (or a crashed partial run) would otherwise be
     * globbed back in, duplicating input and breaking the gate's
     * expectedRows/oracle comparison. */
+  /** Per-user running event counter as a Spark 4 `StatefulProcessor` —
+    * the arbitrary-stateful-processing API (transformWithState) that
+    * supersedes flatMapGroupsWithState: named state variables live in the
+    * RocksDB state store, TTL and timers are first-class, and state
+    * evolves independently of the output encoder. One `ValueState[Long]`
+    * here; within a micro-batch the group's rows apply in (ts, event_id)
+    * order so any time-ordered replay emits the same running numbers as
+    * the batch `row_number()` rule (the q254 determinism discipline). */
+  private class RunningCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, (Long, Long, Long)] {
+    @transient private var cnt:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      cnt = getHandle.getValueState[Long]("cnt",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long)] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var c = if (cnt.exists()) cnt.get() else 0L
+      val out = sorted.map { e => c += 1; (key, e.event_id, c) }
+      cnt.update(c)
+      out.iterator
+    }
+  }
+
+  /** Replay gate for [[RunningCountProcessor]]: time-sliced chunks, one
+    * per micro-batch, through transformWithState on the RocksDB state
+    * store (the only provider the API supports). The emitted running
+    * number per event must equal the batch
+    * `row_number() OVER (PARTITION BY user ORDER BY ts, event_id)` —
+    * state carried across micro-batches is what makes the numbers keep
+    * counting instead of restarting at each chunk. */
+  def replayedRunningCount(spark: SparkSession, events: DataFrame,
+                           chunks: Int, name: String): DataFrame = {
+    import spark.implicits._
+    val base = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    val dir = freshReplayDir(name)
+    val mm = base.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val (loUs, hiUs) = (mm.getLong(0), mm.getLong(1))
+    val span = math.max(hiUs - loUs, 1L)
+    (0 until chunks).foreach { i =>
+      base.filter(least(
+          floor(((unix_micros(col("ts")) - loUs).cast("double") / span)
+            * chunks).cast("int"), lit(chunks - 1)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/c$i")
+    }
+    val expectedRows = base.count()
+    val stream = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/c*")
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val qname = s"graft_gate_${name}_${replaySeq.incrementAndGet()}"
+      drainStream(spark, qname, expectedRows) {
+        stream.as[Event]
+          .groupByKey(_.user_id)
+          .transformWithState(new RunningCountProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Append())
+          .toDF("user_id", "event_id", "running_n")
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append").start()
+      }
+      spark.table(qname)
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   private def freshReplayDir(name: String): String = {
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_replay_$name")
     def rm(f: java.io.File): Unit = {

@@ -43,6 +43,24 @@ class Wave17Spec extends SparkSuite {
     assert(row.getLong(0) == row.getLong(1) + row.getLong(2))
   }
 
+  test("q466 transformWithState running count survives re-chunking") {
+    import org.apache.spark.sql.expressions.Window
+    val batch = Tables.events(spark, sf)
+      .withColumn("running_n", row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .cast("long"))
+      .select("user_id", "event_id", "running_n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // a different chunking must not change the running numbers: state
+    // carries across micro-batches, so the count never restarts
+    val streamed = graft.streaming.Streams.replayedRunningCount(
+      spark, Tables.events(spark, sf), chunks = 5, name = "rc_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(streamed == batch)
+  }
+
   test("q465 skeleton merges every spoofed variant and nothing else") {
     val n = Tables.customer(spark, sf).count()
     val row = SparkEntry.queries("q465_homoglyph_skeleton")(spark, sf)
