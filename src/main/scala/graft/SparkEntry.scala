@@ -9330,6 +9330,15 @@ object SparkEntry {
       graft.streaming.Streams.replayedRunningCount(
         s, Tables.events(s, dir), chunks = 3, name = "running_count")),
 
+    // ---- Streaming: event-time timers (transformWithState) ----
+    "q467_stream_session_timers" -> ((s, dir) =>
+      // per-user 30-min sessions where the LAST session closes via a
+      // registered event-time timer (handleExpiredTimer), not a closing
+      // event; gap boundaries decided in exact micros. Equals the batch
+      // gaps-and-islands sessionization.
+      graft.streaming.Streams.replayedSessionTimers(
+        s, Tables.events(s, dir), chunks = 3, name = "session_timers")),
+
     "q452_stream_full_interval_join" -> ((s, dir) =>
       // the outer-join matrix's last cell (inner q108, left q244):
       // unmatched rows on BOTH sides emit null-extended exactly once,
@@ -18300,6 +18309,25 @@ object SparkEntry {
            cast(row_number() OVER (PARTITION BY user_id
              ORDER BY ts, event_id) AS bigint) AS running_n
          FROM events""",
+    // timer-flushed sessions == batch gaps-and-islands at the same gap
+    "q467_stream_session_timers" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
+           FROM events),
+         l AS (SELECT user_id, event_id, us,
+             CASE WHEN lag(us) OVER (PARTITION BY user_id
+                 ORDER BY us, event_id) IS NULL
+               OR us - lag(us) OVER (PARTITION BY user_id
+                 ORDER BY us, event_id) > 1800000000
+               THEN 1 ELSE 0 END AS new_s
+           FROM e),
+         g AS (SELECT user_id, us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM l)
+         SELECT user_id, min(us) AS session_start_us,
+           max(us) AS session_end_us,
+           cast(count(*) AS bigint) AS n_events
+         FROM g GROUP BY user_id, sid""",
     "q452_stream_full_interval_join" ->
       """WITH c AS (SELECT event_id, ts, user_id FROM events
            WHERE event_type = 'click'),

@@ -393,6 +393,143 @@ object Streams {
     }
   }
 
+  /** Session builder on transformWithState EVENT-TIME TIMERS — the API
+    * surface q466 doesn't touch: a named timer per open session, re-armed
+    * as events extend it; `handleExpiredTimer` emits the session once the
+    * watermark passes end+gap, so the LAST session per user closes
+    * without any closing event. Gap math runs in exact micros (ms-grain
+    * timers only schedule the flush, they never decide a boundary).
+    * Sessions closed by a later event inside one batch emit immediately;
+    * state is one (start, end, n) triple per OPEN session only. */
+  private class SessionTimerProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, (Long, Long, Long, Long)] {
+    @transient private var sess:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+    private def expiryMs(endUs: Long): Long = endUs / 1000 + gapUs / 1000
+    private def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long)]("sess",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long, Long)] = {
+      val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long)]
+      var cur = if (sess.exists()) {
+        val c = sess.get(); getHandle.deleteTimer(expiryMs(c._2)); Some(c)
+      } else None
+      sorted.foreach { e =>
+        val t = us(e.ts)
+        cur match {
+          case Some((s0, e0, n)) if t - e0 > gapUs =>
+            out += ((key, s0, e0, n)); cur = Some((t, t, 1L))
+          case Some((s0, e0, n)) =>
+            cur = Some((s0, math.max(e0, t), n + 1))
+          case None => cur = Some((t, t, 1L))
+        }
+      }
+      cur.foreach { c =>
+        sess.update(c); getHandle.registerTimer(expiryMs(c._2))
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(Long, Long, Long, Long)] =
+      if (sess.exists() &&
+          expiryMs(sess.get()._2) == expiredTimerInfo.getExpiryTimeInMs) {
+        val (s0, e0, n) = sess.get()
+        sess.clear()
+        Iterator.single((key, s0, e0, n))
+      } else Iterator.empty
+  }
+
+  /** Replay gate for [[SessionTimerProcessor]]: time-sliced chunks with
+    * explicit mtimes, two flush-sentinel rounds a day past max(ts) so the
+    * watermark passes every open session's timer and `handleExpiredTimer`
+    * flushes the tails. Result must equal the batch gaps-and-islands
+    * sessionization at the same 30-minute gap. */
+  def replayedSessionTimers(spark: SparkSession, events: DataFrame,
+                            chunks: Int, name: String,
+                            gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val base = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    val dir = freshReplayDir(name)
+    val mm = base.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val (loUs, hiUs) = (mm.getLong(0), mm.getLong(1))
+    val span = math.max(hiUs - loUs, 1L)
+    val mtimeBase = System.currentTimeMillis()
+    def stampChunk(sub: String, seq: Int): Unit = {
+      val files = new java.io.File(s"$dir/$sub").listFiles()
+      if (files != null) files.foreach { f =>
+        f.setLastModified(mtimeBase + seq * 2000L): Unit
+      }
+    }
+    (0 until chunks).foreach { i =>
+      base.filter(least(
+          floor(((unix_micros(col("ts")) - loUs).cast("double") / span)
+            * chunks).cast("int"), lit(chunks - 1)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/c$i")
+      stampChunk(s"c$i", i)
+    }
+    (0 to 1).foreach { r =>
+      spark.range(1).select(lit(-1L - r).as("event_id"),
+          lit(new java.sql.Timestamp(hiUs / 1000 + 86400000L + r * 1000L))
+            .as("ts"),
+          lit(-10L).as("user_id"), lit("__flush").as("event_type"),
+          lit(0.0).as("value"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/c${chunks + r}")
+      stampChunk(s"c${chunks + r}", chunks + r)
+    }
+    val expectedRows = base.count() + 2
+    val stream = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/c*")
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val qname = s"graft_gate_${name}_${replaySeq.incrementAndGet()}"
+      drainStream(spark, qname, expectedRows) {
+        // sentinels flow INTO the processor (as user -10) and are dropped
+        // from the OUTPUT: a pre-watermark filter would be pushed below
+        // the EventTimeWatermark node into the scan, the sentinel rows
+        // would never reach the watermark tracker, and the flush timers
+        // would never fire
+        stream.withWatermark("ts", "1 minute")
+          .as[Event]
+          .groupByKey(_.user_id)
+          .transformWithState(
+            new SessionTimerProcessor(gapMinutes * 60L * 1000000L),
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            OutputMode.Append())
+          .toDF("user_id", "session_start_us", "session_end_us", "n_events")
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append").start()
+      }
+      spark.table(qname).filter(col("user_id") >= 0)
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   private def freshReplayDir(name: String): String = {
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_replay_$name")
     def rm(f: java.io.File): Unit = {

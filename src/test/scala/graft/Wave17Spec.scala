@@ -61,6 +61,27 @@ class Wave17Spec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("q467 timer sessions survive re-chunking") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val batch = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_s", when(lag("us", 1).over(w).isNull ||
+        col("us") - lag("us", 1).over(w) > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum("new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min("us").as("s"), max("us").as("e"), count(lit(1)).as("n"))
+      .select("user_id", "s", "e", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val streamed = graft.streaming.Streams.replayedSessionTimers(
+      spark, Tables.events(spark, sf), chunks = 5, name = "st_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(streamed == batch)
+  }
+
   test("q465 skeleton merges every spoofed variant and nothing else") {
     val n = Tables.customer(spark, sf).count()
     val row = SparkEntry.queries("q465_homoglyph_skeleton")(spark, sf)
