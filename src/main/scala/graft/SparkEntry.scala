@@ -9752,6 +9752,76 @@ object SparkEntry {
             .as("n_merged_variants"))
     }),
 
+    // ---- EXT: Cochran-Mantel-Haenszel stratified odds ratio ----
+    "q468_cmh_odds" -> ((s, dir) => {
+      // the confounder-adjusted sibling of q458/q459: exposure (deep
+      // discount) vs outcome (return) pooled across supplier-nation
+      // strata. Each stratum's 2×2 counts come from ONE conditional
+      // aggregation; the rational CMH terms (ad/n, bc/n) and the
+      // hypergeometric moments (E, Var) are 6dp-floored per stratum to
+      // integers and exactly summed — double summation ORDER never
+      // touches the result (25-row family, q342's rounded-term rule).
+      // Var's 4-count product is computed in doubles on BOTH sides so it
+      // cannot overflow int64 at any scale factor.
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey"),
+          (col("l_discount") >= 0.05).cast("int").as("e"),
+          (col("l_returnflag") === "R").cast("int").as("r"))
+      val strata = li.groupBy("s_nationkey").agg(
+          count(when(col("e") === 1 && col("r") === 1, lit(1))).as("a"),
+          count(when(col("e") === 1 && col("r") === 0, lit(1))).as("b"),
+          count(when(col("e") === 0 && col("r") === 1, lit(1))).as("c"),
+          count(when(col("e") === 0 && col("r") === 0, lit(1))).as("d"),
+          count(lit(1)).as("n"))
+        .select(col("a"), col("n"),
+          floor((col("a") * col("d")).cast("double") / col("n")
+            * 1000000 + 0.5).cast("long").as("num6"),
+          floor((col("b") * col("c")).cast("double") / col("n")
+            * 1000000 + 0.5).cast("long").as("den6"),
+          floor((col("a") + col("b")).cast("double")
+            * (col("a") + col("c")).cast("double") / col("n")
+            * 1000000 + 0.5).cast("long").as("e6"),
+          floor((col("a") + col("b")).cast("double")
+            * (col("c") + col("d")).cast("double")
+            * (col("a") + col("c")).cast("double")
+            * (col("b") + col("d")).cast("double")
+            / (col("n").cast("double") * col("n").cast("double")
+              * (col("n") - 1).cast("double"))
+            * 1000000 + 0.5).cast("long").as("v6"))
+      strata.agg(count(lit(1)).as("n_strata"),
+          sum("a").as("sum_a"), sum("num6").as("num6"),
+          sum("den6").as("den6"), sum("e6").as("sume6"),
+          sum("v6").as("sumv6"))
+        .select(col("n_strata"), col("sum_a"),
+          (col("sume6").cast("double") / 1000000.0).as("sum_expected"),
+          (floor(col("num6").cast("double") / col("den6")
+            * 1000000 + 0.5) / 1000000.0).as("or_cmh"),
+          (floor(
+            (abs(col("sum_a") * 1000000L - col("sume6")).cast("double")
+              / 1000000.0 - 0.5)
+            * (abs(col("sum_a") * 1000000L - col("sume6")).cast("double")
+              / 1000000.0 - 0.5)
+            / (col("sumv6").cast("double") / 1000000.0)
+            * 1000000 + 0.5) / 1000000.0).as("chi2_cmh"))
+    }),
+
+    // ---- SQL surface: native listagg (ordered string aggregation) ----
+    "q469_listagg" -> ((s, dir) => {
+      // Spark 4's ANSI listagg: DISTINCT + WITHIN GROUP ordered string
+      // aggregation as a NATIVE aggregate (no collect_list/array_join
+      // detour) — the report-formatting shape the reference builds in
+      // app code. DuckDB mirrors with ordered string_agg.
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT n_name,
+          listagg(DISTINCT c_mktsegment, ',')
+            WITHIN GROUP (ORDER BY c_mktsegment) AS segments,
+          count(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name""")
+    }),
+
     // ---- EXT: randomized response + debias (local-DP telemetry) ----
     "q451_randomized_response" -> ((s, dir) => {
       // the q445 (central-DP) sibling at the LOCAL level: each event
@@ -18248,6 +18318,62 @@ object SparkEntry {
                AS double)
              / count(m) + 0.5) / 1000000.0 AS mean_markup
          FROM m""",
+    // per-stratum 6dp-floored rational terms, exactly summed
+    "q468_cmh_odds" ->
+      """WITH li AS (SELECT s.s_nationkey,
+             CASE WHEN l.l_discount >= 0.05 THEN 1 ELSE 0 END AS e,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+           FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+         st AS (SELECT s_nationkey,
+             cast(count(CASE WHEN e = 1 AND r = 1 THEN 1 END) AS bigint)
+               AS a,
+             cast(count(CASE WHEN e = 1 AND r = 0 THEN 1 END) AS bigint)
+               AS b,
+             cast(count(CASE WHEN e = 0 AND r = 1 THEN 1 END) AS bigint)
+               AS c,
+             cast(count(CASE WHEN e = 0 AND r = 0 THEN 1 END) AS bigint)
+               AS d,
+             cast(count(*) AS bigint) AS n
+           FROM li GROUP BY 1),
+         t AS (SELECT a, n,
+             cast(floor(cast(a * d AS double) / n * 1000000 + 0.5)
+               AS bigint) AS num6,
+             cast(floor(cast(b * c AS double) / n * 1000000 + 0.5)
+               AS bigint) AS den6,
+             cast(floor(cast(a + b AS double) * cast(a + c AS double)
+               / n * 1000000 + 0.5) AS bigint) AS e6,
+             cast(floor(cast(a + b AS double) * cast(c + d AS double)
+               * cast(a + c AS double) * cast(b + d AS double)
+               / (cast(n AS double) * cast(n AS double)
+                 * cast(n - 1 AS double))
+               * 1000000 + 0.5) AS bigint) AS v6
+           FROM st),
+         agg AS (SELECT cast(count(*) AS bigint) AS n_strata,
+             cast(sum(a) AS bigint) AS sum_a,
+             cast(sum(num6) AS bigint) AS num6,
+             cast(sum(den6) AS bigint) AS den6,
+             cast(sum(e6) AS bigint) AS sume6,
+             cast(sum(v6) AS bigint) AS sumv6
+           FROM t)
+         SELECT n_strata, sum_a,
+           cast(sume6 AS double) / 1000000.0 AS sum_expected,
+           floor(cast(num6 AS double) / den6 * 1000000 + 0.5)
+             / 1000000.0 AS or_cmh,
+           floor((cast(abs(sum_a * 1000000 - sume6) AS double)
+               / 1000000.0 - 0.5)
+             * (cast(abs(sum_a * 1000000 - sume6) AS double)
+               / 1000000.0 - 0.5)
+             / (cast(sumv6 AS double) / 1000000.0)
+             * 1000000 + 0.5) / 1000000.0 AS chi2_cmh
+         FROM agg""",
+    // ordered string_agg mirrors listagg ... within group
+    "q469_listagg" ->
+      """SELECT n_name,
+           string_agg(DISTINCT c_mktsegment, ','
+             ORDER BY c_mktsegment) AS segments,
+           count(*) AS n_customers
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
     // confusables via chr() so the oracle text stays ASCII
     "q465_homoglyph_skeleton" ->
       """WITH c AS (SELECT c_custkey, c_name FROM customer),

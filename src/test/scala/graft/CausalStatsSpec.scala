@@ -131,6 +131,46 @@ class CausalStatsSpec extends SparkSuite {
       * 1000000 + 0.5) / 1000000.0) < 1e-12)
   }
 
+  test("q468 CMH odds ratio matches a brute stratum fold") {
+    val rows = Tables.lineitem(spark, sf)
+      .join(Tables.supplier(spark, sf),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").cast("long"),
+        (col("l_discount") >= 0.05).cast("int"),
+        (col("l_returnflag") === "R").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    var num6 = 0L; var den6 = 0L; var sumA = 0L
+    rows.groupBy(_._1).values.foreach { g =>
+      val a = g.count(x => x._2 == 1 && x._3 == 1).toLong
+      val b = g.count(x => x._2 == 1 && x._3 == 0).toLong
+      val c = g.count(x => x._2 == 0 && x._3 == 1).toLong
+      val d = g.count(x => x._2 == 0 && x._3 == 0).toLong
+      val n = a + b + c + d
+      sumA += a
+      num6 += math.floor((a * d).toDouble / n * 1000000 + 0.5).toLong
+      den6 += math.floor((b * c).toDouble / n * 1000000 + 0.5).toLong
+    }
+    val or = math.floor(num6.toDouble / den6 * 1000000 + 0.5) / 1000000.0
+    val row = SparkEntry.queries("q468_cmh_odds")(spark, sf).collect()(0)
+    assert(row.getLong(0) == rows.map(_._1).distinct.length.toLong)
+    assert(row.getLong(1) == sumA)
+    assert(math.abs(row.getDouble(3) - or) < 1e-9)
+    assert(row.getDouble(4) >= 0.0)
+  }
+
+  test("q469 listagg equals sorted distinct concatenation") {
+    val expect = Tables.customer(spark, sf)
+      .join(Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_mktsegment"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (k, v) =>
+        k -> v.map(_._2).distinct.sorted.mkString(",") }
+    val got = SparkEntry.queries("q469_listagg")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == expect)
+  }
+
   test("q461 Wilcoxon rank sums conserve n(n+1)") {
     val row = SparkEntry.queries("q461_wilcoxon_signed")(spark, sf)
       .collect()(0)
