@@ -9339,6 +9339,22 @@ object SparkEntry {
       graft.streaming.Streams.replayedSessionTimers(
         s, Tables.events(s, dir), chunks = 3, name = "session_timers")),
 
+    // ---- Streaming: ListState ring buffer (transformWithState) ----
+    "q470_stream_lastk_path" -> ((s, dir) =>
+      // per-user last-3 event-type path via a ListState trimmed to k —
+      // ordered recent history as O(k) state; equals the batch
+      // lag-window paths for any time-ordered replay
+      graft.streaming.Streams.replayedLastKPath(
+        s, Tables.events(s, dir), chunks = 3, k = 3, name = "lastk_path")),
+
+    // ---- Streaming: MapState keyed submap (transformWithState) ----
+    "q471_stream_type_counts" -> ((s, dir) =>
+      // per-(user, type) running counters in ONE MapState per user —
+      // state O(type vocabulary) per key; equals the batch per-(user,
+      // type) row_number
+      graft.streaming.Streams.replayedTypeCounts(
+        s, Tables.events(s, dir), chunks = 3, name = "type_counts")),
+
     "q452_stream_full_interval_join" -> ((s, dir) =>
       // the outer-join matrix's last cell (inner q108, left q244):
       // unmatched rows on BOTH sides emit null-extended exactly once,
@@ -18434,6 +18450,22 @@ object SparkEntry {
       """SELECT user_id, event_id,
            cast(row_number() OVER (PARTITION BY user_id
              ORDER BY ts, event_id) AS bigint) AS running_n
+         FROM events""",
+    // ListState paths == batch lag windows
+    "q470_stream_lastk_path" ->
+      """SELECT user_id, event_id,
+           concat_ws('>',
+             lag(event_type, 2) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id),
+             lag(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id),
+             event_type) AS path
+         FROM events""",
+    // MapState counters == batch per-(user,type) row_number
+    "q471_stream_type_counts" ->
+      """SELECT user_id, event_id, event_type,
+           cast(row_number() OVER (PARTITION BY user_id, event_type
+             ORDER BY ts, event_id) AS bigint) AS type_n
          FROM events""",
     // timer-flushed sessions == batch gaps-and-islands at the same gap
     "q467_stream_session_timers" ->

@@ -310,6 +310,11 @@ object Streams {
     * larger `chunks` value (or a crashed partial run) would otherwise be
     * globbed back in, duplicating input and breaking the gate's
     * expectedRows/oracle comparison. */
+  /** Exact event-time micros of a fixture timestamp (unix_micros parity):
+    * `getTime` alone is ms-grain and could mis-order sub-ms neighbors. */
+  private def eventUs(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+
   /** Per-user running event counter as a Spark 4 `StatefulProcessor` —
     * the arbitrary-stateful-processing API (transformWithState) that
     * supersedes flatMapGroupsWithState: named state variables live in the
@@ -331,7 +336,7 @@ object Streams {
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[(Long, Long, Long)] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val sorted = rows.toSeq.sortBy(e => (eventUs(e.ts), e.event_id))
       var c = if (cnt.exists()) cnt.get() else 0L
       val out = sorted.map { e => c += 1; (key, e.event_id, c) }
       cnt.update(c)
@@ -346,8 +351,12 @@ object Streams {
     * `row_number() OVER (PARTITION BY user ORDER BY ts, event_id)` —
     * state carried across micro-batches is what makes the numbers keep
     * counting instead of restarting at each chunk. */
-  def replayedRunningCount(spark: SparkSession, events: DataFrame,
-                           chunks: Int, name: String): DataFrame = {
+  /** Shared replay harness for the transformWithState family: time-sliced
+    * chunks (one per micro-batch), RocksDB provider pinned for the run and
+    * restored after (the only store the API supports), completion by
+    * input-row count. `xform` plugs the keyed stateful pipeline. */
+  private def replayTws(spark: SparkSession, events: DataFrame, chunks: Int,
+      name: String)(xform: Dataset[Event] => DataFrame): DataFrame = {
     import spark.implicits._
     val base = events.select(col("event_id"), col("ts"), col("user_id"),
       col("event_type"), col("value"))
@@ -373,12 +382,7 @@ object Streams {
     try {
       val qname = s"graft_gate_${name}_${replaySeq.incrementAndGet()}"
       drainStream(spark, qname, expectedRows) {
-        stream.as[Event]
-          .groupByKey(_.user_id)
-          .transformWithState(new RunningCountProcessor,
-            org.apache.spark.sql.streaming.TimeMode.None(),
-            OutputMode.Append())
-          .toDF("user_id", "event_id", "running_n")
+        xform(stream.as[Event])
           .writeStream.format("memory").queryName(qname)
           .outputMode("append").start()
       }
@@ -392,6 +396,97 @@ object Streams {
       }
     }
   }
+
+  def replayedRunningCount(spark: SparkSession, events: DataFrame,
+                           chunks: Int, name: String): DataFrame =
+    replayTws(spark, events, chunks, name) { ds =>
+      import spark.implicits._
+      ds.groupByKey(_.user_id)
+        .transformWithState(new RunningCountProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+        .toDF("user_id", "event_id", "running_n")
+    }
+
+  /** Last-k event-type path per user through a `ListState` ring buffer —
+    * the state-variable shape q466's single counter can't model: ordered
+    * recent history, trimmed to k entries so state stays O(k) per key
+    * forever. Emits the up-to-k-step path ending at every event; any
+    * time-ordered replay must reproduce the batch lag-window paths. */
+  private class LastKPathProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, (Long, Long, String)] {
+    @transient private var buf:
+      org.apache.spark.sql.streaming.ListState[String] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      buf = getHandle.getListState[String]("buf",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, String)] = {
+      val sorted = rows.toSeq.sortBy(e => (eventUs(e.ts), e.event_id))
+      var hist = if (buf.exists()) buf.get().toList else Nil
+      val out = sorted.map { e =>
+        hist = (hist :+ e.event_type).takeRight(k)
+        (key, e.event_id, hist.mkString(">"))
+      }
+      buf.put(hist.toArray)
+      out.iterator
+    }
+  }
+
+  def replayedLastKPath(spark: SparkSession, events: DataFrame,
+                        chunks: Int, k: Int, name: String): DataFrame =
+    replayTws(spark, events, chunks, name) { ds =>
+      import spark.implicits._
+      ds.groupByKey(_.user_id)
+        .transformWithState(new LastKPathProcessor(k),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+        .toDF("user_id", "event_id", "path")
+    }
+
+  /** Per-(user, event-type) running counters through ONE `MapState` per
+    * user — the keyed-submap state shape: the map key set is the type
+    * vocabulary (bounded), so state is O(types) per user. Equals the
+    * batch per-(user,type) row_number. */
+  private class TypeCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, (Long, Long, String, Long)] {
+    @transient private var cnt:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      cnt = getHandle.getMapState[String, Long]("cnt",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, String, Long)] = {
+      val sorted = rows.toSeq.sortBy(e => (eventUs(e.ts), e.event_id))
+      val out = sorted.map { e =>
+        val c = if (cnt.containsKey(e.event_type))
+          cnt.getValue(e.event_type) else 0L
+        cnt.updateValue(e.event_type, c + 1)
+        (key, e.event_id, e.event_type, c + 1)
+      }
+      out.iterator
+    }
+  }
+
+  def replayedTypeCounts(spark: SparkSession, events: DataFrame,
+                         chunks: Int, name: String): DataFrame =
+    replayTws(spark, events, chunks, name) { ds =>
+      import spark.implicits._
+      ds.groupByKey(_.user_id)
+        .transformWithState(new TypeCountProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+        .toDF("user_id", "event_id", "event_type", "type_n")
+    }
 
   /** Session builder on transformWithState EVENT-TIME TIMERS — the API
     * surface q466 doesn't touch: a named timer per open session, re-armed
@@ -407,8 +502,7 @@ object Streams {
     @transient private var sess:
       org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
     private def expiryMs(endUs: Long): Long = endUs / 1000 + gapUs / 1000
-    private def us(t: java.sql.Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    private def us(t: java.sql.Timestamp): Long = eventUs(t)
     override def init(outputMode: OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       sess = getHandle.getValueState[(Long, Long, Long)]("sess",
