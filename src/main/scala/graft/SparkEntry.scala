@@ -9823,6 +9823,47 @@ object SparkEntry {
             * 1000000 + 0.5) / 1000000.0).as("chi2_cmh"))
     }),
 
+    // ---- EXT: exact Shapley-value channel attribution ----
+    "q472_shapley_attribution" -> ((s, dir) => {
+      // game-theoretic credit, computed EXACTLY: 4 channels → 16
+      // coalitions, so the characteristic function v(S) = converted
+      // users whose touch set ⊆ S lives in a 16-row table built from ONE
+      // corpus aggregate (exact-mask counts), and the Shapley sum runs
+      // on a 4×8 bounded join. Weights ×4! = {6,2,2,6} keep every
+      // marginal term an integer; the only division is the final /24.
+      // Complements the positional heuristics (q397 linear, q416
+      // U-shaped) with the axiomatic allocation.
+      val ue = Tables.events(s, dir).groupBy("user_id").agg(
+        (max(when(col("event_type") === "click", 1).otherwise(0))
+          + max(when(col("event_type") === "view", 1).otherwise(0)) * 2
+          + max(when(col("event_type") === "signup", 1).otherwise(0)) * 4
+          + max(when(col("event_type") === "error", 1).otherwise(0)) * 8)
+          .as("mask"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("conv"))
+      val cnt = ue.filter(col("conv") === 1)
+        .groupBy(col("mask").as("t")).agg(count(lit(1)).as("c"))
+      val sTab = s.range(0, 16).select(col("id").cast("int").as("s"))
+      val v = sTab.join(broadcast(cnt),
+          cnt("t").bitwiseAND(sTab("s")) === cnt("t"), "left")
+        .groupBy("s").agg(coalesce(sum("c"), lit(0L)).as("v"))
+      import s.implicits._
+      val ch = Seq(("click", 1), ("view", 2), ("signup", 4), ("error", 8))
+        .toDF("channel", "bit")
+      val v0 = v.select(col("s").as("s0"), col("v").as("vs0"))
+      val v1 = v.select(col("s").as("s1"), col("v").as("vs1"))
+      ch.join(broadcast(v0), v0("s0").bitwiseAND(ch("bit")) === 0)
+        .join(broadcast(v1),
+          v1("s1") === v0("s0").bitwiseOR(ch("bit")))
+        .withColumn("w", when(bit_count(col("s0")) === 0, 6L)
+          .when(bit_count(col("s0")) === 3, 6L).otherwise(2L))
+        .groupBy("channel")
+        .agg(sum(col("w") * (col("vs1") - col("vs0"))).as("phi24"))
+        .select(col("channel"), col("phi24"),
+          (floor(col("phi24").cast("double") / 24.0 * 1000000 + 0.5)
+            / 1000000.0).as("phi"))
+    }),
+
     // ---- SQL surface: native listagg (ordered string aggregation) ----
     "q469_listagg" -> ((s, dir) => {
       // Spark 4's ANSI listagg: DISTINCT + WITHIN GROUP ordered string
@@ -18382,6 +18423,34 @@ object SparkEntry {
              / (cast(sumv6 AS double) / 1000000.0)
              * 1000000 + 0.5) / 1000000.0 AS chi2_cmh
          FROM agg""",
+    // 16-coalition exact Shapley; ×24 integer weights
+    "q472_shapley_attribution" ->
+      """WITH ue AS (SELECT user_id,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             + 2 * max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+             + 8 * max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS mask,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+           FROM events GROUP BY 1),
+         cnt AS (SELECT mask AS t, cast(count(*) AS bigint) AS c
+           FROM ue WHERE conv = 1 GROUP BY 1),
+         sv AS (SELECT unnest(generate_series(0, 15)) AS s),
+         v AS (SELECT sv.s, cast(coalesce(sum(cnt.c), 0) AS bigint) AS v
+           FROM sv LEFT JOIN cnt ON (cnt.t & sv.s) = cnt.t GROUP BY 1),
+         ch AS (SELECT * FROM (VALUES ('click', 1), ('view', 2),
+             ('signup', 4), ('error', 8)) AS t(channel, bit)),
+         terms AS (SELECT ch.channel,
+             CASE WHEN bit_count(v0.s) IN (0, 3) THEN 6 ELSE 2 END
+               * (v1.v - v0.v) AS term
+           FROM ch
+           JOIN v v0 ON (v0.s & ch.bit) = 0
+           JOIN v v1 ON v1.s = (v0.s | ch.bit))
+         SELECT channel, cast(sum(term) AS bigint) AS phi24,
+           floor(cast(sum(term) AS double) / 24.0 * 1000000 + 0.5)
+             / 1000000.0 AS phi
+         FROM terms GROUP BY 1""",
     // ordered string_agg mirrors listagg ... within group
     "q469_listagg" ->
       """SELECT n_name,

@@ -171,6 +171,33 @@ class CausalStatsSpec extends SparkSuite {
     assert(got == expect)
   }
 
+  test("q472 Shapley matches brute enumeration and the efficiency axiom") {
+    val users = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).toSeq.map { case (_, es) =>
+        val ts = es.map(_._2).toSet
+        val mask = (if (ts("click")) 1 else 0) + (if (ts("view")) 2 else 0) +
+          (if (ts("signup")) 4 else 0) + (if (ts("error")) 8 else 0)
+        (mask, ts("purchase"))
+      }
+    def v(s: Int): Long =
+      users.count { case (m, c) => c && (m & s) == m }.toLong
+    val w = Array(6L, 2L, 2L, 6L)
+    val expect = Seq("click" -> 1, "view" -> 2, "signup" -> 4,
+      "error" -> 8).map { case (name, bit) =>
+      val phi24 = (0 until 16).filter(s => (s & bit) == 0).map { s =>
+        w(Integer.bitCount(s)) * (v(s | bit) - v(s))
+      }.sum
+      name -> phi24
+    }.toMap
+    val got = SparkEntry.queries("q472_shapley_attribution")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // efficiency: credits sum to the grand-coalition lift (x24)
+    assert(got.values.sum == 24L * (v(15) - v(0)))
+  }
+
   test("q461 Wilcoxon rank sums conserve n(n+1)") {
     val row = SparkEntry.queries("q461_wilcoxon_signed")(spark, sf)
       .collect()(0)
