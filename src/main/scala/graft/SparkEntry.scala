@@ -9242,6 +9242,30 @@ object SparkEntry {
       s.sql("SELECT count(*) AS n_features FROM __geojson_cnt")
     }),
 
+    // ---- EXT: DSv2 LIMIT pushdown (shard readers stop early) ----
+    "q473_limit_pushdown" -> ((s, dir) => {
+      // the connector's SupportsPushDownLimit arm: LIMIT n caps every
+      // shard reader at n rows (partial push — the engine applies the
+      // global limit on top), so a LIMIT-k probe over a 100 TB lake
+      // reads k lines per shard head, never the lake. The early-stop
+      // behavior is spec-asserted (GeoJsonSourceSpec reader counter);
+      // this gate pins the two ANSWERS a user sees: the limited count
+      // and the (aggregate-pushed) full count from the same lake.
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_geojson_lim").toString
+      Tables.customer(s, dir)
+        .select(concat(
+          lit("{\"type\":\"Feature\",\"id\":\"c"), col("c_custkey"),
+          lit("\",\"geometry\":{\"type\":\"Point\",\"coordinates\":" +
+            "[[0,0]]},\"properties\":{}}")).as("value"))
+        .repartition(4)
+        .write.mode("overwrite").text(root)
+      val lake = s.read.format("graft-geojson").load(root)
+      lake.limit(7).agg(count(lit(1)).as("n_limited"))
+        .crossJoin(lake.agg(count(lit(1)).as("n_total")))
+        .select(col("n_limited"), col("n_total"))
+    }),
+
     // ---- EXT: storage-partitioned join over co-bucketed lakes ----
     "q448_spj_join" -> ((s, dir) => {
       // two GeoJSONL lakes laid out pkey=N/ and read bucketed: the
@@ -18104,6 +18128,11 @@ object SparkEntry {
     // shard-count partials must sum to the source cardinality
     "q447_count_pushdown" ->
       "SELECT count(*) AS n_features FROM customer",
+    // the limited count is the limit itself (lake >> 7 rows); the full
+    // count equals the source cardinality
+    "q473_limit_pushdown" ->
+      """SELECT cast(7 AS bigint) AS n_limited,
+           count(*) AS n_total FROM customer""",
     // the SPJ gate's join is semantically orders⋈customer on custkey,
     // bucket key = custkey % 8
     "q448_spj_join" ->

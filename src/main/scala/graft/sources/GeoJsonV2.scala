@@ -18,7 +18,8 @@ import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey,
   InputPartition, PartitionReader, PartitionReaderFactory, Scan,
-  ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns,
+  ScanBuilder, SupportsPushDownAggregates, SupportsPushDownLimit,
+  SupportsPushDownRequiredColumns,
   SupportsReportPartitioning, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.partitioning.{
   KeyGroupedPartitioning, Partitioning}
@@ -107,6 +108,12 @@ object GeoJsonV2 {
     }
   }
 
+  /** Observability hook (specs assert the limit pushdown actually stops
+    * readers early): total rows emitted by row-path partition readers,
+    * accumulated at reader close. */
+  private[graft] val rowsEmitted =
+    new java.util.concurrent.atomic.AtomicLong()
+
   def listFiles(dir: String): Seq[String] = {
     val f = new java.io.File(dir)
     if (f.isFile) Seq(f.getPath)
@@ -145,10 +152,12 @@ class GeoJsonTable(path: String, bucketed: Boolean = false)
   * row path — they need the parse anyway. */
 class GeoJsonScanBuilder(path: String, bucketed: Boolean = false)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
   private var required: StructType =
     if (bucketed) GeoJsonV2.bucketedSchema else GeoJsonV2.fullSchema
   private var countPushed = false
+  private var limit: Option[Int] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def pushAggregation(aggregation: Aggregation): Boolean = {
@@ -158,10 +167,19 @@ class GeoJsonScanBuilder(path: String, bucketed: Boolean = false)
     if (ok) countPushed = true
     ok
   }
+  /** LIMIT n stops each shard reader after n rows (a PARTIAL push —
+    * `isPartiallyPushed` stays true so the engine applies the global
+    * limit on top). At 100 TB this turns `LIMIT 100` debug queries over
+    * a full lake into a few-line read of each shard head instead of a
+    * full parse of every file. */
+  override def pushLimit(l: Int): Boolean = {
+    if (!bucketed) limit = Some(l)
+    !bucketed
+  }
   override def build(): Scan =
     if (countPushed) GeoJsonCountScan(path)
     else if (bucketed) GeoJsonBucketedScan(path, required)
-    else GeoJsonScan(path, required)
+    else GeoJsonScan(path, required, limit)
 }
 
 case class GeoJsonBucketedFilePartition(file: String, pkey: Int)
@@ -283,14 +301,15 @@ case class GeoJsonCountReaderFactory() extends PartitionReaderFactory {
 
 case class GeoJsonFilePartition(file: String) extends InputPartition
 
-case class GeoJsonScan(path: String, required: StructType)
+case class GeoJsonScan(path: String, required: StructType,
+                       limit: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     GeoJsonV2.listFiles(path).map(GeoJsonFilePartition.apply).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    GeoJsonReaderFactory(required.fieldNames)
+    GeoJsonReaderFactory(required.fieldNames, limit)
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
     new GeoJsonMicroBatchStream(path, required)
@@ -328,31 +347,37 @@ class GeoJsonMicroBatchStream(path: String, required: StructType)
   override def stop(): Unit = ()
 }
 
-case class GeoJsonReaderFactory(fields: Array[String])
+case class GeoJsonReaderFactory(fields: Array[String],
+                                limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new GeoJsonPartitionReader(
-      p.asInstanceOf[GeoJsonFilePartition].file, fields)
+      p.asInstanceOf[GeoJsonFilePartition].file, fields, limit = limit)
 }
 
 class GeoJsonPartitionReader(file: String, fields: Array[String],
-                             pkey: Int = -1)
+                             pkey: Int = -1,
+                             limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
   private val lines = java.nio.file.Files
     .lines(java.nio.file.Paths.get(file)).iterator()
   private var row: InternalRow = _
+  private var emitted = 0L
 
   override def next(): Boolean = {
+    if (limit.exists(emitted >= _)) return false
     var found = false
     while (!found && lines.hasNext) {
       val line = lines.next()
       if (line.trim.nonEmpty) { row = parse(line); found = true }
     }
+    if (found) emitted += 1
     found
   }
   override def get(): InternalRow = row
-  override def close(): Unit = ()
+  override def close(): Unit =
+    GeoJsonV2.rowsEmitted.addAndGet(emitted): Unit
 
   private def parse(line: String): InternalRow = {
     val n = mapper.readTree(line)

@@ -37,6 +37,31 @@ class GeoJsonSourceSpec extends SparkSuite {
     assert(nullRow.isNullAt(1) && nullRow.isNullAt(2) && nullRow.isNullAt(3))
   }
 
+  test("limit pushdown reaches the scan and stops readers early") {
+    // a bigger lake: 3 shards x 50 features
+    val d = java.nio.file.Files.createTempDirectory("graft_gj_lim").toString
+    (0 until 3).foreach { sh =>
+      val w = new java.io.PrintWriter(s"$d/part-$sh.geojsonl")
+      (0 until 50).foreach { i =>
+        w.println(s"""{"type":"Feature","id":"f$sh-$i","geometry":""" +
+          s"""{"type":"Point","coordinates":[[$i,$sh]]},"properties":{}}""")
+      }
+      w.close()
+    }
+    val q = spark.read.format("graft-geojson").load(d).limit(5)
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    val gs = scans.head.scan.asInstanceOf[graft.sources.GeoJsonScan]
+    assert(gs.limit.contains(5))
+    graft.sources.GeoJsonV2.rowsEmitted.set(0L)
+    assert(q.collect().length == 5)
+    // each of the 3 shard readers stops after <= 5 rows instead of 50
+    val emitted = graft.sources.GeoJsonV2.rowsEmitted.get()
+    assert(emitted <= 15, s"readers emitted $emitted rows, expected <= 15")
+  }
+
   test("column pruning reaches the scan (only requested fields parse)") {
     val q = spark.read.format("graft-geojson").load(dir).select("id")
     val scans = q.queryExecution.executedPlan.collect {
