@@ -9888,6 +9888,152 @@ object SparkEntry {
             / 1000000.0).as("phi"))
     }),
 
+    // ---- EXT: Shewhart x-bar / R control chart ----
+    "q474_xbar_r_chart" -> ((s, dir) => {
+      // SPC over the order stream: fixed n=5 subgroups (first five
+      // orders per day by orderkey — deterministic), x-bar and R charts
+      // with the classical A2/D4 constants. EVERY control decision is
+      // stated in cross-multiplied integer algebra (200·|sum_d·D − Σsum|
+      // > 577·ΣR etc.), so no double threshold can flip a boundary day
+      // between engines. The day table is bounded by the calendar.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("d").orderBy("o_orderkey")
+      val sub = Tables.orders(s, dir)
+        .select(col("o_orderdate").as("d"), col("o_orderkey"),
+          (col("o_totalprice").cast(D) * 100).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+      val days = sub.groupBy("d")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum5"),
+          (max("cents") - min("cents")).as("r"))
+        .filter(col("n") === 5)
+      val tot = days.agg(count(lit(1)).as("nd"), sum("sum5").as("tsum"),
+        sum("r").as("tr"))
+      days.crossJoin(broadcast(tot))
+        .select(
+          (abs(col("sum5") * col("nd") - col("tsum")) * 200
+            > col("tr") * 577).cast("int").as("xbar_out"),
+          (col("r") * col("nd") * 1000 > col("tr") * 2114).cast("int")
+            .as("r_out"),
+          col("nd"), col("tsum"), col("tr"))
+        .groupBy("nd", "tsum", "tr")
+        .agg(sum("xbar_out").as("n_xbar_out"), sum("r_out").as("n_r_out"))
+        .select(col("nd").as("n_days"),
+          (floor(col("tsum").cast("double") / (col("nd") * 5) / 100.0
+            * 1000000 + 0.5) / 1000000.0).as("grand_mean"),
+          (floor(col("tr").cast("double") / col("nd") / 100.0
+            * 1000000 + 0.5) / 1000000.0).as("mean_range"),
+          col("n_xbar_out"), col("n_r_out"))
+    }),
+
+    // ---- EXT: Tukey IQR fences (boxplot outlier screen) ----
+    "q475_tukey_fences" -> ((s, dir) => {
+      // per-segment account-balance outliers by the 1.5·IQR rule.
+      // Quartiles are nearest-rank values (ceil(n/4), ceil(3n/4)) on the
+      // key-partitioned rank — order statistics, not interpolation — and
+      // the fences double through the ×2 integer scale (2x < 2·Q1−3·IQR)
+      // so 1.5 never exists as a float.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("seg").orderBy("cents", "c_custkey")
+      val c = Tables.customer(s, dir)
+        .select(col("c_mktsegment").as("seg"), col("c_custkey"),
+          (col("c_acctbal").cast(D) * 100).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(w))
+      val n = c.groupBy("seg").agg(count(lit(1)).as("n"))
+      val q = c.join(broadcast(n), "seg")
+        .filter(col("rn") === ceil(col("n") / 4) ||
+          col("rn") === ceil(col("n") * 3 / lit(4.0)))
+        .groupBy("seg")
+        .agg(min(when(col("rn") === ceil(col("n") / 4), col("cents")))
+          .as("q1"),
+          max(when(col("rn") === ceil(col("n") * 3 / lit(4.0)),
+            col("cents"))).as("q3"))
+      c.join(broadcast(q), "seg")
+        .select(col("seg"), col("q1"), col("q3"),
+          (col("cents") * 2 < col("q1") * 2 - (col("q3") - col("q1")) * 3)
+            .cast("int").as("lo"),
+          (col("cents") * 2 > col("q3") * 2 + (col("q3") - col("q1")) * 3)
+            .cast("int").as("hi"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"),
+          first(floor(col("q1").cast("double")) / 100.0).as("q1_dollars"),
+          first(floor(col("q3").cast("double")) / 100.0).as("q3_dollars"),
+          sum("lo").as("n_low_outliers"),
+          sum("hi").as("n_high_outliers"))
+    }),
+
+    // ---- EXT: Grubbs extreme-outlier statistic ----
+    "q476_grubbs" -> ((s, dir) => {
+      // per-nation Grubbs G = max|x − mean| / s from ONE exact-moment
+      // aggregate (n, Σ, Σx² in decimal(38,0) cents — int64 squares
+      // would overflow at large SF) plus the argmax deviant. The only
+      // doubles are the final mirrored G computation.
+      val c = Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_custkey"),
+          (col("c_acctbal").cast(D) * 100).cast("decimal(38,0)")
+            .as("cents"))
+      val m = c.groupBy("c_nationkey").agg(count(lit(1)).as("n"),
+        sum("cents").as("s1"), sum(col("cents") * col("cents")).as("s2"))
+      c.join(broadcast(m), "c_nationkey")
+        .select(col("c_nationkey"), col("n"), col("s1"), col("s2"),
+          abs(col("cents") * col("n") - col("s1")).as("devn"),
+          col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(first(col("n")).as("n"), first(col("s1")).as("s1"),
+          first(col("s2")).as("s2"),
+          max(struct(col("devn"), col("c_custkey"))).as("mx"))
+        .select(col("c_nationkey"), col("n"),
+          col("mx.c_custkey").as("worst_custkey"),
+          (floor(
+            (col("mx.devn").cast("double") / col("n").cast("double")
+              / 100.0)
+            / sqrt((col("n").cast("double")
+                * col("s2").cast("double")
+              - col("s1").cast("double") * col("s1").cast("double"))
+              / (col("n").cast("double")
+                * (col("n") - 1).cast("double")) / 10000.0)
+            * 1000000 + 0.5) / 1000000.0).as("g_stat"))
+    }),
+
+    // ---- EXT: empirical-Bayes rate shrinkage ----
+    "q477_eb_shrinkage" -> ((s, dir) => {
+      // per-supplier return rates shrunk toward the pooled prior with a
+      // method-of-moments strength K = m(1−m)/varB − 1: small suppliers
+      // pull hard to the prior, large ones keep their data. Raw rates
+      // are 6dp-floored INTEGERS, so the between-supplier variance that
+      // feeds K is exact integer algebra; only the final shrink is a
+      // mirrored double.
+      val per = Tables.lineitem(s, dir).groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("l_returnflag") === "R", lit(1))).as("x"))
+        .withColumn("r6", floor(col("x").cast("double") / col("n")
+          * 1000000 + 0.5).cast("long"))
+      val g = per.agg(count(lit(1)).as("ns"), sum("x").as("tx"),
+          sum("n").as("tn"))
+        .withColumn("m6", floor(col("tx").cast("double") / col("tn")
+          * 1000000 + 0.5).cast("long"))
+      val varB = per.crossJoin(broadcast(g))
+        .agg(first(col("ns")).as("ns"), first(col("m6")).as("m6"),
+          sum((col("r6") - col("m6")) * (col("r6") - col("m6")))
+            .as("ssq"))
+        .select(col("ns"), col("m6"),
+          (col("ssq").cast("double") / (col("ns") - 1).cast("double")
+            / 1.0e12).as("vb"))
+        .select(col("ns"), col("m6"),
+          when(col("vb") > 0,
+            (col("m6").cast("double") / 1000000.0
+              * (lit(1.0) - col("m6").cast("double") / 1000000.0))
+              / col("vb") - 1.0)
+            .otherwise(lit(0.0)).as("k"))
+      per.crossJoin(broadcast(varB))
+        .select(col("l_suppkey"), col("n"), col("x"),
+          (col("r6").cast("double") / 1000000.0).as("raw_rate"),
+          (floor((col("x").cast("double")
+              + col("k") * (col("m6").cast("double") / 1000000.0))
+            / (col("n").cast("double") + col("k"))
+            * 1000000 + 0.5) / 1000000.0).as("shrunk_rate"))
+    }),
+
     // ---- SQL surface: native listagg (ordered string aggregation) ----
     "q469_listagg" -> ((s, dir) => {
       // Spark 4's ANSI listagg: DISTINCT + WITHIN GROUP ordered string
@@ -18452,6 +18598,107 @@ object SparkEntry {
              / (cast(sumv6 AS double) / 1000000.0)
              * 1000000 + 0.5) / 1000000.0 AS chi2_cmh
          FROM agg""",
+    // cross-multiplied integer control decisions; A2=0.577, D4=2.114
+    "q474_xbar_r_chart" ->
+      """WITH sub AS (SELECT o_orderdate AS d, o_orderkey,
+             cast(cast(o_totalprice AS decimal(18,2)) * 100 AS bigint)
+               AS cents,
+             row_number() OVER (PARTITION BY o_orderdate
+               ORDER BY o_orderkey) AS rn
+           FROM orders),
+         days AS (SELECT d, cast(count(*) AS bigint) AS n,
+             cast(sum(cents) AS bigint) AS sum5,
+             cast(max(cents) - min(cents) AS bigint) AS r
+           FROM sub WHERE rn <= 5 GROUP BY 1 HAVING count(*) = 5),
+         tot AS (SELECT cast(count(*) AS bigint) AS nd,
+             cast(sum(sum5) AS bigint) AS tsum,
+             cast(sum(r) AS bigint) AS tr FROM days)
+         SELECT nd AS n_days,
+           floor(cast(tsum AS double) / (nd * 5) / 100.0
+             * 1000000 + 0.5) / 1000000.0 AS grand_mean,
+           floor(cast(tr AS double) / nd / 100.0
+             * 1000000 + 0.5) / 1000000.0 AS mean_range,
+           cast(sum(CASE WHEN abs(sum5 * nd - tsum) * 200 > tr * 577
+             THEN 1 ELSE 0 END) AS bigint) AS n_xbar_out,
+           cast(sum(CASE WHEN r * nd * 1000 > tr * 2114
+             THEN 1 ELSE 0 END) AS bigint) AS n_r_out
+         FROM days CROSS JOIN tot
+         GROUP BY nd, tsum, tr""",
+    // nearest-rank quartiles; fences in x2 integer scale
+    "q475_tukey_fences" ->
+      """WITH c AS (SELECT c_mktsegment AS seg, c_custkey,
+             cast(cast(c_acctbal AS decimal(18,2)) * 100 AS bigint)
+               AS cents,
+             row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY cast(cast(c_acctbal AS decimal(18,2)) * 100
+                 AS bigint), c_custkey) AS rn,
+             count(*) OVER (PARTITION BY c_mktsegment) AS n
+           FROM customer),
+         q AS (SELECT seg,
+             min(CASE WHEN rn = ceil(n / 4.0) THEN cents END) AS q1,
+             max(CASE WHEN rn = ceil(n * 3 / 4.0) THEN cents END) AS q3
+           FROM c WHERE rn = ceil(n / 4.0) OR rn = ceil(n * 3 / 4.0)
+           GROUP BY 1)
+         SELECT c.seg, cast(count(*) AS bigint) AS n,
+           floor(cast(min(q1) AS double)) / 100.0 AS q1_dollars,
+           floor(cast(min(q3) AS double)) / 100.0 AS q3_dollars,
+           cast(sum(CASE WHEN cents * 2 < q1 * 2 - (q3 - q1) * 3
+             THEN 1 ELSE 0 END) AS bigint) AS n_low_outliers,
+           cast(sum(CASE WHEN cents * 2 > q3 * 2 + (q3 - q1) * 3
+             THEN 1 ELSE 0 END) AS bigint) AS n_high_outliers
+         FROM c JOIN q ON c.seg = q.seg
+         GROUP BY 1""",
+    // exact decimal moments; the argmax deviant via a window
+    "q476_grubbs" ->
+      """WITH c AS (SELECT c_nationkey, c_custkey,
+             cast(cast(c_acctbal AS decimal(18,2)) * 100 AS hugeint)
+               AS cents
+           FROM customer),
+         m AS (SELECT c_nationkey, cast(count(*) AS bigint) AS n,
+             sum(cents) AS s1, sum(cents * cents) AS s2
+           FROM c GROUP BY 1),
+         d AS (SELECT c.c_nationkey, m.n, m.s1, m.s2, c.c_custkey,
+             abs(c.cents * m.n - m.s1) AS devn,
+             row_number() OVER (PARTITION BY c.c_nationkey
+               ORDER BY abs(c.cents * m.n - m.s1) DESC,
+                 c.c_custkey DESC) AS rk
+           FROM c JOIN m ON c.c_nationkey = m.c_nationkey)
+         SELECT c_nationkey, n, c_custkey AS worst_custkey,
+           floor(
+             (cast(devn AS double) / cast(n AS double) / 100.0)
+             / sqrt((cast(n AS double) * cast(s2 AS double)
+               - cast(s1 AS double) * cast(s1 AS double))
+               / (cast(n AS double) * cast(n - 1 AS double)) / 10000.0)
+             * 1000000 + 0.5) / 1000000.0 AS g_stat
+         FROM d WHERE rk = 1""",
+    // integer between-supplier variance feeds the MoM strength K
+    "q477_eb_shrinkage" ->
+      """WITH per AS (SELECT l_suppkey, cast(count(*) AS bigint) AS n,
+             cast(count(CASE WHEN l_returnflag = 'R' THEN 1 END)
+               AS bigint) AS x
+           FROM lineitem GROUP BY 1),
+         pr AS (SELECT *, cast(floor(cast(x AS double) / n
+             * 1000000 + 0.5) AS bigint) AS r6 FROM per),
+         g AS (SELECT cast(count(*) AS bigint) AS ns,
+             cast(sum(x) AS bigint) AS tx, cast(sum(n) AS bigint) AS tn
+           FROM pr),
+         g2 AS (SELECT ns, cast(floor(cast(tx AS double) / tn
+             * 1000000 + 0.5) AS bigint) AS m6 FROM g),
+         vb AS (SELECT g2.ns, g2.m6,
+             cast(sum((r6 - m6) * (r6 - m6)) AS double)
+               / cast(g2.ns - 1 AS double) / 1.0e12 AS vb
+           FROM pr CROSS JOIN g2 GROUP BY 1, 2),
+         k AS (SELECT ns, m6, CASE WHEN vb > 0 THEN
+             (cast(m6 AS double) / 1000000.0
+               * (1.0 - cast(m6 AS double) / 1000000.0)) / vb - 1.0
+             ELSE 0.0 END AS k FROM vb)
+         SELECT l_suppkey, n, x,
+           cast(r6 AS double) / 1000000.0 AS raw_rate,
+           floor((cast(x AS double)
+               + k * (cast(m6 AS double) / 1000000.0))
+             / (cast(n AS double) + k)
+             * 1000000 + 0.5) / 1000000.0 AS shrunk_rate
+         FROM pr CROSS JOIN k""",
     // 16-coalition exact Shapley; ×24 integer weights
     "q472_shapley_attribution" ->
       """WITH ue AS (SELECT user_id,
