@@ -336,6 +336,101 @@ object SparkEntry {
           FROM x$rounds WHERE s NOT IN ('purchase', 'error')"""
   }
 
+  /** Generated DuckDB oracle for q478 (Markov removal-effect
+    * attribution): the q332 machinery extended with a virtual 'start'
+    * state (per-user first event) and a '__null' absorber (journey end
+    * without purchase), journeys truncated at the first purchase — then
+    * FIVE scenarios unrolled (full chain + one per removed channel,
+    * edges into the removed channel redirected to '__null', its outgoing
+    * row dropped), 20 value-iteration rounds each, 12-dp-rounded terms
+    * summed as exact decimals. Removal effects and shares come off the
+    * scenarios' start-state values in mirrored floors. */
+  private val MarkovRemovalOracleSql: String = {
+    val rounds = 20
+    val channels = Seq("click", "view", "signup", "error")
+    val base =
+      """WITH j AS (SELECT user_id, ts, event_id, event_type,
+              coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1
+                  ELSE 0 END) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS prior_purchases
+            FROM events),
+          jj AS (SELECT user_id, ts, event_id, event_type
+            FROM j WHERE prior_purchases = 0),
+          hops AS (SELECT f, t FROM (
+              SELECT event_type AS f,
+                coalesce(lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id), '__null') AS t
+              FROM jj) h
+            WHERE f <> 'purchase'),
+          starts AS (SELECT 'start' AS f, arg_min(event_type,
+                printf('%020d%020d', epoch_us(ts), event_id)) AS t
+            FROM jj GROUP BY user_id),
+          edges AS (SELECT f, t FROM hops UNION ALL
+            SELECT f, t FROM starts),
+          cnt AS (SELECT f, t, count(*) AS n FROM edges GROUP BY 1, 2),
+          trans AS MATERIALIZED (SELECT f, t,
+              round(cast(n AS double) /
+                cast(sum(n) OVER (PARTITION BY f) AS double), 6) AS p
+            FROM cnt),
+          states AS MATERIALIZED (
+            SELECT DISTINCT f AS s FROM trans
+            UNION SELECT DISTINCT t FROM trans)"""
+    def scenario(tag: String, removed: Option[String]): String = {
+      val transCte = removed match {
+        case Some(c) =>
+          s""",
+          trans_$tag AS MATERIALIZED (SELECT f,
+              CASE WHEN t = '$c' THEN '__null' ELSE t END AS t, p
+            FROM trans WHERE f <> '$c')"""
+        case None =>
+          s""",
+          trans_$tag AS MATERIALIZED (SELECT f, t, p FROM trans)"""
+      }
+      val x0 = s""",
+          x${tag}_0 AS (SELECT s, CASE WHEN s = 'purchase' THEN 1.0
+              ELSE 0.0 END AS x
+            FROM states${removed.map(c => s" WHERE s <> '$c'").getOrElse("")})"""
+      val iters = (1 to rounds).map { k =>
+        s""",
+          x${tag}_$k AS MATERIALIZED (
+            SELECT s, x FROM x${tag}_${k - 1}
+            WHERE s IN ('purchase', '__null')
+            UNION ALL
+            SELECT tr.f AS s,
+              cast(sum(cast(round(tr.p * xp.x, 12) AS decimal(18,12)))
+                AS double) AS x
+            FROM trans_$tag tr JOIN x${tag}_${k - 1} xp ON tr.t = xp.s
+            WHERE tr.f NOT IN ('purchase', '__null')
+            GROUP BY 1)"""
+      }.mkString
+      transCte + x0 + iters
+    }
+    val scenarios = scenario("full", None) +
+      channels.map(c => scenario(c, Some(c))).mkString
+    val finals = channels.map { c =>
+      s"""SELECT '$c' AS channel,
+           (SELECT round(round(x, 12), 6) + 0.0 FROM xfull_$rounds
+             WHERE s = 'start') AS p_full,
+           (SELECT round(round(x, 12), 6) + 0.0 FROM x${c}_$rounds
+             WHERE s = 'start') AS p_removed,
+           (SELECT cast(floor((1.0 - x2.x / x1.x) * 1000000 + 0.5)
+               AS bigint)
+             FROM xfull_$rounds x1, x${c}_$rounds x2
+             WHERE x1.s = 'start' AND x2.s = 'start') AS removal6"""
+    }.mkString("\n           UNION ALL\n           ")
+    base + scenarios +
+      s""",
+          fin AS MATERIALIZED ($finals)
+          SELECT channel, p_full, p_removed,
+            cast(removal6 AS double) / 1000000.0 AS removal_effect,
+            floor(cast(removal6 AS double)
+              / cast(sum(removal6) OVER () AS double)
+              * 1000000 + 0.5) / 1000000.0 AS share
+          FROM fin"""
+  }
+
   /** Generated DuckDB oracle for q312: the Luhn sum as twelve explicit
     * per-position terms (odd distance from the right doubles, minus 9
     * above 4) — the same expression tree `Scalars.luhnValid` emits. */
@@ -9888,6 +9983,97 @@ object SparkEntry {
             / 1000000.0).as("phi"))
     }),
 
+    // ---- EXT: Markov removal-effect attribution ----
+    "q478_markov_attribution" -> ((s, dir) => {
+      // the data-driven attribution standard beside q472's Shapley: a
+      // first-order journey chain (virtual 'start', journeys truncated
+      // at first purchase, '__null' absorbs non-converting ends) and
+      // per-channel REMOVAL effects — delete the channel, redirect its
+      // inbound edges to '__null', re-run the 20-round lockstep
+      // absorption, and credit 1 − P_removed/P_full. The corpus pass is
+      // one transition aggregate; the five scenario solves run on the
+      // ≤36-entry chain (bounded model fit, q332 precedent). Transition
+      // p's carry the 6-dp contract; round terms are 12-dp decimals.
+      import org.apache.spark.sql.expressions.Window
+      val wl = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ev = Tables.events(s, dir)
+        .withColumn("prior", coalesce(
+          sum(when(col("event_type") === "purchase", 1).otherwise(0))
+            .over(wl.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0)))
+        .filter(col("prior") === 0)
+      val hops = ev
+        .withColumn("t", coalesce(lead(col("event_type"), 1).over(wl),
+          lit("__null")))
+        .filter(col("event_type") =!= "purchase")
+        .select(col("event_type").as("f"), col("t"))
+      val starts = ev.groupBy("user_id")
+        .agg(min(struct(col("ts"), col("event_id"), col("event_type")))
+          .as("m"))
+        .select(lit("start").as("f"), col("m.event_type").as("t"))
+      val cnt = hops.unionAll(starts).groupBy("f", "t")
+        .agg(count(lit(1)).as("n"))
+      val withP = cnt
+        .withColumn("tot", sum("n").over(Window.partitionBy("f")))
+        .withColumn("p",
+          round(col("n").cast("double") / col("tot").cast("double"), 6))
+        .select("f", "t", "p")
+      val chain = withP.collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
+      val states = (chain.map(_._1._1) ++ chain.map(_._1._2))
+        .distinct.sorted.toSeq
+      val absorbingSet = Set("purchase", "__null")
+      def r12(x: Double): Double =
+        BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      def absorb(removed: Option[String]): Double = {
+        val tr = chain.toSeq.flatMap { case ((f, t), p) =>
+          removed match {
+            case Some(c) if f == c => None
+            case Some(c) =>
+              Some(((f, if (t == c) "__null" else t), p))
+            case None => Some(((f, t), p))
+          }
+        }
+        val sts = states.filterNot(removed.contains)
+        var x: Map[String, Double] = sts.map(st =>
+          st -> (if (st == "purchase") 1.0 else 0.0)).toMap
+        (1 to 20).foreach { _ =>
+          val next = sts.filterNot(absorbingSet).map { st =>
+            val terms = tr.filter(_._1._1 == st).flatMap {
+              case ((_, t), p) =>
+                x.get(t).map(xv => BigDecimal(r12(p * xv)))
+            }
+            st -> (if (terms.isEmpty) 0.0 else terms.sum.toDouble)
+          }.toMap
+          x = next ++ sts.filter(absorbingSet)
+            .map(st => st -> x(st)).toMap
+        }
+        x.getOrElse("start", 0.0)
+      }
+      val pFull = absorb(None)
+      val channels = Seq("click", "view", "signup", "error")
+      val rows = channels.map { c =>
+        val pr = absorb(Some(c))
+        val removal6 =
+          math.floor((1.0 - pr / pFull) * 1000000 + 0.5).toLong
+        (c, pFull, pr, removal6)
+      }
+      val tot6 = rows.map(_._4).sum
+      val spark = s
+      import spark.implicits._
+      rows.map { case (c, pf, pr, r6) =>
+        (c, pf, pr, r6.toDouble / 1000000.0,
+          math.floor(r6.toDouble / tot6.toDouble * 1000000 + 0.5)
+            / 1000000.0)
+      }.toDF("channel", "pf", "prm", "removal_effect", "share")
+        .select(col("channel"),
+          (round(col("pf"), 6) + lit(0.0d)).as("p_full"),
+          (round(col("prm"), 6) + lit(0.0d)).as("p_removed"),
+          col("removal_effect"), col("share"))
+    }),
+
     // ---- EXT: Shewhart x-bar / R control chart ----
     "q474_xbar_r_chart" -> ((s, dir) => {
       // SPC over the order stream: fixed n=5 subgroups (first five
@@ -18598,6 +18784,8 @@ object SparkEntry {
              / (cast(sumv6 AS double) / 1000000.0)
              * 1000000 + 0.5) / 1000000.0 AS chi2_cmh
          FROM agg""",
+    // generated 5-scenario unrolled value iteration
+    "q478_markov_attribution" -> MarkovRemovalOracleSql,
     // cross-multiplied integer control decisions; A2=0.577, D4=2.114
     "q474_xbar_r_chart" ->
       """WITH sub AS (SELECT o_orderdate AS d, o_orderkey,

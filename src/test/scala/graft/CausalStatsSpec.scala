@@ -198,6 +198,25 @@ class CausalStatsSpec extends SparkSuite {
     assert(got.values.sum == 24L * (v(15) - v(0)))
   }
 
+  test("q478 Markov attribution is well-formed and shares sum to one") {
+    val rows = SparkEntry.queries("q478_markov_attribution")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == 4)
+    val pFull = rows.head._2
+    assert(pFull > 0.0 && pFull <= 1.0)
+    rows.foreach { case (_, pf, pr, eff, _) =>
+      assert(pf == pFull)
+      assert(pr >= 0.0 && pr <= 1.0)
+      // removal never helps in an absorbing chain toward 'purchase'
+      assert(pr <= pf + 1e-9)
+      assert(eff >= -1e-9 && eff <= 1.0 + 1e-9)
+    }
+    val shareSum = rows.map(_._5).sum
+    assert(math.abs(shareSum - 1.0) < 4e-6, s"shares sum to $shareSum")
+  }
+
   test("q461 Wilcoxon rank sums conserve n(n+1)") {
     val row = SparkEntry.queries("q461_wilcoxon_signed")(spark, sf)
       .collect()(0)
