@@ -70,7 +70,7 @@ object Bench {
       "q74_json_log_roundtrip", "q75_binary_roundtrip", "q76_stream_dedup",
       "q108_stream_interval_join", "q113_stream_retention",
       "q244_stream_left_interval_join", "q248_stream_dedup_within_watermark",
-      "q452_stream_full_interval_join", "q466_stream_transform_with_state", "q467_stream_session_timers", "q470_stream_lastk_path", "q471_stream_type_counts",
+      "q452_stream_full_interval_join", "q466_stream_transform_with_state", "q467_stream_session_timers", "q470_stream_lastk_path", "q471_stream_type_counts", "q480_stream_seeded_count",
       "q254_stream_rate_limit", "q261_stream_restart_exactly_once",
       "q134_stream_session_agg", "q137_stream_enrich", "q138_stream_file_sink",
       "q163_stream_heavy_hitters", "q442_stream_geojson")

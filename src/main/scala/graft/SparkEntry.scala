@@ -9474,6 +9474,15 @@ object SparkEntry {
       graft.streaming.Streams.replayedTypeCounts(
         s, Tables.events(s, dir), chunks = 3, name = "type_counts")),
 
+    // ---- Streaming: initial-state bootstrap (transformWithState) ----
+    "q480_stream_seeded_count" -> ((s, dir) =>
+      // lambda cutover: batch backfill seeds per-user counters via
+      // handleInitialState, the stream continues numbering from the
+      // cutoff — output equals the all-events batch row_number
+      // restricted to the streamed half
+      graft.streaming.Streams.replayedSeededCount(
+        s, Tables.events(s, dir), chunks = 3, name = "seeded_count")),
+
     "q452_stream_full_interval_join" -> ((s, dir) =>
       // the outer-join matrix's last cell (inner q108, left q244):
       // unmatched rows on BOTH sides emit null-extended exactly once,
@@ -10072,6 +10081,35 @@ object SparkEntry {
           (round(col("pf"), 6) + lit(0.0d)).as("p_full"),
           (round(col("prm"), 6) + lit(0.0d)).as("p_removed"),
           col("removal_effect"), col("share"))
+    }),
+
+    // ---- EXT: weight-of-evidence / information-value binning ----
+    "q479_woe_iv" -> ((s, dir) => {
+      // the credit-scoring screen: quantity decile buckets vs the
+      // return outcome, WoE_b = ln(bad-share/good-share) and its IV
+      // contribution per bucket — ONE conditional aggregate, bucket
+      // table bounded by the binning design. Log runs on exact integer
+      // cross-products (bad_b·Good vs good_b·Bad); WoE is 6dp-floored
+      // FIRST so each IV term is a mirrored single-rounding product.
+      val b = Tables.lineitem(s, dir)
+        .select(expr("(cast(l_quantity AS int) - 1) div 10").cast("int")
+          .as("bucket"),
+          (col("l_returnflag") === "R").cast("int").as("r"))
+        .groupBy("bucket")
+        .agg(count(when(col("r") === 0, lit(1))).as("n_good"),
+          count(when(col("r") === 1, lit(1))).as("n_bad"))
+      val tot = b.agg(sum("n_good").as("tg"), sum("n_bad").as("tb"))
+      b.crossJoin(broadcast(tot))
+        .withColumn("woe6", floor(
+          log(col("n_bad").cast("double") * col("tg")
+            / (col("n_good").cast("double") * col("tb")))
+          * 1000000 + 0.5).cast("long"))
+        .select(col("bucket"), col("n_good"), col("n_bad"),
+          (col("woe6").cast("double") / 1000000.0).as("woe"),
+          (floor((col("n_bad").cast("double") / col("tb")
+              - col("n_good").cast("double") / col("tg"))
+            * (col("woe6").cast("double") / 1000000.0)
+            * 1000000 + 0.5) / 1000000.0).as("iv_term"))
     }),
 
     // ---- EXT: Shewhart x-bar / R control chart ----
@@ -18786,6 +18824,29 @@ object SparkEntry {
          FROM agg""",
     // generated 5-scenario unrolled value iteration
     "q478_markov_attribution" -> MarkovRemovalOracleSql,
+    // integer cross-product logs; WoE floored before the IV product
+    "q479_woe_iv" ->
+      """WITH b AS (SELECT (cast(l_quantity AS int) - 1) // 10 AS bucket,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+           FROM lineitem),
+         g AS (SELECT cast(bucket AS int) AS bucket,
+             cast(count(CASE WHEN r = 0 THEN 1 END) AS bigint) AS n_good,
+             cast(count(CASE WHEN r = 1 THEN 1 END) AS bigint) AS n_bad
+           FROM b GROUP BY 1),
+         tot AS (SELECT cast(sum(n_good) AS bigint) AS tg,
+             cast(sum(n_bad) AS bigint) AS tb FROM g),
+         w AS (SELECT g.*, tg, tb,
+             cast(floor(ln(cast(n_bad AS double) * tg
+               / (cast(n_good AS double) * tb))
+               * 1000000 + 0.5) AS bigint) AS woe6
+           FROM g CROSS JOIN tot)
+         SELECT bucket, n_good, n_bad,
+           cast(woe6 AS double) / 1000000.0 AS woe,
+           floor((cast(n_bad AS double) / tb
+               - cast(n_good AS double) / tg)
+             * (cast(woe6 AS double) / 1000000.0)
+             * 1000000 + 0.5) / 1000000.0 AS iv_term
+         FROM w""",
     // cross-multiplied integer control decisions; A2=0.577, D4=2.114
     "q474_xbar_r_chart" ->
       """WITH sub AS (SELECT o_orderdate AS d, o_orderkey,
@@ -18984,6 +19045,17 @@ object SparkEntry {
            cast(row_number() OVER (PARTITION BY user_id
              ORDER BY ts, event_id) AS bigint) AS running_n
          FROM events""",
+    // seeded counters == all-events row_number on the streamed half
+    "q480_stream_seeded_count" ->
+      """WITH mm AS (SELECT min(epoch_us(ts)) AS lo,
+             max(epoch_us(ts)) AS hi FROM events),
+         rn AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+             cast(row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS bigint) AS running_n
+           FROM events)
+         SELECT user_id, event_id, running_n
+         FROM rn CROSS JOIN mm
+         WHERE us >= lo + (hi - lo) // 2""",
     // ListState paths == batch lag windows
     "q470_stream_lastk_path" ->
       """SELECT user_id, event_id,

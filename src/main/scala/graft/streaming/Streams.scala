@@ -624,6 +624,64 @@ object Streams {
     }
   }
 
+  /** [[RunningCountProcessor]] with BOOTSTRAPPED state — the
+    * StatefulProcessorWithInitialState arm: a batch backfill seeds each
+    * user's counter via `handleInitialState` before the first
+    * micro-batch, so the stream continues numbering where the backfill
+    * stopped (the standard lambda-architecture cutover: recompute
+    * history in batch, stream from the cutoff). */
+  private class SeededCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, Event, (Long, Long, Long), Long] {
+    @transient private var cnt:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      cnt = getHandle.getValueState[Long]("cnt",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInitialState(key: Long, initialState: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Unit =
+      cnt.update(initialState)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long)] = {
+      val sorted = rows.toSeq.sortBy(e => (eventUs(e.ts), e.event_id))
+      var c = if (cnt.exists()) cnt.get() else 0L
+      val out = sorted.map { e => c += 1; (key, e.event_id, c) }
+      cnt.update(c)
+      out.iterator
+    }
+  }
+
+  /** Replay gate for [[SeededCountProcessor]]: events before the time
+    * cutoff become the BATCH seed (per-user counts), events at/after it
+    * stream through time-sliced chunks — the emitted running numbers
+    * must continue the seed exactly, i.e. equal the batch row_number
+    * over ALL events restricted to the streamed half. */
+  def replayedSeededCount(spark: SparkSession, events: DataFrame,
+                          chunks: Int, name: String): DataFrame = {
+    import spark.implicits._
+    val base = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    val mm = base.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val cutUs = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    val seed = base.filter(unix_micros(col("ts")) < cutUs)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+    val tail = base.filter(unix_micros(col("ts")) >= cutUs)
+    replayTws(spark, tail, chunks, name) { ds =>
+      ds.groupByKey(_.user_id)
+        .transformWithState(new SeededCountProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append(), seed)
+        .toDF("user_id", "event_id", "running_n")
+    }
+  }
+
   private def freshReplayDir(name: String): String = {
     val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_replay_$name")
     def rm(f: java.io.File): Unit = {
