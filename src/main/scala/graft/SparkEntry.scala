@@ -431,6 +431,36 @@ object SparkEntry {
           FROM fin"""
   }
 
+  /** Generated geohash-6 encoder as ONE SQL scalar expression, shared
+    * verbatim by the Spark side (`expr`) and the DuckDB oracle except
+    * for the integer-division spelling (`div` vs `//`, the only operator
+    * the engines name differently). Integer inputs make every step exact:
+    * 15-bit lat/lon cells, 30 generated interleave terms in pure
+    * div/mod/multiply algebra (no shift operators — Spark and DuckDB
+    * disagree on those), base32 chars via substr on the standard
+    * alphabet. */
+  private def geohashSqlExpr(lon: String, lat: String,
+                             intDiv: String): String = {
+    val xi = s"((($lon) + 180) * 32768 $intDiv 360)"
+    val yi = s"((($lat) + 90) * 32768 $intDiv 180)"
+    val bits = (0 until 15).map { b =>
+      val pow = 1L << b
+      s"(($xi $intDiv $pow) % 2) * ${1L << (2 * b + 1)}" +
+        s" + (($yi $intDiv $pow) % 2) * ${1L << (2 * b)}"
+    }.mkString(" + ")
+    val chars = (0 until 6).map { k =>
+      val shift = 1L << (25 - 5 * k)
+      s"substr('0123456789bcdefghjkmnpqrstuvwxyz'," +
+        s" cast((($bits) $intDiv $shift) % 32 AS int) + 1, 1)"
+    }.mkString(", ")
+    s"concat($chars)"
+  }
+
+  /** Test hook: the Spark-side geohash expression text (SpcWaveSpec's
+    * anchor-cell checks). */
+  private[graft] def geohashExprForTest(lon: String, lat: String): String =
+    geohashSqlExpr(lon, lat, "div")
+
   /** Generated DuckDB oracle for q312: the Luhn sum as twelve explicit
     * per-position terms (odd distance from the right doubles, minus 9
     * above 4) — the same expression tree `Scalars.luhnValid` emits. */
@@ -10083,6 +10113,84 @@ object SparkEntry {
           col("removal_effect"), col("share"))
     }),
 
+    // ---- EXT: geohash encoding (spatial bucketing key) ----
+    "q481_geohash" -> ((s, dir) => {
+      // the spatial layout key the reference's tile pyramid implies:
+      // geohash-6 from the fixture's integer lon/lat — 15-bit cells,
+      // interleave, base32 — as ONE generated scalar expression shared
+      // verbatim with the oracle (q49 discipline, modulo the `div`//`//`
+      // spelling). Grouping by the hash is the geo-shuffle key at
+      // 100 TB: co-located cells land in one partition.
+      val pts = Tables.customer(s, dir).select(col("c_custkey"),
+        (col("c_custkey") * 7 % 360 - 180).cast("long").as("lon"),
+        (col("c_custkey") * 13 % 180 - 90).cast("long").as("lat"))
+      pts.withColumn("geohash",
+          expr(geohashSqlExpr("lon", "lat", "div")))
+        .groupBy("geohash")
+        .agg(count(lit(1)).as("n_points"),
+          min(col("c_custkey")).cast("long").as("sample_custkey"))
+    }),
+
+    // ---- EXT: nearest-facility (Voronoi) assignment ----
+    "q482_nearest_station" -> ((s, dir) => {
+      // every customer point assigned to its nearest of 8 fixed ground
+      // stations (the reference's receiver siting question): exact
+      // integer squared distances, argmin with station-id tie-break, one
+      // broadcast cross against the 8-row dimension. Flat-earth metric
+      // on the synthetic integer grid — the assignment algebra, not
+      // geodesy, is the subject.
+      import s.implicits._
+      val stations = Seq((0L, -120L, 40L), (1L, -60L, -10L),
+        (2L, 0L, 50L), (3L, 30L, -25L), (4L, 75L, 20L),
+        (5L, 120L, 60L), (6L, 150L, -40L), (7L, -150L, -65L))
+        .toDF("station_id", "s_lon", "s_lat")
+      val pts = Tables.customer(s, dir).select(col("c_custkey"),
+        (col("c_custkey") * 7 % 360 - 180).cast("long").as("lon"),
+        (col("c_custkey") * 13 % 180 - 90).cast("long").as("lat"))
+      pts.crossJoin(broadcast(stations))
+        .withColumn("d2",
+          (col("lon") - col("s_lon")) * (col("lon") - col("s_lon"))
+          + (col("lat") - col("s_lat")) * (col("lat") - col("s_lat")))
+        .groupBy("c_custkey")
+        .agg(min(struct(col("d2"), col("station_id"))).as("m"))
+        .groupBy(col("m.station_id").as("station_id"))
+        .agg(count(lit(1)).as("n_assigned"),
+          (floor(sum(col("m.d2")).cast("double") / count(lit(1))
+            * 1000000 + 0.5) / 1000000.0).as("mean_d2"))
+    }),
+
+    // ---- EXT: kernel density estimate on a fixed grid ----
+    "q483_kde_grid" -> ((s, dir) => {
+      // Gaussian KDE of order value at 21 grid points: one explode×21
+      // conditional aggregate (the q460 shape — grid terms shuffle 21
+      // partials per partition, never the corpus). Grid and bandwidth
+      // derive from exact integer cents; each row's kernel term is
+      // 6dp-floored so the density sums are engine-exact integers.
+      val cents = Tables.orders(s, dir)
+        .select((col("o_totalprice").cast(D) * 100).cast("long")
+          .as("x"))
+      val mm = cents.agg(min("x").as("lo"), max("x").as("hi"))
+      cents.crossJoin(broadcast(mm))
+        .select(col("x"), col("lo"), col("hi"),
+          explode(sequence(lit(0), lit(20))).as("k"))
+        .withColumn("gk", col("lo").cast("double")
+          + col("k").cast("double")
+            * (col("hi") - col("lo")).cast("double") / 20.0)
+        .withColumn("u", (col("x").cast("double") - col("gk"))
+          / ((col("hi") - col("lo")).cast("double") / 10.0))
+        .withColumn("t6",
+          floor(exp(col("u") * col("u") / -2.0) * 1000000 + 0.5)
+            .cast("long"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("t6").as("sum_t6"),
+          first(col("gk")).as("gk"))
+        .select(col("k"), (col("gk") / 100.0).as("grid_dollars"),
+          col("sum_t6"),
+          (floor(col("sum_t6").cast("double") / col("n")
+            * 1000000 + 0.5) / 1000000.0 / 1000000.0)
+            .as("mean_kernel"))
+    }),
+
     // ---- EXT: weight-of-evidence / information-value binning ----
     "q479_woe_iv" -> ((s, dir) => {
       // the credit-scoring screen: quantity decile buckets vs the
@@ -18824,6 +18932,65 @@ object SparkEntry {
          FROM agg""",
     // generated 5-scenario unrolled value iteration
     "q478_markov_attribution" -> MarkovRemovalOracleSql,
+    // shared generated geohash expression (// spelling)
+    "q481_geohash" -> s"""
+      WITH pts AS (SELECT c_custkey,
+          cast(c_custkey * 7 % 360 - 180 AS bigint) AS lon,
+          cast(c_custkey * 13 % 180 - 90 AS bigint) AS lat
+        FROM customer)
+      SELECT ${geohashSqlExpr("lon", "lat", "//")} AS geohash,
+        count(*) AS n_points,
+        cast(min(c_custkey) AS bigint) AS sample_custkey
+      FROM pts GROUP BY 1""",
+    // argmin by (d2, station_id) via a per-point window
+    "q482_nearest_station" ->
+      """WITH st AS (SELECT * FROM (VALUES (0, -120, 40), (1, -60, -10),
+             (2, 0, 50), (3, 30, -25), (4, 75, 20), (5, 120, 60),
+             (6, 150, -40), (7, -150, -65))
+           AS t(station_id, s_lon, s_lat)),
+         pts AS (SELECT c_custkey,
+             cast(c_custkey * 7 % 360 - 180 AS bigint) AS lon,
+             cast(c_custkey * 13 % 180 - 90 AS bigint) AS lat
+           FROM customer),
+         d AS (SELECT c_custkey, station_id,
+             (lon - s_lon) * (lon - s_lon)
+               + (lat - s_lat) * (lat - s_lat) AS d2,
+             row_number() OVER (PARTITION BY c_custkey
+               ORDER BY (lon - s_lon) * (lon - s_lon)
+                 + (lat - s_lat) * (lat - s_lat), station_id) AS rk
+           FROM pts CROSS JOIN st)
+         SELECT cast(station_id AS bigint) AS station_id,
+           cast(count(*) AS bigint) AS n_assigned,
+           floor(cast(sum(d2) AS double) / count(*) * 1000000 + 0.5)
+             / 1000000.0 AS mean_d2
+         FROM d WHERE rk = 1 GROUP BY 1""",
+    // per-row 6dp-floored kernel terms, exactly summed
+    "q483_kde_grid" ->
+      """WITH c AS (SELECT cast(cast(o_totalprice AS decimal(18,2)) * 100
+             AS bigint) AS x FROM orders),
+         mm AS (SELECT min(x) AS lo, max(x) AS hi FROM c),
+         e AS (SELECT x, lo, hi,
+             unnest(generate_series(0, 20)) AS k
+           FROM c CROSS JOIN mm),
+         t AS (SELECT k,
+             cast(lo AS double) + cast(k AS double)
+               * cast(hi - lo AS double) / 20.0 AS gk,
+             x, lo, hi
+           FROM e),
+         u AS (SELECT k, gk,
+             cast(floor(exp(
+               ((cast(x AS double) - gk)
+                 / (cast(hi - lo AS double) / 10.0))
+               * ((cast(x AS double) - gk)
+                 / (cast(hi - lo AS double) / 10.0))
+               / -2.0) * 1000000 + 0.5) AS bigint) AS t6
+           FROM t)
+         SELECT cast(k AS int) AS k,
+           min(gk) / 100.0 AS grid_dollars,
+           cast(sum(t6) AS bigint) AS sum_t6,
+           floor(cast(sum(t6) AS double) / count(*) * 1000000 + 0.5)
+             / 1000000.0 / 1000000.0 AS mean_kernel
+         FROM u GROUP BY 1""",
     // integer cross-product logs; WoE floored before the IV product
     "q479_woe_iv" ->
       """WITH b AS (SELECT (cast(l_quantity AS int) - 1) // 10 AS bucket,

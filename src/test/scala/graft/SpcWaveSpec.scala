@@ -68,6 +68,29 @@ class SpcWaveSpec extends SparkSuite {
       }
   }
 
+  test("q481 geohash expression hits known anchor cells") {
+    // (0,0) lies in the 's' macro-cell (geohash 's00000' at the cell
+    // corner); (-180,-90) is the all-zero-bits corner '000000'
+    val got = spark.sql(
+      "SELECT " + SparkEntry.geohashExprForTest("lon", "lat") +
+        " AS gh FROM VALUES (0L, 0L), (-180L, -90L) AS t(lon, lat)")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("s00000", "000000"))
+  }
+
+  test("q482 station assignment conserves the customer count") {
+    val n = Tables.customer(spark, sf).count()
+    val rows = SparkEntry.queries("q482_nearest_station")(spark, sf)
+      .collect()
+    assert(rows.map(_.getLong(1)).sum == n)
+  }
+
+  test("q483 kernel terms are bounded by the kernel maximum") {
+    SparkEntry.queries("q483_kde_grid")(spark, sf).collect().foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.000001)
+    }
+  }
+
   test("q477 shrinkage lands between the raw rate and the prior") {
     val rows = SparkEntry.queries("q477_eb_shrinkage")(spark, sf)
       .collect().map(r => (r.getLong(1), r.getDouble(3), r.getDouble(4)))
