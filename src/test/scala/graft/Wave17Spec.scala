@@ -82,6 +82,33 @@ class Wave17Spec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("q484 join hints steer the physical plan without changing answers") {
+    Tables.registerAll(spark, sf)
+    val broadcastPlan = spark.sql(
+      """SELECT /*+ BROADCAST(nation) */ n_name, count(*) AS n
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name""").queryExecution.executedPlan.toString
+    assert(broadcastPlan.contains("BroadcastHashJoin"))
+    val shuffleHashPlan = spark.sql(
+      """SELECT /*+ SHUFFLE_HASH(nation) */ n_name, count(*) AS n
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name""").queryExecution.executedPlan.toString
+    assert(shuffleHashPlan.contains("ShuffledHashJoin"))
+    val rebalancePlan = spark.sql(
+      """SELECT /*+ REBALANCE */ s_suppkey FROM supplier""")
+      .queryExecution.optimizedPlan.toString
+    assert(rebalancePlan.contains("RebalancePartitions"))
+    // and the hinted gate answers exactly like the plain join
+    val hinted = SparkEntry.queries("q484_join_hints")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val plain = spark.sql(
+      """SELECT n_name, count(*) AS n
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(hinted == plain)
+  }
+
   test("q465 skeleton merges every spoofed variant and nothing else") {
     val n = Tables.customer(spark, sf).count()
     val row = SparkEntry.queries("q465_homoglyph_skeleton")(spark, sf)
