@@ -109,7 +109,16 @@ class PlanRegressionSpec extends AnyFunSuite {
     "q437_feature_matrix", "q438_delta_encoding",
     // wave 14: bucketed batch packing, xor shard manifest
     // (q441 excluded: building its plan writes GeoJSONL shards)
-    "q439_microbatch_manifest", "q440_shard_manifest")
+    "q439_microbatch_manifest", "q440_shard_manifest",
+    // session-3 waves: compressed-distribution rank tests, explode-B
+    // permutation/KDE aggregates, coalition/stratum model fits, geohash
+    // projection, Voronoi broadcast, isotonic minimax, RANSAC packed-min
+    "q456_mann_whitney", "q457_bh_fdr", "q460_permutation_test",
+    "q461_wilcoxon_signed", "q465_homoglyph_skeleton", "q468_cmh_odds",
+    "q472_shapley_attribution", "q474_xbar_r_chart", "q475_tukey_fences",
+    "q476_grubbs", "q477_eb_shrinkage", "q479_woe_iv", "q481_geohash",
+    "q482_nearest_station", "q483_kde_grid", "q486_isotonic_fit",
+    "q487_ransac_line")
 
   /** Sanctioned BroadcastNestedLoopJoins whose build side is a DESIGN-
     * bounded broadcast probe/query set rather than an aggregate — e.g. the
@@ -159,7 +168,16 @@ class PlanRegressionSpec extends AnyFunSuite {
     // q422 crossJoins the scalar total and the scalar seat count; one of
     // the two aggregate exchanges is REUSED (childless ReusedExchangeExec
     // build) and thus invisible to the classifier — q293/q295 pattern
-    "q422_token_apportionment" -> 1)
+    "q422_token_apportionment" -> 1,
+    // q482 crossJoins the 8-row LITERAL station table (Seq.toDF
+    // LocalRelation — design-bounded by construction, not an aggregate):
+    // the q374 k-table shape
+    "q482_nearest_station" -> 1,
+    // q486's interval crossJoin builds on the bins AGGREGATE, but its
+    // exchange is REUSED from the fit side (childless ReusedExchangeExec
+    // behind an InputAdapter) so the aggregate is invisible to the
+    // classifier — the q293/q295 pattern; pinned at 1
+    "q486_isotonic_fit" -> 1)
 
   private def aggregateBounded(p: SparkPlan): Boolean = p match {
     case _: BaseAggregateExec => true
