@@ -16,6 +16,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Global budget for quiet-certification waits (ms): bounds the TOTAL
+    * untimed sleeping across the whole run, so a host that never goes
+    * quiet costs at most ~5 min of extra wall clock, not per-query. */
+  private var sleepBudgetMs: Long = 300000L
+
   /** 1-minute load average — exogenous-load evidence for the artifact. */
   private def loadavg(): Double =
     try {
@@ -111,11 +116,20 @@ object Bench {
       // quiet iteration suffices to de-noise the artifact (round-3/round-5
       // lesson: official numbers inflated 5-11× by host load, provable only
       // out-of-band before this).
+      // Back-to-back retries all land inside the same noise burst (round-6
+      // lesson: q53's three iterations ran at loadavg 15-17 and its 3
+      // immediate retries would have too) — so each retry first WAITS with
+      // escalating backoff (10/20/40/60/60 s) for the burst to pass, paid
+      // from a global sleep budget so a fully-loaded host can't stall the
+      // whole run (waiting is untimed; the query re-runs after).
       val quietThresh = 6.0
+      def quietCertified = iterLoads.exists(l => l >= 0 && l <= quietThresh)
       var extras = 0
-      while (ok && times.min >= 2.0 && extras < 3 &&
-             !iterLoads.exists(l => l >= 0 && l <= quietThresh)) {
-        System.err.println(f"[bench] $name retry ${extras + 1} for a quiet iteration (loads ${iterLoads.map(l => f"$l%.1f").mkString(",")})")
+      while (ok && times.min >= 2.0 && extras < 5 && !quietCertified) {
+        val backoffMs = math.min(10000L << extras, 60000L)
+        val waitMs = math.min(backoffMs, Bench.sleepBudgetMs)
+        System.err.println(f"[bench] $name retry ${extras + 1} for a quiet iteration (loads ${iterLoads.map(l => f"$l%.1f").mkString(",")}; waiting ${waitMs / 1000}%d s)")
+        if (waitMs > 0) { Thread.sleep(waitMs); Bench.sleepBudgetMs -= waitMs }
         runOnce(); extras += 1
       }
       val ran = times.toSeq
@@ -123,10 +137,15 @@ object Bench {
       val steady = ran.min
       val load0 = iterLoads.head
       val load1 = loadavg()
+      // a measurement is quiet-certified when some iteration ran at loadavg
+      // ≤ quietThresh (sub-2 s queries are trivially certified: host noise
+      // cannot inflate them past the grading resolution); the flag ships in
+      // the sidecar so an uncertified number is visible in the artifact
+      val certified = steady < 2.0 || quietCertified
       System.err.println(
         f"[bench] $name%-24s cold $cold%8.2f s  steady $steady%8.2f s  load $load0%5.1f->$load1%5.1f" +
-          (if (ok) "" else "  FAILED"))
-      (name, cold, steady, ok, ran, iterLoads.toSeq :+ load1)
+          (if (!ok) "  FAILED" else if (!certified) "  UNCERTIFIED" else ""))
+      (name, cold, steady, ok, ran, iterLoads.toSeq :+ load1, certified)
     }
     def fmt(d: Double) = f"$d%.3f"
     def fmt2(d: Double) = f"$d%.2f"
@@ -156,9 +175,9 @@ object Bench {
     // stderr detail), and the cutoff auto-raises until the line fits, so
     // the artifact stays parseable at ANY future gate count.
     def qsAt(cutoff: Double) = {
-      val heavy = results.filter { case (_, _, v, ok, _, _) => !ok || v >= cutoff }
-      val fast = results.filter { case (_, _, v, ok, _, _) => ok && v < cutoff }
-      val m = heavy.map { case (k, _, v, ok, _, _) =>
+      val heavy = results.filter { case (_, _, v, ok, _, _, _) => !ok || v >= cutoff }
+      val fast = results.filter { case (_, _, v, ok, _, _, _) => ok && v < cutoff }
+      val m = heavy.map { case (k, _, v, ok, _, _, _) =>
         "\"" + shortKey(k) + "\":" + (if (ok) fmtQ(v) else "-1")
       }.mkString("{", ",", "}")
       val ft = fast.map(_._3).sum
@@ -169,28 +188,32 @@ object Bench {
       .map(qsAt)
       .find { case (m, fs) => (m.length + fs.length) <= 1600 }
       .getOrElse(qsAt(1e9))
-    val colds = results.map { case (k, c, _, ok, _, _) => "\"" + k + "\":" + (if (ok) fmt(c) else "-1") }
+    val colds = results.map { case (k, c, _, ok, _, _, _) => "\"" + k + "\":" + (if (ok) fmt(c) else "-1") }
       .mkString("{", ",", "}")
-    val steadies = results.map { case (k, _, v, ok, _, _) => "\"" + k + "\":" + (if (ok) fmt(v) else "-1") }
+    val steadies = results.map { case (k, _, v, ok, _, _, _) => "\"" + k + "\":" + (if (ok) fmt(v) else "-1") }
       .mkString("{", ",", "}")
-    val iterTimes = results.map { case (k, _, _, _, ts, _) =>
+    val iterTimes = results.map { case (k, _, _, _, ts, _, _) =>
       "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // per-iteration loadavg samples (one per iter_times entry) + one final
     // post-query sample appended — each iteration self-documents its noise
-    val loads = results.map { case (k, _, _, _, _, ls) =>
+    val loads = results.map { case (k, _, _, _, _, ls, _) =>
       "\"" + k + "\":" + ls.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, false, _, _) => "\"" + shortKey(k) + "\"" }
+    val failed = results.collect { case (k, _, _, false, _, _, _) => "\"" + shortKey(k) + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, _, v, true, _, _) => v }.sum
-    val coldTotal = results.collect { case (_, c, _, true, _, _) => c }.sum
+    // heavy queries whose every iteration (incl. backoff retries) ran under
+    // exogenous load — their numbers are upper bounds, not steady-state
+    val uncertified = results.collect { case (k, _, _, true, _, _, false) => "\"" + shortKey(k) + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, _, v, true, _, _, _) => v }.sum
+    val coldTotal = results.collect { case (_, c, _, true, _, _, _) => c }.sum
     val excluded = harness.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val names = results.map { case (k, _, _, _, _, _) =>
+    val names = results.map { case (k, _, _, _, _, _, _) =>
       "\"" + shortKey(k) + "\":\"" + k + "\""
     }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","iters":$iters,"names":$names,"steady":$steadies,"cold_total":${fmt2(coldTotal)},"cold":$colds,"iter_times":$iterTimes,"loadavg_1m":$loads,"failed":$failed,"excluded_harness":$excluded,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","iters":$iters,"names":$names,"steady":$steadies,"cold_total":${fmt2(coldTotal)},"cold":$colds,"iter_times":$iterTimes,"loadavg_1m":$loads,"failed":$failed,"uncertified":$uncertified,"excluded_harness":$excluded,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
@@ -208,7 +231,7 @@ object Bench {
     // ~100 bytes of headroom under the driver's ~2.2 KiB tail capture as the
     // gate surface grows (n_excluded keeps the exclusion COUNT visible).
     val line =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","iters":$iters,"queries":$qs,$fastSummary,"failed":$failed,"n_excluded":${harness.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","iters":$iters,"queries":$qs,$fastSummary,"failed":$failed,"uncertified":$uncertified,"n_excluded":${harness.size},"sf":"$sfDir"}"""
     // Self-check: warn loudly (stderr) before the line outgrows the capture.
     if (line.length > 2000)
       System.err.println(s"[bench] WARNING contract line ${line.length} B — nearing the ~2.2 KiB driver tail capture")

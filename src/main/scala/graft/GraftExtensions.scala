@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CdcBounds, DamerauLevenshtein, DotProduct, ExifGps, HyperplaneBands, ImageMeta, JaroWinkler, PointInPolygon, PolygonsOverlap, PolygonsOverlapFull, SimHash32}
+import graft.functions.{CdcBounds, DamerauLevenshtein, DotProduct, ExifGps, GeoTiffCrs, HyperplaneBands, ImageFeature64, ImageMeta, JaroWinkler, LasMeta, PointInPolygon, PolygonsOverlap, PolygonsOverlapFull, SimHash32}
 
 /** Session extension registering the engine's custom Catalyst expressions so
   * they are callable from SQL as well as the Column API.
@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.jaroWinklerDescriptor)
     e.injectFunction(GraftExtensions.damerauLevenshteinDescriptor)
     e.injectFunction(GraftExtensions.cdcBoundsDescriptor)
+    e.injectFunction(GraftExtensions.geoTiffCrsDescriptor)
+    e.injectFunction(GraftExtensions.lasMetaDescriptor)
+    e.injectFunction(GraftExtensions.imageFeature64Descriptor)
     // optimizer rule: derive pushable bbox range conjuncts from literal-ring
     // point_in_polygon filters (row-group skipping for spatial lookups)
     e.injectOptimizerRule(_ => graft.plans.SpatialBboxPushdown)
@@ -173,6 +176,42 @@ object GraftExtensions {
     new ExpressionInfo(classOf[CdcBounds].getName, "cdc_bounds"),
     cbBuilder _)
 
+  private def gtBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1,
+      s"geotiff_crs(content) takes 1 argument, got ${args.length}")
+    GeoTiffCrs(args(0))
+  }
+
+  val geoTiffCrsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("geotiff_crs"),
+    new ExpressionInfo(classOf[GeoTiffCrs].getName, "geotiff_crs"),
+    gtBuilder _)
+
+  private def lmBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1,
+      s"las_meta(content) takes 1 argument, got ${args.length}")
+    LasMeta(args(0))
+  }
+
+  val lasMetaDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("las_meta"),
+    new ExpressionInfo(classOf[LasMeta].getName, "las_meta"),
+    lmBuilder _)
+
+  private def ifBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1,
+      s"image_feature64(content) takes 1 argument, got ${args.length}")
+    ImageFeature64(args(0))
+  }
+
+  val imageFeature64Descriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("image_feature64"),
+    new ExpressionInfo(classOf[ImageFeature64].getName, "image_feature64"),
+    ifBuilder _)
+
   /** Register custom functions on an existing session (used by Verify/Bench
     * and tests, where the builder isn't ours). */
   def register(spark: SparkSession): Unit = {
@@ -187,10 +226,17 @@ object GraftExtensions {
       "exif_gps" -> egBuilder _,
       "jaro_winkler" -> jwBuilder _,
       "damerau_levenshtein" -> dlBuilder _,
-      "cdc_bounds" -> cbBuilder _)
+      "cdc_bounds" -> cbBuilder _,
+      "geotiff_crs" -> gtBuilder _,
+      "las_meta" -> lmBuilder _,
+      "image_feature64" -> ifBuilder _)
+    // register-once: SimpleFunctionRegistry WARNs on every replacement, and
+    // register() runs per Verify query / per test suite — skip names already
+    // present (the builders are stable objects, re-binding is a no-op anyway)
+    val registry = spark.sessionState.functionRegistry
     fns.foreach { case (name, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "built-in")
+      if (!registry.functionExists(FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
     // optimizer rules cannot be injected into an already-built session via
     // SparkSessionExtensions — the session-level hook is

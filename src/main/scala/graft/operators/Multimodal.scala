@@ -59,9 +59,23 @@ object Multimodal {
     }
   }
 
-  /** STUB feature extraction: fixed-size float vector per media row — the
-    * embedding-column producer. Deterministic bytes→vector hash; a real
-    * implementation calls a vision/audio model in batches. Expressed with
+  /** REAL image feature extraction: 64-d block-mean grayscale vector via
+    * the JDK ImageIO decode — one codegen expression per row, NULL for
+    * bytes no reader claims ([[graft.functions.ImageFeature64]]). The
+    * output feeds the embedding stack unchanged (embeddingNearDups, ANN,
+    * int8 quantization); near-identical images give near-identical
+    * vectors, so planted-duplicate recall is gate-checkable (q491). */
+  def imageBlockMeans(content: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val bridge = org.apache.spark.sql.GraftColumnBridge
+    bridge.column(
+      graft.functions.ImageFeature64(bridge.expression(content)))
+  }
+
+  /** Hash stand-in feature vector for NON-decodable media (audio/video —
+    * no JVM codec in this environment): deterministic bytes→vector hash so
+    * those rows still flow through the embedding pipeline. Images should
+    * use [[imageBlockMeans]] (a real decode). Expressed with
     * codegen-friendly Column functions so only the kernel is a stub. */
   def imageFeatureVector(content: org.apache.spark.sql.Column, dim: Int = 16): org.apache.spark.sql.Column =
     transform(sequence(lit(0), lit(dim - 1)), i =>

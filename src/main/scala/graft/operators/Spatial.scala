@@ -270,9 +270,15 @@ object Spatial {
       .filter(col("c") * col("__ncells") * lit(minDen) >=
         lit(minNum) * col("__total"))
       .select(col("gx"), col("gy"), col("c"))
-    // bounded collect: |core| ≤ |grid|, a design-time constant
-    val rows = core.collect().map(r =>
+    // bounded collect: |core| ≤ |grid|, a design-time constant — ENFORCED,
+    // not assumed: the union-find below is O(cells²) on the driver, so a
+    // caller passing a fine grid must fail loudly instead of silently
+    // burning driver CPU on a corpus-shaped quadratic
+    val rows = core.limit(4097).collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2)))
+    require(rows.length <= 4096,
+      s"gridDensityClusters: ${rows.length}+ core cells exceed the 4096-cell " +
+        "driver bound — coarsen the grid (the union-find is O(cells²))")
     val id = rows.map { case (gx, gy, _) => gx * 1000L + gy }
     val index = id.zipWithIndex.toMap
     val parent = Array.tabulate(rows.length)(identity)

@@ -995,6 +995,13 @@ object TextOps {
   def greedyCover(docs: DataFrame, idCol: String, textCol: String,
                   shingleN: Int, rounds: Int): DataFrame = {
     require(rounds >= 1, "need at least one round")
+    // each round costs one distributed anti-join + aggregate and grows the
+    // driver-side chosen-id predicate by one — the documented "bounded
+    // driver traffic" claim only holds for a design-time-constant round
+    // count, so enforce it instead of assuming it
+    require(rounds <= 256,
+      s"greedyCover: $rounds rounds exceed the 256-round driver bound " +
+        "(each round is a full corpus pass; pick a budget, not a corpus size)")
     import org.apache.spark.storage.StorageLevel
     val spark = docs.sparkSession
     val ds = docs.select(col(idCol).cast("long").as("__id"),

@@ -118,7 +118,10 @@ class PlanRegressionSpec extends AnyFunSuite {
     "q472_shapley_attribution", "q474_xbar_r_chart", "q475_tukey_fences",
     "q476_grubbs", "q477_eb_shrinkage", "q479_woe_iv", "q481_geohash",
     "q482_nearest_station", "q483_kde_grid", "q486_isotonic_fit",
-    "q487_ransac_line")
+    "q487_ransac_line",
+    // round-7: image-feature LSH dedup (the 16×16-band self-join), per-key
+    // executor-side Holt smoothing (must stay a FlatMapGroups, no collect)
+    "q491_image_neardup", "q492_holt_by_key")
 
   /** Sanctioned BroadcastNestedLoopJoins whose build side is a DESIGN-
     * bounded broadcast probe/query set rather than an aggregate — e.g. the
