@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CdcBounds, DamerauLevenshtein, DotProduct, ExifGps, GeoTiffCrs, HyperplaneBands, ImageFeature64, ImageMeta, JaroWinkler, LasMeta, PointInPolygon, PolygonsOverlap, PolygonsOverlapFull, SimHash32}
+import graft.functions.{CdcBounds, DamerauLevenshtein, DotProduct, ExifGps, GeoTiffCrs, HyperplaneBands, ImageFeature64, ImageMeta, JaroWinkler, LasMeta, Mp4Meta, PointInPolygon, PolygonsOverlap, PolygonsOverlapFull, SimHash32, WavBlockEnergy, WavMeta}
 
 /** Session extension registering the engine's custom Catalyst expressions so
   * they are callable from SQL as well as the Column API.
@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.geoTiffCrsDescriptor)
     e.injectFunction(GraftExtensions.lasMetaDescriptor)
     e.injectFunction(GraftExtensions.imageFeature64Descriptor)
+    e.injectFunction(GraftExtensions.wavMetaDescriptor)
+    e.injectFunction(GraftExtensions.wavBlockEnergyDescriptor)
+    e.injectFunction(GraftExtensions.mp4MetaDescriptor)
     // optimizer rule: derive pushable bbox range conjuncts from literal-ring
     // point_in_polygon filters (row-group skipping for spatial lookups)
     e.injectOptimizerRule(_ => graft.plans.SpatialBboxPushdown)
@@ -212,6 +215,42 @@ object GraftExtensions {
     new ExpressionInfo(classOf[ImageFeature64].getName, "image_feature64"),
     ifBuilder _)
 
+  private def wmBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1,
+      s"wav_meta(content) takes 1 argument, got ${args.length}")
+    WavMeta(args(0))
+  }
+
+  val wavMetaDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("wav_meta"),
+    new ExpressionInfo(classOf[WavMeta].getName, "wav_meta"),
+    wmBuilder _)
+
+  private def weBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1,
+      s"wav_block_energy(content) takes 1 argument, got ${args.length}")
+    WavBlockEnergy(args(0))
+  }
+
+  val wavBlockEnergyDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("wav_block_energy"),
+    new ExpressionInfo(classOf[WavBlockEnergy].getName, "wav_block_energy"),
+    weBuilder _)
+
+  private def m4Builder(args: Seq[Expression]): Expression = {
+    require(args.length == 1,
+      s"mp4_meta(content) takes 1 argument, got ${args.length}")
+    Mp4Meta(args(0))
+  }
+
+  val mp4MetaDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("mp4_meta"),
+    new ExpressionInfo(classOf[Mp4Meta].getName, "mp4_meta"),
+    m4Builder _)
+
   /** Register custom functions on an existing session (used by Verify/Bench
     * and tests, where the builder isn't ours). */
   def register(spark: SparkSession): Unit = {
@@ -229,7 +268,10 @@ object GraftExtensions {
       "cdc_bounds" -> cbBuilder _,
       "geotiff_crs" -> gtBuilder _,
       "las_meta" -> lmBuilder _,
-      "image_feature64" -> ifBuilder _)
+      "image_feature64" -> ifBuilder _,
+      "wav_meta" -> wmBuilder _,
+      "wav_block_energy" -> weBuilder _,
+      "mp4_meta" -> m4Builder _)
     // register-once: SimpleFunctionRegistry WARNs on every replacement, and
     // register() runs per Verify query / per test suite — skip names already
     // present (the builders are stable objects, re-binding is a no-op anyway)

@@ -13,11 +13,16 @@ import org.apache.spark.sql.types._
   * PNG/JPEG/GIF/BMP via `javax.imageio` and TIFF/GeoTIFF dimensions via the
   * pure-JVM IFD header parse (see [[graft.functions.ImageMeta]] — the
   * reference's rasterio/GDAL territory,
-  * services/file-service/requirements.txt:10-14). Bytes neither path claims
-  * (audio, video) fall back to a deterministic byte-hash stub so pipelines
-  * stay testable.
-  * The Spark-side plumbing — schema, mapPartitions batching, partitioning —
-  * is real either way; swap the fallback for codec calls (ffmpeg/jni) to
+  * services/file-service/requirements.txt:10-14). Audio is REAL for
+  * WAV/PCM (RIFF chunk walk + per-block energy features,
+  * [[graft.functions.WavMeta]]/[[graft.functions.WavBlockEnergy]]) and
+  * video metadata is REAL for MP4/ISO-BMFF (mvhd box walk,
+  * [[graft.functions.Mp4Meta]]). The remaining honest stub is compressed
+  * CODEC payload decode (MP3/AAC frames, H.264 pictures — genuinely
+  * outside pure-JVM scope): bytes no parser claims fall back to a
+  * deterministic byte-hash so pipelines stay testable. The Spark-side
+  * plumbing — schema, mapPartitions batching, partitioning — is real
+  * either way; swap the fallback for codec calls (ffmpeg/jni) to
   * productionize, signatures stay.
   */
 object Multimodal {
@@ -72,10 +77,38 @@ object Multimodal {
       graft.functions.ImageFeature64(bridge.expression(content)))
   }
 
-  /** Hash stand-in feature vector for NON-decodable media (audio/video —
-    * no JVM codec in this environment): deterministic bytes→vector hash so
-    * those rows still flow through the embedding pipeline. Images should
-    * use [[imageBlockMeans]] (a real decode). Expressed with
+  /** REAL audio feature extraction: per-block mean PCM energy over a
+    * 16-bit WAV — the audio sibling of [[imageBlockMeans]]. One codegen
+    * expression per row, NULL for non-PCM bytes; integer Σv² with one
+    * final division, so planted fixtures verify exactly (q494). */
+  def audioBlockEnergy(content: org.apache.spark.sql.Column, nBlocks: Int = 8)
+      : org.apache.spark.sql.Column = {
+    val bridge = org.apache.spark.sql.GraftColumnBridge
+    bridge.column(
+      graft.functions.WavBlockEnergy(bridge.expression(content), nBlocks))
+  }
+
+  /** REAL audio metadata: RIFF/WAVE chunk walk →
+    * struct(audio_format, channels, sample_rate, bits, n_frames,
+    * duration_ms); NULL for non-WAV bytes (q493). */
+  def wavMeta(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bridge = org.apache.spark.sql.GraftColumnBridge
+    bridge.column(graft.functions.WavMeta(bridge.expression(content)))
+  }
+
+  /** REAL video metadata: MP4/ISO-BMFF box walk → struct(brand, version,
+    * timescale, duration, duration_ms); NULL unless ftyp+mvhd parse
+    * (q495). duration_ms feeds [[sampleFrames]]. */
+  def mp4Meta(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bridge = org.apache.spark.sql.GraftColumnBridge
+    bridge.column(graft.functions.Mp4Meta(bridge.expression(content)))
+  }
+
+  /** Hash stand-in feature vector for NON-decodable media (compressed
+    * codec payloads — MP3/AAC/H.264, no JVM codec in this environment):
+    * deterministic bytes→vector hash so those rows still flow through the
+    * embedding pipeline. Images should use [[imageBlockMeans]] and PCM
+    * audio [[audioBlockEnergy]] (real decodes). Expressed with
     * codegen-friendly Column functions so only the kernel is a stub. */
   def imageFeatureVector(content: org.apache.spark.sql.Column, dim: Int = 16): org.apache.spark.sql.Column =
     transform(sequence(lit(0), lit(dim - 1)), i =>

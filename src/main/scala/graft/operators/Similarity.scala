@@ -565,4 +565,103 @@ object Similarity {
           "cast(conv(substring(md5(cast(__id as string)), 1, 14), 16, 10) " +
           "as bigint) else 0L end)").as("dropped_xor"))
   }
+
+  /** PCA first principal component via deterministic power iteration —
+    * the dimensionality-reduction head of the embedding stack (whitening,
+    * drift monitoring, the classic pre-step before coarse ANN quantizers;
+    * q423's JL projection is the data-oblivious sibling, this is the
+    * data-ADAPTED axis). Returns one row per vector: its signed
+    * projection on the dominant covariance eigenvector.
+    *
+    * Determinism contract (everything cross-engine exact, NO sqrt/ln):
+    *  1. components quantize to integer centi-units (half-away rounding),
+    *     shifted +1000 so every later division is on positives;
+    *  2. the per-dimension mean is a PINNED integer centi
+    *     ((2S+n) div 2n — truncating = flooring on positives), so
+    *     centered components z are small exact integers;
+    *  3. the d×d covariance Gram G = Σ z·zᵀ is an exact int64 hash
+    *     aggregate (|z| ≤ ~2·10³ centi ⇒ no overflow at any SF);
+    *  4. `rounds` lockstep iterations v ← G·v, each matrix-vector
+    *     product summed as exact milli-integers (per-term half-away
+    *     floor), renormalized by the max-|component| (an INTEGER max —
+    *     no norm, no sqrt), components re-pinned to 6 dp;
+    *  5. scores are exact milli-integer sums of z·v terms, one final
+    *     division.
+    * The eigensolve itself is a bounded model fit (d² = 4096 cells on
+    * the driver — the PQ-codebook/k-means precedent); the corpus only
+    * ever flows through hash aggregates and one broadcast-vector scan.
+    * Power iteration converges at (λ₂/λ₁)^k; `rounds` is a FIXED
+    * iteration budget both engines unroll identically, so the gate is
+    * exact whether or not the ratio has fully settled. */
+  def pcaPowerScores(emb: DataFrame, idCol: String, labelCol: String,
+                     vecCol: String, dim: Int = 64,
+                     rounds: Int = 24): DataFrame = {
+    require(dim >= 2 && dim <= 128, "pcaPowerScores: dim must be in [2,128]")
+    require(rounds >= 1 && rounds <= 64,
+      "pcaPowerScores: rounds must be in [1,64]")
+    // half-away-from-zero rounding to integer `scale`-units, as a Column
+    def qhalf(c: Column, scale: Double): Column =
+      when(c >= 0, floor(c * lit(scale) + lit(0.5d)))
+        .otherwise(-floor(-c * lit(scale) + lit(0.5d))).cast("long")
+    val y = emb.select(col(idCol), col(labelCol),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("__d", "__x")))
+      .select(col(idCol), col(labelCol), col("__d"),
+        (qhalf(col("__x"), 100.0) + lit(1000L)).as("__y"))
+    val mu = y.groupBy(col("__d"))
+      .agg(sum(col("__y")).as("__s"), count(lit(1)).as("__n"))
+      .select(col("__d"),
+        expr("(2 * __s + __n) div (2 * __n)").as("__mu"))
+    val z = y.join(broadcast(mu), Seq("__d"))
+      .select(col(idCol), col(labelCol), col("__d"),
+        (col("__y") - col("__mu")).as("__z"))
+    // d×d exact-integer Gram: self-join on the row id, hash-agg to d² cells
+    val g = z.select(col(idCol), col("__d").as("__i"), col("__z").as("__zi"))
+      .join(z.select(col(idCol), col("__d").as("__j"), col("__z").as("__zj")),
+        Seq(idCol))
+      .groupBy(col("__i"), col("__j"))
+      .agg(sum(col("__zi") * col("__zj")).as("__g"))
+    // bounded model fit: d² cells to the driver (4096 longs at dim=64)
+    val gm = Array.ofDim[Long](dim, dim)
+    g.collect().foreach { r =>
+      gm(r.getAs[Number]("__i").intValue)(r.getAs[Number]("__j").intValue) =
+        r.getAs[Long]("__g")
+    }
+    def floorHalf(x: Double): Double =
+      if (x >= 0) math.floor(x + 0.5d) else -math.floor(-x + 0.5d)
+    var v = Array.fill(dim)(1.0d)
+    var it = 0
+    while (it < rounds) {
+      val w = new Array[Long](dim)
+      var i = 0
+      while (i < dim) {
+        var acc = 0L
+        var j = 0
+        while (j < dim) { // exact milli-integer terms: order-free sum
+          acc += floorHalf(gm(i)(j).toDouble * v(j) * 1000.0d).toLong
+          j += 1
+        }
+        w(i) = acc
+        i += 1
+      }
+      val m = w.map(math.abs).max
+      v = w.map { wi =>
+        if (m == 0L) 0.0d
+        else floorHalf(wi.toDouble / m.toDouble * 1000000.0d) / 1000000.0d
+      }
+      it += 1
+    }
+    val vdf = broadcast(emb.sparkSession
+      .createDataFrame(emb.sparkSession.sparkContext
+        .parallelize(v.toSeq.zipWithIndex.map { case (x, d) =>
+          org.apache.spark.sql.Row(d, x) }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__d",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("__v",
+            org.apache.spark.sql.types.DoubleType)))))
+    z.join(vdf, Seq("__d"))
+      .withColumn("__t", qhalf(col("__z") * col("__v"), 1000.0))
+      .groupBy(col(idCol), col(labelCol))
+      .agg((sum(col("__t")).cast("double") / lit(100000.0d)).as("pc1"))
+  }
 }

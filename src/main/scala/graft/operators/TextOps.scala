@@ -442,6 +442,57 @@ object TextOps {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** Interpolated Kneser-Ney bigram surprisal — the state-of-the-art
+    * count-based LM score next to [[bigramSurprisal]]'s add-k (Kneser &
+    * Ney 1995; Chen & Goodman 1998 empirically crown this smoother).
+    * Absolute discount D = 3∕4 off every seen bigram, mass redistributed
+    * by CONTINUATION probability — how many distinct contexts a word
+    * follows, not how often it occurs (the "San Francisco" insight:
+    * "Francisco" is frequent but glued to one context):
+    *
+    *   P(t₂|t₁) = max(c₁₂ − D, 0)∕c₁ + (D·N₁₊(t₁·)∕c₁) · N₁₊(·t₂)∕N₁₊(··)
+    *
+    * With D = 3∕4 the whole probability is ONE integer rational:
+    *   P = [max(4c₁₂−3, 0)·N₊₊ + 3·N₁₊(t₁·)·N₁₊(·t₂)] ∕ [4c₁·N₊₊]
+    * (num ≥ 3 whenever the bigram exists, so −ln never sees 0; both
+    * engines divide the same exact integers — the q119 ln contract).
+    *
+    * Scale shape: identical to [[bigramSurprisal]] — a per-row position
+    * explode, THREE vocab-bounded hash aggregates (pair counts, follower
+    * types, predecessor types) equi-joined back, one broadcast total row;
+    * per-bigram 6-dp round, exact-decimal sum, count division last. */
+  def kneserNeySurprisal(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toked = docs.select(col(idCol),
+        org.apache.spark.sql.functions.filter(tokens(col(textCol)), t => t =!= "").as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") >= 2)
+    val bg = toked
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(1), col("__n") - 1)).as("__i"))
+      .select(col(idCol),
+        element_at(col("__toks"), col("__i")).as("t1"),
+        element_at(col("__toks"), col("__i") + 1).as("t2"))
+    val c12 = bg.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("t1")).agg(count(lit(1)).as("c1"))
+    val n1f = c12.groupBy(col("t1")).agg(count(lit(1)).as("n1f"))
+    val ncont = c12.groupBy(col("t2")).agg(count(lit(1)).as("nc"))
+    val ntot = c12.agg(count(lit(1)).as("ntot"))
+    bg.join(c12, Seq("t1", "t2")).join(c1, Seq("t1"))
+      .join(n1f, Seq("t1")).join(ncont, Seq("t2"))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(ntot))
+      .withColumn("s",
+        round(-log(
+          (greatest(col("c12") * 4 - 3, lit(0L)) * col("ntot") +
+            lit(3L) * col("n1f") * col("nc")).cast("double") /
+            (col("c1") * 4 * col("ntot")).cast("double")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col(idCol))
+      .agg((sum(col("s")).cast("double") / count(lit(1)))
+          .as("mean_kn_surprisal"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** PMI collocation extraction — the corpus-analysis companion of
     * [[bigramSurprisal]]: pointwise mutual information
     * ln(c₁₂·N / (c₁·c₂)) over adjacent token pairs ranks the pairs that
