@@ -88,4 +88,54 @@ class GovernanceAuditSpec extends SparkSuite {
       .count(_._2.length == 1).toLong
     assert(got(2)._3 == u3)
   }
+
+  test("q498 t-closeness matches a brute integer EMD") {
+    val band = (c: (Int, String, Double)) => math.floor(c._3 / 1000.0).toLong
+    val n = customers.length.toLong
+    val g = customers.groupBy(band).view.mapValues(_.length.toLong).toMap
+    val bandsSorted = g.keys.toSeq.sorted
+    val m = bandsSorted.length.toLong
+    val brute = customers.groupBy(c => (c._1, c._2)).map { case (k, rows) =>
+      val nc = rows.length.toLong
+      val cc = rows.groupBy(band).view.mapValues(_.length.toLong).toMap
+      var cum = 0L; var sumAbs = 0L
+      bandsSorted.foreach { b =>
+        cum += cc.getOrElse(b, 0L) * n - g(b) * nc
+        sumAbs += math.abs(cum)
+      }
+      val den = nc * n * (m - 1)
+      k -> ((nc, sumAbs.toDouble / den.toDouble, 5 * sumAbs > den))
+    }
+    val got = SparkEntry.queries("q498_t_closeness")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got.keySet == brute.keySet)
+    brute.foreach { case (k, v) => assert(got(k) == v, s"class $k") }
+    // EMD is a normalized distance: always within [0, 1]
+    got.values.foreach { case (_, emd, _) => assert(emd >= 0 && emd <= 1) }
+  }
+
+  test("q499 entropy l-diversity matches the lockstep brute recurrence") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val band = (c: (Int, String, Double)) => math.floor(c._3 / 1000.0).toLong
+    val brute = customers.groupBy(c => (c._1, c._2)).map { case (k, rows) =>
+      val cc = rows.groupBy(band).view.mapValues(_.length.toLong).toMap
+      val nRows = rows.length.toLong
+      val s = cc.values.map(c => BigDecimal(r6(c * math.log(c.toDouble))))
+        .sum
+      val h = r6(math.log(nRows.toDouble) - s.toDouble / nRows) + 0.0d
+      k -> ((nRows, cc.size.toLong, h))
+    }
+    val got = SparkEntry.queries("q499_entropy_ldiversity")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == brute.keySet)
+    brute.foreach { case (k, v) => assert(got(k) == v, s"class $k") }
+    // uniform-ish classes: entropy bounded by ln(n_distinct)
+    got.values.foreach { case (_, d, h) =>
+      assert(h <= math.log(d.toDouble) + 1e-9 && h >= -1e-9)
+    }
+  }
 }
