@@ -57,7 +57,8 @@ class GeoJsonSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new GeoJsonTable(GeoJsonV2.pathOf(properties),
-      "true".equalsIgnoreCase(properties.getOrDefault("bucketed", "false")))
+      "true".equalsIgnoreCase(properties.getOrDefault("bucketed", "false")),
+      GeoJsonV2.snapshotOf(properties))
   override def supportsExternalMetadata(): Boolean = false
 }
 
@@ -93,6 +94,25 @@ object GeoJsonV2 {
       }.toSeq
   }
 
+  /** Time-travel read option: `snapshotFiles = k` pins a batch read to
+    * the FIRST k shards in sorted-name order. Because the lake's append
+    * contract is monotone shard names (the same contract the streaming
+    * offsets rely on, [[GeoJsonMicroBatchStream]]), "first k files" IS
+    * "the table as of version k" — the Iceberg version-as-of idea
+    * expressed on this connector's own offset axis, and a batch reader
+    * can replay exactly what micro-batches 0..n saw. Batch-only:
+    * streaming starts from the live tail by definition; bucketed lakes
+    * reject it (their layout is keyed, not append-ordered). */
+  def snapshotOf(properties: util.Map[String, String]): Option[Int] = {
+    val raw = Option(properties.get("snapshotfiles"))
+      .orElse(Option(properties.get("snapshotFiles")))
+    raw.map { v =>
+      val k = v.toInt
+      require(k >= 0, s"snapshotFiles must be >= 0, got $k")
+      k
+    }
+  }
+
   /** `load(path)` lands as the `paths` property (a JSON string array) or
     * `path` for the single-path form — accept both. */
   def pathOf(properties: util.Map[String, String]): String = {
@@ -114,6 +134,14 @@ object GeoJsonV2 {
   private[graft] val rowsEmitted =
     new java.util.concurrent.atomic.AtomicLong()
 
+  /** Sorted shard list pinned to the first `snapshot` files when the
+    * version-as-of option is set (k past the live tail = the full lake,
+    * matching a stream that has consumed every offset). */
+  def snapshotFiles(dir: String, snapshot: Option[Int]): Seq[String] = {
+    val all = listFiles(dir)
+    snapshot.fold(all)(k => all.take(k))
+  }
+
   def listFiles(dir: String): Seq[String] = {
     val f = new java.io.File(dir)
     if (f.isFile) Seq(f.getPath)
@@ -124,9 +152,12 @@ object GeoJsonV2 {
   }
 }
 
-class GeoJsonTable(path: String, bucketed: Boolean = false)
+class GeoJsonTable(path: String, bucketed: Boolean = false,
+                   snapshot: Option[Int] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  require(snapshot.isEmpty || !bucketed,
+    "snapshotFiles applies to append-ordered lakes, not bucketed layouts")
   override def name(): String = s"geojson:$path"
   override def schema(): StructType =
     if (bucketed) GeoJsonV2.bucketedSchema else GeoJsonV2.fullSchema
@@ -134,7 +165,7 @@ class GeoJsonTable(path: String, bucketed: Boolean = false)
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GeoJsonScanBuilder(path, bucketed)
+    new GeoJsonScanBuilder(path, bucketed, snapshot)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -150,7 +181,8 @@ class GeoJsonTable(path: String, bucketed: Boolean = false)
   * a full parse into a metadata-speed byte scan; richer aggregates
   * (min/max over parsed fields, grouped counts) deliberately stay on the
   * row path — they need the parse anyway. */
-class GeoJsonScanBuilder(path: String, bucketed: Boolean = false)
+class GeoJsonScanBuilder(path: String, bucketed: Boolean = false,
+                         snapshot: Option[Int] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -177,9 +209,9 @@ class GeoJsonScanBuilder(path: String, bucketed: Boolean = false)
     !bucketed
   }
   override def build(): Scan =
-    if (countPushed) GeoJsonCountScan(path)
+    if (countPushed) GeoJsonCountScan(path, snapshot)
     else if (bucketed) GeoJsonBucketedScan(path, required)
-    else GeoJsonScan(path, required, limit)
+    else GeoJsonScan(path, required, limit, snapshot)
 }
 
 case class GeoJsonBucketedFilePartition(file: String, pkey: Int)
@@ -267,16 +299,19 @@ case class GeoJsonBucketedReaderFactory(fields: Array[String])
 }
 
 /** The pushed-COUNT(*) scan: one partial-count row per shard file. */
-case class GeoJsonCountScan(path: String) extends Scan with Batch {
+case class GeoJsonCountScan(path: String, snapshot: Option[Int] = None)
+    extends Scan with Batch {
   override def readSchema(): StructType =
     StructType(Seq(StructField("count", LongType)))
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    GeoJsonV2.listFiles(path).map(GeoJsonFilePartition.apply).toArray
+    GeoJsonV2.snapshotFiles(path, snapshot)
+      .map(GeoJsonFilePartition.apply).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     GeoJsonCountReaderFactory()
   override def description(): String =
-    s"GeoJsonCountScan(path=$path, PushedAggregates=[COUNT(*)])"
+    s"GeoJsonCountScan(path=$path, PushedAggregates=[COUNT(*)]" +
+      snapshot.map(k => s", snapshotFiles=$k").getOrElse("") + ")"
 }
 
 case class GeoJsonCountReaderFactory() extends PartitionReaderFactory {
@@ -302,12 +337,14 @@ case class GeoJsonCountReaderFactory() extends PartitionReaderFactory {
 case class GeoJsonFilePartition(file: String) extends InputPartition
 
 case class GeoJsonScan(path: String, required: StructType,
-                       limit: Option[Int] = None)
+                       limit: Option[Int] = None,
+                       snapshot: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    GeoJsonV2.listFiles(path).map(GeoJsonFilePartition.apply).toArray
+    GeoJsonV2.snapshotFiles(path, snapshot)
+      .map(GeoJsonFilePartition.apply).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     GeoJsonReaderFactory(required.fieldNames, limit)
   override def toMicroBatchStream(checkpointLocation: String)

@@ -106,4 +106,73 @@ class GeoJsonSourceSpec extends SparkSuite {
       assert(spark.table("gj_stream_spec").collect()(0).getLong(0) == 5L)
     } finally q.stop()
   }
+
+  test("snapshotFiles pins a batch read to the first k sorted shards") {
+    val d = java.nio.file.Files.createTempDirectory("graft_gj_snap").toString
+    (0 until 4).foreach { sh =>
+      val w = new java.io.PrintWriter(f"$d/shard$sh%02d.geojsonl")
+      (0 until 3).foreach { i =>
+        w.println(s"""{"type":"Feature","id":"s$sh-$i","geometry":""" +
+          s"""{"type":"Point","coordinates":[[$sh,$i]]},"properties":{}}""")
+      }
+      w.close()
+    }
+    def ids(k: Int) = spark.read.format("graft-geojson")
+      .option("snapshotFiles", k.toString).load(d)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(ids(0) == Set.empty)
+    assert(ids(2) == (for (s <- 0 until 2; i <- 0 until 3)
+      yield s"s$s-$i").toSet)
+    // k past the live tail = the full lake
+    assert(ids(9) == (for (s <- 0 until 4; i <- 0 until 3)
+      yield s"s$s-$i").toSet)
+    // one partition per SNAPSHOT shard, not per lake shard
+    val scan = spark.read.format("graft-geojson")
+      .option("snapshotFiles", "2").load(d)
+    assert(scan.rdd.getNumPartitions == 2)
+    // the pushed COUNT(*) respects the snapshot too
+    val cnt = spark.read.format("graft-geojson")
+      .option("snapshotFiles", "3").load(d).count()
+    assert(cnt == 9L)
+    // bucketed layouts reject the option (keyed, not append-ordered)
+    val e = intercept[Exception] {
+      spark.read.format("graft-geojson").option("bucketed", "true")
+        .option("snapshotFiles", "2").load(d).collect()
+    }
+    assert(e.getMessage.contains("append-ordered"))
+  }
+
+  test("snapshotFiles equals what the stream saw at that offset") {
+    // the contract that makes snapshotFiles TIME TRAVEL: batch-at-k ==
+    // union of micro-batches 0..k-1 (same sorted-name offset axis)
+    val d = java.nio.file.Files.createTempDirectory("graft_gj_tt").toString
+    def shard(sh: Int, n: Int): Unit = {
+      val w = new java.io.PrintWriter(f"$d/shard$sh%02d.geojsonl")
+      (0 until n).foreach { i =>
+        w.println(s"""{"type":"Feature","id":"t$sh-$i","geometry":""" +
+          s"""{"type":"Point","coordinates":[[$sh,$i]]},"properties":{}}""")
+      }
+      w.close()
+    }
+    shard(0, 2)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_gj_tt_ck").toString
+    val q = spark.readStream.format("graft-geojson").load(d)
+      .groupBy().count()
+      .writeStream.format("memory").queryName("gj_tt_spec")
+      .outputMode("complete").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val seenAtOffset1 = spark.table("gj_tt_spec").collect()(0).getLong(0)
+      shard(1, 3)
+      q.processAllAvailable()
+      val batchAt1 = spark.read.format("graft-geojson")
+        .option("snapshotFiles", "1").load(d).count()
+      assert(batchAt1 == seenAtOffset1, "batch-at-1 == stream offset 1")
+      assert(spark.table("gj_tt_spec").collect()(0).getLong(0) == 5L)
+      val batchAt2 = spark.read.format("graft-geojson")
+        .option("snapshotFiles", "2").load(d).count()
+      assert(batchAt2 == 5L, "batch-at-2 == stream offset 2")
+    } finally q.stop()
+  }
 }
