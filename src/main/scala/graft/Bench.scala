@@ -79,8 +79,15 @@ object Bench {
       "q254_stream_rate_limit", "q261_stream_restart_exactly_once",
       "q134_stream_session_agg", "q137_stream_enrich", "q138_stream_file_sink",
       "q163_stream_heavy_hitters", "q442_stream_geojson")
+    // Single-gate mode (diagnosis): `sbt "runMain graft.Bench q252"` (or the
+    // full name) measures just those gates in an otherwise-idle JVM — the
+    // round-7 q252 question ("regression or 500-gate JVM accumulation?") is
+    // answerable in-repo instead of out-of-band.
+    val only = args.toSet
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(q => harness(q._1)).map { case (name, fn) =>
+      .filterNot(q => harness(q._1))
+      .filter(q => only.isEmpty || only(q._1) || only(shortKey(q._1)))
+      .map { case (name, fn) =>
       // Between-query hygiene (untimed): drop the previous query's orphaned
       // localCheckpoint/shuffle blocks. The ContextCleaner unpersists them
       // only after the referencing plan is garbage-collected, so without an
@@ -91,31 +98,33 @@ object Bench {
       System.gc()
       Thread.sleep(100)
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-      // loadavg sampled BEFORE each iteration, aligned 1:1 with iter_times —
-      // every iteration carries its own exogenous-load evidence, so a
-      // "quiet-certified" measurement (some iteration with load ≤
-      // quietThresh) is visible in the artifact itself.
-      val iterLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
+      // loadavg sampled BEFORE and AFTER each iteration, aligned 1:1 with
+      // iter_times — an iteration is BRACKETED-QUIET only when both samples
+      // are ≤ quietThresh, so "load rose mid-iteration" (round-7's q111:
+      // pre 5.8 → post 13.3, the 74 s iteration shipped as certified) is
+      // caught by its own artifact.
+      val preLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val postLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
       var ok = true
       def runOnce(): Unit = {
-        iterLoads += loadavg()
+        preLoads += loadavg()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: $e"); ok = false
         }
         times += (System.nanoTime() - t0) / 1e9
+        postLoads += loadavg()
       }
       var i = 0
       while (i < iters && ok) { runOnce(); i += 1 }
-      // Quiet-certification retries: a heavy query (steady ≥ 2 s) whose every
-      // iteration ran under exogenous load (loadavg > quietThresh on a
-      // 32-thread host; the shared VM's noisy-neighbour signature is 8-21)
-      // gets up to 3 extra warm iterations, stopping at the first quiet one.
-      // The min over ALL iterations is the reported steady time, so one
-      // quiet iteration suffices to de-noise the artifact (round-3/round-5
-      // lesson: official numbers inflated 5-11× by host load, provable only
-      // out-of-band before this).
+      // Quiet-certification retries (round-7 verdict fix: certify the
+      // REPORTED iteration, not ANY iteration). The reported steady time is
+      // the min over bracketed-quiet iterations when one exists — so the
+      // number the artifact ships always comes from a window whose load was
+      // ≤ quietThresh both entering AND leaving the iteration. A heavy query
+      // (global min ≥ 2 s) with NO bracketed-quiet iteration gets up to 5
+      // extra warm iterations.
       // Back-to-back retries all land inside the same noise burst (round-6
       // lesson: q53's three iterations ran at loadavg 15-17 and its 3
       // immediate retries would have too) — so each retry first WAITS with
@@ -123,29 +132,36 @@ object Bench {
       // from a global sleep budget so a fully-loaded host can't stall the
       // whole run (waiting is untimed; the query re-runs after).
       val quietThresh = 6.0
-      def quietCertified = iterLoads.exists(l => l >= 0 && l <= quietThresh)
+      def bracketQuiet(j: Int): Boolean =
+        preLoads(j) >= 0 && preLoads(j) <= quietThresh &&
+          postLoads(j) >= 0 && postLoads(j) <= quietThresh
+      def quietIdxs = times.indices.filter(bracketQuiet)
       var extras = 0
-      while (ok && times.min >= 2.0 && extras < 5 && !quietCertified) {
+      while (ok && times.min >= 2.0 && extras < 5 && quietIdxs.isEmpty) {
         val backoffMs = math.min(10000L << extras, 60000L)
         val waitMs = math.min(backoffMs, Bench.sleepBudgetMs)
-        System.err.println(f"[bench] $name retry ${extras + 1} for a quiet iteration (loads ${iterLoads.map(l => f"$l%.1f").mkString(",")}; waiting ${waitMs / 1000}%d s)")
+        System.err.println(f"[bench] $name retry ${extras + 1} for a bracketed-quiet iteration (pre ${preLoads.map(l => f"$l%.1f").mkString(",")} post ${postLoads.map(l => f"$l%.1f").mkString(",")}; waiting ${waitMs / 1000}%d s)")
         if (waitMs > 0) { Thread.sleep(waitMs); Bench.sleepBudgetMs -= waitMs }
         runOnce(); extras += 1
       }
       val ran = times.toSeq
       val cold = ran.head
-      val steady = ran.min
-      val load0 = iterLoads.head
-      val load1 = loadavg()
-      // a measurement is quiet-certified when some iteration ran at loadavg
-      // ≤ quietThresh (sub-2 s queries are trivially certified: host noise
-      // cannot inflate them past the grading resolution); the flag ships in
-      // the sidecar so an uncertified number is visible in the artifact
-      val certified = steady < 2.0 || quietCertified
+      val globalMin = ran.min
+      // sub-2 s global min: host noise cannot inflate it past the grading
+      // resolution — trivially certified on the global min. Otherwise the
+      // reported number is the quiet min (a certified upper bound even when
+      // a loaded iteration happened to run faster).
+      val qi = quietIdxs
+      val steady =
+        if (globalMin < 2.0 || qi.isEmpty) globalMin
+        else qi.map(ran).min
+      val certified = steady < 2.0 || qi.nonEmpty
+      val load0 = preLoads.head
+      val load1 = postLoads.last
       System.err.println(
         f"[bench] $name%-24s cold $cold%8.2f s  steady $steady%8.2f s  load $load0%5.1f->$load1%5.1f" +
           (if (!ok) "  FAILED" else if (!certified) "  UNCERTIFIED" else ""))
-      (name, cold, steady, ok, ran, iterLoads.toSeq :+ load1, certified)
+      (name, cold, steady, ok, ran, preLoads.toSeq, postLoads.toSeq, certified)
     }
     def fmt(d: Double) = f"$d%.3f"
     def fmt2(d: Double) = f"$d%.2f"
@@ -175,9 +191,9 @@ object Bench {
     // stderr detail), and the cutoff auto-raises until the line fits, so
     // the artifact stays parseable at ANY future gate count.
     def qsAt(cutoff: Double) = {
-      val heavy = results.filter { case (_, _, v, ok, _, _, _) => !ok || v >= cutoff }
-      val fast = results.filter { case (_, _, v, ok, _, _, _) => ok && v < cutoff }
-      val m = heavy.map { case (k, _, v, ok, _, _, _) =>
+      val heavy = results.filter { case (_, _, v, ok, _, _, _, _) => !ok || v >= cutoff }
+      val fast = results.filter { case (_, _, v, ok, _, _, _, _) => ok && v < cutoff }
+      val m = heavy.map { case (k, _, v, ok, _, _, _, _) =>
         "\"" + shortKey(k) + "\":" + (if (ok) fmtQ(v) else "-1")
       }.mkString("{", ",", "}")
       val ft = fast.map(_._3).sum
@@ -188,32 +204,35 @@ object Bench {
       .map(qsAt)
       .find { case (m, fs) => (m.length + fs.length) <= 1600 }
       .getOrElse(qsAt(1e9))
-    val colds = results.map { case (k, c, _, ok, _, _, _) => "\"" + k + "\":" + (if (ok) fmt(c) else "-1") }
+    val colds = results.map { case (k, c, _, ok, _, _, _, _) => "\"" + k + "\":" + (if (ok) fmt(c) else "-1") }
       .mkString("{", ",", "}")
-    val steadies = results.map { case (k, _, v, ok, _, _, _) => "\"" + k + "\":" + (if (ok) fmt(v) else "-1") }
+    val steadies = results.map { case (k, _, v, ok, _, _, _, _) => "\"" + k + "\":" + (if (ok) fmt(v) else "-1") }
       .mkString("{", ",", "}")
-    val iterTimes = results.map { case (k, _, _, _, ts, _, _) =>
+    val iterTimes = results.map { case (k, _, _, _, ts, _, _, _) =>
       "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    // per-iteration loadavg samples (one per iter_times entry) + one final
-    // post-query sample appended — each iteration self-documents its noise
-    val loads = results.map { case (k, _, _, _, _, ls, _) =>
+    // pre-/post-iteration loadavg samples (each aligned 1:1 with iter_times)
+    // — every iteration self-documents whether it was bracketed-quiet
+    val loads = results.map { case (k, _, _, _, _, ls, _, _) =>
       "\"" + k + "\":" + ls.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, false, _, _, _) => "\"" + shortKey(k) + "\"" }
+    val loadsPost = results.map { case (k, _, _, _, _, _, ls, _) =>
+      "\"" + k + "\":" + ls.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, false, _, _, _, _) => "\"" + shortKey(k) + "\"" }
       .mkString("[", ",", "]")
-    // heavy queries whose every iteration (incl. backoff retries) ran under
-    // exogenous load — their numbers are upper bounds, not steady-state
-    val uncertified = results.collect { case (k, _, _, true, _, _, false) => "\"" + shortKey(k) + "\"" }
+    // heavy queries with NO bracketed-quiet iteration (incl. backoff
+    // retries) — their numbers are upper bounds, not steady-state
+    val uncertified = results.collect { case (k, _, _, true, _, _, _, false) => "\"" + shortKey(k) + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, _, v, true, _, _, _) => v }.sum
-    val coldTotal = results.collect { case (_, c, _, true, _, _, _) => c }.sum
+    val total = results.collect { case (_, _, v, true, _, _, _, _) => v }.sum
+    val coldTotal = results.collect { case (_, c, _, true, _, _, _, _) => c }.sum
     val excluded = harness.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val names = results.map { case (k, _, _, _, _, _, _) =>
+    val names = results.map { case (k, _, _, _, _, _, _, _) =>
       "\"" + shortKey(k) + "\":\"" + k + "\""
     }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","iters":$iters,"names":$names,"steady":$steadies,"cold_total":${fmt2(coldTotal)},"cold":$colds,"iter_times":$iterTimes,"loadavg_1m":$loads,"failed":$failed,"uncertified":$uncertified,"excluded_harness":$excluded,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","iters":$iters,"names":$names,"steady":$steadies,"cold_total":${fmt2(coldTotal)},"cold":$colds,"iter_times":$iterTimes,"loadavg_1m":$loads,"loadavg_post":$loadsPost,"failed":$failed,"uncertified":$uncertified,"excluded_harness":$excluded,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")

@@ -1389,18 +1389,61 @@ object Analyses {
           + lit(0.0d)).as("harmonic_mean"))
   }
 
-  /** Holt linear (double-exponential) smoothing over a BOUNDED series —
-    * the library form of gate q339. The input is collected (bounded model
-    * fit, the q332 precedent: the caller aggregates the corpus to a
-    * bounded grain first) and the level/trend recursion
+  /** Sign-split half-away-from-zero 6-dp rounding: `floor(x·1e6 + 0.5)/1e6`
+    * mirrored for negatives. The q370 rule: Spark's `round()` rounds the
+    * double's SHORTEST-decimal rendering while DuckDB `round()` rounds the
+    * binary value, and a value landing ~1e-16 from a 6-dp midpoint flips
+    * between them (q492's round-7 hash red was exactly one such cell).
+    * This formula is the same IEEE op sequence (abs-side mul, add, floor,
+    * div) in both engines, so a mirrored oracle writing the identical
+    * expression reproduces every bit. */
+  private[graft] def halfAway6(x: Double): Double =
+    if (x >= 0) math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    else -math.floor(-x * 1000000.0 + 0.5) / 1000000.0
+
+  /** The Holt level/trend recursion
     *
     *   l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1})
     *   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
     *
-    * runs with every step rounded to 6 dp (BigDecimal HALF_UP — the same
-    * op sequence a mirrored recursive-CTE oracle computes). Output: one
-    * row per input point with the smoothed level, trend and one-step
-    * forecast.
+    * shared by [[holtSmooth]] and [[holtSmoothByKey]] — ONE step
+    * implementation so the single-series and per-key forms cannot drift
+    * numerically (round-7 verdict item 4). Every step — and the one-step
+    * forecast l+b — is rounded with the mirrored half-away floor
+    * [[halfAway6]]. Returns (level, trend, forecast) aligned with the
+    * input series; requires ≥ 2 points (the trend initializes from the
+    * first difference). */
+  private[graft] def holtSteps(ys: Array[Double], alpha: Double,
+                               beta: Double): Array[(Double, Double, Double)] = {
+    require(ys.length >= 2, "Holt smoothing needs at least 2 points")
+    // complements via DECIMAL subtraction of the shortest representation:
+    // IEEE `1.0 - 0.3` is 0.7000000000000001, NOT the double literal 0.7
+    // a mirrored oracle writes — BigDecimal.valueOf(0.3) is the decimal
+    // "0.3", so 1 − it round-trips to the exact literal 0.7
+    val ca = (BigDecimal(1) - BigDecimal.valueOf(alpha)).toDouble
+    val cb = (BigDecimal(1) - BigDecimal.valueOf(beta)).toDouble
+    val out = new Array[(Double, Double, Double)](ys.length)
+    var lev = halfAway6(ys(0))
+    var tr = halfAway6(ys(1) - ys(0))
+    out(0) = (lev, tr, halfAway6(lev + tr))
+    var i = 1
+    while (i < ys.length) {
+      val l2 = halfAway6(alpha * ys(i) + ca * (lev + tr))
+      val t2 = halfAway6(beta * (l2 - lev) + cb * tr)
+      lev = l2; tr = t2
+      out(i) = (lev, tr, halfAway6(lev + tr))
+      i += 1
+    }
+    out
+  }
+
+  /** Holt linear (double-exponential) smoothing over a BOUNDED series —
+    * the library form of gate q339. The input is collected (bounded model
+    * fit, the q332 precedent: the caller aggregates the corpus to a
+    * bounded grain first) and the recursion runs via the shared
+    * [[holtSteps]] core (identical numerics to [[holtSmoothByKey]]).
+    * Output: one row per input point with the smoothed level, trend and
+    * one-step forecast.
     *
     * Ordering is by `orderCol` ascending; requires ≥ 2 rows (the trend
     * initializes from the first difference). */
@@ -1414,32 +1457,16 @@ object Analyses {
       .orderBy(col("__m"))
       .collect()
       .map(r => (r.getDate(0), r.getDouble(1)))
-    require(rows.length >= 2, "holtSmooth needs at least 2 points")
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    // complements via DECIMAL subtraction of the shortest representation:
-    // IEEE `1.0 - 0.3` is 0.7000000000000001, NOT the double literal 0.7
-    // a mirrored oracle writes — BigDecimal.valueOf(0.3) is the decimal
-    // "0.3", so 1 − it round-trips to the exact literal 0.7
-    val ca = (BigDecimal(1) - BigDecimal.valueOf(alpha)).toDouble
-    val cb = (BigDecimal(1) - BigDecimal.valueOf(beta)).toDouble
-    val out = scala.collection.mutable.ArrayBuffer
-      .empty[(java.sql.Date, Double, Double, Double)]
-    var lev = r6(rows(0)._2)
-    var tr = r6(rows(1)._2 - rows(0)._2)
-    out += ((rows(0)._1, rows(0)._2, lev, tr))
-    rows.drop(1).foreach { case (m, y) =>
-      val l2 = r6(alpha * y + ca * (lev + tr))
-      val t2 = r6(beta * (l2 - lev) + cb * tr)
-      lev = l2; tr = t2
-      out += ((m, y, lev, tr))
+    val steps = holtSteps(rows.map(_._2), alpha, beta)
+    val out = rows.zip(steps).map { case ((m, y), (lev, tr, fc)) =>
+      (m, y, lev, tr, fc)
     }
     val spark = series.sparkSession
     import spark.implicits._
-    out.toSeq.toDF("__m", "__y", "__lev", "__tr")
+    out.toSeq.toDF("__m", "__y", "__lev", "__tr", "__fc")
       .select(col("__m").as(orderCol), col("__y").as(valueCol),
         col("__lev").as("smooth_level"), col("__tr").as("smooth_trend"),
-        round(col("__lev") + col("__tr"), 6).as("forecast_next"))
+        col("__fc").as("forecast_next"))
   }
 
   /** Per-key EXECUTOR-SIDE Holt smoothing — the "smooth every key's series"
@@ -1450,9 +1477,11 @@ object Analyses {
     * Each key's series must be span-bounded (callers aggregate to a
     * day/month grain first — the recursion buffers one key's points, not
     * the corpus); keys with < 2 points are dropped (the trend initializes
-    * from the first difference). Key is carried as STRING; every smoothing
-    * step is rounded to 6 dp exactly like the single-series form, so a
-    * per-key recursive-CTE oracle reproduces it lockstep. */
+    * from the first difference). Key is carried as STRING; the recursion
+    * is the shared [[holtSteps]] core (half-away-floor 6-dp steps), so a
+    * per-key recursive-CTE oracle writing the identical
+    * `floor(x·1e6 + 0.5)/1e6` expression reproduces it lockstep and the
+    * two library forms cannot drift. */
   def holtSmoothByKey(series: DataFrame, keyCol: String, orderCol: String,
                       valueCol: String, alpha: Double = 0.3,
                       beta: Double = 0.2): DataFrame = {
@@ -1460,8 +1489,6 @@ object Analyses {
       "alpha/beta must be in (0,1)")
     val spark = series.sparkSession
     import spark.implicits._
-    val ca = (BigDecimal(1) - BigDecimal.valueOf(alpha)).toDouble
-    val cb = (BigDecimal(1) - BigDecimal.valueOf(beta)).toDouble
     series
       .select(col(keyCol).cast("string").as("__k"),
         col(orderCol).cast("date").as("__m"),
@@ -1469,28 +1496,19 @@ object Analyses {
       .as[(String, java.sql.Date, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (k: String, it: Iterator[(String, java.sql.Date, Double)]) =>
-        def r6(x: Double): Double =
-          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         val rows = it.toArray.sortBy(_._2.getTime) // span-bounded per key
         if (rows.length < 2) Iterator.empty
         else {
-          var lev = r6(rows(0)._3)
-          var tr = r6(rows(1)._3 - rows(0)._3)
-          val out = scala.collection.mutable.ArrayBuffer(
-            (k, rows(0)._2, rows(0)._3, lev, tr))
-          rows.iterator.drop(1).foreach { case (_, m, y) =>
-            val l2 = r6(alpha * y + ca * (lev + tr))
-            val t2 = r6(beta * (l2 - lev) + cb * tr)
-            lev = l2; tr = t2
-            out += ((k, m, y, lev, tr))
+          val steps = holtSteps(rows.map(_._3), alpha, beta)
+          rows.iterator.zip(steps.iterator).map {
+            case ((_, m, y), (lev, tr, fc)) => (k, m, y, lev, tr, fc)
           }
-          out.iterator
         }
       }
-      .toDF("__k", "__m", "__y", "__lev", "__tr")
+      .toDF("__k", "__m", "__y", "__lev", "__tr", "__fc")
       .select(col("__k").as(keyCol), col("__m").as(orderCol),
         col("__y").as(valueCol),
         col("__lev").as("smooth_level"), col("__tr").as("smooth_trend"),
-        round(col("__lev") + col("__tr"), 6).as("forecast_next"))
+        col("__fc").as("forecast_next"))
   }
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-8 additions: the shared Holt rounding core (the round-7 verdict's
+  * q492 fix), bench/fixture hygiene, and the audio/multimodal end-to-end
+  * gates' building blocks. */
+class Round8OpsSpec extends SparkSuite {
+  import spark.implicits._
+  import graft.operators.Analyses
+
+  test("halfAway6: sign-split half-away-from-zero floor semantics") {
+    assert(Analyses.halfAway6(1.2345675) == math.floor(1.2345675 * 1e6 + 0.5) / 1e6)
+    assert(Analyses.halfAway6(0.0) == 0.0)
+    // negatives mirror: -floor(-x*1e6+0.5)/1e6 (away from zero on .5)
+    assert(Analyses.halfAway6(-1.2345675) == -Analyses.halfAway6(1.2345675))
+    assert(Analyses.halfAway6(2.0000005) == 2.000001 ||
+      Analyses.halfAway6(2.0000005) == 2.0) // whichever side the DOUBLE sits,
+    // the result is one IEEE op sequence — assert it is exactly reproducible
+    assert(Analyses.halfAway6(2.0000005) ==
+      math.floor(2.0000005 * 1000000.0 + 0.5) / 1000000.0)
+  }
+
+  test("holtSteps: one core — both library forms byte-equal on random series incl. negatives") {
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 20).foreach { trial =>
+      val n = 2 + rnd.nextInt(40)
+      // values cross zero so the trend AND level go negative — the sign-split
+      // branch is exercised, not just the positive arm
+      val ys = Array.fill(n)((rnd.nextDouble() - 0.5) * 2e4)
+      val days = (0 until n).map(i =>
+        new java.sql.Date(java.sql.Date.valueOf("2024-01-01").getTime + i * 86400000L))
+      val df = days.zip(ys).map { case (d, y) => ("k", d, y) }.toDF("k", "d", "v")
+      val single = Analyses.holtSmooth(df, "d", "v")
+        .orderBy("d")
+        .as[(java.sql.Date, Double, Double, Double, Double)].collect().toSeq
+      val byKey = Analyses.holtSmoothByKey(df, "k", "d", "v")
+        .orderBy("d")
+        .as[(String, java.sql.Date, Double, Double, Double, Double)]
+        .collect().toSeq.map { case (_, d, v, l, t, f) => (d, v, l, t, f) }
+      assert(single == byKey, s"trial $trial: forms diverged")
+      // and the steps ARE the shared core's output, forecast included
+      val steps = Analyses.holtSteps(ys, 0.3, 0.2)
+      single.zip(steps).foreach { case ((_, _, l, t, f), (cl, ct, cf)) =>
+        assert(l == cl && t == ct && f == cf)
+      }
+      steps.foreach { case (l, t, f) =>
+        assert(f == Analyses.halfAway6(l + t)) // forecast uses the same helper
+      }
+    }
+  }
+
+  test("holtSteps: every emitted value is an exact 6-dp grid point") {
+    val ys = Array(10.0, -12.5, 9.333333, 15.000001, -2.75)
+    Analyses.holtSteps(ys, 0.3, 0.2).foreach { case (l, t, f) =>
+      Seq(l, t, f).foreach { v =>
+        assert(v == Analyses.halfAway6(v), s"$v not on the 6-dp grid")
+      }
+    }
+  }
+}
