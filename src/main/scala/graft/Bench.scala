@@ -94,7 +94,16 @@ object Bench {
       // explicit GC the block manager accumulates earlier queries' blocks
       // and evicts the CURRENT query's checkpoint mid-iteration — observed
       // as 3-5x single-iteration spikes on the checkpoint-heavy queries
-      // (q100/q111) late in a 111-query run, at low host load.
+      // (q100/q111) late in a 111-query run, at low host load. Round-8
+      // hardening after q252's quiet-host 7→12.6 s drift in the 500-gate
+      // run (isolated single-gate rerun measured 6.6 s → JVM accumulation,
+      // not a plan regression): explicitly unpersist every lingering
+      // cached plan and persistent RDD (localCheckpoints) FIRST, so the GC
+      // actually releases their blocks instead of waiting on plan
+      // references still held by the results buffer.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       System.gc()
       Thread.sleep(100)
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]

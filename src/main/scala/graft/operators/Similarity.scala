@@ -605,6 +605,13 @@ object Similarity {
         .otherwise(-floor(-c * lit(scale) + lit(0.5d))).cast("long")
     val y = emb.select(col(idCol), col(labelCol),
         posexplode(col(vecCol).cast("array<double>")).as(Seq("__d", "__x")))
+      // a vector longer than `dim` would index past the driver-side Gram
+      // matrix — fail the JOB with a clear message, not the driver loop
+      // with ArrayIndexOutOfBounds
+      .withColumn("__d", when(col("__d") < dim, col("__d"))
+        .otherwise(raise_error(concat(
+          lit(s"pcaPowerScores: embedding dimension exceeds dim=$dim at position "),
+          col("__d").cast("string")))))
       .select(col(idCol), col(labelCol), col("__d"),
         (qhalf(col("__x"), 100.0) + lit(1000L)).as("__y"))
     val mu = y.groupBy(col("__d"))

@@ -348,8 +348,15 @@ case class GeoJsonScan(path: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     GeoJsonReaderFactory(required.fieldNames, limit)
   override def toMicroBatchStream(checkpointLocation: String)
-      : MicroBatchStream =
+      : MicroBatchStream = {
+    // snapshotFiles is a batch-only contract (a stream starts from the
+    // live tail by definition) — enforce it rather than silently ignoring
+    // the pin a user asked for
+    require(snapshot.isEmpty,
+      "snapshotFiles is a batch-only option; a streaming read replays the " +
+        "append log from its own offsets")
     new GeoJsonMicroBatchStream(path, required)
+  }
 }
 
 /** Offset = how many files (in sorted-name order) have been consumed.

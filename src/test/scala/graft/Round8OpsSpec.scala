@@ -50,6 +50,38 @@ class Round8OpsSpec extends SparkSuite {
     }
   }
 
+  test("geojson streaming read rejects the batch-only snapshotFiles option") {
+    val d = java.nio.file.Files.createTempDirectory("graft_snap_stream").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(d, "a.jsonl"),
+      """{"type":"Feature","id":"x","geometry":{"type":"Point","coordinates":[[0,0]]},"properties":{}}""")
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-geojson")
+        .option("snapshotFiles", "1").load(d)
+        .writeStream.format("memory").queryName("snap_stream_reject")
+        .start().processAllAvailable()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("batch-only"))),
+      s"expected the batch-only contract error, got $e")
+  }
+
+  test("pcaPowerScores: over-dim embedding fails with a clear error, not AIOOBE") {
+    import graft.operators.Similarity
+    val df = Seq((1L, "a", Array(1.0, 2.0, 3.0))).toDF("vec_id", "label", "embedding")
+    val e = intercept[Exception] {
+      Similarity.pcaPowerScores(df, "vec_id", "label", "embedding",
+        dim = 2, rounds = 2).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("embedding dimension exceeds dim"))),
+      s"expected the dim-guard error, got $e")
+  }
+
   test("holtSteps: every emitted value is an exact 6-dp grid point") {
     val ys = Array(10.0, -12.5, 9.333333, 15.000001, -2.75)
     Analyses.holtSteps(ys, 0.3, 0.2).foreach { case (l, t, f) =>
