@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -143,6 +143,83 @@ object WavMeta {
     }
     b.array()
   }
+}
+
+object WavNearDup {
+  /** splitmix64 finalizer — a real per-(group, block) hash for the
+    * amplitude envelope. An affine envelope (group·K + block·C mod M) is
+    * NOT enough: its per-block sequence is one arithmetic progression mod
+    * M with only the PHASE varying by group, so groups equal mod M share
+    * the envelope exactly and their energy vectors collide at cosine 1
+    * (measured before this mix was added). */
+  private def mix(x0: Long): Long = {
+    var x = x0
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Planted near-duplicate 16-bit PCM WAV: all members of one `group`
+    * share a block-wise amplitude envelope and base sample stream; the
+    * `member` adds a ±3 wiggle on samples of magnitude ≲32640, so
+    * within-group 64-block energy vectors sit at centered cosine
+    * ≥ 0.9999999 while cross-group envelopes (splitmix64 per block)
+    * decorrelate to ≤ ~0.65 even at 10⁷ pairs (64-dim concentration:
+    * std ≈ 1/8, the measured 7k-pair max is 0.55) — the q491 planted-pair
+    * recipe applied to the AUDIO modality. 512 frames, 64 blocks of 8
+    * samples, mono 16 kHz. */
+  def buildWavGroup(group: Long, member: Long): Array[Byte] = {
+    val g = ((group % 1000000000L) + 1000000000L) % 1000000000L
+    val m = ((member % 64L) + 64L) % 64L
+    val nFrames = 512
+    val nBlocks = 64
+    val dataSize = nFrames * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1)                // PCM
+    b.putShort(1)                // mono
+    b.putInt(16000)
+    b.putInt(16000 * 2)          // byte rate
+    b.putShort(2)                // block align
+    b.putShort(16)               // bits per sample
+    b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var j = 0
+    while (j < nFrames) {
+      val blk = j * nBlocks / nFrames
+      val h = mix(g * 0x9E3779B97F4A7C15L + blk)
+      val amp = 32L + (h & 0xFFFFL) % 224L                 // [32, 256)
+      val base = (g * 48271L + j.toLong * 16807L) % 2049L - 1024L
+      val v = base * amp / 8L + (m * 31L + j) % 7L - 3L
+      b.putShort(v.toShort)
+      j += 1
+    }
+    b.array()
+  }
+}
+
+/** Fixture builder expression: (group, member) → planted near-duplicate
+  * PCM WAV bytes (see [[WavNearDup.buildWavGroup]]). */
+case class WavGroupFixture(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "wav_group_fixture"
+
+  override def nullSafeEval(group: Any, member: Any): Any =
+    WavNearDup.buildWavGroup(group.asInstanceOf[Long], member.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = WavNearDup.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (g, m) => s"${ev.value} = $cls.buildWavGroup($g, $m);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Fixture builder expression: seed → deterministic PCM WAV bytes

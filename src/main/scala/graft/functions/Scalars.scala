@@ -51,13 +51,21 @@ object Scalars {
     * over the first bytes of a binary column — pure `Column` expression, so it
     * stays inside whole-stage codegen. */
   def sniffMime(content: Column): Column = {
-    val head = hex(substring(content, 1, 8)) // hex uppercase
+    val head = hex(substring(content, 1, 12)) // hex uppercase
     when(head.startsWith("FFD8FF"), "image/jpeg")
       .when(head.startsWith("89504E47"), "image/png")
       .when(head.startsWith("49492A00") || head.startsWith("4D4D002A"), "image/tiff")
       .when(head.startsWith("504B0304"), "application/zip")
       .when(head.startsWith("25504446"), "application/pdf")
       .when(head.startsWith("1F8B"), "application/gzip")
+      // media containers (the multimodal ingest arm): RIFF....WAVE,
+      // ....ftyp (ISO-BMFF box at offset 4), GIF8, BM, LASF
+      .when(head.startsWith("52494646") &&
+        substring(head, 17, 8) === "57415645", "audio/wav")
+      .when(substring(head, 9, 8) === "66747970", "video/mp4")
+      .when(head.startsWith("47494638"), "image/gif")
+      .when(head.startsWith("4C415346"), "application/vnd.las")
+      .when(head.startsWith("424D"), "image/bmp")
       .otherwise("application/octet-stream")
   }
 

@@ -23,6 +23,14 @@ object Ingest {
   val AllowedMime: Seq[String] = Seq(
     "image/jpeg", "image/png", "image/tiff", "application/zip")
 
+  /** Extended allowlist for the multimodal lake: the reference's images
+    * plus the audio/video/point-cloud containers the training pipeline
+    * ingests (SURVEY §2.12; the reference's file_type enum admits media
+    * uploads, init.sql:8). */
+  val MediaMime: Seq[String] = AllowedMime ++ Seq(
+    "image/bmp", "image/gif", "audio/wav", "video/mp4",
+    "application/vnd.las")
+
   /** Size cap (reference: MAX_FILE_SIZE, .env.example:27). */
   val MaxFileSize: Long = 1073741824L
 
@@ -102,8 +110,11 @@ object Ingest {
         col("size_ok"), col("mime_ok"), col("valid"))
 
   /** The §3.3 pipeline: returns (valid, quarantined). Validation mirrors
-    * main.py:86-107 step-for-step; checksum is F1 (sha2 over content). */
-  def pipeline(files: DataFrame, projectId: String): (DataFrame, DataFrame) = {
+    * main.py:86-107 step-for-step; checksum is F1 (sha2 over content).
+    * `allowedMime` defaults to the reference's image allowlist; pass
+    * [[MediaMime]] for the full multimodal lake. */
+  def pipeline(files: DataFrame, projectId: String,
+               allowedMime: Seq[String] = AllowedMime): (DataFrame, DataFrame) = {
     val staged = files
       .withColumn("project_id", lit(projectId))
       .withColumn("original_filename", regexp_extract(col("path"), "([^/]+)$", 1))
@@ -113,7 +124,7 @@ object Ingest {
       .withColumn("filename", Scalars.uniqueFilename(col("original_filename")))
       .withColumn("metadata", extractMetadata(col("content")))
       .withColumn("size_ok", col("size") <= MaxFileSize && col("size") > 0)
-      .withColumn("mime_ok", col("mime_type").isin(AllowedMime: _*))
+      .withColumn("mime_ok", col("mime_type").isin(allowedMime: _*))
       .withColumn("valid", col("size_ok") && col("mime_ok"))
     Relational.quarantine(staged, col("valid"))
   }

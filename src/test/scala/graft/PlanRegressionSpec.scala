@@ -121,7 +121,10 @@ class PlanRegressionSpec extends AnyFunSuite {
     "q487_ransac_line",
     // round-7: image-feature LSH dedup (the 16×16-band self-join), per-key
     // executor-side Holt smoothing (must stay a FlatMapGroups, no collect)
-    "q491_image_neardup", "q492_holt_by_key")
+    "q491_image_neardup", "q492_holt_by_key",
+    // round-8: audio-feature LSH dedup, the multimodal flagship
+    // (binaryFile lake scan + unified band self-join + partner counts)
+    "q501_audio_neardup", "q502_multimodal_ingest")
 
   /** Sanctioned BroadcastNestedLoopJoins whose build side is a DESIGN-
     * bounded broadcast probe/query set rather than an aggregate — e.g. the

@@ -82,6 +82,61 @@ class Round8OpsSpec extends SparkSuite {
       s"expected the dim-guard error, got $e")
   }
 
+  test("WavNearDup: within-group vs cross-group vs cross-modality cosine margins") {
+    import graft.functions.{ImageFeature64, WavBlockEnergy, WavNearDup}
+    def center(e: Array[Double]): Array[Double] = {
+      val mu = e.sum / e.length; e.map(_ - mu)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val num = a.zip(b).map { case (x, y) => x * y }.sum
+      num / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    def audioVec(g: Long, m: Long): Array[Double] = {
+      val arr = WavBlockEnergy.compute(WavNearDup.buildWavGroup(g, m), 64)
+      center(arr.toDoubleArray())
+    }
+    def imageVec(g: Long, m: Long): Array[Double] =
+      ImageFeature64.compute(ImageFeature64.buildBmp(g, m))
+        .toDoubleArray().map(_ - 128.0)
+    val groups = (0L until 40L).map(_ * 97 + 3)
+    // within-group: all 6 pairs of 4 members nearly identical
+    groups.take(10).foreach { g =>
+      val vs = (0L until 4L).map(m => audioVec(g, m))
+      for (i <- 0 until 4; j <- i + 1 until 4)
+        assert(cos(vs(i), vs(j)) > 0.999, s"group $g members $i,$j")
+    }
+    // cross-group: envelopes decorrelate (threshold 0.9 with margin)
+    val reps = groups.map(g => audioVec(g, 0))
+    for (i <- reps.indices; j <- i + 1 until reps.length)
+      assert(cos(reps(i), reps(j)) < 0.8, s"groups $i,$j too close")
+    // cross-MODALITY: image block-means never near-dup an audio energy
+    // vector (the q502 unified embedding space must not merge modalities)
+    val imgs = groups.take(10).map(g => imageVec(g, 0))
+    for (a <- reps.take(10); im <- imgs)
+      assert(math.abs(cos(a, im)) < 0.8, "image-audio false near-dup")
+  }
+
+  test("sniffMime: media container magics (WAV/MP4/BMP/LAS/GIF)") {
+    import graft.functions.{LasMeta, Mp4Meta, Scalars, WavNearDup}
+    import graft.functions.ImageFeature64
+    val rows = Seq(
+      ("wav", WavNearDup.buildWavGroup(5, 1)),
+      ("mp4", Mp4Meta.buildMp4(7)),
+      ("bmp", ImageFeature64.buildBmp(3, 2)),
+      ("las", LasMeta.buildLas(11)),
+      ("gif", "GIF89a-rest-is-junk".getBytes("US-ASCII")),
+      ("junk", "definitely not media".getBytes("US-ASCII")))
+      .toDF("tag", "content")
+    val got = rows.select(col("tag"), Scalars.sniffMime(col("content")).as("m"))
+      .as[(String, String)].collect().toMap
+    assert(got("wav") == "audio/wav")
+    assert(got("mp4") == "video/mp4")
+    assert(got("bmp") == "image/bmp")
+    assert(got("las") == "application/vnd.las")
+    assert(got("gif") == "image/gif")
+    assert(got("junk") == "application/octet-stream")
+  }
+
   test("holtSteps: every emitted value is an exact 6-dp grid point") {
     val ys = Array(10.0, -12.5, 9.333333, 15.000001, -2.75)
     Analyses.holtSteps(ys, 0.3, 0.2).foreach { case (l, t, f) =>
