@@ -28,6 +28,30 @@ object Bench {
       try src.mkString.split(" ")(0).toDouble finally src.close()
     } catch { case scala.util.control.NonFatal(_) => -1.0 }
 
+  private def cpuJiffies(): (Long, Long) = { // (busy, total)
+    val src = scala.io.Source.fromFile("/proc/stat")
+    val f = try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+            finally src.close()
+    val idle = f(3) + (if (f.length > 4) f(4) else 0L) // idle + iowait
+    (f.sum - idle, f.sum)
+  }
+
+  /** Instantaneous whole-host CPU busy fraction over a short window —
+    * sampled BETWEEN iterations, when this JVM is idle, it measures
+    * EXOGENOUS load only. The 1-min loadavg cannot: the bench's own
+    * 32-thread bursts drag a trailing average through the next several
+    * gates (observed: one heavy fixture build pushed loadavg to 16-20 and
+    * the following three gates' brackets all read "loaded" while their
+    * iteration times sat rock-steady — self-load, not a neighbour).
+    * -1 = /proc/stat unavailable. */
+  private def busyFrac(windowMs: Long = 120): Double =
+    try {
+      val (b0, t0) = cpuJiffies()
+      Thread.sleep(windowMs)
+      val (b1, t1) = cpuJiffies()
+      if (t1 == t0) -1.0 else (b1 - b0).toDouble / (t1 - t0)
+    } catch { case scala.util.control.NonFatal(_) => -1.0 }
+
   /** Short key for the contract line: "q36_neardup_jaccard" -> "q36". The
     * driver's tail capture is ~2.2 KiB; full query names across 100+ queries
     * overflow it (that is exactly how round 4's artifact became unparseable),
@@ -114,16 +138,26 @@ object Bench {
       // caught by its own artifact.
       val preLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
       val postLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
+      // instantaneous busy-fraction brackets, sampled only once a gate has
+      // shown a ≥1.5 s iteration (the sampling window costs ~0.25 s per
+      // iteration — pointless on the sub-2 s tail that certifies trivially;
+      // -2 = deliberately unsampled)
+      val preBusy = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val postBusy = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var sampleBusy = false
       var ok = true
       def runOnce(): Unit = {
         preLoads += loadavg()
+        preBusy += (if (sampleBusy) busyFrac() else -2.0)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: $e"); ok = false
         }
         times += (System.nanoTime() - t0) / 1e9
+        postBusy += (if (sampleBusy) busyFrac() else -2.0)
         postLoads += loadavg()
+        if (!sampleBusy && times.last >= 1.5) sampleBusy = true
       }
       var i = 0
       while (i < iters && ok) { runOnce(); i += 1 }
@@ -140,10 +174,21 @@ object Bench {
       // escalating backoff (10/20/40/60/60 s) for the burst to pass, paid
       // from a global sleep budget so a fully-loaded host can't stall the
       // whole run (waiting is untimed; the query re-runs after).
+      // An iteration is bracketed-quiet when EITHER evidence channel says
+      // the window was ours alone: (a) instantaneous /proc/stat busy
+      // fraction ≤ busyThresh on both sides (immune to our own trailing
+      // loadavg — the q53/q83/q86 false-uncertified lesson), or (b) 1-min
+      // loadavg ≤ quietThresh on both sides (the r3-r7 noisy-neighbour
+      // signature is 8-21). A real neighbour trips BOTH channels.
       val quietThresh = 6.0
-      def bracketQuiet(j: Int): Boolean =
-        preLoads(j) >= 0 && preLoads(j) <= quietThresh &&
+      val busyThresh = 0.25 // ≤ 8 of 32 cores busy by someone else
+      def bracketQuiet(j: Int): Boolean = {
+        val busyOk = preBusy(j) >= 0 && preBusy(j) <= busyThresh &&
+          postBusy(j) >= 0 && postBusy(j) <= busyThresh
+        val loadOk = preLoads(j) >= 0 && preLoads(j) <= quietThresh &&
           postLoads(j) >= 0 && postLoads(j) <= quietThresh
+        busyOk || loadOk
+      }
       def quietIdxs = times.indices.filter(bracketQuiet)
       var extras = 0
       while (ok && times.min >= 2.0 && extras < 5 && quietIdxs.isEmpty) {
@@ -170,7 +215,8 @@ object Bench {
       System.err.println(
         f"[bench] $name%-24s cold $cold%8.2f s  steady $steady%8.2f s  load $load0%5.1f->$load1%5.1f" +
           (if (!ok) "  FAILED" else if (!certified) "  UNCERTIFIED" else ""))
-      (name, cold, steady, ok, ran, preLoads.toSeq, postLoads.toSeq, certified)
+      (name, cold, steady, ok, ran, preLoads.toSeq, postLoads.toSeq,
+        preBusy.toSeq, postBusy.toSeq, certified)
     }
     def fmt(d: Double) = f"$d%.3f"
     def fmt2(d: Double) = f"$d%.2f"
@@ -200,9 +246,9 @@ object Bench {
     // stderr detail), and the cutoff auto-raises until the line fits, so
     // the artifact stays parseable at ANY future gate count.
     def qsAt(cutoff: Double) = {
-      val heavy = results.filter { case (_, _, v, ok, _, _, _, _) => !ok || v >= cutoff }
-      val fast = results.filter { case (_, _, v, ok, _, _, _, _) => ok && v < cutoff }
-      val m = heavy.map { case (k, _, v, ok, _, _, _, _) =>
+      val heavy = results.filter { case (_, _, v, ok, _, _, _, _, _, _) => !ok || v >= cutoff }
+      val fast = results.filter { case (_, _, v, ok, _, _, _, _, _, _) => ok && v < cutoff }
+      val m = heavy.map { case (k, _, v, ok, _, _, _, _, _, _) =>
         "\"" + shortKey(k) + "\":" + (if (ok) fmtQ(v) else "-1")
       }.mkString("{", ",", "}")
       val ft = fast.map(_._3).sum
@@ -213,35 +259,43 @@ object Bench {
       .map(qsAt)
       .find { case (m, fs) => (m.length + fs.length) <= 1600 }
       .getOrElse(qsAt(1e9))
-    val colds = results.map { case (k, c, _, ok, _, _, _, _) => "\"" + k + "\":" + (if (ok) fmt(c) else "-1") }
+    val colds = results.map { case (k, c, _, ok, _, _, _, _, _, _) => "\"" + k + "\":" + (if (ok) fmt(c) else "-1") }
       .mkString("{", ",", "}")
-    val steadies = results.map { case (k, _, v, ok, _, _, _, _) => "\"" + k + "\":" + (if (ok) fmt(v) else "-1") }
+    val steadies = results.map { case (k, _, v, ok, _, _, _, _, _, _) => "\"" + k + "\":" + (if (ok) fmt(v) else "-1") }
       .mkString("{", ",", "}")
-    val iterTimes = results.map { case (k, _, _, _, ts, _, _, _) =>
+    val iterTimes = results.map { case (k, _, _, _, ts, _, _, _, _, _) =>
       "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // pre-/post-iteration loadavg samples (each aligned 1:1 with iter_times)
     // — every iteration self-documents whether it was bracketed-quiet
-    val loads = results.map { case (k, _, _, _, _, ls, _, _) =>
+    val loads = results.map { case (k, _, _, _, _, ls, _, _, _, _) =>
       "\"" + k + "\":" + ls.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val loadsPost = results.map { case (k, _, _, _, _, _, ls, _) =>
+    val loadsPost = results.map { case (k, _, _, _, _, _, ls, _, _, _) =>
       "\"" + k + "\":" + ls.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, false, _, _, _, _) => "\"" + shortKey(k) + "\"" }
+    // instantaneous busy-fraction brackets (-2 = unsampled fast gate,
+    // -1 = /proc/stat unavailable) — the self-load-immune evidence channel
+    val busyPre = results.map { case (k, _, _, _, _, _, _, bs, _, _) =>
+      "\"" + k + "\":" + bs.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val busyPost = results.map { case (k, _, _, _, _, _, _, _, bs, _) =>
+      "\"" + k + "\":" + bs.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, false, _, _, _, _, _, _) => "\"" + shortKey(k) + "\"" }
       .mkString("[", ",", "]")
     // heavy queries with NO bracketed-quiet iteration (incl. backoff
     // retries) — their numbers are upper bounds, not steady-state
-    val uncertified = results.collect { case (k, _, _, true, _, _, _, false) => "\"" + shortKey(k) + "\"" }
+    val uncertified = results.collect { case (k, _, _, true, _, _, _, _, _, false) => "\"" + shortKey(k) + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, _, v, true, _, _, _, _) => v }.sum
-    val coldTotal = results.collect { case (_, c, _, true, _, _, _, _) => c }.sum
+    val total = results.collect { case (_, _, v, true, _, _, _, _, _, _) => v }.sum
+    val coldTotal = results.collect { case (_, c, _, true, _, _, _, _, _, _) => c }.sum
     val excluded = harness.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val names = results.map { case (k, _, _, _, _, _, _, _) =>
+    val names = results.map { case (k, _, _, _, _, _, _, _, _, _) =>
       "\"" + shortKey(k) + "\":\"" + k + "\""
     }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","iters":$iters,"names":$names,"steady":$steadies,"cold_total":${fmt2(coldTotal)},"cold":$colds,"iter_times":$iterTimes,"loadavg_1m":$loads,"loadavg_post":$loadsPost,"failed":$failed,"uncertified":$uncertified,"excluded_harness":$excluded,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","iters":$iters,"names":$names,"steady":$steadies,"cold_total":${fmt2(coldTotal)},"cold":$colds,"iter_times":$iterTimes,"loadavg_1m":$loads,"loadavg_post":$loadsPost,"busy_pre":$busyPre,"busy_post":$busyPost,"failed":$failed,"uncertified":$uncertified,"excluded_harness":$excluded,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
