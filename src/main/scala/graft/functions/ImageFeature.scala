@@ -49,6 +49,14 @@ case class ImageFeature64(child: Expression) extends UnaryExpression {
 }
 
 object ImageFeature64 {
+  // ImageIO's default ImageInputStream cache is a TEMP FILE per decode
+  // (FileCacheImageInputStream) — for in-memory byte arrays that is pure
+  // fs churn, and at 15k tiny images × 32 executor threads it dominated
+  // the decode ~5× (q491: 8.5 s → 1.7 s at sf0.1 after this). Memory
+  // cache decodes straight from the array. JVM-global; executors set it
+  // when this class loads.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** 64 block means (8×8 grid, row-major: component 8·by+bx covers x ∈
     * [bx·W/8, (bx+1)·W/8) × y ∈ [by·H/8, (by+1)·H/8), integer-floor
     * boundaries), or null when the bytes don't decode or W/H < 8. */

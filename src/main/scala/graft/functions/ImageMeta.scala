@@ -49,6 +49,10 @@ object ImageMeta {
     StructField("height", IntegerType),
     StructField("channels", IntegerType)))
 
+  // memory-cache ImageIO streams — the default temp-FILE cache per decode
+  // is pure fs churn for in-memory bytes (see ImageFeature64)
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** (width, height, channels) when a JDK ImageIO reader decodes the bytes,
     * else from the TIFF IFD header when the bytes are TIFF. */
   def decode(bytes: Array[Byte]): Option[(Int, Int, Int)] =
