@@ -30,15 +30,21 @@ object TextOps {
     conv(substring(md5(token), 1, 15), 16, 10).cast("long")
 
   /** Word n-gram shingles (with duplicates) over a token array; empty for
-    * docs shorter than n tokens. */
+    * docs shorter than n tokens. Native codegen expression — byte-
+    * identical to the HOF formulation it replaced (WordShingles doc). */
   def shingles(toks: Column, n: Int): Column =
-    transform(
-      when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1))).otherwise(array()),
-      i => array_join(slice(toks, i, lit(n)), " "))
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.GraftColumnBridge.expression(toks),
+        n, distinct = false))
 
-  /** Distinct word n-gram shingles: the unit of near-dup detection. */
+  /** Distinct word n-gram shingles (first-occurrence order): the unit of
+    * near-dup detection. */
   def distinctShingles(toks: Column, n: Int): Column =
-    array_distinct(shingles(toks, n))
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.GraftColumnBridge.expression(toks),
+        n, distinct = true))
 
   /** Language-ID heuristic: stopword-profile hit counts with a deterministic
     * argmax (en > de > fr > es on ties; 'und' when nothing matched). A real
