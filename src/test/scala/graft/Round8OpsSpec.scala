@@ -137,6 +137,36 @@ class Round8OpsSpec extends SparkSuite {
     assert(got("junk") == "application/octet-stream")
   }
 
+  test("WordShingles: byte parity with the HOF formulation it replaced") {
+    // the oracle mirrors shingle STRINGS, so the native expression must be
+    // byte-identical to transform(sequence…, i -> array_join(slice…)) —
+    // including empty tokens from split, sub-n docs, duplicate shingles,
+    // and first-occurrence distinct order
+    val rnd = new scala.util.Random(8L)
+    val vocab = Seq("the", "a", "b", "", "café", "naïve", "x1", "-", "θ")
+    val docs = (1 to 200).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    }.toDF("id", "text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val toks = graft.operators.TextOps.tokens(col("text"))
+      val hofPlain = transform(
+        when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+          .otherwise(array()),
+        i => array_join(slice(toks, i, lit(n)), " "))
+      val got = docs.select(col("id"),
+          graft.operators.TextOps.shingles(toks, n).as("a"),
+          graft.operators.TextOps.distinctShingles(toks, n).as("b"),
+          hofPlain.as("ea"), array_distinct(hofPlain).as("eb"))
+        .as[(Long, Seq[String], Seq[String], Seq[String], Seq[String])]
+        .collect()
+      got.foreach { case (id, a, b, ea, eb) =>
+        assert(a == ea, s"n=$n id=$id plain shingles diverged")
+        assert(b == eb, s"n=$n id=$id distinct shingles diverged")
+      }
+    }
+  }
+
   test("holtSteps: every emitted value is an exact 6-dp grid point") {
     val ys = Array(10.0, -12.5, 9.333333, 15.000001, -2.75)
     Analyses.holtSteps(ys, 0.3, 0.2).foreach { case (l, t, f) =>
