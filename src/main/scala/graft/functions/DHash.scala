@@ -21,6 +21,7 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 case class DHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "dhash64"
 
   override def nullSafeEval(input: Any): Any =
@@ -28,7 +29,11 @@ case class DHash64(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = DHash64.getClass.getName.stripSuffix("$") + "$.MODULE$"
-    nullSafeCodeGen(ctx, ev, b => s"${ev.value} = $cls.compute($b);")
+    val boxed = ctx.freshName("dhashBoxed")
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""java.lang.Long $boxed = (java.lang.Long) $cls.compute($b);
+         |${ev.isNull} = $boxed == null;
+         |if (!${ev.isNull}) ${ev.value} = $boxed.longValue();""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -42,18 +47,25 @@ object DHash64 {
       ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
 
   /** Decode a 24-bit uncompressed BMP and fold its 9×8 grid into the
-    * 64-bit dHash. Throws on anything that isn't the expected layout —
-    * a fingerprint over misparsed pixels would be silently wrong. */
-  def compute(bytes: Array[Byte]): Long = {
-    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
-      "not a BMP")
+    * 64-bit dHash. NULL on anything that isn't the expected layout — a
+    * fingerprint over misparsed pixels would be silently wrong, and a
+    * THROW would kill the task on the first stray object in a mixed
+    * binary column (the library-wide hostile-bytes contract: WavMeta,
+    * Mp4Meta, ImageFeature64 all return null). The pixel window is
+    * bounds-checked against the buffer: a bit-flipped dataOff in an
+    * otherwise-valid header must not read out of bounds (round-8 fuzz
+    * sweep). */
+  def compute(bytes: Array[Byte]): java.lang.Long = {
+    if (bytes == null || bytes.length < 54 ||
+      bytes(0) != 'B' || bytes(1) != 'M') return null
     val dataOff = le32(bytes, 10)
     val width = le32(bytes, 18)
     val height = le32(bytes, 22)
     val bpp = (bytes(28) & 0xff) | ((bytes(29) & 0xff) << 8)
-    require(width == 9 && height == 8 && bpp == 24,
-      s"expected 9x8 24-bit grid, got ${width}x$height @$bpp")
+    if (width != 9 || height != 8 || bpp != 24) return null
     val stride = ((width * 3 + 3) / 4) * 4
+    if (dataOff < 0 || dataOff.toLong + stride.toLong * height > bytes.length)
+      return null
     // bottom-up storage: pixel row r (top-origin) lives in stored row
     // height-1-r; gray = blue channel (first byte of the BGR triple)
     def px(r: Int, c: Int): Int =
@@ -68,7 +80,7 @@ object DHash64 {
       }
       r += 1
     }
-    hash
+    java.lang.Long.valueOf(hash)
   }
 
   /** Build the 9×8 24-bit gray BMP whose pixel (r, c) has intensity

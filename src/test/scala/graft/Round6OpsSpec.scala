@@ -266,9 +266,12 @@ class Round6OpsSpec extends SparkSuite {
     // seeds 256 apart produce identical pixels → identical hashes
     assert(DHash64.compute(DHash64.buildBmp(3L)) ==
       DHash64.compute(DHash64.buildBmp(3L + 256L * 31)))
-    intercept[IllegalArgumentException] {
-      DHash64.compute(Array.fill[Byte](60)(0x42))
-    }
+    // hostile-bytes contract (round-8): junk is NULL, never a task-killing
+    // throw — and a lying dataOff in a valid header must not read OOB
+    assert(DHash64.compute(Array.fill[Byte](60)(0x42)) == null)
+    val lyingOff = DHash64.buildBmp(3L)
+    lyingOff(10) = 0x7f.toByte; lyingOff(11) = 0x7f.toByte
+    assert(DHash64.compute(lyingOff) == null)
   }
 
   test("clampedBalance: closed form equals the sequential clamp recurrence") {

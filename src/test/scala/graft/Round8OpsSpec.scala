@@ -167,6 +167,55 @@ class Round8OpsSpec extends SparkSuite {
     }
   }
 
+  test("byte-walk parsers: fuzz sweep never throws (random, truncated, bit-flipped)") {
+    import graft.functions._
+    val rnd = new scala.util.Random(20260815L)
+    val parsers: Seq[(String, Array[Byte] => Any)] = Seq(
+      ("WavMeta", WavMeta.compute _),
+      ("WavBlockEnergy", (b: Array[Byte]) => WavBlockEnergy.compute(b, 8)),
+      ("Mp4Meta", Mp4Meta.compute _),
+      ("LasMeta", LasMeta.compute _),
+      ("GeoTiffCrs", GeoTiffCrs.compute _),
+      ("ImageMeta", ImageMeta.compute _),
+      ("ExifGps", ImageMeta.computeGps _),
+      ("ImageFeature64", ImageFeature64.compute _),
+      ("DHash64", (b: Array[Byte]) => DHash64.compute(b)))
+    val seeds: Seq[Array[Byte]] = Seq(
+      WavMeta.buildWav(12345L), WavNearDup.buildWavGroup(7L, 2L),
+      Mp4Meta.buildMp4(99L), Mp4Meta.buildMp4(100L),
+      LasMeta.buildLas(4242L), GeoTiffCrs.buildGeoTiff(777L),
+      ImageFeature64.buildBmp(13L, 1L))
+    def noThrow(tag: String, bytes: Array[Byte]): Unit =
+      parsers.foreach { case (name, p) =>
+        try { p(bytes); () } catch {
+          case e: Throwable => fail(s"$name threw on $tag: $e")
+        }
+      }
+    // pure random garbage at assorted lengths (incl. 0)
+    Seq(0, 1, 7, 44, 128, 375, 600).foreach { len =>
+      (1 to 40).foreach { i =>
+        val b = new Array[Byte](len); rnd.nextBytes(b)
+        noThrow(s"random[$len]#$i", b)
+      }
+    }
+    // every valid fixture truncated at sampled prefixes — header fields
+    // that promise more bytes than exist are the classic walk overrun
+    seeds.foreach { s =>
+      (0 to s.length by math.max(1, s.length / 37)).foreach { k =>
+        noThrow(s"truncated@$k/${s.length}", java.util.Arrays.copyOf(s, k))
+      }
+    }
+    // valid fixtures with 3 random byte flips — corrupt sizes/counts
+    // INSIDE an otherwise-valid container
+    seeds.foreach { s =>
+      (1 to 60).foreach { i =>
+        val b = s.clone()
+        (1 to 3).foreach { _ => b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte }
+        noThrow(s"bitflip#$i", b)
+      }
+    }
+  }
+
   test("holtSteps: every emitted value is an exact 6-dp grid point") {
     val ys = Array(10.0, -12.5, 9.333333, 15.000001, -2.75)
     Analyses.holtSteps(ys, 0.3, 0.2).foreach { case (l, t, f) =>
