@@ -302,6 +302,76 @@ object WavBlockEnergy {
     }
 }
 
+/** Per-clip PCM quality statistics — the audio QUALITY-FILTER primitive
+  * (the audio analog of the Gopher text-quality signals): peak absolute
+  * amplitude, clipped-sample count (|v| at the 16-bit rails — the
+  * standard recording-defect detector), exact mean square (integer Σv²
+  * with ONE final division, the [[WavBlockEnergy]] discipline), and
+  * zero-crossing count (a crude pitch/noisiness signal). A training
+  * pipeline drops silent (mean_square ≈ 0), clipped
+  * (n_clipped/n > threshold), or DC-stuck (zero_crossings = 0) clips
+  * before paying for feature extraction. NULL for bytes that are not
+  * 16-bit PCM WAV or carry no samples. */
+case class WavStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = WavStats.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    WavStats.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = WavStats.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"""${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $cls.compute($bytes);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WavStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_samples", LongType),
+    StructField("peak_abs", IntegerType),
+    StructField("n_clipped", LongType),
+    StructField("mean_square", DoubleType),
+    StructField("zero_crossings", LongType)))
+
+  def compute(bytes: Array[Byte]): InternalRow =
+    WavMeta.parse(bytes) match {
+      case Some((format, _, _, bits, _, dataOff, dataLen))
+          if format == 1 && bits == 16 && dataLen >= 2 =>
+        val n = (dataLen / 2).toInt
+        var sumSq = 0L
+        var peak = 0
+        var clipped = 0L
+        var crossings = 0L
+        var prevSign = 0 // sign of the last NONZERO sample
+        var j = 0
+        while (j < n) {
+          val lo = bytes(dataOff + 2 * j) & 0xff
+          val hi = bytes(dataOff + 2 * j + 1).toInt
+          val v = (hi << 8) | lo
+          val a = math.abs(v)
+          sumSq += v.toLong * v
+          if (a > peak) peak = a
+          if (v == 32767 || v == -32768) clipped += 1
+          val sgn = Integer.signum(v)
+          if (sgn != 0) {
+            if (prevSign != 0 && sgn != prevSign) crossings += 1
+            prevSign = sgn
+          }
+          j += 1
+        }
+        new GenericInternalRow(Array[Any](
+          n.toLong, peak, clipped, sumSq.toDouble / n, crossings))
+      case _ => null
+    }
+}
+
 /** MP4/ISO-BMFF video metadata from a `binary` column — the VIDEO arm of
   * the multimodal mandate. ISO base-media files are a tree of big-endian
   * boxes (u32 size + 4CC, size 1 → u64 largesize, size 0 → to EOF): `ftyp`

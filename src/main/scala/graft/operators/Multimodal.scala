@@ -99,6 +99,14 @@ object Multimodal {
   /** REAL video metadata: MP4/ISO-BMFF box walk → struct(brand, version,
     * timescale, duration, duration_ms); NULL unless ftyp+mvhd parse
     * (q495). duration_ms feeds [[sampleFrames]]. */
+  /** Per-clip PCM quality statistics (peak/clipping/mean-square/zero-
+    * crossings) — the audio quality-filter primitive; see
+    * [[graft.functions.WavStats]]. */
+  def audioStats(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bridge = org.apache.spark.sql.GraftColumnBridge
+    bridge.column(graft.functions.WavStats(bridge.expression(content)))
+  }
+
   def mp4Meta(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val bridge = org.apache.spark.sql.GraftColumnBridge
     bridge.column(graft.functions.Mp4Meta(bridge.expression(content)))

@@ -46,6 +46,15 @@ object TextOps {
         org.apache.spark.sql.GraftColumnBridge.expression(toks),
         n, distinct = true))
 
+  /** Signed hashing-trick bag-of-n-grams vector — fixed-dim text
+    * embedding with no vocabulary and no fit pass, the bridge from raw
+    * text into the dense-vector stack (CenterVector → LSH → near-dup /
+    * ANN / PCA); see [[graft.functions.HashedNgramVector]]. */
+  def hashedNgramVector(toks: Column, dim: Int, n: Int = 2): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.HashedNgramVector(
+        org.apache.spark.sql.GraftColumnBridge.expression(toks), dim, n))
+
   /** Language-ID heuristic: stopword-profile hit counts with a deterministic
     * argmax (en > de > fr > es on ties; 'und' when nothing matched). A real
     * deployment would use character n-gram profiles; the operator shape

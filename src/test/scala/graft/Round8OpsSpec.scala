@@ -216,6 +216,80 @@ class Round8OpsSpec extends SparkSuite {
     }
   }
 
+  test("hashedNgramVector: feeds the ANN stack — cosine agrees with direct computation") {
+    import graft.operators.{Dedup, TextOps}
+    // two paraphrase-ish docs sharing most bigrams + one stranger: the
+    // hashed vectors' cosine ordering must reflect bigram overlap, and the
+    // vector must be exactly the signed bucket counts
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the sleepy dog"),
+      (3L, "completely different text about spark query engines")).toDF("id", "text")
+    val vecs = docs.select(col("id"),
+        TextOps.hashedNgramVector(TextOps.tokens(col("text")), 64, 2).as("vec"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val num = a.zip(b).map { case (x, y) => x * y }.sum
+      num / math.sqrt(a.map(x => x * x).sum * b.map(y => y * y).sum)
+    }
+    assert(cos(vecs(1L), vecs(2L)) > 0.7, "near-paraphrases must be close")
+    assert(cos(vecs(1L), vecs(3L)) < 0.5, "strangers must be far")
+    // direct recomputation: md5 bucket+sign per bigram
+    def direct(text: String): Array[Double] = {
+      val toks = text.split(" ", -1)
+      val acc = new Array[Double](64)
+      toks.sliding(2).filter(_.length == 2).foreach { g =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.mkString(" ").getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        val bucket = (java.lang.Long.parseLong(hex.take(15), 16) % 64).toInt
+        val sgn = if (Integer.parseInt(hex.substring(15, 16), 16) % 2 == 0) 1 else -1
+        acc(bucket) += sgn
+      }
+      acc
+    }
+    vecs.foreach { case (id, v) =>
+      val d = direct(Seq("the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the sleepy dog",
+        "completely different text about spark query engines")(id.toInt - 1))
+      assert(v == d.toSeq, s"doc $id vector mismatch")
+    }
+    // and it flows through the existing near-dup machinery end-to-end
+    val pairs = Dedup.embeddingNearDups(
+      docs.select(col("id"), TextOps.hashedNgramVector(
+        TextOps.tokens(col("text")), 64, 2).as("vec")),
+      "id", "vec", dim = 64, threshold = 0.7, nBands = 16, rowsPerBand = 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("WavStats: goldens on crafted PCM — clipping, crossings, silence") {
+    import graft.functions.WavStats
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36 + samples.length * 2).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      b.put("data".getBytes).putInt(samples.length * 2)
+      samples.foreach(v => b.putShort(v.toShort))
+      b.array()
+    }
+    // +5, -3, 0, 32767, -32768, 0, 7 → peak 32768, 2 clipped,
+    // crossings: +→− (1), −→+ at 32767 (2), +→− at −32768 (3), −→+ at 7 (4)
+    val r = WavStats.compute(wav(Seq(5, -3, 0, 32767, -32768, 0, 7)))
+    assert(r.getLong(0) == 7L)        // n_samples
+    assert(r.getInt(1) == 32768)      // peak_abs
+    assert(r.getLong(2) == 2L)        // n_clipped
+    assert(r.getLong(4) == 4L)        // zero_crossings
+    val sq = Seq(5, -3, 0, 32767, -32768, 0, 7).map(v => v.toLong * v).sum
+    assert(r.getDouble(3) == sq.toDouble / 7)
+    // all-zero clip: zero crossings, zero mean square — the silence filter
+    val z = WavStats.compute(wav(Seq(0, 0, 0, 0)))
+    assert(z.getLong(4) == 0L && z.getDouble(3) == 0.0 && z.getInt(1) == 0)
+    assert(WavStats.compute("not audio".getBytes) == null)
+  }
+
   test("holtSteps: every emitted value is an exact 6-dp grid point") {
     val ys = Array(10.0, -12.5, 9.333333, 15.000001, -2.75)
     Analyses.holtSteps(ys, 0.3, 0.2).foreach { case (l, t, f) =>
