@@ -302,6 +302,70 @@ object WavBlockEnergy {
     }
 }
 
+/** PCM decimation — keep every k-th FRAME (all channels) of a 16-bit PCM
+  * WAV and rewrite the header at rate∕k: the sample-rate NORMALIZATION
+  * step a training pipeline runs before featurizing mixed-rate audio
+  * (decimate-to-common-rate, then [[WavBlockEnergy]]/[[WavStats]] — the
+  * audio analog of [[ImageResizeBmp]]). Pure byte surgery, integer-exact:
+  * output sample m of frame f IS input sample of frame f·k, so an
+  * external oracle reproduces every byte. NULL for non-PCM/non-16-bit
+  * bytes and for rates not divisible by k (a fractional header rate
+  * would lie; resampling at arbitrary ratios needs interpolation and is
+  * out of the exactness contract). No anti-alias filter by design —
+  * this is frame SELECTION, documented as such, matching the
+  * [[graft.operators.Multimodal.sampleFrames]] video counterpart. */
+case class PcmDecimate(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1 && k <= 1024, "decimation factor must be in [1, 1024]")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pcm_decimate"
+
+  override def nullSafeEval(input: Any): Any =
+    PcmDecimate.compute(input.asInstanceOf[Array[Byte]], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = PcmDecimate.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"""${ev.value} = (byte[]) $cls.compute($bytes, $k);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PcmDecimate {
+  def compute(bytes: Array[Byte], k: Int): Array[Byte] =
+    WavMeta.parse(bytes) match {
+      case Some((format, channels, rate, bits, blockAlign, dataOff, dataLen))
+          if format == 1 && bits == 16 && rate % k == 0 && dataLen >= blockAlign =>
+        val framesIn = (dataLen / blockAlign).toInt
+        val framesOut = (framesIn + k - 1) / k
+        val outData = framesOut * blockAlign
+        val b = java.nio.ByteBuffer.allocate(44 + outData)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val newRate = rate / k
+        b.put("RIFF".getBytes("US-ASCII")).putInt(36 + outData)
+        b.put("WAVE".getBytes("US-ASCII"))
+        b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        b.putShort(1)
+        b.putShort(channels.toShort)
+        b.putInt(newRate)
+        b.putInt(newRate * blockAlign)
+        b.putShort(blockAlign.toShort)
+        b.putShort(16)
+        b.put("data".getBytes("US-ASCII")).putInt(outData)
+        var f = 0
+        while (f < framesOut) {
+          b.put(bytes, dataOff + f * k * blockAlign, blockAlign)
+          f += 1
+        }
+        b.array()
+      case _ => null
+    }
+}
+
 /** Per-clip PCM quality statistics — the audio QUALITY-FILTER primitive
   * (the audio analog of the Gopher text-quality signals): peak absolute
   * amplitude, clipped-sample count (|v| at the 16-bit rails — the

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType}
+
+/** REAL image downscale (area average) — closes the `resizePlan` stub:
+  * decodes any ImageIO-claimed format, averages each target pixel's
+  * source rectangle per RGB channel, and re-encodes as a 24-bit BMP that
+  * every other image op in this library (ImageMeta, ImageFeature64,
+  * DHash64 at 9×8, sniffMime) ingests directly — resize-then-featurize
+  * without leaving the binary column.
+  *
+  * Block boundaries are the integer-floor grid (x ∈ [tx·W∕w, (tx+1)·W∕w),
+  * same rule as [[ImageFeature64]]'s block means) and each channel mean
+  * is TRUNCATING integer division sum∕count — every output pixel is
+  * exact integer algebra an external oracle recomputes, no float
+  * rounding anywhere. Downscale only (W ≥ w, H ≥ h): area averaging is
+  * exact there; upscaling needs interpolation and a float contract, so
+  * non-conforming inputs (undecodable bytes, smaller-than-target images)
+  * return NULL per the library-wide hostile-bytes discipline. */
+case class ImageResizeBmp(child: Expression, w: Int, h: Int)
+    extends UnaryExpression {
+  require(w >= 1 && h >= 1 && w <= 4096 && h <= 4096,
+    "target size must be in [1, 4096]")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_resize_bmp"
+
+  override def nullSafeEval(input: Any): Any =
+    ImageResizeBmp.compute(input.asInstanceOf[Array[Byte]], w, h)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = ImageResizeBmp.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"""${ev.value} = (byte[]) $cls.compute($bytes, $w, $h);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ImageResizeBmp {
+  def compute(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return null
+    val sw = img.getWidth; val sh = img.getHeight
+    if (sw < w || sh < h) return null
+    val stride = ((w * 3 + 3) / 4) * 4
+    val dataOff = 54
+    val out = new Array[Byte](dataOff + stride * h)
+    def put32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    put32(2, out.length); put32(10, dataOff)
+    put32(14, 40) // BITMAPINFOHEADER
+    put32(18, w); put32(22, h)
+    out(26) = 1  // planes
+    out(28) = 24 // bpp
+    put32(34, stride * h)
+    var ty = 0
+    while (ty < h) {
+      val y0 = ty * sh / h; val y1 = (ty + 1) * sh / h
+      var tx = 0
+      while (tx < w) {
+        val x0 = tx * sw / w; val x1 = (tx + 1) * sw / w
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (x1 - x0).toLong * (y1 - y0)
+        // BGR triple, bottom-up rows (the BMP layout every sibling reads)
+        val off = dataOff + (h - 1 - ty) * stride + tx * 3
+        out(off) = (sb / n).toByte
+        out(off + 1) = (sg / n).toByte
+        out(off + 2) = (sr / n).toByte
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+}

@@ -133,9 +133,19 @@ object Multimodal {
         explode(sequence(lit(0L),
           greatest(col(s"$metaCol.duration_ms") - 1, lit(0L)), lit(stepMs))))
 
-  /** STUB resize: records the target size beside the binary (a real kernel
-    * rewrites bytes); keeps the pipeline shape — select/withColumn chain,
-    * no shuffle. */
+  /** REAL downscale (area average): decode → integer-exact block means →
+    * re-encoded 24-bit BMP, NULL for undecodable or smaller-than-target
+    * inputs; see [[graft.functions.ImageResizeBmp]]. */
+  def resizeImage(content: org.apache.spark.sql.Column, w: Int, h: Int)
+      : org.apache.spark.sql.Column = {
+    val bridge = org.apache.spark.sql.GraftColumnBridge
+    bridge.column(graft.functions.ImageResizeBmp(
+      bridge.expression(content), w, h))
+  }
+
+  /** Plan-only variant of [[resizeImage]]: records the target size beside
+    * the binary without touching bytes — for pipelines that defer the
+    * kernel (e.g. to a GPU stage) but want the plan shape now. */
   def resizePlan(df: DataFrame, w: Int, h: Int): DataFrame =
     df.withColumn("resize_to", struct(lit(w).as("width"), lit(h).as("height")))
 

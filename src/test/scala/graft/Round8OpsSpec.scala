@@ -290,6 +290,60 @@ class Round8OpsSpec extends SparkSuite {
     assert(WavStats.compute("not audio".getBytes) == null)
   }
 
+  test("ImageResizeBmp: exact area means, BMP round-trip, contract nulls") {
+    import graft.functions.{ImageFeature64, ImageResizeBmp}
+    // 16×16 fixture → 8×8: target pixel = integer-div mean of 2×2 block
+    val src = ImageFeature64.buildBmp(42L, 0L)
+    val out = ImageResizeBmp.compute(src, 8, 8)
+    assert(out != null)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(img.getWidth == 8 && img.getHeight == 8)
+    def srcGray(y: Int, x: Int): Int = {
+      val v = 42L * 256 + (y * 16 + x)
+      ((v * v % 999983L) % 252L).toInt
+    }
+    for (ty <- 0 until 8; tx <- 0 until 8) {
+      val want = (srcGray(2 * ty, 2 * tx) + srcGray(2 * ty, 2 * tx + 1) +
+        srcGray(2 * ty + 1, 2 * tx) + srcGray(2 * ty + 1, 2 * tx + 1)) / 4
+      assert((img.getRGB(tx, ty) & 0xff) == want, s"pixel ($tx,$ty)")
+    }
+    // the resized bytes re-enter every sibling op: sniff + feature grid
+    assert(ImageFeature64.compute(out) != null)
+    // upscale and junk are NULL, not a throw
+    assert(ImageResizeBmp.compute(src, 32, 32) == null)
+    assert(ImageResizeBmp.compute("junk".getBytes, 4, 4) == null)
+  }
+
+  test("PcmDecimate: frame-aligned (stereo), header rewrite, divisibility null") {
+    import graft.functions.{PcmDecimate, WavMeta}
+    def wav(channels: Int, rate: Int, frames: Seq[Seq[Int]]): Array[Byte] = {
+      val n = frames.length * channels
+      val b = java.nio.ByteBuffer.allocate(44 + n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36 + n * 2).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(channels.toShort)
+        .putInt(rate).putInt(rate * channels * 2)
+        .putShort((channels * 2).toShort).putShort(16)
+      b.put("data".getBytes).putInt(n * 2)
+      frames.foreach(_.foreach(v => b.putShort(v.toShort)))
+      b.array()
+    }
+    // 5 stereo frames decimated by 2 → frames 0, 2, 4 with BOTH channels —
+    // frame alignment is the contract (sample-wise decimation would tear
+    // the channel interleave)
+    val st = wav(2, 16000, Seq(Seq(1, -1), Seq(2, -2), Seq(3, -3), Seq(4, -4), Seq(5, -5)))
+    val dec = PcmDecimate.compute(st, 2)
+    val Some((fmt, ch, rate, bits, ba, off, len)) = WavMeta.parse(dec)
+    assert((fmt, ch, rate, bits) == ((1, 2, 8000, 16)))
+    val vals = (0 until (len / 2).toInt).map { i =>
+      ((dec(off + 2 * i + 1).toInt << 8) | (dec(off + 2 * i) & 0xff))
+    }
+    assert(vals == Seq(1, -1, 3, -3, 5, -5))
+    // indivisible rate → null; junk → null
+    assert(PcmDecimate.compute(wav(1, 8001, Seq(Seq(7))), 2) == null)
+    assert(PcmDecimate.compute("junk".getBytes, 2) == null)
+  }
+
   test("holtSteps: every emitted value is an exact 6-dp grid point") {
     val ys = Array(10.0, -12.5, 9.333333, 15.000001, -2.75)
     Analyses.holtSteps(ys, 0.3, 0.2).foreach { case (l, t, f) =>
