@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CdcBounds, DamerauLevenshtein, DotProduct, ExifGps, GeoTiffCrs, HyperplaneBands, ImageFeature64, ImageMeta, JaroWinkler, LasMeta, Mp4Meta, PointInPolygon, PolygonsOverlap, PolygonsOverlapFull, SimHash32, WavBlockEnergy, WavMeta}
+import graft.functions.{CdcBounds, CenterVector, DamerauLevenshtein, DotProduct, ExifGps, GeoTiffCrs, HashedNgramVector, HyperplaneBands, ImageFeature64, ImageMeta, ImageResizeBmp, JaroWinkler, LasMeta, Mp4Meta, PcmDecimate, PointInPolygon, PolygonsOverlap, PolygonsOverlapFull, SimHash32, WavBlockEnergy, WavMeta, WavStats, WordShingles}
 
 /** Session extension registering the engine's custom Catalyst expressions so
   * they are callable from SQL as well as the Column API.
@@ -32,6 +32,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.wavMetaDescriptor)
     e.injectFunction(GraftExtensions.wavBlockEnergyDescriptor)
     e.injectFunction(GraftExtensions.mp4MetaDescriptor)
+    e.injectFunction(GraftExtensions.centerVectorDescriptor)
+    e.injectFunction(GraftExtensions.wordShinglesDescriptor)
+    e.injectFunction(GraftExtensions.hashedNgramVectorDescriptor)
+    e.injectFunction(GraftExtensions.wavStatsDescriptor)
+    e.injectFunction(GraftExtensions.pcmDecimateDescriptor)
+    e.injectFunction(GraftExtensions.imageResizeBmpDescriptor)
     // optimizer rule: derive pushable bbox range conjuncts from literal-ring
     // point_in_polygon filters (row-group skipping for spatial lookups)
     e.injectOptimizerRule(_ => graft.plans.SpatialBboxPushdown)
@@ -251,6 +257,83 @@ object GraftExtensions {
     new ExpressionInfo(classOf[Mp4Meta].getName, "mp4_meta"),
     m4Builder _)
 
+  private def cvBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1,
+      s"center_vector(vec) takes 1 argument, got ${args.length}")
+    CenterVector(args(0))
+  }
+
+  val centerVectorDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("center_vector"),
+    new ExpressionInfo(classOf[CenterVector].getName, "center_vector"),
+    cvBuilder _)
+
+  private def wsBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 3,
+      s"word_shingles(toks, n, distinct) takes 3 arguments, got ${args.length}")
+    val dist = args(2) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(b: Boolean, _) => b
+      case other => throw new IllegalArgumentException(
+        s"word_shingles: distinct must be a boolean literal, got $other")
+    }
+    WordShingles(args(0), intArg(args(1), "n"), dist)
+  }
+
+  val wordShinglesDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("word_shingles"),
+    new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+    wsBuilder _)
+
+  private def hnvBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 3,
+      s"hashed_ngram_vector(toks, dim, n) takes 3 arguments, got ${args.length}")
+    HashedNgramVector(args(0), intArg(args(1), "dim"), intArg(args(2), "n"))
+  }
+
+  val hashedNgramVectorDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hashed_ngram_vector"),
+    new ExpressionInfo(classOf[HashedNgramVector].getName, "hashed_ngram_vector"),
+    hnvBuilder _)
+
+  private def wstBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1,
+      s"wav_stats(content) takes 1 argument, got ${args.length}")
+    WavStats(args(0))
+  }
+
+  val wavStatsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("wav_stats"),
+    new ExpressionInfo(classOf[WavStats].getName, "wav_stats"),
+    wstBuilder _)
+
+  private def pdBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2,
+      s"pcm_decimate(content, k) takes 2 arguments, got ${args.length}")
+    PcmDecimate(args(0), intArg(args(1), "k"))
+  }
+
+  val pcmDecimateDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("pcm_decimate"),
+    new ExpressionInfo(classOf[PcmDecimate].getName, "pcm_decimate"),
+    pdBuilder _)
+
+  private def irBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 3,
+      s"image_resize_bmp(content, w, h) takes 3 arguments, got ${args.length}")
+    ImageResizeBmp(args(0), intArg(args(1), "w"), intArg(args(2), "h"))
+  }
+
+  val imageResizeBmpDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("image_resize_bmp"),
+    new ExpressionInfo(classOf[ImageResizeBmp].getName, "image_resize_bmp"),
+    irBuilder _)
+
   /** Register custom functions on an existing session (used by Verify/Bench
     * and tests, where the builder isn't ours). */
   def register(spark: SparkSession): Unit = {
@@ -271,7 +354,13 @@ object GraftExtensions {
       "image_feature64" -> ifBuilder _,
       "wav_meta" -> wmBuilder _,
       "wav_block_energy" -> weBuilder _,
-      "mp4_meta" -> m4Builder _)
+      "mp4_meta" -> m4Builder _,
+      "center_vector" -> cvBuilder _,
+      "word_shingles" -> wsBuilder _,
+      "hashed_ngram_vector" -> hnvBuilder _,
+      "wav_stats" -> wstBuilder _,
+      "pcm_decimate" -> pdBuilder _,
+      "image_resize_bmp" -> irBuilder _)
     // register-once: SimpleFunctionRegistry WARNs on every replacement, and
     // register() runs per Verify query / per test suite — skip names already
     // present (the builders are stable objects, re-binding is a no-op anyway)

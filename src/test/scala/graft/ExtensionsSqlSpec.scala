@@ -25,4 +25,31 @@ class ExtensionsSqlSpec extends SparkSuite {
       .select("m").collect().head
     assert(meta.isNullAt(0))
   }
+
+  test("round-8 functions from SQL: center/shingles/hashing/audio/resize") {
+    val centered = spark.sql(
+      "SELECT center_vector(array(1.0d, 2.0d, 3.0d)) AS v")
+      .as[Seq[Double]].collect().head
+    assert(centered == Seq(-1.0, 0.0, 1.0))
+
+    val sh = spark.sql(
+      "SELECT word_shingles(array('a', 'b', 'a', 'b'), 2, true) AS s")
+      .as[Seq[String]].collect().head
+    assert(sh == Seq("a b", "b a")) // first-occurrence distinct order
+
+    val hv = spark.sql(
+      "SELECT hashed_ngram_vector(array('x', 'y'), 8, 2) AS v")
+      .as[Seq[Double]].collect().head
+    assert(hv.length == 8 && hv.map(math.abs).sum == 1.0) // one signed gram
+
+    val st = spark.sql("SELECT wav_stats(unhex('00')) AS s").collect().head
+    assert(st.isNullAt(0)) // hostile bytes → null
+
+    val dec = spark.sql("SELECT pcm_decimate(unhex('00'), 2) AS d").collect().head
+    assert(dec.isNullAt(0))
+
+    val rz = spark.sql("SELECT image_resize_bmp(unhex('00'), 4, 4) AS r")
+      .collect().head
+    assert(rz.isNullAt(0))
+  }
 }
