@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CdcBounds, CenterVector, DamerauLevenshtein, DotProduct, ExifGps, GeoTiffCrs, HashedNgramVector, HyperplaneBands, ImageFeature64, ImageMeta, ImageResizeBmp, JaroWinkler, LasMeta, Mp4Meta, PcmDecimate, PointInPolygon, PolygonsOverlap, PolygonsOverlapFull, SimHash32, WavBlockEnergy, WavMeta, WavStats, WordShingles}
+import graft.functions.{CdcBounds, CenterVector, DamerauLevenshtein, DotProduct, ExifGps, GeoTiffCrs, HashedNgramVector, HyperplaneBands, ImageFeature64, ImageCropBmp, ImageMeta, ImageResizeBmp, JaroWinkler, LasMeta, Mp4Meta, PcmDecimate, PointInPolygon, PolygonsOverlap, PolygonsOverlapFull, SimHash32, WavBlockEnergy, WavMeta, WavStats, WordShingles}
 
 /** Session extension registering the engine's custom Catalyst expressions so
   * they are callable from SQL as well as the Column API.
@@ -38,6 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.wavStatsDescriptor)
     e.injectFunction(GraftExtensions.pcmDecimateDescriptor)
     e.injectFunction(GraftExtensions.imageResizeBmpDescriptor)
+    e.injectFunction(GraftExtensions.imageCropBmpDescriptor)
     // optimizer rule: derive pushable bbox range conjuncts from literal-ring
     // point_in_polygon filters (row-group skipping for spatial lookups)
     e.injectOptimizerRule(_ => graft.plans.SpatialBboxPushdown)
@@ -334,6 +335,19 @@ object GraftExtensions {
     new ExpressionInfo(classOf[ImageResizeBmp].getName, "image_resize_bmp"),
     irBuilder _)
 
+  private def icBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 5,
+      s"image_crop_bmp(content, x, y, w, h) takes 5 arguments, got ${args.length}")
+    ImageCropBmp(args(0), intArg(args(1), "x"), intArg(args(2), "y"),
+      intArg(args(3), "w"), intArg(args(4), "h"))
+  }
+
+  val imageCropBmpDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("image_crop_bmp"),
+    new ExpressionInfo(classOf[ImageCropBmp].getName, "image_crop_bmp"),
+    icBuilder _)
+
   /** Register custom functions on an existing session (used by Verify/Bench
     * and tests, where the builder isn't ours). */
   def register(spark: SparkSession): Unit = {
@@ -360,7 +374,8 @@ object GraftExtensions {
       "hashed_ngram_vector" -> hnvBuilder _,
       "wav_stats" -> wstBuilder _,
       "pcm_decimate" -> pdBuilder _,
-      "image_resize_bmp" -> irBuilder _)
+      "image_resize_bmp" -> irBuilder _,
+      "image_crop_bmp" -> icBuilder _)
     // register-once: SimpleFunctionRegistry WARNs on every replacement, and
     // register() runs per Verify query / per test suite — skip names already
     // present (the builders are stable objects, re-binding is a no-op anyway)

@@ -42,6 +42,77 @@ case class ImageResizeBmp(child: Expression, w: Int, h: Int)
     copy(child = newChild)
 }
 
+/** REAL tile/patch extraction — the pixel-decode counterpart of
+  * [[graft.operators.Multimodal.tileGrid]] (which plans the (tile_x,
+  * tile_y) explosion; this kernel cuts the actual pixels): copy the
+  * w×h rectangle at (x, y) into a fresh 24-bit BMP. Pure pixel copy —
+  * no resampling, so every output byte is the source pixel an oracle
+  * recomputes. NULL for undecodable bytes or a window not fully inside
+  * the image (a clamped crop would silently change the patch geometry
+  * the grid promised). */
+case class ImageCropBmp(child: Expression, x: Int, y: Int, w: Int, h: Int)
+    extends UnaryExpression {
+  require(x >= 0 && y >= 0 && w >= 1 && h >= 1 && w <= 4096 && h <= 4096,
+    "crop window must be non-negative with size in [1, 4096]")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_crop_bmp"
+
+  override def nullSafeEval(input: Any): Any =
+    ImageCropBmp.compute(input.asInstanceOf[Array[Byte]], x, y, w, h)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = ImageCropBmp.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"""${ev.value} = (byte[]) $cls.compute($bytes, $x, $y, $w, $h);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ImageCropBmp {
+  def compute(bytes: Array[Byte], x: Int, y: Int, w: Int, h: Int): Array[Byte] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return null
+    if (x + w > img.getWidth || y + h > img.getHeight) return null
+    val stride = ((w * 3 + 3) / 4) * 4
+    val dataOff = 54
+    val out = new Array[Byte](dataOff + stride * h)
+    def put32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    put32(2, out.length); put32(10, dataOff)
+    put32(14, 40)
+    put32(18, w); put32(22, h)
+    out(26) = 1
+    out(28) = 24
+    put32(34, stride * h)
+    var ty = 0
+    while (ty < h) {
+      var tx = 0
+      while (tx < w) {
+        val p = img.getRGB(x + tx, y + ty)
+        val off = dataOff + (h - 1 - ty) * stride + tx * 3
+        out(off) = (p & 0xff).toByte
+        out(off + 1) = ((p >> 8) & 0xff).toByte
+        out(off + 2) = ((p >> 16) & 0xff).toByte
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+}
+
 object ImageResizeBmp {
   def compute(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val img =

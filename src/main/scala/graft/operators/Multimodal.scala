@@ -149,6 +149,17 @@ object Multimodal {
   def resizePlan(df: DataFrame, w: Int, h: Int): DataFrame =
     df.withColumn("resize_to", struct(lit(w).as("width"), lit(h).as("height")))
 
+  /** REAL tile extraction — the pixel kernel behind [[tileGrid]]'s
+    * planned (tile_x, tile_y) explosion: cut the w×h patch at (x, y) as
+    * a fresh BMP, NULL if the window leaves the image; see
+    * [[graft.functions.ImageCropBmp]]. */
+  def cropImage(content: org.apache.spark.sql.Column,
+                x: Int, y: Int, w: Int, h: Int): org.apache.spark.sql.Column = {
+    val bridge = org.apache.spark.sql.GraftColumnBridge
+    bridge.column(graft.functions.ImageCropBmp(
+      bridge.expression(content), x, y, w, h))
+  }
+
   /** ViT-style tile/patch grid plan: one row per (tile_x, tile_y) covering
     * a widthCol×heightCol image with `tile`-sized tiles at `stride` steps.
     * Interior tiles sit at i·stride; the LAST tile on each axis clamps to

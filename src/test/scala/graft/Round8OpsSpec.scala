@@ -314,6 +314,33 @@ class Round8OpsSpec extends SparkSuite {
     assert(ImageResizeBmp.compute("junk".getBytes, 4, 4) == null)
   }
 
+  test("ImageCropBmp: exact pixel copy, out-of-window null, tileGrid composition") {
+    import graft.functions.{ImageCropBmp, ImageFeature64}
+    val src = ImageFeature64.buildBmp(77L, 0L)
+    val patch = ImageCropBmp.compute(src, 4, 4, 8, 8)
+    assert(patch != null)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(patch))
+    assert(img.getWidth == 8 && img.getHeight == 8)
+    def srcGray(y: Int, x: Int): Int = {
+      val v = 77L * 256 + (y * 16 + x)
+      ((v * v % 999983L) % 252L).toInt
+    }
+    for (ty <- 0 until 8; tx <- 0 until 8)
+      assert((img.getRGB(tx, ty) & 0xff) == srcGray(ty + 4, tx + 4))
+    // window leaving the image → null (no silent clamp); junk → null
+    assert(ImageCropBmp.compute(src, 10, 10, 8, 8) == null)
+    assert(ImageCropBmp.compute("junk".getBytes, 0, 0, 2, 2) == null)
+    // composes with the planned grid: every tileGrid cell of a 16×16 at
+    // tile=8/stride=8 is croppable (4 tiles, all fully inside)
+    val grid = graft.operators.Multimodal.tileGrid(
+      Seq((1L, 16, 16)).toDF("id", "w", "h"), "w", "h", tile = 8, stride = 8)
+      .select("tile_x", "tile_y").as[(Long, Long)].collect().toSet
+    assert(grid == Set((0L, 0L), (0L, 8L), (8L, 0L), (8L, 8L)))
+    grid.foreach { case (gx, gy) =>
+      assert(ImageCropBmp.compute(src, gx.toInt, gy.toInt, 8, 8) != null)
+    }
+  }
+
   test("PcmDecimate: frame-aligned (stereo), header rewrite, divisibility null") {
     import graft.functions.{PcmDecimate, WavMeta}
     def wav(channels: Int, rate: Int, frames: Seq[Seq[Int]]): Array[Byte] = {
