@@ -124,7 +124,8 @@ class PlanRegressionSpec extends AnyFunSuite {
     "q491_image_neardup", "q492_holt_by_key",
     // round-8: audio-feature LSH dedup, the multimodal flagship
     // (binaryFile lake scan + unified band self-join + partner counts)
-    "q501_audio_neardup", "q502_multimodal_ingest")
+    "q501_audio_neardup", "q502_multimodal_ingest",
+    "q508_neardup_clusters")
 
   /** Sanctioned BroadcastNestedLoopJoins whose build side is a DESIGN-
     * bounded broadcast probe/query set rather than an aggregate — e.g. the
