@@ -35,4 +35,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // tail inflated late queries 5× (q41 measured 7.7s in-bench vs 1.3s in a
   // fresh JVM). The host has 128 GiB; override with SPARK_DRIVER_MEM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 508 gates × 3 iterations of whole-stage codegen in one JVM generates
+  // thousands of Janino classes; the 240 MB default code cache forces the
+  // sweeper to evict hot methods late in the run (deopt/recompile churn on
+  // the iterative gates). Bench's jvm_code_mb channel records actual use.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -32,8 +32,52 @@ object Bench {
     val src = scala.io.Source.fromFile("/proc/stat")
     val f = try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
             finally src.close()
-    val idle = f(3) + (if (f.length > 4) f(4) else 0L) // idle + iowait
-    (f.sum - idle, f.sum)
+    // fields 0-7 = user nice system idle iowait irq softirq steal; guest +
+    // guest_nice (8-9) are already folded into user/nice by the kernel, so
+    // summing them double-counts guest time and overstates busy (round-8
+    // advice) — take at most the first 8 fields.
+    val g = f.take(8)
+    val idle = g(3) + (if (g.length > 4) g(4) else 0L) // idle + iowait
+    (g.sum - idle, g.sum)
+  }
+
+  /** Cumulative CPU nanoseconds consumed by THIS process (all threads,
+    * incl. GC/JIT) — the self-attribution side of the exogenous-CPU
+    * channel. -1 if the platform bean is unavailable. */
+  private def procCpuNanos(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
+
+  /** Cumulative IO-pressure stall micros (PSI `some`) — threads blocked on
+    * IO host-wide. Sampled across an iteration it measures how much of the
+    * window ANYONE (us or a neighbour) stalled on disk. -1 = PSI absent. */
+  private def ioStallMicros(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/pressure/io")
+      val line = try src.getLines().next() finally src.close()
+      line.split("\\s+").collectFirst {
+        case s if s.startsWith("total=") => s.stripPrefix("total=").toLong
+      }.getOrElse(-1L)
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+
+  /** (heapUsedMb, metaspaceUsedMb, codeCacheUsedMb) — JVM-state evidence
+    * sampled once per gate after hygiene: a late-suite slowdown caused by
+    * accumulated driver state (heap growth, metaspace/class churn, JIT
+    * code-cache exhaustion) is then visible in the gate's own artifact row
+    * instead of needing an out-of-band profiler. */
+  private def jvmHealth(): (Long, Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+    def mb(n: Long) = n >> 20
+    val heap = java.lang.management.ManagementFactory.getMemoryMXBean
+      .getHeapMemoryUsage.getUsed
+    val meta = pools.filter(_.getName.contains("Metaspace"))
+      .map(_.getUsage.getUsed).sum
+    val code = pools.filter(_.getName.startsWith("CodeHeap"))
+      .map(_.getUsage.getUsed).sum
+    (mb(heap), mb(meta), mb(code))
   }
 
   /** Instantaneous whole-host CPU busy fraction over a short window —
@@ -59,6 +103,16 @@ object Bench {
     * mapping ships in the BENCH_DETAIL sidecar.
     */
   private def shortKey(name: String): String = name.takeWhile(_ != '_')
+
+  /** One gate's measurement record — every evidence channel the detail
+    * sidecar ships, aligned 1:1 with `ran` (the raw iteration times). */
+  private final case class GateResult(
+    name: String, cold: Double, steady: Double, ok: Boolean,
+    ran: Seq[Double], preLoads: Seq[Double], postLoads: Seq[Double],
+    preBusy: Seq[Double], postBusy: Seq[Double],
+    exoCpu: Seq[Double], procCpu: Seq[Double], ioStall: Seq[Double],
+    heapMb: Long, metaMb: Long, codeMb: Long,
+    certified: Boolean)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -130,6 +184,11 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       System.gc()
       Thread.sleep(100)
+      // post-hygiene JVM state snapshot (evidence channel for the
+      // "accumulated driver state" hypothesis — if a late-suite gate is
+      // slow AND these have grown monotonically, the artifact shows it)
+      val (heapMb, metaMb, codeMb) =
+        try jvmHealth() catch { case scala.util.control.NonFatal(_) => (-1L, -1L, -1L) }
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       // loadavg sampled BEFORE and AFTER each iteration, aligned 1:1 with
       // iter_times — an iteration is BRACKETED-QUIET only when both samples
@@ -144,17 +203,46 @@ object Bench {
       // -2 = deliberately unsampled)
       val preBusy = scala.collection.mutable.ArrayBuffer.empty[Double]
       val postBusy = scala.collection.mutable.ArrayBuffer.empty[Double]
+      // ACROSS-iteration channels (round-9: the round-8 brackets sampled the
+      // host only BETWEEN iterations, so a bursty neighbour active during
+      // the iterations but idle in the 120 ms gaps — the r8 q111 signature:
+      // all three iterations 15-25 s, busy_pre/post 0.0 — shipped as
+      // certified). Per iteration we now record host busy fraction, OUR OWN
+      // process's CPU fraction, and their difference = exogenous CPU during
+      // the window. Self-load-immune by construction: our 32-thread bursts
+      // land in proc_cpu and subtract out.
+      val exoCpu = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val procCpu = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val ioStall = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val ncores = Runtime.getRuntime.availableProcessors().toDouble
       var sampleBusy = false
       var ok = true
       def runOnce(): Unit = {
         preLoads += loadavg()
         preBusy += (if (sampleBusy) busyFrac() else -2.0)
+        val (hb0, ht0) = try cpuJiffies() catch { case scala.util.control.NonFatal(_) => (-1L, -1L) }
+        val pc0 = procCpuNanos()
+        val io0 = ioStallMicros()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: $e"); ok = false
         }
-        times += (System.nanoTime() - t0) / 1e9
+        val wallNs = System.nanoTime() - t0
+        times += wallNs / 1e9
+        val (hb1, ht1) = try cpuJiffies() catch { case scala.util.control.NonFatal(_) => (-1L, -1L) }
+        val pc1 = procCpuNanos()
+        val io1 = ioStallMicros()
+        val hostFrac =
+          if (ht0 < 0 || ht1 <= ht0) -1.0 else (hb1 - hb0).toDouble / (ht1 - ht0)
+        val pFrac =
+          if (pc0 < 0 || pc1 < pc0 || wallNs <= 0) -1.0
+          else (pc1 - pc0).toDouble / (wallNs * ncores)
+        procCpu += (if (pc0 < 0 || pc1 < pc0) -1.0 else (pc1 - pc0) / 1e9)
+        exoCpu += (if (hostFrac < 0 || pFrac < 0) -1.0
+                   else math.max(0.0, hostFrac - pFrac))
+        ioStall += (if (io0 < 0 || io1 < io0 || wallNs <= 0) -1.0
+                    else math.min(1.0, (io1 - io0) * 1000.0 / wallNs))
         postBusy += (if (sampleBusy) busyFrac() else -2.0)
         postLoads += loadavg()
         if (!sampleBusy && times.last >= 1.5) sampleBusy = true
@@ -182,12 +270,19 @@ object Bench {
       // signature is 8-21). A real neighbour trips BOTH channels.
       val quietThresh = 6.0
       val busyThresh = 0.25 // ≤ 8 of 32 cores busy by someone else
+      // Round-9 third channel, required for EVERY certified iteration: the
+      // exogenous CPU fraction DURING the window (host busy − our process)
+      // must be ≤ busyThresh. The between-iteration brackets can't see a
+      // neighbour that's busy exactly while we run (r8 q111); this can, and
+      // it can't false-trip on self-load because our own CPU subtracts out.
+      // -1 (channel unavailable) degrades to the round-8 behaviour.
       def bracketQuiet(j: Int): Boolean = {
         val busyOk = preBusy(j) >= 0 && preBusy(j) <= busyThresh &&
           postBusy(j) >= 0 && postBusy(j) <= busyThresh
         val loadOk = preLoads(j) >= 0 && preLoads(j) <= quietThresh &&
           postLoads(j) >= 0 && postLoads(j) <= quietThresh
-        busyOk || loadOk
+        val exoOk = exoCpu(j) < 0 || exoCpu(j) <= busyThresh
+        exoOk && (busyOk || loadOk)
       }
       def quietIdxs = times.indices.filter(bracketQuiet)
       var extras = 0
@@ -212,11 +307,15 @@ object Bench {
       val certified = steady < 2.0 || qi.nonEmpty
       val load0 = preLoads.head
       val load1 = postLoads.last
+      val exoMax = exoCpu.filter(_ >= 0) match {
+        case b if b.isEmpty => -1.0; case b => b.max
+      }
       System.err.println(
-        f"[bench] $name%-24s cold $cold%8.2f s  steady $steady%8.2f s  load $load0%5.1f->$load1%5.1f" +
+        f"[bench] $name%-24s cold $cold%8.2f s  steady $steady%8.2f s  load $load0%5.1f->$load1%5.1f  exo $exoMax%5.2f" +
           (if (!ok) "  FAILED" else if (!certified) "  UNCERTIFIED" else ""))
-      (name, cold, steady, ok, ran, preLoads.toSeq, postLoads.toSeq,
-        preBusy.toSeq, postBusy.toSeq, certified)
+      GateResult(name, cold, steady, ok, ran, preLoads.toSeq, postLoads.toSeq,
+        preBusy.toSeq, postBusy.toSeq, exoCpu.toSeq, procCpu.toSeq,
+        ioStall.toSeq, heapMb, metaMb, codeMb, certified)
     }
     def fmt(d: Double) = f"$d%.3f"
     def fmt2(d: Double) = f"$d%.2f"
@@ -246,57 +345,74 @@ object Bench {
     // stderr detail), and the cutoff auto-raises until the line fits, so
     // the artifact stays parseable at ANY future gate count.
     def qsAt(cutoff: Double) = {
-      val heavy = results.filter { case (_, _, v, ok, _, _, _, _, _, _) => !ok || v >= cutoff }
-      val fast = results.filter { case (_, _, v, ok, _, _, _, _, _, _) => ok && v < cutoff }
-      val m = heavy.map { case (k, _, v, ok, _, _, _, _, _, _) =>
-        "\"" + shortKey(k) + "\":" + (if (ok) fmtQ(v) else "-1")
+      val heavy = results.filter(r => !r.ok || r.steady >= cutoff)
+      val fast = results.filter(r => r.ok && r.steady < cutoff)
+      val m = heavy.map { r =>
+        "\"" + shortKey(r.name) + "\":" + (if (r.ok) fmtQ(r.steady) else "-1")
       }.mkString("{", ",", "}")
-      val ft = fast.map(_._3).sum
-      val fm = if (fast.isEmpty) 0.0 else fast.map(_._3).max
+      val ft = fast.map(_.steady).sum
+      val fm = if (fast.isEmpty) 0.0 else fast.map(_.steady).max
       (m, s""""n_fast":${fast.size},"fast_total":${fmt2(ft)},"fast_max":${fmtQ(fm)},"map_cutoff":${fmtQ(cutoff)}""")
     }
     val (qs, fastSummary) = LazyList(0.3, 0.5, 0.8, 1.5, 3.0)
       .map(qsAt)
       .find { case (m, fs) => (m.length + fs.length) <= 1600 }
       .getOrElse(qsAt(1e9))
-    val colds = results.map { case (k, c, _, ok, _, _, _, _, _, _) => "\"" + k + "\":" + (if (ok) fmt(c) else "-1") }
-      .mkString("{", ",", "}")
-    val steadies = results.map { case (k, _, v, ok, _, _, _, _, _, _) => "\"" + k + "\":" + (if (ok) fmt(v) else "-1") }
-      .mkString("{", ",", "}")
-    val iterTimes = results.map { case (k, _, _, _, ts, _, _, _, _, _) =>
-      "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
+    def numMap(f: GateResult => Double, okOnly: Boolean = true) =
+      results.map { r =>
+        "\"" + r.name + "\":" + (if (!okOnly || r.ok) fmt(f(r)) else "-1")
+      }.mkString("{", ",", "}")
+    def seqMap(f: GateResult => Seq[Double]) =
+      results.map { r =>
+        "\"" + r.name + "\":" + f(r).map(fmt).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+    val colds = numMap(_.cold)
+    val steadies = numMap(_.steady)
+    val iterTimes = seqMap(_.ran)
     // pre-/post-iteration loadavg samples (each aligned 1:1 with iter_times)
     // — every iteration self-documents whether it was bracketed-quiet
-    val loads = results.map { case (k, _, _, _, _, ls, _, _, _, _) =>
-      "\"" + k + "\":" + ls.map(fmt).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val loadsPost = results.map { case (k, _, _, _, _, _, ls, _, _, _) =>
-      "\"" + k + "\":" + ls.map(fmt).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
+    val loads = seqMap(_.preLoads)
+    val loadsPost = seqMap(_.postLoads)
     // instantaneous busy-fraction brackets (-2 = unsampled fast gate,
     // -1 = /proc/stat unavailable) — the self-load-immune evidence channel
-    val busyPre = results.map { case (k, _, _, _, _, _, _, bs, _, _) =>
-      "\"" + k + "\":" + bs.map(fmt).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val busyPost = results.map { case (k, _, _, _, _, _, _, _, bs, _) =>
-      "\"" + k + "\":" + bs.map(fmt).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, false, _, _, _, _, _, _) => "\"" + shortKey(k) + "\"" }
+    val busyPre = seqMap(_.preBusy)
+    val busyPost = seqMap(_.postBusy)
+    // across-iteration channels: exogenous CPU (host busy − this process,
+    // required ≤ busyThresh for certification), this process's CPU seconds,
+    // and host IO-pressure stall fraction (PSI `some`) per iteration
+    val exoCpuM = seqMap(_.exoCpu)
+    val procCpuM = seqMap(_.procCpu)
+    val ioStallM = seqMap(_.ioStall)
+    // post-hygiene JVM state per gate (MB): driver-state-accumulation evidence
+    def jvmMap(f: GateResult => Long) =
+      results.map(r => "\"" + shortKey(r.name) + "\":" + f(r)).mkString("{", ",", "}")
+    val jvmHeap = jvmMap(_.heapMb)
+    val jvmMeta = jvmMap(_.metaMb)
+    val jvmCode = jvmMap(_.codeMb)
+    val failed = results.collect { case r if !r.ok => "\"" + shortKey(r.name) + "\"" }
       .mkString("[", ",", "]")
     // heavy queries with NO bracketed-quiet iteration (incl. backoff
     // retries) — their numbers are upper bounds, not steady-state
-    val uncertified = results.collect { case (k, _, _, true, _, _, _, _, _, false) => "\"" + shortKey(k) + "\"" }
+    val uncertified = results.collect { case r if r.ok && !r.certified => "\"" + shortKey(r.name) + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, _, v, true, _, _, _, _, _, _) => v }.sum
-    val coldTotal = results.collect { case (_, c, _, true, _, _, _, _, _, _) => c }.sum
+    val total = results.collect { case r if r.ok => r.steady }.sum
+    val coldTotal = results.collect { case r if r.ok => r.cold }.sum
     val excluded = harness.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val names = results.map { case (k, _, _, _, _, _, _, _, _, _) =>
-      "\"" + shortKey(k) + "\":\"" + k + "\""
+    val names = results.map { r =>
+      "\"" + shortKey(r.name) + "\":\"" + r.name + "\""
     }.mkString("{", ",", "}")
+    // Filtered (single-gate diagnosis) runs mark themselves in the artifact
+    // and write to a DIFFERENT default path, so a diagnostic run can't
+    // silently clobber the official full-run sidecar with a partial total
+    // (round-8 advice).
+    val filterField =
+      if (only.isEmpty) ""
+      else only.toSeq.sorted.map("\"" + _ + "\"").mkString(""","filter":[""", ",", "]")
     val detail =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","iters":$iters,"names":$names,"steady":$steadies,"cold_total":${fmt2(coldTotal)},"cold":$colds,"iter_times":$iterTimes,"loadavg_1m":$loads,"loadavg_post":$loadsPost,"busy_pre":$busyPre,"busy_post":$busyPost,"failed":$failed,"uncertified":$uncertified,"excluded_harness":$excluded,"sf":"$sfDir"}"""
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","iters":$iters$filterField,"names":$names,"steady":$steadies,"cold_total":${fmt2(coldTotal)},"cold":$colds,"iter_times":$iterTimes,"loadavg_1m":$loads,"loadavg_post":$loadsPost,"busy_pre":$busyPre,"busy_post":$busyPost,"exo_cpu":$exoCpuM,"proc_cpu_sec":$procCpuM,"io_stall":$ioStallM,"jvm_heap_mb":$jvmHeap,"jvm_meta_mb":$jvmMeta,"jvm_code_mb":$jvmCode,"failed":$failed,"uncertified":$uncertified,"excluded_harness":$excluded,"sf":"$sfDir"}"""
+    val defaultDetail =
+      if (only.isEmpty) "BENCH_DETAIL.json" else "BENCH_DETAIL_FILTERED.json"
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", defaultDetail)
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
       try w.println(detail) finally w.close()
@@ -313,7 +429,7 @@ object Bench {
     // ~100 bytes of headroom under the driver's ~2.2 KiB tail capture as the
     // gate surface grows (n_excluded keeps the exclusion COUNT visible).
     val line =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","iters":$iters,"queries":$qs,$fastSummary,"failed":$failed,"uncertified":$uncertified,"n_excluded":${harness.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","iters":$iters$filterField,"queries":$qs,$fastSummary,"failed":$failed,"uncertified":$uncertified,"n_excluded":${harness.size},"sf":"$sfDir"}"""
     // Self-check: warn loudly (stderr) before the line outgrows the capture.
     if (line.length > 2000)
       System.err.println(s"[bench] WARNING contract line ${line.length} B — nearing the ~2.2 KiB driver tail capture")

@@ -6,10 +6,33 @@ import org.apache.spark.sql.SparkSession
   * the timing tools (MicroBench, Probe), so correctness runs and every
   * measurement use the same configuration. */
 object LocalSession {
+
+  /** Shuffle/checkpoint scratch on tmpfs when available. local[32] writes
+    * shuffle files and localCheckpoint disk blocks to spark.local.dir; the
+    * default (/tmp) sits on the shared VM's contended virtual disk, which
+    * makes the checkpoint-heavy iterative gates (PageRank, connected
+    * components) hostage to neighbour IO during a measurement. The host has
+    * 128 GiB RAM and sf0.1 scratch peaks well under 1 GiB, so tmpfs is pure
+    * win locally. (Cluster deployments ignore this: spark.local.dir comes
+    * from the cluster manager there, and this conf only applies to the
+    * sessions THIS object builds.) Spark removes its spark-* subdirs on
+    * clean shutdown; the dir itself is shared and tiny. */
+  private def scratchDir(): Option[String] =
+    try {
+      val shm = new java.io.File("/dev/shm")
+      if (!shm.isDirectory || !shm.canWrite) None
+      else {
+        val d = new java.io.File(shm, "graft-local")
+        d.mkdirs()
+        if (d.isDirectory && d.canWrite) Some(d.getAbsolutePath) else None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   def build(cpus: String, appName: String = "graft"): SparkSession = {
-    val s = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
+    val s = scratchDir().fold(b0)(d => b0.config("spark.local.dir", d))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

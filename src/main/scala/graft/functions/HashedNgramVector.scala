@@ -25,7 +25,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * (oracle form: `('0x' || substr(md5(g), 1, 15))::bigint % dim` and
   * `1 - 2 * (('0x' || substr(md5(g), 16, 1))::int % 2)`). Signed counts
   * are exact small integers, so the double vector is engine-identical.
-  * Null tokens are skipped; fewer than n tokens → the zero vector. */
+  * A window containing a null token contributes nothing — the gram is
+  * NULL under SQL `||`-concat semantics and a NULL gram is skipped, so
+  * the SQL mirror `md5(t1 || ' ' || t2 ...)` agrees windowwise (the
+  * round-8 advice fix; TextOps.tokens never emits nulls, so no gate's
+  * value changes). Fewer than n tokens → the zero vector. */
 case class HashedNgramVector(child: Expression, dim: Int, n: Int)
     extends UnaryExpression {
   require(dim >= 1 && dim <= 65536, "dim must be in [1, 65536]")
@@ -61,16 +65,18 @@ object HashedNgramVector {
       while (i <= t - n) {
         md.reset()
         var k = 0
-        var first = true
-        while (k < n) {
+        var anyNull = false
+        while (k < n && !anyNull) {
           val s = toks.getUTF8String(i + k)
-          if (s != null) {
-            if (!first) md.update(sep)
+          if (s == null) anyNull = true
+          else {
+            if (k > 0) md.update(sep)
             md.update(s.getBytes)
-            first = false
           }
           k += 1
         }
+        if (anyNull) { i += 1 }
+        else {
         val d = md.digest()
         // first 15 hex chars = the top 7.5 bytes, big-endian hex order —
         // exactly ('0x' || substr(md5(g), 1, 15))::bigint
@@ -82,6 +88,7 @@ object HashedNgramVector {
         val sign = if ((d(7) & 0xf) % 2 == 0) 1L else -1L
         acc(bucket) += sign
         i += 1
+        }
       }
     }
     val out = new Array[Any](dim)

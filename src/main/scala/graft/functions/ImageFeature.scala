@@ -49,21 +49,13 @@ case class ImageFeature64(child: Expression) extends UnaryExpression {
 }
 
 object ImageFeature64 {
-  // ImageIO's default ImageInputStream cache is a TEMP FILE per decode
-  // (FileCacheImageInputStream) — for in-memory byte arrays that is pure
-  // fs churn, and at 15k tiny images × 32 executor threads it dominated
-  // the decode ~5× (q491: 8.5 s → 1.7 s at sf0.1 after this). Memory
-  // cache decodes straight from the array. JVM-global; executors set it
-  // when this class loads.
-  javax.imageio.ImageIO.setUseCache(false)
-
   /** 64 block means (8×8 grid, row-major: component 8·by+bx covers x ∈
     * [bx·W/8, (bx+1)·W/8) × y ∈ [by·H/8, (by+1)·H/8), integer-floor
-    * boundaries), or null when the bytes don't decode or W/H < 8. */
+    * boundaries), or null when the bytes don't decode or W/H < 8.
+    * Decodes via [[ImageMeta.readImage]] — explicit memory-cached stream,
+    * no temp-file churn, no JVM-global ImageIO flag. */
   def compute(bytes: Array[Byte]): ArrayData = {
-    val img =
-      try javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
-      catch { case scala.util.control.NonFatal(_) => null }
+    val img = ImageMeta.readImage(bytes)
     if (img == null) return null
     val w = img.getWidth; val h = img.getHeight
     if (w < 8 || h < 8) return null

@@ -49,18 +49,31 @@ object ImageMeta {
     StructField("height", IntegerType),
     StructField("channels", IntegerType)))
 
-  // memory-cache ImageIO streams — the default temp-FILE cache per decode
-  // is pure fs churn for in-memory bytes (see ImageFeature64)
-  javax.imageio.ImageIO.setUseCache(false)
+  /** Decode in-memory image bytes through an EXPLICIT memory-cached
+    * ImageIO stream, or null when the bytes don't decode. ImageIO's
+    * default ImageInputStream for a plain InputStream is a TEMP FILE per
+    * decode (FileCacheImageInputStream) — pure fs churn for byte arrays;
+    * at 15k tiny images × 32 executor threads it dominated the decode ~5×
+    * (q491: 8.5 → 1.7 s at sf0.1). Passing MemoryCacheImageInputStream at
+    * the call site keeps the fix WITHOUT mutating the JVM-global
+    * ImageIO.setUseCache flag for unrelated ImageIO users in the same
+    * process (round-8 advice). ImageIO.read(ImageInputStream) closes the
+    * stream itself on success; the finally-close covers the null/throw
+    * paths and is idempotent. */
+  private[graft] def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    if (bytes == null) return null
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(bytes))
+    try javax.imageio.ImageIO.read(iis)
+    catch { case scala.util.control.NonFatal(_) => null }
+    finally { try iis.close() catch { case scala.util.control.NonFatal(_) => () } }
+  }
 
   /** (width, height, channels) when a JDK ImageIO reader decodes the bytes,
     * else from the TIFF IFD header when the bytes are TIFF. */
   def decode(bytes: Array[Byte]): Option[(Int, Int, Int)] =
-    (try {
-      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
-      if (img == null) None
-      else Some((img.getWidth, img.getHeight, img.getColorModel.getNumComponents))
-    } catch { case scala.util.control.NonFatal(_) => None })
+    (Option(readImage(bytes))
+      .map(img => (img.getWidth, img.getHeight, img.getColorModel.getNumComponents)))
       .orElse(tiffDims(bytes))
 
   /** TIFF width/height/samples from the first IFD — a pure byte-walk over

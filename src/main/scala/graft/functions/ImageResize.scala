@@ -75,11 +75,11 @@ case class ImageCropBmp(child: Expression, x: Int, y: Int, w: Int, h: Int)
 
 object ImageCropBmp {
   def compute(bytes: Array[Byte], x: Int, y: Int, w: Int, h: Int): Array[Byte] = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case scala.util.control.NonFatal(_) => null }
+    val img = ImageMeta.readImage(bytes)
     if (img == null) return null
-    if (x + w > img.getWidth || y + h > img.getHeight) return null
+    // long compare: a near-Int.MaxValue x would overflow `x + w` and slip
+    // past an int guard into getRGB
+    if (x.toLong + w > img.getWidth || y.toLong + h > img.getHeight) return null
     val stride = ((w * 3 + 3) / 4) * 4
     val dataOff = 54
     val out = new Array[Byte](dataOff + stride * h)
@@ -115,9 +115,7 @@ object ImageCropBmp {
 
 object ImageResizeBmp {
   def compute(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case scala.util.control.NonFatal(_) => null }
+    val img = ImageMeta.readImage(bytes)
     if (img == null) return null
     val sw = img.getWidth; val sh = img.getHeight
     if (sw < w || sh < h) return null
