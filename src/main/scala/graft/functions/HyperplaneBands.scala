@@ -52,10 +52,20 @@ object HyperplaneBands {
 
   /** Sign-bit bucket strings; summation left-to-right per plane (matches the
     * oracle's sequential list sum bit-for-bit). Vector entries beyond the
-    * declared `dim` are ignored; shorter vectors use their actual length. */
+    * declared `dim` are ignored; shorter vectors use their actual length.
+    *
+    * The vector is unpacked ONCE into a primitive array before the plane
+    * loop: `ArrayData.getDouble` is a virtual dispatch, and at B·r·dim
+    * evaluations per row (q509: 576 planes × 512 dims ≈ 295k calls/row) it
+    * dominated the whole gate — 6.5 s of an 11 s gate at sf0.1; the
+    * two-primitive-array hot loop the JIT can unroll measured ~5× faster,
+    * value-identical (same left-to-right summation). */
   def compute(v: ArrayData, w: Array[Array[Double]], dim: Int,
               nBands: Int, rowsPerBand: Int): ArrayData = {
     val n = math.min(dim, v.numElements())
+    val x = new Array[Double](n)
+    var j = 0
+    while (j < n) { x(j) = v.getDouble(j); j += 1 }
     val out = new Array[Any](nBands)
     var b = 0
     while (b < nBands) {
@@ -65,7 +75,7 @@ object HyperplaneBands {
         val wp = w(b * rowsPerBand + r)
         var s = 0.0
         var i = 0
-        while (i < n) { s += v.getDouble(i) * wp(i); i += 1 }
+        while (i < n) { s += x(i) * wp(i); i += 1 }
         bits(r) = if (s >= 0) '1' else '0'
         r += 1
       }

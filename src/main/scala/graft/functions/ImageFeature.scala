@@ -136,6 +136,94 @@ object ImageFeature64 {
   }
 }
 
+object PatchBmp {
+  /** splitmix64 finalizer (the WavNearDup mix — an affine envelope does
+    * not decorrelate groups; see that Scaladoc). */
+  private def mix(x0: Long): Long = {
+    var x = x0
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Gray value of pixel (x, y) in the (group, member) patch fixture:
+    * quadrant (0,0) (x < 8, y < 8) hashes on (group, tag=0) ONLY — every
+    * member of a group carries that 8×8 patch pixel-identical — while the
+    * other three quadrants hash on (group, member·4 + quadrant), so they
+    * decorrelate across members AND across quadrants of one image. */
+  def gray(group: Long, member: Long, x: Int, y: Int): Int = {
+    val q = (y >> 3) * 2 + (x >> 3)
+    val tag = if (q == 0) 0L else member * 4 + q
+    val h = mix(group * 0x9E3779B97F4A7C15L + tag * 0x100000001B3L
+      + (y * 16 + x) * 0xC2B2AE3D27D4EB4FL)
+    ((h >>> 8) % 252L).toInt
+  }
+
+  /** Planted shared-patch 16×16 gray BMP: the fragment-of relation on the
+    * IMAGE modality (the verdict's round-9 item 6 — what q252's substring
+    * containment catches for text). All members of `group` share quadrant
+    * (0,0) exactly; every other quadrant is member-private splitmix64
+    * noise, so ONLY the (0,0) tiles of a group are near-duplicates: full-
+    * image vectors sit far apart (3/4 of the pixels differ) while the
+    * shared tile matches pixel-exactly after [[ImageCropBmp]]'s cut. */
+  def build(group: Long, member: Long): Array[Byte] = {
+    val g = ((group % 1000000000L) + 1000000000L) % 1000000000L
+    val m = ((member % 4L) + 4L) % 4L
+    val width = 16; val height = 16
+    val stride = width * 3
+    val dataOff = 54
+    val size = dataOff + stride * height
+    val b = new Array[Byte](size)
+    def put32(off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte
+      b(off + 1) = ((v >> 8) & 0xff).toByte
+      b(off + 2) = ((v >> 16) & 0xff).toByte
+      b(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    b(0) = 'B'; b(1) = 'M'
+    put32(2, size); put32(10, dataOff)
+    put32(14, 40)
+    put32(18, width); put32(22, height)
+    b(26) = 1
+    b(28) = 24
+    put32(34, stride * height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = gray(g, m, x, y)
+        val off = dataOff + (height - 1 - y) * stride + x * 3
+        b(off) = v.toByte; b(off + 1) = v.toByte; b(off + 2) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+}
+
+/** Fixture builder expression: (group, member) → the shared-patch 16×16
+  * gray BMP bytes (see [[PatchBmp.build]]). */
+case class PatchBmpFixture(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "patch_bmp_fixture"
+
+  override def nullSafeEval(group: Any, member: Any): Any =
+    PatchBmp.build(group.asInstanceOf[Long], member.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = PatchBmp.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (g, m) => s"${ev.value} = $cls.build($g, $m);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Fixture builder expression: (group, member) → the deterministic 16×16
   * gray BMP bytes (see [[ImageFeature64.buildBmp]]). */
 case class FeatureBmpFixture(left: Expression, right: Expression)

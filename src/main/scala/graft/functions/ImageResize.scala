@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BinaryType, DataType}
 
@@ -73,7 +73,47 @@ case class ImageCropBmp(child: Expression, x: Int, y: Int, w: Int, h: Int)
     copy(child = newChild)
 }
 
+/** [[ImageCropBmp]] with EXPRESSION-valued window position — the ViT-patch
+  * shape: a fixed w×h patch size (literal, so the output geometry is known
+  * at plan time) cut at a per-row (x, y), which is what lets one plan crop
+  * every tile [[graft.operators.Multimodal.tileGrid]] lays out instead of
+  * one plan per window. Same kernel, same NULL contract (undecodable bytes
+  * or a window not fully inside the image). */
+case class ImageCropAtBmp(first: Expression, second: Expression,
+                          third: Expression, w: Int, h: Int)
+    extends TernaryExpression {
+  require(w >= 1 && h >= 1 && w <= 4096 && h <= 4096,
+    "patch size must be in [1, 4096]")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_crop_at_bmp"
+
+  override def nullSafeEval(bytes: Any, x: Any, y: Any): Any =
+    ImageCropBmp.computeAt(bytes.asInstanceOf[Array[Byte]],
+      x.asInstanceOf[Long], y.asInstanceOf[Long], w, h)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = ImageCropBmp.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (bytes, x, y) =>
+      s"""${ev.value} = (byte[]) $cls.computeAt($bytes, $x, $y, $w, $h);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 object ImageCropBmp {
+
+  /** Long-positioned entry for [[ImageCropAtBmp]]: NULL (not a throw, not a
+    * clamp) for windows that start outside [0, 2³¹) — per-row positions are
+    * data, and hostile data must degrade like hostile bytes do. */
+  def computeAt(bytes: Array[Byte], x: Long, y: Long, w: Int, h: Int): Array[Byte] =
+    if (x < 0 || y < 0 || x > Int.MaxValue || y > Int.MaxValue) null
+    else compute(bytes, x.toInt, y.toInt, w, h)
+
   def compute(bytes: Array[Byte], x: Int, y: Int, w: Int, h: Int): Array[Byte] = {
     val img = ImageMeta.readImage(bytes)
     if (img == null) return null

@@ -160,6 +160,19 @@ object Multimodal {
       bridge.expression(content), x, y, w, h))
   }
 
+  /** [[cropImage]] with per-row window position — cuts the patches
+    * [[tileGrid]] plans (fixed literal patch size, expression-valued
+    * (x, y)); NULL for windows outside the image, like the literal form. */
+  def cropImageAt(content: org.apache.spark.sql.Column,
+                  x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+                  w: Int, h: Int): org.apache.spark.sql.Column = {
+    val bridge = org.apache.spark.sql.GraftColumnBridge
+    bridge.column(graft.functions.ImageCropAtBmp(
+      bridge.expression(content),
+      bridge.expression(x.cast("long")), bridge.expression(y.cast("long")),
+      w, h))
+  }
+
   /** ViT-style tile/patch grid plan: one row per (tile_x, tile_y) covering
     * a widthCol×heightCol image with `tile`-sized tiles at `stride` steps.
     * Interior tiles sit at i·stride; the LAST tile on each axis clamps to

@@ -1208,6 +1208,49 @@ object Streams {
     * processAllAvailable would hang. Each progress event is published after
     * its batch's sink commit, so rows-seen == rows-written means the sink
     * table is complete. */
+  /** §3.4 replay gate — the reference's ASYNC upload flow (file lands in
+    * the shared volume, a worker validates/extracts/records it:
+    * services/file-service/main.py:75-169 + the Celery/Redis declaration,
+    * docker-compose.yml:159-160) run as a REAL file stream: the mixed-
+    * modality binary lake is discovered by `readStream.format("binaryFile")`
+    * in `filesPerTrigger`-sized micro-batches, flows through the SAME
+    * Ingest.pipeline validation/quarantine as the q502 batch gate, gets
+    * its per-type metadata extracted in-stream (stateless expressions — the
+    * worker does its work while the bytes are in hand), and lands in an
+    * exactly-once append parquet sink (checkpoint + `_spark_metadata`
+    * commit log, the q138 machinery — a crashed batch's partial files are
+    * invisible to readers). The returned read-back therefore must equal
+    * the batch pipeline's table — stream/batch equivalence for the whole
+    * ingest path, not just one operator. */
+  def replayedBinaryIngest(spark: SparkSession, lakeDir: String, name: String,
+                           allowedMime: Seq[String], filesPerTrigger: Int)(
+      flatten: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(filesPerTrigger >= 1, "filesPerTrigger must be positive")
+    val dir = freshReplayDir(name)
+    // harness bookkeeping: the drain latch needs the total file count
+    val expected = spark.read.format("binaryFile").load(lakeDir).count()
+    val binSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val stream = spark.readStream.format("binaryFile").schema(binSchema)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
+      .load(lakeDir)
+    val (valid, _) = graft.operators.Ingest.pipeline(stream, "p-mixed", allowedMime)
+    val qname = s"graft_gate_${name}_${replaySeq.incrementAndGet()}"
+    drainStream(spark, qname, expected) {
+      flatten(valid)
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .queryName(qname)
+        .outputMode("append").start()
+    }
+    spark.read.parquet(s"$dir/out")
+  }
+
   private def drainStream(spark: SparkSession, qname: String, expectedRows: Long)(
       start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val rowsSeen = new java.util.concurrent.atomic.AtomicLong(0)

@@ -156,6 +156,42 @@ class Round9OpsSpec extends SparkSuite {
     assert((0 until dim).map(pure.getDouble).map(math.abs).sum == 1.0)
   }
 
+  test("PatchBmp: quadrant (0,0) is member-invariant, everything else decorrelates") {
+    val a = ImageMeta.readImage(PatchBmp.build(7L, 0L))
+    val b = ImageMeta.readImage(PatchBmp.build(7L, 3L))
+    val c = ImageMeta.readImage(PatchBmp.build(8L, 0L))
+    // shared patch: pixel-exact across members of one group
+    (0 until 8).foreach { y =>
+      (0 until 8).foreach { x =>
+        assert(a.getRGB(x, y) == b.getRGB(x, y), s"shared patch differs at ($x,$y)")
+      }
+    }
+    // private quadrants: members differ somewhere in each of the other three
+    Seq((8, 0), (0, 8), (8, 8)).foreach { case (qx, qy) =>
+      assert((0 until 8).exists(y => (0 until 8).exists(x =>
+        a.getRGB(qx + x, qy + y) != b.getRGB(qx + x, qy + y))),
+        s"quadrant ($qx,$qy) identical across members — not private")
+    }
+    // groups do not share the (0,0) patch
+    assert((0 until 8).exists(y => (0 until 8).exists(x =>
+      a.getRGB(x, y) != c.getRGB(x, y))), "tile 0 identical across groups")
+  }
+
+  test("ImageCropAtBmp: per-row position equals the literal-window kernel; hostile x is null") {
+    val bmp = PatchBmp.build(3L, 1L)
+    Seq((0L, 0L), (8L, 0L), (0L, 8L), (8L, 8L)).foreach { case (x, y) =>
+      val dyn = ImageCropBmp.computeAt(bmp, x, y, 8, 8)
+      val lit = ImageCropBmp.compute(bmp, x.toInt, y.toInt, 8, 8)
+      assert(dyn != null && java.util.Arrays.equals(dyn, lit),
+        s"dynamic crop at ($x,$y) diverged from the literal kernel")
+    }
+    assert(ImageCropBmp.computeAt(bmp, -1L, 0L, 8, 8) == null)
+    assert(ImageCropBmp.computeAt(bmp, 0L, -1L, 8, 8) == null)
+    assert(ImageCropBmp.computeAt(bmp, Long.MaxValue, 0L, 8, 8) == null)
+    assert(ImageCropBmp.computeAt(bmp, Int.MaxValue.toLong + 1L, 0L, 8, 8) == null)
+    assert(ImageCropBmp.computeAt(bmp, 9L, 0L, 8, 8) == null) // past the edge
+  }
+
   test("HashedNgramVector + WordShingles: astral-plane text hashes by UTF-8 bytes") {
     val emoji = Seq("😀😁", "🍕", "text𐀀mix")
     val dim = 64
