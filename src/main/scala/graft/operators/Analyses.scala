@@ -1281,8 +1281,15 @@ object Analyses {
   def logisticIrls(df: DataFrame, x1: Column, x2: Column, label: Column,
                    iters: Int = 3): DataFrame = {
     require(iters >= 1, "need at least one iteration")
-    val feats = df.select(label.cast("int").as("y"),
-        x1.cast("double").as("x1"), x2.cast("double").as("x2"))
+    // spread before the persist: a one-file source (events at bench
+    // scale) would otherwise pin ONE cached partition and run every
+    // round's 9-sum map side in a single task (the q509/q487 one-file-scan
+    // lesson; no-op when the scan already has enough splits). Values are
+    // unaffected — the per-term decimal(18,6) sums are exact, so partition
+    // layout cannot change them.
+    val feats = graft.Tables.spread(df.sparkSession,
+        df.select(label.cast("int").as("y"),
+          x1.cast("double").as("x1"), x2.cast("double").as("x2")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def r8(x: Double): Double =
       BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -97,16 +97,24 @@ object ScratchProbe {
       }
     }
     time("docs-text")(docs.count())
-    val rawFeats = docs.select(col("doc_id"),
+    val rawFeats = graft.Tables.spread(spark, docs).select(col("doc_id"),
       graft.operators.TextOps.hashedNgramVector(
         graft.operators.TextOps.tokens(col("text")), dim, 2).as("vec"))
+      .localCheckpoint(eager = false)
     time("vectorize")(rawFeats.count())
-    time("vectorize-materialize")(rawFeats.agg(sum(element_at(col("vec"), 1))).count())
     val banded0 = rawFeats.select(col("doc_id"),
       posexplode(graft.operators.Similarity.bandBuckets(
         graft.operators.Similarity.asDouble(col("vec")), dim, 48, 12))
         .as(Seq("band_id", "bucket")))
+      .localCheckpoint(eager = false)
     time("bands")(banded0.count())
+    val cand0 = banded0.as("a").join(banded0.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    time("cand-raw")(cand0.count())
+    time("cand-distinct")(cand0.distinct().count())
     Seq((48, 12)).foreach { case (nb, rpb) =>
       val t0 = System.nanoTime()
       val got = graft.operators.Dedup.embeddingNearDups(
