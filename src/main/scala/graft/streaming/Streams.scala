@@ -1251,6 +1251,52 @@ object Streams {
     spark.read.parquet(s"$dir/out")
   }
 
+  /** Dedup-at-ingest, streamed — the production shape for CONTINUOUS
+    * corpus hygiene: new documents arrive as micro-batches and each batch
+    * is deduplicated against the standing corpus before it lands. Runs
+    * through `foreachBatch` (the documented Structured-Streaming pattern
+    * for composite per-batch logic): every micro-batch executes the SAME
+    * audited batch operator ([[graft.operators.Dedup.dedupAgainstCorpus]] —
+    * exact-fingerprint anti-join, then banded MinHash candidates + exact
+    * Jaccard verify) and appends its survivors to a per-batchId directory
+    * (overwrite-by-batchId = idempotent under retries, the foreachBatch
+    * exactly-once recipe). Because the operator compares batch docs against
+    * the CORPUS only — never batch-internal — chunk survivors are
+    * independent and the streamed union EQUALS the one-shot batch result:
+    * this gate shares q83's oracle verbatim. (A long-lived deployment would
+    * additionally pin the corpus's band table instead of re-deriving it per
+    * batch; at gate scale the re-derivation keeps the code the audited
+    * operator itself.) */
+  def replayedIncrementalDedup(spark: SparkSession, corpus: DataFrame,
+                               batchDocs: DataFrame, chunks: Int,
+                               name: String): DataFrame = {
+    val base = batchDocs.select(col("doc_id"), col("text"), col("lang"))
+    val dir = freshReplayDir(name)
+    (0 until chunks).foreach { i =>
+      base.filter(pmod(col("doc_id"), lit(chunks)) === i)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/in/c$i")
+    }
+    val expectedRows = base.count()
+    val stream = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in/c*")
+    val qname = s"graft_gate_${name}_${replaySeq.incrementAndGet()}"
+    drainStream(spark, qname, expectedRows) {
+      stream.writeStream
+        .queryName(qname)
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (mb: DataFrame, batchId: Long) =>
+          graft.operators.Dedup
+            .dedupAgainstCorpus(corpus, mb, "doc_id", "text")
+            .select("doc_id", "lang")
+            .write.mode("overwrite").parquet(s"$dir/out/b$batchId")
+        }
+        .start()
+    }
+    spark.read.parquet(s"$dir/out/b*")
+  }
+
   private def drainStream(spark: SparkSession, qname: String, expectedRows: Long)(
       start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val rowsSeen = new java.util.concurrent.atomic.AtomicLong(0)
