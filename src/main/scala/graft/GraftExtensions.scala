@@ -39,6 +39,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.pcmDecimateDescriptor)
     e.injectFunction(GraftExtensions.imageResizeBmpDescriptor)
     e.injectFunction(GraftExtensions.imageCropBmpDescriptor)
+    e.injectFunction(GraftExtensions.imageCropAtBmpDescriptor)
     // optimizer rule: derive pushable bbox range conjuncts from literal-ring
     // point_in_polygon filters (row-group skipping for spatial lookups)
     e.injectOptimizerRule(_ => graft.plans.SpatialBboxPushdown)
@@ -348,6 +349,25 @@ object GraftExtensions {
     new ExpressionInfo(classOf[ImageCropBmp].getName, "image_crop_bmp"),
     icBuilder _)
 
+  private def icaBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 5,
+      s"image_crop_at_bmp(content, x, y, w, h) takes 5 arguments (x and y " +
+        s"may be per-row columns; w/h must be literals), got ${args.length}")
+    graft.functions.ImageCropAtBmp(args(0),
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        args(1), org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        args(2), org.apache.spark.sql.types.LongType),
+      intArg(args(3), "w"), intArg(args(4), "h"))
+  }
+
+  val imageCropAtBmpDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("image_crop_at_bmp"),
+    new ExpressionInfo(classOf[graft.functions.ImageCropAtBmp].getName,
+      "image_crop_at_bmp"),
+    icaBuilder _)
+
   /** Register custom functions on an existing session (used by Verify/Bench
     * and tests, where the builder isn't ours). */
   def register(spark: SparkSession): Unit = {
@@ -375,7 +395,8 @@ object GraftExtensions {
       "wav_stats" -> wstBuilder _,
       "pcm_decimate" -> pdBuilder _,
       "image_resize_bmp" -> irBuilder _,
-      "image_crop_bmp" -> icBuilder _)
+      "image_crop_bmp" -> icBuilder _,
+      "image_crop_at_bmp" -> icaBuilder _)
     // register-once: SimpleFunctionRegistry WARNs on every replacement, and
     // register() runs per Verify query / per test suite — skip names already
     // present (the builders are stable objects, re-binding is a no-op anyway)

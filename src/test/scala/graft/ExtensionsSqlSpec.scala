@@ -51,5 +51,21 @@ class ExtensionsSqlSpec extends SparkSuite {
     val rz = spark.sql("SELECT image_resize_bmp(unhex('00'), 4, 4) AS r")
       .collect().head
     assert(rz.isNullAt(0))
+
+    // per-row-positioned crop: hostile bytes null; and on a real BMP the
+    // SQL form must equal the literal-window kernel byte for byte
+    val ca = spark.sql("SELECT image_crop_at_bmp(unhex('00'), 0, 0, 4, 4) AS c")
+      .collect().head
+    assert(ca.isNullAt(0))
+    val bmpHex = graft.functions.ImageFeature64.buildBmp(3L, 1L)
+      .map(b => f"$b%02x").mkString
+    val got = spark.sql(
+      s"SELECT image_crop_at_bmp(unhex('$bmpHex'), id % 2, id div 2, 4, 4) AS c " +
+        "FROM range(4)").as[Array[Byte]].collect()
+    got.zipWithIndex.foreach { case (bytes, i) =>
+      val want = graft.functions.ImageCropBmp.compute(
+        graft.functions.ImageFeature64.buildBmp(3L, 1L), i % 2, i / 2, 4, 4)
+      assert(java.util.Arrays.equals(bytes, want), s"row $i crop diverged")
+    }
   }
 }
