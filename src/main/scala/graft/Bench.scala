@@ -156,6 +156,7 @@ object Bench {
       "q452_stream_full_interval_join", "q466_stream_transform_with_state", "q467_stream_session_timers", "q470_stream_lastk_path", "q471_stream_type_counts", "q480_stream_seeded_count",
       "q254_stream_rate_limit", "q261_stream_restart_exactly_once",
       "q510_stream_multimodal_ingest", "q512_stream_incremental_dedup",
+      "q514_stream_ann_serve",
       "q134_stream_session_agg", "q137_stream_enrich", "q138_stream_file_sink",
       "q163_stream_heavy_hitters", "q442_stream_geojson")
     // Single-gate mode (diagnosis): `sbt "runMain graft.Bench q252"` (or the

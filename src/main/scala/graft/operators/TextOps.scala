@@ -581,6 +581,82 @@ object TextOps {
         sum(col("__contrib")).cast("double").as("kl"))
   }
 
+  /** DSIR-style importance selection (Data Selection via Importance
+    * Resampling, Xie et al. 2023, arXiv:2302.03169): score every pool
+    * document by how target-like its hashed-bigram distribution is and
+    * keep the top `k`. The importance weight is the log-likelihood ratio
+    * of two bag-of-hashed-ngrams language models,
+    *
+    *   weight(d) = Σ_b n_d(b) · ln(p_target(b) / p_pool(b))
+    *
+    * over `dim` feature-hash buckets with add-1 smoothing (p(b) =
+    * (c(b)+1)/(total+dim); buckets unseen on one side still smooth).
+    * The published recipe resamples with Gumbel noise; this engine's
+    * deterministic contract takes the top-k by weight with the id as the
+    * tie-break (the zero-temperature limit), so the selection is
+    * reproducible, append-stable and auditable. Pool docs with fewer than
+    * 2 tokens have no bigrams and thus no weight — they are never
+    * selected (mirrored by the oracle).
+    *
+    * Cross-engine float contract (the q127 discipline): each
+    * (doc, bucket) contribution is rounded to 6 dp and summed as
+    * decimal(18,6), so the per-document weight — and therefore the
+    * ranking — is EXACT in both engines; the ln argument is one mirrored
+    * double expression tree.
+    *
+    * Scale shape: ONE tokenize-explode pass collapses to the
+    * (doc, side, bucket) count table; both LMs derive from THAT table as
+    * a `dim`-row aggregate (map-side partials), the log-ratio table is a
+    * `dim`-row broadcast joined back onto the pool side, the per-doc
+    * weight is one hash aggregate, and the selection is a TakeOrdered(k)
+    * — never a global window, nothing corpus-sized on the driver. */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, dim: Int = 64, k: Int = 100): DataFrame = {
+    require(dim >= 2 && dim <= 65536, "bucket count must be in [2, 65536]")
+    // pinned: the tokenize-explode-hash pass feeds three consumers (the
+    // LM aggregate, its totals, and the weight join) — unpinned, each
+    // branch re-runs the whole corpus scan (measured 4.8 s → 2 s at
+    // sf0.1). The pinned table is ≤ docs × dim rows, far smaller than
+    // the gram explosion it collapses.
+    val docBucket = docs
+      .select(col(idCol), isTarget.as("__t"),
+        explode(shingles(tokens(col(textCol)), 2)).as("__g"))
+      .select(col(idCol), col("__t"),
+        pmod(tokenHash(col("__g")), lit(dim.toLong)).as("bucket"))
+      .groupBy(col(idCol), col("__t"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    // full dim-bucket frame so buckets unseen on either side still smooth
+    val frame = docs.sparkSession.range(dim).select(col("id").as("bucket"))
+    val lm = frame.join(
+        docBucket.groupBy(col("bucket")).agg(
+          sum(when(col("__t"), col("n")).otherwise(0L)).as("tc"),
+          sum(when(!col("__t"), col("n")).otherwise(0L)).as("pc")),
+        Seq("bucket"), "left")
+      .na.fill(0L, Seq("tc", "pc"))
+    val totals = lm.agg(sum(col("tc")).as("tt"), sum(col("pc")).as("pt"))
+    // the ratio side gets its own bucket name: it joins back onto rows
+    // derived from the SAME checkpoint, and a same-named join against a
+    // checkpoint's preserved attribute ids is the q311 conflict trap
+    val ratio = lm.crossJoin(broadcast(totals))
+      .select(col("bucket").as("__rbucket"),
+        log(((col("tc") + 1).cast("double") * (col("pt") + dim).cast("double")) /
+          ((col("pc") + 1).cast("double") * (col("tt") + dim).cast("double")))
+          .as("__lr"))
+    val weights = docBucket.filter(!col("__t"))
+      .join(broadcast(ratio), col("bucket") === col("__rbucket"))
+      .withColumn("__contrib",
+        round(col("n").cast("double") * col("__lr"), 6).cast("decimal(18,6)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__contrib")).cast("double").as("weight"))
+    // TakeOrdered(k), THEN rank the k survivors (a k-row single partition
+    // by contract — the global window never sees the corpus)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("weight").desc, col(idCol))
+    weights.orderBy(col("weight").desc, col(idCol)).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   /** Duplicated-span statistics — exact substring dedup at token-window
     * granularity (the scalable form of the "dedup training data at the
     * substring level" recipe: long verbatim repeats across documents are

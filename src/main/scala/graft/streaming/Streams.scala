@@ -1297,6 +1297,43 @@ object Streams {
     spark.read.parquet(s"$dir/out/b*")
   }
 
+  /** Stream-serving replay: the QUERY side of a candidate+verify retrieval
+    * operator arrives as `chunks` micro-batches against a pinned static
+    * corpus; each batch is answered by the SAME audited batch operator
+    * inside foreachBatch, results appended idempotently per batchId (the
+    * q512 exactly-once pattern). Per-query results are batching-independent
+    * by construction (the operator emits a per-query-key top-k that never
+    * looks at other queries), so the streamed union EQUALS the one-shot
+    * batch result and gates share the batch oracle verbatim — the
+    * ANN-serving shape (a continuous query stream over a static index)
+    * without a second code path to audit. */
+  def replayedQueryServe(spark: SparkSession, queries: DataFrame,
+                         chunkKey: org.apache.spark.sql.Column, chunks: Int,
+                         name: String)(
+      serve: DataFrame => DataFrame): DataFrame = {
+    val dir = freshReplayDir(name)
+    (0 until chunks).foreach { i =>
+      queries.filter(pmod(chunkKey, lit(chunks)) === i)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/in/c$i")
+    }
+    val expectedRows = queries.count()
+    val stream = spark.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in/c*")
+    val qname = s"graft_gate_${name}_${replaySeq.incrementAndGet()}"
+    drainStream(spark, qname, expectedRows) {
+      stream.writeStream
+        .queryName(qname)
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (mb: DataFrame, batchId: Long) =>
+          serve(mb).write.mode("overwrite").parquet(s"$dir/out/b$batchId")
+        }
+        .start()
+    }
+    spark.read.parquet(s"$dir/out/b*")
+  }
+
   private def drainStream(spark: SparkSession, qname: String, expectedRows: Long)(
       start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val rowsSeen = new java.util.concurrent.atomic.AtomicLong(0)

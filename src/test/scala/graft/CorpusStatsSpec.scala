@@ -305,4 +305,57 @@ class CorpusStatsSpec extends SparkSuite {
     // uniform over 4: 4 * round(0.25*ln 4, 6) = 4*0.346574 = 1.386296
     assert(got == Set(("u", 4L, 4L, 1.386296), ("v", 2L, 1L, 0.0)))
   }
+
+  test("dsirSelect: weights equal the independent LM recomputation; " +
+       "short docs drop; ties break by id; rank is 1..k") {
+    val dim = 16
+    val target = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the dog sat on the log"),
+      (3L, "en", "cat and dog sat"))
+    val pool = Seq(
+      (10L, "zz", "the cat sat on the mat today"),
+      (11L, "zz", "quantum flux capacitor array"),
+      (12L, "zz", "the dog sat"),
+      (13L, "zz", "the dog sat"), // identical text → tie with 12, id order
+      (14L, "zz", "single"))      // <2 tokens → no bigram, never selected
+    val docs = (target ++ pool).toDF("doc_id", "lang", "text")
+    val got = TextOps.dsirSelect(docs, "doc_id", "text",
+        isTarget = col("lang") === "en", dim = dim, k = 3)
+      .select("doc_id", "weight", "rank")
+      .as[(Long, Double, Long)].collect().toSeq
+
+    // independent recomputation of the whole formula (the oracle's tree)
+    def bucket(g: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % dim
+    }
+    def grams(t: String): Seq[String] = {
+      val w = t.split(" ", -1).toSeq
+      if (w.length < 2) Seq.empty else w.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    val tCnt = target.flatMap(d => grams(d._3)).groupBy(bucket)
+      .map { case (b, gs) => b -> gs.size.toLong }
+    val pCnt = pool.flatMap(d => grams(d._3)).groupBy(bucket)
+      .map { case (b, gs) => b -> gs.size.toLong }
+    val (tt, pt) = (tCnt.values.sum, pCnt.values.sum)
+    def lr(b: Long): Double = math.log(
+      ((tCnt.getOrElse(b, 0L) + 1).toDouble * (pt + dim).toDouble) /
+      ((pCnt.getOrElse(b, 0L) + 1).toDouble * (tt + dim).toDouble))
+    def weight(t: String): Double =
+      grams(t).groupBy(bucket).map { case (b, gs) =>
+        java.math.BigDecimal.valueOf(gs.size.toDouble * lr(b))
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+      }.reduce(_ add _).doubleValue
+    val expected = pool.filter(d => grams(d._3).nonEmpty)
+      .map(d => (d._1, weight(d._3)))
+      .sortBy { case (id, w) => (-w, id) }.take(3)
+      .zipWithIndex.map { case ((id, w), i) => (id, w, (i + 1).toLong) }
+    assert(got == expected, s"got $got, expected $expected")
+    // the tie pair got identical weights and the lower id ranks first
+    val w12 = weight("the dog sat")
+    assert(expected.count(_._2 == w12) >= 1)
+    assert(!got.exists(_._1 == 14L))
+  }
 }
