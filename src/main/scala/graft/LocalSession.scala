@@ -28,6 +28,20 @@ object LocalSession {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** tmpfs-backed root for test FIXTURES (binary lakes, stream-replay
+    * chunk dirs) — same rationale as spark.local.dir above, with a
+    * sharper measured edge: the q502 lake is ~15k small files, and
+    * building it on the VM's virtual disk both runs ~3-9× slower (53-173 s
+    * vs 19 s) and leaves an async kernel-writeback storm that steals
+    * 10-20% of the CPU from the next ~30 gates in suite order (the r9
+    * full-run q5xx inflation: q509 61 s in-suite vs 4.8 s re-run quiet —
+    * kworker CPU shows up in the exo channel but under the 0.25 gate).
+    * On tmpfs the build is memory-speed and there is no writeback at all.
+    * Falls back to java.io.tmpdir when /dev/shm is unavailable. */
+  def fixtureTmpRoot(): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      scratchDir().getOrElse(sys.props("java.io.tmpdir")))
+
   def build(cpus: String, appName: String = "graft"): SparkSession = {
     val b0 = SparkSession.builder()
       .master(s"local[$cpus]")

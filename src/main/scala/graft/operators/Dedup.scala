@@ -533,6 +533,98 @@ object Dedup {
     b1.join(nearDropIds, Seq(idCol), "left_anti")
   }
 
+  /** The persisted text-dedup index — the three write-once artifacts a
+    * long-lived ingest deployment stores so the corpus side of
+    * [[dedupAgainstCorpus]] is never re-derived per batch (the shape that
+    * operator's doc assumes): the normalized-fingerprint keys (exact
+    * phase), the banded MinHash table (candidate phase — `writeBucketed`
+    * on (band_id, band_hash) in a real lake so the batch join is
+    * shuffle-free on the corpus side), and the per-doc distinct shingle
+    * sets (verify phase). All three are LINEAR in the corpus and
+    * append-only under ingest: [[extendIndex]] is pure union — no
+    * recompute, no read-modify-write of standing artifacts. The one
+    * knob this index deliberately omits is the stop-shingle guard
+    * (maxDf): the hot set is a corpus-document-frequency statistic, so
+    * refreshing it is a compaction-time rebuild concern, not an
+    * append-time one — per-batch df would make successive batches'
+    * signatures incomparable (the dedupAgainstCorpus stop-shingle
+    * discipline). */
+  case class TextDedupIndex(fingerprints: DataFrame, bands: DataFrame,
+                            sets: DataFrame)
+
+  /** Build the standing index from a corpus (one scan per artifact; the
+    * tables are pinned because every subsequent batch reuses them — on a
+    * cluster they are parquet, here a localCheckpoint). */
+  def corpusIndex(corpus: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int = 3): TextDedupIndex = TextDedupIndex(
+    corpus.select(TextOps.fingerprint(col(textCol)).as("__fp"))
+      .localCheckpoint(eager = false),
+    minhashBandTable(corpus, idCol, textCol, shingleN)
+      .localCheckpoint(eager = false),
+    corpus.select(col(idCol),
+        TextOps.distinctShingles(TextOps.tokens(col(textCol)), shingleN)
+          .as("__sh"))
+      .localCheckpoint(eager = false))
+
+  /** Append newly-accepted documents to the standing index: three unions,
+    * nothing recomputed — the O(batch) maintenance that makes continuous
+    * dedup-at-ingest viable at corpus sizes where rebuilding the index
+    * (O(corpus)) per batch is not. */
+  def extendIndex(idx: TextDedupIndex, accepted: DataFrame, idCol: String,
+                  textCol: String, shingleN: Int = 3): TextDedupIndex =
+    TextDedupIndex(
+      idx.fingerprints.unionByName(
+        accepted.select(TextOps.fingerprint(col(textCol)).as("__fp"))),
+      idx.bands.unionByName(
+        minhashBandTable(accepted, idCol, textCol, shingleN)),
+      idx.sets.unionByName(
+        accepted.select(col(idCol),
+          TextOps.distinctShingles(TextOps.tokens(col(textCol)), shingleN)
+            .as("__sh"))))
+
+  /** [[dedupAgainstCorpus]] against a prebuilt [[TextDedupIndex]] — the
+    * SAME three phases and the SAME math (fingerprint anti-join, band
+    * equi-join, exact-Jaccard verify on full candidate shingle sets), but
+    * every corpus-side artifact comes from the index, so the per-batch
+    * cost is O(batch + collisions): the corpus is never rescanned.
+    * Equality with the from-scratch operator is the index's correctness
+    * contract (TextDedupSpec; the q515 oracle rebuilds both stages). */
+  def dedupAgainstIndex(idx: TextDedupIndex, batch: DataFrame,
+                        idCol: String, textCol: String,
+                        shingleN: Int = 3,
+                        threshold: Double = 0.5): DataFrame = {
+    val exactSurvivors = batch
+      .select(col(idCol), TextOps.fingerprint(col(textCol)).as("__fp"))
+      .join(idx.fingerprints, Seq("__fp"), "left_anti")
+      .select(idCol)
+    val b1 = batch.join(exactSurvivors, Seq(idCol), "left_semi")
+    val bBands = bandsFromSig(
+      sigAggFromShingles(docShingles(b1, idCol, textCol, shingleN, 0), idCol),
+      idCol).localCheckpoint(eager = false)
+    val cand = bBands.as("a").join(idx.bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash"))
+      .select(col(s"a.$idCol").as("batch_id"), col(s"b.$idCol").as("corpus_id"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val bIds = cand.select(col("batch_id").as(idCol)).distinct()
+    val cIds = cand.select(col("corpus_id").as(idCol)).distinct()
+    val bSets = b1.join(bIds, Seq(idCol), "left_semi")
+      .select(col(idCol).as("batch_id"),
+        TextOps.distinctShingles(TextOps.tokens(col(textCol)), shingleN).as("sh_a"))
+    val cSets = idx.sets.join(cIds, Seq(idCol), "left_semi")
+      .select(col(idCol).as("corpus_id"), col("__sh").as("sh_b"))
+    val nearDropIds = cand
+      .join(bSets, Seq("batch_id"))
+      .join(cSets, Seq("corpus_id"))
+      .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("c").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id").as(idCol)).distinct()
+    b1.join(nearDropIds, Seq(idCol), "left_anti")
+  }
+
   /** Corpus-size-adaptive band geometry for [[embeddingNearDups]].
     *
     * A FIXED band shape is the one quadratic trap in the banded-LSH

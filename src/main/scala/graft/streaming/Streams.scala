@@ -683,7 +683,11 @@ object Streams {
   }
 
   private def freshReplayDir(name: String): String = {
-    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_replay_$name")
+    // tmpfs-backed (LocalSession.fixtureTmpRoot): replay chunk writes on
+    // the VM disk leave async-writeback kernel CPU that pollutes the
+    // gates that follow in suite order
+    val dir = new java.io.File(
+      graft.LocalSession.fixtureTmpRoot().toFile, s"graft_replay_$name")
     def rm(f: java.io.File): Unit = {
       val kids = f.listFiles()
       if (kids != null) kids.foreach(rm)

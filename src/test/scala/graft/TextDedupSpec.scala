@@ -191,6 +191,51 @@ class TextDedupSpec extends SparkSuite {
     assert(outDf == Set(12L))
   }
 
+  test("dedupAgainstIndex == dedupAgainstCorpus; extendIndex == rebuilt index") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda CHANGED"
+    val near2 = "alpha beta gamma delta epsilon zeta eta theta iota kappa CHANGED2 mu"
+    val corpus = Seq(
+      (1L, base, "en"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve", "en")
+    ).toDF("doc_id", "text", "lang")
+    val chunkA = Seq(
+      (10L, base, "en"),  // exact dup of corpus 1 -> dropped
+      (11L, near, "en"),  // near dup of corpus 1 -> dropped
+      (12L, "zebra quokka wombat numbat dingo bilby kookaburra emu cassowary lyrebird", "en")
+    ).toDF("doc_id", "text", "lang")
+    val idx0 = Dedup.corpusIndex(corpus, "doc_id", "text")
+    // the index's correctness contract: same verdicts as the from-scratch form
+    val viaIdx = Dedup.dedupAgainstIndex(idx0, chunkA, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val viaScratch = Dedup.dedupAgainstCorpus(corpus, chunkA, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaIdx == viaScratch && viaIdx == Set(12L))
+    // chunk B: 20 near-dups doc 12 (an ACCEPTED chunk-A doc, not in the
+    // original corpus) and 21 is novel — only the maintained index drops 20
+    val chunkB = Seq(
+      (20L, "zebra quokka wombat numbat dingo bilby kookaburra emu cassowary NOVELTAIL", "en"),
+      (21L, near2, "en") // near dup of CORPUS doc 1 -> dropped either way
+    ).toDF("doc_id", "text", "lang")
+    val accepted = chunkA.filter(col("doc_id") === 12L)
+    val idx1 = Dedup.extendIndex(idx0, accepted, "doc_id", "text")
+    val seqOut = Dedup.dedupAgainstIndex(idx1, chunkB, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(seqOut == Set.empty[Long],
+      s"20 near-dups accepted 12, 21 near-dups corpus 1 — got $seqOut")
+    // the fixed-corpus form would have kept 20 (chunk-dependence is real)
+    val fixedOut = Dedup.dedupAgainstCorpus(corpus, chunkB, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(fixedOut == Set(20L))
+    // extension == rebuild: the incremental artifacts are value-identical
+    // to recomputing the index from the grown corpus
+    val rebuilt = Dedup.corpusIndex(corpus.unionByName(accepted), "doc_id", "text")
+    assert(idx1.fingerprints.exceptAll(rebuilt.fingerprints).isEmpty &&
+      rebuilt.fingerprints.exceptAll(idx1.fingerprints).isEmpty)
+    assert(idx1.bands.exceptAll(rebuilt.bands).isEmpty &&
+      rebuilt.bands.exceptAll(idx1.bands).isEmpty)
+  }
+
   test("unigramSurprisal matches a hand-computed corpus distribution") {
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     // counts: a=2, b=2, c=1, total=5; s(a)=s(b)=round(-ln(0.4),6)=0.916291,
