@@ -358,4 +358,20 @@ class CorpusStatsSpec extends SparkSuite {
     assert(expected.count(_._2 == w12) >= 1)
     assert(!got.exists(_._1 == 14L))
   }
+
+  test("dsirSelect edges: empty pool → empty output; empty target → uniform-smoothed LM still ranks") {
+    val docs = Seq((1L, "en", "a b c"), (2L, "en", "d e f"))
+      .toDF("doc_id", "lang", "text")
+    // everything is target → nothing to select from
+    assert(TextOps.dsirSelect(docs, "doc_id", "text",
+      isTarget = col("lang") === "en", dim = 16, k = 5).count() == 0)
+    // nothing is target → the target LM is the pure add-1 uniform; the
+    // selection must still be well-defined (no nulls, ranks 1..n)
+    val got = TextOps.dsirSelect(docs, "doc_id", "text",
+        isTarget = col("lang") === "xx", dim = 16, k = 5)
+      .select("doc_id", "weight", "rank")
+      .as[(Long, Double, Long)].collect().sortBy(_._3)
+    assert(got.length == 2 && got.map(_._3).toSeq == Seq(1L, 2L))
+    assert(got.forall(r => !r._2.isNaN && !r._2.isInfinite))
+  }
 }

@@ -236,6 +236,18 @@ class TextDedupSpec extends SparkSuite {
       rebuilt.bands.exceptAll(idx1.bands).isEmpty)
   }
 
+  test("dedupAgainstIndex: short docs (no shingles) — exact dup still drops, near-dup passes through") {
+    val corpus = Seq((1L, "tiny doc", "en")).toDF("doc_id", "text", "lang")
+    val idx = Dedup.corpusIndex(corpus, "doc_id", "text")
+    val batch = Seq(
+      (10L, "tiny doc", "en"),  // exact dup → fingerprint anti-join drops it
+      (11L, "tiny dog", "en"))  // 2 tokens < shingleN → no bands, survives
+    .toDF("doc_id", "text", "lang")
+    val out = Dedup.dedupAgainstIndex(idx, batch, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(11L), s"got $out")
+  }
+
   test("unigramSurprisal matches a hand-computed corpus distribution") {
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     // counts: a=2, b=2, c=1, total=5; s(a)=s(b)=round(-ln(0.4),6)=0.916291,
