@@ -612,6 +612,22 @@ object TextOps {
     * — never a global window, nothing corpus-sized on the driver. */
   def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
                  isTarget: Column, dim: Int = 64, k: Int = 100): DataFrame = {
+    val weights = dsirWeights(docs, idCol, textCol, isTarget, dim)
+    // TakeOrdered(k), THEN rank the k survivors (a k-row single partition
+    // by contract — the global window never sees the corpus)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("weight").desc, col(idCol))
+    weights.orderBy(col("weight").desc, col(idCol)).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** The DSIR weight table for EVERY pool document — (idCol, weight), no
+    * ranking, no window: the composable half of [[dsirSelect]], and the
+    * input to the published recipe's actual sampling step (see the q516
+    * gate: sampling-without-replacement ∝ exp(weight) via the audited
+    * deterministic Efraimidis–Spirakis sampler = Gumbel-top-k). */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, dim: Int = 64): DataFrame = {
     require(dim >= 2 && dim <= 65536, "bucket count must be in [2, 65536]")
     // pinned: the tokenize-explode-hash pass feeds three consumers (the
     // LM aggregate, its totals, and the weight join) — unpinned, each
@@ -643,18 +659,12 @@ object TextOps {
         log(((col("tc") + 1).cast("double") * (col("pt") + dim).cast("double")) /
           ((col("pc") + 1).cast("double") * (col("tt") + dim).cast("double")))
           .as("__lr"))
-    val weights = docBucket.filter(!col("__t"))
+    docBucket.filter(!col("__t"))
       .join(broadcast(ratio), col("bucket") === col("__rbucket"))
       .withColumn("__contrib",
         round(col("n").cast("double") * col("__lr"), 6).cast("decimal(18,6)"))
       .groupBy(col(idCol))
       .agg(sum(col("__contrib")).cast("double").as("weight"))
-    // TakeOrdered(k), THEN rank the k survivors (a k-row single partition
-    // by contract — the global window never sees the corpus)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("weight").desc, col(idCol))
-    weights.orderBy(col("weight").desc, col(idCol)).limit(k)
-      .withColumn("rank", row_number().over(w).cast("long"))
   }
 
   /** Duplicated-span statistics — exact substring dedup at token-window
