@@ -111,6 +111,7 @@ object Bench {
     ran: Seq[Double], preLoads: Seq[Double], postLoads: Seq[Double],
     preBusy: Seq[Double], postBusy: Seq[Double],
     exoCpu: Seq[Double], procCpu: Seq[Double], ioStall: Seq[Double],
+    calPre: Seq[Double], calPost: Seq[Double],
     heapMb: Long, metaMb: Long, codeMb: Long,
     certified: Boolean)
 
@@ -118,6 +119,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = LocalSession.build(cpus, "graft-bench")
+    // Round-10 calibration channel (the q111/q100 closer): a fixed
+    // pointer-chase whose quiet-host cost is committed as
+    // Calibration.RefMs, timed bracketing each heavy iteration. It
+    // catches the theft class every jiffies channel is blind to — a
+    // co-tenant/hypervisor making our jiffies do less work (wall 5×,
+    // exo ≈ 0, the r8/r9 signature) — validated by ThrashCheck:
+    // in-process contention at exo = 0.001 inflated real 32-thread work
+    // 4.0× and the probe 4.5× (trips), while quiet ratio sits at 1.00.
+    Calibration.warm()
     // Warm the JVM once on tiny tables (codegen compiler, parquet reader,
     // shuffle machinery) so the first measured query doesn't absorb one-time
     // session costs.
@@ -156,7 +166,8 @@ object Bench {
       "q452_stream_full_interval_join", "q466_stream_transform_with_state", "q467_stream_session_timers", "q470_stream_lastk_path", "q471_stream_type_counts", "q480_stream_seeded_count",
       "q254_stream_rate_limit", "q261_stream_restart_exactly_once",
       "q510_stream_multimodal_ingest", "q512_stream_incremental_dedup",
-      "q514_stream_ann_serve",
+      "q514_stream_ann_serve", "q518_ivf_persist_serve",
+      "q519_stream_ivm_replay",
       "q134_stream_session_agg", "q137_stream_enrich", "q138_stream_file_sink",
       "q163_stream_heavy_hitters", "q442_stream_geojson")
     // Single-gate mode (diagnosis): `sbt "runMain graft.Bench q252"` (or the
@@ -219,6 +230,16 @@ object Bench {
       val exoCpu = scala.collection.mutable.ArrayBuffer.empty[Double]
       val procCpu = scala.collection.mutable.ArrayBuffer.empty[Double]
       val ioStall = scala.collection.mutable.ArrayBuffer.empty[Double]
+      // Calibration brackets (round-10): effective-speed ratio
+      // (probe ms / Calibration.RefMs) sampled immediately before and
+      // after each iteration, once the gate has shown a ≥1.5 s iteration
+      // (same trigger as the busy brackets; the probe costs ~92 ms, so
+      // it would double the sub-second tail's wall for nothing).
+      // -2 = deliberately unsampled. Certification of a heavy iteration
+      // now REQUIRES quiet calibration on both sides — the channel that
+      // sees invisible CPU theft (wall inflated, jiffies clean).
+      val calPre = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val calPost = scala.collection.mutable.ArrayBuffer.empty[Double]
       val ncores = Runtime.getRuntime.availableProcessors().toDouble
       var sampleBusy = false
       var ok = true
@@ -252,6 +273,7 @@ object Bench {
         if (times.nonEmpty && times.last >= 1.5) { System.gc(); Thread.sleep(50) }
         preLoads += loadavg()
         preBusy += (if (sampleBusy) busyFrac() else -2.0)
+        calPre += (if (sampleBusy) Calibration.ratio() else -2.0)
         val (hb0, ht0) = try cpuJiffies() catch { case scala.util.control.NonFatal(_) => (-1L, -1L) }
         val pc0 = procCpuNanos()
         val io0 = ioStallMicros()
@@ -275,6 +297,7 @@ object Bench {
                    else math.max(0.0, hostFrac - pFrac))
         ioStall += (if (io0 < 0 || io1 < io0 || wallNs <= 0) -1.0
                     else math.min(1.0, (io1 - io0) * 1000.0 / wallNs))
+        calPost += (if (sampleBusy) Calibration.ratio() else -2.0)
         postBusy += (if (sampleBusy) busyFrac() else -2.0)
         postLoads += loadavg()
         if (!sampleBusy && times.last >= 1.5) sampleBusy = true
@@ -308,20 +331,33 @@ object Bench {
       // neighbour that's busy exactly while we run (r8 q111); this can, and
       // it can't false-trip on self-load because our own CPU subtracts out.
       // -1 (channel unavailable) degrades to the round-8 behaviour.
+      // Round-10 fourth channel, required for EVERY certified heavy
+      // iteration: quiet CALIBRATION brackets. The exo/busy/load channels
+      // are all jiffies accounting, and the r8/r9 q111/q100 contamination
+      // (wall 5× steady, exo ≈ 0 — theft from outside the guest) is
+      // invisible to all of them by construction; the probe measures
+      // effective machine speed directly. An iteration without
+      // calibration samples (-2: the gate's sampling regime starts after
+      // its first ≥1.5 s iteration, so for any gate that NEEDS bracket
+      // certification that is only iteration 1) cannot certify — the
+      // reported steady then comes from a calibrated-quiet iteration, a
+      // certified upper bound (the existing quiet-min philosophy).
       def bracketQuiet(j: Int): Boolean = {
         val busyOk = preBusy(j) >= 0 && preBusy(j) <= busyThresh &&
           postBusy(j) >= 0 && postBusy(j) <= busyThresh
         val loadOk = preLoads(j) >= 0 && preLoads(j) <= quietThresh &&
           postLoads(j) >= 0 && postLoads(j) <= quietThresh
         val exoOk = exoCpu(j) < 0 || exoCpu(j) <= busyThresh
-        exoOk && (busyOk || loadOk)
+        val calOk = calPre(j) >= 0 && calPre(j) <= Calibration.TripRatio &&
+          calPost(j) >= 0 && calPost(j) <= Calibration.TripRatio
+        exoOk && calOk && (busyOk || loadOk)
       }
       def quietIdxs = times.indices.filter(bracketQuiet)
       var extras = 0
       while (ok && times.min >= 2.0 && extras < 5 && quietIdxs.isEmpty) {
         val backoffMs = math.min(10000L << extras, 60000L)
         val waitMs = math.min(backoffMs, Bench.sleepBudgetMs)
-        System.err.println(f"[bench] $name retry ${extras + 1} for a bracketed-quiet iteration (pre ${preLoads.map(l => f"$l%.1f").mkString(",")} post ${postLoads.map(l => f"$l%.1f").mkString(",")}; waiting ${waitMs / 1000}%d s)")
+        System.err.println(f"[bench] $name retry ${extras + 1} for a bracketed-quiet iteration (pre ${preLoads.map(l => f"$l%.1f").mkString(",")} post ${postLoads.map(l => f"$l%.1f").mkString(",")} cal ${calPre.map(c => f"$c%.2f").mkString(",")}; waiting ${waitMs / 1000}%d s)")
         if (waitMs > 0) { Thread.sleep(waitMs); Bench.sleepBudgetMs -= waitMs }
         runOnce(); extras += 1
       }
@@ -342,12 +378,16 @@ object Bench {
       val exoMax = exoCpu.filter(_ >= 0) match {
         case b if b.isEmpty => -1.0; case b => b.max
       }
+      val calMax = (calPre ++ calPost).filter(_ >= 0) match {
+        case b if b.isEmpty => -1.0; case b => b.max
+      }
       System.err.println(
-        f"[bench] $name%-24s cold $cold%8.2f s  steady $steady%8.2f s  load $load0%5.1f->$load1%5.1f  exo $exoMax%5.2f" +
+        f"[bench] $name%-24s cold $cold%8.2f s  steady $steady%8.2f s  load $load0%5.1f->$load1%5.1f  exo $exoMax%5.2f  cal $calMax%5.2f" +
           (if (!ok) "  FAILED" else if (!certified) "  UNCERTIFIED" else ""))
       GateResult(name, cold, steady, ok, ran, preLoads.toSeq, postLoads.toSeq,
         preBusy.toSeq, postBusy.toSeq, exoCpu.toSeq, procCpu.toSeq,
-        ioStall.toSeq, heapMb, metaMb, codeMb, certified)
+        ioStall.toSeq, calPre.toSeq, calPost.toSeq,
+        heapMb, metaMb, codeMb, certified)
     }
     def fmt(d: Double) = f"$d%.3f"
     def fmt2(d: Double) = f"$d%.2f"
@@ -415,6 +455,17 @@ object Bench {
     val exoCpuM = seqMap(_.exoCpu)
     val procCpuM = seqMap(_.procCpu)
     val ioStallM = seqMap(_.ioStall)
+    // calibration brackets (round-10): effective-speed ratio probe/RefMs
+    // per iteration side (-2 = unsampled fast gate); plus the run-wide
+    // minimum sampled ratio — if even the QUIETEST probe of the whole run
+    // sits well above 1, the host baseline drifted vs commissioning
+    // (slower VM generation), which reads differently from per-gate bursts
+    val calPreM = seqMap(_.calPre)
+    val calPostM = seqMap(_.calPost)
+    val calMinRatio = results.flatMap(r => r.calPre ++ r.calPost)
+      .filter(_ >= 0) match {
+      case s if s.isEmpty => -1.0; case s => s.min
+    }
     // post-hygiene JVM state per gate (MB): driver-state-accumulation evidence
     def jvmMap(f: GateResult => Long) =
       results.map(r => "\"" + shortKey(r.name) + "\":" + f(r)).mkString("{", ",", "}")
@@ -441,7 +492,7 @@ object Bench {
       if (only.isEmpty) ""
       else only.toSeq.sorted.map("\"" + _ + "\"").mkString(""","filter":[""", ",", "]")
     val detail =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","iters":$iters$filterField,"names":$names,"steady":$steadies,"cold_total":${fmt2(coldTotal)},"cold":$colds,"iter_times":$iterTimes,"loadavg_1m":$loads,"loadavg_post":$loadsPost,"busy_pre":$busyPre,"busy_post":$busyPost,"exo_cpu":$exoCpuM,"proc_cpu_sec":$procCpuM,"io_stall":$ioStallM,"jvm_heap_mb":$jvmHeap,"jvm_meta_mb":$jvmMeta,"jvm_code_mb":$jvmCode,"failed":$failed,"uncertified":$uncertified,"excluded_harness":$excluded,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","iters":$iters$filterField,"names":$names,"steady":$steadies,"cold_total":${fmt2(coldTotal)},"cold":$colds,"iter_times":$iterTimes,"loadavg_1m":$loads,"loadavg_post":$loadsPost,"busy_pre":$busyPre,"busy_post":$busyPost,"exo_cpu":$exoCpuM,"proc_cpu_sec":$procCpuM,"io_stall":$ioStallM,"cal_pre":$calPreM,"cal_post":$calPostM,"cal_ref_ms":${Calibration.RefMs},"cal_trip":${Calibration.TripRatio},"cal_min_ratio":${fmt(calMinRatio)},"jvm_heap_mb":$jvmHeap,"jvm_meta_mb":$jvmMeta,"jvm_code_mb":$jvmCode,"failed":$failed,"uncertified":$uncertified,"excluded_harness":$excluded,"sf":"$sfDir"}"""
     val defaultDetail =
       if (only.isEmpty) "BENCH_DETAIL.json" else "BENCH_DETAIL_FILTERED.json"
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", defaultDetail)

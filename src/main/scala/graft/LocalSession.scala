@@ -42,7 +42,36 @@ object LocalSession {
     java.nio.file.Paths.get(
       scratchDir().getOrElse(sys.props("java.io.tmpdir")))
 
+  /** Sweep STALE fixture dirs off the tmpfs root at session build. The
+    * `graft_fix_*` roots are uniquely named per JVM and deleted by
+    * SparkEntry's shutdown hook — but a hard-killed JVM (driver timeout,
+    * kill -9) never runs its hook, and on a shared VM the q502-sized
+    * lakes (~15k RAM-backed files each) would otherwise accumulate until
+    * reboot and pressure the very memory the benchmark depends on
+    * (round-9 advice). Age-guarded at 30 min so a concurrently-running
+    * sibling JVM's live fixtures are never touched (runs on this rig are
+    * sequential and a verify/bench process lives well under that). */
+  private def sweepStaleFixtures(): Unit =
+    try {
+      val root = fixtureTmpRoot().toFile
+      val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
+      val kids = root.listFiles()
+      if (kids != null) kids.foreach { d =>
+        val stale = (d.getName.startsWith("graft_fix_") ||
+          d.getName.startsWith("graft_replay_")) &&
+          d.lastModified() < cutoff
+        if (stale) {
+          def rm(f: java.io.File): Unit = {
+            val sub = f.listFiles(); if (sub != null) sub.foreach(rm)
+            f.delete(): Unit
+          }
+          rm(d)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   def build(cpus: String, appName: String = "graft"): SparkSession = {
+    sweepStaleFixtures()
     val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)

@@ -14,6 +14,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * DataFrame, so partition discovery / predicate pushdown stay with the
   * parquet source (Catalyst `PushDownPredicates`, `PruneFileSourcePartitions`
   * replace the reference's 22 B-tree indexes, init.sql:166-204).
+  *
+  * FIXTURE-LAYER INVARIANT (Bench hygiene contract): no fixture or catalog
+  * layer may memoize a LOCALLY-CHECKPOINTED DataFrame across gate
+  * invocations. Bench's between-iteration sweep unpersists every
+  * materialized local checkpoint in the context (they are dead garbage
+  * when each gate invocation creates fresh ones — the round-9 q509 IID
+  * fix), and a checkpoint cached here would lose its blocks mid-suite
+  * with a confusing missing-block error. Memoize PATHS (this object,
+  * SparkEntry.cachedFixture) or plain plans — never checkpointed RDDs.
   */
 object Tables {
   val all: Seq[String] = Seq(

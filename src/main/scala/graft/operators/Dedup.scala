@@ -552,19 +552,97 @@ object Dedup {
   case class TextDedupIndex(fingerprints: DataFrame, bands: DataFrame,
                             sets: DataFrame)
 
+  /** The three index artifacts of a document set, as lazy plans — the one
+    * derivation [[corpusIndex]] (session-pinned) and [[writeIndex]]
+    * (persisted) share, so the in-session and storage-backed forms can
+    * never drift. */
+  private def indexArtifacts(docs: DataFrame, idCol: String, textCol: String,
+                             shingleN: Int): (DataFrame, DataFrame, DataFrame) = (
+    docs.select(TextOps.fingerprint(col(textCol)).as("__fp")),
+    minhashBandTable(docs, idCol, textCol, shingleN),
+    docs.select(col(idCol),
+      TextOps.distinctShingles(TextOps.tokens(col(textCol)), shingleN)
+        .as("__sh")))
+
   /** Build the standing index from a corpus (one scan per artifact; the
     * tables are pinned because every subsequent batch reuses them — on a
     * cluster they are parquet, here a localCheckpoint). */
   def corpusIndex(corpus: DataFrame, idCol: String, textCol: String,
-                  shingleN: Int = 3): TextDedupIndex = TextDedupIndex(
-    corpus.select(TextOps.fingerprint(col(textCol)).as("__fp"))
-      .localCheckpoint(eager = false),
-    minhashBandTable(corpus, idCol, textCol, shingleN)
-      .localCheckpoint(eager = false),
-    corpus.select(col(idCol),
-        TextOps.distinctShingles(TextOps.tokens(col(textCol)), shingleN)
-          .as("__sh"))
-      .localCheckpoint(eager = false))
+                  shingleN: Int = 3): TextDedupIndex = {
+    val (fp, bands, sets) = indexArtifacts(corpus, idCol, textCol, shingleN)
+    TextDedupIndex(fp.localCheckpoint(eager = false),
+      bands.localCheckpoint(eager = false),
+      sets.localCheckpoint(eager = false))
+  }
+
+  /** PERSIST the standing index: the three write-once artifacts as
+    * bucketed parquet tables, each bucketed (and sorted) on exactly the
+    * key its per-batch probe joins on — fingerprints on __fp (the exact
+    * anti-join), bands on (band_id, band_hash) (the candidate equi-join),
+    * sets on the id (the verify-phase semi/equi joins). At 100 TB this is
+    * the point of the index: the corpus-sized side of every probe join is
+    * ALREADY hash-partitioned on the join key, so a batch dedup shuffles
+    * only the batch (Round10OpsSpec asserts the index-side exchange is
+    * absent from the plan). A `<prefix>_meta` row records the build size
+    * for [[rebuildDue]]. */
+  def writeIndex(corpus: DataFrame, idCol: String, textCol: String,
+                 prefix: String, shingleN: Int = 3, buckets: Int = 32): Unit = {
+    val (fp, bands, sets) = indexArtifacts(corpus, idCol, textCol, shingleN)
+    graft.sources.Sources.writeBucketed(fp, s"${prefix}_fp", buckets, Seq("__fp"))
+    graft.sources.Sources.writeBucketed(bands, s"${prefix}_bands", buckets,
+      Seq("band_id", "band_hash"))
+    graft.sources.Sources.writeBucketed(sets, s"${prefix}_sets", buckets, Seq(idCol))
+    val spark = corpus.sparkSession
+    graft.sources.Sources.dropTableAndLocation(spark, s"${prefix}_meta")
+    spark.table(s"${prefix}_fp").groupBy().count()
+      .select(col("count").as("build_rows"))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+  }
+
+  /** Reload a persisted index in any session sharing the catalog — the
+    * session-boundary half of the q515 story: nothing of the index
+    * survives in memory, every probe join reads the bucketed tables. */
+  def readIndex(spark: org.apache.spark.sql.SparkSession,
+                prefix: String): TextDedupIndex = TextDedupIndex(
+    spark.table(s"${prefix}_fp"),
+    spark.table(s"${prefix}_bands"),
+    spark.table(s"${prefix}_sets"))
+
+  /** O(batch) maintenance of the PERSISTED index: append the accepted
+    * documents' three artifact tables — the corpus tables are never read,
+    * never rewritten (each append lands as new files per bucket; Spark
+    * keeps the bucket spec, so probe joins stay co-located). The
+    * compaction counterpart is [[rebuildDue]]: appended files accumulate
+    * and the stop-shingle statistics staleness grows with the appended
+    * fraction, so a deployment rebuilds (writeIndex from the full corpus)
+    * when the index has outgrown its build size. */
+  def appendIndex(accepted: DataFrame, idCol: String, textCol: String,
+                  prefix: String, shingleN: Int = 3, buckets: Int = 32): Unit = {
+    val (fp, bands, sets) = indexArtifacts(accepted, idCol, textCol, shingleN)
+    def app(df: DataFrame, table: String, keys: Seq[String]): Unit =
+      df.write.mode("append").format("parquet")
+        .bucketBy(buckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .saveAsTable(table)
+    app(fp, s"${prefix}_fp", Seq("__fp"))
+    app(bands, s"${prefix}_bands", Seq("band_id", "band_hash"))
+    app(sets, s"${prefix}_sets", Seq(idCol))
+  }
+
+  /** Rebuild policy for the persisted index: true when the extended index
+    * has outgrown its last full build by `factor` — the point where (a)
+    * per-bucket file counts from appends start to dominate scan cost and
+    * (b) the frozen stop-shingle/band statistics are a corpus ago stale
+    * (the TextDedupIndex doc's compaction-time concern). One count
+    * aggregate on the fingerprint table vs the recorded build size —
+    * metadata-light, safe to evaluate per ingest cycle. */
+  def rebuildDue(spark: org.apache.spark.sql.SparkSession, prefix: String,
+                 factor: Double = 3.0): Boolean = {
+    require(factor > 1.0, "factor must exceed 1 (a fresh index never rebuilds)")
+    val built = spark.table(s"${prefix}_meta").head().getLong(0)
+    val now = spark.table(s"${prefix}_fp").count()
+    now > built * factor
+  }
 
   /** Append newly-accepted documents to the standing index: three unions,
     * nothing recomputed — the O(batch) maintenance that makes continuous

@@ -235,6 +235,56 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** PERSIST the IVF inverted lists: the corpus assigned to its coarse
+    * cell and written PARTITIONED BY cell — the vector-store layout where
+    * each cell is a directory, so serving a query reads ONLY its `nprobe`
+    * cell partitions and the rest of a 100 TB corpus is never opened
+    * (partition pruning at the scan, asserted structurally in
+    * Round10OpsSpec). Write-once per corpus version; the storage half of
+    * the q514 ANN-serving story (q518). */
+  def writeIvfLists(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroidMatrix: Array[Array[Double]], path: String): Unit =
+    corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("nvec"))
+      .withColumn("cell", element_at(
+        exprColumn(graft.functions.TopDotIndices(
+          asExpr(col("nvec")), centroidMatrix, 1)), 1))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Serve one (small) query batch from persisted IVF lists: compute each
+    * query's `nprobe` probe cells, collect the DISTINCT cell set to the
+    * driver — bounded by nprobe × |batch|, and the batch is small by the
+    * serving contract (this is the fit-sized collect class, not a data
+    * collect) — then scan only those partitions as literal partition
+    * predicates and rank candidates by exact cosine. Identical math and
+    * tie-breaks to [[ivfKnnSeeded]]/`ivfSearch`, so results are
+    * batching-independent and the persisted path shares the q45 oracle. */
+  def serveIvfFromLists(spark: org.apache.spark.sql.SparkSession, path: String,
+                        queries: DataFrame, idCol: String, vecCol: String,
+                        k: Int, centroidMatrix: Array[Array[Double]],
+                        nprobe: Int, dim: Int): DataFrame = {
+    def topCells(vec: Column, n: Int): Column =
+      exprColumn(graft.functions.TopDotIndices(asExpr(vec), centroidMatrix, n))
+    val q0 = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qvec"))
+      .withColumn("cell", explode(topCells(col("qvec"), nprobe)))
+    val probeCells: Array[Int] = q0.select("cell").distinct()
+      .collect().map(_.getInt(0))
+    val lists = spark.read.parquet(path)
+      .filter(col("cell").isin(probeCells.map(Integer.valueOf).toSeq: _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val sim = if (dim > 0) cosineU(col("qvec"), col("nvec"), dim)
+              else cosine(col("qvec"), col("nvec"))
+    lists.join(broadcast(q0), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), sim.as("sim"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** LSH-bucketed ANN: join query probes and corpus on bucket, rank within
     * the probed candidate set. The corpus is bucketed once (per-row
     * expression); only the broadcast query side fans out to its multi-probe

@@ -36,6 +36,21 @@ object Sources {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** Drop a managed table AND its on-disk location. With the in-memory
+    * catalog, a managed table written by a PREVIOUS JVM leaves its
+    * warehouse directory behind while the fresh catalog knows nothing of
+    * it — `saveAsTable` then fails LOCATION_ALREADY_EXISTS even in
+    * overwrite mode. Call before any cross-JVM-reused managed-table
+    * write. */
+  def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh,
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path)) fs.delete(path, true): Unit
+  }
+
   /** Bucketed table write — the co-located-join layout for repeated
     * fact⋈fact joins at scale. Two tables bucketed (and sorted) by the same
     * key into the same bucket count join with NO Exchange on either side:
@@ -44,11 +59,13 @@ object Sources {
     * on every FK (init.sql:166-204) — you pre-organize the layout the join
     * needs. BucketingSpec asserts the shuffle-free plan. */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
-                    keys: Seq[String]): Unit =
+                    keys: Seq[String]): Unit = {
+    dropTableAndLocation(df.sparkSession, table)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+  }
 
   /** S13 — structured JSON-lines log sink (reference:
     * shared/utils/__init__.py:95-140; middleware request logs). One JSON

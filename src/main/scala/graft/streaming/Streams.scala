@@ -1338,6 +1338,52 @@ object Streams {
     spark.read.parquet(s"$dir/out/b*")
   }
 
+  /** Streamed IVM replay (round-10): the signed-delta batches of a
+    * materialized additive view arrive as `chunks` micro-batches; each
+    * foreachBatch merges its batch into the CURRENT persisted view
+    * version via the SAME audited operator (Incremental.mergeAggDelta)
+    * and writes the next — view_{b+1} = merge(view_b, batch_b), the
+    * nightly-refresh loop run continuously. Versioned writes keyed by
+    * batchId make replays idempotent (a re-delivered batch b rewrites
+    * v_{b+1} from the same v_b — the q512 exactly-once discipline). The
+    * merge algebra is associative over batches and deletes are genuine
+    * base rows (a group's count reaching 0 implies its sums reach 0), so
+    * the final version equals the one-shot merge and the gate shares
+    * q444's from-scratch recompute oracle. The base table is never read
+    * in ANY refresh — each micro-batch costs O(|batch| + touched
+    * groups). */
+  def replayedIvmMerge(spark: SparkSession, view0: DataFrame, delta: DataFrame,
+                       keys: Seq[String], cntCol: String, sumCols: Seq[String],
+                       chunkKey: org.apache.spark.sql.Column, chunks: Int,
+                       name: String): DataFrame = {
+    val dir = freshReplayDir(name)
+    view0.write.mode("overwrite").parquet(s"$dir/view/v0")
+    val tagged = delta.withColumn("__c", pmod(chunkKey, lit(chunks)))
+    (0 until chunks).foreach { i =>
+      tagged.filter(col("__c") === i).drop("__c")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/in/c$i")
+    }
+    val expectedRows = delta.count()
+    val stream = spark.readStream.schema(tagged.drop("__c").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in/c*")
+    val qname = s"graft_gate_${name}_${replaySeq.incrementAndGet()}"
+    drainStream(spark, qname, expectedRows) {
+      stream.writeStream
+        .queryName(qname)
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (mb: DataFrame, batchId: Long) =>
+          val cur = spark.read.parquet(s"$dir/view/v$batchId")
+          graft.operators.Incremental
+            .mergeAggDelta(cur, mb, keys, cntCol, sumCols)
+            .write.mode("overwrite").parquet(s"$dir/view/v${batchId + 1}")
+        }
+        .start()
+    }
+    spark.read.parquet(s"$dir/view/v$chunks")
+  }
+
   private def drainStream(spark: SparkSession, qname: String, expectedRows: Long)(
       start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val rowsSeen = new java.util.concurrent.atomic.AtomicLong(0)
