@@ -764,15 +764,25 @@ object Dedup {
     // verify (same two-phase shape as minhashVerifiedPairs).
     val vecs = df.select(col(idCol), v.as("v"))
     // the same lineage-cut + verify-prefilter discipline as
-    // minhashVerifiedPairs: pin the band table so the projection/explode
-    // subtree runs once per action (not once per self-join side), pin the
-    // tiny candidate-pair set, and semi-join the vectors down to candidate
-    // ids so the two verify joins carry |candidate docs| vectors, not the
+    // minhashVerifiedPairs: pin the band table so the projection subtree
+    // runs once per action (not once per self-join side), pin the tiny
+    // candidate-pair set, and semi-join the vectors down to candidate ids
+    // so the two verify joins carry |candidate docs| vectors, not the
     // whole corpus.
-    val banded = df.select(col(idCol),
-      posexplode(Similarity.bandBuckets(v, dim, nBands, rowsPerBand))
-        .as(Seq("band_id", "bucket")))
+    //
+    // The pin holds the COMPACT per-doc form (one row per doc with the
+    // bucket array) and each self-join side re-explodes it: pinning the
+    // exploded table stores N·nBands object rows, and at the decade scale
+    // point (495k docs × 105 bands = 52M cached rows) the pin-write cost
+    // measured 2830 CPU-s with per-row cost itself inflating ~5× under
+    // GC pressure — vs ~100 CPU-s for the N-row compact pin + a re-run
+    // posexplode per side (flop-free; the expensive hyperplane projection
+    // stays behind the pin either way). Round-10 decade-curve finding.
+    val bandTable = df.select(col(idCol),
+        Similarity.bandBuckets(v, dim, nBands, rowsPerBand).as("__bkts"))
       .localCheckpoint(eager = false)
+    val banded = bandTable.select(col(idCol),
+      posexplode(col("__bkts")).as(Seq("band_id", "bucket")))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band_id") === col("b.band_id") &&
         col("a.bucket") === col("b.bucket") &&

@@ -24,17 +24,25 @@ import org.apache.spark.sql.functions._
   *     coordinate permutation (rotation), so within-copy cosines are
   *     EXACTLY preserved and cross-copy vectors decorrelate.
   *
-  * Usage: runMain graft.tools.ScaleUp [srcDir] [outDir] [factor]
+  * Usage: runMain graft.tools.ScaleUp [srcDir] [outDir] [factor] [tables]
+  * — `tables` (optional, comma-separated) restricts generation to a
+  * subset, for decade-scale fixtures of a single table family (round-10:
+  * customer ×33 / documents ×100 for the q509/q515 decade curve; a full
+  * ×100 lineitem would cost minutes of write for tables those gates
+  * never read).
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_testdata/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val wanted: Set[String] = args.lift(3)
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
     val spark = graft.LocalSession.build("32", "graft-scaleup")
 
     def load(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     def save(t: String, df: DataFrame, parts: Int): Unit = {
+      if (wanted.nonEmpty && !wanted(t)) return
       df.repartition(parts).write.mode("overwrite").parquet(s"$out/$t.parquet")
       System.err.println(s"[scaleup] $t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
     }
