@@ -620,7 +620,10 @@ object Dedup {
                   prefix: String, shingleN: Int = 3, buckets: Int = 32): Unit = {
     val (fp, bands, sets) = indexArtifacts(accepted, idCol, textCol, shingleN)
     def app(df: DataFrame, table: String, keys: Seq[String]): Unit =
-      df.write.mode("append").format("parquet")
+      // pre-partition to the bucket hash: one new file per non-empty
+      // bucket per append, not (tasks × buckets) — see writeBucketed
+      df.repartition(buckets, keys.map(df.col): _*)
+        .write.mode("append").format("parquet")
         .bucketBy(buckets, keys.head, keys.tail: _*)
         .sortBy(keys.head, keys.tail: _*)
         .saveAsTable(table)

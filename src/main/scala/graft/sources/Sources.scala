@@ -61,7 +61,14 @@ object Sources {
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
                     keys: Seq[String]): Unit = {
     dropTableAndLocation(df.sparkSession, table)
-    df.write.mode("overwrite").format("parquet")
+    // repartition on the bucket keys FIRST: bucketBy writes one file per
+    // (task, non-empty bucket), so N input partitions × B buckets is up to
+    // N·B small files per write — the small-files problem bucketing is
+    // supposed to prevent. Pre-partitioned to the bucket hash, each bucket
+    // is one task's data → exactly one file per bucket (q517 measured
+    // ~130 files/table → 32).
+    df.repartition(buckets, keys.map(df.col): _*)
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
