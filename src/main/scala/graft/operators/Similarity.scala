@@ -250,6 +250,21 @@ object Similarity {
           asExpr(col("nvec")), centroidMatrix, 1)), 1))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** O(batch) maintenance of the persisted IVF lists: assign the new
+    * vectors to their cells with the SAME quantizer and append — each
+    * row lands as new files inside its existing cell directory, the
+    * corpus partitions are never read or rewritten (the vector-store
+    * analog of Dedup.appendIndex). Serving sees appended vectors
+    * immediately because pruning is by directory, not by file
+    * manifest. */
+  def appendIvfLists(more: DataFrame, idCol: String, vecCol: String,
+                     centroidMatrix: Array[Array[Double]], path: String): Unit =
+    more.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("nvec"))
+      .withColumn("cell", element_at(
+        exprColumn(graft.functions.TopDotIndices(
+          asExpr(col("nvec")), centroidMatrix, 1)), 1))
+      .write.mode("append").partitionBy("cell").parquet(path)
+
   /** Serve one (small) query batch from persisted IVF lists: compute each
     * query's `nprobe` probe cells, collect the DISTINCT cell set to the
     * driver — bounded by nprobe × |batch|, and the batch is small by the

@@ -164,6 +164,32 @@ class Round10OpsSpec extends SparkSuite {
     }
   }
 
+  test("appendIvfLists: build + append serves the one-shot full-corpus answer") {
+    val e = Tables.embeddings(spark, sf)
+    val cents = Similarity.seededCentroids(8, 64)
+    val dir = java.nio.file.Files.createTempDirectory(
+      LocalSession.fixtureTmpRoot(), "graft_fix_r10ivfapp").toString
+    try {
+      Similarity.writeIvfLists(e.filter(col("vec_id") % 3 =!= 0),
+        "vec_id", "embedding", cents, dir)
+      Similarity.appendIvfLists(e.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", cents, dir)
+      val queries = e.filter(col("vec_id") < 10).select("vec_id", "embedding")
+      val served = Similarity.serveIvfFromLists(spark, dir, queries, "vec_id",
+          "embedding", k = 5, cents, nprobe = 2, dim = 64)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      val oneShot = Similarity.ivfKnnSeeded(e, queries, "vec_id", "embedding",
+          k = 5, nCentroids = 8, nprobe = 2, dim = 64)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(served == oneShot,
+        "the maintained lake must serve the full-corpus answer")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   // ---- streamed IVM: per-chunk merge associativity ----
 
   test("chunked signed-delta merges equal the one-shot merge, incl. group resurrection") {
