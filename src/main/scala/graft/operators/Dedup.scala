@@ -148,17 +148,24 @@ object Dedup {
     * by construction, so no quadratic key at scale. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, maxDf: Long = 0): DataFrame = {
-    // Lazily materialize the band table (one (id, band, hash) row × Bands per
-    // doc — the LSH "index", orders of magnitude smaller than the corpus) so
-    // the corpus-wide shingle explode + df-guard + signature agg upstream of
-    // it executes exactly ONCE per action: without the cut, each side of the
-    // self-join re-runs the whole subtree whenever ReuseExchange fails to
-    // fire, which measured as 2-4× within-JVM variance on q36/q53.
+    // Lazily materialize the band table (the LSH "index", orders of
+    // magnitude smaller than the corpus) so the corpus-wide shingle
+    // explode + df-guard + signature agg upstream of it executes exactly
+    // ONCE per action: without the cut, each side of the self-join
+    // re-runs the whole subtree whenever ReuseExchange fails to fire,
+    // which measured as 2-4× within-JVM variance on q36/q53.
     // `eager = false` keeps this operator lazy (no action at build time);
     // the checkpoint materializes on first execution and both join sides
-    // share the pinned RDD.
-    val bt = minhashBandTable(docs, idCol, textCol, shingleN, maxDf)
+    // share the pinned RDD. The pin holds the COMPACT per-doc band ARRAY
+    // (one row per doc, bands precomputed — the explode after the pin is
+    // flop-free), not the exploded N×Bands row form: caching Bands× the
+    // row objects is the GC-amplified pin cost the round-10 decade curve
+    // measured on embeddingNearDups (same pattern, same fix).
+    val bandArr = minhashSignatureAgg(docs, idCol, textCol, shingleN, maxDf)
+      .select(col(idCol), bandHashes(col("sig")).as("__bands"))
       .localCheckpoint(eager = false)
+    val bt = bandArr.select(col(idCol),
+      posexplode(col("__bands")).as(Seq("band_id", "band_hash")))
     bt.as("a").join(bt.as("b"),
         col("a.band_id") === col("b.band_id") &&
         col("a.band_hash") === col("b.band_hash") &&

@@ -213,9 +213,47 @@ class Round10OpsSpec extends SparkSuite {
     assert(m(stepwise) == Set(("A", 1L, 7.0), ("B", 1L, 5.0)))
   }
 
+  // ---- round-10 edges ----
+
+  test("serveIvfFromLists: an empty query batch serves an empty result") {
+    val e = Tables.embeddings(spark, sf)
+    val cents = Similarity.seededCentroids(8, 64)
+    val dir = java.nio.file.Files.createTempDirectory(
+      LocalSession.fixtureTmpRoot(), "graft_fix_r10empty").toString
+    try {
+      Similarity.writeIvfLists(e.limit(100), "vec_id", "embedding", cents, dir)
+      val none = e.filter(col("vec_id") < 0).select("vec_id", "embedding")
+      assert(Similarity.serveIvfFromLists(spark, dir, none, "vec_id",
+        "embedding", k = 5, cents, nprobe = 2, dim = 64).count() == 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("dedupAgainstIndex: empty batch survives (empty), empty-ish degenerate index passes all") {
+    Dedup.writeIndex(tinyDocs(10), "doc_id", "text", prefix = "graft_r10ed")
+    try {
+      val idx = Dedup.readIndex(spark, "graft_r10ed")
+      val empty = tinyDocs(0)
+      assert(Dedup.dedupAgainstIndex(idx, empty, "doc_id", "text").count() == 0)
+      // an index built over docs too short to shingle (no bands, no sets
+      // beyond empties) must pass a fresh batch through intact
+      Dedup.writeIndex(
+        Seq((1L, "tiny", "en")).toDF("doc_id", "text", "lang"),
+        "doc_id", "text", prefix = "graft_r10dg")
+      val fresh = tinyDocs(5, offset = 700)
+      assert(Dedup.dedupAgainstIndex(Dedup.readIndex(spark, "graft_r10dg"),
+        fresh, "doc_id", "text").count() == 5)
+    } finally {
+      Seq("graft_r10ed", "graft_r10dg").foreach(p =>
+        Seq("_fp", "_bands", "_sets", "_meta").foreach(sfx =>
+          spark.sql(s"DROP TABLE IF EXISTS $p$sfx")))
+    }
+  }
+
   // ---- calibration probe ----
 
-  test("calibration probe: fixed work, sane quiet ratio, full-cycle chase") {
+  test("calibration probe: fixed work, sane quiet ratio") {
     Calibration.warm()
     val ms = Calibration.probeMs()
     assert(ms > 0, "probe must measure")
