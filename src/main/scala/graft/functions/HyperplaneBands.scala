@@ -22,24 +22,31 @@ import org.apache.spark.unsafe.types.UTF8String
   * constant-size generated code, whole-stage codegen, per-row cost
   * O(B·r·dim) flops with no boxing.
   */
-case class HyperplaneBands(child: Expression, dim: Int, nBands: Int, rowsPerBand: Int)
+case class HyperplaneBands(child: Expression, dim: Int, nBands: Int,
+                           rowsPerBand: Int, packed: Boolean = false)
     extends UnaryExpression {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType =
+    if (packed) ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+    else ArrayType(StringType, containsNull = false)
   override def prettyName: String = "hyperplane_bands"
 
   @transient private lazy val weights: Array[Array[Double]] =
     HyperplaneBands.weightMatrix(dim, nBands * rowsPerBand)
 
   override def nullSafeEval(input: Any): Any =
-    HyperplaneBands.compute(input.asInstanceOf[ArrayData], weights, dim, nBands, rowsPerBand)
+    if (packed)
+      HyperplaneBands.computePacked(input.asInstanceOf[ArrayData], weights, dim, nBands, rowsPerBand)
+    else
+      HyperplaneBands.compute(input.asInstanceOf[ArrayData], weights, dim, nBands, rowsPerBand)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = HyperplaneBands.getClass.getName.stripSuffix("$") + "$.MODULE$"
     val wRef = ctx.addReferenceObj("hyperplaneWeights", weights, "double[][]")
+    val method = if (packed) "computePacked" else "compute"
     nullSafeCodeGen(ctx, ev, vec =>
       s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)" +
-        s"$cls.compute($vec, $wRef, $dim, $nBands, $rowsPerBand);")
+        s"$cls.$method($vec, $wRef, $dim, $nBands, $rowsPerBand);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -80,6 +87,39 @@ object HyperplaneBands {
         r += 1
       }
       out(b) = UTF8String.fromString(new String(bits))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Bit-packed variant: band b's bucket is a LONG whose bit r (LSB-first)
+    * is plane (b·rowsPerBand + r)'s sign bit — a bijection of the string
+    * form's characters, so any partition of rows by bucket (the LSH
+    * candidate structure) is IDENTICAL; only the join-key representation
+    * changes (8-byte fixed-width vs a rowsPerBand-char string — less
+    * shuffle, cheaper hash/compare, no per-band string allocation).
+    * Requires rowsPerBand ≤ 63 (callers assert; log2-adaptive shapes
+    * reach 63 bits at ~3×10¹⁹ docs). */
+  def computePacked(v: ArrayData, w: Array[Array[Double]], dim: Int,
+                    nBands: Int, rowsPerBand: Int): ArrayData = {
+    val n = math.min(dim, v.numElements())
+    val x = new Array[Double](n)
+    var j = 0
+    while (j < n) { x(j) = v.getDouble(j); j += 1 }
+    val out = new Array[Any](nBands)
+    var b = 0
+    while (b < nBands) {
+      var bucket = 0L
+      var r = 0
+      while (r < rowsPerBand) {
+        val wp = w(b * rowsPerBand + r)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += x(i) * wp(i); i += 1 }
+        if (s >= 0) bucket |= (1L << r)
+        r += 1
+      }
+      out(b) = java.lang.Long.valueOf(bucket)
       b += 1
     }
     new GenericArrayData(out)

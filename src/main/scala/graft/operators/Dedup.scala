@@ -788,8 +788,11 @@ object Dedup {
     // GC pressure — vs ~100 CPU-s for the N-row compact pin + a re-run
     // posexplode per side (flop-free; the expensive hyperplane projection
     // stays behind the pin either way). Round-10 decade-curve finding.
+    // packed LONG buckets (bijective to the string form — same candidate
+    // partition, 8-byte join keys instead of rowsPerBand-char strings on
+    // the N·nBands-row self-join, the operator's dominant shuffle)
     val bandTable = df.select(col(idCol),
-        Similarity.bandBuckets(v, dim, nBands, rowsPerBand).as("__bkts"))
+        Similarity.bandBucketsPacked(v, dim, nBands, rowsPerBand).as("__bkts"))
       .localCheckpoint(eager = false)
     val banded = bandTable.select(col(idCol),
       posexplode(col("__bkts")).as(Seq("band_id", "bucket")))

@@ -147,6 +147,19 @@ object Similarity {
   def bandBuckets(vec: Column, dim: Int, nBands: Int, rowsPerBand: Int): Column =
     exprColumn(graft.functions.HyperplaneBands(asExpr(vec), dim, nBands, rowsPerBand))
 
+  /** Bit-packed [[bandBuckets]]: identical sign bits, bucket = LONG (bit r
+    * = plane r's sign, LSB-first) — a bijection of the string form, so the
+    * candidate partition any LSH join derives is unchanged while the join
+    * key becomes 8 fixed bytes instead of a rowsPerBand-char string (less
+    * shuffle, cheaper hash/compare, no per-band string allocation). For
+    * join-internal use; the string form stays the multi-probe/SQL surface
+    * (probeBuckets flips characters, oracles reproduce bit strings). */
+  def bandBucketsPacked(vec: Column, dim: Int, nBands: Int, rowsPerBand: Int): Column = {
+    require(rowsPerBand <= 63, s"packed buckets hold ≤63 bits, got $rowsPerBand")
+    exprColumn(graft.functions.HyperplaneBands(asExpr(vec), dim, nBands,
+      rowsPerBand, packed = true))
+  }
+
   /** Hamming-≤radius probe set of a sign-bit bucket string: the bucket plus
     * every combination of up to `radius` bit flips. Multi-probe recovers
     * neighbors lost across hyperplane boundaries at the cost of Σ C(p,r)×

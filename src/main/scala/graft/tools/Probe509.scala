@@ -42,7 +42,7 @@ object Probe509 {
     // embeddingNearDups fix (pinning the exploded N·nBands table cost
     // 2830 CPU-s at 495k docs from cached-object GC pressure)
     val bandTable = feats.select(col("doc_id"),
-        Similarity.bandBuckets(Similarity.asDouble(col("vec")), 512, nb, rpb)
+        Similarity.bandBucketsPacked(Similarity.asDouble(col("vec")), 512, nb, rpb)
           .as("__bkts"))
       .localCheckpoint(eager = false)
     Probe.time("banding (compact pin write)")(bandTable.count())

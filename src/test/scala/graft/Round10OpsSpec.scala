@@ -251,6 +251,24 @@ class Round10OpsSpec extends SparkSuite {
     }
   }
 
+  test("bandBucketsPacked is the bit-packed bijection of bandBuckets") {
+    val vecs = (1 to 50).map(i =>
+      Tuple1(Array.tabulate(16)(j => math.sin(i * 37.0 + j)))).toDF("v")
+    val both = vecs.select(
+        Similarity.bandBuckets(col("v"), 16, 4, 9).as("s"),
+        Similarity.bandBucketsPacked(col("v"), 16, 4, 9).as("p"))
+      .as[(Seq[String], Seq[Long])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (s, p) =>
+      assert(s.length == 4 && p.length == 4)
+      s.zip(p).foreach { case (str, packed) =>
+        val expect = str.zipWithIndex
+          .map { case (c, r) => if (c == '1') 1L << r else 0L }.sum
+        assert(packed == expect, s"string $str vs packed $packed")
+      }
+    }
+  }
+
   // ---- calibration probe ----
 
   test("calibration probe: fixed work, sane quiet ratio") {
