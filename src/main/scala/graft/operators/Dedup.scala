@@ -608,12 +608,21 @@ object Dedup {
 
   /** Reload a persisted index in any session sharing the catalog — the
     * session-boundary half of the q515 story: nothing of the index
-    * survives in memory, every probe join reads the bucketed tables. */
+    * survives in memory, every probe join reads the bucketed tables.
+    * Each table is REFRESHED first: the session catalog caches a
+    * table's resolved relation (file listing included), so without the
+    * refresh a reload after [[appendIndex]] in the SAME session would
+    * silently serve the pre-append file list — chunk B would dedup
+    * against the un-extended index (caught by q521: 2 extra survivors). */
   def readIndex(spark: org.apache.spark.sql.SparkSession,
-                prefix: String): TextDedupIndex = TextDedupIndex(
-    spark.table(s"${prefix}_fp"),
-    spark.table(s"${prefix}_bands"),
-    spark.table(s"${prefix}_sets"))
+                prefix: String): TextDedupIndex = {
+    Seq("_fp", "_bands", "_sets").foreach(sfx =>
+      spark.catalog.refreshTable(s"$prefix$sfx"))
+    TextDedupIndex(
+      spark.table(s"${prefix}_fp"),
+      spark.table(s"${prefix}_bands"),
+      spark.table(s"${prefix}_sets"))
+  }
 
   /** O(batch) maintenance of the PERSISTED index: append the accepted
     * documents' three artifact tables — the corpus tables are never read,

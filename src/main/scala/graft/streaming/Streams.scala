@@ -1338,6 +1338,61 @@ object Streams {
     spark.read.parquet(s"$dir/out/b*")
   }
 
+  /** Streamed dedup-at-ingest against the PERSISTED standing index
+    * (round-10): each micro-batch (1) dedups against the index tables as
+    * they stand — the SAME audited Dedup.dedupAgainstIndex, reloaded per
+    * batch so nothing is served from session memory, (2) appends its
+    * survivors' three artifacts (O(batch) — Dedup.appendIndex), and (3)
+    * writes survivors per batchId. This is the full production ingest
+    * loop: stream + storage-backed index + incremental maintenance in
+    * one path; batches arriving in chunk order make survivorship
+    * chunk-DEPENDENT exactly like the q515 oracle (a later near-dup of
+    * an earlier survivor drops). Replay safety: a re-delivered batch
+    * re-appends its artifacts, and duplicate index rows are SEMANTICALLY
+    * idempotent for dedup — the fingerprint anti-join, the DISTINCT
+    * band candidates, and the verify (whose drop-set is distinct'd) all
+    * give identical survivors against duplicated rows — while the
+    * survivor outputs overwrite per batchId as everywhere else. */
+  def replayedIndexIngest(spark: SparkSession, prefix: String,
+                          batchDocs: DataFrame, chunkKey: org.apache.spark.sql.Column,
+                          chunks: Int, name: String): DataFrame = {
+    val base = batchDocs.select(col("doc_id"), col("text"), col("lang"))
+    val dir = freshReplayDir(name)
+    val tagged = base.withColumn("__c", pmod(chunkKey, lit(chunks)))
+      .localCheckpoint(eager = false) // chunks written one at a time below
+    // Chunk files are APPENDED between processAllAvailable calls (the
+    // replayedGeoJsonStream discipline), NOT pre-written: survivorship
+    // against a maintained index is ORDER-dependent (a chunk-B near-dup
+    // of a chunk-A survivor must drop), and a file source's listing
+    // order over a pre-populated directory is not a sequencing contract.
+    val stream = spark.readStream.schema(base.schema)
+      .parquet(s"$dir/in/c*")
+    val qname = s"graft_gate_${name}_${replaySeq.incrementAndGet()}"
+    val q = stream.writeStream
+      .queryName(qname)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (mb: DataFrame, batchId: Long) =>
+        val surv = graft.operators.Dedup
+          .dedupAgainstIndex(graft.operators.Dedup.readIndex(spark, prefix),
+            mb, "doc_id", "text")
+          .localCheckpoint(eager = false) // feeds the append AND the sink
+        surv.select("doc_id", "lang")
+          .write.mode("overwrite").parquet(s"$dir/out/b$batchId")
+        graft.operators.Dedup.appendIndex(surv, "doc_id", "text", prefix)
+      }
+      .start()
+    try {
+      (0 until chunks).foreach { i =>
+        tagged.filter(col("__c") === i).drop("__c")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/in/c$i")
+        q.processAllAvailable()
+      }
+      q.exception.foreach(throw _)
+    } finally q.stop()
+    spark.read.parquet(s"$dir/out/b*")
+  }
+
   /** Streamed IVM replay (round-10): the signed-delta batches of a
     * materialized additive view arrive as `chunks` micro-batches; each
     * foreachBatch merges its batch into the CURRENT persisted view
