@@ -1439,6 +1439,17 @@ object Streams {
     spark.read.parquet(s"$dir/view/v$chunks")
   }
 
+  /** Drain a replay query: block on the ENGINE's own primitive —
+    * processAllAvailable returns only after every batch over the listed
+    * input has COMMITTED (foreachBatch body included). The previous
+    * implementation polled a listener's input-row counter and stopped
+    * the query once the count reached the expected total; progress
+    * events ride an async bus, and ~half of fresh-JVM q518 runs stopped
+    * the query between the count reaching its target and the LAST
+    * batch's sink commit — the final output directory simply never
+    * appeared (caught by q518's 35-of-50-row flake, round 10). The
+    * listener remains as a post-drain sanity check that the source
+    * actually listed every chunk (grace-waited, the bus is async). */
   private def drainStream(spark: SparkSession, qname: String, expectedRows: Long)(
       start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val rowsSeen = new java.util.concurrent.atomic.AtomicLong(0)
@@ -1454,12 +1465,13 @@ object Streams {
     spark.streams.addListener(listener)
     val query = start
     try {
-      val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
-      while (rowsSeen.get() < expectedRows && System.nanoTime() < deadline &&
-          query.isActive) Thread.sleep(50)
+      query.processAllAvailable()
       query.exception.foreach(throw _)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (rowsSeen.get() < expectedRows && System.nanoTime() < deadline)
+        Thread.sleep(50)
       require(rowsSeen.get() >= expectedRows,
-        s"replay $qname timed out: saw ${rowsSeen.get()} of $expectedRows input rows")
+        s"replay $qname under-read: saw ${rowsSeen.get()} of $expectedRows input rows")
     } finally {
       query.stop()
       spark.streams.removeListener(listener)
