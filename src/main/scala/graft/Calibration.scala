@@ -12,9 +12,16 @@ package graft
   * the guest kernel hands us the same jiffies, but each jiffy does less
   * work. No /proc counter can see it — only a SPEED measurement can.
   *
-  * The probe (`probeMs`): a single-threaded pointer-chase over a 64 MiB
+  * The probe (`probeMs`): a single-threaded pointer-chase over a 32 MiB
   * random cycle — every load depends on the previous one, so the loop
-  * measures DRAM LATENCY plus scheduling/frequency effects. Latency
+  * measures DRAM LATENCY plus scheduling/frequency effects. The 32 MiB
+  * working set assumes the LLC is comfortably smaller; on a host whose
+  * LLC approaches 32 MiB the chase turns cache-resident and loses the
+  * DRAM-bandwidth-theft arm (RefMs=92 ms on the commissioning rig shows
+  * the walk does miss to DRAM there — ~176 ns/load). If RefMs is ever
+  * recommissioned on new hardware (ThrashCheck quiet arm), re-check that
+  * the quiet probe cost implies DRAM-latency-class loads, and double `M`
+  * if it does not. Latency
   * degrades superlinearly as contention pushes the memory controller
   * toward saturation (queuing), and any descheduling of the probe thread
   * inflates the wall directly; a register-only spinner would be blind to
@@ -35,8 +42,8 @@ package graft
   */
 object Calibration {
   // ---- pointer-chase (certification probe) ----
-  /** 8 Mi ints = 32 MiB of indices over a 64 MiB working set walk —
-    * far larger than any plausible LLC, so steps miss to DRAM. */
+  /** 8 Mi ints = a 32 MiB working set — larger than the commissioning
+    * rig's LLC, so steps miss to DRAM (see object doc's LLC caveat). */
   private val M = 8 * 1024 * 1024
   private val ChaseSteps = 1 << 19
   private lazy val nxt: Array[Int] = {
@@ -63,6 +70,31 @@ object Calibration {
   /** Effective-speed ratio above which a window is contaminated (the
     * verdict's ~1.2 bar plus measured quiet spread headroom). */
   val TripRatio: Double = 1.25
+
+  /** RUN-level verdict bar (round-11): the per-bracket [[TripRatio]]
+    * catches bursts, but a UNIFORMLY ~1.3×-slow driver window sits under
+    * every per-iteration trip while inflating all 32-thread work (the
+    * r10 q111/q502 residual: suite probe median 1.125 vs 1.05 on a quiet
+    * run of the same code). When the run's sampled probe MEDIAN exceeds
+    * this, Bench stamps the artifact `run_degraded` so a reader can
+    * separate "code got slower" from "host was slower" without a quiet
+    * re-run. Bar placement: quiet-run medians sit ≈1.0–1.05 once the
+    * post-iteration probe settles (min-of-2, [[settledRatio]]); the
+    * degraded windows observed are ≥1.12. */
+  val RunDegradedRatio: Double = 1.10
+
+  /** Min of two probes separated by a short settle — the certification
+    * sample shape. A single probe taken immediately after a measured
+    * 32-thread iteration can catch the gate's OWN trailing activity (GC
+    * of the just-finished heap, async executor cleanup) and false-trip
+    * the channel (only conservative, but it burns the global sleep
+    * budget on spurious retries). Genuine external theft spans both
+    * samples, so the min still trips. */
+  def settledRatio(): Double = {
+    val r1 = ratio()
+    Thread.sleep(60)
+    math.min(r1, ratio())
+  }
 
   /** Time [[ChaseSteps]] dependent loads on the calling thread (ms). */
   def probeMs(): Double = {

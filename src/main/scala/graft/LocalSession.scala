@@ -42,24 +42,65 @@ object LocalSession {
     java.nio.file.Paths.get(
       scratchDir().getOrElse(sys.props("java.io.tmpdir")))
 
+  /** Heartbeat for LIVE fixture roots (round-11, advisor fix): aging a
+    * root by its own mtime only sees direct-child churn, so a sibling JVM
+    * alive longer than the sweep age (full bench/verify rounds run hours)
+    * whose cached lake was built early would have it deleted out from
+    * under it by any newly-launched JVM (probe tools included). Every
+    * root this JVM creates registers here; a daemon thread re-touches a
+    * `.graft_heartbeat` file in each every 5 min, and the sweep ages a
+    * root by max(root mtime, heartbeat mtime) — a live owner's roots are
+    * therefore never older than 5 min, while a hard-killed JVM's
+    * heartbeat goes stale and its roots sweep as before. */
+  private val liveRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val HeartbeatName = ".graft_heartbeat"
+  private def touchHeartbeats(): Unit = liveRoots.forEach { r =>
+    try {
+      val d = new java.io.File(r)
+      if (d.isDirectory) {
+        val f = new java.io.File(d, HeartbeatName)
+        f.createNewFile(): Unit
+        f.setLastModified(System.currentTimeMillis()): Unit
+      } else liveRoots.remove(r): Unit
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+  private val heartbeatStarted =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  def registerFixtureRoot(path: String): Unit = {
+    liveRoots.add(path): Unit
+    touchHeartbeats()
+    if (heartbeatStarted.compareAndSet(false, true)) {
+      val t = new Thread(() => {
+        while (true) { Thread.sleep(5L * 60 * 1000); touchHeartbeats() }
+      }, "graft-fixture-heartbeat")
+      t.setDaemon(true)
+      t.start()
+    }
+  }
+
   /** Sweep STALE fixture dirs off the tmpfs root at session build. The
     * `graft_fix_*` roots are uniquely named per JVM and deleted by
     * SparkEntry's shutdown hook — but a hard-killed JVM (driver timeout,
     * kill -9) never runs its hook, and on a shared VM the q502-sized
     * lakes (~15k RAM-backed files each) would otherwise accumulate until
     * reboot and pressure the very memory the benchmark depends on
-    * (round-9 advice). Age-guarded at 30 min so a concurrently-running
-    * sibling JVM's live fixtures are never touched (runs on this rig are
-    * sequential and a verify/bench process lives well under that). */
+    * (round-9 advice). Age-guarded at 30 min on max(root mtime,
+    * [[HeartbeatName]] mtime) so a concurrently-running sibling JVM's
+    * live fixtures are never touched however long that JVM has been up
+    * (see [[registerFixtureRoot]]). */
   private def sweepStaleFixtures(): Unit =
     try {
       val root = fixtureTmpRoot().toFile
       val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
       val kids = root.listFiles()
       if (kids != null) kids.foreach { d =>
+        val freshest =
+          math.max(d.lastModified(),
+            new java.io.File(d, HeartbeatName).lastModified())
         val stale = (d.getName.startsWith("graft_fix_") ||
           d.getName.startsWith("graft_replay_")) &&
-          d.lastModified() < cutoff
+          freshest < cutoff
         if (stale) {
           def rm(f: java.io.File): Unit = {
             val sub = f.listFiles(); if (sub != null) sub.foreach(rm)

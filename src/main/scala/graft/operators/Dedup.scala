@@ -658,6 +658,11 @@ object Dedup {
   def rebuildDue(spark: org.apache.spark.sql.SparkSession, prefix: String,
                  factor: Double = 3.0): Boolean = {
     require(factor > 1.0, "factor must exceed 1 (a fresh index never rebuilds)")
+    // refresh first: the catalog caches the file listing, and a same-
+    // session count after appendIndex would otherwise see the pre-append
+    // size and silently defer the rebuild (the readIndex lesson applied
+    // to the policy check itself — advisor, round 10)
+    spark.catalog.refreshTable(s"${prefix}_fp")
     val built = spark.table(s"${prefix}_meta").head().getLong(0)
     val now = spark.table(s"${prefix}_fp").count()
     now > built * factor

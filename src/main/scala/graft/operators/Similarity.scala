@@ -256,12 +256,21 @@ object Similarity {
     * Round10OpsSpec). Write-once per corpus version; the storage half of
     * the q514 ANN-serving story (q518). */
   def writeIvfLists(corpus: DataFrame, idCol: String, vecCol: String,
-                    centroidMatrix: Array[Array[Double]], path: String): Unit =
+                    centroidMatrix: Array[Array[Double]], path: String): Unit = {
     corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("nvec"))
       .withColumn("cell", element_at(
         exprColumn(graft.functions.TopDotIndices(
           asExpr(col("nvec")), centroidMatrix, 1)), 1))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    // record the BUILD-time cell histogram (underscore dir: hidden from
+    // every data scan) — the baseline [[rebalanceDue]] measures drift
+    // against. Counts come from parquet footers, not a data read.
+    val spark = corpus.sparkSession
+    spark.read.parquet(path).groupBy("cell")
+      .agg(count(lit(1)).as("n_built"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_build_hist")
+  }
 
   /** O(batch) maintenance of the persisted IVF lists: assign the new
     * vectors to their cells with the SAME quantizer and append — each
@@ -277,6 +286,90 @@ object Similarity {
         exprColumn(graft.functions.TopDotIndices(
           asExpr(col("nvec")), centroidMatrix, 1)), 1))
       .write.mode("append").partitionBy("cell").parquet(path)
+
+  private def lakeFs(spark: org.apache.spark.sql.SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** The lake's cell ids, from the directory layout alone. */
+  def ivfCells(spark: org.apache.spark.sql.SparkSession,
+               path: String): Seq[Int] = {
+    val (fs, p) = lakeFs(spark, path)
+    fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map(_.getPath.getName.stripPrefix("cell=").toInt)
+      .sorted
+  }
+
+  /** Data files inside one cell directory — the compaction metric. */
+  def cellFileCount(spark: org.apache.spark.sql.SparkSession, path: String,
+                    cell: Int): Int = {
+    val (fs, p) = lakeFs(spark, path)
+    val d = new org.apache.hadoop.fs.Path(p, s"cell=$cell")
+    if (!fs.exists(d)) 0
+    else fs.listStatus(d).count { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  /** Compact the listed cell DIRECTORIES in place: each
+    * [[appendIvfLists]] lands one-or-more new files per touched cell,
+    * and small files are a scan-cost tax every probe of that cell pays
+    * forever after. Per cell: read the directory, rewrite as one file
+    * into a dot-prefixed staging dir (invisible to concurrent scans),
+    * swap. Pure layout — same rows, same directory, so pruning and
+    * serving answers are unchanged by construction (q523 proves it on
+    * the q45 oracle). Per-cell and incremental: unlisted cells are
+    * never read or rewritten, which is what makes compaction schedulable
+    * at 100 TB (compact the hot appended cells, not the lake). */
+  def compactIvfLists(spark: org.apache.spark.sql.SparkSession, path: String,
+                      cells: Seq[Int]): Unit = {
+    val (fs, p) = lakeFs(spark, path)
+    cells.foreach { c =>
+      val cellDir = new org.apache.hadoop.fs.Path(p, s"cell=$c")
+      val staging = new org.apache.hadoop.fs.Path(p, s".compact_cell=$c")
+      if (fs.exists(cellDir)) {
+        spark.read.parquet(cellDir.toString).coalesce(1)
+          .write.mode("overwrite").parquet(staging.toString)
+        fs.delete(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"), false): Unit
+        fs.delete(cellDir, true): Unit
+        fs.rename(staging, cellDir): Unit
+      }
+    }
+  }
+
+  /** Rebalance policy for the persisted lake — the vector-store analog
+    * of Dedup.rebuildDue, with a sharper failure mode behind it: the
+    * quantizer (centroid matrix) was trained on the BUILD corpus, and
+    * appends assign new vectors to the NEAREST STALE centroid, so as the
+    * appended fraction grows, cells drift from the training distribution
+    * — hot cells stop pruning (a probe reads an ever-bigger share of the
+    * lake) and new-region vectors pile into whichever old cell is least
+    * wrong. Due when the lake outgrew its build by `factor`, when any
+    * single cell did (hot-spot skew), or when a cell that was EMPTY at
+    * build is now populated (vectors from a region the training never
+    * saw). Firing signals a RETRAIN+rewrite — which changes assignments
+    * and therefore answers, a deployment decision — not [[compactIvfLists]],
+    * which is answer-preserving layout folding. Counts on both sides
+    * come from parquet footers (count-only aggregates), no vector data
+    * is read. */
+  def rebalanceDue(spark: org.apache.spark.sql.SparkSession, path: String,
+                   factor: Double = 3.0): Boolean = {
+    require(factor > 1.0, "factor must exceed 1 (a fresh lake never fires)")
+    val built = spark.read.parquet(s"$path/_build_hist")
+    val now = spark.read.parquet(path).groupBy("cell")
+      .agg(count(lit(1)).as("n_now"))
+    val drift = now.join(built, Seq("cell"), "full_outer")
+      .select(coalesce(col("n_now"), lit(0L)).as("n_now"),
+        coalesce(col("n_built"), lit(0L)).as("n_built"))
+      .filter(col("n_now") > col("n_built") * factor or
+        (col("n_built") === 0 && col("n_now") > 0))
+    val totals = now.agg(sum(col("n_now"))).head().getLong(0)
+    val builtTotal = built.agg(sum(col("n_built"))).head().getLong(0)
+    totals > builtTotal * factor || !drift.isEmpty
+  }
 
   /** Serve one (small) query batch from persisted IVF lists: compute each
     * query's `nprobe` probe cells, collect the DISTINCT cell set to the

@@ -42,6 +42,22 @@ object Sources {
     * it — `saveAsTable` then fails LOCATION_ALREADY_EXISTS even in
     * overwrite mode. Call before any cross-JVM-reused managed-table
     * write. */
+  /** Count the DATA files under a managed table's location (hidden `_`/`.`
+    * entries excluded) — the compaction evidence for the maintained-index
+    * and IVF-lake rebuild policies: appends accumulate files, a rebuild
+    * folds them back to one per bucket (q522/q523 gates assert on it). */
+  def tableDataFileCount(spark: SparkSession, table: String): Int = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh,
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) 0
+    else fs.listStatus(path).count { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
   def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val wh = spark.conf.get("spark.sql.warehouse.dir")

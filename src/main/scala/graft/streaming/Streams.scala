@@ -694,6 +694,9 @@ object Streams {
       f.delete(): Unit
     }
     rm(dir)
+    // heartbeat-registered: a replay dir is written and read across the
+    // gate's whole run and must survive a sibling JVM's stale sweep
+    graft.LocalSession.registerFixtureRoot(dir.getAbsolutePath)
     dir.getAbsolutePath
   }
 
@@ -744,7 +747,7 @@ object Streams {
     * I/O is inherent to a replay harness and confined to it: the operators
     * under test stay pure stream transforms. */
   def replayedFinalState(spark: SparkSession, events: DataFrame, chunks: Int,
-                         name: String)(
+                         name: String, processingTimeTimeout: Boolean = false)(
       op: (SparkSession, DataFrame) => Dataset[KeyState]): DataFrame = {
     val base = events.select(col("event_id"), col("ts"), col("user_id"),
       col("event_type"), col("value"))
@@ -759,7 +762,7 @@ object Streams {
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$dir/c*")
     val qname = s"graft_gate_${name}_${replaySeq.incrementAndGet()}"
-    drainStream(spark, qname, expectedRows) {
+    drainStream(spark, qname, expectedRows, processingTimeTimeout) {
       op(spark, stream).toDF()
         .writeStream.format("memory").queryName(qname)
         // pace the timeout-check idle loop instead of spinning back-to-back
@@ -1203,15 +1206,6 @@ object Streams {
       .limit(n)
   }
 
-  /** Start a streaming query and block until it has CONSUMED `expectedRows`
-    * input rows, then stop it. Completion is detected by input-row count via
-    * a listener, NOT `processAllAvailable()`: under ProcessingTimeTimeout
-    * (the T5 operator) FlatMapGroupsWithStateExec.shouldRunAnotherBatch is
-    * always true — processing time always advances, so empty timeout-check
-    * batches run back-to-back forever and `noNewData` never latches;
-    * processAllAvailable would hang. Each progress event is published after
-    * its batch's sink commit, so rows-seen == rows-written means the sink
-    * table is complete. */
   /** §3.4 replay gate — the reference's ASYNC upload flow (file lands in
     * the shared volume, a worker validates/extracts/records it:
     * services/file-service/main.py:75-169 + the Celery/Redis declaration,
@@ -1439,39 +1433,92 @@ object Streams {
     spark.read.parquet(s"$dir/view/v$chunks")
   }
 
-  /** Drain a replay query: block on the ENGINE's own primitive —
-    * processAllAvailable returns only after every batch over the listed
-    * input has COMMITTED (foreachBatch body included). The previous
-    * implementation polled a listener's input-row counter and stopped
-    * the query once the count reached the expected total; progress
-    * events ride an async bus, and ~half of fresh-JVM q518 runs stopped
-    * the query between the count reaching its target and the LAST
-    * batch's sink commit — the final output directory simply never
-    * appeared (caught by q518's 35-of-50-row flake, round 10). The
-    * listener remains as a post-drain sanity check that the source
-    * actually listed every chunk (grace-waited, the bus is async). */
-  private def drainStream(spark: SparkSession, qname: String, expectedRows: Long)(
+  /** Hard ceiling on any single replay drain. A drain that takes longer
+    * than this at sf0.1 is a harness bug, not a slow query — fail loudly
+    * rather than hang the Verify runner. */
+  private[graft] val DrainDeadlineMs = 300000L
+
+  /** Drain a replay query — THE authoritative drain semantics (the only
+    * comment describing them; keep it that way).
+    *
+    * Two completion signals exist and each is wrong for the other class:
+    *
+    *  - `processingTimeTimeout = false` (default): block on the ENGINE's
+    *    own primitive — `processAllAvailable` returns only after every
+    *    batch over the listed input has COMMITTED (foreachBatch body
+    *    included). A listener-latch drain is NOT sufficient here: progress
+    *    events ride an async bus, and ~half of fresh-JVM q518 runs stopped
+    *    the query between the input-row count reaching its target and the
+    *    LAST batch's sink commit — the final output directory simply never
+    *    appeared (q518's 35-of-50-row flake, round 10). The listener
+    *    remains as a post-drain sanity check that the source actually
+    *    listed every chunk (grace-waited, the bus is async). PAA runs on a
+    *    helper thread joined against [[DrainDeadlineMs]] so a misclassified
+    *    query fails loudly instead of hanging forever.
+    *
+    *  - `processingTimeTimeout = true` (the T5 gate): `processAllAvailable`
+    *    NEVER RETURNS — under GroupStateTimeout.ProcessingTimeTimeout,
+    *    FlatMapGroupsWithStateExec.shouldRunAnotherBatch is always true
+    *    (processing time always advances), so empty timeout-check batches
+    *    run on every trigger forever and `noNewData` never latches (this
+    *    hung the whole round-10 Verify run at q72). Completion instead:
+    *    latch the listener's input-row count at `expectedRows`, then wait
+    *    for a progress event of a batch that committed with
+    *    `numInputRows == 0` at-or-after the latch. Progress events publish
+    *    AFTER their batch's sink commit and batches are sequential, so an
+    *    empty batch committing once all input rows were counted proves
+    *    every listed input batch committed first — the same commit-race
+    *    guarantee PAA gives, without waiting on a latch that never fires. */
+  private[graft] def drainStream(spark: SparkSession, qname: String, expectedRows: Long,
+                                 processingTimeTimeout: Boolean = false)(
       start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val rowsSeen = new java.util.concurrent.atomic.AtomicLong(0)
+    @volatile var emptyCommitAfterLatch = false
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
-        if (e.progress.name == qname) rowsSeen.addAndGet(e.progress.numInputRows): Unit
+        if (e.progress.name == qname) {
+          val n = e.progress.numInputRows
+          if (rowsSeen.addAndGet(n) >= expectedRows && n == 0)
+            emptyCommitAfterLatch = true
+        }
       override def onQueryTerminated(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
     spark.streams.addListener(listener)
     val query = start
     try {
-      query.processAllAvailable()
-      query.exception.foreach(throw _)
-      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      while (rowsSeen.get() < expectedRows && System.nanoTime() < deadline)
-        Thread.sleep(50)
-      require(rowsSeen.get() >= expectedRows,
-        s"replay $qname under-read: saw ${rowsSeen.get()} of $expectedRows input rows")
+      val deadline = System.nanoTime() + DrainDeadlineMs * 1000000L
+      if (processingTimeTimeout) {
+        while (!emptyCommitAfterLatch && query.isActive && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        query.exception.foreach(throw _)
+        require(emptyCommitAfterLatch,
+          s"replay $qname: drain deadline (${DrainDeadlineMs / 1000}s) hit — saw " +
+            s"${rowsSeen.get()} of $expectedRows input rows, emptyCommitAfterLatch=false")
+      } else {
+        val paaError = new java.util.concurrent.atomic.AtomicReference[Throwable]
+        val paa = new Thread(() => {
+          try query.processAllAvailable()
+          catch { case t: Throwable => paaError.set(t) }
+        }, s"drain-$qname")
+        paa.setDaemon(true)
+        paa.start()
+        paa.join(DrainDeadlineMs)
+        if (paa.isAlive)
+          throw new IllegalStateException(
+            s"replay $qname: processAllAvailable exceeded ${DrainDeadlineMs / 1000}s — " +
+              "a ProcessingTimeTimeout query must drain with processingTimeTimeout=true")
+        Option(paaError.get()).foreach(throw _)
+        query.exception.foreach(throw _)
+        val grace = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (rowsSeen.get() < expectedRows && System.nanoTime() < grace)
+          Thread.sleep(50)
+        require(rowsSeen.get() >= expectedRows,
+          s"replay $qname under-read: saw ${rowsSeen.get()} of $expectedRows input rows")
+      }
     } finally {
       query.stop()
       spark.streams.removeListener(listener)

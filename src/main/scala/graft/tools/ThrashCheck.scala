@@ -116,6 +116,13 @@ object ThrashCheck {
     println(f"[thrash] exo during thrash = $exo%.3f (cert gate 0.25; host $hostFrac%.3f proc $pFrac%.3f)")
     println(f"[thrash] probe inflation $probeInfl%.2f×  real-work inflation $workInfl%.2f×")
     println(f"[thrash] quiet ratio $qRatio%.2f  thrashed ratio $tRatio%.2f  trip ${Calibration.TripRatio}")
+    // round-11 run-level verdict arm: the Bench artifact stamps
+    // `run_degraded` when the run's sampled probe MEDIAN exceeds
+    // RunDegradedRatio — a synthetic whole-run slowdown must classify as
+    // degraded while the quiet window must not (validates the bar
+    // placement, not just the per-bracket trip)
+    println(f"[thrash] run verdict: quiet median $qRatio%.2f -> degraded=${qRatio > Calibration.RunDegradedRatio}; " +
+      f"thrashed median $tRatio%.2f -> degraded=${tRatio > Calibration.RunDegradedRatio} (bar ${Calibration.RunDegradedRatio})")
     val exoBlind = exo <= 0.25
     val pass = qRatio <= Calibration.TripRatio && exoBlind &&
       (workInfl < 1.15 || probeInfl >= 1.0 + (workInfl - 1.0) * 0.5)

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Round-11 additions: the dedup-index REBUILD policy positive path
+  * (rebuildDue firing same-session after an append — the advisor's stale-
+  * catalog fix), IVF lake compaction (answer-preserving file folding) and
+  * the rebalanceDue drift check.
+  */
+class Round11OpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tinyDocs(n: Int, offset: Long = 0L): DataFrame =
+    (0 until n).map { i =>
+      val id = offset + i
+      (id, s"document number $id talks about topic ${id % 7} " +
+        s"with words a$id b$id c$id d$id e$id f$id g$id", "en")
+    }.toDF("doc_id", "text", "lang")
+
+  test("rebuildDue sees a SAME-SESSION append (stale-catalog fix) and resets after rebuild") {
+    val corpus = tinyDocs(10)
+    Dedup.writeIndex(corpus, "doc_id", "text", prefix = "graft_r11rb")
+    try {
+      assert(!Dedup.rebuildDue(spark, "graft_r11rb"))
+      // read the fp table once so the catalog caches its file listing —
+      // the exact state in which an unrefreshed count undercounts
+      assert(spark.table("graft_r11rb_fp").count() === 10)
+      val batch = tinyDocs(40, offset = 1000)
+      Dedup.appendIndex(batch, "doc_id", "text", prefix = "graft_r11rb")
+      // 50 rows vs build 10: the 3x policy must fire in THIS session,
+      // with no intervening readIndex
+      assert(Dedup.rebuildDue(spark, "graft_r11rb"))
+      Dedup.writeIndex(corpus.unionByName(batch), "doc_id", "text",
+        prefix = "graft_r11rb")
+      assert(!Dedup.rebuildDue(spark, "graft_r11rb"))
+    } finally {
+      Seq("_fp", "_bands", "_sets", "_meta").foreach(sfx =>
+        graft.sources.Sources.dropTableAndLocation(spark, s"graft_r11rb$sfx"))
+    }
+  }
+
+  // ---- IVF lake compaction + rebalance ----
+
+  private def lakeVecs(n: Int, offset: Long = 0L): DataFrame =
+    (0 until n).map { i =>
+      val id = offset + i
+      // splitmix-ish spread so cells are populated unevenly but stably
+      (id, Array.tabulate(8)(d =>
+        (((id * 2654435761L + d * 40503L) % 1000L) / 500.0 - 1.0).toFloat))
+    }.toDF("vec_id", "embedding")
+
+  private val cents: Array[Array[Double]] =
+    Array.tabulate(4, 8)((c, d) =>
+      math.sin(c * 8 + d + 1).abs * (if ((c + d) % 2 == 0) 1 else -1))
+
+  test("compactIvfLists folds cells to one file and preserves the row set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r11lake").toFile
+    val path = dir.getAbsolutePath + "/lake"
+    try {
+      Similarity.writeIvfLists(lakeVecs(40), "vec_id", "embedding", cents, path)
+      (1 to 3).foreach(i =>
+        Similarity.appendIvfLists(lakeVecs(40, offset = 100L * i),
+          "vec_id", "embedding", cents, path))
+      val cells = Similarity.ivfCells(spark, path)
+      assert(cells.nonEmpty)
+      val before = cells.map(Similarity.cellFileCount(spark, path, _))
+      assert(before.exists(_ > 1), s"appends should stack files, got $before")
+      val rowsBefore = spark.read.parquet(path)
+        .select("neighbor_id", "cell").as[(Long, Int)].collect().toSet
+      Similarity.compactIvfLists(spark, path, cells)
+      val after = cells.map(Similarity.cellFileCount(spark, path, _))
+      assert(after.forall(_ == 1), s"expected one file per cell, got $after")
+      val rowsAfter = spark.read.parquet(path)
+        .select("neighbor_id", "cell").as[(Long, Int)].collect().toSet
+      assert(rowsAfter === rowsBefore)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(dir): Unit
+    }
+  }
+
+  test("rebalanceDue: quiet on fresh build, fires on 3x growth") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r11bal").toFile
+    val path = dir.getAbsolutePath + "/lake"
+    try {
+      Similarity.writeIvfLists(lakeVecs(30), "vec_id", "embedding", cents, path)
+      assert(!Similarity.rebalanceDue(spark, path))
+      (1 to 4).foreach(i =>
+        Similarity.appendIvfLists(lakeVecs(30, offset = 100L * i),
+          "vec_id", "embedding", cents, path))
+      assert(Similarity.rebalanceDue(spark, path))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(dir): Unit
+    }
+  }
+}
