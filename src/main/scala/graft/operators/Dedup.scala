@@ -668,6 +668,54 @@ object Dedup {
     now > built * factor
   }
 
+  /** LAYOUT-ONLY compaction of the persisted index — the file half of
+    * the rebuild policy without the O(corpus) recompute: every
+    * [[appendIndex]] lands up to one new file per non-empty bucket per
+    * table, and at append-heavy ingest rates the per-bucket file count
+    * (not the data volume) comes to dominate probe-scan cost long before
+    * the 3× [[rebuildDue]] statistical-staleness bar is reached. This
+    * folds each bucketed table back to one file per bucket by reading it
+    * and rewriting THROUGH THE SAME BUCKET SPEC (taken from the catalog,
+    * so the probe joins stay exchange-free afterwards — asserted
+    * structurally in Round11OpsSpec) into a staging table, then swapping
+    * names. One read + one write per table, no shingle/band recompute —
+    * O(index bytes) IO vs [[writeIndex]]'s O(corpus) CPU. Deliberately
+    * does NOT touch `_meta`: compaction fixes files, not the frozen
+    * stop-shingle/band statistics, so the rebuild clock keeps measuring
+    * staleness against the original build. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   prefix: String): Unit =
+    Seq("_fp", "_bands", "_sets").foreach { sfx =>
+      val table = s"$prefix$sfx"
+      spark.catalog.refreshTable(table)
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      val spec = meta.bucketSpec.getOrElse(
+        sys.error(s"$table is not bucketed — not a graft index table"))
+      val keys = spec.bucketColumnNames
+      val sorts = if (spec.sortColumnNames.nonEmpty) spec.sortColumnNames
+                  else keys
+      val tmp = s"${table}__compact"
+      graft.sources.Sources.dropTableAndLocation(spark, tmp)
+      // read the FILES, not the catalog table: a repartition over the
+      // bucketed-table scan gets planned against the scan's advertised
+      // hash partitioning and ends up ignoring the requested partition
+      // count (observed: 4 write tasks instead of numBuckets → several
+      // buckets per task → one file per (task, bucket), the exact layout
+      // compaction exists to remove); the raw parquet read has no
+      // partitioning to satisfy, so the shuffle lands at numBuckets and
+      // each write task holds exactly one bucket
+      val df = spark.read.parquet(meta.location.toString)
+      df.repartition(spec.numBuckets, keys.map(df.col): _*)
+        .write.format("parquet")
+        .bucketBy(spec.numBuckets, keys.head, keys.tail: _*)
+        .sortBy(sorts.head, sorts.tail: _*)
+        .saveAsTable(tmp)
+      graft.sources.Sources.dropTableAndLocation(spark, table)
+      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+      spark.catalog.refreshTable(table)
+    }
+
   /** Append newly-accepted documents to the standing index: three unions,
     * nothing recomputed — the O(batch) maintenance that makes continuous
     * dedup-at-ingest viable at corpus sizes where rebuilding the index

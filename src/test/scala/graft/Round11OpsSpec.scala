@@ -41,6 +41,73 @@ class Round11OpsSpec extends SparkSuite {
     }
   }
 
+  test("compactIndex folds append files, keeps the bucket spec exchange-free, " +
+       "and preserves dedup answers") {
+    val corpus = tinyDocs(30)
+    Dedup.writeIndex(corpus, "doc_id", "text", prefix = "graft_r11ci")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      (1 to 3).foreach(i =>
+        Dedup.appendIndex(tinyDocs(10, offset = 100L * i), "doc_id", "text",
+          prefix = "graft_r11ci"))
+      val tables = Seq("graft_r11ci_fp", "graft_r11ci_bands", "graft_r11ci_sets")
+      val before = tables.map(graft.sources.Sources.tableDataFileCount(spark, _))
+      assert(before.exists(_ > 32), s"appends should stack files, got $before")
+      // 105/106 are exact dups of APPEND-batch docs — they only drop if
+      // the appended artifacts are really in the index on both reads
+      val batch = tinyDocs(8, offset = 500)
+        .unionByName(tinyDocs(2, offset = 105))
+      val preCompact = Dedup.dedupAgainstIndex(
+        Dedup.readIndex(spark, "graft_r11ci"), batch, "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+      Dedup.compactIndex(spark, "graft_r11ci")
+      val after = tables.map(graft.sources.Sources.tableDataFileCount(spark, _))
+      assert(after.forall(_ <= 32) && after.sum < before.sum,
+        s"expected <=1 file per bucket after compaction, got $after")
+      val postCompact = Dedup.dedupAgainstIndex(
+        Dedup.readIndex(spark, "graft_r11ci"), batch, "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+      assert(postCompact === preCompact)
+      assert(postCompact === (500L until 508L).toSet)
+      // the swapped-in table must still carry the bucket spec: a forced
+      // SMJ against it may not shuffle the index side
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val batchBands = Dedup.minhashBandTable(tinyDocs(5, offset = 700),
+        "doc_id", "text")
+      val idx = Dedup.readIndex(spark, "graft_r11ci")
+      val joined = batchBands.as("a").join(idx.bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash"))
+      joined.count(): Unit
+      def walk(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] =
+        Seq(p) ++ (p.children ++ p.subqueries).flatMap(walk) ++ (p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case _ => Seq.empty
+        })
+      val shuffledIndexSide = walk(joined.queryExecution.executedPlan).exists {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          walk(s).exists {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.relation.location.rootPaths.exists(
+                _.toString.contains("graft_r11ci_bands"))
+            case _ => false
+          }
+        case _ => false
+      }
+      assert(!shuffledIndexSide,
+        "compacted bands table must still join through its bucketing")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      Seq("_fp", "_bands", "_sets", "_meta").foreach(sfx =>
+        graft.sources.Sources.dropTableAndLocation(spark, s"graft_r11ci$sfx"))
+    }
+  }
+
   // ---- IVF lake compaction + rebalance ----
 
   private def lakeVecs(n: Int, offset: Long = 0L): DataFrame =
