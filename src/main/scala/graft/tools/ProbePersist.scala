@@ -82,6 +82,15 @@ object ProbePersist {
             batch2, "doc_id", "text")
           println(s"[probe]   survivors2: ${v2.count()}")
         }
+        timed("compact (compactIndex)") {
+          Dedup.compactIndex(s3, prefix)
+        }
+        timed("reload+probe #3 (post-compact)") {
+          val v3 = Dedup.dedupAgainstIndex(Dedup.readIndex(s3.newSession(), prefix),
+            batch2.withColumn("doc_id", col("doc_id") + 1000000000L),
+            "doc_id", "text")
+          println(s"[probe]   survivors3: ${v3.count()}")
+        }
 
       case "ivf" =>
         val lake = args.lift(2).getOrElse(
