@@ -340,6 +340,45 @@ object Similarity {
     }
   }
 
+  /** One Lloyd refinement step for the IVF quantizer — the RETRAIN action
+    * [[rebalanceDue]] signals: each centroid moves to the MEAN of the
+    * vectors its cell currently attracts (assignment by the OLD
+    * centroids, max-dot — the same quantizer the lake serves with), and
+    * a cell that attracts nothing keeps its old centroid. One corpus
+    * pass + an ≤(cells × dim)-row collect (the fit-sized class: 8×64
+    * here; on a cluster, centroid matrices are driver-resident by
+    * construction — that's what makes IVF serveable).
+    *
+    * Determinism (the oracle contract): component sums are quantized to
+    * 2⁻²⁰ with the mirrored half-away floor (the q370 rule — identical
+    * IEEE ops in both engines, no round() semantics) and summed as
+    * BIGINT — exact, order-free — then divided once in double. A double
+    * mean would accumulate in reduction order and diverge between
+    * engines/partitionings. */
+  def lloydStep(corpus: DataFrame, vecCol: String,
+                cents: Array[Array[Double]]): Array[Array[Double]] = {
+    val q = 1048576.0 // 2^20
+    val assigned = corpus
+      .select(asDouble(col(vecCol)).as("nvec"))
+      .withColumn("cell", element_at(
+        exprColumn(graft.functions.TopDotIndices(
+          asExpr(col("nvec")), cents, 1)), 1))
+    val comp = assigned
+      .select(col("cell"), posexplode(col("nvec")).as(Seq("i", "x")))
+      .withColumn("qx",
+        when(col("x") >= 0, floor(col("x") * q + 0.5))
+          .otherwise(-floor(-col("x") * q + 0.5)).cast("long"))
+      .groupBy("cell", "i")
+      .agg(sum(col("qx")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    val out = cents.map(_.clone)
+    comp.foreach { r =>
+      out(r.getInt(0))(r.getInt(1)) =
+        r.getLong(2).toDouble / (r.getLong(3) * q)
+    }
+    out
+  }
+
   /** Rebalance policy for the persisted lake — the vector-store analog
     * of Dedup.rebuildDue, with a sharper failure mode behind it: the
     * quantizer (centroid matrix) was trained on the BUILD corpus, and

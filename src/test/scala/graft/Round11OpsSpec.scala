@@ -147,6 +147,32 @@ class Round11OpsSpec extends SparkSuite {
     }
   }
 
+  test("lloydStep: centroid moves to its cell's quantized mean; empty cells keep the old centroid") {
+    // 2 centroids in 2-D pointing at +x and -x; vectors cluster around
+    // each, so assignment is unambiguous and the means are hand-checkable
+    val cents = Array(Array(1.0, 0.0), Array(-1.0, 0.0))
+    val vecs = Seq(
+      (1L, Array(0.8f, 0.2f)), (2L, Array(0.6f, -0.2f)),   // cell 0
+      (3L, Array(-0.5f, 0.4f)), (4L, Array(-0.9f, -0.4f))) // cell 1
+      .toDF("vec_id", "embedding")
+    val out = Similarity.lloydStep(vecs, "embedding", cents)
+    def qmean(xs: Seq[Double]) = {
+      val q = 1048576.0
+      xs.map(x => if (x >= 0) math.floor(x * q + 0.5) else -math.floor(-x * q + 0.5))
+        .sum / (xs.size * q)
+    }
+    val f = (x: Float) => x.toDouble
+    assert(out(0)(0) === qmean(Seq(f(0.8f), f(0.6f))))
+    assert(out(0)(1) === qmean(Seq(f(0.2f), f(-0.2f))))
+    assert(out(1)(0) === qmean(Seq(f(-0.5f), f(-0.9f))))
+    // a third centroid no vector chooses must survive untouched
+    val cents3 = cents :+ Array(0.0, -1.0)
+    val out3 = Similarity.lloydStep(vecs, "embedding", cents3)
+    assert(out3(2).toSeq === Seq(0.0, -1.0))
+    // inputs must never be mutated in place
+    assert(cents(0).toSeq === Seq(1.0, 0.0))
+  }
+
   test("rebalanceDue: quiet on fresh build, fires on 3x growth") {
     val dir = java.nio.file.Files.createTempDirectory("graft_r11bal").toFile
     val path = dir.getAbsolutePath + "/lake"
