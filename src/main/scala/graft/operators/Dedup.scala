@@ -775,6 +775,98 @@ object Dedup {
     b1.join(nearDropIds, Seq(idCol), "left_anti")
   }
 
+  /** The persisted standing index for EMBEDDING near-dup — the
+    * q517/TextDedupIndex story applied to vectors, completing the arc
+    * (text: session → persisted → streamed; embeddings previously
+    * stopped at session scope). Two bucketed tables, each on exactly its
+    * probe-join key: `<prefix>_bands` (id, band_id, packed bucket) on
+    * (band_id, bucket) — the candidate equi-join — and `<prefix>_vecs`
+    * (id, vector) on the id — the verify-phase key join. Same plan
+    * property as the text index: the corpus side of every per-batch
+    * probe join is pre-partitioned, no index-side exchange. */
+  case class EmbDedupIndex(bands: DataFrame, vecs: DataFrame)
+
+  private def embBandRows(docs: DataFrame, idCol: String, vecCol: String,
+                          dim: Int, nBands: Int, rowsPerBand: Int): DataFrame =
+    docs.select(col(idCol),
+        Similarity.bandBucketsPacked(
+          Similarity.asDouble(col(vecCol)), dim, nBands, rowsPerBand)
+          .as("__bkts"))
+      .select(col(idCol), posexplode(col("__bkts")).as(Seq("band_id", "bucket")))
+
+  def writeEmbIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, prefix: String, nBands: Int = 8,
+                    rowsPerBand: Int = 6, buckets: Int = 32): Unit = {
+    graft.sources.Sources.writeBucketed(
+      embBandRows(corpus, idCol, vecCol, dim, nBands, rowsPerBand),
+      s"${prefix}_bands", buckets, Seq("band_id", "bucket"))
+    graft.sources.Sources.writeBucketed(
+      corpus.select(col(idCol), Similarity.asDouble(col(vecCol)).as("__v")),
+      s"${prefix}_vecs", buckets, Seq(idCol))
+  }
+
+  /** Reload in any session sharing the catalog; refreshed first (the
+    * readIndex stale-listing lesson applies verbatim). */
+  def readEmbIndex(spark: org.apache.spark.sql.SparkSession,
+                   prefix: String): EmbDedupIndex = {
+    Seq("_bands", "_vecs").foreach(sfx =>
+      spark.catalog.refreshTable(s"$prefix$sfx"))
+    EmbDedupIndex(spark.table(s"${prefix}_bands"), spark.table(s"${prefix}_vecs"))
+  }
+
+  /** O(batch) maintenance — appended rows land as new per-bucket files,
+    * corpus partitions never rewritten; [[compactIndex]]'s bucketed-table
+    * fold applies to these tables the same way. */
+  def appendEmbIndex(accepted: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, prefix: String, nBands: Int = 8,
+                     rowsPerBand: Int = 6, buckets: Int = 32): Unit = {
+    def app(df: DataFrame, table: String, keys: Seq[String]): Unit =
+      df.repartition(buckets, keys.map(df.col): _*)
+        .write.mode("append").format("parquet")
+        .bucketBy(buckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .saveAsTable(table)
+    app(embBandRows(accepted, idCol, vecCol, dim, nBands, rowsPerBand),
+      s"${prefix}_bands", Seq("band_id", "bucket"))
+    app(accepted.select(col(idCol), Similarity.asDouble(col(vecCol)).as("__v")),
+      s"${prefix}_vecs", Seq(idCol))
+  }
+
+  /** Batch-vs-corpus embedding near-dup through the PERSISTED index: the
+    * batch's band rows equi-join the index bands (candidates), the exact
+    * cosine verify joins carry only candidate ids' vectors (batch side
+    * from the batch, corpus side from the index's vecs table), and a
+    * batch doc drops when any verified cosine ≥ threshold. The same
+    * two-phase ids-only shape as [[embeddingNearDups]]/[[dedupAgainstIndex]];
+    * cost per batch is O(batch + collisions), the corpus never rescanned. */
+  def dedupEmbAgainstIndex(idx: EmbDedupIndex, batch: DataFrame,
+                           idCol: String, vecCol: String, dim: Int,
+                           threshold: Double, nBands: Int = 8,
+                           rowsPerBand: Int = 6): DataFrame = {
+    val bBands = embBandRows(batch, idCol, vecCol, dim, nBands, rowsPerBand)
+      .localCheckpoint(eager = false)
+    val cand = bBands.as("a").join(idx.bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.bucket") === col("b.bucket"))
+      .select(col(s"a.$idCol").as("batch_id"), col(s"b.$idCol").as("corpus_id"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val bVecs = batch
+      .join(cand.select(col("batch_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col(idCol).as("batch_id"),
+        Similarity.asDouble(col(vecCol)).as("va"))
+    val cVecs = idx.vecs
+      .join(cand.select(col("corpus_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col(idCol).as("corpus_id"), col("__v").as("vb"))
+    val dropIds = cand
+      .join(bVecs, Seq("batch_id"))
+      .join(cVecs, Seq("corpus_id"))
+      .filter(round(Similarity.cosineU(col("va"), col("vb"), dim), 6)
+        >= threshold)
+      .select(col("batch_id").as(idCol)).distinct()
+    batch.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** Corpus-size-adaptive band geometry for [[embeddingNearDups]].
     *
     * A FIXED band shape is the one quadratic trap in the banded-LSH

@@ -147,6 +147,50 @@ class Round11OpsSpec extends SparkSuite {
     }
   }
 
+  test("persisted embedding index: planted near-dups drop, appends visible on reload") {
+    // splitmix64 the (id, dim) pair — an affine envelope would correlate
+    // every vector at cosine ~1 (the q501 fixture lesson)
+    def mix(id: Long, d: Int): Float = {
+      var z = id * 0x9E3779B97F4A7C15L + d * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      (java.lang.Math.floorMod(z, 1000L) / 500.0 - 1.0).toFloat
+    }
+    def vecs(ids: Seq[Long]): DataFrame =
+      ids.map(id => (id, Array.tabulate(16)(mix(id, _))))
+        .toDF("vec_id", "embedding").withColumn("label", lit("t"))
+    val corpus = vecs(0L until 20L)
+    Dedup.writeEmbIndex(corpus, "vec_id", "embedding", dim = 16,
+      prefix = "graft_r11ei", nBands = 4, rowsPerBand = 4)
+    try {
+      // batch: 5 fresh vectors + 2 exact copies of corpus vectors (new ids)
+      val batch = vecs(100L until 105L)
+        .unionByName(vecs(Seq(3L, 7L)).withColumn("vec_id", col("vec_id") + 900))
+      val idx = Dedup.readEmbIndex(spark, "graft_r11ei")
+      val s1 = Dedup.dedupEmbAgainstIndex(idx, batch, "vec_id", "embedding",
+          dim = 16, threshold = 0.99, nBands = 4, rowsPerBand = 4)
+        .select("vec_id").as[Long].collect().toSet
+      assert(s1 === (100L until 105L).toSet,
+        "exact copies of corpus vectors must drop, fresh vectors survive")
+      // append the survivors; an exact copy of an appended vector must
+      // now drop in the SAME session (readEmbIndex refresh discipline)
+      Dedup.appendEmbIndex(vecs(100L until 105L), "vec_id", "embedding",
+        dim = 16, prefix = "graft_r11ei", nBands = 4, rowsPerBand = 4)
+      val batch2 = vecs(Seq(102L)).withColumn("vec_id", col("vec_id") + 900)
+        .unionByName(vecs(Seq(200L)))
+      val s2 = Dedup.dedupEmbAgainstIndex(Dedup.readEmbIndex(spark, "graft_r11ei"),
+          batch2, "vec_id", "embedding",
+          dim = 16, threshold = 0.99, nBands = 4, rowsPerBand = 4)
+        .select("vec_id").as[Long].collect().toSet
+      assert(s2 === Set(200L),
+        "a copy of an APPENDED vector must drop after reload")
+    } finally {
+      Seq("_bands", "_vecs").foreach(sfx =>
+        graft.sources.Sources.dropTableAndLocation(spark, s"graft_r11ei$sfx"))
+    }
+  }
+
   test("lloydStep: centroid moves to its cell's quantized mean; empty cells keep the old centroid") {
     // 2 centroids in 2-D pointing at +x and -x; vectors cluster around
     // each, so assignment is unambiguous and the means are hand-checkable
