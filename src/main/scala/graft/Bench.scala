@@ -168,6 +168,7 @@ object Bench {
       "q510_stream_multimodal_ingest", "q512_stream_incremental_dedup",
       "q514_stream_ann_serve", "q518_ivf_persist_serve",
       "q519_stream_ivm_replay", "q521_stream_index_ingest",
+      "q527_stream_emb_index_ingest",
       "q134_stream_session_agg", "q137_stream_enrich", "q138_stream_file_sink",
       "q163_stream_heavy_hitters", "q442_stream_geojson")
     // Single-gate mode (diagnosis): `sbt "runMain graft.Bench q252"` (or the

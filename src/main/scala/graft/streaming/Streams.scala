@@ -727,7 +727,7 @@ object Streams {
           .select(col("line")).collect().map(_.getString(0))
         val p = new java.io.PrintWriter(s"$dir/shard-$i.geojsonl")
         rows.foreach(p.println); p.close()
-        q.processAllAvailable()
+        awaitAllAvailable(q, qname)
       }
     } finally q.stop()
     spark.table(qname)
@@ -1380,7 +1380,54 @@ object Streams {
         tagged.filter(col("__c") === i).drop("__c")
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$dir/in/c$i")
-        q.processAllAvailable()
+        awaitAllAvailable(q, qname)
+      }
+      q.exception.foreach(throw _)
+    } finally q.stop()
+    spark.read.parquet(s"$dir/out/b*")
+  }
+
+  /** The q521 production ingest loop on the EMBEDDING index (q526's
+    * storage + q512's replay discipline): vector micro-batches dedup via
+    * the audited [[graft.operators.Dedup.dedupEmbAgainstIndex]] over the
+    * RELOADED persisted tables, append their survivors' band/vector rows
+    * (O(batch)), and emit survivors per batchId. Chunk files are
+    * appended between drains — survivorship against a maintained index
+    * is ORDER-dependent — so the gate shares q526's chained two-stage
+    * oracle verbatim. */
+  def replayedEmbIndexIngest(spark: SparkSession, prefix: String,
+                             batchVecs: DataFrame,
+                             chunkKey: org.apache.spark.sql.Column,
+                             chunks: Int, name: String, dim: Int,
+                             threshold: Double): DataFrame = {
+    val base = batchVecs.select(col("vec_id"), col("embedding"), col("label"))
+    val dir = freshReplayDir(name)
+    val tagged = base.withColumn("__c", pmod(chunkKey, lit(chunks)))
+      .localCheckpoint(eager = false)
+    val stream = spark.readStream.schema(base.schema)
+      .parquet(s"$dir/in/c*")
+    val qname = s"graft_gate_${name}_${replaySeq.incrementAndGet()}"
+    val q = stream.writeStream
+      .queryName(qname)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (mb: DataFrame, batchId: Long) =>
+        val surv = graft.operators.Dedup
+          .dedupEmbAgainstIndex(
+            graft.operators.Dedup.readEmbIndex(spark, prefix),
+            mb, "vec_id", "embedding", dim, threshold)
+          .localCheckpoint(eager = false) // feeds the append AND the sink
+        surv.select("vec_id", "label")
+          .write.mode("overwrite").parquet(s"$dir/out/b$batchId")
+        graft.operators.Dedup.appendEmbIndex(surv, "vec_id", "embedding",
+          dim, prefix)
+      }
+      .start()
+    try {
+      (0 until chunks).foreach { i =>
+        tagged.filter(col("__c") === i).drop("__c")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/in/c$i")
+        awaitAllAvailable(q, qname)
       }
       q.exception.foreach(throw _)
     } finally q.stop()
@@ -1437,6 +1484,27 @@ object Streams {
     * than this at sf0.1 is a harness bug, not a slow query — fail loudly
     * rather than hang the Verify runner. */
   private[graft] val DrainDeadlineMs = 300000L
+
+  /** Bounded `processAllAvailable` for the sequenced-append replays
+    * (write a chunk file, drain, write the next): they use the engine
+    * primitive directly between appends, so give them the same hard
+    * deadline as [[drainStream]] — the round-10 lesson (an unbounded
+    * drain hangs the whole Verify runner) applied to every drain site. */
+  private def awaitAllAvailable(
+      q: org.apache.spark.sql.streaming.StreamingQuery, tag: String): Unit = {
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val t = new Thread(() => {
+      try q.processAllAvailable()
+      catch { case e: Throwable => err.set(e) }
+    }, s"paa-$tag")
+    t.setDaemon(true)
+    t.start()
+    t.join(DrainDeadlineMs)
+    if (t.isAlive)
+      throw new IllegalStateException(
+        s"replay $tag: processAllAvailable exceeded ${DrainDeadlineMs / 1000}s")
+    Option(err.get()).foreach(throw _)
+  }
 
   /** Drain a replay query — THE authoritative drain semantics (the only
     * comment describing them; keep it that way).
