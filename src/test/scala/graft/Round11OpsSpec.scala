@@ -185,6 +185,49 @@ class Round11OpsSpec extends SparkSuite {
         .select("vec_id").as[Long].collect().toSet
       assert(s2 === Set(200L),
         "a copy of an APPENDED vector must drop after reload")
+      // the structural claim the text index carries (Round10OpsSpec)
+      // holds for the embedding index too: under a forced SMJ the
+      // candidate equi-join consumes the bands table through its
+      // bucketing — no exchange anywhere above the index-side scan
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val idx2 = Dedup.readEmbIndex(spark, "graft_r11ei")
+        val probe = vecs(Seq(300L, 301L))
+          .select(col("vec_id"),
+            graft.operators.Similarity.bandBucketsPacked(
+              graft.operators.Similarity.asDouble(col("embedding")), 16, 4, 4)
+              .as("__bkts"))
+          .select(col("vec_id"), posexplode(col("__bkts")).as(Seq("band_id", "bucket")))
+        val joined = probe.as("a").join(idx2.bands.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+          col("a.bucket") === col("b.bucket"))
+        joined.count(): Unit
+        def walk(p: org.apache.spark.sql.execution.SparkPlan):
+            Seq[org.apache.spark.sql.execution.SparkPlan] =
+          Seq(p) ++ (p.children ++ p.subqueries).flatMap(walk) ++ (p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              walk(a.executedPlan)
+            case _ => Seq.empty
+          })
+        val shuffledIndexSide = walk(joined.queryExecution.executedPlan).exists {
+          case sx: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            walk(sx).exists {
+              case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+                f.relation.location.rootPaths.exists(
+                  _.toString.contains("graft_r11ei_bands"))
+              case _ => false
+            }
+          case _ => false
+        }
+        assert(!shuffledIndexSide,
+          "the embedding bands table must join through its bucketing")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
     } finally {
       Seq("_bands", "_vecs").foreach(sfx =>
         graft.sources.Sources.dropTableAndLocation(spark, s"graft_r11ei$sfx"))
