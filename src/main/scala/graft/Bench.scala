@@ -105,7 +105,12 @@ object Bench {
   private def shortKey(name: String): String = name.takeWhile(_ != '_')
 
   /** One gate's measurement record — every evidence channel the detail
-    * sidecar ships, aligned 1:1 with `ran` (the raw iteration times). */
+    * sidecar ships, aligned 1:1 with `ran` (the raw iteration times).
+    * `gateDegraded` is the round-12 per-gate stamp: the gate's window
+    * showed an above-trip calibration bracket (or exceeds 1.5× its
+    * committed quiet reference) and no settled re-run cleared it.
+    * `retrySteady` is the end-of-suite quiet-retry measurement (-1 =
+    * not retried). */
   private final case class GateResult(
     name: String, cold: Double, steady: Double, ok: Boolean,
     ran: Seq[Double], preLoads: Seq[Double], postLoads: Seq[Double],
@@ -113,7 +118,47 @@ object Bench {
     exoCpu: Seq[Double], procCpu: Seq[Double], ioStall: Seq[Double],
     calPre: Seq[Double], calPost: Seq[Double],
     heapMb: Long, metaMb: Long, codeMb: Long,
-    certified: Boolean)
+    certified: Boolean, gateDegraded: Boolean = false,
+    retrySteady: Double = -1.0)
+
+  /** Budgeted wait for the HOST to read quiet on the calibration probe —
+    * the precondition for any re-measurement meant to correct a loaded
+    * window (re-running inside the same burst just reproduces it; the
+    * round-6 back-to-back-retry lesson applied to the probe channel).
+    * Settle bar = [[Calibration.RunDegradedRatio]] (1.10), deliberately
+    * STRICTER than the 1.25 trip: the q100 blind spot was brackets
+    * straddling just under the trip while the window ran ~2.5× slow, so
+    * a corrective re-run must start from a window the probe calls
+    * genuinely quiet (settled quiet probes read ~1.03-1.06 on this rig).
+    * Returns whether quiet was reached; waiting spends the shared
+    * [[sleepBudgetMs]]. */
+  private def waitForQuiet(maxWaitMs: Long): Boolean = {
+    val deadline = System.nanoTime() + maxWaitMs * 1000000L
+    var r = Calibration.settledRatio()
+    while (r > Calibration.RunDegradedRatio &&
+           System.nanoTime() < deadline && sleepBudgetMs > 0) {
+      val nap = math.min(3000L, sleepBudgetMs)
+      Thread.sleep(nap); sleepBudgetMs -= nap
+      r = Calibration.settledRatio()
+    }
+    r <= Calibration.RunDegradedRatio
+  }
+
+  /** Committed per-gate quiet steady references (seconds), regenerated
+    * each round from a quiet full run (tools/quiet_ref.py): the anchor
+    * for the end-of-suite retry queue and the ≥1.5× stamp. Absent file →
+    * empty map (the channel degrades to the per-bracket arm only). */
+  private def loadQuietRef(): Map[String, Double] = {
+    val path = sys.env.getOrElse("SPARK_GRAFT_QUIET_REF", "bench_quiet_ref.json")
+    val f = new java.io.File(path)
+    if (!f.isFile) Map.empty
+    else try {
+      val src = scala.io.Source.fromFile(f)
+      val txt = try src.mkString finally src.close()
+      val re = """"([^"]+)"\s*:\s*(-?[0-9.eE+]+)""".r
+      re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -176,10 +221,9 @@ object Bench {
     // round-7 q252 question ("regression or 500-gate JVM accumulation?") is
     // answerable in-repo instead of out-of-band.
     val only = args.toSet
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(q => harness(q._1))
-      .filter(q => only.isEmpty || only(q._1) || only(shortKey(q._1)))
-      .map { case (name, fn) =>
+    def measureGate(name: String,
+                    fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                    itersN: Int): GateResult = {
       // Between-query hygiene (untimed): drop the previous query's orphaned
       // localCheckpoint/shuffle blocks. The ContextCleaner unpersists them
       // only after the referencing plan is garbage-collected, so without an
@@ -308,7 +352,7 @@ object Bench {
         if (!sampleBusy && times.last >= 1.5) sampleBusy = true
       }
       var i = 0
-      while (i < iters && ok) { runOnce(); i += 1 }
+      while (i < itersN && ok) { runOnce(); i += 1 }
       // Quiet-certification retries (round-7 verdict fix: certify the
       // REPORTED iteration, not ANY iteration). The reported steady time is
       // the min over bracketed-quiet iterations when one exists — so the
@@ -366,6 +410,30 @@ object Bench {
         if (waitMs > 0) { Thread.sleep(waitMs); Bench.sleepBudgetMs -= waitMs }
         runOnce(); extras += 1
       }
+      // Per-gate degradation arm (round-12, the q100 closer): a single
+      // gate's loaded window can certify when its brackets STRADDLE the
+      // 1.25 trip (q100 r11: one pre-bracket 1.321, the certified
+      // iteration's brackets just under — shipped 13.8 s vs 5.5 s quiet)
+      // while the run-level median stays clean. Rule: a heavy gate with
+      // ANY sampled above-trip bracket is never silently certified — it
+      // either re-runs once more after the host settles to genuinely
+      // quiet (probe ≤ 1.10, stricter than the trip, so the corrective
+      // window can't itself be a straddle) and that re-run's clean
+      // bracket-quiet iteration corrects/confirms the number, or it
+      // ships stamped `gate_degraded`.
+      def hotIdx(j: Int): Boolean =
+        calPre(j) > Calibration.TripRatio || calPost(j) > Calibration.TripRatio
+      var settleCleared = false
+      val sawHot = times.indices.exists(hotIdx)
+      if (ok && sawHot && times.min >= 2.0) {
+        System.err.println(f"[bench] $name above-trip bracket (cal pre ${calPre.map(c => f"$c%.2f").mkString(",")} post ${calPost.map(c => f"$c%.2f").mkString(",")}) — settling for a corrective re-run")
+        if (waitForQuiet(60000L)) {
+          runOnce()
+          val j = times.length - 1
+          settleCleared = !hotIdx(j) && bracketQuiet(j)
+        }
+      }
+      val gateDegraded = ok && sawHot && times.min >= 2.0 && !settleCleared
       val ran = times.toSeq
       val cold = ran.head
       val globalMin = ran.min
@@ -388,11 +456,66 @@ object Bench {
       }
       System.err.println(
         f"[bench] $name%-24s cold $cold%8.2f s  steady $steady%8.2f s  load $load0%5.1f->$load1%5.1f  exo $exoMax%5.2f  cal $calMax%5.2f" +
-          (if (!ok) "  FAILED" else if (!certified) "  UNCERTIFIED" else ""))
+          (if (!ok) "  FAILED" else if (!certified) "  UNCERTIFIED" else "") +
+          (if (gateDegraded) "  GATE-DEGRADED" else ""))
       GateResult(name, cold, steady, ok, ran, preLoads.toSeq, postLoads.toSeq,
         preBusy.toSeq, postBusy.toSeq, exoCpu.toSeq, procCpu.toSeq,
         ioStall.toSeq, calPre.toSeq, calPost.toSeq,
-        heapMb, metaMb, codeMb, certified)
+        heapMb, metaMb, codeMb, certified, gateDegraded)
+    }
+    val qmap = SparkEntry.queries
+    val results0 = qmap.toSeq.sortBy(_._1)
+      .filterNot(q => harness(q._1))
+      .filter(q => only.isEmpty || only(q._1) || only(shortKey(q._1)))
+      .map { case (name, fn) => measureGate(name, fn, iters) }
+    // ---- end-of-suite quiet-retry queue (round-12, the second arm of the
+    // per-gate channel): gates that finished either stamped (above-trip
+    // bracket, uncorrected) or ≥1.5× their committed quiet reference get
+    // ONE re-measurement in the suite's tail — the quietest window the run
+    // will ever see (all 32-thread work done, host given a settle wait) —
+    // keeping min(steady, retry). The quiet reference (bench_quiet_ref
+    // .json, regenerated each round from a quiet full run) is what makes
+    // "this number is 2× its known-quiet value" detectable at all: a
+    // loaded per-gate window whose brackets all straddle under the trip is
+    // invisible to every in-window channel by construction. Queue capped
+    // (worst ratios first, cap logged) so a hopelessly-loaded host bounds
+    // the extra wall at ~12 gate re-runs.
+    val quietRef = loadQuietRef()
+    def refExceeded(r: GateResult): Boolean =
+      quietRef.get(r.name).exists(ref => ref > 0 && r.steady > ref * 1.5)
+    val queue0 = results0.filter(r => r.ok && r.steady >= 2.0 &&
+      (r.gateDegraded || refExceeded(r)))
+      .sortBy(r => -(r.steady / quietRef.getOrElse(r.name, r.steady)))
+    val queue = queue0.take(12)
+    if (queue0.size > queue.size)
+      System.err.println(s"[bench] quiet-retry queue capped at ${queue.size} of ${queue0.size} candidates (worst ratios kept)")
+    val results1 = if (queue.isEmpty) results0 else {
+      System.err.println(s"[bench] quiet-retry queue: ${queue.map(_.name).mkString(", ")}")
+      val retried: Map[String, GateResult] = queue.map { r =>
+        waitForQuiet(90000L): Unit // retry regardless; the retry's own brackets decide
+        val again = measureGate(r.name, qmap(r.name), 2)
+        // the retry corrects the number only from a CERTIFIED (bracket-
+        // quiet) window; an unclean retry leaves the original in place.
+        // The stamp survives unless the retry's own window was clean AND
+        // it no longer exceeds the quiet reference.
+        val steady2 = if (again.certified) math.min(r.steady, again.steady) else r.steady
+        val merged = r.copy(steady = steady2, retrySteady = again.steady,
+          certified = r.certified || again.certified,
+          gateDegraded = again.gateDegraded ||
+            (r.gateDegraded && !again.certified))
+        System.err.println(f"[bench] ${r.name} quiet-retry: ${r.steady}%.2f -> ${merged.steady}%.2f s (retry ${again.steady}%.2f, certified ${again.certified}, stamped ${merged.gateDegraded || refExceeded(merged)})")
+        r.name -> merged
+      }.toMap
+      results0.map(r => retried.getOrElse(r.name, r))
+    }
+    // stamp finalization: whatever the in-window channels said, a heavy
+    // gate still ≥1.5× its committed quiet steady after the retry ships
+    // stamped — the artifact's slow-map then carries no silently-loaded
+    // number (the round-12 "Done" bar).
+    val results = results1.map { r =>
+      if (r.ok && r.steady >= 2.0 && refExceeded(r) && !r.gateDegraded)
+        r.copy(gateDegraded = true)
+      else r
     }
     def fmt(d: Double) = f"$d%.3f"
     def fmt2(d: Double) = f"$d%.2f"
@@ -496,6 +619,16 @@ object Bench {
     // retries) — their numbers are upper bounds, not steady-state
     val uncertified = results.collect { case r if r.ok && !r.certified => "\"" + shortKey(r.name) + "\"" }
       .mkString("[", ",", "]")
+    // per-gate degradation stamps (round-12): gates whose window showed an
+    // above-trip bracket uncorrected by a settled re-run, or whose final
+    // steady is ≥1.5× the committed quiet reference — their numbers are
+    // measurement-channel weak, not code regressions
+    val gateDegradedShort = results.collect { case r if r.ok && r.gateDegraded => "\"" + shortKey(r.name) + "\"" }
+      .mkString("[", ",", "]")
+    val gateDegradedFull = results.collect { case r if r.ok && r.gateDegraded => "\"" + r.name + "\"" }
+      .mkString("[", ",", "]")
+    val quietRetryM = results.collect { case r if r.retrySteady >= 0 =>
+      "\"" + r.name + "\":" + fmt(r.retrySteady) }.mkString("{", ",", "}")
     val total = results.collect { case r if r.ok => r.steady }.sum
     val coldTotal = results.collect { case r if r.ok => r.cold }.sum
     val excluded = harness.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -510,7 +643,7 @@ object Bench {
       if (only.isEmpty) ""
       else only.toSeq.sorted.map("\"" + _ + "\"").mkString(""","filter":[""", ",", "]")
     val detail =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","iters":$iters$filterField,"names":$names,"steady":$steadies,"cold_total":${fmt2(coldTotal)},"cold":$colds,"iter_times":$iterTimes,"loadavg_1m":$loads,"loadavg_post":$loadsPost,"busy_pre":$busyPre,"busy_post":$busyPost,"exo_cpu":$exoCpuM,"proc_cpu_sec":$procCpuM,"io_stall":$ioStallM,"cal_pre":$calPreM,"cal_post":$calPostM,"cal_ref_ms":${Calibration.RefMs},"cal_trip":${Calibration.TripRatio},"cal_min_ratio":${fmt(calMinRatio)},"cal_median_ratio":${fmt(calMedianRatio)},"run_degraded":$runDegraded,"jvm_heap_mb":$jvmHeap,"jvm_meta_mb":$jvmMeta,"jvm_code_mb":$jvmCode,"failed":$failed,"uncertified":$uncertified,"excluded_harness":$excluded,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","iters":$iters$filterField,"names":$names,"steady":$steadies,"cold_total":${fmt2(coldTotal)},"cold":$colds,"iter_times":$iterTimes,"loadavg_1m":$loads,"loadavg_post":$loadsPost,"busy_pre":$busyPre,"busy_post":$busyPost,"exo_cpu":$exoCpuM,"proc_cpu_sec":$procCpuM,"io_stall":$ioStallM,"cal_pre":$calPreM,"cal_post":$calPostM,"cal_ref_ms":${Calibration.RefMs},"cal_trip":${Calibration.TripRatio},"cal_min_ratio":${fmt(calMinRatio)},"cal_median_ratio":${fmt(calMedianRatio)},"run_degraded":$runDegraded,"gate_degraded":$gateDegradedFull,"quiet_retry":$quietRetryM,"quiet_ref_n":${quietRef.size},"jvm_heap_mb":$jvmHeap,"jvm_meta_mb":$jvmMeta,"jvm_code_mb":$jvmCode,"failed":$failed,"uncertified":$uncertified,"excluded_harness":$excluded,"sf":"$sfDir"}"""
     val defaultDetail =
       if (only.isEmpty) "BENCH_DETAIL.json" else "BENCH_DETAIL_FILTERED.json"
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", defaultDetail)
@@ -530,7 +663,7 @@ object Bench {
     // ~100 bytes of headroom under the driver's ~2.2 KiB tail capture as the
     // gate surface grows (n_excluded keeps the exclusion COUNT visible).
     val line =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","iters":$iters$filterField,"queries":$qs,$fastSummary,"failed":$failed,"uncertified":$uncertified,"n_excluded":${harness.size},"cal_median_ratio":${fmt(calMedianRatio)},"run_degraded":$runDegraded,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","iters":$iters$filterField,"queries":$qs,$fastSummary,"failed":$failed,"uncertified":$uncertified,"n_excluded":${harness.size},"cal_median_ratio":${fmt(calMedianRatio)},"run_degraded":$runDegraded,"gate_degraded":$gateDegradedShort,"sf":"$sfDir"}"""
     // Self-check: warn loudly (stderr) before the line outgrows the capture.
     if (line.length > 2000)
       System.err.println(s"[bench] WARNING contract line ${line.length} B — nearing the ~2.2 KiB driver tail capture")

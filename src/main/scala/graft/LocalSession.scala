@@ -62,7 +62,11 @@ object LocalSession {
         val f = new java.io.File(d, HeartbeatName)
         f.createNewFile(): Unit
         f.setLastModified(System.currentTimeMillis()): Unit
-      } else liveRoots.remove(r): Unit
+      }
+      // else: skip but KEEP the registration (round-12 advisor fix) — a
+      // root registered a beat before its mkdirs lands must not be
+      // silently dropped from protection; a legitimately-deleted root
+      // costs one string in the set and a no-op stat per 5-min tick.
     } catch { case scala.util.control.NonFatal(_) => () }
   }
   private val heartbeatStarted =

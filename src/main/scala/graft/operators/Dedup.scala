@@ -682,10 +682,17 @@ object Dedup {
     * O(index bytes) IO vs [[writeIndex]]'s O(corpus) CPU. Deliberately
     * does NOT touch `_meta`: compaction fixes files, not the frozen
     * stop-shingle/band statistics, so the rebuild clock keeps measuring
-    * staleness against the original build. */
+    * staleness against the original build.
+    *
+    * Parameterized over the table-suffix list (round-12 advisor fix): the
+    * default is the text index's three tables; [[compactEmbIndex]] passes
+    * the embedding index's two. Any graft bucketed-index family compacts
+    * through the same fold — the bucket spec is read from the catalog, so
+    * nothing here is suffix-specific. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
-                   prefix: String): Unit =
-    Seq("_fp", "_bands", "_sets").foreach { sfx =>
+                   prefix: String,
+                   suffixes: Seq[String] = Seq("_fp", "_bands", "_sets")): Unit =
+    suffixes.foreach { sfx =>
       val table = s"$prefix$sfx"
       spark.catalog.refreshTable(table)
       val meta = spark.sessionState.catalog.getTableMetadata(
@@ -696,7 +703,11 @@ object Dedup {
       val sorts = if (spec.sortColumnNames.nonEmpty) spec.sortColumnNames
                   else keys
       val tmp = s"${table}__compact"
+      val old = s"${table}__old"
       graft.sources.Sources.dropTableAndLocation(spark, tmp)
+      // a leftover __old from a crash after a prior swap's rename-in is
+      // dead data — clear it so this swap's rename-aside has a free name
+      graft.sources.Sources.dropTableAndLocation(spark, old)
       // read the FILES, not the catalog table: a repartition over the
       // bucketed-table scan gets planned against the scan's advertised
       // hash partitioning and ends up ignoring the requested partition
@@ -711,10 +722,27 @@ object Dedup {
         .bucketBy(spec.numBuckets, keys.head, keys.tail: _*)
         .sortBy(sorts.head, sorts.tail: _*)
         .saveAsTable(tmp)
-      graft.sources.Sources.dropTableAndLocation(spark, table)
+      // Swap order narrows the unavailable window (round-12 advisor fix):
+      // rename the live table ASIDE, rename staging IN, only then drop the
+      // old copy. A crash between the renames leaves the full pre-compact
+      // index intact under `__old` (recovery: ALTER TABLE RENAME it back);
+      // a crash after the rename-in leaves a dead `__old` that the next
+      // compaction clears. The previous drop-then-rename order had a
+      // window where the live name pointed at nothing and the only copy
+      // sat in staging.
+      spark.sql(s"ALTER TABLE `$table` RENAME TO `$old`")
       spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+      graft.sources.Sources.dropTableAndLocation(spark, old)
       spark.catalog.refreshTable(table)
     }
+
+  /** [[compactIndex]] for the persisted EMBEDDING index's two bucketed
+    * tables (`_bands` on (band_id, bucket), `_vecs` on the id) — the same
+    * append-file accumulation has the same remedy (the doc on
+    * [[appendEmbIndex]] promised this entry point; round-12 advisor fix). */
+  def compactEmbIndex(spark: org.apache.spark.sql.SparkSession,
+                      prefix: String): Unit =
+    compactIndex(spark, prefix, Seq("_bands", "_vecs"))
 
   /** Append newly-accepted documents to the standing index: three unions,
     * nothing recomputed — the O(batch) maintenance that makes continuous
@@ -815,8 +843,8 @@ object Dedup {
   }
 
   /** O(batch) maintenance — appended rows land as new per-bucket files,
-    * corpus partitions never rewritten; [[compactIndex]]'s bucketed-table
-    * fold applies to these tables the same way. */
+    * corpus partitions never rewritten; [[compactEmbIndex]] folds the
+    * accumulated append files back to one per bucket. */
   def appendEmbIndex(accepted: DataFrame, idCol: String, vecCol: String,
                      dim: Int, prefix: String, nBands: Int = 8,
                      rowsPerBand: Int = 6, buckets: Int = 32): Unit = {

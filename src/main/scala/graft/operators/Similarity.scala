@@ -330,12 +330,20 @@ object Similarity {
     cells.foreach { c =>
       val cellDir = new org.apache.hadoop.fs.Path(p, s"cell=$c")
       val staging = new org.apache.hadoop.fs.Path(p, s".compact_cell=$c")
+      val old = new org.apache.hadoop.fs.Path(p, s".old_cell=$c")
+      if (fs.exists(old)) fs.delete(old, true): Unit // dead leftover of a prior crash
       if (fs.exists(cellDir)) {
         spark.read.parquet(cellDir.toString).coalesce(1)
           .write.mode("overwrite").parquet(staging.toString)
         fs.delete(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"), false): Unit
-        fs.delete(cellDir, true): Unit
+        // rename ASIDE → rename IN → delete old (round-12 advisor fix):
+        // a crash between the renames leaves the cell fully intact under
+        // the dot-prefixed .old_cell= dir (invisible to scans; recovery:
+        // rename it back), where the previous delete-then-rename order
+        // had a window with the live cell gone and data only in staging
+        fs.rename(cellDir, old): Unit
         fs.rename(staging, cellDir): Unit
+        fs.delete(old, true): Unit
       }
     }
   }

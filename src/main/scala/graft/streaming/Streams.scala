@@ -695,7 +695,12 @@ object Streams {
     }
     rm(dir)
     // heartbeat-registered: a replay dir is written and read across the
-    // gate's whole run and must survive a sibling JVM's stale sweep
+    // gate's whole run and must survive a sibling JVM's stale sweep.
+    // mkdirs BEFORE registering (round-12 advisor fix): touchHeartbeats
+    // prunes registered paths that are not directories, so registering
+    // the just-rm'd path was a silent no-op — the dir never got a
+    // heartbeat and could still be swept out from under a live run.
+    dir.mkdirs(): Unit
     graft.LocalSession.registerFixtureRoot(dir.getAbsolutePath)
     dir.getAbsolutePath
   }
@@ -1563,8 +1568,15 @@ object Streams {
         while (!emptyCommitAfterLatch && query.isActive && System.nanoTime() < deadline)
           Thread.sleep(50)
         query.exception.foreach(throw _)
+        // Two distinct wait-loop exits misdirect debugging if conflated
+        // (round-12 advisor fix): the deadline genuinely elapsing vs the
+        // query terminating early without an exception — name which.
+        val cause =
+          if (System.nanoTime() >= deadline)
+            s"drain deadline (${DrainDeadlineMs / 1000}s) elapsed"
+          else "query terminated before the empty-commit latch (no exception)"
         require(emptyCommitAfterLatch,
-          s"replay $qname: drain deadline (${DrainDeadlineMs / 1000}s) hit — saw " +
+          s"replay $qname: $cause — saw " +
             s"${rowsSeen.get()} of $expectedRows input rows, emptyCommitAfterLatch=false")
       } else {
         val paaError = new java.util.concurrent.atomic.AtomicReference[Throwable]

@@ -19,9 +19,17 @@ import graft.operators.{Dedup, Similarity}
   * remapped/id-offset so nothing exact-dups against the corpus), cold
   * fresh JVM, 1 iteration, idle host.
   *
+  * Round-12 adds the `emb` mode — the q526/q527 persisted EMBEDDING
+  * index was the one storage surface without a measured decade: build
+  * (writeEmbIndex) → reload+probe (dedupEmbAgainstIndex, fixed batch) →
+  * append → probe #2 → compactEmbIndex → probe #3, at 20 k and 200 k
+  * corpus vectors (ScaleUp embeddings ×10 / ×100). Expected signature =
+  * the text index's: probe near-flat, append flat, build/compact linear.
+  *
   * Usage:
   *   runMain graft.tools.ProbePersist dedup <corpusDir> [prefix]
   *   runMain graft.tools.ProbePersist ivf   <corpusDir> [lakePath]
+  *   runMain graft.tools.ProbePersist emb   <corpusDir> [prefix]
   * where corpusDir holds documents.parquet / embeddings.parquet
   * (e.g. /tmp/graft_testdata/sf1 and /tmp/graft_testdata/sf10docs).
   */
@@ -126,7 +134,62 @@ object ProbePersist {
           println(s"[probe]   rows: ${r.count()}")
         }
 
-      case other => sys.error(s"unknown mode $other (dedup|ivf)")
+      case "emb" =>
+        val prefix = args.lift(2).getOrElse("graft_prob526")
+        val corpus = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+        println(s"[probe] corpus vecs: ${corpus.count()}")
+        // fixed batches: sf0.1 vectors, ids offset past any corpus span,
+        // components passed through an ORTHOGONAL transform (sign-flip of
+        // odd components / component reversal) — norms and within-batch
+        // geometry exact, decorrelated from the corpus copies' rotations
+        // (ScaleUp), so no planted near-dups and the probe does full
+        // band+verify work at both corpus points on identical batch bytes
+        def remap(idOffset: Long)(
+            f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+          spark.read.parquet(s"$batchSrc/embeddings.parquet")
+            .select((col("vec_id") + idOffset).as("vec_id"),
+              f(col("embedding")).as("embedding"))
+            .localCheckpoint()
+        val batch = remap(100000000L)(e =>
+          transform(sequence(lit(0), size(e) - 1),
+            j => when(pmod(j, lit(2)) === 0, element_at(e, j + 1))
+              .otherwise(-element_at(e, j + 1))))
+        println(s"[probe] batch vecs: ${batch.count()}")
+        val batch2 = remap(200000000L)(e => reverse(e))
+        timed("build (writeEmbIndex)") {
+          Dedup.writeEmbIndex(corpus, "vec_id", "embedding", dim = 64,
+            prefix = prefix)
+        }
+        val s2 = spark.newSession()
+        val surv = timed("reload+probe (embDedup)") {
+          val v = Dedup.dedupEmbAgainstIndex(Dedup.readEmbIndex(s2, prefix),
+            batch, "vec_id", "embedding", dim = 64, threshold = 0.4)
+            .localCheckpoint()
+          println(s"[probe]   survivors: ${v.count()}")
+          v
+        }
+        timed("append (appendEmbIndex)") {
+          Dedup.appendEmbIndex(surv, "vec_id", "embedding", dim = 64,
+            prefix = prefix)
+        }
+        val s3 = s2.newSession()
+        timed("reload+probe #2 (post-append)") {
+          val v2 = Dedup.dedupEmbAgainstIndex(Dedup.readEmbIndex(s3, prefix),
+            batch2, "vec_id", "embedding", dim = 64, threshold = 0.4)
+          println(s"[probe]   survivors2: ${v2.count()}")
+        }
+        timed("compact (compactEmbIndex)") {
+          Dedup.compactEmbIndex(s3, prefix)
+        }
+        timed("reload+probe #3 (post-compact)") {
+          val v3 = Dedup.dedupEmbAgainstIndex(
+            Dedup.readEmbIndex(s3.newSession(), prefix),
+            batch2.withColumn("vec_id", col("vec_id") + 1000000000L),
+            "vec_id", "embedding", dim = 64, threshold = 0.4)
+          println(s"[probe]   survivors3: ${v3.count()}")
+        }
+
+      case other => sys.error(s"unknown mode $other (dedup|ivf|emb)")
     }
     spark.stop()
   }

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Round-12 additions: the IVF retrain POLICY RESET (q528 — drift fires,
+  * lloydStep retrains, the lake rewrite refreshes `_build_hist`, the
+  * policy goes quiet), compactEmbIndex (the embedding index's layout
+  * fold, answer-preserving with no staging/aside residue — the
+  * crash-narrowed swap), and the fixture-root heartbeat surviving
+  * register-before-mkdir (the advisor's replay-dir race).
+  */
+class Round12OpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // splitmix64 the (id, dim) pair — an affine envelope would correlate
+  // every vector at cosine ~1 (the q501 fixture lesson)
+  private def mix(id: Long, d: Int): Float = {
+    var z = id * 0x9E3779B97F4A7C15L + d * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (java.lang.Math.floorMod(z, 1000L) / 500.0 - 1.0).toFloat
+  }
+  private def vecs(ids: Seq[Long]): DataFrame =
+    ids.map(id => (id, Array.tabulate(16)(mix(id, _))))
+      .toDF("vec_id", "embedding").withColumn("label", lit("t"))
+
+  test("retrain rewrite resets rebalanceDue with a fresh _build_hist (q528 pin)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r12rt").toFile
+    val path = dir.getAbsolutePath + "/lake"
+    val cents0 = Similarity.seededCentroids(4, 16)
+    try {
+      val build = vecs(0L until 20L)
+      Similarity.writeIvfLists(build, "vec_id", "embedding", cents0, path)
+      assert(!Similarity.rebalanceDue(spark, path))
+      (1 to 4).foreach(i =>
+        Similarity.appendIvfLists(vecs(100L * i until 100L * i + 20L),
+          "vec_id", "embedding", cents0, path))
+      assert(Similarity.rebalanceDue(spark, path),
+        "a 5x-of-build lake must signal rebalance")
+      // the action rebalanceDue signals: retrain on the FULL corpus and
+      // rewrite the lake under the new quantizer
+      val all = vecs((0L until 20L) ++
+        (1 to 4).flatMap(i => 100L * i until 100L * i + 20L))
+      val newCents = Similarity.lloydStep(all, "embedding", cents0)
+      Similarity.writeIvfLists(all, "vec_id", "embedding", newCents, path)
+      // the reset: a policy still firing after its action ran would
+      // retrain forever — the rewrite must refresh _build_hist to the
+      // current histogram exactly
+      assert(!Similarity.rebalanceDue(spark, path),
+        "the retrain rewrite must reset the policy to quiet")
+      val hist = spark.read.parquet(s"$path/_build_hist")
+        .select("cell", "n_built").as[(Int, Long)].collect().toSet
+      val now = spark.read.parquet(path).groupBy("cell")
+        .agg(count(lit(1)).as("n")).select("cell", "n")
+        .as[(Int, Long)].collect().toSet
+      assert(hist === now, "_build_hist must equal the post-rewrite histogram")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(dir): Unit
+    }
+  }
+
+  test("compactEmbIndex folds append files, preserves dedup answers, leaves no swap residue") {
+    val corpus = vecs(0L until 20L)
+    Dedup.writeEmbIndex(corpus, "vec_id", "embedding", dim = 16,
+      prefix = "graft_r12ce", nBands = 4, rowsPerBand = 4)
+    try {
+      (1 to 3).foreach(i =>
+        Dedup.appendEmbIndex(vecs(100L * i until 100L * i + 8L),
+          "vec_id", "embedding", dim = 16, prefix = "graft_r12ce",
+          nBands = 4, rowsPerBand = 4))
+      val tables = Seq("graft_r12ce_bands", "graft_r12ce_vecs")
+      val before = tables.map(graft.sources.Sources.tableDataFileCount(spark, _))
+      assert(before.exists(_ > 32), s"appends should stack files, got $before")
+      // 302/303: exact copies of APPEND-batch vectors (new ids) — they
+      // only drop if the appended rows survive the fold on both tables
+      val batch = vecs(500L until 505L)
+        .unionByName(vecs(Seq(302L, 303L))
+          .withColumn("vec_id", col("vec_id") + 900))
+      val preCompact = Dedup.dedupEmbAgainstIndex(
+          Dedup.readEmbIndex(spark, "graft_r12ce"), batch,
+          "vec_id", "embedding", dim = 16, threshold = 0.99,
+          nBands = 4, rowsPerBand = 4)
+        .select("vec_id").as[Long].collect().toSet
+      assert(preCompact === (500L until 505L).toSet)
+      Dedup.compactEmbIndex(spark, "graft_r12ce")
+      val after = tables.map(graft.sources.Sources.tableDataFileCount(spark, _))
+      assert(after.forall(_ <= 32) && after.sum < before.sum,
+        s"expected <=1 file per bucket after compaction, got $after")
+      val postCompact = Dedup.dedupEmbAgainstIndex(
+          Dedup.readEmbIndex(spark, "graft_r12ce"), batch,
+          "vec_id", "embedding", dim = 16, threshold = 0.99,
+          nBands = 4, rowsPerBand = 4)
+        .select("vec_id").as[Long].collect().toSet
+      assert(postCompact === preCompact)
+      // the crash-narrowed swap (rename aside -> rename in -> drop old)
+      // must leave neither the staging nor the aside table behind
+      tables.foreach { t =>
+        assert(!spark.catalog.tableExists(s"${t}__compact"),
+          s"staging table ${t}__compact must not survive the swap")
+        assert(!spark.catalog.tableExists(s"${t}__old"),
+          s"aside table ${t}__old must not survive the swap")
+      }
+    } finally {
+      Seq("_bands", "_vecs").foreach(sfx =>
+        graft.sources.Sources.dropTableAndLocation(spark, s"graft_r12ce$sfx"))
+    }
+  }
+
+  test("a fixture root registered before its directory exists keeps heartbeat protection") {
+    // the advisor's replay-dir race: freshReplayDir rm()'d the dir and
+    // registered the not-yet-recreated path; touchHeartbeats used to
+    // DROP such paths from the live set, silently unprotecting the
+    // replay dir from a sibling JVM's 30-min stale sweep
+    val root = new java.io.File(LocalSession.fixtureTmpRoot().toFile,
+      s"graft_r12hb_${System.nanoTime()}")
+    val other = new java.io.File(LocalSession.fixtureTmpRoot().toFile,
+      s"graft_r12hb2_${System.nanoTime()}")
+    try {
+      LocalSession.registerFixtureRoot(root.getAbsolutePath) // dir absent
+      assert(root.mkdirs())
+      // any later registration re-touches ALL live roots: the
+      // registered-before-mkdir root must still be in the set and now
+      // receive its heartbeat file
+      assert(other.mkdirs())
+      LocalSession.registerFixtureRoot(other.getAbsolutePath)
+      assert(new java.io.File(root, ".graft_heartbeat").isFile,
+        "a root registered before mkdirs must get a heartbeat once it exists")
+      assert(new java.io.File(other, ".graft_heartbeat").isFile)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(root): Unit
+      org.apache.commons.io.FileUtils.deleteQuietly(other): Unit
+    }
+  }
+}
