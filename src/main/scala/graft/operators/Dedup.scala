@@ -811,8 +811,19 @@ object Dedup {
     * (band_id, bucket) — the candidate equi-join — and `<prefix>_vecs`
     * (id, vector) on the id — the verify-phase key join. Same plan
     * property as the text index: the corpus side of every per-batch
-    * probe join is pre-partitioned, no index-side exchange. */
-  case class EmbDedupIndex(bands: DataFrame, vecs: DataFrame)
+    * probe join is pre-partitioned, no index-side exchange.
+    *
+    * Carries the BAND GEOMETRY the index was built with (round-12): the
+    * batch side of every probe must band identically to the stored
+    * corpus rows, so (nBands, rowsPerBand) is part of the index's
+    * on-disk identity (`_meta`), not a per-call knob. This is what lets
+    * a 100 TB deployment build with [[adaptiveBandShape]] — the 200 k-
+    * vector decade probe measured the fixed 8×6 default flooding the
+    * verify join with ~3 k candidates/vector (the quadratic trap the
+    * adaptive shape exists for) — while every later probe, append, and
+    * stream picks the geometry up from the index itself. */
+  case class EmbDedupIndex(bands: DataFrame, vecs: DataFrame,
+                           nBands: Int = 8, rowsPerBand: Int = 6)
 
   private def embBandRows(docs: DataFrame, idCol: String, vecCol: String,
                           dim: Int, nBands: Int, rowsPerBand: Int): DataFrame =
@@ -822,6 +833,13 @@ object Dedup {
           .as("__bkts"))
       .select(col(idCol), posexplode(col("__bkts")).as(Seq("band_id", "bucket")))
 
+  /** Build the persisted embedding index. The band geometry is frozen
+    * into `_meta` at build time (with the build row count — the rebuild
+    * clock): at corpus scale pass the [[adaptiveBandShape]] output here
+    * (bits per band must track log2(N) to hold vectors-per-bucket
+    * constant — the 200 k decade probe measured the fixed default
+    * flooding the verify join ~60× otherwise); every probe/append then
+    * reads the geometry from the index, so callers cannot drift. */
   def writeEmbIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     dim: Int, prefix: String, nBands: Int = 8,
                     rowsPerBand: Int = 6, buckets: Int = 32): Unit = {
@@ -831,30 +849,68 @@ object Dedup {
     graft.sources.Sources.writeBucketed(
       corpus.select(col(idCol), Similarity.asDouble(col(vecCol)).as("__v")),
       s"${prefix}_vecs", buckets, Seq(idCol))
+    val spark = corpus.sparkSession
+    graft.sources.Sources.dropTableAndLocation(spark, s"${prefix}_meta")
+    spark.table(s"${prefix}_vecs").groupBy().count()
+      .select(col("count").as("build_rows"), lit(nBands).as("n_bands"),
+        lit(rowsPerBand).as("rows_per_band"), lit(dim).as("dim"))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
   }
 
   /** Reload in any session sharing the catalog; refreshed first (the
-    * readIndex stale-listing lesson applies verbatim). */
+    * readIndex stale-listing lesson applies verbatim). The stored band
+    * geometry rides along so probes band exactly as the build did. */
   def readEmbIndex(spark: org.apache.spark.sql.SparkSession,
                    prefix: String): EmbDedupIndex = {
-    Seq("_bands", "_vecs").foreach(sfx =>
+    Seq("_bands", "_vecs", "_meta").foreach(sfx =>
       spark.catalog.refreshTable(s"$prefix$sfx"))
-    EmbDedupIndex(spark.table(s"${prefix}_bands"), spark.table(s"${prefix}_vecs"))
+    val m = spark.table(s"${prefix}_meta")
+      .select("n_bands", "rows_per_band").head()
+    EmbDedupIndex(spark.table(s"${prefix}_bands"),
+      spark.table(s"${prefix}_vecs"), m.getInt(0), m.getInt(1))
+  }
+
+  /** Rebuild policy for the embedding index — [[rebuildDue]] for
+    * vectors, with the sharper geometry rationale: [[adaptiveBandShape]]
+    * ties bits-per-band to log2(corpus), so an index grown `factor`×
+    * past its build is not just file-fragmented, its FROZEN geometry now
+    * buckets ~factor× too many vectors together and the candidate volume
+    * per probe grows linearly with the excess. One footer-served count
+    * vs the recorded build size, refresh-first (same-session appends
+    * must be visible to the policy check). */
+  def embRebuildDue(spark: org.apache.spark.sql.SparkSession, prefix: String,
+                    factor: Double = 3.0): Boolean = {
+    require(factor > 1.0, "factor must exceed 1 (a fresh index never rebuilds)")
+    spark.catalog.refreshTable(s"${prefix}_vecs")
+    val built = spark.table(s"${prefix}_meta").select("build_rows")
+      .head().getLong(0)
+    spark.table(s"${prefix}_vecs").count() > built * factor
   }
 
   /** O(batch) maintenance — appended rows land as new per-bucket files,
     * corpus partitions never rewritten; [[compactEmbIndex]] folds the
-    * accumulated append files back to one per bucket. */
+    * accumulated append files back to one per bucket. Geometry defaults
+    * to the index's own `_meta` (-1 sentinels): appended band rows MUST
+    * band exactly as the build did or probes silently lose them. */
   def appendEmbIndex(accepted: DataFrame, idCol: String, vecCol: String,
-                     dim: Int, prefix: String, nBands: Int = 8,
-                     rowsPerBand: Int = 6, buckets: Int = 32): Unit = {
+                     dim: Int, prefix: String, nBands: Int = -1,
+                     rowsPerBand: Int = -1, buckets: Int = 32): Unit = {
+    val (nb, rpb) =
+      if (nBands > 0 && rowsPerBand > 0) (nBands, rowsPerBand)
+      else {
+        val spark = accepted.sparkSession
+        spark.catalog.refreshTable(s"${prefix}_meta")
+        val m = spark.table(s"${prefix}_meta")
+          .select("n_bands", "rows_per_band").head()
+        (m.getInt(0), m.getInt(1))
+      }
     def app(df: DataFrame, table: String, keys: Seq[String]): Unit =
       df.repartition(buckets, keys.map(df.col): _*)
         .write.mode("append").format("parquet")
         .bucketBy(buckets, keys.head, keys.tail: _*)
         .sortBy(keys.head, keys.tail: _*)
         .saveAsTable(table)
-    app(embBandRows(accepted, idCol, vecCol, dim, nBands, rowsPerBand),
+    app(embBandRows(accepted, idCol, vecCol, dim, nb, rpb),
       s"${prefix}_bands", Seq("band_id", "bucket"))
     app(accepted.select(col(idCol), Similarity.asDouble(col(vecCol)).as("__v")),
       s"${prefix}_vecs", Seq(idCol))
@@ -869,9 +925,14 @@ object Dedup {
     * cost per batch is O(batch + collisions), the corpus never rescanned. */
   def dedupEmbAgainstIndex(idx: EmbDedupIndex, batch: DataFrame,
                            idCol: String, vecCol: String, dim: Int,
-                           threshold: Double, nBands: Int = 8,
-                           rowsPerBand: Int = 6): DataFrame = {
-    val bBands = embBandRows(batch, idCol, vecCol, dim, nBands, rowsPerBand)
+                           threshold: Double, nBands: Int = -1,
+                           rowsPerBand: Int = -1): DataFrame = {
+    // geometry defaults to the index's own (-1 sentinels): the batch
+    // side must band exactly as the stored corpus rows did
+    val (nb, rpb) =
+      if (nBands > 0 && rowsPerBand > 0) (nBands, rowsPerBand)
+      else (idx.nBands, idx.rowsPerBand)
+    val bBands = embBandRows(batch, idCol, vecCol, dim, nb, rpb)
       .localCheckpoint(eager = false)
     val cand = bBands.as("a").join(idx.bands.as("b"),
         col("a.band_id") === col("b.band_id") &&

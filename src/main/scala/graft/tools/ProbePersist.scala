@@ -156,9 +156,16 @@ object ProbePersist {
               .otherwise(-element_at(e, j + 1))))
         println(s"[probe] batch vecs: ${batch.count()}")
         val batch2 = remap(200000000L)(e => reverse(e))
+        // corpus-adaptive geometry, exactly as a deployment would build:
+        // the fixed 8×6 default at 200 k vectors floods the verify join
+        // (~3 k candidates/vector — the quadratic trap adaptiveBandShape
+        // exists for); probes/appends pick the shape up from _meta
+        val (nb, rpb) = Dedup.adaptiveBandShape(
+          corpus.count(), withinCos = 0.95, minBands = 8, minRows = 6)
+        println(s"[probe] adaptive band shape: ($nb bands, $rpb bits)")
         timed("build (writeEmbIndex)") {
           Dedup.writeEmbIndex(corpus, "vec_id", "embedding", dim = 64,
-            prefix = prefix)
+            prefix = prefix, nBands = nb, rowsPerBand = rpb)
         }
         val s2 = spark.newSession()
         val surv = timed("reload+probe (embDedup)") {

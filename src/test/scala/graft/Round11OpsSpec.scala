@@ -229,7 +229,7 @@ class Round11OpsSpec extends SparkSuite {
         spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       }
     } finally {
-      Seq("_bands", "_vecs").foreach(sfx =>
+      Seq("_bands", "_vecs", "_meta").foreach(sfx =>
         graft.sources.Sources.dropTableAndLocation(spark, s"graft_r11ei$sfx"))
     }
   }

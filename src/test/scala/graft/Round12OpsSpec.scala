@@ -104,8 +104,50 @@ class Round12OpsSpec extends SparkSuite {
           s"aside table ${t}__old must not survive the swap")
       }
     } finally {
-      Seq("_bands", "_vecs").foreach(sfx =>
+      Seq("_bands", "_vecs", "_meta").foreach(sfx =>
         graft.sources.Sources.dropTableAndLocation(spark, s"graft_r12ce$sfx"))
+    }
+  }
+
+  test("embedding index persists its band geometry and the rebuild policy fires on growth") {
+    // the 200 k decade-probe lesson: geometry is part of the index's
+    // on-disk identity — an adaptive build's probes and appends must
+    // band identically WITHOUT the caller restating the shape
+    val corpus = vecs(0L until 40L)
+    val (nb, rpb) = Dedup.adaptiveBandShape(40L, withinCos = 0.99,
+      minBands = 4, minRows = 4)
+    Dedup.writeEmbIndex(corpus, "vec_id", "embedding", dim = 16,
+      prefix = "graft_r12ag", nBands = nb, rowsPerBand = rpb)
+    try {
+      val idx = Dedup.readEmbIndex(spark, "graft_r12ag")
+      assert(idx.nBands === nb && idx.rowsPerBand === rpb,
+        "reload must carry the build geometry from _meta")
+      // default-geometry probe: exact copies of corpus vectors must drop
+      // (bands only collide if the batch banded with the STORED shape)
+      val batch = vecs(500L until 504L)
+        .unionByName(vecs(Seq(3L, 7L)).withColumn("vec_id", col("vec_id") + 900))
+      val s1 = Dedup.dedupEmbAgainstIndex(idx, batch, "vec_id", "embedding",
+          dim = 16, threshold = 0.99)
+        .select("vec_id").as[Long].collect().toSet
+      assert(s1 === (500L until 504L).toSet)
+      // default-geometry append: a copy of an appended vector must drop
+      // on reload — proof the appended rows banded with the stored shape
+      Dedup.appendEmbIndex(vecs(500L until 504L), "vec_id", "embedding",
+        dim = 16, prefix = "graft_r12ag")
+      val s2 = Dedup.dedupEmbAgainstIndex(Dedup.readEmbIndex(spark, "graft_r12ag"),
+          vecs(Seq(502L)).withColumn("vec_id", col("vec_id") + 900),
+          "vec_id", "embedding", dim = 16, threshold = 0.99)
+        .select("vec_id").as[Long].collect().toSet
+      assert(s2 === Set.empty[Long])
+      assert(!Dedup.embRebuildDue(spark, "graft_r12ag"),
+        "44 rows vs build 40 stays under the 3x bar")
+      Dedup.appendEmbIndex(vecs(600L until 700L), "vec_id", "embedding",
+        dim = 16, prefix = "graft_r12ag")
+      assert(Dedup.embRebuildDue(spark, "graft_r12ag"),
+        "144 rows vs build 40 must fire the rebuild policy same-session")
+    } finally {
+      Seq("_bands", "_vecs", "_meta").foreach(sfx =>
+        graft.sources.Sources.dropTableAndLocation(spark, s"graft_r12ag$sfx"))
     }
   }
 
