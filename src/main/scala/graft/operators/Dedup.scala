@@ -380,15 +380,18 @@ object Dedup {
     while (i < maxIter && !converged) {
       val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("comp").as("ncomp"))
+      // carry the previous label THROUGH the propagation join so the
+      // convergence test reads the just-checkpointed blocks instead of
+      // re-joining next against labels — one shuffle join fewer per
+      // iteration, same fixpoint, same labels (round-12 optimization;
+      // the old shape ran join+agg, checkpoint, then a second
+      // convergence join per round)
       val next = labels.join(prop, Seq("id"), "left_outer")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("__prev"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.comp") =!= col("o.comp"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("__prev") =!= col("comp")).isEmpty
+      labels = next.select(col("id"), col("comp"))
       i += 1
     }
     labels
@@ -594,16 +597,47 @@ object Dedup {
     * for [[rebuildDue]]. */
   def writeIndex(corpus: DataFrame, idCol: String, textCol: String,
                  prefix: String, shingleN: Int = 3, buckets: Int = 32): Unit = {
-    val (fp, bands, sets) = indexArtifacts(corpus, idCol, textCol, shingleN)
-    graft.sources.Sources.writeBucketed(fp, s"${prefix}_fp", buckets, Seq("__fp"))
-    graft.sources.Sources.writeBucketed(bands, s"${prefix}_bands", buckets,
-      Seq("band_id", "band_hash"))
-    graft.sources.Sources.writeBucketed(sets, s"${prefix}_sets", buckets, Seq(idCol))
+    // Build shape optimized (round 12, guide §1.2 "the distributed
+    // algorithm" + §2.6 "overlap independent jobs"): the former build ran
+    // THREE sequential corpus passes, two of which (bands, sets) each
+    // re-tokenized and re-shingled the full text — the dominant CPU of
+    // the build. Now (a) the sets table (id → distinct-shingle array) is
+    // written first, concurrently with the cheap fingerprint pass — the
+    // ONE pass that pays tokenization — and (b) the band table derives
+    // from the WRITTEN sets table: per-doc shingle arrays read back as
+    // compact parquet columns (no re-tokenization), and because _sets is
+    // bucketed on the id the signature aggregate after the explode
+    // groups EXCHANGE-FREE (the explode preserves the scan's bucket
+    // partitioning on the id). Artifacts are IDENTICAL to the
+    // one-pass-per-artifact shape: explode(__sh) is exactly
+    // docShingles(corpus, maxDf = 0) — same distinct shingle sets, same
+    // rows into the same signature/band math (Round12OpsSpec pins build
+    // equality table-by-table). At 100 TB this removes one full
+    // tokenize+shingle corpus pass and overlaps the other two.
+    val fp = corpus.select(TextOps.fingerprint(col(textCol)).as("__fp"))
+    val sets = corpus.select(col(idCol),
+      TextOps.distinctShingles(TextOps.tokens(col(textCol)), shingleN).as("__sh"))
+    graft.Par.run(
+      () => graft.sources.Sources.writeBucketed(
+        sets, s"${prefix}_sets", buckets, Seq(idCol)),
+      () => graft.sources.Sources.writeBucketed(
+        fp, s"${prefix}_fp", buckets, Seq("__fp")))
     val spark = corpus.sparkSession
-    graft.sources.Sources.dropTableAndLocation(spark, s"${prefix}_meta")
-    spark.table(s"${prefix}_fp").groupBy().count()
-      .select(col("count").as("build_rows"))
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+    // refresh defensively: an earlier build under the same prefix may have
+    // left a cached relation for this name in the session catalog
+    spark.catalog.refreshTable(s"${prefix}_sets")
+    val bands = bandsFromSig(sigAggFromShingles(
+      spark.table(s"${prefix}_sets")
+        .select(col(idCol), explode(col("__sh")).as("shingle")), idCol), idCol)
+    graft.Par.run(
+      () => graft.sources.Sources.writeBucketed(
+        bands, s"${prefix}_bands", buckets, Seq("band_id", "band_hash")),
+      () => {
+        graft.sources.Sources.dropTableAndLocation(spark, s"${prefix}_meta")
+        spark.table(s"${prefix}_fp").groupBy().count()
+          .select(col("count").as("build_rows"))
+          .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_meta")
+      })
   }
 
   /** Reload a persisted index in any session sharing the catalog — the
@@ -643,9 +677,13 @@ object Dedup {
         .bucketBy(buckets, keys.head, keys.tail: _*)
         .sortBy(keys.head, keys.tail: _*)
         .saveAsTable(table)
-    app(fp, s"${prefix}_fp", Seq("__fp"))
-    app(bands, s"${prefix}_bands", Seq("band_id", "band_hash"))
-    app(sets, s"${prefix}_sets", Seq(idCol))
+    // three independent batch-sized appends to three different tables —
+    // overlapped (guide §2.6) so the append's wall is the slowest write,
+    // not the sum of three job tails
+    graft.Par.run(
+      () => app(fp, s"${prefix}_fp", Seq("__fp")),
+      () => app(bands, s"${prefix}_bands", Seq("band_id", "band_hash")),
+      () => app(sets, s"${prefix}_sets", Seq(idCol)))
   }
 
   /** Rebuild policy for the persisted index: true when the extended index
@@ -692,7 +730,9 @@ object Dedup {
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
                    prefix: String,
                    suffixes: Seq[String] = Seq("_fp", "_bands", "_sets")): Unit =
-    suffixes.foreach { sfx =>
+    // one independent fold per table (distinct names end to end, catalog
+    // ops synchronized by the catalog itself) — overlapped (guide §2.6)
+    graft.Par.run(suffixes.map { sfx => () => {
       val table = s"$prefix$sfx"
       spark.catalog.refreshTable(table)
       val meta = spark.sessionState.catalog.getTableMetadata(
@@ -734,7 +774,7 @@ object Dedup {
       spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
       graft.sources.Sources.dropTableAndLocation(spark, old)
       spark.catalog.refreshTable(table)
-    }
+    }}: _*)
 
   /** [[compactIndex]] for the persisted EMBEDDING index's two bucketed
     * tables (`_bands` on (band_id, bucket), `_vecs` on the id) — the same
@@ -843,12 +883,16 @@ object Dedup {
   def writeEmbIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     dim: Int, prefix: String, nBands: Int = 8,
                     rowsPerBand: Int = 6, buckets: Int = 32): Unit = {
-    graft.sources.Sources.writeBucketed(
-      embBandRows(corpus, idCol, vecCol, dim, nBands, rowsPerBand),
-      s"${prefix}_bands", buckets, Seq("band_id", "bucket"))
-    graft.sources.Sources.writeBucketed(
-      corpus.select(col(idCol), Similarity.asDouble(col(vecCol)).as("__v")),
-      s"${prefix}_vecs", buckets, Seq(idCol))
+    // two independent corpus passes (the CPU-dense hyperplane projection
+    // and the plain vector copy) — overlapped (guide §2.6): the copy's
+    // IO-bound tasks back-fill slots the projection's tail leaves idle
+    graft.Par.run(
+      () => graft.sources.Sources.writeBucketed(
+        embBandRows(corpus, idCol, vecCol, dim, nBands, rowsPerBand),
+        s"${prefix}_bands", buckets, Seq("band_id", "bucket")),
+      () => graft.sources.Sources.writeBucketed(
+        corpus.select(col(idCol), Similarity.asDouble(col(vecCol)).as("__v")),
+        s"${prefix}_vecs", buckets, Seq(idCol)))
     val spark = corpus.sparkSession
     graft.sources.Sources.dropTableAndLocation(spark, s"${prefix}_meta")
     spark.table(s"${prefix}_vecs").groupBy().count()
@@ -910,10 +954,13 @@ object Dedup {
         .bucketBy(buckets, keys.head, keys.tail: _*)
         .sortBy(keys.head, keys.tail: _*)
         .saveAsTable(table)
-    app(embBandRows(accepted, idCol, vecCol, dim, nb, rpb),
-      s"${prefix}_bands", Seq("band_id", "bucket"))
-    app(accepted.select(col(idCol), Similarity.asDouble(col(vecCol)).as("__v")),
-      s"${prefix}_vecs", Seq(idCol))
+    // two independent batch-sized appends — overlapped (guide §2.6)
+    graft.Par.run(
+      () => app(embBandRows(accepted, idCol, vecCol, dim, nb, rpb),
+        s"${prefix}_bands", Seq("band_id", "bucket")),
+      () => app(accepted.select(col(idCol),
+          Similarity.asDouble(col(vecCol)).as("__v")),
+        s"${prefix}_vecs", Seq(idCol)))
   }
 
   /** Batch-vs-corpus embedding near-dup through the PERSISTED index: the

@@ -116,6 +116,12 @@ object Graph {
       frontier = candidates.join(dist, Seq("node"), "left_anti")
         .select(col("node"), lit(k).cast("int").as("hops"))
         .localCheckpoint()
+      // dist IS re-checkpointed per round deliberately: a lazy union of
+      // the pinned frontiers was tried in round 12 and measured SLOWER
+      // (q371 3.3 → 5.0 s, q145 2.8 → 3.2 s) — the per-round anti-join
+      // build side then scans k separate 32-partition frames instead of
+      // one compact RDD, and the extra task count outweighs the saved
+      // materialization job
       dist = dist.union(frontier).localCheckpoint()
       frontierSize = frontier.count()
       k += 1

@@ -176,4 +176,65 @@ class Round12OpsSpec extends SparkSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(other): Unit
     }
   }
+
+  // deterministic toy corpus: 3-word docs with planted exact + near dups
+  private def toyDocs(ids: Seq[Long]): DataFrame =
+    ids.map { id =>
+      val g = id / 3
+      (id, s"w${g}a w${g}b w${g}c w${id}x w${g}d")
+    }.toDF("doc_id", "text").withColumn("lang", lit("en"))
+
+  test("optimized writeIndex builds byte-identical artifacts (derive-bands-from-sets + overlapped writes)") {
+    // round-12 optimization pin: writeIndex now tokenizes ONCE (bands
+    // derive from the written _sets table) and overlaps the independent
+    // writes — the three artifact tables must equal the one-pass-per-
+    // artifact formulation row for row, and each must still land at
+    // ≤ buckets files (the bucketed-scan repartition gotcha guard)
+    import graft.operators.TextOps
+    val docs = toyDocs(0L until 90L)
+    val pre = "graft_r12wi"
+    try {
+      Dedup.writeIndex(docs, "doc_id", "text", prefix = pre, buckets = 8)
+      val expFp = docs.select(TextOps.fingerprint(col("text")).as("__fp"))
+        .collect().map(_.getString(0)).sorted
+      val gotFp = spark.table(s"${pre}_fp")
+        .collect().map(_.getString(0)).sorted
+      assert(gotFp === expFp, "fingerprint table must match the direct pass")
+      val expBands = Dedup.minhashBandTable(docs, "doc_id", "text", 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+      val gotBands = spark.table(s"${pre}_bands")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+      assert(gotBands === expBands,
+        "band table derived from the written sets must equal the direct band pass")
+      val expSets = docs.select(col("doc_id"),
+          TextOps.distinctShingles(TextOps.tokens(col("text")), 3).as("__sh"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1).mkString("|")))
+        .sorted
+      val gotSets = spark.table(s"${pre}_sets")
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1).mkString("|")))
+        .sorted
+      assert(gotSets === expSets)
+      assert(spark.table(s"${pre}_meta").head().getLong(0) === 90L)
+      Seq("_fp", "_bands", "_sets").foreach { sfx =>
+        val n = graft.sources.Sources.tableDataFileCount(spark, s"$pre$sfx")
+        assert(n <= 8, s"$pre$sfx landed $n files for 8 buckets")
+      }
+      // the overlapped append must extend all three tables consistently
+      val batch = toyDocs(200L until 212L)
+      Dedup.appendIndex(batch, "doc_id", "text", prefix = pre, buckets = 8)
+      val fpAfter = spark.table(s"${pre}_fp").count()
+      val setsAfter = spark.table(s"${pre}_sets").count()
+      assert(fpAfter === 90L + 12L)
+      assert(setsAfter === 90L + 12L)
+      val expBatchBands = Dedup.minhashBandTable(batch, "doc_id", "text", 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val gotBatchBands = spark.table(s"${pre}_bands")
+        .filter(col("doc_id") >= 200L)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(gotBatchBands === expBatchBands)
+    } finally {
+      Seq("_fp", "_bands", "_sets", "_meta").foreach(sfx =>
+        graft.sources.Sources.dropTableAndLocation(spark, s"$pre$sfx"))
+    }
+  }
 }
