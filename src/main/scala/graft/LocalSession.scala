@@ -115,12 +115,38 @@ object LocalSession {
       }
     } catch { case scala.util.control.NonFatal(_) => () }
 
+  /** tmpfs-backed warehouse for the CATALOG TABLES the lifecycle gates
+    * write (the persisted dedup/IVF/embedding indexes: bucketed parquet
+    * via saveAsTable + rename-based compaction swaps) — the third leg of
+    * the scratch-on-tmpfs rationale above: the default warehouse
+    * ($PWD/spark-warehouse) sits on the shared VM's contended virtual
+    * disk, so every write-bound index gate paid small-file creates,
+    * fsyncs and renames against neighbour IO. Per-JVM unique (a
+    * `graft_fix_wh_<pid>` root under the same swept tmpfs), registered
+    * for the heartbeat so a live JVM's warehouse is never swept while a
+    * hard-killed JVM's ages out like any fixture root. Cluster
+    * deployments set their own warehouse; this only applies to sessions
+    * THIS object builds, and the tables are per-run scratch (dropped and
+    * rebuilt by each gate), never cross-run state. */
+  private def warehouseDir(): Option[String] = scratchDir().flatMap { d =>
+    try {
+      val wh = new java.io.File(
+        d, s"graft_fix_wh_${java.lang.ProcessHandle.current().pid()}")
+      wh.mkdirs()
+      if (wh.isDirectory && wh.canWrite) {
+        registerFixtureRoot(wh.getAbsolutePath)
+        Some(wh.getAbsolutePath)
+      } else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   def build(cpus: String, appName: String = "graft"): SparkSession = {
     sweepStaleFixtures()
     val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
-    val s = scratchDir().fold(b0)(d => b0.config("spark.local.dir", d))
+    val b1 = scratchDir().fold(b0)(d => b0.config("spark.local.dir", d))
+    val s = warehouseDir().fold(b1)(w => b1.config("spark.sql.warehouse.dir", w))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

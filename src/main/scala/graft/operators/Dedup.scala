@@ -214,11 +214,19 @@ object Dedup {
     // is small and falls back to a shuffled semi-join when it is not.
     val candIds = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as(idCol)).distinct()
-    val sets = docs.join(candIds, Seq(idCol), "left_semi").select(col(idCol),
-      TextOps.distinctShingles(TextOps.tokens(col(textCol)), shingleN).as("sh"))
+    // pinned (round-12): `sets` is referenced by BOTH verify joins, so the
+    // candidate docs' tokenize+shingle pass — the per-row-expensive kernel
+    // — ran twice per action; the lazy pin holds |candidate docs| compact
+    // shingle arrays (the same bounded class as the band-array pin above)
+    // and each join side re-aliases the pinned columns, so no attribute-id
+    // conflict (the q311 checkpoint-join lesson)
+    val sets = docs.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol).as("__sid"),
+        TextOps.distinctShingles(TextOps.tokens(col(textCol)), shingleN).as("sh"))
+      .localCheckpoint(eager = false)
     cand
-      .join(sets.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sets.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .join(sets.select(col("__sid").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("__sid").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("c").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("c")))
@@ -367,8 +375,17 @@ object Dedup {
     // InMemoryTableScan keeps the cached HashPartitioning so only the
     // node-sized labels move per round (the q111 PageRank lesson; eager
     // count so the first iteration doesn't pay the build).
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // symmetrize with ONE pass over the pair list (round-12, guide §1.2
+    // "don't compute things you throw away"): the former
+    // `pairs.union(pairs.swapped)` executed the ENTIRE upstream pair
+    // pipeline — candidate generation + exact verify, the expensive part
+    // of every caller — once per union branch during the pin's
+    // materialization; emitting both directions from a single scan via
+    // explode produces the identical edge multiset in one execution
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     edges.count(): Unit
@@ -417,19 +434,29 @@ object Dedup {
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
                   shingleN: Int = 3, threshold: Double = 0.5,
                   maxDf: Long = 0): DataFrame = {
-    // docs that can shingle (the only ones that can ever pair)
-    val eligible = docs
+    // one (id, 16-byte md5) row per shingle-able doc, PINNED (round-12,
+    // guide §1.2): repIds, memberDrop and reps each referenced the
+    // tokenize+md5 subtree separately, so the corpus-wide tokenize pass —
+    // the expensive kernel — executed once per reference (2× in the final
+    // anti-join plan alone, plus once per verify/closure materialization).
+    // The pin is two columns per doc; every derivation below re-aliases,
+    // so no attribute-id conflict (q311 checkpoint-join lesson). Same
+    // rows kept/dropped: the fingerprint and eligibility math is
+    // unchanged, only how often it runs.
+    val fp = docs
       .filter(size(TextOps.tokens(col(textCol))) >= shingleN)
-      .select(col(idCol), col(textCol))
+      .select(col(idCol).as("__fpid"), md5(col(textCol)).as("__fp"))
+      .localCheckpoint(eager = false)
     // one representative (min id) per exact text group; md5 keeps the
     // groupBy key 16 bytes instead of the full document
-    val repIds = eligible
-      .groupBy(md5(col(textCol)).as("__fp"))
-      .agg(min(col(idCol)).as(idCol))
+    val repIds = fp
+      .groupBy(col("__fp"))
+      .agg(min(col("__fpid")).as(idCol))
       .select(idCol)
     // non-representative members of exact groups: always dropped (their rep
     // has the smaller id and Jaccard 1.0)
-    val memberDrop = eligible.select(col(idCol)).join(repIds, Seq(idCol), "left_anti")
+    val memberDrop = fp.select(col("__fpid").as(idCol))
+      .join(repIds, Seq(idCol), "left_anti")
     val reps = docs.join(repIds, Seq(idCol), "left_semi")
     val pairs = minhashVerifiedPairs(reps, idCol, textCol, shingleN, threshold, maxDf)
     val comps = connectedComponents(pairs)
@@ -449,12 +476,16 @@ object Dedup {
   def dedupCorpusKeepBest(docs: DataFrame, idCol: String, textCol: String,
                           score: Column, shingleN: Int = 3,
                           threshold: Double = 0.5, maxDf: Long = 0): DataFrame = {
-    val eligible = docs
+    // the dedupCorpus fingerprint pin (round-12): repOfGroup, docRep and
+    // reps each re-ran the corpus tokenize+md5 subtree; pin the tiny
+    // (id, fp) table once and derive all three from it
+    val fp = docs
       .filter(size(TextOps.tokens(col(textCol))) >= shingleN)
-      .select(col(idCol), col(textCol))
-    val fp = eligible.withColumn("__fp", md5(col(textCol)))
-    val repOfGroup = fp.groupBy(col("__fp")).agg(min(col(idCol)).as("__rep"))
-    val docRep = fp.join(repOfGroup, Seq("__fp")).select(col(idCol), col("__rep"))
+      .select(col(idCol).as("__fpid"), md5(col(textCol)).as("__fp"))
+      .localCheckpoint(eager = false)
+    val repOfGroup = fp.groupBy(col("__fp")).agg(min(col("__fpid")).as("__rep"))
+    val docRep = fp.join(repOfGroup, Seq("__fp"))
+      .select(col("__fpid").as(idCol), col("__rep"))
     val reps = docs.join(repOfGroup.select(col("__rep").as(idCol)), Seq(idCol), "left_semi")
     val pairs = minhashVerifiedPairs(reps, idCol, textCol, shingleN, threshold, maxDf)
     val comps = connectedComponents(pairs)
@@ -576,7 +607,15 @@ object Dedup {
 
   /** Build the standing index from a corpus (one scan per artifact; the
     * tables are pinned because every subsequent batch reuses them — on a
-    * cluster they are parquet, here a localCheckpoint). */
+    * cluster they are parquet, here a localCheckpoint).
+    *
+    * Round-12 note: deriving the band table from the pinned sets table
+    * (the writeIndex one-tokenize shape) was tried here and measured
+    * SLOWER (q515 3.7 → 4.6 s, reproduced): in-session the shingle
+    * arrays round-trip the block store as serialized string arrays —
+    * costlier than re-tokenizing — where writeIndex's parquet sets table
+    * is dictionary-compressed and feeds a bucketed, exchange-free
+    * re-read. The three independent one-pass artifacts stay. */
   def corpusIndex(corpus: DataFrame, idCol: String, textCol: String,
                   shingleN: Int = 3): TextDedupIndex = {
     val (fp, bands, sets) = indexArtifacts(corpus, idCol, textCol, shingleN)

@@ -311,8 +311,13 @@ object Graph {
     // per round only the node-sized score table moves
     val base = edges.select(col("src"), col("dst")).distinct()
     val eSrc = base.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-    val eDst = base.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
-    eSrc.count(); eDst.count(): Unit
+    eSrc.count(): Unit
+    // the dst-role copy derives from the ALREADY-CACHED src copy (round-12,
+    // guide §1.2): building both pins from `base` executed the upstream
+    // edge build + distinct twice; reading eSrc's cached blocks makes the
+    // second pin one reshuffle of the edge list, not a recompute
+    val eDst = eSrc.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    eDst.count(): Unit
     val D = "decimal(26,12)"
     var hub = eSrc.select(col("src").as("node")).distinct()
       .withColumn("h", lit(1.0d).cast(D))
