@@ -128,16 +128,35 @@ object LocalSession {
     * deployments set their own warehouse; this only applies to sessions
     * THIS object builds, and the tables are per-run scratch (dropped and
     * rebuilt by each gate), never cross-run state. */
-  private def warehouseDir(): Option[String] = scratchDir().flatMap { d =>
-    try {
-      val wh = new java.io.File(
-        d, s"graft_fix_wh_${java.lang.ProcessHandle.current().pid()}")
-      wh.mkdirs()
-      if (wh.isDirectory && wh.canWrite) {
-        registerFixtureRoot(wh.getAbsolutePath)
-        Some(wh.getAbsolutePath)
-      } else None
-    } catch { case scala.util.control.NonFatal(_) => None }
+  private def warehouseDir(): Option[String] = {
+    // A/B + deployment knob (round-13, verdict Next #6): the tmpfs
+    // warehouse is a local-host I/O-hygiene choice, not an engine
+    // optimization — SPARK_GRAFT_WAREHOUSE=default keeps Spark's default
+    // warehouse so the lifecycle gates' tmpfs share can be measured
+    // separately (recorded in OPTIMIZATION_r13.md). Cluster deployments
+    // set their own warehouse either way.
+    if (sys.env.get("SPARK_GRAFT_WAREHOUSE").contains("default")) return None
+    // spark.sql.warehouse.dir is a STATIC conf: in a JVM already holding a
+    // SparkSession the setting is silently ignored (round-12 advisor) —
+    // don't create/heartbeat a tmpfs dir that will never be used.
+    if (org.apache.spark.sql.SparkSession.getActiveSession.nonEmpty ||
+        org.apache.spark.sql.SparkSession.getDefaultSession.nonEmpty) return None
+    scratchDir().flatMap { d =>
+      try {
+        // PID + random suffix (round-12 advisor): a recycled PID inside the
+        // 30-min sweep window must never alias a hard-killed sibling's
+        // stale warehouse (appendIndex's mode("append") would silently add
+        // to a stale location instead of failing)
+        val wh = new java.io.File(
+          d, s"graft_fix_wh_${java.lang.ProcessHandle.current().pid()}_" +
+            java.util.UUID.randomUUID().toString.take(8))
+        wh.mkdirs()
+        if (wh.isDirectory && wh.canWrite) {
+          registerFixtureRoot(wh.getAbsolutePath)
+          Some(wh.getAbsolutePath)
+        } else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
   }
 
   def build(cpus: String, appName: String = "graft"): SparkSession = {

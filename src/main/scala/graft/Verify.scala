@@ -50,7 +50,24 @@ object Verify {
       .filter { case (name, _) => only.isEmpty || only(name) }
     val t0 = System.nanoTime()
     var done = 0
+    // Per-query cache hygiene (round-13, verdict Next #7 — the Bench
+    // pre-gate sweep applied here): operators pin plans/checkpoints per
+    // invocation and a 528-query session otherwise accumulates every
+    // query's blocks in the block manager for the whole run (§5
+    // memory-pressure debt). Dropping them between queries bounds
+    // block-manager growth; an explicit unpersist releases blocks without
+    // waiting on the ContextCleaner, and a periodic GC collects the freed
+    // object graphs so late queries don't pay earlier queries' debt.
+    var sinceGc = 0
+    def hygiene(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      sinceGc += 1
+      if (sinceGc >= 32) { sinceGc = 0; System.gc() }
+    }
     queries.foreach { case (name, fn) =>
+      hygiene()
       val tq = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

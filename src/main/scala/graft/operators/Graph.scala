@@ -47,20 +47,30 @@ object Graph {
     import org.apache.spark.storage.StorageLevel
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-    // deg inherits e's src-partitioning through the groupBy (no exchange);
-    // nodes comes out of distinct hash-partitioned on `node`
+    // deg inherits e's src-partitioning through the groupBy (no exchange)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // round-13 (guide §1.2): carry the out-degree ON the pinned edge table.
+    // The former shape joined e ⋈ ranks ⋈ deg every round — the deg join
+    // was exchange-free but still an edge-sized join operator per round;
+    // pre-joining once makes each round ONE join. ed materializes from e's
+    // cached blocks (e ⋈ deg is co-partitioned on src), then e — pure
+    // scaffolding — is released. ed's lineage still reaches through e, so
+    // on a cluster with executor churn a lost ed block replays the edge
+    // build; acceptable for the same reason as hits' eDst-from-eSrc
+    // derivation (MEMORY_AND_DISK spills rather than evicting locally).
+    val ed = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    // one cached scan emitting both endpoints (round-13): the former
+    // union(select src, select dst) scanned e's cached blocks twice
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    e.count(); deg.count(); nodes.count(): Unit
+    e.count(); ed.count(); nodes.count(): Unit
+    e.unpersist(blocking = false): Unit
     val nc = broadcast(nodes.agg(count(lit(1)).cast("double").as("n_nodes")))
     var ranks = nodes.crossJoin(nc)
       .select(col("node"), (lit(1.0d) / col("n_nodes")).as("r"))
     for (k <- 1 to iters) {
-      val contrib = e.join(ranks, e("src") === ranks("node"))
-        .join(deg, "src")
+      val contrib = ed.join(ranks, ed("src") === ranks("node"))
         .select(col("dst").as("node"),
           round(col("r") / col("deg"), 12).cast("decimal(38,12)").as("c"))
       val inflow = contrib.groupBy(col("node"))
@@ -80,7 +90,19 @@ object Graph {
       // chain, spiking a single iteration 3-7x).
       if (k % checkpointEvery == 0 && k < iters) ranks = ranks.localCheckpoint()
     }
-    ranks
+    // Self-contained invocation (round-13, verdict Next #1): materialize
+    // the result eagerly, then RELEASE the operator-internal pins. The
+    // former never-unpersisted pins leaked blocks across a long session
+    // (§5 memory-pressure debt over a 528-query Verify run) and made the
+    // bench's min-over-iterations steady ride cache-manager plan-match
+    // reuse of iteration 1's pins — a warm-cache artifact, not the
+    // per-invocation cost the 100 TB story depends on. Every timed
+    // invocation now pays its own edge build.
+    graft.Explain.internal("pageRank result", ranks)
+    val out = ranks.localCheckpoint()
+    ed.unpersist(blocking = false): Unit
+    nodes.unpersist(blocking = false): Unit
+    out
   }
 
   /** Shortest-hop distances from a seed set over a directed edge list —
@@ -165,13 +187,20 @@ object Graph {
     * labels localCheckpoint-cut every `checkpointEvery` rounds to bound
     * the recompute cliff. */
   def labelPropagation(edges: DataFrame, rounds: Int,
-                       checkpointEvery: Int = 2): DataFrame = {
+                       checkpointEvery: Int = 1): DataFrame = {
+    // checkpointEvery default 1 (round-13, measured): lbl is referenced
+    // TWICE per round (the push join + the unionAll), so every
+    // non-checkpointed round's join+agg subtree executes twice inside the
+    // next cut — an eager node-sized checkpoint per round is cheaper than
+    // re-running an edge-sized round (pageRank keeps 2: ranks appears
+    // once per round, so nothing doubles there)
     require(rounds >= 1, "need at least one round")
     import org.apache.spark.storage.StorageLevel
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    // one cached scan for both endpoints (the pageRank nodes-pin note)
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     e.count(); nodes.count(): Unit
     var lbl = nodes.select(col("node"), col("node").as("lbl"))
@@ -182,7 +211,13 @@ object Graph {
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
       if (k % checkpointEvery == 0 && k < rounds) lbl = lbl.localCheckpoint()
     }
-    lbl
+    // self-contained invocation (round-13, verdict Next #1 — the pageRank
+    // note): materialize, then release the pins
+    graft.Explain.internal("labelPropagation result", lbl)
+    val out = lbl.localCheckpoint()
+    e.unpersist(blocking = false): Unit
+    nodes.unpersist(blocking = false): Unit
+    out
   }
 
   /** Bounded-round multi-source Bellman-Ford over a weighted edge list
@@ -198,7 +233,9 @@ object Graph {
     * discipline); periodic lineage cuts. Unreached nodes are absent
     * (no ∞ sentinel rows). */
   def shortestPaths(edges: DataFrame, seeds: DataFrame, rounds: Int,
-                    checkpointEvery: Int = 2): DataFrame = {
+                    checkpointEvery: Int = 1): DataFrame = {
+    // checkpointEvery default 1 (round-13): dist is referenced twice per
+    // round (relax join + unionAll) — the labelPropagation note applies
     require(rounds >= 1, "need at least one round")
     import org.apache.spark.storage.StorageLevel
     val e = edges.select(col("src"), col("dst"), col("w"))
@@ -212,7 +249,12 @@ object Graph {
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
       if (k % checkpointEvery == 0 && k < rounds) dist = dist.localCheckpoint()
     }
-    dist
+    // self-contained invocation (round-13, verdict Next #1 — the pageRank
+    // note): materialize, then release the pin
+    graft.Explain.internal("shortestPaths result", dist)
+    val out = dist.localCheckpoint()
+    e.unpersist(blocking = false): Unit
+    out
   }
 
   def triangleCounts(edges: DataFrame): DataFrame = {
@@ -263,7 +305,13 @@ object Graph {
     * never replays rounds 1..r−1. Degrees are exact integers end-to-end —
     * nothing to diverge between engines. */
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int,
-                checkpointEvery: Int = 2): DataFrame = {
+                checkpointEvery: Int = 1): DataFrame = {
+    // checkpointEvery default 1 (round-13): alive is referenced TWICE per
+    // round (one broadcast per semi-join side, and the two broadcasts
+    // don't ReuseExchange — their projections differ), so every
+    // non-checkpointed round's edge-aggregate re-executes once per
+    // broadcast build; an eager node-sized cut per round keeps each peel
+    // round to exactly one pass over the pinned edges
     require(k >= 1, "k must be positive")
     require(rounds >= 1, "need at least one peel round")
     import org.apache.spark.storage.StorageLevel
@@ -286,7 +334,12 @@ object Graph {
       if (r % checkpointEvery == 0 && r < rounds)
         alive = alive.localCheckpoint(eager = true)
     }
-    deg.select(col("node"), col("degree"))
+    // self-contained invocation (round-13, verdict Next #1 — the pageRank
+    // note): materialize, then release the pin
+    graft.Explain.internal("kCorePeel result", deg.select(col("node"), col("degree")))
+    val out = deg.select(col("node"), col("degree")).localCheckpoint()
+    e.unpersist(blocking = false): Unit
+    out
   }
 
   /** Fixed-iteration HITS (hubs & authorities) over a directed edge list —
@@ -309,8 +362,14 @@ object Graph {
     // and the dst role (hub pass) — ONE partitioning can't serve both, so
     // pin one copy per role (q111's static-table discipline doubled) and
     // per round only the node-sized score table moves
-    val base = edges.select(col("src"), col("dst")).distinct()
-    val eSrc = base.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    // distinct AFTER the role repartition (round-13, guide §2.4): hash
+    // partitioning on src satisfies the dedup aggregate's clustered
+    // distribution on (src, dst) — all copies of a pair share a src — so
+    // the distinct piggybacks on the role exchange instead of paying its
+    // own (3 exchanges → 2 in the pin build, same distinct edge set)
+    val eSrc = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     eSrc.count(): Unit
     // the dst-role copy derives from the ALREADY-CACHED src copy (round-12,
     // guide §1.2): building both pins from `base` executed the upstream
@@ -322,43 +381,44 @@ object Graph {
     var hub = eSrc.select(col("src").as("node")).distinct()
       .withColumn("h", lit(1.0d).cast(D))
     // every raw score table is referenced TWICE (once by its max, once by
-    // the normalize) — without an eager cut per step the DAG doubles every
-    // half-round and the final pass recomputes the base join 2^(2·iters)
-    // times (measured: 28 s → 2 s at sf0.1). The score tables are
-    // node-sized, so the cut is cheap.
-    // the max-normalizer comes from a GLOBAL window over the node-sized
-    // aggregate — one reference to the raw scores (a crossJoin'd max agg
-    // would reference them twice and double the DAG per half-round;
-    // measured 28 s at sf0.1 before this shape, ~2 s after). The single-
-    // partition window is bounded: its input is the per-node aggregate.
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy().rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // the normalize) — an eager node-sized cut per half-round keeps the
+    // DAG from doubling every half-round (without it the final pass
+    // recomputes the base join 2^(2·iters) times; measured 28 s → 2 s at
+    // sf0.1). Round-13: the max-normalizer reads the CHECKPOINTED raw
+    // scores through a broadcast max aggregate instead of a global window
+    // — the former single-partition window exchange serialized every
+    // half-round through one task twice (gather + redistribute); the
+    // broadcast max is exactly the same decimal max over the same rows,
+    // and the cut makes the double reference free. The per-round hub
+    // checkpoint is subsumed by the normalize's own cut.
+    def normalize(raw: DataFrame, keyCol: String, valCol: String,
+                  out: String): DataFrame = {
+      val r = raw.localCheckpoint(eager = true)
+      val mx = broadcast(r.agg(max(col(valCol)).as("__m")))
+      r.crossJoin(mx).select(col(keyCol).as("node"),
+        round(col(valCol).cast("double") / col("__m").cast("double"), 12)
+          .cast(D).as(out))
+    }
     def authFrom(h: DataFrame, out: String): DataFrame =
-      eSrc.join(h, eSrc("src") === h("node"))
-        .groupBy(col("dst")).agg(sum(col("h")).as("__a"))
-        .withColumn("__m", max(col("__a")).over(wAll))
-        .select(col("dst").as("node"),
-          round(col("__a").cast("double") / col("__m").cast("double"), 12)
-            .cast(D).as(out))
-    (1 to iters).foreach { i =>
+      normalize(eSrc.join(h, eSrc("src") === h("node"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("__a")), "dst", "__a", out)
+    (1 to iters).foreach { _ =>
       val auth = authFrom(hub, "a")
-      hub = eDst.join(auth, eDst("dst") === auth("node"))
-        .groupBy(col("src")).agg(sum(col("a")).as("__h"))
-        .withColumn("__m", max(col("__h")).over(wAll))
-        .select(col("src").as("node"),
-          round(col("__h").cast("double") / col("__m").cast("double"), 12)
-            .cast(D).as("h"))
-      // hub is node-sized; one lineage cut per round keeps round r's plan
-      // from replaying rounds 1..r−1
-      if (i < iters) hub = hub.localCheckpoint(eager = true)
+      hub = normalize(eDst.join(auth, eDst("dst") === auth("node"))
+        .groupBy(col("src")).agg(sum(col("a")).as("__h")), "src", "__h", "h")
     }
     // final authority pass from the converged hubs, then both roles out
     val auth = authFrom(hub, "score")
-    hub.select(col("node"), lit("hub").as("kind"),
+    // self-contained invocation (round-13, verdict Next #1 — the pageRank
+    // note): materialize, then release both role pins
+    val res = hub.select(col("node"), lit("hub").as("kind"),
         col("h").cast("double").as("score"))
       .unionByName(auth.select(col("node"), lit("authority").as("kind"),
         col("score").cast("double").as("score")))
+    graft.Explain.internal("hits result", res)
+    val out = res.localCheckpoint()
+    eSrc.unpersist(blocking = false): Unit
+    eDst.unpersist(blocking = false): Unit
+    out
   }
 }
