@@ -40,4 +40,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // sweeper to evict hot methods late in the run (deopt/recompile churn on
   // the iterative gates). Bench's jvm_code_mb channel records actual use.
   "-XX:ReservedCodeCacheSize=512m",
-)
+) ++
+  // ad-hoc JVM flags for diagnosis runs (GC logging, collector A/Bs) —
+  // empty in normal runs, so driver invocations are unaffected
+  sys.env.get("SPARK_GRAFT_JVM_EXTRA").map(_.split("\\s+").toSeq)
+    .getOrElse(Seq.empty)

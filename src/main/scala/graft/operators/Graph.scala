@@ -45,27 +45,28 @@ object Graph {
     // materializes once so no round pays the build. Their plans are shallow
     // and static, so keeping lineage (unlike ranks) costs nothing.
     import org.apache.spark.storage.StorageLevel
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-    // deg inherits e's src-partitioning through the groupBy (no exchange)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // round-13 (guide §1.2): carry the out-degree ON the pinned edge table.
     // The former shape joined e ⋈ ranks ⋈ deg every round — the deg join
     // was exchange-free but still an edge-sized join operator per round;
-    // pre-joining once makes each round ONE join. ed materializes from e's
-    // cached blocks (e ⋈ deg is co-partitioned on src), then e — pure
-    // scaffolding — is released. ed's lineage still reaches through e, so
-    // on a cluster with executor churn a lost ed block replays the edge
-    // build; acceptable for the same reason as hits' eDst-from-eSrc
-    // derivation (MEMORY_AND_DISK spills rather than evicting locally).
-    val ed = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    // pre-joining once makes each round ONE join (A/B: rounds 144 → ~108
+    // CPU-s per invocation, plan 50 → 26 join operators). ONE pin: `base`
+    // appears twice in ed's plan (join probe + degree build) but both
+    // references share the single repartition exchange via ReuseExchange
+    // (verified in plans/r13/q111_pagerank_after.txt), so the edge build
+    // executes once and no scaffolding edge pin is written/released.
+    val base = edges.select(col("src"), col("dst")).repartition(col("src"))
+    // deg inherits base's src-partitioning through the groupBy (no
+    // exchange); the ed join is co-partitioned on src
+    val deg = base.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = base.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     // one cached scan emitting both endpoints (round-13): the former
-    // union(select src, select dst) scanned e's cached blocks twice
-    val nodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
+    // union(select src, select dst) scanned the edge pin twice
+    val nodes = ed.select(explode(array(col("src"), col("dst"))).as("node"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    e.count(); ed.count(); nodes.count(): Unit
-    e.unpersist(blocking = false): Unit
+    // one materialization job fills BOTH pins: computing nodes streams
+    // through ed's cache build (round-13 job-count trim)
+    nodes.count(): Unit
     val nc = broadcast(nodes.agg(count(lit(1)).cast("double").as("n_nodes")))
     var ranks = nodes.crossJoin(nc)
       .select(col("node"), (lit(1.0d) / col("n_nodes")).as("r"))
@@ -370,11 +371,11 @@ object Graph {
     val eSrc = edges.select(col("src"), col("dst"))
       .repartition(col("src")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    eSrc.count(): Unit
-    // the dst-role copy derives from the ALREADY-CACHED src copy (round-12,
+    // the dst-role copy derives from the src copy's cache (round-12,
     // guide §1.2): building both pins from `base` executed the upstream
     // edge build + distinct twice; reading eSrc's cached blocks makes the
-    // second pin one reshuffle of the edge list, not a recompute
+    // second pin one reshuffle of the edge list, not a recompute. One
+    // materialization job fills BOTH pins (round-13 job-count trim).
     val eDst = eSrc.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
     eDst.count(): Unit
     val D = "decimal(26,12)"

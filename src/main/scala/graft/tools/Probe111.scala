@@ -33,17 +33,27 @@ object Probe111 {
       // ---- pageRank body, stage-timed; shape arg: "new" = pre-joined
       // ed table (1 join/round), "old" = separate deg pin (2 joins/round)
       val shape = args.lift(1).getOrElse("new")
-      val e = edges.select(col("src"), col("dst"))
-        .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-      val deg0 = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      val ed = e.join(deg0, "src").persist(StorageLevel.MEMORY_AND_DISK)
+      val base = edges.select(col("src"), col("dst")).repartition(col("src"))
+      val e = base.persist(StorageLevel.MEMORY_AND_DISK)
+      // "noe": build ed WITHOUT pinning e — the two base references (join
+      // probe + deg build) share one repartition exchange via
+      // ReuseExchange, so the edge build still executes once and the
+      // separate e cache write/read is skipped
+      val edSrc = if (shape == "noe") base else e.toDF()
+      val deg0 = edSrc.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val ed = edSrc.join(deg0, "src").persist(StorageLevel.MEMORY_AND_DISK)
       val deg = deg0.persist(StorageLevel.MEMORY_AND_DISK)
-      val nodes = e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val ne = Probe.time("edge pin materialize (e.count)")(e.count())
+      val nodes0 =
+        if (shape == "noe")
+          ed.select(explode(array(col("src"), col("dst"))).as("node")).distinct()
+        else e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct()
+      val nodes = nodes0.persist(StorageLevel.MEMORY_AND_DISK)
+      val ne =
+        if (shape == "noe") Probe.time("ed pin (ReuseExchange, no e pin)")(ed.count())
+        else Probe.time("edge pin materialize (e.count)")(e.count())
       if (shape == "new") Probe.time("ed pin (e ⋈ deg from cache)")(ed.count())
-      else Probe.time("deg pin")(deg.count())
+      else if (shape == "old") Probe.time("deg pin")(deg.count())
       val nn = Probe.time("nodes pin (distinct from cache)")(nodes.count())
       println(s"        edges = $ne  nodes = $nn  shape = $shape")
       val nc = broadcast(nodes.agg(count(lit(1)).cast("double").as("n_nodes")))
