@@ -45,35 +45,49 @@ object Graph {
     // materializes once so no round pays the build. Their plans are shallow
     // and static, so keeping lineage (unlike ranks) costs nothing.
     import org.apache.spark.storage.StorageLevel
-    // round-13 (guide §1.2): carry the out-degree ON the pinned edge table.
-    // The former shape joined e ⋈ ranks ⋈ deg every round — the deg join
-    // was exchange-free but still an edge-sized join operator per round;
-    // pre-joining once makes each round ONE join (A/B: rounds 144 → ~108
-    // CPU-s per invocation, plan 50 → 26 join operators). ONE pin: `base`
-    // appears twice in ed's plan (join probe + degree build) but both
-    // references share the single repartition exchange via ReuseExchange
-    // (verified in plans/r13/q111_pagerank_after.txt), so the edge build
-    // executes once and no scaffolding edge pin is written/released.
-    val base = edges.select(col("src"), col("dst")).repartition(col("src"))
-    // deg inherits base's src-partitioning through the groupBy (no
-    // exchange); the ed join is co-partitioned on src
-    val deg = base.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val ed = base.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    // round-13 (guide §1.2/§2.3): compute each node's contribution ONCE
+    // per round, not once per edge. c = round(r/deg, 12)::decimal(38,12)
+    // depends only on the SOURCE node, yet the former shape evaluated it
+    // per edge row — Round + the decimal cast each allocate BigDecimals,
+    // so |E| × iters BigDecimal round-trips dominated the rounds' CPU
+    // (Probe111: rounds 108 → ~33 CPU-s with the per-node form). The
+    // node-sized c-table (deg ⋈ ranks, |V| rows) now carries the READY
+    // decimal onto the edge join; the per-edge work is a hash probe +
+    // exact decimal sum. The sum is over the identical decimal multiset —
+    // exact decimal addition is reduction-order-independent, so the
+    // result is bit-identical to the per-edge form.
+    // sortWithinPartitions: the cached plan's output ordering is visible
+    // through InMemoryTableScan, so every round's sort-merge join streams
+    // the pinned edges in place instead of re-sorting |E| rows per round
+    // (the former ed = base ⋈ deg pin was sorted as an SMJ byproduct;
+    // keeping that property costs one sort at build)
+    val e = edges.select(col("src"), col("dst")).repartition(col("src"))
+      .sortWithinPartitions(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // node-sized degree table off the pinned edges — the agg inherits the
+    // pin's src-partitioning (no exchange)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // one cached scan emitting both endpoints (round-13): the former
     // union(select src, select dst) scanned the edge pin twice
-    val nodes = ed.select(explode(array(col("src"), col("dst"))).as("node"))
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // one materialization job fills BOTH pins: computing nodes streams
-    // through ed's cache build (round-13 job-count trim)
+    // one materialization job fills the edge pin and nodes; deg fills off
+    // e's cache without an exchange (round-13 job-count trim)
     nodes.count(): Unit
+    deg.count(): Unit
     val nc = broadcast(nodes.agg(count(lit(1)).cast("double").as("n_nodes")))
     var ranks = nodes.crossJoin(nc)
       .select(col("node"), (lit(1.0d) / col("n_nodes")).as("r"))
     for (k <- 1 to iters) {
-      val contrib = ed.join(ranks, ed("src") === ranks("node"))
-        .select(col("dst").as("node"),
+      // per-node contribution (|V| rows): the only place Round/decimal
+      // casts run — 1600 evaluations per round instead of 1.17 M at sf0.1
+      val ctbl = deg.join(ranks, deg("src") === ranks("node"))
+        .select(col("src"),
           round(col("r") / col("deg"), 12).cast("decimal(38,12)").as("c"))
+      val contrib = e.join(ctbl, "src")
+        .select(col("dst").as("node"), col("c"))
       val inflow = contrib.groupBy(col("node"))
         .agg(sum(col("c")).cast("double").as("inflow"))
       ranks = nodes.crossJoin(nc)
@@ -101,7 +115,8 @@ object Graph {
     // invocation now pays its own edge build.
     graft.Explain.internal("pageRank result", ranks)
     val out = ranks.localCheckpoint()
-    ed.unpersist(blocking = false): Unit
+    e.unpersist(blocking = false): Unit
+    deg.unpersist(blocking = false): Unit
     nodes.unpersist(blocking = false): Unit
     out
   }
@@ -123,7 +138,8 @@ object Graph {
     require(maxHops >= 0, "maxHops must be non-negative")
     import org.apache.spark.storage.StorageLevel
     val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+      .repartition(col("src")).sortWithinPartitions(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     e.count(): Unit
     var dist = seeds.select(col("node")).distinct()
       .select(col("node"), lit(0).cast("int").as("hops"))
@@ -188,36 +204,46 @@ object Graph {
     * labels localCheckpoint-cut every `checkpointEvery` rounds to bound
     * the recompute cliff. */
   def labelPropagation(edges: DataFrame, rounds: Int,
-                       checkpointEvery: Int = 1): DataFrame = {
-    // checkpointEvery default 1 (round-13, measured): lbl is referenced
-    // TWICE per round (the push join + the unionAll), so every
-    // non-checkpointed round's join+agg subtree executes twice inside the
-    // next cut — an eager node-sized checkpoint per round is cheaper than
-    // re-running an edge-sized round (pageRank keeps 2: ranks appears
-    // once per round, so nothing doubles there)
+                       checkpointEvery: Int = 2): DataFrame = {
+    // Self-loop augmentation (round-13, guide §2.4): the min-label update
+    // is new(v) = min(lbl(v), min over incoming lbl(u)) — pinning a
+    // self-loop (v,v) per node folds the keep-own-label branch INTO the
+    // edge join, so the loop state is referenced ONCE per round (the
+    // former shape read lbl twice: push join + unionAll, which both
+    // forced an eager node-sized checkpoint EVERY round and scanned an
+    // extra union branch). One reference per round means rounds chain
+    // lazily without doubling — checkpointEvery back to 2, the pageRank
+    // discipline — and each round is exactly one join + one agg over the
+    // pinned (edges ∪ self-loops) table. min over the augmented in-edges
+    // is the identical fixpoint (self-loop carries lbl(v) itself).
     require(rounds >= 1, "need at least one round")
     import org.apache.spark.storage.StorageLevel
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-    // one cached scan for both endpoints (the pageRank nodes-pin note)
-    val nodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
+    val base = edges.select(col("src"), col("dst")).repartition(col("src"))
+    // self-loops for EVERY endpoint (src ∪ dst — callers supply symmetric
+    // lists, but the augmentation must not assume it); both references to
+    // `base` share the one repartition exchange via ReuseExchange, so the
+    // upstream edge pipeline still executes once at pin build
+    val loops = base.select(explode(array(col("src"), col("dst"))).as("n"))
       .distinct()
+      .select(col("n").as("src"), col("n").as("dst"))
+    val e = base.unionAll(loops).repartition(col("src"))
+      .sortWithinPartitions(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    e.count(); nodes.count(): Unit
-    var lbl = nodes.select(col("node"), col("node").as("lbl"))
+    e.count(): Unit
+    // every node owns a self-loop, so the src-distinct over the pin covers
+    // all endpoints — the former separate nodes pin is subsumed
+    var lbl = e.select(col("src").as("node"), col("src").as("lbl")).distinct()
     for (k <- 1 to rounds) {
-      val pushed = e.join(lbl, e("src") === lbl("node"))
+      lbl = e.join(lbl, e("src") === lbl("node"))
         .select(col("dst").as("node"), col("lbl"))
-      lbl = lbl.unionAll(pushed)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
       if (k % checkpointEvery == 0 && k < rounds) lbl = lbl.localCheckpoint()
     }
     // self-contained invocation (round-13, verdict Next #1 — the pageRank
-    // note): materialize, then release the pins
+    // note): materialize, then release the pin
     graft.Explain.internal("labelPropagation result", lbl)
     val out = lbl.localCheckpoint()
     e.unpersist(blocking = false): Unit
-    nodes.unpersist(blocking = false): Unit
     out
   }
 
@@ -234,19 +260,31 @@ object Graph {
     * discipline); periodic lineage cuts. Unreached nodes are absent
     * (no ∞ sentinel rows). */
   def shortestPaths(edges: DataFrame, seeds: DataFrame, rounds: Int,
-                    checkpointEvery: Int = 1): DataFrame = {
-    // checkpointEvery default 1 (round-13): dist is referenced twice per
-    // round (relax join + unionAll) — the labelPropagation note applies
+                    checkpointEvery: Int = 2): DataFrame = {
+    // Self-loop augmentation (round-13 — the labelPropagation note): a
+    // zero-weight self-loop per node folds the keep-own-distance branch
+    // into the relax join, so dist is referenced ONCE per round (one join
+    // + one mergeable-min agg; no unionAll branch, no per-round eager
+    // checkpoint). min(dist(v)+0, relaxed) is the identical fixpoint.
+    // Self-loops cover every endpoint AND every seed — a seed with no
+    // edges must survive the rounds exactly as the union form kept it.
     require(rounds >= 1, "need at least one round")
     import org.apache.spark.storage.StorageLevel
-    val e = edges.select(col("src"), col("dst"), col("w"))
-      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val base = edges.select(col("src"), col("dst"), col("w"))
+      .repartition(col("src"))
+    val zeroW = lit(0L).cast(base.schema.apply("w").dataType)
+    val loops = base.select(explode(array(col("src"), col("dst"))).as("n"))
+      .unionAll(seeds.select(col("node").as("n")))
+      .distinct()
+      .select(col("n").as("src"), col("n").as("dst"), zeroW.as("w"))
+    val e = base.unionAll(loops).repartition(col("src"))
+      .sortWithinPartitions(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     e.count(): Unit
     var dist = seeds.select(col("node"), lit(0L).as("dist"))
     for (k <- 1 to rounds) {
-      val relaxed = e.join(dist, e("src") === dist("node"))
+      dist = e.join(dist, e("src") === dist("node"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      dist = dist.unionAll(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
       if (k % checkpointEvery == 0 && k < rounds) dist = dist.localCheckpoint()
     }
@@ -370,13 +408,15 @@ object Graph {
     // own (3 exchanges → 2 in the pin build, same distinct edge set)
     val eSrc = edges.select(col("src"), col("dst"))
       .repartition(col("src")).distinct()
+      .sortWithinPartitions(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // the dst-role copy derives from the src copy's cache (round-12,
     // guide §1.2): building both pins from `base` executed the upstream
     // edge build + distinct twice; reading eSrc's cached blocks makes the
     // second pin one reshuffle of the edge list, not a recompute. One
     // materialization job fills BOTH pins (round-13 job-count trim).
-    val eDst = eSrc.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    val eDst = eSrc.repartition(col("dst")).sortWithinPartitions(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     eDst.count(): Unit
     val D = "decimal(26,12)"
     var hub = eSrc.select(col("src").as("node")).distinct()

@@ -31,14 +31,20 @@ object Probe111 {
           struct(col("dst").as("src"), col("src").as("dst")))).as("__e"))
         .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       // ---- pageRank body, stage-timed; shape arg: "new" = pre-joined
-      // ed table (1 join/round), "old" = separate deg pin (2 joins/round)
+      // ed table (1 join/round), "old" = separate deg pin (2 joins/round),
+      // "pn" = per-node contribution table (round()/decimal cast runs |V|
+      // times per round, unsorted edge pin), "pns" = pn + edge pin cached
+      // sorted within partitions (per-round SMJ skips the edge-side sort)
       val shape = args.lift(1).getOrElse("new")
-      val base = edges.select(col("src"), col("dst")).repartition(col("src"))
+      val base0 = edges.select(col("src"), col("dst")).repartition(col("src"))
+      val base =
+        if (shape == "pns") base0.sortWithinPartitions(col("src")) else base0
       val e = base.persist(StorageLevel.MEMORY_AND_DISK)
       // "noe": build ed WITHOUT pinning e — the two base references (join
       // probe + deg build) share one repartition exchange via
       // ReuseExchange, so the edge build still executes once and the
       // separate e cache write/read is skipped
+      val perNode = shape == "pn" || shape == "pns"
       val edSrc = if (shape == "noe") base else e.toDF()
       val deg0 = edSrc.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       val ed = edSrc.join(deg0, "src").persist(StorageLevel.MEMORY_AND_DISK)
@@ -53,7 +59,7 @@ object Probe111 {
         if (shape == "noe") Probe.time("ed pin (ReuseExchange, no e pin)")(ed.count())
         else Probe.time("edge pin materialize (e.count)")(e.count())
       if (shape == "new") Probe.time("ed pin (e ⋈ deg from cache)")(ed.count())
-      else if (shape == "old") Probe.time("deg pin")(deg.count())
+      else if (shape == "old" || perNode) Probe.time("deg pin")(deg.count())
       val nn = Probe.time("nodes pin (distinct from cache)")(nodes.count())
       println(s"        edges = $ne  nodes = $nn  shape = $shape")
       val nc = broadcast(nodes.agg(count(lit(1)).cast("double").as("n_nodes")))
@@ -64,7 +70,15 @@ object Probe111 {
           if (shape == "old")
             e.join(ranks, e("src") === ranks("node")).join(deg, "src")
           else ed.join(ranks, ed("src") === ranks("node"))
-        val inflow = shape match {
+        val inflow = if (perNode) {
+          val ctbl = deg.join(ranks, deg("src") === ranks("node"))
+            .select(col("src"),
+              round(col("r") / col("deg"), 12).cast("decimal(38,12)").as("c"))
+          e.join(ctbl, "src")
+            .select(col("dst").as("node"), col("c"))
+            .groupBy(col("node"))
+            .agg(sum(col("c")).cast("double").as("inflow"))
+        } else shape match {
           case "lng" =>
             // exact long fixed-point: the 12-dp rounded contribution as
             // micros-of-a-unit; sum(long) is codegen'd long addition
